@@ -1,0 +1,68 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.  Each query is timed end-to-end
+(plan build + execution to a count/collect-free materialization via
+``write.format("noop")``-style foreach? No — we use .count() on the
+result, which forces a full computation of every output row).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from polars_trading_spark.registry import QUERIES
+from polars_trading_spark.session import get_spark
+
+# Headline set: updated as operators land. Keep this the intersection of
+# "representative" and "runs in seconds at sf0.1".
+HEADLINE = [
+    "time_bars",
+    "tick_bars",
+    "volume_bars",
+    "dollar_bars",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("pts-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        q = QUERIES[name]
+        # Warm the JVM/IO path once at tiny scale so per-query numbers
+        # measure the operator, not first-call classloading.
+        start = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

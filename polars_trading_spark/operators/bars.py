@@ -1,0 +1,376 @@
+"""Bar sampling operators: time / tick / volume / dollar bars.
+
+Re-expresses the reference's bar pipeline (polars_trading/bars.py:91-316
+plus the Rust ``bar_groups`` kernel, src/bars.rs:10-159) Spark-first:
+
+* ``time_bars``   — epoch-aligned bucket + hash aggregate. One shuffle.
+* ``tick_bars``   — ``row_number`` window + hash aggregate. Two exchanges
+  (window partition then group-by), both on the same symbol/date keys so
+  AQE coalesces them.
+* ``volume_bars`` — the reference runs a sequential Rust scan
+  (src/bars.rs:10-71, split mode).  Split-mode bar assignment is actually
+  closed-form in the cumulative volume — every bar closes at an exact
+  multiple of ``bar_size`` — so we compute it entirely with window
+  arithmetic + ``posexplode(sequence(...))`` and never leave codegen.
+  This is the same math as the reference's own pandas oracle
+  (tests/testing_utils/pd_bars_helpers.py:227-267).
+* ``dollar_bars`` — the reference explodes every trade into ``size`` unit
+  rows and runs the kernel in overflow mode (polars_trading/bars.py:288-316).
+  Overflow boundaries are history-dependent (the running sum resets on
+  breach, src/bars.rs:53-65) so this is genuinely sequential — but only
+  *within* a (symbol, date) partition.  We compute identical
+  share-granularity semantics inside one ``applyInPandas`` pass per
+  partition WITHOUT materializing the unit explosion (which would
+  multiply row count by share count — a non-starter at 100 TB).
+
+Scale notes: every operator shuffles exactly once on its natural key
+(symbol[, date] / bucket); pre-partitioning the source Parquet by
+symbol/date makes these map-side. No global sorts anywhere — ordered
+semantics are carried by ``min_by/max_by`` order keys, not physical row
+order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from polars_trading_spark._utils import (
+    SEQ_COL,
+    ohlcv_aggs,
+    bar_output_columns,
+    truncate,
+    with_seq,
+)
+from polars_trading_spark.config import column_names
+
+__all__ = ["time_bars", "tick_bars", "volume_bars", "dollar_bars", "bar_groups"]
+
+BAR_ID = "bar_group__id"
+BAR_AMOUNT = "bar_group__amount"
+_DATE = "__pts_date"
+
+
+def _final_bar_select(df: DataFrame, symbol: str, ts: str, extra: Sequence[str] = ()) -> DataFrame:
+    """Apply the typed output contract (reference: bars.py:11-34)."""
+    casts = {
+        symbol: "string",
+        f"{ts}_start": "timestamp",
+        f"{ts}_end": "timestamp",
+        "open": "double",
+        "high": "double",
+        "low": "double",
+        "close": "double",
+        "volume": "long",
+        "vwap": "double",
+        "n_trades": "int",
+    }
+    cols = list(extra) + bar_output_columns(symbol, ts)
+    return df.select(*[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in cols])
+
+
+def time_bars(df: DataFrame, *, bar_size: str = "1m") -> DataFrame:
+    """OHLCV bars over fixed time buckets (reference: bars.py:91-139).
+
+    ``bar_size`` uses Polars duration grammar (``1s/2m/3h/4d/5w``,
+    compounds like ``"1h30m"`` allowed). The bucket timestamp keeps the
+    configured timestamp column's name, matching the reference's rename.
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    out = (
+        with_seq(df.na.drop(subset=[price]))
+        .withColumn("__bucket", truncate(ts, bar_size))
+        .groupBy("__bucket", symbol)
+        .agg(*ohlcv_aggs(ts, price, size))
+        .withColumnRenamed("__bucket", ts)
+    )
+    return _final_bar_select(out, symbol, ts, extra=[ts])
+
+
+def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True) -> DataFrame:
+    """OHLCV bars over fixed trade counts (reference: bars.py:142-191).
+
+    Bar membership is ``(row_number - 1) // bar_size`` per symbol (and per
+    date when ``split_by_date``), with ``(ts, seq)`` as the deterministic
+    order key.
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+
+    w = Window.partitionBy(*keys).orderBy(ts, SEQ_COL)
+    out = (
+        out.withColumn("__tick_group", F.floor((F.row_number().over(w) - 1) / F.lit(bar_size)))
+        .groupBy("__tick_group", *keys)
+        .agg(*ohlcv_aggs(ts, price, size))
+    )
+    return _final_bar_select(out, symbol, ts)
+
+
+def bar_groups(
+    df: DataFrame,
+    value_col: str,
+    bar_size: float,
+    *,
+    allow_splits: bool = True,
+    partition_by: Sequence[str] = (),
+    order_by: Sequence[str] = (),
+) -> DataFrame:
+    """Assign rows to cumulative-sum buckets of ``bar_size``.
+
+    Semantics match the reference kernel ``compute_bar_groups``
+    (src/bars.rs:10-71) exactly — verified against its unit vectors in
+    tests/test_bar_groups.py:
+
+    * ``allow_splits=True``: a row whose value straddles a bar boundary is
+      split into one piece per bar, so every bar (except the last) sums to
+      exactly ``bar_size``.  Closed-form: with cumulative sum ``cs`` and
+      ``prev = cs - value``, the row spans bars ``floor(prev/B)`` through
+      ``ceil(cs/B) - 1``, and its piece in bar ``b`` has amount
+      ``min(cs, (b+1)B) - max(prev, bB)``.  All codegen — no Python.
+    * ``allow_splits=False``: whole rows accumulate until the running sum
+      breaches ``bar_size``, then the sum resets (overflow is discarded) —
+      history-dependent, so it runs as one sequential pass per partition
+      inside ``applyInPandas``.
+
+    Rows with ``value <= 0`` produce no pieces in split mode (the kernel's
+    ``while remaining > 0`` emits nothing for them).
+
+    Returns the input columns plus ``bar_group__id`` (int, 0-based per
+    partition) and ``bar_group__amount`` (the piece's share of the value).
+    """
+    if not order_by:
+        order_by = [SEQ_COL]
+        df = with_seq(df)
+
+    if allow_splits:
+        w = (
+            Window.partitionBy(*(partition_by or [F.lit(1)]))
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        v = F.col(value_col)
+        b = F.lit(bar_size)
+        cs = F.sum(v).over(w)
+        out = (
+            df.withColumn("__cs", cs)
+            .withColumn("__prev", F.col("__cs") - v)
+            .where(v > 0)
+            .withColumn("__start", F.floor(F.col("__prev") / b).cast("long"))
+            .withColumn(
+                "__end",
+                F.when((F.col("__cs") % b) == 0, (F.col("__cs") / b).cast("long") - 1)
+                .otherwise(F.floor(F.col("__cs") / b).cast("long")),
+            )
+            .select(
+                "*",
+                F.posexplode(F.sequence(F.col("__start"), F.col("__end"))).alias("__pos", "__bar"),
+            )
+            .withColumn(BAR_ID, F.col("__bar").cast("int"))
+            .withColumn(
+                BAR_AMOUNT,
+                (
+                    F.least(F.col("__cs"), (F.col("__bar") + 1) * b)
+                    - F.greatest(F.col("__prev"), F.col("__bar") * b)
+                ).cast(df.schema[value_col].dataType),
+            )
+            .drop("__cs", "__prev", "__start", "__end", "__pos", "__bar")
+        )
+        return out
+
+    # Overflow mode: sequential scan per partition (bounded state, one pass).
+    drop_cols: list[str] = []
+    if not partition_by:
+        df = df.withColumn("__pts_one", F.lit(1))
+        partition_by = ["__pts_one"]
+        drop_cols = ["__pts_one"]
+    value_type = df.schema[value_col].dataType
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField(BAR_ID, T.IntegerType()), T.StructField(BAR_AMOUNT, value_type)]
+    )
+    order_cols = list(order_by)
+    bar_size_f = float(bar_size)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        values = pdf[value_col].to_numpy()
+        ids = [0] * len(values)
+        current, gid = 0.0, 0
+        for i, val in enumerate(values):
+            ids[i] = gid
+            current += float(val)
+            if current >= bar_size_f:
+                gid += 1
+                current = 0.0
+        pdf[BAR_ID] = pd.array(ids, dtype="int32")
+        pdf[BAR_AMOUNT] = pdf[value_col]
+        return pdf
+
+    out = df.groupBy(*partition_by).applyInPandas(assign, schema=out_schema)
+    return out.drop(*drop_cols) if drop_cols else out
+
+
+def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = True) -> DataFrame:
+    """OHLCV bars over fixed traded volume (reference: bars.py:194-244).
+
+    A trade straddling a bar boundary is split across bars (split-mode
+    ``bar_groups``), so every bar's volume is exactly ``bar_size`` except
+    the last per partition.  Unlike the reference's sequential kernel this
+    is pure window arithmetic — one shuffle for the cumulative-sum window,
+    one for the final aggregate, both on (symbol[, date]).
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+
+    pieces = bar_groups(
+        out, size, bar_size, allow_splits=True, partition_by=keys, order_by=[ts, SEQ_COL]
+    )
+    out = pieces.groupBy(*keys, BAR_ID).agg(*ohlcv_aggs(ts, price, F.col(BAR_AMOUNT)))
+    return _final_bar_select(out, symbol, ts)
+
+
+def dollar_bars(df: DataFrame, *, bar_size: float = 1_000_000.0, split_by_date: bool = True) -> DataFrame:
+    """OHLCV bars over fixed traded dollar value (reference: bars.py:247-316).
+
+    Reference semantics: explode each trade into ``size`` one-share rows,
+    accumulate share dollar values, close a bar whenever the running sum
+    reaches ``bar_size`` (overflow mode at share granularity — the bar
+    keeps the whole breaching share and the remainder is discarded,
+    src/bars.rs:53-65).  A trade therefore splits across bars on share
+    boundaries.
+
+    We reproduce this exactly without the explosion: within a
+    (symbol, date) partition the running state is one float, and each
+    trade's split into bars is computable in O(#bars it spans):
+    the current bar takes ``ceil((bar_size - c) / price)`` shares, full
+    bars take ``ceil(bar_size / price)`` shares, the remainder stays open.
+    One ``applyInPandas`` pass per partition emits the finished bars
+    directly (the per-bar OHLCV reduction happens in the same pass, so
+    there is exactly one shuffle total).
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+
+    schema = T.StructType(
+        [
+            T.StructField(symbol, T.StringType()),
+            T.StructField(f"{ts}_start", T.TimestampType()),
+            T.StructField(f"{ts}_end", T.TimestampType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+            T.StructField("vwap", T.DoubleType()),
+            T.StructField("n_trades", T.IntegerType()),
+        ]
+    )
+    bar_size_f = float(bar_size)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        sym = pdf[symbol].iloc[0]
+        prices = pdf[price].to_numpy(dtype=float)
+        sizes = pdf[size].to_numpy(dtype="int64")
+        stamps = pdf[ts].to_numpy()
+
+        # One accumulator per open bar; pieces append (gid, ts, price, shares).
+        piece_gid: list[int] = []
+        piece_ts: list = []
+        piece_price: list[float] = []
+        piece_shares: list[int] = []
+        c, gid = 0.0, 0
+        for i in range(len(pdf)):
+            p, n, t = prices[i], int(sizes[i]), stamps[i]
+            if n <= 0:
+                continue
+            if p <= 0:
+                # Shares never close a bar; whole trade joins the open bar.
+                piece_gid.append(gid)
+                piece_ts.append(t)
+                piece_price.append(p)
+                piece_shares.append(n)
+                continue
+            while n > 0:
+                need = math.ceil((bar_size_f - c) / p)
+                if need <= n:
+                    piece_gid.append(gid)
+                    piece_ts.append(t)
+                    piece_price.append(p)
+                    piece_shares.append(need)
+                    gid += 1
+                    c = 0.0
+                    n -= need
+                else:
+                    piece_gid.append(gid)
+                    piece_ts.append(t)
+                    piece_price.append(p)
+                    piece_shares.append(n)
+                    c += n * p
+                    n = 0
+
+        if not piece_gid:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        pieces = pd.DataFrame(
+            {
+                "gid": piece_gid,
+                "t": piece_ts,
+                "p": piece_price,
+                "shares": piece_shares,
+            }
+        )
+        g = pieces.groupby("gid", sort=True)
+        bars = pd.DataFrame(
+            {
+                f"{ts}_start": g["t"].min(),
+                f"{ts}_end": g["t"].max(),
+                "open": g["p"].first(),
+                "high": g["p"].max(),
+                "low": g["p"].min(),
+                "close": g["p"].last(),
+                "volume": g["shares"].sum().astype("int64"),
+                "vwap": g.apply(lambda x: float((x["p"] * x["shares"]).sum() / x["shares"].sum())),
+                "n_trades": g.size().astype("int32"),
+            }
+        ).reset_index(drop=True)
+        bars.insert(0, symbol, sym)
+        return bars
+
+    return out.groupBy(*keys).applyInPandas(build, schema=schema)

@@ -1,0 +1,84 @@
+"""Parquet sources for the driver testdata, and the trades mapping.
+
+The reference consumes a ``trades`` table ``{ts_event, price, size,
+symbol}`` (tests/conftest.py:12-14 pins ``timestamp_column="ts_event"``).
+The driver testdata ships an ``events`` table instead; FIXTURES.md §1
+defines the deterministic mapping we use everywhere — identically in the
+Spark pipeline and in the DuckDB oracle SQL, so differential results are
+comparable:
+
+    ts_event = ts (µs precision)
+    price    = value              (strictly positive in the testdata)
+    size     = 10_000 + event_id % 90_001
+    symbol   = event_type         (5 distinct symbols)
+    seq      = event_id           (deterministic order tiebreaker)
+
+The ``seq`` column is surfaced under the engine's tiebreaker name so the
+bar/label operators use it instead of generating ingest ids — that makes
+every operator's output fully deterministic across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import SEQ_COL
+
+__all__ = ["read_table", "trades_from_events", "TRADES_CTE"]
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the standard testdata tables.
+
+    The ``events`` table carries nanosecond parquet timestamps, which
+    Spark 4 rejects by default; ``nanosAsLong`` reads them as int64 ns
+    and the callers convert to the engine's µs timestamps with exact
+    integer arithmetic (``div 1000`` — never float division, which loses
+    µs precision above ~2^53 ns).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical trades table derived from ``events`` (FIXTURES.md §1)."""
+    ev = read_table(spark, sf_dir, "events")
+    ts = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if dict(ev.dtypes).get("ts") == "bigint"
+        else F.col("ts")
+    )
+    return ev.select(
+        ts.alias("ts_event"),
+        F.col("value").alias("price"),
+        (F.lit(10_000) + F.col("event_id") % 90_001).alias("size"),
+        F.col("event_type").alias("symbol"),
+        F.col("event_id").alias(SEQ_COL),
+    )
+
+
+# The same mapping as a DuckDB CTE body (oracle side). ``events`` is a
+# pre-registered view over the identical parquet file; CAST normalizes
+# the ns-precision parquet timestamps to the engine's µs precision.
+TRADES_CTE = """
+  SELECT CAST(ts AS TIMESTAMP) AS ts_event,
+         value AS price,
+         10000 + (event_id % 90001) AS size,
+         event_type AS symbol,
+         event_id AS seq
+  FROM events
+"""
