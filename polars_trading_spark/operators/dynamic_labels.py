@@ -1,0 +1,272 @@
+"""Dynamic (path-dependent) labels: daily volatility targets, vertical
+barriers, profit-take/stop-loss first touches, triple-barrier labels.
+
+Reference: polars_trading/labels/dynamic_labels.py.  ``daily_vol`` and
+``get_vertical_barrier_by_timedelta`` are ports; the reference left
+``apply_profit_taking_stop_loss`` unfinished (ends at a TODO,
+dynamic_labels.py:170) and ``get_triple_barrier_label`` as a docstring
+stub (:173-186) — we complete both, with first-touch semantics from the
+AFML pandas oracle (reference _testing/labels.py:17-33, AFML pg. 45;
+note that oracle's ``df0 < pt`` line is a transcription bug — profit
+takes trigger on the path return EXCEEDING the target, which is what
+both AFML and our implementation use).
+
+Scale design: the first-touch scan is an equi-join on (symbol, day
+bucket) with the range condition as a post-filter — the day-bucket
+explosion bounds fan-out to the barrier horizon instead of a per-symbol
+cross product, so the join stays shuffle-hash/SMJ at 100 TB.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import SEQ_COL, parse_duration, with_seq
+from polars_trading_spark.config import column_names
+from polars_trading_spark.operators.asof import asof_join
+from polars_trading_spark.operators.ewm import ewm_std
+
+__all__ = [
+    "daily_vol",
+    "get_vertical_barrier_by_timedelta",
+    "apply_profit_taking_stop_loss",
+    "get_triple_barrier_label",
+]
+
+
+def _offset_interval(offset: str | timedelta) -> Column:
+    if isinstance(offset, timedelta):
+        micros = int(offset.total_seconds() * 1_000_000)
+    else:
+        micros, _ = parse_duration(offset)
+    return F.expr(f"INTERVAL {micros} MICROSECOND")
+
+
+def daily_vol(df: DataFrame, *, span: int = 100, ewm_method: str = "pandas") -> DataFrame:
+    """EWM std of ~24h lookback returns (reference dynamic_labels.py:14-86).
+
+    For each row, the lookback price is the last trade at-or-before
+    ``ts - 24h`` (backward as-of join, per symbol when a symbol column is
+    present); the return series' exponentially-weighted std (bias
+    corrected, span-parameterized) is the volatility target.
+
+    Rows without a lookback match (the first 24h per symbol) yield NULL;
+    the first matched row yields 0.0 (Polars emits 0.0 for the undefined
+    single-observation std — pinned by the reference golden test
+    tests/labels/test_dynamic_labels.py:65-107).
+    """
+    ts, price, symbol = column_names.timestamp, column_names.price, column_names.symbol
+    has_symbol = symbol in df.columns
+    by = [symbol] if has_symbol else []
+
+    df = with_seq(df)
+    left = df.withColumn("__lookback", F.col(ts) - F.expr("INTERVAL 24 HOURS"))
+    right = df.select(*by, ts, F.col(price).alias("__lookback_price"))
+    joined = asof_join(
+        left,
+        right,
+        left_on="__lookback",
+        right_on=ts,
+        by=by or None,
+        strategy="backward",
+    )
+    # asof_join surfaces the matched right key under the right_on name with
+    # a suffix (collides with left's ts); we only need the matched price.
+    returns = joined.withColumn("return", F.col(price) / F.col("__lookback_price") - 1)
+    vol = ewm_std(
+        returns,
+        "return",
+        span,
+        by=by,
+        order_by=[ts, SEQ_COL],
+        output_col="__ewm",
+        method=ewm_method,
+    )
+    return vol.select(
+        ts,
+        *by,
+        F.when(F.col("return").isNotNull(), F.coalesce(F.col("__ewm"), F.lit(0.0)))
+        .alias("daily_return_volatility"),
+    )
+
+
+def get_vertical_barrier_by_timedelta(df: DataFrame, offset: str | timedelta) -> DataFrame:
+    """First observed timestamp at-or-after ``ts + offset`` per symbol
+    (reference dynamic_labels.py:89-145; inclusive-forward as-of,
+    semantics pinned by the reference's golden tests
+    tests/labels/test_dynamic_labels.py:109-237)."""
+    ts, symbol = column_names.timestamp, column_names.symbol
+    has_symbol = symbol in df.columns
+    by = [symbol] if has_symbol else []
+
+    offsets = df.select(*by, ts, (F.col(ts) + _offset_interval(offset)).alias("__offset"))
+    right = df.select(*by, F.col(ts).alias("vertical_barrier"))
+    out = asof_join(
+        offsets,
+        right,
+        left_on="__offset",
+        right_on="vertical_barrier",
+        by=by or None,
+        strategy="forward",
+    )
+    return out.select(*by, ts, "vertical_barrier")
+
+
+def apply_profit_taking_stop_loss(
+    events: DataFrame,
+    prices: DataFrame,
+    *,
+    target_col: str = "trgt",
+    vertical_barrier_col: str | None = "vertical_barrier",
+    profit_take: float | None = 1.0,
+    stop_loss: float | None = 1.0,
+    side_col: str | None = None,
+    day_bucket: bool = True,
+) -> DataFrame:
+    """Earliest path timestamps crossing ±(pt/sl)·target (completes
+    reference dynamic_labels.py:148-170; semantics per AFML pg. 45).
+
+    ``events`` needs (symbol?, ts, price, target, vertical_barrier?);
+    ``prices`` is the trades table.  A null/missing vertical barrier is
+    filled with the last timestamp per symbol (reference :166-168).
+    Returns the events plus ``pt_time`` / ``sl_time`` (null = never
+    crossed before the barrier).
+
+    ``day_bucket=True`` joins on (symbol, calendar day) with the
+    ``[t0, t1]`` range as a filter — each event is exploded to the days
+    its window covers, keeping join fan-out proportional to the barrier
+    horizon (scale path).  Set False for a plain range join.
+    """
+    ts, price, symbol = column_names.timestamp, column_names.price, column_names.symbol
+    has_symbol = symbol in events.columns
+    by = [symbol] if has_symbol else []
+
+    events = with_seq(events)
+    pt = F.lit(float(profit_take)) * F.col(target_col) if profit_take else F.lit(None)
+    sl = F.lit(-float(stop_loss)) * F.col(target_col) if stop_loss else F.lit(None)
+
+    t1 = (
+        F.coalesce(F.col(vertical_barrier_col), F.max(ts).over(Window.partitionBy(*(by or [F.lit(1)]))))
+        if vertical_barrier_col is not None and vertical_barrier_col in events.columns
+        else F.max(ts).over(Window.partitionBy(*(by or [F.lit(1)])))
+    )
+    ev = events.select(
+        *by,
+        F.col(ts).alias("__t0"),
+        F.col(SEQ_COL).alias("__event_id"),
+        F.col(price).alias("__entry"),
+        (F.col(side_col) if side_col else F.lit(1.0)).cast("double").alias("__side"),
+        pt.cast("double").alias("__pt"),
+        sl.cast("double").alias("__sl"),
+        t1.alias("__t1"),
+    )
+    path = prices.select(*by, F.col(ts).alias("__pts"), F.col(price).alias("__pp"))
+
+    join_keys = []
+    if day_bucket:
+        ev = ev.withColumn(
+            "__day",
+            F.explode(F.sequence(F.to_date("__t0"), F.to_date("__t1"), F.expr("INTERVAL 1 DAY"))),
+        )
+        path = path.withColumn("__day", F.to_date("__pts"))
+        join_keys.append("__day")
+    join_keys.extend(by)
+
+    joined = ev.join(path, on=join_keys, how="inner").where(
+        (F.col("__pts") >= F.col("__t0")) & (F.col("__pts") <= F.col("__t1"))
+    )
+    ret = (F.col("__pp") / F.col("__entry") - 1) * F.col("__side")
+    touched = joined.groupBy("__event_id", *by).agg(
+        F.first("__t0").alias("__t0"),
+        F.first("__t1").alias("__t1"),
+        F.first("__entry").alias("__entry"),
+        F.first("__side").alias("__side"),
+        F.min(F.when(ret > F.col("__pt"), F.col("__pts"))).alias("pt_time"),
+        F.min(F.when(ret < F.col("__sl"), F.col("__pts"))).alias("sl_time"),
+    )
+    return (
+        touched.withColumnRenamed("__t0", ts)
+        .withColumnRenamed("__t1", "t1")
+        .withColumnRenamed("__entry", price)
+        .withColumnRenamed("__side", "side")
+        .withColumnRenamed("__event_id", SEQ_COL)
+    )
+
+
+def get_triple_barrier_label(
+    trades: DataFrame,
+    *,
+    span: int = 100,
+    barrier_offset: str | timedelta = "1d",
+    profit_take: float = 1.0,
+    stop_loss: float = 1.0,
+    label_style: str = "three_class",
+    ewm_method: str = "pandas",
+) -> DataFrame:
+    """The flagship end-to-end pipeline (completes the reference stub,
+    dynamic_labels.py:173-186): volatility target → vertical barrier →
+    first touch → label.
+
+    Output: (symbol?, timestamp, touch_timestamp, return, label) with
+    label ∈ {1, 0, -1} (``three_class``: which barrier touched first) or
+    {1, -1} (``sign_on_vertical``: sign of the return when the vertical
+    barrier is hit first).  Events are rows with a defined volatility
+    target; the touch return is measured at the touch timestamp's trade
+    price.
+    """
+    ts, price, symbol = column_names.timestamp, column_names.price, column_names.symbol
+    has_symbol = symbol in trades.columns
+    by = [symbol] if has_symbol else []
+
+    trades = with_seq(trades)
+    vol = daily_vol(trades, span=span, ewm_method=ewm_method).withColumnRenamed(
+        "daily_return_volatility", "trgt"
+    )
+    barrier = get_vertical_barrier_by_timedelta(trades, barrier_offset)
+    events = (
+        trades.join(vol, on=[ts, *by], how="inner")
+        .join(barrier, on=[ts, *by], how="inner")
+        .where(F.col("trgt").isNotNull())
+    )
+    touched = apply_profit_taking_stop_loss(
+        events,
+        trades,
+        target_col="trgt",
+        vertical_barrier_col="vertical_barrier",
+        profit_take=profit_take,
+        stop_loss=stop_loss,
+    )
+    first_touch = F.least(
+        F.coalesce(F.col("pt_time"), F.col("t1")),
+        F.coalesce(F.col("sl_time"), F.col("t1")),
+        F.col("t1"),
+    )
+    out = touched.withColumn("touch_timestamp", first_touch)
+
+    touch_price = trades.groupBy(*by, F.col(ts).alias("touch_timestamp")).agg(
+        F.min_by(F.col(price), F.struct(F.col(ts), F.col(SEQ_COL))).alias("__touch_price")
+    )
+    out = out.join(touch_price, on=[*by, "touch_timestamp"], how="left").withColumn(
+        "return", F.col("__touch_price") / F.col(price) - 1
+    )
+
+    pt_hit = F.col("pt_time").isNotNull() & (F.col("pt_time") == F.col("touch_timestamp"))
+    sl_hit = F.col("sl_time").isNotNull() & (F.col("sl_time") == F.col("touch_timestamp"))
+    if label_style == "three_class":
+        label = F.when(pt_hit, 1).when(sl_hit, -1).otherwise(0)
+    elif label_style == "sign_on_vertical":
+        label = F.when(pt_hit, 1).when(sl_hit, -1).otherwise(F.signum("return").cast("int"))
+    else:
+        raise ValueError(f"unknown label_style {label_style!r}")
+
+    return out.select(
+        *by,
+        F.col(ts).alias("timestamp"),
+        "touch_timestamp",
+        "return",
+        label.cast("int").alias("label"),
+    )

@@ -44,11 +44,14 @@ def _norm_cell(v):
     return v
 
 
+def _row_sort_key(row):
+    return tuple((v is None, str(v)) for v in row)
+
+
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        tuple(_norm_cell(row[i]) for i in order) for row in rows
-    ), [cols[i] for i in order]
+    normed = [tuple(_norm_cell(row[i]) for i in order) for row in rows]
+    return sorted(normed, key=_row_sort_key), [cols[i] for i in order]
 
 
 def assert_query_matches_oracle(spark, query, sf_dir: str):
