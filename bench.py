@@ -26,6 +26,14 @@ HEADLINE = [
     "tick_bars",
     "volume_bars",
     "dollar_bars",
+    "fixed_time_return",
+    "daily_vol",
+    "vertical_barrier",
+    "frac_diff",
+    "triple_barrier",
+    "text_analysis",
+    "dedup_minhash_lsh",
+    "similarity_topk",
 ]
 
 

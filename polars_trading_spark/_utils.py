@@ -39,6 +39,7 @@ __all__ = [
     "truncate",
     "with_seq",
     "ohlcv_aggs",
+    "ensure_parallelism",
     "SEQ_COL",
 ]
 
@@ -126,6 +127,24 @@ def truncate(ts, duration: str) -> Column:
     us = F.unix_micros(col_or_lit(ts))
     bucket = F.floor((us - F.lit(anchor)) / F.lit(width)).cast("long")
     return F.timestamp_micros(bucket * F.lit(width) + F.lit(anchor))
+
+
+def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
+    """Guard against single-split inputs pinning heavy compute to one task.
+
+    A scan of one parquet row group yields one partition, and every
+    narrow transformation downstream inherits that parallelism — fine on
+    a 1000-executor cluster reading thousands of splits, pathological on
+    a single wide node reading one small file.  When the input has fewer
+    partitions than the cluster's default parallelism, repartition (by
+    ``keys`` when given, so joins/aggregates on those keys stay
+    co-partitioned); otherwise no-op, so at scale this costs nothing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target, *keys) if keys else df.repartition(target)
 
 
 def with_seq(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFrame:

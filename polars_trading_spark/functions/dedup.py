@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each variant at 100 TB):
+
+* **exact**         — one hash-aggregate on the content fingerprint; the
+  canonical first pass.  Map-side partial agg makes the shuffle tiny.
+* **MinHash + LSH** — signatures are per-row (no shuffle); the only
+  shuffle is the band-bucket group-by, and candidate verification is an
+  equi-join on (band, key) so fan-out is bounded by bucket size, never
+  all-pairs.  This is the workhorse near-dup pass.
+* **SimHash**       — 32-bit sketch per row; candidate generation uses
+  the pigeonhole principle (hamming ≤ d pairs must agree exactly on one
+  of d+1 bit-blocks), turning the quadratic scan into d+1 equi-joins.
+* **n-gram Jaccard** — exact verification metric, used standalone only
+  inside blocking keys.
+
+All hashing goes through ``portable_hash60`` (md5-derived) so results
+are engine-independent and reproducible; the per-permutation MinHash
+functions are ``(aᵢ·h + bᵢ) mod P`` over P = 2³¹−1 with fixed odd
+coefficients, which keeps every product inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import ensure_parallelism
+from polars_trading_spark.functions.text import (
+    doc_fingerprint,
+    portable_hash60,
+    tokens,
+    word_ngrams_from,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle_hashes",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+]
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+# Fixed MinHash permutation coefficients: deterministic, odd, < 2^31.
+def _coeffs(k: int) -> list[tuple[int, int]]:
+    return [(2 * i * i + 3 * i + 1, 7 * i + 11) for i in range(1, k + 1)]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content exact dedup: every row keyed to its fingerprint
+    group's keeper (lowest id).  One hash aggregate."""
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("int"))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("keep_id"))
+    )
+
+
+def shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles (from a materialized token column —
+    see ``word_ngrams_from``) as portable 31-bit hashes."""
+    return F.array_distinct(
+        F.transform(word_ngrams_from(toks, n), lambda s: portable_hash60(s) % MERSENNE31)
+    )
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str, extra: tuple[str, ...] = ()) -> DataFrame:
+    """Materialize the token array below a shuffle barrier.
+
+    The projection computes the (regex-heavy) tokenizer exactly once per
+    row *before* the exchange; everything above sees ``__toks`` as a
+    plain attribute, so per-element shingle lambdas never re-run the
+    tokenizer.  The exchange doubles as the small-input parallelism
+    guard (no-op partitioning cost at real scale, where the scan already
+    has thousands of splits).
+    """
+    base = df.select(
+        *extra, F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return ensure_parallelism(base)
+
+
+def minhash_signature(hashes: Column, k: int = 12) -> Column:
+    """k-permutation MinHash signature of a shingle-hash array.
+
+    Empty shingle sets get signature value P (sorts above every real
+    hash) so short documents never collide into real buckets.
+    """
+    sig = []
+    for a, b in _coeffs(k):
+        perm = F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31))
+        sig.append(F.coalesce(F.array_min(perm), F.lit(MERSENNE31)))
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    Jaccard over the shingle sets.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥
+    threshold.  Candidates are pairs agreeing on at least one full band
+    of the signature; the band group-by is the only shuffle.
+    """
+    rows_per_band = num_hashes // bands
+    base = _tokenized(df, text_col, id_col).select(
+        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
+    )
+    base = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("__sig")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__band") == F.col("b.__band"),
+                F.col("a.__key") == F.col("b.__key"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(hashes: Column, bits: int = 32) -> Column:
+    """SimHash sketch from a *materialized* array of feature hashes:
+    per-bit majority vote — bit b is set when more hashes have bit b set
+    than not.  The 32 per-bit folds each traverse the array, so the
+    input must be an attribute, not an expression (see ``_tokenized``)."""
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1,
+        )
+        out = out + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within hamming distance ``max_hamming`` of the SimHash.
+
+    Pigeonhole blocking: the sketch is split into ``max_hamming + 1``
+    bit-blocks; any pair within distance d must agree exactly on ≥ 1
+    block, so candidates come from d+1 equi-joins instead of a cross
+    join.  Returns (id_a, id_b, hamming).
+    """
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    hashed = _tokenized(df, text_col, id_col).select(
+        "__id",
+        F.transform(F.col("__toks"), lambda t: portable_hash60(t)).alias("__hs"),
+    )
+    # Second barrier: the 32 simhash bit-folds each scan __hs, so it too
+    # must be an attribute, not 32 inlined md5 pipelines.
+    hashed = hashed.repartition(hashed.rdd.getNumPartitions())
+    base = hashed.select("__id", simhash(F.col("__hs"), bits).alias("__sh"))
+    keyed = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("__block", "__key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__block") == F.col("b.__block"),
+                F.col("a.__key") == F.col("b.__key"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    threshold: float = 0.15,
+    block_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs within blocking keys.
+
+    All-pairs *within a block* (join on the blocking columns), so block
+    cardinality bounds the quadratic term — pick blocks (lang, length
+    band, source...) that keep buckets small at scale.
+    """
+    base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
+        *block_cols, "__id", word_ngrams_from(F.col("__toks"), ngram).alias("__ng")
+    )
+    # Posting-list (inverted index) formulation: explode shingles, count
+    # co-occurrences per pair, derive Jaccard from |A∩B| and set sizes.
+    # The all-pairs join then only moves (id, id) longs instead of
+    # copying both full shingle arrays into every candidate row — the
+    # standard set-similarity-join shape (cf. the prefix-filter family).
+    sizes = base.select(F.col("__id").alias("__sid"), F.size("__ng").alias("__n"))
+    posting = base.select(*block_cols, "__id", F.explode("__ng").alias("__s"))
+    a, b = posting.alias("a"), posting.alias("b")
+    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    on.append(F.col("a.__s") == F.col("b.__s"))
+    on.append(F.col("a.__id") < F.col("b.__id"))
+    inter = (
+        a.join(b, on=on)
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+        .join(sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column (or a reference to object storage), decode/feature
+steps are Arrow-batched ``mapInPandas`` stages, and everything around
+them (schema, partitioning, metadata pushdown) is ordinary columnar
+Spark.  The decode kernels themselves need codec libraries that are not
+in this container, so they are STUBBED — ``decode_image`` raises
+``NotImplementedError`` unless PIL is importable — while the Spark-side
+plumbing (UDF signatures, batch iteration, schema contracts, frame
+explosion) is real and tested via the deterministic fake decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["synthesize_media", "extract_media_metadata", "sample_frames", "decode_image"]
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table from the documents table: payload
+    bytes are the utf-8 text, media_type cycles by doc_id.  Stands in
+    for a real (id, media_type, payload binary) table."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):
+    """Real decode kernel — requires an image codec library.
+
+    STUB: the container has no PIL/opencv; the import-try keeps the
+    call site honest while tests exercise the fake path.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires PIL/opencv; not available in this environment"
+        ) from exc
+
+
+_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Typed metadata per payload via Arrow-batched ``mapInPandas``.
+
+    The fake decoder derives deterministic dimensions from the payload
+    bytes (a real deployment swaps in ``decode_image``/ffprobe per
+    media_type — same signature, same schema contract).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            is_image = pdf["media_type"] == "image"
+            is_video = pdf["media_type"] == "video"
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 640 + 16).where(is_image | is_video, 0).astype("int32"),
+                    "height": (n % 480 + 16).where(is_image | is_video, 0).astype("int32"),
+                    "duration_ms": (n * 40).where(~is_image, 0).astype("int64"),
+                    "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return media.mapInPandas(decode, schema=_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video rows: explode each video into
+    per-frame rows (frame_idx, offset_ms) at ``every_ms`` spacing.
+    Native explode — the per-frame decode would be another mapInPandas
+    stage downstream."""
+    meta = extract_media_metadata(media)
+    frames = meta.where(F.col("media_type") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)))
+        ).alias("frame_idx"),
+        "duration_ms",
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * every_ms).alias("offset_ms"),
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
+  query set against the corpus, dot products via ``zip_with`` +
+  ``aggregate`` (no Python), rank per query.  The right baseline and
+  the correctness oracle for any ANN variant.
+* ``srp_lsh_topk``     — the scale path: signed-random-projection LSH
+  where the hyperplanes are actual corpus vectors (deterministic and
+  available to any engine — no RNG, reproducible).  Candidates =
+  same-bucket rows, so the crossJoin disappears; recall trades off
+  against the plane count.
+
+Embeddings in the testdata are unit-normalized, so cosine == dot; the
+generic path normalizes explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "cosine", "cosine_topk", "srp_lsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Returns (query_id, rank, vec_id, cosine_sim).  Queries are
+    broadcast; ties in similarity (after rounding) break on vec_id so
+    rankings are engine-independent.  Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv"))
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via signed-random-projection buckets.
+
+    Hyperplanes are the ``num_planes`` lowest-id corpus vectors
+    (deterministic, data-derived).  A vector's bucket is the bit pattern
+    of its dot-product signs against the planes; each query only scans
+    its own bucket.  Returns the same schema as ``cosine_topk`` —
+    compare against it to measure recall.
+    """
+    planes = [
+        row[0]
+        for row in corpus.select(_as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(num_planes)
+        .collect()
+    ]
+
+    def bucket(vec: Column) -> Column:
+        out = F.lit(0)
+        for j, p in enumerate(planes):
+            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+            out = out + F.when(d >= 0, F.lit(1 << j)).otherwise(0)
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__bucket", bucket(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__bucket", bucket(F.col("__qv")))
+
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        c.join(F.broadcast(q), on="__bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators over document tables.
+
+All pure Column expressions built from built-in functions — no Python
+UDFs anywhere, so the whole stage stays in codegen and scales linearly
+with one parquet scan and zero shuffles.  Every construct here has an
+exact ANSI-SQL twin used by the DuckDB oracles (kept in
+``registry.py``); regex patterns are restricted to the syntax subset
+that Java regex (Spark) and RE2 (DuckDB) evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import col_or_lit
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "portable_hash60",
+    "doc_fingerprint",
+    "word_ngrams",
+    "stopword_ratio",
+    "language_id",
+    "quality_score",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and disjoint-ish; ties resolve in the
+# listed language order.  (The zh detector would need a CJK codepoint
+# range test — the synthetic corpus is pure ASCII, so it is stubbed out
+# and documented.)
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "un", "est", "pour", "dans", "que", "une"],
+    "es": ["el", "los", "de", "y", "un", "es", "que", "en", "se", "del"],
+}
+
+
+def normalize_text(text) -> Column:
+    """Lowercase, strip non-alphanumerics, collapse whitespace."""
+    t = F.lower(col_or_lit(text))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def tokens(text) -> Column:
+    """Whitespace tokens of the normalized text (no empty tokens)."""
+    return F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
+
+
+def token_count(text) -> Column:
+    """Whitespace token count (the cheap 'how many words' measure)."""
+    return F.size(tokens(text))
+
+
+def portable_hash60(col) -> Column:
+    """Deterministic 60-bit hash identical across Spark and DuckDB:
+    the first 15 hex digits of md5, as a signed long."""
+    return F.conv(F.substring(F.md5(col_or_lit(col)), 1, 15), 16, 10).cast("long")
+
+
+def doc_fingerprint(text) -> Column:
+    """Content fingerprint: md5 of the normalized text.  Two documents
+    with the same fingerprint are exact duplicates modulo case /
+    punctuation / whitespace."""
+    return F.md5(normalize_text(text))
+
+
+def word_ngrams_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a token array.
+
+    IMPORTANT perf contract: pass a *materialized column attribute*, not
+    a freshly-built ``tokens(text)`` expression — the shingle lambda
+    slices ``toks`` once per element, and higher-order functions run
+    interpreted (no codegen/CSE), so an inlined token expression would
+    re-run the regex tokenizer O(tokens) times per row.  See
+    ``dedup.py`` for the materialize-below-a-barrier pattern.
+    """
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def word_ngrams(text, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text.  Prefer
+    ``word_ngrams_from`` over a materialized token column in hot paths
+    (see its docstring)."""
+    return word_ngrams_from(tokens(text), n)
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def stopword_ratio(text, lang: str = "en") -> Column:
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) > 0, _stopword_hits(toks, STOPWORDS[lang]) / F.size(toks)
+    ).otherwise(0.0)
+
+
+def language_id(text) -> Column:
+    """Stopword-vote language guess over {en, de, fr, es}; 'unknown' when
+    no stopword hits at all.  Ties resolve in STOPWORDS key order."""
+    toks = tokens(text)
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:  # first max wins — same order as the SQL CASE
+        expr = expr.when(hits[lang] == best, lang)
+    return expr
+
+
+def quality_score(text) -> Column:
+    """Heuristic document quality in [0, 1]:
+
+    0.3·length_score + 0.3·word_shape_score + 0.3·stopword_score
+    + 0.1·(1 − punctuation_penalty)
+
+    where length_score saturates at 100 tokens, word_shape peaks at mean
+    token length 5, stopword_score saturates at a 40% English-stopword
+    ratio, and the punctuation penalty saturates at 20% non-alphanumeric
+    characters.  Multi-term float sum → callers round for cross-engine
+    comparison.
+    """
+    raw = col_or_lit(text)
+    toks = tokens(text)
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, total_len / n).otherwise(0.0)
+    sw = stopword_ratio(text, "en")
+    raw_len = F.length(raw)
+    non_alnum = raw_len - F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""))
+    punct_ratio = F.when(raw_len > 0, non_alnum / raw_len).otherwise(0.0)
+
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    shape_score = F.greatest(F.lit(0.0), 1 - F.abs(mean_len - 5.0) / 5.0)
+    stop_score = F.least(sw / F.lit(0.4), F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
+    return (
+        0.3 * length_score + 0.3 * shape_score + 0.3 * stop_score + 0.1 * punct_score
+    )

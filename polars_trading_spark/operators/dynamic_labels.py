@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_trading_spark._utils import SEQ_COL, parse_duration, with_seq
+from polars_trading_spark._utils import SEQ_COL, ensure_parallelism, parse_duration, with_seq
 from polars_trading_spark.config import column_names
 from polars_trading_spark.operators.asof import asof_join
 from polars_trading_spark.operators.ewm import ewm_std
@@ -175,6 +175,9 @@ def apply_profit_taking_stop_loss(
         path = path.withColumn("__day", F.to_date("__pts"))
         join_keys.append("__day")
     join_keys.extend(by)
+    # The join fans each event out to its path rows — make sure the probe
+    # side is spread across the cluster even when it comes from one split.
+    path = ensure_parallelism(path, *join_keys)
 
     joined = ev.join(path, on=join_keys, how="inner").where(
         (F.col("__pts") >= F.col("__t0")) & (F.col("__pts") <= F.col("__t1"))
@@ -206,6 +209,7 @@ def get_triple_barrier_label(
     stop_loss: float = 1.0,
     label_style: str = "three_class",
     ewm_method: str = "pandas",
+    materialize_events: bool = True,
 ) -> DataFrame:
     """The flagship end-to-end pipeline (completes the reference stub,
     dynamic_labels.py:173-186): volatility target → vertical barrier →
@@ -232,6 +236,17 @@ def get_triple_barrier_label(
         .join(barrier, on=[ts, *by], how="inner")
         .where(F.col("trgt").isNotNull())
     )
+    if materialize_events:
+        # Materialize the event set between pipeline super-stages: its
+        # lineage holds two Python stages and several windows, and the
+        # first-touch join consumes it from a broadcast build — without a
+        # real materialization boundary that subtree gets re-evaluated
+        # with pathological scheduling (measured 30× slower at sf0.1).
+        # This is also what gives AQE true stats to size the range join.
+        from pyspark import StorageLevel
+
+        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        events.count()
     touched = apply_profit_taking_stop_loss(
         events,
         trades,

@@ -1,0 +1,17 @@
+"""Physical-plan inspection helpers."""
+
+from polars_trading_spark.plans.inspect import (
+    plan_string,
+    count_exchanges,
+    count_python_stages,
+    has_unbounded_following_frame,
+    scan_columns,
+)
+
+__all__ = [
+    "plan_string",
+    "count_exchanges",
+    "count_python_stages",
+    "has_unbounded_following_frame",
+    "scan_columns",
+]

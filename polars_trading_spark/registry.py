@@ -474,3 +474,401 @@ def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
             stop_loss=1.0,
         )
     return out
+
+
+# ==========================================================================
+# Extension operators (SURVEY §2.C): text analysis, dedup, similarity,
+# multimodal — the LLM-training-data pipeline layer over documents /
+# embeddings.
+# ==========================================================================
+
+from polars_trading_spark.functions import dedup as dedup_ops  # noqa: E402
+from polars_trading_spark.functions import multimodal as mm_ops  # noqa: E402
+from polars_trading_spark.functions import similarity as sim_ops  # noqa: E402
+from polars_trading_spark.functions import text as text_ops  # noqa: E402
+from polars_trading_spark.functions.dedup import MERSENNE31, _coeffs  # noqa: E402
+from polars_trading_spark.functions.text import STOPWORDS  # noqa: E402
+from polars_trading_spark.sources.tables import read_table  # noqa: E402
+
+# Shared DuckDB fragments — the exact SQL twins of functions/text.py.
+_DOCS_TOK_CTE = """
+docs AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT *, list_filter(string_split(norm, ' '), x -> x != '') AS toks FROM docs
+)
+"""
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _sql_stopword_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
+
+
+# --------------------------------------------------------------------------
+# text_analysis: token counting, fingerprinting, language-ID, quality.
+# --------------------------------------------------------------------------
+
+_LANG_CASE = (
+    "CASE WHEN greatest("
+    + ", ".join(f"c_{lang}" for lang in STOPWORDS)
+    + ") = 0 THEN 'unknown' "
+    + " ".join(
+        f"WHEN c_{lang} = greatest(" + ", ".join(f"c_{l2}" for l2 in STOPWORDS) + f") THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    + " END"
+)
+
+
+@register(
+    "text_analysis",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+hits AS (
+  SELECT *,
+         {", ".join(f"{_sql_stopword_hits(lang)} AS c_{lang}" for lang in STOPWORDS)}
+  FROM tok
+),
+feat AS (
+  SELECT doc_id, lang, toks, c_en, c_de, c_fr, c_es, text,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         md5(norm) AS fingerprint,
+         {_LANG_CASE} AS lang_guess,
+         CASE WHEN len(toks) > 0 THEN c_en / len(toks) ELSE 0.0 END AS sw_ratio,
+         CASE WHEN len(toks) > 0
+              THEN list_sum([length(t) for t in toks]) / len(toks) ELSE 0.0 END AS mean_len,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))
+                    / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM hits
+)
+SELECT doc_id, lang, n_tokens, fingerprint, lang_guess,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round(0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * greatest(0.0, 1 - abs(mean_len - 5.0) / 5.0)
+           + 0.3 * least(sw_ratio / 0.4, 1.0)
+           + 0.1 * (1 - least(punct_ratio / 0.2, 1.0)), 6) AS quality_score
+FROM feat
+""",
+    "Token counts, content fingerprint, stopword language-ID, heuristic "
+    "quality score — one codegen-only pass over documents",
+)
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        text_ops.token_count("text").alias("n_tokens"),
+        text_ops.doc_fingerprint("text").alias("fingerprint"),
+        text_ops.language_id("text").alias("lang_guess"),
+        F.round(text_ops.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(text_ops.quality_score("text"), 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_exact: fingerprint-group keeper assignment.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+fp AS (SELECT doc_id, md5(norm) AS fingerprint FROM docs)
+SELECT doc_id, fingerprint,
+       CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS keep_id,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS INTEGER) AS n_copies,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+FROM fp
+""",
+    "Exact dedup on the normalized-content fingerprint (hash groupBy)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs).select(
+        "doc_id", "fingerprint", "keep_id", "n_copies", "is_duplicate"
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh: banded MinHash candidates + exact Jaccard verify.
+# --------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_NGRAM, _MH_THRESHOLD = 12, 4, 3, 0.2
+_ROWS_PER_BAND = _MH_K // _MH_BANDS
+
+_SIG_SQL = ", ".join(
+    f"coalesce(list_min([({a} * h + {b}) % {MERSENNE31} for h in sh]), {MERSENNE31}) AS s{i}"
+    for i, (a, b) in enumerate(_coeffs(_MH_K))
+)
+_BAND_KEYS_SQL = ", ".join(
+    "concat_ws(',', "
+    + ", ".join(f"s{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + f") AS band{b}"
+    for b in range(_MH_BANDS)
+)
+_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, sh, {b} AS band, concat_ws(',', "
+    + ", ".join(f"s{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + ") AS key FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+sh AS (
+  SELECT doc_id,
+         list_distinct([{_sql_hash60("g")} % {MERSENNE31}
+                        for g in list_distinct([array_to_string(toks[i+1:i+{_MH_NGRAM}], ' ')
+                                                for i in range(0, len(toks) - {_MH_NGRAM - 1})])]) AS sh
+  FROM tok
+),
+sig AS (SELECT doc_id, sh, {_SIG_SQL} FROM sh),
+banded AS ({_BAND_UNION_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+              THEN len(list_intersect(x.sh, y.sh))::DOUBLE
+                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {_MH_THRESHOLD}
+""",
+    "Near-dup pairs: word-3-gram shingles → 12-perm MinHash → 4-band LSH "
+    "buckets → exact-Jaccard verification",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash: 32-bit simhash, pigeonhole-blocked hamming pairs.
+# --------------------------------------------------------------------------
+
+_SH_BITS, _SH_MAXHAM = 48, 3
+_SH_BLOCKS = _SH_MAXHAM + 1
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+
+_SIMHASH_SQL = " + ".join(
+    f"CASE WHEN list_sum([CAST(((h >> {b}) & 1) * 2 - 1 AS BIGINT) for h in hs]) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(_SH_BITS)
+)
+_SH_BLOCK_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, sh, {b} AS blk, (sh >> {b * _SH_BLOCK_BITS}) & {(1 << _SH_BLOCK_BITS) - 1} AS key FROM sh"
+    for b in range(_SH_BLOCKS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+hashes AS (SELECT doc_id, [{_sql_hash60("t")} for t in toks] AS hs FROM tok),
+sh AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM hashes),
+blocked AS ({_SH_BLOCK_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_SH_MAXHAM}
+""",
+    "SimHash near-dup pairs: 48-bit token-majority sketch, hamming ≤ 3 via "
+    "pigeonhole block joins (no cross product)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, bits=_SH_BITS, max_hamming=_SH_MAXHAM)
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard: exact Jaccard within (lang) blocks.
+# --------------------------------------------------------------------------
+
+_NJ_THRESHOLD = 0.2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+ng AS (
+  SELECT doc_id, lang,
+         list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                        for i in range(0, len(toks) - 2)]) AS g
+  FROM tok
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+              THEN len(list_intersect(a.g, b.g))::DOUBLE
+                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+              ELSE 0.0 END AS jaccard
+  FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= {_NJ_THRESHOLD}
+""",
+    "Exact word-3-gram Jaccard pairs within language blocks",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(docs, threshold=_NJ_THRESHOLD, block_cols=("lang",))
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# --------------------------------------------------------------------------
+# similarity_topk (brute-force exact) and similarity_topk_lsh (SRP-bucketed).
+# --------------------------------------------------------------------------
+
+_TOPK, _N_QUERIES, _N_PLANES = 5, 10, 4
+
+_EMB_CTE = """
+c AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+)
+"""
+_DOT = "list_sum([qv[i+1] * v[i+1] for i in range(0, len(v))])"
+_NORM_Q = "sqrt(list_sum([x * x for x in qv]))"
+_NORM_V = "sqrt(list_sum([x * x for x in v]))"
+
+
+@register(
+    "similarity_topk",
+    f"""
+WITH
+{_EMB_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_V}), 6) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_TOPK}
+""",
+    "Exact brute-force cosine top-5 for the first 10 query vectors "
+    "(broadcast queries, zip_with/aggregate dot products, no Python)",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = sim_ops.cosine_topk(emb, queries, k=_TOPK)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "similarity_topk_lsh",
+    f"""
+WITH
+{_EMB_CTE},
+planes AS (
+  SELECT v AS pv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_PLANES})
+),
+bucketed AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_sum([pv[i+1] * v[i+1] for i in range(0, len(v))]) >= 0
+                       THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM c CROSS JOIN planes
+  GROUP BY c.vec_id, c.v
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_sum([qv[i+1] * cv[i+1] for i in range(0, len(cv))])
+               / ({_NORM_Q} * sqrt(list_sum([x * x for x in cv]))), 6) AS cosine_sim
+  FROM (SELECT vec_id, v AS cv, bucket FROM bucketed) b
+  JOIN q ON b.bucket = q.bucket
+  WHERE b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_TOPK}
+""",
+    "Approximate cosine top-5 via signed-projection LSH buckets (planes = "
+    "4 lowest-id corpus vectors; per-query scan limited to its bucket)",
+)
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = sim_ops.srp_lsh_topk(emb, queries, k=_TOPK, num_planes=_N_PLANES)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# multimodal_metadata: binary payload plumbing via mapInPandas; the fake
+# decoder is deterministic, so it has an exact SQL oracle even though the
+# engine path exercises the real Arrow-batched UDF machinery.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes,
+       CAST(CASE WHEN media_type IN ('image', 'video') THEN n_bytes % 640 + 16 ELSE 0 END AS INTEGER) AS width,
+       CAST(CASE WHEN media_type IN ('image', 'video') THEN n_bytes % 480 + 16 ELSE 0 END AS INTEGER) AS height,
+       CAST(CASE WHEN media_type <> 'image' THEN n_bytes * 40 ELSE 0 END AS BIGINT) AS duration_ms,
+       md5(text) AS checksum
+FROM media
+""",
+    "Opaque-binary media plumbing: payload synthesis + Arrow-batched "
+    "mapInPandas metadata extraction (decode kernels stubbed — no codec "
+    "libs in the container; schema/batch plumbing is real)",
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    return mm_ops.extract_media_metadata(media)

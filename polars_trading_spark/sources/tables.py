@@ -8,7 +8,8 @@ Spark pipeline and in the DuckDB oracle SQL, so differential results are
 comparable:
 
     ts_event = ts (µs precision)
-    price    = value              (strictly positive in the testdata)
+    price    = value + 0.01       (shift keeps it strictly positive —
+                                   sf0.1 contains a few value=0 rows)
     size     = 10_000 + event_id % 90_001
     symbol   = event_type         (5 distinct symbols)
     seq      = event_id           (deterministic order tiebreaker)
@@ -64,7 +65,7 @@ def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         ts.alias("ts_event"),
-        F.col("value").alias("price"),
+        (F.col("value") + F.lit(0.01)).alias("price"),
         (F.lit(10_000) + F.col("event_id") % 90_001).alias("size"),
         F.col("event_type").alias("symbol"),
         F.col("event_id").alias(SEQ_COL),
@@ -76,7 +77,7 @@ def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ns-precision parquet timestamps to the engine's µs precision.
 TRADES_CTE = """
   SELECT CAST(ts AS TIMESTAMP) AS ts_event,
-         value AS price,
+         value + 0.01 AS price,
          10000 + (event_id % 90001) AS size,
          event_type AS symbol,
          event_id AS seq

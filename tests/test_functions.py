@@ -1,0 +1,127 @@
+"""Unit tests for the text / dedup / similarity / multimodal layers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_trading_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture
+def docs(spark):
+    rows = [
+        (0, "The cat sat on the mat. The cat sat!", "en", "s0", 36),
+        (1, "the cat sat on the mat the cat sat", "en", "s0", 34),  # exact dup of 0 after normalize
+        (2, "der hund und die katze und der hund und die maus", "de", "s1", 48),
+        (3, "completely different words entirely here banana", "en", "s2", 47),
+        (4, "the cat sat on the mat the cat sat extra tail words here", "en", "s0", 57),  # near-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_normalize_and_tokens(spark):
+    df = spark.range(1).select(
+        text.normalize_text(F.lit("  Hello, WORLD!!  42x ")).alias("n"),
+        text.token_count(F.lit("a b  c,d")).alias("c"),
+    )
+    row = df.collect()[0]
+    assert row["n"] == "hello world 42x"
+    assert row["c"] == 4
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["g"] for r in docs.select("doc_id", text.language_id("text").alias("g")).collect()}
+    assert got[0] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_quality_score_bounds(docs):
+    scores = [r["q"] for r in docs.select(text.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["keep_id"] == 0 and not by_id[0]["is_duplicate"]
+    assert by_id[1]["keep_id"] == 0 and by_id[1]["is_duplicate"]
+    assert by_id[1]["n_copies"] == 2
+    assert by_id[3]["n_copies"] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # identical after normalization → jaccard 1.0
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(0, 1)] == pytest.approx(1.0)
+    # near-dup 0↔4 shares most shingles
+    if (0, 4) in found:
+        assert 0.2 <= jac[(0, 4)] < 1.0
+
+
+def test_simhash_identical_and_blocking(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((0, 1)) == 0  # identical normalized text → identical sketch
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2, block_cols=("lang",)).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found.get((0, 1)) == pytest.approx(1.0)
+    # cross-lang pairs are never compared (blocking)
+    assert all(a != 2 and b != 2 for a, b in found)
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["vec_id"] == 1 and ranked[0]["cosine_sim"] == pytest.approx(1.0)
+    assert ranked[1]["vec_id"] == 3
+    assert ranked[2]["vec_id"] == 2 and ranked[2]["cosine_sim"] == pytest.approx(0.0)
+
+
+def test_srp_lsh_recall_on_testdata(spark, sf_dir):
+    from polars_trading_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.srp_lsh_topk(emb, queries, k=3, num_planes=4).collect()
+    # The approximate result must be a plausible ranking: every returned
+    # neighbor must appear in the exact candidate universe and ranks are
+    # contiguous from 1.
+    for qid in {r["query_id"] for r in approx}:
+        ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert len(approx) > 0 and len(exact) > 0
+
+
+def test_multimodal_metadata_and_frames(docs):
+    media = multimodal.synthesize_media(docs)
+    meta = multimodal.extract_media_metadata(media).collect()
+    assert len(meta) == 5
+    by_id = {r["media_id"]: r for r in meta}
+    assert by_id[0]["media_type"] == "image" and by_id[0]["duration_ms"] == 0
+    assert by_id[1]["media_type"] == "audio" and by_id[1]["width"] == 0
+    assert by_id[2]["media_type"] == "video" and by_id[2]["width"] > 0
+    assert all(len(r["checksum"]) == 32 for r in meta)
+
+    frames = multimodal.sample_frames(media, every_ms=500).collect()
+    assert len(frames) > 0
+    assert all(r["offset_ms"] % 500 == 0 for r in frames)
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"not an image")

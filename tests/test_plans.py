@@ -1,0 +1,90 @@
+"""Performance contracts, asserted on physical plans.
+
+These are the properties that decide whether the operators survive a
+100× scale-up; a regression here is a performance bug even if every
+value-level test stays green.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_trading_spark import Config, time_bars, tick_bars, volume_bars
+from polars_trading_spark.operators.asof import asof_join
+from polars_trading_spark.operators.labels import fixed_time_return
+from polars_trading_spark.plans import (
+    count_exchanges,
+    count_python_stages,
+    has_unbounded_following_frame,
+    plan_string,
+    scan_columns,
+)
+from polars_trading_spark.sources.tables import trades_from_events
+
+
+@pytest.fixture
+def trades(spark, sf_dir):
+    return trades_from_events(spark, sf_dir)
+
+
+def test_time_bars_is_single_shuffle_no_python(trades):
+    with Config(timestamp_column="ts_event"):
+        df = time_bars(trades, bar_size="15m")
+    # At most one aggregate shuffle (zero when the input is a single
+    # partition and the distribution is trivially satisfied).
+    assert count_exchanges(df) <= 1
+    assert count_python_stages(df) == 0
+
+
+def test_tick_bars_no_python(trades):
+    with Config(timestamp_column="ts_event"):
+        df = tick_bars(trades, bar_size=50)
+    assert count_python_stages(df) == 0
+
+
+def test_volume_bars_stays_native(trades):
+    # The reference needs a sequential Rust kernel here; our closed-form
+    # split must stay entirely inside the JVM.
+    with Config(timestamp_column="ts_event"):
+        df = volume_bars(trades, bar_size=200_000)
+    assert count_python_stages(df) == 0
+    assert count_exchanges(df) <= 2  # window partition + final group-by
+
+
+def test_frac_diff_and_labels_no_python(trades):
+    from polars_trading_spark._utils import SEQ_COL
+    from polars_trading_spark.operators.features import frac_diff
+
+    df = trades.select(
+        fixed_time_return("price", 10, 1, "symbol", order_by=["ts_event", SEQ_COL]).alias("r"),
+        frac_diff("price", 0.5, 0.01, "symbol", order_by=["ts_event", SEQ_COL]).alias("fd"),
+    )
+    assert count_python_stages(df) == 0
+
+
+def test_asof_join_never_uses_unbounded_following(spark):
+    left = spark.createDataFrame([(1, "A")], "k long, s string")
+    right = spark.createDataFrame([(1, "A", 2.0)], "k long, s string, v double")
+    for strategy in ("backward", "forward"):
+        out = asof_join(left, right, on="k", by="s", strategy=strategy)
+        # Unbounded-following frames are O(n²) per partition in Spark's
+        # WindowExec — the forward direction must use the descending-
+        # running-frame rewrite instead (operators/asof.py).
+        assert not has_unbounded_following_frame(out), strategy
+
+
+def test_bar_scan_prunes_columns(trades):
+    # A bar query must not read the unused events columns (props,
+    # user_id) from parquet.
+    with Config(timestamp_column="ts_event"):
+        df = time_bars(trades, bar_size="15m")
+    for cols in scan_columns(df).values():
+        assert "props" not in cols
+        assert "user_id" not in cols
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = trades_from_events(spark, sf_dir).where(F.col("symbol") == "click")
+    plan = plan_string(df, "executed")
+    assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
