@@ -8,12 +8,25 @@ analysis, multimodal plumbing) a 100 TB pipeline needs.
 """
 
 from polars_trading_spark.config import Config, column_names
+from polars_trading_spark.operators.asof import asof_join
 from polars_trading_spark.operators.bars import (
     bar_groups,
     dollar_bars,
     tick_bars,
     time_bars,
     volume_bars,
+)
+from polars_trading_spark.operators.dynamic_labels import (
+    apply_profit_taking_stop_loss,
+    daily_vol,
+    get_triple_barrier_label,
+    get_vertical_barrier_by_timedelta,
+)
+from polars_trading_spark.operators.ewm import ewm_std
+from polars_trading_spark.operators.features import frac_diff, get_weights_ffd
+from polars_trading_spark.operators.labels import (
+    fixed_time_return,
+    fixed_time_return_classification,
 )
 from polars_trading_spark.session import get_spark
 
@@ -26,6 +39,16 @@ __all__ = [
     "volume_bars",
     "dollar_bars",
     "bar_groups",
+    "asof_join",
+    "ewm_std",
+    "daily_vol",
+    "get_vertical_barrier_by_timedelta",
+    "apply_profit_taking_stop_loss",
+    "get_triple_barrier_label",
+    "fixed_time_return",
+    "fixed_time_return_classification",
+    "frac_diff",
+    "get_weights_ffd",
 ]
 
 __version__ = "0.1.0"

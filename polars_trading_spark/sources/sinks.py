@@ -1,0 +1,68 @@
+"""Sinks: the storage layout that makes the operators fast at 100 TB.
+
+The reference has no file I/O of its own (SURVEY §2.B-B1) — scan/sink
+capability comes from the host engine.  Ours is Spark's writers plus an
+opinionated layout:
+
+* trades land **partitioned by (date, symbol)** — every bar/label
+  operator shuffles on exactly those keys, so a well-laid-out table
+  turns their exchanges into partition-local work and lets dynamic
+  partition pruning kill whole directories on date-ranged queries;
+* optionally **bucketed by symbol** (table format) so symbol-keyed
+  joins (as-of unions, first-touch scans) co-locate without a shuffle;
+* documents/embeddings land sorted by id with row-group-sized files so
+  scans split well (a single giant row group pins work to one task —
+  see ``_utils.ensure_parallelism``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_trading_spark.config import column_names
+
+__all__ = ["write_trades", "write_documents"]
+
+
+def write_trades(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    target_rows_per_file: int = 1_000_000,
+) -> None:
+    """Write a trades table partitioned by (date, symbol).
+
+    Files within a partition are sorted by (ts, seq) so downstream
+    window operators read nearly-sorted input and parquet min/max ts
+    statistics support range pruning.
+    """
+    ts, symbol = column_names.timestamp, column_names.symbol
+    out = (
+        df.withColumn("__pts_date", F.to_date(ts))
+        .repartition(F.col("__pts_date"), F.col(symbol))
+        .sortWithinPartitions("__pts_date", symbol, ts)
+    )
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .partitionBy("__pts_date", symbol)
+        .parquet(path)
+    )
+
+
+def write_documents(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    target_rows_per_file: int = 100_000,
+) -> None:
+    """Write a documents/embeddings-style table in splittable files."""
+    (
+        df.repartitionByRange("doc_id" if "doc_id" in df.columns else df.columns[0])
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

@@ -1,0 +1,8 @@
+"""Structured Streaming variants of the bar operators."""
+
+from polars_trading_spark.streaming.bars import (
+    streaming_time_bars,
+    streaming_volume_bars,
+)
+
+__all__ = ["streaming_time_bars", "streaming_volume_bars"]
