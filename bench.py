@@ -43,14 +43,19 @@ def main() -> None:
     spark = get_spark("pts-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM / Arrow / Python-worker paths once so the first timed
+    # query doesn't absorb classloading (~4s of constant overhead that
+    # has nothing to do with the operators).
+    from polars_trading_spark.sources.tables import trades_from_events
+
+    trades_from_events(spark, sf_dir).groupBy("symbol").count().collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         q = QUERIES[name]
-        # Warm the JVM/IO path once at tiny scale so per-query numbers
-        # measure the operator, not first-call classloading.
         start = time.perf_counter()
         df = q.spark(spark, sf_dir)
         n = df.count()

@@ -872,3 +872,174 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     media = mm_ops.synthesize_media(docs)
     return mm_ops.extract_media_metadata(media)
+
+
+# ==========================================================================
+# B-primitive queries: the underlying engine machinery exposed directly,
+# so every SURVEY §2.B line has its own differential check.
+# ==========================================================================
+
+from polars_trading_spark.operators.asof import asof_join  # noqa: E402
+from polars_trading_spark.operators.bars import BAR_AMOUNT, BAR_ID, bar_groups  # noqa: E402
+from polars_trading_spark.operators.ewm import ewm_std  # noqa: E402
+
+
+@register(
+    "asof_join_backward",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+probes AS (
+  SELECT symbol, ts_event, seq, ts_event - INTERVAL 90 MINUTES AS probe_key FROM trades
+)
+SELECT p.symbol, p.ts_event, r.price AS matched_price, r.ts_event AS matched_ts
+FROM probes p
+ASOF LEFT JOIN (SELECT symbol, ts_event, price FROM trades) r
+  ON p.symbol = r.symbol AND p.probe_key >= r.ts_event
+""",
+    "Keyed backward as-of join (B5): last trade at-or-before ts-90m per "
+    "symbol, via the union-marker running-window form",
+)
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = trades_from_events(spark, sf_dir)
+    probes = t.select(
+        "symbol", "ts_event", (F.col("ts_event") - F.expr("INTERVAL 90 MINUTES")).alias("probe_key")
+    )
+    right = t.select("symbol", F.col("ts_event").alias("r_ts"), "price")
+    out = asof_join(
+        probes, right, left_on="probe_key", right_on="r_ts", by="symbol", strategy="backward"
+    )
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.col("price").alias("matched_price"),
+        F.col("r_ts").alias("matched_ts"),
+    )
+
+
+@register(
+    "ewm_std_native",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+rets AS (
+  SELECT symbol, ts_event, seq, price,
+         price / lag(price) OVER (PARTITION BY symbol ORDER BY ts_event, seq) - 1 AS ret
+  FROM trades
+),
+{EWM_STD_SQL.replace("FROM rets WHERE ret IS NOT NULL", "FROM rets WHERE ret IS NOT NULL").strip()}
+SELECT symbol, ts_event, round(trgt, 6) AS ewm_std
+FROM vol
+""",
+    "Closed-form native EWM std (B13) over tick-to-tick returns — stays "
+    "in codegen, no Python stage (valid for bounded per-group lengths)",
+)
+def q_ewm_std_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = trades_from_events(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("ts_event", SEQ_COL)
+    rets = t.withColumn("ret", F.col("price") / F.lag("price").over(w) - 1)
+    out = ewm_std(
+        rets, "ret", DAILY_VOL_SPAN, by=["symbol"], order_by=["ts_event", SEQ_COL],
+        output_col="__e", method="native",
+    )
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round(
+            F.when(F.col("ret").isNotNull(), F.coalesce(F.col("__e"), F.lit(0.0))), 6
+        ).alias("ewm_std"),
+    )
+
+
+@register(
+    "bar_groups_split",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+cum AS (
+  SELECT *, CAST(ts_event AS DATE) AS d,
+         CAST(sum(size) OVER (PARTITION BY symbol, CAST(ts_event AS DATE)
+                              ORDER BY ts_event, seq ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+  FROM trades
+),
+spans AS (SELECT *, cs - size AS prev FROM cum),
+pieces AS (
+  SELECT *, unnest(generate_series(prev // {VOLUME_BAR_SIZE},
+                                   CASE WHEN cs % {VOLUME_BAR_SIZE} = 0 THEN cs // {VOLUME_BAR_SIZE} - 1
+                                        ELSE cs // {VOLUME_BAR_SIZE} END)) AS bar
+  FROM spans
+)
+SELECT seq, symbol, CAST(bar AS INTEGER) AS bar_group_id,
+       CAST(least(cs, (bar + 1) * {VOLUME_BAR_SIZE}) - greatest(prev, bar * {VOLUME_BAR_SIZE}) AS BIGINT)
+         AS bar_group_amount
+FROM pieces
+""",
+    "The bar_groups kernel itself (B14 split mode): per-trade piece "
+    "assignment as pure window arithmetic, matching src/bars.rs semantics",
+)
+def q_bar_groups_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = trades_from_events(spark, sf_dir).withColumn("__d", F.to_date("ts_event"))
+    out = bar_groups(
+        t, "size", VOLUME_BAR_SIZE, allow_splits=True,
+        partition_by=["symbol", "__d"], order_by=["ts_event", SEQ_COL],
+    )
+    return out.select(
+        F.col(SEQ_COL).alias("seq"),
+        "symbol",
+        F.col(BAR_ID).alias("bar_group_id"),
+        F.col(BAR_AMOUNT).cast("long").alias("bar_group_amount"),
+    )
+
+
+_COMPOUND_US = (90 * 60) * 1_000_000  # "1h30m"
+
+
+@register(
+    "time_bars_compound_duration",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+bucketed AS (
+  SELECT *, make_timestamp((epoch_us(ts_event) // {_COMPOUND_US}) * {_COMPOUND_US}) AS bucket
+  FROM trades
+)
+SELECT bucket AS ts_event_bucket, symbol,
+    {_OHLCV_ORACLE}
+FROM bucketed
+GROUP BY bucket, symbol
+""",
+    "Compound Polars-duration parsing ('1h30m', B16): arbitrary-width "
+    "epoch-aligned buckets beyond date_trunc's vocabulary",
+)
+def q_time_bars_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _trades_config():
+        out = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size="1h30m")
+    return _round_vwap(out.withColumnRenamed("ts_event", "ts_event_bucket"))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) * 40 AS duration_ms
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0))) AS BIGINT) AS frame_idx,
+       CAST(unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0))) * 1000 AS BIGINT) AS offset_ms
+FROM media WHERE media_type = 'video'
+""",
+    "Video frame-sampling plumbing: per-video frame rows at 1s spacing "
+    "(explode over native sequence; the frame decode itself is the "
+    "stubbed mapInPandas stage downstream)",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    media = mm_ops.synthesize_media(docs)
+    out = mm_ops.sample_frames(media, every_ms=1000)
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long"),
+        F.col("offset_ms").cast("long"),
+    )
