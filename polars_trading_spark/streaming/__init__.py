@@ -6,3 +6,7 @@ from polars_trading_spark.streaming.bars import (
 )
 
 __all__ = ["streaming_time_bars", "streaming_volume_bars"]
+
+from polars_trading_spark.streaming.ewm import streaming_ewm_std  # noqa: E402
+
+__all__.append("streaming_ewm_std")

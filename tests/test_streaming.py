@@ -91,3 +91,42 @@ def test_streaming_volume_bars_state_and_splits(spark, stream_dir):
     assert a_bars[0]["vwap"] == pytest.approx((10 * 1.0 + 15 * 2.0) / 25)
     b_bars = [r for r in rows if r["symbol"] == "B"]
     assert len(b_bars) == 1 and b_bars[0]["volume"] == 5 and not b_bars[0]["is_final"]
+
+
+def test_streaming_ewm_std_matches_pandas(spark):
+    import pandas as pd
+    import numpy as np
+    from polars_trading_spark.streaming.ewm import streaming_ewm_std
+
+    rng = np.random.default_rng(11)
+    rows = []
+    series = {}
+    for s in ("A", "B"):
+        xs = rng.normal(size=60)
+        series[s] = xs
+        for i, x in enumerate(xs):
+            rows.append((s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(x)))
+    d = tempfile.mkdtemp(prefix="pts_ewm_")
+    try:
+        schema = "symbol string, ts_event timestamp, ret double"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
+        with Config(timestamp_column="ts_event"):
+
+            def make():
+                stream = spark.readStream.schema(schema).parquet(d)
+                return streaming_ewm_std(stream, "ret", span=10)
+
+            out = _run_stream(spark, make)
+        got = {
+            (r["symbol"], r["ts_event"]): r["ewm_std"] for r in out
+        }
+        for s, xs in series.items():
+            ref = pd.Series(xs).ewm(span=10).std().tolist()
+            for i, r in enumerate(ref):
+                key = (s, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i))
+                if i == 0:
+                    assert got[key] is None
+                else:
+                    assert got[key] == pytest.approx(r, abs=1e-9)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
