@@ -19,9 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from polars_trading_spark.registry import QUERIES  # noqa: E402
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable engine confs for sessions we didn't build
+    (the driver's): UTC semantics and the optimizer-rule exclusion that
+    keeps exploded HOF pipelines linear (see session.py)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _tune(spark)
     flagship = "triple_barrier" if "triple_barrier" in QUERIES else "time_bars"
     return QUERIES[flagship].spark(spark, "/root/testdata/sf0.001")
 
@@ -31,7 +42,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def make(name):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _tune(spark)
             return QUERIES[name].spark(spark, sf_dir)
 
         return run

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "cosine", "cosine_topk", "srp_lsh_topk"]
+__all__ = ["dot", "cosine", "cosine_topk", "srp_lsh_topk", "embedding_cosine_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -122,4 +122,63 @@ def srp_lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def embedding_cosine_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    num_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: same-SRP-bucket candidates whose
+    cosine similarity meets ``threshold`` (the 5th dedup modality —
+    near-dups in embedding space rather than token space).
+
+    Bucketing is the recall/cost dial: 2^num_planes buckets bound the
+    candidate count at ~N²/2^planes; exact near-dups (cosine → 1) land
+    in the same bucket with probability (1 - θ/π)^planes → 1.
+    Deterministic (planes are the lowest-id corpus vectors), so results
+    are engine-reproducible.
+    """
+    planes = [
+        row[0]
+        for row in corpus.select(_as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(num_planes)
+        .collect()
+    ]
+
+    def bucket(vec: Column) -> Column:
+        out = F.lit(0)
+        for j, p in enumerate(planes):
+            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+            out = out + F.when(d >= 0, F.lit(1 << j)).otherwise(0)
+        return out
+
+    c = (
+        corpus.select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+        .withColumn("__bucket", bucket(F.col("__v")))
+        .withColumn("__norm", _norm(F.col("__v")))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    # Norms precomputed per row — the per-pair work is one dot product.
+    sim = F.round(
+        dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__norm") * F.col("b.__norm")),
+        round_digits,
+    )
+    return (
+        a.join(
+            b,
+            on=[F.col("a.__bucket") == F.col("b.__bucket"), F.col("a.__id") < F.col("b.__id")],
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
     )

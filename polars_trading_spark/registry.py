@@ -1043,3 +1043,46 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long"),
         F.col("offset_ms").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine: the 5th dedup modality — near-dups in embedding
+# space, SRP-bucketed candidates + exact cosine verify.
+# --------------------------------------------------------------------------
+
+_EC_THRESHOLD, _EC_PLANES = 0.42, 6
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH
+{_EMB_CTE},
+planes AS (
+  SELECT v AS pv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_EC_PLANES})
+),
+bucketed AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_sum([pv[i+1] * v[i+1] for i in range(0, len(v))]) >= 0
+                       THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM c CROSS JOIN planes
+  GROUP BY c.vec_id, c.v
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum([a.v[i+1] * b.v[i+1] for i in range(0, len(a.v))])
+               / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6)
+           AS cosine_sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_EC_THRESHOLD}
+""",
+    "Embedding-cosine near-dup pairs: SRP bucket candidates (6 planes), "
+    "exact cosine verification at threshold 0.42",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_cosine_pairs(
+        emb, threshold=_EC_THRESHOLD, num_planes=_EC_PLANES
+    )
