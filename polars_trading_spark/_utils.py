@@ -163,7 +163,17 @@ def with_seq(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFram
     return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
 
 
-def _order_key(ts: Column, seq: Column | None) -> Column:
+def _order_key(ts: Column, seq: Column | None, mode: str) -> Column:
+    if mode == "fast":
+        # Scalar long order key: min_by/max_by buffers stay mutable
+        # primitives, so Catalyst plans HashAggregate instead of the
+        # SortAggregate a struct key forces.  Trade-off: rows sharing a
+        # timestamp tie nondeterministically (the struct key breaks ties
+        # on seq).  The right default at 100 TB group cardinalities when
+        # the source guarantees unique timestamps per group.
+        return F.unix_micros(ts)
+    if mode != "exact":
+        raise ValueError(f"order_mode must be 'exact' or 'fast', got {mode!r}")
     return F.struct(ts, seq) if seq is not None else F.struct(ts)
 
 
@@ -174,6 +184,7 @@ def ohlcv_aggs(
     *,
     seq: str | None = SEQ_COL,
     ts_name: str | None = None,
+    order_mode: str = "exact",
 ) -> list[Column]:
     """The 9-column OHLCV aggregation bundle.
 
@@ -190,7 +201,7 @@ def ohlcv_aggs(
     tcol = F.col(ts)
     pcol = F.col(price)
     scol = col_or_lit(size)
-    key = _order_key(tcol, F.col(seq) if seq else None)
+    key = _order_key(tcol, F.col(seq) if seq else None, order_mode)
     return [
         F.min(tcol).alias(f"{ts_name}_start"),
         F.max(tcol).alias(f"{ts_name}_end"),

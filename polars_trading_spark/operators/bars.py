@@ -74,7 +74,7 @@ def _final_bar_select(df: DataFrame, symbol: str, ts: str, extra: Sequence[str] 
     return df.select(*[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in cols])
 
 
-def time_bars(df: DataFrame, *, bar_size: str = "1m") -> DataFrame:
+def time_bars(df: DataFrame, *, bar_size: str = "1m", order_mode: str = "exact") -> DataFrame:
     """OHLCV bars over fixed time buckets (reference: bars.py:91-139).
 
     ``bar_size`` uses Polars duration grammar (``1s/2m/3h/4d/5w``,
@@ -91,13 +91,13 @@ def time_bars(df: DataFrame, *, bar_size: str = "1m") -> DataFrame:
         with_seq(df.na.drop(subset=[price]))
         .withColumn("__bucket", truncate(ts, bar_size))
         .groupBy("__bucket", symbol)
-        .agg(*ohlcv_aggs(ts, price, size))
+        .agg(*ohlcv_aggs(ts, price, size, order_mode=order_mode))
         .withColumnRenamed("__bucket", ts)
     )
     return _final_bar_select(out, symbol, ts, extra=[ts])
 
 
-def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True) -> DataFrame:
+def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True, order_mode: str = "exact") -> DataFrame:
     """OHLCV bars over fixed trade counts (reference: bars.py:142-191).
 
     Bar membership is ``(row_number - 1) // bar_size`` per symbol (and per
@@ -120,7 +120,7 @@ def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True)
     out = (
         out.withColumn("__tick_group", F.floor((F.row_number().over(w) - 1) / F.lit(bar_size)))
         .groupBy("__tick_group", *keys)
-        .agg(*ohlcv_aggs(ts, price, size))
+        .agg(*ohlcv_aggs(ts, price, size, order_mode=order_mode))
     )
     return _final_bar_select(out, symbol, ts)
 
@@ -229,7 +229,7 @@ def bar_groups(
     return out.drop(*drop_cols) if drop_cols else out
 
 
-def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = True) -> DataFrame:
+def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = True, order_mode: str = "exact") -> DataFrame:
     """OHLCV bars over fixed traded volume (reference: bars.py:194-244).
 
     A trade straddling a bar boundary is split across bars (split-mode
@@ -253,7 +253,7 @@ def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = 
     pieces = bar_groups(
         out, size, bar_size, allow_splits=True, partition_by=keys, order_by=[ts, SEQ_COL]
     )
-    out = pieces.groupBy(*keys, BAR_ID).agg(*ohlcv_aggs(ts, price, F.col(BAR_AMOUNT)))
+    out = pieces.groupBy(*keys, BAR_ID).agg(*ohlcv_aggs(ts, price, F.col(BAR_AMOUNT), order_mode=order_mode))
     return _final_bar_select(out, symbol, ts)
 
 

@@ -88,3 +88,24 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     df = trades_from_events(spark, sf_dir).where(F.col("symbol") == "click")
     plan = plan_string(df, "executed")
     assert "PushedFilters" in plan and "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_fast_order_mode_uses_hash_aggregate(trades):
+    # The struct order key forces SortAggregate (immutable agg buffer);
+    # the scalar unix_micros key must restore HashAggregate — the shape
+    # that matters at 100 TB group cardinalities.
+    with Config(timestamp_column="ts_event"):
+        exact = time_bars(trades, bar_size="15m")
+        fast = time_bars(trades, bar_size="15m", order_mode="fast")
+    assert "SortAggregate" in plan_string(exact)
+    assert "HashAggregate" in plan_string(fast)
+    assert "SortAggregate" not in plan_string(fast)
+
+
+def test_fast_order_mode_same_results_on_unique_ts(trades):
+    # events timestamps are unique per symbol, so both modes must agree.
+    with Config(timestamp_column="ts_event"):
+        exact = time_bars(trades, bar_size="15m").collect()
+        fast = time_bars(trades, bar_size="15m", order_mode="fast").collect()
+    key = lambda r: (r["symbol"], r["ts_event"])  # noqa: E731
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, fast))
