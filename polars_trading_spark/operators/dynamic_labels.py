@@ -77,8 +77,12 @@ def daily_vol(df: DataFrame, *, span: int = 100, ewm_method: str = "pandas") -> 
     # asof_join surfaces the matched right key under the right_on name with
     # a suffix (collides with left's ts); we only need the matched price.
     returns = joined.withColumn("return", F.col(price) / F.col("__lookback_price") - 1)
+    # Slim to the EWM's working set before the pandas island — the Arrow
+    # round trip is per-column, and the volatility needs only the key,
+    # order and value columns.
+    slim = returns.select(*by, ts, SEQ_COL, "return")
     vol = ewm_std(
-        returns,
+        slim,
         "return",
         span,
         by=by,
