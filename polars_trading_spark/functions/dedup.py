@@ -205,10 +205,33 @@ def simhash_pairs(
         "__id",
         F.transform(F.col("__toks"), lambda t: portable_hash60(t)).alias("__hs"),
     )
-    # Second barrier: the 32 simhash bit-folds each scan __hs, so it too
-    # must be an attribute, not 32 inlined md5 pipelines.
-    hashed = hashed.repartition(hashed.rdd.getNumPartitions())
-    base = hashed.select("__id", simhash(F.col("__hs"), bits).alias("__sh"))
+    # Bit votes as a native aggregation instead of `bits` interpreted
+    # array folds: explode the hash array once, then one HashAggregate
+    # computes all per-bit vote sums in whole-stage codegen.  Same
+    # semantics as ``simhash`` (kept as the Column-level form), far
+    # better shape at scale — interpreted HOFs never touch the hot loop.
+    # Barrier so Generate sees a materialized hash array, not the md5
+    # transform chain (which it would re-evaluate per output row).
+    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    votes = (
+        hashed.select("__id", F.explode("__hs").alias("__h"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
+                for b in range(bits)
+            ]
+        )
+    )
+    # Zero-token docs vanish in the explode; re-attach them with an
+    # all-zero vote vector (sketch 0), matching the fold semantics.
+    votes = hashed.select("__id").join(votes, on="__id", how="left")
+    sketch = F.lit(0).cast("long")
+    for b in range(bits):
+        sketch = sketch + F.when(
+            F.coalesce(F.col(f"__v{b}"), F.lit(0)) > 0, F.lit(2**b).cast("long")
+        ).otherwise(0)
+    base = votes.select("__id", sketch.alias("__sh"))
     keyed = base.select(
         "__id",
         "__sh",
