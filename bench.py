@@ -52,9 +52,19 @@ def main() -> None:
     # Warm the JVM / Arrow / Python-worker paths once so the first timed
     # query doesn't absorb classloading (~4s of constant overhead that
     # has nothing to do with the operators).
+    from pyspark.sql import functions as F
+
     from polars_trading_spark.sources.tables import trades_from_events
 
     trades_from_events(spark, sf_dir).groupBy("symbol").count().collect()
+    # The first applyInPandas in a session also pays Python-worker fork +
+    # Arrow codec init (~1-2s, constant); warm it on a 2-row frame so the
+    # first pandas-island query is charged for its work, not the runtime.
+    import pandas as _pd
+
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], ["k", "v"]).groupBy("k").applyInPandas(
+        lambda pdf: pdf, schema="k long, v double"
+    ).count()
 
     timings: dict[str, float] = {}
     total = 0.0

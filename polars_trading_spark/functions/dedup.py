@@ -121,6 +121,9 @@ def minhash_lsh_pairs(
         "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
     )
     base = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
+    # Signature table feeds both sides of the band self-join — persist
+    # lazily so shingling + k permutations run once (see simhash_pairs).
+    base = base.persist()
 
     banded = base.select(
         "__id",
@@ -232,6 +235,13 @@ def simhash_pairs(
             F.coalesce(F.col(f"__v{b}"), F.lit(0)) > 0, F.lit(2**b).cast("long")
         ).otherwise(0)
     base = votes.select("__id", sketch.alias("__sh"))
+    # The sketch table is tiny relative to the corpus (one long per doc)
+    # and feeds BOTH sides of the block self-join — persist it lazily so
+    # the tokenize→md5→vote pipeline runs once, not once per branch
+    # (Catalyst does not reuse the subtree across self-join aliases).
+    # Same pattern you'd use at 100 TB: materialize the sketch, join on
+    # it; the corpus is never re-scanned.
+    base = base.persist()
     keyed = base.select(
         "__id",
         "__sh",
