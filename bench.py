@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_topk_lsh",
+    "similarity_topk_ivf",
     "dedup_embedding_cosine",
     "multimodal_metadata",
 ]

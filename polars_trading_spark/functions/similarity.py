@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "cosine", "cosine_topk", "srp_lsh_topk", "embedding_cosine_pairs"]
+__all__ = [
+    "dot",
+    "cosine",
+    "cosine_topk",
+    "srp_lsh_topk",
+    "ivf_topk",
+    "embedding_cosine_pairs",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -117,6 +124,81 @@ def srp_lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
     return (
         c.join(F.broadcast(q), on="__bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The other canonical ANN layout next to SRP-LSH (``srp_lsh_topk``):
+    partition the corpus into ``n_cells`` Voronoi cells around centroids,
+    and have each query scan only its ``nprobe`` nearest cells.  Cells
+    are the natural partitioning key at scale — the corpus shuffles once
+    on cell id, and a probe is an equi-join on it.
+
+    Centroids are the ``n_cells`` lowest-id corpus vectors (deterministic
+    and engine-reproducible, matching the SRP plane convention; a real
+    deployment would k-means them — the plan shape is identical).  Cell
+    assignment is argmax cosine against the centroids, ties to the lowest
+    cell index.  At 100 TB the per-row assignment becomes one numpy
+    matmul inside ``mapInPandas``; everything downstream is unchanged.
+
+    Returns the ``cosine_topk`` schema (query_id, rank, vec_id,
+    cosine_sim) — compare against it to measure recall.
+    """
+    centroids = [
+        row[0]
+        for row in corpus.select(_as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def cell_sims(vec: Column) -> Column:
+        return F.array(
+            *[cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])) for cvec in centroids]
+        )
+
+    c = (
+        corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv"))
+        .withColumn("__sims", cell_sims(F.col("__cv")))
+        .withColumn("__cell", F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
+        .drop("__sims")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__sims", cell_sims(F.col("__qv")))
+    probes = (
+        q.select("query_id", "__qv", F.posexplode("__sims").alias("__cell", "__csim"))
+        .withColumn(
+            "__probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__csim").desc(), F.col("__cell"))
+            ),
+        )
+        .where(F.col("__probe_rank") <= nprobe)
+        .select("query_id", "__qv", "__cell")
+    )
+
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (
+        c.join(F.broadcast(probes), on="__cell")
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine_sim", sim)
         .withColumn("rank", F.row_number().over(w))

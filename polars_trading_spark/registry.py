@@ -840,6 +840,66 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# similarity_topk_ivf: inverted-file coarse quantizer — the other canonical
+# ANN layout next to SRP-LSH.  Corpus shuffles once on cell id; each query
+# scans only its nprobe nearest cells.
+# --------------------------------------------------------------------------
+
+_N_CELLS, _NPROBE = 8, 2
+
+
+@register(
+    "similarity_topk_ivf",
+    f"""
+WITH
+{_EMB_CTE},
+cent AS (
+  SELECT v AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_CELLS})
+),
+cell_sims AS (
+  SELECT c.vec_id, c.v, cent.j,
+         list_sum([cv[i+1] * v[i+1] for i in range(0, len(v))])
+           / (sqrt(list_sum([x * x for x in cv])) * {_NORM_V}) AS csim
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims WHERE vec_id < {_N_QUERIES})
+  WHERE rn <= {_NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_V}), 6) AS cosine_sim
+  FROM (SELECT vec_id, v, cell FROM assigned) a
+  JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_TOPK}
+""",
+    "Approximate cosine top-5 via an IVF coarse quantizer (8 cells around "
+    "the lowest-id corpus vectors, argmax-cosine assignment, nprobe=2)",
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = sim_ops.ivf_topk(emb, queries, k=_TOPK, n_cells=_N_CELLS, nprobe=_NPROBE)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
 # multimodal_metadata: binary payload plumbing via mapInPandas; the fake
 # decoder is deterministic, so it has an exact SQL oracle even though the
 # engine path exercises the real Arrow-batched UDF machinery.

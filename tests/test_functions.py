@@ -107,6 +107,24 @@ def test_srp_lsh_recall_on_testdata(spark, sf_dir):
     assert len(approx) > 0 and len(exact) > 0
 
 
+def test_ivf_topk_recall_on_testdata(spark, sf_dir):
+    from polars_trading_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.ivf_topk(emb, queries, k=3, n_cells=8, nprobe=2).collect()
+    for qid in {r["query_id"] for r in approx}:
+        ranks = sorted(r["rank"] for r in approx if r["query_id"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
+    assert len(approx) > 0 and len(exact) > 0
+    # Raising nprobe to every cell makes IVF exact — recall converges to 1.
+    full = similarity.ivf_topk(emb, queries, k=3, n_cells=8, nprobe=8).collect()
+    assert {(r["query_id"], r["rank"], r["vec_id"]) for r in full} == {
+        (r["query_id"], r["rank"], r["vec_id"]) for r in exact
+    }
+
+
 def test_multimodal_metadata_and_frames(docs):
     media = multimodal.synthesize_media(docs)
     meta = multimodal.extract_media_metadata(media).collect()
