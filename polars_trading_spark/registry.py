@@ -200,8 +200,13 @@ def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# A4. dollar_bars (SURVEY §2.A-A4) — history-dependent overflow state;
-# not SQL-expressible, driver records the rows-only check.
+# A4. dollar_bars (SURVEY §2.A-A4) — history-dependent overflow state.
+# The per-trade state transition IS closed-form (entering dollar balance ->
+# bars closed + exit balance), so a recursive CTE that advances one trade
+# per (symbol, date) group per iteration expresses the sequential scan in
+# SQL: recursion carries only (c_in, gid_in); piece fan-out and OHLCV are
+# ordinary relational algebra on top.  Float ops mirror the Spark island
+# exactly (same IEEE ops in the same order), so values are bit-comparable.
 # --------------------------------------------------------------------------
 
 DOLLAR_BAR_SIZE = 50_000_000.0
@@ -209,9 +214,70 @@ DOLLAR_BAR_SIZE = 50_000_000.0
 
 @register(
     "dollar_bars",
-    None,
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+ordered AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS d, ts_event, seq, price, size,
+         row_number() OVER (PARTITION BY symbol, CAST(ts_event AS DATE)
+                            ORDER BY ts_event, seq) AS rn
+  FROM trades
+  WHERE price IS NOT NULL
+),
+state AS (
+  SELECT symbol, d, 1 AS rn, CAST(0.0 AS DOUBLE) AS c_in, CAST(0 AS BIGINT) AS gid_in
+  FROM (SELECT DISTINCT symbol, d FROM ordered)
+  UNION ALL
+  SELECT symbol, d, rn, c_in, gid_in FROM (
+    SELECT o.symbol AS symbol, o.d AS d, o.rn + 1 AS rn,
+           CAST(ceil(({DOLLAR_BAR_SIZE} - s.c_in) / o.price) AS BIGINT) AS need1,
+           CAST(ceil({DOLLAR_BAR_SIZE} / o.price) AS BIGINT) AS need_f,
+           o.size - need1 AS rem,
+           rem // need_f AS kfull,
+           rem - kfull * need_f AS r,
+           CASE WHEN o.size < need1 THEN s.c_in + o.size * o.price
+                ELSE r * o.price END AS c_in,
+           CASE WHEN o.size < need1 THEN s.gid_in
+                ELSE s.gid_in + 1 + kfull END AS gid_in
+    FROM state s
+    JOIN ordered o ON o.symbol = s.symbol AND o.d = s.d AND o.rn = s.rn
+  )
+),
+expanded AS (
+  SELECT o.symbol, o.d, o.ts_event, o.seq, o.price,
+         CAST(ceil(({DOLLAR_BAR_SIZE} - s.c_in) / o.price) AS BIGINT) AS need1,
+         CAST(ceil({DOLLAR_BAR_SIZE} / o.price) AS BIGINT) AS need_f,
+         o.size - need1 AS rem,
+         rem // need_f AS kfull,
+         rem - kfull * need_f AS r,
+         CASE WHEN o.size < need1
+              THEN [{{'b': s.gid_in, 'sh': o.size}}]
+              ELSE [{{'b': s.gid_in, 'sh': need1}}]
+                   || [{{'b': s.gid_in + j, 'sh': need_f}} for j in range(1, kfull + 1)]
+                   || (CASE WHEN r > 0 THEN [{{'b': s.gid_in + 1 + kfull, 'sh': r}}]
+                            ELSE [] END)
+         END AS pcs
+  FROM ordered o
+  JOIN state s ON s.symbol = o.symbol AND s.d = o.d AND s.rn = o.rn
+),
+pieces AS (
+  SELECT symbol, d, ts_event, seq, price, unnest(pcs) AS pc FROM expanded
+)
+SELECT symbol,
+       min(ts_event) AS ts_event_start,
+       max(ts_event) AS ts_event_end,
+       first(price ORDER BY ts_event, seq) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       last(price ORDER BY ts_event, seq) AS close,
+       CAST(sum(pc.sh) AS BIGINT) AS volume,
+       round(sum(pc.sh * price) / sum(pc.sh), 4) AS vwap,
+       CAST(count(*) AS INTEGER) AS n_trades
+FROM pieces
+GROUP BY symbol, d, pc.b
+""",
     "OHLCV bars per $50M traded, share-granularity overflow semantics "
-    "(reference bars.py:247-316; sequential per (symbol, date) — rows-only check)",
+    "(reference bars.py:247-316 + src/bars.rs:53-65; oracle = recursive-CTE "
+    "state scan over the same trades mapping)",
 )
 def q_dollar_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
