@@ -142,10 +142,14 @@ def bar_groups(
 
     * ``allow_splits=True``: a row whose value straddles a bar boundary is
       split into one piece per bar, so every bar (except the last) sums to
-      exactly ``bar_size``.  Closed-form: with cumulative sum ``cs`` and
+      exactly ``bar_size``.  For integral value columns with an integral
+      ``bar_size`` this is closed-form: with cumulative sum ``cs`` and
       ``prev = cs - value``, the row spans bars ``floor(prev/B)`` through
       ``ceil(cs/B) - 1``, and its piece in bar ``b`` has amount
-      ``min(cs, (b+1)B) - max(prev, bB)``.  All codegen — no Python.
+      ``min(cs, (b+1)B) - max(prev, bB)`` — all codegen, no Python.
+      Float values (or fractional bar sizes) fall back to a sequential
+      per-partition scan mirroring the kernel's float behavior, because
+      the exact-boundary test is not float-stable in closed form.
     * ``allow_splits=False``: whole rows accumulate until the running sum
       breaches ``bar_size``, then the sum resets (overflow is discarded) —
       history-dependent, so it runs as one sequential pass per partition
@@ -157,11 +161,23 @@ def bar_groups(
     Returns the input columns plus ``bar_group__id`` (int, 0-based per
     partition) and ``bar_group__amount`` (the piece's share of the value).
     """
+    if not (bar_size > 0):
+        raise ValueError(f"bar_size must be positive, got {bar_size!r}")
     if not order_by:
         order_by = [SEQ_COL]
         df = with_seq(df)
 
-    if allow_splits:
+    value_type = df.schema[value_col].dataType
+    integral_values = isinstance(
+        value_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if allow_splits and integral_values and float(bar_size) == int(bar_size):
+        # Closed-form path — exact only because cumulative sums, the
+        # boundary test (cs % B == 0) and the floor-division bucket
+        # assignment are all integer arithmetic here.  Float value
+        # columns (or fractional bar sizes) would make the boundary
+        # branch unstable, so they take the sequential scan below that
+        # mirrors the reference kernel's float behavior instead.
         w = (
             Window.partitionBy(*(partition_by or [F.lit(1)]))
             .orderBy(*order_by)
@@ -196,13 +212,16 @@ def bar_groups(
         )
         return out
 
-    # Overflow mode: sequential scan per partition (bounded state, one pass).
+    # Sequential paths: overflow mode (history-dependent reset), and
+    # split mode over float values / fractional bar sizes (the kernel's
+    # float semantics, src/bars.rs:36-51, can't be reproduced with
+    # closed-form float modulo arithmetic).  One pass per partition,
+    # bounded state.
     drop_cols: list[str] = []
     if not partition_by:
         df = df.withColumn("__pts_one", F.lit(1))
         partition_by = ["__pts_one"]
         drop_cols = ["__pts_one"]
-    value_type = df.schema[value_col].dataType
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(BAR_ID, T.IntegerType()), T.StructField(BAR_AMOUNT, value_type)]
@@ -210,20 +229,53 @@ def bar_groups(
     order_cols = list(order_by)
     bar_size_f = float(bar_size)
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        values = pdf[value_col].to_numpy()
-        ids = [0] * len(values)
-        current, gid = 0.0, 0
-        for i, val in enumerate(values):
-            ids[i] = gid
-            current += float(val)
-            if current >= bar_size_f:
-                gid += 1
-                current = 0.0
-        pdf[BAR_ID] = pd.array(ids, dtype="int32")
-        pdf[BAR_AMOUNT] = pdf[value_col]
-        return pdf
+    if allow_splits:
+
+        def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+            values = pdf[value_col].to_numpy(dtype=float)
+            idx_out: list[int] = []
+            gid_out: list[int] = []
+            amt_out: list[float] = []
+            current, gid = 0.0, 0
+            for i, val in enumerate(values):
+                remaining = val
+                while remaining > 0:
+                    if current + remaining >= bar_size_f:
+                        take = bar_size_f - current
+                        idx_out.append(i)
+                        gid_out.append(gid)
+                        amt_out.append(take)
+                        gid += 1
+                        current = 0.0
+                        remaining -= take
+                    else:
+                        idx_out.append(i)
+                        gid_out.append(gid)
+                        amt_out.append(remaining)
+                        current += remaining
+                        remaining = 0.0
+            out = pdf.iloc[idx_out].reset_index(drop=True)
+            out[BAR_ID] = pd.array(gid_out, dtype="int32")
+            out[BAR_AMOUNT] = pd.array(amt_out, dtype="float64")
+            return out
+
+    else:
+
+        def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+            values = pdf[value_col].to_numpy()
+            ids = [0] * len(values)
+            current, gid = 0.0, 0
+            for i, val in enumerate(values):
+                ids[i] = gid
+                current += float(val)
+                if current >= bar_size_f:
+                    gid += 1
+                    current = 0.0
+            pdf[BAR_ID] = pd.array(ids, dtype="int32")
+            pdf[BAR_AMOUNT] = pdf[value_col]
+            return pdf
 
     out = df.groupBy(*partition_by).applyInPandas(assign, schema=out_schema)
     return out.drop(*drop_cols) if drop_cols else out
@@ -305,72 +357,100 @@ def dollar_bars(df: DataFrame, *, bar_size: float = 1_000_000.0, split_by_date: 
     bar_size_f = float(bar_size)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
         sym = pdf[symbol].iloc[0]
         prices = pdf[price].to_numpy(dtype=float)
         sizes = pdf[size].to_numpy(dtype="int64")
         stamps = pdf[ts].to_numpy()
 
-        # One accumulator per open bar; pieces append (gid, ts, price, shares).
-        piece_gid: list[int] = []
-        piece_ts: list = []
-        piece_price: list[float] = []
-        piece_shares: list[int] = []
-        c, gid = 0.0, 0
-        for i in range(len(pdf)):
-            p, n, t = prices[i], int(sizes[i]), stamps[i]
-            if n <= 0:
-                continue
-            if p <= 0:
-                # Shares never close a bar; whole trade joins the open bar.
-                piece_gid.append(gid)
-                piece_ts.append(t)
-                piece_price.append(p)
-                piece_shares.append(n)
-                continue
-            while n > 0:
-                need = math.ceil((bar_size_f - c) / p)
-                if need <= n:
-                    piece_gid.append(gid)
-                    piece_ts.append(t)
-                    piece_price.append(p)
-                    piece_shares.append(need)
-                    gid += 1
-                    c = 0.0
-                    n -= need
-                else:
-                    piece_gid.append(gid)
-                    piece_ts.append(t)
-                    piece_price.append(p)
-                    piece_shares.append(n)
-                    c += n * p
-                    n = 0
-
-        if not piece_gid:
+        keep = sizes > 0
+        prices, sizes, stamps = prices[keep], sizes[keep], stamps[keep]
+        m = len(prices)
+        if m == 0:
             return pd.DataFrame(columns=[f.name for f in schema.fields])
-        pieces = pd.DataFrame(
-            {
-                "gid": piece_gid,
-                "t": piece_ts,
-                "p": piece_price,
-                "shares": piece_shares,
-            }
-        )
-        g = pieces.groupby("gid", sort=True)
+
+        # Phase 1 — exact sequential state fold, O(1) per trade. The
+        # per-trade transition is closed-form (entering balance -> bars
+        # closed + exit balance); only the (c, gid) recurrence is
+        # irreducibly sequential, and it must stay a scalar left fold so
+        # the float op order matches the DuckDB oracle bit-for-bit.
+        c_in = np.empty(m, dtype=np.float64)
+        gid_in = np.empty(m, dtype=np.int64)
+        c, gid = 0.0, 0
+        ceil = math.ceil
+        plist, nlist = prices.tolist(), sizes.tolist()
+        for i in range(m):
+            c_in[i] = c
+            gid_in[i] = gid
+            p = plist[i]
+            if p <= 0.0:
+                # Shares never close a bar; whole trade joins the open bar.
+                continue
+            n = nlist[i]
+            need1 = ceil((bar_size_f - c) / p)
+            if need1 > n:
+                c += n * p
+            else:
+                rem = n - need1
+                need_f = ceil(bar_size_f / p)
+                kfull = rem // need_f
+                c = (rem - kfull * need_f) * p
+                gid += 1 + kfull
+
+        # Phase 2 — vectorized piece fan-out. A closing trade emits
+        # need1 shares into the entered bar, need_f per full bar, and the
+        # remainder r into the newly opened bar; non-closing trades emit
+        # one whole-trade piece.
+        pos = prices > 0.0
+        safe_p = np.where(pos, prices, 1.0)
+        need1 = np.ceil((bar_size_f - c_in) / safe_p).astype(np.int64)
+        need_f = np.ceil(bar_size_f / safe_p).astype(np.int64)
+        closes = pos & (need1 <= sizes)
+        rem = np.where(closes, sizes - need1, 0)
+        kfull = rem // need_f
+        r = rem - kfull * need_f
+        counts = np.where(closes, 1 + kfull + (r > 0), 1)
+
+        total = int(counts.sum())
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        trade_idx = np.repeat(np.arange(m), counts)
+        within = np.arange(total) - offsets[trade_idx]
+
+        piece_bar = gid_in[trade_idx] + within
+        piece_price = prices[trade_idx]
+        piece_ts = stamps[trade_idx]
+        piece_sh = need_f[trade_idx]
+        first_sh = np.where(closes, need1, sizes)
+        first_mask = within == 0
+        piece_sh[first_mask] = first_sh[trade_idx[first_mask]]
+        last_mask = (within > 0) & (within == (counts - 1)[trade_idx]) & (r[trade_idx] > 0)
+        piece_sh[last_mask] = r[trade_idx[last_mask]]
+
+        # Phase 3 — per-bar OHLCV over contiguous runs (piece_bar is
+        # nondecreasing by construction, so bars are reduceat segments).
+        change = np.flatnonzero(np.diff(piece_bar)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [total]))
+        volume = np.add.reduceat(piece_sh, starts)
+        dollars = np.add.reduceat(piece_sh * piece_price, starts)
         bars = pd.DataFrame(
             {
-                f"{ts}_start": g["t"].min(),
-                f"{ts}_end": g["t"].max(),
-                "open": g["p"].first(),
-                "high": g["p"].max(),
-                "low": g["p"].min(),
-                "close": g["p"].last(),
-                "volume": g["shares"].sum().astype("int64"),
-                "vwap": g.apply(lambda x: float((x["p"] * x["shares"]).sum() / x["shares"].sum())),
-                "n_trades": g.size().astype("int32"),
+                symbol: sym,
+                f"{ts}_start": piece_ts[starts],
+                f"{ts}_end": piece_ts[ends - 1],
+                "open": piece_price[starts],
+                "high": np.maximum.reduceat(piece_price, starts),
+                "low": np.minimum.reduceat(piece_price, starts),
+                "close": piece_price[ends - 1],
+                "volume": volume.astype("int64"),
+                "vwap": dollars / volume,
+                "n_trades": (ends - starts).astype("int32"),
             }
-        ).reset_index(drop=True)
-        bars.insert(0, symbol, sym)
+        )
         return bars
 
     return out.groupBy(*keys).applyInPandas(build, schema=schema)

@@ -99,3 +99,29 @@ def test_partitioned_ids_restart(spark):
         ("b", 0, 1): 4.0,
         ("b", 0, 2): 1.0,
     }
+
+
+def test_bar_groups_split_float_values(spark):
+    """Float value columns take the sequential path; semantics mirror the
+    reference kernel scan (src/bars.rs:36-51) — hand-traced vector."""
+    from polars_trading_spark.operators.bars import bar_groups
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, 2.5), (3, 3.0)], "seq long, amt double"
+    )
+    out = bar_groups(df, "amt", 2.5, allow_splits=True, order_by=["seq"])
+    rows = sorted(
+        (r["seq"], r["bar_group__id"], r["bar_group__amount"]) for r in out.collect()
+    )
+    assert rows == [
+        (1, 0, 1.5),
+        (2, 0, 1.0),
+        (2, 1, 1.5),
+        (3, 1, 1.0),
+        (3, 2, 2.0),
+    ]
+    # every closed bar sums to exactly bar_size
+    sums = {}
+    for _, gid, amt in rows:
+        sums[gid] = sums.get(gid, 0.0) + amt
+    assert sums[0] == 2.5 and sums[1] == 2.5
