@@ -1,10 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.  Each query is timed end-to-end
-(plan build + execution to a count/collect-free materialization via
-``write.format("noop")``-style foreach? No — we use .count() on the
-result, which forces a full computation of every output row).
+"queries": {name: sec, ...}, "sf": ...}.  Each query is timed end-to-end:
+plan build + execution materialized via ``write.format("noop")`` — unlike
+``count()``, the noop sink consumes every output column, so Catalyst
+cannot prune the final projections and expression-heavy queries are
+charged their full cost.
 """
 
 from __future__ import annotations
@@ -67,6 +68,8 @@ def main() -> None:
         lambda pdf: pdf, schema="k long, v double"
     ).count()
 
+    from polars_trading_spark import release_persisted
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -75,11 +78,15 @@ def main() -> None:
         q = QUERIES[name]
         start = time.perf_counter()
         df = q.spark(spark, sf_dir)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
         timings[name] = round(elapsed, 3)
         total += elapsed
-        print(f"# {name}: {elapsed:.3f}s ({n} rows)", file=sys.stderr)
+        # Cache-ownership contract: each operator's tracked caches are
+        # released once its result is consumed, so a full bench run never
+        # accumulates executor-memory pressure across queries.
+        release_persisted()
+        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -7,6 +7,7 @@ large-scale training-data operators (dedup, similarity search, text
 analysis, multimodal plumbing) a 100 TB pipeline needs.
 """
 
+from polars_trading_spark._utils import release_persisted
 from polars_trading_spark.config import Config, column_names
 from polars_trading_spark.operators.asof import asof_join
 from polars_trading_spark.operators.bars import (
@@ -34,6 +35,7 @@ __all__ = [
     "Config",
     "column_names",
     "get_spark",
+    "release_persisted",
     "time_bars",
     "tick_bars",
     "volume_bars",

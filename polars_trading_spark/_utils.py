@@ -40,6 +40,8 @@ __all__ = [
     "with_seq",
     "ohlcv_aggs",
     "ensure_parallelism",
+    "persist_tracked",
+    "release_persisted",
     "SEQ_COL",
 ]
 
@@ -145,6 +147,35 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
     if df.rdd.getNumPartitions() >= min(target, 8):
         return df
     return df.repartition(target, *keys) if keys else df.repartition(target)
+
+
+# Cache-ownership contract: operators that persist intermediate tables
+# (sketches, event frames) register them here instead of leaking them.
+# At most one operator's caches should be alive at a time in a
+# pipeline-as-library session; callers (bench, the registry wrappers)
+# release the previous operator's caches via ``release_persisted()``.
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
+    """``df.persist()`` plus registration for later bulk release."""
+    df = df.persist(storage_level) if storage_level is not None else df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked cache; returns how many were released.
+
+    Safe to call while downstream DataFrames are still alive — Spark
+    simply recomputes on the next action, so this trades cache hits for
+    bounded executor memory in long-lived sessions.
+    """
+    n = 0
+    while _TRACKED_PERSISTS:
+        _TRACKED_PERSISTS.pop().unpersist()
+        n += 1
+    return n
 
 
 def with_seq(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFrame:

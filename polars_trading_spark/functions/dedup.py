@@ -11,13 +11,16 @@ Scale design notes (the point of each variant at 100 TB):
 * **SimHash**       — 32-bit sketch per row; candidate generation uses
   the pigeonhole principle (hamming ≤ d pairs must agree exactly on one
   of d+1 bit-blocks), turning the quadratic scan into d+1 equi-joins.
-* **n-gram Jaccard** — exact verification metric, used standalone only
-  inside blocking keys.
+* **n-gram Jaccard** — exact set-similarity pairs; candidate generation
+  uses the AllPairs/PPJoin prefix filter (rarest-first canonical order)
+  plus the length filter, so the posting-list join never degenerates to
+  all-pairs within a block even on a monolingual corpus.
 
 All hashing goes through ``portable_hash60`` (md5-derived) so results
 are engine-independent and reproducible; the per-permutation MinHash
-functions are ``(aᵢ·h + bᵢ) mod P`` over P = 2³¹−1 with fixed odd
-coefficients, which keeps every product inside int64.
+functions are ``(aᵢ·h + bᵢ) mod P`` over P = 2³¹−1 — P being prime is
+what makes each map a bijection on [0, P), and the fixed coefficients
+keep every product inside int64.
 """
 
 from __future__ import annotations
@@ -25,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_trading_spark._utils import ensure_parallelism
+from polars_trading_spark._utils import ensure_parallelism, persist_tracked
 from polars_trading_spark.functions.text import (
     doc_fingerprint,
     portable_hash60,
@@ -45,7 +48,9 @@ __all__ = [
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
 
-# Fixed MinHash permutation coefficients: deterministic, odd, < 2^31.
+# Fixed MinHash permutation coefficients: deterministic, < 2^31.
+# (Bijectivity of h -> (a·h + b) mod P needs gcd(a, P) = 1, which P's
+# primality guarantees for every a in [1, P) — parity is irrelevant.)
 def _coeffs(k: int) -> list[tuple[int, int]]:
     return [(2 * i * i + 3 * i + 1, 7 * i + 11) for i in range(1, k + 1)]
 
@@ -116,6 +121,11 @@ def minhash_lsh_pairs(
     threshold.  Candidates are pairs agreeing on at least one full band
     of the signature; the band group-by is the only shuffle.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            "trailing signature rows would be silently ignored otherwise"
+        )
     rows_per_band = num_hashes // bands
     base = _tokenized(df, text_col, id_col).select(
         "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
@@ -123,7 +133,8 @@ def minhash_lsh_pairs(
     base = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
     # Signature table feeds both sides of the band self-join — persist
     # lazily so shingling + k permutations run once (see simhash_pairs).
-    base = base.persist()
+    # Tracked: released by the caller via release_persisted().
+    base = persist_tracked(base)
 
     banded = base.select(
         "__id",
@@ -241,7 +252,8 @@ def simhash_pairs(
     # (Catalyst does not reuse the subtree across self-join aliases).
     # Same pattern you'd use at 100 TB: materialize the sketch, join on
     # it; the corpus is never re-scanned.
-    base = base.persist()
+    # Tracked: released by the caller via release_persisted().
+    base = persist_tracked(base)
     keyed = base.select(
         "__id",
         "__sh",
@@ -293,42 +305,72 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs within blocking keys.
 
-    All-pairs *within a block* (join on the blocking columns), so block
-    cardinality bounds the quadratic term — pick blocks (lang, length
-    band, source...) that keep buckets small at scale.
+    Candidate generation is the AllPairs/PPJoin shape (Bayardo et al.
+    WWW'07, Xiao et al. WWW'08), which keeps the posting-list self-join
+    sub-quadratic even when one block dominates (monolingual corpus):
+
+    * **prefix filter** — under a global canonical order, two sets with
+      ``J ≥ t`` must share a shingle within their first
+      ``n − ⌈t·n⌉ + 1`` shingles; only those prefix postings enter the
+      self-join.  The canonical order is document-frequency-ascending,
+      so the high-frequency shingles that blow up bucket sizes are
+      exactly the ones excluded from prefixes.
+    * **length filter** — ``J ≥ t`` implies ``min(|A|,|B|) ≥
+      t·max(|A|,|B|)``; applied inside the join condition.
+
+    Both filters are exact (no false negatives), so the output is
+    identical to the naive all-pairs-within-block formulation; survivors
+    are verified with exact Jaccard over the full shingle arrays.
     """
     base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
         *block_cols, "__id", word_ngrams_from(F.col("__toks"), ngram).alias("__ng")
     )
-    # Materialize the shingle arrays through an exchange before explode:
-    # Generate re-evaluates an inlined (interpreted, CSE-less) ngram
-    # expression far more often than once per input row, and the
-    # identical exchange below both self-join branches is computed once
-    # and reused (ReusedExchange) instead of twice.
+    # Materialize the shingle arrays through an exchange before explode
+    # (Generate re-evaluates inlined interpreted expressions), and track
+    # the cache: base feeds the posting lists AND both verify joins.
     base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    # Posting-list (inverted index) formulation: explode shingles, count
-    # co-occurrences per pair, derive Jaccard from |A∩B| and set sizes.
-    # The all-pairs join then only moves (id, id) longs instead of
-    # copying both full shingle arrays into every candidate row — the
-    # standard set-similarity-join shape (cf. the prefix-filter family).
-    sizes = base.select(F.col("__id").alias("__sid"), F.size("__ng").alias("__n"))
-    posting = base.select(*block_cols, "__id", F.explode("__ng").alias("__s"))
-    a, b = posting.alias("a"), posting.alias("b")
+    base = persist_tracked(base)
+
+    posting = base.select(
+        *block_cols, "__id", F.size("__ng").alias("__n"), F.explode("__ng").alias("__s")
+    )
+    # Document frequency per (block, shingle): the AllPairs canonical
+    # order.  A small aggregate over the postings; rarest-first prefixes
+    # are what turn the frequent-shingle buckets from O(block²) into
+    # near-linear candidate counts.
+    dfreq = posting.groupBy(*block_cols, "__s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    # ε guards the float product at exact-multiple boundaries (0.2·10):
+    # a too-short prefix would drop true pairs, a one-longer prefix only
+    # adds candidates.
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9)) + 1
+    prefix = (
+        posting.join(dfreq, on=[*block_cols, "__s"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select(*block_cols, "__id", "__n", "__s")
+    )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
     on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     on.append(F.col("a.__s") == F.col("b.__s"))
     on.append(F.col("a.__id") < F.col("b.__id"))
-    inter = (
+    # Length filter (float form with ε margin — exact for integer sizes).
+    on.append(F.col("a.__n").cast("double") >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9))
+    on.append(F.col("b.__n").cast("double") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
+    cand = (
         a.join(b, on=on)
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
+
+    arr = base.select("__id", "__ng")
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size("__ga") + F.size("__gb") - inter
     return (
-        inter.join(sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-        .join(sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter")),
-        )
+        cand.join(arr.select(F.col("__id").alias("id_a"), F.col("__ng").alias("__ga")), "id_a")
+        .join(arr.select(F.col("__id").alias("id_b"), F.col("__ng").alias("__gb")), "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -247,9 +247,12 @@ def get_triple_barrier_label(
         # real materialization boundary that subtree gets re-evaluated
         # with pathological scheduling (measured 30× slower at sf0.1).
         # This is also what gives AQE true stats to size the range join.
+        # Tracked cache: callers release via release_persisted() once the
+        # labels are consumed (cache-ownership contract in _utils).
+        from polars_trading_spark._utils import persist_tracked
         from pyspark import StorageLevel
 
-        events = events.persist(StorageLevel.MEMORY_AND_DISK)
+        events = persist_tracked(events, StorageLevel.MEMORY_AND_DISK)
         events.count()
     touched = apply_profit_taking_stop_loss(
         events,

@@ -12,8 +12,9 @@ over the per-symbol time window — fully native, whole-stage codegen, no
 Python at execution time.  ``lag(price, k)`` is null before the series
 start, which nulls the whole sum — exactly the kernel's first-K-1-rows
 contract.  The kernel hard-errors on null prices (src/frac_diff.rs:36-39);
-here a null price nulls every output within K rows of it — callers must
-``na.drop`` first (same precondition, documented instead of raised).
+we enforce the same contract with a ``raise_error`` guard on the input
+column, so a caller who forgets ``na.drop`` gets the kernel's error, not
+silent nulls.
 
 The terms are summed in ascending-k order with left-associated adds so
 results are bit-identical to any oracle that evaluates the same
@@ -56,12 +57,21 @@ def frac_diff(
     *,
     order_by: Sequence,
 ) -> Column:
-    """Fractionally differentiated series as a Column expression."""
+    """Fractionally differentiated series as a Column expression.
+
+    Raises at execution time on any null input price, matching the
+    reference kernel's ComputeError (src/frac_diff.rs:36-39) — lag nulls
+    before the series start are legitimate and stay null.
+    """
     weights = get_weights_ffd(d, threshold)
     part = [col_or_lit(symbol)] if symbol is not None else [F.lit(1)]
     w = Window.partitionBy(*part).orderBy(*[col_or_lit(c) for c in order_by])
     p = col_or_lit(prices)
-    terms = [F.lit(wk) * F.lag(p, k).over(w) for k, wk in enumerate(weights)]
+    checked = F.when(
+        p.isNull(),
+        F.raise_error(F.lit("frac_diff: input prices contain nulls; drop or fill them first")),
+    ).otherwise(p)
+    terms = [F.lit(wk) * F.lag(checked, k).over(w) for k, wk in enumerate(weights)]
     return reduce(operator.add, terms)
 
 

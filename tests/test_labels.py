@@ -69,3 +69,17 @@ def test_classification_expr_threshold(spark):
         df, fixed_time_return_classification("p", 1, F.col("t"), order_by=["ts"])
     )
     assert labels == [0, 1, 1, None, None]
+
+
+def test_frac_diff_raises_on_null_prices(spark):
+    """Reference kernel errors on null input (src/frac_diff.rs:36-39)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from polars_trading_spark.operators.features import frac_diff
+
+    df = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 2, None), ("A", 3, 12.0)], "symbol string, t long, price double"
+    )
+    out = df.select(frac_diff("price", 0.5, 1e-3, "symbol", order_by=["t"]).alias("fd"))
+    with pytest.raises(Exception, match="frac_diff: input prices contain nulls"):
+        out.collect()
