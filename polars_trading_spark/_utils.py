@@ -42,6 +42,9 @@ __all__ = [
     "ensure_parallelism",
     "persist_tracked",
     "release_persisted",
+    "declare_unique_timestamps",
+    "has_unique_timestamps",
+    "resolve_order_mode",
     "SEQ_COL",
 ]
 
@@ -192,6 +195,41 @@ def with_seq(df: DataFrame, order_cols: Sequence[str] | None = None) -> DataFram
     if SEQ_COL in df.columns:
         return df
     return df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+
+
+# Column-metadata key declaring "timestamps are unique per group" on a
+# source (set by readers that know their data contract).
+_UNIQUE_TS_META = "pts_unique_ts"
+
+
+def declare_unique_timestamps(df: DataFrame, ts_col: str) -> DataFrame:
+    """Declare that ``ts_col`` values are unique within every (symbol[,
+    date]) group of this source.
+
+    The declaration rides on column metadata, surviving projections, and
+    lets the bar operators auto-select the scalar order key
+    (HashAggregate — measured 3× over the struct key's SortAggregate at
+    4M rows) without the caller threading ``order_mode`` manually.  Only
+    declare what the source really guarantees: with duplicate
+    timestamps the fast key breaks ties nondeterministically.
+    """
+    return df.withMetadata(ts_col, {_UNIQUE_TS_META: True})
+
+
+def has_unique_timestamps(df: DataFrame, ts_col: str) -> bool:
+    """True when the source declared per-group-unique timestamps."""
+    try:
+        meta = df.schema[ts_col].metadata
+    except KeyError:
+        return False
+    return bool(meta.get(_UNIQUE_TS_META, False))
+
+
+def resolve_order_mode(df: DataFrame, ts_col: str, order_mode: str) -> str:
+    """``auto`` → ``fast`` iff the source declared unique timestamps."""
+    if order_mode == "auto":
+        return "fast" if has_unique_timestamps(df, ts_col) else "exact"
+    return order_mode
 
 
 def _order_key(ts: Column, seq: Column | None, mode: str) -> Column:

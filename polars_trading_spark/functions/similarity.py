@@ -24,6 +24,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "srp_lsh_topk",
+    "kmeans_centroids",
     "ivf_topk",
     "embedding_cosine_pairs",
 ]
@@ -132,6 +133,50 @@ def srp_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 256,
+    iters: int = 3,
+) -> list[list[float]]:
+    """One-pass sampled k-means-lite (spherical Lloyd) coarse quantizer.
+
+    Deterministic by construction: the sample is the ``sample_size``
+    lowest-id vectors, initialization is the first ``n_cells`` of them,
+    and each iteration is argmax-cosine assignment + re-normalized mean.
+    Driver-side numpy over a bounded sample — the classic IVF training
+    recipe (train on a sample, assign the full corpus distributed); at
+    very high dim move the same matmuls into one ``mapInPandas`` pass.
+    Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(_as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[j] = c / n
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -142,6 +187,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    centroid_method: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer.
 
@@ -151,23 +197,37 @@ def ivf_topk(
     are the natural partitioning key at scale — the corpus shuffles once
     on cell id, and a probe is an equi-join on it.
 
-    Centroids are the ``n_cells`` lowest-id corpus vectors (deterministic
-    and engine-reproducible, matching the SRP plane convention; a real
-    deployment would k-means them — the plan shape is identical).  Cell
-    assignment is argmax cosine against the centroids, ties to the lowest
-    cell index.  At 100 TB the per-row assignment becomes one numpy
-    matmul inside ``mapInPandas``; everything downstream is unchanged.
+    ``centroid_method``:
+
+    * ``"kmeans"`` (default) — sampled spherical k-means
+      (``kmeans_centroids``): balanced, data-shaped cells, the real IVF
+      recipe.  Iterative, hence not SQL-expressible — correctness is
+      gated by the recall test against the exact (oracle-verified)
+      ``cosine_topk`` instead of a DuckDB twin.
+    * ``"lowest_id"`` — the ``n_cells`` lowest-id corpus vectors:
+      centroids any engine can reproduce exactly, used by the DuckDB
+      differential oracle.
+
+    Cell assignment is argmax cosine against the centroids, ties to the
+    lowest cell index.  At 100 TB the per-row assignment becomes one
+    numpy matmul inside ``mapInPandas``; everything downstream is
+    unchanged.
 
     Returns the ``cosine_topk`` schema (query_id, rank, vec_id,
     cosine_sim) — compare against it to measure recall.
     """
-    centroids = [
-        row[0]
-        for row in corpus.select(_as_double(F.col(vec_col)))
-        .orderBy(F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    ]
+    if centroid_method == "kmeans":
+        centroids = kmeans_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+    elif centroid_method == "lowest_id":
+        centroids = [
+            row[0]
+            for row in corpus.select(_as_double(F.col(vec_col)))
+            .orderBy(F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        ]
+    else:
+        raise ValueError(f"centroid_method must be 'kmeans' or 'lowest_id', got {centroid_method!r}")
 
     def cell_sims(vec: Column) -> Column:
         return F.array(

@@ -44,6 +44,7 @@ from polars_trading_spark._utils import (
     SEQ_COL,
     ohlcv_aggs,
     bar_output_columns,
+    resolve_order_mode,
     truncate,
     with_seq,
 )
@@ -74,7 +75,7 @@ def _final_bar_select(df: DataFrame, symbol: str, ts: str, extra: Sequence[str] 
     return df.select(*[F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in cols])
 
 
-def time_bars(df: DataFrame, *, bar_size: str = "1m", order_mode: str = "exact") -> DataFrame:
+def time_bars(df: DataFrame, *, bar_size: str = "1m", order_mode: str = "auto") -> DataFrame:
     """OHLCV bars over fixed time buckets (reference: bars.py:91-139).
 
     ``bar_size`` uses Polars duration grammar (``1s/2m/3h/4d/5w``,
@@ -87,6 +88,7 @@ def time_bars(df: DataFrame, *, bar_size: str = "1m", order_mode: str = "exact")
         column_names.size,
         column_names.symbol,
     )
+    order_mode = resolve_order_mode(df, ts, order_mode)
     out = (
         with_seq(df.na.drop(subset=[price]))
         .withColumn("__bucket", truncate(ts, bar_size))
@@ -97,7 +99,7 @@ def time_bars(df: DataFrame, *, bar_size: str = "1m", order_mode: str = "exact")
     return _final_bar_select(out, symbol, ts, extra=[ts])
 
 
-def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True, order_mode: str = "exact") -> DataFrame:
+def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True, order_mode: str = "auto") -> DataFrame:
     """OHLCV bars over fixed trade counts (reference: bars.py:142-191).
 
     Bar membership is ``(row_number - 1) // bar_size`` per symbol (and per
@@ -110,6 +112,7 @@ def tick_bars(df: DataFrame, *, bar_size: int = 100, split_by_date: bool = True,
         column_names.size,
         column_names.symbol,
     )
+    order_mode = resolve_order_mode(df, ts, order_mode)
     keys = [symbol]
     out = with_seq(df.na.drop(subset=[price]))
     if split_by_date:
@@ -281,7 +284,7 @@ def bar_groups(
     return out.drop(*drop_cols) if drop_cols else out
 
 
-def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = True, order_mode: str = "exact") -> DataFrame:
+def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = True, order_mode: str = "auto") -> DataFrame:
     """OHLCV bars over fixed traded volume (reference: bars.py:194-244).
 
     A trade straddling a bar boundary is split across bars (split-mode
@@ -296,6 +299,7 @@ def volume_bars(df: DataFrame, *, bar_size: int = 10_000, split_by_date: bool = 
         column_names.size,
         column_names.symbol,
     )
+    order_mode = resolve_order_mode(df, ts, order_mode)
     keys = [symbol]
     out = with_seq(df.na.drop(subset=[price]))
     if split_by_date:

@@ -212,6 +212,7 @@ def get_triple_barrier_label(
     profit_take: float = 1.0,
     stop_loss: float = 1.0,
     label_style: str = "three_class",
+    side_col: str | None = None,
     ewm_method: str = "pandas",
     materialize_events: bool = True,
 ) -> DataFrame:
@@ -219,16 +220,30 @@ def get_triple_barrier_label(
     dynamic_labels.py:173-186): volatility target → vertical barrier →
     first touch → label.
 
-    Output: (symbol?, timestamp, touch_timestamp, return, label) with
-    label ∈ {1, 0, -1} (``three_class``: which barrier touched first) or
-    {1, -1} (``sign_on_vertical``: sign of the return when the vertical
-    barrier is hit first).  Events are rows with a defined volatility
-    target; the touch return is measured at the touch timestamp's trade
-    price.
+    Output: (symbol?, timestamp, touch_timestamp, [side,] return, label)
+    with label ∈ {1, 0, -1} (``three_class``: which barrier touched
+    first), {1, -1} (``sign_on_vertical``: sign of the return when the
+    vertical barrier is hit first), or {1, 0} (``meta``: act / pass on a
+    known bet side — AFML ch. 3.6 meta-labeling).  Events are rows with
+    a defined volatility target; the touch return is measured at the
+    touch timestamp's trade price.
+
+    ``side_col`` names a ±1 column on ``trades`` giving the primary
+    model's bet side.  When set, path returns are side-adjusted before
+    barrier detection (profit-take = the *bet* moving up, matching the
+    AFML oracle's ``(path/entry - 1) * side``, _testing/labels.py:28-33)
+    and the output ``return`` is the realized bet return.  ``meta``
+    labels then answer "should this bet have been taken": 1 exactly when
+    the realized bet return is positive.
     """
     ts, price, symbol = column_names.timestamp, column_names.price, column_names.symbol
     has_symbol = symbol in trades.columns
     by = [symbol] if has_symbol else []
+
+    if label_style == "meta" and side_col is None:
+        raise ValueError("label_style='meta' requires side_col (the primary model's bet side)")
+    if side_col is not None and side_col not in trades.columns:
+        raise ValueError(f"side_col {side_col!r} not found in trades columns")
 
     trades = with_seq(trades)
     vol = daily_vol(trades, span=span, ewm_method=ewm_method).withColumnRenamed(
@@ -261,6 +276,7 @@ def get_triple_barrier_label(
         vertical_barrier_col="vertical_barrier",
         profit_take=profit_take,
         stop_loss=stop_loss,
+        side_col=side_col,
     )
     first_touch = F.least(
         F.coalesce(F.col("pt_time"), F.col("t1")),
@@ -272,8 +288,12 @@ def get_triple_barrier_label(
     touch_price = trades.groupBy(*by, F.col(ts).alias("touch_timestamp")).agg(
         F.min_by(F.col(price), F.struct(F.col(ts), F.col(SEQ_COL))).alias("__touch_price")
     )
+    raw_ret = F.col("__touch_price") / F.col(price) - 1
+    # With a known bet side the realized return is the side-adjusted one
+    # (the `side` column comes back from apply_profit_taking_stop_loss).
+    ret = (raw_ret * F.col("side")) if side_col is not None else raw_ret
     out = out.join(touch_price, on=[*by, "touch_timestamp"], how="left").withColumn(
-        "return", F.col("__touch_price") / F.col(price) - 1
+        "return", ret
     )
 
     pt_hit = F.col("pt_time").isNotNull() & (F.col("pt_time") == F.col("touch_timestamp"))
@@ -282,13 +302,17 @@ def get_triple_barrier_label(
         label = F.when(pt_hit, 1).when(sl_hit, -1).otherwise(0)
     elif label_style == "sign_on_vertical":
         label = F.when(pt_hit, 1).when(sl_hit, -1).otherwise(F.signum("return").cast("int"))
+    elif label_style == "meta":
+        label = F.when(F.col("return") > 0, 1).otherwise(0)
     else:
         raise ValueError(f"unknown label_style {label_style!r}")
 
+    side_out = [F.col("side")] if side_col is not None else []
     return out.select(
         *by,
         F.col(ts).alias("timestamp"),
         "touch_timestamp",
+        *side_out,
         "return",
         label.cast("int").alias("label"),
     )

@@ -542,6 +542,83 @@ def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# A10 meta-labeling mode: a deterministic ±1 bet side (seq parity) rides
+# along; path returns are side-adjusted before barrier detection and the
+# label answers act/pass (AFML ch. 3.6; reference stub dynamic_labels.py
+# :173-186 documents the two-class mode, _testing/labels.py:28-33 the
+# side-adjusted path return).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "triple_barrier_meta",
+    f"""
+WITH
+{LOOKBACK_SQL},
+{EWM_STD_SQL},
+barrier AS (
+  SELECT o.symbol, o.ts_event, b.vb AS t1
+  FROM (SELECT symbol, ts_event, ts_event + INTERVAL 4 HOURS AS off FROM trades) o
+  ASOF LEFT JOIN (SELECT symbol, ts_event AS vb FROM trades) b
+    ON o.symbol = b.symbol AND o.off <= b.vb
+),
+ev AS (
+  SELECT v.symbol, v.ts_event AS t0, v.seq, v.price AS entry, v.trgt,
+         CASE WHEN v.seq % 2 = 0 THEN 1.0 ELSE -1.0 END AS side,
+         coalesce(bar.t1, m.max_ts) AS t1
+  FROM vol v
+  JOIN barrier bar ON v.symbol = bar.symbol AND v.ts_event = bar.ts_event
+  JOIN (SELECT symbol, max(ts_event) AS max_ts FROM vol WHERE trgt IS NOT NULL GROUP BY symbol) m
+    ON v.symbol = m.symbol
+  WHERE v.trgt IS NOT NULL
+),
+touch AS (
+  SELECT e.symbol, e.t0, e.seq, e.entry, e.side, e.t1,
+         min(CASE WHEN (p.price / e.entry - 1) * e.side > e.trgt THEN p.ts_event END) AS pt_time,
+         min(CASE WHEN (p.price / e.entry - 1) * e.side < -e.trgt THEN p.ts_event END) AS sl_time
+  FROM ev e
+  JOIN trades p ON p.symbol = e.symbol AND p.ts_event >= e.t0 AND p.ts_event <= e.t1
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+labeled AS (
+  SELECT symbol, t0, entry, side, pt_time, sl_time, t1,
+         least(coalesce(pt_time, t1), coalesce(sl_time, t1), t1) AS touch_ts
+  FROM touch
+)
+SELECT l.symbol,
+       l.t0 AS "timestamp",
+       l.touch_ts AS touch_timestamp,
+       l.side,
+       (tp.price / l.entry - 1) * l.side AS return,
+       CAST(CASE WHEN (tp.price / l.entry - 1) * l.side > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+FROM labeled l
+JOIN (SELECT symbol, ts_event, first(price ORDER BY seq) AS price
+      FROM trades GROUP BY symbol, ts_event) tp
+  ON tp.symbol = l.symbol AND tp.ts_event = l.touch_ts
+""",
+    "Meta-labels (act/pass) over a deterministic ±1 bet side: "
+    "side-adjusted barrier detection, realized bet return, label=1 iff "
+    "positive (completes reference dynamic_labels.py:173-186 two-class "
+    "mode; AFML ch. 3.6)",
+)
+def q_triple_barrier_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _trades_config():
+        t = trades_from_events(spark, sf_dir).withColumn(
+            "side", F.when(F.col(SEQ_COL) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        )
+        out = dyn_ops.get_triple_barrier_label(
+            t,
+            span=TB_SPAN,
+            barrier_offset=TB_OFFSET,
+            profit_take=1.0,
+            stop_loss=1.0,
+            label_style="meta",
+            side_col="side",
+        )
+    return out
+
+
 # ==========================================================================
 # Extension operators (SURVEY §2.C): text analysis, dedup, similarity,
 # multimodal — the LLM-training-data pipeline layer over documents /
@@ -961,7 +1038,29 @@ SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_TOPK}
 def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < _N_QUERIES)
-    out = sim_ops.ivf_topk(emb, queries, k=_TOPK, n_cells=_N_CELLS, nprobe=_NPROBE)
+    # lowest_id centroids: the deterministic variant any engine can
+    # reproduce exactly — this query is the differential-oracle gate for
+    # the IVF plan shape (cell assignment, probing, ranking).
+    out = sim_ops.ivf_topk(
+        emb, queries, k=_TOPK, n_cells=_N_CELLS, nprobe=_NPROBE, centroid_method="lowest_id"
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "similarity_topk_ivf_kmeans",
+    None,
+    "IVF top-k with sampled spherical k-means centroids (the production "
+    "IVF recipe). Iterative training is not SQL-expressible — rows-only "
+    "here; quality is gated by tests/test_functions.py's recall@k "
+    "comparison against the oracle-verified exact cosine_topk.",
+)
+def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = sim_ops.ivf_topk(
+        emb, queries, k=_TOPK, n_cells=_N_CELLS, nprobe=_NPROBE, centroid_method="kmeans"
+    )
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from polars_trading_spark._utils import SEQ_COL
+from polars_trading_spark._utils import SEQ_COL, declare_unique_timestamps
 
 __all__ = ["read_table", "trades_from_events", "TRADES_CTE"]
 
@@ -56,20 +56,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The canonical trades table derived from ``events`` (FIXTURES.md §1)."""
+    """The canonical trades table derived from ``events`` (FIXTURES.md §1).
+
+    The driver testdata carries unique (symbol, ts) pairs at every scale
+    factor (verified across sf0.001/0.01/0.1), so this reader declares
+    per-group-unique timestamps — bar operators then auto-select the
+    scalar HashAggregate order key (``order_mode='auto'`` → ``'fast'``)
+    instead of the struct-key SortAggregate, with identical results.
+    """
     ev = read_table(spark, sf_dir, "events")
     ts = (
         F.timestamp_micros(F.expr("ts div 1000"))
         if dict(ev.dtypes).get("ts") == "bigint"
         else F.col("ts")
     )
-    return ev.select(
+    out = ev.select(
         ts.alias("ts_event"),
         (F.col("value") + F.lit(0.01)).alias("price"),
         (F.lit(10_000) + F.col("event_id") % 90_001).alias("size"),
         F.col("event_type").alias("symbol"),
         F.col("event_id").alias(SEQ_COL),
     )
+    return declare_unique_timestamps(out, "ts_event")
 
 
 # The same mapping as a DuckDB CTE body (oracle side). ``events`` is a

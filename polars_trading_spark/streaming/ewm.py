@@ -36,6 +36,14 @@ from polars_trading_spark.config import column_names
 __all__ = ["streaming_ewm_std", "ewm_step"]
 
 
+def _std_from(w1: float, w2: float, s: float) -> float | None:
+    denom = w1 * w1 - w2
+    if denom <= 0:
+        return None
+    var = (s / w1) * (w1 * w1 / denom)
+    return math.sqrt(var) if var > 0 else 0.0
+
+
 def ewm_step(state: tuple[float, float, float, float], x: float, alpha: float):
     """One West-update: state = (W1, W2, mean, S) → new state + std."""
     w1, w2, m, s = state
@@ -45,13 +53,19 @@ def ewm_step(state: tuple[float, float, float, float], x: float, alpha: float):
     d = x - m
     mn = m + d / w1n
     sn = decay * s + d * (x - mn)
-    denom = w1n * w1n - w2n
-    if denom <= 0:
-        std = None
-    else:
-        var = (sn / w1n) * (w1n * w1n / denom)
-        std = math.sqrt(var) if var > 0 else 0.0
-    return (w1n, w2n, mn, sn), std
+    return (w1n, w2n, mn, sn), _std_from(w1n, w2n, sn)
+
+
+def ewm_skip(state: tuple[float, float, float, float], alpha: float):
+    """Advance past a null observation with pandas ``ignore_na=False``
+    semantics: existing observations' weights decay relative to future
+    ones (W1·=1−α, W2·=(1−α)², S·=1−α), the mean is unchanged — and so
+    is the std, since the decay factors cancel in the bias-corrected
+    variance.  This keeps the stream bit-aligned with the batch pandas
+    path (``ewm(span).std()``) on series containing interior nulls."""
+    w1, w2, m, s = state
+    decay = 1.0 - alpha
+    return (decay * w1, decay * decay * w2, m, decay * s)
 
 
 def streaming_ewm_std(
@@ -60,15 +74,26 @@ def streaming_ewm_std(
     span: int,
     *,
     output_col: str = "ewm_std",
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Per-symbol streaming EWM std of ``value_col``.
 
     Emits one row per input row with the running std (null until two
-    observations).  Null values pass through with null std and do not
-    advance the weights (pandas ignore-leading-NaN behavior).
+    observations).  Null values decay the weight accumulators without
+    contributing an observation (pandas ``ignore_na=False``, matching
+    the batch ``operators/ewm.py`` pandas path value-for-value) and
+    emit the unchanged running std.
+
+    ``state_ttl`` (Polars duration string) optionally expires idle
+    per-symbol state on a processing-time timeout — EWM state is four
+    numbers, so the default keeps it forever; set a TTL when symbol
+    cardinality is unbounded.
     """
+    from polars_trading_spark._utils import parse_duration
+
     ts, symbol = column_names.timestamp, column_names.symbol
     alpha = 2.0 / (span + 1.0)
+    ttl_ms = parse_duration(state_ttl)[0] // 1000 if state_ttl is not None else None
 
     out_schema = T.StructType(
         [
@@ -91,6 +116,9 @@ def streaming_ewm_std(
     def update(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         (sym,) = key
         w1, w2, m, s, n = state.get if state.exists else (0.0, 0.0, 0.0, 0.0, 0)
         batches = list(pdfs)
@@ -100,12 +128,15 @@ def streaming_ewm_std(
         stds = []
         for x in batch[value_col]:
             if x is None or (isinstance(x, float) and math.isnan(x)):
-                stds.append(None)
+                (w1, w2, m, s) = ewm_skip((w1, w2, m, s), alpha)
+                stds.append(_std_from(w1, w2, s) if n > 1 else None)
                 continue
             (w1, w2, m, s), std = ewm_step((w1, w2, m, s), float(x), alpha)
             n += 1
             stds.append(std if n > 1 else None)
         state.update((w1, w2, m, s, n))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         out = batch[[ts, value_col]].copy()
         out[output_col] = pd.array(stds, dtype="float64")
         out.insert(0, symbol, sym)
@@ -116,5 +147,9 @@ def streaming_ewm_std(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

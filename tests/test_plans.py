@@ -95,11 +95,31 @@ def test_fast_order_mode_uses_hash_aggregate(trades):
     # the scalar unix_micros key must restore HashAggregate — the shape
     # that matters at 100 TB group cardinalities.
     with Config(timestamp_column="ts_event"):
-        exact = time_bars(trades, bar_size="15m")
+        exact = time_bars(trades, bar_size="15m", order_mode="exact")
         fast = time_bars(trades, bar_size="15m", order_mode="fast")
     assert "SortAggregate" in plan_string(exact)
     assert "HashAggregate" in plan_string(fast)
     assert "SortAggregate" not in plan_string(fast)
+
+
+def test_auto_order_mode_follows_source_declaration(trades, spark):
+    # trades_from_events declares unique (symbol, ts) → the default
+    # 'auto' mode must pick the HashAggregate fast path with no manual
+    # switch; an undeclared source must stay on the exact struct key.
+    import datetime as dt
+
+    with Config(timestamp_column="ts_event"):
+        declared = time_bars(trades, bar_size="15m")
+        undeclared = time_bars(
+            spark.createDataFrame(
+                [("A", 1.0, 1, dt.datetime(2021, 1, 1))],
+                "symbol string, price double, size long, ts_event timestamp",
+            ),
+            bar_size="15m",
+        )
+    assert "HashAggregate" in plan_string(declared)
+    assert "SortAggregate" not in plan_string(declared)
+    assert "SortAggregate" in plan_string(undeclared)
 
 
 def test_fast_order_mode_same_results_on_unique_ts(trades):

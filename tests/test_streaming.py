@@ -130,3 +130,139 @@ def test_streaming_ewm_std_matches_pandas(spark):
                     assert got[key] == pytest.approx(r, abs=1e-9)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+class _StubState:
+    """Minimal GroupState stand-in for driving update fns batch-by-batch."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_streaming_volume_bars_cross_batch_bar_is_complete():
+    """A bar spanning micro-batches must emit once, with OHLCV covering
+    every piece from every batch (ADVICE r1, medium)."""
+    import pandas as pd
+    from polars_trading_spark.streaming.bars import make_volume_update
+
+    update = make_volume_update(25, "ts_event", "price", "size", "symbol", ttl_ms=60000)
+    state = _StubState()
+    key = ("A", dt.date(2021, 1, 1))
+    t0 = dt.datetime(2021, 1, 1, 9, 30, 0)
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["ts_event", "price", "size"]).astype(
+            {"ts_event": "datetime64[us]"}
+        )
+
+    # Batch 1: 10@1.0, 20@2.0 → bar0 closes (25), bar1 open with 5@2.0.
+    out1 = pd.concat(
+        list(update(key, iter([batch([(t0, 1.0, 10), (t0 + dt.timedelta(seconds=30), 2.0, 20)])]), state))
+    )
+    finals1 = out1[out1["is_final"]]
+    assert list(finals1["volume"]) == [25]
+    assert list(finals1["open"]) == [1.0] and list(finals1["close"]) == [2.0]
+    partial1 = out1[~out1["is_final"]]
+    assert list(partial1["volume"]) == [5] and list(partial1["bar_id"]) == [1]
+    assert state.timeout_set == 60000
+
+    # Batch 2: 30@3.0 → bar1 closes with 5@2.0 (batch 1) + 20@3.0;
+    # its open/ts_start/vwap/n_trades must include the batch-1 piece.
+    t1 = t0 + dt.timedelta(minutes=1)
+    out2 = pd.concat(list(update(key, iter([batch([(t1, 3.0, 30)])]), state)))
+    finals2 = out2[out2["is_final"]]
+    assert list(finals2["bar_id"]) == [1]
+    assert list(finals2["volume"]) == [25]
+    assert finals2.iloc[0]["open"] == 2.0  # carried from batch 1
+    assert finals2.iloc[0]["ts_event_start"] == pd.Timestamp(t0 + dt.timedelta(seconds=30))
+    assert finals2.iloc[0]["vwap"] == pytest.approx((5 * 2.0 + 20 * 3.0) / 25)
+    assert finals2.iloc[0]["n_trades"] == 2
+    assert finals2.iloc[0]["high"] == 3.0 and finals2.iloc[0]["low"] == 2.0
+    partial2 = out2[~out2["is_final"]]
+    assert list(partial2["volume"]) == [10] and list(partial2["bar_id"]) == [2]
+
+    # Timeout path: state is dropped, nothing emitted.
+    state.hasTimedOut = True
+    assert list(update(key, iter([]), state)) == []
+    assert not state.exists
+
+
+def test_streaming_volume_bars_multi_bar_single_trade_cross_batch():
+    """One huge trade closing several bars, entered on a carried bar."""
+    import pandas as pd
+    from polars_trading_spark.streaming.bars import make_volume_update
+
+    update = make_volume_update(10, "ts_event", "price", "size", "symbol", ttl_ms=None)
+    state = _StubState()
+    key = ("A", dt.date(2021, 1, 1))
+    t0 = dt.datetime(2021, 1, 1, 9, 30, 0)
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["ts_event", "price", "size"]).astype(
+            {"ts_event": "datetime64[us]"}
+        )
+
+    out1 = pd.concat(list(update(key, iter([batch([(t0, 5.0, 4)])]), state)))
+    assert list(out1["is_final"]) == [False] and list(out1["volume"]) == [4]
+    # 26 more: bar0 takes 6, bar1 takes 10, bar2 takes 10, carry 0 → no partial.
+    out2 = pd.concat(list(update(key, iter([batch([(t0 + dt.timedelta(seconds=5), 7.0, 26)])]), state)))
+    assert list(out2["is_final"]) == [True, True, True]
+    assert list(out2["volume"]) == [10, 10, 10]
+    assert out2.iloc[0]["open"] == 5.0 and out2.iloc[0]["vwap"] == pytest.approx((4 * 5.0 + 6 * 7.0) / 10)
+    assert out2.iloc[1]["open"] == 7.0 and out2.iloc[1]["n_trades"] == 1
+    # State: carry 0, next open id 3, no accumulators.
+    assert state.get[0] == 0 and state.get[1] == 3 and state.get[8] == 0
+
+
+def test_streaming_ewm_std_interior_nulls_match_pandas(spark):
+    """Interior nulls decay the weights (pandas ignore_na=False) — the
+    stream must match the batch pandas path value-for-value (ADVICE r1)."""
+    import numpy as np
+    import pandas as pd
+
+    xs = [1.0, None, 2.0, 4.0, None, None, 3.0, 8.0]
+    rows = [
+        ("A", dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), x)
+        for i, x in enumerate(xs)
+    ]
+    d = tempfile.mkdtemp(prefix="pts_ewm_null_")
+    try:
+        schema = "symbol string, ts_event timestamp, ret double"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(d)
+        with Config(timestamp_column="ts_event"):
+            from polars_trading_spark.streaming.ewm import streaming_ewm_std
+
+            def make():
+                stream = spark.readStream.schema(schema).parquet(d)
+                return streaming_ewm_std(stream, "ret", span=4)
+
+            out = _run_stream(spark, make)
+        got = {r["ts_event"]: r["ewm_std"] for r in out}
+        ref = pd.Series([np.nan if x is None else x for x in xs]).ewm(span=4).std().tolist()
+        for i, r in enumerate(ref):
+            key = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+            if pd.isna(r) or i == 0:
+                assert got[key] is None or pd.isna(got[key])
+            else:
+                assert got[key] == pytest.approx(r, abs=1e-9), i
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
