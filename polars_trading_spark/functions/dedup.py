@@ -317,13 +317,29 @@ def ngram_jaccard_pairs(
       exactly the ones excluded from prefixes.
     * **length filter** — ``J ≥ t`` implies ``min(|A|,|B|) ≥
       t·max(|A|,|B|)``; applied inside the join condition.
+    * **positional filter** — a prefix match at (rank i of |A|, rank j
+      of |B|) caps the achievable overlap at ``min(|A|−i, |B|−j) + 1``,
+      which must reach ``⌈t/(1+t)·(|A|+|B|)⌉`` (the overlap ``J ≥ t``
+      requires); ranks come free from the prefix window.
 
-    Both filters are exact (no false negatives), so the output is
+    All three filters are exact (no false negatives), so the output is
     identical to the naive all-pairs-within-block formulation; survivors
     are verified with exact Jaccard over the full shingle arrays.
+
+    Shingles are carried as portable 60-bit hashes (``portable_hash60``,
+    i.e. the first 15 md5 hex digits), not strings: posting-join keys
+    and the verify-stage ``array_intersect`` run over longs, which is
+    severalfold cheaper than long string compares, and the DuckDB
+    oracle applies the identical hash so results match bit-for-bit.
+    Two shingles colliding in 60 bits (birthday ≈ one in 10⁹ at a
+    billion distinct shingles) would merge in both engines alike.
     """
     base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
-        *block_cols, "__id", word_ngrams_from(F.col("__toks"), ngram).alias("__ng")
+        *block_cols,
+        "__id",
+        F.array_distinct(
+            F.transform(word_ngrams_from(F.col("__toks"), ngram), portable_hash60)
+        ).alias("__ng"),
     )
     # Materialize the shingle arrays through an exchange before explode
     # (Generate re-evaluates inlined interpreted expressions), and track
@@ -348,7 +364,7 @@ def ngram_jaccard_pairs(
         posting.join(dfreq, on=[*block_cols, "__s"])
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
-        .select(*block_cols, "__id", "__n", "__s")
+        .select(*block_cols, "__id", "__n", "__s", "__rn")
     )
 
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -358,6 +374,13 @@ def ngram_jaccard_pairs(
     # Length filter (float form with ε margin — exact for integer sizes).
     on.append(F.col("a.__n").cast("double") >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9))
     on.append(F.col("b.__n").cast("double") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
+    # Positional filter (Xiao et al.): overlap still reachable past this
+    # match must meet the J ≥ t overlap bound ⌈t/(1+t)·(|A|+|B|)⌉.
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.__n") + F.col("b.__n")) - F.lit(1e-9)
+    )
+    reachable = F.least(F.col("a.__n") - F.col("a.__rn"), F.col("b.__n") - F.col("b.__rn")) + 1
+    on.append(reachable >= min_overlap)
     cand = (
         a.join(b, on=on)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))

@@ -10,7 +10,7 @@ that Java regex (Spark) and RE2 (DuckDB) evaluate identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import col_or_lit
@@ -25,6 +25,7 @@ __all__ = [
     "stopword_ratio",
     "language_id",
     "quality_score",
+    "text_profile",
     "STOPWORDS",
 ]
 
@@ -154,4 +155,61 @@ def quality_score(text) -> Column:
     punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
     return (
         0.3 * length_score + 0.3 * shape_score + 0.3 * stop_score + 0.1 * punct_score
+    )
+
+
+def text_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id", "lang"),
+) -> DataFrame:
+    """All five text measures in one pass with shared normalization.
+
+    The scalar functions above are composable but each re-derives
+    ``tokens(text)`` — and higher-order filters run interpreted with no
+    common-subexpression elimination, so a select computing all five
+    measures runs the regex tokenizer ~10× per row (measured 4.7s vs
+    0.8s on 5k docs).  Here the normalized text and token array are
+    staged as real columns in intermediate projections; CollapseProject
+    keeps multi-referenced non-trivial aliases materialized, so the
+    tokenizer runs once per row and every measure reads the array.
+    Still zero shuffles, one scan.
+
+    Output: ``keep`` + (n_tokens, fingerprint, lang_guess,
+    stopword_ratio, quality_score) — unrounded; callers round for
+    cross-engine float comparison.
+    """
+    raw = F.col(text_col)
+    staged = df.select(*keep, text_col, normalize_text(raw).alias("__norm"))
+    staged = staged.select(
+        "*", F.filter(F.split(F.col("__norm"), " "), lambda x: x != "").alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:  # first max wins — same order as the SQL CASE
+        lang_expr = lang_expr.when(hits[lang] == best, lang)
+    sw = F.when(n > 0, hits["en"] / n).otherwise(0.0)
+
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = F.when(n > 0, total_len / n).otherwise(0.0)
+    raw_len = F.length(raw)
+    non_alnum = raw_len - F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""))
+    punct_ratio = F.when(raw_len > 0, non_alnum / raw_len).otherwise(0.0)
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    shape_score = F.greatest(F.lit(0.0), 1 - F.abs(mean_len - 5.0) / 5.0)
+    stop_score = F.least(sw / F.lit(0.4), F.lit(1.0))
+    punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
+    quality = 0.3 * length_score + 0.3 * shape_score + 0.3 * stop_score + 0.1 * punct_score
+
+    return staged.select(
+        *keep,
+        n.alias("n_tokens"),
+        F.md5("__norm").alias("fingerprint"),
+        lang_expr.alias("lang_guess"),
+        sw.alias("stopword_ratio"),
+        quality.alias("quality_score"),
     )

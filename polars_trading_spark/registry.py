@@ -709,14 +709,15 @@ FROM feat
 )
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    out = text_ops.text_profile(docs, text_col="text", keep=("doc_id", "lang"))
+    return out.select(
         "doc_id",
         "lang",
-        text_ops.token_count("text").alias("n_tokens"),
-        text_ops.doc_fingerprint("text").alias("fingerprint"),
-        text_ops.language_id("text").alias("lang_guess"),
-        F.round(text_ops.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(text_ops.quality_score("text"), 6).alias("quality_score"),
+        "n_tokens",
+        "fingerprint",
+        "lang_guess",
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
     )
 
 
@@ -873,7 +874,7 @@ WITH
 {_DOCS_TOK_CTE},
 ng AS (
   SELECT doc_id, lang,
-         list_distinct([array_to_string(toks[i+1:i+3], ' ')
+         list_distinct([{_sql_hash60("array_to_string(toks[i+1:i+3], ' ')")}
                         for i in range(0, len(toks) - 2)]) AS g
   FROM tok
 ),
