@@ -130,22 +130,39 @@ def minhash_lsh_pairs(
     base = _tokenized(df, text_col, id_col).select(
         "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
     )
-    base = base.withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes))
-    # Signature table feeds both sides of the band self-join — persist
-    # lazily so shingling + k permutations run once (see simhash_pairs).
+    # Shingle-set table: feeds the signature aggregate and both verify
+    # joins — persist lazily so shingling runs once (see simhash_pairs).
     # Tracked: released by the caller via release_persisted().
     base = persist_tracked(base)
 
-    banded = base.select(
+    # k permutation minima in one codegen HashAggregate over the
+    # exploded shingles instead of k interpreted array transforms;
+    # ``explode_outer`` keeps empty shingle sets (null shingle → null
+    # permuted values → null min), coalesced to P — the empty-set
+    # sentinel that sorts above every real hash, so short documents
+    # never collide into real buckets.
+    sig = (
+        base.select("__id", F.explode_outer("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.min((F.lit(ca) * F.col("__s") + F.lit(cb)) % F.lit(MERSENNE31)),
+                    F.lit(MERSENNE31),
+                ).alias(f"__m{i}")
+                for i, (ca, cb) in enumerate(_coeffs(num_hashes))
+            ]
+        )
+    )
+    banded = sig.select(
         "__id",
-        "__sh",
         F.posexplode(
             F.array(
                 *[
                     F.concat_ws(
                         ",",
                         *[
-                            F.col("__sig")[i].cast("string")
+                            F.col(f"__m{i}").cast("string")
                             for i in range(b * rows_per_band, (b + 1) * rows_per_band)
                         ],
                     )
@@ -165,18 +182,18 @@ def minhash_lsh_pairs(
                 F.col("a.__id") < F.col("b.__id"),
             ],
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verify with exact Jaccard over the persisted shingle arrays —
+    # id-only candidates join the arrays back rather than fanning the
+    # arrays through the band self-join.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        cand.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
+        cand.join(base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(0.0))
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -215,31 +232,25 @@ def simhash_pairs(
     """
     blocks = max_hamming + 1
     block_bits = bits // blocks
-    hashed = _tokenized(df, text_col, id_col).select(
-        "__id",
-        F.transform(F.col("__toks"), lambda t: portable_hash60(t)).alias("__hs"),
-    )
     # Bit votes as a native aggregation instead of `bits` interpreted
-    # array folds: explode the hash array once, then one HashAggregate
-    # computes all per-bit vote sums in whole-stage codegen.  Same
-    # semantics as ``simhash`` (kept as the Column-level form), far
-    # better shape at scale — interpreted HOFs never touch the hot loop.
-    # Barrier so Generate sees a materialized hash array, not the md5
-    # transform chain (which it would re-evaluate per output row).
-    hashed = hashed.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    votes = (
-        hashed.select("__id", F.explode("__hs").alias("__h"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
-                for b in range(bits)
-            ]
-        )
+    # array folds: explode the token array, hash in a codegen projection
+    # (md5/conv never enter an interpreted lambda), then one
+    # HashAggregate computes all per-bit vote sums in whole-stage
+    # codegen.  Same semantics as ``simhash`` (kept as the Column-level
+    # form).  ``explode_outer`` keeps zero-token docs as a single null
+    # row — their votes sum to null, coalesced to the all-zero sketch —
+    # so no re-attach join (which would re-run the tokenizer branch).
+    rows = (
+        _tokenized(df, text_col, id_col)
+        .select("__id", F.explode_outer("__toks").alias("__t"))
+        .select("__id", portable_hash60(F.col("__t")).alias("__h"))
     )
-    # Zero-token docs vanish in the explode; re-attach them with an
-    # all-zero vote vector (sketch 0), matching the fold semantics.
-    votes = hashed.select("__id").join(votes, on="__id", how="left")
+    votes = rows.groupBy("__id").agg(
+        *[
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
     sketch = F.lit(0).cast("long")
     for b in range(bits):
         sketch = sketch + F.when(

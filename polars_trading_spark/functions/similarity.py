@@ -177,6 +177,55 @@ def kmeans_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _with_centroid_sims(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str,
+    out_col: str = "__sims",
+) -> DataFrame:
+    """Append an array column of cosine similarities against ``centroids``
+    via one Arrow-batched ``mapInPandas`` pass.
+
+    This is the scale path for coarse-quantizer assignment: the centroid
+    matrix rides in the UDF closure (no dim×cells literal forest in the
+    plan, no interpreted fold per cell per row), and each Arrow batch is
+    a handful of vectorized numpy ops.  Accumulation is **sequential
+    over dimensions** (one vectorized step per dim), reproducing the
+    exact IEEE-754 operation order of the JVM ``aggregate`` fold and the
+    DuckDB oracle's list comprehension — so assignments are bit-identical
+    to the pure-Column formulation, not merely close.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    cn = np.zeros(C.shape[0])
+    for d in range(C.shape[1]):
+        cn += C[:, d] ** 2
+    cnorm = np.sqrt(cn)
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            dots = np.zeros((len(pdf), C.shape[0]))
+            na = np.zeros(len(pdf))
+            for d in range(C.shape[1]):
+                dots += X[:, d : d + 1] * C[None, :, d]
+                na += X[:, d] ** 2
+            sims = dots / (np.sqrt(na)[:, None] * cnorm[None, :])
+            out = pdf.copy()
+            out[out_col] = list(sims)
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -209,9 +258,10 @@ def ivf_topk(
       differential oracle.
 
     Cell assignment is argmax cosine against the centroids, ties to the
-    lowest cell index.  At 100 TB the per-row assignment becomes one
-    numpy matmul inside ``mapInPandas``; everything downstream is
-    unchanged.
+    lowest cell index; the per-row affinity computation runs as a numpy
+    matmul inside ``mapInPandas`` (``_with_centroid_sims``), bit-aligned
+    with the Column-fold formulation so the DuckDB differential oracle
+    still matches exactly.
 
     Returns the ``cosine_topk`` schema (query_id, rank, vec_id,
     cosine_sim) — compare against it to measure recall.
@@ -229,20 +279,20 @@ def ivf_topk(
     else:
         raise ValueError(f"centroid_method must be 'kmeans' or 'lowest_id', got {centroid_method!r}")
 
-    def cell_sims(vec: Column) -> Column:
-        return F.array(
-            *[cosine(vec, F.array(*[F.lit(float(x)) for x in cvec])) for cvec in centroids]
-        )
-
     c = (
-        corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv"))
-        .withColumn("__sims", cell_sims(F.col("__cv")))
+        _with_centroid_sims(
+            corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv")),
+            centroids,
+            vec_col="__cv",
+        )
         .withColumn("__cell", F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
         .drop("__sims")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__sims", cell_sims(F.col("__qv")))
+    q = _with_centroid_sims(
+        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")),
+        centroids,
+        vec_col="__qv",
+    )
     probes = (
         q.select("query_id", "__qv", F.posexplode("__sims").alias("__cell", "__csim"))
         .withColumn(
