@@ -98,16 +98,26 @@ def daily_vol(df: DataFrame, *, span: int = 100, ewm_method: str = "pandas") -> 
     )
 
 
-def get_vertical_barrier_by_timedelta(df: DataFrame, offset: str | timedelta) -> DataFrame:
+def get_vertical_barrier_by_timedelta(
+    df: DataFrame, offset: str | timedelta, *, keep_cols: Sequence[str] = ()
+) -> DataFrame:
     """First observed timestamp at-or-after ``ts + offset`` per symbol
     (reference dynamic_labels.py:89-145; inclusive-forward as-of,
     semantics pinned by the reference's golden tests
-    tests/labels/test_dynamic_labels.py:109-237)."""
+    tests/labels/test_dynamic_labels.py:109-237).
+
+    ``keep_cols`` passes extra input columns through the as-of
+    unchanged — the union-window join carries left columns for free, so
+    annotating an already-joined frame costs no extra shuffle (vs
+    joining the (ts, barrier) result back on the timestamp).
+    """
     ts, symbol = column_names.timestamp, column_names.symbol
     has_symbol = symbol in df.columns
     by = [symbol] if has_symbol else []
 
-    offsets = df.select(*by, ts, (F.col(ts) + _offset_interval(offset)).alias("__offset"))
+    offsets = df.select(
+        *by, ts, *keep_cols, (F.col(ts) + _offset_interval(offset)).alias("__offset")
+    )
     right = df.select(*by, F.col(ts).alias("vertical_barrier"))
     out = asof_join(
         offsets,
@@ -117,7 +127,7 @@ def get_vertical_barrier_by_timedelta(df: DataFrame, offset: str | timedelta) ->
         by=by or None,
         strategy="forward",
     )
-    return out.select(*by, ts, "vertical_barrier")
+    return out.select(*by, ts, *keep_cols, "vertical_barrier")
 
 
 def apply_profit_taking_stop_loss(
@@ -187,6 +197,12 @@ def apply_profit_taking_stop_loss(
         (F.col("__pts") >= F.col("__t0")) & (F.col("__pts") <= F.col("__t1"))
     )
     ret = (F.col("__pp") / F.col("__entry") - 1) * F.col("__side")
+    # Keep this aggregate to cheap min(when(...)) forms only: its input
+    # is the event×path fan-out (the big relation in the pipeline), so
+    # every extra per-row expression here is multiplied by the horizon.
+    # Touch PRICES are resolved by a separate tiny aggregate over the
+    # trades table in the caller — measured 2× faster than fusing
+    # conditional min_by(struct) lookups into this aggregate.
     touched = joined.groupBy("__event_id", *by).agg(
         F.first("__t0").alias("__t0"),
         F.first("__t1").alias("__t1"),
