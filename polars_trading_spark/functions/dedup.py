@@ -68,10 +68,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_hashes(toks: Column, n: int = 3) -> Column:
-    """Distinct word-n-gram shingles (from a materialized token column —
-    see ``word_ngrams_from``) as portable 31-bit hashes."""
+    """Distinct word-n-gram shingles (from a materialized token column)
+    as portable 31-bit hashes.
+
+    Instead of materializing string n-grams and hashing each (string
+    concat + md5 per shingle), tokens are hashed once and consecutive
+    token hashes combine arithmetically: ``c = (c·31 + h_i) mod P``
+    per position.  All long arithmetic stays below 2³⁶ so the identical
+    expression runs on DuckDB BIGINTs (which trap on overflow) — the
+    oracles reproduce every value exactly.  Collisions in the 31-bit
+    space are hash-function-deterministic, hence identical across
+    engines.
+    """
+    from functools import reduce
+
+    hs = F.transform(toks, lambda t: portable_hash60(t) % MERSENNE31)
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(hs, i + 1, m) for i in range(n)]
+    combined = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: (x * 31 + y) % MERSENNE31), parts
+    )
     return F.array_distinct(
-        F.transform(word_ngrams_from(toks, n), lambda s: portable_hash60(s) % MERSENNE31)
+        F.when(m > 0, combined).otherwise(F.array().cast("array<long>"))
     )
 
 
@@ -337,20 +355,18 @@ def ngram_jaccard_pairs(
     identical to the naive all-pairs-within-block formulation; survivors
     are verified with exact Jaccard over the full shingle arrays.
 
-    Shingles are carried as portable 60-bit hashes (``portable_hash60``,
-    i.e. the first 15 md5 hex digits), not strings: posting-join keys
-    and the verify-stage ``array_intersect`` run over longs, which is
-    severalfold cheaper than long string compares, and the DuckDB
-    oracle applies the identical hash so results match bit-for-bit.
-    Two shingles colliding in 60 bits (birthday ≈ one in 10⁹ at a
-    billion distinct shingles) would merge in both engines alike.
+    Shingles are carried as portable 31-bit combined token hashes
+    (``shingle_hashes``), not strings: posting-join keys and the
+    verify-stage ``array_intersect`` run over longs, severalfold
+    cheaper than string shingle building + per-shingle hashing, and the
+    DuckDB oracle applies the identical arithmetic so results match
+    bit-for-bit (collisions, being hash-deterministic, merge in both
+    engines alike).
     """
     base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
         *block_cols,
         "__id",
-        F.array_distinct(
-            F.transform(word_ngrams_from(F.col("__toks"), ngram), portable_hash60)
-        ).alias("__ng"),
+        shingle_hashes(F.col("__toks"), ngram).alias("__ng"),
     )
     # Materialize the shingle arrays through an exchange before explode
     # (Generate re-evaluates inlined interpreted expressions), and track

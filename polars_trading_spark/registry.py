@@ -651,6 +651,25 @@ def _sql_hash60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _sql_shingle_sh_cte(n: int) -> str:
+    """DuckDB twin of ``dedup.shingle_hashes``: per-token 31-bit hashes
+    combined arithmetically over each n-token window (list named
+    ``sh`` keyed by doc_id; expects the ``tok`` CTE in scope).  The
+    fold order and modulus match the Spark zip_with chain exactly, and
+    every intermediate stays below 2^36 (DuckDB BIGINTs trap on
+    overflow rather than wrapping)."""
+    combined = "hs[i+1]"
+    for j in range(2, n + 1):
+        combined = f"(({combined}) * 31 + hs[i+{j}]) % {MERSENNE31}"
+    return f"""hs AS (
+  SELECT doc_id, [{_sql_hash60("t")} % {MERSENNE31} for t in toks] AS hs FROM tok
+),
+sh AS (
+  SELECT doc_id, list_distinct([{combined} for i in range(0, len(hs) - {n - 1})]) AS sh
+  FROM hs
+)"""
+
+
 def _sql_stopword_hits(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
     return f"len(list_filter(toks, t -> list_contains([{words}], t)))"
@@ -777,13 +796,7 @@ _BAND_UNION_SQL = " UNION ALL ".join(
     f"""
 WITH
 {_DOCS_TOK_CTE},
-sh AS (
-  SELECT doc_id,
-         list_distinct([{_sql_hash60("g")} % {MERSENNE31}
-                        for g in list_distinct([array_to_string(toks[i+1:i+{_MH_NGRAM}], ' ')
-                                                for i in range(0, len(toks) - {_MH_NGRAM - 1})])]) AS sh
-  FROM tok
-),
+{_sql_shingle_sh_cte(_MH_NGRAM)},
 sig AS (SELECT doc_id, sh, {_SIG_SQL} FROM sh),
 banded AS ({_BAND_UNION_SQL}),
 cand AS (
@@ -872,11 +885,10 @@ _NJ_THRESHOLD = 0.2
     f"""
 WITH
 {_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(3)},
 ng AS (
-  SELECT doc_id, lang,
-         list_distinct([{_sql_hash60("array_to_string(toks[i+1:i+3], ' ')")}
-                        for i in range(0, len(toks) - 2)]) AS g
-  FROM tok
+  SELECT s.doc_id, t.lang, s.sh AS g
+  FROM sh s JOIN tok t ON s.doc_id = t.doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
