@@ -139,7 +139,7 @@ def apply_profit_taking_stop_loss(
     profit_take: float | None = 1.0,
     stop_loss: float | None = 1.0,
     side_col: str | None = None,
-    day_bucket: bool = True,
+    bucket: str | timedelta | None = "1d",
 ) -> DataFrame:
     """Earliest path timestamps crossing ±(pt/sl)·target (completes
     reference dynamic_labels.py:148-170; semantics per AFML pg. 45).
@@ -150,10 +150,15 @@ def apply_profit_taking_stop_loss(
     Returns the events plus ``pt_time`` / ``sl_time`` (null = never
     crossed before the barrier).
 
-    ``day_bucket=True`` joins on (symbol, calendar day) with the
-    ``[t0, t1]`` range as a filter — each event is exploded to the days
+    ``bucket`` joins on (symbol, floor(epoch / bucket)) with the
+    ``[t0, t1]`` range as a filter — each event explodes to the buckets
     its window covers, keeping join fan-out proportional to the barrier
-    horizon (scale path).  Set False for a plain range join.
+    horizon (the scale path; a plain range join risks a per-symbol
+    cross product).  Size it to the typical horizon: a bucket much
+    wider than the horizon joins path rows that the range filter
+    discards (with a 4h horizon, "4h" buckets measured ~3× fewer joined
+    rows than "1d"), while much narrower buckets explode gap-spanning
+    events into many pieces.  ``None`` = plain range join.
     """
     ts, price, symbol = column_names.timestamp, column_names.price, column_names.symbol
     has_symbol = symbol in events.columns
@@ -181,13 +186,22 @@ def apply_profit_taking_stop_loss(
     path = prices.select(*by, F.col(ts).alias("__pts"), F.col(price).alias("__pp"))
 
     join_keys = []
-    if day_bucket:
+    if bucket is not None:
+        if isinstance(bucket, timedelta):
+            bucket_us = int(bucket.total_seconds() * 1_000_000)
+        else:
+            bucket_us, _ = parse_duration(bucket)
         ev = ev.withColumn(
-            "__day",
-            F.explode(F.sequence(F.to_date("__t0"), F.to_date("__t1"), F.expr("INTERVAL 1 DAY"))),
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros("__t0") / bucket_us),
+                    F.floor(F.unix_micros("__t1") / bucket_us),
+                )
+            ),
         )
-        path = path.withColumn("__day", F.to_date("__pts"))
-        join_keys.append("__day")
+        path = path.withColumn("__bkt", F.floor(F.unix_micros("__pts") / bucket_us))
+        join_keys.append("__bkt")
     join_keys.extend(by)
     # The join fans each event out to its path rows — make sure the probe
     # side is spread across the cluster even when it comes from one split.
@@ -285,6 +299,15 @@ def get_triple_barrier_label(
 
         events = persist_tracked(events, StorageLevel.MEMORY_AND_DISK)
         events.count()
+    # Bucket the first-touch join by the barrier horizon (clamped to
+    # [1h, 1d]): horizon-sized buckets join only path rows the range
+    # filter can actually keep, and the 1h floor bounds the explode
+    # count for events whose barrier lands after a session gap.
+    if isinstance(barrier_offset, timedelta):
+        offset_us = int(barrier_offset.total_seconds() * 1_000_000)
+    else:
+        offset_us, _ = parse_duration(barrier_offset)
+    bucket_us = min(max(offset_us, 3_600_000_000), 86_400_000_000)
     touched = apply_profit_taking_stop_loss(
         events,
         trades,
@@ -293,6 +316,7 @@ def get_triple_barrier_label(
         profit_take=profit_take,
         stop_loss=stop_loss,
         side_col=side_col,
+        bucket=timedelta(microseconds=bucket_us),
     )
     first_touch = F.least(
         F.coalesce(F.col("pt_time"), F.col("t1")),
