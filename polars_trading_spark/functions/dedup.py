@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "connected_components",
 ]
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -424,3 +425,105 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    min-label propagation.
+
+    The pair generators (``minhash_lsh_pairs`` / ``simhash_pairs`` /
+    ``ngram_jaccard_pairs`` / embedding-cosine) emit an *edge list*;
+    what a cleaning pipeline actually needs is the keep/drop decision,
+    which requires the transitive closure: if A~B and B~C then A, B, C
+    are one duplicate cluster even when A~C was never emitted.  Each
+    component's minimum id is its canonical keeper.
+
+    Algorithm: min-label propagation — every node starts labeled with
+    its own id; each round every node takes the min of its own and its
+    neighbors' labels.  One shuffle per round (edges ⋈ labels, then a
+    min-aggregate), converging in O(component diameter) rounds.
+    Near-dup clusters are short chains (diameter of a few hops), so
+    this settles in 3-5 rounds; ``max_iterations`` bounds pathological
+    chains.  For adversarial graphs with long paths the O(log n)-round
+    alternative is large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14); min-propagation is
+    chosen because dedup graphs are overwhelmingly tiny stars and each
+    round is a single co-partitioned shuffle on the node id.
+
+    Convergence detection costs one scalar aggregate per round: labels
+    only ever decrease, so an unchanged sum(label) is a fixpoint — no
+    old-vs-new join needed.  The per-round ``collect()`` of that single
+    scalar is the driver's loop condition, not a data collect; this is
+    the same driver-coordinated iteration GraphX/GraphFrames use.
+
+    Each round's label frame is ``localCheckpoint``-ed (eager): the
+    label frame feeds both the neighbor join and the union, so without
+    lineage truncation the logical plan doubles per round — 2^rounds
+    nodes blows the driver heap at analysis time long before any data
+    is large.  Checkpointing makes each round's plan O(1); blocks from
+    retired rounds are released by Spark's ContextCleaner when the
+    superseded frames go out of scope.  (On a fault-tolerant cluster
+    run, swap for reliable ``checkpoint()`` against a checkpoint dir —
+    same contract, executor-loss-safe.)
+
+    Parameters: ``pairs`` with columns ``id_a``/``id_b``; optional
+    ``nodes`` (e.g. the documents table) to include singletons — nodes
+    absent from every pair come back as their own cluster of size 1.
+    Output: one row per node — ``(node_col, cluster_id, cluster_size,
+    is_duplicate)``.
+    """
+    edges = pairs.select(F.col(id_a).alias("__src"), F.col(id_b).alias("__dst")).unionByName(
+        pairs.select(F.col(id_b).alias("__src"), F.col(id_a).alias("__dst"))
+    )
+    edges = persist_tracked(ensure_parallelism(edges, "__dst"))
+
+    cur = (
+        edges.select(F.col("__src").alias("__nid"))
+        .distinct()
+        .withColumn("__comp", F.col("__nid"))
+        .localCheckpoint()
+    )
+    # Labels are monotone non-increasing under min-propagation, so the
+    # sum is a strictly decreasing potential function until fixpoint.
+    def _label_sum(labels: DataFrame):
+        return labels.agg(F.sum(F.col("__comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    cur_sum = _label_sum(cur)
+    for _ in range(max_iterations):
+        msgs = edges.join(
+            cur.select(F.col("__nid").alias("__dst"), "__comp"), on="__dst"
+        ).select(F.col("__src").alias("__nid"), "__comp")
+        nxt = (
+            cur.select("__nid", "__comp")
+            .unionByName(msgs)
+            .groupBy("__nid")
+            .agg(F.min("__comp").alias("__comp"))
+            .localCheckpoint()  # eager: truncates lineage, materializes
+        )
+        nxt_sum = _label_sum(nxt)
+        converged = nxt_sum == cur_sum
+        cur, cur_sum = nxt, nxt_sum
+        if converged:
+            break
+
+    if nodes is not None:
+        labeled = (
+            nodes.select(F.col(node_col))
+            .join(cur.withColumnRenamed("__nid", node_col), on=node_col, how="left")
+            .withColumn("cluster_id", F.coalesce("__comp", F.col(node_col)))
+            .drop("__comp")
+        )
+    else:
+        labeled = cur.select(F.col("__nid").alias(node_col), F.col("__comp").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return labeled.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("int")
+    ).withColumn("is_duplicate", F.col(node_col) != F.col("cluster_id"))

@@ -791,11 +791,9 @@ _BAND_UNION_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-WITH
-{_DOCS_TOK_CTE},
+# The full minhash pair-generation CTE chain, shared by the pairs oracle
+# and the connected-components (dedup_clusters) oracle.
+_MH_PAIR_CTES = f"""{_DOCS_TOK_CTE},
 {_sql_shingle_sh_cte(_MH_NGRAM)},
 sig AS (SELECT doc_id, sh, {_SIG_SQL} FROM sh),
 banded AS ({_BAND_UNION_SQL}),
@@ -811,7 +809,14 @@ verified AS (
                    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
               ELSE 0.0 END AS jaccard
   FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
-)
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH
+{_MH_PAIR_CTES}
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard
 FROM verified WHERE jaccard >= {_MH_THRESHOLD}
 """,
@@ -828,6 +833,54 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_MH_THRESHOLD,
     )
     return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters: transitive closure of the near-dup pairs -> keep/drop.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+{_MH_PAIR_CTES},
+pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS mind FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(least(c.doc_id, c.mind), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+       doc_id <> cluster_id AS is_duplicate
+FROM labeled
+""",
+    "Duplicate clusters: MinHash-LSH pairs -> connected components "
+    "(min-label propagation) -> canonical keeper per cluster, singletons "
+    "included",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return dedup_ops.connected_components(pairs, nodes=docs)
 
 
 # --------------------------------------------------------------------------

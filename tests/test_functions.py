@@ -238,3 +238,26 @@ def test_ivf_kmeans_recall_floor_on_testdata(spark, sf_dir):
         for r in similarity.ivf_topk(emb, queries, k=k, n_cells=8, nprobe=2).collect()
     }
     assert len(ap & exact) / len(exact) >= 0.5  # 2/8 cells probed
+
+
+def test_connected_components_transitive_chain(spark):
+    # a-b and b-c emitted, a-c never emitted: all three must cluster.
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["doc_id"])
+    out = {r.doc_id: r for r in dedup.connected_components(pairs, nodes=nodes).collect()}
+    assert {out[i].cluster_id for i in (1, 2, 3)} == {1}
+    assert out[3].cluster_size == 3 and out[3].is_duplicate
+    assert not out[1].is_duplicate
+    assert out[10].cluster_id == out[11].cluster_id == 10
+    # Singleton from nodes, absent from every pair: own cluster of 1.
+    assert out[99].cluster_id == 99 and out[99].cluster_size == 1
+    assert not out[99].is_duplicate
+
+
+def test_connected_components_long_path_converges(spark):
+    # Worst-case diameter: a 12-node path; min label must reach the end.
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    out = dedup.connected_components(pairs).collect()
+    assert len(out) == 13
+    assert all(r.cluster_id == 0 for r in out)
+    assert all(r.cluster_size == 13 for r in out)
