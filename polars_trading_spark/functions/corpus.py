@@ -1,0 +1,99 @@
+"""Corpus cleanse: the composite keep/drop pass of a training-data
+pipeline, assembled from the text / dedup primitives.
+
+A pretraining-data pipeline rarely runs language-ID, quality scoring,
+and dedup as separate jobs over 100 TB — it runs ONE pass that scores
+every document and emits a keep decision with an audit trail (which
+gate dropped it).  ``corpus_filter`` is that pass:
+
+* **text gates** — language allow-list (stopword language-ID), token
+  count bounds, heuristic quality floor.  All from ``text_profile``'s
+  single codegen-only scan: no shuffle, no UDF.
+* **exact dedup** — fingerprint-group keeper (lowest id survives).
+  One window over the fingerprint hash.
+* **near dedup** — MinHash-LSH pairs → connected components → only
+  each cluster's minimum id survives.  Transitive: if A~B and B~C,
+  exactly one of {A, B, C} is kept even though A~C was never emitted.
+
+Gate semantics: dedup keepers are decided on the *full* corpus before
+any text gate applies (the industry-standard order — filtering first
+would re-introduce duplicates whose keeper was filtered), then ``keep``
+is the conjunction of all five gates.  Each gate is also emitted as its
+own boolean column so downstream audits can attribute drop rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
+from polars_trading_spark.functions.text import text_profile
+
+__all__ = ["corpus_filter"]
+
+
+def corpus_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.5,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """One row per document: text-gate scores, dedup flags, and the
+    final ``keep`` decision.
+
+    Output columns: ``(id_col, lang_guess, n_tokens, quality_score,
+    pass_lang, pass_tokens, pass_quality, is_exact_dup, is_near_dup,
+    keep)``.  ``quality_score`` is unrounded; callers round for
+    cross-engine comparison.
+
+    Plan shape at scale: the profile is one scan (codegen only); exact
+    dedup adds one shuffle on the fingerprint; the near-dup leg is the
+    bucketed MinHash join plus the O(diameter)-round component loop —
+    all keyed shuffles, nothing quadratic.  The three legs join back on
+    the document id, so AQE can plan them independently.
+    """
+    prof = text_profile(df, text_col=text_col, keep=(id_col,))
+    exact_w = Window.partitionBy("fingerprint")
+    prof = prof.withColumn("__exact_keep", F.min(id_col).over(exact_w))
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs, nodes=df.select(id_col), node_col=id_col)
+
+    out = prof.join(comp.select(id_col, "cluster_id"), on=id_col)
+    return out.select(
+        id_col,
+        "lang_guess",
+        "n_tokens",
+        "quality_score",
+        F.col("lang_guess").isin(*langs).alias("pass_lang"),
+        ((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)).alias(
+            "pass_tokens"
+        ),
+        (F.col("quality_score") >= min_quality).alias("pass_quality"),
+        (F.col(id_col) != F.col("__exact_keep")).alias("is_exact_dup"),
+        (F.col(id_col) != F.col("cluster_id")).alias("is_near_dup"),
+    ).withColumn(
+        "keep",
+        F.col("pass_lang")
+        & F.col("pass_tokens")
+        & F.col("pass_quality")
+        & ~F.col("is_exact_dup")
+        & ~F.col("is_near_dup"),
+    )

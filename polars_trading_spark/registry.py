@@ -625,6 +625,7 @@ def q_triple_barrier_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embeddings.
 # ==========================================================================
 
+from polars_trading_spark.functions import corpus as corpus_ops  # noqa: E402
 from polars_trading_spark.functions import dedup as dedup_ops  # noqa: E402
 from polars_trading_spark.functions import multimodal as mm_ops  # noqa: E402
 from polars_trading_spark.functions import similarity as sim_ops  # noqa: E402
@@ -691,12 +692,9 @@ _LANG_CASE = (
 )
 
 
-@register(
-    "text_analysis",
-    f"""
-WITH
-{_DOCS_TOK_CTE},
-hits AS (
+# Text feature CTEs + the quality formula, shared by text_analysis and
+# corpus_filter (expects the docs/tok CTEs in scope).
+_TEXT_FEAT_CTES = f"""hits AS (
   SELECT *,
          {", ".join(f"{_sql_stopword_hits(lang)} AS c_{lang}" for lang in STOPWORDS)}
   FROM tok
@@ -714,13 +712,23 @@ feat AS (
                     / length(text)
               ELSE 0.0 END AS punct_ratio
   FROM hits
-)
-SELECT doc_id, lang, n_tokens, fingerprint, lang_guess,
-       round(sw_ratio, 6) AS stopword_ratio,
-       round(0.3 * least(n_tokens / 100.0, 1.0)
+)"""
+
+_QUALITY_SQL = """0.3 * least(n_tokens / 100.0, 1.0)
            + 0.3 * greatest(0.0, 1 - abs(mean_len - 5.0) / 5.0)
            + 0.3 * least(sw_ratio / 0.4, 1.0)
-           + 0.1 * (1 - least(punct_ratio / 0.2, 1.0)), 6) AS quality_score
+           + 0.1 * (1 - least(punct_ratio / 0.2, 1.0))"""
+
+
+@register(
+    "text_analysis",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES}
+SELECT doc_id, lang, n_tokens, fingerprint, lang_guess,
+       round(sw_ratio, 6) AS stopword_ratio,
+       round({_QUALITY_SQL}, 6) AS quality_score
 FROM feat
 """,
     "Token counts, content fingerprint, stopword language-ID, heuristic "
@@ -791,10 +799,10 @@ _BAND_UNION_SQL = " UNION ALL ".join(
 )
 
 
-# The full minhash pair-generation CTE chain, shared by the pairs oracle
-# and the connected-components (dedup_clusters) oracle.
-_MH_PAIR_CTES = f"""{_DOCS_TOK_CTE},
-{_sql_shingle_sh_cte(_MH_NGRAM)},
+# The minhash pair-generation CTE chain (sans docs/tok, so composites
+# can prepend their own shared scan CTEs), used by the pairs oracle, the
+# connected-components (dedup_clusters) oracle, and corpus_filter.
+_MH_PAIR_TAIL = f"""{_sql_shingle_sh_cte(_MH_NGRAM)},
 sig AS (SELECT doc_id, sh, {_SIG_SQL} FROM sh),
 banded AS ({_BAND_UNION_SQL}),
 cand AS (
@@ -809,6 +817,29 @@ verified AS (
                    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
               ELSE 0.0 END AS jaccard
   FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+)"""
+
+_MH_PAIR_CTES = f"""{_DOCS_TOK_CTE},
+{_MH_PAIR_TAIL}"""
+
+# Transitive closure of the verified pairs (recursive CTE) down to the
+# per-document canonical label — shared by dedup_clusters/corpus_filter.
+_CC_TAIL = f"""pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS mind FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(least(c.doc_id, c.mind), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
 )"""
 
 
@@ -845,23 +876,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH RECURSIVE
 {_MH_PAIR_CTES},
-pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL
-  SELECT id_b AS src, id_a AS dst FROM pairs
-),
-reach(src, dst) AS (
-  SELECT src, dst FROM edges
-  UNION
-  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-),
-comp AS (SELECT src AS doc_id, min(dst) AS mind FROM reach GROUP BY src),
-labeled AS (
-  SELECT d.doc_id,
-         coalesce(least(c.doc_id, c.mind), d.doc_id) AS cluster_id
-  FROM documents d LEFT JOIN comp c USING (doc_id)
-)
+{_CC_TAIL}
 SELECT doc_id, cluster_id,
        CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
        doc_id <> cluster_id AS is_duplicate
@@ -881,6 +896,66 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=_MH_THRESHOLD,
     )
     return dedup_ops.connected_components(pairs, nodes=docs)
+
+
+# --------------------------------------------------------------------------
+# corpus_filter: the composite training-data cleanse (gates + dedup).
+# --------------------------------------------------------------------------
+
+_CF_LANGS = ("en", "de", "fr", "es")
+_CF_MIN_TOKENS, _CF_MAX_TOKENS, _CF_MIN_QUALITY = 20, 100_000, 0.5
+_CF_LANGS_SQL = ", ".join(f"'{lang}'" for lang in _CF_LANGS)
+_CF_GATES_SQL = f"""s.lang_guess IN ({_CF_LANGS_SQL})
+        AND s.n_tokens BETWEEN {_CF_MIN_TOKENS} AND {_CF_MAX_TOKENS}
+        AND s.q >= {_CF_MIN_QUALITY}"""
+
+
+@register(
+    "corpus_filter",
+    f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+{_MH_PAIR_TAIL},
+{_CC_TAIL},
+scored AS (
+  SELECT doc_id, lang_guess, n_tokens, fingerprint,
+         {_QUALITY_SQL} AS q
+  FROM feat
+),
+ex AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+  FROM scored
+)
+SELECT s.doc_id, s.lang_guess, s.n_tokens,
+       round(s.q, 6) AS quality_score,
+       s.lang_guess IN ({_CF_LANGS_SQL}) AS pass_lang,
+       s.n_tokens BETWEEN {_CF_MIN_TOKENS} AND {_CF_MAX_TOKENS} AS pass_tokens,
+       s.q >= {_CF_MIN_QUALITY} AS pass_quality,
+       s.doc_id <> e.keep_id AS is_exact_dup,
+       s.doc_id <> l.cluster_id AS is_near_dup,
+       ({_CF_GATES_SQL}
+        AND s.doc_id = e.keep_id
+        AND s.doc_id = l.cluster_id) AS keep
+FROM scored s JOIN ex e USING (doc_id) JOIN labeled l USING (doc_id)
+""",
+    "Training-data cleanse: language/token/quality gates + exact-dedup "
+    "keeper + near-dup cluster keeper -> keep decision with audit trail",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus_ops.corpus_filter(
+        docs,
+        langs=_CF_LANGS,
+        min_tokens=_CF_MIN_TOKENS,
+        max_tokens=_CF_MAX_TOKENS,
+        min_quality=_CF_MIN_QUALITY,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn("quality_score", F.round("quality_score", 6))
 
 
 # --------------------------------------------------------------------------

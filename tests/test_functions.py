@@ -261,3 +261,27 @@ def test_connected_components_long_path_converges(spark):
     assert len(out) == 13
     assert all(r.cluster_id == 0 for r in out)
     assert all(r.cluster_size == 13 for r in out)
+
+
+def test_corpus_filter_gates_and_dedup(docs):
+    from polars_trading_spark.functions import corpus
+
+    out = {
+        r.doc_id: r
+        for r in corpus.corpus_filter(
+            docs, langs=("en", "de"), min_tokens=1, max_tokens=100, min_quality=0.0
+        ).collect()
+    }
+    # 0/1 are exact dups (same normalized content): 0 keeps, 1 drops.
+    assert not out[0].is_exact_dup and out[1].is_exact_dup
+    # 0/1/4 form one near-dup cluster; only the min id survives it.
+    assert not out[0].is_near_dup and out[4].is_near_dup
+    assert out[0].keep and not out[1].keep and not out[4].keep
+    # Language gate: stopword-bearing rows guess en/de and pass; doc 3
+    # has no stopwords at all -> 'unknown' -> dropped by the gate.
+    assert out[0].pass_lang and out[2].pass_lang
+    assert out[3].lang_guess == "unknown" and not out[3].pass_lang and not out[3].keep
+    # Tighten quality: nobody passes, keep goes all-False.
+    strict = corpus.corpus_filter(docs, min_quality=2.0).collect()
+    assert not any(r.keep for r in strict)
+    assert all(r.quality_score < 2.0 for r in strict)
