@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.config import column_names
 
-__all__ = ["write_trades", "write_documents"]
+__all__ = ["write_trades", "write_documents", "write_bucketed"]
 
 
 def write_trades(
@@ -66,3 +66,41 @@ def write_documents(
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_cols: tuple[str, ...] = ("symbol",),
+    num_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join keys.
+
+    Bucketing is the pre-paid shuffle: both sides of an equi-join on
+    ``bucket_cols`` written with the same bucket count read back
+    co-partitioned, so the join plans with zero Exchange on either side
+    — at 100 TB that is the difference between re-shuffling the trades
+    table per query and never shuffling it again.  With ``sort_cols``
+    the files are also sorted inside each bucket, upgrading the join to
+    a merge without the sort step.
+
+    Spark only honors bucket metadata through the catalog, so this
+    writes ``saveAsTable`` (parquet); pass ``path`` for an external
+    location.  Readers just ``spark.table(table)``.
+
+    Pick ``num_buckets`` for the target scale, not the test corpus: a
+    bucket is one task's read unit per join, so at 100 TB with ~128 MB
+    task inputs that's O(10k) buckets; both tables MUST use the same
+    count (Spark joins bucketed tables shuffle-free only on equal
+    counts, or multiples under ``spark.sql.bucketing.coalesceBucketsInJoin``).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

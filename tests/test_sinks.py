@@ -59,3 +59,39 @@ def test_read_trades_csv_and_json_roundtrip(spark):
                     read_trades(spark, csv_dir, format="xml")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_write_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from polars_trading_spark.sources.sinks import write_bucketed
+
+    base = tempfile.mkdtemp(prefix="pts_bkt_")
+    try:
+        with Config(timestamp_column="ts_event"):
+            trades = trades_from_events(spark, sf_dir)
+        agg = trades.groupBy("symbol").agg(F.avg("price").alias("avg_price"))
+        write_bucketed(
+            trades, "t_bkt", bucket_cols=("symbol",), num_buckets=8,
+            sort_cols=("symbol",), path=f"{base}/t",
+        )
+        write_bucketed(
+            agg, "a_bkt", bucket_cols=("symbol",), num_buckets=8,
+            sort_cols=("symbol",), path=f"{base}/a",
+        )
+        # hint("merge") pins a sort-merge join: at test scale Spark would
+        # broadcast the small side (which bypasses bucketing entirely);
+        # at real scale both sides exceed the broadcast threshold and SMJ
+        # is what the planner picks on its own.
+        joined = spark.table("t_bkt").hint("merge").join(spark.table("a_bkt"), "symbol")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Both sides co-bucketed on the join key: zero Exchange anywhere.
+        assert "Exchange" not in plan, plan
+        assert joined.count() == spark.table("t_bkt").count()
+        # Same data, unbucketed: the merge join must shuffle both sides —
+        # the bucket layout is what removed the exchanges, not data size.
+        plain = trades.hint("merge").join(agg, "symbol")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt")
+        spark.sql("DROP TABLE IF EXISTS a_bkt")
+        shutil.rmtree(base, ignore_errors=True)
