@@ -46,7 +46,7 @@ def _offset_interval(offset: str | timedelta) -> Column:
     return F.expr(f"INTERVAL {micros} MICROSECOND")
 
 
-def daily_vol(df: DataFrame, *, span: int = 100, ewm_method: str = "pandas") -> DataFrame:
+def daily_vol(df: DataFrame, *, span: int = 100, ewm_method: str = "native") -> DataFrame:
     """EWM std of ~24h lookback returns (reference dynamic_labels.py:14-86).
 
     For each row, the lookback price is the last trade at-or-before
@@ -243,7 +243,7 @@ def get_triple_barrier_label(
     stop_loss: float = 1.0,
     label_style: str = "three_class",
     side_col: str | None = None,
-    ewm_method: str = "pandas",
+    ewm_method: str = "native",
     materialize_events: bool = True,
 ) -> DataFrame:
     """The flagship end-to-end pipeline (completes the reference stub,

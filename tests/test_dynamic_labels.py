@@ -117,3 +117,28 @@ def test_triple_barrier_invariants(spark):
             assert r["return"] > 0
         if r["label"] == -1:
             assert r["return"] < 0
+
+
+def test_native_ewm_unbounded_length_matches_pandas(spark):
+    # 40k rows at span=10: the old r^t closed form overflows float64
+    # around t ~ 3.5k; the segmented form must stay finite and agree
+    # with pandas to float precision over the whole series.
+    import math
+
+    from polars_trading_spark.operators.ewm import ewm_std
+
+    n, span = 40_000, 10
+    rows = [("A", i, math.sin(i * 0.37) * 10 + (i % 7)) for i in range(n)]
+    df = spark.createDataFrame(rows, "symbol string, t long, v double")
+    nat = {
+        r["t"]: r["ewm_std"]
+        for r in ewm_std(df, "v", span, by=["symbol"], order_by=["t"], method="native").collect()
+    }
+    pan = {
+        r["t"]: r["ewm_std"]
+        for r in ewm_std(df, "v", span, by=["symbol"], order_by=["t"], method="pandas").collect()
+    }
+    assert nat[0] is None and pan[0] is None
+    for t in (1, 100, 3_999, 4_000, 20_000, n - 1):  # spans chunk boundaries
+        assert nat[t] == pytest.approx(pan[t], rel=1e-9), t
+    assert all(v is None or math.isfinite(v) for v in nat.values())
