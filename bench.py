@@ -35,6 +35,8 @@ HEADLINE = [
     "text_analysis",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "corpus_filter",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_topk",

@@ -10,3 +10,7 @@ __all__ = ["streaming_time_bars", "streaming_volume_bars"]
 from polars_trading_spark.streaming.ewm import streaming_ewm_std  # noqa: E402
 
 __all__.append("streaming_ewm_std")
+
+from polars_trading_spark.streaming.dedup import streaming_dedup_exact  # noqa: E402
+
+__all__.append("streaming_dedup_exact")

@@ -266,3 +266,31 @@ def test_streaming_ewm_std_interior_nulls_match_pandas(spark):
                 assert got[key] == pytest.approx(r, abs=1e-9), i
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_dedup_exact_drops_reformatted_copies(spark):
+    from polars_trading_spark.streaming import streaming_dedup_exact
+
+    docs = [
+        (0, "The cat sat on the mat!", dt.datetime(2021, 1, 1, 9, 0, 0)),
+        (1, "the cat   sat on the mat", dt.datetime(2021, 1, 1, 9, 1, 0)),  # dup of 0
+        (2, "a different document", dt.datetime(2021, 1, 1, 9, 2, 0)),
+        (3, "THE CAT SAT ON THE MAT.", dt.datetime(2021, 1, 1, 9, 3, 0)),  # dup of 0
+    ]
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    d = tempfile.mkdtemp(prefix="pts_sdedup_")
+    try:
+        spark.createDataFrame(docs, schema).coalesce(1).write.mode("overwrite").parquet(d)
+
+        def make():
+            stream = spark.readStream.schema(schema).parquet(d)
+            return streaming_dedup_exact(stream, watermark="10 minutes")
+
+        rows = _run_stream(spark, make)
+        # One survivor per normalized fingerprint: doc 2 plus exactly one
+        # of {0, 1, 3} (arrival order within a batch is not contractual).
+        ids = {r["doc_id"] for r in rows}
+        assert 2 in ids and len(ids) == 2
+        assert len({r["fingerprint"] for r in rows}) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
