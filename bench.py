@@ -86,8 +86,13 @@ def main() -> None:
         total += elapsed
         # Cache-ownership contract: each operator's tracked caches are
         # released once its result is consumed, so a full bench run never
-        # accumulates executor-memory pressure across queries.
+        # accumulates executor-memory pressure across queries.  The gc
+        # pass drops dead DataFrame refs so ContextCleaner can release
+        # checkpoint blocks (iterative operators) between queries.
         release_persisted()
+        import gc
+
+        gc.collect()
         print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
 
     print(

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter"]
+__all__ = ["corpus_filter", "hash_split"]
 
 
 def corpus_filter(
@@ -97,3 +97,47 @@ def corpus_filter(
         & ~F.col("is_exact_dup")
         & ~F.col("is_near_dup"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    weights: dict[str, float] | None = None,
+    salt: str = "pts-split",
+    output_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free id hash.
+
+    Each row lands in a named split with probability proportional to its
+    weight, decided purely by ``md5(salt || id)`` — so the assignment is
+    (a) reproducible across runs, engines and cluster layouts, (b) stable
+    under re-partitioning/re-ingestion (no random() whose value depends
+    on task placement), and (c) leakage-safe: a document keeps its split
+    forever, so later pipeline runs can only ever *add* documents to a
+    split, never migrate them.  Zero shuffles — one projection.
+
+    Changing ``salt`` re-draws the whole assignment (use per-experiment
+    salts); weights are normalized, order defines the cut sequence.
+    """
+    from polars_trading_spark.functions.text import portable_hash60
+
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    # 60-bit hash -> uniform u in [0, 1): positive modulus of a large
+    # power of two keeps the arithmetic exact and portable.
+    mod = 1 << 30
+    u = (
+        F.pmod(portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))), F.lit(mod))
+        / F.lit(float(mod))
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(output_col, expr)

@@ -485,10 +485,14 @@ def connected_components(
     )
     edges = persist_tracked(ensure_parallelism(edges, "__dst"))
 
+    # Init folds the first propagation round into the node-extraction
+    # aggregate: label(v) = min(v, min neighbor).  Star-shaped clusters
+    # (the overwhelming near-dup case) are already at fixpoint here, so
+    # the loop below runs exactly one verification round for them.
     cur = (
-        edges.select(F.col("__src").alias("__nid"))
-        .distinct()
-        .withColumn("__comp", F.col("__nid"))
+        edges.groupBy(F.col("__src").alias("__nid"))
+        .agg(F.min("__dst").alias("__mind"))
+        .select("__nid", F.least(F.col("__nid"), F.col("__mind")).alias("__comp"))
         .localCheckpoint()
     )
     # Labels are monotone non-increasing under min-propagation, so the

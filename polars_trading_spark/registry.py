@@ -959,6 +959,40 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_split: deterministic hash-based train/val/test assignment.
+# --------------------------------------------------------------------------
+
+_SPLIT_MOD = 1 << 30
+_SPLIT_SALT = "pts-split"
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "corpus_split",
+    f"""
+WITH u AS (
+  SELECT doc_id,
+         ({_sql_hash60(f"concat('{_SPLIT_SALT}', CAST(doc_id AS VARCHAR))")} % {_SPLIT_MOD})
+           / {float(_SPLIT_MOD)} AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+""",
+    "Deterministic, engine-portable train/val/test split by salted id "
+    "hash — stable under re-ingestion, leakage-safe",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ops.hash_split(docs, weights=_SPLIT_WEIGHTS, salt=_SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
+# --------------------------------------------------------------------------
 # dedup_simhash: 32-bit simhash, pigeonhole-blocked hamming pairs.
 # --------------------------------------------------------------------------
 

@@ -285,3 +285,25 @@ def test_corpus_filter_gates_and_dedup(docs):
     strict = corpus.corpus_filter(docs, min_quality=2.0).collect()
     assert not any(r.keep for r in strict)
     assert all(r.quality_score < 2.0 for r in strict)
+
+
+def test_hash_split_deterministic_and_salted(spark):
+    from polars_trading_spark.functions import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r.doc_id: r.split for r in corpus.hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in corpus.hash_split(df).collect()}
+    assert a == b  # same salt -> identical assignment
+    # Weights ~ respected (98/1/1 over 2000 ids).
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 1900 and c["val"] > 0 and c["test"] > 0
+    # A different salt re-draws: some documents must move.
+    d = {r.doc_id: r.split for r in corpus.hash_split(df, salt="other").collect()}
+    assert d != a
+    # Subset stability: splitting half the corpus assigns each id the
+    # same split it had in the full corpus (leakage-safety property).
+    half = spark.createDataFrame([(i,) for i in range(0, 2000, 2)], "doc_id long")
+    h = {r.doc_id: r.split for r in corpus.hash_split(half).collect()}
+    assert all(a[i] == s for i, s in h.items())
