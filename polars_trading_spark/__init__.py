@@ -29,6 +29,13 @@ from polars_trading_spark.operators.labels import (
     fixed_time_return,
     fixed_time_return_classification,
 )
+from polars_trading_spark.operators.sample_weights import (
+    average_uniqueness,
+    label_concurrency,
+    return_attribution,
+    sample_weights,
+    time_decay,
+)
 from polars_trading_spark.session import get_spark
 
 __all__ = [
@@ -51,6 +58,11 @@ __all__ = [
     "fixed_time_return_classification",
     "frac_diff",
     "get_weights_ffd",
+    "label_concurrency",
+    "average_uniqueness",
+    "return_attribution",
+    "sample_weights",
+    "time_decay",
 ]
 
 __version__ = "0.1.0"

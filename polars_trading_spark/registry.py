@@ -438,6 +438,85 @@ def q_vertical_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# sample_weights — AFML ch.4 extension of the labeling pipeline: label
+# concurrency via one horizon-bucketed span join, average uniqueness,
+# return attribution, linear time decay.  Oracle mirrors the span join +
+# window concurrency + running-sum decay exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sample_weights",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+offs AS (
+  SELECT symbol, ts_event, ts_event + INTERVAL 4 HOURS AS off FROM trades
+),
+ev0 AS (
+  SELECT o.symbol, o.ts_event AS t0, b.t1
+  FROM offs o
+  ASOF LEFT JOIN (SELECT symbol, ts_event AS t1 FROM trades) b
+    ON o.symbol = b.symbol AND o.off <= b.t1
+),
+ev AS (
+  SELECT symbol, t0, coalesce(t1, max(t0) OVER (PARTITION BY symbol)) AS t1
+  FROM ev0
+),
+rets AS (
+  SELECT symbol, ts_event AS pt,
+         ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts_event)) AS r
+  FROM trades
+),
+joined AS (
+  SELECT e.symbol, e.t0, p.pt, p.r
+  FROM ev e
+  JOIN rets p ON p.symbol = e.symbol AND p.pt BETWEEN e.t0 AND e.t1
+),
+conc AS (
+  SELECT *, count(*) OVER (PARTITION BY symbol, pt) AS c FROM joined
+),
+weights AS (
+  SELECT symbol, t0 AS ts_event,
+         avg(1.0 / c) AS w,
+         CAST(count(*) AS BIGINT) AS n_path,
+         abs(sum(CASE WHEN pt > t0 THEN r / c END)) AS ra
+  FROM conc
+  GROUP BY symbol, t0
+)
+SELECT symbol, ts_event,
+       round(w, 6) AS avg_uniqueness,
+       n_path,
+       round(ra, 6) AS ret_attr,
+       round((0.5 + 0.5 * sum(w) OVER (PARTITION BY symbol ORDER BY ts_event
+                                       ROWS UNBOUNDED PRECEDING)
+                    / sum(w) OVER (PARTITION BY symbol)) * w, 6) AS decayed_weight
+FROM weights
+""",
+    "AFML ch.4 sample weights over 4h-barrier events: average uniqueness "
+    "(1/concurrency), return attribution, linear time decay — one "
+    "horizon-bucketed span join, zero Python",
+)
+def q_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators import sample_weights as sw_ops
+
+    with _trades_config():
+        trades = trades_from_events(spark, sf_dir)
+        events = dyn_ops.get_vertical_barrier_by_timedelta(trades, BARRIER_OFFSET)
+        out = sw_ops.sample_weights(
+            events, trades, t1_col="vertical_barrier", bucket=BARRIER_OFFSET
+        )
+        out = sw_ops.time_decay(out, weight_col="avg_uniqueness", last_weight=0.5)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("avg_uniqueness", 6).alias("avg_uniqueness"),
+        "n_path",
+        F.round("ret_attr", 6).alias("ret_attr"),
+        F.round("decayed_weight", 6).alias("decayed_weight"),
+    )
+
+
+# --------------------------------------------------------------------------
 # A11. frac_diff — FFD linear combination of lags; identical left-folded
 # sum on both sides → bit-exact, no rounding.
 # --------------------------------------------------------------------------

@@ -129,3 +129,21 @@ def test_fast_order_mode_same_results_on_unique_ts(trades):
         fast = time_bars(trades, bar_size="15m", order_mode="fast").collect()
     key = lambda r: (r["symbol"], r["ts_event"])  # noqa: E731
     assert sorted(map(tuple, exact)) == sorted(map(tuple, fast))
+
+
+def test_sample_weights_zero_python_bounded_exchanges(trades):
+    from polars_trading_spark.operators.dynamic_labels import (
+        get_vertical_barrier_by_timedelta,
+    )
+    from polars_trading_spark.operators.sample_weights import sample_weights, time_decay
+
+    with Config(timestamp_column="ts_event"):
+        events = get_vertical_barrier_by_timedelta(trades, "4h")
+        out = time_decay(
+            sample_weights(events, trades, t1_col="vertical_barrier", bucket="4h")
+        )
+    assert count_python_stages(out) == 0
+    # span join + concurrency window + event aggregate + decay windows —
+    # each a keyed shuffle; anything beyond ~8 means a lost partitioning.
+    assert count_exchanges(out) <= 8
+    assert not has_unbounded_following_frame(out)
