@@ -32,7 +32,10 @@ HEADLINE = [
     "vertical_barrier",
     "frac_diff",
     "triple_barrier",
+    "sample_weights",
     "text_analysis",
+    "tfidf_topk",
+    "corpus_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "hash_split"]
+__all__ = ["corpus_filter", "corpus_stats", "hash_split"]
 
 
 def corpus_filter(
@@ -141,3 +141,63 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(output_col, expr)
+
+
+def corpus_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus profile: the dashboard aggregate a pipeline run
+    reports after each cleanse stage.
+
+    Output per ``group_col`` value: document count, distinct content
+    fingerprints (= corpus size after exact dedup), token-count
+    percentiles, mean token count and mean quality score.  Floats are
+    unrounded; callers round for cross-engine comparison.
+
+    ``exact=True`` uses exact ``percentile`` / ``count(DISTINCT)`` —
+    right for oracle-checked correctness and for grouped dashboards
+    whose per-group value sets fit an executor.  At 100 TB flip
+    ``exact=False``: ``approx_percentile`` (t-digest, bounded memory)
+    and HLL ``approx_count_distinct`` turn the same single hash
+    aggregate into a sketch merge with fixed-size state per group —
+    same plan shape, no precision-driven spill.
+    """
+    from polars_trading_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        token_count(F.col(text_col)).alias("__nt"),
+        doc_fingerprint(F.col(text_col)).alias("__fp"),
+        quality_score(F.col(text_col)).alias("__q"),
+    )
+    pcts = F.array(*[F.lit(p) for p in percentiles])
+    if exact:
+        pct_agg = F.percentile(F.col("__nt"), pcts)
+        distinct_agg = F.count_distinct(F.col("__fp"))
+    else:
+        pct_agg = F.approx_percentile(F.col("__nt"), pcts, F.lit(10_000))
+        distinct_agg = F.approx_count_distinct(F.col("__fp"))
+    agg = base.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        distinct_agg.alias("distinct_fingerprints"),
+        pct_agg.alias("__pcts"),
+        F.avg("__nt").alias("avg_tokens"),
+        F.avg("__q").alias("avg_quality"),
+    )
+    pct_cols = [
+        F.col("__pcts")[i].alias(f"p{int(p * 100):02d}_tokens")
+        for i, p in enumerate(percentiles)
+    ]
+    return agg.select(
+        group_col, "n_docs", "distinct_fingerprints", *pct_cols, "avg_tokens", "avg_quality"
+    )

@@ -1,0 +1,111 @@
+"""TF-IDF scoring and vocabulary building over document tables.
+
+The training-data counterpart of the text-profile pass: turn a corpus
+into (a) a ranked vocabulary (the input to tokenizer training and
+coverage audits) and (b) per-document top-k salient terms (cheap
+keyword extraction / topic tagging for curriculum sampling).
+
+Scale design — everything is explode + hash aggregate + one keyed join:
+
+* term frequencies shuffle once on (doc_id, token) with map-side
+  partial aggregation absorbing the explode fan-out;
+* document frequencies reduce that relation on token (vocabulary-sized
+  output, orders of magnitude smaller than the corpus);
+* the corpus size N enters as a broadcast one-row aggregate — no
+  driver-side ``.count()`` action, the plan stays lazy end-to-end;
+* the IDF join back onto term frequencies is a plain equi-join on token
+  (AQE picks broadcast when the vocabulary fits, shuffle-hash when
+  not — we deliberately don't force a broadcast, a 100 TB corpus can
+  carry a billion-token vocabulary);
+* global vocabulary top-k goes through ``orderBy().limit(k)`` which
+  Spark executes as TakeOrderedAndProject (per-partition heaps + a
+  k-row reduce), never a single-partition global sort; the dense rank
+  is attached after the reduce, over k rows only.
+
+IDF uses the smoothed form ln((N + 1)/(df + 1)) + 1, so unseen and
+corpus-universal tokens both stay finite and positive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark.functions.text import tokens
+
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk"]
+
+
+def term_frequencies(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, token, tf) — raw within-document term counts over the shared
+    normalizing tokenizer (functions/text.py)."""
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+    return toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def document_frequencies(tf: DataFrame, *, id_col: str = "doc_id") -> DataFrame:
+    """(token, doc_freq, total_count) from a term-frequency relation."""
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_count"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary ranked by document frequency.
+
+    Output: (token, doc_freq, total_count[, rank]).  With ``top_k`` the
+    reduce is a distributed top-k (see module docstring) and a dense
+    1-based ``rank`` column is attached; ties order deterministically by
+    (doc_freq desc, total_count desc, token asc).
+    """
+    vocab = document_frequencies(
+        term_frequencies(df, text_col=text_col, id_col=id_col), id_col=id_col
+    )
+    if top_k is None:
+        return vocab
+    order = [F.desc("doc_freq"), F.desc("total_count"), F.asc("token")]
+    top = vocab.orderBy(*order).limit(top_k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF.
+
+    Output: (id, token, tf, doc_freq, tfidf, rank) with rank 1..k per
+    document; ties order deterministically by (score desc, token asc).
+    """
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    dfreq = document_frequencies(tf, id_col=id_col).select("token", "doc_freq")
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, on="token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("__n_docs") + 1.0) / (F.col("doc_freq") + 1.0)) + 1.0),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
+    )

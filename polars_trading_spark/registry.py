@@ -828,6 +828,130 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# corpus_stats — per-language corpus profile: counts, distinct
+# fingerprints, token percentiles, mean quality.  Exact percentile /
+# count-distinct here (oracle-checkable); the operator's exact=False
+# flips the same aggregate to t-digest + HLL sketches for 100 TB runs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stats",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+q AS (
+  SELECT lang, n_tokens, fingerprint, {_QUALITY_SQL} AS quality FROM feat
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_fingerprints,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM q
+GROUP BY lang
+""",
+    "Per-language corpus dashboard: doc counts, post-exact-dedup size, "
+    "token percentiles, mean quality — one hash aggregate; sketch "
+    "variants (t-digest/HLL) behind exact=False",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus_ops.corpus_stats(docs, exact=True)
+    return out.select(
+        "lang",
+        "n_docs",
+        "distinct_fingerprints",
+        *[F.round(c, 6).alias(c) for c in ("p50_tokens", "p90_tokens", "p99_tokens")],
+        F.round("avg_tokens", 6).alias("avg_tokens"),
+        F.round("avg_quality", 6).alias("avg_quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tfidf_topk / vocab_topk — TF-IDF keyword extraction and ranked
+# vocabulary building (tokenizer-training / coverage-audit inputs).
+# Both reduce to explode → hash aggregates → one token join; the global
+# vocabulary top-k is a distributed TakeOrderedAndProject, not a
+# single-partition sort.
+# --------------------------------------------------------------------------
+
+TFIDF_K = 5
+VOCAB_K = 100
+
+_TF_CTES = """
+toksx AS (
+  SELECT doc_id, unnest(toks) AS token FROM tok
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toksx GROUP BY doc_id, token
+),
+dfq AS (
+  SELECT token, count(*) AS doc_freq, sum(tf) AS total_count FROM tf GROUP BY token
+)
+"""
+
+
+@register(
+    "tfidf_topk",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TF_CTES},
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.doc_freq,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfq.doc_freq + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq,
+       round(tfidf, 6) AS tfidf, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+WHERE rn <= {TFIDF_K}
+""",
+    "Top-5 smoothed-TF-IDF terms per document — keyword extraction via "
+    "explode, two hash aggregates and a token join; no Python",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions import tfidf as tfidf_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = tfidf_ops.tfidf_topk(docs, k=TFIDF_K)
+    return out.withColumn("tfidf", F.round("tfidf", 6))
+
+
+@register(
+    "vocab_topk",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TF_CTES}
+SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(total_count AS BIGINT) AS total_count, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_freq DESC, total_count DESC, token) AS rn
+  FROM dfq
+)
+WHERE rn <= {VOCAB_K}
+""",
+    "Top-100 vocabulary by document frequency — distributed top-k "
+    "(per-partition heaps), rank attached after the k-row reduce",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions import tfidf as tfidf_ops
+
+    docs = read_table(spark, sf_dir, "documents")
+    return tfidf_ops.vocabulary(docs, top_k=VOCAB_K)
+
+
+# --------------------------------------------------------------------------
 # dedup_exact: fingerprint-group keeper assignment.
 # --------------------------------------------------------------------------
 

@@ -307,3 +307,66 @@ def test_hash_split_deterministic_and_salted(spark):
     half = spark.createDataFrame([(i,) for i in range(0, 2000, 2)], "doc_id long")
     h = {r.doc_id: r.split for r in corpus.hash_split(half).collect()}
     assert all(a[i] == s for i, s in h.items())
+
+
+def test_tfidf_topk_golden(spark):
+    from polars_trading_spark.functions import tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.token): r
+        for r in tfidf.tfidf_topk(docs, k=2).collect()
+    }
+    import math
+
+    # doc 1: apple tf=2 df=1, banana tf=1 df=2.
+    idf = lambda df_: math.log((3 + 1) / (df_ + 1)) + 1
+    assert out[(1, "apple")].tfidf == pytest.approx(2 * idf(1))
+    assert out[(1, "apple")].rank == 1
+    assert out[(1, "banana")].tfidf == pytest.approx(1 * idf(2))
+    assert out[(1, "banana")].rank == 2
+    # doc 3: single term, rank 1, tf=3.
+    assert out[(3, "cherry")].tf == 3 and out[(3, "cherry")].rank == 1
+
+
+def test_vocabulary_rank_and_ties(spark):
+    from polars_trading_spark.functions import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x z"), (3, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {r.token: r for r in tfidf.vocabulary(docs, top_k=10).collect()}
+    assert rows["x"].rank == 1 and rows["x"].doc_freq == 3
+    # y (df=2) before z (df=1); total_count breaks no tie here.
+    assert rows["y"].rank == 2 and rows["z"].rank == 3
+    # Unranked mode returns the full vocabulary without a rank column.
+    full = tfidf.vocabulary(docs)
+    assert "rank" not in full.columns and full.count() == 3
+
+
+def test_corpus_stats_exact_and_sketch(spark):
+    from polars_trading_spark.functions import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "en", "the quick brown fox " * (1 + i % 3)) for i in range(30)]
+        + [(100, "de", "der hund und die katze")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.lang: r for r in corpus.corpus_stats(docs).collect()}
+    assert rows["en"].n_docs == 30
+    # 3 distinct repeat counts -> 3 distinct fingerprints.
+    assert rows["en"].distinct_fingerprints == 3
+    assert rows["de"].n_docs == 1 and rows["de"].p50_tokens == 5.0
+    # Sketch mode: same schema, counts exact, percentiles approximate.
+    sk = {r.lang: r for r in corpus.corpus_stats(docs, exact=False).collect()}
+    assert sk["en"].n_docs == 30
+    assert abs(sk["en"].p50_tokens - rows["en"].p50_tokens) <= 2
+    assert abs(sk["en"].distinct_fingerprints - 3) <= 1

@@ -147,3 +147,16 @@ def test_sample_weights_zero_python_bounded_exchanges(trades):
     # each a keyed shuffle; anything beyond ~8 means a lost partitioning.
     assert count_exchanges(out) <= 8
     assert not has_unbounded_following_frame(out)
+
+
+def test_vocab_topk_is_distributed_topk_no_python(spark, sf_dir):
+    from polars_trading_spark.functions.tfidf import tfidf_topk, vocabulary
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = vocabulary(docs, top_k=50)
+    plan = plan_string(vocab)
+    # Global top-k must reduce via per-partition heaps, not a global sort.
+    assert "TakeOrderedAndProject" in plan
+    assert count_python_stages(vocab) == 0
+    assert count_python_stages(tfidf_topk(docs, k=5)) == 0
