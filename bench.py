@@ -32,6 +32,7 @@ HEADLINE = [
     "vertical_barrier",
     "frac_diff",
     "triple_barrier",
+    "cusum_filter",
     "sample_weights",
     "text_analysis",
     "tfidf_topk",

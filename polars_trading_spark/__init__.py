@@ -29,6 +29,7 @@ from polars_trading_spark.operators.labels import (
     fixed_time_return,
     fixed_time_return_classification,
 )
+from polars_trading_spark.operators.sampling import cusum_filter
 from polars_trading_spark.operators.sample_weights import (
     average_uniqueness,
     label_concurrency,
@@ -58,6 +59,7 @@ __all__ = [
     "fixed_time_return_classification",
     "frac_diff",
     "get_weights_ffd",
+    "cusum_filter",
     "label_concurrency",
     "average_uniqueness",
     "return_attribution",

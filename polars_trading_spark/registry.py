@@ -438,6 +438,59 @@ def q_vertical_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# cusum_filter — AFML 2.5.2.1 symmetric CUSUM event sampling.  The scan
+# is history-dependent (per-side resets), so the oracle replays the
+# exact sequential recursion as a recursive CTE advancing every symbol
+# one row per iteration; the Spark side runs the chunked closed-form
+# numpy scan inside an applyInPandas island.
+# --------------------------------------------------------------------------
+
+CUSUM_H = 150.0
+
+
+@register(
+    "cusum_filter",
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, ts_event,
+         row_number() OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS rn,
+         price - lag(price) OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS d
+  FROM trades
+),
+rec(symbol, rn, spos, sneg, fired, side) AS (
+  SELECT symbol, rn, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), FALSE, 0
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.rn,
+         CASE WHEN NOT (x.n < -{CUSUM_H}) AND x.p > {CUSUM_H} THEN 0.0 ELSE x.p END,
+         CASE WHEN x.n < -{CUSUM_H} THEN 0.0 ELSE x.n END,
+         (x.n < -{CUSUM_H}) OR (x.p > {CUSUM_H}),
+         CASE WHEN x.n < -{CUSUM_H} THEN -1 WHEN x.p > {CUSUM_H} THEN 1 ELSE 0 END
+  FROM (
+    SELECT tt.symbol, tt.rn,
+           greatest(0.0, r.spos + tt.d) AS p,
+           least(0.0, r.sneg + tt.d) AS n
+    FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.rn = r.rn + 1
+  ) x
+)
+SELECT r.symbol, tt.ts_event, CAST(r.side AS INTEGER) AS side
+FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.rn = r.rn
+WHERE r.fired
+""",
+    "Symmetric CUSUM event sampling (AFML 2.5.2.1): emit ±1 events when "
+    "the running excursion exceeds the threshold — chunked closed-form "
+    "numpy scan per symbol vs sequential recursive-CTE oracle",
+)
+def q_cusum_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.sampling import cusum_filter
+
+    with _trades_config():
+        out = cusum_filter(trades_from_events(spark, sf_dir), CUSUM_H)
+    return out
+
+
+# --------------------------------------------------------------------------
 # sample_weights — AFML ch.4 extension of the labeling pipeline: label
 # concurrency via one horizon-bucketed span join, average uniqueness,
 # return attribution, linear time decay.  Oracle mirrors the span join +
