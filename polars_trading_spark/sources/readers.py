@@ -38,7 +38,15 @@ def read_trades(spark: SparkSession, path: str, *, format: str = "parquet", **op
     fmt = format.lower()
     if fmt == "parquet":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        # Untagged µs parquet timestamps infer as TIMESTAMP_NTZ on Spark 4;
+        # normalize to TIMESTAMP so operators see one timestamp type.
+        ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+        if ntz:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+        return df
     if fmt == "csv":
         options.setdefault("header", "true")
         return spark.read.options(**options).schema(trades_schema()).csv(path)

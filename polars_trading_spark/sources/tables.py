@@ -45,14 +45,27 @@ TABLES = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the standard testdata tables.
 
-    The ``events`` table carries nanosecond parquet timestamps, which
-    Spark 4 rejects by default; ``nanosAsLong`` reads them as int64 ns
-    and the callers convert to the engine's µs timestamps with exact
-    integer arithmetic (``div 1000`` — never float division, which loses
-    µs precision above ~2^53 ns).
+    Timestamp normalization happens here so every downstream operator
+    sees one type regardless of how the parquet was written:
+
+    - ns-precision timestamps (older testdata): Spark 4 rejects them by
+      default; ``nanosAsLong`` reads them as int64 ns and
+      ``trades_from_events`` converts with exact integer arithmetic
+      (``div 1000`` — never float division, which loses µs precision
+      above ~2^53 ns).
+    - untagged µs timestamps (current testdata): Spark 4 infers
+      ``TIMESTAMP_NTZ`` (``inferTimestampNTZ`` default), which functions
+      like ``unix_micros`` reject. We pin the session timezone to UTC
+      (making the NTZ→TIMESTAMP cast value-preserving) and cast, so the
+      wall-clock values match what DuckDB's naive-timestamp oracle sees.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
