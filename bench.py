@@ -34,6 +34,8 @@ HEADLINE = [
     "triple_barrier",
     "cusum_filter",
     "sample_weights",
+    "bar_volatility",
+    "microstructure",
     "text_analysis",
     "tfidf_topk",
     "corpus_stats",

@@ -1,0 +1,106 @@
+"""Market-microstructure liquidity features over bar frames (AFML ch.19).
+
+Three canonical estimators the reference's feature set points toward but
+does not ship (its README cites López de Prado's AFML; these are the
+ch.19 "microstructural features"):
+
+* **Roll measure** (Roll 1984): effective spread from the negative
+  serial covariance of successive price changes,
+  ``2 * sqrt(max(0, -cov(dp_t, dp_{t-1})))``.
+* **Kyle's lambda** (Kyle 1985): price impact as the OLS slope of price
+  change on signed volume, the sign from the tick rule (sign of the
+  last non-zero price change, carried forward).
+* **Amihud illiquidity** (Amihud 2002): mean ``|log return| / dollar
+  volume`` over the window (scaled by 1e6 for readable magnitudes).
+
+Everything is a per-bar term plus rolling sums over one shared
+(symbol)-partitioned window — no UDFs, no extra shuffles; the OLS slope
+is the closed form ``(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)`` so it needs no
+regression primitive and behaves identically across engines.  The tick
+rule's carry-forward is ``last(sign, ignorenulls)`` over the unbounded
+preceding frame — O(n) per partition, native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["microstructure_features"]
+
+
+def microstructure_features(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    volume_col: str = "volume",
+    vwap_col: str = "vwap",
+) -> DataFrame:
+    """Rolling Roll measure, Kyle's lambda and Amihud illiquidity per
+    symbol over a bar frame.
+
+    Returns the input keys plus ``roll_measure``, ``kyle_lambda``,
+    ``amihud`` (null until the rolling window is full).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    c = F.col(close_col)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    roll = order.rowsBetween(-(window - 1), 0)
+    carry = order.rowsBetween(Window.unboundedPreceding, 0)
+
+    dp = c - F.lag(c).over(order)
+    df = (
+        bars.withColumn("__dp", dp)
+        .withColumn("__dp_prev", F.lag(dp).over(order))
+        # Tick rule: sign of the last non-zero price change.
+        .withColumn("__tick", F.last(F.nullif(F.signum(dp), F.lit(0.0)), ignorenulls=True).over(carry))
+        .withColumn("__ret", F.log(c / F.lag(c).over(order)))
+        .withColumn("__dollar_vol", F.col(volume_col) * F.col(vwap_col))
+    )
+
+    # Roll measure: covariance of (dp_t, dp_{t-1}) over the window.  Use
+    # explicit sums (not covar_samp) so both-null handling is identical
+    # in every engine: a pair contributes iff both terms are defined.
+    x = F.when(F.col("__dp").isNotNull() & F.col("__dp_prev").isNotNull(), F.col("__dp_prev"))
+    y = F.when(F.col("__dp").isNotNull() & F.col("__dp_prev").isNotNull(), F.col("__dp"))
+    df = df.withColumn("__cx", x).withColumn("__cy", y)
+    n_cov = F.count("__cx").over(roll)
+    cov = (
+        F.sum(F.col("__cx") * F.col("__cy")).over(roll)
+        - F.sum("__cx").over(roll) * F.sum("__cy").over(roll) / n_cov
+    ) / (n_cov - 1)
+    roll_measure = F.when(
+        n_cov == window, 2.0 * F.sqrt(F.greatest(-cov, F.lit(0.0)))
+    )
+
+    # Kyle's lambda: OLS slope of dp on signed volume.
+    sv = F.when(F.col("__dp").isNotNull() & F.col("__tick").isNotNull(),
+                F.col("__tick") * F.col(volume_col))
+    lam_y = F.when(sv.isNotNull(), F.col("__dp"))
+    df = df.withColumn("__sv", sv).withColumn("__ly", lam_y)
+    n_lam = F.count("__sv").over(roll)
+    sx = F.sum("__sv").over(roll)
+    sy = F.sum("__ly").over(roll)
+    sxy = F.sum(F.col("__sv") * F.col("__ly")).over(roll)
+    sxx = F.sum(F.col("__sv") * F.col("__sv")).over(roll)
+    denom = n_lam * sxx - sx * sx
+    kyle_lambda = F.when((n_lam == window) & (denom != 0), (n_lam * sxy - sx * sy) / denom)
+
+    # Amihud: mean(|ret| / dollar_volume) * 1e6 over the window.
+    ami_term = F.when(F.col("__ret").isNotNull() & (F.col("__dollar_vol") > 0),
+                      F.abs(F.col("__ret")) / F.col("__dollar_vol"))
+    df = df.withColumn("__ami", ami_term)
+    n_ami = F.count("__ami").over(roll)
+    amihud = F.when(n_ami == window, F.avg("__ami").over(roll) * 1e6)
+
+    return (
+        df.withColumn("roll_measure", roll_measure)
+        .withColumn("kyle_lambda", kyle_lambda)
+        .withColumn("amihud", amihud)
+        .select(symbol_col, ts_col, "roll_measure", "kyle_lambda", "amihud")
+    )

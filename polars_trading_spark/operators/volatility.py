@@ -1,0 +1,125 @@
+"""Range-based volatility estimators over bar frames.
+
+The reference stops at close-to-close volatility (``daily_vol``,
+polars_trading/labels/dynamic_labels.py:20-63); a bar engine feeding ML
+pipelines also needs the OHLC range estimators that extract more
+information per bar (5-8x the efficiency of close-close on the same
+window): Parkinson (1980), Garman-Klass (1980), Rogers-Satchell (1991)
+and Yang-Zhang (2000).  All four are closed-form per-bar terms followed
+by a rolling window aggregate, so the whole family stays inside
+whole-stage codegen — one window spec, zero Python, zero extra
+shuffles beyond the single (symbol) sort the window needs.
+
+Scale notes: the only exchange is the hash partition on ``symbol`` for
+the window sort; every estimator shares that one window, and adding an
+estimator adds columns, not stages.  On a bucketed bar table
+(``sinks.write_bucketed``) even that exchange disappears.
+
+Semantics:
+* rolling window of ``window`` bars per symbol (rows, not time),
+  emitted only when the window is full (``count == window``) — matching
+  pandas ``rolling(window, min_periods=window)``;
+* sample variance (n-1 denominator) where a variance is taken, the
+  convention the estimators were published with;
+* Yang-Zhang uses the published drift-independent combination
+  sigma^2 = sigma_o^2 + k*sigma_c^2 + (1-k)*sigma_rs^2 with
+  k = 0.34 / (1.34 + (n+1)/(n-1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bar_volatility"]
+
+_LN2 = 0.6931471805599453
+
+
+def _full_window_only(expr: Column, cnt: Column, window: int) -> Column:
+    return F.when(cnt == window, expr)
+
+
+def bar_volatility(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    open_col: str = "open",
+    high_col: str = "high",
+    low_col: str = "low",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rolling close-close / Parkinson / Garman-Klass / Rogers-Satchell /
+    Yang-Zhang volatility per symbol over a bar frame.
+
+    Returns the input keys plus ``vol_cc``, ``vol_parkinson``, ``vol_gk``,
+    ``vol_rs``, ``vol_yz`` (null until the rolling window is full).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    o, h, low, c = (F.col(x) for x in (open_col, high_col, low_col, close_col))
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    roll = order.rowsBetween(-(window - 1), 0)
+
+    prev_close = F.lag(c).over(order)
+    # Per-bar terms. log-returns: close-close r, overnight o_t/c_{t-1},
+    # intrabar close/open; ranges: ln(h/l), Rogers-Satchell cross term.
+    df = (
+        bars.withColumn("__r_cc", F.log(c / prev_close))
+        .withColumn("__r_on", F.log(o / prev_close))
+        .withColumn("__r_co", F.log(c / o))
+        .withColumn("__hl2", F.pow(F.log(h / low), F.lit(2.0)))
+        .withColumn(
+            "__rs",
+            F.log(h / c) * F.log(h / o) + F.log(low / c) * F.log(low / o),
+        )
+    )
+
+    # One rolling frame shared by every estimator.  The close-close and
+    # overnight terms lose the first bar per symbol (lag is null), so
+    # their full-window gate counts the term itself, not the bar.
+    n_cc = F.count("__r_cc").over(roll)
+    n_bar = F.count(F.lit(1)).over(roll)
+
+    var_cc = F.var_samp("__r_cc").over(roll)
+    var_on = F.var_samp("__r_on").over(roll)
+    var_co = F.var_samp("__r_co").over(roll)
+    mean_hl2 = F.avg("__hl2").over(roll)
+    mean_gk = F.avg(0.5 * F.col("__hl2") - (2.0 * _LN2 - 1.0) * F.pow("__r_co", F.lit(2.0))).over(
+        roll
+    )
+    mean_rs = F.avg("__rs").over(roll)
+
+    k = 0.34 / (1.34 + (window + 1) / (window - 1))
+    yz_var = var_on + F.lit(k) * var_co + F.lit(1.0 - k) * mean_rs
+
+    out = (
+        df.withColumn("vol_cc", _full_window_only(F.sqrt(var_cc), n_cc, window))
+        .withColumn(
+            "vol_parkinson",
+            _full_window_only(F.sqrt(mean_hl2 / (4.0 * _LN2)), n_bar, window),
+        )
+        # GK/RS can go (numerically) negative on pathological bars;
+        # clamp at zero like every published implementation.
+        .withColumn(
+            "vol_gk", _full_window_only(F.sqrt(F.greatest(mean_gk, F.lit(0.0))), n_bar, window)
+        )
+        .withColumn(
+            "vol_rs", _full_window_only(F.sqrt(F.greatest(mean_rs, F.lit(0.0))), n_bar, window)
+        )
+        .withColumn(
+            "vol_yz", _full_window_only(F.sqrt(F.greatest(yz_var, F.lit(0.0))), n_cc, window)
+        )
+    )
+    return out.select(
+        symbol_col,
+        ts_col,
+        "vol_cc",
+        "vol_parkinson",
+        "vol_gk",
+        "vol_rs",
+        "vol_yz",
+    )

@@ -1,0 +1,158 @@
+"""Golden tests for the rolling bar-frame features: volatility estimators
+(operators/volatility.py) and microstructure features
+(operators/microstructure.py), validated against independent pandas/numpy
+computations on a small deterministic OHLCV frame."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.operators.microstructure import microstructure_features
+from polars_trading_spark.operators.volatility import bar_volatility
+
+WINDOW = 5
+
+
+@pytest.fixture(scope="module")
+def bar_pdf() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    rows = []
+    for sym in ("AAPL", "MSFT"):
+        price = 100.0
+        for i in range(40):
+            o = price * math.exp(rng.normal(0, 0.01))
+            c = o * math.exp(rng.normal(0, 0.01))
+            hi = max(o, c) * math.exp(abs(rng.normal(0, 0.005)))
+            lo = min(o, c) * math.exp(-abs(rng.normal(0, 0.005)))
+            vol = int(rng.integers(1_000, 50_000))
+            rows.append(
+                {
+                    "symbol": sym,
+                    "ts_event_start": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=15 * i),
+                    "open": o,
+                    "high": hi,
+                    "low": lo,
+                    "close": c,
+                    "volume": vol,
+                    "vwap": (hi + lo + c) / 3,
+                }
+            )
+            price = c
+    return pd.DataFrame(rows)
+
+
+def _spark_result(spark, bar_pdf, fn, **kw):
+    sdf = spark.createDataFrame(bar_pdf)
+    out = fn(sdf, window=WINDOW, **kw).toPandas()
+    return out.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+
+
+def test_close_close_matches_pandas_rolling_std(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, bar_volatility)
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        r = np.log(grp["close"] / grp["close"].shift(1))
+        expected = r.rolling(WINDOW, min_periods=WINDOW).std()
+        got = out[out.symbol == sym]["vol_cc"].to_numpy()
+        np.testing.assert_allclose(got, expected.to_numpy(), rtol=1e-9, equal_nan=True)
+
+
+def test_parkinson_golden(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, bar_volatility)
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        hl2 = np.log(grp["high"] / grp["low"]) ** 2
+        expected = np.sqrt(hl2.rolling(WINDOW, min_periods=WINDOW).mean() / (4 * math.log(2)))
+        got = out[out.symbol == sym]["vol_parkinson"].to_numpy()
+        np.testing.assert_allclose(got, expected.to_numpy(), rtol=1e-9, equal_nan=True)
+
+
+def test_yang_zhang_components(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, bar_volatility)
+    k = 0.34 / (1.34 + (WINDOW + 1) / (WINDOW - 1))
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        r_on = np.log(grp["open"] / grp["close"].shift(1))
+        r_co = np.log(grp["close"] / grp["open"])
+        rs = np.log(grp["high"] / grp["close"]) * np.log(grp["high"] / grp["open"]) + np.log(
+            grp["low"] / grp["close"]
+        ) * np.log(grp["low"] / grp["open"])
+        var = (
+            r_on.rolling(WINDOW, min_periods=WINDOW).var()
+            + k * r_co.rolling(WINDOW, min_periods=WINDOW).var()
+            + (1 - k) * rs.rolling(WINDOW, min_periods=WINDOW).mean()
+        )
+        expected = np.sqrt(np.maximum(var, 0.0))
+        got = out[out.symbol == sym]["vol_yz"].to_numpy()
+        np.testing.assert_allclose(got, expected.to_numpy(), rtol=1e-9, equal_nan=True)
+
+
+def test_estimators_agree_in_magnitude(spark, bar_pdf):
+    """All five estimators target the same sigma; on well-behaved synthetic
+    bars they should land within a small factor of each other."""
+    out = _spark_result(spark, bar_pdf, bar_volatility).dropna()
+    med = out[["vol_cc", "vol_parkinson", "vol_gk", "vol_rs", "vol_yz"]].median()
+    assert (med > 0).all()
+    assert med.max() / med.min() < 5
+
+
+def test_roll_measure_golden(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, microstructure_features)
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        dp = grp["close"].diff()
+        pairs = pd.DataFrame({"x": dp.shift(1), "y": dp}).dropna()
+        expected = []
+        n = len(grp)
+        vals = pd.DataFrame({"x": dp.shift(1), "y": dp})
+        for i in range(n):
+            w = vals.iloc[max(0, i - WINDOW + 1) : i + 1].dropna()
+            if len(w) == WINDOW:
+                cov = np.cov(w["x"], w["y"], ddof=1)[0, 1]
+                expected.append(2 * math.sqrt(max(-cov, 0.0)))
+            else:
+                expected.append(np.nan)
+        got = out[out.symbol == sym]["roll_measure"].to_numpy()
+        np.testing.assert_allclose(got, np.array(expected), rtol=1e-8, equal_nan=True)
+
+
+def test_kyle_lambda_golden(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, microstructure_features)
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        dp = grp["close"].diff()
+        tick = np.sign(dp).replace(0.0, np.nan).ffill()
+        sv = (tick * grp["volume"]).where(dp.notna() & tick.notna())
+        y = dp.where(sv.notna())
+        expected = []
+        vals = pd.DataFrame({"x": sv, "y": y})
+        for i in range(len(grp)):
+            w = vals.iloc[max(0, i - WINDOW + 1) : i + 1].dropna()
+            if len(w) == WINDOW:
+                slope = np.polyfit(w["x"], w["y"], 1)[0]
+                expected.append(slope)
+            else:
+                expected.append(np.nan)
+        got = out[out.symbol == sym]["kyle_lambda"].to_numpy()
+        np.testing.assert_allclose(got, np.array(expected), rtol=1e-6, equal_nan=True)
+
+
+def test_amihud_positive_and_gated(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, microstructure_features)
+    for sym, grp in out.groupby("symbol"):
+        vals = grp["amihud"]
+        # first WINDOW rows per symbol cannot have a full return window
+        assert vals.iloc[:WINDOW].isna().all()
+        assert (vals.dropna() > 0).all()
+
+
+def test_window_validation(spark, bar_pdf):
+    sdf = spark.createDataFrame(bar_pdf)
+    with pytest.raises(ValueError):
+        bar_volatility(sdf, window=1)
+    with pytest.raises(ValueError):
+        microstructure_features(sdf, window=0)
