@@ -36,6 +36,7 @@ HEADLINE = [
     "sample_weights",
     "bar_volatility",
     "microstructure",
+    "trend_scan",
     "text_analysis",
     "tfidf_topk",
     "corpus_stats",

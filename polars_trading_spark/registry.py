@@ -1902,3 +1902,103 @@ def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("kyle_lambda") * 1e6, 6).alias("kyle_lambda"),
         F.round("amihud", 6).alias("amihud"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Trend-scanning labels (operators/trend_scan.py)
+# --------------------------------------------------------------------------
+
+_TS_MIN_SPAN, _TS_MAX_SPAN = 5, 20
+
+
+def _trend_scan_oracle(min_span: int, max_span: int) -> str:
+    """Generate the DuckDB oracle with the SAME left-associated expression
+    trees the Spark operator builds, so every double is bitwise equal and
+    the rounded argmax key cannot diverge between engines."""
+    lead_cols = ",\n    ".join(
+        [f"lead(price, {k}) OVER w AS p{k}" for k in range(1, max_span)]
+        + [f"lead(ts_event, {l - 1}) OVER w AS e{l}" for l in range(min_span, max_span + 1)]
+    )
+    sums, stats, tvals, unions = [], [], [], []
+    sy, syy, sxy = "price", "(price * price)", "0.0"
+    for l in range(2, max_span + 1):
+        pk = f"p{l - 1}"
+        sy = f"({sy} + {pk})"
+        syy = f"({syy} + ({pk} * {pk}))"
+        sxy = f"({sxy} + ({float(l - 1)!r} * {pk}))"
+        if l < min_span:
+            continue
+        n, sx = float(l), l * (l - 1) / 2.0
+        sxx = (l - 1) * l * (2 * l - 1) / 6.0
+        sums.append(f"{sy} AS sy{l}, {syy} AS syy{l}, {sxy} AS sxy{l}")
+        stats.append(
+            f"(({n!r} * sxy{l}) - ({sx!r} * sy{l})) / {n * sxx - sx * sx!r} AS slope{l}"
+        )
+        stats.append(f"p{l - 1} IS NOT NULL AS valid{l}")
+        tvals.append(
+            f"greatest((syy{l} - (((sy{l} - (slope{l} * {sx!r})) / {n!r}) * sy{l}))"
+            f" - (slope{l} * sxy{l}), 0.0)"
+            f" / {n - 2.0!r} / {sxx - sx * sx / n!r} AS se2_{l}"
+        )
+        unions.append(
+            f"SELECT symbol, ts_event, e{l} AS t1, {l} AS span,"
+            f" round(slope{l} / sqrt(se2_{l}), 6) + 0.0 AS tval"
+            f" FROM s3 WHERE valid{l} AND se2_{l} > 0"
+        )
+    nl = ",\n    "
+    return f"""
+WITH trades AS ({TRADES_CTE}),
+j AS (
+  SELECT symbol, ts_event, price,
+    {lead_cols}
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event)
+),
+s1 AS (
+  SELECT *,
+    {nl.join(sums)}
+  FROM j
+),
+s2 AS (
+  SELECT *,
+    {nl.join(stats)}
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    {nl.join(tvals)}
+  FROM s2
+),
+cand AS (
+  {' UNION ALL '.join(unions)}
+),
+winner AS (
+  SELECT symbol, ts_event, t1, span, tval
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY symbol, ts_event
+                             ORDER BY abs(tval) DESC, span ASC) = 1
+)
+SELECT t.symbol, t.ts_event, w.t1, CAST(w.span AS INTEGER) AS span, w.tval,
+  CASE WHEN w.tval > 0 THEN 1.0 WHEN w.tval < 0 THEN -1.0
+       WHEN w.tval = 0 THEN 0.0 END AS label
+FROM trades t
+LEFT JOIN winner w ON t.symbol = w.symbol AND t.ts_event = w.ts_event
+"""
+
+
+@register(
+    "trend_scan",
+    _trend_scan_oracle(_TS_MIN_SPAN, _TS_MAX_SPAN),
+    "Trend-scanning labels: argmax-|t| forward OLS trend over spans "
+    f"[{_TS_MIN_SPAN},{_TS_MAX_SPAN}] (AFML ch.5)",
+)
+def q_trend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.trend_scan import trend_scanning_labels
+
+    with _trades_config():
+        out = trend_scanning_labels(
+            trades_from_events(spark, sf_dir),
+            min_span=_TS_MIN_SPAN,
+            max_span=_TS_MAX_SPAN,
+        )
+    return out
