@@ -2002,3 +2002,63 @@ def q_trend_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_span=_TS_MAX_SPAN,
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. Purged K-fold CV assignment (operators/cv.py)
+# --------------------------------------------------------------------------
+
+_CV_FOLDS = 5
+_CV_EMBARGO = "30m"
+
+
+@register(
+    "purged_kfold",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+offs AS (
+  SELECT symbol, ts_event, ts_event + INTERVAL 4 HOURS AS off FROM trades
+),
+barrier_events AS (
+  SELECT o.symbol, o.ts_event, b.vertical_barrier
+  FROM offs o
+  ASOF LEFT JOIN (SELECT symbol, ts_event AS vertical_barrier FROM trades) b
+    ON o.symbol = b.symbol AND o.off <= b.vertical_barrier
+),
+ev AS (
+  SELECT symbol, ts_event AS t0,
+    coalesce(vertical_barrier,
+             max(vertical_barrier) OVER (PARTITION BY symbol),
+             ts_event) AS t1,
+    ntile({_CV_FOLDS}) OVER (PARTITION BY symbol ORDER BY ts_event) AS fold
+  FROM barrier_events
+),
+hulls AS (
+  SELECT symbol, fold, min(t0) AS test_start, max(t1) AS test_end
+  FROM ev GROUP BY symbol, fold
+),
+j AS (
+  SELECT e.symbol, e.t0, e.t1, e.fold AS event_fold,
+         h.fold, h.test_start, h.test_end,
+         h.test_end + INTERVAL 30 MINUTES AS embargo_end
+  FROM ev e JOIN hulls h ON e.symbol = h.symbol
+)
+SELECT symbol, t0 AS ts_event, CAST(fold AS INTEGER) AS fold,
+  CASE WHEN event_fold = fold THEN 'test'
+       WHEN t0 <= test_end AND test_start <= t1 THEN 'purged'
+       WHEN t0 > test_end AND t0 <= embargo_end THEN 'embargo'
+       ELSE 'train' END AS role
+FROM j
+""",
+    f"Purged {_CV_FOLDS}-fold CV assignment with {_CV_EMBARGO} embargo over "
+    "4h-barrier events (AFML ch.7 PurgedKFold)",
+)
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cv import purged_kfold
+
+    with _trades_config():
+        events = dyn_ops.get_vertical_barrier_by_timedelta(
+            trades_from_events(spark, sf_dir), BARRIER_OFFSET
+        )
+        out = purged_kfold(events, n_folds=_CV_FOLDS, embargo=_CV_EMBARGO)
+    return out

@@ -1,0 +1,119 @@
+"""Semantic invariants for purged K-fold CV assignment (operators/cv.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.operators.cv import purged_kfold
+
+N_FOLDS = 4
+EMBARGO = "10m"
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    rng = np.random.default_rng(3)
+    rows = []
+    for sym in ("A", "B"):
+        t = pd.Timestamp("2024-01-01")
+        for _ in range(60):
+            t = t + pd.Timedelta(minutes=int(rng.integers(1, 10)))
+            rows.append(
+                {
+                    "symbol": sym,
+                    "ts_event": t,
+                    # label horizon 5-30 minutes; leave a couple open (null)
+                    "vertical_barrier": t + pd.Timedelta(minutes=int(rng.integers(5, 30))),
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    pdf.loc[pdf.index[-1], "vertical_barrier"] = pd.NaT
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def assignment(spark, events_pdf):
+    out = purged_kfold(
+        spark.createDataFrame(events_pdf), n_folds=N_FOLDS, embargo=EMBARGO
+    ).toPandas()
+    return out
+
+
+def test_every_event_tests_in_its_own_fold_once(assignment, events_pdf):
+    tests = assignment[assignment.role == "test"]
+    assert len(tests) == len(events_pdf)
+    per_event = assignment.groupby(["symbol", "ts_event"]).size()
+    assert (per_event == N_FOLDS).all()
+
+
+def test_folds_are_time_contiguous(assignment):
+    tests = assignment[assignment.role == "test"]
+    for sym, grp in tests.groupby("symbol"):
+        grp = grp.sort_values("ts_event")
+        # fold index must be non-decreasing in time
+        assert grp["fold"].is_monotonic_increasing
+
+
+def test_no_train_event_overlaps_test_hull(assignment, events_pdf, spark):
+    ev = events_pdf.copy()
+    # mirror the operator's open-span handling
+    ev["t1"] = ev.groupby("symbol")["vertical_barrier"].transform(
+        lambda s: s.fillna(s.max())
+    )
+    merged = assignment.merge(
+        ev[["symbol", "ts_event", "t1"]], on=["symbol", "ts_event"], how="left"
+    )
+    tests = merged[merged.role == "test"]
+    hulls = (
+        tests.groupby(["symbol", "fold"])
+        .agg(test_start=("ts_event", "min"), test_end=("t1", "max"))
+        .reset_index()
+    )
+    trains = merged[merged.role == "train"].merge(hulls, on=["symbol", "fold"])
+    overlap = (trains["ts_event"] <= trains["test_end"]) & (
+        trains["test_start"] <= trains["t1"]
+    )
+    assert not overlap.any()
+
+
+def test_embargo_rows_sit_just_after_test_end(assignment, events_pdf):
+    ev = events_pdf.copy()
+    ev["t1"] = ev.groupby("symbol")["vertical_barrier"].transform(
+        lambda s: s.fillna(s.max())
+    )
+    merged = assignment.merge(
+        ev[["symbol", "ts_event", "t1"]], on=["symbol", "ts_event"], how="left"
+    )
+    tests = merged[merged.role == "test"]
+    hulls = (
+        tests.groupby(["symbol", "fold"])
+        .agg(test_end=("t1", "max"))
+        .reset_index()
+    )
+    emb = merged[merged.role == "embargo"].merge(hulls, on=["symbol", "fold"])
+    assert (emb["ts_event"] > emb["test_end"]).all()
+    assert (emb["ts_event"] <= emb["test_end"] + pd.Timedelta(minutes=10)).all()
+
+
+def test_train_fraction_reasonable(assignment):
+    """Purging must not wipe out training data on well-spaced events."""
+    frac = (assignment.role == "train").mean()
+    assert frac > 0.4
+
+
+def test_broadcast_join_plan(spark, events_pdf):
+    plan = (
+        purged_kfold(spark.createDataFrame(events_pdf), n_folds=N_FOLDS, embargo=EMBARGO)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_validation(spark, events_pdf):
+    with pytest.raises(ValueError):
+        purged_kfold(spark.createDataFrame(events_pdf), n_folds=1)
