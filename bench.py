@@ -27,6 +27,7 @@ HEADLINE = [
     "tick_bars",
     "volume_bars",
     "dollar_bars",
+    "imbalance_bars",
     "fixed_time_return",
     "daily_vol",
     "vertical_barrier",

@@ -1,0 +1,144 @@
+"""Imbalance bars: tick / volume / dollar (AFML 2.3.2).
+
+The reference's bar family is activity-clocked (time / tick count /
+volume / dollars, polars_trading/bars.py); AFML's next step samples on
+**order-flow imbalance**: give each trade a tick-rule sign ``b_t``
+(sign of the last non-zero price change) and close a bar whenever the
+running signed sum ``theta = sum(b_t * w_t)`` leaves ``[-h, +h]``, where
+``w_t`` is 1 (tick), ``size`` (volume) or ``size * price`` (dollar).
+Imbalance bars arrive faster when flow is one-sided — the sampling
+clock AFML argues synchronizes with information arrival.
+
+This implementation uses a **static threshold** ``h`` (the
+EWMA-adaptive variant is a different operator contract: its threshold
+depends on previously emitted bars, making results initialization-
+sensitive; static-h is the form with a clean differential oracle).
+
+Scale design mirrors ``dollar_bars``/``cusum_filter`` (bars.py:316,
+sampling.py:85): the reset-on-breach recursion is irreducibly
+sequential, so it runs as a slim ``applyInPandas`` island per
+(symbol, date) that only assigns ``bar_id`` per row — inside, the scan
+is chunked-closed-form (cumulative sums + first-crossing argmax,
+O(n + bars * chunk) numpy, no per-row Python). The OHLCV reduction
+stays NATIVE: one hash aggregate over (symbol, date, bar_id) with the
+shared ``min_by/max_by`` bundle, so the whole operator is one shuffle +
+one Arrow round trip of five slim columns. Day boundaries bound island
+memory and give the 100 TB partitioning axis; sign state intentionally
+resets daily (documented contract, same as the reference's
+``split_by_date`` bars).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import SEQ_COL, ohlcv_aggs, resolve_order_mode, with_seq
+from polars_trading_spark.config import column_names
+from polars_trading_spark.operators.bars import _DATE, _final_bar_select
+
+__all__ = ["imbalance_bars"]
+
+_CHUNK = 4096
+_MODES = ("tick", "volume", "dollar")
+
+
+def _tick_signs(prices: np.ndarray) -> np.ndarray:
+    """Tick-rule signs: sign of the last non-zero price change; rows
+    before the first change (including the seed row) get 0."""
+    n = prices.size
+    b = np.zeros(n, dtype=np.float64)
+    if n < 2:
+        return b
+    s = np.sign(np.diff(prices))
+    idx = np.arange(1, n)
+    last = np.maximum.accumulate(np.where(s != 0.0, idx, 0))
+    b[1:] = np.where(last > 0, s[np.maximum(last - 1, 0)], 0.0)
+    return b
+
+
+def _imbalance_scan(w: np.ndarray, h: float) -> np.ndarray:
+    """Bar id per row: theta accumulates w, a bar closes (inclusive) on
+    the row where |theta| >= h, then theta resets.
+
+    Chunked closed form: within a chunk theta is theta0 + cumsum(w), so
+    the next close is the first index where |theta0 + C| >= h — argmax
+    over a boolean, no per-row Python. O(n + bars * chunk) total.
+    """
+    n = w.size
+    ids = np.empty(n, dtype=np.int64)
+    theta0, gid, i = 0.0, 0, 0
+    while i < n:
+        j = min(n, i + _CHUNK)
+        vals = theta0 + np.cumsum(w[i:j])
+        hit = np.abs(vals) >= h
+        if not hit.any():
+            ids[i:j] = gid
+            theta0 = float(vals[-1])
+            i = j
+            continue
+        t = int(np.argmax(hit))
+        ids[i : i + t + 1] = gid
+        gid += 1
+        theta0 = 0.0
+        i = i + t + 1
+    return ids
+
+
+def imbalance_bars(
+    df: DataFrame,
+    *,
+    threshold: float,
+    mode: str = "tick",
+    split_by_date: bool = True,
+    order_mode: str = "auto",
+) -> DataFrame:
+    """OHLCV bars clocked by tick-rule order-flow imbalance.
+
+    ``mode``: ``tick`` (w=b), ``volume`` (w=b*size), ``dollar``
+    (w=b*size*price).  The breaching trade closes its bar inclusively;
+    the final partial bar per partition is emitted.
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    order_mode = resolve_order_mode(df, ts, order_mode)
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+    slim = out.select(*keys, ts, SEQ_COL, price, size)
+
+    h = float(threshold)
+    bar_mode = mode
+    schema = slim.withColumn("bar_id", F.lit(0).cast("long")).schema
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        p = pdf[price].to_numpy(dtype=np.float64)
+        b = _tick_signs(p)
+        if bar_mode == "tick":
+            w = b
+        elif bar_mode == "volume":
+            w = b * pdf[size].to_numpy(dtype=np.float64)
+        else:
+            w = b * pdf[size].to_numpy(dtype=np.float64) * p
+        pdf["bar_id"] = _imbalance_scan(w, h)
+        return pdf
+
+    assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)
+    bars = assigned.groupBy(*keys, "bar_id").agg(
+        *ohlcv_aggs(ts, price, size, order_mode=order_mode)
+    )
+    return _final_bar_select(bars, symbol, ts)

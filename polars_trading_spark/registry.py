@@ -2062,3 +2062,70 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = purged_kfold(events, n_folds=_CV_FOLDS, embargo=_CV_EMBARGO)
     return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. Tick imbalance bars (operators/imbalance.py) — static-threshold
+# AFML 2.3.2 order-flow-imbalance clock.  The reset-on-breach recursion
+# is sequential, so the oracle replays it exactly as a recursive CTE
+# advancing every (symbol, date) partition one row per step; the Spark
+# side runs the chunked closed-form numpy scan inside a slim
+# applyInPandas island and keeps the OHLCV reduction native.
+# --------------------------------------------------------------------------
+
+_IMB_H = 6
+
+
+@register(
+    "imbalance_bars",
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+t0 AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS d, ts_event, seq, price, size,
+    row_number() OVER w AS rn,
+    CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+         WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS sgn_raw
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq)
+),
+t AS (
+  SELECT *, coalesce(last_value(sgn_raw IGNORE NULLS) OVER
+      (PARTITION BY symbol, d ORDER BY ts_event, seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS b
+  FROM t0
+),
+rec(symbol, d, rn, bar_id, theta_out, gid_next) AS (
+  SELECT symbol, d, rn, CAST(0 AS BIGINT),
+         CASE WHEN abs(b) >= {_IMB_H} THEN 0.0 ELSE b END,
+         CAST(CASE WHEN abs(b) >= {_IMB_H} THEN 1 ELSE 0 END AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.d, x.rn, x.gid,
+         CASE WHEN abs(x.tmp) >= {_IMB_H} THEN 0.0 ELSE x.tmp END,
+         CASE WHEN abs(x.tmp) >= {_IMB_H} THEN x.gid + 1 ELSE x.gid END
+  FROM (
+    SELECT tt.symbol, tt.d, tt.rn, r.gid_next AS gid, r.theta_out + tt.b AS tmp
+    FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn + 1
+  ) x
+),
+assigned AS (
+  SELECT r.symbol, r.d, r.bar_id, tt.ts_event, tt.seq, tt.price, tt.size
+  FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn
+)
+SELECT symbol,
+    {_OHLCV_ORACLE}
+FROM assigned
+GROUP BY symbol, d, bar_id
+""",
+    f"Tick imbalance bars (AFML 2.3.2, static threshold {_IMB_H}): close a "
+    "bar when |running tick-rule signed sum| breaches — chunked numpy scan "
+    "vs sequential recursive-CTE oracle",
+)
+def q_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.imbalance import imbalance_bars
+
+    with _trades_config():
+        out = imbalance_bars(
+            trades_from_events(spark, sf_dir), threshold=_IMB_H, mode="tick"
+        )
+    return _round_vwap(out)
