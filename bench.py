@@ -38,6 +38,8 @@ HEADLINE = [
     "bar_volatility",
     "microstructure",
     "trend_scan",
+    "vpin",
+    "purged_kfold",
     "text_analysis",
     "tfidf_topk",
     "corpus_stats",

@@ -2129,3 +2129,89 @@ def q_imbalance_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             trades_from_events(spark, sf_dir), threshold=_IMB_H, mode="tick"
         )
     return _round_vwap(out)
+
+
+# --------------------------------------------------------------------------
+# C-ext. VPIN (operators/microstructure.py) — volume-synchronized order
+# flow toxicity over equal-volume buckets (reuses the bar_groups split).
+# --------------------------------------------------------------------------
+
+_VPIN_BUCKET = 500_000
+_VPIN_WINDOW = 10
+
+
+@register(
+    "vpin",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+signed0 AS (
+  SELECT *, CAST(ts_event AS DATE) AS d,
+    CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+         WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS sgn_raw
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq)
+),
+signed AS (
+  SELECT *, coalesce(last_value(sgn_raw IGNORE NULLS) OVER
+      (PARTITION BY symbol, d ORDER BY ts_event, seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS b
+  FROM signed0
+),
+cum AS (
+  SELECT *, CAST(sum(size) OVER (PARTITION BY symbol, d ORDER BY ts_event, seq
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs
+  FROM signed
+),
+spans AS (SELECT *, cs - size AS prev FROM cum),
+pieces AS (
+  SELECT *,
+         unnest(generate_series(prev // {_VPIN_BUCKET},
+                                CASE WHEN cs % {_VPIN_BUCKET} = 0 THEN cs // {_VPIN_BUCKET} - 1
+                                     ELSE cs // {_VPIN_BUCKET} END)) AS bar
+  FROM spans
+),
+amounts AS (
+  SELECT *,
+         least(cs, (bar + 1) * {_VPIN_BUCKET}) - greatest(prev, bar * {_VPIN_BUCKET}) AS piece
+  FROM pieces
+),
+buckets AS (
+  SELECT symbol, d, bar,
+    max(ts_event) AS ts_event_end,
+    CAST(sum(piece) AS BIGINT) AS bucket_volume,
+    sum(CASE WHEN b = 1.0 THEN piece ELSE 0 END) AS buy,
+    sum(CASE WHEN b = -1.0 THEN piece ELSE 0 END) AS sell
+  FROM amounts GROUP BY symbol, d, bar
+),
+r AS (
+  SELECT symbol, ts_event_end, bucket_volume,
+    abs(buy - sell) / bucket_volume AS imbalance,
+    count(*) OVER rw AS n,
+    avg(abs(buy - sell) / bucket_volume) OVER rw AS m
+  FROM buckets
+  WINDOW rw AS (PARTITION BY symbol ORDER BY d, bar
+                ROWS BETWEEN {_VPIN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_event_end, bucket_volume, round(imbalance, 6) AS imbalance,
+  round(CASE WHEN n = {_VPIN_WINDOW} THEN m END, 6) AS vpin_val
+FROM r
+""",
+    f"VPIN over {_VPIN_BUCKET}-share volume buckets, {_VPIN_WINDOW}-bucket "
+    "rolling mean (Easley/López de Prado/O'Hara 2012, AFML 19.5.3)",
+)
+def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.microstructure import vpin
+
+    with _trades_config():
+        out = vpin(
+            trades_from_events(spark, sf_dir),
+            bucket_volume=_VPIN_BUCKET,
+            window=_VPIN_WINDOW,
+        )
+    return out.select(
+        "symbol",
+        "ts_event_end",
+        "bucket_volume",
+        F.round("imbalance", 6).alias("imbalance"),
+        F.round("vpin_val", 6).alias("vpin_val"),
+    )

@@ -156,3 +156,84 @@ def test_window_validation(spark, bar_pdf):
         bar_volatility(sdf, window=1)
     with pytest.raises(ValueError):
         microstructure_features(sdf, window=0)
+
+
+# ---------------------------------------------------------------------------
+# VPIN (operators/microstructure.py::vpin)
+# ---------------------------------------------------------------------------
+
+
+def _vpin_golden(trades: pd.DataFrame, bucket: int, window: int) -> pd.DataFrame:
+    """Per-(symbol, day) equal-volume bucketing with pro-rata splits, tick
+    rule classification, rolling mean of |buy - sell| / V."""
+    out = []
+    for (sym, day), grp in trades.groupby(
+        ["symbol", trades.ts_event.dt.normalize()], sort=True
+    ):
+        grp = grp.sort_values("ts_event").reset_index(drop=True)
+        dp = grp["price"].diff()
+        sign = np.sign(dp).replace(0.0, np.nan).ffill().fillna(0.0)
+        rows = []
+        cs = 0
+        for i in range(len(grp)):
+            prev, cs = cs, cs + int(grp.loc[i, "size"])
+            b0, b1 = prev // bucket, (cs - 1) // bucket
+            for bar in range(b0, b1 + 1):
+                piece = min(cs, (bar + 1) * bucket) - max(prev, bar * bucket)
+                rows.append((bar, grp.loc[i, "ts_event"], sign.iloc[i], piece))
+        pieces = pd.DataFrame(rows, columns=["bar", "ts", "b", "piece"])
+        for bar, bk in pieces.groupby("bar"):
+            buy = bk[bk.b == 1.0]["piece"].sum()
+            sell = bk[bk.b == -1.0]["piece"].sum()
+            vol = bk["piece"].sum()
+            out.append(
+                {
+                    "symbol": sym,
+                    "day": day,
+                    "bar": bar,
+                    "ts_event_end": bk["ts"].max(),
+                    "bucket_volume": vol,
+                    "imbalance": abs(buy - sell) / vol,
+                }
+            )
+    res = pd.DataFrame(out).sort_values(["symbol", "day", "bar"]).reset_index(drop=True)
+    res["vpin_val"] = (
+        res.groupby("symbol")["imbalance"]
+        .transform(lambda s: s.rolling(window, min_periods=window).mean())
+    )
+    return res
+
+
+def test_vpin_matches_golden(spark):
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.microstructure import vpin
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for sym in ("A", "B"):
+        price = 30.0
+        for day in (1, 2):
+            t = pd.Timestamp(f"2024-04-0{day}")
+            for _ in range(300):
+                t = t + pd.Timedelta(seconds=int(rng.integers(5, 60)))
+                price = max(1.0, price + rng.choice([-0.5, 0.0, 0.5]))
+                rows.append(
+                    {"ts_event": t, "price": price, "size": int(rng.integers(500, 8000)), "symbol": sym}
+                )
+    pdf = pd.DataFrame(rows)
+    bucket, window = 50_000, 4
+    with Config(timestamp_column="ts_event"):
+        got = (
+            vpin(spark.createDataFrame(pdf), bucket_volume=bucket, window=window)
+            .toPandas()
+            .sort_values(["symbol", "ts_event_end"])
+            .reset_index(drop=True)
+        )
+    exp = _vpin_golden(pdf, bucket, window)
+    assert len(got) == len(exp)
+    assert got["bucket_volume"].tolist() == exp["bucket_volume"].tolist()
+    np.testing.assert_allclose(got["imbalance"], exp["imbalance"], rtol=1e-9)
+    np.testing.assert_allclose(got["vpin_val"], exp["vpin_val"], rtol=1e-9, equal_nan=True)
+    # all full buckets carry exactly the configured volume
+    assert (got["bucket_volume"].iloc[:-1] <= bucket).all()
+    assert (got["imbalance"].between(0, 1)).all()
