@@ -40,6 +40,8 @@ HEADLINE = [
     "trend_scan",
     "vpin",
     "purged_kfold",
+    "return_entropy",
+    "stratified_sample",
     "text_analysis",
     "tfidf_topk",
     "corpus_stats",

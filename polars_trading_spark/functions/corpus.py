@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "corpus_stats", "hash_split"]
+__all__ = ["corpus_filter", "corpus_stats", "hash_split", "stratified_sample"]
 
 
 def corpus_filter(
@@ -201,3 +201,51 @@ def corpus_stats(
     return agg.select(
         group_col, "n_docs", "distinct_fingerprints", *pct_cols, "avg_tokens", "avg_quality"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "pts-sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by content-free id hash.
+
+    The large-corpus rebalancing primitive (downsample the dominant
+    language / source, keep the rare ones): each row survives iff
+    ``u(id) < fractions[stratum]`` where ``u`` is the same salted
+    engine-portable md5 hash ``hash_split`` uses — so the sample is
+    reproducible across runs, engines and partitionings, and **nested**:
+    a 10% sample is a strict subset of a 20% sample under the same salt,
+    which makes scaling ladders and A/B corpora consistent by
+    construction.  Unknown strata fall back to ``default_fraction``.
+
+    Zero shuffles — one projection + filter; Catalyst pushes the
+    predicate to the scan.  Unlike ``DataFrame.sampleBy``, no RNG state
+    and no task-placement dependence.
+    """
+    from polars_trading_spark.functions.text import portable_hash60
+
+    for name, f in fractions.items():
+        if not (0.0 <= f <= 1.0):
+            raise ValueError(f"fraction for {name!r} must be in [0, 1], got {f}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1], got {default_fraction}")
+
+    mod = 1 << 30
+    u = (
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(mod),
+        )
+        / F.lit(float(mod))
+    )
+    frac = None
+    for name, f in fractions.items():
+        cond = F.col(stratum_col) == name
+        frac = F.when(cond, f) if frac is None else frac.when(cond, f)
+    frac = F.lit(default_fraction) if frac is None else frac.otherwise(default_fraction)
+    return df.where(u < frac)

@@ -2215,3 +2215,108 @@ def q_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("imbalance", 6).alias("imbalance"),
         F.round("vpin_val", 6).alias("vpin_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Return-sign entropy (operators/entropy.py) — AFML ch.18 plug-in
+# entropy over tumbling blocks of sign words.
+# --------------------------------------------------------------------------
+
+_ENT_WORD = 2
+_ENT_BLOCK = 50
+
+
+@register(
+    "return_entropy",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+signs AS (
+  SELECT symbol, ts_event, seq,
+    CASE WHEN price - lag(price) OVER w > 0 THEN 'u'
+         WHEN price - lag(price) OVER w < 0 THEN 'd'
+         WHEN lag(price) OVER w IS NOT NULL THEN 'f' END AS s
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+words AS (
+  SELECT symbol, ts_event, seq,
+    (lag(s, {_ENT_WORD - 1}) OVER w || s) AS word
+  FROM signs
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+blocks AS (
+  SELECT symbol, ts_event, word,
+    (row_number() OVER (PARTITION BY symbol ORDER BY ts_event, seq) - 1) // {_ENT_BLOCK} AS blk
+  FROM words WHERE word IS NOT NULL
+),
+counts AS (
+  SELECT symbol, blk, word, count(*) AS c,
+         min(ts_event) AS wmin, max(ts_event) AS wmax
+  FROM blocks GROUP BY symbol, blk, word
+)
+SELECT symbol,
+  min(wmin) AS ts_event_start,
+  max(wmax) AS ts_event_end,
+  CAST(sum(c) AS BIGINT) AS n_words,
+  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy,
+  round((log2(sum(c)) - sum(c * log2(c)) / sum(c)) / {_ENT_WORD}, 6) AS entropy_rate
+FROM counts
+GROUP BY symbol, blk
+""",
+    f"Plug-in Shannon entropy of length-{_ENT_WORD} return-sign words over "
+    f"{_ENT_BLOCK}-word tumbling blocks (AFML 18.3-18.4)",
+)
+def q_return_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.entropy import return_entropy
+
+    with _trades_config():
+        out = return_entropy(
+            trades_from_events(spark, sf_dir), word_len=_ENT_WORD, block=_ENT_BLOCK
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. Stratified corpus sampling (functions/corpus.py) — deterministic
+# per-language rebalancing by the same engine-portable salted hash the
+# split assignment uses.
+# --------------------------------------------------------------------------
+
+_SAMPLE_SALT = "pts-sample"
+_SAMPLE_FRACS = {"en": 0.25, "de": 0.75, "fr": 0.75, "es": 0.75}
+_SAMPLE_DEFAULT = 1.0
+_SAMPLE_MOD = 1 << 30
+
+_SAMPLE_CASE = " ".join(
+    [f"WHEN lang = '{k}' THEN {v!r}" for k, v in _SAMPLE_FRACS.items()]
+)
+
+
+@register(
+    "stratified_sample",
+    f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ({_sql_hash60(f"concat('{_SAMPLE_SALT}', CAST(doc_id AS VARCHAR))")} % {_SAMPLE_MOD})
+           / {float(_SAMPLE_MOD)} AS u
+  FROM documents
+)
+SELECT doc_id, lang
+FROM u
+WHERE u < CASE {_SAMPLE_CASE} ELSE {_SAMPLE_DEFAULT!r} END
+""",
+    "Deterministic stratified corpus sample: downweight the dominant "
+    "language via salted id hash — nested, engine-portable, zero-shuffle",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs.select("doc_id", "lang"),
+        stratum_col="lang",
+        fractions=_SAMPLE_FRACS,
+        default_fraction=_SAMPLE_DEFAULT,
+        salt=_SAMPLE_SALT,
+    )
+    return out

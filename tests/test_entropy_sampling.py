@@ -1,0 +1,142 @@
+"""Tests for return-sign entropy (operators/entropy.py) and deterministic
+stratified sampling (functions/corpus.py::stratified_sample)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.functions.corpus import stratified_sample
+from polars_trading_spark.operators.entropy import return_entropy
+
+
+@pytest.fixture(scope="module")
+def price_pdf():
+    rng = np.random.default_rng(17)
+    rows = []
+    for sym in ("A", "B"):
+        price = 20.0
+        t = pd.Timestamp("2024-05-01")
+        for _ in range(340):
+            t = t + pd.Timedelta(seconds=int(rng.integers(1, 20)))
+            price = max(0.5, price + rng.choice([-0.5, 0.0, 0.5], p=[0.4, 0.2, 0.4]))
+            rows.append({"symbol": sym, "ts_event": t, "price": price})
+    return pd.DataFrame(rows)
+
+
+def _entropy_golden(prices, word_len, block):
+    s = np.sign(np.diff(prices))
+    chars = np.where(s > 0, "u", np.where(s < 0, "d", "f"))
+    words = ["".join(chars[i : i + word_len]) for i in range(len(chars) - word_len + 1)]
+    out = []
+    for b in range(0, len(words), block):
+        blk = words[b : b + block]
+        n = len(blk)
+        counts = pd.Series(blk).value_counts()
+        h = -sum((c / n) * math.log2(c / n) for c in counts)
+        out.append((n, h))
+    return out
+
+
+def test_entropy_matches_golden(spark, price_pdf):
+    word_len, block = 2, 50
+    out = (
+        return_entropy(spark.createDataFrame(price_pdf), word_len=word_len, block=block)
+        .toPandas()
+        .sort_values(["symbol", "ts_event_start"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in price_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event")
+        exp = _entropy_golden(grp["price"].to_numpy(), word_len, block)
+        got = out[out.symbol == sym].reset_index(drop=True)
+        assert len(got) == len(exp)
+        for i, (n, h) in enumerate(exp):
+            assert got.loc[i, "n_words"] == n
+            assert got.loc[i, "entropy"] == pytest.approx(h, abs=2e-6)
+            assert got.loc[i, "entropy_rate"] == pytest.approx(h / word_len, abs=2e-6)
+
+
+def test_entropy_bounds(spark, price_pdf):
+    out = return_entropy(spark.createDataFrame(price_pdf), word_len=2, block=50).toPandas()
+    # 3-symbol alphabet, word length 2 -> entropy in [0, 2*log2(3)]
+    assert (out["entropy"] >= 0).all()
+    assert (out["entropy"] <= 2 * math.log2(3) + 1e-9).all()
+
+
+def test_entropy_constant_series_is_zero(spark):
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 40,
+            "ts_event": pd.date_range("2024-01-01", periods=40, freq="1min"),
+            "price": [5.0] * 40,
+        }
+    )
+    out = return_entropy(spark.createDataFrame(pdf), word_len=2, block=10).toPandas()
+    assert (out["entropy"] == 0).all()
+
+
+def test_entropy_validation(spark, price_pdf):
+    sdf = spark.createDataFrame(price_pdf)
+    with pytest.raises(ValueError):
+        return_entropy(sdf, word_len=0)
+    with pytest.raises(ValueError):
+        return_entropy(sdf, block=0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    rng = np.random.default_rng(23)
+    langs = rng.choice(["en", "de", "fr"], size=3000, p=[0.7, 0.2, 0.1])
+    return pd.DataFrame({"doc_id": np.arange(3000), "lang": langs})
+
+
+def test_sample_rates_and_determinism(spark, docs_pdf):
+    sdf = spark.createDataFrame(docs_pdf)
+    fr = {"en": 0.2, "de": 0.8}
+    a = stratified_sample(sdf, stratum_col="lang", fractions=fr, default_fraction=1.0).toPandas()
+    b = stratified_sample(sdf, stratum_col="lang", fractions=fr, default_fraction=1.0).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # deterministic
+    rates = a.groupby("lang").size() / docs_pdf.groupby("lang").size()
+    assert rates["en"] == pytest.approx(0.2, abs=0.05)
+    assert rates["de"] == pytest.approx(0.8, abs=0.07)
+    assert rates["fr"] == 1.0  # default keeps unknown strata
+
+
+def test_sample_nesting(spark, docs_pdf):
+    """A smaller fraction must select a strict subset of a larger one."""
+    sdf = spark.createDataFrame(docs_pdf)
+    small = set(
+        stratified_sample(sdf, stratum_col="lang", fractions={"en": 0.1}).toPandas().doc_id
+    )
+    big = set(
+        stratified_sample(sdf, stratum_col="lang", fractions={"en": 0.3}).toPandas().doc_id
+    )
+    assert small <= big
+
+
+def test_sample_salt_redraws(spark, docs_pdf):
+    sdf = spark.createDataFrame(docs_pdf)
+    a = set(stratified_sample(sdf, stratum_col="lang", fractions={"en": 0.5}).toPandas().doc_id)
+    b = set(
+        stratified_sample(sdf, stratum_col="lang", fractions={"en": 0.5}, salt="other")
+        .toPandas()
+        .doc_id
+    )
+    assert a != b
+
+
+def test_sample_validation(spark, docs_pdf):
+    sdf = spark.createDataFrame(docs_pdf)
+    with pytest.raises(ValueError):
+        stratified_sample(sdf, stratum_col="lang", fractions={"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_sample(sdf, stratum_col="lang", fractions={}, default_fraction=-0.1)
