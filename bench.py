@@ -40,6 +40,7 @@ HEADLINE = [
     "trend_scan",
     "vpin",
     "purged_kfold",
+    "sadf",
     "return_entropy",
     "stratified_sample",
     "text_analysis",

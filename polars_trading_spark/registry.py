@@ -2320,3 +2320,101 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=_SAMPLE_SALT,
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. SADF structural-break statistic (operators/structural_breaks.py)
+# --------------------------------------------------------------------------
+
+_SADF_MIN, _SADF_MAX = 10, 40
+
+
+def _sadf_oracle(min_span: int, max_span: int) -> str:
+    """DuckDB oracle generated with the SAME newest-first left-associated
+    chains as the numpy kernel's row-wise cumsums, so every double is
+    bitwise equal and the rounded sup key cannot diverge."""
+    lags = ",\n    ".join(
+        f"lag(price, {k}) OVER w AS y{k}" for k in range(1, max_span + 1)
+    )
+    sums, stats, ses, unions = [], [], [], []
+    sx, sxx, sd, sxd, sdd = None, None, None, None, None
+    for l in range(1, max_span + 1):
+        xk = f"y{l}"
+        yk = "price" if l == 1 else f"y{l - 1}"
+        dk = f"({yk} - {xk})"
+        sx = xk if sx is None else f"({sx} + {xk})"
+        sxx = f"({xk} * {xk})" if sxx is None else f"({sxx} + ({xk} * {xk}))"
+        sd = dk if sd is None else f"({sd} + {dk})"
+        sxd = f"({xk} * {dk})" if sxd is None else f"({sxd} + ({xk} * {dk}))"
+        sdd = f"({dk} * {dk})" if sdd is None else f"({sdd} + ({dk} * {dk}))"
+        if l < min_span:
+            continue
+        n = float(l)
+        sums.append(
+            f"{sx} AS sx{l}, {sxx} AS sxx{l}, {sd} AS sd{l}, {sxd} AS sxd{l}, {sdd} AS sdd{l}"
+        )
+        stats.append(f"({n!r} * sxx{l}) - (sx{l} * sx{l}) AS denom{l}")
+        stats.append(f"(({n!r} * sxd{l}) - (sx{l} * sd{l})) / (({n!r} * sxx{l}) - (sx{l} * sx{l})) AS beta{l}")
+        ses.append(
+            f"greatest((sdd{l} - (((sd{l} - (beta{l} * sx{l})) / {n!r}) * sd{l}))"
+            f" - (beta{l} * sxd{l}), 0.0)"
+            f" / {n - 2.0!r} / (sxx{l} - ((sx{l} * sx{l}) / {n!r})) AS se2_{l}"
+        )
+        unions.append(
+            f"SELECT symbol, ts_event, {l} AS span,"
+            f" round(beta{l} / sqrt(se2_{l}), 6) + 0.0 AS stat"
+            f" FROM s3 WHERE y{l} IS NOT NULL AND denom{l} <> 0 AND se2_{l} > 0"
+        )
+    nl = ",\n    "
+    return f"""
+WITH trades AS ({TRADES_CTE}),
+j AS (
+  SELECT symbol, ts_event, price,
+    {lags}
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event)
+),
+s1 AS (
+  SELECT *,
+    {nl.join(sums)}
+  FROM j
+),
+s2 AS (
+  SELECT *,
+    {nl.join(stats)}
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    {nl.join(ses)}
+  FROM s2
+),
+cand AS (
+  {' UNION ALL '.join(unions)}
+),
+winner AS (
+  SELECT symbol, ts_event, span, stat
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY symbol, ts_event
+                             ORDER BY stat DESC, span ASC) = 1
+)
+SELECT t.symbol, t.ts_event, w.stat AS sadf_stat, CAST(w.span AS INTEGER) AS sadf_span
+FROM trades t
+LEFT JOIN winner w ON t.symbol = w.symbol AND t.ts_event = w.ts_event
+"""
+
+
+@register(
+    "sadf",
+    _sadf_oracle(_SADF_MIN, _SADF_MAX),
+    f"Rolling sup Dickey-Fuller statistic over trailing windows "
+    f"[{_SADF_MIN},{_SADF_MAX}] (SADF, AFML ch.17 / PWY explosive test)",
+)
+def q_sadf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.structural_breaks import sadf
+
+    with _trades_config():
+        out = sadf(
+            trades_from_events(spark, sf_dir), min_span=_SADF_MIN, max_span=_SADF_MAX
+        )
+    return out

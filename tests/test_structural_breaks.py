@@ -1,0 +1,102 @@
+"""Golden and property tests for the SADF statistic
+(operators/structural_breaks.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.operators.structural_breaks import sadf
+
+MIN_SPAN, MAX_SPAN = 5, 12
+
+
+def _numpy_sadf(prices: np.ndarray):
+    """Textbook per-row backward sup-DF loop."""
+    out = []
+    n = len(prices)
+    for t in range(n):
+        best = None
+        for l in range(MIN_SPAN, MAX_SPAN + 1):
+            if t - l < 0:
+                break
+            y = prices[t - l : t + 1]  # l+1 points -> l pairs
+            x, d = y[:-1], np.diff(y)
+            nn = float(l)
+            sx, sxx = x.sum(), (x * x).sum()
+            sd, sxd, sdd = d.sum(), (x * d).sum(), (d * d).sum()
+            denom = nn * sxx - sx * sx
+            if denom == 0:
+                continue
+            beta = (nn * sxd - sx * sd) / denom
+            alpha = (sd - beta * sx) / nn
+            sse = max(sdd - alpha * sd - beta * sxd, 0.0)
+            se2 = (sse / (nn - 2.0)) / (sxx - sx * sx / nn)
+            if not se2 > 0:
+                continue
+            stat = round(beta / np.sqrt(se2), 6)
+            key = (stat, -l)
+            if best is None or key > best[0]:
+                best = (key, l, stat)
+        out.append((best[1], best[2]) if best else (None, None))
+    return out
+
+
+@pytest.fixture(scope="module")
+def series_pdf():
+    rng = np.random.default_rng(29)
+    rows = []
+    for sym in ("RW", "BUBBLE"):
+        prices = [50.0]
+        for i in range(99):
+            if sym == "BUBBLE" and i >= 60:
+                prices.append(prices[-1] * 1.05 + rng.normal(0, 0.05))
+            else:
+                prices.append(max(1.0, prices[-1] + rng.normal(0, 1.0)))
+        for i, p in enumerate(prices):
+            rows.append(
+                {
+                    "symbol": sym,
+                    "ts_event": pd.Timestamp("2024-06-01") + pd.Timedelta(minutes=i),
+                    "price": float(p),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def test_sadf_matches_numpy(spark, series_pdf):
+    out = (
+        sadf(spark.createDataFrame(series_pdf), min_span=MIN_SPAN, max_span=MAX_SPAN)
+        .toPandas()
+        .sort_values(["symbol", "ts_event"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in series_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event").reset_index(drop=True)
+        expected = _numpy_sadf(grp["price"].to_numpy())
+        got = out[out.symbol == sym].reset_index(drop=True)
+        for i, (span, stat) in enumerate(expected):
+            if span is None:
+                assert pd.isna(got.loc[i, "sadf_span"]), f"row {i}"
+            else:
+                assert got.loc[i, "sadf_span"] == span, f"row {i}"
+                assert got.loc[i, "sadf_stat"] == pytest.approx(stat, abs=2e-6), f"row {i}"
+
+
+def test_sadf_flags_explosive_regime(spark, series_pdf):
+    out = sadf(
+        spark.createDataFrame(series_pdf), min_span=MIN_SPAN, max_span=MAX_SPAN
+    ).toPandas()
+    bubble_tail = out[(out.symbol == "BUBBLE")].sort_values("ts_event").tail(20)
+    rw = out[out.symbol == "RW"]["sadf_stat"].dropna()
+    # the explosive segment's sup-DF must sit far above the random walk's
+    assert bubble_tail["sadf_stat"].max() > rw.quantile(0.99)
+
+
+def test_sadf_validation(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    with pytest.raises(ValueError):
+        sadf(sdf, min_span=2)
+    with pytest.raises(ValueError):
+        sadf(sdf, min_span=10, max_span=9)
