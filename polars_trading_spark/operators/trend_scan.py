@@ -19,54 +19,46 @@ regression statistics per span are prefix sums of that forward vector:
 with ``Sx = l(l-1)/2`` / ``Sxx = (l-1)l(2l-1)/6`` as literals, and
 slope, variance and t-value in closed form.
 
-Why the t-values are a vectorized Arrow kernel and not Column algebra:
-expressed as expressions, the Sy/Syy/Sxy chains re-embed into every
-candidate's slope/intercept/SSE/t (no cross-Project CSE), an
-O(spans^2 * span) interpreted tree evaluated per row — measured 136s
-at 100k rows vs ~1s for every sibling operator.  The same math over
-the row-major lead matrix is three ``np.cumsum`` calls plus flat
-elementwise algebra — and numpy's sequential row-wise accumulation has
-EXACTLY the left-associated float semantics of the SQL chains, so the
-DuckDB oracle (generated with those chains) stays bit-for-bit valid.
-The kernel touches only doubles already on the row: no shuffle, no
-state, one Arrow round trip of a max_span-wide matrix.
-
-Everything around the kernel is native: the ``lead`` window pass before
-it, and the span selection after it — ``round(tval, 6)`` as the argmax
-key (float noise cannot flip a rounded key) with ties to the shortest
-span via ``array_max`` over ``struct(|t|, -l, ...)``, and the winning
-end-timestamp picked from the ``lead(ts)`` columns by the chosen span.
+Why an Arrow numpy kernel and not Column algebra: as expressions, the
+Sy/Syy/Sxy chains re-embed into every candidate's slope/SSE/t (no
+cross-Project CSE) — an O(spans^2 * span) interpreted tree per row,
+measured 136s at 100k rows vs ~1s for sibling operators.  The same
+math is three row-wise ``np.cumsum`` prefixes plus flat elementwise
+algebra, and numpy's sequential accumulation has EXACTLY the
+left-associated float semantics of the SQL oracle's generated chains —
+every t-value is bitwise equal on both engines, so the kernel also
+performs the argmax-|t| span selection (ties to the shortest span) with
+no rounding defence needed; the winning end-timestamp is picked
+natively from the ``lead(ts)`` columns by the chosen span.  One window
+pass, one Arrow round trip, no joins, no extra shuffle.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 __all__ = ["trend_scanning_labels"]
 
 
-def _tval_kernel(min_span: int, max_span: int):
-    """Arrow-batched kernel: forward-price matrix -> per-span raw t-values.
+def _trend_kernel(min_span: int, max_span: int):
+    """Forward-price matrix -> (t-value, span) of the strongest trend;
+    nulls where no span has a complete window and positive residual
+    variance."""
+    spans = np.arange(min_span, max_span + 1)
 
-    Invalid spans (incomplete window -> NaN prices, or zero residual
-    variance) yield NaN, filtered natively downstream.
-    """
-    spans = list(range(min_span, max_span + 1))
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def tvals(prices: pd.Series) -> pd.Series:
+    @F.pandas_udf("tval double, span int")
+    def kernel(prices: pd.Series) -> pd.DataFrame:
         m = np.array(prices.tolist(), dtype=np.float64)  # rows x max_span
-        if m.ndim != 2:  # empty batch
-            return pd.Series([[] for _ in range(len(prices))])
-        k = np.arange(max_span, dtype=np.float64)
+        if m.ndim != 2 or m.shape[0] == 0:
+            return pd.DataFrame({"tval": [], "span": []})
+        k = np.arange(m.shape[1], dtype=np.float64)
         c1 = np.cumsum(m, axis=1)
         c2 = np.cumsum(m * m, axis=1)
         c3 = np.cumsum(m * k, axis=1)
-        out = np.empty((m.shape[0], len(spans)), dtype=np.float64)
+        tvals = np.empty((m.shape[0], len(spans)), dtype=np.float64)
         for i, l in enumerate(spans):
             n = float(l)
             sx = l * (l - 1) / 2.0
@@ -79,10 +71,19 @@ def _tval_kernel(min_span: int, max_span: int):
                 se2 = (sse / (n - 2.0)) / (sxx - sx * sx / n)
                 t = slope / np.sqrt(se2)
             t[~(se2 > 0)] = np.nan
-            out[:, i] = t
-        return pd.Series(list(out))
+            tvals[:, i] = t
+        valid = ~np.isnan(tvals)
+        any_valid = valid.any(axis=1)
+        masked = np.where(valid, np.abs(tvals), -np.inf)
+        idx = np.argmax(masked, axis=1)  # first max -> smallest span on ties
+        rows = np.arange(m.shape[0])
+        tval = pd.Series(tvals[rows, idx], dtype="Float64")
+        span = pd.Series(spans[idx], dtype="Int32")
+        tval[~any_valid] = pd.NA
+        span[~any_valid] = pd.NA
+        return pd.DataFrame({"tval": tval, "span": span})
 
-    return tvals
+    return kernel
 
 
 def trend_scanning_labels(
@@ -98,9 +99,8 @@ def trend_scanning_labels(
 
     Returns ``symbol, ts_event, t1, span, tval, label`` where ``t1`` is
     the end timestamp of the winning span, ``tval`` its slope
-    t-statistic (rounded to 6dp — the argmax key), and ``label`` its
-    sign.  Rows too close to the end of a series for even ``min_span``
-    get nulls.
+    t-statistic, and ``label`` its sign.  Rows too close to the end of a
+    series for even ``min_span`` get nulls.
     """
     if min_span < 3:
         raise ValueError(f"min_span must be >= 3 (t-stat needs l-2 dof), got {min_span}")
@@ -112,43 +112,24 @@ def trend_scanning_labels(
     spans = list(range(min_span, max_span + 1))
 
     leads = [p0] + [F.lead(p0, k).over(order) for k in range(1, max_span)]
-    ts_leads = {l: F.lead(ts_col, l - 1).over(order) for l in spans}
+    ts_leads = [F.lead(ts_col, l - 1).over(order) for l in spans]
 
     base = df.select(
         symbol_col,
         ts_col,
         F.array(*leads).alias("__fwd"),
-        *[ts_leads[l].alias(f"__e{l}") for l in spans],
+        F.array(*ts_leads).alias("__ends"),
     )
-    kernel = _tval_kernel(min_span, max_span)
-    base = base.withColumn("__tv", kernel("__fwd"))
-
-    candidates: list[Column] = []
-    for i, l in enumerate(spans):
-        # ``+ 0.0`` normalizes IEEE -0.0 (round of a tiny negative) to
-        # 0.0 so downstream string-keyed sorts agree across engines.
-        tval = F.round(F.element_at("__tv", i + 1), 6) + F.lit(0.0)
-        raw = F.element_at("__tv", i + 1)
-        candidates.append(
-            F.when(
-                # NaN marks an invalid span; guard null too (isnan(NULL)
-                # is false in Spark, which would let an empty struct win)
-                raw.isNotNull() & ~F.isnan(raw),
-                F.struct(
-                    F.abs(tval).alias("abs_t"),
-                    F.lit(-l).alias("neg_span"),
-                    tval.alias("tval"),
-                    F.col(f"__e{l}").alias("t1"),
-                ),
-            )
-        )
-
-    best = F.array_max(F.array(*candidates))
-    return base.withColumn("__best", best).select(
+    kernel = _trend_kernel(min_span, max_span)
+    out = base.withColumn("__r", kernel("__fwd"))
+    span = F.col("__r.span")
+    tval = F.col("__r.tval")
+    return out.select(
         symbol_col,
         ts_col,
-        F.col("__best.t1").alias("t1"),
-        (-F.col("__best.neg_span")).cast("int").alias("span"),
-        F.col("__best.tval").alias("tval"),
-        F.signum("__best.tval").alias("label"),
+        F.element_at("__ends", span - min_span + 1).alias("t1"),
+        span.cast("int").alias("span"),
+        tval.alias("tval"),
+        # ``+ 0.0`` maps IEEE signum(-0.0) = -0.0 onto the oracle's 0.0
+        (F.signum(tval) + F.lit(0.0)).alias("label"),
     )

@@ -1913,8 +1913,9 @@ _TS_MIN_SPAN, _TS_MAX_SPAN = 5, 20
 
 def _trend_scan_oracle(min_span: int, max_span: int) -> str:
     """Generate the DuckDB oracle with the SAME left-associated expression
-    trees the Spark operator builds, so every double is bitwise equal and
-    the rounded argmax key cannot diverge between engines."""
+    trees the Spark kernel's row-wise cumsums evaluate, so every double
+    is bitwise equal and the raw argmax-|t| key cannot diverge between
+    engines."""
     lead_cols = ",\n    ".join(
         [f"lead(price, {k}) OVER w AS p{k}" for k in range(1, max_span)]
         + [f"lead(ts_event, {l - 1}) OVER w AS e{l}" for l in range(min_span, max_span + 1)]
@@ -1942,7 +1943,7 @@ def _trend_scan_oracle(min_span: int, max_span: int) -> str:
         )
         unions.append(
             f"SELECT symbol, ts_event, e{l} AS t1, {l} AS span,"
-            f" round(slope{l} / sqrt(se2_{l}), 6) + 0.0 AS tval"
+            f" slope{l} / sqrt(se2_{l}) AS tval"
             f" FROM s3 WHERE valid{l} AND se2_{l} > 0"
         )
     nl = ",\n    "
@@ -2331,8 +2332,9 @@ _SADF_MIN, _SADF_MAX = 10, 40
 
 def _sadf_oracle(min_span: int, max_span: int) -> str:
     """DuckDB oracle generated with the SAME newest-first left-associated
-    chains as the numpy kernel's row-wise cumsums, so every double is
-    bitwise equal and the rounded sup key cannot diverge."""
+    chains as the numpy kernel's row-wise cumsums: every double is
+    bitwise equal, so the sup over raw stats (ties to the smallest
+    span) selects the identical winner on both engines."""
     lags = ",\n    ".join(
         f"lag(price, {k}) OVER w AS y{k}" for k in range(1, max_span + 1)
     )
@@ -2362,7 +2364,7 @@ def _sadf_oracle(min_span: int, max_span: int) -> str:
         )
         unions.append(
             f"SELECT symbol, ts_event, {l} AS span,"
-            f" round(beta{l} / sqrt(se2_{l}), 6) + 0.0 AS stat"
+            f" beta{l} / sqrt(se2_{l}) AS stat"
             f" FROM s3 WHERE y{l} IS NOT NULL AND denom{l} <> 0 AND se2_{l} > 0"
         )
     nl = ",\n    "

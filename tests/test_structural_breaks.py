@@ -35,7 +35,7 @@ def _numpy_sadf(prices: np.ndarray):
             se2 = (sse / (nn - 2.0)) / (sxx - sx * sx / nn)
             if not se2 > 0:
                 continue
-            stat = round(beta / np.sqrt(se2), 6)
+            stat = beta / np.sqrt(se2)
             key = (stat, -l)
             if best is None or key > best[0]:
                 best = (key, l, stat)

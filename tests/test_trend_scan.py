@@ -31,7 +31,7 @@ def _numpy_trend_scan(prices: np.ndarray):
             se2 = sse / (l - 2) / sxx
             if se2 <= 0:
                 continue
-            t = round(slope / np.sqrt(se2), 6) + 0.0
+            t = slope / np.sqrt(se2)
             key = (abs(t), -l)
             if best is None or key > best[0]:
                 best = (key, l, t)
