@@ -28,6 +28,7 @@ HEADLINE = [
     "volume_bars",
     "dollar_bars",
     "imbalance_bars",
+    "run_bars",
     "fixed_time_return",
     "daily_vol",
     "vertical_barrier",

@@ -39,7 +39,7 @@ from polars_trading_spark._utils import SEQ_COL, ohlcv_aggs, resolve_order_mode,
 from polars_trading_spark.config import column_names
 from polars_trading_spark.operators.bars import _DATE, _final_bar_select
 
-__all__ = ["imbalance_bars"]
+__all__ = ["imbalance_bars", "run_bars"]
 
 _CHUNK = 4096
 _MODES = ("tick", "volume", "dollar")
@@ -135,6 +135,97 @@ def imbalance_bars(
         else:
             w = b * pdf[size].to_numpy(dtype=np.float64) * p
         pdf["bar_id"] = _imbalance_scan(w, h)
+        return pdf
+
+    assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)
+    bars = assigned.groupBy(*keys, "bar_id").agg(
+        *ohlcv_aggs(ts, price, size, order_mode=order_mode)
+    )
+    return _final_bar_select(bars, symbol, ts)
+
+
+def _run_scan(w: np.ndarray, h: float) -> np.ndarray:
+    """Bar id per row for RUN bars: buy and sell flow accumulate
+    separately and a bar closes (inclusive) when max(pos, neg) >= h.
+
+    Both accumulators are monotone within a bar, so inside a chunk the
+    close is the first index where max(p0 + cumsum(w+), n0 + cumsum(w-))
+    crosses — same chunked closed form as the imbalance scan.
+    """
+    n = w.size
+    ids = np.empty(n, dtype=np.int64)
+    p0 = n0 = 0.0
+    gid, i = 0, 0
+    pos_w = np.maximum(w, 0.0)
+    neg_w = -np.minimum(w, 0.0)
+    while i < n:
+        j = min(n, i + _CHUNK)
+        p = p0 + np.cumsum(pos_w[i:j])
+        q = n0 + np.cumsum(neg_w[i:j])
+        hit = np.maximum(p, q) >= h
+        if not hit.any():
+            ids[i:j] = gid
+            p0, n0 = float(p[-1]), float(q[-1])
+            i = j
+            continue
+        t = int(np.argmax(hit))
+        ids[i : i + t + 1] = gid
+        gid += 1
+        p0 = n0 = 0.0
+        i = i + t + 1
+    return ids
+
+
+def run_bars(
+    df: DataFrame,
+    *,
+    threshold: float,
+    mode: str = "tick",
+    split_by_date: bool = True,
+    order_mode: str = "auto",
+) -> DataFrame:
+    """OHLCV bars clocked by one-sided order-flow runs (AFML 2.3.2.2).
+
+    Like ``imbalance_bars`` but the clock fires when EITHER side's
+    accumulated flow max(sum of buys, sum of sells) breaches the
+    threshold — sampling accelerates under persistent one-sided runs
+    even when the net imbalance cancels.  Same static-threshold
+    contract, same slim applyInPandas island + native OHLCV shape.
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    order_mode = resolve_order_mode(df, ts, order_mode)
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+    slim = out.select(*keys, ts, SEQ_COL, price, size)
+
+    h = float(threshold)
+    bar_mode = mode
+    schema = slim.withColumn("bar_id", F.lit(0).cast("long")).schema
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        p = pdf[price].to_numpy(dtype=np.float64)
+        b = _tick_signs(p)
+        if bar_mode == "tick":
+            w = b
+        elif bar_mode == "volume":
+            w = b * pdf[size].to_numpy(dtype=np.float64)
+        else:
+            w = b * pdf[size].to_numpy(dtype=np.float64) * p
+        pdf["bar_id"] = _run_scan(w, h)
         return pdf
 
     assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)

@@ -2420,3 +2420,71 @@ def q_sadf(spark: SparkSession, sf_dir: str) -> DataFrame:
             trades_from_events(spark, sf_dir), min_span=_SADF_MIN, max_span=_SADF_MAX
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. Tick run bars (operators/imbalance.py::run_bars) — AFML 2.3.2.2
+# one-sided flow clock, same recursive-CTE replay contract.
+# --------------------------------------------------------------------------
+
+_RUN_H = 6
+
+
+@register(
+    "run_bars",
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+t0 AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS d, ts_event, seq, price, size,
+    row_number() OVER w AS rn,
+    CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+         WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS sgn_raw
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq)
+),
+t AS (
+  SELECT *, coalesce(last_value(sgn_raw IGNORE NULLS) OVER
+      (PARTITION BY symbol, d ORDER BY ts_event, seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS b
+  FROM t0
+),
+rec(symbol, d, rn, bar_id, p_out, n_out, gid_next) AS (
+  SELECT symbol, d, rn, CAST(0 AS BIGINT),
+         CASE WHEN greatest(greatest(b, 0.0), -least(b, 0.0)) >= {_RUN_H}
+              THEN 0.0 ELSE greatest(b, 0.0) END,
+         CASE WHEN greatest(greatest(b, 0.0), -least(b, 0.0)) >= {_RUN_H}
+              THEN 0.0 ELSE -least(b, 0.0) END,
+         CAST(CASE WHEN greatest(greatest(b, 0.0), -least(b, 0.0)) >= {_RUN_H}
+              THEN 1 ELSE 0 END AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.d, x.rn, x.gid,
+         CASE WHEN greatest(x.p, x.q) >= {_RUN_H} THEN 0.0 ELSE x.p END,
+         CASE WHEN greatest(x.p, x.q) >= {_RUN_H} THEN 0.0 ELSE x.q END,
+         CASE WHEN greatest(x.p, x.q) >= {_RUN_H} THEN x.gid + 1 ELSE x.gid END
+  FROM (
+    SELECT tt.symbol, tt.d, tt.rn, r.gid_next AS gid,
+           r.p_out + greatest(tt.b, 0.0) AS p,
+           r.n_out - least(tt.b, 0.0) AS q
+    FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn + 1
+  ) x
+),
+assigned AS (
+  SELECT r.symbol, r.d, r.bar_id, tt.ts_event, tt.seq, tt.price, tt.size
+  FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn
+)
+SELECT symbol,
+    {_OHLCV_ORACLE}
+FROM assigned
+GROUP BY symbol, d, bar_id
+""",
+    f"Tick run bars (AFML 2.3.2.2, static threshold {_RUN_H}): close a bar "
+    "when either side's accumulated tick-rule flow breaches — chunked "
+    "monotone scan vs sequential recursive-CTE oracle",
+)
+def q_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.imbalance import run_bars
+
+    with _trades_config():
+        out = run_bars(trades_from_events(spark, sf_dir), threshold=_RUN_H, mode="tick")
+    return _round_vwap(out)

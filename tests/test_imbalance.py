@@ -137,3 +137,76 @@ def test_validation(spark, trades_pdf):
             imbalance_bars(sdf, threshold=0)
         with pytest.raises(ValueError):
             imbalance_bars(sdf, threshold=5, mode="entropy")
+
+
+# ---------------------------------------------------------------------------
+# run bars
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.imbalance import _run_scan, run_bars
+
+
+def _reference_run_scan(w, h):
+    ids, pos, neg, gid = [], 0.0, 0.0, 0
+    for x in w:
+        if x > 0:
+            pos += x
+        elif x < 0:
+            neg += -x
+        ids.append(gid)
+        if max(pos, neg) >= h:
+            gid += 1
+            pos = neg = 0.0
+    return np.array(ids)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("h", [3.0, 12.0, 1e9])
+def test_run_scan_matches_reference(seed, h):
+    rng = np.random.default_rng(seed)
+    w = rng.choice([-1.0, 0.0, 1.0], size=9000, p=[0.45, 0.1, 0.45])
+    np.testing.assert_array_equal(_run_scan(w, h), _reference_run_scan(w, h))
+
+
+def test_run_scan_chunk_boundary():
+    w = np.ones(5000)
+    ids = _run_scan(w, 4096.0)
+    np.testing.assert_array_equal(ids[:4096], 0)
+    np.testing.assert_array_equal(ids[4096:], 1)
+
+
+def test_run_bars_faster_clock_than_imbalance(spark, trades_pdf):
+    """Runs fire at least as often as net imbalance at equal threshold."""
+    with Config(timestamp_column="ts_event"):
+        imb = imbalance_bars(spark.createDataFrame(trades_pdf), threshold=6.0).toPandas()
+        run = run_bars(spark.createDataFrame(trades_pdf), threshold=6.0).toPandas()
+    assert len(run) >= len(imb)
+    assert run["volume"].sum() == trades_pdf["size"].sum()
+
+
+def test_run_bars_golden(spark, trades_pdf):
+    with Config(timestamp_column="ts_event"):
+        out = (
+            run_bars(spark.createDataFrame(trades_pdf), threshold=5.0, mode="volume")
+            .toPandas()
+            .sort_values(["symbol", "ts_event_start"])
+            .reset_index(drop=True)
+        )
+    rows = []
+    for (sym, day), grp in trades_pdf.groupby(
+        ["symbol", trades_pdf.ts_event.dt.normalize()]
+    ):
+        grp = grp.sort_values("ts_event").reset_index(drop=True)
+        b = _tick_signs(grp["price"].to_numpy())
+        w = b * grp["size"].to_numpy(dtype=float)
+        grp["bar_id"] = _reference_run_scan(w, 5.0)
+        for _, bar in grp.groupby("bar_id"):
+            rows.append((sym, bar["ts_event"].min(), bar["size"].sum(), len(bar)))
+    exp = (
+        pd.DataFrame(rows, columns=["symbol", "start", "volume", "n_trades"])
+        .sort_values(["symbol", "start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(exp)
+    assert out["volume"].tolist() == exp["volume"].tolist()
+    assert out["n_trades"].tolist() == exp["n_trades"].tolist()
