@@ -47,6 +47,7 @@ HEADLINE = [
     "text_analysis",
     "tfidf_topk",
     "corpus_stats",
+    "decontaminate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_clusters",

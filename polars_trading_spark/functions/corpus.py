@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "corpus_stats", "hash_split", "stratified_sample"]
+__all__ = ["corpus_filter", "corpus_stats", "decontaminate", "hash_split", "stratified_sample"]
 
 
 def corpus_filter(
@@ -249,3 +249,72 @@ def stratified_sample(
         frac = F.when(cond, f) if frac is None else frac.when(cond, f)
     frac = F.lit(default_fraction) if frac is None else frac.otherwise(default_fraction)
     return df.where(u < frac)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    ngram: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation/benchmark set.
+
+    The standard training-data hygiene pass (GPT-3 appendix C, The Pile,
+    FineWeb all ship a variant): any document whose text contains
+    ``min_hits`` or more n-grams that also occur in the benchmark is
+    flagged so downstream filters can drop it and keep eval scores
+    honest.  Matching runs on the engine-portable 31-bit shingle hashes
+    (``dedup.shingle_hashes``) — no string n-gram materialization.
+
+    Scale shape: the benchmark side reduces to a DISTINCT hash set that
+    is tiny relative to any corpus (benchmarks are thousands of docs,
+    corpora billions), so the probe is a **broadcast** semi-join onto
+    the exploded corpus grams followed by one per-doc hash aggregate —
+    the corpus is never shuffled except for that aggregate, and the
+    n-gram explosion streams through codegen.
+
+    Returns one row per corpus doc: ``doc_id, n_grams, n_hits,
+    contamination_ratio, is_contaminated``.
+    """
+    from polars_trading_spark.functions.dedup import shingle_hashes
+    from polars_trading_spark.functions.text import tokens
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            shingle_hashes(tokens(F.col(text_col)), n=ngram).alias("__sh"),
+        )
+
+    bench_set = (
+        grams(benchmark).select(F.explode("__sh").alias("g")).distinct()
+    )
+    corpus_sh = grams(corpus)
+    exploded = corpus_sh.select("__id", F.explode("__sh").alias("g"))
+    hits = (
+        exploded.join(F.broadcast(bench_set), on="g", how="inner")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        corpus_sh.select("__id", F.size("__sh").alias("n_grams"))
+        .join(hits, on="__id", how="left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.col("n_hits").cast("int").alias("n_hits"),
+        F.when(F.col("n_grams") > 0, F.col("n_hits") / F.col("n_grams"))
+        .otherwise(F.lit(0.0))
+        .alias("contamination_ratio"),
+        (F.col("n_hits") >= min_hits).alias("is_contaminated"),
+    )

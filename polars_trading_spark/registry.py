@@ -2488,3 +2488,47 @@ def q_run_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
         out = run_bars(trades_from_events(spark, sf_dir), threshold=_RUN_H, mode="tick")
     return _round_vwap(out)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Benchmark decontamination (functions/corpus.py::decontaminate)
+# --------------------------------------------------------------------------
+
+_DECON_NGRAM = 3
+
+
+@register(
+    "decontaminate",
+    f"""
+WITH {_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_DECON_NGRAM)},
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0
+),
+grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM grams JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.sh) AS INTEGER) AS n_grams,
+  CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+  CASE WHEN len(s.sh) > 0
+       THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(s.sh)
+       ELSE 0.0 END AS contamination_ratio,
+  coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+""",
+    f"Benchmark decontamination: {_DECON_NGRAM}-gram shingle-hash overlap "
+    "against the benchmark subset (doc_id % 20 = 0) via broadcast "
+    "semi-probe (GPT-3 appx C / FineWeb hygiene pass)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, ngram=_DECON_NGRAM)

@@ -140,3 +140,68 @@ def test_sample_validation(spark, docs_pdf):
         stratified_sample(sdf, stratum_col="lang", fractions={"en": 1.5})
     with pytest.raises(ValueError):
         stratified_sample(sdf, stratum_col="lang", fractions={}, default_fraction=-0.1)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.functions.corpus import decontaminate
+
+
+@pytest.fixture(scope="module")
+def contamination_pdf():
+    bench_rows = [
+        {"doc_id": 1000, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1001, "text": "to be or not to be that is the question"},
+    ]
+    corpus_rows = [
+        # contains benchmark trigram "quick brown fox"
+        {"doc_id": 1, "text": "I saw a quick brown fox yesterday evening"},
+        # verbatim copy of a benchmark doc
+        {"doc_id": 2, "text": "to be or not to be that is the question"},
+        # clean
+        {"doc_id": 3, "text": "completely unrelated sentence about spark engines"},
+        # too short for any trigram
+        {"doc_id": 4, "text": "hi there"},
+    ]
+    return pd.DataFrame(corpus_rows), pd.DataFrame(bench_rows)
+
+
+def test_decontaminate_flags(spark, contamination_pdf):
+    corpus, bench = contamination_pdf
+    out = (
+        decontaminate(spark.createDataFrame(corpus), spark.createDataFrame(bench), ngram=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "is_contaminated"])
+    assert bool(out.loc[2, "is_contaminated"])
+    assert not bool(out.loc[3, "is_contaminated"])
+    assert not bool(out.loc[4, "is_contaminated"])
+    # verbatim copy: every one of its n-grams hits
+    assert out.loc[2, "contamination_ratio"] == 1.0
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "contamination_ratio"] == 0.0
+    # partial overlap flags but with ratio < 1
+    assert 0 < out.loc[1, "contamination_ratio"] < 1
+
+
+def test_decontaminate_broadcast_plan(spark, contamination_pdf):
+    corpus, bench = contamination_pdf
+    plan = (
+        decontaminate(spark.createDataFrame(corpus), spark.createDataFrame(bench))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_validation(spark, contamination_pdf):
+    corpus, bench = contamination_pdf
+    c, b = spark.createDataFrame(corpus), spark.createDataFrame(bench)
+    with pytest.raises(ValueError):
+        decontaminate(c, b, ngram=0)
+    with pytest.raises(ValueError):
+        decontaminate(c, b, min_hits=0)
