@@ -40,6 +40,7 @@ HEADLINE = [
     "microstructure",
     "trend_scan",
     "vpin",
+    "bet_sizing",
     "purged_kfold",
     "sadf",
     "return_entropy",

@@ -2532,3 +2532,56 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 20 == 0)
     return decontaminate(docs, bench, ngram=_DECON_NGRAM)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Bet sizing: averaging active bets (operators/bet_sizing.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bet_sizing",
+    f"""
+WITH base AS (
+{_trend_scan_oracle(_TS_MIN_SPAN, _TS_MAX_SPAN)}
+),
+ev AS (
+  SELECT symbol, ts_event AS t0, t1, tval / sqrt(1 + tval * tval) AS m
+  FROM base WHERE tval IS NOT NULL AND t1 IS NOT NULL
+),
+pairs AS (
+  SELECT e.symbol, e.t0 AS pt, j.m
+  FROM ev e JOIN ev j
+    ON e.symbol = j.symbol AND j.t0 <= e.t0 AND e.t0 <= j.t1
+)
+SELECT symbol, pt AS ts_event,
+  round(avg(m), 6) AS avg_active_bet,
+  CAST(count(*) AS INTEGER) AS n_active
+FROM pairs GROUP BY symbol, pt
+""",
+    "Averaging active bets (AFML 10.2) over sigmoid-sized trend-scanning "
+    "signals (AFML 10.3) — horizon-bucketed span join, one aggregate",
+)
+def q_bet_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.bet_sizing import (
+        average_active_bets,
+        bet_size_from_tstat,
+    )
+    from polars_trading_spark.operators.trend_scan import trend_scanning_labels
+
+    with _trades_config():
+        labels = trend_scanning_labels(
+            trades_from_events(spark, sf_dir),
+            min_span=_TS_MIN_SPAN,
+            max_span=_TS_MAX_SPAN,
+        )
+        ev = labels.where(F.col("tval").isNotNull()).withColumn(
+            "bet_size", bet_size_from_tstat(F.col("tval"))
+        )
+        out = average_active_bets(ev, bucket="4h")
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("avg_active_bet", 6).alias("avg_active_bet"),
+        "n_active",
+    )

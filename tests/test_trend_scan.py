@@ -106,3 +106,69 @@ def test_trend_scan_validation(spark, series_pdf):
         trend_scanning_labels(sdf, min_span=2)
     with pytest.raises(ValueError):
         trend_scanning_labels(sdf, min_span=5, max_span=4)
+
+
+# ---------------------------------------------------------------------------
+# bet sizing (operators/bet_sizing.py)
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.bet_sizing import (
+    average_active_bets,
+    bet_size_from_tstat,
+)
+
+
+def test_bet_size_sigmoid_bounds(spark):
+    pdf = pd.DataFrame({"t": [-50.0, -1.0, 0.0, 1.0, 50.0]})
+    out = (
+        spark.createDataFrame(pdf)
+        .select(bet_size_from_tstat("t").alias("m"))
+        .toPandas()["m"]
+    )
+    assert (out.abs() < 1).all()
+    assert out.iloc[2] == 0.0
+    assert out.iloc[3] == pytest.approx(1 / np.sqrt(2))
+    assert out.iloc[0] < -0.999 and out.iloc[4] > 0.999
+    # monotone in t
+    assert out.is_monotonic_increasing
+
+
+def test_average_active_bets_golden(spark):
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(sym, start_min, end_min, m):
+        return {
+            "symbol": sym,
+            "ts_event": t0 + pd.Timedelta(minutes=start_min),
+            "t1": t0 + pd.Timedelta(minutes=end_min),
+            "bet_size": m,
+        }
+
+    pdf = pd.DataFrame(
+        [
+            ev("A", 0, 10, 1.0),     # active at 0, 5, 10
+            ev("A", 5, 20, -0.5),    # active at 5, 10, 20
+            ev("A", 10, 12, 0.25),   # active at 10
+            ev("A", 20, 30, 0.75),   # active at 20
+            ev("B", 0, 100, 0.1),
+        ]
+    )
+    out = (
+        average_active_bets(spark.createDataFrame(pdf), bucket="1h")
+        .toPandas()
+        .sort_values(["symbol", "ts_event"])
+        .reset_index(drop=True)
+    )
+    a = out[out.symbol == "A"].set_index("ts_event")
+    assert a.loc[t0, "n_active"] == 1 and a.loc[t0, "avg_active_bet"] == 1.0
+    t5 = t0 + pd.Timedelta(minutes=5)
+    assert a.loc[t5, "n_active"] == 2
+    assert a.loc[t5, "avg_active_bet"] == pytest.approx((1.0 - 0.5) / 2)
+    t10 = t0 + pd.Timedelta(minutes=10)
+    assert a.loc[t10, "n_active"] == 3
+    assert a.loc[t10, "avg_active_bet"] == pytest.approx((1.0 - 0.5 + 0.25) / 3)
+    t20 = t0 + pd.Timedelta(minutes=20)
+    assert a.loc[t20, "n_active"] == 2
+    assert a.loc[t20, "avg_active_bet"] == pytest.approx((-0.5 + 0.75) / 2)
+    b = out[out.symbol == "B"]
+    assert len(b) == 1 and b.iloc[0]["n_active"] == 1
