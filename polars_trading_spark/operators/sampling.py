@@ -39,8 +39,12 @@ __all__ = ["cusum_filter"]
 _CHUNK = 2048
 
 
-def _cusum_scan(diffs: np.ndarray, h: float) -> tuple[np.ndarray, np.ndarray]:
-    """Indices and sides (±1) of CUSUM events over a diff series.
+def _cusum_scan(
+    diffs: np.ndarray, h: float, spos: float = 0.0, sneg: float = 0.0
+) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Indices, sides (±1) and final (spos, sneg) of CUSUM events over a
+    diff series, starting from carried state (streaming batches resume
+    where the previous one left off).
 
     Chunked closed-form scan: O(n + events·chunk) numpy work total.
     Within a chunk the no-reset recursions are::
@@ -54,7 +58,6 @@ def _cusum_scan(diffs: np.ndarray, h: float) -> tuple[np.ndarray, np.ndarray]:
     n = diffs.size
     idx: list[int] = []
     side: list[int] = []
-    spos = sneg = 0.0
     i = 0
     while i < n:
         j = min(n, i + _CHUNK)
@@ -79,7 +82,7 @@ def _cusum_scan(diffs: np.ndarray, h: float) -> tuple[np.ndarray, np.ndarray]:
             spos, sneg = 0.0, float(neg[t])
         idx.append(i + t)
         i += t + 1
-    return np.asarray(idx, dtype=np.int64), np.asarray(side, dtype=np.int32)
+    return np.asarray(idx, dtype=np.int64), np.asarray(side, dtype=np.int32), spos, sneg
 
 
 def cusum_filter(df: DataFrame, threshold: float) -> DataFrame:
@@ -113,7 +116,7 @@ def cusum_filter(df: DataFrame, threshold: float) -> DataFrame:
             idx = np.empty(0, dtype=np.int64)
             side = np.empty(0, dtype=np.int32)
         else:
-            idx, side = _cusum_scan(np.diff(p), h)
+            idx, side, _, _ = _cusum_scan(np.diff(p), h)
         out = pdf.iloc[idx + 1][[*by, ts_col]].copy()  # diffs[k] → row k+1
         out["side"] = side
         return out

@@ -14,3 +14,7 @@ __all__.append("streaming_ewm_std")
 from polars_trading_spark.streaming.dedup import streaming_dedup_exact  # noqa: E402
 
 __all__.append("streaming_dedup_exact")
+
+from polars_trading_spark.streaming.cusum import streaming_cusum_filter  # noqa: E402
+
+__all__.append("streaming_cusum_filter")

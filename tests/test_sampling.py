@@ -33,7 +33,7 @@ def test_vectorized_scan_matches_naive_loop(seed):
     n = int(rng.integers(1, 6000))
     diffs = rng.normal(0, 1.0, n)
     h = float(rng.uniform(0.5, 5.0))
-    idx, side = _cusum_scan(diffs, h)
+    idx, side, _, _ = _cusum_scan(diffs, h)
     nidx, nside = _naive(diffs, h)
     assert idx.tolist() == nidx
     assert side.tolist() == nside
@@ -43,7 +43,7 @@ def test_scan_crosses_chunk_boundaries():
     # A drift that fires long after the 2048-row chunk edge, with state
     # carried across chunks.
     diffs = np.full(5000, 0.001)
-    idx, side = _cusum_scan(diffs, 3.0)
+    idx, side, _, _ = _cusum_scan(diffs, 3.0)
     nidx, nside = _naive(diffs, 3.0)
     assert idx.tolist() == nidx and side.tolist() == nside
     assert len(idx) == 1 and side[0] == 1

@@ -294,3 +294,58 @@ def test_streaming_dedup_exact_drops_reformatted_copies(spark):
         assert len({r["fingerprint"] for r in rows}) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_cusum_matches_batch_across_batches(spark):
+    """CUSUM state must carry across micro-batches: split the same data
+    into two files (event-time ordered halves) and compare against the
+    batch operator's events."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.sampling import cusum_filter
+    from polars_trading_spark.streaming import streaming_cusum_filter
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for sym in ("A", "B"):
+        price = 100.0
+        t = dt.datetime(2022, 1, 1, 9, 30)
+        for _ in range(400):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 10)))
+            price = max(1.0, price + float(rng.normal(0, 2.0)))
+            rows.append((sym, price, 10, t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    d = tempfile.mkdtemp(prefix="pts_cusum_stream_")
+    try:
+        half = len(pdf) // 2
+        spark.createDataFrame(pdf.iloc[:half], SCHEMA).coalesce(1).write.parquet(
+            f"{d}/f0"
+        )
+        spark.createDataFrame(pdf.iloc[half:], SCHEMA).coalesce(1).write.parquet(
+            f"{d}/f1"
+        )
+        with Config(timestamp_column="ts_event"):
+            batch = sorted(
+                (r["symbol"], r["ts_event"], r["side"])
+                for r in cusum_filter(
+                    spark.createDataFrame(pdf, SCHEMA), 25.0
+                ).collect()
+            )
+
+            def make():
+                stream = (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{d}/*")
+                )
+                return streaming_cusum_filter(stream, 25.0)
+
+            rows_out = _run_stream(spark, make)
+        got = sorted((r["symbol"], r["ts_event"], r["side"]) for r in rows_out)
+        assert got == batch
+        assert len(got) > 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
