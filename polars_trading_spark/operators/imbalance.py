@@ -59,9 +59,15 @@ def _tick_signs(prices: np.ndarray) -> np.ndarray:
     return b
 
 
-def _imbalance_scan(w: np.ndarray, h: float) -> np.ndarray:
-    """Bar id per row: theta accumulates w, a bar closes (inclusive) on
-    the row where |theta| >= h, then theta resets.
+def _imbalance_scan(
+    w: np.ndarray, h: float, theta0: float = 0.0
+) -> tuple[np.ndarray, float, int]:
+    """(bar id per row, final open-bar theta, number of bars closed):
+    theta accumulates w, a bar closes (inclusive) on the row where
+    |theta| >= h, then theta resets.  ``theta0`` seeds the scan so
+    streaming micro-batches resume exactly where the previous one left
+    off; ids < the closed count are final, the id == closed count (only
+    ever the trailing segment) is the still-open bar.
 
     Chunked closed form: within a chunk theta is theta0 + cumsum(w), so
     the next close is the first index where |theta0 + C| >= h — argmax
@@ -69,7 +75,7 @@ def _imbalance_scan(w: np.ndarray, h: float) -> np.ndarray:
     """
     n = w.size
     ids = np.empty(n, dtype=np.int64)
-    theta0, gid, i = 0.0, 0, 0
+    gid, i = 0, 0
     while i < n:
         j = min(n, i + _CHUNK)
         vals = theta0 + np.cumsum(w[i:j])
@@ -84,7 +90,7 @@ def _imbalance_scan(w: np.ndarray, h: float) -> np.ndarray:
         gid += 1
         theta0 = 0.0
         i = i + t + 1
-    return ids
+    return ids, theta0, gid
 
 
 def imbalance_bars(
@@ -134,7 +140,7 @@ def imbalance_bars(
             w = b * pdf[size].to_numpy(dtype=np.float64)
         else:
             w = b * pdf[size].to_numpy(dtype=np.float64) * p
-        pdf["bar_id"] = _imbalance_scan(w, h)
+        pdf["bar_id"] = _imbalance_scan(w, h)[0]
         return pdf
 
     assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)

@@ -18,3 +18,7 @@ __all__.append("streaming_dedup_exact")
 from polars_trading_spark.streaming.cusum import streaming_cusum_filter  # noqa: E402
 
 __all__.append("streaming_cusum_filter")
+
+from polars_trading_spark.streaming.imbalance import streaming_imbalance_bars  # noqa: E402
+
+__all__.append("streaming_imbalance_bars")

@@ -41,13 +41,13 @@ def test_tick_signs_no_change():
 def test_chunked_scan_matches_reference(seed, h):
     rng = np.random.default_rng(seed)
     w = rng.choice([-1.0, 0.0, 1.0], size=10_000, p=[0.45, 0.1, 0.45])
-    np.testing.assert_array_equal(_imbalance_scan(w, h), _reference_scan(w, h))
+    np.testing.assert_array_equal(_imbalance_scan(w, h)[0], _reference_scan(w, h))
 
 
 def test_chunk_boundary_state_carry():
     # a crossing exactly at / straddling the 4096 chunk boundary
     w = np.ones(5000)
-    ids = _imbalance_scan(w, 4096.0)
+    ids = _imbalance_scan(w, 4096.0)[0]
     np.testing.assert_array_equal(ids[:4096], 0)
     np.testing.assert_array_equal(ids[4096:], 1)
 

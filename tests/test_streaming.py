@@ -349,3 +349,67 @@ def test_streaming_cusum_matches_batch_across_batches(spark):
         assert len(got) > 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_imbalance_bars_match_batch_across_batches(spark):
+    """Imbalance-bar state (theta, tick sign, open-bar OHLCV) must carry
+    across micro-batches; after supersede (last row per bar_id) the
+    stream equals the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.imbalance import imbalance_bars
+    from polars_trading_spark.streaming import streaming_imbalance_bars
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for sym in ("A", "B"):
+        price = 40.0
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        for _ in range(300):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 15)))
+            price = max(1.0, price + float(rng.choice([-0.5, 0.0, 0.5])))
+            rows.append((sym, price, int(rng.integers(10, 500)), t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    d = tempfile.mkdtemp(prefix="pts_imb_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo_hi in enumerate([(0, third), (third, 2 * third), (2 * third, len(pdf))]):
+            spark.createDataFrame(pdf.iloc[lo_hi[0] : lo_hi[1]], SCHEMA).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+        with Config(timestamp_column="ts_event"):
+            batch = imbalance_bars(
+                spark.createDataFrame(pdf, SCHEMA), threshold=4.0, mode="tick"
+            ).toPandas()
+
+            def make():
+                stream = (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{d}/*")
+                )
+                return streaming_imbalance_bars(stream, threshold=4.0, mode="tick")
+
+            rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        # supersede: keep the last snapshot/final per (symbol, bar_date, bar_id)
+        got = (
+            got.sort_values(["symbol", "bar_date", "bar_id", "n_trades"])
+            .groupby(["symbol", "bar_date", "bar_id"], as_index=False)
+            .last()
+        )
+        batch = batch.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        got = got.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        assert len(got) == len(batch)
+        for col in ("symbol", "open", "high", "low", "close", "volume", "n_trades"):
+            assert got[col].tolist() == batch[col].tolist(), col
+        assert got["ts_event_start"].tolist() == batch["ts_event_start"].tolist()
+        assert got["ts_event_end"].tolist() == batch["ts_event_end"].tolist()
+        assert (got["vwap"] - batch["vwap"]).abs().max() < 1e-9
+        # at least one bar closed in a batch after its open snapshot
+        assert got["bar_id"].nunique() > 4
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
