@@ -38,6 +38,7 @@ HEADLINE = [
     "sample_weights",
     "bar_volatility",
     "microstructure",
+    "feature_matrix",
     "trend_scan",
     "vpin",
     "bet_sizing",

@@ -2585,3 +2585,129 @@ def q_bet_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_active_bet", 6).alias("avg_active_bet"),
         "n_active",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Feature-matrix assembly (operators/feature_matrix.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "feature_matrix",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+vterms AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER w) AS r_cc,
+    ln(open / lag(close) OVER w) AS r_on,
+    ln(close / open) AS r_co,
+    pow(ln(high / low), 2) AS hl2,
+    ln(high / close) * ln(high / open) + ln(low / close) * ln(low / open) AS rs
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+vrolled AS (
+  SELECT symbol, ts,
+    count(r_cc) OVER r AS n_cc, count(*) OVER r AS n_bar,
+    var_samp(r_cc) OVER r AS v_cc, var_samp(r_on) OVER r AS v_on,
+    var_samp(r_co) OVER r AS v_co, avg(hl2) OVER r AS m_hl2,
+    avg(0.5 * hl2 - (2 * ln(2) - 1) * r_co * r_co) OVER r AS m_gk,
+    avg(rs) OVER r AS m_rs
+  FROM vterms
+  WINDOW r AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+vol AS (
+  SELECT symbol, ts,
+    round(CASE WHEN n_cc = {_VOL_WINDOW} THEN sqrt(v_cc) END, 6) AS vol_cc,
+    round(CASE WHEN n_bar = {_VOL_WINDOW} THEN sqrt(m_hl2 / (4 * ln(2))) END, 6) AS vol_parkinson,
+    round(CASE WHEN n_bar = {_VOL_WINDOW} THEN sqrt(greatest(m_gk, 0)) END, 6) AS vol_gk,
+    round(CASE WHEN n_bar = {_VOL_WINDOW} THEN sqrt(greatest(m_rs, 0)) END, 6) AS vol_rs,
+    round(CASE WHEN n_cc = {_VOL_WINDOW}
+          THEN sqrt(greatest(v_on + {_VOL_K!r} * v_co + {1.0 - _VOL_K!r} * m_rs, 0)) END, 6) AS vol_yz
+  FROM vrolled
+),
+mterms AS (
+  SELECT symbol, ts, volume, vwap,
+    close - lag(close) OVER w AS dp,
+    ln(close / lag(close) OVER w) AS ret
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+mt2 AS (
+  SELECT *,
+    lag(dp) OVER w AS dp_prev,
+    last_value(CASE WHEN dp > 0 THEN 1.0 WHEN dp < 0 THEN -1.0 END IGNORE NULLS)
+      OVER (PARTITION BY symbol ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tick
+  FROM mterms
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+mt3 AS (
+  SELECT symbol, ts, dp, volume,
+    CASE WHEN dp IS NOT NULL AND dp_prev IS NOT NULL THEN dp_prev END AS cx,
+    CASE WHEN dp IS NOT NULL AND dp_prev IS NOT NULL THEN dp END AS cy,
+    CASE WHEN dp IS NOT NULL AND tick IS NOT NULL THEN tick * volume END AS sv,
+    CASE WHEN dp IS NOT NULL AND tick IS NOT NULL THEN dp END AS ly,
+    CASE WHEN ret IS NOT NULL AND volume * vwap > 0 THEN abs(ret) / (volume * vwap) END AS ami
+  FROM mt2
+),
+mrolled AS (
+  SELECT symbol, ts,
+    count(cx) OVER r AS n_cov, sum(cx) OVER r AS s_cx, sum(cy) OVER r AS s_cy,
+    sum(cx * cy) OVER r AS s_cxy,
+    count(sv) OVER r AS n_lam, sum(sv) OVER r AS s_x, sum(ly) OVER r AS s_y,
+    sum(sv * ly) OVER r AS s_xy, sum(sv * sv) OVER r AS s_xx,
+    count(ami) OVER r AS n_ami, avg(ami) OVER r AS m_ami
+  FROM mt3
+  WINDOW r AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+micro AS (
+  SELECT symbol, ts,
+    round(CASE WHEN n_cov = {_VOL_WINDOW}
+          THEN 2 * sqrt(greatest(-((s_cxy - s_cx * s_cy / n_cov) / (n_cov - 1)), 0)) END, 6)
+      AS roll_measure,
+    round(CASE WHEN n_lam = {_VOL_WINDOW} AND n_lam * s_xx - s_x * s_x <> 0
+          THEN 1e6 * (n_lam * s_xy - s_x * s_y) / (n_lam * s_xx - s_x * s_x) END, 6)
+      AS kyle_lambda,
+    round(CASE WHEN n_ami = {_VOL_WINDOW} THEN 1e6 * m_ami END, 6) AS amihud
+  FROM mrolled
+),
+target AS (
+  SELECT symbol, ts,
+    ln(lead(close) OVER w / close) AS fwd_return,
+    CASE WHEN ln(lead(close) OVER w / close) > 0 THEN 1.0
+         WHEN ln(lead(close) OVER w / close) < 0 THEN -1.0
+         WHEN ln(lead(close) OVER w / close) = 0 THEN 0.0 END AS label
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+)
+SELECT v.symbol, v.ts AS ts_event,
+       v.vol_cc, v.vol_parkinson, v.vol_gk, v.vol_rs, v.vol_yz,
+       m.roll_measure, m.kyle_lambda, m.amihud,
+       t.fwd_return, t.label
+FROM vol v
+JOIN micro m ON v.symbol = m.symbol AND v.ts = m.ts
+JOIN target t ON v.symbol = t.symbol AND v.ts = t.ts
+""",
+    "ML dataset assembly: range-volatility + microstructure features + "
+    "forward-return target per 15m bar — the end-to-end training-matrix "
+    "pipeline",
+)
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = bar_feature_matrix(bars, window=_VOL_WINDOW, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "ts_event",
+        *[F.round(c, 6).alias(c) for c in ("vol_cc", "vol_parkinson", "vol_gk", "vol_rs", "vol_yz")],
+        F.round("roll_measure", 6).alias("roll_measure"),
+        F.round(F.col("kyle_lambda") * 1e6, 6).alias("kyle_lambda"),
+        F.round("amihud", 6).alias("amihud"),
+        "fwd_return",
+        "label",
+    )

@@ -237,3 +237,40 @@ def test_vpin_matches_golden(spark):
     # all full buckets carry exactly the configured volume
     assert (got["bucket_volume"].iloc[:-1] <= bucket).all()
     assert (got["imbalance"].between(0, 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# feature matrix assembly (operators/feature_matrix.py)
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
+
+
+def test_feature_matrix_composes(spark, bar_pdf):
+    out = (
+        bar_feature_matrix(spark.createDataFrame(bar_pdf), window=WINDOW)
+        .toPandas()
+        .sort_values(["symbol", "ts_event_start"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(bar_pdf)
+    # columns from both feature families plus the target
+    for c in ("vol_cc", "vol_yz", "roll_measure", "kyle_lambda", "amihud", "fwd_return", "label"):
+        assert c in out.columns
+    # target: one null per symbol (the last bar), sign matches fwd return
+    for sym, grp in out.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        assert grp["fwd_return"].isna().sum() == 1
+        assert pd.isna(grp["fwd_return"].iloc[-1])
+        filled = grp.dropna(subset=["fwd_return"])
+        assert (np.sign(filled["fwd_return"]) == filled["label"]).all()
+    # features agree with the standalone operators
+    from polars_trading_spark.operators.volatility import bar_volatility
+
+    vol = (
+        bar_volatility(spark.createDataFrame(bar_pdf), window=WINDOW)
+        .toPandas()
+        .sort_values(["symbol", "ts_event_start"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(out["vol_cc"], vol["vol_cc"], rtol=1e-12, equal_nan=True)
