@@ -39,7 +39,7 @@ from polars_trading_spark._utils import SEQ_COL, ohlcv_aggs, resolve_order_mode,
 from polars_trading_spark.config import column_names
 from polars_trading_spark.operators.bars import _DATE, _final_bar_select
 
-__all__ = ["imbalance_bars", "run_bars"]
+__all__ = ["imbalance_bars", "imbalance_bars_adaptive", "run_bars"]
 
 _CHUNK = 4096
 _MODES = ("tick", "volume", "dollar")
@@ -232,6 +232,110 @@ def run_bars(
         else:
             w = b * pdf[size].to_numpy(dtype=np.float64) * p
         pdf["bar_id"] = _run_scan(w, h)
+        return pdf
+
+    assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)
+    bars = assigned.groupBy(*keys, "bar_id").agg(
+        *ohlcv_aggs(ts, price, size, order_mode=order_mode)
+    )
+    return _final_bar_select(bars, symbol, ts)
+
+
+def _adaptive_scan(
+    w: np.ndarray, ew: np.ndarray, t0: int, alpha_t: float
+) -> np.ndarray:
+    """Bar ids for EWMA-adaptive imbalance bars.
+
+    Per-row threshold is ``E[T] * |ew_t|`` where ``ew`` is the
+    (precomputed, C-vectorized) row EWMA of w and ``E[T]`` is the EWMA
+    of realized bar lengths, seeded at ``t0`` and updated once per
+    closed bar.  The scan loops once per BAR (not per row): within a
+    bar the crossing test |cumsum| >= eT*|ew| is one vectorized
+    comparison over the remaining slice.
+    """
+    n = w.size
+    ids = np.empty(n, dtype=np.int64)
+    e_t = float(t0)
+    gid, i = 0, 0
+    abs_ew = np.abs(ew)
+    while i < n:
+        c = np.cumsum(w[i:])
+        hit = np.abs(c) >= e_t * abs_ew[i:]
+        if not hit.any():
+            ids[i:] = gid
+            break
+        t = int(np.argmax(hit))
+        ids[i : i + t + 1] = gid
+        gid += 1
+        e_t = (1.0 - alpha_t) * e_t + alpha_t * (t + 1)
+        i = i + t + 1
+    return ids
+
+
+def imbalance_bars_adaptive(
+    df: DataFrame,
+    *,
+    init_expected_ticks: int = 100,
+    alpha_ticks: float = 0.1,
+    alpha_flow: float = 0.05,
+    mode: str = "tick",
+    split_by_date: bool = True,
+    order_mode: str = "auto",
+) -> DataFrame:
+    """EWMA-adaptive imbalance bars — the full AFML 2.3.2.1 form.
+
+    The closing threshold adapts to the market: a bar closes when
+    ``|theta| >= E[T] * |E[w]|`` where ``E[T]`` is an EWMA of realized
+    bar tick counts (seeded at ``init_expected_ticks``, smoothed by
+    ``alpha_ticks``) and ``E[w]`` an EWMA of the signed flow per tick
+    (``alpha_flow``, pandas ``adjust=False`` semantics).  Results are
+    initialization-sensitive by construction (every published
+    implementation differs in its warm-up), so this operator is gated
+    rows-only by the driver; the static-threshold ``imbalance_bars``
+    carries the differential oracle.
+
+    Dataflow is identical to ``imbalance_bars``: slim per-(symbol, date)
+    island assigning bar ids (row EWMA via pandas' C kernel, bar scan
+    looping once per bar), native OHLCV reduction.
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
+    if init_expected_ticks < 1:
+        raise ValueError(f"init_expected_ticks must be >= 1, got {init_expected_ticks}")
+    for name, a in (("alpha_ticks", alpha_ticks), ("alpha_flow", alpha_flow)):
+        if not (0.0 < a <= 1.0):
+            raise ValueError(f"{name} must be in (0, 1], got {a}")
+
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    order_mode = resolve_order_mode(df, ts, order_mode)
+    keys = [symbol]
+    out = with_seq(df.na.drop(subset=[price]))
+    if split_by_date:
+        out = out.withColumn(_DATE, F.to_date(ts))
+        keys.append(_DATE)
+    slim = out.select(*keys, ts, SEQ_COL, price, size)
+
+    t0, a_t, a_w = int(init_expected_ticks), float(alpha_ticks), float(alpha_flow)
+    bar_mode = mode
+    schema = slim.withColumn("bar_id", F.lit(0).cast("long")).schema
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        p = pdf[price].to_numpy(dtype=np.float64)
+        b = _tick_signs(p)
+        if bar_mode == "tick":
+            w = b
+        elif bar_mode == "volume":
+            w = b * pdf[size].to_numpy(dtype=np.float64)
+        else:
+            w = b * pdf[size].to_numpy(dtype=np.float64) * p
+        ew = pd.Series(w).ewm(alpha=a_w, adjust=False).mean().to_numpy()
+        pdf["bar_id"] = _adaptive_scan(w, ew, t0, a_t)
         return pdf
 
     assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)

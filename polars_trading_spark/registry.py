@@ -2711,3 +2711,30 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fwd_return",
         "label",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. EWMA-adaptive imbalance bars (rows-only: initialization-sensitive
+# sequential state — the static-threshold variant carries the oracle).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "imbalance_bars_adaptive",
+    None,
+    "EWMA-adaptive tick imbalance bars (full AFML 2.3.2.1 form): "
+    "threshold E[T]*|E[w]| adapts per closed bar — rows-only gate, "
+    "golden-tested against a direct sequential replica",
+)
+def q_imbalance_bars_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.imbalance import imbalance_bars_adaptive
+
+    with _trades_config():
+        out = imbalance_bars_adaptive(
+            trades_from_events(spark, sf_dir),
+            init_expected_ticks=40,
+            alpha_ticks=0.1,
+            alpha_flow=0.05,
+            mode="tick",
+        )
+    return _round_vwap(out)

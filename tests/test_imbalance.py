@@ -210,3 +210,62 @@ def test_run_bars_golden(spark, trades_pdf):
     assert len(out) == len(exp)
     assert out["volume"].tolist() == exp["volume"].tolist()
     assert out["n_trades"].tolist() == exp["n_trades"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# EWMA-adaptive imbalance bars
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.imbalance import (
+    _adaptive_scan,
+    imbalance_bars_adaptive,
+)
+
+
+def _reference_adaptive(w, t0, a_t, a_w):
+    """Direct sequential replica: per-row flow EWMA, per-bar E[T] EWMA."""
+    ids, gid = [], 0
+    e_t, ew, theta, bar_len = float(t0), 0.0, 0.0, 0
+    first = True
+    for x in w:
+        ew = x if first else (1 - a_w) * ew + a_w * x
+        first = False
+        theta += x
+        bar_len += 1
+        ids.append(gid)
+        if abs(theta) >= e_t * abs(ew):
+            gid += 1
+            e_t = (1 - a_t) * e_t + a_t * bar_len
+            theta, bar_len = 0.0, 0
+    return np.array(ids)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_adaptive_scan_matches_reference(seed):
+    rng = np.random.default_rng(seed)
+    w = rng.choice([-1.0, 0.0, 1.0], size=4000, p=[0.42, 0.16, 0.42])
+    ew = pd.Series(w).ewm(alpha=0.05, adjust=False).mean().to_numpy()
+    got = _adaptive_scan(w, ew, 50, 0.1)
+    np.testing.assert_array_equal(got, _reference_adaptive(w, 50, 0.1, 0.05))
+
+
+def test_adaptive_bars_volume_conserved_and_adaptive(spark, trades_pdf):
+    with Config(timestamp_column="ts_event"):
+        out = imbalance_bars_adaptive(
+            spark.createDataFrame(trades_pdf),
+            init_expected_ticks=30,
+            alpha_ticks=0.2,
+            alpha_flow=0.05,
+        ).toPandas()
+    assert out["volume"].sum() == trades_pdf["size"].sum()
+    # threshold adaptation must produce varying bar lengths
+    assert out["n_trades"].nunique() > 1
+
+
+def test_adaptive_validation(spark, trades_pdf):
+    sdf = spark.createDataFrame(trades_pdf)
+    with Config(timestamp_column="ts_event"):
+        with pytest.raises(ValueError):
+            imbalance_bars_adaptive(sdf, init_expected_ticks=0)
+        with pytest.raises(ValueError):
+            imbalance_bars_adaptive(sdf, alpha_flow=0.0)
