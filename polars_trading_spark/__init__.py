@@ -37,6 +37,25 @@ from polars_trading_spark.operators.sample_weights import (
     sample_weights,
     time_decay,
 )
+from polars_trading_spark.operators.bet_sizing import (
+    average_active_bets,
+    bet_size_from_tstat,
+)
+from polars_trading_spark.operators.cv import purged_kfold
+from polars_trading_spark.operators.entropy import return_entropy
+from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
+from polars_trading_spark.operators.imbalance import (
+    imbalance_bars,
+    imbalance_bars_adaptive,
+    run_bars,
+)
+from polars_trading_spark.operators.microstructure import (
+    microstructure_features,
+    vpin,
+)
+from polars_trading_spark.operators.structural_breaks import sadf
+from polars_trading_spark.operators.trend_scan import trend_scanning_labels
+from polars_trading_spark.operators.volatility import bar_volatility
 from polars_trading_spark.session import get_spark
 
 __all__ = [
@@ -65,6 +84,19 @@ __all__ = [
     "return_attribution",
     "sample_weights",
     "time_decay",
+    "imbalance_bars",
+    "imbalance_bars_adaptive",
+    "run_bars",
+    "bar_volatility",
+    "microstructure_features",
+    "vpin",
+    "trend_scanning_labels",
+    "sadf",
+    "return_entropy",
+    "purged_kfold",
+    "bet_size_from_tstat",
+    "average_active_bets",
+    "bar_feature_matrix",
 ]
 
 __version__ = "0.1.0"
