@@ -39,6 +39,8 @@ HEADLINE = [
     "bar_volatility",
     "microstructure",
     "feature_matrix",
+    "rolling_beta",
+    "momentum_rank",
     "trend_scan",
     "vpin",
     "bet_sizing",

@@ -1,0 +1,122 @@
+"""Cross-sectional features: market beta and momentum ranks.
+
+The reference (and everything in operators/ so far) is per-symbol; a
+multi-asset feature pipeline also needs the cross-sectional axis —
+features defined against the whole universe at each point in time:
+
+* ``rolling_beta`` — CAPM-style beta/correlation of each symbol's bar
+  returns against the equal-weight universe return, over a rolling bar
+  window.
+* ``momentum_rank`` — each bar's cross-sectional rank of trailing
+  k-bar return (1 = strongest momentum in the universe).
+
+Distributed shape: the universe return is a per-bucket aggregate
+(``n_buckets`` rows — tiny) joined back **broadcast**, so the bar table
+shuffles once for the per-bucket aggregate and once for the per-symbol
+window; ranks are one window over the bucket partition.  Explicit-sum
+covariance (not ``covar_samp``) keeps null handling engine-identical
+for the differential oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_beta", "momentum_rank"]
+
+
+def rolling_beta(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rolling beta and correlation of each symbol vs the equal-weight
+    universe return.
+
+    Universe return at bucket t is the mean bar log return over symbols
+    present in that bucket.  Returns ``symbol, ts, beta, corr`` (null
+    until ``window`` paired returns exist per symbol).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    c = F.col(close_col)
+    r = bars.withColumn("__r", F.log(c / F.lag(c).over(order)))
+
+    mkt = (
+        r.where(F.col("__r").isNotNull())
+        .groupBy(ts_col)
+        .agg(F.avg("__r").alias("__m"))
+    )
+    j = r.join(F.broadcast(mkt), on=ts_col, how="left")
+
+    x = F.when(F.col("__r").isNotNull() & F.col("__m").isNotNull(), F.col("__m"))
+    y = F.when(F.col("__r").isNotNull() & F.col("__m").isNotNull(), F.col("__r"))
+    j = j.withColumn("__x", x).withColumn("__y", y)
+    roll = order.rowsBetween(-(window - 1), 0)
+    n = F.count("__x").over(roll)
+    sx = F.sum("__x").over(roll)
+    sy = F.sum("__y").over(roll)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(roll)
+    syy = F.sum(F.col("__y") * F.col("__y")).over(roll)
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(roll)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    beta = F.when((n == window) & (var_x > 0), cov / var_x)
+    corr = F.when(
+        (n == window) & (var_x > 0) & (var_y > 0), cov / F.sqrt(var_x * var_y)
+    )
+    return j.select(
+        symbol_col,
+        ts_col,
+        beta.alias("beta"),
+        corr.alias("corr"),
+    )
+
+
+def momentum_rank(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Cross-sectional momentum rank per bucket: 1 = largest trailing
+    ``lookback``-bar log return among symbols ranked in that bucket.
+
+    Symbols without ``lookback`` prior bars in their own series get a
+    null momentum and are excluded from the ranking (rank null).
+    Ties break deterministically by symbol name.
+    """
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    c = F.col(close_col)
+    mom = F.log(c / F.lag(c, lookback).over(order))
+    r = bars.withColumn("__mom", mom)
+
+    rank_w = Window.partitionBy(ts_col).orderBy(F.desc("__mom"), F.asc(symbol_col))
+    ranked = r.where(F.col("__mom").isNotNull()).withColumn(
+        "mom_rank", F.row_number().over(rank_w)
+    ).withColumn("n_ranked", F.count(F.lit(1)).over(Window.partitionBy(ts_col)))
+
+    out = r.select(symbol_col, ts_col, "__mom").join(
+        ranked.select(symbol_col, ts_col, "mom_rank", "n_ranked"),
+        on=[symbol_col, ts_col],
+        how="left",
+    )
+    return out.select(
+        symbol_col,
+        ts_col,
+        F.col("__mom").alias("momentum"),
+        F.col("mom_rank").cast("int").alias("mom_rank"),
+        F.col("n_ranked").cast("int").alias("n_ranked"),
+    )

@@ -2738,3 +2738,96 @@ def q_imbalance_bars_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="tick",
         )
     return _round_vwap(out)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-sectional features (operators/cross_section.py)
+# --------------------------------------------------------------------------
+
+_BETA_WINDOW = 20
+_MOM_LOOKBACK = 5
+
+
+@register(
+    "rolling_beta",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+mkt AS (
+  SELECT ts, avg(r) AS m FROM r WHERE r IS NOT NULL GROUP BY ts
+),
+j AS (
+  SELECT r.symbol, r.ts,
+    CASE WHEN r.r IS NOT NULL AND k.m IS NOT NULL THEN k.m END AS x,
+    CASE WHEN r.r IS NOT NULL AND k.m IS NOT NULL THEN r.r END AS y
+  FROM r LEFT JOIN mkt k ON r.ts = k.ts
+),
+rolled AS (
+  SELECT symbol, ts,
+    count(x) OVER w AS n,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+    sum(x * y) OVER w AS sxy
+  FROM j
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_BETA_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts AS ts_event,
+  round(CASE WHEN n = {_BETA_WINDOW} AND n * sxx - sx * sx > 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS beta,
+  round(CASE WHEN n = {_BETA_WINDOW} AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        THEN (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS corr
+FROM rolled
+""",
+    f"Rolling {_BETA_WINDOW}-bar beta/correlation of each symbol vs the "
+    "equal-weight universe return (cross-sectional CAPM features)",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rolling_beta
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rolling_beta(bars, window=_BETA_WINDOW, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("beta", 6).alias("beta"),
+        F.round("corr", 6).alias("corr"),
+    )
+
+
+@register(
+    "momentum_rank",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r2 AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_MOM_LOOKBACK}) OVER (PARTITION BY symbol ORDER BY ts)) AS mom
+  FROM bars
+),
+ranked AS (
+  SELECT symbol, ts,
+    row_number() OVER (PARTITION BY ts ORDER BY mom DESC, symbol ASC) AS mom_rank,
+    count(*) OVER (PARTITION BY ts) AS n_ranked
+  FROM r2 WHERE mom IS NOT NULL
+)
+SELECT r2.symbol, r2.ts AS ts_event, r2.mom AS momentum,
+  CAST(rk.mom_rank AS INTEGER) AS mom_rank,
+  CAST(rk.n_ranked AS INTEGER) AS n_ranked
+FROM r2 LEFT JOIN ranked rk ON r2.symbol = rk.symbol AND r2.ts = rk.ts
+""",
+    f"Cross-sectional momentum rank per bucket (trailing {_MOM_LOOKBACK}-bar "
+    "log return, 1 = strongest; deterministic symbol tiebreak)",
+)
+def q_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import momentum_rank
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    return momentum_rank(bars, lookback=_MOM_LOOKBACK, ts_col="ts_event")

@@ -274,3 +274,67 @@ def test_feature_matrix_composes(spark, bar_pdf):
         .reset_index(drop=True)
     )
     np.testing.assert_allclose(out["vol_cc"], vol["vol_cc"], rtol=1e-12, equal_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-sectional features (operators/cross_section.py)
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.cross_section import momentum_rank, rolling_beta
+
+
+def test_rolling_beta_of_market_itself(spark, bar_pdf):
+    """A universe of ONE symbol has market return == its own return, so
+    beta and corr must be exactly 1 wherever defined."""
+    one = bar_pdf[bar_pdf.symbol == "AAPL"]
+    out = rolling_beta(spark.createDataFrame(one), window=WINDOW).toPandas()
+    vals = out.dropna()
+    assert len(vals) > 10
+    np.testing.assert_allclose(vals["beta"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(vals["corr"], 1.0, atol=1e-9)
+
+
+def test_rolling_beta_golden(spark, bar_pdf):
+    out = (
+        rolling_beta(spark.createDataFrame(bar_pdf), window=WINDOW)
+        .toPandas()
+        .sort_values(["symbol", "ts_event_start"])
+        .reset_index(drop=True)
+    )
+    # pandas replica
+    pdf = bar_pdf.sort_values(["symbol", "ts_event_start"]).copy()
+    pdf["r"] = pdf.groupby("symbol")["close"].transform(lambda s: np.log(s / s.shift(1)))
+    mkt = pdf.dropna(subset=["r"]).groupby("ts_event_start")["r"].mean().rename("m")
+    pdf = pdf.merge(mkt, on="ts_event_start", how="left")
+    for sym, grp in pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start").reset_index(drop=True)
+        got = out[out.symbol == sym].reset_index(drop=True)
+        for i in range(len(grp)):
+            w = grp.iloc[max(0, i - WINDOW + 1) : i + 1][["r", "m"]].dropna()
+            if len(w) == WINDOW and w["m"].var(ddof=0) > 0:
+                cov = np.cov(w["m"], w["r"], ddof=0)[0, 1]
+                exp_beta = cov / w["m"].var(ddof=0)
+                assert got.loc[i, "beta"] == pytest.approx(exp_beta, rel=1e-6), i
+            else:
+                assert pd.isna(got.loc[i, "beta"])
+
+
+def test_momentum_rank_invariants(spark, bar_pdf):
+    out = momentum_rank(spark.createDataFrame(bar_pdf), lookback=3).toPandas()
+    ranked = out.dropna(subset=["mom_rank"])
+    for ts, grp in ranked.groupby("ts_event_start"):
+        # ranks are a permutation of 1..n and ordered by momentum desc
+        assert sorted(grp["mom_rank"]) == list(range(1, len(grp) + 1))
+        assert (grp["n_ranked"] == len(grp)).all()
+        srt = grp.sort_values("mom_rank")
+        assert (srt["momentum"].diff().dropna() <= 1e-15).all()
+    # unranked rows have no momentum
+    assert out[out.mom_rank.isna()]["momentum"].isna().all()
+
+
+def test_cross_section_validation(spark, bar_pdf):
+    sdf = spark.createDataFrame(bar_pdf)
+    with pytest.raises(ValueError):
+        rolling_beta(sdf, window=1)
+    with pytest.raises(ValueError):
+        momentum_rank(sdf, lookback=0)
