@@ -160,3 +160,89 @@ def test_vocab_topk_is_distributed_topk_no_python(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert count_python_stages(vocab) == 0
     assert count_python_stages(tfidf_topk(docs, k=5)) == 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 operator plan contracts
+# ---------------------------------------------------------------------------
+
+
+def _bars(trades):
+    with Config(timestamp_column="ts_event"):
+        return time_bars(trades, bar_size="15m")
+
+
+def test_bar_features_no_python_one_window_partition(trades):
+    """Volatility + microstructure are pure window pipelines: zero
+    Python stages, no unbounded-following frames, and the rolling
+    features add no exchange beyond the bar aggregation's."""
+    from polars_trading_spark.operators.microstructure import microstructure_features
+    from polars_trading_spark.operators.volatility import bar_volatility
+
+    bars = _bars(trades)
+    base_ex = count_exchanges(bars)
+    for out in (
+        bar_volatility(bars, window=20, ts_col="ts_event"),
+        microstructure_features(bars, window=20, ts_col="ts_event"),
+    ):
+        assert count_python_stages(out) == 0
+        assert not has_unbounded_following_frame(out)
+        assert count_exchanges(out) <= base_ex + 1  # one symbol repartition
+
+
+def test_vpin_stays_native(trades):
+    from polars_trading_spark.operators.microstructure import vpin
+
+    with Config(timestamp_column="ts_event"):
+        out = vpin(trades, bucket_volume=500_000, window=10)
+    assert count_python_stages(out) == 0
+    assert not has_unbounded_following_frame(out)
+
+
+def test_entropy_stays_native(trades):
+    from polars_trading_spark.operators.entropy import return_entropy
+
+    with Config(timestamp_column="ts_event"):
+        out = return_entropy(trades, word_len=2, block=50)
+    assert count_python_stages(out) == 0
+
+
+def test_kernel_ops_single_arrow_island(trades):
+    """trend_scan and sadf must contain EXACTLY one Arrow Python stage
+    (the t-value kernel) and no joins."""
+    from polars_trading_spark.operators.structural_breaks import sadf
+    from polars_trading_spark.operators.trend_scan import trend_scanning_labels
+
+    with Config(timestamp_column="ts_event"):
+        for out in (
+            trend_scanning_labels(trades, min_span=5, max_span=12),
+            sadf(trades, min_span=10, max_span=20),
+        ):
+            assert count_python_stages(out) == 1
+            assert "Join" not in plan_string(out)
+
+
+def test_stratified_sample_zero_shuffles(spark, sf_dir):
+    from polars_trading_spark.functions.corpus import stratified_sample
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs.select("doc_id", "lang"), stratum_col="lang", fractions={"en": 0.5}
+    )
+    assert count_exchanges(out) == 0
+    assert count_python_stages(out) == 0
+
+
+def test_imbalance_bars_one_island_one_shuffle(trades):
+    """The scan island assigns bar ids; OHLCV stays a native aggregate."""
+    from polars_trading_spark.operators.imbalance import imbalance_bars, run_bars
+
+    with Config(timestamp_column="ts_event"):
+        for out in (
+            imbalance_bars(trades, threshold=6),
+            run_bars(trades, threshold=6),
+        ):
+            assert count_python_stages(out) == 1
+            plan = plan_string(out)
+            assert "HashAggregate" in plan  # native OHLCV reduction
