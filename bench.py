@@ -29,6 +29,7 @@ HEADLINE = [
     "dollar_bars",
     "imbalance_bars",
     "run_bars",
+    "imbalance_bars_adaptive",
     "fixed_time_return",
     "daily_vol",
     "vertical_barrier",

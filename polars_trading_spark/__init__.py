@@ -99,4 +99,4 @@ __all__ = [
     "bar_feature_matrix",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
