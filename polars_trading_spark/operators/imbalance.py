@@ -249,26 +249,35 @@ def _adaptive_scan(
     Per-row threshold is ``E[T] * |ew_t|`` where ``ew`` is the
     (precomputed, C-vectorized) row EWMA of w and ``E[T]`` is the EWMA
     of realized bar lengths, seeded at ``t0`` and updated once per
-    closed bar.  The scan loops once per BAR (not per row): within a
-    bar the crossing test |cumsum| >= eT*|ew| is one vectorized
-    comparison over the remaining slice.
+    closed bar.  Same chunked closed form as ``_imbalance_scan``: the
+    threshold is elementwise over the precomputed ``ew`` and ``E[T]``
+    only changes at a close, so within a chunk the crossing test is
+    ``|theta0 + cumsum(chunk)| >= e_t * |ew[chunk]|`` — O(n + bars *
+    chunk) total, never a rescan of the remaining suffix.
     """
     n = w.size
     ids = np.empty(n, dtype=np.int64)
     e_t = float(t0)
-    gid, i = 0, 0
+    gid, i, bar_start = 0, 0, 0
+    theta0 = 0.0
     abs_ew = np.abs(ew)
     while i < n:
-        c = np.cumsum(w[i:])
-        hit = np.abs(c) >= e_t * abs_ew[i:]
+        j = min(n, i + _CHUNK)
+        vals = theta0 + np.cumsum(w[i:j])
+        hit = np.abs(vals) >= e_t * abs_ew[i:j]
         if not hit.any():
-            ids[i:] = gid
-            break
+            ids[i:j] = gid
+            theta0 = float(vals[-1])
+            i = j
+            continue
         t = int(np.argmax(hit))
-        ids[i : i + t + 1] = gid
+        close = i + t
+        ids[i : close + 1] = gid
         gid += 1
-        e_t = (1.0 - alpha_t) * e_t + alpha_t * (t + 1)
-        i = i + t + 1
+        e_t = (1.0 - alpha_t) * e_t + alpha_t * float(close + 1 - bar_start)
+        bar_start = close + 1
+        theta0 = 0.0
+        i = close + 1
     return ids
 
 

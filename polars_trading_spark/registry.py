@@ -2714,17 +2714,92 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C-ext. EWMA-adaptive imbalance bars (rows-only: initialization-sensitive
-# sequential state — the static-threshold variant carries the oracle).
+# C-ext. EWMA-adaptive imbalance bars.  Fully gated: the operator's own
+# parameters (seed E[T], both alphas) determine the output, so the oracle
+# replays the sequential state machine as a recursive CTE exactly like the
+# static variant, with two bit-exactness requirements mirrored from the
+# kernel:
+#  * pandas ``ewm(alpha, adjust=False)`` round-trips alpha through the
+#    center of mass (alpha_eff = 1/(1+(1-a)/a)), divides by
+#    ((1-a_eff)+a_eff) and SKIPS the update when prev == x ("avoid
+#    numerical errors on constant series") — all three replicated below,
+#    verified bit-equal to pandas 2.2 on 200k-row sequences;
+#  * every recursive state column is CAST to DOUBLE in the anchor member:
+#    DuckDB fixes the CTE's column types from the anchor, and the tick
+#    sign ``b`` is born DECIMAL(2,1) (from the 1.0/-1.0 literals), which
+#    silently rounds the flow EWMA to one decimal each iteration.
 # --------------------------------------------------------------------------
+
+_ADP_T0 = 40
+_ADP_AT = 0.1
+_ADP_AW = 0.05
+_ADP_AWEFF = 1.0 / (1.0 + (1.0 - _ADP_AW) / _ADP_AW)
+_ADP_OWW = 1.0 - _ADP_AWEFF
+_ADP_DENW = _ADP_OWW + _ADP_AWEFF
+_ADP_OWT = 1.0 - _ADP_AT
 
 
 @register(
     "imbalance_bars_adaptive",
-    None,
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+t0 AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS d, ts_event, seq, price, size,
+    row_number() OVER w AS rn,
+    CASE WHEN price - lag(price) OVER w > 0 THEN 1.0
+         WHEN price - lag(price) OVER w < 0 THEN -1.0 END AS sgn_raw
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq)
+),
+t AS (
+  SELECT *, CAST(coalesce(last_value(sgn_raw IGNORE NULLS) OVER
+      (PARTITION BY symbol, d ORDER BY ts_event, seq
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS DOUBLE) AS b
+  FROM t0
+),
+rec(symbol, d, rn, bar_id, theta_out, len_out, ew_out, et_out, gid_next) AS (
+  SELECT symbol, d, rn, CAST(0 AS BIGINT),
+         CAST(CASE WHEN closed THEN 0.0 ELSE b END AS DOUBLE),
+         CASE WHEN closed THEN 0 ELSE 1 END,
+         CAST(b AS DOUBLE),
+         CASE WHEN closed THEN CAST('{_ADP_OWT!r}' AS DOUBLE) * {_ADP_T0} + CAST('{_ADP_AT!r}' AS DOUBLE) * 1
+              ELSE CAST({_ADP_T0} AS DOUBLE) END,
+         CAST(CASE WHEN closed THEN 1 ELSE 0 END AS BIGINT)
+  FROM (SELECT *, abs(b) >= {_ADP_T0} * abs(b) AS closed FROM t WHERE rn = 1)
+  UNION ALL
+  SELECT x.symbol, x.d, x.rn, x.gid,
+         CASE WHEN x.closed THEN CAST(0.0 AS DOUBLE) ELSE x.theta_new END,
+         CASE WHEN x.closed THEN 0 ELSE x.len_new END,
+         x.ew_new,
+         CASE WHEN x.closed THEN CAST('{_ADP_OWT!r}' AS DOUBLE) * x.et + CAST('{_ADP_AT!r}' AS DOUBLE) * x.len_new
+              ELSE x.et END,
+         CASE WHEN x.closed THEN x.gid + 1 ELSE x.gid END
+  FROM (
+    SELECT y.*, abs(y.theta_new) >= y.et * abs(y.ew_new) AS closed
+    FROM (
+      SELECT tt.symbol, tt.d, tt.rn, r.gid_next AS gid,
+             r.theta_out + tt.b AS theta_new,
+             r.len_out + 1 AS len_new,
+             CASE WHEN r.ew_out = tt.b THEN r.ew_out
+                  ELSE (CAST('{_ADP_OWW!r}' AS DOUBLE) * r.ew_out + CAST('{_ADP_AWEFF!r}' AS DOUBLE) * tt.b)
+                       / CAST('{_ADP_DENW!r}' AS DOUBLE) END AS ew_new,
+             r.et_out AS et
+      FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn + 1
+    ) y
+  ) x
+),
+assigned AS (
+  SELECT r.symbol, r.d, r.bar_id, tt.ts_event, tt.seq, tt.price, tt.size
+  FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn
+)
+SELECT symbol,
+    {_OHLCV_ORACLE}
+FROM assigned
+GROUP BY symbol, d, bar_id
+""",
     "EWMA-adaptive tick imbalance bars (full AFML 2.3.2.1 form): "
-    "threshold E[T]*|E[w]| adapts per closed bar — rows-only gate, "
-    "golden-tested against a direct sequential replica",
+    "threshold E[T]*|E[w]| adapts per closed bar — sequential "
+    "recursive-CTE replay with pandas-exact EWM arithmetic",
 )
 def q_imbalance_bars_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.imbalance import imbalance_bars_adaptive

@@ -249,6 +249,21 @@ def test_adaptive_scan_matches_reference(seed):
     np.testing.assert_array_equal(got, _reference_adaptive(w, 50, 0.1, 0.05))
 
 
+@pytest.mark.parametrize("seed", [1, 7])
+def test_adaptive_scan_chunk_boundaries(seed, monkeypatch):
+    """Bars spanning chunk boundaries (theta carry + bar-length tracking
+    across restarts) must match the sequential replica exactly."""
+    import polars_trading_spark.operators.imbalance as mod
+
+    monkeypatch.setattr(mod, "_CHUNK", 37)
+    rng = np.random.default_rng(seed)
+    # near-balanced flow + large E[T] seed -> long bars crossing chunks
+    w = rng.choice([-1.0, 1.0], size=5000)
+    ew = pd.Series(w).ewm(alpha=0.02, adjust=False).mean().to_numpy()
+    got = mod._adaptive_scan(w, ew, 500, 0.3)
+    np.testing.assert_array_equal(got, _reference_adaptive(w, 500, 0.3, 0.02))
+
+
 def test_adaptive_bars_volume_conserved_and_adaptive(spark, trades_pdf):
     with Config(timestamp_column="ts_event"):
         out = imbalance_bars_adaptive(
