@@ -3,12 +3,26 @@
 * ``cosine_topk``      — exact brute-force top-k: broadcast the (small)
   query set against the corpus, dot products via ``zip_with`` +
   ``aggregate`` (no Python), rank per query.  The right baseline and
-  the correctness oracle for any ANN variant.
+  the correctness oracle for any ANN variant.  Guarded against
+  unbounded corpora (``max_corpus_rows``) so the O(N·Q) contract is
+  enforceable, not advisory.
 * ``srp_lsh_topk``     — the scale path: signed-random-projection LSH
   where the hyperplanes are actual corpus vectors (deterministic and
   available to any engine — no RNG, reproducible).  Candidates =
   same-bucket rows, so the crossJoin disappears; recall trades off
   against the plane count.
+* ``ivf_topk``         — inverted-file coarse quantizer (lowest-id or
+  sampled-k-means centroids); each query scans only its nprobe nearest
+  cells.
+
+Plan-construction discipline: planes and centroids are carried as a
+single broadcast one-row DataFrame holding an ``array<array<double>>``
+column, and bucket/cell assignment is a higher-order-function Column
+expression over it.  Nothing here runs a Spark job at plan-build time
+and no dim×k literal forest is embedded in the plan — the only
+driver-side collect in the module is the bounded k-means training
+sample (the classic IVF recipe: train on a sample, assign the full
+corpus distributed).
 
 Embeddings in the testdata are unit-normalized, so cosine == dot; the
 generic path normalizes explicitly.
@@ -50,6 +64,52 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _vector_pack(
+    df: DataFrame, n: int, *, id_col: str, vec_col: str, out_col: str
+) -> DataFrame:
+    """One-row frame holding the ``n`` lowest-id vectors, in id order, as
+    a single ``array<array<double>>`` column.
+
+    This is how data-derived planes/centroids enter a plan without a
+    driver-side collect: the pack is a tiny aggregate that Spark
+    evaluates inside the same job as the query using it, broadcast to
+    every task.  ``collect_list`` order is pinned by sorting the
+    (id, vec) structs.
+    """
+    return (
+        df.select(F.col(id_col).alias("__pid"), _as_double(F.col(vec_col)).alias("__pv"))
+        .orderBy("__pid")
+        .limit(n)
+        .agg(F.array_sort(F.collect_list(F.struct("__pid", "__pv"))).alias("__s"))
+        .select(F.transform("__s", lambda s: s["__pv"]).alias(out_col))
+    )
+
+
+def _bucket_col(vec: Column, planes: Column) -> Column:
+    """SRP bucket id: bit j set iff dot(vec, planes[j]) >= 0.
+
+    Pure higher-order-function expression — evaluated JVM-side per row,
+    O(1) plan size regardless of plane count or dimension.  2.0**j is
+    exact in a double for any sane plane count, so the sum equals the
+    integer bit pattern.
+    """
+    bits = F.transform(
+        planes,
+        lambda p, j: F.when(dot(vec, p) >= 0, F.pow(F.lit(2.0), j)).otherwise(F.lit(0.0)),
+    )
+    return F.aggregate(bits, F.lit(0.0), lambda a, x: a + x).cast("int")
+
+
+def _centroid_sims_col(vec: Column, cents: Column) -> Column:
+    """Array of cosine similarities of ``vec`` against each centroid.
+
+    The fold accumulates sequentially over dimensions (JVM ``aggregate``
+    semantics), matching the DuckDB oracle's list-comprehension sum —
+    assignments are therefore bit-aligned across engines.
+    """
+    return F.transform(cents, lambda c: dot(vec, c) / (_norm(vec) * _norm(c)))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -58,13 +118,30 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_corpus_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     Returns (query_id, rank, vec_id, cosine_sim).  Queries are
     broadcast; ties in similarity (after rounding) break on vec_id so
     rankings are engine-independent.  Self-matches are excluded.
+
+    This is the O(corpus × queries) recall baseline, not the scale
+    path: if the corpus exceeds ``max_corpus_rows`` the call raises and
+    points at ``srp_lsh_topk`` / ``ivf_topk``.  Pass
+    ``max_corpus_rows=None`` to disable the guard (e.g. when the
+    corpus frame is known-small but expensive to count).
     """
+    if max_corpus_rows is not None:
+        # limit+count touches at most max_corpus_rows+1 rows.
+        probe = corpus.limit(max_corpus_rows + 1).count()
+        if probe > max_corpus_rows:
+            raise ValueError(
+                f"cosine_topk is the exact O(corpus x queries) baseline and the "
+                f"corpus exceeds max_corpus_rows={max_corpus_rows}; use "
+                f"srp_lsh_topk or ivf_topk for large corpora, or pass "
+                f"max_corpus_rows=None to override."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
@@ -94,32 +171,24 @@ def srp_lsh_topk(
     """Approximate top-k via signed-random-projection buckets.
 
     Hyperplanes are the ``num_planes`` lowest-id corpus vectors
-    (deterministic, data-derived).  A vector's bucket is the bit pattern
-    of its dot-product signs against the planes; each query only scans
-    its own bucket.  Returns the same schema as ``cosine_topk`` —
-    compare against it to measure recall.
+    (deterministic, data-derived), carried as a broadcast one-row pack —
+    no driver collect, no literal planes in the plan.  A vector's
+    bucket is the bit pattern of its dot-product signs against the
+    planes; each query only scans its own bucket.  Returns the same
+    schema as ``cosine_topk`` — compare against it to measure recall.
     """
-    planes = [
-        row[0]
-        for row in corpus.select(_as_double(F.col(vec_col)))
-        .orderBy(F.col(id_col))
-        .limit(num_planes)
-        .collect()
-    ]
+    planes = _vector_pack(corpus, num_planes, id_col=id_col, vec_col=vec_col, out_col="__planes")
 
-    def bucket(vec: Column) -> Column:
-        out = F.lit(0)
-        for j, p in enumerate(planes):
-            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-            out = out + F.when(d >= 0, F.lit(1 << j)).otherwise(0)
-        return out
+    def bucketed(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(id_out), _as_double(F.col(vec_col)).alias(vec_out))
+            .crossJoin(F.broadcast(planes))
+            .withColumn("__bucket", _bucket_col(F.col(vec_out), F.col("__planes")))
+            .drop("__planes")
+        )
 
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__bucket", bucket(F.col("__cv")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__bucket", bucket(F.col("__qv")))
+    c = bucketed(corpus, "vec_id", "__cv")
+    q = bucketed(queries, "query_id", "__qv")
 
     sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
@@ -141,15 +210,28 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     sample_size: int = 256,
     iters: int = 3,
+    round_digits: int = 6,
 ) -> list[list[float]]:
-    """One-pass sampled k-means-lite (spherical Lloyd) coarse quantizer.
+    """Sampled k-means-lite (spherical Lloyd) coarse quantizer.
 
-    Deterministic by construction: the sample is the ``sample_size``
-    lowest-id vectors, initialization is the first ``n_cells`` of them,
-    and each iteration is argmax-cosine assignment + re-normalized mean.
+    Deterministic AND engine-replayable by construction:
+
+    * the sample is the ``sample_size`` lowest-id vectors, normalized;
+    * initialization is the first ``n_cells`` of them;
+    * each iteration assigns by argmax dot (first index wins ties) and
+      re-normalizes the member mean;
+    * every centroid is rounded to ``round_digits`` after each update,
+      so engines whose float summation orders differ at the last ulp
+      (numpy pairwise vs a SQL engine's sequential aggregate) converge
+      to bit-identical centroids every iteration instead of drifting.
+
+    Dot products accumulate sequentially over dimensions (one
+    vectorized step per dim), matching the fold order of the JVM
+    ``aggregate`` expression and a DuckDB list-comprehension sum — the
+    differential oracle replays this training verbatim as unrolled SQL.
+
     Driver-side numpy over a bounded sample — the classic IVF training
-    recipe (train on a sample, assign the full corpus distributed); at
-    very high dim move the same matmuls into one ``mapInPandas`` pass.
+    recipe (train on a sample, assign the full corpus distributed).
     Empty cells keep their previous centroid.
     """
     import numpy as np
@@ -161,69 +243,26 @@ def kmeans_centroids(
         .collect()
     )
     X = np.array([r[0] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    nsq = np.zeros(len(X))
+    for d in range(X.shape[1]):
+        nsq += X[:, d] ** 2
+    norms = np.sqrt(nsq)
     norms[norms == 0] = 1.0
-    X = X / norms
-    C = X[:n_cells].copy()
+    X = X / norms[:, None]
+    C = np.round(X[:n_cells], round_digits).copy()
     for _ in range(iters):
-        assign = np.argmax(X @ C.T, axis=1)
-        for j in range(n_cells):
+        dots = np.zeros((len(X), len(C)))
+        for d in range(X.shape[1]):
+            dots += X[:, d : d + 1] * C[None, :, d]
+        assign = np.argmax(dots, axis=1)
+        for j in range(len(C)):
             members = X[assign == j]
             if len(members):
                 c = members.mean(axis=0)
                 n = np.linalg.norm(c)
                 if n > 0:
-                    C[j] = c / n
+                    C[j] = np.round(c / n, round_digits)
     return [[float(x) for x in c] for c in C]
-
-
-def _with_centroid_sims(
-    df: DataFrame,
-    centroids: list[list[float]],
-    *,
-    vec_col: str,
-    out_col: str = "__sims",
-) -> DataFrame:
-    """Append an array column of cosine similarities against ``centroids``
-    via one Arrow-batched ``mapInPandas`` pass.
-
-    This is the scale path for coarse-quantizer assignment: the centroid
-    matrix rides in the UDF closure (no dim×cells literal forest in the
-    plan, no interpreted fold per cell per row), and each Arrow batch is
-    a handful of vectorized numpy ops.  Accumulation is **sequential
-    over dimensions** (one vectorized step per dim), reproducing the
-    exact IEEE-754 operation order of the JVM ``aggregate`` fold and the
-    DuckDB oracle's list comprehension — so assignments are bit-identical
-    to the pure-Column formulation, not merely close.
-    """
-    import numpy as np
-    from pyspark.sql import types as T
-
-    C = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
-    cn = np.zeros(C.shape[0])
-    for d in range(C.shape[1]):
-        cn += C[:, d] ** 2
-    cnorm = np.sqrt(cn)
-    schema = T.StructType(
-        df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
-    )
-
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
-            dots = np.zeros((len(pdf), C.shape[0]))
-            na = np.zeros(len(pdf))
-            for d in range(C.shape[1]):
-                dots += X[:, d : d + 1] * C[None, :, d]
-                na += X[:, d] ** 2
-            sims = dots / (np.sqrt(na)[:, None] * cnorm[None, :])
-            out = pdf.copy()
-            out[out_col] = list(sims)
-            yield out
-
-    return df.mapInPandas(fn, schema=schema)
 
 
 def ivf_topk(
@@ -250,49 +289,47 @@ def ivf_topk(
 
     * ``"kmeans"`` (default) — sampled spherical k-means
       (``kmeans_centroids``): balanced, data-shaped cells, the real IVF
-      recipe.  Iterative, hence not SQL-expressible — correctness is
-      gated by the recall test against the exact (oracle-verified)
-      ``cosine_topk`` instead of a DuckDB twin.
+      recipe.  Training is deterministic and per-iteration rounded, so
+      the DuckDB differential oracle replays it exactly as unrolled
+      Lloyd SQL.
     * ``"lowest_id"`` — the ``n_cells`` lowest-id corpus vectors:
-      centroids any engine can reproduce exactly, used by the DuckDB
-      differential oracle.
+      centroids any engine can reproduce with no training at all.
 
-    Cell assignment is argmax cosine against the centroids, ties to the
-    lowest cell index; the per-row affinity computation runs as a numpy
-    matmul inside ``mapInPandas`` (``_with_centroid_sims``), bit-aligned
-    with the Column-fold formulation so the DuckDB differential oracle
-    still matches exactly.
+    Cell assignment is argmax cosine against the centroids (ties to the
+    lowest cell index), computed as a higher-order-function Column
+    expression over a broadcast centroid pack — all JVM, no Python
+    stage, no collect-at-build for ``lowest_id`` (k-means keeps the one
+    bounded training-sample collect).
 
     Returns the ``cosine_topk`` schema (query_id, rank, vec_id,
     cosine_sim) — compare against it to measure recall.
     """
     if centroid_method == "kmeans":
-        centroids = kmeans_centroids(corpus, n_cells, id_col=id_col, vec_col=vec_col)
+        trained = kmeans_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(trained,)], "__cents: array<array<double>>"
+        )
     elif centroid_method == "lowest_id":
-        centroids = [
-            row[0]
-            for row in corpus.select(_as_double(F.col(vec_col)))
-            .orderBy(F.col(id_col))
-            .limit(n_cells)
-            .collect()
-        ]
+        cents = _vector_pack(corpus, n_cells, id_col=id_col, vec_col=vec_col, out_col="__cents")
     else:
         raise ValueError(f"centroid_method must be 'kmeans' or 'lowest_id', got {centroid_method!r}")
 
-    c = (
-        _with_centroid_sims(
-            corpus.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv")),
-            centroids,
-            vec_col="__cv",
+    def with_sims(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(id_out), _as_double(F.col(vec_col)).alias(vec_out))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__sims", _centroid_sims_col(F.col(vec_out), F.col("__cents")))
+            .drop("__cents")
         )
+
+    c = (
+        with_sims(corpus, "vec_id", "__cv")
         .withColumn("__cell", F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
         .drop("__sims")
     )
-    q = _with_centroid_sims(
-        queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")),
-        centroids,
-        vec_col="__qv",
-    )
+    q = with_sims(queries, "query_id", "__qv")
     probes = (
         q.select("query_id", "__qv", F.posexplode("__sims").alias("__cell", "__csim"))
         .withColumn(
@@ -333,27 +370,16 @@ def embedding_cosine_pairs(
     Bucketing is the recall/cost dial: 2^num_planes buckets bound the
     candidate count at ~N²/2^planes; exact near-dups (cosine → 1) land
     in the same bucket with probability (1 - θ/π)^planes → 1.
-    Deterministic (planes are the lowest-id corpus vectors), so results
-    are engine-reproducible.
+    Deterministic (planes are the lowest-id corpus vectors, carried as
+    a broadcast pack — no driver collect), so results are
+    engine-reproducible.
     """
-    planes = [
-        row[0]
-        for row in corpus.select(_as_double(F.col(vec_col)))
-        .orderBy(F.col(id_col))
-        .limit(num_planes)
-        .collect()
-    ]
-
-    def bucket(vec: Column) -> Column:
-        out = F.lit(0)
-        for j, p in enumerate(planes):
-            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-            out = out + F.when(d >= 0, F.lit(1 << j)).otherwise(0)
-        return out
-
+    planes = _vector_pack(corpus, num_planes, id_col=id_col, vec_col=vec_col, out_col="__planes")
     c = (
         corpus.select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
-        .withColumn("__bucket", bucket(F.col("__v")))
+        .crossJoin(F.broadcast(planes))
+        .withColumn("__bucket", _bucket_col(F.col("__v"), F.col("__planes")))
+        .drop("__planes")
         .withColumn("__norm", _norm(F.col("__v")))
     )
     a, b = c.alias("a"), c.alias("b")

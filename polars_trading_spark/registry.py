@@ -1478,13 +1478,97 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+# k-means training is deterministic and per-iteration rounded
+# (kmeans_centroids), so the oracle replays it as UNROLLED Lloyd SQL:
+# sample = 256 lowest-id normalized vectors, init = first 8, three
+# iterations of argmax-dot assignment (ties to lowest cell) + mean +
+# renormalize + round(6).  The per-iteration rounding is what makes this
+# cross-engine exact: float-sum order differences (numpy pairwise vs
+# SQL sequential) land below the rounding grid and reset every
+# iteration instead of compounding.
+
+_KM_SAMPLE, _KM_ITERS, _KM_RD = 256, 3, 6
+
+
+def _km_iter_sql(i: int) -> str:
+    prev = f"cent{i - 1}"
+    return f"""
+asg{i} AS (
+  SELECT rid, sv, j FROM (
+    SELECT s.rid, s.sv, ce.j,
+           row_number() OVER (PARTITION BY s.rid ORDER BY
+             list_sum([ce.cv[kk+1] * s.sv[kk+1] for kk in range(0, len(s.sv))]) DESC, ce.j) AS rn
+    FROM samp s CROSS JOIN {prev} ce
+  ) WHERE rn = 1
+),
+dm{i} AS (
+  SELECT j, dim, avg(val) AS mv
+  FROM (SELECT j, unnest(sv) AS val, generate_subscripts(sv, 1) AS dim FROM asg{i})
+  GROUP BY j, dim
+),
+cm{i} AS (SELECT j, list(mv ORDER BY dim) AS mvec FROM dm{i} GROUP BY j),
+cent{i} AS (
+  SELECT ce.j,
+         CASE WHEN cm.j IS NULL OR sqrt(list_sum([x * x for x in cm.mvec])) = 0 THEN ce.cv
+              ELSE [round(x / sqrt(list_sum([y * y for y in cm.mvec])), {_KM_RD}) for x in cm.mvec] END AS cv
+  FROM {prev} ce LEFT JOIN cm{i} cm ON cm.j = ce.j
+)"""
+
+
 @register(
     "similarity_topk_ivf_kmeans",
-    None,
-    "IVF top-k with sampled spherical k-means centroids (the production "
-    "IVF recipe). Iterative training is not SQL-expressible — rows-only "
-    "here; quality is gated by tests/test_functions.py's recall@k "
-    "comparison against the oracle-verified exact cosine_topk.",
+    f"""
+WITH
+{_EMB_CTE},
+samp0 AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) AS rid
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_KM_SAMPLE})
+),
+samp AS (
+  SELECT rid, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS sv
+  FROM (SELECT rid, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM samp0)
+),
+cent0 AS (
+  SELECT CAST(rid - 1 AS INTEGER) AS j, [round(x, {_KM_RD}) for x in sv] AS cv
+  FROM samp WHERE rid <= {_N_CELLS}
+),
+{','.join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))},
+cent AS (SELECT cv, j FROM cent{_KM_ITERS}),
+cell_sims AS (
+  SELECT c.vec_id, c.v, cent.j,
+         list_sum([cv[i+1] * v[i+1] for i in range(0, len(v))])
+           / (sqrt(list_sum([x * x for x in cv])) * {_NORM_V}) AS csim
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims WHERE vec_id < {_N_QUERIES})
+  WHERE rn <= {_NPROBE}
+),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_V}), 6) AS cosine_sim
+  FROM (SELECT vec_id, v, cell FROM assigned) a
+  JOIN probes p ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_TOPK}
+""",
+    "IVF top-5 with sampled spherical k-means centroids (the production "
+    "IVF recipe): deterministic per-iteration-rounded training, replayed "
+    "by the oracle as unrolled Lloyd SQL",
 )
 def q_similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -91,6 +91,38 @@ def test_cosine_topk_self_similarity(spark):
     assert ranked[2]["vec_id"] == 2 and ranked[2]["cosine_sim"] == pytest.approx(0.0)
 
 
+def test_similarity_plans_build_without_jobs(spark):
+    """Plan construction must not run Spark jobs: planes/centroids ride
+    as broadcast packs evaluated at action time.  A poison UDF on the
+    embedding column raises if anything executes during build."""
+    rows = [(i, [float(i % 3), 1.0, float(i % 5)]) for i in range(20)]
+    base = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    @F.udf("array<float>")
+    def poison(v):
+        raise RuntimeError("plan-build executed the corpus")
+
+    corpus = base.withColumn("embedding", poison("embedding"))
+    queries = corpus.where(F.col("vec_id") < 2)
+    # building these plans must not trigger execution
+    lsh = similarity.srp_lsh_topk(corpus, queries, k=2, num_planes=2)
+    ivf = similarity.ivf_topk(corpus, queries, k=2, n_cells=2, nprobe=1, centroid_method="lowest_id")
+    pairs = similarity.embedding_cosine_pairs(corpus, threshold=0.5, num_planes=2)
+    for plan in (lsh, ivf, pairs):
+        with pytest.raises(Exception):
+            plan.count()  # ...but executing them hits the poison UDF
+
+
+def test_cosine_topk_guards_unbounded_corpus(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="srp_lsh_topk or ivf_topk"):
+        similarity.cosine_topk(emb, q, k=3, max_corpus_rows=5)
+    # explicit override disables the guard
+    assert similarity.cosine_topk(emb, q, k=3, max_corpus_rows=None).count() == 3
+
+
 def test_srp_lsh_recall_on_testdata(spark, sf_dir):
     from polars_trading_spark.sources.tables import read_table
 
