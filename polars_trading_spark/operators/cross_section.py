@@ -10,10 +10,11 @@ features defined against the whole universe at each point in time:
 * ``momentum_rank`` — each bar's cross-sectional rank of trailing
   k-bar return (1 = strongest momentum in the universe).
 
-Distributed shape: the universe return is a per-bucket aggregate
-(``n_buckets`` rows — tiny) joined back **broadcast**, so the bar table
-shuffles once for the per-bucket aggregate and once for the per-symbol
-window; ranks are one window over the bucket partition.  Explicit-sum
+Distributed shape: the universe return is a per-bucket aggregate (one
+row per distinct bar timestamp — small for daily bars, but minute-bar
+multi-year universes reach millions of rows, so the join-back is left
+to AQE rather than force-broadcast); ranks are null-guarded window
+expressions over the bucket partition — no self-join.  Explicit-sum
 covariance (not ``covar_samp``) keeps null handling engine-identical
 for the differential oracle.
 """
@@ -53,7 +54,11 @@ def rolling_beta(
         .groupBy(ts_col)
         .agg(F.avg("__r").alias("__m"))
     )
-    j = r.join(F.broadcast(mkt), on=ts_col, how="left")
+    # No broadcast hint: the per-bucket table has one row per distinct
+    # bar timestamp across the whole universe, which can exceed
+    # broadcast limits on fine-grained bars — AQE picks broadcast when
+    # it actually fits.
+    j = r.join(mkt, on=ts_col, how="left")
 
     x = F.when(F.col("__r").isNotNull() & F.col("__m").isNotNull(), F.col("__m"))
     y = F.when(F.col("__r").isNotNull() & F.col("__m").isNotNull(), F.col("__r"))
@@ -92,8 +97,14 @@ def momentum_rank(
     ``lookback``-bar log return among symbols ranked in that bucket.
 
     Symbols without ``lookback`` prior bars in their own series get a
-    null momentum and are excluded from the ranking (rank null).
-    Ties break deterministically by symbol name.
+    null momentum and are excluded from the ranking (rank and n_ranked
+    null).  Ties break deterministically by symbol name.
+
+    Single pass: null-momentum rows are pushed to the end of the rank
+    window's ordering (``desc_nulls_last``) and their ranks nulled by a
+    ``when`` guard, so no join of the ranked frame back to the base
+    frame is needed — one symbol-window shuffle, one bucket-window
+    shuffle, zero joins.
     """
     if lookback < 1:
         raise ValueError(f"lookback must be >= 1, got {lookback}")
@@ -103,20 +114,18 @@ def momentum_rank(
     mom = F.log(c / F.lag(c, lookback).over(order))
     r = bars.withColumn("__mom", mom)
 
-    rank_w = Window.partitionBy(ts_col).orderBy(F.desc("__mom"), F.asc(symbol_col))
-    ranked = r.where(F.col("__mom").isNotNull()).withColumn(
-        "mom_rank", F.row_number().over(rank_w)
-    ).withColumn("n_ranked", F.count(F.lit(1)).over(Window.partitionBy(ts_col)))
-
-    out = r.select(symbol_col, ts_col, "__mom").join(
-        ranked.select(symbol_col, ts_col, "mom_rank", "n_ranked"),
-        on=[symbol_col, ts_col],
-        how="left",
+    rank_w = Window.partitionBy(ts_col).orderBy(
+        F.desc_nulls_last("__mom"), F.asc(symbol_col)
     )
-    return out.select(
+    has_mom = F.col("__mom").isNotNull()
+    # nulls sort last, so row_number over non-null rows is unaffected;
+    # count("__mom") ignores nulls — both guarded to null on null rows.
+    mom_rank = F.when(has_mom, F.row_number().over(rank_w))
+    n_ranked = F.when(has_mom, F.count("__mom").over(Window.partitionBy(ts_col)))
+    return r.select(
         symbol_col,
         ts_col,
         F.col("__mom").alias("momentum"),
-        F.col("mom_rank").cast("int").alias("mom_rank"),
-        F.col("n_ranked").cast("int").alias("n_ranked"),
+        mom_rank.cast("int").alias("mom_rank"),
+        n_ranked.cast("int").alias("n_ranked"),
     )

@@ -56,13 +56,17 @@ def purged_kfold(
     order_cols = [t0_col, SEQ_COL] if SEQ_COL in events.columns else [t0_col]
     fold_w = Window.partitionBy(symbol_col).orderBy(*order_cols)
 
-    # Open spans reach the end of the series: substitute the symbol's max
-    # t1 so hull/overlap arithmetic stays null-free on both sides.
-    max_t1 = F.max(t1).over(Window.partitionBy(symbol_col))
+    # Open spans reach the end of the series: substitute the symbol's
+    # true series end — max over all events of greatest(t0, t1) — not
+    # the max non-null t1, which can precede later event starts and
+    # would let an open-span event skip purging later folds.
+    series_end = F.max(F.greatest(t0, F.coalesce(t1, t0))).over(
+        Window.partitionBy(symbol_col)
+    )
     ev = events.select(
         F.col(symbol_col).alias("symbol"),
         t0.alias("t0"),
-        F.coalesce(t1, max_t1, t0).alias("t1"),
+        F.coalesce(t1, series_end).alias("t1"),
         F.ntile(n_folds).over(fold_w).alias("fold"),
     )
 

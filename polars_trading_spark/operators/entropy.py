@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_trading_spark._utils import SEQ_COL, with_seq
+
 __all__ = ["return_entropy"]
 
 
@@ -54,7 +56,12 @@ def return_entropy(
     if block < 1:
         raise ValueError(f"block must be >= 1, got {block}")
 
-    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    # seq tiebreak: real tick data carries duplicate timestamps per
+    # symbol, and an orderBy(ts) alone would make the lag chain (hence
+    # the words) nondeterministic — same (ts, seq) ordering as the bar
+    # operators and the DuckDB oracle's ORDER BY ts_event, seq.
+    df = with_seq(df)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col, SEQ_COL)
     p = F.col(price_col)
     ret = p - F.lag(p).over(order)
     sign = F.when(ret > 0, "u").when(ret < 0, "d").when(ret.isNotNull(), "f")
@@ -64,7 +71,7 @@ def return_entropy(
     word = F.concat(*parts)  # null unless all word_len symbols exist
     df = df.withColumn("__word", word).where(F.col("__word").isNotNull())
 
-    rn = F.row_number().over(Window.partitionBy(symbol_col).orderBy(ts_col)) - 1
+    rn = F.row_number().over(Window.partitionBy(symbol_col).orderBy(ts_col, SEQ_COL)) - 1
     df = df.withColumn("__block", F.floor(rn / block).cast("long"))
 
     counts = df.groupBy(symbol_col, "__block", "__word").agg(

@@ -150,9 +150,14 @@ def imbalance_bars(
     return _final_bar_select(bars, symbol, ts)
 
 
-def _run_scan(w: np.ndarray, h: float) -> np.ndarray:
-    """Bar id per row for RUN bars: buy and sell flow accumulate
-    separately and a bar closes (inclusive) when max(pos, neg) >= h.
+def _run_scan(
+    w: np.ndarray, h: float, p0: float = 0.0, n0: float = 0.0
+) -> tuple[np.ndarray, float, float, int]:
+    """(bar id per row, final open-bar pos, final open-bar neg, bars
+    closed) for RUN bars: buy and sell flow accumulate separately and a
+    bar closes (inclusive) when max(pos, neg) >= h.  ``p0``/``n0`` seed
+    the scan so streaming micro-batches resume exactly where the
+    previous one left off (mirrors ``_imbalance_scan``'s contract).
 
     Both accumulators are monotone within a bar, so inside a chunk the
     close is the first index where max(p0 + cumsum(w+), n0 + cumsum(w-))
@@ -160,7 +165,6 @@ def _run_scan(w: np.ndarray, h: float) -> np.ndarray:
     """
     n = w.size
     ids = np.empty(n, dtype=np.int64)
-    p0 = n0 = 0.0
     gid, i = 0, 0
     pos_w = np.maximum(w, 0.0)
     neg_w = -np.minimum(w, 0.0)
@@ -179,7 +183,7 @@ def _run_scan(w: np.ndarray, h: float) -> np.ndarray:
         gid += 1
         p0 = n0 = 0.0
         i = i + t + 1
-    return ids
+    return ids, p0, n0, gid
 
 
 def run_bars(
@@ -231,7 +235,7 @@ def run_bars(
             w = b * pdf[size].to_numpy(dtype=np.float64)
         else:
             w = b * pdf[size].to_numpy(dtype=np.float64) * p
-        pdf["bar_id"] = _run_scan(w, h)
+        pdf["bar_id"] = _run_scan(w, h)[0]
         return pdf
 
     assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)

@@ -2113,8 +2113,8 @@ barrier_events AS (
 ev AS (
   SELECT symbol, ts_event AS t0,
     coalesce(vertical_barrier,
-             max(vertical_barrier) OVER (PARTITION BY symbol),
-             ts_event) AS t1,
+             max(greatest(ts_event, coalesce(vertical_barrier, ts_event)))
+               OVER (PARTITION BY symbol)) AS t1,
     ntile({_CV_FOLDS}) OVER (PARTITION BY symbol ORDER BY ts_event) AS fold
   FROM barrier_events
 ),

@@ -19,6 +19,10 @@ from polars_trading_spark.streaming.cusum import streaming_cusum_filter  # noqa:
 
 __all__.append("streaming_cusum_filter")
 
-from polars_trading_spark.streaming.imbalance import streaming_imbalance_bars  # noqa: E402
+from polars_trading_spark.streaming.imbalance import (  # noqa: E402
+    streaming_imbalance_bars,
+    streaming_run_bars,
+)
 
 __all__.append("streaming_imbalance_bars")
+__all__.append("streaming_run_bars")

@@ -1,15 +1,16 @@
-"""Streaming tick/volume/dollar imbalance bars.
+"""Streaming tick/volume/dollar imbalance bars and run bars.
 
-The batch operator (operators/imbalance.py) scans per (symbol, date)
-inside an island; the streaming form carries the scan state — running
-theta, last price, last tick sign — plus the open bar's OHLCV
-accumulators per (symbol, date) group, and replays micro-batches
-through the SAME chunked closed-form scan (it accepts a seeded theta
-and reports how many bars closed), so a replayed stream emits exactly
-the batch operator's bars.
+The batch operators (operators/imbalance.py) scan per (symbol, date)
+inside an island; the streaming forms carry the scan state — the bar
+accumulators (running theta for imbalance, the buy/sell pair for runs),
+last price, last tick sign — plus the open bar's OHLCV accumulators per
+(symbol, date) group, and replay micro-batches through the SAME chunked
+closed-form scans (each accepts seeded accumulators and reports how
+many bars closed), so a replayed stream emits exactly the batch
+operator's bars.
 
 Emission contract mirrors ``streaming_volume_bars``: a bar is emitted
-``is_final=True`` exactly once when the imbalance breaches; the open
+``is_final=True`` exactly once when the clock breaches; the open
 partial bar is also emitted as an ``is_final=False`` snapshot each
 batch, superseded by later snapshots or its final bar (consumers keep
 the last row per (symbol, bar_date, bar_id)).  State is O(1) per
@@ -18,7 +19,7 @@ the last row per (symbol, bar_date, bar_id)).  State is O(1) per
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Callable, Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -29,14 +30,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark._utils import parse_duration
 from polars_trading_spark.config import column_names
-from polars_trading_spark.operators.imbalance import _MODES, _imbalance_scan
+from polars_trading_spark.operators.imbalance import _MODES, _imbalance_scan, _run_scan
+
 from polars_trading_spark.streaming.bars import _volume_bars_out_schema
 
-__all__ = ["streaming_imbalance_bars"]
+__all__ = ["streaming_imbalance_bars", "streaming_run_bars"]
 
+# Two generic accumulator slots cover both clocks: (theta, unused) for
+# imbalance, (pos, neg) for run bars.
 _IMB_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("theta", T.DoubleType()),
+        T.StructField("acc1", T.DoubleType()),
+        T.StructField("acc2", T.DoubleType()),
         T.StructField("last_price", T.DoubleType()),
         T.StructField("last_sign", T.DoubleType()),
         T.StructField("seeded", T.BooleanType()),
@@ -75,13 +80,39 @@ def _seeded_signs(
 
 
 def make_imbalance_update(
-    threshold: float, mode: str, ts: str, price: str, size: str, symbol: str, ttl_ms: int | None
+    threshold: float,
+    mode: str,
+    ts: str,
+    price: str,
+    size: str,
+    symbol: str,
+    ttl_ms: int | None,
+    kind: str = "imbalance",
 ):
     """Stateful update fn (module-level so multi-batch state transitions
-    can be unit-tested directly on a stub GroupState)."""
+    can be unit-tested directly on a stub GroupState).
+
+    ``kind``: ``"imbalance"`` (|net flow| clock) or ``"run"`` (one-sided
+    max(buys, sells) clock) — same state machine, different seeded scan.
+    """
     h = float(threshold)
     out_schema = _volume_bars_out_schema(symbol, ts)
     out_cols = [f.name for f in out_schema.fields]
+
+    scan: Callable[[np.ndarray, float, float], tuple[np.ndarray, float, float, int]]
+    if kind == "imbalance":
+
+        def scan(w, a1, a2):
+            ids, theta, closed = _imbalance_scan(w, h, a1)
+            return ids, theta, 0.0, closed
+
+    elif kind == "run":
+
+        def scan(w, a1, a2):
+            return _run_scan(w, h, a1, a2)
+
+    else:
+        raise ValueError(f"kind must be 'imbalance' or 'run', got {kind!r}")
 
     def update(
         key: Tuple[str, object], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -90,11 +121,11 @@ def make_imbalance_update(
             state.remove()
             return
         sym, bar_date = key
-        (theta, last_price, last_sign, seeded, open_id, start_us, end_us,
+        (acc1, acc2, last_price, last_sign, seeded, open_id, start_us, end_us,
          op, hi, lo, vol, vnum, ntr) = (
             state.get
             if state.exists
-            else (0.0, 0.0, 0.0, False, 0, 0, 0, 0.0, 0.0, 0.0, 0, 0.0, 0)
+            else (0.0, 0.0, 0.0, 0.0, False, 0, 0, 0, 0.0, 0.0, 0.0, 0, 0.0, 0)
         )
         rows = [pdf for pdf in pdfs if len(pdf)]
         if not rows:
@@ -104,7 +135,9 @@ def make_imbalance_update(
         if len(batch) == 0:
             return
         p = batch[price].to_numpy(dtype=np.float64)
-        sizes = batch[size].to_numpy(dtype="int64")
+        # null sizes degrade to 0 like the batch operator's native sum
+        # (an int64 cast would throw on NaN and kill the query instead)
+        sizes = batch[size].fillna(0).to_numpy(dtype="int64")
         stamps = batch[ts].astype("datetime64[us]").astype("int64").to_numpy()
 
         b = _seeded_signs(p, last_price, last_sign, bool(seeded))
@@ -114,7 +147,7 @@ def make_imbalance_update(
             w = b * sizes.astype(np.float64)
         else:
             w = b * sizes.astype(np.float64) * p
-        ids, theta, closed = _imbalance_scan(w, h, float(theta))
+        ids, acc1, acc2, closed = scan(w, float(acc1), float(acc2))
 
         nz = np.flatnonzero(b != 0.0)
         new_last_sign = float(b[nz[-1]]) if nz.size else float(last_sign)
@@ -145,11 +178,11 @@ def make_imbalance_update(
             )
 
         if int(ids[-1]) < closed:  # last row closed the final bar
-            state.update((theta, float(p[-1]), new_last_sign, True,
+            state.update((acc1, acc2, float(p[-1]), new_last_sign, True,
                           open_id + closed, 0, 0, 0.0, 0.0, 0.0, 0, 0.0, 0))
         else:  # trailing segment stays open — persist its accumulators
             (_, _, lid2, s_us, e_us, o, h_, l_, _c, v, vn, nt, _f) = out_frames[-1]
-            state.update((theta, float(p[-1]), new_last_sign, True,
+            state.update((acc1, acc2, float(p[-1]), new_last_sign, True,
                           lid2, s_us, e_us, o, h_, l_, v, vn, nt))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
@@ -167,15 +200,9 @@ def make_imbalance_update(
     return update
 
 
-def streaming_imbalance_bars(
-    stream: DataFrame,
-    *,
-    threshold: float,
-    mode: str = "tick",
-    state_ttl: str | None = "3d",
+def _streaming_flow_bars(
+    stream: DataFrame, *, threshold: float, mode: str, state_ttl: str | None, kind: str
 ) -> DataFrame:
-    """Stateful imbalance bars over a stream — batch-operator semantics
-    across micro-batch boundaries (see module docstring)."""
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     if threshold <= 0:
@@ -187,7 +214,7 @@ def streaming_imbalance_bars(
         column_names.symbol,
     )
     ttl_ms = parse_duration(state_ttl)[0] // 1000 if state_ttl is not None else None
-    update = make_imbalance_update(threshold, mode, ts, price, size, symbol, ttl_ms)
+    update = make_imbalance_update(threshold, mode, ts, price, size, symbol, ttl_ms, kind)
     grouped = (
         stream.na.drop(subset=[price])
         .withColumn("__date", F.to_date(ts))
@@ -203,4 +230,34 @@ def streaming_imbalance_bars(
             if ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def streaming_imbalance_bars(
+    stream: DataFrame,
+    *,
+    threshold: float,
+    mode: str = "tick",
+    state_ttl: str | None = "3d",
+) -> DataFrame:
+    """Stateful imbalance bars over a stream — batch-operator semantics
+    across micro-batch boundaries (see module docstring)."""
+    return _streaming_flow_bars(
+        stream, threshold=threshold, mode=mode, state_ttl=state_ttl, kind="imbalance"
+    )
+
+
+def streaming_run_bars(
+    stream: DataFrame,
+    *,
+    threshold: float,
+    mode: str = "tick",
+    state_ttl: str | None = "3d",
+) -> DataFrame:
+    """Stateful run bars (AFML 2.3.2.2) over a stream: one-sided
+    max(buy flow, sell flow) clock, batch-operator semantics across
+    micro-batch boundaries.  Both monotone accumulators are carried in
+    state and re-seed the chunked scan each batch."""
+    return _streaming_flow_bars(
+        stream, threshold=threshold, mode=mode, state_ttl=state_ttl, kind="run"
     )

@@ -165,12 +165,12 @@ def _reference_run_scan(w, h):
 def test_run_scan_matches_reference(seed, h):
     rng = np.random.default_rng(seed)
     w = rng.choice([-1.0, 0.0, 1.0], size=9000, p=[0.45, 0.1, 0.45])
-    np.testing.assert_array_equal(_run_scan(w, h), _reference_run_scan(w, h))
+    np.testing.assert_array_equal(_run_scan(w, h)[0], _reference_run_scan(w, h))
 
 
 def test_run_scan_chunk_boundary():
     w = np.ones(5000)
-    ids = _run_scan(w, 4096.0)
+    ids = _run_scan(w, 4096.0)[0]
     np.testing.assert_array_equal(ids[:4096], 0)
     np.testing.assert_array_equal(ids[4096:], 1)
 

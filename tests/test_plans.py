@@ -246,3 +246,17 @@ def test_imbalance_bars_one_island_one_shuffle(trades):
             assert count_python_stages(out) == 1
             plan = plan_string(out)
             assert "HashAggregate" in plan  # native OHLCV reduction
+
+
+def test_momentum_rank_is_join_free_two_windows(trades):
+    """Null-guarded window expressions replace the ranked-frame self-join:
+    the plan has no join and exactly two shuffles (symbol window +
+    bucket window) beyond the bar aggregation's own."""
+    from polars_trading_spark.operators.cross_section import momentum_rank
+
+    bars = _bars(trades)
+    out = momentum_rank(bars, lookback=5, ts_col="ts_event")
+    plan = plan_string(out)
+    assert "Join" not in plan
+    assert count_python_stages(out) == 0
+    assert count_exchanges(out) <= count_exchanges(bars) + 2

@@ -413,3 +413,114 @@ def test_streaming_imbalance_bars_match_batch_across_batches(spark):
         assert got["bar_id"].nunique() > 4
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_run_scan_seeded_resume_equals_full_scan():
+    """_run_scan's (p0, n0) seeding must make a split replay reproduce
+    the full-series scan exactly — the contract streaming_run_bars
+    relies on across micro-batches."""
+    import numpy as np
+
+    from polars_trading_spark.operators.imbalance import _run_scan
+
+    rng = np.random.default_rng(11)
+    w = rng.choice([-1.0, 0.0, 1.0], size=3000, p=[0.45, 0.1, 0.45])
+    full_ids = _run_scan(w, 7.0)[0]
+    p0 = n0 = 0.0
+    off = 0
+    got = []
+    for lo, hi in ((0, 1000), (1000, 1001), (1001, 3000)):
+        ids, p0, n0, closed = _run_scan(w[lo:hi], 7.0, p0, n0)
+        got.append(ids + off)
+        off += closed
+    np.testing.assert_array_equal(np.concatenate(got), full_ids)
+
+
+def test_streaming_run_bars_match_batch_across_batches(spark):
+    """Run-bar state (buy/sell accumulators, tick sign, open-bar OHLCV)
+    must carry across micro-batches; after supersede the stream equals
+    the batch run_bars operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.imbalance import run_bars
+    from polars_trading_spark.streaming import streaming_run_bars
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for sym in ("A", "B"):
+        price = 40.0
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        for _ in range(300):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 15)))
+            price = max(1.0, price + float(rng.choice([-0.5, 0.0, 0.5])))
+            rows.append((sym, price, int(rng.integers(10, 500)), t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    d = tempfile.mkdtemp(prefix="pts_run_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo_hi in enumerate([(0, third), (third, 2 * third), (2 * third, len(pdf))]):
+            spark.createDataFrame(pdf.iloc[lo_hi[0] : lo_hi[1]], SCHEMA).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+        with Config(timestamp_column="ts_event"):
+            batch = run_bars(
+                spark.createDataFrame(pdf, SCHEMA), threshold=6.0, mode="tick"
+            ).toPandas()
+
+            def make():
+                stream = (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{d}/*")
+                )
+                return streaming_run_bars(stream, threshold=6.0, mode="tick")
+
+            rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        got = (
+            got.sort_values(["symbol", "bar_date", "bar_id", "n_trades"])
+            .groupby(["symbol", "bar_date", "bar_id"], as_index=False)
+            .last()
+        )
+        batch = batch.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        got = got.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        assert len(got) == len(batch)
+        for col in ("symbol", "open", "high", "low", "close", "volume", "n_trades"):
+            assert got[col].tolist() == batch[col].tolist(), col
+        assert got["ts_event_start"].tolist() == batch["ts_event_start"].tolist()
+        assert got["ts_event_end"].tolist() == batch["ts_event_end"].tolist()
+        assert (got["vwap"] - batch["vwap"]).abs().max() < 1e-9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_null_size_degrades_like_batch(spark):
+    """A null size must not kill the stateful query: it degrades to 0
+    volume like the batch operator's native sum."""
+    import pandas as pd
+
+    from polars_trading_spark.streaming import streaming_imbalance_bars
+
+    rows = [
+        ("A", 10.0, 100, dt.datetime(2022, 3, 1, 9, 30, 0)),
+        ("A", 11.0, None, dt.datetime(2022, 3, 1, 9, 30, 5)),
+        ("A", 12.0, 200, dt.datetime(2022, 3, 1, 9, 30, 10)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    d = tempfile.mkdtemp(prefix="pts_nullsize_stream_")
+    try:
+        spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.parquet(f"{d}/f0")
+        with Config(timestamp_column="ts_event"):
+
+            def make():
+                stream = spark.readStream.schema(SCHEMA).parquet(f"{d}/*")
+                return streaming_imbalance_bars(stream, threshold=100.0, mode="tick")
+
+            rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        assert got["volume"].sum() == 300  # null size counted as 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
