@@ -1,28 +1,32 @@
 """Structural breaks: rolling supremum Dickey-Fuller statistic (SADF,
 AFML ch.17; Phillips/Wu/Yu 2011 explosive-bubble test).
 
-At each observation, regress ``dy_k = alpha + beta * y_{k-1}`` over the
-trailing window of length ``l`` for every ``l`` in ``[min_span,
-max_span]`` and take the supremum of beta's t-statistic — values above
-the PWY critical surface flag explosive (bubble) regimes.  This is the
-lag-0 (plain Dickey-Fuller) member of the ADF family: the augmentation
-lags add regressors, not new dataflow shape, and are deliberately out of
-scope for the differential gate.
+At each observation, regress ``dy_k = alpha + beta * y_{k-1} [+ sum_j
+gamma_j * dy_{k-j}]`` over the trailing window of length ``l`` for every
+``l`` in ``[min_span, max_span]`` and take the supremum of beta's
+t-statistic — values above the PWY critical surface flag explosive
+(bubble) regimes.  ``lags`` selects the ADF augmentation order: 0 is
+the plain Dickey-Fuller member, 1–2 add lagged-difference regressors
+(standard PWY practice corrects serial correlation with ADF(1–2)).
 
 Dataflow twin of ``trend_scan`` mirrored backward: ONE
 (symbol)-partitioned window pass materializes the trailing price vector
-``y_t, y_{t-1}, ..., y_{t-max_span}`` via ``lag``; an Arrow-batched
-numpy kernel computes every window-length t-stat from five row-wise
-``np.cumsum`` prefix sums over the **newest-first** matrix (so every
-trailing window is a prefix — no suffix/total subtraction whose float
-association would diverge from the oracle's chains) and takes the sup
-in the same pass.  numpy's sequential row-wise accumulation reproduces
-the SQL oracle's left-associated newest-first chains bit-for-bit, so
-the sup over raw doubles — ties to the shortest window — selects the
-identical (stat, span) on both engines with no rounding needed.  No
-joins, no shuffle beyond the window sort, and the selection costs one
-``argmax`` per row instead of a 31-candidate expression forest
-(measured 13s -> ~6s at sf0.1 vs the Column-algebra selection).
+``y_t, ..., y_{t-max_span-lags}`` via ``lag``; an Arrow-batched numpy
+kernel computes every window-length t-stat from row-wise ``np.cumsum``
+prefix sums over the **newest-first** matrix (so every trailing window
+is a prefix — no suffix/total subtraction whose float association would
+diverge from the oracle's chains) and takes the sup in the same pass.
+numpy's sequential row-wise accumulation reproduces the SQL oracle's
+left-associated newest-first chains bit-for-bit, and the lags<=1 paths
+solve the normal equations with explicitly-parenthesized Cramer
+formulas written identically in the DuckDB oracle, so the sup over raw
+doubles — ties to the shortest window — selects the identical
+(stat, span) on both engines with no rounding needed.  lags=2 uses a
+batched ``np.linalg`` solve (property-tested against direct per-window
+OLS; a 4x4 Cramer expansion has no readable SQL twin).  No joins, no
+shuffle beyond the window sort, and the selection costs one ``argmax``
+per row instead of a 31-candidate expression forest (measured
+13s -> ~6s at sf0.1 vs the Column-algebra selection).
 """
 
 from __future__ import annotations
@@ -35,37 +39,141 @@ from pyspark.sql import functions as F
 __all__ = ["sadf"]
 
 
-def _sadf_kernel(min_span: int, max_span: int):
-    """Trailing-price matrix (newest first, width max_span+1) ->
+def _df_stats_lag0(m: np.ndarray, spans: np.ndarray) -> np.ndarray:
+    """t-stat matrix (rows x spans) for the plain DF regression."""
+    y = m[:, :-1]       # y_k   (newest first: y_t ... y_{t-max+1})
+    x = m[:, 1:]        # y_{k-1}
+    d = y - x           # dy_k
+    sx = np.cumsum(x, axis=1)
+    sxx = np.cumsum(x * x, axis=1)
+    sd = np.cumsum(d, axis=1)
+    sxd = np.cumsum(x * d, axis=1)
+    sdd = np.cumsum(d * d, axis=1)
+    stats = np.empty((m.shape[0], len(spans)), dtype=np.float64)
+    for i, l in enumerate(spans):
+        n = float(l)
+        a, b, c, e, g = sx[:, l - 1], sxx[:, l - 1], sd[:, l - 1], sxd[:, l - 1], sdd[:, l - 1]
+        denom = n * b - a * a
+        with np.errstate(invalid="ignore", divide="ignore"):
+            beta = (n * e - a * c) / denom
+            alpha = (c - beta * a) / n
+            sse = np.maximum(g - alpha * c - beta * e, 0.0)
+            se2 = (sse / (n - 2.0)) / (b - a * a / n)
+            t = beta / np.sqrt(se2)
+        t[~(se2 > 0) | ~(np.abs(denom) > 0)] = np.nan
+        stats[:, i] = t
+    return stats
+
+
+def _df_stats_lag1(m: np.ndarray, spans: np.ndarray, max_span: int) -> np.ndarray:
+    """t-stat matrix for ADF(1): dy_k = a + b*y_{k-1} + g*dy_{k-1}.
+
+    Cramer's rule on the 3x3 normal system, every formula parenthesized
+    exactly as the DuckDB oracle writes it (bit-exact across engines).
+    """
+    c0 = m  # rows x (max_span + 2), newest first
+    d = c0[:, 0:max_span] - c0[:, 1 : max_span + 1]       # dy_k
+    x = c0[:, 1 : max_span + 1]                           # y_{k-1}
+    z = c0[:, 1 : max_span + 1] - c0[:, 2 : max_span + 2] # dy_{k-1}
+    sx = np.cumsum(x, axis=1)
+    sxx = np.cumsum(x * x, axis=1)
+    sz = np.cumsum(z, axis=1)
+    szz = np.cumsum(z * z, axis=1)
+    sxz = np.cumsum(x * z, axis=1)
+    sd = np.cumsum(d, axis=1)
+    sxd = np.cumsum(x * d, axis=1)
+    szd = np.cumsum(z * d, axis=1)
+    sdd = np.cumsum(d * d, axis=1)
+    stats = np.empty((m.shape[0], len(spans)), dtype=np.float64)
+    for i, l in enumerate(spans):
+        n = float(l)
+        k = l - 1
+        A, B, Z, ZZ, XZ = sx[:, k], sxx[:, k], sz[:, k], szz[:, k], sxz[:, k]
+        D, XD, ZD, DD = sd[:, k], sxd[:, k], szd[:, k], sdd[:, k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            det = (n * ((B * ZZ) - (XZ * XZ))) - (A * ((A * ZZ) - (XZ * Z))) + (
+                Z * ((A * XZ) - (B * Z))
+            )
+            det_b = (n * ((XD * ZZ) - (XZ * ZD))) - (D * ((A * ZZ) - (XZ * Z))) + (
+                Z * ((A * ZD) - (XD * Z))
+            )
+            det_a = (D * ((B * ZZ) - (XZ * XZ))) - (A * ((XD * ZZ) - (XZ * ZD))) + (
+                Z * ((XD * XZ) - (B * ZD))
+            )
+            det_g = (n * ((B * ZD) - (XD * XZ))) - (A * ((A * ZD) - (XD * Z))) + (
+                D * ((A * XZ) - (B * Z))
+            )
+            beta = det_b / det
+            alpha = det_a / det
+            gamma = det_g / det
+            sse = np.maximum(((DD - (alpha * D)) - (beta * XD)) - (gamma * ZD), 0.0)
+            se2 = ((sse / (n - 3.0)) * ((n * ZZ) - (Z * Z))) / det
+            t = beta / np.sqrt(se2)
+        t[~(se2 > 0) | ~(np.abs(det) > 0)] = np.nan
+        stats[:, i] = t
+    return stats
+
+
+def _df_stats_general(
+    m: np.ndarray, spans: np.ndarray, max_span: int, lags: int
+) -> np.ndarray:
+    """t-stat matrix for ADF(p), p >= 2: batched normal-equation solve.
+
+    Regressors per observation: [1, y_{k-1}, dy_{k-1}, ..., dy_{k-p}].
+    Singular windows are masked to NaN (same validity contract as the
+    closed-form paths).
+    """
+    c0 = m  # rows x (max_span + 1 + lags)
+    d = c0[:, 0:max_span] - c0[:, 1 : max_span + 1]
+    regs = [np.ones_like(d), c0[:, 1 : max_span + 1]]
+    for j in range(1, lags + 1):
+        regs.append(c0[:, j : max_span + j] - c0[:, j + 1 : max_span + j + 1])
+    k = len(regs)
+    cross = [[np.cumsum(regs[a] * regs[b], axis=1) for b in range(k)] for a in range(k)]
+    rhs = [np.cumsum(regs[a] * d, axis=1) for a in range(k)]
+    sdd = np.cumsum(d * d, axis=1)
+    rows = m.shape[0]
+    stats = np.empty((rows, len(spans)), dtype=np.float64)
+    eye = np.eye(k)
+    for i, l in enumerate(spans):
+        idx = l - 1
+        M = np.empty((rows, k, k))
+        for a in range(k):
+            for b in range(k):
+                M[:, a, b] = cross[a][b][:, idx]
+        v = np.stack([rhs[a][:, idx] for a in range(k)], axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            det = np.linalg.det(M)
+            bad = ~(np.abs(det) > 0) | ~np.isfinite(det)
+            Msafe = np.where(bad[:, None, None], eye, M)
+            sol = np.linalg.solve(Msafe, v)
+            inv = np.linalg.inv(Msafe)
+            fitted = np.einsum("rk,rk->r", sol, v)
+            sse = np.maximum(sdd[:, idx] - fitted, 0.0)
+            sigma2 = sse / (float(l) - float(k))
+            se2 = sigma2 * inv[:, 1, 1]
+            t = sol[:, 1] / np.sqrt(se2)
+        t[bad | ~(se2 > 0)] = np.nan
+        stats[:, i] = t
+    return stats
+
+
+def _sadf_kernel(min_span: int, max_span: int, lags: int):
+    """Trailing-price matrix (newest first, width max_span+1+lags) ->
     (sup t-stat, winning span); nulls where no window is valid."""
     spans = np.arange(min_span, max_span + 1)
 
     @F.pandas_udf("stat double, span int")
     def kernel(hist: pd.Series) -> pd.DataFrame:
-        m = np.array(hist.tolist(), dtype=np.float64)  # rows x (max_span+1)
+        m = np.array(hist.tolist(), dtype=np.float64)  # rows x (max_span+1+lags)
         if m.ndim != 2 or m.shape[0] == 0:
             return pd.DataFrame({"stat": [], "span": []})
-        y = m[:, :-1]       # y_k   (newest first: y_t ... y_{t-max+1})
-        x = m[:, 1:]        # y_{k-1}
-        d = y - x           # dy_k
-        sx = np.cumsum(x, axis=1)
-        sxx = np.cumsum(x * x, axis=1)
-        sd = np.cumsum(d, axis=1)
-        sxd = np.cumsum(x * d, axis=1)
-        sdd = np.cumsum(d * d, axis=1)
-        stats = np.empty((m.shape[0], len(spans)), dtype=np.float64)
-        for i, l in enumerate(spans):
-            n = float(l)
-            a, b, c, e, g = sx[:, l - 1], sxx[:, l - 1], sd[:, l - 1], sxd[:, l - 1], sdd[:, l - 1]
-            denom = n * b - a * a
-            with np.errstate(invalid="ignore", divide="ignore"):
-                beta = (n * e - a * c) / denom
-                alpha = (c - beta * a) / n
-                sse = np.maximum(g - alpha * c - beta * e, 0.0)
-                se2 = (sse / (n - 2.0)) / (b - a * a / n)
-                t = beta / np.sqrt(se2)
-            t[~(se2 > 0) | ~(np.abs(denom) > 0)] = np.nan
-            stats[:, i] = t
+        if lags == 0:
+            stats = _df_stats_lag0(m, spans)
+        elif lags == 1:
+            stats = _df_stats_lag1(m, spans, max_span)
+        else:
+            stats = _df_stats_general(m, spans, max_span, lags)
         # validity must mirror the oracle's WHERE exactly (NaN = invalid);
         # +/-inf stats, if they ever occur, stay comparable on both sides
         valid = ~np.isnan(stats)
@@ -87,6 +195,7 @@ def sadf(
     *,
     min_span: int = 10,
     max_span: int = 40,
+    lags: int = 0,
     symbol_col: str = "symbol",
     ts_col: str = "ts_event",
     price_col: str = "price",
@@ -94,21 +203,23 @@ def sadf(
     """Rolling sup-DF statistic per observation.
 
     Returns ``symbol, ts_event, sadf_stat, sadf_span`` where
-    ``sadf_stat`` is the supremum trailing DF t-statistic and
+    ``sadf_stat`` is the supremum trailing ADF(``lags``) t-statistic and
     ``sadf_span`` the window length attaining it (smallest on ties).
-    Rows with fewer than ``min_span`` preceding observations get nulls.
+    Rows with insufficient preceding observations get nulls.
     """
-    if min_span < 3:
-        raise ValueError(f"min_span must be >= 3, got {min_span}")
+    if min_span < 3 + lags:
+        raise ValueError(f"min_span must be >= {3 + lags} for lags={lags}, got {min_span}")
     if max_span < min_span:
         raise ValueError(f"max_span ({max_span}) < min_span ({min_span})")
+    if lags < 0:
+        raise ValueError(f"lags must be >= 0, got {lags}")
 
     order = Window.partitionBy(symbol_col).orderBy(ts_col)
     p0 = F.col(price_col).cast("double")
-    hist = [p0] + [F.lag(p0, k).over(order) for k in range(1, max_span + 1)]
+    hist = [p0] + [F.lag(p0, k).over(order) for k in range(1, max_span + 1 + lags)]
 
     base = df.select(symbol_col, ts_col, F.array(*hist).alias("__hist"))
-    kernel = _sadf_kernel(min_span, max_span)
+    kernel = _sadf_kernel(min_span, max_span, lags)
     return base.withColumn("__r", kernel("__hist")).select(
         symbol_col,
         ts_col,

@@ -2470,13 +2470,108 @@ s2 AS (
     {nl.join(stats)}
   FROM s1
 ),
-s3 AS (
+s3 AS MATERIALIZED (
   SELECT *,
     {nl.join(ses)}
   FROM s2
 ),
 cand AS (
   {' UNION ALL '.join(unions)}
+),
+winner AS (
+  SELECT symbol, ts_event, span, stat
+  FROM cand
+  QUALIFY row_number() OVER (PARTITION BY symbol, ts_event
+                             ORDER BY stat DESC, span ASC) = 1
+)
+SELECT t.symbol, t.ts_event, w.stat AS sadf_stat, CAST(w.span AS INTEGER) AS sadf_span
+FROM trades t
+LEFT JOIN winner w ON t.symbol = w.symbol AND t.ts_event = w.ts_event
+"""
+
+
+def _sadf_adf1_oracle(min_span: int, max_span: int) -> str:
+    """ADF(1) twin of ``_sadf_oracle``: adds the lagged-difference
+    regressor ``z_k = dy_{k-1}`` and solves the 3x3 normal system by
+    Cramer's rule, with every formula parenthesized exactly as the numpy
+    kernel's ``_df_stats_lag1`` writes it — bitwise-equal doubles, so
+    the sup selects the identical (stat, span) on both engines.
+
+    Structure note: one narrow nested-subquery branch per span (sums ->
+    determinants -> coefficients -> sse -> se2 -> stat), unioned.  The
+    wide-CTE layout the lag-0 oracle uses blows up here — 14 derived
+    columns per span across five dependent projection levels made
+    DuckDB's plan explode (3 minutes / OOM at 1000 rows); per-span
+    branches keep every projection a dozen columns wide.
+    """
+    lag_cols = ",\n    ".join(
+        f"lag(price, {k}) OVER w AS y{k}" for k in range(1, max_span + 2)
+    )
+    sums, branches = [], []
+    sx = sxx = sz = szz = sxz = sd = sxd = szd = sdd = None
+    for l in range(1, max_span + 1):
+        xk = f"y{l}"
+        yk = "price" if l == 1 else f"y{l - 1}"
+        dk = f"({yk} - {xk})"
+        zk = f"(y{l} - y{l + 1})"
+        sx = xk if sx is None else f"({sx} + {xk})"
+        sxx = f"({xk} * {xk})" if sxx is None else f"({sxx} + ({xk} * {xk}))"
+        sz = zk if sz is None else f"({sz} + {zk})"
+        szz = f"({zk} * {zk})" if szz is None else f"({szz} + ({zk} * {zk}))"
+        sxz = f"({xk} * {zk})" if sxz is None else f"({sxz} + ({xk} * {zk}))"
+        sd = dk if sd is None else f"({sd} + {dk})"
+        sxd = f"({xk} * {dk})" if sxd is None else f"({sxd} + ({xk} * {dk}))"
+        szd = f"({zk} * {dk})" if szd is None else f"({szd} + ({zk} * {dk}))"
+        sdd = f"({dk} * {dk})" if sdd is None else f"({sdd} + ({dk} * {dk}))"
+        if l < min_span:
+            continue
+        n = float(l)
+        sums.append(
+            f"{sx} AS sx{l}, {sxx} AS sxx{l}, {sz} AS sz{l}, {szz} AS szz{l}, "
+            f"{sxz} AS sxz{l}, {sd} AS sd{l}, {sxd} AS sxd{l}, {szd} AS szd{l}, "
+            f"{sdd} AS sdd{l}"
+        )
+        branches.append(f"""
+SELECT symbol, ts_event, {l} AS span, beta / sqrt(se2) AS stat
+FROM (
+  SELECT *, ((sse / {n - 3.0!r}) * (({n!r} * szz) - (sz * sz))) / det AS se2
+  FROM (
+    SELECT *, greatest(((sdd - (alpha * sd)) - (beta * sxd)) - (gamma * szd), 0.0) AS sse
+    FROM (
+      SELECT *, detb / det AS beta, deta / det AS alpha, detg / det AS gamma
+      FROM (
+        SELECT *,
+          ((({n!r} * ((sxx * szz) - (sxz * sxz))) - (sx * ((sx * szz) - (sxz * sz)))) + (sz * ((sx * sxz) - (sxx * sz)))) AS det,
+          ((({n!r} * ((sxd * szz) - (sxz * szd))) - (sd * ((sx * szz) - (sxz * sz)))) + (sz * ((sx * szd) - (sxd * sz)))) AS detb,
+          (((sd * ((sxx * szz) - (sxz * sxz))) - (sx * ((sxd * szz) - (sxz * szd)))) + (sz * ((sxd * sxz) - (sxx * szd)))) AS deta,
+          ((({n!r} * ((sxx * szd) - (sxd * sxz))) - (sx * ((sx * szd) - (sxd * sz)))) + (sd * ((sx * sxz) - (sxx * sz)))) AS detg
+        FROM (
+          SELECT symbol, ts_event, y{l + 1} AS deep,
+            sx{l} AS sx, sxx{l} AS sxx, sz{l} AS sz, szz{l} AS szz, sxz{l} AS sxz,
+            sd{l} AS sd, sxd{l} AS sxd, szd{l} AS szd, sdd{l} AS sdd
+          FROM s1
+        )
+      )
+    )
+  )
+)
+WHERE deep IS NOT NULL AND det <> 0 AND se2 > 0""")
+    nl = ",\n    "
+    return f"""
+WITH trades AS ({TRADES_CTE}),
+j AS MATERIALIZED (
+  SELECT symbol, ts_event, price,
+    {lag_cols}
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event)
+),
+s1 AS MATERIALIZED (
+  SELECT *,
+    {nl.join(sums)}
+  FROM j
+),
+cand AS (
+  {' UNION ALL '.join(branches)}
 ),
 winner AS (
   SELECT symbol, ts_event, span, stat
@@ -2502,6 +2597,26 @@ def q_sadf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
         out = sadf(
             trades_from_events(spark, sf_dir), min_span=_SADF_MIN, max_span=_SADF_MAX
+        )
+    return out
+
+
+@register(
+    "sadf_adf1",
+    _sadf_adf1_oracle(_SADF_MIN, _SADF_MAX),
+    f"Rolling sup ADF(1) statistic over trailing windows "
+    f"[{_SADF_MIN},{_SADF_MAX}] — one lagged-difference regressor "
+    "(PWY standard practice), Cramer 3x3 normal solve on both engines",
+)
+def q_sadf_adf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.structural_breaks import sadf
+
+    with _trades_config():
+        out = sadf(
+            trades_from_events(spark, sf_dir),
+            min_span=_SADF_MIN,
+            max_span=_SADF_MAX,
+            lags=1,
         )
     return out
 

@@ -100,3 +100,86 @@ def test_sadf_validation(spark, series_pdf):
         sadf(sdf, min_span=2)
     with pytest.raises(ValueError):
         sadf(sdf, min_span=10, max_span=9)
+
+
+def _direct_adf_t(c_newest_first: np.ndarray, l: int, p: int):
+    """Direct per-window ADF(p) OLS t-stat (newest-first history)."""
+    c = c_newest_first
+    d = c[0:l] - c[1 : l + 1]
+    X = [np.ones(l), c[1 : l + 1]]
+    for j in range(1, p + 1):
+        X.append(c[j : l + j] - c[j + 1 : l + j + 1])
+    X = np.stack(X, axis=1)
+    k = X.shape[1]
+    XtX, Xtd = X.T @ X, X.T @ d
+    try:
+        sol = np.linalg.solve(XtX, Xtd)
+        inv = np.linalg.inv(XtX)
+    except np.linalg.LinAlgError:
+        return None
+    resid = d - X @ sol
+    se2 = (resid @ resid) / (l - k) * inv[1, 1]
+    if not se2 > 0:
+        return None
+    return sol[1] / np.sqrt(se2)
+
+
+@pytest.mark.parametrize("lags", [1, 2])
+def test_sadf_lags_match_direct_ols(spark, series_pdf, lags):
+    min_span = MIN_SPAN + lags
+    out = (
+        sadf(
+            spark.createDataFrame(series_pdf),
+            min_span=min_span,
+            max_span=MAX_SPAN,
+            lags=lags,
+        )
+        .toPandas()
+        .sort_values(["symbol", "ts_event"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in series_pdf.groupby("symbol"):
+        prices = grp.sort_values("ts_event")["price"].to_numpy()
+        got = out[out.symbol == sym].reset_index(drop=True)
+        for t in range(len(prices)):
+            best = None
+            for l in range(min_span, MAX_SPAN + 1):
+                if t - l - lags < 0:
+                    break
+                hist = prices[max(0, t - MAX_SPAN - lags) : t + 1][::-1]
+                stat = _direct_adf_t(hist, l, lags)
+                if stat is None:
+                    continue
+                key = (stat, -l)
+                if best is None or key > best[0]:
+                    best = (key, l, stat)
+            if best is None:
+                assert pd.isna(got.loc[t, "sadf_span"]), f"{sym} row {t}"
+            else:
+                assert got.loc[t, "sadf_span"] == best[1], f"{sym} row {t}"
+                # rel tolerance: Cramer vs lstsq differ more on the
+                # ill-conditioned exponential bubble segment
+                assert got.loc[t, "sadf_stat"] == pytest.approx(
+                    best[2], rel=1e-4, abs=2e-5
+                ), f"{sym} row {t}"
+
+
+@pytest.mark.parametrize("lags", [1, 2])
+def test_sadf_lags_flag_explosive_regime(spark, series_pdf, lags):
+    out = sadf(
+        spark.createDataFrame(series_pdf),
+        min_span=MIN_SPAN + lags,
+        max_span=MAX_SPAN,
+        lags=lags,
+    ).toPandas()
+    bubble_tail = out[(out.symbol == "BUBBLE")].sort_values("ts_event").tail(20)
+    rw = out[out.symbol == "RW"]["sadf_stat"].dropna()
+    assert bubble_tail["sadf_stat"].max() > rw.quantile(0.99)
+
+
+def test_sadf_lags_validation(spark, series_pdf):
+    sdf = spark.createDataFrame(series_pdf)
+    with pytest.raises(ValueError):
+        sadf(sdf, min_span=3, lags=1)  # needs >= 3 + lags
+    with pytest.raises(ValueError):
+        sadf(sdf, lags=-1)
