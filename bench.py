@@ -1,11 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.  Each query is timed end-to-end:
-plan build + execution materialized via ``write.format("noop")`` — unlike
-``count()``, the noop sink consumes every output column, so Catalyst
-cannot prune the final projections and expression-heavy queries are
-charged their full cost.
+"queries": {name: sec, ...}, "spread": {name: [min, max]}, "repeats": N,
+"sf": ...}.  Each query is timed end-to-end: plan build + execution
+materialized via ``write.format("noop")`` — unlike ``count()``, the noop
+sink consumes every output column, so Catalyst cannot prune the final
+projections and expression-heavy queries are charged their full cost.
+
+Each query runs ``SPARK_GRAFT_BENCH_REPEATS`` times (default 3) and
+reports the per-query MEDIAN; 0.3–1s queries carry ~±15% scheduler
+jitter single-shot, which muddied round-over-round deltas.  The min/max
+spread is emitted alongside so a noisy median is visible as such.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ HEADLINE = [
     "bet_sizing",
     "purged_kfold",
     "sadf",
+    "sadf_adf1",
     "return_entropy",
     "stratified_sample",
     "text_analysis",
@@ -62,6 +68,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
     "dedup_embedding_cosine",
     "multimodal_metadata",
 ]
@@ -90,30 +97,41 @@ def main() -> None:
         lambda pdf: pdf, schema="k long, v double"
     ).count()
 
+    import gc
+
     from polars_trading_spark import release_persisted
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         q = QUERIES[name]
-        start = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
-        # Cache-ownership contract: each operator's tracked caches are
-        # released once its result is consumed, so a full bench run never
-        # accumulates executor-memory pressure across queries.  The gc
-        # pass drops dead DataFrame refs so ContextCleaner can release
-        # checkpoint blocks (iterative operators) between queries.
-        release_persisted()
-        import gc
-
-        gc.collect()
-        print(f"# {name}: {elapsed:.3f}s", file=sys.stderr)
+        times = []
+        for _ in range(repeats):
+            start = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - start)
+            # Cache-ownership contract: each operator's tracked caches
+            # are released once its result is consumed, so a full bench
+            # run never accumulates executor-memory pressure across
+            # queries.  The gc pass drops dead DataFrame refs so
+            # ContextCleaner can release checkpoint blocks (iterative
+            # operators) between repeats.
+            release_persisted()
+            gc.collect()
+        med = sorted(times)[len(times) // 2]
+        timings[name] = round(med, 3)
+        spread[name] = [round(min(times), 3), round(max(times), 3)]
+        total += med
+        print(
+            f"# {name}: median {med:.3f}s over {repeats} "
+            f"(min {min(times):.3f}, max {max(times):.3f})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -122,6 +140,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "repeats": repeats,
                 "sf": sf,
             }
         )

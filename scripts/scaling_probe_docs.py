@@ -73,7 +73,90 @@ def gen_embeddings(spark, n_vecs: int, path: str) -> None:
     ).parquet(path)
 
 
+def gen_docs_zipf(spark, n_docs: int, path: str) -> None:
+    """Skewed-vocabulary corpus for the PPJoin-vs-naive crossover probe.
+
+    The flat generator above gives near-unique shingles (uniform hashes),
+    which hides the quadratic blowup of shared-shingle candidate joins.
+    Real text is Zipfian: here word index = floor(VOCAB * u^4) for
+    uniform u, concentrating mass on few words so frequent shingles
+    exist — the regime the PPJoin prefix filter is for.
+    """
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+
+    def word(seed: F.Column, j) -> F.Column:
+        u = F.pmod(F.xxhash64(seed * F.lit(1_000_003) + j), F.lit(1_000_000)) / 1_000_000.0
+        return F.concat(F.lit("w"), F.floor(F.lit(float(VOCAB)) * F.pow(u, F.lit(4.0))).cast("string"))
+
+    words = F.transform(F.sequence(F.lit(0), F.lit(WORDS - 1)), lambda j: word(F.col("doc_id"), j))
+    base.select(
+        "doc_id", F.concat_ws(" ", words).alias("text"), F.lit("en").alias("lang")
+    ).repartition(32).write.mode("overwrite").parquet(path)
+
+
+def ngram_naive_pairs(docs, threshold: float):
+    """The round-1 baseline: all pairs sharing ANY shingle within the
+    (lang) block, then exact Jaccard verify.  No prefix/length/positional
+    filters — candidate count grows with sum(df^2) over shingles, i.e.
+    quadratically once frequent shingles exist."""
+    from polars_trading_spark.functions.dedup import _tokenized, shingle_hashes
+
+    base = _tokenized(docs, "text", "doc_id", extra=("lang",)).select(
+        "lang", "__id", shingle_hashes(F.col("__toks"), 3).alias("__ng")
+    )
+    post = base.select("lang", "__id", F.explode("__ng").alias("__s"))
+    cand = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.__s") == F.col("b.__s"),
+                F.col("a.__id") < F.col("b.__id"),
+            ],
+        )
+        .select(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .distinct()
+    )
+    pairs = cand.join(
+        base.select(F.col("__id").alias("ia"), F.col("__ng").alias("nga")), "ia"
+    ).join(base.select(F.col("__id").alias("ib"), F.col("__ng").alias("ngb")), "ib")
+    inter = F.size(F.array_intersect("nga", "ngb"))
+    union = F.size("nga") + F.size("ngb") - inter
+    return pairs.select((inter / union).alias("j")).where(F.col("j") >= threshold)
+
+
+def crossover() -> None:
+    """PPJoin-vs-naive candidate-generation crossover on Zipfian text.
+    Usage: python scripts/scaling_probe_docs.py crossover [sizes...]"""
+    from polars_trading_spark import release_persisted
+    from polars_trading_spark.functions import dedup
+
+    sizes = [int(x) for x in sys.argv[2:]] or [2_000, 8_000, 32_000]
+    spark = get_spark("pts-ngram-crossover")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("n_docs,ppjoin_s,ppjoin_pairs,naive_s,naive_pairs", flush=True)
+    for n in sizes:
+        d = tempfile.mkdtemp(prefix="pts_zipf_docs_")
+        try:
+            gen_docs_zipf(spark, n, d)
+            docs = spark.read.parquet(d)
+            t0 = time.time()
+            pp = dedup.ngram_jaccard_pairs(docs, threshold=0.5).count()
+            t_pp = time.time() - t0
+            release_persisted()
+            t0 = time.time()
+            nv = ngram_naive_pairs(docs, 0.5).count()
+            t_nv = time.time() - t0
+            print(f"{n},{t_pp:.1f},{pp},{t_nv:.1f},{nv}", flush=True)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "crossover":
+        crossover()
+        return
     sizes = [int(x) for x in sys.argv[1:]] or [5_000, 50_000, 250_000]
     spark = get_spark("pts-scaling-docs")
     spark.sparkContext.setLogLevel("ERROR")
