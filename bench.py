@@ -49,10 +49,12 @@ HEADLINE = [
     "momentum_rank",
     "trend_scan",
     "vpin",
+    "corwin_schultz",
     "bet_sizing",
     "purged_kfold",
     "sadf",
     "sadf_adf1",
+    "csw_explosiveness",
     "return_entropy",
     "stratified_sample",
     "text_analysis",

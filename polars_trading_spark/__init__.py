@@ -50,10 +50,11 @@ from polars_trading_spark.operators.imbalance import (
     run_bars,
 )
 from polars_trading_spark.operators.microstructure import (
+    corwin_schultz,
     microstructure_features,
     vpin,
 )
-from polars_trading_spark.operators.structural_breaks import sadf
+from polars_trading_spark.operators.structural_breaks import csw_explosiveness, sadf
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
 from polars_trading_spark.operators.volatility import bar_volatility
 from polars_trading_spark.session import get_spark
@@ -88,6 +89,8 @@ __all__ = [
     "imbalance_bars_adaptive",
     "run_bars",
     "bar_volatility",
+    "corwin_schultz",
+    "csw_explosiveness",
     "microstructure_features",
     "vpin",
     "trend_scanning_labels",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark._utils import SEQ_COL, with_seq
 from polars_trading_spark.config import column_names
 
-__all__ = ["microstructure_features", "vpin"]
+__all__ = ["corwin_schultz", "microstructure_features", "vpin"]
 
 
 def microstructure_features(
@@ -177,4 +177,86 @@ def vpin(
         buckets.withColumn("imbalance", oe)
         .withColumn("vpin_val", F.when(n == window, F.avg(oe).over(roll)))
         .select(symbol, "ts_event_end", "bucket_volume", "imbalance", "vpin_val")
+    )
+
+
+def corwin_schultz(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Corwin-Schultz bid-ask spread and Becker-Parkinson volatility from
+    high/low bars (Corwin & Schultz 2012; AFML 19.4).
+
+    The estimator's insight: highs are buys, lows are sells, so the
+    high-low range over ONE bar contains both variance and spread while
+    the range over TWO consecutive bars contains twice the variance but
+    the same spread — the difference identifies the spread without trade
+    signs.  Per symbol bar t:
+
+    * ``beta_t``  = rolling ``window`` mean of the 2-bar sum
+      ``ln(H/L)^2 + lag(ln(H/L)^2)``;
+    * ``gamma_t`` = ``ln(max(H_t, H_{t-1}) / min(L_t, L_{t-1}))^2``;
+    * ``alpha_t`` = max(0, (sqrt(2)-1)*sqrt(beta)/den - sqrt(gamma/den)),
+      den = 3 - 2*sqrt(2);
+    * ``cs_spread`` = 2*(e^alpha - 1)/(1 + e^alpha);
+    * ``bp_sigma``  = max(0, (2^-0.5 - 1)*sqrt(beta)/(k2*den)
+      + sqrt(gamma/(k2^2*den))), k2 = sqrt(8/pi) — the Becker-Parkinson
+      high-low volatility AFML pairs with the spread.
+
+    One (symbol)-ordered window pass, all codegen — same plan posture as
+    ``bar_volatility`` (one exchange, zero Python).  Emitted only when
+    the rolling beta window is full, null otherwise.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    roll = order.rowsBetween(-(window - 1), 0)
+    h, low = F.col(high_col), F.col(low_col)
+    hl2 = F.pow(F.log(h / low), 2)
+    two_bar = hl2 + F.lag(hl2).over(order)
+    g = F.pow(
+        F.log(F.greatest(h, F.lag(h).over(order)) / F.least(low, F.lag(low).over(order))),
+        2,
+    )
+    out = bars.select(
+        symbol_col,
+        ts_col,
+        two_bar.alias("__tb"),
+        g.alias("__gamma"),
+    )
+    den = 3.0 - 2.0 * (2.0**0.5)
+    k2 = (8.0 / 3.141592653589793) ** 0.5
+    n_tb = F.count("__tb").over(roll)
+    beta = F.avg("__tb").over(roll)
+    out = out.select(
+        symbol_col,
+        ts_col,
+        F.when(n_tb == window, beta).alias("__beta"),
+        "__gamma",
+    )
+    b, gm = F.col("__beta"), F.col("__gamma")
+    # greatest() ignores nulls on both engines (would turn a null beta
+    # into spread 0), so the defined-ness guard comes first.
+    defined = b.isNotNull() & gm.isNotNull()
+    alpha = F.greatest(
+        ((F.lit(2.0**0.5 - 1.0) * F.sqrt(b)) / F.lit(den)) - F.sqrt(gm / F.lit(den)),
+        F.lit(0.0),
+    )
+    spread = (F.lit(2.0) * (F.exp(alpha) - F.lit(1.0))) / (F.lit(1.0) + F.exp(alpha))
+    sigma = F.greatest(
+        ((F.lit(2.0**-0.5 - 1.0) * F.sqrt(b)) / F.lit(k2 * den))
+        + F.sqrt(gm / F.lit(k2 * k2 * den)),
+        F.lit(0.0),
+    )
+    return out.select(
+        symbol_col,
+        ts_col,
+        F.when(defined, spread).alias("cs_spread"),
+        F.when(defined, sigma).alias("bp_sigma"),
     )

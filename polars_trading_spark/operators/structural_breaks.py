@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sadf"]
+__all__ = ["csw_explosiveness", "sadf"]
 
 
 def _df_stats_lag0(m: np.ndarray, spans: np.ndarray) -> np.ndarray:
@@ -225,4 +225,76 @@ def sadf(
         ts_col,
         F.col("__r.stat").alias("sadf_stat"),
         F.col("__r.span").cast("int").alias("sadf_span"),
+    )
+
+
+def csw_explosiveness(
+    df: DataFrame,
+    *,
+    max_lag: int = 25,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+) -> DataFrame:
+    """Chu-Stinchcombe-White one-sided explosiveness statistic (AFML
+    17.3.2): ``S_{n,t} = (y_t - y_n) / (sigma_t * sqrt(t - n))`` over log
+    prices, supremum over the bounded lookback ``n in [t - max_lag,
+    t - 1]``, with ``sigma_t^2`` the expanding mean of squared log-price
+    increments up to t.
+
+    Unlike SADF (a full regression per window) this is pure arithmetic
+    per lag, so it stays entirely inside whole-stage codegen: one
+    (symbol)-ordered window pass materializes the lag columns and the
+    expanding variance, the sup is a ``greatest`` over ``max_lag``
+    candidate expressions, and the winning lag is the first (smallest)
+    lag attaining it.  The sup's argmax is invariant to the last-ulp
+    association of ``sigma_t`` because every candidate shares the same
+    ``1/sigma_t`` factor.
+
+    Returns ``symbol, ts, csw_stat, csw_lag, csw_crit`` where
+    ``csw_crit = sqrt(4.6 + ln(csw_lag))`` is the one-sided 5%%
+    time-varying critical boundary (b_alpha = 4.6, AFML 17.3.2) — a
+    regime is flagged explosive when ``csw_stat > csw_crit``.  Rows with
+    no valid lag (start of series, zero variance) get nulls.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+
+    from polars_trading_spark._utils import SEQ_COL, with_seq
+
+    df = with_seq(df)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col, SEQ_COL)
+    expanding = order.rowsBetween(Window.unboundedPreceding, 0)
+    y = F.log(F.col(price_col).cast("double"))
+    base = df.select(symbol_col, ts_col, SEQ_COL, y.alias("__y"))
+    dy = F.col("__y") - F.lag("__y").over(order)
+    base = base.withColumn("__sq", dy * dy)
+    sigma2 = F.avg("__sq").over(expanding)
+    base = base.withColumn("__s2", sigma2)
+
+    stats = []
+    for k in range(1, max_lag + 1):
+        num = F.col("__y") - F.lag("__y", k).over(order)
+        s = F.when(
+            F.col("__s2") > 0, num / F.sqrt(F.col("__s2") * F.lit(float(k)))
+        )
+        stats.append(s.alias(f"__s{k}"))
+    base = base.select(symbol_col, ts_col, *stats)
+
+    sup = F.greatest(*[F.col(f"__s{k}") for k in range(1, max_lag + 1)]) if max_lag > 1 else F.col("__s1")
+    base = base.withColumn("__sup", sup)
+    win = F.coalesce(
+        *[
+            F.when(F.col(f"__s{k}") == F.col("__sup"), F.lit(k))
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return base.select(
+        symbol_col,
+        ts_col,
+        F.col("__sup").alias("csw_stat"),
+        win.cast("int").alias("csw_lag"),
+        F.when(
+            F.col("__sup").isNotNull(), F.sqrt(F.lit(4.6) + F.log(win.cast("double")))
+        ).alias("csw_crit"),
     )

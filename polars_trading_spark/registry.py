@@ -1913,6 +1913,146 @@ def q_bar_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C-ext. Corwin-Schultz spread + Becker-Parkinson volatility
+# (operators/microstructure.py::corwin_schultz, AFML 19.4)
+# --------------------------------------------------------------------------
+
+_CS_WINDOW = 20
+_CS_DEN = 3.0 - 2.0 * (2.0**0.5)
+_CS_C1 = 2.0**0.5 - 1.0
+_CS_K2 = (8.0 / 3.141592653589793) ** 0.5
+_CS_C2 = 2.0**-0.5 - 1.0
+
+
+@register(
+    "corwin_schultz",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+terms AS (
+  SELECT symbol, ts,
+    pow(ln(high / low), 2) + lag(pow(ln(high / low), 2)) OVER w AS tb,
+    pow(ln(greatest(high, lag(high) OVER w) / least(low, lag(low) OVER w)), 2) AS gm
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+rolled AS (
+  SELECT symbol, ts, gm,
+    count(tb) OVER r AS n_tb,
+    avg(tb) OVER r AS beta
+  FROM terms
+  WINDOW r AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_CS_WINDOW - 1} PRECEDING AND CURRENT ROW)
+),
+calc AS (
+  SELECT symbol, ts,
+    CASE WHEN n_tb = {_CS_WINDOW} AND gm IS NOT NULL THEN
+      greatest((({_CS_C1!r} * sqrt(beta)) / {_CS_DEN!r}) - sqrt(gm / {_CS_DEN!r}), 0.0)
+    END AS a,
+    CASE WHEN n_tb = {_CS_WINDOW} AND gm IS NOT NULL THEN
+      greatest((({_CS_C2!r} * sqrt(beta)) / {_CS_K2 * _CS_DEN!r})
+               + sqrt(gm / {_CS_K2 * _CS_K2 * _CS_DEN!r}), 0.0)
+    END AS sg
+  FROM rolled
+)
+SELECT symbol, ts AS ts_event,
+  round((2.0 * (exp(a) - 1.0)) / (1.0 + exp(a)), 6) AS cs_spread,
+  round(sg, 6) AS bp_sigma
+FROM calc
+""",
+    f"Corwin-Schultz bid-ask spread + Becker-Parkinson volatility from "
+    f"15m-bar highs/lows, {_CS_WINDOW}-bar beta window (AFML 19.4)",
+)
+def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = corwin_schultz(bars, window=_CS_WINDOW, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("cs_spread", 6).alias("cs_spread"),
+        F.round("bp_sigma", 6).alias("bp_sigma"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Chu-Stinchcombe-White explosiveness test
+# (operators/structural_breaks.py::csw_explosiveness, AFML 17.3.2)
+# --------------------------------------------------------------------------
+
+_CSW_MAX_LAG = 20
+
+
+def _csw_oracle(max_lag: int) -> str:
+    lag_cols = ",\n    ".join(f"lag(y, {k}) OVER w AS yl{k}" for k in range(1, max_lag + 1))
+    stat_cols = ",\n    ".join(
+        f"CASE WHEN s2 > 0 THEN (y - yl{k}) / sqrt(s2 * {float(k)!r}) END AS s{k}"
+        for k in range(1, max_lag + 1)
+    )
+    sup = ", ".join(f"s{k}" for k in range(1, max_lag + 1))
+    win = ", ".join(
+        f"CASE WHEN s{k} = sup THEN {k} END" for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, ts_event, seq, ln(price) AS y FROM trades
+),
+b AS (
+  SELECT *, y - lag(y) OVER w AS dy
+  FROM t
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+c AS (
+  SELECT symbol, ts_event, seq, y,
+    avg(dy * dy) OVER (PARTITION BY symbol ORDER BY ts_event, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+    {lag_cols}
+  FROM b
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+d AS (
+  SELECT symbol, ts_event,
+    {stat_cols}
+  FROM c
+),
+e AS (
+  SELECT *, greatest({sup}) AS sup FROM d
+),
+f AS (
+  SELECT symbol, ts_event, sup, coalesce({win}) AS win FROM e
+)
+SELECT symbol, ts_event,
+  round(sup, 6) AS csw_stat,
+  CAST(win AS INTEGER) AS csw_lag,
+  CASE WHEN sup IS NOT NULL THEN round(sqrt(4.6 + ln(CAST(win AS DOUBLE))), 6) END AS csw_crit
+FROM f
+"""
+
+
+@register(
+    "csw_explosiveness",
+    _csw_oracle(_CSW_MAX_LAG),
+    f"Chu-Stinchcombe-White one-sided explosiveness sup-statistic over a "
+    f"{_CSW_MAX_LAG}-lag lookback with expanding variance (AFML 17.3.2)",
+)
+def q_csw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.structural_breaks import csw_explosiveness
+
+    with _trades_config():
+        out = csw_explosiveness(trades_from_events(spark, sf_dir), max_lag=_CSW_MAX_LAG)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("csw_stat", 6).alias("csw_stat"),
+        "csw_lag",
+        F.round("csw_crit", 6).alias("csw_crit"),
+    )
+
+
+# --------------------------------------------------------------------------
 # C-ext. Microstructure features (operators/microstructure.py)
 # --------------------------------------------------------------------------
 

@@ -338,3 +338,93 @@ def test_cross_section_validation(spark, bar_pdf):
         rolling_beta(sdf, window=1)
     with pytest.raises(ValueError):
         momentum_rank(sdf, lookback=0)
+
+
+# ---------------------------------------------------------------------------
+# Corwin-Schultz spread + Becker-Parkinson volatility
+# (operators/microstructure.py::corwin_schultz)
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.microstructure import corwin_schultz
+
+
+def _pandas_corwin_schultz(grp: pd.DataFrame, window: int):
+    """AFML 19.4 getBeta/getGamma/getAlpha reference implementation."""
+    hl2 = np.log(grp["high"] / grp["low"]) ** 2
+    beta = hl2.rolling(2).sum().rolling(window).mean()
+    h2 = grp["high"].rolling(2).max()
+    l2 = grp["low"].rolling(2).min()
+    gamma = np.log(h2 / l2) ** 2
+    den = 3 - 2 * 2**0.5
+    alpha = ((2**0.5 - 1) * beta**0.5) / den - (gamma / den) ** 0.5
+    alpha = alpha.clip(lower=0)
+    spread = 2 * (np.exp(alpha) - 1) / (1 + np.exp(alpha))
+    k2 = (8 / np.pi) ** 0.5
+    sigma = ((2**-0.5 - 1) * beta**0.5) / (k2 * den) + (gamma / (k2**2 * den)) ** 0.5
+    sigma = sigma.clip(lower=0)
+    return spread, sigma
+
+
+def test_corwin_schultz_matches_pandas(spark, bar_pdf):
+    out = (
+        corwin_schultz(spark.createDataFrame(bar_pdf), window=WINDOW)
+        .toPandas()
+        .sort_values(["symbol", "ts_event_start"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start").reset_index(drop=True)
+        spread, sigma = _pandas_corwin_schultz(grp, WINDOW)
+        got = out[out.symbol == sym].reset_index(drop=True)
+        for i in range(len(grp)):
+            if np.isnan(spread.iloc[i]):
+                assert pd.isna(got.loc[i, "cs_spread"]), f"{sym} row {i}"
+            else:
+                assert got.loc[i, "cs_spread"] == pytest.approx(spread.iloc[i], abs=1e-10)
+                assert got.loc[i, "bp_sigma"] == pytest.approx(sigma.iloc[i], abs=1e-10)
+
+
+def test_corwin_schultz_invariants_and_scaling(spark, bar_pdf):
+    """Outputs are non-negative, null exactly until the beta window is
+    full, and on a constant-mid frame doubling the log range (which
+    doubles sqrt(beta) and sqrt(gamma) exactly) never shrinks sigma."""
+    out = corwin_schultz(spark.createDataFrame(bar_pdf), window=WINDOW).toPandas()
+    filled = out.dropna(subset=["cs_spread"])
+    assert (filled["cs_spread"] >= 0).all() and (filled["bp_sigma"] >= 0).all()
+    for sym, grp in out.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start").reset_index(drop=True)
+        # beta needs the 2-bar sum (from bar 1) then `window` of those
+        assert grp["cs_spread"].head(WINDOW).isna().all()
+        assert grp["cs_spread"].tail(len(grp) - WINDOW).notna().all()
+
+    # constant mid: the 2-bar range transform is exact log-doubling
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        r = abs(rng.normal(0, 0.01)) + 1e-4
+        rows.append(
+            {
+                "symbol": "X",
+                "ts_event_start": pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i),
+                "open": 100.0,
+                "high": 100.0 * math.exp(r),
+                "low": 100.0 * math.exp(-r),
+                "close": 100.0,
+            }
+        )
+    narrow = pd.DataFrame(rows)
+    wide = narrow.copy()
+    wide["high"] = 100.0 * (narrow["high"] / 100.0) ** 2
+    wide["low"] = 100.0 * (narrow["low"] / 100.0) ** 2
+    nb = corwin_schultz(spark.createDataFrame(narrow), window=WINDOW).toPandas()
+    wb = corwin_schultz(spark.createDataFrame(wide), window=WINDOW).toPandas()
+    m = nb.merge(wb, on=["symbol", "ts_event_start"], suffixes=("_n", "_w")).dropna(
+        subset=["bp_sigma_n", "bp_sigma_w"]
+    )
+    assert len(m) > 10
+    assert (m["bp_sigma_w"] >= m["bp_sigma_n"] - 1e-12).all()
+
+
+def test_corwin_schultz_validation(spark, bar_pdf):
+    with pytest.raises(ValueError):
+        corwin_schultz(spark.createDataFrame(bar_pdf), window=1)

@@ -260,3 +260,21 @@ def test_momentum_rank_is_join_free_two_windows(trades):
     assert "Join" not in plan
     assert count_python_stages(out) == 0
     assert count_exchanges(out) <= count_exchanges(bars) + 2
+
+
+def test_corwin_schultz_and_csw_stay_native(trades):
+    """Both new AFML ch.17/19 additions are pure window pipelines: zero
+    Python stages, no unbounded-following frames."""
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+    from polars_trading_spark.operators.structural_breaks import csw_explosiveness
+
+    bars = _bars(trades)
+    cs = corwin_schultz(bars, window=20, ts_col="ts_event")
+    assert count_python_stages(cs) == 0
+    assert not has_unbounded_following_frame(cs)
+    assert count_exchanges(cs) <= count_exchanges(bars) + 1
+
+    with Config(timestamp_column="ts_event"):
+        csw = csw_explosiveness(trades, max_lag=10)
+    assert count_python_stages(csw) == 0
+    assert not has_unbounded_following_frame(csw)

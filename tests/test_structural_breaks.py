@@ -183,3 +183,69 @@ def test_sadf_lags_validation(spark, series_pdf):
         sadf(sdf, min_span=3, lags=1)  # needs >= 3 + lags
     with pytest.raises(ValueError):
         sadf(sdf, lags=-1)
+
+
+# ---------------------------------------------------------------------------
+# Chu-Stinchcombe-White explosiveness (csw_explosiveness)
+# ---------------------------------------------------------------------------
+
+from polars_trading_spark.operators.structural_breaks import csw_explosiveness
+
+CSW_LAG = 8
+
+
+def _numpy_csw(prices: np.ndarray, max_lag: int):
+    y = np.log(prices)
+    out = []
+    for t in range(len(y)):
+        dy2 = np.diff(y[: t + 1]) ** 2
+        s2 = dy2.mean() if dy2.size else np.nan
+        best = None
+        if s2 > 0:
+            for k in range(1, max_lag + 1):
+                if t - k < 0:
+                    break
+                stat = (y[t] - y[t - k]) / np.sqrt(s2 * float(k))
+                key = (stat, -k)
+                if best is None or key > best[0]:
+                    best = (key, k, stat)
+        out.append((best[1], best[2]) if best else (None, None))
+    return out
+
+
+def test_csw_matches_numpy(spark, series_pdf):
+    out = (
+        csw_explosiveness(spark.createDataFrame(series_pdf), max_lag=CSW_LAG)
+        .toPandas()
+        .sort_values(["symbol", "ts_event"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in series_pdf.groupby("symbol"):
+        prices = grp.sort_values("ts_event")["price"].to_numpy()
+        expected = _numpy_csw(prices, CSW_LAG)
+        got = out[out.symbol == sym].reset_index(drop=True)
+        for i, (lag, stat) in enumerate(expected):
+            if lag is None:
+                assert pd.isna(got.loc[i, "csw_lag"]), f"{sym} row {i}"
+            else:
+                assert got.loc[i, "csw_lag"] == lag, f"{sym} row {i}"
+                assert got.loc[i, "csw_stat"] == pytest.approx(stat, rel=1e-9), f"{sym} row {i}"
+                assert got.loc[i, "csw_crit"] == pytest.approx(
+                    np.sqrt(4.6 + np.log(lag)), rel=1e-9
+                )
+
+
+def test_csw_flags_explosive_regime(spark, series_pdf):
+    out = csw_explosiveness(spark.createDataFrame(series_pdf), max_lag=CSW_LAG).toPandas()
+    bubble_tail = out[out.symbol == "BUBBLE"].sort_values("ts_event").tail(20)
+    # the explosive segment must breach the one-sided critical boundary
+    breached = (bubble_tail["csw_stat"] > bubble_tail["csw_crit"]).mean()
+    assert breached > 0.8
+    rw = out[out.symbol == "RW"].dropna(subset=["csw_stat"])
+    # a random walk should breach only rarely
+    assert (rw["csw_stat"] > rw["csw_crit"]).mean() < 0.2
+
+
+def test_csw_validation(spark, series_pdf):
+    with pytest.raises(ValueError):
+        csw_explosiveness(spark.createDataFrame(series_pdf), max_lag=0)
