@@ -52,12 +52,14 @@ HEADLINE = [
     "corwin_schultz",
     "bet_sizing",
     "purged_kfold",
+    "cpcv_assign",
     "sadf",
     "sadf_adf1",
     "csw_explosiveness",
     "return_entropy",
     "stratified_sample",
     "text_analysis",
+    "repetition_profile",
     "tfidf_topk",
     "corpus_stats",
     "decontaminate",

@@ -41,7 +41,7 @@ from polars_trading_spark.operators.bet_sizing import (
     average_active_bets,
     bet_size_from_tstat,
 )
-from polars_trading_spark.operators.cv import purged_kfold
+from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
 from polars_trading_spark.operators.entropy import return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
 from polars_trading_spark.operators.imbalance import (
@@ -96,6 +96,7 @@ __all__ = [
     "trend_scanning_labels",
     "sadf",
     "return_entropy",
+    "cpcv_assign",
     "purged_kfold",
     "bet_size_from_tstat",
     "average_active_bets",

@@ -24,6 +24,8 @@ __all__ = [
     "word_ngrams",
     "stopword_ratio",
     "language_id",
+    "cjk_ratio",
+    "repetition_profile",
     "quality_score",
     "text_profile",
     "STOPWORDS",
@@ -31,9 +33,8 @@ __all__ = [
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deliberately small and disjoint-ish; ties resolve in the
-# listed language order.  (The zh detector would need a CJK codepoint
-# range test — the synthetic corpus is pure ASCII, so it is stubbed out
-# and documented.)
+# listed language order.  zh is detected before the stopword vote via a
+# CJK-codepoint ratio (no tokenizer needed — Chinese has no spaces).
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "to", "and", "in", "is", "it", "you", "that"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
@@ -115,13 +116,28 @@ def stopword_ratio(text, lang: str = "en") -> Column:
     ).otherwise(0.0)
 
 
+def cjk_ratio(text) -> Column:
+    """Fraction of characters in the CJK Unified Ideographs block
+    (U+4E00-U+9FFF); 0.0 for empty text.  BMP-only, so Spark's UTF-16
+    and DuckDB's codepoint length semantics agree."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.length(t)
+    han = n - F.length(F.regexp_replace(t, r"[\x{4E00}-\x{9FFF}]", ""))
+    return F.when(n > 0, han / n).otherwise(0.0)
+
+
+_CJK_THRESHOLD = 0.3
+
+
 def language_id(text) -> Column:
-    """Stopword-vote language guess over {en, de, fr, es}; 'unknown' when
-    no stopword hits at all.  Ties resolve in STOPWORDS key order."""
+    """Language guess over {zh, en, de, fr, es}: zh when the CJK
+    codepoint ratio reaches 0.3 (Chinese has no spaces, so the stopword
+    tokenizer never sees it), else a stopword vote; 'unknown' when no
+    stopword hits at all.  Ties resolve in STOPWORDS key order."""
     toks = tokens(text)
     hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     best = F.greatest(*hits.values())
-    expr = F.when(best == 0, "unknown")
+    expr = F.when(cjk_ratio(text) >= _CJK_THRESHOLD, "zh").when(best == 0, "unknown")
     for lang in STOPWORDS:  # first max wins — same order as the SQL CASE
         expr = expr.when(hits[lang] == best, lang)
     return expr
@@ -189,7 +205,7 @@ def text_profile(
     n = F.size(toks)
     hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
     best = F.greatest(*hits.values())
-    lang_expr = F.when(best == 0, "unknown")
+    lang_expr = F.when(cjk_ratio(raw) >= _CJK_THRESHOLD, "zh").when(best == 0, "unknown")
     for lang in STOPWORDS:  # first max wins — same order as the SQL CASE
         lang_expr = lang_expr.when(hits[lang] == best, lang)
     sw = F.when(n > 0, hits["en"] / n).otherwise(0.0)
@@ -213,3 +229,65 @@ def text_profile(
         sw.alias("stopword_ratio"),
         quality.alias("quality_score"),
     )
+
+
+def _ngram_seq(toks: Column, n: int) -> Column:
+    """NON-distinct n-gram sequence (one entry per position) — the
+    multiplicity-preserving sibling of ``word_ngrams_from``, same
+    zip_with slicing so the lambdas never re-evaluate the tokenizer."""
+    from functools import reduce
+
+    m = F.size(toks) - (n - 1)
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    joined = reduce(
+        lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts
+    )
+    return F.when(m > 0, joined).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id", "lang"),
+    ngram_sizes: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules —
+    Rae et al. 2021 filter training docs whose duplicate-n-gram fraction
+    is high; boilerplate and templated spam light these up).
+
+    Per doc: ``rep_{n}gram_frac`` = fraction of n-gram positions whose
+    gram also occurs elsewhere in the doc (1 - distinct/total), for each
+    ``n`` in ``ngram_sizes``; ``dup_sentence_frac`` = same over
+    ``[.!?]``-split sentences of the raw text.
+
+    Everything is higher-order-function array math on the per-row token
+    array — ZERO shuffles, one scan, no UDFs: at 100 TB this is a map
+    stage that costs what the tokenizer costs.  (The Gopher "top n-gram
+    character fraction" rules need a per-gram mode — that is the
+    shuffle-bearing variant via explode + groupBy; these duplicate
+    fractions are the map-side 90%.)
+    """
+    raw = F.col(text_col)
+    staged = df.select(*keep, text_col, normalize_text(raw).alias("__norm"))
+    staged = staged.select(
+        "*", F.filter(F.split(F.col("__norm"), " "), lambda x: x != "").alias("__toks")
+    )
+    toks = F.col("__toks")
+
+    cols = list(keep)
+    out_cols = []
+    for n in ngram_sizes:
+        seq = _ngram_seq(toks, n)
+        total = F.size(seq)
+        frac = F.when(total > 0, 1.0 - F.size(F.array_distinct(seq)) / total).otherwise(0.0)
+        out_cols.append(frac.alias(f"rep_{n}gram_frac"))
+
+    sents = F.filter(
+        F.transform(F.split(raw, "[.!?]+"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_sent = F.size(sents)
+    dup_sent = F.when(
+        n_sent > 0, 1.0 - F.size(F.array_distinct(sents)) / n_sent
+    ).otherwise(0.0)
+    return staged.select(*cols, *out_cols, dup_sent.alias("dup_sentence_frac"))

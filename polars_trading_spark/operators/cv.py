@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import SEQ_COL, duration_to_interval
 
-__all__ = ["purged_kfold"]
+__all__ = ["cpcv_assign", "purged_kfold"]
 
 
 def purged_kfold(
@@ -99,5 +99,102 @@ def purged_kfold(
         "symbol",
         F.col("t0").alias(t0_col),
         F.col("fold").cast("int").alias("fold"),
+        role.alias("role"),
+    )
+
+
+def cpcv_assign(
+    events: DataFrame,
+    *,
+    n_groups: int = 6,
+    k_test: int = 2,
+    embargo: str | None = None,
+    symbol_col: str = "symbol",
+    t0_col: str = "ts_event",
+    t1_col: str = "vertical_barrier",
+) -> DataFrame:
+    """Combinatorial Purged Cross-Validation assignment (AFML ch.12).
+
+    Events split into ``n_groups`` contiguous per-symbol time groups;
+    every ``C(n_groups, k_test)`` combination of ``k_test`` groups forms
+    one split whose test set is that combination.  Each backtest path
+    then stitches test predictions across splits — the point of CPCV is
+    that every group is tested ``C(n-1, k-1)`` times against different
+    training sets, turning one backtest into a distribution.
+
+    Purging/embargo follow ``purged_kfold`` but against EACH test
+    group's hull separately (a train event is purged if its span
+    overlaps ANY of the split's test hulls — the merged hull would
+    over-purge the gap between non-adjacent test groups).
+
+    Distributed shape: the splits table is ``C(n,k) * k_test`` rows
+    (driver-built, broadcast), hulls are ``n_symbols * n_groups`` rows
+    (broadcast); events fan out once to (event x split x test-hull) —
+    bounded by the combinatorics, e.g. 30x for the canonical (6, 2) —
+    then one hash aggregate folds the per-hull flags.  Output is one
+    row per (event, split): ``symbol, t0, split_id, role``.
+    """
+    from itertools import combinations
+
+    if n_groups < 2:
+        raise ValueError(f"n_groups must be >= 2, got {n_groups}")
+    if not (1 <= k_test < n_groups):
+        raise ValueError(f"k_test must be in [1, n_groups), got {k_test}")
+
+    t0, t1 = F.col(t0_col), F.col(t1_col)
+    order_cols = [t0_col, SEQ_COL] if SEQ_COL in events.columns else [t0_col]
+    group_w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+
+    series_end = F.max(F.greatest(t0, F.coalesce(t1, t0))).over(
+        Window.partitionBy(symbol_col)
+    )
+    ev = events.select(
+        F.col(symbol_col).alias("symbol"),
+        t0.alias("t0"),
+        F.coalesce(t1, series_end).alias("t1"),
+        F.ntile(n_groups).over(group_w).alias("grp"),
+    )
+
+    spark = events.sparkSession
+    splits = spark.createDataFrame(
+        [
+            (sid, g)
+            for sid, combo in enumerate(combinations(range(1, n_groups + 1), k_test), 1)
+            for g in combo
+        ],
+        "split_id int, test_grp int",
+    )
+
+    hulls = ev.groupBy("symbol", F.col("grp").alias("test_grp")).agg(
+        F.min("t0").alias("h_start"),
+        F.max("t1").alias("h_end"),
+    )
+    emb_end = F.col("h_end")
+    if embargo is not None:
+        emb_end = F.col("h_end") + F.expr(f"INTERVAL {duration_to_interval(embargo)}")
+    split_hulls = F.broadcast(
+        splits.join(hulls, on="test_grp").withColumn("emb_end", emb_end)
+    )
+
+    fan = ev.join(split_hulls, on="symbol")
+    flags = fan.groupBy("symbol", "t0", "grp", "split_id").agg(
+        F.max(F.when(F.col("grp") == F.col("test_grp"), True).otherwise(False)).alias("is_test"),
+        F.max(
+            (F.col("t0") <= F.col("h_end")) & (F.col("h_start") <= F.col("t1"))
+        ).alias("overlaps"),
+        F.max(
+            (F.col("t0") > F.col("h_end")) & (F.col("t0") <= F.col("emb_end"))
+        ).alias("embargoed"),
+    )
+    role = (
+        F.when(F.col("is_test"), F.lit("test"))
+        .when(F.col("overlaps"), F.lit("purged"))
+        .when(F.col("embargoed"), F.lit("embargo"))
+        .otherwise(F.lit("train"))
+    )
+    return flags.select(
+        "symbol",
+        F.col("t0").alias(t0_col),
+        "split_id",
         role.alias("role"),
     )

@@ -812,8 +812,14 @@ def _sql_stopword_hits(lang: str) -> str:
 # text_analysis: token counting, fingerprinting, language-ID, quality.
 # --------------------------------------------------------------------------
 
+_CJK_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "(length(text) - length(regexp_replace(text, '[\\x{4E00}-\\x{9FFF}]', '', 'g')))"
+    " / length(text) ELSE 0.0 END"
+)
+
 _LANG_CASE = (
-    "CASE WHEN greatest("
+    f"CASE WHEN {_CJK_SQL} >= 0.3 THEN 'zh' WHEN greatest("
     + ", ".join(f"c_{lang}" for lang in STOPWORDS)
     + ") = 0 THEN 'unknown' "
     + " ".join(
@@ -877,6 +883,64 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_guess",
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition_profile — Gopher-style within-doc repetition quality rules
+# (duplicate n-gram / sentence fractions).  Pure HOF array math: zero
+# shuffles, so the oracle is list-comprehension arithmetic per row.
+# --------------------------------------------------------------------------
+
+
+def _rep_gram_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j + 1}]" for j in range(n))
+    seq = f"[{gram} for i in range(0, len(toks) - {n - 1})]"
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"1.0 - len(list_distinct({seq})) / (len(toks) - {n - 1}) "
+        f"ELSE 0.0 END"
+    )
+
+
+@register(
+    "repetition_profile",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+sent AS (
+  SELECT *, list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                       x -> trim(x)), x -> x != '') AS sents
+  FROM tok
+)
+SELECT doc_id, lang,
+  round({_rep_gram_sql(2)}, 6) AS rep_2gram_frac,
+  round({_rep_gram_sql(3)}, 6) AS rep_3gram_frac,
+  round({_rep_gram_sql(4)}, 6) AS rep_4gram_frac,
+  round(CASE WHEN len(sents) > 0
+        THEN 1.0 - len(list_distinct(sents)) / len(sents) ELSE 0.0 END, 6) AS dup_sentence_frac
+FROM sent
+""",
+    "Within-doc duplicate n-gram / sentence fractions (Gopher repetition "
+    "rules) — zero-shuffle higher-order-function array math",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import repetition_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = repetition_profile(docs, text_col="text", keep=("doc_id", "lang"))
+    return out.select(
+        "doc_id",
+        "lang",
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "rep_2gram_frac",
+                "rep_3gram_frac",
+                "rep_4gram_frac",
+                "dup_sentence_frac",
+            )
+        ],
     )
 
 
@@ -2286,6 +2350,89 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             trades_from_events(spark, sf_dir), BARRIER_OFFSET
         )
         out = purged_kfold(events, n_folds=_CV_FOLDS, embargo=_CV_EMBARGO)
+    return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. Combinatorial purged CV (operators/cv.py::cpcv_assign, AFML
+# ch.12) — every C(n,2) pair of groups forms one split's test set;
+# purge/embargo run against EACH test hull separately.
+# --------------------------------------------------------------------------
+
+_CPCV_GROUPS = 4
+_CPCV_EMBARGO = "30m"
+
+
+@register(
+    "cpcv_assign",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+offs AS (
+  SELECT symbol, ts_event, ts_event + INTERVAL 4 HOURS AS off FROM trades
+),
+barrier_events AS (
+  SELECT o.symbol, o.ts_event, b.vertical_barrier
+  FROM offs o
+  ASOF LEFT JOIN (SELECT symbol, ts_event AS vertical_barrier FROM trades) b
+    ON o.symbol = b.symbol AND o.off <= b.vertical_barrier
+),
+ev AS (
+  SELECT symbol, ts_event AS t0,
+    coalesce(vertical_barrier,
+             max(greatest(ts_event, coalesce(vertical_barrier, ts_event)))
+               OVER (PARTITION BY symbol)) AS t1,
+    ntile({_CPCV_GROUPS}) OVER (PARTITION BY symbol ORDER BY ts_event) AS grp
+  FROM barrier_events
+),
+combos AS (
+  SELECT CAST(row_number() OVER (ORDER BY a, b) AS INTEGER) AS split_id, a, b
+  FROM (SELECT g1.g AS a, g2.g AS b
+        FROM (SELECT unnest(generate_series(1, {_CPCV_GROUPS})) AS g) g1,
+             (SELECT unnest(generate_series(1, {_CPCV_GROUPS})) AS g) g2
+        WHERE g1.g < g2.g)
+),
+splits AS (
+  SELECT split_id, a AS test_grp FROM combos
+  UNION ALL
+  SELECT split_id, b AS test_grp FROM combos
+),
+hulls AS (
+  SELECT symbol, grp AS test_grp, min(t0) AS h_start, max(t1) AS h_end
+  FROM ev GROUP BY symbol, grp
+),
+split_hulls AS (
+  SELECT s.split_id, h.symbol, s.test_grp, h.h_start, h.h_end,
+         h.h_end + INTERVAL 30 MINUTES AS emb_end
+  FROM splits s JOIN hulls h ON s.test_grp = h.test_grp
+),
+flags AS (
+  SELECT e.symbol, e.t0, e.grp, sh.split_id,
+    bool_or(e.grp = sh.test_grp) AS is_test,
+    bool_or(e.t0 <= sh.h_end AND sh.h_start <= e.t1) AS olap,
+    bool_or(e.t0 > sh.h_end AND e.t0 <= sh.emb_end) AS embargoed
+  FROM ev e JOIN split_hulls sh ON e.symbol = sh.symbol
+  GROUP BY e.symbol, e.t0, e.grp, sh.split_id
+)
+SELECT symbol, t0 AS ts_event, split_id,
+  CASE WHEN is_test THEN 'test'
+       WHEN olap THEN 'purged'
+       WHEN embargoed THEN 'embargo'
+       ELSE 'train' END AS role
+FROM flags
+""",
+    f"Combinatorial purged CV over C({_CPCV_GROUPS},2) split combinations "
+    f"with {_CPCV_EMBARGO} embargo, per-test-hull purging (AFML ch.12)",
+)
+def q_cpcv_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cv import cpcv_assign
+
+    with _trades_config():
+        events = dyn_ops.get_vertical_barrier_by_timedelta(
+            trades_from_events(spark, sf_dir), BARRIER_OFFSET
+        )
+        out = cpcv_assign(
+            events, n_groups=_CPCV_GROUPS, k_test=2, embargo=_CPCV_EMBARGO
+        )
     return out
 
 

@@ -117,3 +117,101 @@ def test_broadcast_join_plan(spark, events_pdf):
 def test_validation(spark, events_pdf):
     with pytest.raises(ValueError):
         purged_kfold(spark.createDataFrame(events_pdf), n_folds=1)
+
+
+# ---------------------------------------------------------------------------
+# Combinatorial purged CV (cpcv_assign)
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from polars_trading_spark.operators.cv import cpcv_assign
+
+N_GROUPS, K_TEST = 4, 2
+
+
+@pytest.fixture(scope="module")
+def cpcv(spark, events_pdf):
+    return cpcv_assign(
+        spark.createDataFrame(events_pdf),
+        n_groups=N_GROUPS,
+        k_test=K_TEST,
+        embargo=EMBARGO,
+    ).toPandas()
+
+
+def test_cpcv_split_count_and_coverage(cpcv, events_pdf):
+    n_splits = len(list(combinations(range(N_GROUPS), K_TEST)))
+    assert sorted(cpcv["split_id"].unique()) == list(range(1, n_splits + 1))
+    # every event appears exactly once per split
+    counts = cpcv.groupby(["symbol", "ts_event"])["split_id"].count()
+    assert (counts == n_splits).all()
+    assert len(cpcv) == len(events_pdf) * n_splits
+
+
+def test_cpcv_each_group_tested_equally(cpcv, spark, events_pdf):
+    """Every event is in the test set of exactly C(n-1, k-1) splits —
+    the property that gives CPCV its backtest-path multiplicity."""
+    per_event_tests = (
+        cpcv[cpcv.role == "test"].groupby(["symbol", "ts_event"])["split_id"].count()
+    )
+    expected = len(list(combinations(range(N_GROUPS - 1), K_TEST - 1)))
+    assert (per_event_tests == expected).all()
+
+
+def test_cpcv_purge_only_on_overlap(cpcv, spark, events_pdf):
+    """Train events never overlap any of their split's test hulls; the
+    events marked purged always do."""
+    ev = events_pdf.copy()
+    # replicate group assignment: per-symbol ntile over t0 order
+    ev = ev.sort_values(["symbol", "ts_event"]).reset_index(drop=True)
+    parts = []
+    for sym, grp in ev.groupby("symbol"):
+        n = len(grp)
+        base, rem = divmod(n, N_GROUPS)
+        sizes = [base + (1 if i < rem else 0) for i in range(N_GROUPS)]
+        gids = np.repeat(np.arange(1, N_GROUPS + 1), sizes)
+        g = grp.copy()
+        g["grp"] = gids
+        end = g["vertical_barrier"].fillna(g["ts_event"]).max()
+        g["t1"] = g["vertical_barrier"].fillna(max(end, g["ts_event"].max()))
+        parts.append(g)
+    ev = pd.concat(parts)
+    hulls = ev.groupby(["symbol", "grp"]).agg(
+        h_start=("ts_event", "min"), h_end=("t1", "max")
+    )
+    combos = {
+        sid: combo
+        for sid, combo in enumerate(combinations(range(1, N_GROUPS + 1), K_TEST), 1)
+    }
+    merged = cpcv.merge(ev[["symbol", "ts_event", "grp", "t1"]], on=["symbol", "ts_event"])
+    emb = pd.Timedelta(minutes=10)
+    for _, r in merged.iterrows():
+        test_groups = combos[r["split_id"]]
+        overlap = any(
+            r["ts_event"] <= hulls.loc[(r["symbol"], g), "h_end"]
+            and hulls.loc[(r["symbol"], g), "h_start"] <= r["t1"]
+            for g in test_groups
+        )
+        if r["role"] == "test":
+            assert r["grp"] in test_groups
+        elif r["role"] == "purged":
+            assert overlap and r["grp"] not in test_groups
+        elif r["role"] == "train":
+            assert not overlap and r["grp"] not in test_groups
+        elif r["role"] == "embargo":
+            assert not overlap
+            assert any(
+                hulls.loc[(r["symbol"], g), "h_end"]
+                < r["ts_event"]
+                <= hulls.loc[(r["symbol"], g), "h_end"] + emb
+                for g in test_groups
+            )
+
+
+def test_cpcv_validation(spark, events_pdf):
+    sdf = spark.createDataFrame(events_pdf)
+    with pytest.raises(ValueError):
+        cpcv_assign(sdf, n_groups=1)
+    with pytest.raises(ValueError):
+        cpcv_assign(sdf, n_groups=4, k_test=4)

@@ -37,6 +37,23 @@ def test_language_id(docs):
     assert got[3] == "unknown"
 
 
+def test_language_id_zh_cjk_ratio(spark):
+    rows = [
+        (0, "你好世界这是一个中文句子用来测试语言识别"),  # pure CJK -> zh
+        (1, "mixed 你好 but the of to and in is you that mat"),  # ratio < 0.3 -> vote
+        (2, "テキストのサンプルです"),  # pure kana, outside the Han block -> not zh
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in df.select("doc_id", text.language_id("text").alias("g")).collect()}
+    assert got[0] == "zh"
+    assert got[1] == "en"
+    assert got[2] != "zh"
+    ratios = {
+        r["doc_id"]: r["c"] for r in df.select("doc_id", text.cjk_ratio("text").alias("c")).collect()
+    }
+    assert ratios[0] == 1.0 and 0.0 < ratios[1] < 0.3
+
+
 def test_quality_score_bounds(docs):
     scores = [r["q"] for r in docs.select(text.quality_score("text").alias("q")).collect()]
     assert all(0.0 <= s <= 1.0 for s in scores)
@@ -402,3 +419,28 @@ def test_corpus_stats_exact_and_sketch(spark):
     assert sk["en"].n_docs == 30
     assert abs(sk["en"].p50_tokens - rows["en"].p50_tokens) <= 2
     assert abs(sk["en"].distinct_fingerprints - 3) <= 1
+
+
+def test_repetition_profile_planted(spark):
+    rows = [
+        (0, "en", "the cat sat on the mat and then the dog sat on the mat again"),
+        (1, "en", "alpha beta gamma delta epsilon zeta eta theta"),  # no repeats
+        (2, "en", "spam spam spam spam spam spam spam spam"),       # max repetition
+        (3, "en", "One sentence. Another sentence. One sentence. Third one!"),
+        (4, "en", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.repetition_profile(df, text_col="text", keep=("doc_id", "lang")).collect()
+    }
+    # all-unique doc: zero repetition everywhere
+    assert out[1]["rep_2gram_frac"] == 0.0 and out[1]["rep_4gram_frac"] == 0.0
+    # pure spam: 8 tokens -> 7 bigrams, 1 distinct -> 6/7
+    assert out[2]["rep_2gram_frac"] == pytest.approx(6 / 7)
+    # "sat on the mat" repeats -> some 3-gram repetition but less than spam
+    assert 0.0 < out[0]["rep_3gram_frac"] < out[2]["rep_3gram_frac"]
+    # 4 sentences, one repeated -> 1 - 3/4
+    assert out[3]["dup_sentence_frac"] == pytest.approx(0.25)
+    # empty doc: all zeros, no division errors
+    assert out[4]["rep_2gram_frac"] == 0.0 and out[4]["dup_sentence_frac"] == 0.0
