@@ -42,6 +42,7 @@ from polars_trading_spark.operators.bet_sizing import (
     bet_size_from_tstat,
 )
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
+from polars_trading_spark.operators.backtest import backtest_stats
 from polars_trading_spark.operators.entropy import return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
 from polars_trading_spark.operators.imbalance import (
@@ -89,6 +90,7 @@ __all__ = [
     "imbalance_bars_adaptive",
     "run_bars",
     "bar_volatility",
+    "backtest_stats",
     "corwin_schultz",
     "csw_explosiveness",
     "microstructure_features",

@@ -1,0 +1,148 @@
+"""Backtest performance statistics per symbol (AFML ch.14-15).
+
+The reference's labeling operators feed strategy backtests but ship no
+evaluation layer (its README roadmap stops at labels,
+polars_trading/labels/). A pipeline that produces labels and bet sizes
+at 100 TB also needs the closing statistics, computed *inside* the
+engine so the returns series never leaves the cluster:
+
+* annualized return / volatility and the **Sharpe ratio**;
+* the **Probabilistic Sharpe Ratio** z-statistic (Bailey & López de
+  Prado 2012; AFML 14.4): ``SR * sqrt(n-1) / sqrt(1 - g3*SR +
+  (g4-1)/4 * SR^2)`` with per-period SR and the population skew ``g3``
+  / kurtosis ``g4`` of the return distribution — reported as the
+  z-score so no normal-CDF primitive is needed (apply ``Phi`` outside);
+* **hit ratio** (fraction of up periods among non-zero periods);
+* **maximum drawdown** (fractional, from the running peak of the
+  cumulative log-return path) and the **longest time under water**
+  (AFML 14.3: most periods between consecutive high-water marks).
+
+Everything is one (symbol)-ordered window pass (cumulative return,
+running peak, high-water-mark counter) followed by one hash aggregate
+using sum-of-powers central moments — zero Python, one shuffle for the
+window sort which the final ``groupBy(symbol)`` reuses under AQE.
+
+Scale notes: output is one row per symbol; the window state is O(1) per
+row; the aggregate is map-side partial. Nothing grows with history
+length except the scan itself.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["backtest_stats"]
+
+
+def backtest_stats(
+    bars: DataFrame,
+    *,
+    periods_per_year: float,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol performance statistics from a bar frame's close path.
+
+    Log returns between consecutive bars define the period returns.
+    Returns one row per symbol with ``n_periods``, ``ann_return``,
+    ``ann_vol``, ``sharpe``, ``psr_z``, ``skew``, ``kurtosis``,
+    ``hit_ratio``, ``max_drawdown`` (fractional, >= 0) and ``max_tuw``
+    (longest time under water, in periods).
+
+    ``psr_z`` is null when the PSR variance correction term
+    ``1 - g3*SR + (g4-1)/4*SR^2`` is non-positive (fat-tailed edge
+    case) or ``n < 2``.
+    """
+    if periods_per_year <= 0:
+        raise ValueError(f"periods_per_year must be > 0, got {periods_per_year}")
+
+    c = F.col(close_col)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+
+    ret = F.log(c / F.lag(c).over(order))
+    df = bars.withColumn("__ret", ret).filter(F.col("__ret").isNotNull())
+
+    # Drawdown path: cumulative log return, running peak, underwater gap.
+    order2 = Window.partitionBy(symbol_col).orderBy(ts_col)
+    running2 = order2.rowsBetween(Window.unboundedPreceding, 0)
+    df = (
+        df.withColumn("__cum", F.sum("__ret").over(running2))
+        .withColumn("__peak", F.max(F.greatest("__cum", F.lit(0.0))).over(running2))
+        .withColumn("__dd", F.col("__cum") - F.col("__peak"))
+        # High-water-mark counter: rows sharing a value form one
+        # underwater spell (the high itself plus every row below it).
+        .withColumn(
+            "__hwm",
+            F.sum(F.when(F.col("__dd") >= 0, F.lit(1)).otherwise(F.lit(0))).over(running2),
+        )
+    )
+
+    # Spell lengths: periods strictly underwater after each high-water
+    # mark.  hwm=0 (underwater since inception, no high yet) counts every
+    # row; hwm>0 spells exclude the high row itself.
+    spells = (
+        df.groupBy(symbol_col, "__hwm")
+        .agg(F.count(F.lit(1)).alias("__len"))
+        .withColumn(
+            "__tuw",
+            F.when(F.col("__hwm") == 0, F.col("__len")).otherwise(F.col("__len") - 1),
+        )
+        .groupBy(symbol_col)
+        .agg(F.max("__tuw").alias("max_tuw"))
+    )
+
+    r = F.col("__ret")
+    stats = df.groupBy(symbol_col).agg(
+        F.count(r).alias("__n"),
+        F.sum(r).alias("__s1"),
+        F.sum(r * r).alias("__s2"),
+        F.sum(r * r * r).alias("__s3"),
+        F.sum(r * r * r * r).alias("__s4"),
+        F.sum(F.when(r > 0, 1).otherwise(0)).alias("__n_up"),
+        F.sum(F.when(r != 0, 1).otherwise(0)).alias("__n_nz"),
+        F.min("__dd").alias("__min_dd"),
+    )
+
+    n = F.col("__n").cast("double")
+    mu = F.col("__s1") / n
+    # Population central moments from raw power sums.
+    m2 = F.col("__s2") / n - mu * mu
+    m3 = F.col("__s3") / n - 3 * mu * F.col("__s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("__s4") / n
+        - 4 * mu * F.col("__s3") / n
+        + 6 * mu * mu * F.col("__s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    var_s = F.when(n > 1, (F.col("__s2") - n * mu * mu) / (n - 1))
+    sd_s = F.sqrt(F.when(var_s > 0, var_s))
+    sr = mu / sd_s  # per-period Sharpe (rf = 0)
+
+    g3 = F.when(m2 > 0, m3 / F.pow(m2, F.lit(1.5)))
+    g4 = F.when(m2 > 0, m4 / (m2 * m2))
+    psr_var = 1 - g3 * sr + (g4 - 1) / 4 * sr * sr
+    psr_z = F.when((n > 1) & (psr_var > 0), sr * F.sqrt(n - 1) / F.sqrt(psr_var))
+
+    ann = F.lit(float(periods_per_year))
+    sqrt_ann = F.lit(math.sqrt(periods_per_year))
+
+    out = stats.select(
+        F.col(symbol_col),
+        F.col("__n").alias("n_periods"),
+        (mu * ann).alias("ann_return"),
+        (sd_s * sqrt_ann).alias("ann_vol"),
+        (sr * sqrt_ann).alias("sharpe"),
+        psr_z.alias("psr_z"),
+        g3.alias("skew"),
+        g4.alias("kurtosis"),
+        F.when(F.col("__n_nz") > 0, F.col("__n_up") / F.col("__n_nz").cast("double")).alias(
+            "hit_ratio"
+        ),
+        (F.lit(1.0) - F.exp(F.col("__min_dd"))).alias("max_drawdown"),
+    )
+    return out.join(spells, on=symbol_col, how="left")

@@ -3392,3 +3392,121 @@ def q_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
         bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
     return momentum_rank(bars, lookback=_MOM_LOOKBACK, ts_col="ts_event")
+
+
+# --------------------------------------------------------------------------
+# C-ext. Backtest statistics (operators/backtest.py, AFML ch.14-15)
+# --------------------------------------------------------------------------
+
+_BT_PPY = 35040.0  # 15-minute bars: 365 * 24 * 4 periods per year
+_BT_SQRT_PPY = 187.18974330876145  # math.sqrt(_BT_PPY), pinned literal
+
+
+@register(
+    "backtest_stats",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path3 AS (
+  SELECT symbol, ts, ret, dd,
+    sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) OVER w AS hwm
+  FROM path2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spells AS (SELECT symbol, hwm, count(*) AS len FROM path3 GROUP BY symbol, hwm),
+tuw AS (
+  SELECT symbol, max(CASE WHEN hwm = 0 THEN len ELSE len - 1 END) AS max_tuw
+  FROM spells GROUP BY symbol
+),
+agg AS (
+  SELECT symbol,
+    count(ret) AS n,
+    sum(ret) AS s1, sum(ret * ret) AS s2,
+    sum(ret * ret * ret) AS s3, sum(ret * ret * ret * ret) AS s4,
+    sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS n_up,
+    sum(CASE WHEN ret <> 0 THEN 1 ELSE 0 END) AS n_nz,
+    min(dd) AS min_dd
+  FROM path3 GROUP BY symbol
+),
+calc AS (
+  SELECT symbol, n, n_up, n_nz, min_dd,
+    s1 / n AS mu,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * s2 / n
+      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * s3 / n
+      + 6 * (s1 / n) * (s1 / n) * s2 / n
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+    CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END AS var_s
+  FROM agg
+),
+calc2 AS (
+  SELECT *,
+    CASE WHEN var_s > 0 THEN sqrt(var_s) END AS sd,
+    CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END AS g3,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM calc
+),
+calc3 AS (
+  SELECT *, mu / sd AS sr,
+    1 - (CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END) * (mu / sd)
+      + ((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END) - 1) / 4
+        * (mu / sd) * (mu / sd) AS psr_var
+  FROM calc2
+)
+SELECT c.symbol,
+  n AS n_periods,
+  round(mu * {_BT_PPY!r}, 6) AS ann_return,
+  round(sd * {_BT_SQRT_PPY!r}, 6) AS ann_vol,
+  round(sr * {_BT_SQRT_PPY!r}, 6) AS sharpe,
+  round(CASE WHEN n > 1 AND psr_var > 0
+        THEN sr * sqrt(n - 1) / sqrt(psr_var) END, 6) AS psr_z,
+  round(g3, 6) AS skew,
+  round(g4, 6) AS kurtosis,
+  round(CASE WHEN n_nz > 0 THEN n_up / CAST(n_nz AS DOUBLE) END, 6) AS hit_ratio,
+  round(1 - exp(min_dd), 6) AS max_drawdown,
+  t.max_tuw
+FROM calc3 c LEFT JOIN tuw t ON c.symbol = t.symbol
+""",
+    "Per-symbol Sharpe, PSR z-stat, skew/kurtosis, hit ratio, max drawdown "
+    "and longest time-under-water from 15m-bar log returns (AFML ch.14-15)",
+)
+def q_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import backtest_stats
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = backtest_stats(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "n_periods",
+        F.round("ann_return", 6).alias("ann_return"),
+        F.round("ann_vol", 6).alias("ann_vol"),
+        F.round("sharpe", 6).alias("sharpe"),
+        F.round("psr_z", 6).alias("psr_z"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+        F.round("hit_ratio", 6).alias("hit_ratio"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+        "max_tuw",
+    )

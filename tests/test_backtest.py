@@ -1,0 +1,136 @@
+"""Golden tests for the backtest statistics operator
+(operators/backtest.py), validated against independent pandas/numpy
+computations and a hand-crafted drawdown path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.operators.backtest import backtest_stats
+
+PPY = 252.0
+
+
+@pytest.fixture(scope="module")
+def bar_pdf() -> pd.DataFrame:
+    rng = np.random.default_rng(11)
+    rows = []
+    for sym in ("AAPL", "MSFT"):
+        price = 100.0
+        for i in range(120):
+            price *= math.exp(rng.normal(0.0005, 0.02))
+            rows.append(
+                {
+                    "symbol": sym,
+                    "ts_event_start": pd.Timestamp("2024-01-01") + pd.Timedelta(days=i),
+                    "close": price,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _expected(close: np.ndarray) -> dict:
+    r = np.diff(np.log(close))
+    n = len(r)
+    mu = r.mean()
+    sd = r.std(ddof=1)
+    m2 = ((r - mu) ** 2).mean()
+    g3 = ((r - mu) ** 3).mean() / m2**1.5
+    g4 = ((r - mu) ** 4).mean() / m2**2
+    sr = mu / sd
+    psr_var = 1 - g3 * sr + (g4 - 1) / 4 * sr * sr
+    cum = np.cumsum(r)
+    peak = np.maximum.accumulate(np.maximum(cum, 0.0))
+    dd = cum - peak
+    # Longest run of strictly-underwater periods between high-water marks.
+    hwm = np.cumsum(dd >= 0)
+    tuw = 0
+    for k in np.unique(hwm):
+        length = int((hwm == k).sum())
+        tuw = max(tuw, length if k == 0 else length - 1)
+    return {
+        "n_periods": n,
+        "ann_return": mu * PPY,
+        "ann_vol": sd * math.sqrt(PPY),
+        "sharpe": sr * math.sqrt(PPY),
+        "psr_z": sr * math.sqrt(n - 1) / math.sqrt(psr_var),
+        "skew": g3,
+        "kurtosis": g4,
+        "hit_ratio": (r > 0).sum() / (r != 0).sum(),
+        "max_drawdown": 1 - math.exp(dd.min()),
+        "max_tuw": tuw,
+    }
+
+
+def test_matches_numpy_reference(spark, bar_pdf):
+    out = (
+        backtest_stats(spark.createDataFrame(bar_pdf), periods_per_year=PPY)
+        .toPandas()
+        .set_index("symbol")
+    )
+    for sym, sub in bar_pdf.groupby("symbol"):
+        exp = _expected(sub.sort_values("ts_event_start")["close"].to_numpy())
+        got = out.loc[sym]
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v, rel=1e-9, abs=1e-12), (sym, k)
+
+
+def test_handcrafted_drawdown_and_tuw(spark):
+    # Path: up, down, down, recover to new high, down, flat end.
+    # closes (log scale deltas): +.10, -.05, -.03, +.12, -.02, +.01
+    logs = np.cumsum([0.0, 0.10, -0.05, -0.03, 0.12, -0.02, 0.01])
+    pdf = pd.DataFrame(
+        {
+            "symbol": "X",
+            "ts_event_start": pd.date_range("2024-01-01", periods=len(logs), freq="D"),
+            "close": np.exp(logs) * 50,
+        }
+    )
+    out = backtest_stats(spark.createDataFrame(pdf), periods_per_year=PPY).toPandas().iloc[0]
+    # Max drawdown: peak after +.10 is .10; trough at .10-.05-.03 = .02 → dd = -.08.
+    assert out["max_drawdown"] == pytest.approx(1 - math.exp(-0.08), rel=1e-12)
+    # Underwater spells: after bar1 high, two down periods then recovery
+    # (new high at bar4) → TuW 2; then one down period never recovered → 1.
+    assert out["max_tuw"] == 2
+    assert out["n_periods"] == 6
+    assert out["hit_ratio"] == pytest.approx(3 / 6)
+
+
+def test_underwater_from_inception(spark):
+    # Monotone decline: never makes a high → hwm=0 spell counts all rows.
+    pdf = pd.DataFrame(
+        {
+            "symbol": "X",
+            "ts_event_start": pd.date_range("2024-01-01", periods=5, freq="D"),
+            "close": [100.0, 90.0, 80.0, 70.0, 60.0],
+        }
+    )
+    out = backtest_stats(spark.createDataFrame(pdf), periods_per_year=PPY).toPandas().iloc[0]
+    assert out["max_tuw"] == 4
+    assert out["max_drawdown"] == pytest.approx(1 - 60.0 / 100.0, rel=1e-12)
+    assert out["hit_ratio"] == 0.0
+
+
+def test_constant_price_degenerate(spark):
+    # Zero returns: sd undefined-guarded → sharpe/psr null, no drawdown.
+    pdf = pd.DataFrame(
+        {
+            "symbol": "X",
+            "ts_event_start": pd.date_range("2024-01-01", periods=4, freq="D"),
+            "close": [100.0] * 4,
+        }
+    )
+    out = backtest_stats(spark.createDataFrame(pdf), periods_per_year=PPY).toPandas().iloc[0]
+    assert out["n_periods"] == 3
+    assert pd.isna(out["sharpe"]) and pd.isna(out["psr_z"])
+    assert out["max_drawdown"] == 0.0
+    assert pd.isna(out["hit_ratio"])  # no non-zero periods
+
+
+def test_rejects_bad_ppy(spark):
+    with pytest.raises(ValueError, match="periods_per_year"):
+        backtest_stats(spark.range(1), periods_per_year=0)

@@ -278,3 +278,16 @@ def test_corwin_schultz_and_csw_stay_native(trades):
         csw = csw_explosiveness(trades, max_lag=10)
     assert count_python_stages(csw) == 0
     assert not has_unbounded_following_frame(csw)
+
+
+def test_backtest_stats_native_bounded_shuffles(trades):
+    """One symbol-window pass feeding two symbol-keyed aggregates and a
+    same-key join: zero Python, no unbounded-following frames, and the
+    whole statistic tree adds only the symbol-partition shuffles."""
+    from polars_trading_spark.operators.backtest import backtest_stats
+
+    bars = _bars(trades)
+    out = backtest_stats(bars, periods_per_year=252.0, ts_col="ts_event")
+    assert count_python_stages(out) == 0
+    assert not has_unbounded_following_frame(out)
+    assert count_exchanges(out) <= count_exchanges(bars) + 4
