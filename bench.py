@@ -56,6 +56,7 @@ HEADLINE = [
     "sadf",
     "sadf_adf1",
     "csw_explosiveness",
+    "bde_cusum",
     "backtest_stats",
     "return_entropy",
     "stratified_sample",

@@ -55,7 +55,11 @@ from polars_trading_spark.operators.microstructure import (
     microstructure_features,
     vpin,
 )
-from polars_trading_spark.operators.structural_breaks import csw_explosiveness, sadf
+from polars_trading_spark.operators.structural_breaks import (
+    bde_cusum,
+    csw_explosiveness,
+    sadf,
+)
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
 from polars_trading_spark.operators.volatility import bar_volatility
 from polars_trading_spark.session import get_spark
@@ -92,6 +96,7 @@ __all__ = [
     "bar_volatility",
     "backtest_stats",
     "corwin_schultz",
+    "bde_cusum",
     "csw_explosiveness",
     "microstructure_features",
     "vpin",

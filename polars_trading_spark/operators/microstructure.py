@@ -10,6 +10,9 @@ ch.19 "microstructural features"):
 * **Kyle's lambda** (Kyle 1985): price impact as the OLS slope of price
   change on signed volume, the sign from the tick rule (sign of the
   last non-zero price change, carried forward).
+* **Hasbrouck's lambda** (Hasbrouck 2009; AFML 19.5.2): price impact as
+  the OLS slope of the log return on tick-signed ``sqrt(dollar
+  volume)`` — the square-root form that tames heavy-tailed trade sizes.
 * **Amihud illiquidity** (Amihud 2002): mean ``|log return| / dollar
   volume`` over the window (scaled by 1e6 for readable magnitudes).
 
@@ -42,11 +45,12 @@ def microstructure_features(
     volume_col: str = "volume",
     vwap_col: str = "vwap",
 ) -> DataFrame:
-    """Rolling Roll measure, Kyle's lambda and Amihud illiquidity per
-    symbol over a bar frame.
+    """Rolling Roll measure, Kyle's lambda, Hasbrouck's lambda and Amihud
+    illiquidity per symbol over a bar frame.
 
     Returns the input keys plus ``roll_measure``, ``kyle_lambda``,
-    ``amihud`` (null until the rolling window is full).
+    ``hasbrouck_lambda``, ``amihud`` (null until the rolling window is
+    full).
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
@@ -94,6 +98,26 @@ def microstructure_features(
     denom = n_lam * sxx - sx * sx
     kyle_lambda = F.when((n_lam == window) & (denom != 0), (n_lam * sxy - sx * sy) / denom)
 
+    # Hasbrouck's lambda (AFML 19.5.2): OLS slope of the log return on
+    # tick-signed sqrt(dollar volume) — the square-root specification
+    # Hasbrouck (2009) uses to tame heavy-tailed trade sizes.
+    hx = F.when(
+        F.col("__ret").isNotNull() & F.col("__tick").isNotNull() & (F.col("__dollar_vol") >= 0),
+        F.col("__tick") * F.sqrt(F.col("__dollar_vol")),
+    )
+    df = df.withColumn("__hx", hx).withColumn(
+        "__hy", F.when(F.col("__hx").isNotNull(), F.col("__ret"))
+    )
+    n_has = F.count("__hx").over(roll)
+    hsx = F.sum("__hx").over(roll)
+    hsy = F.sum("__hy").over(roll)
+    hsxy = F.sum(F.col("__hx") * F.col("__hy")).over(roll)
+    hsxx = F.sum(F.col("__hx") * F.col("__hx")).over(roll)
+    hdenom = n_has * hsxx - hsx * hsx
+    hasbrouck_lambda = F.when(
+        (n_has == window) & (hdenom != 0), (n_has * hsxy - hsx * hsy) / hdenom
+    )
+
     # Amihud: mean(|ret| / dollar_volume) * 1e6 over the window.
     ami_term = F.when(F.col("__ret").isNotNull() & (F.col("__dollar_vol") > 0),
                       F.abs(F.col("__ret")) / F.col("__dollar_vol"))
@@ -104,8 +128,16 @@ def microstructure_features(
     return (
         df.withColumn("roll_measure", roll_measure)
         .withColumn("kyle_lambda", kyle_lambda)
+        .withColumn("hasbrouck_lambda", hasbrouck_lambda)
         .withColumn("amihud", amihud)
-        .select(symbol_col, ts_col, "roll_measure", "kyle_lambda", "amihud")
+        .select(
+            symbol_col,
+            ts_col,
+            "roll_measure",
+            "kyle_lambda",
+            "hasbrouck_lambda",
+            "amihud",
+        )
     )
 
 

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["csw_explosiveness", "sadf"]
+__all__ = ["bde_cusum", "csw_explosiveness", "sadf"]
 
 
 def _df_stats_lag0(m: np.ndarray, spans: np.ndarray) -> np.ndarray:
@@ -297,4 +297,89 @@ def csw_explosiveness(
         F.when(
             F.col("__sup").isNotNull(), F.sqrt(F.lit(4.6) + F.log(win.cast("double")))
         ).alias("csw_crit"),
+    )
+
+
+def bde_cusum(
+    df: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+) -> DataFrame:
+    """Brown-Durbin-Evans CUSUM test on recursive residuals (Brown,
+    Durbin & Evans 1975; AFML 17.3.1) over log prices, per symbol.
+
+    Model: expanding-window OLS of ``y_t = b0 + b1 * t`` (intercept +
+    linear trend, k=2 regressors).  The recursive residual at ``t`` is
+
+        w_t = (y_t - x_t' b_{t-1}) / sqrt(1 + x_t' (X'X)_{t-1}^{-1} x_t)
+
+    computed entirely from expanding prefix sums (n, Σj, Σj², Σy, Σjy
+    over rows < t) — the 2×2 normal equations solve in closed form, so
+    the whole test is one (symbol)-ordered window pass with zero Python
+    and no joins.  Under the null of parameter stability the w_t are
+    i.i.d. N(0, σ²); the statistic is the running CUSUM of w
+    standardized by the *expanding* sample std of w (the online variant
+    — the classical fixed-sample σ_w is a full-pass estimate; with the
+    expanding σ the operator stays single-pass and
+    streaming-resumable).
+
+    Returns ``symbol, ts, bde_w, bde_stat, bde_crit`` where ``bde_crit``
+    is the classical two-sided 5% boundary ``0.948 * (sqrt(T-k) +
+    2*(t-k)/sqrt(T-k))`` (T = per-symbol length via a whole-partition
+    count — no extra shuffle); a regime change is signalled when
+    ``|bde_stat| > bde_crit``.  Rows before the third observation (the
+    2-regressor model needs two prior points) get nulls.
+
+    Reference parity: the reference ships no structural-break tests;
+    this extends its labeling toolkit along AFML ch.17 (see also
+    ``sadf``, ``csw_explosiveness``).
+    """
+    from polars_trading_spark._utils import SEQ_COL, with_seq
+
+    df = with_seq(df)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col, SEQ_COL)
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    whole = Window.partitionBy(symbol_col)
+
+    base = df.select(
+        symbol_col, ts_col, SEQ_COL, F.log(F.col(price_col).cast("double")).alias("__y")
+    )
+    base = base.withColumn("__i", F.row_number().over(order).cast("double"))
+
+    i = F.col("__i")
+    n = F.count("__y").over(prev).cast("double")
+    st = F.sum(i).over(prev)
+    st2 = F.sum(i * i).over(prev)
+    sy = F.sum("__y").over(prev)
+    sty = F.sum(i * F.col("__y")).over(prev)
+    det = n * st2 - st * st
+    b0 = (st2 * sy - st * sty) / det
+    b1 = (n * sty - st * sy) / det
+    lev = (st2 - 2 * i * st + i * i * n) / det
+    w = F.when(det > 0, (F.col("__y") - (b0 + b1 * i)) / F.sqrt(1 + lev))
+    base = base.withColumn("__w", w)
+
+    cw = F.count("__w").over(run).cast("double")
+    sw1 = F.sum("__w").over(run)
+    sw2 = F.sum(F.col("__w") * F.col("__w")).over(run)
+    var_w = F.when(cw > 1, (sw2 - sw1 * sw1 / cw) / (cw - 1))
+    sigma = F.sqrt(F.when(var_w > 0, var_w))
+    stat = sw1 / sigma
+
+    t_total = F.count(F.lit(1)).over(whole).cast("double")
+    span = t_total - 2.0
+    crit = F.when(
+        F.col("__w").isNotNull() & (span > 0),
+        F.lit(0.948) * (F.sqrt(span) + 2.0 * (i - 2.0) / F.sqrt(span)),
+    )
+
+    return base.select(
+        symbol_col,
+        ts_col,
+        F.col("__w").alias("bde_w"),
+        stat.alias("bde_stat"),
+        crit.alias("bde_crit"),
     )

@@ -2147,6 +2147,10 @@ t3 AS (
     CASE WHEN dp IS NOT NULL AND dp_prev IS NOT NULL THEN dp END AS cy,
     CASE WHEN dp IS NOT NULL AND tick IS NOT NULL THEN tick * volume END AS sv,
     CASE WHEN dp IS NOT NULL AND tick IS NOT NULL THEN dp END AS ly,
+    CASE WHEN ret IS NOT NULL AND tick IS NOT NULL AND volume * vwap >= 0
+         THEN tick * sqrt(volume * vwap) END AS hx,
+    CASE WHEN ret IS NOT NULL AND tick IS NOT NULL AND volume * vwap >= 0
+         THEN ret END AS hy,
     CASE WHEN ret IS NOT NULL AND volume * vwap > 0 THEN abs(ret) / (volume * vwap) END AS ami
   FROM t2
 ),
@@ -2158,6 +2162,9 @@ rolled AS (
     count(sv) OVER r AS n_lam,
     sum(sv) OVER r AS s_x, sum(ly) OVER r AS s_y,
     sum(sv * ly) OVER r AS s_xy, sum(sv * sv) OVER r AS s_xx,
+    count(hx) OVER r AS n_has,
+    sum(hx) OVER r AS h_x, sum(hy) OVER r AS h_y,
+    sum(hx * hy) OVER r AS h_xy, sum(hx * hx) OVER r AS h_xx,
     count(ami) OVER r AS n_ami,
     avg(ami) OVER r AS m_ami
   FROM t3
@@ -2171,11 +2178,15 @@ SELECT symbol, ts AS ts_event,
   round(CASE WHEN n_lam = {_VOL_WINDOW} AND n_lam * s_xx - s_x * s_x <> 0
         THEN 1e6 * (n_lam * s_xy - s_x * s_y) / (n_lam * s_xx - s_x * s_x) END, 6)
     AS kyle_lambda,
+  round(CASE WHEN n_has = {_VOL_WINDOW} AND n_has * h_xx - h_x * h_x <> 0
+        THEN 1e3 * (n_has * h_xy - h_x * h_y) / (n_has * h_xx - h_x * h_x) END, 6)
+    AS hasbrouck_lambda,
   round(CASE WHEN n_ami = {_VOL_WINDOW} THEN 1e6 * m_ami END, 6) AS amihud
 FROM rolled
 """,
-    "Rolling Roll measure, Kyle's lambda (x1e6, tick-rule signed volume) and "
-    "Amihud illiquidity over 15m bars, 20-bar window (AFML ch.19)",
+    "Rolling Roll measure, Kyle's lambda (x1e6), Hasbrouck's lambda (x1e3, "
+    "tick-signed sqrt dollar volume) and Amihud illiquidity over 15m bars, "
+    "20-bar window (AFML ch.19)",
 )
 def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.microstructure import microstructure_features
@@ -2188,6 +2199,7 @@ def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_event",
         F.round("roll_measure", 6).alias("roll_measure"),
         F.round(F.col("kyle_lambda") * 1e6, 6).alias("kyle_lambda"),
+        F.round(F.col("hasbrouck_lambda") * 1e3, 6).alias("hasbrouck_lambda"),
         F.round("amihud", 6).alias("amihud"),
     )
 
@@ -3509,4 +3521,75 @@ def q_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hit_ratio", 6).alias("hit_ratio"),
         F.round("max_drawdown", 6).alias("max_drawdown"),
         "max_tuw",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Brown-Durbin-Evans CUSUM (operators/structural_breaks.py, AFML 17.3.1)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bde_cusum",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+base AS (
+  SELECT symbol, ts_event, seq, ln(price) AS y,
+    CAST(row_number() OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS DOUBLE) AS i
+  FROM trades
+),
+pre AS (
+  SELECT symbol, ts_event, seq, y, i,
+    CAST(count(y) OVER p AS DOUBLE) AS n,
+    sum(i) OVER p AS st,
+    sum(i * i) OVER p AS st2,
+    sum(y) OVER p AS sy,
+    sum(i * y) OVER p AS sty
+  FROM base
+  WINDOW p AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+wres AS (
+  SELECT symbol, ts_event, seq, i,
+    CASE WHEN n * st2 - st * st > 0 THEN
+      (y - ((st2 * sy - st * sty) / (n * st2 - st * st)
+            + (n * sty - st * sy) / (n * st2 - st * st) * i))
+      / sqrt(1 + (st2 - 2 * i * st + i * i * n) / (n * st2 - st * st))
+    END AS w
+  FROM pre
+),
+runw AS (
+  SELECT symbol, ts_event, i, w,
+    CAST(count(w) OVER r AS DOUBLE) AS cw,
+    sum(w) OVER r AS sw1,
+    sum(w * w) OVER r AS sw2,
+    CAST(count(*) OVER (PARTITION BY symbol) AS DOUBLE) AS t_total
+  FROM wres
+  WINDOW r AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_event,
+  round(w, 6) AS bde_w,
+  round(sw1 / (CASE WHEN cw > 1 AND (sw2 - sw1 * sw1 / cw) / (cw - 1) > 0
+               THEN sqrt((sw2 - sw1 * sw1 / cw) / (cw - 1)) END), 6) AS bde_stat,
+  round(CASE WHEN w IS NOT NULL AND t_total - 2 > 0
+        THEN 0.948 * (sqrt(t_total - 2) + 2 * (i - 2.0) / sqrt(t_total - 2)) END, 6)
+    AS bde_crit
+FROM runw
+""",
+    "Brown-Durbin-Evans CUSUM of recursive residuals from an expanding "
+    "intercept+trend OLS on log price, with the classical 5% boundary "
+    "(AFML 17.3.1)",
+)
+def q_bde_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.structural_breaks import bde_cusum
+
+    with _trades_config():
+        out = bde_cusum(trades_from_events(spark, sf_dir))
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("bde_w", 6).alias("bde_w"),
+        F.round("bde_stat", 6).alias("bde_stat"),
+        F.round("bde_crit", 6).alias("bde_crit"),
     )

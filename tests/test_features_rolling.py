@@ -141,6 +141,28 @@ def test_kyle_lambda_golden(spark, bar_pdf):
         np.testing.assert_allclose(got, np.array(expected), rtol=1e-6, equal_nan=True)
 
 
+def test_hasbrouck_lambda_golden(spark, bar_pdf):
+    out = _spark_result(spark, bar_pdf, microstructure_features)
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        dp = grp["close"].diff()
+        ret = np.log(grp["close"] / grp["close"].shift(1))
+        tick = np.sign(dp).replace(0.0, np.nan).ffill()
+        dv = grp["volume"] * grp["vwap"]
+        hx = (tick * np.sqrt(dv)).where(ret.notna() & tick.notna())
+        hy = ret.where(hx.notna())
+        expected = []
+        vals = pd.DataFrame({"x": hx, "y": hy})
+        for i in range(len(grp)):
+            w = vals.iloc[max(0, i - WINDOW + 1) : i + 1].dropna()
+            if len(w) == WINDOW:
+                expected.append(np.polyfit(w["x"], w["y"], 1)[0])
+            else:
+                expected.append(np.nan)
+        got = out[out.symbol == sym]["hasbrouck_lambda"].to_numpy()
+        np.testing.assert_allclose(got, np.array(expected), rtol=1e-6, equal_nan=True)
+
+
 def test_amihud_positive_and_gated(spark, bar_pdf):
     out = _spark_result(spark, bar_pdf, microstructure_features)
     for sym, grp in out.groupby("symbol"):

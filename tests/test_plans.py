@@ -291,3 +291,14 @@ def test_backtest_stats_native_bounded_shuffles(trades):
     assert count_python_stages(out) == 0
     assert not has_unbounded_following_frame(out)
     assert count_exchanges(out) <= count_exchanges(bars) + 4
+
+
+def test_bde_cusum_stays_native_one_shuffle(trades):
+    """Recursive-residual CUSUM is one symbol-ordered window pipeline:
+    zero Python stages and only the symbol-partition exchange."""
+    from polars_trading_spark.operators.structural_breaks import bde_cusum
+
+    with Config(timestamp_column="ts_event"):
+        out = bde_cusum(trades)
+    assert count_python_stages(out) == 0
+    assert count_exchanges(out) <= 1

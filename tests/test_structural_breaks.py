@@ -249,3 +249,98 @@ def test_csw_flags_explosive_regime(spark, series_pdf):
 def test_csw_validation(spark, series_pdf):
     with pytest.raises(ValueError):
         csw_explosiveness(spark.createDataFrame(series_pdf), max_lag=0)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Durbin-Evans CUSUM (operators/structural_breaks.py::bde_cusum)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_bde(prices: np.ndarray):
+    """Textbook sequential recursive-residual loop on y ~ [1, t]."""
+    y = np.log(prices)
+    n = len(y)
+    w = np.full(n, np.nan)
+    for t in range(n):  # 0-based; regressors j = 1..t over prior rows
+        i = t + 1.0
+        js = np.arange(1.0, t + 1.0)
+        if len(js) < 2:
+            continue
+        X = np.column_stack([np.ones_like(js), js])
+        xtx = X.T @ X
+        if np.linalg.det(xtx) <= 0:
+            continue
+        b = np.linalg.solve(xtx, X.T @ y[:t])
+        x_t = np.array([1.0, i])
+        lev = x_t @ np.linalg.solve(xtx, x_t)
+        w[t] = (y[t] - x_t @ b) / np.sqrt(1 + lev)
+    stat = np.full(n, np.nan)
+    cum = 0.0
+    ws = []
+    for t in range(n):
+        if np.isnan(w[t]):
+            continue
+        ws.append(w[t])
+        cum += w[t]
+        if len(ws) > 1 and np.std(ws, ddof=1) > 0:
+            stat[t] = cum / np.std(ws, ddof=1)
+    return w, stat
+
+
+def test_bde_matches_numpy(spark, series_pdf):
+    from polars_trading_spark.operators.structural_breaks import bde_cusum
+
+    out = (
+        bde_cusum(spark.createDataFrame(series_pdf))
+        .toPandas()
+        .sort_values(["symbol", "ts_event"])
+        .reset_index(drop=True)
+    )
+    for sym, grp in series_pdf.groupby("symbol"):
+        prices = grp.sort_values("ts_event")["price"].to_numpy()
+        w, stat = _numpy_bde(prices)
+        sub = out[out.symbol == sym]
+        np.testing.assert_allclose(sub["bde_w"].to_numpy(), w, rtol=1e-8, equal_nan=True)
+        np.testing.assert_allclose(sub["bde_stat"].to_numpy(), stat, rtol=1e-6, equal_nan=True)
+
+
+def test_bde_flags_trend_break(spark):
+    """Under the null (log price = linear trend + iid noise) the CUSUM
+    stays inside the 5% boundary almost everywhere; a mid-sample slope
+    break pushes it far outside."""
+    from polars_trading_spark.operators.structural_breaks import bde_cusum
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for sym, break_at in (("STABLE", None), ("BREAK", 100)):
+        for i in range(200):
+            slope = 0.001 if break_at is None or i < break_at else 0.02
+            base = 0.001 * min(i, break_at or i)
+            if break_at is not None and i >= break_at:
+                base = 0.001 * break_at + slope * (i - break_at)
+            logp = 4.0 + base + rng.normal(0, 0.003)
+            rows.append(
+                {
+                    "symbol": sym,
+                    "ts_event": pd.Timestamp("2024-06-01") + pd.Timedelta(minutes=i),
+                    "price": float(np.exp(logp)),
+                }
+            )
+    out = bde_cusum(spark.createDataFrame(pd.DataFrame(rows))).toPandas()
+    out = out.dropna(subset=["bde_stat", "bde_crit"])
+    breach = out.assign(b=lambda d: d.bde_stat.abs() > d.bde_crit).groupby("symbol").b.mean()
+    assert breach["BREAK"] > 0.3
+    assert breach.get("STABLE", 0.0) < 0.1
+
+
+def test_bde_boundary_shape(spark, series_pdf):
+    """Boundary grows linearly in t: crit at the last row equals
+    0.948 * 3 * sqrt(T - 2) within fp tolerance."""
+    from polars_trading_spark.operators.structural_breaks import bde_cusum
+
+    out = bde_cusum(spark.createDataFrame(series_pdf)).toPandas()
+    for sym, grp in out.groupby("symbol"):
+        grp = grp.sort_values("ts_event")
+        T = len(grp)
+        expect = 0.948 * (np.sqrt(T - 2) + 2 * (T - 2) / np.sqrt(T - 2))
+        assert grp["bde_crit"].iloc[-1] == pytest.approx(expect, rel=1e-12)
