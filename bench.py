@@ -59,8 +59,11 @@ HEADLINE = [
     "bde_cusum",
     "backtest_stats",
     "return_entropy",
+    "lz_entropy",
     "stratified_sample",
     "text_analysis",
+    "pii_scrub",
+    "boilerplate",
     "repetition_profile",
     "tfidf_topk",
     "corpus_stats",

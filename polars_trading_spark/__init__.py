@@ -43,7 +43,7 @@ from polars_trading_spark.operators.bet_sizing import (
 )
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
 from polars_trading_spark.operators.backtest import backtest_stats
-from polars_trading_spark.operators.entropy import return_entropy
+from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
 from polars_trading_spark.operators.imbalance import (
     imbalance_bars,
@@ -103,6 +103,7 @@ __all__ = [
     "trend_scanning_labels",
     "sadf",
     "return_entropy",
+    "lz_entropy",
     "cpcv_assign",
     "purged_kfold",
     "bet_size_from_tstat",

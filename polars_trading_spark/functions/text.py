@@ -28,6 +28,7 @@ __all__ = [
     "repetition_profile",
     "quality_score",
     "text_profile",
+    "boilerplate_profile",
     "STOPWORDS",
 ]
 
@@ -291,3 +292,61 @@ def repetition_profile(
         n_sent > 0, 1.0 - F.size(F.array_distinct(sents)) / n_sent
     ).otherwise(0.0)
     return staged.select(*cols, *out_cols, dup_sent.alias("dup_sentence_frac"))
+
+
+def boilerplate_profile(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4/Gopher-style boilerplate flags per document (Raffel et al.
+    2020 §2.2; Rae et al. 2021 A.1.1) — the line/sentence-shape rules a
+    web-scale cleanse applies before any model-based filter.
+
+    All pure Column expressions (split + higher-order filters), one
+    scan, zero shuffles.  Returns ``id_col`` plus:
+
+    * ``n_lines`` — non-blank lines;
+    * ``end_punct_frac`` — fraction of lines ending in ``. ! ? "`` (C4
+      keeps only such lines); null when there are no lines;
+    * ``bullet_frac`` — fraction of lines starting with a bullet
+      (``- * •``), Gopher drops docs with > 90%;
+    * ``mean_words_per_line`` — whitespace tokens per non-blank line;
+    * ``n_sentences`` — non-empty ``[.!?]+``-delimited spans;
+    * ``has_lorem`` / ``has_curly`` / ``has_javascript`` — C4's page
+      artifacts: placeholder text, code braces, script boilerplate;
+    * ``c4_keep`` — the document-level gate: at least
+      ``min_sentences`` sentences and none of the three artifacts.
+    """
+    raw = F.col(text_col)
+    lines = F.filter(F.split(raw, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    ends = F.size(
+        F.filter(lines, lambda x: F.right(F.trim(x), F.lit(1)).isin(".", "!", "?", '"'))
+    )
+    bullets = F.size(
+        F.filter(lines, lambda x: F.left(F.ltrim(x), F.lit(1)).isin("-", "*", "•"))
+    )
+    n_sent = F.size(F.filter(F.split(raw, "[.!?]+"), lambda s: F.trim(s) != ""))
+    n_tok = token_count(raw)
+    low = F.lower(raw)
+    has_lorem = low.contains("lorem ipsum")
+    has_curly = raw.contains("{")
+    has_js = low.contains("javascript")
+    keep = (
+        (n_sent >= F.lit(min_sentences)) & ~has_lorem & ~has_curly & ~has_js
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.when(n_lines > 0, ends / n_lines).alias("end_punct_frac"),
+        F.when(n_lines > 0, bullets / n_lines).alias("bullet_frac"),
+        F.when(n_lines > 0, n_tok / n_lines).alias("mean_words_per_line"),
+        n_sent.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+        has_js.alias("has_javascript"),
+        keep.alias("c4_keep"),
+    )

@@ -15,20 +15,24 @@ the entropy reduction are two hash aggregates (map-side partial).  No
 UDFs, no Python, two shuffles total — and the second one is over
 (symbol, block, word) cardinality, already tiny.
 
-The sequential alternatives (Lempel-Ziv / Kontoyiannis match-length
-estimators) are deliberately not here: they need an O(n^2) suffix scan
-per block and belong in an applyInPandas island if ever needed; the
-plug-in estimator is the standard feature at scale.
+``lz_entropy`` below adds the sequential Kontoyiannis match-length
+estimator as an O(n*window) vectorized applyInPandas island — the
+plug-in estimator remains the zero-Python default feature at scale.
 """
 
 from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import SEQ_COL, with_seq
 
-__all__ = ["return_entropy"]
+__all__ = ["lz_entropy", "return_entropy"]
 
 
 def return_entropy(
@@ -96,3 +100,100 @@ def return_entropy(
         F.round("__h", 6).alias("entropy"),
         F.round(F.col("__h") / word_len, 6).alias("entropy_rate"),
     )
+
+
+def lz_entropy(
+    df: DataFrame,
+    *,
+    window: int = 50,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+) -> DataFrame:
+    """Kontoyiannis sliding-window match-length entropy estimator over
+    the binary return-sign sequence (Kontoyiannis et al. 1998; AFML
+    18.4) — the sequential counterpart the plug-in ``return_entropy``
+    docstring defers to.
+
+    Each return becomes a bit (``1`` if the price rose, else ``0``).
+    For every position ``i`` with a full ``window``-bit history, the
+    match length ``L_i = 1 + max_j LCP`` is the longest prefix of the
+    sequence starting at ``i`` that reappears starting inside the
+    trailing window (the *non-overlapping* variant: a candidate match is
+    truncated at ``i``, so it lies fully in the past).  The entropy-rate
+    estimate at ``t`` is the Kontoyiannis ratio over all scored
+    positions so far:
+
+        H_t = log2(window) * N_t / sum(L_i, i <= t)   [bits/symbol]
+
+    Random sequences give ``H ≈ 1``; repetitive (predictable) flow pulls
+    ``H`` toward 0.
+
+    Spark-first shape: one slim ``applyInPandas`` island per symbol.
+    The kernel is **O(n·window)** vectorized numpy, not the naive
+    O(n²) suffix scan: for each offset ``j`` the LCP is a forward run
+    length of the elementwise equality ``bits[i] == bits[i-j]``, and all
+    run lengths for one offset come from a single reverse scan.  State
+    is O(window) per group; the running ratio uses exact integer sums,
+    so results are bit-reproducible across engines and chunk orders.
+
+    Returns ``symbol, ts, lz_match_len, lz_entropy`` (null until the
+    first scored position; the first row of each symbol carries no
+    return and is dropped).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    w = int(window)
+    log2w = math.log2(w)
+
+    slim = with_seq(df).select(symbol_col, ts_col, SEQ_COL, F.col(price_col).cast("double").alias("__p"))
+    schema = (
+        f"{symbol_col} string, {ts_col} timestamp, "
+        "lz_match_len int, lz_entropy double"
+    )
+    ts_name, sym_name = ts_col, symbol_col
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_name, SEQ_COL], kind="mergesort").reset_index(drop=True)
+        p = pdf["__p"].to_numpy(dtype=np.float64)
+        if len(p) < 2:
+            return pd.DataFrame(columns=[sym_name, ts_name, "lz_match_len", "lz_entropy"])
+        bits = (np.diff(p) > 0).astype(np.int8)
+        n = len(bits)
+        best = np.zeros(n, dtype=np.int64)
+        idx = np.arange(n)
+        for j in range(1, min(w, n) + 1):
+            eq = np.zeros(n, dtype=bool)
+            eq[j:] = bits[j:] == bits[:-j]
+            # Forward run length of consecutive equality starting at i:
+            # distance to the next False at or after i.
+            false_pos = np.flatnonzero(~eq)
+            nxt = np.full(n, n, dtype=np.int64)
+            if len(false_pos):
+                ins = np.searchsorted(false_pos, idx, side="left")
+                valid = ins < len(false_pos)
+                nxt[valid] = false_pos[ins[valid]]
+            run = nxt - idx
+            # Truncate the candidate at i (non-overlapping): the source
+            # starts at i-j, so at most j symbols lie strictly before i.
+            np.maximum(best, np.minimum(run, j), out=best)
+        L = np.where(idx >= w, 1 + best, 0)
+        scored = idx >= w
+        cnt = np.cumsum(scored)
+        sl = np.cumsum(np.where(scored, L, 0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = np.where(cnt > 0, log2w * cnt / np.where(sl > 0, sl, 1), np.nan)
+        out = pd.DataFrame(
+            {
+                sym_name: pdf[sym_name].to_numpy()[1:],
+                ts_name: pdf[ts_name].to_numpy()[1:],
+                "lz_match_len": pd.array(np.where(scored, L, -1), dtype="Int64"),
+                "lz_entropy": h,
+            }
+        )
+        out.loc[out["lz_match_len"] < 0, "lz_match_len"] = pd.NA
+        out["lz_match_len"] = out["lz_match_len"].astype("Int32")
+        return out
+
+    return slim.groupBy(symbol_col).applyInPandas(kernel, schema=schema)

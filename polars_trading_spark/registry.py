@@ -3593,3 +3593,182 @@ def q_bde_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bde_stat", 6).alias("bde_stat"),
         F.round("bde_crit", 6).alias("bde_crit"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Kontoyiannis LZ entropy (operators/entropy.py::lz_entropy, AFML 18.4)
+# --------------------------------------------------------------------------
+
+_LZ_WINDOW = 50
+_LZ_LOG2W = 5.643856189774724  # math.log2(_LZ_WINDOW), pinned literal
+
+
+@register(
+    "lz_entropy",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+rets AS (
+  SELECT symbol, ts_event, seq,
+    CASE WHEN price > lag(price) OVER w THEN '1' ELSE '0' END AS b,
+    row_number() OVER w AS rn
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+bits AS (
+  SELECT symbol, ts_event, seq, b, rn - 1 AS i
+  FROM rets WHERE rn > 1
+),
+strs AS (
+  SELECT symbol, string_agg(b, '' ORDER BY i) AS s FROM bits GROUP BY symbol
+),
+cand AS (
+  SELECT bi.symbol, bi.i,
+    CASE WHEN substr(st.s, CAST(bi.i AS INT), m.m)
+            = substr(st.s, CAST(bi.i - g.j AS INT), m.m)
+         THEN m.m END AS hit
+  FROM bits bi
+  JOIN strs st USING (symbol)
+  CROSS JOIN generate_series(1, {_LZ_WINDOW}) AS g(j)
+  JOIN generate_series(1, {_LZ_WINDOW}) AS m(m) ON m.m <= g.j
+  WHERE bi.i > {_LZ_WINDOW}
+),
+lmax AS (
+  SELECT symbol, i, 1 + coalesce(max(hit), 0) AS L
+  FROM cand GROUP BY symbol, i
+),
+run AS (
+  SELECT b.symbol, b.ts_event, b.i, l.L,
+    count(l.L) OVER r AS cnt,
+    sum(l.L) OVER r AS sl
+  FROM bits b LEFT JOIN lmax l USING (symbol, i)
+  WINDOW r AS (PARTITION BY b.symbol ORDER BY b.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_event,
+  CAST(L AS INTEGER) AS lz_match_len,
+  round(CASE WHEN cnt > 0 THEN {_LZ_LOG2W!r} * cnt / sl END, 6) AS lz_entropy
+FROM run
+""",
+    f"Kontoyiannis sliding-window ({_LZ_WINDOW}-bit) match-length entropy "
+    "rate of the binary return-sign sequence (AFML 18.4)",
+)
+def q_lz_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.entropy import lz_entropy
+
+    with _trades_config():
+        out = lz_entropy(trades_from_events(spark, sf_dir), window=_LZ_WINDOW)
+    return out.select(
+        "symbol",
+        "ts_event",
+        "lz_match_len",
+        F.round("lz_entropy", 6).alias("lz_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. PII detection/scrubbing (functions/pii.py)
+# --------------------------------------------------------------------------
+
+from polars_trading_spark.functions.pii import PII_PATTERNS, PII_TOKENS  # noqa: E402
+
+
+def _pii_oracle() -> str:
+    t = "text"
+    count_cols = []
+    for name, pat in PII_PATTERNS.items():
+        esc = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({t}, '{esc}')) AS INTEGER) AS n_{name}"
+        )
+        t = f"regexp_replace({t}, '{esc}', '{PII_TOKENS[name]}', 'g')"
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH scrub AS (
+  SELECT doc_id,
+    {", ".join(count_cols)},
+    md5({t}) AS scrub_md5
+  FROM documents
+)
+SELECT doc_id, {", ".join(f"n_{n}" for n in PII_PATTERNS)},
+  CAST({total} AS INTEGER) AS n_pii_total,
+  ({total}) > 0 AS has_pii,
+  scrub_md5
+FROM scrub
+"""
+
+
+@register(
+    "pii_scrub",
+    _pii_oracle(),
+    "Disjoint sequential regex PII counts (email/SSN/credit-card/IPv4/"
+    "phone) and the scrubbed-text fingerprint per document",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.pii import pii_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = pii_profile(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{n}").cast("int").alias(f"n_{n}") for n in PII_PATTERNS],
+        F.col("n_pii_total").cast("int").alias("n_pii_total"),
+        "has_pii",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. C4/Gopher boilerplate flags (functions/text.py::boilerplate_profile)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "boilerplate",
+    r"""
+WITH lined AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
+    list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '') AS sents,
+    len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(lines) AS INTEGER) AS n_lines,
+  round(CASE WHEN len(lines) > 0 THEN
+    len(list_filter(lines, x -> right(trim(x), 1) IN ('.', '!', '?', '"')))
+      / CAST(len(lines) AS DOUBLE) END, 6) AS end_punct_frac,
+  round(CASE WHEN len(lines) > 0 THEN
+    len(list_filter(lines, x -> left(ltrim(x), 1) IN ('-', '*', '•')))
+      / CAST(len(lines) AS DOUBLE) END, 6) AS bullet_frac,
+  round(CASE WHEN len(lines) > 0 THEN n_tok / CAST(len(lines) AS DOUBLE) END, 6)
+    AS mean_words_per_line,
+  CAST(len(sents) AS INTEGER) AS n_sentences,
+  contains(lower(text), 'lorem ipsum') AS has_lorem,
+  contains(text, '{') AS has_curly,
+  contains(lower(text), 'javascript') AS has_javascript,
+  (len(sents) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{') AND NOT contains(lower(text), 'javascript'))
+    AS c4_keep
+FROM lined
+""",
+    "C4/Gopher boilerplate flags: line punctuation/bullet fractions, "
+    "sentence count, lorem/brace/javascript artifacts, document keep gate",
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import boilerplate_profile
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = boilerplate_profile(docs, min_sentences=3)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.round("end_punct_frac", 6).alias("end_punct_frac"),
+        F.round("bullet_frac", 6).alias("bullet_frac"),
+        F.round("mean_words_per_line", 6).alias("mean_words_per_line"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        "has_lorem",
+        "has_curly",
+        "has_javascript",
+        "c4_keep",
+    )

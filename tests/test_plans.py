@@ -302,3 +302,26 @@ def test_bde_cusum_stays_native_one_shuffle(trades):
         out = bde_cusum(trades)
     assert count_python_stages(out) == 0
     assert count_exchanges(out) <= 1
+
+
+def test_lz_entropy_single_island_one_shuffle(trades):
+    """The LZ kernel is one slim applyInPandas island per symbol: a
+    single Python stage and only the symbol-partition exchange."""
+    from polars_trading_spark.operators.entropy import lz_entropy
+
+    with Config(timestamp_column="ts_event"):
+        out = lz_entropy(trades, window=50)
+    assert count_python_stages(out) == 1
+    assert count_exchanges(out) <= 1
+
+
+def test_pii_and_boilerplate_zero_shuffle_zero_python(spark, sf_dir):
+    """Both document profilers are single-scan Column pipelines."""
+    from polars_trading_spark.functions.pii import pii_profile
+    from polars_trading_spark.functions.text import boilerplate_profile
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    for out in (pii_profile(docs), boilerplate_profile(docs)):
+        assert count_python_stages(out) == 0
+        assert count_exchanges(out) == 0
