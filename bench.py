@@ -64,11 +64,13 @@ HEADLINE = [
     "text_analysis",
     "pii_scrub",
     "boilerplate",
+    "unigram_logprob",
     "repetition_profile",
     "tfidf_topk",
     "corpus_stats",
     "decontaminate",
     "dedup_exact",
+    "dedup_paragraph",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "corpus_filter",

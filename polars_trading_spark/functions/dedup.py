@@ -45,6 +45,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "connected_components",
+    "unit_dedup",
 ]
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -531,3 +532,81 @@ def connected_components(
     return labeled.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w).cast("int")
     ).withColumn("is_duplicate", F.col(node_col) != F.col("cluster_id"))
+
+
+def unit_dedup(
+    df: DataFrame,
+    *,
+    unit_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup: split every document
+    into consecutive ``unit_tokens``-token units, keep only the globally
+    first occurrence of each unit, and report per-document duplication.
+
+    C4 (Raffel et al. 2020 §2.2) dedups three-sentence spans; on a
+    corpus without sentence punctuation the deterministic equivalent is
+    the fixed-token-window unit used here (swap ``unit_tokens`` for a
+    sentence splitter on punctuated text — the pipeline below is
+    splitter-agnostic).  "First" is the lexicographically smallest
+    ``(doc_id, unit_idx)``, so results are ingestion-order-free and
+    re-runnable.
+
+    Scale shape: tokenize + explode (no shuffle), one **map-side
+    combinable** ``min(struct(doc_id, idx))`` hash aggregate per unit
+    hash — deliberately *not* a ``row_number`` window, whose hot
+    duplicated units (the very thing dedup targets) would serialize on
+    one reducer — then an equi-join back on the unit hash (AQE handles
+    residual skew) and one per-document aggregate.
+
+    Returns ``id_col, n_units, n_dup_units, dup_unit_frac,
+    text_deduped`` (``text_deduped`` rejoins surviving units in order;
+    documents with no tokens keep ``n_units = 0`` and null text).
+    """
+    if unit_tokens < 1:
+        raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
+
+    k = int(unit_tokens)
+    toks = tokens(F.col(text_col))
+    n_units = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    units = F.when(
+        n_units > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    ex = df.select(F.col(id_col), F.posexplode(units).alias("idx", "unit")).withColumn(
+        "__h", F.md5("unit")
+    )
+    firsts = ex.groupBy("__h").agg(F.min(F.struct(id_col, "idx")).alias("__first"))
+    marked = ex.join(firsts, "__h").withColumn(
+        "__is_first",
+        (F.col(id_col) == F.col(f"__first.{id_col}")) & (F.col("idx") == F.col("__first.idx")),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_units"),
+        F.sum(F.when(F.col("__is_first"), 0).otherwise(1)).cast("int").alias("n_dup_units"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("__is_first"), F.struct("idx", "unit")))
+                ),
+                lambda x: x["unit"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    base = df.select(id_col)
+    out = base.join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_units", F.lit(0)).alias("n_units"),
+        F.coalesce("n_dup_units", F.lit(0)).alias("n_dup_units"),
+        F.when(F.col("n_units") > 0, F.col("n_dup_units") / F.col("n_units").cast("double")).alias(
+            "dup_unit_frac"
+        ),
+        "text_deduped",
+    )

@@ -29,6 +29,7 @@ __all__ = [
     "quality_score",
     "text_profile",
     "boilerplate_profile",
+    "unigram_logprob",
     "STOPWORDS",
 ]
 
@@ -349,4 +350,62 @@ def boilerplate_profile(
         has_curly.alias("has_curly"),
         has_js.alias("has_javascript"),
         keep.alias("c4_keep"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    *,
+    smoothing_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    add-k-smoothed unigram model — the cheap stand-in for the CCNet-style
+    LM-perplexity quality signal (Wenzek et al. 2020): documents whose
+    token distribution diverges from the corpus (gibberish, boilerplate,
+    wrong language) score a high perplexity and can be bucketed/filtered
+    on it.
+
+    Model: ``p(t) = (c_t + k) / (N + k * V)`` with corpus token count
+    ``c_t``, total tokens ``N`` and vocabulary size ``V``.
+
+    Scale shape: one explode + one map-side-combinable token-count
+    aggregate builds the model; scoring joins the exploded tokens back
+    on the token key (AQE broadcasts the model when the vocabulary is
+    small, falls back to a shuffle join when it is web-scale) and one
+    per-document aggregate finishes.  No Python anywhere.
+
+    Returns ``id_col, n_tokens, mean_logprob, ppl`` (``ppl =
+    exp(-mean_logprob)``; empty documents get nulls).
+    """
+    if smoothing_k <= 0:
+        raise ValueError(f"smoothing_k must be > 0, got {smoothing_k}")
+
+    k = float(smoothing_k)
+    ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    model = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # One-row totals, broadcast-crossJoined so no job runs at plan build
+    # and the denominator stays inside the lazy plan.
+    totals = model.agg(
+        F.sum("c").cast("double").alias("__N"), F.count(F.lit(1)).cast("double").alias("__V")
+    )
+    scored = (
+        ex.join(model, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "lp",
+            F.log((F.col("c") + F.lit(k)) / (F.col("__N") + F.lit(k) * F.col("__V"))),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.avg("lp").alias("mean_logprob"),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
+        F.exp(-F.col("mean_logprob")).alias("ppl"),
     )

@@ -3772,3 +3772,106 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_javascript",
         "c4_keep",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Paragraph-level (unit) dedup (functions/dedup.py::unit_dedup)
+# --------------------------------------------------------------------------
+
+_UNIT_K = 10
+
+
+@register(
+    "dedup_paragraph",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+units AS (
+  SELECT doc_id, g.i AS idx,
+    array_to_string(toks[g.i * {_UNIT_K} + 1 : g.i * {_UNIT_K} + {_UNIT_K}], ' ') AS unit
+  FROM tok
+  CROSS JOIN generate_series(0, 4999) AS g(i)
+  WHERE g.i < ceil(len(toks) / CAST({_UNIT_K} AS DOUBLE))
+),
+marked AS (
+  SELECT doc_id, idx, unit,
+    row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, idx) = 1 AS is_first
+  FROM units
+),
+per_doc AS (
+  SELECT doc_id,
+    count(*) AS n_units,
+    sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS n_dup,
+    coalesce(string_agg(unit, ' ' ORDER BY idx) FILTER (WHERE is_first), '')
+      AS text_deduped
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_units, 0) AS INTEGER) AS n_units,
+  CAST(coalesce(p.n_dup, 0) AS INTEGER) AS n_dup_units,
+  round(CASE WHEN p.n_units > 0 THEN p.n_dup / CAST(p.n_units AS DOUBLE) END, 6)
+    AS dup_unit_frac,
+  md5(p.text_deduped) AS dedup_md5
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+""",
+    f"Paragraph-level exact dedup over {_UNIT_K}-token units: per-doc "
+    "duplicated-unit fraction and the fingerprint of the deduped text "
+    "(C4-style span dedup, splitter-agnostic)",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import unit_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = unit_dedup(docs, unit_tokens=_UNIT_K)
+    return out.select(
+        "doc_id",
+        "n_units",
+        "n_dup_units",
+        F.round("dup_unit_frac", 6).alias("dup_unit_frac"),
+        F.md5("text_deduped").alias("dedup_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Unigram-LM scoring (functions/text.py::unigram_logprob)
+# --------------------------------------------------------------------------
+
+_LM_K = 0.5
+
+
+@register(
+    "unigram_logprob",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+ex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+model AS (SELECT tok, count(*) AS c FROM ex GROUP BY tok),
+totals AS (SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM model),
+scored AS (
+  SELECT e.doc_id, ln((m.c + {_LM_K}) / (t.N + {_LM_K} * t.V)) AS lp
+  FROM ex e JOIN model m USING (tok) CROSS JOIN totals t
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens, avg(lp) AS mean_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_tokens, 0) AS n_tokens,
+  round(p.mean_logprob, 6) AS mean_logprob,
+  round(exp(-p.mean_logprob), 6) AS ppl
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+""",
+    "Per-document mean log-probability and perplexity under the corpus's "
+    "add-k unigram model (CCNet-style LM quality signal)",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import unigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, smoothing_k=_LM_K)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -444,3 +445,101 @@ def test_repetition_profile_planted(spark):
     assert out[3]["dup_sentence_frac"] == pytest.approx(0.25)
     # empty doc: all zeros, no division errors
     assert out[4]["rep_2gram_frac"] == 0.0 and out[4]["dup_sentence_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level unit dedup (functions/dedup.py::unit_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_unit_dedup_first_occurrence_wins(spark):
+    from polars_trading_spark.functions.dedup import unit_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",  # 2 units of 3
+                "alpha beta gamma one two three",  # unit0 dups doc0
+                "one two three alpha beta gamma",  # both units dup
+                "",  # empty doc
+            ],
+        }
+    )
+    out = (
+        unit_dedup(spark.createDataFrame(pdf), unit_tokens=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_dup_units"] == 0
+    assert out.loc[0, "text_deduped"] == "alpha beta gamma delta epsilon zeta"
+    assert out.loc[1, "n_dup_units"] == 1
+    assert out.loc[1, "text_deduped"] == "one two three"
+    assert out.loc[2, "dup_unit_frac"] == 1.0
+    assert out.loc[2, "text_deduped"] == ""
+    assert out.loc[3, "n_units"] == 0 and pd.isna(out.loc[3, "dup_unit_frac"])
+
+
+def test_unit_dedup_within_doc_repeat(spark):
+    """A unit repeated inside one document is a duplicate of itself."""
+    from polars_trading_spark.functions.dedup import unit_dedup
+
+    pdf = pd.DataFrame({"doc_id": [7], "text": ["spam ham eggs spam ham eggs"]})
+    out = unit_dedup(spark.createDataFrame(pdf), unit_tokens=3).toPandas().iloc[0]
+    assert out["n_units"] == 2 and out["n_dup_units"] == 1
+    assert out["text_deduped"] == "spam ham eggs"
+
+
+def test_unit_dedup_partial_trailing_unit(spark):
+    from polars_trading_spark.functions.dedup import unit_dedup
+
+    pdf = pd.DataFrame({"doc_id": [0], "text": ["one two three four"]})
+    out = unit_dedup(spark.createDataFrame(pdf), unit_tokens=3).toPandas().iloc[0]
+    # 4 tokens -> one full unit + one 1-token trailer
+    assert out["n_units"] == 2
+    assert out["text_deduped"] == "one two three four"
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (functions/text.py::unigram_logprob)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_hand_model(spark):
+    import math
+
+    from polars_trading_spark.functions.text import unigram_logprob
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["a a b", "b c", ""],
+        }
+    )
+    out = (
+        unigram_logprob(spark.createDataFrame(pdf), smoothing_k=0.5)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # counts: a=2, b=2, c=1; N=5, V=3, denom=6.5
+    lp = {t: math.log((c + 0.5) / 6.5) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    exp0 = (2 * lp["a"] + lp["b"]) / 3
+    exp1 = (lp["b"] + lp["c"]) / 2
+    assert out.loc[0, "mean_logprob"] == pytest.approx(exp0, rel=1e-12)
+    assert out.loc[1, "mean_logprob"] == pytest.approx(exp1, rel=1e-12)
+    assert out.loc[1, "ppl"] == pytest.approx(math.exp(-exp1), rel=1e-12)
+    assert out.loc[2, "n_tokens"] == 0 and pd.isna(out.loc[2, "mean_logprob"])
+
+
+def test_unigram_logprob_ranks_gibberish_higher_ppl(spark):
+    """Rare-token documents score higher perplexity than ones made of
+    corpus-frequent tokens."""
+    from polars_trading_spark.functions.text import unigram_logprob
+
+    common = "the cat sat on the mat " * 20
+    rows = [(i, common) for i in range(9)] + [(9, "zyx qwv jkl pqr mnb vfr")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    out = unigram_logprob(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+    assert out.loc[9, "ppl"] > out.loc[0, "ppl"] * 5

@@ -325,3 +325,31 @@ def test_pii_and_boilerplate_zero_shuffle_zero_python(spark, sf_dir):
     for out in (pii_profile(docs), boilerplate_profile(docs)):
         assert count_python_stages(out) == 0
         assert count_exchanges(out) == 0
+
+
+def test_unit_dedup_no_rownumber_hotspot(spark, sf_dir):
+    """Sub-document dedup must pick first occurrences with a map-side
+    combinable min-aggregate, not a per-hash row_number window that
+    serializes hot duplicated units on one reducer."""
+    from polars_trading_spark.functions.dedup import unit_dedup
+    from polars_trading_spark.sources.tables import read_table
+
+    out = unit_dedup(read_table(spark, sf_dir, "documents"), unit_tokens=10)
+    plan = plan_string(out)
+    assert "row_number" not in plan.lower()
+    assert count_python_stages(out) == 0
+
+
+def test_unigram_logprob_no_job_at_build(spark, sf_dir):
+    """Model totals ride the plan as a broadcast one-row aggregate — no
+    Spark job may run while merely constructing the DataFrame."""
+    from polars_trading_spark.functions.text import unigram_logprob
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = unigram_logprob(docs)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    assert count_python_stages(out) == 0
