@@ -53,6 +53,7 @@ HEADLINE = [
     "bet_sizing",
     "purged_kfold",
     "cpcv_assign",
+    "sequential_bootstrap",
     "sadf",
     "sadf_adf1",
     "csw_explosiveness",

@@ -43,6 +43,7 @@ from polars_trading_spark.operators.bet_sizing import (
 )
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
 from polars_trading_spark.operators.backtest import backtest_stats
+from polars_trading_spark.operators.bootstrap import sequential_bootstrap
 from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
 from polars_trading_spark.operators.imbalance import (
@@ -97,6 +98,7 @@ __all__ = [
     "backtest_stats",
     "corwin_schultz",
     "bde_cusum",
+    "sequential_bootstrap",
     "csw_explosiveness",
     "microstructure_features",
     "vpin",

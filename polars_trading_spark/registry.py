@@ -3875,3 +3875,80 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 6).alias("mean_logprob"),
         F.round("ppl", 6).alias("ppl"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Sequential bootstrap (operators/bootstrap.py, AFML 4.5.3)
+# --------------------------------------------------------------------------
+
+_SB_DRAWS = 64
+_SB_EVERY = 20  # every 20th trade becomes an event
+
+
+@register(
+    "sequential_bootstrap",
+    f"""
+WITH RECURSIVE
+trades AS ({TRADES_CTE}),
+ev AS (
+  SELECT symbol, ts_event AS t0, ts_event + INTERVAL 1 DAY AS t1,
+    row_number() OVER (PARTITION BY symbol ORDER BY ts_event, seq) - 1 AS i
+  FROM trades WHERE seq % {_SB_EVERY} = 0
+),
+endsrel AS (
+  SELECT a.symbol, a.i, count(*) - 1 AS e
+  FROM ev a JOIN ev b ON a.symbol = b.symbol AND b.t0 <= a.t1
+  GROUP BY a.symbol, a.i
+),
+per_sym AS (
+  SELECT e.symbol,
+    list(e.t0 ORDER BY e.i) AS t0s,
+    list(r.e ORDER BY e.i) AS ends,
+    CAST(count(*) AS INT) AS n
+  FROM ev e JOIN endsrel r ON e.symbol = r.symbol AND e.i = r.i
+  GROUP BY e.symbol
+),
+rec AS (
+  SELECT symbol, 0 AS d, CAST(NULL AS INT) AS pick,
+         list_transform(t0s, x -> 0) AS counts
+  FROM per_sym
+  UNION ALL
+  SELECT symbol, d, pick,
+    list_transform(counts, (c, j) -> CASE WHEN j - 1 BETWEEN pick AND ends[pick + 1]
+                                          THEN c + 1 ELSE c END) AS counts
+  FROM (
+    SELECT q.symbol, q.d, q.counts, q.ends,
+      CAST(list_position(q.keys, list_max(q.keys)) - 1 AS INT) AS pick
+    FROM (
+      SELECT r.symbol, r.d + 1 AS d, r.counts, p.ends,
+        list_transform(range(p.n), i ->
+          ln((CAST(('0x' || substr(md5(r.symbol || '|' || (r.d + 1) || '|' || i), 1, 15)) AS BIGINT) + 0.5)
+             / 1152921504606846976.0)
+          / (list_sum(list_transform(r.counts[i + 1 : p.ends[i + 1] + 1], c -> 1.0 / (1 + c)))
+             / (p.ends[i + 1] - i + 1))
+        ) AS keys
+      FROM rec r JOIN per_sym p USING (symbol)
+      WHERE r.d < {_SB_DRAWS}
+    ) q
+  ) z
+)
+SELECT r.symbol, r.d AS draw, r.pick AS event_idx, p.t0s[r.pick + 1] AS t0
+FROM rec r JOIN per_sym p USING (symbol)
+WHERE r.d >= 1
+""",
+    f"Sequential bootstrap of {_SB_DRAWS} draws per symbol over 1-day-barrier "
+    "events (every 20th trade): uniqueness-proportional A-Res draws with the "
+    "portable md5 hash, replayed exactly by a recursive-CTE oracle (AFML 4.5.3)",
+)
+def q_sequential_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.bootstrap import sequential_bootstrap
+
+    with _trades_config():
+        tr = trades_from_events(spark, sf_dir)
+    ev = tr.filter(F.col(SEQ_COL) % _SB_EVERY == 0).select(
+        "symbol",
+        F.col("ts_event").alias("t0"),
+        (F.col("ts_event") + F.expr("INTERVAL 1 DAY")).alias("t1"),
+        SEQ_COL,
+    )
+    return sequential_bootstrap(ev, n_draws=_SB_DRAWS)

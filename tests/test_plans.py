@@ -353,3 +353,22 @@ def test_unigram_logprob_no_job_at_build(spark, sf_dir):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before)
     assert count_python_stages(out) == 0
+
+
+def test_sequential_bootstrap_single_island(spark, sf_dir):
+    """The inherently sequential draw loop is one applyInPandas island
+    per symbol — a single Python stage, one shuffle."""
+    from polars_trading_spark.operators.bootstrap import sequential_bootstrap
+    from polars_trading_spark.sources.tables import trades_from_events
+    from polars_trading_spark._utils import SEQ_COL
+
+    tr = trades_from_events(spark, sf_dir)
+    ev = tr.filter(F.col(SEQ_COL) % 20 == 0).select(
+        "symbol",
+        F.col("ts_event").alias("t0"),
+        (F.col("ts_event") + F.expr("INTERVAL 1 DAY")).alias("t1"),
+        SEQ_COL,
+    )
+    out = sequential_bootstrap(ev, n_draws=16)
+    assert count_python_stages(out) == 1
+    assert count_exchanges(out) <= 1
