@@ -81,6 +81,7 @@ HEADLINE = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
+    "similarity_topk_ivf_pq",
     "dedup_embedding_cosine",
     "multimodal_metadata",
 ]

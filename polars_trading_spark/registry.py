@@ -3952,3 +3952,133 @@ def q_sequential_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEQ_COL,
     )
     return sequential_bootstrap(ev, n_draws=_SB_DRAWS)
+
+
+# --------------------------------------------------------------------------
+# C-ext. IVF-PQ (functions/similarity.py::ivf_pq_topk)
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_CODES, _PQ_DS, _PQ_ITERS = 4, 8, 16, 2
+
+
+def _pq_iter_sql(i: int) -> str:
+    prev = f"pcent{i - 1}"
+    return f"""
+pasg{i} AS (
+  SELECT rid, m, ssv, j FROM (
+    SELECT s.rid, s.m, s.ssv, ce.j,
+      row_number() OVER (PARTITION BY s.rid, s.m ORDER BY
+        list_sum([(s.ssv[kk+1] - ce.cv[kk+1]) * (s.ssv[kk+1] - ce.cv[kk+1])
+                  for kk in range(0, {_PQ_DS})]) ASC, ce.j) AS rn
+    FROM psamp s JOIN {prev} ce ON ce.m = s.m
+  ) WHERE rn = 1
+),
+pdm{i} AS (
+  SELECT m, j, dim, avg(val) AS mv
+  FROM (SELECT m, j, unnest(ssv) AS val, generate_subscripts(ssv, 1) AS dim FROM pasg{i})
+  GROUP BY m, j, dim
+),
+pcm{i} AS (SELECT m, j, list(mv ORDER BY dim) AS mvec FROM pdm{i} GROUP BY m, j),
+pcent{i} AS (
+  SELECT ce.m, ce.j, CASE WHEN cm.j IS NULL THEN ce.cv
+                          ELSE [round(x, {_KM_RD}) for x in cm.mvec] END AS cv
+  FROM {prev} ce LEFT JOIN pcm{i} cm ON cm.m = ce.m AND cm.j = ce.j
+)"""
+
+
+@register(
+    "similarity_topk_ivf_pq",
+    f"""
+WITH
+{_EMB_CTE},
+cn AS (
+  SELECT vec_id, v,
+    CASE WHEN sqrt(list_sum([x * x for x in v])) = 0 THEN v
+         ELSE [x / sqrt(list_sum([y * y for y in v])) for x in v] END AS vn
+  FROM c
+),
+psamp AS (
+  SELECT rid, mm.m, vn[mm.m * {_PQ_DS} + 1 : mm.m * {_PQ_DS} + {_PQ_DS}] AS ssv
+  FROM (SELECT vn, row_number() OVER (ORDER BY vec_id) AS rid
+        FROM (SELECT * FROM cn ORDER BY vec_id LIMIT {_KM_SAMPLE})) s
+  CROSS JOIN generate_series(0, {_PQ_M - 1}) AS mm(m)
+),
+pcent0 AS (
+  SELECT m, CAST(rid - 1 AS INTEGER) AS j, [round(x, {_KM_RD}) for x in ssv] AS cv
+  FROM psamp WHERE rid <= {_PQ_CODES}
+),
+{','.join(_pq_iter_sql(i) for i in range(1, _PQ_ITERS + 1))},
+pbook AS (SELECT m, j, cv FROM pcent{_PQ_ITERS}),
+cent AS (
+  SELECT v AS cvv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS jc
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_CELLS})
+),
+cell_sims AS (
+  SELECT c.vec_id, c.v AS v, cn.vn, cent.jc,
+    list_sum([cvv[i+1] * c.v[i+1] for i in range(0, len(c.v))])
+      / (sqrt(list_sum([x * x for x in cvv])) * sqrt(list_sum([x * x for x in c.v]))) AS csim
+  FROM c JOIN cn ON c.vec_id = cn.vec_id CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, vn, jc AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, jc) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+code_d2 AS (
+  SELECT a.vec_id, a.cell, b.m, b.j,
+    list_sum([(a.vn[b.m * {_PQ_DS} + kk + 1] - b.cv[kk + 1])
+              * (a.vn[b.m * {_PQ_DS} + kk + 1] - b.cv[kk + 1])
+              for kk in range(0, {_PQ_DS})]) AS d2
+  FROM assigned a CROSS JOIN pbook b
+),
+codes AS (
+  SELECT vec_id, cell, m, j AS code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j) AS rn
+        FROM code_d2)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, vn AS qn, jc AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, jc) AS rn
+        FROM cell_sims WHERE vec_id < {_N_QUERIES})
+  WHERE rn <= {_NPROBE}
+),
+contrib AS (
+  SELECT p.query_id, co.vec_id, co.m,
+    list_sum([p.qn[co.m * {_PQ_DS} + kk + 1] * b.cv[kk + 1]
+              for kk in range(0, {_PQ_DS})]) AS part
+  FROM probes p
+  JOIN codes co ON co.cell = p.cell
+  JOIN pbook b ON b.m = co.m AND b.j = co.code
+  WHERE co.vec_id <> p.query_id
+),
+scores AS (
+  SELECT query_id, vec_id, round(sum(part), 6) AS pq_score
+  FROM contrib GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY pq_score DESC, vec_id) AS INTEGER) AS rank
+  FROM scores
+)
+SELECT query_id, rank, vec_id, pq_score FROM ranked WHERE rank <= {_TOPK}
+""",
+    f"IVF-PQ approximate top-{_TOPK}: lowest-id coarse cells + "
+    f"{_PQ_M}x{_PQ_CODES}-code product quantization (per-iteration-rounded "
+    "L2 Lloyd per subspace, LUT scoring) — the byte-payload ANN scale path",
+)
+def q_similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.similarity import ivf_pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_pq_topk(
+        emb,
+        queries,
+        k=_TOPK,
+        n_cells=_N_CELLS,
+        nprobe=_NPROBE,
+        m_sub=_PQ_M,
+        n_codes=_PQ_CODES,
+    )

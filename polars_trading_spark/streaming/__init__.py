@@ -26,3 +26,7 @@ from polars_trading_spark.streaming.imbalance import (  # noqa: E402
 
 __all__.append("streaming_imbalance_bars")
 __all__.append("streaming_run_bars")
+
+from polars_trading_spark.streaming.backtest import streaming_backtest_stats  # noqa: E402
+
+__all__.append("streaming_backtest_stats")

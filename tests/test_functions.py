@@ -543,3 +543,78 @@ def test_unigram_logprob_ranks_gibberish_higher_ppl(spark):
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     out = unigram_logprob(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
     assert out.loc[9, "ppl"] > out.loc[0, "ppl"] * 5
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (functions/similarity.py::ivf_pq_topk)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(n=300, dim=32, n_clusters=6, noise=0.05, seed=13):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        v = c + rng.normal(0, noise, dim)
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def test_ivf_pq_recall_on_clustered_data(spark):
+    from polars_trading_spark.functions.similarity import cosine_topk, ivf_pq_topk
+
+    # Moderate within-cluster spread: PQ can only rank what survives
+    # quantization, so the test regime keeps neighbor gaps above the
+    # codebook resolution (16 subspaces x 32 codes over 32 dims).
+    rows = _clustered_vectors(noise=0.3)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 12)
+    exact = cosine_topk(emb, q, k=5).toPandas()
+    pq = ivf_pq_topk(emb, q, k=5, n_cells=6, nprobe=6, m_sub=16, n_codes=32).toPandas()
+    sa = exact.groupby("query_id").vec_id.apply(set)
+    sb = pq.groupby("query_id").vec_id.apply(set)
+    recall = sum(len(sa[i] & sb[i]) for i in sa.index) / sum(len(sa[i]) for i in sa.index)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_pq_score_approximates_cosine(spark):
+    """More codes -> better inner-product approximation: mean absolute
+    error of pq_score vs true cosine must shrink from 2 to 8 codes."""
+    import numpy as np
+
+    from polars_trading_spark.functions.similarity import cosine, ivf_pq_topk
+
+    rows = _clustered_vectors()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 12)
+
+    def mae(n_codes):
+        pq = ivf_pq_topk(emb, q, k=5, n_cells=6, nprobe=6, m_sub=4, n_codes=n_codes)
+        joined = (
+            pq.join(emb.select(F.col("vec_id"), F.col("embedding").alias("__v")), "vec_id")
+            .join(
+                emb.select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+                ),
+                "query_id",
+            )
+            .withColumn("__true", cosine(F.col("__q"), F.col("__v")))
+        )
+        pdf = joined.select("pq_score", "__true").toPandas()
+        return float(np.abs(pdf.pq_score - pdf.__true).mean())
+
+    assert mae(8) < mae(2)
+
+
+def test_ivf_pq_dim_divisibility(spark):
+    from polars_trading_spark.functions.similarity import ivf_pq_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        ivf_pq_topk(emb, emb, m_sub=2)

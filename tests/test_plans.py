@@ -372,3 +372,14 @@ def test_sequential_bootstrap_single_island(spark, sf_dir):
     out = sequential_bootstrap(ev, n_draws=16)
     assert count_python_stages(out) == 1
     assert count_exchanges(out) <= 1
+
+
+def test_ivf_pq_native_after_training(spark, sf_dir):
+    """Past the bounded codebook-training collect, IVF-PQ is pure
+    Column work: zero Python stages in the plan."""
+    from polars_trading_spark.functions.similarity import ivf_pq_topk
+    from polars_trading_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+    assert count_python_stages(out) == 0

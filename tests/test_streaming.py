@@ -524,3 +524,73 @@ def test_streaming_null_size_degrades_like_batch(spark):
         assert got["volume"].sum() == 300  # null size counted as 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_backtest_stats_matches_batch_across_batches(spark):
+    """The running-stat state must carry across micro-batches: the last
+    emitted row per symbol over a three-file replay equals the batch
+    operator on the full series (floats to 1e-9, counters exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.backtest import backtest_stats
+    from polars_trading_spark.streaming import streaming_backtest_stats
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for sym in ("A", "B"):
+        price = 100.0
+        t = dt.datetime(2022, 1, 1, 9, 30)
+        for _ in range(300):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 10)))
+            price = max(1.0, price * float(np.exp(rng.normal(0.0003, 0.01))))
+            rows.append((sym, price, 10, t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    batch = (
+        backtest_stats(
+            spark.createDataFrame(pdf, SCHEMA),
+            periods_per_year=252.0,
+            ts_col="ts_event",
+            close_col="price",
+        )
+        .toPandas()
+        .set_index("symbol")
+    )
+
+    d = tempfile.mkdtemp(prefix="pts_bt_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], SCHEMA).coalesce(1).write.parquet(
+                f"{d}/f{i}"
+            )
+        def make():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_backtest_stats(
+                stream, periods_per_year=252.0, close_col="price"
+            )
+
+        rows_out = _run_stream(spark, make, mode="update")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .sort_values("n_periods")
+            .groupby("symbol")
+            .last()  # highest-n row per symbol = full-prefix stats
+        )
+        for sym in ("A", "B"):
+            for col in ("ann_return", "ann_vol", "sharpe", "psr_z", "skew",
+                        "kurtosis", "hit_ratio", "max_drawdown"):
+                assert got.loc[sym, col] == pytest.approx(
+                    batch.loc[sym, col], rel=1e-9
+                ), (sym, col)
+            assert int(got.loc[sym, "n_periods"]) == int(batch.loc[sym, "n_periods"])
+            assert int(got.loc[sym, "max_tuw"]) == int(batch.loc[sym, "max_tuw"])
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
