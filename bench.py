@@ -75,6 +75,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "corpus_filter",
+    "mix_corpus",
+    "pack_sequences",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "similarity_topk",

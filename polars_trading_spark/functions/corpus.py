@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "corpus_stats", "decontaminate", "hash_split", "stratified_sample"]
+__all__ = ["corpus_filter", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
 
 
 def corpus_filter(
@@ -318,3 +318,165 @@ def decontaminate(
         .alias("contamination_ratio"),
         (F.col("n_hits") >= min_hits).alias("is_contaminated"),
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    *,
+    weights: dict[str, float],
+    target_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_epochs: float = 4.0,
+    salt: str = "pts-mix",
+) -> DataFrame:
+    """Compose a training mixture: sample/oversample each source so its
+    token share of a ``target_tokens`` budget matches ``weights`` (the
+    static domain-mixing step every LLM data recipe ends with — cf. the
+    Pile / Llama sampling-proportion tables).
+
+    Per source ``s`` the required rate is ``r_s = w_s * target /
+    available_s`` (weights normalized over the sources present).
+    ``r_s <= 1`` downsamples by the deterministic salted id hash;
+    ``r_s > 1`` *oversamples*: every document appears ``floor(r_s)``
+    times and one more with probability ``frac(r_s)`` — epochs over
+    small sources, the standard upsampling semantics — capped at
+    ``max_epochs`` to bound repetition damage.
+
+    Scale shape: one map-side token-count aggregate per source (rows =
+    #sources, broadcast back), then a projection with a hash filter and
+    a bounded ``explode(sequence(...))`` for the repeat factor.  No
+    driver collect, no unbounded shuffle; determinism is per-document,
+    so re-runs and re-partitions reproduce the mixture exactly.
+
+    Returns the sampled rows: all input columns plus ``epoch`` (0-based
+    copy index) and ``mix_rate`` (the applied per-source rate).
+    """
+    from polars_trading_spark.functions.text import portable_hash60, token_count
+
+    if target_tokens <= 0:
+        raise ValueError(f"target_tokens must be > 0, got {target_tokens}")
+    if not weights:
+        raise ValueError("weights must be a non-empty mapping")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to > 0")
+
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights.items()) for x in (F.lit(s), F.lit(float(w) / total_w))]
+    )
+    avail = (
+        df.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).cast("double").alias("__avail"))
+        .withColumn("__w", wmap[F.col(source_col)])
+        .where(F.col("__w").isNotNull())
+        .withColumn(
+            "mix_rate",
+            F.least(
+                F.lit(float(max_epochs)),
+                F.col("__w") * F.lit(float(target_tokens)) / F.col("__avail"),
+            ),
+        )
+        .select(source_col, "mix_rate")
+    )
+    mod = 1 << 30
+    u = (
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(mod),
+        ).cast("double")
+        / F.lit(float(mod))
+    )
+    n_copies = (
+        F.floor(F.col("mix_rate")).cast("int")
+        + F.when(u < F.col("mix_rate") - F.floor(F.col("mix_rate")), 1).otherwise(0)
+    )
+    out = (
+        df.join(F.broadcast(avail), source_col)
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
+    return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget_tokens: int,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pts-pack",
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training sequences (the T5/GPT pre-tokenization packing step) after
+    a deterministic salted-hash shuffle.
+
+    Documents are hashed into ``n_shards`` shards, ordered inside each
+    shard by the same hash (a reproducible global shuffle), then packed
+    greedily: a document joins the current sequence if it fits, else
+    opens the next one; a document longer than the budget gets a
+    sequence of its own.  Packing is the one genuinely sequential step
+    of a training-data pipeline, so the shard is the unit of
+    parallelism — each shard's greedy scan is an O(bins log n)
+    searchsorted loop inside a slim ``applyInPandas`` island, and the
+    only waste is the underfill of each shard's final sequence
+    (amortized away by shard sizes in the thousands of documents).
+
+    Returns ``id_col, shard, seq_id, seq_offset, n_tokens`` where
+    ``seq_id`` counts sequences within the shard and ``seq_offset`` is
+    the document's first token slot in its sequence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.functions.text import portable_hash60, token_count
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    budget = int(budget_tokens)
+    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    slim = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        h.alias("__h"),
+        F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+    )
+    id_name = id_col
+    schema = f"{id_col} long, shard int, seq_id int, seq_offset long, n_tokens int"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__h", id_name], kind="mergesort").reset_index(drop=True)
+        tok = pdf["n_tokens"].to_numpy(dtype=np.int64)
+        n = len(tok)
+        c = np.concatenate(([0], np.cumsum(tok)))
+        bins = np.zeros(n, dtype=np.int32)
+        offs = np.zeros(n, dtype=np.int64)
+        s, b = 0, 0
+        while s < n:
+            e = int(np.searchsorted(c, c[s] + budget, side="right")) - 1
+            if e <= s:
+                e = s + 1  # oversized document: its own sequence
+            bins[s:e] = b
+            offs[s:e] = c[s:e] - c[s]
+            b += 1
+            s = e
+        return pd.DataFrame(
+            {
+                id_name: pdf[id_name],
+                "shard": pdf["shard"],
+                "seq_id": bins,
+                "seq_offset": offs,
+                "n_tokens": tok.astype(np.int32),
+            }
+        )
+
+    return slim.groupBy("shard").applyInPandas(kernel, schema=schema)

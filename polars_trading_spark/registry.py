@@ -4082,3 +4082,135 @@ def q_similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_sub=_PQ_M,
         n_codes=_PQ_CODES,
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Training-mixture sampling (functions/corpus.py::mix_corpus)
+# --------------------------------------------------------------------------
+
+_MIX_TARGET = 12_000
+_MIX_WEIGHTS = {"src0": 0.70, "src1": 0.10, "src2": 0.10, "src3": 0.10}
+
+
+def _mix_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    wcase = " ".join(
+        f"WHEN '{s}' THEN CAST({w / total_w!r} AS DOUBLE)"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH
+{_DOCS_TOK_CTE},
+avail AS (
+  SELECT source, CAST(sum(len(toks)) AS DOUBLE) AS av,
+    CASE source {wcase} END AS w
+  FROM tok GROUP BY source
+),
+rates AS (
+  SELECT source, least(4.0, w * {_MIX_TARGET} / av) AS mix_rate
+  FROM avail WHERE w IS NOT NULL
+),
+drawn AS (
+  SELECT d.doc_id, d.source, r.mix_rate,
+    CAST(floor(r.mix_rate) AS INTEGER)
+      + CASE WHEN CAST(('0x' || substr(md5('pts-mix' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1073741824 / 1073741824.0
+                < r.mix_rate - floor(r.mix_rate) THEN 1 ELSE 0 END AS n
+  FROM docs d JOIN rates r USING (source)
+)
+SELECT doc_id, source, round(mix_rate, 6) AS mix_rate, g.e AS epoch
+FROM drawn
+JOIN generate_series(0, 7) AS g(e) ON g.e < n
+WHERE n > 0
+""",
+
+
+@register(
+    "mix_corpus",
+    _mix_oracle()[0],
+    "Static domain mixing: per-source sample/oversample rates hitting a "
+    "40k-token budget at pinned weights, deterministic salted-hash draws "
+    "with epoch expansion",
+)
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import mix_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = mix_corpus(docs, weights=_MIX_WEIGHTS, target_tokens=_MIX_TARGET)
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("mix_rate", 6).alias("mix_rate"),
+        "epoch",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Sequence packing (functions/corpus.py::pack_sequences)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 4
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH RECURSIVE
+pdocs AS (
+  SELECT doc_id,
+    len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS n_tok,
+    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tok, h, CAST(h % {_PACK_SHARDS} AS INTEGER) AS shard,
+    row_number() OVER (PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id) - 1 AS idx
+  FROM pdocs
+),
+pre AS (
+  SELECT *,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_end,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS c_start
+  FROM sharded
+),
+nmax AS (SELECT shard, count(*) AS n FROM pre GROUP BY shard),
+rec AS (
+  SELECT shard, 0 AS s, 0 AS b FROM nmax
+  UNION ALL
+  SELECT r.shard,
+    CAST(greatest(r.s + 1,
+      coalesce((SELECT min(p.idx) FROM pre p
+                WHERE p.shard = r.shard AND p.idx >= r.s
+                  AND p.c_end - coalesce((SELECT p2.c_end FROM pre p2
+                                          WHERE p2.shard = r.shard AND p2.idx = r.s - 1), 0)
+                      > {_PACK_BUDGET}),
+               (SELECT n FROM nmax WHERE nmax.shard = r.shard))) AS INTEGER) AS s,
+    r.b + 1 AS b
+  FROM rec r
+  WHERE r.s < (SELECT n FROM nmax WHERE nmax.shard = r.shard)
+),
+assign AS (
+  SELECT p.shard, p.doc_id, p.idx, p.n_tok, p.c_start,
+    (SELECT max(r.b) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS seq_id,
+    (SELECT max(r.s) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS bstart
+  FROM pre p
+)
+SELECT a.doc_id, a.shard,
+  CAST(a.seq_id AS INTEGER) AS seq_id,
+  a.c_start - p2.c_start AS seq_offset,
+  CAST(a.n_tok AS INTEGER) AS n_tokens
+FROM assign a
+JOIN pre p2 ON p2.shard = a.shard AND p2.idx = a.bstart
+""",
+    f"Greedy {_PACK_BUDGET}-token sequence packing after a deterministic "
+    f"salted-hash shuffle, {_PACK_SHARDS} parallel shards (T5-style "
+    "pre-tokenization packing), replayed by a recursive-CTE oracle",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS)

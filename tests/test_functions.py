@@ -618,3 +618,123 @@ def test_ivf_pq_dim_divisibility(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         ivf_pq_topk(emb, emb, m_sub=2)
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture sampling (functions/corpus.py::mix_corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_mix_corpus_rates_and_epochs(spark):
+    from polars_trading_spark.functions.corpus import mix_corpus
+
+    # src_a: 10 docs x 10 tokens = 100 tokens; src_b: 40 docs x 10 = 400.
+    rows = []
+    for i in range(10):
+        rows.append((i, "src_a", "tok " * 10))
+    for i in range(10, 50):
+        rows.append((i, "src_b", "tok " * 10))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_corpus(
+        docs,
+        weights={"src_a": 0.5, "src_b": 0.5},
+        target_tokens=400,
+        max_epochs=4.0,
+    ).toPandas()
+    # src_a needs 200 of 100 tokens -> rate 2.0: every doc exactly twice.
+    a = out[out.source == "src_a"]
+    assert sorted(a.groupby("doc_id").epoch.count()) == [2] * 10
+    assert (a.mix_rate == 2.0).all()
+    # src_b needs 200 of 400 -> rate 0.5: a strict subset, epoch always 0.
+    b = out[out.source == "src_b"]
+    assert 0 < len(b) < 40
+    assert (b.epoch == 0).all()
+    # Unnamed sources are dropped entirely.
+    assert set(out.source) == {"src_a", "src_b"}
+
+
+def test_mix_corpus_deterministic_and_capped(spark):
+    from polars_trading_spark.functions.corpus import mix_corpus
+
+    rows = [(i, "s", "tok " * 5) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kw = dict(weights={"s": 1.0}, target_tokens=10_000, max_epochs=3.0)
+    a = mix_corpus(docs, **kw).toPandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    b = mix_corpus(docs, **kw).toPandas().sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    assert a.equals(b)
+    # demand far exceeds supply -> capped at 3 epochs each
+    assert a.groupby("doc_id").epoch.count().max() == 3
+    assert (a.mix_rate == 3.0).all()
+
+
+def test_mix_corpus_validation(spark):
+    from polars_trading_spark.functions.corpus import mix_corpus
+
+    docs = spark.createDataFrame([(0, "s", "x")], "doc_id long, source string, text string")
+    with pytest.raises(ValueError, match="target_tokens"):
+        mix_corpus(docs, weights={"s": 1.0}, target_tokens=0)
+    with pytest.raises(ValueError, match="weights"):
+        mix_corpus(docs, weights={}, target_tokens=10)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (functions/corpus.py::pack_sequences)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_budget_respected(spark):
+    import numpy as np
+
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    rng = np.random.default_rng(31)
+    rows = [(i, "w " * int(rng.integers(5, 120))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget_tokens=128, n_shards=3).toPandas()
+    assert len(out) == 200  # every doc packed exactly once
+    g = out.groupby(["shard", "seq_id"])
+    fill = g.n_tokens.sum()
+    over = fill[fill > 128]
+    # only single-oversized-doc sequences may exceed the budget
+    for (shard, seq), tot in over.items():
+        grp = out[(out.shard == shard) & (out.seq_id == seq)]
+        assert len(grp) == 1 and grp.n_tokens.iloc[0] > 128
+    # offsets are the running sum inside each sequence
+    for (_, _), grp in g:
+        grp = grp.sort_values("seq_offset")
+        assert grp.seq_offset.iloc[0] == 0
+        assert (
+            grp.seq_offset.to_numpy()[1:]
+            == grp.seq_offset.to_numpy()[:-1] + grp.n_tokens.to_numpy()[:-1]
+        ).all()
+
+
+def test_pack_sequences_greedy_first_fit(spark):
+    """Docs sized so the greedy boundary is unambiguous: the hash order
+    is deterministic, so packing 3+3+3 into budget 7 gives [2, 1]."""
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(3)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget_tokens=7, n_shards=1).toPandas()
+    sizes = sorted(out.groupby("seq_id").doc_id.count())
+    assert sizes == [1, 2]
+
+
+def test_pack_sequences_deterministic_shuffle(spark):
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 17 + 1)) for i in range(100)], "doc_id long, text string"
+    )
+    a = pack_sequences(docs, budget_tokens=64).toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        pack_sequences(docs.repartition(7), budget_tokens=64)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)  # layout-independent
+    c = pack_sequences(docs, budget_tokens=64, salt="other").toPandas()
+    assert not a.equals(c.sort_values("doc_id").reset_index(drop=True))  # salt re-shuffles

@@ -383,3 +383,29 @@ def test_ivf_pq_native_after_training(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     out = ivf_pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
     assert count_python_stages(out) == 0
+
+
+def test_pack_sequences_single_island(spark, sf_dir):
+    """Packing is one slim island per shard: one Python stage, one
+    shuffle (the shard partition)."""
+    from polars_trading_spark.functions.corpus import pack_sequences
+    from polars_trading_spark.sources.tables import read_table
+
+    out = pack_sequences(read_table(spark, sf_dir, "documents"), budget_tokens=512)
+    assert count_python_stages(out) == 1
+    assert count_exchanges(out) <= 1
+
+
+def test_mix_corpus_broadcast_no_collect(spark, sf_dir):
+    """Mixture rates ride a broadcast per-source aggregate; building the
+    frame runs no job."""
+    from polars_trading_spark.functions.corpus import mix_corpus
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = mix_corpus(docs, weights={"src0": 0.5, "src1": 0.5}, target_tokens=10_000)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    assert count_python_stages(out) == 0
