@@ -46,6 +46,7 @@ HEADLINE = [
     "microstructure",
     "feature_matrix",
     "rolling_beta",
+    "pair_correlation",
     "momentum_rank",
     "trend_scan",
     "vpin",
@@ -59,6 +60,7 @@ HEADLINE = [
     "csw_explosiveness",
     "bde_cusum",
     "backtest_stats",
+    "drawdown_path",
     "return_entropy",
     "lz_entropy",
     "stratified_sample",

@@ -41,8 +41,13 @@ from polars_trading_spark.operators.bet_sizing import (
     average_active_bets,
     bet_size_from_tstat,
 )
+from polars_trading_spark.operators.cross_section import (
+    momentum_rank,
+    rolling_beta,
+    rolling_pair_correlation,
+)
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
-from polars_trading_spark.operators.backtest import backtest_stats
+from polars_trading_spark.operators.backtest import backtest_stats, drawdown_path
 from polars_trading_spark.operators.bootstrap import sequential_bootstrap
 from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
@@ -96,9 +101,13 @@ __all__ = [
     "run_bars",
     "bar_volatility",
     "backtest_stats",
+    "drawdown_path",
     "corwin_schultz",
     "bde_cusum",
     "sequential_bootstrap",
+    "rolling_pair_correlation",
+    "rolling_beta",
+    "momentum_rank",
     "csw_explosiveness",
     "microstructure_features",
     "vpin",
@@ -113,4 +122,4 @@ __all__ = [
     "bar_feature_matrix",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

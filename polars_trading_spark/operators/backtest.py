@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats"]
+__all__ = ["backtest_stats", "drawdown_path"]
 
 
 def backtest_stats(
@@ -146,3 +146,50 @@ def backtest_stats(
         (F.lit(1.0) - F.exp(F.col("__min_dd"))).alias("max_drawdown"),
     )
     return out.join(spells, on=symbol_col, how="left")
+
+
+def drawdown_path(
+    bars: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-row drawdown features from the close path — the running
+    diagnostics behind ``backtest_stats``, exposed as a frame so they
+    can feed risk features and labeling (e.g. drawdown-conditional bet
+    sizing) instead of only end-of-run summaries.
+
+    Returns ``symbol, ts, cum_return`` (cumulative log return),
+    ``drawdown`` (fractional, >= 0, from the running peak anchored at
+    inception), and ``underwater`` (consecutive periods below the
+    high-water mark, 0 on rows that set a new high).  One window pass,
+    zero Python.
+    """
+    c = F.col(close_col)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+
+    ret = F.log(c / F.lag(c).over(order))
+    df = bars.withColumn("__ret", ret).filter(F.col("__ret").isNotNull())
+    df = (
+        df.withColumn("__cum", F.sum("__ret").over(running))
+        .withColumn("__peak", F.max(F.greatest("__cum", F.lit(0.0))).over(running))
+        .withColumn("__dd", F.col("__cum") - F.col("__peak"))
+        .withColumn(
+            "__hwm",
+            F.sum(F.when(F.col("__dd") >= 0, F.lit(1)).otherwise(F.lit(0))).over(running),
+        )
+    )
+    spell = Window.partitionBy(symbol_col, "__hwm").orderBy(ts_col)
+    under = F.when(F.col("__dd") >= 0, F.lit(0)).otherwise(
+        # Within a spell the high row (if any) is row 1; count rows past it.
+        F.row_number().over(spell) - F.when(F.col("__hwm") > 0, 1).otherwise(0)
+    )
+    return df.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.col("__cum").alias("cum_return"),
+        (F.lit(1.0) - F.exp(F.col("__dd"))).alias("drawdown"),
+        under.cast("long").alias("underwater"),
+    )

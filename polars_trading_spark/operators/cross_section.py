@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_beta", "momentum_rank"]
+__all__ = ["momentum_rank", "rolling_beta", "rolling_pair_correlation"]
 
 
 def rolling_beta(
@@ -128,4 +128,64 @@ def momentum_rank(
         F.col("__mom").alias("momentum"),
         mom_rank.cast("int").alias("mom_rank"),
         n_ranked.cast("int").alias("n_ranked"),
+    )
+
+
+def rolling_pair_correlation(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Rolling return correlation for every unordered symbol pair — the
+    input to covariance-driven portfolio construction (risk parity,
+    mean-variance, hierarchical clustering) done *inside* the engine.
+
+    Shape: per-symbol log returns (one window pass), then a self-join on
+    the bar timestamp restricted to ``sym_a < sym_b`` — the join is
+    co-partitioned on the bucket key, so the shuffle is one exchange per
+    side, and the output is O(n_pairs · bars): quadratic in the universe
+    *width* (deliberate and visible), never in history length.  Rolling
+    explicit-sum moments over the (pair)-partitioned window finish the
+    job; only windows with ``window`` paired returns emit.
+
+    Returns ``sym_a, sym_b, ts, corr`` (null until the window fills).
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    c = F.col(close_col)
+    r = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.log(c / F.lag(c).over(order)).alias("__r"),
+    ).where(F.col("__r").isNotNull())
+
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__r").alias("__ra")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__r").alias("__rb")
+    )
+    joined = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
+
+    pair = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    roll = pair.rowsBetween(-(window - 1), 0)
+    n = F.count("__ra").over(roll)
+    sa = F.sum("__ra").over(roll)
+    sb = F.sum("__rb").over(roll)
+    sab = F.sum(F.col("__ra") * F.col("__rb")).over(roll)
+    saa = F.sum(F.col("__ra") * F.col("__ra")).over(roll)
+    sbb = F.sum(F.col("__rb") * F.col("__rb")).over(roll)
+    va = n * saa - sa * sa
+    vb = n * sbb - sb * sb
+    corr = F.when(
+        (n == window) & (va > 0) & (vb > 0),
+        (n * sab - sa * sb) / F.sqrt(va * vb),
+    )
+    return joined.select(
+        "sym_a", "sym_b", F.col(ts_col), corr.alias("corr")
     )

@@ -4214,3 +4214,108 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return pack_sequences(docs, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Rolling pairwise correlation (operators/cross_section.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pair_correlation",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r2 AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+r3 AS (SELECT symbol, ts, r FROM r2 WHERE r IS NOT NULL),
+pairs AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts, a.r AS ra, b.r AS rb
+  FROM r3 a JOIN r3 b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+rolled AS (
+  SELECT sym_a, sym_b, ts,
+    count(ra) OVER w AS n,
+    sum(ra) OVER w AS sa, sum(rb) OVER w AS sb,
+    sum(ra * rb) OVER w AS sab,
+    sum(ra * ra) OVER w AS saa, sum(rb * rb) OVER w AS sbb
+  FROM pairs
+  WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY ts
+               ROWS BETWEEN {_VOL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT sym_a, sym_b, ts AS ts_event,
+  round(CASE WHEN n = {_VOL_WINDOW} AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+        THEN (n * sab - sa * sb) / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb)) END, 6)
+    AS corr
+FROM rolled
+""",
+    f"Rolling {_VOL_WINDOW}-bar return correlation for every unordered "
+    "symbol pair (covariance-matrix input for portfolio construction)",
+)
+def q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rolling_pair_correlation
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rolling_pair_correlation(bars, window=_VOL_WINDOW, ts_col="ts_event")
+    return out.select("sym_a", "sym_b", "ts_event", F.round("corr", 6).alias("corr"))
+
+
+@register(
+    "drawdown_path",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path3 AS (
+  SELECT symbol, ts, cum, dd,
+    sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) OVER w AS hwm
+  FROM path2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts AS ts_event,
+  round(cum, 6) AS cum_return,
+  round(1 - exp(dd), 6) AS drawdown,
+  CAST(CASE WHEN dd >= 0 THEN 0
+       ELSE row_number() OVER (PARTITION BY symbol, hwm ORDER BY ts)
+            - CASE WHEN hwm > 0 THEN 1 ELSE 0 END END AS BIGINT) AS underwater
+FROM path3
+""",
+    "Per-row drawdown diagnostics: cumulative log return, fractional "
+    "drawdown from the running peak, consecutive underwater periods",
+)
+def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import drawdown_path
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = drawdown_path(bars, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("cum_return", 6).alias("cum_return"),
+        F.round("drawdown", 6).alias("drawdown"),
+        "underwater",
+    )

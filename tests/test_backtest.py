@@ -134,3 +134,40 @@ def test_constant_price_degenerate(spark):
 def test_rejects_bad_ppy(spark):
     with pytest.raises(ValueError, match="periods_per_year"):
         backtest_stats(spark.range(1), periods_per_year=0)
+
+
+def test_drawdown_path_handcrafted(spark):
+    from polars_trading_spark.operators.backtest import drawdown_path
+
+    logs = np.cumsum([0.0, 0.10, -0.05, -0.03, 0.12, -0.02, 0.01])
+    pdf = pd.DataFrame(
+        {
+            "symbol": "X",
+            "ts_event_start": pd.date_range("2024-01-01", periods=len(logs), freq="D"),
+            "close": np.exp(logs) * 50,
+        }
+    )
+    out = (
+        drawdown_path(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("ts_event_start")
+        .reset_index(drop=True)
+    )
+    # returns: +.10 (high), -.05, -.03, +.12 (new high), -.02, +.01 (still under)
+    assert out["underwater"].tolist() == [0, 1, 2, 0, 1, 2]
+    assert out["drawdown"].iloc[0] == pytest.approx(0.0)
+    assert out["drawdown"].iloc[2] == pytest.approx(1 - math.exp(-0.08), rel=1e-12)
+    assert out["cum_return"].iloc[-1] == pytest.approx(0.13, rel=1e-9)
+
+
+def test_drawdown_path_consistent_with_stats(spark, bar_pdf):
+    """max over the path equals the summary operator's numbers."""
+    from polars_trading_spark.operators.backtest import backtest_stats, drawdown_path
+
+    sdf = spark.createDataFrame(bar_pdf)
+    path = drawdown_path(sdf).toPandas()
+    stats = backtest_stats(sdf, periods_per_year=PPY).toPandas().set_index("symbol")
+    agg = path.groupby("symbol").agg(dd=("drawdown", "max"), tuw=("underwater", "max"))
+    for sym in agg.index:
+        assert agg.loc[sym, "dd"] == pytest.approx(stats.loc[sym, "max_drawdown"], rel=1e-12)
+        assert agg.loc[sym, "tuw"] == stats.loc[sym, "max_tuw"]

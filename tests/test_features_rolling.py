@@ -450,3 +450,41 @@ def test_corwin_schultz_invariants_and_scaling(spark, bar_pdf):
 def test_corwin_schultz_validation(spark, bar_pdf):
     with pytest.raises(ValueError):
         corwin_schultz(spark.createDataFrame(bar_pdf), window=1)
+
+
+# ---------------------------------------------------------------------------
+# Rolling pairwise correlation (operators/cross_section.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_correlation_matches_pandas(spark, bar_pdf):
+    from polars_trading_spark.operators.cross_section import rolling_pair_correlation
+
+    out = (
+        rolling_pair_correlation(spark.createDataFrame(bar_pdf), window=WINDOW)
+        .toPandas()
+        .sort_values("ts_event_start")
+        .reset_index(drop=True)
+    )
+    assert set(zip(out.sym_a, out.sym_b)) == {("AAPL", "MSFT")}
+    rets = {}
+    for sym, grp in bar_pdf.groupby("symbol"):
+        grp = grp.sort_values("ts_event_start")
+        rets[sym] = np.log(grp["close"] / grp["close"].shift(1)).dropna().reset_index(drop=True)
+    expected = rets["AAPL"].rolling(WINDOW).corr(rets["MSFT"])
+    got = out["corr"].to_numpy()
+    np.testing.assert_allclose(got, expected.to_numpy(), rtol=1e-8, equal_nan=True)
+
+
+def test_pair_correlation_self_identity(spark, bar_pdf):
+    """Perfectly correlated series -> corr == 1 everywhere the window
+    is full; ordering is canonical (sym_a < sym_b) with no self-pairs."""
+    from polars_trading_spark.operators.cross_section import rolling_pair_correlation
+
+    dup = bar_pdf[bar_pdf.symbol == "AAPL"].copy()
+    dup["symbol"] = "ZZZZ"
+    both = spark.createDataFrame(pd.concat([bar_pdf[bar_pdf.symbol == "AAPL"], dup]))
+    out = rolling_pair_correlation(both, window=WINDOW).toPandas()
+    assert set(zip(out.sym_a, out.sym_b)) == {("AAPL", "ZZZZ")}
+    filled = out["corr"].dropna()
+    np.testing.assert_allclose(filled, 1.0, rtol=1e-9)

@@ -409,3 +409,15 @@ def test_mix_corpus_broadcast_no_collect(spark, sf_dir):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before)
     assert count_python_stages(out) == 0
+
+
+def test_pair_correlation_one_join_no_python(trades):
+    """Pairwise correlations: one ts-key self-join and the pair-window
+    shuffle — no Python, no cartesian product in the plan."""
+    from polars_trading_spark.operators.cross_section import rolling_pair_correlation
+
+    bars = _bars(trades)
+    out = rolling_pair_correlation(bars, window=20, ts_col="ts_event")
+    plan = plan_string(out)
+    assert count_python_stages(out) == 0
+    assert "CartesianProduct" not in plan
