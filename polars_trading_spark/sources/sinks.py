@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.config import column_names
 
-__all__ = ["write_trades", "write_documents", "write_bucketed"]
+__all__ = ["write_trades", "write_documents", "write_bucketed", "write_training_shards"]
 
 
 def write_trades(
@@ -104,3 +104,44 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    budget_tokens: int,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pts-pack",
+) -> None:
+    """The pipeline's last mile: shuffle + pack + write training shards.
+
+    Runs ``pack_sequences`` (deterministic salted-hash shuffle, greedy
+    fixed-budget packing), joins the text back, and writes one
+    directory per shard (``shard=N/``) with rows sorted by
+    ``(seq_id, seq_offset)`` — so a trainer streams each shard file and
+    reads documents exactly in packed-sequence order, no further
+    shuffling or indexing needed.  Re-runs are byte-stable: the layout
+    is a pure function of (corpus, budget, shards, salt).
+
+    One repartition on the shard key (the same exchange the packing
+    island needs anyway) and a partition-local sort — nothing global.
+    """
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    packed = pack_sequences(
+        docs,
+        budget_tokens=budget_tokens,
+        n_shards=n_shards,
+        id_col=id_col,
+        text_col=text_col,
+        salt=salt,
+    )
+    out = (
+        packed.join(docs.select(id_col, text_col), id_col)
+        .repartition("shard")
+        .sortWithinPartitions("seq_id", "seq_offset")
+    )
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)

@@ -30,3 +30,7 @@ __all__.append("streaming_run_bars")
 from polars_trading_spark.streaming.backtest import streaming_backtest_stats  # noqa: E402
 
 __all__.append("streaming_backtest_stats")
+
+from polars_trading_spark.streaming.packing import streaming_pack_sequences  # noqa: E402
+
+__all__.append("streaming_pack_sequences")

@@ -95,3 +95,34 @@ def test_write_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_bkt")
         spark.sql("DROP TABLE IF EXISTS a_bkt")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    """Shard directories exist, every doc appears once, and within each
+    shard the parquet row order is (seq_id, seq_offset) so a trainer
+    can stream sequences without sorting."""
+    import pandas as pd
+
+    from polars_trading_spark.sources.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 23 + 1)) for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, budget_tokens=64, n_shards=4)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == list(range(200))
+    assert set(back.select("shard").distinct().toPandas()["shard"]) <= {0, 1, 2, 3}
+    # read one shard file directly: order must be (seq_id, seq_offset)
+    import glob
+
+    files = glob.glob(f"{path}/shard=*/part-*.parquet")
+    assert files
+    pdf = pd.read_parquet(files[0])
+    key = list(zip(pdf.seq_id, pdf.seq_offset))
+    assert key == sorted(key)
+    # budget respected within every sequence of this shard
+    fill = pdf.groupby("seq_id").n_tokens.sum()
+    assert (fill <= 64).all() or (pdf.groupby("seq_id").size()[fill > 64] == 1).all()

@@ -594,3 +594,49 @@ def test_streaming_backtest_stats_matches_batch_across_batches(spark):
             assert int(got.loc[sym, "max_tuw"]) == int(batch.loc[sym, "max_tuw"])
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_pack_sequences_carries_fill_across_batches(spark):
+    """A sequence left partially filled by batch 1 must be continued by
+    batch 2 (offset > 0), and every sequence respects the budget except
+    single oversized documents."""
+    import pandas as pd
+
+    from polars_trading_spark.streaming import streaming_pack_sequences
+
+    schema = "doc_id long, text string"
+    # One shard (n_shards=1). Budget 10. Batch 1: docs of 4+4 tokens
+    # -> seq 0 filled to 8. Batch 2 first doc (2 tokens) completes seq 0
+    # at offset 8; next doc opens seq 1; a 15-token doc gets its own seq.
+    b1 = pd.DataFrame({"doc_id": [0, 1], "text": ["w " * 4, "w " * 4]})
+    b2 = pd.DataFrame(
+        {"doc_id": [2, 3, 4], "text": ["w " * 2, "w " * 7, "w " * 15]}
+    )
+    d = tempfile.mkdtemp(prefix="pts_pack_stream_")
+    try:
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{d}/f0")
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{d}/f1")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_pack_sequences(
+                stream, budget_tokens=10, n_shards=1
+            )
+
+        rows = _run_stream(spark, make, mode="update")
+        out = (
+            pd.DataFrame([r.asDict() for r in rows])
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+        assert out.seq_id.tolist() == [0, 0, 0, 1, 2]
+        assert out.seq_offset.tolist() == [0, 4, 8, 0, 0]
+        # oversized doc alone in its own sequence
+        assert out[out.doc_id == 4].n_tokens.iloc[0] == 15
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
