@@ -32,6 +32,7 @@ HEADLINE = [
     "tick_bars",
     "volume_bars",
     "dollar_bars",
+    "range_bars",
     "imbalance_bars",
     "run_bars",
     "imbalance_bars_adaptive",
@@ -70,6 +71,7 @@ HEADLINE = [
     "unigram_logprob",
     "repetition_profile",
     "tfidf_topk",
+    "tfidf_cosine_pairs",
     "corpus_stats",
     "decontaminate",
     "dedup_exact",

@@ -13,6 +13,7 @@ from polars_trading_spark.operators.asof import asof_join
 from polars_trading_spark.operators.bars import (
     bar_groups,
     dollar_bars,
+    range_bars,
     tick_bars,
     time_bars,
     volume_bars,
@@ -79,6 +80,7 @@ __all__ = [
     "tick_bars",
     "volume_bars",
     "dollar_bars",
+    "range_bars",
     "bar_groups",
     "asof_join",
     "ewm_std",

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.functions.text import tokens
 
-__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk"]
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs"]
 
 
 def term_frequencies(
@@ -108,4 +108,74 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(id_col, "token", "tf", "doc_freq", "tfidf", "rank")
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.3,
+    max_doc_freq_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Document pairs whose TF-IDF vectors have cosine similarity at or
+    above ``threshold`` — topical (bag-of-words) similarity, the IR
+    companion to the token-shingle (Jaccard) and embedding (cosine)
+    near-dup modalities.
+
+    Sparse formulation: the TF-IDF postings join themselves on the
+    *token* key, so a pair is scored only over shared terms and the
+    plan never materializes dense vectors.  Tokens appearing in more
+    than ``max_doc_freq_frac`` of documents are pruned before the join —
+    the standard max-df cut that removes the df² blowup of
+    corpus-universal terms, which smoothed IDF has already squashed to
+    near-zero weight (documented accuracy trade, exact for the
+    surviving vocabulary; the oracle applies the same cut).
+
+    Returns ``doc_a, doc_b, cosine_sim`` with ``doc_a < doc_b``.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0 < max_doc_freq_frac <= 1:
+        raise ValueError(f"max_doc_freq_frac must be in (0, 1], got {max_doc_freq_frac}")
+
+    tf = term_frequencies(df, text_col=text_col, id_col=id_col)
+    dfreq = document_frequencies(tf, id_col=id_col)
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__N"))
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") <= F.col("__N") * F.lit(float(max_doc_freq_frac)))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (F.log((F.col("__N") + 1) / (F.col("doc_freq") + 1)) + F.lit(1.0)),
+        )
+        .select(id_col, "token", "w")
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col(id_col).alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("doc_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        # Round before thresholding (same convention as
+        # embedding_cosine_pairs): group-sum association differs across
+        # engines at the last ulp, and an unrounded >= would make
+        # borderline pairs engine-dependent.
+        .withColumn(
+            "cosine_sim", F.round(F.col("dot") / (F.col("na") * F.col("nb")), round_digits)
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .select("doc_a", "doc_b", "cosine_sim")
     )

@@ -4319,3 +4319,104 @@ def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("drawdown", 6).alias("drawdown"),
         "underwater",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Range bars (operators/bars.py::range_bars) — price-clock bars;
+# the reset-on-breach recursion replayed as a recursive CTE.
+# --------------------------------------------------------------------------
+
+_RANGE_D = 25.0
+
+
+@register(
+    "range_bars",
+    f"""
+WITH RECURSIVE trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS d, ts_event, seq, price, size,
+    row_number() OVER (PARTITION BY symbol, CAST(ts_event AS DATE)
+                       ORDER BY ts_event, seq) AS rn
+  FROM trades
+),
+rec(symbol, d, rn, bar_id, open_out, gid_next) AS (
+  SELECT symbol, d, rn, CAST(0 AS BIGINT), price, CAST(0 AS BIGINT)
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.d, x.rn, x.gid,
+    CASE WHEN abs(x.price - x.o) >= {_RANGE_D!r} THEN CAST(NULL AS DOUBLE) ELSE x.o END,
+    CASE WHEN abs(x.price - x.o) >= {_RANGE_D!r} THEN x.gid + 1 ELSE x.gid END
+  FROM (
+    SELECT tt.symbol, tt.d, tt.rn, tt.price, r.gid_next AS gid,
+      coalesce(r.open_out, tt.price) AS o
+    FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn + 1
+  ) x
+),
+assigned AS (
+  SELECT r.symbol, r.d, r.bar_id, tt.ts_event, tt.seq, tt.price, tt.size
+  FROM rec r JOIN t tt ON tt.symbol = r.symbol AND tt.d = r.d AND tt.rn = r.rn
+)
+SELECT symbol,
+    {_OHLCV_ORACLE}
+FROM assigned
+GROUP BY symbol, d, bar_id
+""",
+    f"Range bars (price clock, {_RANGE_D} move from bar open closes the "
+    "bar): chunked numpy scan vs sequential recursive-CTE oracle",
+)
+def q_range_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.bars import range_bars
+
+    with _trades_config():
+        out = range_bars(trades_from_events(spark, sf_dir), _RANGE_D)
+    return _round_vwap(out)
+
+
+# --------------------------------------------------------------------------
+# C-ext. TF-IDF cosine pairs (functions/tfidf.py::tfidf_cosine_pairs)
+# --------------------------------------------------------------------------
+
+_TC_THRESH, _TC_MAXDF = 0.5, 0.5
+
+
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+tf AS (
+  SELECT doc_id, t.tok AS token, count(*) AS tf
+  FROM tok, unnest(toks) AS t(tok)
+  GROUP BY doc_id, t.tok
+),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY token),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM docs),
+w AS (
+  SELECT tf.doc_id, tf.token,
+    tf.tf * (ln((nn.N + 1) / (dfreq.doc_freq + 1)) + 1.0) AS w
+  FROM tf JOIN dfreq USING (token) CROSS JOIN nn
+  WHERE dfreq.doc_freq <= nn.N * {_TC_MAXDF!r}
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, cosine_sim FROM (
+  SELECT d.doc_a, d.doc_b,
+    round(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+) WHERE cosine_sim >= {_TC_THRESH!r}
+""",
+    f"TF-IDF cosine document pairs >= {_TC_THRESH} over shared-term sparse "
+    f"postings (max-df {_TC_MAXDF} cut; smoothed IDF)",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import tfidf_cosine_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = tfidf_cosine_pairs(docs, threshold=_TC_THRESH, max_doc_freq_frac=_TC_MAXDF)
+    return out.select("doc_a", "doc_b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -86,3 +86,59 @@ def test_dollar_bars_runs_and_conserves_volume(spark, sf_dir):
 
     total_shares = trades_from_events(spark, sf_dir).agg(F.sum("size")).collect()[0][0]
     assert sum(r["volume"] for r in out) == total_shares
+
+
+# ---------------------------------------------------------------------------
+# Range bars (operators/bars.py::range_bars)
+# ---------------------------------------------------------------------------
+
+
+def test_range_bars_handcrafted(spark):
+    """Prices 100, 101, 95, 99, 104, 96: with range 5 the breaches are
+    at 95 (|95-100|>=5 closes bar 0) and 104 (|104-99|>=5 closes bar 1),
+    leaving 96 open in bar 2."""
+    import datetime as dt
+
+    from polars_trading_spark.operators.bars import range_bars
+
+    prices = [100.0, 101.0, 95.0, 99.0, 104.0, 96.0]
+    rows = [
+        ("A", p, 10, dt.datetime(2024, 1, 1, 9, 30, i)) for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, price double, size long, ts_event timestamp")
+    with Config(timestamp_column="ts_event"):
+        out = (
+            range_bars(df, 5.0)
+            .orderBy("ts_event_start")
+            .toPandas()
+        )
+    assert len(out) == 3
+    assert out["open"].tolist() == [100.0, 99.0, 96.0]
+    assert out["close"].tolist() == [95.0, 104.0, 96.0]
+    assert out["n_trades"].tolist() == [3, 2, 1]
+
+
+def test_range_bars_price_resolution_property(spark):
+    """Every closed bar's |close - open| >= range; the final (open) bar
+    per (symbol, day) may be narrower."""
+    import numpy as np
+
+    from polars_trading_spark.operators.bars import range_bars
+    from polars_trading_spark.sources.tables import trades_from_events
+
+    with Config(timestamp_column="ts_event"):
+        out = range_bars(
+            trades_from_events(spark, "/root/testdata/sf0.001"), 25.0
+        ).toPandas()
+    out = out.sort_values(["symbol", "ts_event_start"])
+    grp = out.groupby([out.symbol, out.ts_event_start.dt.normalize()])
+    closed = grp.apply(lambda g: g.iloc[:-1], include_groups=False)
+    if len(closed):
+        assert (np.abs(closed["close"] - closed["open"]) >= 25.0).all()
+
+
+def test_range_bars_validation(spark):
+    from polars_trading_spark.operators.bars import range_bars
+
+    with pytest.raises(ValueError, match="range_size"):
+        range_bars(spark.range(1), 0.0)

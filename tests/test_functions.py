@@ -738,3 +738,52 @@ def test_pack_sequences_deterministic_shuffle(spark):
     assert a.equals(b)  # layout-independent
     c = pack_sequences(docs, budget_tokens=64, salt="other").toPandas()
     assert not a.equals(c.sort_values("doc_id").reset_index(drop=True))  # salt re-shuffles
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine pairs (functions/tfidf.py::tfidf_cosine_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_golden(spark):
+    import math
+
+    from polars_trading_spark.functions.tfidf import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana cherry"),  # identical -> cosine 1.0
+            (2, "apple banana mango"),  # shares 2 of 3 terms
+            (3, "xylophone zebra quartz"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        tfidf_cosine_pairs(docs, threshold=0.1, max_doc_freq_frac=1.0)
+        .toPandas()
+        .set_index(["doc_a", "doc_b"])
+    )
+    assert out.loc[(0, 1), "cosine_sim"] == pytest.approx(1.0)
+    # hand check (0,2): N=4; df(apple)=df(banana)=3, df(cherry)=2, df(mango)=1
+    ia = math.log(5 / 4) + 1
+    ic = math.log(5 / 3) + 1
+    im = math.log(5 / 2) + 1
+    expect = (2 * ia * ia) / math.sqrt((2 * ia * ia + ic * ic) * (2 * ia * ia + im * im))
+    assert out.loc[(0, 2), "cosine_sim"] == pytest.approx(expect, rel=1e-6)
+    assert (3 not in out.index.get_level_values("doc_a")) and (
+        3 not in out.index.get_level_values("doc_b")
+    )
+
+
+def test_tfidf_cosine_max_df_prunes_universal_terms(spark):
+    from polars_trading_spark.functions.tfidf import tfidf_cosine_pairs
+
+    # 'the' appears in every doc; with max_df 0.5 it cannot create pairs.
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} word{i}") for i in range(6)], "doc_id long, text string"
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.01, max_doc_freq_frac=0.5).toPandas()
+    assert len(out) == 0
+    out_all = tfidf_cosine_pairs(docs, threshold=0.01, max_doc_freq_frac=1.0).toPandas()
+    assert len(out_all) == 15  # all pairs share 'the'
