@@ -57,6 +57,7 @@ from polars_trading_spark.operators.imbalance import (
     imbalance_bars_adaptive,
     run_bars,
 )
+from polars_trading_spark.operators.mean_reversion import ou_fit
 from polars_trading_spark.operators.microstructure import (
     corwin_schultz,
     microstructure_features,
@@ -67,6 +68,7 @@ from polars_trading_spark.operators.structural_breaks import (
     csw_explosiveness,
     sadf,
 )
+from polars_trading_spark.operators.roll import roll_adjust
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
 from polars_trading_spark.operators.volatility import bar_volatility
 from polars_trading_spark.session import get_spark
@@ -122,6 +124,8 @@ __all__ = [
     "bet_size_from_tstat",
     "average_active_bets",
     "bar_feature_matrix",
+    "roll_adjust",
+    "ou_fit",
 ]
 
 __version__ = "0.4.0"

@@ -44,6 +44,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "positional_shingle_hashes",
+    "duplicated_span_stats",
     "connected_components",
     "unit_dedup",
 ]
@@ -82,6 +84,14 @@ def shingle_hashes(toks: Column, n: int = 3) -> Column:
     space are hash-function-deterministic, hence identical across
     engines.
     """
+    return F.array_distinct(positional_shingle_hashes(toks, n))
+
+
+def positional_shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """Word-n-gram shingle hashes in POSITION order (index i = shingle
+    starting at token i), duplicates kept — the positional form span
+    detectors need.  Same arithmetic-combine hashing as
+    ``shingle_hashes`` (which is just the distinct of this)."""
     from functools import reduce
 
     hs = F.transform(toks, lambda t: portable_hash60(t) % MERSENNE31)
@@ -90,9 +100,7 @@ def shingle_hashes(toks: Column, n: int = 3) -> Column:
     combined = reduce(
         lambda a, b: F.zip_with(a, b, lambda x, y: (x * 31 + y) % MERSENNE31), parts
     )
-    return F.array_distinct(
-        F.when(m > 0, combined).otherwise(F.array().cast("array<long>"))
-    )
+    return F.when(m > 0, combined).otherwise(F.array().cast("array<long>"))
 
 
 def _tokenized(df: DataFrame, text_col: str, id_col: str, extra: tuple[str, ...] = ()) -> DataFrame:
@@ -616,4 +624,91 @@ def unit_dedup(
             "dup_unit_frac"
         ),
         "text_deduped",
+    )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    *,
+    ngram: int = 8,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-span statistics — the distributed
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"; the same shape
+    RefinedWeb/Dolma run at web scale instead of a true suffix array).
+
+    Every ``ngram``-token shingle (positional, not distinct) is hashed;
+    a shingle is *duplicated* when it occurs in ≥ ``min_docs`` distinct
+    documents.  Per document this emits shingle- and token-level
+    duplication: ``dup_token_cov`` is the exact size of the union of all
+    duplicated spans ``[i, i+ngram)`` — computed with one ``lag`` window
+    over the sorted duplicated positions (``Σ min(ngram, pos_i −
+    pos_{i−1})``), not by exploding tokens.
+
+    Output: ``doc_id, n_tokens, n_shingles, dup_shingles,
+    dup_token_cov, dup_frac, keep`` (keep = ``dup_frac ≤
+    max_dup_frac``; docs with no tokens keep).
+
+    100 TB shape: positional shingles explode the corpus ×~1 row per
+    token, but every subsequent step is an equi-join or hash aggregate
+    on the shingle hash — the global duplicated-shingle set is the only
+    wide dependency and it shrinks with ``min_docs``.  No all-pairs
+    stage exists anywhere.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    base = _tokenized(df, text_col, id_col)
+    totals = base.select(
+        F.col("__id"), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    ps = base.select(
+        "__id",
+        F.posexplode(positional_shingle_hashes(F.col("__toks"), ngram)).alias(
+            "pos", "h"
+        ),
+    )
+    dup = (
+        ps.groupBy("h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    hits = ps.join(dup, "h")
+
+    w = Window.partitionBy("__id").orderBy("pos")
+    cov_term = F.coalesce(
+        F.least(F.lit(ngram), F.col("pos") - F.lag("pos").over(w)),
+        F.lit(ngram),
+    )
+    per_doc = (
+        hits.withColumn("__c", cov_term)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("dup_shingles"),
+            F.sum("__c").cast("long").alias("dup_token_cov"),
+        )
+    )
+
+    out = totals.join(per_doc, "__id", "left")
+    n_sh = F.greatest(F.col("n_tokens") - (ngram - 1), F.lit(0)).cast("long")
+    dup_sh = F.coalesce("dup_shingles", F.lit(0)).cast("long")
+    cov = F.coalesce("dup_token_cov", F.lit(0)).cast("long")
+    frac = F.when(
+        F.col("n_tokens") > 0, cov / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        n_sh.alias("n_shingles"),
+        dup_sh.alias("dup_shingles"),
+        cov.alias("dup_token_cov"),
+        frac.alias("dup_frac"),
+        (frac <= F.lit(float(max_dup_frac))).alias("keep"),
     )

@@ -4420,3 +4420,219 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     out = tfidf_cosine_pairs(docs, threshold=_TC_THRESH, max_doc_freq_frac=_TC_MAXDF)
     return out.select("doc_a", "doc_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+# --------------------------------------------------------------------------
+# C-ext. Roll-gap adjustment (operators/roll.py::roll_adjust) — AFML 2.4
+# futures-roll / ETF-trick splice; weekly first-tick boundaries derived
+# from the data itself so the query is self-contained.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "roll_adjust",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+b AS (
+  SELECT symbol, min(ts_event) AS ts_event
+  FROM trades GROUP BY symbol, date_trunc('week', ts_event)
+),
+u AS (
+  SELECT symbol, ts_event, CAST(NULL AS DOUBLE) AS price,
+         CAST(-1 AS BIGINT) AS seq, 0 AS kind FROM b
+  UNION ALL
+  SELECT symbol, ts_event, price, seq, 1 AS kind FROM trades
+),
+f AS (
+  SELECT *,
+    last_value(price IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY ts_event, kind, seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_p,
+    first_value(price IGNORE NULLS) OVER (
+      PARTITION BY symbol ORDER BY ts_event, kind, seq
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+  FROM u
+),
+g AS (
+  SELECT *, CASE WHEN kind = 0 AND prev_p IS NOT NULL AND next_p IS NOT NULL
+                 THEN next_p - prev_p ELSE 0.0 END AS gap
+  FROM f
+),
+c AS (
+  SELECT *,
+    sum(gap) OVER (PARTITION BY symbol ORDER BY ts_event, kind, seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+  FROM g
+),
+c2 AS (
+  SELECT *, last_value(cg) OVER (PARTITION BY symbol ORDER BY ts_event, kind, seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS tg
+  FROM c
+)
+SELECT symbol, ts_event, price, round(price + (tg - cg), 6) + 0 AS adj_price
+FROM c2 WHERE kind = 1
+""",
+    "Roll-gap backward adjustment (AFML 2.4): weekly first-tick "
+    "boundaries, gap = flanking-price jump, latest segment unadjusted",
+)
+def q_roll_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.roll import roll_adjust
+
+    with _trades_config():
+        t = trades_from_events(spark, sf_dir)
+        pts = t.groupBy(
+            "symbol", F.date_trunc("week", "ts_event").alias("__wk")
+        ).agg(F.min("ts_event").alias("roll_ts")).drop("__wk")
+        out = roll_adjust(t, pts, method="backward")
+    # ``+ 0`` folds IEEE -0.0 (an adjustment that exactly cancels the
+    # price) to +0.0 on both engines — string-keyed row sorts distinguish
+    # the two and misalign the driver compare otherwise.
+    return out.select(
+        "symbol",
+        "ts_event",
+        "price",
+        (F.round("adj_price", 6) + F.lit(0.0)).alias("adj_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. O-U / AR(1) mean-reversion fit (operators/mean_reversion.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ou_fit",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+p AS (
+  SELECT symbol, ln(price) AS y,
+    lag(ln(price)) OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS x
+  FROM trades
+),
+s AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(y*y) AS syy,
+    sum(x*y) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY symbol
+),
+fit AS (
+  SELECT symbol, n_obs,
+    CASE WHEN n_obs >= 3 AND n_obs*sxx - sx*sx > 0
+         THEN (n_obs*sxy - sx*sy) / (n_obs*sxx - sx*sx) END AS phi,
+    sx, sy, sxx, syy, sxy
+  FROM s
+),
+ab AS (
+  SELECT *, CASE WHEN phi IS NOT NULL THEN (sy - phi*sx) / n_obs END AS a
+  FROM fit
+),
+sig AS (
+  SELECT *,
+    CASE WHEN phi IS NOT NULL AND n_obs > 3 THEN
+      sqrt(greatest(syy + n_obs*a*a + phi*phi*sxx - 2*a*sy - 2*phi*sxy
+                    + 2*a*phi*sx, 0.0) / (n_obs - 2)) END AS sigma
+  FROM ab
+)
+SELECT symbol, n_obs,
+  round(phi, 6) AS phi,
+  round(CASE WHEN phi IS NOT NULL AND phi <> 1.0 THEN a / (1 - phi) END, 6) AS mu,
+  round(CASE WHEN phi > 0 AND phi < 1 THEN -ln(2.0) / ln(phi) END, 6) AS half_life,
+  round(sigma, 6) AS sigma,
+  round(CASE WHEN phi > 0 AND phi < 1 THEN sigma / sqrt(1 - phi*phi) END, 6)
+    AS sigma_eq
+FROM sig
+""",
+    "Per-symbol AR(1)/O-U fit on log tick prices: phi, equilibrium mu, "
+    "half-life, residual and stationary sigma — one lag window + one "
+    "hash aggregate",
+)
+def q_ou_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import ou_fit
+
+    t = trades_from_events(spark, sf_dir)
+    out = ou_fit(t, ts_col="ts_event", close_col="price")
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("phi", 6).alias("phi"),
+        F.round("mu", 6).alias("mu"),
+        F.round("half_life", 6).alias("half_life"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("sigma_eq", 6).alias("sigma_eq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-doc duplicated spans (functions/dedup.py::
+# duplicated_span_stats) — the exact-substring-dedup approximation.
+# --------------------------------------------------------------------------
+
+_DSP_N = 8
+
+
+def _sql_positional_shingles(n: int) -> str:
+    """DuckDB twin of ``dedup.positional_shingle_hashes``: (doc_id, pos,
+    h) rows, pos 0-based, duplicates kept.  Expects the ``tok`` CTE."""
+    combined = "hs[i+1]"
+    for j in range(2, n + 1):
+        combined = f"(({combined}) * 31 + hs[i+{j}]) % {MERSENNE31}"
+    return f"""hs AS (
+  SELECT doc_id, [{_sql_hash60("t")} % {MERSENNE31} for t in toks] AS hs FROM tok
+),
+ps AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (SELECT doc_id,
+          unnest([{{'pos': i, 'h': {combined}}}
+                  for i in range(0, len(hs) - {n - 1})]) AS u
+        FROM hs)
+)"""
+
+
+@register(
+    "dup_spans",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_positional_shingles(_DSP_N)},
+dup AS (SELECT h FROM ps GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+lagged AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (h))
+),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_shingles,
+    CAST(sum(CASE WHEN prev IS NULL THEN {_DSP_N}
+             ELSE least({_DSP_N}, pos - prev) END) AS BIGINT) AS dup_token_cov
+  FROM lagged GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT t.doc_id, t.n_tokens,
+  CAST(greatest(t.n_tokens - {_DSP_N - 1}, 0) AS BIGINT) AS n_shingles,
+  coalesce(c.dup_shingles, CAST(0 AS BIGINT)) AS dup_shingles,
+  coalesce(c.dup_token_cov, CAST(0 AS BIGINT)) AS dup_token_cov,
+  round(CASE WHEN t.n_tokens > 0
+        THEN coalesce(c.dup_token_cov, 0) / CAST(t.n_tokens AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_frac,
+  (CASE WHEN t.n_tokens > 0
+   THEN coalesce(c.dup_token_cov, 0) / CAST(t.n_tokens AS DOUBLE)
+   ELSE 0.0 END) <= 0.5 AS keep
+FROM tot t LEFT JOIN cov c USING (doc_id)
+""",
+    f"Cross-doc duplicated {_DSP_N}-gram spans (exact-substring-dedup "
+    "approximation): per-doc duplicated shingle count and exact "
+    "union-of-spans token coverage",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import duplicated_span_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicated_span_stats(docs, ngram=_DSP_N, min_docs=2, max_dup_frac=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_shingles",
+        "dup_shingles",
+        "dup_token_cov",
+        F.round("dup_frac", 6).alias("dup_frac"),
+        "keep",
+    )

@@ -1,0 +1,145 @@
+"""Roll-gap adjustment (operators/roll.py) and O-U/AR(1) fit
+(operators/mean_reversion.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from polars_trading_spark.config import Config
+from polars_trading_spark.operators.mean_reversion import ou_fit
+from polars_trading_spark.operators.roll import roll_adjust
+
+
+def _ts(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def spliced(spark):
+    # Two segments with a +10 roll gap at 12:00: 100, 101 | 111, 112.
+    rows = [
+        ("A", _ts(9), 100.0, 0),
+        ("A", _ts(10), 101.0, 1),
+        ("A", _ts(13), 111.0, 2),
+        ("A", _ts(14), 112.0, 3),
+    ]
+    return spark.createDataFrame(rows, "symbol string, ts timestamp, price double, __pts_seq long")
+
+
+def _pts(spark, ts):
+    return spark.createDataFrame([("A", ts)], "symbol string, roll_ts timestamp")
+
+
+def test_roll_backward_latest_segment_true(spark, spliced):
+    with Config(timestamp_column="ts"):
+        out = roll_adjust(spliced, _pts(spark, _ts(12)), method="backward")
+    got = {r["ts"]: r["adj_price"] for r in out.collect()}
+    # gap = 111 - 101 = 10; earlier segment shifted up by 10, later true.
+    assert got[_ts(9)] == pytest.approx(110.0)
+    assert got[_ts(10)] == pytest.approx(111.0)
+    assert got[_ts(13)] == pytest.approx(111.0)
+    assert got[_ts(14)] == pytest.approx(112.0)
+
+
+def test_roll_forward_first_segment_true(spark, spliced):
+    with Config(timestamp_column="ts"):
+        out = roll_adjust(spliced, _pts(spark, _ts(12)), method="forward")
+    got = {r["ts"]: r["adj_price"] for r in out.collect()}
+    assert got[_ts(9)] == pytest.approx(100.0)
+    assert got[_ts(13)] == pytest.approx(101.0)
+
+
+def test_roll_ratio_preserves_returns(spark, spliced):
+    with Config(timestamp_column="ts"):
+        out = roll_adjust(spliced, _pts(spark, _ts(12)), method="ratio")
+    got = {r["ts"]: r["adj_price"] for r in out.collect()}
+    # ratio = 111/101; earlier segment multiplied by it, later unchanged.
+    assert got[_ts(9)] == pytest.approx(100.0 * 111.0 / 101.0)
+    assert got[_ts(13)] == pytest.approx(111.0)
+    # cross-boundary return becomes the within-series return 111->111.
+    assert got[_ts(10)] == pytest.approx(111.0)
+
+
+def test_roll_boundary_at_trade_ts_starts_new_segment(spark, spliced):
+    # Boundary exactly at 13:00: the 13:00 trade is in the NEW segment,
+    # so gap = 111 - 101 still.
+    with Config(timestamp_column="ts"):
+        out = roll_adjust(spliced, _pts(spark, _ts(13)), method="backward")
+    got = {r["ts"]: r["adj_price"] for r in out.collect()}
+    assert got[_ts(10)] == pytest.approx(111.0)
+    assert got[_ts(13)] == pytest.approx(111.0)
+
+
+def test_roll_edge_boundaries_zero_gap(spark, spliced):
+    # Boundaries before all trades and after all trades adjust nothing.
+    pts = spark.createDataFrame(
+        [("A", _ts(8)), ("A", _ts(20))], "symbol string, roll_ts timestamp"
+    )
+    with Config(timestamp_column="ts"):
+        out = roll_adjust(spliced, pts, method="backward")
+    got = {r["ts"]: r["adj_price"] for r in out.collect()}
+    assert got[_ts(9)] == pytest.approx(100.0)
+    assert got[_ts(14)] == pytest.approx(112.0)
+
+
+def test_roll_bad_method(spark, spliced):
+    with pytest.raises(ValueError, match="method"):
+        roll_adjust(spliced, _pts(spark, _ts(12)), method="nope")
+
+
+def test_ou_fit_matches_numpy_ols(spark):
+    rng = np.random.default_rng(7)
+    x = [0.0]
+    for _ in range(399):
+        x.append(0.05 + 0.9 * x[-1] + 0.1 * rng.standard_normal())
+    prices = np.exp(np.array(x))
+    rows = [
+        ("A", datetime(2024, 1, 1, 0, 0, 0).replace(minute=i % 60, hour=i // 60), float(p))
+        for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    out = ou_fit(df, ts_col="ts", close_col="close").collect()[0]
+
+    lx, ly = np.array(x[:-1]), np.array(x[1:])
+    A = np.vstack([lx, np.ones_like(lx)]).T
+    (phi, a), res, *_ = np.linalg.lstsq(A, ly, rcond=None)
+    sigma = float(np.sqrt(res[0] / (len(ly) - 2)))
+    assert out["n_obs"] == 399
+    assert out["phi"] == pytest.approx(phi, rel=1e-9)
+    assert out["mu"] == pytest.approx(a / (1 - phi), rel=1e-9)
+    assert out["half_life"] == pytest.approx(-np.log(2) / np.log(phi), rel=1e-9)
+    assert out["sigma"] == pytest.approx(sigma, rel=1e-9)
+    assert out["sigma_eq"] == pytest.approx(sigma / np.sqrt(1 - phi**2), rel=1e-9)
+
+
+def test_ou_fit_too_short_and_degenerate(spark):
+    rows = [
+        ("S", _ts(9), 100.0),
+        ("S", _ts(10), 101.0),
+        # constant series: degenerate regressor
+        ("C", _ts(9), 50.0),
+        ("C", _ts(10), 50.0),
+        ("C", _ts(11), 50.0),
+        ("C", _ts(12), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    got = {r["symbol"]: r for r in ou_fit(df, ts_col="ts", close_col="close").collect()}
+    assert got["S"]["phi"] is None  # only 1 pair
+    assert got["C"]["phi"] is None  # zero variance regressor
+
+
+def test_ou_fit_non_reverting_null_half_life(spark):
+    # Explosive AR(1): phi > 1 -> half_life and sigma_eq null, phi real.
+    x = [1.0]
+    for _ in range(49):
+        x.append(x[-1] * 1.1)
+    rows = [("A", _ts(i // 60, i % 60), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    out = ou_fit(df, ts_col="ts", close_col="close", use_log=True).collect()[0]
+    assert out["phi"] is not None and out["phi"] > 1.0 or out["phi"] == pytest.approx(1.0, abs=1e-6)
+    assert out["half_life"] is None
+    assert out["sigma_eq"] is None
