@@ -69,6 +69,7 @@ from polars_trading_spark.operators.structural_breaks import (
     sadf,
 )
 from polars_trading_spark.operators.roll import roll_adjust
+from polars_trading_spark.operators.seasonality import intraday_profile
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
 from polars_trading_spark.operators.volatility import bar_volatility
 from polars_trading_spark.session import get_spark
@@ -126,6 +127,7 @@ __all__ = [
     "bar_feature_matrix",
     "roll_adjust",
     "ou_fit",
+    "intraday_profile",
 ]
 
 __version__ = "0.4.0"

@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_topk",
     "embedding_cosine_pairs",
+    "semdedup",
 ]
 
 
@@ -604,4 +605,83 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "pq_score")
+    )
+
+
+def semdedup(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    centroid_method: str = "kmeans",
+) -> DataFrame:
+    """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
+    2023): cluster the corpus with a coarse quantizer, then inside each
+    cluster drop rows whose cosine similarity to a LOWER-ID member
+    reaches ``threshold``.
+
+    Semantics (deterministic, non-iterative): a row is a duplicate iff
+    ANY same-cell row with a smaller id is within ``threshold`` —
+    whether or not that row is itself dropped.  ``dup_of`` reports the
+    highest-similarity such neighbor (ties to lowest id).  This is the
+    one-pass variant of the paper's keep-one-per-ε-ball rule; it never
+    needs a sequential sweep, so it stays two equi-joins at any scale.
+
+    Output: ``vec_id, cell, dup_of, dup_sim, keep``.
+
+    100 TB shape: identical to IVF — one broadcast centroid pack, one
+    shuffle on cell id, and a within-cell self-join whose fan-out is
+    bounded by cell population (n_cells is the skew dial; raise it until
+    cells fit).  Never an unbucketed all-pairs join.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    if centroid_method == "kmeans":
+        trained = kmeans_centroids(
+            corpus, n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+        )
+        cents = corpus.sparkSession.createDataFrame(
+            [(trained,)], "__cents: array<array<double>>"
+        )
+    elif centroid_method == "lowest_id":
+        cents = _vector_pack(corpus, n_cells, id_col=id_col, vec_col=vec_col, out_col="__cents")
+    else:
+        raise ValueError(
+            f"centroid_method must be 'kmeans' or 'lowest_id', got {centroid_method!r}"
+        )
+
+    c = (
+        corpus.select(F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sims", _centroid_sims_col(F.col("__v"), F.col("__cents")))
+        .withColumn("cell", (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1).cast("int"))
+        .select("__id", "__v", "cell")
+    )
+
+    a = c.select(F.col("__id").alias("__aid"), F.col("__v").alias("__av"), "cell")
+    b = c.select(F.col("__id").alias("__bid"), F.col("__v").alias("__bv"), "cell")
+    pairs = (
+        a.join(b, on="cell")
+        .where(F.col("__bid") < F.col("__aid"))
+        .withColumn("__sim", F.round(cosine(F.col("__av"), F.col("__bv")), round_digits))
+        .where(F.col("__sim") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("__aid").orderBy(F.col("__sim").desc(), F.col("__bid"))
+    best = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("__aid"), F.col("__bid").alias("dup_of"), F.col("__sim").alias("dup_sim"))
+    )
+
+    out = c.join(best, c["__id"] == best["__aid"], "left")
+    return out.select(
+        F.col("__id").alias(id_col),
+        "cell",
+        "dup_of",
+        "dup_sim",
+        F.col("dup_of").isNull().alias("keep"),
     )

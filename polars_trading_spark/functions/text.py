@@ -17,6 +17,7 @@ from polars_trading_spark._utils import col_or_lit
 
 __all__ = [
     "normalize_text",
+    "bpe_pair_counts",
     "tokens",
     "token_count",
     "portable_hash60",
@@ -415,4 +416,49 @@ def unigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "mean_logprob",
         F.exp(-F.col("mean_logprob")).alias("ppl"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    *,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the inner-loop
+    statistic of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016: each BPE merge round picks the most frequent adjacent symbol
+    pair; this operator is that round's global count, distributed).
+
+    Output: ``(pair, count, rank)`` — the ``top_k`` most frequent
+    2-character sequences inside normalized words, rank 1-based, ties
+    broken by pair text ascending so the cutoff is deterministic.
+
+    100 TB shape: explode words → explode in-word pairs → ONE hash
+    aggregate with map-side partial combine (the pair alphabet is tiny,
+    so the shuffle carries at most |alphabet|² rows per task) → a
+    distributed TakeOrderedAndProject for the top-k.  No sort of the
+    full pair table, no driver-side counting.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    w = F.explode(tokens(F.col(text_col))).alias("__w")
+    words = df.select(w)
+    chars = F.split(F.col("__w"), "")
+    n = F.size(chars)
+    pairs = F.zip_with(
+        F.slice(chars, 1, n - 1),
+        F.slice(chars, 2, n - 1),
+        lambda a, b: F.concat(a, b),
+    )
+    exploded = words.where(n >= 2).select(F.explode(pairs).alias("pair"))
+    counts = exploded.groupBy("pair").agg(F.count(F.lit(1)).alias("count"))
+    order = [F.desc("count"), F.asc("pair")]
+    top = counts.orderBy(*order).limit(top_k)
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
     )

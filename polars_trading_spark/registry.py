@@ -4636,3 +4636,146 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dup_frac", 6).alias("dup_frac"),
         "keep",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. SemDeDup (functions/similarity.py::semdedup) — cluster-scoped
+# embedding dedup; lowest-id centroids so the oracle replays assignment
+# exactly (the kmeans training path is already gated by
+# similarity_topk_ivf_kmeans).
+# --------------------------------------------------------------------------
+
+_SD_EPS = 0.95
+
+
+@register(
+    "semdedup",
+    f"""
+WITH
+{_EMB_CTE},
+cent AS (
+  SELECT v AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_CELLS})
+),
+cell_sims AS (
+  SELECT c.vec_id, c.v, cent.j,
+         list_sum([cv[i+1] * v[i+1] for i in range(0, len(v))])
+           / (sqrt(list_sum([x * x for x in cv])) * {_NORM_V}) AS csim
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vid, b.vec_id AS bid,
+         round(list_sum([a.v[i+1] * b.v[i+1] for i in range(0, len(a.v))])
+               / (sqrt(list_sum([x * x for x in a.v]))
+                  * sqrt(list_sum([y * y for y in b.v]))), 6) AS sim
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+),
+best AS (
+  SELECT vid, bid, sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, bid) AS rn
+        FROM pairs WHERE sim >= {_SD_EPS!r})
+  WHERE rn = 1
+)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, b.bid AS dup_of,
+       b.sim AS dup_sim, b.bid IS NULL AS keep
+FROM assigned a LEFT JOIN best b ON b.vid = a.vec_id
+""",
+    f"SemDeDup: coarse-quantizer cells (8 lowest-id centroids), within-"
+    f"cell cosine >= {_SD_EPS} to a lower id marks a duplicate",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.semdedup(
+        emb, n_cells=_N_CELLS, threshold=_SD_EPS, centroid_method="lowest_id"
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# C-ext. BPE pair statistics (functions/text.py::bpe_pair_counts) — the
+# tokenizer-training merge-round count.
+# --------------------------------------------------------------------------
+
+_BPE_K = 50
+
+
+@register(
+    "bpe_pairs",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+words AS (SELECT unnest(toks) AS w FROM tok),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair
+  FROM words WHERE len(w) >= 2
+),
+counts AS (SELECT pair, CAST(count(*) AS BIGINT) AS count FROM pairs GROUP BY pair)
+SELECT pair, count,
+       CAST(row_number() OVER (ORDER BY count DESC, pair) AS INTEGER) AS rank
+FROM counts ORDER BY count DESC, pair LIMIT {_BPE_K}
+""",
+    f"Top-{_BPE_K} adjacent in-word character pairs (the BPE tokenizer "
+    "merge-round statistic) with deterministic tie order",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import bpe_pair_counts
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=_BPE_K)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Intraday seasonality profile (operators/seasonality.py)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "intraday_profile",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol,
+    CAST(floor((EXTRACT(hour FROM ts_event) * 60 + EXTRACT(minute FROM ts_event)) / 60.0)
+         AS INTEGER) AS bucket,
+    CAST(size AS DOUBLE) AS sz, price,
+    abs(ln(price / lag(price) OVER (
+      PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq))) AS ar
+  FROM trades
+),
+g AS (
+  SELECT symbol, bucket, CAST(count(*) AS BIGINT) AS n_trades,
+    sum(sz) AS volume, sum(sz * price) AS dv, avg(ar) AS mar
+  FROM t GROUP BY symbol, bucket
+)
+SELECT symbol, bucket, n_trades, volume,
+  round(dv / 1e6, 4) AS dollar_volume_mm,
+  round(volume / sum(volume) OVER (PARTITION BY symbol), 6) AS volume_share,
+  round(n_trades / sum(n_trades) OVER (PARTITION BY symbol), 6) AS trade_share,
+  round(mar, 6) AS mean_abs_ret
+FROM g
+""",
+    "Per-symbol hourly time-of-day profile: trade/volume shares and mean "
+    "absolute tick return (returns computed within (symbol, date) "
+    "islands)",
+)
+def q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.seasonality import intraday_profile
+
+    with _trades_config():
+        out = intraday_profile(trades_from_events(spark, sf_dir), bucket_minutes=60)
+    return out.select(
+        "symbol",
+        "bucket",
+        "n_trades",
+        "volume",
+        F.round(F.col("dollar_volume") / F.lit(1e6), 4).alias("dollar_volume_mm"),
+        F.round("volume_share", 6).alias("volume_share"),
+        F.round("trade_share", 6).alias("trade_share"),
+        F.round("mean_abs_ret", 6).alias("mean_abs_ret"),
+    )
