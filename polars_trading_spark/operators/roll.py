@@ -89,8 +89,16 @@ def roll_adjust(
     prev_p = F.last(p, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    next_p = F.first(p, ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
+    # "First trade at/after" via the DESCENDING running frame, not a
+    # [current, unbounded following] frame — Spark's
+    # UnboundedFollowingWindowFunctionFrame re-aggregates the remaining
+    # rows per row (O(n²) per partition); the reversed ordering makes it
+    # a plain O(n) running last() (same rewrite as operators/asof.py).
+    w_desc = Window.partitionBy(symbol).orderBy(
+        F.desc(ts), F.desc(_KIND), F.desc(SEQ_COL)
+    )
+    next_p = F.last(p, ignorenulls=True).over(
+        w_desc.rowsBetween(Window.unboundedPreceding, 0)
     )
     at_bound = F.col(_KIND) == 0
     gap = F.when(

@@ -1,0 +1,107 @@
+"""Plan contracts for the round-4 additions (roll, O-U, seasonality,
+dup spans, semdedup, BPE pairs) — the shapes that decide 100× scale
+survival."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_trading_spark.config import Config
+from polars_trading_spark.plans import (
+    count_exchanges,
+    count_python_stages,
+    plan_string,
+)
+from polars_trading_spark.sources.tables import trades_from_events
+
+
+@pytest.fixture
+def trades(spark, sf_dir):
+    return trades_from_events(spark, sf_dir)
+
+
+def _executed(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_roll_adjust_single_symbol_shuffle_no_python(spark, trades):
+    from polars_trading_spark.operators.roll import roll_adjust
+
+    with Config(timestamp_column="ts_event"):
+        pts = trades.groupBy(
+            "symbol", F.date_trunc("week", "ts_event").alias("__wk")
+        ).agg(F.min("ts_event").alias("roll_ts")).drop("__wk")
+        out = roll_adjust(trades, pts, method="backward")
+    assert count_python_stages(out) == 0
+    # boundary group-by + ONE symbol-hash exchange reused by all windows
+    assert count_exchanges(out) <= 2
+    # the only whole-frame window is the O(n) full-partition total; the
+    # quadratic [current, unbounded following] running shape must not
+    # appear: every unboundedfollowing frame must also start unbounded.
+    plan = _executed(out).lower()
+    for m in re.finditer(r"specifiedwindowframe\(rowframe, ([^,]*), unboundedfollowing", plan):
+        assert "unboundedpreceding" in m.group(1)
+
+
+def test_ou_fit_one_window_one_agg_no_join(spark, trades):
+    from polars_trading_spark.operators.mean_reversion import ou_fit
+
+    out = ou_fit(trades, ts_col="ts_event", close_col="price")
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    assert "Join" not in plan
+    # lag window + hash aggregate: at most 2 exchanges
+    assert count_exchanges(out) <= 2
+
+
+def test_intraday_profile_no_join_no_python(spark, trades):
+    from polars_trading_spark.operators.seasonality import intraday_profile
+
+    with Config(timestamp_column="ts_event"):
+        out = intraday_profile(trades, bucket_minutes=60)
+    assert count_python_stages(out) == 0
+    assert "Join" not in _executed(out)
+
+
+def test_bpe_pairs_distributed_topk_no_global_sort(spark, sf_dir):
+    from polars_trading_spark.functions.text import bpe_pair_counts
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bpe_pair_counts(docs, top_k=20)
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_spans_no_cartesian(spark, sf_dir):
+    from polars_trading_spark.functions.dedup import duplicated_span_stats
+    from polars_trading_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicated_span_stats(docs, ngram=8)
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_only_broadcast_pack_is_nested_loop(spark, sf_dir):
+    from polars_trading_spark.functions.similarity import semdedup
+    from polars_trading_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, n_cells=8, threshold=0.95, centroid_method="lowest_id")
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    # The centroid pack rides a ONE-ROW broadcast (one BNLJ per
+    # reference to the assigned frame — bounded by plan shape, not data);
+    # the pair join itself must be a hash equi-join on the cell id.
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 3
+    assert re.search(r"BroadcastHashJoin \[cell#\d+\], \[cell#\d+\]", plan) or re.search(
+        r"SortMergeJoin \[cell#\d+\], \[cell#\d+\]", plan
+    )
