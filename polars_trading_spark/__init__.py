@@ -57,7 +57,7 @@ from polars_trading_spark.operators.imbalance import (
     imbalance_bars_adaptive,
     run_bars,
 )
-from polars_trading_spark.operators.mean_reversion import ou_fit
+from polars_trading_spark.operators.mean_reversion import cointegration_fit, ou_fit
 from polars_trading_spark.operators.microstructure import (
     corwin_schultz,
     microstructure_features,
@@ -128,6 +128,7 @@ __all__ = [
     "roll_adjust",
     "ou_fit",
     "intraday_profile",
+    "cointegration_fit",
 ]
 
 __version__ = "0.4.0"

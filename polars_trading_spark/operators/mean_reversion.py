@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ou_fit"]
+__all__ = ["cointegration_fit", "ou_fit"]
 
 
 def ou_fit(
@@ -87,4 +87,98 @@ def ou_fit(
         half_life.alias("half_life"),
         sigma.alias("sigma"),
         sigma_eq.alias("sigma_eq"),
+    )
+
+
+def cointegration_fit(
+    bars: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    use_log: bool = True,
+) -> DataFrame:
+    """Engle-Granger step-1 cointegration fit for every unordered symbol
+    pair, plus the AR(1) mean-reversion speed of the spread — the
+    stat-arb pair screen run *inside* the engine.
+
+    For each pair (a < b) over timestamps both symbols share:
+
+    * ``beta``/``alpha`` — OLS hedge ratio of x_a on x_b (x = log close)
+    * ``resid_std``      — std of the spread e = x_a − α − β·x_b
+    * ``phi``            — AR(1) slope of e (mean-reversion speed; the
+      Engle-Granger unit-root check is ``phi`` far below 1)
+    * ``half_life``      — ``−ln 2 / ln phi`` bars (null unless 0<phi<1)
+
+    Distributed shape: a co-partitioned timestamp self-join builds the
+    paired frame (O(pairs × bars) — quadratic in universe WIDTH, never
+    in history), then TWO hash aggregates over the pair key with one
+    coefficient join-back between them.  Compare ``ou_fit``: the same
+    explicit-sum algebra on the spread instead of the raw series.
+    """
+    c = F.col(close_col).cast("double")
+    x = F.log(c) if use_log else c
+    r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__x").alias("__xa")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__x").alias("__xb")
+    )
+    paired = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
+
+    s1 = paired.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xa").alias("__sa"),
+        F.sum("__xb").alias("__sb"),
+        F.sum(F.col("__xb") * F.col("__xb")).alias("__sbb"),
+        F.sum(F.col("__xa") * F.col("__xb")).alias("__sab"),
+    )
+    n = F.col("__n").cast("double")
+    den = n * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    ok = (F.col("__n") >= 3) & (den > 0)
+    beta = F.when(ok, (n * F.col("__sab") - F.col("__sa") * F.col("__sb")) / den)
+    alpha = F.when(ok, (F.col("__sa") - beta * F.col("__sb")) / n)
+    coefs = s1.select(
+        "sym_a", "sym_b", F.col("__n").cast("long").alias("n_obs"),
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+
+    j = paired.join(coefs, on=["sym_a", "sym_b"])
+    e = F.col("__xa") - F.col("alpha") - F.col("beta") * F.col("__xb")
+    order = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    j = j.withColumn("__e", e).withColumn("__el", F.lag("__e").over(order))
+
+    both = F.col("__e").isNotNull() & F.col("__el").isNotNull()
+    s2 = j.groupBy("sym_a", "sym_b", "n_obs", "beta", "alpha").agg(
+        F.sum("__e").alias("__se_all"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__se2_all"),
+        F.count("__e").alias("__n_all"),
+        F.sum(F.when(both, F.col("__el"))).alias("__sl"),
+        F.sum(F.when(both, F.col("__e"))).alias("__sc"),
+        F.sum(F.when(both, F.col("__el") * F.col("__el"))).alias("__sll"),
+        F.sum(F.when(both, F.col("__e") * F.col("__el"))).alias("__scl"),
+        F.count(F.when(both, F.lit(1))).alias("__np"),
+    )
+    n_all = F.col("__n_all").cast("double")
+    var_e = (F.col("__se2_all") - F.col("__se_all") * F.col("__se_all") / n_all) / (
+        n_all - 1
+    )
+    resid_std = F.when(F.col("__n_all") >= 2, F.sqrt(F.greatest(var_e, F.lit(0.0))))
+    np_ = F.col("__np").cast("double")
+    den2 = np_ * F.col("__sll") - F.col("__sl") * F.col("__sl")
+    ok2 = (F.col("__np") >= 3) & (den2 > 0)
+    phi = F.when(ok2, (np_ * F.col("__scl") - F.col("__sc") * F.col("__sl")) / den2)
+    reverts = ok2 & (phi > 0) & (phi < 1)
+    half_life = F.when(reverts, -F.log(F.lit(2.0)) / F.log(phi))
+
+    return s2.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        "alpha",
+        "beta",
+        resid_std.alias("resid_std"),
+        phi.alias("phi"),
+        half_life.alias("half_life"),
     )

@@ -4779,3 +4779,87 @@ def q_intraday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trade_share", 6).alias("trade_share"),
         F.round("mean_abs_ret", 6).alias("mean_abs_ret"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Engle-Granger cointegration screen (operators/mean_reversion.py::
+# cointegration_fit) over the shared 15m bar frame.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cointegration",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (SELECT symbol, ts, ln(close) AS x FROM bars),
+p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts, a.x AS xa, b.x AS xb
+  FROM r a JOIN r b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+s1 AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(xa) AS sa, sum(xb) AS sb, sum(xb*xb) AS sbb, sum(xa*xb) AS sab
+  FROM p GROUP BY sym_a, sym_b
+),
+cf AS (
+  SELECT sym_a, sym_b, n_obs, sa, sb,
+    CASE WHEN n_obs >= 3 AND n_obs*sbb - sb*sb > 0
+         THEN (n_obs*sab - sa*sb) / (n_obs*sbb - sb*sb) END AS beta
+  FROM s1
+),
+cf2 AS (
+  SELECT sym_a, sym_b, n_obs, beta,
+    CASE WHEN beta IS NOT NULL THEN (sa - beta*sb) / n_obs END AS alpha
+  FROM cf
+),
+l AS (
+  SELECT e.*, lag(e) OVER (PARTITION BY sym_a, sym_b ORDER BY ts) AS el
+  FROM (
+    SELECT p.sym_a, p.sym_b, c.n_obs, c.beta, c.alpha, p.ts,
+           p.xa - c.alpha - c.beta * p.xb AS e
+    FROM p JOIN cf2 c USING (sym_a, sym_b)
+  ) e
+),
+s2 AS (
+  SELECT sym_a, sym_b, n_obs, beta, alpha,
+    sum(e) AS se_all, sum(e*e) AS se2_all, count(e) AS n_all,
+    sum(CASE WHEN el IS NOT NULL THEN el END) AS sl,
+    sum(CASE WHEN el IS NOT NULL THEN e END) AS sc,
+    sum(CASE WHEN el IS NOT NULL THEN el*el END) AS sll,
+    sum(CASE WHEN el IS NOT NULL THEN e*el END) AS scl,
+    count(el) AS np
+  FROM l GROUP BY sym_a, sym_b, n_obs, beta, alpha
+)
+SELECT sym_a, sym_b, n_obs, round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+  round(CASE WHEN n_all >= 2 THEN
+    sqrt(greatest((se2_all - se_all*se_all/n_all) / (n_all - 1), 0.0)) END, 6)
+    AS resid_std,
+  round(CASE WHEN np >= 3 AND np*sll - sl*sl > 0
+        THEN (np*scl - sc*sl) / (np*sll - sl*sl) END, 6) AS phi,
+  round(CASE WHEN np >= 3 AND np*sll - sl*sl > 0
+             AND (np*scl - sc*sl) / (np*sll - sl*sl) > 0
+             AND (np*scl - sc*sl) / (np*sll - sl*sl) < 1
+        THEN -ln(2.0) / ln((np*scl - sc*sl) / (np*sll - sl*sl)) END, 6)
+    AS half_life
+FROM s2
+""",
+    "Engle-Granger step-1 per symbol pair on 15m bars: hedge ratio, "
+    "spread std, AR(1) phi of the spread and its half-life",
+)
+def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import cointegration_fit
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = cointegration_fit(bars, ts_col="ts_event", close_col="close")
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+        F.round("resid_std", 6).alias("resid_std"),
+        F.round("phi", 6).alias("phi"),
+        F.round("half_life", 6).alias("half_life"),
+    )

@@ -143,3 +143,67 @@ def test_ou_fit_non_reverting_null_half_life(spark):
     assert out["phi"] is not None and out["phi"] > 1.0 or out["phi"] == pytest.approx(1.0, abs=1e-6)
     assert out["half_life"] is None
     assert out["sigma_eq"] is None
+
+
+def test_cointegration_matches_numpy(spark):
+    from polars_trading_spark.operators.mean_reversion import cointegration_fit
+
+    rng = np.random.default_rng(11)
+    n = 300
+    xb = np.cumsum(0.01 * rng.standard_normal(n)) + 5.0
+    e = np.zeros(n)
+    for i in range(1, n):
+        e[i] = 0.7 * e[i - 1] + 0.02 * rng.standard_normal()
+    xa = 1.5 + 0.8 * xb + e
+    rows = []
+    for i in range(n):
+        ts = datetime(2024, 1, 1 + i // 288, (i % 288) // 12, (i % 12) * 5)
+        rows.append(("AAA", ts, float(np.exp(xa[i]))))
+        rows.append(("BBB", ts, float(np.exp(xb[i]))))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    out = cointegration_fit(df, ts_col="ts", close_col="close").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sym_a"], r["sym_b"]) == ("AAA", "BBB")
+    assert r["n_obs"] == n
+
+    # replicate with numpy OLS
+    A = np.vstack([xb, np.ones(n)]).T
+    (beta, alpha), *_ = np.linalg.lstsq(A, xa, rcond=None)
+    assert r["beta"] == pytest.approx(beta, rel=1e-7)
+    assert r["alpha"] == pytest.approx(alpha, rel=1e-7)
+    resid = xa - alpha - beta * xb
+    assert r["resid_std"] == pytest.approx(resid.std(ddof=1), rel=1e-7)
+    lx, ly = resid[:-1], resid[1:]
+    A2 = np.vstack([lx, np.ones(n - 1)]).T
+    (phi, _), *_ = np.linalg.lstsq(A2, ly, rcond=None)
+    assert r["phi"] == pytest.approx(phi, rel=1e-6)
+    assert r["half_life"] == pytest.approx(-np.log(2) / np.log(phi), rel=1e-6)
+
+
+def test_cointegration_degenerate_perfect_fit(spark):
+    from polars_trading_spark.operators.mean_reversion import cointegration_fit
+
+    rows = []
+    for i, p in enumerate([100.0, 105.0, 98.0, 111.0, 103.0]):
+        ts = _ts(9, i)
+        rows.append(("A", ts, p * p))  # log(a) = 2 log(b): exact relation
+        rows.append(("B", ts, p))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    r = cointegration_fit(df, ts_col="ts", close_col="close").collect()[0]
+    assert r["beta"] == pytest.approx(2.0, abs=1e-9)
+    assert r["resid_std"] == pytest.approx(0.0, abs=1e-9)
+    # zero-variance residual: AR(1) denominator degenerate -> nulls
+    assert r["phi"] is None and r["half_life"] is None
+
+
+def test_cointegration_too_few_obs(spark):
+    from polars_trading_spark.operators.mean_reversion import cointegration_fit
+
+    rows = [
+        ("A", _ts(9), 100.0), ("B", _ts(9), 50.0),
+        ("A", _ts(10), 101.0), ("B", _ts(10), 51.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    r = cointegration_fit(df, ts_col="ts", close_col="close").collect()[0]
+    assert r["beta"] is None and r["phi"] is None
