@@ -57,7 +57,11 @@ from polars_trading_spark.operators.imbalance import (
     imbalance_bars_adaptive,
     run_bars,
 )
-from polars_trading_spark.operators.mean_reversion import cointegration_fit, ou_fit
+from polars_trading_spark.operators.mean_reversion import (
+    cointegration_fit,
+    ou_fit,
+    spread_zscore_signal,
+)
 from polars_trading_spark.operators.microstructure import (
     corwin_schultz,
     microstructure_features,
@@ -129,6 +133,7 @@ __all__ = [
     "ou_fit",
     "intraday_profile",
     "cointegration_fit",
+    "spread_zscore_signal",
 ]
 
 __version__ = "0.4.0"

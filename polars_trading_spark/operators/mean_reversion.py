@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cointegration_fit", "ou_fit"]
+__all__ = ["cointegration_fit", "ou_fit", "spread_zscore_signal"]
 
 
 def ou_fit(
@@ -181,4 +181,95 @@ def cointegration_fit(
         resid_std.alias("resid_std"),
         phi.alias("phi"),
         half_life.alias("half_life"),
+    )
+
+
+def spread_zscore_signal(
+    bars: DataFrame,
+    *,
+    entry_z: float = 2.0,
+    window: int = 50,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    use_log: bool = True,
+    coef_round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-pair spread z-score signal and its one-bar-lagged P&L — the
+    standard stateless pairs-trading backtest over every cointegrated
+    pair candidate.
+
+    Builds the spread ``e_t = x_a − α − β·x_b`` from the full-sample
+    Engle-Granger fit (``cointegration_fit``), z-scores it against a
+    ROLLING ``window``-bar mean/std (so the signal is locally adaptive
+    and usable out-of-sample), and takes the memoryless position
+    ``pos_t = −sign(z_t)·1{|z_t| ≥ entry_z}``.  P&L per bar is the
+    previous bar's position times the spread change — the classic
+    no-lookahead convention.
+
+    Stateless by design: no entry/exit hysteresis, so each row's signal
+    is a pure window expression (a stateful band strategy belongs in the
+    streaming layer).  Output per (pair, ts): ``spread, z, pos, pnl``.
+
+    ``coef_round_digits`` quantizes α/β before the spread is built (the
+    same engine-reproducibility trick as the per-iteration-rounded
+    k-means): the raw OLS coefficients are global-aggregate ratios whose
+    last ulp depends on float summation order, and that ulp would fan
+    out into every spread row; rounding to 1e-6 (far below any trading
+    significance) makes the whole per-row surface bit-identical across
+    engines and across re-runs with different partitioning.
+
+    Distributed shape: everything ``cointegration_fit`` does plus one
+    rolling window over the pair partition — still O(pairs × bars).
+    """
+    if entry_z <= 0:
+        raise ValueError(f"entry_z must be positive, got {entry_z}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    c = F.col(close_col).cast("double")
+    x = F.log(c) if use_log else c
+    r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__x").alias("__xa")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__x").alias("__xb")
+    )
+    paired = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
+
+    coefs = cointegration_fit(
+        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col, use_log=use_log
+    ).select("sym_a", "sym_b", "alpha", "beta")
+    if coef_round_digits is not None:
+        coefs = coefs.select(
+            "sym_a",
+            "sym_b",
+            F.round("alpha", coef_round_digits).alias("alpha"),
+            F.round("beta", coef_round_digits).alias("beta"),
+        )
+
+    j = paired.join(coefs, on=["sym_a", "sym_b"])
+    spread = F.col("__xa") - F.col("alpha") - F.col("beta") * F.col("__xb")
+    j = j.withColumn("spread", spread)
+
+    order = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    roll = order.rowsBetween(-(window - 1), 0)
+    n = F.count("spread").over(roll)
+    s = F.sum("spread").over(roll)
+    s2 = F.sum(F.col("spread") * F.col("spread")).over(roll)
+    var = (s2 - s * s / n) / (n - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when((n >= window) & (sd > 0), (F.col("spread") - s / n) / sd)
+    j = j.withColumn("z", z)
+
+    pos = F.when(F.col("z") >= entry_z, F.lit(-1.0)).when(
+        F.col("z") <= -entry_z, F.lit(1.0)
+    ).when(F.col("z").isNotNull(), F.lit(0.0))
+    j = j.withColumn("pos", pos)
+    prev_pos = F.lag("pos").over(order)
+    dspread = F.col("spread") - F.lag("spread").over(order)
+    pnl = F.when(prev_pos.isNotNull(), prev_pos * dspread)
+    return j.select(
+        "sym_a", "sym_b", F.col(ts_col), "spread", "z", "pos", pnl.alias("pnl")
     )

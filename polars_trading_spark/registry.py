@@ -4863,3 +4863,101 @@ def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("phi", 6).alias("phi"),
         F.round("half_life", 6).alias("half_life"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Pairs-trading spread z-score signal (operators/mean_reversion.py::
+# spread_zscore_signal) — nests the cointegration fit; coefficients
+# quantized to 1e-6 so the per-row spread surface is engine-identical.
+# --------------------------------------------------------------------------
+
+_SZ_W, _SZ_ENTRY = 50, 2.0
+
+
+@register(
+    "spread_signal",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (SELECT symbol, ts, ln(close) AS x FROM bars),
+p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts, a.x AS xa, b.x AS xb
+  FROM r a JOIN r b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+s1 AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(xa) AS sa, sum(xb) AS sb, sum(xb*xb) AS sbb, sum(xa*xb) AS sab
+  FROM p GROUP BY sym_a, sym_b
+),
+cf AS (
+  SELECT sym_a, sym_b, n_obs, sa, sb,
+    CASE WHEN n_obs >= 3 AND n_obs*sbb - sb*sb > 0
+         THEN (n_obs*sab - sa*sb) / (n_obs*sbb - sb*sb) END AS beta
+  FROM s1
+),
+cf2 AS (
+  SELECT sym_a, sym_b,
+    round(CASE WHEN beta IS NOT NULL THEN (sa - beta*sb) / n_obs END, 6) AS alpha,
+    round(beta, 6) AS beta
+  FROM cf
+),
+sp AS (
+  SELECT p.sym_a, p.sym_b, p.ts, p.xa - c.alpha - c.beta * p.xb AS spread
+  FROM p JOIN cf2 c USING (sym_a, sym_b)
+),
+zx AS (
+  SELECT *,
+    count(spread) OVER w AS n,
+    sum(spread) OVER w AS s,
+    sum(spread*spread) OVER w AS s2
+  FROM sp
+  WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY ts
+               ROWS BETWEEN {_SZ_W - 1} PRECEDING AND CURRENT ROW)
+),
+zz AS (
+  SELECT sym_a, sym_b, ts, spread,
+    CASE WHEN n >= {_SZ_W} AND sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) > 0
+         THEN (spread - s/n) / sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) END AS z
+  FROM zx
+),
+ps AS (
+  SELECT *,
+    CASE WHEN z >= {_SZ_ENTRY!r} THEN -1.0
+         WHEN z <= -{_SZ_ENTRY!r} THEN 1.0
+         WHEN z IS NOT NULL THEN 0.0 END AS pos
+  FROM zz
+),
+fin AS (
+  SELECT sym_a, sym_b, ts, spread, z, pos,
+    lag(pos) OVER (PARTITION BY sym_a, sym_b ORDER BY ts)
+      * (spread - lag(spread) OVER (PARTITION BY sym_a, sym_b ORDER BY ts)) AS pnl
+  FROM ps
+)
+SELECT sym_a, sym_b, ts, round(spread, 6) + 0 AS spread, round(z, 6) + 0 AS z,
+       pos + 0 AS pos, round(pnl, 6) + 0 AS pnl
+FROM fin
+""",
+    f"Pairs-trading spread z-score signal (rolling {_SZ_W}-bar z, entry "
+    f"|z| >= {_SZ_ENTRY}) with one-bar-lagged P&L over every symbol pair",
+)
+def q_spread_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import spread_zscore_signal
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = spread_zscore_signal(
+        bars, entry_z=_SZ_ENTRY, window=_SZ_W, ts_col="ts_event", close_col="close"
+    )
+    # + 0.0 folds IEEE -0.0 to +0.0 (see roll_adjust): pos * dspread and
+    # near-cancelling rounds produce signed zeros that string-keyed row
+    # sorts would misalign.
+    z0 = F.lit(0.0)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.col("ts_event").alias("ts"),
+        (F.round("spread", 6) + z0).alias("spread"),
+        (F.round("z", 6) + z0).alias("z"),
+        (F.col("pos") + z0).alias("pos"),
+        (F.round("pnl", 6) + z0).alias("pnl"),
+    )

@@ -207,3 +207,61 @@ def test_cointegration_too_few_obs(spark):
     df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
     r = cointegration_fit(df, ts_col="ts", close_col="close").collect()[0]
     assert r["beta"] is None and r["phi"] is None
+
+
+def test_spread_signal_matches_pandas(spark):
+    import pandas as pd
+    from polars_trading_spark.operators.mean_reversion import spread_zscore_signal
+
+    rng = np.random.default_rng(3)
+    n = 120
+    xb = np.cumsum(0.01 * rng.standard_normal(n)) + 4.0
+    e = 0.05 * rng.standard_normal(n)
+    xa = 0.5 + 1.2 * xb + e
+    rows = []
+    for i in range(n):
+        ts = datetime(2024, 1, 1, i // 60, i % 60)
+        rows.append(("A", ts, float(np.exp(xa[i]))))
+        rows.append(("B", ts, float(np.exp(xb[i]))))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    W, EZ = 20, 1.5
+    out = (
+        spread_zscore_signal(df, entry_z=EZ, window=W, ts_col="ts", close_col="close")
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == n
+
+    # pandas replication with the same quantized coefficients
+    A = np.vstack([xb, np.ones(n)]).T
+    (beta, alpha), *_ = np.linalg.lstsq(A, xa, rcond=None)
+    alpha, beta = round(alpha, 6), round(beta, 6)
+    spread = pd.Series(xa - alpha - beta * xb)
+    m = spread.rolling(W).mean()
+    sd = spread.rolling(W).std(ddof=1)
+    z = (spread - m) / sd
+    pos = pd.Series(np.where(z >= EZ, -1.0, np.where(z <= -EZ, 1.0, 0.0)))
+    pos[z.isna()] = np.nan
+    pnl = pos.shift(1) * spread.diff()
+    for i, r in enumerate(out):
+        assert r["spread"] == pytest.approx(spread[i], abs=1e-9)
+        if np.isnan(z[i]):
+            assert r["z"] is None
+        else:
+            assert r["z"] == pytest.approx(z[i], abs=1e-9)
+        if np.isnan(pnl[i]):
+            assert r["pnl"] is None
+        else:
+            assert r["pnl"] == pytest.approx(pnl[i], abs=1e-12)
+
+
+def test_spread_signal_validation(spark):
+    from polars_trading_spark.operators.mean_reversion import spread_zscore_signal
+
+    df = spark.createDataFrame(
+        [("A", _ts(9), 1.0)], "symbol string, ts timestamp, close double"
+    )
+    with pytest.raises(ValueError, match="entry_z"):
+        spread_zscore_signal(df, entry_z=0.0)
+    with pytest.raises(ValueError, match="window"):
+        spread_zscore_signal(df, window=1)
