@@ -47,7 +47,12 @@ from polars_trading_spark.operators.cross_section import (
     rolling_beta,
     rolling_pair_correlation,
 )
+from polars_trading_spark.operators.covariance import ledoit_wolf_cov
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
+from polars_trading_spark.operators.execution import (
+    almgren_chriss_schedule,
+    vwap_slippage,
+)
 from polars_trading_spark.operators.backtest import backtest_stats, drawdown_path
 from polars_trading_spark.operators.bootstrap import sequential_bootstrap
 from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
@@ -134,6 +139,9 @@ __all__ = [
     "intraday_profile",
     "cointegration_fit",
     "spread_zscore_signal",
+    "ledoit_wolf_cov",
+    "almgren_chriss_schedule",
+    "vwap_slippage",
 ]
 
 __version__ = "0.4.0"

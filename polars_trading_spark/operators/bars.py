@@ -462,6 +462,42 @@ def dollar_bars(df: DataFrame, *, bar_size: float = 1_000_000.0, split_by_date: 
     return out.groupBy(*keys).applyInPandas(build, schema=schema)
 
 
+def _range_scan(
+    p: "np.ndarray", delta: float, o0: float | None = None
+) -> tuple["np.ndarray", float | None, int]:
+    """(bar id per row, open price of the trailing open bar or None,
+    bars closed) for range bars: a bar closes (inclusive) on the first
+    price at least ``delta`` away from its open.  ``o0`` seeds the open
+    of a carried-over bar so streaming micro-batches resume exactly
+    where the previous one left off (same contract as the imbalance/run
+    scans).  Chunked |p - open| test — O(n + bars * chunk)."""
+    from polars_trading_spark.operators.imbalance import _CHUNK
+
+    n = p.size
+    ids = np.empty(n, dtype=np.int64)
+    gid, i = 0, 0
+    cur_open = o0
+    while i < n:
+        o = cur_open if cur_open is not None else float(p[i])
+        found = -1
+        j = i
+        while j < n:
+            k = min(n, j + _CHUNK)
+            hit = np.abs(p[j:k] - o) >= delta
+            if hit.any():
+                found = j + int(np.argmax(hit))
+                break
+            j = k
+        if found < 0:
+            ids[i:] = gid
+            return ids, o, gid
+        ids[i : found + 1] = gid
+        gid += 1
+        cur_open = None
+        i = found + 1
+    return ids, None, gid
+
+
 def range_bars(
     df: DataFrame,
     range_size: float,
@@ -510,27 +546,7 @@ def range_bars(
     def assign(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").reset_index(drop=True)
         p = pdf[price].to_numpy(dtype=np.float64)
-        n = p.size
-        ids = np.empty(n, dtype=np.int64)
-        gid, i = 0, 0
-        while i < n:
-            o = p[i]
-            found = -1
-            j = i
-            while j < n:
-                k = min(n, j + _CHUNK)
-                hit = np.abs(p[j:k] - o) >= delta
-                if hit.any():
-                    found = j + int(np.argmax(hit))
-                    break
-                j = k
-            if found < 0:
-                ids[i:] = gid
-                break
-            ids[i : found + 1] = gid
-            gid += 1
-            i = found + 1
-        pdf["bar_id"] = ids
+        pdf["bar_id"] = _range_scan(p, delta)[0]
         return pdf
 
     assigned = slim.groupBy(*keys).applyInPandas(assign, schema=schema)

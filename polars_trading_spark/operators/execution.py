@@ -1,0 +1,134 @@
+"""Execution analytics: Almgren-Chriss schedules and VWAP slippage.
+
+The labeling/feature layers answer "what to trade"; these answer "how
+did/should the execution go" — the other half of a production trading
+stack, and pure relational algebra at any scale.
+
+* ``almgren_chriss_schedule`` — the closed-form optimal liquidation
+  trajectory (Almgren & Chriss 2000, "Optimal execution of portfolio
+  transactions"): for risk aversion λ, temporary-impact η and
+  per-period variance σ², the remaining position follows
+
+      x_j = X · sinh(κ·(N − j)) / sinh(κ·N),
+      κ = acosh(κ̃²/2 + 1),  κ̃² = λσ²/η
+
+  (the discrete-time solution).  Each symbol gets its own κ from its
+  own volatility, so the schedule is a per-(symbol, bucket) Column
+  expression over a tiny (symbols × buckets) frame — no driver math.
+* ``vwap_slippage`` — realized per-trade slippage against the
+  symbol/bucket VWAP benchmark, plus signed shortfall in basis points;
+  the standard execution-quality report.  One window over the bucket
+  partition, one aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark.config import column_names
+
+__all__ = ["almgren_chriss_schedule", "vwap_slippage"]
+
+
+def almgren_chriss_schedule(
+    vols: DataFrame,
+    *,
+    n_buckets: int,
+    total_shares: float = 1.0,
+    risk_aversion: float = 1e-6,
+    eta: float = 2.5e-6,
+    symbol_col: str = "symbol",
+    sigma_col: str = "sigma",
+) -> DataFrame:
+    """Optimal liquidation schedule per symbol from its per-period
+    volatility.
+
+    ``vols``: one row per symbol with ``sigma_col`` = per-period return
+    volatility in PRICE units (σ of price changes over one bucket).
+    Returns one row per (symbol, bucket j ∈ [0, n_buckets)): ``kappa``,
+    ``x_remaining`` (position still held entering bucket j) and
+    ``shares`` (to execute in bucket j); ``Σ shares = total_shares``.
+    λ → 0 degrades to the risk-neutral linear (TWAP) schedule — handled
+    via the κ → 0 limit explicitly so tiny λ stays numerically exact.
+
+    Scale shape: a ``sequence``/``explode`` over a per-symbol frame —
+    output is symbols × buckets rows; everything is codegen Columns.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if eta <= 0:
+        raise ValueError(f"eta must be positive, got {eta}")
+    if risk_aversion < 0:
+        raise ValueError(f"risk_aversion must be >= 0, got {risk_aversion}")
+
+    sig = F.col(sigma_col).cast("double")
+    kt2 = F.lit(float(risk_aversion)) * sig * sig / F.lit(float(eta))
+    # acosh(1 + k̃²/2); guard k̃² = 0 (risk-neutral) -> κ = 0 -> TWAP.
+    z = 1 + kt2 / 2
+    kappa = F.when(kt2 > 0, F.log(z + F.sqrt(z * z - 1))).otherwise(F.lit(0.0))
+
+    base = vols.select(
+        F.col(symbol_col),
+        sig.alias("sigma"),
+        kappa.alias("kappa"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"),
+    )
+    N = float(n_buckets)
+    j = F.col("bucket").cast("double")
+    k = F.col("kappa")
+
+    def sinh(xcol):
+        return (F.exp(xcol) - F.exp(-xcol)) / 2
+
+    frac = F.when(k > 0, sinh(k * (N - j)) / sinh(k * F.lit(N))).otherwise(
+        (N - j) / N
+    )
+    frac_next = F.when(
+        k > 0, sinh(k * (N - j - 1)) / sinh(k * F.lit(N))
+    ).otherwise((N - j - 1) / N)
+    X = F.lit(float(total_shares))
+    return base.select(
+        symbol_col,
+        "sigma",
+        "kappa",
+        "bucket",
+        (X * frac).alias("x_remaining"),
+        (X * (frac - frac_next)).alias("shares"),
+    )
+
+
+def vwap_slippage(df: DataFrame, *, bucket: str = "15 minutes") -> DataFrame:
+    """Per-symbol execution-quality report against the bucket-VWAP
+    benchmark.
+
+    Every trade is compared to the VWAP of its (symbol, time-bucket):
+    slippage_bps = 1e4 · (price − bucket_vwap)/bucket_vwap.  Returns one
+    row per symbol: ``n_trades``, ``volume``, ``vw_slippage_bps``
+    (volume-weighted — positive means paying above VWAP), and
+    ``worst_bps``/``best_bps`` extremes.
+
+    Shape: the bucket VWAP is a window aggregate over the bucket
+    partition (no join), then one symbol aggregate — two shuffles total,
+    zero Python.  Column names follow the ``Config`` convention.
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    t = df.na.drop(subset=[price]).withColumn(
+        "__bucket", F.window(F.col(ts), bucket)["start"]
+    )
+    w = Window.partitionBy(symbol, "__bucket")
+    sz = F.col(size).cast("double")
+    bench = F.sum(sz * F.col(price)).over(w) / F.sum(sz).over(w)
+    t = t.withColumn("__slip", (F.col(price) - bench) / bench * 1e4)
+    return t.groupBy(symbol).agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum(sz).cast("long").alias("volume"),
+        (F.sum(F.col("__slip") * sz) / F.sum(sz)).alias("vw_slippage_bps"),
+        F.max("__slip").alias("worst_bps"),
+        F.min("__slip").alias("best_bps"),
+    )

@@ -4961,3 +4961,237 @@ def q_spread_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + z0).alias("pos"),
         (F.round("pnl", 6) + z0).alias("pnl"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Ledoit-Wolf shrunk covariance (operators/covariance.py) — the
+# sklearn-form identity-target shrinkage, computed pairwise.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ledoit_wolf",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT symbol AS s, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+r1 AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+ns AS (SELECT count(DISTINCT s) AS nsym FROM r1),
+r2 AS (
+  SELECT r1.s, r1.ts, r1.r
+  FROM r1
+  JOIN (SELECT ts, count(*) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
+  CROSS JOIN ns WHERE t.c = ns.nsym
+),
+x AS (SELECT s, ts, r - avg(r) OVER (PARTITION BY s) AS x FROM r2),
+p AS (
+  SELECT a.s AS sym_a, b.s AS sym_b, a.x * b.x AS prod
+  FROM x a JOIN x b ON a.ts = b.ts AND a.s <= b.s
+),
+pp AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+         sum(prod) AS sp, sum(prod * prod) AS q
+  FROM p GROUP BY sym_a, sym_b
+),
+pp2 AS (SELECT *, sp / n AS sij FROM pp),
+g AS (
+  SELECT max(n) AS nn,
+    sum(CASE WHEN sym_a = sym_b THEN sij END) AS tr,
+    CAST(count(CASE WHEN sym_a = sym_b THEN 1 END) AS DOUBLE) AS pdim,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * sij * sij) AS ss2,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * q) AS sq
+  FROM pp2
+),
+sc AS (
+  SELECT nn, tr / pdim AS mu,
+    (ss2 - 2 * (tr / pdim) * tr + pdim * (tr / pdim) * (tr / pdim)) / pdim AS d2,
+    (sq / (CAST(nn AS DOUBLE) * nn) - ss2 / nn) / pdim AS b2raw
+  FROM g
+),
+sc2 AS (
+  SELECT mu,
+    CASE WHEN nn >= 2 AND d2 > 0
+         THEN least(greatest(b2raw, 0.0), d2) / d2 END AS shrinkage
+  FROM sc
+)
+SELECT sym_a, sym_b, n AS n_obs,
+  round(sij * 1e6, 6) AS cov_sample_ppm,
+  round((CASE WHEN shrinkage IS NOT NULL
+         THEN shrinkage * (CASE WHEN sym_a = sym_b THEN mu ELSE 0.0 END)
+              + (1 - shrinkage) * sij
+         ELSE sij END) * 1e6, 6) AS cov_shrunk_ppm,
+  round(shrinkage, 6) AS shrinkage,
+  round(mu * 1e6, 6) AS mu_ppm
+FROM pp2 CROSS JOIN sc2
+""",
+    "Ledoit-Wolf identity-target shrunk covariance of 15m bar returns, "
+    "pairwise (complete-case aligned, demeaned; sklearn formulas)",
+)
+def q_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.covariance import ledoit_wolf_cov
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = ledoit_wolf_cov(bars, ts_col="ts_event", close_col="close")
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        F.round(F.col("cov_sample") * 1e6, 6).alias("cov_sample_ppm"),
+        F.round(F.col("cov_shrunk") * 1e6, 6).alias("cov_shrunk_ppm"),
+        F.round("shrinkage", 6).alias("shrinkage"),
+        F.round(F.col("mu") * 1e6, 6).alias("mu_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Execution layer (operators/execution.py): Almgren-Chriss optimal
+# schedule and VWAP slippage report.
+# --------------------------------------------------------------------------
+
+_AC_N, _AC_LAMBDA, _AC_ETA, _AC_X = 13, 1e-6, 2.5e-6, 10_000.0
+
+
+@register(
+    "ac_schedule",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+d AS (
+  SELECT symbol,
+    close - lag(close) OVER (PARTITION BY symbol ORDER BY ts) AS dc
+  FROM bars
+),
+s AS (
+  SELECT symbol, CAST(count(dc) AS BIGINT) AS n, sum(dc) AS sd, sum(dc*dc) AS sdd
+  FROM d WHERE dc IS NOT NULL GROUP BY symbol
+),
+v AS (
+  SELECT symbol,
+    sqrt(greatest((n * sdd - sd * sd) / (CAST(n AS DOUBLE) * (n - 1)), 0.0)) AS sigma
+  FROM s WHERE n >= 2
+),
+k AS (
+  SELECT symbol, sigma,
+    {_AC_LAMBDA!r} * sigma * sigma / {_AC_ETA!r} AS kt2
+  FROM v
+),
+kk AS (
+  SELECT symbol, sigma,
+    CASE WHEN kt2 > 0 THEN ln(1 + kt2/2 + sqrt((1 + kt2/2)*(1 + kt2/2) - 1))
+         ELSE 0.0 END AS kappa
+  FROM k
+),
+sched AS (
+  SELECT symbol, sigma, kappa, j.bucket
+  FROM kk, (SELECT unnest(range(0, {_AC_N})) AS bucket) j
+),
+fr AS (
+  SELECT *,
+    CASE WHEN kappa > 0
+      THEN ((exp(kappa*({_AC_N} - bucket)) - exp(-kappa*({_AC_N} - bucket)))/2)
+           / ((exp(kappa*{_AC_N}.0) - exp(-kappa*{_AC_N}.0))/2)
+      ELSE ({_AC_N} - bucket) / {_AC_N}.0 END AS frac,
+    CASE WHEN kappa > 0
+      THEN ((exp(kappa*({_AC_N} - bucket - 1)) - exp(-kappa*({_AC_N} - bucket - 1)))/2)
+           / ((exp(kappa*{_AC_N}.0) - exp(-kappa*{_AC_N}.0))/2)
+      ELSE ({_AC_N} - bucket - 1) / {_AC_N}.0 END AS frac_next
+  FROM sched
+)
+SELECT symbol, CAST(bucket AS INTEGER) AS bucket,
+  round(sigma, 6) AS sigma, round(kappa, 6) AS kappa,
+  round({_AC_X!r} * frac, 6) AS x_remaining,
+  round({_AC_X!r} * (frac - frac_next), 6) AS shares
+FROM fr
+""",
+    f"Almgren-Chriss optimal liquidation schedule ({_AC_N} buckets) from "
+    "per-symbol bar price-change volatility — closed-form sinh ratios",
+)
+def q_ac_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from polars_trading_spark.operators.execution import almgren_chriss_schedule
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    order = Window.partitionBy("symbol").orderBy("ts_event")
+    d = bars.withColumn("__dc", F.col("close") - F.lag("close").over(order))
+    vols = (
+        d.where(F.col("__dc").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dc").alias("__sd"),
+            F.sum(F.col("__dc") * F.col("__dc")).alias("__sdd"),
+        )
+        .where(F.col("__n") >= 2)
+        .select(
+            "symbol",
+            F.sqrt(
+                F.greatest(
+                    (F.col("__n") * F.col("__sdd") - F.col("__sd") * F.col("__sd"))
+                    / (F.col("__n").cast("double") * (F.col("__n") - 1)),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    out = almgren_chriss_schedule(
+        vols,
+        n_buckets=_AC_N,
+        total_shares=_AC_X,
+        risk_aversion=_AC_LAMBDA,
+        eta=_AC_ETA,
+    )
+    return out.select(
+        "symbol",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("kappa", 6).alias("kappa"),
+        F.round("x_remaining", 6).alias("x_remaining"),
+        F.round("shares", 6).alias("shares"),
+    )
+
+
+@register(
+    "vwap_slippage",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+b AS (
+  SELECT symbol, price, CAST(size AS DOUBLE) AS sz,
+    make_timestamp((epoch_us(ts_event) // {15 * 60 * 1_000_000}) * {15 * 60 * 1_000_000}) AS bucket
+  FROM trades
+),
+w AS (
+  SELECT *, sum(sz * price) OVER (PARTITION BY symbol, bucket)
+            / sum(sz) OVER (PARTITION BY symbol, bucket) AS bench
+  FROM b
+),
+sl AS (SELECT symbol, sz, (price - bench) / bench * 1e4 AS slip FROM w)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(sum(sz) AS BIGINT) AS volume,
+  round(sum(slip * sz) / sum(sz), 6) AS vw_slippage_bps,
+  round(max(slip), 6) AS worst_bps,
+  round(min(slip), 6) AS best_bps
+FROM sl GROUP BY symbol
+""",
+    "Per-symbol VWAP slippage report: volume-weighted bps vs the "
+    "15-minute bucket VWAP benchmark, with extremes",
+)
+def q_vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.execution import vwap_slippage
+
+    with _trades_config():
+        out = vwap_slippage(trades_from_events(spark, sf_dir), bucket="15 minutes")
+    return out.select(
+        "symbol",
+        "n_trades",
+        "volume",
+        F.round("vw_slippage_bps", 6).alias("vw_slippage_bps"),
+        F.round("worst_bps", 6).alias("worst_bps"),
+        F.round("best_bps", 6).alias("best_bps"),
+    )

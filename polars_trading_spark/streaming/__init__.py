@@ -21,11 +21,13 @@ __all__.append("streaming_cusum_filter")
 
 from polars_trading_spark.streaming.imbalance import (  # noqa: E402
     streaming_imbalance_bars,
+    streaming_range_bars,
     streaming_run_bars,
 )
 
 __all__.append("streaming_imbalance_bars")
 __all__.append("streaming_run_bars")
+__all__.append("streaming_range_bars")
 
 from polars_trading_spark.streaming.backtest import streaming_backtest_stats  # noqa: E402
 

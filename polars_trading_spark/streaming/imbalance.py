@@ -30,11 +30,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark._utils import parse_duration
 from polars_trading_spark.config import column_names
+from polars_trading_spark.operators.bars import _range_scan
 from polars_trading_spark.operators.imbalance import _MODES, _imbalance_scan, _run_scan
 
 from polars_trading_spark.streaming.bars import _volume_bars_out_schema
 
-__all__ = ["streaming_imbalance_bars", "streaming_run_bars"]
+__all__ = ["streaming_imbalance_bars", "streaming_range_bars", "streaming_run_bars"]
 
 # Two generic accumulator slots cover both clocks: (theta, unused) for
 # imbalance, (pos, neg) for run bars.
@@ -111,8 +112,21 @@ def make_imbalance_update(
         def scan(w, a1, a2):
             return _run_scan(w, h, a1, a2)
 
+    elif kind == "range":
+        # w is the raw price array; acc1 = carried open price, acc2 = a
+        # 0/1 "bar is open" flag (the shared state schema's two generic
+        # accumulator slots).
+        def scan(w, a1, a2):
+            ids, open_out, closed = _range_scan(w, h, a1 if a2 > 0 else None)
+            return (
+                ids,
+                open_out if open_out is not None else 0.0,
+                1.0 if open_out is not None else 0.0,
+                closed,
+            )
+
     else:
-        raise ValueError(f"kind must be 'imbalance' or 'run', got {kind!r}")
+        raise ValueError(f"kind must be 'imbalance', 'run' or 'range', got {kind!r}")
 
     def update(
         key: Tuple[str, object], pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -141,7 +155,9 @@ def make_imbalance_update(
         stamps = batch[ts].astype("datetime64[us]").astype("int64").to_numpy()
 
         b = _seeded_signs(p, last_price, last_sign, bool(seeded))
-        if mode == "tick":
+        if kind == "range":
+            w = p  # the price clock scans raw prices, not signed flow
+        elif mode == "tick":
             w = b
         elif mode == "volume":
             w = b * sizes.astype(np.float64)
@@ -203,7 +219,7 @@ def make_imbalance_update(
 def _streaming_flow_bars(
     stream: DataFrame, *, threshold: float, mode: str, state_ttl: str | None, kind: str
 ) -> DataFrame:
-    if mode not in _MODES:
+    if kind != "range" and mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}, got {mode!r}")
     if threshold <= 0:
         raise ValueError(f"threshold must be positive, got {threshold}")
@@ -260,4 +276,20 @@ def streaming_run_bars(
     state and re-seed the chunked scan each batch."""
     return _streaming_flow_bars(
         stream, threshold=threshold, mode=mode, state_ttl=state_ttl, kind="run"
+    )
+
+
+def streaming_range_bars(
+    stream: DataFrame,
+    *,
+    range_size: float,
+    state_ttl: str | None = "3d",
+) -> DataFrame:
+    """Stateful range bars (price clock) over a stream: a bar closes on
+    the first trade at least ``range_size`` away from its open price.
+    The open bar's opening price is carried in state and re-seeds the
+    chunked scan each micro-batch, so a replayed stream emits exactly
+    the batch ``range_bars`` output."""
+    return _streaming_flow_bars(
+        stream, threshold=range_size, mode="tick", state_ttl=state_ttl, kind="range"
     )

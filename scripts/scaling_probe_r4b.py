@@ -80,8 +80,11 @@ def main() -> None:
 
     from polars_trading_spark.functions.similarity import semdedup
 
-    for nv in (50_000, 200_000, 800_000):
-        # 16-dim embeddings, 10% planted near-dups of a lower id.
+    for nv in (10_000, 40_000, 160_000):
+        # 16-dim embeddings, 10% planted near-dups of a lower id.  Cells
+        # scale with n so per-cell population (and the within-cell pair
+        # fan-out) stays ~constant — the operator's documented skew dial.
+        n_cells = max(8, nv // 200)
         base = (
             spark.range(nv)
             .withColumn(
@@ -100,7 +103,7 @@ def main() -> None:
         )
         emb = base.unionByName(dup)
         print(f"== vecs={nv + nv // 10}")
-        _bench("semdedup", semdedup(emb, n_cells=64, centroid_method="lowest_id"))
+        _bench("semdedup", semdedup(emb, n_cells=n_cells, centroid_method="lowest_id"))
 
 
 if __name__ == "__main__":

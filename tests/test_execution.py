@@ -1,0 +1,91 @@
+"""Execution layer (operators/execution.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from polars_trading_spark.config import Config
+from polars_trading_spark.operators.execution import (
+    almgren_chriss_schedule,
+    vwap_slippage,
+)
+
+
+def _vols(spark, rows):
+    return spark.createDataFrame(rows, "symbol string, sigma double")
+
+
+def test_ac_matches_numpy_formula(spark):
+    lam, eta, X, N = 2e-6, 1e-6, 5000.0, 8
+    out = almgren_chriss_schedule(
+        _vols(spark, [("A", 0.8)]),
+        n_buckets=N,
+        total_shares=X,
+        risk_aversion=lam,
+        eta=eta,
+    ).collect()
+    assert len(out) == N
+    kt2 = lam * 0.8 * 0.8 / eta
+    kappa = np.arccosh(kt2 / 2 + 1)
+    for r in out:
+        j = r["bucket"]
+        assert r["kappa"] == pytest.approx(kappa, rel=1e-12)
+        assert r["x_remaining"] == pytest.approx(
+            X * np.sinh(kappa * (N - j)) / np.sinh(kappa * N), rel=1e-9
+        )
+    assert sum(r["shares"] for r in out) == pytest.approx(X, rel=1e-9)
+
+
+def test_ac_risk_neutral_is_twap(spark):
+    out = almgren_chriss_schedule(
+        _vols(spark, [("A", 0.5)]), n_buckets=5, total_shares=100.0, risk_aversion=0.0
+    ).collect()
+    for r in out:
+        assert r["kappa"] == 0.0
+        assert r["shares"] == pytest.approx(20.0, rel=1e-12)
+
+
+def test_ac_higher_vol_front_loads(spark):
+    out = almgren_chriss_schedule(
+        _vols(spark, [("LO", 0.1), ("HI", 2.0)]),
+        n_buckets=10,
+        total_shares=1.0,
+        risk_aversion=1e-4,
+        eta=1e-6,
+    ).collect()
+    first = {(r["symbol"], r["bucket"]): r["shares"] for r in out}
+    assert first[("HI", 0)] > first[("LO", 0)]
+
+
+def test_ac_validation(spark):
+    v = _vols(spark, [("A", 1.0)])
+    with pytest.raises(ValueError, match="n_buckets"):
+        almgren_chriss_schedule(v, n_buckets=0)
+    with pytest.raises(ValueError, match="eta"):
+        almgren_chriss_schedule(v, n_buckets=2, eta=0.0)
+
+
+def test_vwap_slippage_golden(spark):
+    rows = [
+        ("A", datetime(2024, 1, 1, 9, 1), 100.0, 10),
+        ("A", datetime(2024, 1, 1, 9, 5), 102.0, 30),
+        ("A", datetime(2024, 1, 1, 9, 40), 50.0, 10),  # different bucket
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, price double, size long")
+    with Config(timestamp_column="ts"):
+        out = vwap_slippage(df, bucket="15 minutes").collect()
+    assert len(out) == 1
+    r = out[0]
+    vwap1 = (100 * 10 + 102 * 30) / 40  # 101.5
+    s1 = (100 - vwap1) / vwap1 * 1e4
+    s2 = (102 - vwap1) / vwap1 * 1e4
+    # single-trade bucket: zero slippage by construction
+    expected_vw = (s1 * 10 + s2 * 30 + 0.0 * 10) / 50
+    assert r["n_trades"] == 3
+    assert r["volume"] == 50
+    assert r["vw_slippage_bps"] == pytest.approx(expected_vw, rel=1e-9)
+    assert r["worst_bps"] == pytest.approx(s2, rel=1e-9)
+    assert r["best_bps"] == pytest.approx(s1, rel=1e-9)

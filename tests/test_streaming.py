@@ -640,3 +640,82 @@ def test_streaming_pack_sequences_carries_fill_across_batches(spark):
         assert out[out.doc_id == 4].n_tokens.iloc[0] == 15
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_range_scan_seeded_resume_equals_full_scan():
+    """_range_scan's carried-open seeding must make a split replay
+    reproduce the full-series scan exactly — the contract
+    streaming_range_bars relies on across micro-batches."""
+    import numpy as np
+
+    from polars_trading_spark.operators.bars import _range_scan
+
+    rng = np.random.default_rng(17)
+    p = 50.0 + np.cumsum(rng.choice([-0.5, 0.0, 0.5], size=3000))
+    full_ids = _range_scan(p, 4.0)[0]
+    o0 = None
+    off = 0
+    got = []
+    for lo, hi in ((0, 900), (900, 901), (901, 3000)):
+        ids, o0, closed = _range_scan(p[lo:hi], 4.0, o0)
+        got.append(ids + off)
+        off += closed
+    np.testing.assert_array_equal(np.concatenate(got), full_ids)
+
+
+def test_streaming_range_bars_match_batch_across_batches(spark):
+    """The open-bar opening price must carry across micro-batches;
+    after supersede the stream equals the batch range_bars operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.bars import range_bars
+    from polars_trading_spark.streaming import streaming_range_bars
+
+    rng = np.random.default_rng(59)
+    rows = []
+    for sym in ("A", "B"):
+        price = 40.0
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        for _ in range(300):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 15)))
+            price = max(1.0, price + float(rng.choice([-0.5, 0.0, 0.5])))
+            rows.append((sym, price, int(rng.integers(10, 500)), t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    d = tempfile.mkdtemp(prefix="pts_range_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo_hi in enumerate([(0, third), (third, 2 * third), (2 * third, len(pdf))]):
+            spark.createDataFrame(pdf.iloc[lo_hi[0] : lo_hi[1]], SCHEMA).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+        with Config(timestamp_column="ts_event"):
+            batch = range_bars(spark.createDataFrame(pdf, SCHEMA), 3.0).toPandas()
+
+            def make():
+                stream = (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{d}/*")
+                )
+                return streaming_range_bars(stream, range_size=3.0)
+
+            rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        got = (
+            got.sort_values(["symbol", "bar_date", "bar_id", "n_trades"])
+            .groupby(["symbol", "bar_date", "bar_id"], as_index=False)
+            .last()
+        )
+        batch = batch.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        got = got.sort_values(["symbol", "ts_event_start"]).reset_index(drop=True)
+        assert len(got) == len(batch)
+        for col in ("symbol", "open", "high", "low", "close", "volume", "n_trades"):
+            assert got[col].tolist() == batch[col].tolist(), col
+        assert got["ts_event_start"].tolist() == batch["ts_event_start"].tolist()
+        assert got["ts_event_end"].tolist() == batch["ts_event_end"].tolist()
+        assert (got["vwap"] - batch["vwap"]).abs().max() < 1e-9
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
