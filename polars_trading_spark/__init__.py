@@ -77,6 +77,7 @@ from polars_trading_spark.operators.structural_breaks import (
     csw_explosiveness,
     sadf,
 )
+from polars_trading_spark.operators.regime import hurst_exponent, variance_ratio
 from polars_trading_spark.operators.roll import roll_adjust
 from polars_trading_spark.operators.seasonality import intraday_profile
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
@@ -142,6 +143,8 @@ __all__ = [
     "ledoit_wolf_cov",
     "almgren_chriss_schedule",
     "vwap_slippage",
+    "variance_ratio",
+    "hurst_exponent",
 ]
 
 __version__ = "0.4.0"

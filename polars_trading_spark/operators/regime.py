@@ -1,0 +1,157 @@
+"""Regime diagnostics: Lo-MacKinlay variance ratio and the Hurst
+exponent (aggregated-variance method).
+
+Both answer the same production question — is this series trending,
+mean-reverting, or a random walk right now? — and both are pure
+multi-scale moment algebra, so they distribute as a handful of lag
+windows plus one hash aggregate per symbol:
+
+* ``variance_ratio`` — VR(q) = Var(r_t^(q)) / (q·Var(r_t^(1))) over
+  overlapping q-period log returns (Lo & MacKinlay 1988).  VR < 1 ⇒
+  mean reversion, VR > 1 ⇒ trending.  Emits the heteroskedasticity-
+  robust-free z-statistic under the iid null:
+  z = (VR − 1) / sqrt(2(2q−1)(q−1) / (3q·n)).
+* ``hurst_exponent`` — aggregated-variance estimate: regress
+  log Var(r^(q)) on log q over a dyadic scale ladder; H = slope/2.
+  H ≈ 0.5 random walk, > 0.5 persistent/trending, < 0.5 anti-
+  persistent/mean-reverting.
+
+Distributed shape: the scale ladder is materialized as one lag window
+per q over ONE per-symbol partitioning (the exchange is shared), then a
+single hash aggregate collects every scale's moments; the tiny OLS
+solve for H is scalar algebra on aggregate outputs.  No joins, no
+Python, state per symbol is O(|ladder|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hurst_exponent", "variance_ratio"]
+
+
+def _q_returns(x, order, q: int):
+    return x - F.lag(x, q).over(order)
+
+
+def variance_ratio(
+    bars: DataFrame,
+    *,
+    q: int = 4,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol Lo-MacKinlay variance ratio at horizon ``q``.
+
+    Overlapping q-period returns; both variances are mean-corrected
+    with their own sample means, matching the original estimator.
+    Output: ``symbol, n_obs, vr, z`` (null when fewer than ``q + 2``
+    observations or a degenerate base variance).
+    """
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+
+    x = F.log(F.col(close_col).cast("double"))
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    r = bars.select(
+        F.col(symbol_col),
+        _q_returns(x, order, 1).alias("__r1"),
+        _q_returns(x, order, q).alias("__rq"),
+    )
+    g = r.groupBy(symbol_col).agg(
+        F.count("__r1").alias("__n1"),
+        F.sum("__r1").alias("__s1"),
+        F.sum(F.col("__r1") * F.col("__r1")).alias("__s11"),
+        F.count("__rq").alias("__nq"),
+        F.sum("__rq").alias("__sq"),
+        F.sum(F.col("__rq") * F.col("__rq")).alias("__sqq"),
+    )
+    n1 = F.col("__n1").cast("double")
+    nq = F.col("__nq").cast("double")
+    var1 = (F.col("__s11") - F.col("__s1") * F.col("__s1") / n1) / n1
+    varq = (F.col("__sqq") - F.col("__sq") * F.col("__sq") / nq) / nq
+    ok = (F.col("__nq") >= 2) & (var1 > 0)
+    vr = F.when(ok, varq / (q * var1))
+    z = F.when(
+        ok, (vr - 1) / F.sqrt(F.lit(2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)) / n1)
+    )
+    return g.select(
+        F.col(symbol_col),
+        F.col("__n1").cast("long").alias("n_obs"),
+        vr.alias("vr"),
+        z.alias("z"),
+    )
+
+
+def hurst_exponent(
+    bars: DataFrame,
+    *,
+    scales: tuple[int, ...] = (1, 2, 4, 8, 16),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol Hurst exponent via the aggregated-variance method.
+
+    For each scale q, the variance of overlapping q-period log returns
+    is computed; H is half the OLS slope of log Var against log q.
+    Output: ``symbol, n_obs, hurst, r2`` (fit quality; both null when
+    any scale has < 2 observations or zero variance).
+    """
+    if len(scales) < 2 or any(s < 1 for s in scales) or len(set(scales)) != len(scales):
+        raise ValueError(f"scales must be >= 2 distinct positive ints, got {scales}")
+
+    x = F.log(F.col(close_col).cast("double"))
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    cols = [F.col(symbol_col)]
+    for q in scales:
+        cols.append(_q_returns(x, order, q).alias(f"__r{q}"))
+    r = bars.select(*cols)
+
+    aggs = []
+    for q in scales:
+        c = F.col(f"__r{q}")
+        aggs += [
+            F.count(c).alias(f"__n{q}"),
+            F.sum(c).alias(f"__s{q}"),
+            F.sum(c * c).alias(f"__ss{q}"),
+        ]
+    g = r.groupBy(symbol_col).agg(*aggs)
+
+    import math
+
+    # log-variance per scale; validity requires every scale populated.
+    lvs = []
+    ok = F.lit(True)
+    for q in scales:
+        n = F.col(f"__n{q}").cast("double")
+        var = (F.col(f"__ss{q}") - F.col(f"__s{q}") * F.col(f"__s{q}") / n) / n
+        ok = ok & (F.col(f"__n{q}") >= 2) & (var > 0)
+        lvs.append((math.log(float(q)), F.log(var)))
+
+    k = float(len(scales))
+    sx = sum(lx for lx, _ in lvs)
+    sxx = sum(lx * lx for lx, _ in lvs)
+    sy = lvs[0][1]
+    sxy = lvs[0][0] * lvs[0][1]
+    syy = lvs[0][1] * lvs[0][1]
+    for lx, ly in lvs[1:]:
+        sy = sy + ly
+        sxy = sxy + lx * ly
+        syy = syy + ly * ly
+    den = k * sxx - sx * sx
+    slope = (k * sxy - sx * sy) / den
+    # r² of the log-log fit
+    ss_tot = syy - sy * sy / k
+    ss_res = ss_tot - slope * (sxy - sx * sy / k)
+    r2 = F.when(ss_tot > 0, 1 - ss_res / ss_tot)
+
+    hurst = F.when(ok, slope / 2)
+    return g.select(
+        F.col(symbol_col),
+        F.col(f"__n{scales[0]}").cast("long").alias("n_obs"),
+        hurst.alias("hurst"),
+        F.when(ok, r2).alias("r2"),
+    )

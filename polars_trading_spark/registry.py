@@ -5195,3 +5195,138 @@ def q_vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("worst_bps", 6).alias("worst_bps"),
         F.round("best_bps", 6).alias("best_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Regime diagnostics (operators/regime.py): Lo-MacKinlay variance
+# ratio and aggregated-variance Hurst exponent over the 15m bar frame.
+# --------------------------------------------------------------------------
+
+_VR_Q = 4
+_HURST_SCALES = (1, 2, 4, 8, 16)
+
+
+@register(
+    "variance_ratio",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol,
+    ln(close) - lag(ln(close), 1) OVER w AS r1,
+    ln(close) - lag(ln(close), {_VR_Q}) OVER w AS rq
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+g AS (
+  SELECT symbol,
+    CAST(count(r1) AS BIGINT) AS n1, sum(r1) AS s1, sum(r1*r1) AS ss1,
+    CAST(count(rq) AS BIGINT) AS nq, sum(rq) AS sq, sum(rq*rq) AS ssq
+  FROM r GROUP BY symbol
+),
+v AS (
+  SELECT symbol, n1,
+    (ss1 - s1*s1/n1) / n1 AS v1,
+    (ssq - sq*sq/nq) / nq AS vq,
+    nq
+  FROM g
+)
+SELECT symbol, n1 AS n_obs,
+  round(CASE WHEN nq >= 2 AND v1 > 0 THEN vq / ({_VR_Q} * v1) END, 6) AS vr,
+  round(CASE WHEN nq >= 2 AND v1 > 0 THEN
+    (vq / ({_VR_Q} * v1) - 1)
+      / sqrt({2.0 * (2 * _VR_Q - 1) * (_VR_Q - 1) / (3.0 * _VR_Q)!r} / n1)
+  END, 6) AS z
+FROM v
+""",
+    f"Lo-MacKinlay variance ratio at q={_VR_Q} on 15m bars with the iid "
+    "z-statistic — trending (>1) vs mean-reverting (<1) diagnostic",
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.regime import variance_ratio
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = variance_ratio(bars, q=_VR_Q, ts_col="ts_event", close_col="close")
+    return out.select(
+        "symbol", "n_obs", F.round("vr", 6).alias("vr"), F.round("z", 6).alias("z")
+    )
+
+
+def _hurst_sql() -> str:
+    import math
+
+    qs = _HURST_SCALES
+    lag_cols = ",\n    ".join(
+        f"ln(close) - lag(ln(close), {q}) OVER w AS r{q}" for q in qs
+    )
+    agg_cols = ",\n    ".join(
+        f"CAST(count(r{q}) AS BIGINT) AS n{q}, sum(r{q}) AS s{q}, sum(r{q}*r{q}) AS ss{q}"
+        for q in qs
+    )
+    var_cols = ",\n    ".join(
+        f"(ss{q} - s{q}*s{q}/n{q}) / n{q} AS v{q}" for q in qs
+    )
+    n_cols = ", ".join(f"n{q}" for q in qs)
+    ok = " AND ".join(f"n{q} >= 2 AND v{q} > 0" for q in qs)
+    k = float(len(qs))
+    lx = [math.log(float(q)) for q in qs]
+    sx = sum(lx)
+    sxx = sum(v * v for v in lx)
+    sy = " + ".join(f"ln(v{q})" for q in qs)
+    sxy = " + ".join(f"{lx[i]!r} * ln(v{qs[i]})" for i in range(len(qs)))
+    syy = " + ".join(f"ln(v{q}) * ln(v{q})" for q in qs)
+    den = k * sxx - sx * sx
+    return f"""
+WITH
+{{bars_cte}},
+r AS (
+  SELECT symbol,
+    {lag_cols}
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+g AS (
+  SELECT symbol,
+    {agg_cols}
+  FROM r GROUP BY symbol
+),
+v AS (
+  SELECT symbol, {n_cols},
+    {var_cols}
+  FROM g
+),
+fit AS (
+  SELECT symbol, n{qs[0]} AS n_obs,
+    CASE WHEN {ok} THEN ({k!r} * ({sxy}) - {sx!r} * ({sy})) / {den!r} END AS slope,
+    CASE WHEN {ok} THEN ({syy}) - ({sy}) * ({sy}) / {k!r} END AS ss_tot,
+    CASE WHEN {ok} THEN ({sxy}) - {sx!r} * ({sy}) / {k!r} END AS sxy_c
+  FROM v
+)
+SELECT symbol, n_obs,
+  round(slope / 2, 6) AS hurst,
+  round(CASE WHEN ss_tot > 0 THEN 1 - (ss_tot - slope * sxy_c) / ss_tot END, 6) AS r2
+FROM fit
+"""
+
+
+@register(
+    "hurst",
+    _hurst_sql().format(bars_cte=_FEATURE_BARS_CTE),
+    f"Aggregated-variance Hurst exponent over scales {_HURST_SCALES} on "
+    "15m bars (log-log variance regression; H=0.5 random walk)",
+)
+def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.regime import hurst_exponent
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = hurst_exponent(
+        bars, scales=_HURST_SCALES, ts_col="ts_event", close_col="close"
+    )
+    return out.select(
+        "symbol",
+        "n_obs",
+        F.round("hurst", 6).alias("hurst"),
+        F.round("r2", 6).alias("r2"),
+    )
