@@ -18,6 +18,7 @@ from polars_trading_spark._utils import col_or_lit
 __all__ = [
     "normalize_text",
     "bpe_pair_counts",
+    "bigram_logprob",
     "tokens",
     "token_count",
     "portable_hash60",
@@ -461,4 +462,83 @@ def bpe_pair_counts(
 
     return top.withColumn(
         "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    *,
+    smoothing_k: float = 0.5,
+    interpolation: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    model trained on the corpus itself — one rung up the CCNet/KenLM
+    ladder from ``unigram_logprob``: bigram perplexity additionally
+    punishes scrambled word ORDER, not just off-distribution vocabulary.
+
+    Model: ``p(t|s) = λ·p_bi(t|s) + (1−λ)·p_uni(t)`` with
+    ``p_bi = (c(s,t)+k)/(c(s)+k·V)`` and add-k unigram ``p_uni``;
+    the context count ``c(s)`` is the unigram count (the standard
+    corpus-LM approximation — exact context counts differ only by
+    end-of-document tokens).  A document's first token scores with the
+    unigram term alone.
+
+    Scale shape: (prev, cur) pairs come from a shifted ``zip_with``
+    over the staged token array (no window, no Python); two
+    map-side-combinable count aggregates build the model; scoring is
+    three token-key equi-joins (AQE broadcasts small vocabularies) and
+    one per-document aggregate.
+
+    Returns ``id_col, n_tokens, mean_logprob, ppl``.
+    """
+    if smoothing_k <= 0:
+        raise ValueError(f"smoothing_k must be > 0, got {smoothing_k}")
+    if not (0.0 <= interpolation <= 1.0):
+        raise ValueError(f"interpolation must be in [0, 1], got {interpolation}")
+
+    k, lam = float(smoothing_k), float(interpolation)
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")), F.slice("__toks", 1, n - 1)
+    )
+    pairs = F.zip_with(prevs, F.col("__toks"), lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
+    ex = base.where(n > 0).select(id_col, F.explode(pairs).alias("__pc"))
+    ex = ex.select(id_col, F.col("__pc.prev").alias("prev"), F.col("__pc.cur").alias("cur"))
+
+    uni = ex.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
+    bi = (
+        ex.where(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    totals = uni.agg(
+        F.sum("c_uni").cast("double").alias("__N"),
+        F.count(F.lit(1)).cast("double").alias("__V"),
+    )
+
+    ctx = uni.select(F.col("cur").alias("prev"), F.col("c_uni").alias("c_ctx"))
+    scored = (
+        ex.join(uni, "cur")
+        .join(bi, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_uni = (F.col("c_uni") + k) / (F.col("__N") + k * F.col("__V"))
+    p_bi = (F.coalesce("c_bi", F.lit(0)) + k) / (F.col("c_ctx") + k * F.col("__V"))
+    lp = F.when(
+        F.col("prev").isNotNull(), F.log(lam * p_bi + (1 - lam) * p_uni)
+    ).otherwise(F.log(p_uni))
+    per_doc = scored.withColumn("__lp", lp).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.avg("__lp").alias("mean_logprob"),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_logprob",
+        F.exp(-F.col("mean_logprob")).alias("ppl"),
     )

@@ -5330,3 +5330,71 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hurst", 6).alias("hurst"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Interpolated bigram LM scoring (functions/text.py::bigram_logprob)
+# --------------------------------------------------------------------------
+
+_BG_K, _BG_LAM = 0.5, 0.7
+
+
+@register(
+    "bigram_logprob",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+ex AS (
+  SELECT doc_id, u.prev AS prev, u.cur AS cur
+  FROM (
+    SELECT doc_id,
+      unnest([{{'prev': CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END,
+               'cur': toks[i]}} for i in range(1, len(toks)+1)]) AS u
+    FROM tok WHERE len(toks) > 0
+  )
+),
+uni AS (SELECT cur, CAST(count(*) AS BIGINT) AS c_uni FROM ex GROUP BY cur),
+bi AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_bi
+  FROM ex WHERE prev IS NOT NULL GROUP BY prev, cur
+),
+tot AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM uni),
+sc AS (
+  SELECT e.doc_id,
+    CASE WHEN e.prev IS NOT NULL THEN
+      ln({_BG_LAM!r} * ((coalesce(b.c_bi, 0) + {_BG_K!r}) / (cx.c_uni + {_BG_K!r} * t.V))
+         + {1.0 - _BG_LAM!r} * ((u.c_uni + {_BG_K!r}) / (t.N + {_BG_K!r} * t.V)))
+    ELSE
+      ln((u.c_uni + {_BG_K!r}) / (t.N + {_BG_K!r} * t.V))
+    END AS lp
+  FROM ex e
+  JOIN uni u ON u.cur = e.cur
+  LEFT JOIN bi b ON b.prev = e.prev AND b.cur = e.cur
+  LEFT JOIN uni cx ON cx.cur = e.prev
+  CROSS JOIN tot t
+),
+pd AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens, avg(lp) AS mlp
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(pd.n_tokens, 0) AS n_tokens,
+  round(pd.mlp, 6) AS mean_logprob,
+  round(exp(-pd.mlp), 6) AS ppl
+FROM docs d LEFT JOIN pd ON pd.doc_id = d.doc_id
+""",
+    "Interpolated add-k bigram LM perplexity per document (corpus-"
+    "trained; lambda=0.7) — the word-order-aware CCNet-style quality "
+    "signal",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import bigram_logprob
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bigram_logprob(docs, smoothing_k=_BG_K, interpolation=_BG_LAM)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+        F.round("ppl", 6).alias("ppl"),
+    )

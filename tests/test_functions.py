@@ -787,3 +787,67 @@ def test_tfidf_cosine_max_df_prunes_universal_terms(spark):
     assert len(out) == 0
     out_all = tfidf_cosine_pairs(docs, threshold=0.01, max_doc_freq_frac=1.0).toPandas()
     assert len(out_all) == 15  # all pairs share 'the'
+
+
+def test_bigram_logprob_hand_model(spark):
+    """2-doc corpus small enough to compute the interpolated model by
+    hand (k=1, lambda=0.5)."""
+    import math
+
+    from polars_trading_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bigram_logprob(docs, smoothing_k=1.0, interpolation=0.5).collect()
+    }
+    # corpus: tokens a,b,a,b,b,a -> c(a)=3, c(b)=3, N=6, V=2
+    # bigrams: (a,b) x2, (b,a) x2  [doc1: a>b, b>a, a>b; doc2: b>a]
+    # wait doc1 "a b a b": (a,b),(b,a),(a,b); doc2 "b a": (b,a)
+    # c(a,b)=2, c(b,a)=2
+    N, V, k, lam = 6.0, 2.0, 1.0, 0.5
+    pu = {"a": (3 + k) / (N + k * V), "b": (3 + k) / (N + k * V)}
+    def pb(s, t, c):
+        return (c + k) / (3 + k * V)
+    lp1 = (
+        math.log(pu["a"])                                  # first token
+        + math.log(lam * pb("a", "b", 2) + (1 - lam) * pu["b"])
+        + math.log(lam * pb("b", "a", 2) + (1 - lam) * pu["a"])
+        + math.log(lam * pb("a", "b", 2) + (1 - lam) * pu["b"])
+    ) / 4
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["mean_logprob"] == pytest.approx(lp1, rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(math.exp(-lp1), rel=1e-12)
+
+
+def test_bigram_logprob_order_sensitivity(spark):
+    """Scrambled word order must score worse (higher ppl) than natural
+    order even when the unigram distribution is identical."""
+    from polars_trading_spark.functions.text import bigram_logprob
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, natural) for i in range(10)]
+    rows.append((100, "mat the on sat cat the rug the on dog and sat the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"] for r in bigram_logprob(docs).collect()}
+    assert out[100] > out[0] * 1.5
+
+
+def test_bigram_logprob_empty_doc(spark):
+    from polars_trading_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert out[2]["n_tokens"] == 0 and out[2]["ppl"] is None
+
+
+def test_bigram_logprob_validation(spark):
+    from polars_trading_spark.functions.text import bigram_logprob
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="smoothing_k"):
+        bigram_logprob(docs, smoothing_k=0.0)
+    with pytest.raises(ValueError, match="interpolation"):
+        bigram_logprob(docs, interpolation=1.5)
