@@ -90,6 +90,21 @@ HEADLINE = [
     "similarity_topk_ivf_pq",
     "dedup_embedding_cosine",
     "multimodal_metadata",
+    # round-4 batch
+    "roll_adjust",
+    "ou_fit",
+    "cointegration",
+    "spread_signal",
+    "intraday_profile",
+    "variance_ratio",
+    "hurst",
+    "ledoit_wolf",
+    "ac_schedule",
+    "vwap_slippage",
+    "dup_spans",
+    "semdedup",
+    "bpe_pairs",
+    "bigram_logprob",
 ]
 
 
