@@ -43,6 +43,7 @@ from polars_trading_spark.operators.bet_sizing import (
     bet_size_from_tstat,
 )
 from polars_trading_spark.operators.cross_section import (
+    cross_sectional_zscore,
     momentum_rank,
     rolling_beta,
     rolling_pair_correlation,
@@ -53,7 +54,11 @@ from polars_trading_spark.operators.execution import (
     almgren_chriss_schedule,
     vwap_slippage,
 )
-from polars_trading_spark.operators.backtest import backtest_stats, drawdown_path
+from polars_trading_spark.operators.backtest import (
+    backtest_stats,
+    drawdown_path,
+    ma_crossover_signal,
+)
 from polars_trading_spark.operators.bootstrap import sequential_bootstrap
 from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
 from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
@@ -145,6 +150,8 @@ __all__ = [
     "vwap_slippage",
     "variance_ratio",
     "hurst_exponent",
+    "ma_crossover_signal",
+    "cross_sectional_zscore",
 ]
 
 __version__ = "0.4.0"

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats", "drawdown_path"]
+__all__ = ["backtest_stats", "drawdown_path", "ma_crossover_signal"]
 
 
 def backtest_stats(
@@ -193,3 +193,50 @@ def drawdown_path(
         (F.lit(1.0) - F.exp(F.col("__dd"))).alias("drawdown"),
         under.cast("long").alias("underwater"),
     )
+
+
+def ma_crossover_signal(
+    bars: DataFrame,
+    *,
+    fast: int = 10,
+    slow: int = 50,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Moving-average crossover trend signal with one-bar-lagged P&L —
+    the single-asset companion to ``spread_zscore_signal``: together
+    they close the loop from features to a backtestable strategy for
+    both the momentum and mean-reversion styles.
+
+    Position is ``sign(SMA_fast − SMA_slow)`` once ``slow`` bars exist
+    (0 before).  P&L per bar is the previous bar's position times the
+    bar log return — the standard no-lookahead convention; feed the
+    output straight into ``backtest_stats`` for Sharpe/PSR/drawdown.
+
+    Shape: two rolling sums over ONE per-symbol window partitioning and
+    a lag — single shuffle, zero Python, any number of symbols.
+    """
+    if not (0 < fast < slow):
+        raise ValueError(f"need 0 < fast < slow, got fast={fast} slow={slow}")
+
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_fast = order.rowsBetween(-(fast - 1), 0)
+    w_slow = order.rowsBetween(-(slow - 1), 0)
+    n_slow = F.count(c).over(w_slow)
+    sma_f = F.avg(c).over(w_fast)
+    sma_s = F.avg(c).over(w_slow)
+    pos = F.when(n_slow >= slow, F.signum(sma_f - sma_s)).otherwise(F.lit(0.0))
+    out = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        c.alias("close"),
+        sma_f.alias("sma_fast"),
+        sma_s.alias("sma_slow"),
+        pos.alias("pos"),
+    )
+    ret = F.log(F.col("close") / F.lag("close").over(order))
+    prev_pos = F.lag("pos").over(order)
+    pnl = F.when(prev_pos.isNotNull() & ret.isNotNull(), prev_pos * ret)
+    return out.withColumn("pnl", pnl)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["momentum_rank", "rolling_beta", "rolling_pair_correlation"]
+__all__ = ["cross_sectional_zscore", "momentum_rank", "rolling_beta", "rolling_pair_correlation"]
 
 
 def rolling_beta(
@@ -188,4 +188,50 @@ def rolling_pair_correlation(
     )
     return joined.select(
         "sym_a", "sym_b", F.col(ts_col), corr.alias("corr")
+    )
+
+
+def cross_sectional_zscore(
+    df: DataFrame,
+    value_col: str,
+    *,
+    clip_sigmas: float = 3.0,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+) -> DataFrame:
+    """Cross-sectional standardization of a feature at each timestamp —
+    the normalization step every factor pipeline runs before combining
+    signals: z = (x − mean_bucket)/std_bucket, winsorized at
+    ``±clip_sigmas`` so a single blown-up name cannot dominate the
+    factor.
+
+    Null feature values pass through as null z and do not contaminate
+    the bucket moments; buckets with < 2 non-null values (or zero
+    dispersion) emit null.  Explicit-sum sample std keeps the
+    arithmetic engine-identical for the differential oracle.
+
+    Shape: one window over the bucket partition — a single shuffle on
+    the timestamp key, zero joins, zero Python.
+    """
+    if clip_sigmas <= 0:
+        raise ValueError(f"clip_sigmas must be positive, got {clip_sigmas}")
+
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(ts_col)
+    n = F.count(x).over(w)
+    s = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    var = (s2 - s * s / n) / (n - 1)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(x.isNotNull() & (n >= 2) & (sd > 0), (x - s / n) / sd)
+    c = float(clip_sigmas)
+    # greatest/least skip nulls in Spark (and DuckDB), so guard: a null
+    # z must stay null, not collapse to the clip boundary.
+    zc = F.when(z.isNotNull(), F.least(F.greatest(z, F.lit(-c)), F.lit(c)))
+    return df.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        x.alias(value_col),
+        z.alias("z"),
+        zc.alias("z_clipped"),
     )

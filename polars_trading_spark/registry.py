@@ -5398,3 +5398,125 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_logprob", 6).alias("mean_logprob"),
         F.round("ppl", 6).alias("ppl"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. MA-crossover trend signal (operators/backtest.py::
+# ma_crossover_signal)
+# --------------------------------------------------------------------------
+
+_MAC_F, _MAC_S = 10, 50
+
+
+@register(
+    "ma_crossover",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+m AS (
+  SELECT symbol, ts, close,
+    avg(close) OVER (PARTITION BY symbol ORDER BY ts
+      ROWS BETWEEN {_MAC_F - 1} PRECEDING AND CURRENT ROW) AS sma_fast,
+    avg(close) OVER (PARTITION BY symbol ORDER BY ts
+      ROWS BETWEEN {_MAC_S - 1} PRECEDING AND CURRENT ROW) AS sma_slow,
+    count(close) OVER (PARTITION BY symbol ORDER BY ts
+      ROWS BETWEEN {_MAC_S - 1} PRECEDING AND CURRENT ROW) AS n_slow
+  FROM bars
+),
+p AS (
+  SELECT symbol, ts, close, sma_fast, sma_slow,
+    CASE WHEN n_slow >= {_MAC_S} THEN sign(sma_fast - sma_slow) ELSE 0.0 END AS pos
+  FROM m
+),
+fin AS (
+  SELECT *,
+    lag(pos) OVER w * ln(close / lag(close) OVER w) AS pnl
+  FROM p
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+)
+SELECT symbol, ts, round(sma_fast, 6) + 0 AS sma_fast,
+  round(sma_slow, 6) + 0 AS sma_slow, pos + 0 AS pos,
+  round(pnl, 6) + 0 AS pnl
+FROM fin
+""",
+    f"SMA({_MAC_F})/SMA({_MAC_S}) crossover trend signal with one-bar-"
+    "lagged log-return P&L per symbol",
+)
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import ma_crossover_signal
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = ma_crossover_signal(
+        bars, fast=_MAC_F, slow=_MAC_S, ts_col="ts_event", close_col="close"
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        F.col("ts_event").alias("ts"),
+        (F.round("sma_fast", 6) + z0).alias("sma_fast"),
+        (F.round("sma_slow", 6) + z0).alias("sma_slow"),
+        (F.col("pos") + z0).alias("pos"),
+        (F.round("pnl", 6) + z0).alias("pnl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-sectional z-score (operators/cross_section.py::
+# cross_sectional_zscore) over bar log returns.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cs_zscore",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+z AS (
+  SELECT symbol, ts, ret,
+    count(ret) OVER w AS n, sum(ret) OVER w AS s, sum(ret*ret) OVER w AS s2
+  FROM r
+  WINDOW w AS (PARTITION BY ts)
+),
+f AS (
+  SELECT symbol, ts, ret,
+    CASE WHEN ret IS NOT NULL AND n >= 2
+              AND sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) > 0
+         THEN (ret - s/n) / sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) END AS z
+  FROM z
+)
+SELECT symbol, ts, round(ret, 6) + 0 AS ret,
+  round(z, 6) + 0 AS z,
+  round(CASE WHEN z IS NOT NULL THEN least(greatest(z, -3.0), 3.0) END, 6) + 0 AS z_clipped
+FROM f
+""",
+    "Cross-sectional z-score of bar log returns per timestamp bucket, "
+    "winsorized at 3 sigma — the factor-pipeline normalization step",
+)
+def q_cs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from polars_trading_spark.operators.cross_section import cross_sectional_zscore
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    order = Window.partitionBy("symbol").orderBy("ts_event")
+    r = bars.select(
+        "symbol",
+        "ts_event",
+        F.log(F.col("close") / F.lag("close").over(order)).alias("ret"),
+    )
+    out = cross_sectional_zscore(r, "ret", clip_sigmas=3.0, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        F.col("ts_event").alias("ts"),
+        (F.round("ret", 6) + z0).alias("ret"),
+        (F.round("z", 6) + z0).alias("z"),
+        (F.round("z_clipped", 6) + z0).alias("z_clipped"),
+    )

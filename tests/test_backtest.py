@@ -4,6 +4,7 @@ computations and a hand-crafted drawdown path."""
 
 from __future__ import annotations
 
+import datetime as dt
 import math
 
 import numpy as np
@@ -171,3 +172,65 @@ def test_drawdown_path_consistent_with_stats(spark, bar_pdf):
     for sym in agg.index:
         assert agg.loc[sym, "dd"] == pytest.approx(stats.loc[sym, "max_drawdown"], rel=1e-12)
         assert agg.loc[sym, "tuw"] == stats.loc[sym, "max_tuw"]
+
+
+def test_ma_crossover_golden(spark):
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.backtest import ma_crossover_signal
+
+    rng = np.random.default_rng(4)
+    n = 200
+    close = 100 * np.exp(np.cumsum(0.01 * rng.standard_normal(n)))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("A", t0 + dt.timedelta(minutes=15 * i), float(c)) for i, c in enumerate(close)]
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, close double")
+    out = (
+        ma_crossover_signal(df, fast=5, slow=20)
+        .orderBy("ts_event_start")
+        .toPandas()
+    )
+    s = pd.Series(close)
+    sf = s.rolling(5, min_periods=1).mean()
+    ss = s.rolling(20, min_periods=1).mean()
+    pos = pd.Series(np.where(np.arange(n) >= 19, np.sign(sf - ss), 0.0))
+    ret = pd.Series(np.log(close)).diff()
+    pnl = pos.shift(1) * ret
+    assert np.allclose(out["sma_fast"], sf, rtol=1e-12)
+    assert np.allclose(out["pos"], pos, rtol=0)
+    assert np.allclose(out["pnl"].iloc[1:], pnl.iloc[1:], rtol=1e-12)
+    assert out["pnl"].iloc[0] is None or np.isnan(out["pnl"].iloc[0])
+
+
+def test_ma_crossover_validation(spark):
+    import pytest as _pytest
+
+    from polars_trading_spark.operators.backtest import ma_crossover_signal
+
+    df = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1), 1.0)],
+        "symbol string, ts_event_start timestamp, close double",
+    )
+    with _pytest.raises(ValueError, match="fast"):
+        ma_crossover_signal(df, fast=20, slow=10)
+
+
+def test_cross_sectional_zscore_golden(spark):
+    import numpy as np
+
+    from polars_trading_spark.operators.cross_section import cross_sectional_zscore
+
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        ("A", t, 1.0), ("B", t, 2.0), ("C", t, 3.0), ("D", t, 100.0),
+        ("E", t, None),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, x double")
+    out = {r["symbol"]: r for r in cross_sectional_zscore(df, "x", clip_sigmas=1.4).collect()}
+    vals = np.array([1.0, 2.0, 3.0, 100.0])
+    mean, sd = vals.mean(), vals.std(ddof=1)
+    assert out["A"]["z"] == pytest.approx((1 - mean) / sd, rel=1e-12)
+    assert out["D"]["z"] == pytest.approx((100 - mean) / sd, rel=1e-12)
+    assert out["D"]["z_clipped"] == 1.4  # winsorized
+    assert out["E"]["z"] is None and out["E"]["z_clipped"] is None
