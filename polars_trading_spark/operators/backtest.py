@@ -222,11 +222,23 @@ def ma_crossover_signal(
 
     c = F.col(close_col).cast("double")
     order = Window.partitionBy(symbol_col).orderBy(ts_col)
-    w_fast = order.rowsBetween(-(fast - 1), 0)
-    w_slow = order.rowsBetween(-(slow - 1), 0)
-    n_slow = F.count(c).over(w_slow)
-    sma_f = F.avg(c).over(w_fast)
-    sma_s = F.avg(c).over(w_slow)
+    # SMAs from running prefix sums, not sliding-frame avg(): one O(n)
+    # running fold instead of O(n·w) per-row re-aggregation, and —
+    # because a running sum is a SEQUENTIAL fold in every engine — the
+    # values are bit-identical to the differential oracle (sliding-frame
+    # aggregates associate differently per engine and flip rounding
+    # ties).
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(c).over(run)
+    cnt = F.count(c).over(run)
+
+    def sma(k: int):
+        prev = F.coalesce(F.lag(cum, k).over(order), F.lit(0.0))
+        prev_n = F.coalesce(F.lag(cnt, k).over(order), F.lit(0))
+        return (cum - prev) / (cnt - prev_n)
+
+    sma_f, sma_s = sma(fast), sma(slow)
+    n_slow = cnt - F.coalesce(F.lag(cnt, slow).over(order), F.lit(0))
     pos = F.when(n_slow >= slow, F.signum(sma_f - sma_s)).otherwise(F.lit(0.0))
     out = bars.select(
         F.col(symbol_col),

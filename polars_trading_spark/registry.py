@@ -5413,15 +5413,22 @@ _MAC_F, _MAC_S = 10, 50
     f"""
 WITH
 {_FEATURE_BARS_CTE},
+m0 AS (
+  SELECT symbol, ts, close,
+    sum(close) OVER w AS cum, count(close) OVER w AS cnt
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
 m AS (
   SELECT symbol, ts, close,
-    avg(close) OVER (PARTITION BY symbol ORDER BY ts
-      ROWS BETWEEN {_MAC_F - 1} PRECEDING AND CURRENT ROW) AS sma_fast,
-    avg(close) OVER (PARTITION BY symbol ORDER BY ts
-      ROWS BETWEEN {_MAC_S - 1} PRECEDING AND CURRENT ROW) AS sma_slow,
-    count(close) OVER (PARTITION BY symbol ORDER BY ts
-      ROWS BETWEEN {_MAC_S - 1} PRECEDING AND CURRENT ROW) AS n_slow
-  FROM bars
+    (cum - coalesce(lag(cum, {_MAC_F}) OVER o, 0.0))
+      / (cnt - coalesce(lag(cnt, {_MAC_F}) OVER o, 0)) AS sma_fast,
+    (cum - coalesce(lag(cum, {_MAC_S}) OVER o, 0.0))
+      / (cnt - coalesce(lag(cnt, {_MAC_S}) OVER o, 0)) AS sma_slow,
+    cnt - coalesce(lag(cnt, {_MAC_S}) OVER o, 0) AS n_slow
+  FROM m0
+  WINDOW o AS (PARTITION BY symbol ORDER BY ts)
 ),
 p AS (
   SELECT symbol, ts, close, sma_fast, sma_slow,
@@ -5434,8 +5441,8 @@ fin AS (
   FROM p
   WINDOW w AS (PARTITION BY symbol ORDER BY ts)
 )
-SELECT symbol, ts, round(sma_fast, 6) + 0 AS sma_fast,
-  round(sma_slow, 6) + 0 AS sma_slow, pos + 0 AS pos,
+SELECT symbol, ts, sma_fast + 0 AS sma_fast,
+  sma_slow + 0 AS sma_slow, pos + 0 AS pos,
   round(pnl, 6) + 0 AS pnl
 FROM fin
 """,
@@ -5450,12 +5457,17 @@ def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ma_crossover_signal(
         bars, fast=_MAC_F, slow=_MAC_S, ts_col="ts_event", close_col="close"
     )
+    # smas are UNROUNDED: the prefix-sum fold makes them bit-identical
+    # doubles on both engines, while round-to-6 hits exact .5 decimal
+    # ties (3-decimal prices / small ints) where Spark's BigDecimal
+    # HALF_UP and DuckDB's multiply-based round disagree.  pnl carries
+    # an ln(), whose last ulp is engine-specific -> rounded.
     z0 = F.lit(0.0)
     return out.select(
         "symbol",
         F.col("ts_event").alias("ts"),
-        (F.round("sma_fast", 6) + z0).alias("sma_fast"),
-        (F.round("sma_slow", 6) + z0).alias("sma_slow"),
+        (F.col("sma_fast") + z0).alias("sma_fast"),
+        (F.col("sma_slow") + z0).alias("sma_slow"),
         (F.col("pos") + z0).alias("pos"),
         (F.round("pnl", 6) + z0).alias("pnl"),
     )
