@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+__all__ = ["corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
 
 
 def corpus_filter(
@@ -480,3 +480,62 @@ def pack_sequences(
         )
 
     return slim.groupBy("shard").applyInPandas(kernel, schema=schema)
+
+
+def corpus_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **filter_kwargs,
+) -> DataFrame:
+    """End-to-end cleanse funnel: how many documents/tokens survive each
+    stage of the standard training-data pipeline — the one-glance
+    yield report every corpus build publishes.
+
+    Stages (each nested in the previous):
+
+    0. ``raw``          — everything ingested
+    1. ``quality``      — language/token-count/quality gates pass
+    2. ``exact_dedup``  — plus not an exact (fingerprint) duplicate
+    3. ``near_dedup``   — plus not a MinHash-LSH near-duplicate
+                          (== the final ``keep`` set)
+
+    Returns 4 rows: ``stage_idx, stage, n_docs, n_tokens``.  Built on
+    ``corpus_filter``'s audit columns, reduced with ONE conditional
+    aggregate and unpivoted with a 4-element explode — the funnel adds
+    no shuffle beyond what the filter already does.
+    """
+    flags = corpus_filter(df, text_col, id_col, **filter_kwargs)
+    q = F.col("pass_lang") & F.col("pass_tokens") & F.col("pass_quality")
+    qe = q & ~F.col("is_exact_dup")
+    qen = qe & ~F.col("is_near_dup")
+    nt = F.col("n_tokens").cast("long")
+
+    def stage(cond):
+        return [
+            F.count(F.when(cond, F.lit(1))).cast("long"),
+            F.coalesce(F.sum(F.when(cond, nt)), F.lit(0)).cast("long"),
+        ]
+
+    agg = flags.agg(
+        *stage(F.lit(True)), *stage(q), *stage(qe), *stage(qen)
+    )
+    c = agg.columns
+    names = ["raw", "quality", "exact_dedup", "near_dedup"]
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                F.col(c[2 * i]).alias("n_docs"),
+                F.col(c[2 * i + 1]).alias("n_tokens"),
+            )
+            for i in range(4)
+        ]
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage_idx").cast("int").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_docs").alias("n_docs"),
+        F.col("s.n_tokens").alias("n_tokens"),
+    )

@@ -5532,3 +5532,56 @@ def q_cs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("z", 6) + z0).alias("z"),
         (F.round("z_clipped", 6) + z0).alias("z_clipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Corpus cleanse funnel (functions/corpus.py::corpus_funnel) — the
+# per-stage yield report; oracle wraps the corpus_filter oracle verbatim.
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+WITH agg AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+    CAST(count(CASE WHEN pass_lang AND pass_tokens AND pass_quality THEN 1 END) AS BIGINT) AS d1,
+    CAST(coalesce(sum(CASE WHEN pass_lang AND pass_tokens AND pass_quality THEN n_tokens END), 0) AS BIGINT) AS t1,
+    CAST(count(CASE WHEN pass_lang AND pass_tokens AND pass_quality AND NOT is_exact_dup THEN 1 END) AS BIGINT) AS d2,
+    CAST(coalesce(sum(CASE WHEN pass_lang AND pass_tokens AND pass_quality AND NOT is_exact_dup THEN n_tokens END), 0) AS BIGINT) AS t2,
+    CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS d3,
+    CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS t3
+  FROM ({{base}}) b
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT 1, 'quality', d1, t1 FROM agg
+UNION ALL SELECT 2, 'exact_dedup', d2, t2 FROM agg
+UNION ALL SELECT 3, 'near_dedup', d3, t3 FROM agg
+"""
+
+
+@register(
+    "corpus_funnel",
+    None,  # filled in immediately below from the corpus_filter oracle
+    "Cleanse funnel: docs/tokens surviving raw -> quality gates -> "
+    "exact dedup -> near dedup",
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ops.corpus_funnel(
+        docs,
+        langs=_CF_LANGS,
+        min_tokens=_CF_MIN_TOKENS,
+        max_tokens=_CF_MAX_TOKENS,
+        min_quality=_CF_MIN_QUALITY,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).withColumn("stage_idx", F.col("stage_idx").cast("int"))
+
+
+QUERIES["corpus_funnel"] = Query(
+    name="corpus_funnel",
+    spark=QUERIES["corpus_funnel"].spark,
+    oracle=_FUNNEL_SQL.format(base=QUERIES["corpus_filter"].oracle),
+    description=QUERIES["corpus_funnel"].description,
+)

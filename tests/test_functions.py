@@ -851,3 +851,37 @@ def test_bigram_logprob_validation(spark):
         bigram_logprob(docs, smoothing_k=0.0)
     with pytest.raises(ValueError, match="interpolation"):
         bigram_logprob(docs, interpolation=1.5)
+
+
+def test_corpus_funnel_nesting_and_counts(spark):
+    """Funnel counts must be monotone non-increasing and consistent with
+    corpus_filter's own flags on a crafted corpus."""
+    from polars_trading_spark.functions.corpus import corpus_filter, corpus_funnel
+
+    good = "the quick brown fox jumps over the lazy dog again and again today " * 3
+    rows = [
+        (1, good + "one"),
+        (2, good + "two"),
+        (3, good + "one"),          # exact dup of 1 (normalized)
+        (4, "zz qq xx"),            # fails token/lang gates
+        (5, good + "one extra"),    # near dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(min_tokens=10, max_tokens=1000, min_quality=0.0)
+    funnel = {r["stage"]: r for r in corpus_funnel(docs, **kw).collect()}
+    flags = corpus_filter(docs, **kw).collect()
+
+    assert funnel["raw"]["n_docs"] == 5
+    q = [r for r in flags if r["pass_lang"] and r["pass_tokens"] and r["pass_quality"]]
+    assert funnel["quality"]["n_docs"] == len(q)
+    qe = [r for r in q if not r["is_exact_dup"]]
+    assert funnel["exact_dedup"]["n_docs"] == len(qe)
+    keep = [r for r in flags if r["keep"]]
+    assert funnel["near_dedup"]["n_docs"] == len(keep)
+    # monotone
+    ds = [funnel[s]["n_docs"] for s in ("raw", "quality", "exact_dedup", "near_dedup")]
+    ts = [funnel[s]["n_tokens"] for s in ("raw", "quality", "exact_dedup", "near_dedup")]
+    assert ds == sorted(ds, reverse=True)
+    assert ts == sorted(ts, reverse=True)
+    # the exact dup (doc 3) must fall out at stage 2
+    assert funnel["exact_dedup"]["n_docs"] < funnel["quality"]["n_docs"]
