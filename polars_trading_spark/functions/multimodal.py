@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["synthesize_media", "extract_media_metadata", "sample_frames", "decode_image"]
+__all__ = ["synthesize_media", "extract_media_metadata", "sample_frames", "decode_image", "synthesize_pcm", "pcm_features"]
 
 _MEDIA_TYPES = ["image", "audio", "video"]
 
@@ -117,3 +117,99 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         "frame_idx",
         (F.col("frame_idx") * every_ms).alias("offset_ms"),
     )
+
+
+_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_pcm(documents: DataFrame, *, sample_rate: int = 16_000) -> DataFrame:
+    """Deterministic fake s16le PCM audio per document id.
+
+    Sample ``i`` of media ``m`` is the integer
+    ``((m * 7919 + i * 104729) % 65536) − 32768`` — pure modular
+    arithmetic any engine can regenerate, packed little-endian int16.
+    ``n_samples = 400 + m % 800``.  Stands in for a real (id, rate,
+    payload binary) audio table; the packing runs in an Arrow-batched
+    ``mapInPandas`` exactly like a real ingest would.
+    """
+
+    def pack(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                n = 400 + int(m) % 800
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(m) * 7919 + i * 104729) % 65536) - 32768
+                rows.append(s.astype("<i2").tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": sample_rate,
+                    "payload": rows,
+                }
+            )
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(pack, schema=_PCM_SCHEMA)
+
+
+_PCM_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def pcm_features(media: DataFrame) -> DataFrame:
+    """Waveform features from raw s16le PCM payload bytes — REAL binary
+    decoding (``np.frombuffer`` on the Arrow batch), no codec library
+    needed, so unlike the image/video kernels this path is exact and
+    fully testable in this container:
+
+    * ``rms``            — sqrt(mean(sample²))
+    * ``peak``           — max |sample|
+    * ``zero_crossings`` — count of strict sign flips (s_i·s_{i+1} < 0)
+
+    Shape: one Arrow-batched ``mapInPandas`` stage (the canonical decode
+    step), everything before/after ordinary columnar Spark.  Integer
+    moments are exact, so the differential oracle regenerates the same
+    samples arithmetically and matches bit-for-bit.
+    """
+
+    def feats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "n_samples": [], "duration_ms": [],
+                "rms": [], "peak": [], "zero_crossings": [],
+            }
+            for m, sr, payload in zip(
+                pdf["media_id"], pdf["sample_rate"], pdf["payload"]
+            ):
+                s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+                n = s.size
+                out["media_id"].append(m)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000.0 / sr)
+                out["rms"].append(float(np.sqrt((s * s).sum() / n)) if n else None)
+                out["peak"].append(int(np.abs(s).max()) if n else 0)
+                out["zero_crossings"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, schema=_PCM_FEAT_SCHEMA)

@@ -5585,3 +5585,60 @@ QUERIES["corpus_funnel"] = Query(
     oracle=_FUNNEL_SQL.format(base=QUERIES["corpus_filter"].oracle),
     description=QUERIES["corpus_funnel"].description,
 )
+
+
+# --------------------------------------------------------------------------
+# C-ext. PCM waveform features (functions/multimodal.py::pcm_features) —
+# real byte-level decode (np.frombuffer) with an exact arithmetic oracle.
+# --------------------------------------------------------------------------
+
+_PCM_SR = 16_000
+
+
+@register(
+    "pcm_features",
+    f"""
+WITH m AS (SELECT doc_id AS media_id FROM documents),
+s AS (
+  SELECT media_id, i,
+    ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+  FROM m, unnest(range(0, 400 + CAST(media_id % 800 AS INTEGER))) AS t(i)
+),
+lagged AS (
+  SELECT media_id, v,
+    lead(v) OVER (PARTITION BY media_id ORDER BY i) AS nxt
+  FROM s
+),
+g AS (
+  SELECT media_id,
+    CAST(count(*) AS BIGINT) AS n_samples,
+    sum(v * v) AS ss,
+    max(abs(v)) AS peak,
+    CAST(count(CASE WHEN v * nxt < 0 THEN 1 END) AS BIGINT) AS zero_crossings
+  FROM lagged GROUP BY media_id
+)
+SELECT media_id, n_samples,
+  round(n_samples * 1000.0 / {_PCM_SR}, 6) AS duration_ms,
+  round(sqrt(ss / n_samples), 6) AS rms,
+  CAST(peak AS INTEGER) AS peak,
+  zero_crossings
+FROM g
+""",
+    "Waveform features (RMS, peak, zero crossings) decoded from raw "
+    "s16le PCM bytes via Arrow mapInPandas — the oracle regenerates the "
+    "samples arithmetically",
+)
+def q_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import pcm_features, synthesize_pcm
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_pcm(docs, sample_rate=_PCM_SR)
+    out = pcm_features(media)
+    return out.select(
+        "media_id",
+        "n_samples",
+        F.round("duration_ms", 6).alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+        "zero_crossings",
+    )

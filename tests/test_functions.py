@@ -885,3 +885,39 @@ def test_corpus_funnel_nesting_and_counts(spark):
     assert ts == sorted(ts, reverse=True)
     # the exact dup (doc 3) must fall out at stage 2
     assert funnel["exact_dedup"]["n_docs"] < funnel["quality"]["n_docs"]
+
+
+def test_pcm_features_numpy_golden(spark):
+    """Decode-side features must equal a direct numpy computation on
+    the same generated samples."""
+    import numpy as np
+
+    from polars_trading_spark.functions.multimodal import pcm_features, synthesize_pcm
+
+    docs = spark.createDataFrame([(7,), (123,)], "doc_id long")
+    out = {r["media_id"]: r for r in pcm_features(synthesize_pcm(docs)).collect()}
+    for m in (7, 123):
+        n = 400 + m % 800
+        i = np.arange(n)
+        s = ((m * 7919 + i * 104729) % 65536) - 32768
+        r = out[m]
+        assert r["n_samples"] == n
+        assert r["rms"] == pytest.approx(float(np.sqrt((s.astype(np.int64) ** 2).mean())), rel=1e-12)
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] == int(((s[:-1] * s[1:]) < 0).sum())
+        assert r["duration_ms"] == pytest.approx(n * 1000 / 16000, rel=1e-12)
+
+
+def test_pcm_payload_roundtrip_bytes(spark):
+    """The payload really is little-endian int16 bytes of the declared
+    length — the binary contract a real audio tape would satisfy."""
+    import numpy as np
+
+    from polars_trading_spark.functions.multimodal import synthesize_pcm
+
+    docs = spark.createDataFrame([(42,)], "doc_id long")
+    row = synthesize_pcm(docs).collect()[0]
+    n = 400 + 42 % 800
+    assert len(row["payload"]) == 2 * n
+    s = np.frombuffer(row["payload"], dtype="<i2")
+    assert s[0] == ((42 * 7919) % 65536) - 32768
