@@ -50,6 +50,7 @@ from polars_trading_spark.operators.cross_section import (
 )
 from polars_trading_spark.operators.covariance import ledoit_wolf_cov
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
+from polars_trading_spark.operators.drift import psi_drift
 from polars_trading_spark.operators.execution import (
     almgren_chriss_schedule,
     vwap_slippage,
@@ -152,6 +153,7 @@ __all__ = [
     "hurst_exponent",
     "ma_crossover_signal",
     "cross_sectional_zscore",
+    "psi_drift",
 ]
 
 __version__ = "0.4.0"

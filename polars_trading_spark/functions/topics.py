@@ -1,0 +1,101 @@
+"""Cluster topic labeling: TF-IDF keywords per embedding cluster.
+
+The standard "what is in this corpus" map (and the triage view for
+SemDeDup/mixing decisions): cluster the embedding space with the same
+coarse quantizer the ANN/dedup layers use, then label each cluster with
+the tokens whose within-cluster frequency is most surprising against
+the corpus (TF-IDF with the cluster as the "document").
+
+Cross-table shape: embeddings assign to cells via the broadcast
+centroid pack (one HOF expression, no Python), the documents table
+joins in on the shared id, token counts aggregate per (cell, token),
+document frequencies per token — every step an equi-join or hash
+aggregate, then a per-cell top-k window over the (tiny) scored table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark.functions.similarity import (
+    _as_double,
+    _centroid_sims_col,
+    _vector_pack,
+)
+from polars_trading_spark.functions.text import tokens
+
+__all__ = ["cluster_keywords"]
+
+
+def cluster_keywords(
+    embeddings: DataFrame,
+    documents: DataFrame,
+    *,
+    n_cells: int = 8,
+    k: int = 5,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per embedding cluster.
+
+    Centroids are the ``n_cells`` lowest-id vectors (deterministic, the
+    oracle-replayable quantizer; swap in ``kmeans_centroids`` for
+    data-shaped cells).  Score = within-cell term count × smoothed IDF
+    ``ln((N+1)/(df+1)) + 1`` over the whole corpus.  Ties break by
+    token text.  Output: ``cell, rank, token, cell_count, doc_freq,
+    score``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    cents = _vector_pack(
+        embeddings, n_cells, id_col=vec_id_col, vec_col=vec_col, out_col="__cents"
+    )
+    cells = (
+        embeddings.select(
+            F.col(vec_id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sims", _centroid_sims_col(F.col("__v"), F.col("__cents")))
+        .select(
+            "__id",
+            (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+
+    toks = documents.select(
+        F.col(doc_id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    joined = toks.join(cells, "__id")
+
+    cell_counts = joined.groupBy("cell", "token").agg(
+        F.count(F.lit(1)).alias("cell_count")
+    )
+    dfreq = (
+        toks.select("__id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    scored = (
+        cell_counts.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("cell_count")
+            * (F.log((F.col("__N") + 1) / (F.col("doc_freq") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("cell", "rank", "token", "cell_count", "doc_freq", "score")
+    )

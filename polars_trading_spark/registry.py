@@ -5642,3 +5642,129 @@ def q_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cluster topic keywords (functions/topics.py::cluster_keywords) —
+# embeddings x documents cross-table composition.
+# --------------------------------------------------------------------------
+
+_CK_K = 5
+
+
+@register(
+    "cluster_keywords",
+    f"""
+WITH
+{_EMB_CTE},
+{_DOCS_TOK_CTE},
+cent AS (
+  SELECT v AS cv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_CELLS})
+),
+cell_sims AS (
+  SELECT c.vec_id, cent.j,
+         list_sum([cv[i+1] * v[i+1] for i in range(0, len(v))])
+           / (sqrt(list_sum([x * x for x in cv])) * {_NORM_V}) AS csim
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+tk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+joined AS (
+  SELECT a.cell, t.token FROM tk t JOIN assigned a ON a.vec_id = t.doc_id
+),
+cc AS (SELECT cell, token, CAST(count(*) AS BIGINT) AS cell_count
+       FROM joined GROUP BY cell, token),
+dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM tk GROUP BY token),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS N FROM docs),
+scored AS (
+  SELECT cc.cell, cc.token, cc.cell_count, dfq.doc_freq,
+    cc.cell_count * (ln((nn.N + 1) / (dfq.doc_freq + 1)) + 1) AS score
+  FROM cc JOIN dfq USING (token) CROSS JOIN nn
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY cell
+            ORDER BY score DESC, token) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT cell, rank, token, cell_count, doc_freq, round(score, 6) AS score
+FROM ranked WHERE rank <= {_CK_K}
+""",
+    f"Top-{_CK_K} TF-IDF keywords per embedding cluster (lowest-id "
+    "coarse quantizer; cross-table embeddings x documents composition)",
+)
+def q_cluster_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.topics import cluster_keywords
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    out = cluster_keywords(emb, docs, n_cells=_N_CELLS, k=_CK_K)
+    return out.withColumn("score", F.round("score", 6))
+
+
+# --------------------------------------------------------------------------
+# C-ext. PSI feature drift (operators/drift.py::psi_drift)
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-08 00:00:00"
+_PSI_BINS, _PSI_EPS = 10, 1e-4
+
+
+@register(
+    "psi_drift",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, price AS x, ts_event < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM trades WHERE price IS NOT NULL
+),
+rng AS (
+  SELECT symbol, min(x) AS mn, max(x) AS mx FROM t WHERE is_ref GROUP BY symbol
+),
+b AS (
+  SELECT t.symbol, t.is_ref,
+    CASE WHEN r.mx > r.mn
+         THEN least(greatest(CAST(floor((t.x - r.mn) / (r.mx - r.mn) * {_PSI_BINS}) AS BIGINT), 0), {_PSI_BINS - 1})
+         ELSE 0 END AS bin
+  FROM t JOIN rng r USING (symbol)
+),
+g AS (
+  SELECT symbol, bin,
+    count(CASE WHEN is_ref THEN 1 END) AS cr,
+    count(CASE WHEN NOT is_ref THEN 1 END) AS cc
+  FROM b GROUP BY symbol, bin
+),
+tot AS (SELECT symbol, CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur
+        FROM g GROUP BY symbol),
+s AS (
+  SELECT g.symbol, tot.n_ref, tot.n_cur,
+    sum((cc / CAST(n_cur AS DOUBLE) + {_PSI_EPS!r} - (cr / CAST(n_ref AS DOUBLE) + {_PSI_EPS!r}))
+        * ln((cc / CAST(n_cur AS DOUBLE) + {_PSI_EPS!r}) / (cr / CAST(n_ref AS DOUBLE) + {_PSI_EPS!r}))) AS psi
+  FROM g JOIN tot USING (symbol)
+  GROUP BY g.symbol, tot.n_ref, tot.n_cur
+)
+SELECT symbol, n_ref, n_cur,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi END, 6) AS psi,
+  CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi > 0.2 END AS drifted
+FROM s
+""",
+    f"Population Stability Index of tick prices per symbol ({_PSI_BINS} "
+    f"reference-range bins, split at {_PSI_SPLIT}) — the deployed-model "
+    "drift monitor",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.drift import psi_drift
+
+    t = trades_from_events(spark, sf_dir)
+    out = psi_drift(
+        t, "price", split_ts=_PSI_SPLIT, bins=_PSI_BINS, epsilon=_PSI_EPS
+    )
+    return out.select(
+        "symbol", "n_ref", "n_cur", F.round("psi", 6).alias("psi"), "drifted"
+    )
