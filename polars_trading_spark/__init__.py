@@ -50,6 +50,7 @@ from polars_trading_spark.operators.cross_section import (
 )
 from polars_trading_spark.operators.covariance import ledoit_wolf_cov
 from polars_trading_spark.operators.cv import cpcv_assign, purged_kfold
+from polars_trading_spark.operators.data_quality import tick_quality, universe_summary
 from polars_trading_spark.operators.drift import psi_drift
 from polars_trading_spark.operators.execution import (
     almgren_chriss_schedule,
@@ -154,6 +155,8 @@ __all__ = [
     "ma_crossover_signal",
     "cross_sectional_zscore",
     "psi_drift",
+    "tick_quality",
+    "universe_summary",
 ]
 
 __version__ = "0.4.0"

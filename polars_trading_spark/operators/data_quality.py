@@ -1,0 +1,144 @@
+"""Tick-tape data quality and universe summaries.
+
+Before any operator in this package touches a tape, a production
+pipeline validates it; these two run that validation *inside* the
+engine, as ordinary aggregates:
+
+* ``tick_quality`` — per (symbol, day): duplicate-timestamp count,
+  non-positive prices/sizes, extreme one-tick jumps (|log return| above
+  a threshold), the largest intra-day quiet gap, and an overall
+  ``clean`` verdict.  The per-day grain is deliberate: it is the
+  partition grain the bar operators consume, so a dirty day can be
+  quarantined without rescanning history.
+* ``universe_summary`` — per symbol: listing span, active days, trade
+  counts, average daily volume/dollar volume, mean price.  The screen
+  behind "which symbols are liquid enough to model".
+
+Both are single hash aggregates over one window pass — no joins, no
+Python, map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import SEQ_COL, with_seq
+from polars_trading_spark.config import column_names
+
+__all__ = ["tick_quality", "universe_summary"]
+
+
+def tick_quality(
+    df: DataFrame,
+    *,
+    max_abs_ret: float = 0.2,
+    max_gap: str = "1h",
+) -> DataFrame:
+    """Per-(symbol, day) tape validation report.
+
+    Output: ``symbol, day, n_trades, n_dup_ts, n_bad_price,
+    n_bad_size, n_jumps, max_gap_s, clean`` — ``clean`` is true when
+    every defect count is zero and no quiet gap exceeds ``max_gap`` (Polars-style duration, e.g. "1h").
+    Column names follow the ``Config`` convention.
+    """
+    if max_abs_ret <= 0:
+        raise ValueError(f"max_abs_ret must be positive, got {max_abs_ret}")
+
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    from polars_trading_spark._utils import parse_duration
+
+    limit_s = parse_duration(max_gap)[0] / 1e6
+
+    t = with_seq(df)
+    day = F.to_date(ts)
+    order = Window.partitionBy(symbol, day).orderBy(ts, SEQ_COL)
+    prev_ts = F.lag(F.col(ts)).over(order)
+    prev_p = F.lag(F.col(price)).over(order)
+    ret = F.when(
+        (F.col(price) > 0) & (prev_p > 0), F.abs(F.log(F.col(price) / prev_p))
+    )
+    gap = F.col(ts).cast("double") - prev_ts.cast("double")
+    dup = F.when(F.col(ts) == prev_ts, 1)
+    staged = t.select(
+        F.col(symbol),
+        day.alias("day"),
+        F.col(price).alias("__p"),
+        F.col(size).alias("__s"),
+        dup.alias("__dup"),
+        ret.alias("__ret"),
+        gap.alias("__gap"),
+    )
+    g = staged.groupBy(symbol, "day").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.count("__dup").cast("long").alias("n_dup_ts"),
+        F.count(F.when(F.col("__p").isNull() | (F.col("__p") <= 0), 1))
+        .cast("long")
+        .alias("n_bad_price"),
+        F.count(F.when(F.col("__s").isNull() | (F.col("__s") <= 0), 1))
+        .cast("long")
+        .alias("n_bad_size"),
+        F.count(F.when(F.col("__ret") > float(max_abs_ret), 1))
+        .cast("long")
+        .alias("n_jumps"),
+        F.max("__gap").alias("max_gap_s"),
+    )
+    clean = (
+        (F.col("n_dup_ts") == 0)
+        & (F.col("n_bad_price") == 0)
+        & (F.col("n_bad_size") == 0)
+        & (F.col("n_jumps") == 0)
+        & (F.coalesce(F.col("max_gap_s"), F.lit(0.0)) <= F.lit(float(limit_s)))
+    )
+    return g.select(
+        F.col(symbol),
+        "day",
+        F.col("n_trades").cast("long").alias("n_trades"),
+        "n_dup_ts",
+        "n_bad_price",
+        "n_bad_size",
+        "n_jumps",
+        "max_gap_s",
+        clean.alias("clean"),
+    )
+
+
+def universe_summary(df: DataFrame) -> DataFrame:
+    """Per-symbol listing/liquidity screen.
+
+    Output: ``symbol, first_ts, last_ts, active_days, n_trades,
+    avg_daily_volume, avg_daily_dollar_volume, mean_price`` (simple
+    mean; the dollar-volume figures are the liquidity screen inputs).
+    """
+    ts, price, size, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.size,
+        column_names.symbol,
+    )
+    day = F.to_date(ts)
+    sz = F.col(size).cast("double")
+    g = df.groupBy(symbol).agg(
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+        F.count_distinct(day).cast("long").alias("active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.sum(sz).alias("__vol"),
+        F.sum(sz * F.col(price)).alias("__dvol"),
+        F.avg(price).alias("mean_price"),
+    )
+    return g.select(
+        F.col(symbol),
+        "first_ts",
+        "last_ts",
+        "active_days",
+        "n_trades",
+        (F.col("__vol") / F.col("active_days")).alias("avg_daily_volume"),
+        (F.col("__dvol") / F.col("active_days")).alias("avg_daily_dollar_volume"),
+        "mean_price",
+    )

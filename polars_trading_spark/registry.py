@@ -5768,3 +5768,91 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "symbol", "n_ref", "n_cur", F.round("psi", 6).alias("psi"), "drifted"
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Tape validation (operators/data_quality.py): per-day tick quality
+# and the per-symbol universe/liquidity screen.
+# --------------------------------------------------------------------------
+
+_TQ_RET, _TQ_GAP_S = 0.2, 3600.0
+
+
+@register(
+    "tick_quality",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS day, price, size,
+    lag(ts_event) OVER w AS prev_ts,
+    lag(price) OVER w AS prev_p,
+    ts_event
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol, CAST(ts_event AS DATE) ORDER BY ts_event, seq)
+),
+s AS (
+  SELECT symbol, day,
+    CASE WHEN ts_event = prev_ts THEN 1 END AS dup,
+    CASE WHEN price > 0 AND prev_p > 0 THEN abs(ln(price / prev_p)) END AS ret,
+    epoch_us(ts_event) / 1e6 - epoch_us(prev_ts) / 1e6 AS gap,
+    price, size
+  FROM t
+)
+SELECT symbol, day,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(count(dup) AS BIGINT) AS n_dup_ts,
+  CAST(count(CASE WHEN price IS NULL OR price <= 0 THEN 1 END) AS BIGINT) AS n_bad_price,
+  CAST(count(CASE WHEN size IS NULL OR size <= 0 THEN 1 END) AS BIGINT) AS n_bad_size,
+  CAST(count(CASE WHEN ret > {_TQ_RET!r} THEN 1 END) AS BIGINT) AS n_jumps,
+  max(gap) + 0 AS max_gap_s,
+  (count(dup) = 0 AND count(CASE WHEN price IS NULL OR price <= 0 THEN 1 END) = 0
+   AND count(CASE WHEN size IS NULL OR size <= 0 THEN 1 END) = 0
+   AND count(CASE WHEN ret > {_TQ_RET!r} THEN 1 END) = 0
+   AND coalesce(max(gap), 0.0) <= {_TQ_GAP_S!r}) AS clean
+FROM s GROUP BY symbol, day
+""",
+    "Per-(symbol, day) tape validation: duplicate timestamps, bad "
+    "prices/sizes, extreme jumps, largest quiet gap, clean verdict",
+)
+def q_tick_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.data_quality import tick_quality
+
+    with _trades_config():
+        out = tick_quality(trades_from_events(spark, sf_dir), max_abs_ret=_TQ_RET, max_gap="1h")
+    return out.withColumn("max_gap_s", F.col("max_gap_s") + F.lit(0.0))
+
+
+@register(
+    "universe_summary",
+    f"""
+WITH trades AS ({TRADES_CTE})
+SELECT symbol,
+  min(ts_event) AS first_ts,
+  max(ts_event) AS last_ts,
+  CAST(count(DISTINCT CAST(ts_event AS DATE)) AS BIGINT) AS active_days,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  round(sum(CAST(size AS DOUBLE)) / count(DISTINCT CAST(ts_event AS DATE)), 6)
+    AS avg_daily_volume,
+  round(sum(CAST(size AS DOUBLE) * price) / count(DISTINCT CAST(ts_event AS DATE)) / 1e6, 4)
+    AS avg_daily_dollar_volume_mm,
+  round(avg(price), 6) AS mean_price
+FROM trades GROUP BY symbol
+""",
+    "Per-symbol listing span, active days, ADV and dollar-ADV — the "
+    "liquidity screen",
+)
+def q_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.data_quality import universe_summary
+
+    with _trades_config():
+        out = universe_summary(trades_from_events(spark, sf_dir))
+    return out.select(
+        "symbol",
+        "first_ts",
+        "last_ts",
+        "active_days",
+        "n_trades",
+        F.round("avg_daily_volume", 6).alias("avg_daily_volume"),
+        F.round(F.col("avg_daily_dollar_volume") / 1e6, 4).alias("avg_daily_dollar_volume_mm"),
+        F.round("mean_price", 6).alias("mean_price"),
+    )

@@ -42,7 +42,15 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            import datetime as _dt
+
+            head = df[c].dropna()
+            if len(head) and isinstance(head.iloc[0], _dt.date) and not isinstance(
+                head.iloc[0], _dt.datetime
+            ):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
