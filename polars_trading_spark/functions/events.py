@@ -1,0 +1,165 @@
+"""Event-stream analytics: sessionization, funnels, retention cohorts.
+
+The ``events`` table is a user-action stream (user_id, ts, event_type);
+these are the three queries every product-analytics warehouse runs on
+such a stream, expressed as window/aggregate algebra:
+
+* ``sessionize``       — gap-based sessions: a new session starts after
+  ``gap`` of inactivity.  The classic "flag + running sum over one
+  ordered window" formulation — one shuffle on user_id, O(1) state.
+* ``event_funnel``     — ordered-step conversion: for each user, the
+  earliest timestamp of step k that occurs AFTER the user's step k−1
+  time.  k self-joins are avoided: each step is a conditional ``min``
+  over the same user partition, computed iteratively on the aggregated
+  (tiny) per-user frame.
+* ``retention_cohorts``— cohort = first-seen period; the retention
+  triangle counts users active n periods after their cohort period.
+  Two hash aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_trading_spark._utils import parse_duration
+
+__all__ = ["event_funnel", "retention_cohorts", "sessionize"]
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    gap: str = "30m",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: per user, a session breaks after
+    ``gap`` (Polars-style duration) of inactivity.
+
+    Returns one row per session: ``user, session_id (1-based per
+    user), session_start, session_end, n_events, duration_s``.
+    """
+    gap_s = parse_duration(gap)[0] / 1e6
+    order = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(order)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col(ts_col).cast("double") - prev.cast("double")) > gap_s),
+        1,
+    ).otherwise(0)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    tagged = events.withColumn("__sid", F.sum(new_sess).over(run))
+    g = tagged.groupBy(user_col, "__sid").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return g.select(
+        F.col(user_col),
+        F.col("__sid").cast("int").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+        (
+            F.col("session_end").cast("double") - F.col("session_start").cast("double")
+        ).alias("duration_s"),
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: per user, the earliest time of each
+    step that strictly FOLLOWS (>) the user's previous-step time.
+
+    Returns one row per user: ``user, ts_step_1..ts_step_k, depth``
+    (number of consecutive steps reached).  A user missing step j has
+    null for steps ≥ j regardless of later raw events — order matters.
+
+    Shape: one conditional-aggregate pass collects every (user, step)
+    first/candidate timestamp is NOT enough for ordered semantics, so
+    steps resolve iteratively — but on the per-user aggregated frame
+    (k × users rows), never the raw stream: the heavy reduction happens
+    once, the k-step recursion costs k tiny column expressions.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {steps}")
+
+    ev = events.where(F.col(type_col).isin(steps)).select(
+        F.col(user_col), F.col(ts_col), F.col(type_col)
+    )
+    # per (user, step): the sorted list of that step's timestamps
+    per = ev.groupBy(user_col).pivot(type_col, steps).agg(
+        F.array_sort(F.collect_list(ts_col))
+    )
+
+    out = per
+    prev_ts = None
+    for i, s in enumerate(steps):
+        arr = F.coalesce(F.col(s), F.array().cast("array<timestamp>"))
+        if prev_ts is None:
+            step_ts = F.try_element_at(arr, F.lit(1))
+        else:
+            # earliest element strictly after prev step's ts
+            after = F.filter(arr, lambda x: x > prev_ts)
+            step_ts = F.when(prev_ts.isNotNull(), F.try_element_at(after, F.lit(1)))
+        out = out.withColumn(f"ts_{s}", step_ts)
+        prev_ts = F.col(f"ts_{s}")
+
+    depth = sum(
+        (F.when(F.col(f"ts_{s}").isNotNull(), 1).otherwise(0) for s in steps),
+        F.lit(0),
+    )
+    return out.select(
+        F.col(user_col),
+        *[F.col(f"ts_{s}") for s in steps],
+        depth.cast("int").alias("depth"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    period: str = "1w",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen period,
+    counted in each later period they were active.
+
+    Returns ``cohort (period start), period_n (0-based offset),
+    n_active, cohort_size, retention`` — the standard triangle, one row
+    per (cohort, offset) with activity.
+    """
+    from polars_trading_spark._utils import truncate
+
+    p = truncate(F.col(ts_col), period)
+    per_user = events.select(F.col(user_col), p.alias("__p")).distinct()
+    first = per_user.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
+    j = per_user.join(first, user_col)
+    offset = (
+        (F.col("__p").cast("double") - F.col("__cohort").cast("double"))
+        / (parse_duration(period)[0] / 1e6)
+    ).cast("int")
+    g = j.withColumn("__n", offset).groupBy("__cohort", "__n").agg(
+        F.count_distinct(user_col).cast("long").alias("n_active")
+    )
+    size = g.where(F.col("__n") == 0).select(
+        F.col("__cohort"), F.col("n_active").alias("cohort_size")
+    )
+    return (
+        g.join(size, "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort"),
+            F.col("__n").alias("period_n"),
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -5856,3 +5856,119 @@ def q_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_daily_dollar_volume") / 1e6, 4).alias("avg_daily_dollar_volume_mm"),
         F.round("mean_price", 6).alias("mean_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Event-stream analytics (functions/events.py): sessionization,
+# ordered funnel, retention cohorts — the user-action side of the events
+# table ((user_id, ts) pairs are unique at every SF, so ts ordering is
+# deterministic).
+# --------------------------------------------------------------------------
+
+_SESS_GAP_S = 1800
+_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+
+
+@register(
+    "sessionize",
+    f"""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+t AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM ev),
+f AS (
+  SELECT user_id, ts,
+    CASE WHEN prev IS NULL OR epoch_us(ts)/1e6 - epoch_us(prev)/1e6 > {_SESS_GAP_S}
+         THEN 1 ELSE 0 END AS ns
+  FROM t
+),
+s AS (
+  SELECT user_id, ts,
+    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS INTEGER) AS session_id,
+  min(ts) AS session_start, max(ts) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  epoch_us(max(ts))/1e6 - epoch_us(min(ts))/1e6 AS duration_s
+FROM s GROUP BY user_id, sid
+""",
+    "Gap-based sessionization of the user event stream (30m inactivity "
+    "break): flag + running sum, one user shuffle",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.events import sessionize
+
+    ev = read_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30m")
+    return out.withColumn("duration_s", F.col("duration_s") + F.lit(0.0))
+
+
+@register(
+    "event_funnel",
+    f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL_STEPS)})
+),
+arr AS (
+  SELECT user_id,
+    {", ".join(f"list_sort(list(ts) FILTER (WHERE event_type = '{s}')) AS a_{s}" for s in _FUNNEL_STEPS)}
+  FROM ev GROUP BY user_id
+),
+s1 AS (SELECT *, a_view[1] AS ts_view FROM arr),
+s2 AS (SELECT *, CASE WHEN ts_view IS NOT NULL
+        THEN list_filter(a_click, x -> x > ts_view)[1] END AS ts_click FROM s1),
+s3 AS (SELECT *, CASE WHEN ts_click IS NOT NULL
+        THEN list_filter(a_signup, x -> x > ts_click)[1] END AS ts_signup FROM s2),
+s4 AS (SELECT *, CASE WHEN ts_signup IS NOT NULL
+        THEN list_filter(a_purchase, x -> x > ts_signup)[1] END AS ts_purchase FROM s3)
+SELECT user_id, ts_view, ts_click, ts_signup, ts_purchase,
+  CAST((CASE WHEN ts_view IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN ts_click IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN ts_signup IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN ts_purchase IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS depth
+FROM s4
+""",
+    "Ordered conversion funnel view->click->signup->purchase per user "
+    "(each step strictly after the previous step's time)",
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.events import event_funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    out = event_funnel(ev, _FUNNEL_STEPS)
+    return out.select(
+        "user_id", *[F.col(f"ts_{s}") for s in _FUNNEL_STEPS], "depth"
+    )
+
+
+@register(
+    "retention",
+    f"""
+WITH per AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p FROM events
+),
+first AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id),
+j AS (SELECT per.user_id, per.p, first.cohort FROM per JOIN first USING (user_id)),
+g AS (
+  SELECT cohort,
+    CAST((epoch_us(p) - epoch_us(cohort)) / (7.0 * 86400 * 1e6) AS INTEGER) AS period_n,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sz AS (SELECT cohort, n_active AS cohort_size FROM g WHERE period_n = 0)
+SELECT g.cohort, g.period_n, g.n_active, sz.cohort_size,
+  round(g.n_active / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+FROM g JOIN sz USING (cohort)
+""",
+    "Weekly retention triangle: cohort = first-seen week (Monday "
+    "anchor), retention share per offset week",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.events import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    out = retention_cohorts(ev, period="1w")
+    return out.withColumn("retention", F.round("retention", 6)).withColumn(
+        "period_n", F.col("period_n").cast("int")
+    )

@@ -1,0 +1,82 @@
+"""Event-stream analytics (functions/events.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from polars_trading_spark.functions.events import (
+    event_funnel,
+    retention_cohorts,
+    sessionize,
+)
+
+SCHEMA = "user_id long, ts timestamp, event_type string"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 9, 0), "view"),
+        (1, datetime(2024, 1, 1, 9, 10), "click"),
+        (1, datetime(2024, 1, 1, 11, 0), "view"),   # > 30m gap: new session
+        (2, datetime(2024, 1, 1, 9, 0), "view"),
+    ]
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(_ev(spark, rows), gap="30m").collect()}
+    assert len(out) == 3
+    s1 = out[(1, 1)]
+    assert s1["n_events"] == 2 and s1["duration_s"] == pytest.approx(600.0)
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_funnel_order_matters(spark):
+    t = lambda m: datetime(2024, 1, 1, 9, m)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "signup"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view -> depth stops after view (no later click)
+        (2, t(0), "click"), (2, t(1), "view"),
+        # user 3: view then purchase only -> depth 1
+        (3, t(0), "view"), (3, t(5), "purchase"),
+    ]
+    out = {r["user_id"]: r for r in event_funnel(_ev(spark, rows), ["view", "click", "signup", "purchase"]).collect()}
+    assert out[1]["depth"] == 4 and out[1]["ts_purchase"] == t(3)
+    assert out[2]["depth"] == 1 and out[2]["ts_click"] is None
+    assert out[3]["depth"] == 1 and out[3]["ts_purchase"] is None
+
+
+def test_funnel_picks_earliest_valid(spark):
+    t = lambda m: datetime(2024, 1, 1, 9, m)
+    rows = [
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(4), "click"), (1, t(5), "signup"),
+    ]
+    out = event_funnel(_ev(spark, rows), ["view", "click", "signup", "purchase"]).collect()[0]
+    assert out["ts_click"] == t(1)  # earliest click after the view
+
+
+def test_retention_triangle(spark):
+    d = lambda day: datetime(2024, 1, day, 12)
+    rows = [
+        # cohort week of Jan 1 (Mon): users 1, 2
+        (1, d(2), "view"), (2, d(3), "view"),
+        # user 1 returns in week+1; user 2 does not
+        (1, d(9), "view"),
+        # cohort week of Jan 8: user 3
+        (3, d(10), "view"),
+    ]
+    out = {(str(r["cohort"].date()), r["period_n"]): r for r in retention_cohorts(_ev(spark, rows), period="1w").collect()}
+    c1 = out[("2024-01-01", 0)]
+    assert c1["cohort_size"] == 2 and c1["n_active"] == 2 and c1["retention"] == 1.0
+    c1w1 = out[("2024-01-01", 1)]
+    assert c1w1["n_active"] == 1 and c1w1["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["cohort_size"] == 1
+
+
+def test_funnel_validation(spark):
+    with pytest.raises(ValueError, match="steps"):
+        event_funnel(_ev(spark, [(1, datetime(2024, 1, 1), "view")]), ["view"])
