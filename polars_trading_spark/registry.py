@@ -5946,7 +5946,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retention",
     f"""
 WITH per AS (
-  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS p FROM events
+  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS p FROM events
 ),
 first AS (SELECT user_id, min(p) AS cohort FROM per GROUP BY user_id),
 j AS (SELECT per.user_id, per.p, first.cohort FROM per JOIN first USING (user_id)),
