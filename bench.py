@@ -105,6 +105,17 @@ HEADLINE = [
     "semdedup",
     "bpe_pairs",
     "bigram_logprob",
+    "ma_crossover",
+    "cs_zscore",
+    "corpus_funnel",
+    "pcm_features",
+    "cluster_keywords",
+    "psi_drift",
+    "tick_quality",
+    "universe_summary",
+    "sessionize",
+    "event_funnel",
+    "retention",
 ]
 
 
