@@ -116,6 +116,8 @@ HEADLINE = [
     "sessionize",
     "event_funnel",
     "retention",
+    "jump_test",
+    "sign_autocorr",
 ]
 
 

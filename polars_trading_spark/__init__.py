@@ -76,6 +76,7 @@ from polars_trading_spark.operators.mean_reversion import (
 )
 from polars_trading_spark.operators.microstructure import (
     corwin_schultz,
+    sign_autocorr,
     microstructure_features,
     vpin,
 )
@@ -88,7 +89,7 @@ from polars_trading_spark.operators.regime import hurst_exponent, variance_ratio
 from polars_trading_spark.operators.roll import roll_adjust
 from polars_trading_spark.operators.seasonality import intraday_profile
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
-from polars_trading_spark.operators.volatility import bar_volatility
+from polars_trading_spark.operators.volatility import bar_volatility, jump_test
 from polars_trading_spark.session import get_spark
 
 __all__ = [
@@ -157,6 +158,8 @@ __all__ = [
     "psi_drift",
     "tick_quality",
     "universe_summary",
+    "jump_test",
+    "sign_autocorr",
 ]
 
 __version__ = "0.4.0"

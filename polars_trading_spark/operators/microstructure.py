@@ -26,13 +26,15 @@ preceding frame — O(n) per partition, native.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import SEQ_COL, with_seq
 from polars_trading_spark.config import column_names
 
-__all__ = ["corwin_schultz", "microstructure_features", "vpin"]
+__all__ = ["corwin_schultz", "microstructure_features", "vpin", "sign_autocorr"]
 
 
 def microstructure_features(
@@ -291,4 +293,72 @@ def corwin_schultz(
         ts_col,
         F.when(defined, spread).alias("cs_spread"),
         F.when(defined, sigma).alias("bp_sigma"),
+    )
+
+
+def sign_autocorr(
+    df: DataFrame,
+    *,
+    window: int = 200,
+    lag: int = 1,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Rolling autocorrelation of tick-rule trade signs — order-flow
+    persistence (the LMF/Bouchaud long-memory-of-order-flow diagnostic;
+    high persistence predicts impact decay and feeds the run-bar clock
+    choice).
+
+    The tick-rule sign is computed NATIVELY here (the bar operators use
+    numpy islands only because their downstream scans are sequential):
+    ``b_t = last non-zero sign(Δp) up to t`` is a running
+    ``last(..., ignorenulls)`` window.  The lag-``lag`` autocorrelation
+    over the trailing ``window`` rows is explicit-sum Pearson between
+    ``b_t`` and ``b_{t−lag}`` (zero-sign warm-up rows excluded).
+
+    Output per trade row: ``symbol, ts, sign, autocorr`` (null until
+    the window fills).  One per-symbol window partitioning, no Python.
+    """
+    if window < 3:
+        raise ValueError(f"window must be >= 3, got {window}")
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+
+    ts, price, symbol = (
+        column_names.timestamp,
+        column_names.price,
+        column_names.symbol,
+    )
+    t = with_seq(df.na.drop(subset=[price]))
+    order_cols = list(order_by) if order_by else [ts, SEQ_COL]
+    w = Window.partitionBy(symbol).orderBy(*order_cols)
+    dp = F.col(price) - F.lag(price).over(w)
+    raw = F.when(dp != 0, F.signum(dp))
+    b = F.coalesce(
+        F.last(raw, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.lit(0.0),
+    )
+    t = t.withColumn("__b", b)
+    bl = F.lag("__b", lag).over(w)
+    both = (F.col("__b") != 0) & (bl != 0) & bl.isNotNull()
+    t = (
+        t.withColumn("__x", F.when(both, bl))
+        .withColumn("__y", F.when(both, F.col("__b")))
+    )
+    roll = w.rowsBetween(-(window - 1), 0)
+    n = F.count("__x").over(roll)
+    sx = F.sum("__x").over(roll)
+    sy = F.sum("__y").over(roll)
+    sxx = F.sum(F.col("__x") * F.col("__x")).over(roll)
+    syy = F.sum(F.col("__y") * F.col("__y")).over(roll)
+    sxy = F.sum(F.col("__x") * F.col("__y")).over(roll)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    ac = F.when((n >= window) & (vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))
+    return t.select(
+        F.col(symbol),
+        F.col(ts),
+        F.col("__b").alias("sign"),
+        ac.alias("autocorr"),
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bar_volatility"]
+__all__ = ["bar_volatility", "jump_test"]
 
 _LN2 = 0.6931471805599453
 
@@ -122,4 +122,78 @@ def bar_volatility(
         "vol_gk",
         "vol_rs",
         "vol_yz",
+    )
+
+
+def jump_test(
+    bars: DataFrame,
+    *,
+    window: int = 78,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Barndorff-Nielsen & Shephard jump statistic over a rolling bar
+    window: realized variance vs bipower variation.
+
+    ``RV = Σ r_i²`` loads on jumps; ``BV = (π/2)·Σ |r_i||r_{i−1}|``
+    is jump-robust, so the relative jump measure ``RJ = (RV − BV)/RV``
+    and its studentized ratio-statistic
+
+        z = RJ / sqrt(((π/2)² + π − 5) · max(1, TQ/BV²) / n)
+
+    (TQ = the realized tripower quarticity) flag bars whose window
+    contains a price jump — the standard pre-filter before variance
+    forecasting and a labeling feature in its own right.
+
+    One lag chain + rolling explicit sums over a single per-symbol
+    window partitioning — no joins, no Python.  Output per (symbol,
+    bar): ``rv, bv, rj, z`` (null until the window fills).
+    """
+    import math
+
+    if window < 3:
+        raise ValueError(f"window must be >= 3, got {window}")
+
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    r = F.log(c / F.lag(c).over(order))
+    a = F.abs(r)
+    al1 = F.lag(a, 1).over(order)
+    al2 = F.lag(a, 2).over(order)
+    staged = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        (r * r).alias("__r2"),
+        (a * al1).alias("__bp"),
+        (F.pow(a, 4.0 / 3) * F.pow(al1, 4.0 / 3) * F.pow(al2, 4.0 / 3)).alias("__tq"),
+    )
+    roll = order.rowsBetween(-(window - 1), 0)
+    n = F.count("__r2").over(roll)
+    rv = F.sum("__r2").over(roll)
+    bv = F.sum("__bp").over(roll) * (math.pi / 2)
+    # tripower quarticity constant: mu_{4/3}^{-3} · n? — the scale
+    # cancels inside TQ/BV² up to the standard mu factors; we keep the
+    # textbook normalization mu43 = 2^(2/3)·Γ(7/6)/Γ(1/2).
+    mu43 = 2 ** (2.0 / 3) * math.gamma(7.0 / 6) / math.gamma(0.5)
+    tq = F.sum("__tq").over(roll) * (mu43 ** -3)
+    ok = (n >= window) & (rv > 0) & (bv > 0)
+    rj = F.when(ok, (rv - bv) / rv)
+    theta = (math.pi / 2) ** 2 + math.pi - 5
+    z = F.when(
+        ok,
+        rj
+        / F.sqrt(
+            F.lit(theta)
+            * F.greatest(F.lit(1.0), tq / (bv * bv))
+            / n
+        ),
+    )
+    return staged.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.when(ok, rv).alias("rv"),
+        F.when(ok, bv).alias("bv"),
+        rj.alias("rj"),
+        z.alias("z"),
     )

@@ -5972,3 +5972,136 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("retention", F.round("retention", 6)).withColumn(
         "period_n", F.col("period_n").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. BNS jump test (operators/volatility.py::jump_test)
+# --------------------------------------------------------------------------
+
+_JT_W = 78
+
+
+@register(
+    "jump_test",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER w) AS ret,
+    abs(ln(close / lag(close) OVER w)) AS a
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+l AS (
+  SELECT symbol, ts,
+    ret * ret AS r2,
+    a * lag(a, 1) OVER w AS bp,
+    pow(a, 4.0/3) * pow(lag(a, 1) OVER w, 4.0/3) * pow(lag(a, 2) OVER w, 4.0/3) AS tq
+  FROM r WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+s AS (
+  SELECT symbol, ts,
+    count(r2) OVER w AS n,
+    sum(r2) OVER w AS rv,
+    sum(bp) OVER w * (pi() / 2) AS bv,
+    sum(tq) OVER w * pow(pow(2, 2.0/3) * gamma(7.0/6) / gamma(0.5), -3) AS tqs
+  FROM l
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_JT_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts,
+  round(CASE WHEN n >= {_JT_W} AND rv > 0 AND bv > 0 THEN rv END, 9) + 0 AS rv,
+  round(CASE WHEN n >= {_JT_W} AND rv > 0 AND bv > 0 THEN bv END, 9) + 0 AS bv,
+  round(CASE WHEN n >= {_JT_W} AND rv > 0 AND bv > 0 THEN (rv - bv) / rv END, 6) + 0 AS rj,
+  round(CASE WHEN n >= {_JT_W} AND rv > 0 AND bv > 0 THEN
+    ((rv - bv) / rv) / sqrt((pow(pi()/2, 2) + pi() - 5)
+      * greatest(1.0, tqs / (bv * bv)) / n) END, 6) + 0 AS z
+FROM s
+""",
+    f"Barndorff-Nielsen-Shephard jump statistic over a rolling {_JT_W}-"
+    "bar window: realized vs bipower variation with studentized ratio",
+)
+def q_jump_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.volatility import jump_test
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = jump_test(bars, window=_JT_W, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        F.col("ts_event").alias("ts"),
+        (F.round("rv", 9) + z0).alias("rv"),
+        (F.round("bv", 9) + z0).alias("bv"),
+        (F.round("rj", 6) + z0).alias("rj"),
+        (F.round("z", 6) + z0).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Order-flow sign autocorrelation (operators/microstructure.py::
+# sign_autocorr) — native tick-rule sign + rolling Pearson.
+# --------------------------------------------------------------------------
+
+_SA_W, _SA_LAG = 200, 1
+
+
+@register(
+    "sign_autocorr",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+d AS (
+  SELECT symbol, ts_event, seq,
+    price - lag(price) OVER w AS dp
+  FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+b AS (
+  SELECT symbol, ts_event, seq,
+    coalesce(last_value(CASE WHEN dp <> 0 THEN sign(dp) END IGNORE NULLS)
+      OVER (PARTITION BY symbol ORDER BY ts_event, seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS s
+  FROM d
+),
+l AS (
+  SELECT symbol, ts_event, s,
+    lag(s, {_SA_LAG}) OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS sl,
+    seq
+  FROM b
+),
+m AS (
+  SELECT symbol, ts_event, s,
+    CASE WHEN s <> 0 AND sl <> 0 AND sl IS NOT NULL THEN sl END AS x,
+    CASE WHEN s <> 0 AND sl <> 0 AND sl IS NOT NULL THEN s END AS y,
+    seq
+  FROM l
+),
+r AS (
+  SELECT symbol, ts_event, s,
+    count(x) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy, sum(x*y) OVER w AS sxy
+  FROM m
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN {_SA_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_event, s + 0 AS sign,
+  round(CASE WHEN n >= {_SA_W} AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END, 6) + 0
+    AS autocorr
+FROM r
+""",
+    f"Rolling lag-{_SA_LAG} autocorrelation of tick-rule signs over "
+    f"{_SA_W} trades — order-flow persistence (native carry-forward "
+    "sign, no Python)",
+)
+def q_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.microstructure import sign_autocorr
+
+    with _trades_config():
+        out = sign_autocorr(trades_from_events(spark, sf_dir), window=_SA_W, lag=_SA_LAG)
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        (F.col("sign") + z0).alias("sign"),
+        (F.round("autocorr", 6) + z0).alias("autocorr"),
+    )
