@@ -36,3 +36,6 @@ __all__.append("streaming_backtest_stats")
 from polars_trading_spark.streaming.packing import streaming_pack_sequences  # noqa: E402
 
 __all__.append("streaming_pack_sequences")
+
+from polars_trading_spark.streaming.sessions import streaming_sessionize  # noqa: E402
+__all__.append("streaming_sessionize")

@@ -719,3 +719,60 @@ def test_streaming_range_bars_match_batch_across_batches(spark):
         assert (got["vwap"] - batch["vwap"]).abs().max() < 1e-9
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_sessionize_match_batch_across_batches(spark):
+    """Open-session state must carry across micro-batches; after
+    supersede the stream equals the batch sessionize operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.functions.events import sessionize
+    from polars_trading_spark.streaming import streaming_sessionize
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for user in (1, 2, 3):
+        t = dt.datetime(2022, 3, 1, 9, 0)
+        for _ in range(120):
+            # mixture of short gaps and occasional session breaks
+            step = int(rng.choice([30, 60, 120, 2400], p=[0.4, 0.3, 0.2, 0.1]))
+            t = t + dt.timedelta(seconds=step)
+            rows.append((user, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"]).sort_values("ts").reset_index(drop=True)
+    schema = "user_id long, ts timestamp"
+
+    d = tempfile.mkdtemp(prefix="pts_sess_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, len(pdf))]):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        batch = sessionize(spark.createDataFrame(pdf, schema), gap="10m").toPandas()
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_sessionize(stream, gap="10m", state_ttl=None)
+
+        rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        got = (
+            got.sort_values(["user_id", "session_id", "n_events"])
+            .groupby(["user_id", "session_id"], as_index=False)
+            .last()
+        )
+        batch = batch.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        got = got.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        assert len(got) == len(batch)
+        for col in ("user_id", "session_id", "n_events"):
+            assert got[col].tolist() == batch[col].tolist(), col
+        assert got["session_start"].tolist() == batch["session_start"].tolist()
+        assert got["session_end"].tolist() == batch["session_end"].tolist()
+        assert (got["duration_s"] - batch["duration_s"]).abs().max() < 1e-9
+        # at least one session closed mid-stream
+        assert got["session_id"].max() > 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
