@@ -162,4 +162,4 @@ __all__ = [
     "sign_autocorr",
 ]
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"

@@ -105,3 +105,51 @@ def test_semdedup_only_broadcast_pack_is_nested_loop(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin \[cell#\d+\], \[cell#\d+\]", plan) or re.search(
         r"SortMergeJoin \[cell#\d+\], \[cell#\d+\]", plan
     )
+
+
+def test_jump_test_single_window_partitioning(spark, trades):
+    from polars_trading_spark import time_bars
+    from polars_trading_spark.operators.volatility import jump_test
+
+    with Config(timestamp_column="ts_event"):
+        bars = time_bars(trades, bar_size="15m")
+    out = jump_test(bars, window=10, ts_col="ts_event")
+    assert count_python_stages(out) == 0
+    assert "Join" not in _executed(out)
+
+
+def test_sign_autocorr_native_no_python(spark, trades):
+    from polars_trading_spark.operators.microstructure import sign_autocorr
+
+    with Config(timestamp_column="ts_event"):
+        out = sign_autocorr(trades, window=20)
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    assert "Join" not in plan
+    # the carry-forward sign must ride a RUNNING frame, not the
+    # quadratic unbounded-following shape
+    for m in re.finditer(r"specifiedwindowframe\(rowframe, ([^,]*), unboundedfollowing", plan.lower()):
+        assert "unboundedpreceding" in m.group(1)
+
+
+def test_ledoit_wolf_no_cartesian_beyond_scalar_broadcast(spark, trades):
+    from polars_trading_spark import time_bars
+    from polars_trading_spark.operators.covariance import ledoit_wolf_cov
+
+    with Config(timestamp_column="ts_event"):
+        bars = time_bars(trades, bar_size="15m")
+    out = ledoit_wolf_cov(bars, ts_col="ts_event")
+    assert count_python_stages(out) == 0
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    from polars_trading_spark.functions.events import sessionize
+    from polars_trading_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = sessionize(ev, gap="30m")
+    assert count_python_stages(out) == 0
+    assert "Join" not in _executed(out)
+    assert count_exchanges(out) <= 1
