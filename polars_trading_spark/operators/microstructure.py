@@ -346,13 +346,26 @@ def sign_autocorr(
         t.withColumn("__x", F.when(both, bl))
         .withColumn("__y", F.when(both, F.col("__b")))
     )
-    roll = w.rowsBetween(-(window - 1), 0)
-    n = F.count("__x").over(roll)
-    sx = F.sum("__x").over(roll)
-    sy = F.sum("__y").over(roll)
-    sxx = F.sum(F.col("__x") * F.col("__x")).over(roll)
-    syy = F.sum(F.col("__y") * F.col("__y")).over(roll)
-    sxy = F.sum(F.col("__x") * F.col("__y")).over(roll)
+    # Rolling sums via RUNNING prefix sums + a w-row lag difference:
+    # O(n) per partition instead of Spark's O(n·w) bounded-frame
+    # re-aggregation (measured 12.8s -> ~1s at sf0.1), and the
+    # sequential fold is bit-identical across engines (SCALING.md §18).
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    def rolling(col):
+        cum = F.sum(col).over(run)
+        return cum - F.coalesce(F.lag(cum, window).over(w), F.lit(0.0))
+
+    def rolling_cnt(col):
+        cum = F.count(col).over(run)
+        return cum - F.coalesce(F.lag(cum, window).over(w), F.lit(0))
+
+    n = rolling_cnt(F.col("__x"))
+    sx = rolling(F.col("__x"))
+    sy = rolling(F.col("__y"))
+    sxx = rolling(F.col("__x") * F.col("__x"))
+    syy = rolling(F.col("__y") * F.col("__y"))
+    sxy = rolling(F.col("__x") * F.col("__y"))
     vx = n * sxx - sx * sx
     vy = n * syy - sy * sy
     ac = F.when((n >= window) & (vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))

@@ -6075,13 +6075,24 @@ m AS (
     seq
   FROM l
 ),
+r0 AS (
+  SELECT symbol, ts_event, s, seq,
+    count(x) OVER c AS cn, sum(x) OVER c AS cx, sum(y) OVER c AS cy,
+    sum(x*x) OVER c AS cxx, sum(y*y) OVER c AS cyy, sum(x*y) OVER c AS cxy
+  FROM m
+  WINDOW c AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
 r AS (
   SELECT symbol, ts_event, s,
-    count(x) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
-    sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy, sum(x*y) OVER w AS sxy
-  FROM m
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
-               ROWS BETWEEN {_SA_W - 1} PRECEDING AND CURRENT ROW)
+    cn - coalesce(lag(cn, {_SA_W}) OVER o, 0) AS n,
+    cx - coalesce(lag(cx, {_SA_W}) OVER o, 0.0) AS sx,
+    cy - coalesce(lag(cy, {_SA_W}) OVER o, 0.0) AS sy,
+    cxx - coalesce(lag(cxx, {_SA_W}) OVER o, 0.0) AS sxx,
+    cyy - coalesce(lag(cyy, {_SA_W}) OVER o, 0.0) AS syy,
+    cxy - coalesce(lag(cxy, {_SA_W}) OVER o, 0.0) AS sxy
+  FROM r0
+  WINDOW o AS (PARTITION BY symbol ORDER BY ts_event, seq)
 )
 SELECT symbol, ts_event, s + 0 AS sign,
   round(CASE WHEN n >= {_SA_W} AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
