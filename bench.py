@@ -118,6 +118,7 @@ HEADLINE = [
     "retention",
     "jump_test",
     "sign_autocorr",
+    "var_cvar",
 ]
 
 

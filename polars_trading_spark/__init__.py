@@ -60,6 +60,7 @@ from polars_trading_spark.operators.backtest import (
     backtest_stats,
     drawdown_path,
     ma_crossover_signal,
+    var_cvar,
 )
 from polars_trading_spark.operators.bootstrap import sequential_bootstrap
 from polars_trading_spark.operators.entropy import lz_entropy, return_entropy
@@ -160,6 +161,7 @@ __all__ = [
     "universe_summary",
     "jump_test",
     "sign_autocorr",
+    "var_cvar",
 ]
 
 __version__ = "0.5.0"

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats", "drawdown_path", "ma_crossover_signal"]
+__all__ = ["backtest_stats", "drawdown_path", "ma_crossover_signal", "var_cvar"]
 
 
 def backtest_stats(
@@ -252,3 +252,57 @@ def ma_crossover_signal(
     prev_pos = F.lag("pos").over(order)
     pnl = F.when(prev_pos.isNotNull() & ret.isNotNull(), prev_pos * ret)
     return out.withColumn("pnl", pnl)
+
+
+def var_cvar(
+    bars: DataFrame,
+    *,
+    alpha: float = 0.05,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Empirical Value-at-Risk and Expected Shortfall (CVaR) of per-bar
+    log returns, per symbol.
+
+    Count-based definition (exact on every engine, no interpolation
+    ambiguity): with ``k = max(1, floor(alpha · n))``, VaR is the k-th
+    worst return and CVaR the mean of the k worst (ties broken by
+    timestamp so the k-set is deterministic).  Losses are reported as
+    negative returns — ``var_alpha ≤ cvar_alpha ≤ 0`` on any
+    loss-bearing series... (strictly: cvar ≤ var ≤ 0 in return space).
+
+    Shape: one lag window, one rank window, one aggregate — the rank
+    window shuffles on the symbol key only.
+    """
+    if not (0.0 < alpha < 0.5):
+        raise ValueError(f"alpha must be in (0, 0.5), got {alpha}")
+
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    r = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.log(c / F.lag(c).over(order)).alias("__r"),
+    ).where(F.col("__r").isNotNull())
+
+    rank_w = Window.partitionBy(symbol_col).orderBy(F.asc("__r"), F.asc(ts_col))
+    n_w = Window.partitionBy(symbol_col)
+    ranked = r.withColumn("__rk", F.row_number().over(rank_w)).withColumn(
+        "__n", F.count(F.lit(1)).over(n_w)
+    )
+    k = F.greatest(F.floor(F.lit(float(alpha)) * F.col("__n")), F.lit(1))
+    worst = ranked.where(F.col("__rk") <= k)
+    g = worst.groupBy(symbol_col).agg(
+        F.max("__n").cast("long").alias("n_obs"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("__r").alias("var"),
+        F.avg("__r").alias("cvar"),
+    )
+    return g.select(
+        F.col(symbol_col),
+        "n_obs",
+        "k",
+        F.col("var").alias(f"var_{int(alpha * 100)}"),
+        F.col("cvar").alias(f"cvar_{int(alpha * 100)}"),
+    )

@@ -6116,3 +6116,52 @@ def q_sign_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sign") + z0).alias("sign"),
         (F.round("autocorr", 6) + z0).alias("autocorr"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Empirical VaR / CVaR (operators/backtest.py::var_cvar)
+# --------------------------------------------------------------------------
+
+_VAR_A = 0.05
+
+
+@register(
+    "var_cvar",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+rk AS (
+  SELECT symbol, ts, ret,
+    row_number() OVER (PARTITION BY symbol ORDER BY ret, ts) AS rk,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM rr
+),
+w AS (SELECT * FROM rk WHERE rk <= greatest(CAST(floor({_VAR_A!r} * n) AS BIGINT), 1))
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_obs, CAST(count(*) AS BIGINT) AS k,
+  round(max(ret), 6) + 0 AS var_5,
+  round(avg(ret), 6) + 0 AS cvar_5
+FROM w GROUP BY symbol
+""",
+    f"Empirical VaR/CVaR at alpha={_VAR_A} of 15m bar log returns — "
+    "count-based k-worst definition, engine-exact",
+)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import var_cvar
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = var_cvar(bars, alpha=_VAR_A, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_obs",
+        "k",
+        (F.round("var_5", 6) + z0).alias("var_5"),
+        (F.round("cvar_5", 6) + z0).alias("cvar_5"),
+    )

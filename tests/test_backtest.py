@@ -234,3 +234,37 @@ def test_cross_sectional_zscore_golden(spark):
     assert out["D"]["z"] == pytest.approx((100 - mean) / sd, rel=1e-12)
     assert out["D"]["z_clipped"] == 1.4  # winsorized
     assert out["E"]["z"] is None and out["E"]["z_clipped"] is None
+
+
+def test_var_cvar_golden(spark):
+    import numpy as np
+
+    from polars_trading_spark.operators.backtest import var_cvar
+
+    rng = np.random.default_rng(6)
+    n = 200
+    closes = 100 * np.exp(np.cumsum(0.01 * rng.standard_normal(n)))
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("A", t0 + dt.timedelta(minutes=15 * i), float(c)) for i, c in enumerate(closes)]
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, close double")
+    out = var_cvar(df, alpha=0.05).collect()[0]
+    r = np.diff(np.log(closes))
+    k = max(1, int(np.floor(0.05 * len(r))))
+    worst = np.sort(r)[:k]
+    assert out["n_obs"] == len(r) and out["k"] == k
+    assert out["var_5"] == pytest.approx(worst.max(), rel=1e-12)
+    assert out["cvar_5"] == pytest.approx(worst.mean(), rel=1e-12)
+    assert out["cvar_5"] <= out["var_5"] <= 0 or out["var_5"] > 0  # ordering
+
+
+def test_var_cvar_tiny_series_k_floor(spark):
+    from polars_trading_spark.operators.backtest import var_cvar
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 9, m), 100.0 + m, ) for m in range(5)
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, close double")
+    out = var_cvar(df, alpha=0.05).collect()[0]
+    assert out["k"] == 1  # floor(0.05*4) = 0 -> clamped to 1
+    with pytest.raises(ValueError, match="alpha"):
+        var_cvar(df, alpha=0.6)
