@@ -119,6 +119,7 @@ HEADLINE = [
     "jump_test",
     "sign_autocorr",
     "var_cvar",
+    "rank_portfolio",
 ]
 
 

@@ -45,6 +45,7 @@ from polars_trading_spark.operators.bet_sizing import (
 from polars_trading_spark.operators.cross_section import (
     cross_sectional_zscore,
     momentum_rank,
+    rank_portfolio_backtest,
     rolling_beta,
     rolling_pair_correlation,
 )
@@ -162,6 +163,7 @@ __all__ = [
     "jump_test",
     "sign_autocorr",
     "var_cvar",
+    "rank_portfolio_backtest",
 ]
 
 __version__ = "0.5.0"

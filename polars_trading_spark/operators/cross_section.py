@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cross_sectional_zscore", "momentum_rank", "rolling_beta", "rolling_pair_correlation"]
+__all__ = ["cross_sectional_zscore", "momentum_rank", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def rolling_beta(
@@ -234,4 +234,115 @@ def cross_sectional_zscore(
         x.alias(value_col),
         z.alias("z"),
         zc.alias("z_clipped"),
+    )
+
+
+def rank_portfolio_backtest(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    top_n: int = 1,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Cross-sectional momentum portfolio: long the ``top_n`` strongest
+    trailing-momentum names, short the ``top_n`` weakest, equal weight,
+    rebalanced every bar — the canonical factor backtest built entirely
+    from window algebra (momentum → rank → weights → next-bar P&L →
+    turnover).
+
+    Per bucket t the portfolio formed at t earns each member's log
+    return over (t, t+1] — a no-lookahead convention enforced with
+    ``lead``.  Output per bucket: ``n_long, n_short, pnl`` (mean long
+    return − mean short return) and ``turnover`` (fraction of the
+    previous bucket's membership replaced, long and short books
+    combined; null on the first formed bucket).
+
+    Shape: symbol-window momentum, bucket-window ranks, one bucket
+    aggregate for P&L, and membership turnover via a self-join of the
+    (tiny) per-bucket membership sets on consecutive bucket indexes.
+    """
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    c = F.col(close_col).cast("double")
+    mom = F.log(c / F.lag(c, lookback).over(order))
+    fwd = F.log(F.lead(c).over(order) / c)
+    r = bars.select(
+        F.col(symbol_col), F.col(ts_col), mom.alias("__mom"), fwd.alias("__fwd")
+    ).where(F.col("__mom").isNotNull())
+
+    rank_up = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(F.desc("__mom"), F.asc(symbol_col))
+    )
+    rank_dn = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(F.asc("__mom"), F.asc(symbol_col))
+    )
+    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy(ts_col))
+    m = r.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        "__fwd",
+        rank_up.alias("__ru"),
+        rank_dn.alias("__rd"),
+        n_in_bucket.alias("__nb"),
+    ).where((F.col("__nb") >= 2 * top_n))
+    side = (
+        F.when(F.col("__ru") <= top_n, F.lit(1.0))
+        .when(F.col("__rd") <= top_n, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    members = m.withColumn("__side", side).where(F.col("__side") != 0)
+
+    pnl = members.groupBy(ts_col).agg(
+        F.count(F.when(F.col("__side") > 0, 1)).cast("int").alias("n_long"),
+        F.count(F.when(F.col("__side") < 0, 1)).cast("int").alias("n_short"),
+        (
+            F.avg(F.when(F.col("__side") > 0, F.col("__fwd")))
+            - F.avg(F.when(F.col("__side") < 0, F.col("__fwd")))
+        ).alias("pnl"),
+    )
+
+    # turnover: compare membership (symbol, side) against the previous
+    # formed bucket.  The previous-bucket mapping comes from a lag over
+    # the DISTINCT bucket frame (one row per bucket — the only global
+    # window here, bounded by bucket count, never by rows), then the
+    # membership sets join on (prev_ts, symbol, side).
+    buckets = members.select(ts_col).distinct()
+    prev_map = buckets.withColumn(
+        "__prev_ts", F.lag(ts_col).over(Window.orderBy(ts_col))
+    )
+    mem = members.select(F.col(ts_col), F.col(symbol_col), "__side").join(
+        prev_map, ts_col
+    )
+    prev = members.select(
+        F.col(ts_col).alias("__prev_ts"),
+        F.col(symbol_col).alias("__psym"),
+        F.col("__side").alias("__pside"),
+    )
+    kept = (
+        mem.join(
+            prev,
+            (mem["__prev_ts"] == prev["__prev_ts"])
+            & (mem[symbol_col] == prev["__psym"])
+            & (mem["__side"] == prev["__pside"]),
+            "left",
+        )
+        .groupBy(ts_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nm"),
+            F.count("__psym").alias("__nkept"),
+            F.max(mem["__prev_ts"]).alias("__pts"),
+        )
+    )
+    turn = F.when(
+        F.col("__pts").isNotNull(), 1.0 - F.col("__nkept") / F.col("__nm")
+    )
+    to = kept.select(F.col(ts_col), turn.alias("turnover"))
+    return pnl.join(to, ts_col).select(
+        ts_col, "n_long", "n_short", "pnl", "turnover"
     )

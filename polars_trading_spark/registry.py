@@ -6165,3 +6165,80 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("var_5", 6) + z0).alias("var_5"),
         (F.round("cvar_5", 6) + z0).alias("cvar_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-sectional momentum portfolio (operators/cross_section.py::
+# rank_portfolio_backtest)
+# --------------------------------------------------------------------------
+
+_RP_LB, _RP_TOP = 5, 1
+
+
+@register(
+    "rank_portfolio",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_RP_LB}) OVER w) AS mom,
+    ln(lead(close) OVER w / close) AS fwd
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+rr AS (SELECT * FROM r WHERE mom IS NOT NULL),
+m AS (
+  SELECT symbol, ts, fwd,
+    row_number() OVER (PARTITION BY ts ORDER BY mom DESC, symbol) AS ru,
+    row_number() OVER (PARTITION BY ts ORDER BY mom ASC, symbol) AS rd,
+    count(*) OVER (PARTITION BY ts) AS nb
+  FROM rr
+),
+mem AS (
+  SELECT symbol, ts,
+    CASE WHEN ru <= {_RP_TOP} THEN 1.0 WHEN rd <= {_RP_TOP} THEN -1.0 END AS side,
+    fwd
+  FROM m WHERE nb >= {2 * _RP_TOP} AND (ru <= {_RP_TOP} OR rd <= {_RP_TOP})
+),
+pnl AS (
+  SELECT ts,
+    CAST(count(CASE WHEN side > 0 THEN 1 END) AS INTEGER) AS n_long,
+    CAST(count(CASE WHEN side < 0 THEN 1 END) AS INTEGER) AS n_short,
+    avg(CASE WHEN side > 0 THEN fwd END) - avg(CASE WHEN side < 0 THEN fwd END) AS pnl
+  FROM mem GROUP BY ts
+),
+pm AS (
+  SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts
+  FROM (SELECT DISTINCT ts FROM mem)
+),
+kept AS (
+  SELECT a.ts, count(*) AS nm, count(b.symbol) AS nkept, max(a.prev_ts) AS pts
+  FROM (SELECT mem.*, pm.prev_ts FROM mem JOIN pm USING (ts)) a
+  LEFT JOIN mem b
+    ON b.ts = a.prev_ts AND b.symbol = a.symbol AND b.side = a.side
+  GROUP BY a.ts
+)
+SELECT p.ts, p.n_long, p.n_short, round(p.pnl, 6) + 0 AS pnl,
+  round(CASE WHEN k.pts IS NOT NULL THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END, 6) + 0
+    AS turnover
+FROM pnl p JOIN kept k USING (ts)
+""",
+    f"Cross-sectional momentum portfolio (top/bottom {_RP_TOP} by "
+    f"{_RP_LB}-bar momentum, next-bar P&L, membership turnover)",
+)
+def q_rank_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_portfolio_backtest(
+        bars, lookback=_RP_LB, top_n=_RP_TOP, ts_col="ts_event", close_col="close"
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        F.col("ts_event").alias("ts"),
+        "n_long",
+        "n_short",
+        (F.round("pnl", 6) + z0).alias("pnl"),
+        (F.round("turnover", 6) + z0).alias("turnover"),
+    )

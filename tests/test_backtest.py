@@ -268,3 +268,67 @@ def test_var_cvar_tiny_series_k_floor(spark):
     assert out["k"] == 1  # floor(0.05*4) = 0 -> clamped to 1
     with pytest.raises(ValueError, match="alpha"):
         var_cvar(df, alpha=0.6)
+
+
+def test_rank_portfolio_golden(spark):
+    """3 symbols, deterministic trajectories: the top/bottom picks and
+    the long-short pnl are hand-checkable."""
+    from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    # A trends up, B trends down, C flat
+    rows = []
+    for i in range(10):
+        rows.append(("A", t0 + dt.timedelta(minutes=15 * i), 100.0 * (1.01 ** i)))
+        rows.append(("B", t0 + dt.timedelta(minutes=15 * i), 100.0 * (0.99 ** i)))
+        rows.append(("C", t0 + dt.timedelta(minutes=15 * i), 100.0))
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, close double")
+    out = sorted(
+        rank_portfolio_backtest(df, lookback=2, top_n=1).collect(),
+        key=lambda r: r["ts_event_start"],
+    )
+    # buckets with momentum start at bar index 2
+    assert len(out) == 8
+    first = out[0]
+    assert first["n_long"] == 1 and first["n_short"] == 1
+    # long A (uptrend), short B (downtrend): pnl = ln(1.01) - ln(0.99)
+    import math
+    for r in out[:-1]:  # last bucket has no forward return -> null pnl
+        assert r["pnl"] == pytest.approx(math.log(1.01) - math.log(0.99), rel=1e-9)
+    assert out[0]["turnover"] is None        # first formed bucket
+    for r in out[1:]:
+        assert r["turnover"] == 0.0          # membership never changes
+
+
+def test_rank_portfolio_turnover_moves(spark):
+    from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # alternate which symbol leads so membership flips each bar
+    import numpy as np
+    rng = np.random.default_rng(14)
+    prices = {s: [100.0] for s in ("A", "B", "C", "D")}
+    for i in range(30):
+        for s in prices:
+            prices[s].append(prices[s][-1] * float(np.exp(0.05 * rng.standard_normal())))
+    for s, ps in prices.items():
+        for i, p in enumerate(ps):
+            rows.append((s, t0 + dt.timedelta(minutes=15 * i), p))
+    df = spark.createDataFrame(rows, "symbol string, ts_event_start timestamp, close double")
+    out = rank_portfolio_backtest(df, lookback=1, top_n=1).collect()
+    turns = [r["turnover"] for r in out if r["turnover"] is not None]
+    assert turns and max(turns) > 0.0  # membership changes somewhere
+
+
+def test_rank_portfolio_validation(spark):
+    from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+
+    df = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 1), 1.0)],
+        "symbol string, ts_event_start timestamp, close double",
+    )
+    with pytest.raises(ValueError, match="lookback"):
+        rank_portfolio_backtest(df, lookback=0)
+    with pytest.raises(ValueError, match="top_n"):
+        rank_portfolio_backtest(df, top_n=0)
