@@ -120,6 +120,7 @@ HEADLINE = [
     "sign_autocorr",
     "var_cvar",
     "rank_portfolio",
+    "return_acf",
 ]
 
 

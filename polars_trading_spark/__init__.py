@@ -87,7 +87,11 @@ from polars_trading_spark.operators.structural_breaks import (
     csw_explosiveness,
     sadf,
 )
-from polars_trading_spark.operators.regime import hurst_exponent, variance_ratio
+from polars_trading_spark.operators.regime import (
+    hurst_exponent,
+    return_acf,
+    variance_ratio,
+)
 from polars_trading_spark.operators.roll import roll_adjust
 from polars_trading_spark.operators.seasonality import intraday_profile
 from polars_trading_spark.operators.trend_scan import trend_scanning_labels
@@ -164,6 +168,7 @@ __all__ = [
     "sign_autocorr",
     "var_cvar",
     "rank_portfolio_backtest",
+    "return_acf",
 ]
 
 __version__ = "0.5.0"

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hurst_exponent", "variance_ratio"]
+__all__ = ["hurst_exponent", "return_acf", "variance_ratio"]
 
 
 def _q_returns(x, order, q: int):
@@ -155,3 +155,77 @@ def hurst_exponent(
         hurst.alias("hurst"),
         F.when(ok, r2).alias("r2"),
     )
+
+
+def return_acf(
+    bars: DataFrame,
+    *,
+    lags: tuple[int, ...] = (1, 2, 3, 5, 10),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-symbol autocorrelation function of log returns at the given
+    lags, plus the Ljung-Box portmanteau statistic
+
+        Q = n(n+2) · Σ_k ρ_k² / (n − k)
+
+    (the classic "is there any linear predictability" test; under the
+    iid null Q ~ χ²(#lags)).  ρ_k is the standard ACF estimator:
+    lag-k autocovariance over the full-sample variance, both around the
+    full-sample mean.
+
+    One lag chain + ONE hash aggregate per symbol (every lag's products
+    are columns of the same pass).  Output: ``symbol, n_obs,
+    acf_<k>..., ljung_box_q`` (nulls when fewer than ``max(lags)+2``
+    returns or zero variance).
+    """
+    if not lags or any(k < 1 for k in lags) or len(set(lags)) != len(lags):
+        raise ValueError(f"lags must be distinct positive ints, got {lags}")
+
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    r = F.log(c / F.lag(c).over(order))
+    cols = [F.col(symbol_col), r.alias("__r")]
+    for k in lags:
+        cols.append(F.lag(r, k).over(order).alias(f"__l{k}"))
+    base = bars.select(*cols).where(F.col("__r").isNotNull())
+
+    aggs = [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__r").alias("__s"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__ss"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs.append(F.sum(F.when(lk.isNotNull(), F.col("__r") * lk)).alias(f"__p{k}"))
+        aggs.append(F.sum(F.when(lk.isNotNull(), F.col("__r"))).alias(f"__a{k}"))
+        aggs.append(F.sum(F.when(lk.isNotNull(), lk)).alias(f"__b{k}"))
+        aggs.append(F.count(lk).alias(f"__n{k}"))
+    g = base.groupBy(symbol_col).agg(*aggs)
+
+    n = F.col("__n").cast("double")
+    mean = F.col("__s") / n
+    # full-sample denominator: Σ(r - r̄)² = ss - n·mean²
+    den = F.col("__ss") - n * mean * mean
+    kmax = max(lags)
+    ok = (F.col("__n") >= kmax + 2) & (den > 0)
+
+    out_cols = [F.col(symbol_col), F.col("__n").cast("long").alias("n_obs")]
+    rhos = []
+    for k in lags:
+        # Σ (r_t - r̄)(r_{t-k} - r̄) over the n-k overlapping pairs
+        num = (
+            F.col(f"__p{k}")
+            - mean * F.col(f"__a{k}")
+            - mean * F.col(f"__b{k}")
+            + F.col(f"__n{k}") * mean * mean
+        )
+        rho = F.when(ok, num / den)
+        rhos.append((k, rho))
+        out_cols.append(rho.alias(f"acf_{k}"))
+    q = F.lit(0.0)
+    for k, rho in rhos:
+        q = q + rho * rho / (n - k)
+    out_cols.append(F.when(ok, n * (n + 2) * q).alias("ljung_box_q"))
+    return g.select(*out_cols)

@@ -6242,3 +6242,83 @@ def q_rank_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("pnl", 6) + z0).alias("pnl"),
         (F.round("turnover", 6) + z0).alias("turnover"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Return ACF + Ljung-Box (operators/regime.py::return_acf)
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 2, 3, 5, 10)
+
+
+def _acf_sql() -> str:
+    ks = _ACF_LAGS
+    lag_cols = ",\n    ".join(f"lag(ret, {k}) OVER o AS l{k}" for k in ks)
+    agg_cols = ",\n    ".join(
+        f"sum(CASE WHEN l{k} IS NOT NULL THEN ret * l{k} END) AS p{k},\n"
+        f"    sum(CASE WHEN l{k} IS NOT NULL THEN ret END) AS a{k},\n"
+        f"    sum(CASE WHEN l{k} IS NOT NULL THEN l{k} END) AS b{k},\n"
+        f"    count(l{k}) AS n{k}"
+        for k in ks
+    )
+    rho_cols = ",\n  ".join(
+        f"CASE WHEN n >= {max(ks)} + 2 AND ss - n * (s/n) * (s/n) > 0 THEN\n"
+        f"    (p{k} - (s/n) * a{k} - (s/n) * b{k} + n{k} * (s/n) * (s/n))\n"
+        f"      / (ss - n * (s/n) * (s/n)) END AS rho{k}"
+        for k in ks
+    )
+    q_terms = " + ".join(f"rho{k} * rho{k} / (n - {k})" for k in ks)
+    acf_out = ",\n  ".join(f"round(rho{k}, 6) + 0 AS acf_{k}" for k in ks)
+    return f"""
+WITH
+{{bars_cte}},
+r0 AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r1 AS (
+  SELECT symbol, ret,
+    {lag_cols}
+  FROM (SELECT symbol, ts, ret FROM r0) t
+  WINDOW o AS (PARTITION BY symbol ORDER BY ts)
+),
+r2 AS (SELECT * FROM r1 WHERE ret IS NOT NULL),
+g AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+    sum(ret) AS s, sum(ret*ret) AS ss,
+    {agg_cols}
+  FROM r2 GROUP BY symbol
+),
+rho AS (
+  SELECT symbol, n, s, ss,
+  {rho_cols}
+  FROM g
+)
+SELECT symbol, n AS n_obs,
+  {acf_out},
+  round(CASE WHEN rho{ks[0]} IS NOT NULL THEN n * (n + 2) * ({q_terms}) END, 6) + 0
+    AS ljung_box_q
+FROM rho
+"""
+
+
+@register(
+    "return_acf",
+    _acf_sql().format(bars_cte=_FEATURE_BARS_CTE),
+    f"Return autocorrelation at lags {_ACF_LAGS} with the Ljung-Box "
+    "portmanteau statistic — one lag chain, one aggregate per symbol",
+)
+def q_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.regime import return_acf
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = return_acf(bars, lags=_ACF_LAGS, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_obs",
+        *[(F.round(f"acf_{k}", 6) + z0).alias(f"acf_{k}") for k in _ACF_LAGS],
+        (F.round("ljung_box_q", 6) + z0).alias("ljung_box_q"),
+    )

@@ -95,3 +95,39 @@ def test_regime_validation_and_short_series(spark):
     assert out["hurst"] is None  # scale 16 unpopulated
     vr = variance_ratio(df, q=4, ts_col="ts").collect()[0]
     assert vr["vr"] is None
+
+
+def test_return_acf_matches_numpy(spark):
+    from polars_trading_spark.operators.regime import return_acf
+
+    paths = _paths(n=600, seed=44)
+    df = _frame(spark, {"TR": paths["TR"], "RW": paths["RW"]})
+    out = {r["symbol"]: r for r in return_acf(df, lags=(1, 2, 5), ts_col="ts").collect()}
+
+    for sym in ("TR", "RW"):
+        x = np.log(paths[sym])
+        r = x[1:] - x[:-1]
+        n = len(r)
+        mean = r.mean()
+        den = ((r - mean) ** 2).sum()
+        got = out[sym]
+        q = 0.0
+        for k in (1, 2, 5):
+            num = ((r[k:] - mean) * (r[:-k] - mean)).sum()
+            rho = num / den
+            assert got[f"acf_{k}"] == pytest.approx(rho, rel=1e-9), (sym, k)
+            q += rho * rho / (n - k)
+        assert got["ljung_box_q"] == pytest.approx(n * (n + 2) * q, rel=1e-9)
+    # persistent returns: strongly positive acf_1 and huge Q
+    assert out["TR"]["acf_1"] > 0.5
+    assert out["TR"]["ljung_box_q"] > out["RW"]["ljung_box_q"] * 10
+
+
+def test_return_acf_validation_and_short(spark):
+    from polars_trading_spark.operators.regime import return_acf
+
+    df = _frame(spark, {"S": np.array([100.0, 101.0, 102.0])})
+    with pytest.raises(ValueError, match="lags"):
+        return_acf(df, lags=())
+    out = return_acf(df, lags=(1, 10), ts_col="ts").collect()[0]
+    assert out["acf_1"] is None and out["ljung_box_q"] is None
