@@ -121,6 +121,7 @@ HEADLINE = [
     "var_cvar",
     "rank_portfolio",
     "return_acf",
+    "lead_lag",
 ]
 
 

@@ -44,6 +44,7 @@ from polars_trading_spark.operators.bet_sizing import (
 )
 from polars_trading_spark.operators.cross_section import (
     cross_sectional_zscore,
+    lead_lag_corr,
     momentum_rank,
     rank_portfolio_backtest,
     rolling_beta,
@@ -169,6 +170,7 @@ __all__ = [
     "var_cvar",
     "rank_portfolio_backtest",
     "return_acf",
+    "lead_lag_corr",
 ]
 
 __version__ = "0.5.0"

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cross_sectional_zscore", "momentum_rank", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+__all__ = ["cross_sectional_zscore", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def rolling_beta(
@@ -345,4 +345,84 @@ def rank_portfolio_backtest(
     to = kept.select(F.col(ts_col), turn.alias("turnover"))
     return pnl.join(to, ts_col).select(
         ts_col, "n_long", "n_short", "pnl", "turnover"
+    )
+
+
+def lead_lag_corr(
+    bars: DataFrame,
+    *,
+    lag: int = 1,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Lead-lag cross-correlation for every unordered symbol pair:
+    corr(r_a(t), r_b(t+lag)) and corr(r_b(t), r_a(t+lag)) — the classic
+    price-discovery screen (a symbol whose returns correlate with the
+    OTHER's future returns leads it; the asymmetry
+    ``llr = corr_a_leads − corr_b_leads`` signs the direction).
+
+    Alignment is by bar INDEX within each symbol's own series (a
+    row_number over the symbol window), so mixed trading calendars
+    shift consistently; the pair join is a co-partitioned equi-join on
+    the index, O(pairs × bars) like the other pair operators.
+
+    Output per pair: ``sym_a, sym_b, n_obs, corr_a_leads,
+    corr_b_leads, llr`` (nulls under degenerate variance).
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    c = F.col(close_col).cast("double")
+    r = bars.select(
+        F.col(symbol_col),
+        F.log(c / F.lag(c).over(order)).alias("__r"),
+        (F.row_number().over(order)).alias("__i"),
+    ).where(F.col("__r").isNotNull())
+
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), F.col("__i"), F.col("__r").alias("__ra")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"),
+        (F.col("__i") - lag).alias("__i"),
+        F.col("__r").alias("__rb_fwd"),
+    )
+    # pair (a_t, b_{t+lag}) for EVERY ordered pair a != b, then fold the
+    # two directions of each unordered pair into one row.
+    j = a.join(b, on="__i").where(F.col("sym_a") != F.col("sym_b"))
+    g = j.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__ra").alias("__sx"),
+        F.sum("__rb_fwd").alias("__sy"),
+        F.sum(F.col("__ra") * F.col("__ra")).alias("__sxx"),
+        F.sum(F.col("__rb_fwd") * F.col("__rb_fwd")).alias("__syy"),
+        F.sum(F.col("__ra") * F.col("__rb_fwd")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when(
+        (F.col("__n") >= 3) & (vx > 0) & (vy > 0),
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / F.sqrt(vx * vy),
+    )
+    directed = g.select("sym_a", "sym_b", F.col("__n").alias("__n"), corr.alias("__c"))
+
+    fwd = directed.where(F.col("sym_a") < F.col("sym_b")).select(
+        "sym_a", "sym_b", F.col("__n").alias("n_obs"), F.col("__c").alias("corr_a_leads")
+    )
+    rev = directed.where(F.col("sym_a") > F.col("sym_b")).select(
+        F.col("sym_b").alias("sym_a"),
+        F.col("sym_a").alias("sym_b"),
+        F.col("__c").alias("corr_b_leads"),
+    )
+    out = fwd.join(rev, ["sym_a", "sym_b"], "left")
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "corr_a_leads",
+        "corr_b_leads",
+        (F.col("corr_a_leads") - F.col("corr_b_leads")).alias("llr"),
     )

@@ -6322,3 +6322,67 @@ def q_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[(F.round(f"acf_{k}", 6) + z0).alias(f"acf_{k}") for k in _ACF_LAGS],
         (F.round("ljung_box_q", 6) + z0).alias("ljung_box_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Lead-lag cross-correlation (operators/cross_section.py::
+# lead_lag_corr)
+# --------------------------------------------------------------------------
+
+_LL_LAG = 1
+
+
+@register(
+    "lead_lag",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol,
+    ln(close / lag(close) OVER w) AS ret,
+    row_number() OVER w AS i
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ret AS ra, b.ret AS rb
+  FROM rr a JOIN rr b ON a.i = b.i - {_LL_LAG} AND a.symbol <> b.symbol
+),
+g AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+    sum(ra) AS sx, sum(rb) AS sy, sum(ra*ra) AS sxx, sum(rb*rb) AS syy,
+    sum(ra*rb) AS sxy
+  FROM j GROUP BY sym_a, sym_b
+),
+d AS (
+  SELECT sym_a, sym_b, n,
+    CASE WHEN n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         THEN (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) END AS c
+  FROM g
+)
+SELECT f.sym_a, f.sym_b, f.n AS n_obs,
+  round(f.c, 6) + 0 AS corr_a_leads,
+  round(rv.c, 6) + 0 AS corr_b_leads,
+  round(f.c - rv.c, 6) + 0 AS llr
+FROM (SELECT * FROM d WHERE sym_a < sym_b) f
+LEFT JOIN (SELECT sym_b AS sym_a, sym_a AS sym_b, c FROM d WHERE sym_a > sym_b) rv
+  USING (sym_a, sym_b)
+""",
+    f"Lead-lag cross-correlation at lag {_LL_LAG} bar for every symbol "
+    "pair (price-discovery screen; llr signs who leads)",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import lead_lag_corr
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = lead_lag_corr(bars, lag=_LL_LAG, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        (F.round("corr_a_leads", 6) + z0).alias("corr_a_leads"),
+        (F.round("corr_b_leads", 6) + z0).alias("corr_b_leads"),
+        (F.round("llr", 6) + z0).alias("llr"),
+    )

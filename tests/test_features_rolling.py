@@ -488,3 +488,63 @@ def test_pair_correlation_self_identity(spark, bar_pdf):
     assert set(zip(out.sym_a, out.sym_b)) == {("AAPL", "ZZZZ")}
     filled = out["corr"].dropna()
     np.testing.assert_allclose(filled, 1.0, rtol=1e-9)
+
+
+def test_lead_lag_detects_leader(spark):
+    """Symbol L's return at t is copied by F at t+1: corr(L_t, F_{t+1})
+    must be ~1 and the asymmetry positive."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.cross_section import lead_lag_corr
+
+    rng = np.random.default_rng(23)
+    rl = 0.01 * rng.standard_normal(300)
+    rf = np.concatenate([[0.0], rl[:-1]])  # follower echoes leader with 1-bar delay
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    pl, pf = 100.0, 50.0
+    for i in range(300):
+        pl *= float(np.exp(rl[i]))
+        pf *= float(np.exp(rf[i]))
+        ts = t0 + dt.timedelta(minutes=15 * i)
+        rows.append(("FOL", ts, pf))
+        rows.append(("LEAD", ts, pl))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    out = lead_lag_corr(df, lag=1, ts_col="ts").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sym_a"], r["sym_b"]) == ("FOL", "LEAD")
+    # LEAD's return predicts FOL's next return: corr_b_leads ~ 1
+    assert r["corr_b_leads"] > 0.99
+    assert abs(r["corr_a_leads"]) < 0.2
+    assert r["llr"] < -0.8
+
+
+def test_lead_lag_numpy_golden(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.cross_section import lead_lag_corr
+
+    rng = np.random.default_rng(31)
+    ra = 0.01 * rng.standard_normal(200)
+    rb = 0.01 * rng.standard_normal(200)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    pa, pb = 100.0, 60.0
+    for i in range(200):
+        pa *= float(np.exp(ra[i]))
+        pb *= float(np.exp(rb[i]))
+        ts = t0 + dt.timedelta(minutes=15 * i)
+        rows.append(("A", ts, pa))
+        rows.append(("B", ts, pb))
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+    r = lead_lag_corr(df, lag=2, ts_col="ts").collect()[0]
+    # bar 0 has no return: the return series is ra[1:]; a_t vs b_{t+2}
+    exp_ab = np.corrcoef(ra[1:-2], rb[3:])[0, 1]
+    exp_ba = np.corrcoef(rb[1:-2], ra[3:])[0, 1]
+    assert r["corr_a_leads"] == pytest.approx(exp_ab, rel=1e-9)
+    assert r["corr_b_leads"] == pytest.approx(exp_ba, rel=1e-9)
