@@ -122,6 +122,7 @@ HEADLINE = [
     "rank_portfolio",
     "return_acf",
     "lead_lag",
+    "dedup_containment",
 ]
 
 

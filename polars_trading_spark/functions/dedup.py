@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "positional_shingle_hashes",
     "duplicated_span_stats",
     "connected_components",
@@ -711,4 +712,81 @@ def duplicated_span_stats(
         cov.alias("dup_token_cov"),
         frac.alias("dup_frac"),
         (frac <= F.lit(float(max_dup_frac))).alias("keep"),
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram containment
+    ``C(A→B) = |A ∩ B| / |A|`` — the modality Jaccard misses: a short
+    document quoted wholesale inside a long one has tiny Jaccard but
+    containment ≈ 1 for the short side.  Pairs emit when EITHER
+    direction reaches ``threshold``.
+
+    Candidates come from a document-frequency-pruned posting self-join
+    (shingles present in more than ``max_df_frac`` of documents are
+    dropped from candidate generation — a pair whose ONLY shared
+    content is such stop-shingles is not surfaced; that is the explicit
+    recall trade documented here, the same dial as TF-IDF's max-df).
+    Survivors are verified with ``array_intersect`` over the FULL
+    shingle sets, so every emitted score is exact.
+
+    Output: ``id_a, id_b, n_shared, containment_a, containment_b``
+    (containment_a = shared/|A| with id_a < id_b).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not (0.0 < max_df_frac <= 1.0):
+        raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
+
+    base = _tokenized(df, text_col, id_col).select(
+        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
+    )
+    base = persist_tracked(base)
+
+    post = base.select("__id", F.explode("__sh").alias("__h"))
+    n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    dfreq = post.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    pruned = (
+        post.join(dfreq, "__h")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("__df") <= F.col("__nd") * F.lit(float(max_df_frac)))
+        .select("__id", "__h")
+    )
+    cand = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), on="__h")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
+        .distinct()
+    )
+
+    A = base.select(F.col("__id").alias("__ida"), F.col("__sh").alias("__sha"))
+    B = base.select(F.col("__id").alias("__idb"), F.col("__sh").alias("__shb"))
+    v = (
+        cand.join(A, "__ida")
+        .join(B, "__idb")
+        .withColumn("__shared", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn("__na", F.size("__sha"))
+        .withColumn("__nb", F.size("__shb"))
+    )
+    ca = F.col("__shared") / F.col("__na")
+    cb = F.col("__shared") / F.col("__nb")
+    return (
+        v.where((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .where((ca >= threshold) | (cb >= threshold))
+        .select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            F.col("__shared").cast("long").alias("n_shared"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
     )

@@ -6386,3 +6386,65 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("corr_b_leads", 6) + z0).alias("corr_b_leads"),
         (F.round("llr", 6) + z0).alias("llr"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext. n-gram containment pairs (functions/dedup.py::
+# ngram_containment_pairs) — the asymmetric dedup modality.
+# --------------------------------------------------------------------------
+
+_CT_N, _CT_T, _CT_MAXDF = 3, 0.6, 0.2
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_CT_N)},
+post AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+dfq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+pruned AS (
+  SELECT p.doc_id, p.h FROM post p JOIN dfq USING (h) CROSS JOIN nd
+  WHERE dfq.df <= nd.n * {_CT_MAXDF!r}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.ida, c.idb,
+    len(list_intersect(sa.sh, sb.sh)) AS shared,
+    len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.ida
+  JOIN sh sb ON sb.doc_id = c.idb
+)
+SELECT ida AS id_a, idb AS id_b, CAST(shared AS BIGINT) AS n_shared,
+  round(shared / CAST(na AS DOUBLE), 6) + 0 AS containment_a,
+  round(shared / CAST(nb AS DOUBLE), 6) + 0 AS containment_b
+FROM v
+WHERE na > 0 AND nb > 0
+  AND (shared / CAST(na AS DOUBLE) >= {_CT_T!r}
+       OR shared / CAST(nb AS DOUBLE) >= {_CT_T!r})
+""",
+    f"Asymmetric n-gram containment pairs (either direction >= {_CT_T}; "
+    f"df-pruned candidates at max-df {_CT_MAXDF}, exact verify) — "
+    "catches quote-inclusion near-dups Jaccard misses",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import ngram_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, ngram=_CT_N, threshold=_CT_T, max_df_frac=_CT_MAXDF
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        (F.round("containment_a", 6) + z0).alias("containment_a"),
+        (F.round("containment_b", 6) + z0).alias("containment_b"),
+    )

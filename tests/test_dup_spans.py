@@ -101,3 +101,46 @@ def test_param_validation(spark):
         duplicated_span_stats(df, ngram=0)
     with pytest.raises(ValueError, match="min_docs"):
         duplicated_span_stats(df, min_docs=1)
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc quoted inside a long one: Jaccard is tiny but
+    containment of the short side is ~1."""
+    from polars_trading_spark.functions.dedup import ngram_containment_pairs
+
+    short = " ".join(WORDS)  # 12 tokens
+    filler = " ".join(f"filler{i}" for i in range(100))
+    rows = [
+        (1, short),
+        (2, filler + " " + short + " " + filler.replace("filler", "pad")),
+        (3, "totally different content with nothing shared at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_containment_pairs(docs, ngram=3, threshold=0.9, max_df_frac=1.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["containment_a"] == pytest.approx(1.0)  # all of 1's shingles in 2
+    assert r["containment_b"] < 0.1
+
+
+def test_containment_maxdf_prune_drops_stop_shingles(spark):
+    from polars_trading_spark.functions.dedup import ngram_containment_pairs
+
+    common = "the common boiler plate line"
+    rows = [(i, common + f" unique{i} tail{i} end{i}") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every pair shares ONLY the ubiquitous shingles; with max_df 0.2
+    # they never become candidates
+    out = ngram_containment_pairs(docs, ngram=3, threshold=0.3, max_df_frac=0.2).collect()
+    assert out == []
+
+
+def test_containment_validation(spark):
+    from polars_trading_spark.functions.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_containment_pairs(docs, threshold=0.0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        ngram_containment_pairs(docs, max_df_frac=0.0)
