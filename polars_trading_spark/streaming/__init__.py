@@ -37,5 +37,9 @@ from polars_trading_spark.streaming.packing import streaming_pack_sequences  # n
 
 __all__.append("streaming_pack_sequences")
 
-from polars_trading_spark.streaming.sessions import streaming_sessionize  # noqa: E402
+from polars_trading_spark.streaming.sessions import (  # noqa: E402
+    streaming_event_funnel,
+    streaming_sessionize,
+)
 __all__.append("streaming_sessionize")
+__all__.append("streaming_event_funnel")

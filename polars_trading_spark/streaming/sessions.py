@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark._utils import parse_duration
 
-__all__ = ["streaming_sessionize"]
+__all__ = ["streaming_event_funnel", "streaming_sessionize"]
 
 _SESS_STATE = T.StructType(
     [
@@ -157,4 +157,94 @@ def streaming_sessionize(
             if ttl_ms is not None
             else GroupStateTimeout.NoTimeout
         ),
+    )
+
+
+def make_funnel_update(steps: list[str], user_col: str, ts_col: str, type_col: str):
+    """Stateful ordered-funnel update fn (module-level for unit tests).
+
+    State: one epoch-µs timestamp per step (0 = not reached).  Each
+    micro-batch advances the machine step-by-step — for step j, the
+    earliest event of that type strictly after step j−1's time — a
+    k-pass vectorized scan over the batch, no per-event Python.
+    """
+    import numpy as np
+
+    k = len(steps)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        user = key[0]
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows)
+        batch = batch[batch[type_col].isin(steps)]
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(ts_col, kind="mergesort")
+        stamps = batch[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        types = batch[type_col].to_numpy()
+
+        reached = list(state.get[0]) if state.exists else [0] * k
+        changed = False
+        for j, s in enumerate(steps):
+            if reached[j]:
+                continue
+            if j > 0 and not reached[j - 1]:
+                break
+            mask = types == s
+            if j > 0:
+                mask &= stamps > reached[j - 1]
+            cand = stamps[mask]
+            if cand.size:
+                reached[j] = int(cand.min())
+                changed = True
+        if changed or not state.exists:
+            state.update((reached,))
+        out = {user_col: [user]}
+        for j, s in enumerate(steps):
+            out[f"ts_{s}"] = [
+                pd.Timestamp(reached[j], unit="us") if reached[j] else pd.NaT
+            ]
+        out["depth"] = [sum(1 for v in reached if v)]
+        yield pd.DataFrame(out)
+
+    return update
+
+
+def streaming_event_funnel(
+    stream: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful ordered conversion funnel over a user event stream —
+    batch ``event_funnel`` semantics when events arrive in timestamp
+    order across micro-batches (per-user snapshot emitted each batch
+    the user appears; consumers keep the last row per user).
+
+    Note the greedy-on-arrival caveat: a late event that would have
+    enabled an EARLIER chain than the one already locked in cannot
+    rewind the machine — the batch operator re-derives the optimal
+    chain, the stream commits as it goes.  With in-order delivery the
+    two agree exactly (tested); under disorder the stream is the
+    standard at-arrival approximation.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {steps}")
+    update = make_funnel_update(list(steps), user_col, ts_col, type_col)
+    out_fields = [T.StructField(user_col, T.LongType())]
+    out_fields += [T.StructField(f"ts_{s}", T.TimestampType()) for s in steps]
+    out_fields.append(T.StructField("depth", T.IntegerType()))
+    state_schema = T.StructType([T.StructField("reached", T.ArrayType(T.LongType()))])
+    return stream.groupBy(F.col(user_col)).applyInPandasWithState(
+        update,
+        outputStructType=T.StructType(out_fields),
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -776,3 +776,61 @@ def test_streaming_sessionize_match_batch_across_batches(spark):
         assert got["session_id"].max() > 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_event_funnel_match_batch(spark):
+    """Funnel state must carry across micro-batches; with in-order
+    delivery the final snapshot per user equals the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.functions.events import event_funnel
+    from polars_trading_spark.streaming import streaming_event_funnel
+
+    steps = ["view", "click", "signup", "purchase"]
+    rng = np.random.default_rng(83)
+    rows = []
+    t = dt.datetime(2022, 3, 1, 9, 0)
+    for _ in range(400):
+        t = t + dt.timedelta(seconds=int(rng.integers(5, 120)))
+        rows.append((int(rng.integers(1, 9)), t, str(rng.choice(steps + ["error"]))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"]).sort_values("ts").reset_index(drop=True)
+    schema = "user_id long, ts timestamp, event_type string"
+
+    d = tempfile.mkdtemp(prefix="pts_funnel_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, (lo, hi) in enumerate([(0, third), (third, 2 * third), (2 * third, len(pdf))]):
+            spark.createDataFrame(pdf.iloc[lo:hi], schema).coalesce(1).write.parquet(f"{d}/f{i}")
+        batch = event_funnel(spark.createDataFrame(pdf, schema), steps).toPandas()
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_event_funnel(stream, steps)
+
+        rows_out = _run_stream(spark, make)
+        got = pd.DataFrame([r.asDict() for r in rows_out])
+        # keep the deepest (latest) snapshot per user
+        got = (
+            got.sort_values(["user_id", "depth"])
+            .groupby("user_id", as_index=False)
+            .last()
+        )
+        batch = batch.sort_values("user_id").reset_index(drop=True)
+        got = got.sort_values("user_id").reset_index(drop=True)
+        assert got["user_id"].tolist() == batch["user_id"].tolist()
+        assert got["depth"].tolist() == batch["depth"].tolist()
+        for s in steps:
+            a = got[f"ts_{s}"].tolist()
+            b = batch[f"ts_{s}"].tolist()
+            for x, y in zip(a, b):
+                if pd.isna(y):
+                    assert pd.isna(x)
+                else:
+                    assert x == y, s
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
