@@ -4528,7 +4528,7 @@ ab AS (
 ),
 sig AS (
   SELECT *,
-    CASE WHEN phi IS NOT NULL AND n_obs > 3 THEN
+    CASE WHEN phi IS NOT NULL AND n_obs >= 3 THEN
       sqrt(greatest(syy + n_obs*a*a + phi*phi*sxx - 2*a*sy - 2*phi*sxy
                     + 2*a*phi*sx, 0.0) / (n_obs - 2)) END AS sigma
   FROM ab
@@ -4984,7 +4984,7 @@ ns AS (SELECT count(DISTINCT s) AS nsym FROM r1),
 r2 AS (
   SELECT r1.s, r1.ts, r1.r
   FROM r1
-  JOIN (SELECT ts, count(*) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
+  JOIN (SELECT ts, count(DISTINCT s) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
   CROSS JOIN ns WHERE t.c = ns.nsym
 ),
 x AS (SELECT s, ts, r - avg(r) OVER (PARTITION BY s) AS x FROM r2),
@@ -6361,11 +6361,12 @@ d AS (
   FROM g
 )
 SELECT f.sym_a, f.sym_b, f.n AS n_obs,
+  rv.n AS n_obs_b_leads,
   round(f.c, 6) + 0 AS corr_a_leads,
   round(rv.c, 6) + 0 AS corr_b_leads,
   round(f.c - rv.c, 6) + 0 AS llr
 FROM (SELECT * FROM d WHERE sym_a < sym_b) f
-LEFT JOIN (SELECT sym_b AS sym_a, sym_a AS sym_b, c FROM d WHERE sym_a > sym_b) rv
+LEFT JOIN (SELECT sym_b AS sym_a, sym_a AS sym_b, n, c FROM d WHERE sym_a > sym_b) rv
   USING (sym_a, sym_b)
 """,
     f"Lead-lag cross-correlation at lag {_LL_LAG} bar for every symbol "
@@ -6382,6 +6383,7 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sym_a",
         "sym_b",
         "n_obs",
+        "n_obs_b_leads",
         (F.round("corr_a_leads", 6) + z0).alias("corr_a_leads"),
         (F.round("corr_b_leads", 6) + z0).alias("corr_b_leads"),
         (F.round("llr", 6) + z0).alias("llr"),
@@ -6448,3 +6450,55 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("containment_a", 6) + z0).alias("containment_a"),
         (F.round("containment_b", 6) + z0).alias("containment_b"),
     )
+
+
+# ==========================================================================
+# Driver-gate rotation (round 5).
+#
+# The driver's correctness harness verifies the FIRST 50 entries of
+# ``queries()`` insertion order (rows + schema + value-hash vs the DuckDB
+# oracle at sf0.01).  Rounds 1-4 gated the original first 50 registry
+# entries; the 52 registered later only ever ran through the local replica
+# (tests/test_registry_oracles.py).  Rotate those 52 to the front so they
+# earn driver-grade verdicts in round 5; round 6 rotates the remainder
+# (the two deferred diagnostics + the previously-gated 50) back in.
+#
+# KEEP THIS BLOCK AT THE VERY END OF THE FILE — any @register above it is
+# subject to the rotation; new queries registered after it append behind
+# the front window and enter the gate on a later rotation.
+# ==========================================================================
+
+_ROUND5_FRONT = [
+    # never driver-gated through round 4 (registry positions 51-102),
+    # minus the two simple diagnostics deferred to round 6 so the most
+    # intricate recursive-CTE replays (imbalance_bars_adaptive,
+    # sequential_bootstrap, range_bars, backtest_stats) plus lead_lag and
+    # dedup_containment all fit inside the 50-row window.
+    "bet_sizing", "feature_matrix", "imbalance_bars_adaptive",
+    "rolling_beta", "momentum_rank", "backtest_stats", "bde_cusum",
+    "lz_entropy", "pii_scrub", "boilerplate", "dedup_paragraph",
+    "unigram_logprob", "sequential_bootstrap", "similarity_topk_ivf_pq",
+    "mix_corpus", "pack_sequences", "pair_correlation", "drawdown_path",
+    "range_bars", "tfidf_cosine_pairs", "roll_adjust", "ou_fit",
+    "dup_spans", "semdedup", "bpe_pairs", "intraday_profile",
+    "cointegration", "spread_signal", "ledoit_wolf", "ac_schedule",
+    "vwap_slippage", "variance_ratio", "hurst", "bigram_logprob",
+    "ma_crossover", "cs_zscore", "corpus_funnel", "pcm_features",
+    "cluster_keywords", "psi_drift", "sessionize", "event_funnel",
+    "retention", "jump_test", "sign_autocorr", "var_cvar",
+    "rank_portfolio", "return_acf", "lead_lag", "dedup_containment",
+    # deferred to round 6: tick_quality, universe_summary
+]
+
+
+def _rotate_front(front: list) -> None:
+    missing = [n for n in front if n not in QUERIES]
+    if missing:  # fail loudly at import if the list drifts from the registry
+        raise KeyError(f"rotation names not registered: {missing}")
+    ordered = front + [n for n in QUERIES if n not in set(front)]
+    items = [(n, QUERIES[n]) for n in ordered]
+    QUERIES.clear()
+    QUERIES.update(items)
+
+
+_rotate_front(_ROUND5_FRONT)
