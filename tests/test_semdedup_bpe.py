@@ -119,3 +119,78 @@ def test_bpe_tie_order_and_cutoff(spark):
 def test_bpe_validation(spark):
     with pytest.raises(ValueError, match="top_k"):
         bpe_pair_counts(_docs(spark, [(1, "ab")]), top_k=0)
+
+
+def test_semdedup_imi_near_dups_colocated_and_deterministic(spark):
+    """Above imi_flat_max the two-level product quantizer takes over:
+    planted near-dups (positive-scaled copies) must land in the same
+    cell and be flagged, and the cell assignment must replay under a
+    pure-Python IMI implementation of the same rule."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, n = 8, 300
+    base = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    dups = [
+        (i + n, [x * 1.000001 for x in v]) for i, v in base if i % 10 == 0
+    ]
+    rows = base + dups
+    n_cells = 100  # > imi_flat_max=64 -> IMI path; k = 10
+    out = semdedup(
+        _emb(spark, rows),
+        n_cells=n_cells,
+        threshold=0.95,
+        centroid_method="lowest_id",
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+
+    # every planted dup shares its source's cell and is dropped
+    for i, _ in base:
+        if i % 10 == 0:
+            assert by_id[i + n]["cell"] == by_id[i]["cell"], (i, by_id[i + n], by_id[i])
+            assert by_id[i + n]["keep"] is False
+            assert by_id[i + n]["dup_of"] is not None
+
+    # Python replay of the IMI rule: codebooks = k lowest-id vectors,
+    # halved; sequential-sum dots; ties -> lowest index.
+    k = int(math.ceil(math.sqrt(n_cells)))
+    cb = [v for _, v in sorted(rows)[:k]]
+    h = dim // 2
+    book_a = [v[:h] for v in cb]
+    book_b = [v[h:] for v in cb]
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def best(half, book):
+        sims = [seq_dot(half, c) / math.sqrt(seq_dot(c, c)) for c in book]
+        return sims.index(max(sims))
+
+    for vid, v in rows:
+        expect = best(v[:h], book_a) * k + best(v[h:], book_b)
+        assert by_id[vid]["cell"] == expect, (vid, by_id[vid]["cell"], expect)
+
+
+def test_semdedup_imi_flat_below_threshold(spark):
+    """n_cells <= imi_flat_max keeps the flat quantizer — the registry
+    oracle (n_cells=8) replays flat argmax-cosine assignment."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.999, 0.001, 0.0]),
+    ]
+    flat = semdedup(
+        _emb(spark, rows), n_cells=2, threshold=0.95, centroid_method="lowest_id"
+    ).collect()
+    forced_flat = semdedup(
+        _emb(spark, rows),
+        n_cells=2,
+        threshold=0.95,
+        centroid_method="lowest_id",
+        imi_flat_max=None,
+    ).collect()
+    assert sorted(map(tuple, flat)) == sorted(map(tuple, forced_flat))
