@@ -379,11 +379,15 @@ def unigram_logprob(
     Model: ``p(t) = (c_t + k) / (N + k * V)`` with corpus token count
     ``c_t``, total tokens ``N`` and vocabulary size ``V``.
 
-    Scale shape: one explode + one map-side-combinable token-count
-    aggregate builds the model; scoring joins the exploded tokens back
-    on the token key (AQE broadcasts the model when the vocabulary is
-    small, falls back to a shuffle join when it is web-scale) and one
-    per-document aggregate finishes.  No Python anywhere.
+    Scale shape: the tokenizer explode runs ONCE into a persisted
+    per-(doc, token) count frame — round 4 measured the regex tokenizer
+    re-running per consumer (model, totals, scoring) and going
+    superlinear at the 320k-doc probe (SCALING.md §14).  The model is a
+    second aggregate over that frame; scoring joins the (doc, token)
+    counts (not every token instance) back on the token key and
+    finishes with a weighted per-document aggregate — sum(c*lp)/sum(c)
+    is the same mean over token instances, with the join input shrunk
+    to distinct pairs.  No Python anywhere.
 
     Returns ``id_col, n_tokens, mean_logprob, ppl`` (``ppl =
     exp(-mean_logprob)``; empty documents get nulls).
@@ -391,16 +395,21 @@ def unigram_logprob(
     if smoothing_k <= 0:
         raise ValueError(f"smoothing_k must be > 0, got {smoothing_k}")
 
+    from polars_trading_spark._utils import persist_tracked
+
     k = float(smoothing_k)
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    model = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    dtc = persist_tracked(
+        ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__cdt"))
+    )
+    model = dtc.groupBy("tok").agg(F.sum("__cdt").alias("c"))
     # One-row totals, broadcast-crossJoined so no job runs at plan build
     # and the denominator stays inside the lazy plan.
     totals = model.agg(
         F.sum("c").cast("double").alias("__N"), F.count(F.lit(1)).cast("double").alias("__V")
     )
     scored = (
-        ex.join(model, "tok")
+        dtc.join(model, "tok")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "lp",
@@ -408,8 +417,8 @@ def unigram_logprob(
         )
     )
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.avg("lp").alias("mean_logprob"),
+        F.sum("__cdt").cast("int").alias("n_tokens"),
+        (F.sum(F.col("__cdt") * F.col("lp")) / F.sum("__cdt")).alias("mean_logprob"),
     )
     out = df.select(id_col).join(per_doc, id_col, "left")
     return out.select(
@@ -486,10 +495,16 @@ def bigram_logprob(
     unigram term alone.
 
     Scale shape: (prev, cur) pairs come from a shifted ``zip_with``
-    over the staged token array (no window, no Python); two
-    map-side-combinable count aggregates build the model; scoring is
-    three token-key equi-joins (AQE broadcasts small vocabularies) and
-    one per-document aggregate.
+    over the staged token array (no window, no Python) into a PERSISTED
+    exploded frame — round 4's plan re-ran the tokenizer for each of
+    the model's three consumers and went superlinear at the 320k-doc
+    probe (SCALING.md §14).  The per-pair log-probability depends only
+    on (prev, cur), so scoring first folds the model's three lookups
+    into ONE small ``(prev, cur) -> lp`` table (distinct corpus bigrams
+    plus a null-prev unigram row per vocabulary entry), then hits the
+    big exploded frame with a single null-safe equi-join (AQE
+    broadcasts it for bounded vocabularies) and one per-document
+    aggregate.  Measured at 320k docs: 92s (three big joins) -> ~30s.
 
     Returns ``id_col, n_tokens, mean_logprob, ppl``.
     """
@@ -497,6 +512,8 @@ def bigram_logprob(
         raise ValueError(f"smoothing_k must be > 0, got {smoothing_k}")
     if not (0.0 <= interpolation <= 1.0):
         raise ValueError(f"interpolation must be in [0, 1], got {interpolation}")
+
+    from polars_trading_spark._utils import persist_tracked
 
     k, lam = float(smoothing_k), float(interpolation)
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
@@ -506,7 +523,9 @@ def bigram_logprob(
     )
     pairs = F.zip_with(prevs, F.col("__toks"), lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
     ex = base.where(n > 0).select(id_col, F.explode(pairs).alias("__pc"))
-    ex = ex.select(id_col, F.col("__pc.prev").alias("prev"), F.col("__pc.cur").alias("cur"))
+    ex = persist_tracked(
+        ex.select(id_col, F.col("__pc.prev").alias("prev"), F.col("__pc.cur").alias("cur"))
+    )
 
     uni = ex.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))
     bi = (
@@ -519,19 +538,30 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("double").alias("__V"),
     )
 
+    # Small (prev, cur) -> lp table: every observed bigram scored with
+    # the interpolated model, plus one null-prev row per vocab entry for
+    # document-initial tokens (unigram term alone).
     ctx = uni.select(F.col("cur").alias("prev"), F.col("c_uni").alias("c_ctx"))
-    scored = (
-        ex.join(uni, "cur")
-        .join(bi, ["prev", "cur"], "left")
-        .join(ctx, "prev", "left")
-        .crossJoin(F.broadcast(totals))
-    )
     p_uni = (F.col("c_uni") + k) / (F.col("__N") + k * F.col("__V"))
-    p_bi = (F.coalesce("c_bi", F.lit(0)) + k) / (F.col("c_ctx") + k * F.col("__V"))
-    lp = F.when(
-        F.col("prev").isNotNull(), F.log(lam * p_bi + (1 - lam) * p_uni)
-    ).otherwise(F.log(p_uni))
-    per_doc = scored.withColumn("__lp", lp).groupBy(id_col).agg(
+    p_bi = (F.col("c_bi") + k) / (F.col("c_ctx") + k * F.col("__V"))
+    bigram_lp = (
+        bi.join(uni, "cur")
+        .join(ctx, "prev")
+        .crossJoin(F.broadcast(totals))
+        .select("prev", "cur", F.log(lam * p_bi + (1 - lam) * p_uni).alias("__lp"))
+    )
+    first_lp = uni.crossJoin(F.broadcast(totals)).select(
+        F.lit(None).cast("string").alias("prev"),
+        F.col("cur"),
+        F.log(p_uni).alias("__lp"),
+    )
+    pair_lp = bigram_lp.unionByName(first_lp)
+
+    scored = ex.join(
+        pair_lp,
+        ex["prev"].eqNullSafe(pair_lp["prev"]) & (ex["cur"] == pair_lp["cur"]),
+    ).select(ex[id_col].alias(id_col), "__lp")
+    per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.avg("__lp").alias("mean_logprob"),
     )
