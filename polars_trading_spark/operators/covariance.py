@@ -63,9 +63,13 @@ def ledoit_wolf_cov(
 
     # Complete-case alignment: a timestamp enters iff every symbol has a
     # return there.  The universe size rides as a broadcast one-row
-    # aggregate (no driver collect, no job at plan build).
+    # aggregate (no driver collect, no job at plan build).  The per-ts
+    # presence count is DISTINCT symbols (collect_set size — window
+    # aggregates reject COUNT(DISTINCT)), so a duplicated (symbol, ts)
+    # row cannot mask another symbol's absence and sneak a misaligned
+    # bucket past the check.
     nsym = r.agg(F.count_distinct("__s").alias("__nsym"))
-    per_ts = F.count(F.lit(1)).over(Window.partitionBy("__ts"))
+    per_ts = F.size(F.collect_set("__s").over(Window.partitionBy("__ts")))
     r = (
         r.withColumn("__cts", per_ts)
         .join(F.broadcast(nsym))

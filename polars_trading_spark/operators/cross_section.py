@@ -367,8 +367,12 @@ def lead_lag_corr(
     shift consistently; the pair join is a co-partitioned equi-join on
     the index, O(pairs × bars) like the other pair operators.
 
-    Output per pair: ``sym_a, sym_b, n_obs, corr_a_leads,
-    corr_b_leads, llr`` (nulls under degenerate variance).
+    Output per pair: ``sym_a, sym_b, n_obs, n_obs_b_leads,
+    corr_a_leads, corr_b_leads, llr`` (nulls under degenerate
+    variance).  ``n_obs`` is the a-leads leg's pair count; when the two
+    series differ in length the b-leads leg aligns a different number
+    of index pairs, surfaced separately as ``n_obs_b_leads`` so ``llr``
+    never silently mixes correlations over unequal samples.
     """
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")
@@ -415,6 +419,7 @@ def lead_lag_corr(
     rev = directed.where(F.col("sym_a") > F.col("sym_b")).select(
         F.col("sym_b").alias("sym_a"),
         F.col("sym_a").alias("sym_b"),
+        F.col("__n").alias("n_obs_b_leads"),
         F.col("__c").alias("corr_b_leads"),
     )
     out = fwd.join(rev, ["sym_a", "sym_b"], "left")
@@ -422,6 +427,7 @@ def lead_lag_corr(
         "sym_a",
         "sym_b",
         F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("n_obs_b_leads").cast("long").alias("n_obs_b_leads"),
         "corr_a_leads",
         "corr_b_leads",
         (F.col("corr_a_leads") - F.col("corr_b_leads")).alias("llr"),

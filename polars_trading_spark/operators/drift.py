@@ -40,7 +40,11 @@ def psi_drift(
     reference population, rows at/after are the current one.
 
     Output: ``symbol, n_ref, n_cur, psi, drifted`` (PSI > 0.2).  Keys
-    with an empty side or a degenerate reference range emit null psi.
+    with an empty CURRENT side or a degenerate reference range emit a
+    row with null psi; keys with no reference rows at all are OMITTED —
+    binning is defined by the reference range, so there is nothing to
+    compare a current population against (the inner join to the
+    per-symbol range table drops them).
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")

@@ -73,7 +73,9 @@ def ou_fit(
     a = F.when(ok, (sy - phi * sx) / n)
     # SSE via aggregate sums only: Σ(y - a - phi·x)²
     sse = syy + n * a * a + phi * phi * sxx - 2 * a * sy - 2 * phi * sxy + 2 * a * phi * sx
-    sigma = F.when(ok & (F.col("__n") > 3), F.sqrt(F.greatest(sse, F.lit(0.0)) / (n - 2)))
+    # n >= 3 suffices: the residual variance divides by (n - 2), which
+    # is 1 at exactly three pairs — same gate as phi/mu above.
+    sigma = F.when(ok, F.sqrt(F.greatest(sse, F.lit(0.0)) / (n - 2)))
     reverts = ok & (phi > 0) & (phi < 1)
     mu = F.when(ok & (phi != 1.0), a / (1 - phi))
     half_life = F.when(reverts, -F.log(F.lit(2.0)) / F.log(phi))

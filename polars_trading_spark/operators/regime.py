@@ -47,8 +47,10 @@ def variance_ratio(
 
     Overlapping q-period returns; both variances are mean-corrected
     with their own sample means, matching the original estimator.
-    Output: ``symbol, n_obs, vr, z`` (null when fewer than ``q + 2``
-    observations or a degenerate base variance).
+    Output: ``symbol, n_obs, vr, z`` — null unless at least two
+    q-period returns exist (with gap-free prices that means ``q + 2``
+    price rows; null closes reduce the return counts independently)
+    and the base variance is positive.
     """
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")

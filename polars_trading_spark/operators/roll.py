@@ -72,6 +72,7 @@ def roll_adjust(
         column_names.symbol,
     )
 
+    had_seq = SEQ_COL in df.columns
     trades = with_seq(df).withColumn(_KIND, F.lit(1))
     bounds = roll_points.select(
         F.col(symbol),
@@ -135,4 +136,9 @@ def roll_adjust(
         adj = F.col(price) * F.exp(F.col("__tl") - F.col("__cl"))
 
     out = u.where(F.col(_KIND) == 1).withColumn("adj_price", adj)
-    return out.drop(_KIND, "__gap", "__lgap", "__cg", "__tg", "__cl", "__tl")
+    drop = [_KIND, "__gap", "__lgap", "__cg", "__tg", "__cl", "__tl"]
+    if not had_seq:
+        # with_seq synthesized the tiebreaker — don't leak it into the
+        # documented output schema (trade rows + adj_price only).
+        drop.append(SEQ_COL)
+    return out.drop(*drop)
