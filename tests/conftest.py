@@ -16,6 +16,15 @@ from polars_trading_spark.config import Config  # noqa: E402
 SF_DIR = os.environ.get("PTS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "streaming: the full streaming-operator matrix "
+        "(cross-batch equality + end-to-end flagship chain smoke); "
+        "run with `pytest -m streaming`",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("pts-tests")

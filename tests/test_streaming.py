@@ -11,6 +11,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from polars_trading_spark import Config, time_bars
+
+# `pytest -m streaming` runs the full streaming matrix: every
+# cross-batch-equality test plus the end-to-end flagship chain smoke.
+pytestmark = pytest.mark.streaming
 from polars_trading_spark.streaming import streaming_time_bars, streaming_volume_bars
 
 ROWS = [
@@ -832,5 +836,79 @@ def test_streaming_event_funnel_match_batch(spark):
                     assert pd.isna(x)
                 else:
                     assert x == y, s
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_flagship_chain_end_to_end(spark):
+    """End-to-end smoke of the flagship chain over a file-stream replay:
+    trades land as three micro-batch files -> streaming time bars ->
+    fixed-time return labels on the streamed bars.  The whole chain must
+    equal the batch chain (time_bars -> fixed_time_return) on the same
+    data — streamed ingest is not allowed to change a single label."""
+    import polars_trading_spark.operators.labels as labels
+
+    rng_rows = []
+    base = dt.datetime(2021, 1, 4, 9, 30, 0)
+    for sym, p0 in (("A", 100.0), ("B", 50.0)):
+        for i in range(90):
+            rng_rows.append(
+                (
+                    sym,
+                    p0 + ((i * 7919) % 23 - 11) * 0.05,
+                    10 + (i * 13) % 40,
+                    base + dt.timedelta(seconds=20 * i),
+                )
+            )
+    d = tempfile.mkdtemp(prefix="pts_e2e_stream_")
+    try:
+        # three replay files = three micro-batches
+        df = spark.createDataFrame(rng_rows, SCHEMA)
+        for part in range(3):
+            df.where(F.floor(F.minute("ts_event") / 10) % 3 == part).coalesce(
+                1
+            ).write.mode("append").parquet(d)
+
+        with Config(timestamp_column="ts_event"):
+            bars_batch = time_bars(spark.read.parquet(d), bar_size="1m")
+
+            def make():
+                stream = (
+                    spark.readStream.schema(SCHEMA)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(d)
+                )
+                return streaming_time_bars(
+                    stream, bar_size="1m", watermark="1 minute"
+                )
+
+            streamed = _run_stream(spark, make, mode="complete")
+
+        bars_stream = spark.createDataFrame(
+            [tuple(r[f] for f in bars_batch.schema.fieldNames()) for r in streamed],
+            bars_batch.schema,
+        )
+
+        def label(bars):
+            return bars.withColumn(
+                "fwd_ret",
+                labels.fixed_time_return(
+                    "close", window=3, symbol="symbol", order_by=["ts_event"]
+                ),
+            ).select("symbol", "ts_event", "close", "fwd_ret")
+
+        got = {
+            (r["symbol"], r["ts_event"]): r for r in label(bars_stream).collect()
+        }
+        want = {
+            (r["symbol"], r["ts_event"]): r for r in label(bars_batch).collect()
+        }
+        assert set(got) == set(want) and len(want) > 10
+        for k in want:
+            assert got[k]["close"] == want[k]["close"], k
+            if want[k]["fwd_ret"] is None:
+                assert got[k]["fwd_ret"] is None, k
+            else:
+                assert got[k]["fwd_ret"] == pytest.approx(want[k]["fwd_ret"]), k
     finally:
         shutil.rmtree(d, ignore_errors=True)
