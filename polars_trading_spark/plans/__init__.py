@@ -6,6 +6,7 @@ from polars_trading_spark.plans.inspect import (
     count_python_stages,
     has_unbounded_following_frame,
     scan_columns,
+    unbounded_global_windows,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "count_python_stages",
     "has_unbounded_following_frame",
     "scan_columns",
+    "unbounded_global_windows",
 ]

@@ -19,6 +19,7 @@ __all__ = [
     "count_python_stages",
     "has_unbounded_following_frame",
     "scan_columns",
+    "unbounded_global_windows",
 ]
 
 
@@ -53,6 +54,56 @@ def has_unbounded_following_frame(df: DataFrame) -> bool:
     frame shape Spark evaluates quadratically per partition."""
     plan = plan_string(df)
     return bool(re.search(r"specifiedwindowframe\([^)]*unboundedfollowing\$\(\)\)", plan))
+
+
+_BOUNDING_NODES = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|"
+    r"TakeOrderedAndProject|GlobalLimit|CollectLimit"
+)
+
+
+def _top_level_bracket_groups(s: str) -> int:
+    depth = groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+    return groups
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec whose input subtree has
+    no cardinality-bounding operator (aggregate or limit).
+
+    A global window funnels every row through one task; it is only
+    scale-safe when something upstream already collapsed cardinality
+    (one row per bucket/shard/top-k).  Plan text encodes the partition
+    spec as the middle bracket group — ``Window [exprs], [part], [ord]``
+    — so a Window line with only two groups is global.  The subtree is
+    taken as the more-indented lines that follow (Spark prints children
+    below their parent)."""
+    lines = plan_string(df).splitlines()
+
+    def indent(s: str) -> int:
+        return len(re.match(r"^[\s:+|-]*", s).group(0))
+
+    offenders = []
+    for i, ln in enumerate(lines):
+        m = re.match(r"^[\s:+|-]*(?:\*\(\d+\)\s*)?Window\s+(.*)", ln)
+        if m is None or _top_level_bracket_groups(m.group(1)) >= 3:
+            continue
+        d = indent(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        if not _BOUNDING_NODES.search("\n".join(sub)):
+            offenders.append(ln.strip()[:160])
+    return offenders
 
 
 def scan_columns(df: DataFrame) -> dict[str, list[str]]:

@@ -153,3 +153,47 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert count_python_stages(out) == 0
     assert "Join" not in _executed(out)
     assert count_exchanges(out) <= 1
+
+
+class TestGlobalWindowsBounded:
+    """Every global (empty-partition-spec) window must read from an
+    aggregate- or limit-bounded subtree — a global window funnels all
+    rows through ONE task, so it is only scale-safe over collapsed
+    cardinality (one row per bucket / top-k).  These pin the three
+    global windows in the codebase to bounded inputs, and sanity-check
+    the detector on a deliberately unbounded plan."""
+
+    def test_detector_flags_raw_global_window(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from polars_trading_spark.plans import unbounded_global_windows
+        from polars_trading_spark.sources.tables import trades_from_events
+
+        t = trades_from_events(spark, sf_dir)
+        bad = t.withColumn(
+            "rn", F.row_number().over(Window.orderBy("ts_event"))
+        )
+        assert unbounded_global_windows(bad), "detector missed a raw global window"
+
+    def test_rank_portfolio_global_lag_is_bucket_bounded(self, spark, sf_dir):
+        from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+        from polars_trading_spark.plans import unbounded_global_windows
+        from polars_trading_spark.sources.tables import trades_from_events
+        from polars_trading_spark.operators.bars import time_bars
+        from polars_trading_spark.config import Config
+
+        with Config(timestamp_column="ts_event"):
+            bars = time_bars(trades_from_events(spark, sf_dir), bar_size="15m")
+        out = rank_portfolio_backtest(
+            bars, lookback=4, top_n=2, ts_col="ts_event", close_col="close"
+        )
+        assert unbounded_global_windows(out) == []
+
+    def test_bpe_and_vocabulary_global_rank_is_topk_bounded(self, spark, sf_dir):
+        from polars_trading_spark.functions.text import bpe_pair_counts
+        from polars_trading_spark.functions.tfidf import vocabulary
+        from polars_trading_spark.plans import unbounded_global_windows
+        from polars_trading_spark.sources.tables import read_table
+
+        docs = read_table(spark, sf_dir, "documents")
+        assert unbounded_global_windows(bpe_pair_counts(docs, top_k=20)) == []
+        assert unbounded_global_windows(vocabulary(docs, top_k=20)) == []
