@@ -90,6 +90,10 @@ HEADLINE = [
     "similarity_topk_ivf_pq",
     "dedup_embedding_cosine",
     "multimodal_metadata",
+    "multimodal_bmp_metadata",
+    "chunk_documents",
+    "char_entropy",
+    "pmi_cooccurrence",
     # round-4 batch
     "roll_adjust",
     "ou_fit",
@@ -111,6 +115,7 @@ HEADLINE = [
     "pcm_features",
     "cluster_keywords",
     "psi_drift",
+    "ks_drift",
     "tick_quality",
     "universe_summary",
     "sessionize",
@@ -122,6 +127,7 @@ HEADLINE = [
     "rank_portfolio",
     "return_acf",
     "lead_lag",
+    "fama_macbeth",
     "dedup_containment",
 ]
 

@@ -30,7 +30,74 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+__all__ = ["chunk_documents", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    min_tokens: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-token sliding windows with
+    ``overlap`` shared tokens between consecutive chunks — the standard
+    pre-training preprocessing step between cleaning and sequence
+    packing (long documents become model-sized training examples
+    without losing the text that straddles a cut).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the chunk count is
+    ``1`` when ``n <= chunk_tokens`` else
+    ``(n - chunk_tokens + stride - 1) // stride + 1`` (the last chunk
+    always reaches the final token; only it may be short).  Documents
+    with fewer than ``min_tokens`` tokens are dropped.
+
+    Output: ``id_col, chunk_idx, n_chunks, start_token,
+    chunk_n_tokens, chunk_text`` (tokens are the normalized whitespace
+    tokens shared with the rest of the text stack).
+
+    100 TB shape: ZERO shuffles — stage the token array once, explode a
+    bounded integer sequence (fan-out = n/stride per document), slice
+    per chunk.  Everything is whole-stage codegen; integer arithmetic
+    only, so any engine replays chunk boundaries exactly.
+    """
+    from polars_trading_spark.functions.text import tokens
+
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap} vs {chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+
+    t = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    t = t.where(n >= int(min_tokens)).withColumn(
+        "__n_chunks",
+        F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+            ((n - chunk_tokens + stride - 1) / stride).cast("int") + 1
+        ),
+    )
+    ex = t.select(
+        id_col,
+        "__toks",
+        "__n_chunks",
+        F.explode(F.sequence(F.lit(0), F.col("__n_chunks") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    chunk = F.slice("__toks", start + 1, chunk_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__n_chunks").cast("int").alias("n_chunks"),
+        start.cast("int").alias("start_token"),
+        F.size(chunk).cast("int").alias("chunk_n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
 
 
 def corpus_filter(

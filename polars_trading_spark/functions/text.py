@@ -10,7 +10,7 @@ that Java regex (Spark) and RE2 (DuckDB) evaluate identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import col_or_lit
@@ -19,6 +19,8 @@ __all__ = [
     "normalize_text",
     "bpe_pair_counts",
     "bigram_logprob",
+    "char_entropy",
+    "pmi_cooccurrence",
     "tokens",
     "token_count",
     "portable_hash60",
@@ -63,6 +65,129 @@ def tokens(text) -> Column:
 def token_count(text) -> Column:
     """Whitespace token count (the cheap 'how many words' measure)."""
     return F.size(tokens(text))
+
+
+def char_entropy(chars: Column) -> Column:
+    """Shannon entropy (nats) of a STAGED character-array column — the
+    classic cheap gibberish/repetition signal: natural prose sits
+    around 2.9-3.1 nats, single-character spam near 0, uniform random
+    alphanumerics near ln(36) ≈ 3.58.
+
+    ``chars`` MUST be a real (withColumn-staged) ``array<string>``
+    column, e.g. ``F.filter(F.split(normalize_text(t), ""), c -> c !=
+    "")`` staged first — expressions referenced inside higher-order
+    lambdas re-evaluate PER ELEMENT (SCALING.md rules 7/15), so nesting
+    the regex normalize here would multiply it by the alphabet size.
+
+    Pure higher-order-function Column: the normalized alphabet is at
+    most 37 symbols (a-z, 0-9, space), so per-row cost is
+    O(37 · n_chars) with NO explode, NO shuffle, no Python.  The
+    distinct alphabet is sorted before the fold so the summation order
+    — and therefore the last ulp — is identical in any engine replaying
+    the same expression.  Empty arrays yield null.
+    """
+    n = F.size(chars)
+    alphabet = F.array_sort(F.array_distinct(chars))
+    p = F.transform(
+        alphabet,
+        (lambda cs: lambda a: F.size(F.filter(cs, lambda x: x == a)) / F.size(cs))(chars),
+    )
+    h = -F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x * F.log(x))
+    return F.when(n > 0, h)
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    *,
+    window: int = 4,
+    min_pair_count: int = 5,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring within
+    ``window`` tokens — the classic word-association / collocation
+    miner (phrase detection, tokenizer-merge candidates, embedding
+    evaluation probes all start here).
+
+    For every ordered position pair (i, i+d), 1 <= d <= window, the
+    UNORDERED token pair (min, max) counts once.  With ``N`` total
+    windowed pair observations and marginal counts ``c_a``/``c_b``
+    (times a token participates in any pair),
+    ``pmi = ln(c_ab * N / (c_a * c_b))``.  Pairs below
+    ``min_pair_count`` are pruned before scoring; output is the
+    ``top_k`` pairs by (pmi desc, pair asc) with rank — ties
+    deterministic.
+
+    100 TB shape: one explode with BOUNDED fan-out (n_tokens * window
+    per doc), one pair-count hash aggregate with map-side combine,
+    marginals as a second aggregate off the SAME pair table (not the
+    corpus), one broadcast totals row, distributed
+    TakeOrderedAndProject for the top-k.  No self-joins, no Python.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    # (i, i+d) pairs via flatten(transform(d -> zip(toks, shift_d(toks))))
+    shifted = F.transform(
+        F.sequence(F.lit(1), F.lit(int(window))),
+        (
+            lambda ts: lambda d: F.zip_with(
+                F.slice(ts, 1, F.greatest(F.size(ts) - d, F.lit(0))),
+                F.slice(ts, d + 1, F.greatest(F.size(ts) - d, F.lit(0))),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                ),
+            )
+        )(F.col("__toks")),
+    )
+    ex = (
+        toks.where(n >= 2)
+        .select(F.explode(F.flatten(shifted)).alias("__p"))
+        .select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
+    )
+    pairs = ex.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+
+    # Marginals and totals from the pair table itself (a token's count =
+    # every pair slot it fills, both columns).
+    m = (
+        pairs.select(F.col("tok_a").alias("tok"), "c_ab")
+        .unionAll(pairs.select(F.col("tok_b").alias("tok"), "c_ab"))
+        .groupBy("tok")
+        .agg(F.sum("c_ab").alias("c_tok"))
+    )
+    totals = pairs.agg(F.sum("c_ab").cast("double").alias("__N"))
+
+    scored = (
+        pairs.where(F.col("c_ab") >= int(min_pair_count))
+        .join(m.select(F.col("tok").alias("tok_a"), F.col("c_tok").alias("c_a")), "tok_a")
+        .join(m.select(F.col("tok").alias("tok_b"), F.col("c_tok").alias("c_b")), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("__N")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+            ),
+        )
+    )
+    order = [F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b")]
+    top = scored.orderBy(*order).limit(int(top_k))
+    w = Window.orderBy(*order)
+    return top.select(
+        "tok_a",
+        "tok_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        "pmi",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
 
 
 def portable_hash60(col) -> Column:

@@ -24,7 +24,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cross_sectional_zscore", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+__all__ = ["cross_sectional_zscore", "fama_macbeth", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+
+
+def fama_macbeth(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    min_obs: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Fama-MacBeth first pass for a momentum factor: at every bar
+    timestamp, the cross-sectional OLS of each symbol's NEXT-bar return
+    on its trailing ``lookback``-bar return.  The per-timestamp slope
+    ``gamma1`` is the period's factor return — its time-series mean and
+    t-stat (the second FM pass) are one aggregate away downstream.
+
+    Output: one row per timestamp with at least ``min_obs`` complete
+    (factor, forward-return) pairs — ``ts, n_obs, gamma0, gamma1``;
+    both coefficients null when the factor is cross-sectionally
+    degenerate (zero variance).
+
+    Distributed shape: two per-symbol window passes (lead + lag over
+    the SAME partitioning/ordering — one exchange) and ONE per-timestamp
+    hash aggregate of explicit OLS sums.  No joins, no Python; state per
+    timestamp is five running sums regardless of universe size.
+    """
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    if min_obs < 2:
+        raise ValueError(f"min_obs must be >= 2, got {min_obs}")
+
+    c = F.col(close_col).cast("double")
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    r = bars.select(
+        F.col(ts_col),
+        (F.lead(c).over(w) / c - 1).alias("__fwd"),
+        (c / F.lag(c, lookback).over(w) - 1).alias("__fac"),
+    ).where(F.col("__fwd").isNotNull() & F.col("__fac").isNotNull())
+
+    g = r.groupBy(ts_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__fac").alias("__sx"),
+        F.sum("__fwd").alias("__sy"),
+        F.sum(F.col("__fac") * F.col("__fac")).alias("__sxx"),
+        F.sum(F.col("__fac") * F.col("__fwd")).alias("__sxy"),
+    )
+    n = F.col("__n").cast("double")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    gamma1 = F.when(den > 0, (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den)
+    gamma0 = F.when(den > 0, (F.col("__sy") - gamma1 * F.col("__sx")) / n)
+    return (
+        g.where(F.col("__n") >= int(min_obs))
+        .select(
+            F.col(ts_col),
+            F.col("__n").cast("long").alias("n_obs"),
+            gamma0.alias("gamma0"),
+            gamma1.alias("gamma1"),
+        )
+    )
 
 
 def rolling_beta(

@@ -6452,6 +6452,334 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Real BMP header metadata (functions/multimodal.py::
+# parse_image_header) — spec-valid 24-bit BMP files synthesized per doc,
+# dimensions parsed from the REAL binary header (no codec library), byte
+# count replayed closed-form by the oracle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_bmp_metadata",
+    """
+SELECT
+  doc_id AS media_id,
+  CAST(4 + doc_id % 29 AS INTEGER) AS width,
+  CAST(3 + doc_id % 17 AS INTEGER) AS height,
+  CAST(54 + ((3 * (4 + doc_id % 29) + 3) // 4) * 4 * (3 + doc_id % 17)
+       AS BIGINT) AS n_bytes
+FROM documents
+""",
+    "Real binary-format metadata: synthesized spec-valid BMPs, width/"
+    "height parsed from the actual BITMAPINFOHEADER bytes (pure-Python "
+    "parser, no codec lib), file size replayed arithmetically",
+)
+def q_multimodal_bmp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        extract_media_metadata,
+        synthesize_bmp,
+    )
+
+    media = synthesize_bmp(read_table(spark, sf_dir, "documents")).withColumn(
+        "media_type", F.lit("image")
+    )
+    out = extract_media_metadata(media)
+    return out.select("media_id", "width", "height", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# C-ext. Document chunking (functions/corpus.py::chunk_documents) — the
+# cleaning -> chunking -> packing middle step; integer-exact sliding
+# windows replayed verbatim by the oracle.
+# --------------------------------------------------------------------------
+
+_CH_C, _CH_S = 48, 40  # chunk_tokens, stride (overlap 8)
+
+
+@register(
+    "chunk_documents",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+t AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) <= {_CH_C} THEN 1
+         ELSE CAST((len(toks) - {_CH_C} + {_CH_S} - 1) // {_CH_S} AS INTEGER) + 1
+    END AS n_chunks
+  FROM tok WHERE len(toks) >= 1
+),
+ex AS (
+  SELECT doc_id, toks, n_chunks, CAST(unnest(generate_series(0, n_chunks - 1)) AS INTEGER) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, chunk_idx, CAST(n_chunks AS INTEGER) AS n_chunks,
+  CAST(chunk_idx * {_CH_S} AS INTEGER) AS start_token,
+  CAST(len(list_slice(toks, chunk_idx * {_CH_S} + 1, chunk_idx * {_CH_S} + {_CH_C}))
+       AS INTEGER) AS chunk_n_tokens,
+  array_to_string(list_slice(toks, chunk_idx * {_CH_S} + 1, chunk_idx * {_CH_S} + {_CH_C}), ' ')
+    AS chunk_text
+FROM ex
+""",
+    f"Sliding-window document chunking ({_CH_C} tokens, overlap "
+    f"{_CH_C - _CH_S}) — cleaning -> chunking -> packing middle step; "
+    "zero shuffles, bounded explode fan-out",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CH_C, overlap=_CH_C - _CH_S)
+
+
+# --------------------------------------------------------------------------
+# C-ext. Fama-MacBeth factor regression (operators/cross_section.py::
+# fama_macbeth) — per-timestamp cross-sectional OLS of next-bar return on
+# trailing momentum; explicit-sum coefficients replayed by the oracle.
+# --------------------------------------------------------------------------
+
+_FM_LB, _FM_MIN = 4, 3
+
+
+@register(
+    "fama_macbeth",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT ts,
+    lead(close) OVER w / close - 1 AS fwd,
+    close / lag(close, {_FM_LB}) OVER w - 1 AS fac
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+r1 AS (SELECT * FROM r0 WHERE fwd IS NOT NULL AND fac IS NOT NULL),
+g AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(fac) AS sx, sum(fwd) AS sy, sum(fac*fac) AS sxx, sum(fac*fwd) AS sxy
+  FROM r1 GROUP BY ts
+),
+fit AS (
+  SELECT ts, n_obs,
+    CASE WHEN n_obs*sxx - sx*sx > 0
+         THEN (n_obs*sxy - sx*sy) / (n_obs*sxx - sx*sx) END AS gamma1,
+    sx, sy
+  FROM g WHERE n_obs >= {_FM_MIN}
+)
+SELECT ts AS ts_event, n_obs,
+  round(CASE WHEN gamma1 IS NOT NULL THEN (sy - gamma1*sx) / n_obs END, 6) + 0
+    AS gamma0,
+  round(gamma1, 6) + 0 AS gamma1
+FROM fit
+""",
+    f"Fama-MacBeth first pass: per-timestamp cross-sectional OLS of "
+    f"next-bar return on trailing {_FM_LB}-bar momentum (two shared "
+    "window passes + one hash aggregate, no joins)",
+)
+def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import fama_macbeth
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = fama_macbeth(
+        bars, lookback=_FM_LB, min_obs=_FM_MIN, ts_col="ts_event", close_col="close"
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "ts_event",
+        "n_obs",
+        (F.round("gamma0", 6) + z0).alias("gamma0"),
+        (F.round("gamma1", 6) + z0).alias("gamma1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Kolmogorov-Smirnov drift (operators/drift.py::ks_drift) — the
+# binning-free sibling of psi_drift; integer cumulative CDFs replayed.
+# --------------------------------------------------------------------------
+
+_KS_COEFF = 1.358
+
+
+@register(
+    "ks_drift",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, price AS x, ts_event < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM trades WHERE price IS NOT NULL
+),
+g AS (
+  SELECT symbol, x,
+    count(CASE WHEN is_ref THEN 1 END) AS r,
+    count(CASE WHEN NOT is_ref THEN 1 END) AS c
+  FROM t GROUP BY symbol, x
+),
+cum AS (
+  SELECT symbol,
+    sum(r) OVER (PARTITION BY symbol) AS nr,
+    sum(c) OVER (PARTITION BY symbol) AS nc,
+    sum(r) OVER (PARTITION BY symbol ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS cr,
+    sum(c) OVER (PARTITION BY symbol ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS cc
+  FROM g
+),
+per AS (
+  SELECT symbol, CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+    max(CASE WHEN nr > 0 AND nc > 0
+             THEN abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE)) END) AS ks
+  FROM cum GROUP BY symbol
+)
+SELECT symbol, n_ref, n_cur,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN ks END, 6) AS ks,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0
+             THEN {_KS_COEFF} * sqrt((n_ref + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur)) END, 6)
+    AS ks_critical,
+  CASE WHEN n_ref > 0 AND n_cur > 0
+       THEN ks > {_KS_COEFF} * sqrt((n_ref + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur)) END
+    AS drifted
+FROM per
+""",
+    f"Exact two-sample KS drift of tick prices per symbol (split at "
+    f"{_PSI_SPLIT}, alpha 0.05 critical value) — binning-free sibling "
+    "of psi_drift",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.drift import ks_drift
+
+    t = trades_from_events(spark, sf_dir)
+    out = ks_drift(t, "price", split_ts=_PSI_SPLIT, alpha_coeff=_KS_COEFF)
+    return out.select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        F.round("ks", 6).alias("ks"),
+        F.round("ks_critical", 6).alias("ks_critical"),
+        "drifted",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Character-entropy quality signal (functions/text.py::
+# char_entropy) — sorted-alphabet sequential fold, bit-identical replay.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "char_entropy",
+    """
+WITH docs AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, list_filter(string_split(norm, ''), c -> c != '') AS chars
+  FROM docs
+),
+terms AS (
+  SELECT doc_id, len(chars) AS n,
+    list_transform(
+      list_sort(list_distinct(chars)),
+      a -> (len(list_filter(chars, x -> x = a)) / CAST(len(chars) AS DOUBLE))
+           * ln(len(list_filter(chars, x -> x = a)) / CAST(len(chars) AS DOUBLE))
+    ) AS t
+  FROM ch
+)
+SELECT doc_id, CAST(n AS INTEGER) AS n_chars_norm,
+  round(CASE WHEN n > 0
+             THEN -list_reduce(list_prepend(CAST(0.0 AS DOUBLE), t), (a, b) -> a + b)
+        END, 6) + 0 AS char_entropy
+FROM terms
+""",
+    "Shannon character entropy of normalized text per document (nats) — "
+    "cheap gibberish/repetition quality signal; pure HOF Columns, zero "
+    "shuffles, sorted-alphabet fold replayed bit-identically",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import char_entropy, normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    staged = docs.withColumn(
+        "__chars",
+        F.filter(F.split(normalize_text(F.col("text")), ""), lambda c: c != ""),
+    )
+    z0 = F.lit(0.0)
+    return staged.select(
+        "doc_id",
+        F.size("__chars").cast("int").alias("n_chars_norm"),
+        (F.round(char_entropy(F.col("__chars")), 6) + z0).alias("char_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. PMI co-occurrence (functions/text.py::pmi_cooccurrence) —
+# collocation mining; windowed pair counts replayed by lateral unnest.
+# --------------------------------------------------------------------------
+
+_PMI_W, _PMI_MIN, _PMI_K = 3, 5, 50
+
+
+@register(
+    "pmi_cooccurrence",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+p AS (
+  SELECT least(toks[i], toks[i+d]) AS tok_a, greatest(toks[i], toks[i+d]) AS tok_b
+  FROM tok,
+       unnest(generate_series(1, len(toks))) AS gi(i),
+       unnest(generate_series(1, {_PMI_W})) AS gd(d)
+  WHERE len(toks) >= 2 AND i + d <= len(toks)
+),
+pairs AS (
+  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY tok_a, tok_b
+),
+m AS (
+  SELECT tok, CAST(sum(c_ab) AS BIGINT) AS c_tok FROM (
+    SELECT tok_a AS tok, c_ab FROM pairs
+    UNION ALL
+    SELECT tok_b AS tok, c_ab FROM pairs
+  ) GROUP BY tok
+),
+tot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS N FROM pairs),
+scored AS (
+  SELECT pairs.tok_a, pairs.tok_b, pairs.c_ab, ma.c_tok AS c_a, mb.c_tok AS c_b,
+    ln(CAST(pairs.c_ab AS DOUBLE) * tot.N
+       / (CAST(ma.c_tok AS DOUBLE) * CAST(mb.c_tok AS DOUBLE))) AS pmi
+  FROM pairs
+  JOIN m ma ON ma.tok = pairs.tok_a
+  JOIN m mb ON mb.tok = pairs.tok_b
+  CROSS JOIN tot
+  WHERE pairs.c_ab >= {_PMI_MIN}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, tok_a, tok_b) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT tok_a, tok_b, c_ab, c_a, c_b, round(pmi, 6) + 0 AS pmi, rank
+FROM ranked WHERE rank <= {_PMI_K}
+""",
+    f"Windowed (±{_PMI_W}) token-pair PMI top-{_PMI_K} (collocation / "
+    "phrase mining; bounded explode fan-out, two hash aggregates, "
+    "distributed top-k)",
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import pmi_cooccurrence
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = pmi_cooccurrence(
+        docs, window=_PMI_W, min_pair_count=_PMI_MIN, top_k=_PMI_K
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "tok_a", "tok_b", "c_ab", "c_a", "c_b",
+        (F.round("pmi", 6) + z0).alias("pmi"),
+        "rank",
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #

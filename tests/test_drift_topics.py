@@ -86,3 +86,46 @@ def test_cluster_keywords_separates_topics(spark):
     assert "biology" in by_cell[1] and "finance" not in by_cell[1]
     ranks = sorted(r["rank"] for r in out if r["cell"] == 0)
     assert ranks == [1, 2, 3]
+
+
+class TestKsDrift:
+    def test_zero_for_identical_samples(self, spark):
+        from polars_trading_spark.operators.drift import ks_drift
+
+        rows = []
+        for day in (1, 15):
+            for i in range(60):
+                rows.append(("A", datetime(2024, 1, day, i // 60, i % 60), 100.0 + i % 12))
+        out = ks_drift(_trades(spark, rows), "price", split_ts=SPLIT).collect()[0]
+        assert out["ks"] == 0.0
+        assert out["drifted"] is False
+
+    def test_matches_scipy_formula(self, spark):
+        import numpy as np
+
+        from polars_trading_spark.operators.drift import ks_drift
+
+        rng = np.random.RandomState(11)
+        ref = rng.normal(100, 1, 200)
+        cur = rng.normal(100.8, 1.3, 150)  # shifted + widened
+        rows = [("A", datetime(2024, 1, 2, i // 60 % 24, i % 60), float(v)) for i, v in enumerate(ref)]
+        rows += [("A", datetime(2024, 1, 20, i // 60 % 24, i % 60), float(v)) for i, v in enumerate(cur)]
+        out = ks_drift(_trades(spark, rows), "price", split_ts=SPLIT).collect()[0]
+
+        # exact two-sample KS by brute force over pooled values
+        pooled = np.unique(np.concatenate([ref, cur]))
+        f_ref = np.searchsorted(np.sort(ref), pooled, side="right") / len(ref)
+        f_cur = np.searchsorted(np.sort(cur), pooled, side="right") / len(cur)
+        expect = float(np.abs(f_ref - f_cur).max())
+        assert out["ks"] == pytest.approx(expect, abs=1e-12)
+        crit = 1.358 * np.sqrt((200 + 150) / (200.0 * 150))
+        assert out["ks_critical"] == pytest.approx(crit, rel=1e-9)
+        assert out["drifted"] == (expect > crit)
+
+    def test_empty_side_yields_nulls(self, spark):
+        from polars_trading_spark.operators.drift import ks_drift
+
+        rows = [("A", datetime(2024, 1, 2), 100.0), ("A", datetime(2024, 1, 3), 101.0)]
+        out = ks_drift(_trades(spark, rows), "price", split_ts=SPLIT).collect()[0]
+        assert out["ks"] is None and out["drifted"] is None
+        assert out["n_ref"] == 2 and out["n_cur"] == 0

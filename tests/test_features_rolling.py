@@ -548,3 +548,86 @@ def test_lead_lag_numpy_golden(spark):
     exp_ba = np.corrcoef(rb[1:-2], ra[3:])[0, 1]
     assert r["corr_a_leads"] == pytest.approx(exp_ab, rel=1e-9)
     assert r["corr_b_leads"] == pytest.approx(exp_ba, rel=1e-9)
+
+
+class TestFamaMacbeth:
+    def _bars(self, spark, closes_by_symbol):
+        import datetime as dt
+
+        rows = []
+        for sym, closes in closes_by_symbol.items():
+            for i, c in enumerate(closes):
+                rows.append((sym, dt.datetime(2021, 1, 4) + dt.timedelta(minutes=15 * i), float(c)))
+        return spark.createDataFrame(rows, "symbol string, ts_event timestamp, close double")
+
+    def test_matches_numpy_cross_sectional_ols(self, spark):
+        import numpy as np
+
+        from polars_trading_spark.operators.cross_section import fama_macbeth
+
+        rng = np.random.RandomState(3)
+        closes = {f"S{k}": (100 + rng.randn(12).cumsum()).tolist() for k in range(6)}
+        out = {
+            r["ts_event"]: r
+            for r in fama_macbeth(
+                self._bars(spark, closes), lookback=2, min_obs=3,
+                ts_col="ts_event", close_col="close",
+            ).collect()
+        }
+        # replicate per timestamp in numpy
+        arr = {s: np.array(v) for s, v in closes.items()}
+        n_ts = 12
+        import datetime as dt
+
+        for t in range(n_ts):
+            fac, fwd = [], []
+            for s, v in arr.items():
+                if t - 2 >= 0 and t + 1 < n_ts:
+                    fac.append(v[t] / v[t - 2] - 1)
+                    fwd.append(v[t + 1] / v[t] - 1)
+            ts = dt.datetime(2021, 1, 4) + dt.timedelta(minutes=15 * t)
+            if len(fac) < 3 or np.var(fac) == 0:
+                assert ts not in out
+                continue
+            g1, g0 = np.polyfit(fac, fwd, 1)
+            assert out[ts]["n_obs"] == len(fac)
+            assert out[ts]["gamma1"] == pytest.approx(g1, rel=1e-9, abs=1e-12)
+            assert out[ts]["gamma0"] == pytest.approx(g0, rel=1e-9, abs=1e-12)
+
+    def test_degenerate_factor_yields_null(self, spark):
+        from polars_trading_spark.operators.cross_section import fama_macbeth
+
+        # doubling price paths -> factor exactly 1.0 for every symbol
+        # (power-of-2 ratios are float-exact, so the cross-sectional
+        # variance is exactly zero, not epsilon)
+        closes = {s: [1, 2, 4, 8, 16, 32] for s in ("A", "B", "C")}
+        rows = fama_macbeth(
+            self._bars(spark, closes), lookback=1, min_obs=3,
+            ts_col="ts_event", close_col="close",
+        ).collect()
+        assert rows and all(r["gamma1"] is None and r["gamma0"] is None for r in rows)
+
+    def test_min_obs_and_validation(self, spark):
+        from polars_trading_spark.operators.cross_section import fama_macbeth
+
+        closes = {"A": [1, 2, 3, 4], "B": [2, 3, 4, 5]}
+        bars = self._bars(spark, closes)
+        assert fama_macbeth(
+            bars, lookback=1, min_obs=3, ts_col="ts_event", close_col="close"
+        ).count() == 0
+        with pytest.raises(ValueError):
+            fama_macbeth(bars, lookback=0, ts_col="ts_event", close_col="close")
+        with pytest.raises(ValueError):
+            fama_macbeth(bars, min_obs=1, ts_col="ts_event", close_col="close")
+
+    def test_plan_one_window_exchange_one_aggregate_no_python(self, spark):
+        from polars_trading_spark.operators.cross_section import fama_macbeth
+        from polars_trading_spark.plans import count_exchanges, count_python_stages
+
+        closes = {"A": [1, 2, 3], "B": [2, 3, 4]}
+        out = fama_macbeth(
+            self._bars(spark, closes), lookback=1, ts_col="ts_event", close_col="close"
+        )
+        # one exchange for the per-symbol window, one for the per-ts agg
+        assert count_exchanges(out) <= 2
+        assert count_python_stages(out) == 0

@@ -921,3 +921,201 @@ def test_pcm_payload_roundtrip_bytes(spark):
     assert len(row["payload"]) == 2 * n
     s = np.frombuffer(row["payload"], dtype="<i2")
     assert s[0] == ((42 * 7919) % 65536) - 32768
+
+
+def test_parse_image_header_real_formats():
+    import struct
+
+    from polars_trading_spark.functions.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    )
+    assert parse_image_header(png) == ("png", 320, 200)
+
+    gif = b"GIF89a" + struct.pack("<HH", 64, 48) + b"\x00" * 4
+    assert parse_image_header(gif) == ("gif", 64, 48)
+
+    # top-down BMP stores negative height; parser reports magnitude
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + 120, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 10, -4, 1, 24, 0, 120, 2835, 2835, 0, 0)
+        + b"\x00" * 120
+    )
+    assert parse_image_header(bmp) == ("bmp", 10, 4)
+
+    # text that merely starts with a magic prefix must NOT parse: "BM"
+    # needs the DIB header-size field, PNG needs the full 8-byte sig.
+    assert parse_image_header(b"BM is a common abbreviation in text") is None
+    assert parse_image_header(b"PNG files start differently") is None
+    assert parse_image_header(b"") is None
+
+
+def test_synthesize_bmp_roundtrips_through_real_parser(spark):
+    from polars_trading_spark.functions.multimodal import (
+        parse_image_header,
+        synthesize_bmp,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 7, 28, 29, 456)], "doc_id long, text string"
+    )
+    for r in synthesize_bmp(docs).collect():
+        m = r["media_id"]
+        got = parse_image_header(bytes(r["payload"]))
+        assert got == ("bmp", 4 + m % 29, 3 + m % 17), r["media_id"]
+        # spec invariant: declared file size == actual payload length
+        import struct
+
+        declared = struct.unpack("<I", bytes(r["payload"][2:6]))[0]
+        assert declared == len(r["payload"])
+
+
+class TestChunkDocuments:
+    def _chunks(self, spark, rows, **kw):
+        from polars_trading_spark.functions.corpus import chunk_documents
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sorted(
+            chunk_documents(df, **kw).collect(),
+            key=lambda r: (r["doc_id"], r["chunk_idx"]),
+        )
+
+    def test_sliding_window_coverage_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(25))
+        out = self._chunks(spark, [(1, text)], chunk_tokens=10, overlap=3)
+        # n=25, stride=7 -> chunks start at 0,7,14,21 (21+10 covers 25)
+        assert [r["start_token"] for r in out] == [0, 7, 14, 21]
+        assert all(r["n_chunks"] == 4 for r in out)
+        assert [r["chunk_n_tokens"] for r in out] == [10, 10, 10, 4]
+        # consecutive chunks share exactly `overlap` tokens
+        a, b = out[0]["chunk_text"].split(), out[1]["chunk_text"].split()
+        assert a[-3:] == b[:3]
+        # every token appears in order across chunks (coverage)
+        seen = []
+        for r in out:
+            toks = r["chunk_text"].split()
+            seen.extend(toks[len(seen) - r["start_token"]:])
+        assert seen == [f"t{i}" for i in range(25)]
+
+    def test_short_doc_single_chunk_and_exact_fit(self, spark):
+        out = self._chunks(
+            spark, [(1, "a b c"), (2, " ".join("x" * 1 for _ in range(10)))],
+            chunk_tokens=10, overlap=2,
+        )
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_n_tokens"] == 3
+        # exactly chunk_tokens tokens -> one chunk, not two
+        assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_n_tokens"] == 10
+
+    def test_empty_and_min_tokens_dropped(self, spark):
+        out = self._chunks(
+            spark, [(1, "   "), (2, "one two"), (3, "solo")],
+            chunk_tokens=4, overlap=0, min_tokens=2,
+        )
+        assert {r["doc_id"] for r in out} == {2}
+
+    def test_zero_overlap_partitions_exactly(self, spark):
+        text = " ".join(f"w{i}" for i in range(12))
+        out = self._chunks(spark, [(1, text)], chunk_tokens=5, overlap=0)
+        assert [r["start_token"] for r in out] == [0, 5, 10]
+        assert [r["chunk_n_tokens"] for r in out] == [5, 5, 2]
+
+    def test_validation(self, spark):
+        from polars_trading_spark.functions.corpus import chunk_documents
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=8, overlap=8)
+
+    def test_no_shuffle_no_python(self, spark, docs):
+        from polars_trading_spark.functions.corpus import chunk_documents
+        from polars_trading_spark.plans import count_exchanges, count_python_stages
+
+        out = chunk_documents(docs, chunk_tokens=32, overlap=4)
+        assert count_exchanges(out) == 0
+        assert count_python_stages(out) == 0
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from polars_trading_spark.functions.text import char_entropy, normalize_text
+
+    rows = [
+        (1, "aaaa"),            # single symbol -> 0
+        (2, "ab" * 8),          # two equiprobable -> ln 2
+        (3, ""),                # empty -> null
+        (4, "abcd"),            # four equiprobable -> ln 4
+        (5, "The quick brown fox jumps over the lazy dog"),  # prose-ish
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "__chars",
+        F.filter(F.split(normalize_text(F.col("text")), ""), lambda c: c != ""),
+    )
+    out = {r["doc_id"]: r["h"] for r in df.select("doc_id", char_entropy(F.col("__chars")).alias("h")).collect()}
+    assert out[1] == pytest.approx(0.0, abs=1e-12)
+    assert out[2] == pytest.approx(math.log(2), rel=1e-12)
+    assert out[3] is None
+    assert out[4] == pytest.approx(math.log(4), rel=1e-12)
+    assert 2.5 < out[5] < math.log(37)  # pangram: high but bounded by alphabet
+
+
+class TestPmiCooccurrence:
+    def test_hand_computed_pmi(self, spark):
+        import math
+
+        from polars_trading_spark.functions.text import pmi_cooccurrence
+
+        # "x y" always adjacent; "x z" never within window 1
+        docs = spark.createDataFrame(
+            [(i, "x y q z") for i in range(6)], "doc_id long, text string"
+        )
+        out = {
+            (r["tok_a"], r["tok_b"]): r
+            for r in pmi_cooccurrence(
+                docs, window=1, min_pair_count=1, top_k=10
+            ).collect()
+        }
+        # pairs per doc: (x,y), (q,y), (q,z) -> each c_ab=6, N=18
+        # marginals: y=12, x=6, q=12, z=6
+        assert set(out) == {("x", "y"), ("q", "y"), ("q", "z")}
+        r = out[("x", "y")]
+        assert r["c_ab"] == 6 and r["c_a"] == 6 and r["c_b"] == 12
+        assert r["pmi"] == pytest.approx(math.log(6 * 18 / (6 * 12)), rel=1e-12)
+        # ranks deterministic: (q,z) and (x,y) tie on pmi -> pair asc
+        ranked = sorted(out.values(), key=lambda r: r["rank"])
+        assert [([r["tok_a"], r["tok_b"]]) for r in ranked] == [
+            ["q", "z"], ["x", "y"], ["q", "y"],
+        ]
+
+    def test_min_pair_count_prunes(self, spark):
+        from polars_trading_spark.functions.text import pmi_cooccurrence
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+        )
+        out = pmi_cooccurrence(docs, window=1, min_pair_count=2, top_k=10).collect()
+        assert {(r["tok_a"], r["tok_b"]) for r in out} == {("a", "b")}
+
+    def test_validation_and_bounded_plan(self, spark, docs):
+        from polars_trading_spark.functions.text import pmi_cooccurrence
+        from polars_trading_spark.plans import (
+            count_python_stages,
+            unbounded_global_windows,
+        )
+
+        with pytest.raises(ValueError):
+            pmi_cooccurrence(docs, window=0)
+        with pytest.raises(ValueError):
+            pmi_cooccurrence(docs, top_k=0)
+        out = pmi_cooccurrence(docs, window=2, top_k=10)
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []

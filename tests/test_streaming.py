@@ -912,3 +912,28 @@ def test_streaming_flagship_chain_end_to_end(spark):
                 assert got[k]["fwd_ret"] == pytest.approx(want[k]["fwd_ret"]), k
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_chunk_documents_stateless(spark):
+    """chunk_documents is pure projection+explode — it must run
+    unmodified on a streaming frame (append mode, no state, no
+    watermark) and emit exactly the batch chunks."""
+    from polars_trading_spark.functions.corpus import chunk_documents
+
+    d = tempfile.mkdtemp(prefix="pts_chunk_stream_")
+    try:
+        rows = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(8)]
+        sch = "doc_id long, text string"
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("overwrite").parquet(d)
+        batch = sorted(
+            map(tuple, chunk_documents(spark.read.parquet(d), chunk_tokens=12, overlap=3).collect())
+        )
+
+        def make():
+            stream = spark.readStream.schema(sch).parquet(d)
+            return chunk_documents(stream, chunk_tokens=12, overlap=3)
+
+        streamed = sorted(map(tuple, _run_stream(spark, make, mode="append")))
+        assert streamed == batch and len(batch) > 8
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
