@@ -62,16 +62,41 @@ _BOUNDING_NODES = re.compile(
 )
 
 
-def _top_level_bracket_groups(s: str) -> int:
-    depth = groups = 0
-    for ch in s:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
+_ORDER_DIR = re.compile(r"\b(?:ASC|DESC) NULLS (?:FIRST|LAST)$")
+
+
+def _windowspec_partition_count(line: str) -> int | None:
+    """Number of partition columns in the first ``windowspecdefinition``
+    on a plan line, or None when the spec can't be parsed (truncated
+    line).  The spec's argument order is fixed — partition columns,
+    then order columns (each suffixed ``ASC|DESC NULLS FIRST|LAST``),
+    then the ``specifiedwindowframe(...)`` — so partition columns are
+    exactly the top-level args before the first order/frame arg."""
+    i = line.find("windowspecdefinition(")
+    if i < 0:
+        return None
+    depth, cur, args = 1, [], []
+    for ch in line[i + len("windowspecdefinition(") :]:
+        if ch == "(":
             depth += 1
-        elif ch == "]" and depth > 0:
+        elif ch == ")":
             depth -= 1
-    return groups
+            if depth == 0:
+                args.append("".join(cur).strip())
+                break
+        if ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    else:  # never closed — truncated plan line
+        return None
+    n = 0
+    for a in args:
+        if a.startswith("specifiedwindowframe(") or _ORDER_DIR.search(a):
+            break
+        n += 1
+    return n
 
 
 def unbounded_global_windows(df: DataFrame) -> list[str]:
@@ -80,11 +105,12 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
 
     A global window funnels every row through one task; it is only
     scale-safe when something upstream already collapsed cardinality
-    (one row per bucket/shard/top-k).  Plan text encodes the partition
-    spec as the middle bracket group — ``Window [exprs], [part], [ord]``
-    — so a Window line with only two groups is global.  The subtree is
-    taken as the more-indented lines that follow (Spark prints children
-    below their parent)."""
+    (one row per bucket/shard/top-k).  Globality is read from the
+    ``windowspecdefinition`` argument list (bracket-group counting is
+    ambiguous: ``Window [exprs], [order]`` for a global ordered window
+    and ``Window [exprs], [partition]`` for a partitioned unordered one
+    both print two groups).  The subtree is taken as the more-indented
+    lines that follow (Spark prints children below their parent)."""
     lines = plan_string(df).splitlines()
 
     def indent(s: str) -> int:
@@ -93,7 +119,12 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
     offenders = []
     for i, ln in enumerate(lines):
         m = re.match(r"^[\s:+|-]*(?:\*\(\d+\)\s*)?Window\s+(.*)", ln)
-        if m is None or _top_level_bracket_groups(m.group(1)) >= 3:
+        if m is None:
+            continue
+        nparts = _windowspec_partition_count(m.group(1))
+        if nparts is None or nparts > 0:
+            # unparseable (truncated) specs are skipped rather than
+            # flagged — the contract tests pin known-global plans
             continue
         d = indent(ln)
         sub = []

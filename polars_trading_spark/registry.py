@@ -6780,6 +6780,78 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Hawkes self-exciting intensity (operators/hawkes.py) — order-flow
+# clustering; segment-renormalized exponential kernel replayed exactly.
+# --------------------------------------------------------------------------
+
+_HK_BETA = 0.01
+_HK_W = 32.0 / _HK_BETA
+
+
+@register(
+    "hawkes_intensity",
+    f"""
+WITH trades AS ({{TRADES_CTE}}),
+s AS (
+  SELECT symbol, ts_event, seq, epoch_us(ts_event) / 1000000.0 AS tsec
+  FROM trades
+),
+g AS (
+  SELECT symbol, ts_event, seq, tsec,
+    CAST(floor(tsec / {_HK_W!r}) AS BIGINT) AS seg,
+    tsec - CAST(floor(tsec / {_HK_W!r}) AS BIGINT) * {_HK_W!r} AS tau
+  FROM s
+),
+e AS (SELECT *, exp({_HK_BETA!r} * tau) AS ew FROM g),
+r AS (
+  SELECT symbol, ts_event, seq, tau, seg,
+    coalesce(sum(ew) OVER (PARTITION BY symbol, seg ORDER BY ts_event, seq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+      AS s_loc,
+    sum(ew) OVER (PARTITION BY symbol, seg) AS t_seg
+  FROM e
+),
+c AS (
+  SELECT symbol, ts_event, seq, tau, s_loc,
+    0.0
+    + coalesce(max(t_seg) OVER (PARTITION BY symbol ORDER BY seg
+                                RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0)
+      * exp(-{_HK_BETA!r} * {_HK_W!r} * 1)
+    + coalesce(max(t_seg) OVER (PARTITION BY symbol ORDER BY seg
+                                RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0)
+      * exp(-{_HK_BETA!r} * {_HK_W!r} * 2) AS carry
+  FROM r
+),
+f AS (
+  SELECT symbol, ts_event, seq,
+    exp(-{_HK_BETA!r} * tau) * (s_loc + carry) AS intensity
+  FROM c
+)
+SELECT symbol, ts_event, seq,
+  round(intensity, 6) + 0 AS intensity,
+  round(intensity / (intensity + 1), 6) + 0 AS excitation
+FROM f
+""".format(TRADES_CTE=TRADES_CTE),
+    f"Hawkes self-exciting trade intensity (exp kernel, beta={_HK_BETA}/s) "
+    "— order-flow burst detector; segment-renormalized, overflow-free for "
+    "unbounded tapes, one symbol exchange, zero Python",
+)
+def q_hawkes_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.hawkes import hawkes_intensity
+
+    t = trades_from_events(spark, sf_dir)
+    out = hawkes_intensity(t, beta=_HK_BETA, seq_col=SEQ_COL)
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.col(SEQ_COL).alias("seq"),
+        (F.round("intensity", 6) + z0).alias("intensity"),
+        (F.round("excitation", 6) + z0).alias("excitation"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #
