@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 __all__ = [
     "synthesize_media",
     "synthesize_bmp",
+    "synthesize_jpeg",
     "parse_image_header",
     "extract_media_metadata",
     "sample_frames",
@@ -79,6 +80,49 @@ def parse_image_header(payload: bytes):
     if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return ("gif", int(w), int(h))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        return _parse_jpeg_sof(payload)
+    return None
+
+
+# Start-of-frame markers carrying dimensions: C0-CF minus DHT (C4),
+# JPG-extension (C8) and DAC (CC).
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg_sof(payload: bytes):
+    """Walk the JPEG marker stream to the first SOF segment and read
+    height/width (big-endian u16 at offsets 3/5 past the length word).
+    Unlike PNG/BMP/GIF the dimensions have no fixed offset — every
+    variable-length segment before the SOF must be skipped by its own
+    declared length, which is what makes this a real parser rather than
+    a struct peek."""
+    i = 2
+    n = len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # desynchronized marker stream
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = (payload[i + 2] << 8) | payload[i + 3]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 9 > n:
+                return None
+            h = (payload[i + 5] << 8) | payload[i + 6]
+            w = (payload[i + 7] << 8) | payload[i + 8]
+            return ("jpeg", int(w), int(h))
+        if marker == 0xDA:  # SOS: entropy-coded data follows, give up
+            return None
+        i += 2 + seg_len
     return None
 
 
@@ -113,6 +157,57 @@ def synthesize_bmp(documents: DataFrame) -> DataFrame:
                 )
                 j = np.arange(px_sz, dtype=np.int64)
                 rows.append(header + ((m * 31 + j * 7) % 256).astype(np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg(documents: DataFrame) -> DataFrame:
+    """Deterministic JPEG header stream per document id: SOI, the
+    standard 16-byte JFIF APP0, a DQT (65-byte deterministic table), a
+    3-component SOF0 carrying the dimensions, EOI.  Structurally valid
+    marker segments with correct lengths — the parser must walk three
+    variable-length segments to reach the SOF — but NOT a decodable
+    bitstream (no DHT/SOS/entropy scan), which is exactly the honest
+    scope: header metadata is real, pixel decode stays behind
+    ``decode_image``'s codec-library gate.
+
+    ``width = 16 + doc_id % 613``, ``height = 16 + doc_id % 377``; DQT
+    byte ``j`` of media ``m`` is ``(m * 7 + j * 13) % 255 + 1`` — all
+    replayable arithmetically by the differential oracle.
+    """
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 16 + m % 613, 16 + m % 377
+                app0 = b"\xff\xe0" + struct.pack(
+                    ">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0
+                )
+                dqt = (
+                    b"\xff\xdb"
+                    + struct.pack(">HB", 67, 0)
+                    + bytes((m * 7 + j * 13) % 255 + 1 for j in range(64))
+                )
+                sof0 = (
+                    b"\xff\xc0"
+                    + struct.pack(">HBHHB", 17, 8, h, w, 3)
+                    + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+                )
+                rows.append(b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9")
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.functions.text import tokens
 
-__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs"]
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "zipf_fit"]
 
 
 def term_frequencies(
@@ -178,4 +178,89 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
         .select("doc_a", "doc_b", "cosine_sim")
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution.
+
+    Natural-language corpora follow ``count(rank) ~ C * rank^-alpha``
+    with alpha ~ 1 (Zipf 1949); a corpus whose fitted ``alpha`` or
+    ``r2`` is far off is a red flag for machine-generated spam, OCR
+    noise, or template boilerplate — a standard corpus-level quality
+    gate next to the per-document profiles.
+
+    Fits OLS of ``ln(count)`` on ``ln(rank)`` over the ``top_k``
+    most-frequent tokens (rank ties broken by token asc) and returns
+    ONE row: ``n_ranks`` (points fitted), ``n_vocab`` / ``total_tokens``
+    (full-corpus integer stats), ``alpha`` (= -slope), ``intercept``
+    (ln C), ``r2``.
+
+    Scale/determinism shape: token counts are one explode + hash
+    aggregate; the top-k reduce is TakeOrderedAndProject (never a
+    global sort); the OLS power sums then run over only ``top_k`` rows
+    — small enough that they are computed as RUNNING sums in rank
+    order and read off the last row, so the floating-point fold order
+    is identical in any engine that replays the same rank order
+    (unordered partial aggregation would reassociate the doubles).
+    The full-vocab stats stay integer (exact) and join in as a
+    broadcast one-row aggregate.
+    """
+    if top_k < 3:
+        raise ValueError(f"top_k must be >= 3 to fit a line, got {top_k}")
+
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    if min_count > 1:
+        cnt = cnt.where(F.col("cnt") >= min_count)
+
+    totals = cnt.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("cnt").alias("total_tokens"),
+    )
+
+    order = [F.desc("cnt"), F.asc("token")]
+    top = cnt.orderBy(*order).limit(top_k)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
+
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    run = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy("rank").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        ranked.withColumn("__x", x)
+        .withColumn("__y", y)
+        .withColumn("__sx", F.sum("__x").over(run))
+        .withColumn("__sy", F.sum("__y").over(run))
+        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(run))
+        .withColumn("__sxy", F.sum(F.col("__x") * F.col("__y")).over(run))
+        .withColumn("__syy", F.sum(F.col("__y") * F.col("__y")).over(run))
+        .withColumn("__nn", F.count(F.lit(1)).over(full))
+        .where(F.col("rank") == F.col("__nn"))
+    )
+
+    n = F.col("__nn").cast("double")
+    vxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = cxy / vxx
+    fit = staged.select(
+        F.col("__nn").cast("long").alias("n_ranks"),
+        (-slope).alias("alpha"),
+        ((F.col("__sy") - slope * F.col("__sx")) / n).alias("intercept"),
+        F.when(vyy > 0, cxy * cxy / (vxx * vyy)).alias("r2"),
+    )
+    return fit.crossJoin(F.broadcast(totals)).select(
+        "n_ranks", "n_vocab", "total_tokens", "alpha", "intercept", "r2"
     )

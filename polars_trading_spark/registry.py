@@ -6852,6 +6852,299 @@ def q_hawkes_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Winnowing document fingerprints (functions/winnow.py) — MOSS
+# fingerprint selection + df-pruned overlap pair screen, replayed by the
+# identical packed-key window algebra in SQL.
+# --------------------------------------------------------------------------
+
+_WN_K, _WN_W, _WN_MIN_SHARED, _WN_MAX_DF = 4, 4, 2, 50
+_WN_POS_CAP = 1 << 22
+
+_WINNOW_SEL_CTE = f"""
+{_DOCS_TOK_CTE},
+wg AS (SELECT doc_id, toks, len(toks) AS nt FROM tok WHERE len(toks) >= {_WN_K}),
+wgr AS (
+  SELECT doc_id, i - 1 AS pos, nt - {_WN_K} + 1 AS ng,
+         array_to_string(list_slice(toks, i, i + {_WN_K} - 1), ' ') AS gram
+  FROM wg, unnest(generate_series(1, nt - {_WN_K} + 1)) AS gs(i)
+),
+wkk AS (
+  SELECT doc_id, pos, ng,
+    CAST(('0x' || substr(md5(gram), 1, 10)) AS BIGINT) * {_WN_POS_CAP}
+      + ({_WN_POS_CAP - 1} - pos) AS key
+  FROM wgr
+),
+wm AS (
+  SELECT doc_id, pos, ng,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS wmin
+  FROM wkk
+),
+wsel AS (
+  SELECT DISTINCT doc_id, wmin // {_WN_POS_CAP} AS fp,
+         CAST({_WN_POS_CAP - 1} - (wmin % {_WN_POS_CAP}) AS INTEGER) AS pos
+  FROM wm WHERE pos <= ng - {_WN_W}
+)"""
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH
+{_WINNOW_SEL_CTE}
+SELECT doc_id, fp, pos FROM wsel
+""",
+    f"Winnowing (MOSS) document fingerprints — k={_WN_K} grams, "
+    f"window w={_WN_W}, rightmost-min tie via one packed-integer window "
+    "min; guaranteed hit for any shared run of w+k-1 tokens; one doc "
+    "exchange, bounded frame, zero Python",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.winnow import winnow_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=_WN_K, w=_WN_W)
+
+
+@register(
+    "winnow_dup_pairs",
+    f"""
+WITH
+{_WINNOW_SEL_CTE},
+wdfp AS (SELECT DISTINCT doc_id AS doc, fp FROM wsel),
+wnf AS (SELECT doc, CAST(count(*) AS BIGINT) AS n_fp FROM wdfp GROUP BY doc),
+wfreq AS (SELECT fp FROM wdfp GROUP BY fp HAVING count(*) <= {_WN_MAX_DF}),
+wpr AS (SELECT wdfp.doc, wdfp.fp FROM wdfp JOIN wfreq USING (fp)),
+wpairs AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS shared
+  FROM wpr a JOIN wpr b ON a.fp = b.fp AND a.doc < b.doc
+  GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN_SHARED}
+)
+SELECT doc_a, doc_b, shared,
+  round(CAST(shared AS DOUBLE) / least(na.n_fp, nb.n_fp), 6) + 0 AS overlap
+FROM wpairs
+JOIN wnf na ON na.doc = doc_a
+JOIN wnf nb ON nb.doc = doc_b
+""",
+    "Fingerprint-overlap duplicate pairs (df-pruned posting-list "
+    "equi-join — boilerplate fingerprints dropped before the join, so "
+    "no hot bucket; containment-style overlap score)",
+)
+def q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.winnow import winnow_duplicate_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = winnow_duplicate_pairs(
+        docs,
+        k=_WN_K,
+        w=_WN_W,
+        min_shared=_WN_MIN_SHARED,
+        max_df=_WN_MAX_DF,
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        (F.round("overlap", 6) + F.lit(0.0)).alias("overlap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Zipf-law corpus fit (functions/tfidf.py::zipf_fit) — corpus-level
+# quality gate; rank-ordered running-sum OLS replayed exactly.
+# --------------------------------------------------------------------------
+
+_ZF_K = 400
+
+
+@register(
+    "zipf_fit",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+ztk AS (SELECT unnest(toks) AS token FROM tok),
+zcnt AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ztk GROUP BY token),
+ztot AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+                CAST(sum(cnt) AS BIGINT) AS total_tokens FROM zcnt),
+ztop AS (SELECT token, cnt FROM zcnt ORDER BY cnt DESC, token ASC LIMIT {_ZF_K}),
+zrk AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER)
+               AS rank FROM ztop),
+zst AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM zrk),
+zrun AS (
+  SELECT rank,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy, sum(y * y) OVER w AS syy,
+    count(*) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS nn
+  FROM zst
+  WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+zlast AS (SELECT * FROM zrun WHERE rank = nn),
+zf AS (
+  SELECT CAST(nn AS BIGINT) AS n_ranks,
+    -((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) AS alpha,
+    (sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn AS intercept,
+    CASE WHEN (nn * syy - sy * sy) > 0
+         THEN (nn * sxy - sx * sy) * (nn * sxy - sx * sy)
+              / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)) END AS r2
+  FROM zlast
+)
+SELECT n_ranks, n_vocab, total_tokens,
+  round(alpha, 6) + 0 AS alpha,
+  round(intercept, 6) + 0 AS intercept,
+  round(r2, 6) + 0 AS r2
+FROM zf CROSS JOIN ztot
+""",
+    f"Zipf-law OLS fit over the top-{_ZF_K} token frequencies "
+    "(corpus-level spam/boilerplate gate; TakeOrdered top-k, "
+    "rank-ordered running-sum OLS so the double fold order is "
+    "engine-independent, integer full-vocab stats)",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import zipf_fit
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = zipf_fit(docs, top_k=_ZF_K)
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_ranks",
+        "n_vocab",
+        "total_tokens",
+        (F.round("alpha", 6) + z0).alias("alpha"),
+        (F.round("intercept", 6) + z0).alias("intercept"),
+        (F.round("r2", 6) + z0).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Real JPEG header metadata (functions/multimodal.py::
+# _parse_jpeg_sof) — deterministic JFIF marker streams synthesized per
+# doc; dimensions read by walking APP0/DQT to the SOF0 segment (a real
+# variable-length parser, not a fixed-offset peek).  110-byte streams.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_metadata",
+    """
+SELECT
+  doc_id AS media_id,
+  CAST(16 + doc_id % 613 AS INTEGER) AS width,
+  CAST(16 + doc_id % 377 AS INTEGER) AS height,
+  CAST(110 AS BIGINT) AS n_bytes
+FROM documents
+""",
+    "Real JPEG metadata: synthesized JFIF marker streams (SOI/APP0/DQT/"
+    "SOF0/EOI, correct segment lengths), dimensions parsed by walking "
+    "the variable-length marker stream to SOF0 — pure Python, no codec "
+    "lib; byte count replayed arithmetically",
+)
+def q_multimodal_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        extract_media_metadata,
+        synthesize_jpeg,
+    )
+
+    media = synthesize_jpeg(read_table(spark, sf_dir, "documents")).withColumn(
+        "media_type", F.lit("image")
+    )
+    out = extract_media_metadata(media)
+    return out.select("media_id", "width", "height", "n_bytes")
+
+
+# --------------------------------------------------------------------------
+# C-ext. Wilder RSI (operators/rsi.py) — segment-renormalized EWM gain/loss
+# ratio; the weight normalizer cancels, so the oracle replays only the two
+# weighted running sums with identical constants.
+# --------------------------------------------------------------------------
+
+_RSI_N = 14
+_RSI_D = 1.0 - 1.0 / _RSI_N
+_RSI_R = 1.0 / _RSI_D
+_RSI_L = 32 * _RSI_N
+
+
+@register(
+    "rsi",
+    f"""
+WITH trades AS ({{TRADES_CTE}}),
+s AS (
+  SELECT symbol, ts_event, seq, price,
+    price - lag(price) OVER (PARTITION BY symbol ORDER BY ts_event, seq) AS diff
+  FROM trades
+),
+g AS (
+  SELECT *,
+    CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS up,
+    CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS dn,
+    count(diff) OVER (PARTITION BY symbol ORDER BY ts_event, seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS t
+  FROM s
+),
+h AS (
+  SELECT *, CAST(floor(t / {_RSI_L}) AS BIGINT) AS k,
+    CAST(t - CAST(floor(t / {_RSI_L}) AS BIGINT) * {_RSI_L} AS DOUBLE) AS j
+  FROM g
+),
+e AS (
+  SELECT *, CASE WHEN diff IS NOT NULL THEN pow({_RSI_R!r}, j) END AS rj FROM h
+),
+rr AS (
+  SELECT *,
+    sum(rj * up) OVER wc AS u_loc,
+    sum(rj * dn) OVER wc AS d_loc,
+    sum(rj * up) OVER (PARTITION BY symbol, k) AS u_tot,
+    sum(rj * dn) OVER (PARTITION BY symbol, k) AS d_tot
+  FROM e
+  WINDOW wc AS (PARTITION BY symbol, k ORDER BY ts_event, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT *,
+    coalesce(max(u_tot) OVER (PARTITION BY symbol ORDER BY k
+                              RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0)
+      * {_RSI_D ** _RSI_L!r}
+    + coalesce(max(u_tot) OVER (PARTITION BY symbol ORDER BY k
+                                RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0)
+      * {_RSI_D ** (2 * _RSI_L)!r} AS carry_u,
+    coalesce(max(d_tot) OVER (PARTITION BY symbol ORDER BY k
+                              RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0)
+      * {_RSI_D ** _RSI_L!r}
+    + coalesce(max(d_tot) OVER (PARTITION BY symbol ORDER BY k
+                                RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0)
+      * {_RSI_D ** (2 * _RSI_L)!r} AS carry_d
+  FROM rr
+),
+f AS (
+  SELECT symbol, ts_event, seq, diff,
+    pow({_RSI_D!r}, j) * (u_loc + carry_u) AS s_up,
+    pow({_RSI_D!r}, j) * (d_loc + carry_d) AS s_dn
+  FROM c
+)
+SELECT symbol, ts_event, seq,
+  round(CASE WHEN diff IS NULL OR (s_up + s_dn) <= 0 THEN NULL
+             ELSE 100.0 * s_up / (s_up + s_dn) END, 6) + 0 AS rsi
+FROM f
+""".format(TRADES_CTE=TRADES_CTE),
+    f"Wilder RSI (period {_RSI_N}, adjust=True EWM) — momentum "
+    "oscillator; segment-renormalized, overflow-free for unbounded "
+    "tapes, one symbol exchange, zero Python",
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.rsi import rsi
+
+    t = trades_from_events(spark, sf_dir)
+    out = rsi(t, period=_RSI_N, seq_col=SEQ_COL)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.col(SEQ_COL).alias("seq"),
+        (F.round("rsi", 6) + F.lit(0.0)).alias("rsi"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #

@@ -43,3 +43,9 @@ from polars_trading_spark.streaming.sessions import (  # noqa: E402
 )
 __all__.append("streaming_sessionize")
 __all__.append("streaming_event_funnel")
+
+from polars_trading_spark.streaming.hawkes import (  # noqa: E402
+    streaming_hawkes_intensity,
+)
+
+__all__.append("streaming_hawkes_intensity")

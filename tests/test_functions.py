@@ -954,6 +954,62 @@ def test_parse_image_header_real_formats():
     assert parse_image_header(b"") is None
 
 
+def test_parse_jpeg_sof_marker_walk():
+    import struct
+
+    from polars_trading_spark.functions.multimodal import parse_image_header
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    sof0 = struct.pack(">BHHB", 8, 480, 640, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    # SOF behind two variable-length segments (APP0 + COM) and a
+    # restart-marker (standalone, no length word)
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+        + seg(0xFE, b"a comment")
+        + b"\xff\xd0"
+        + seg(0xC0, sof0)
+        + b"\xff\xd9"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 640, 480)
+    # progressive (SOF2) carries dimensions the same way
+    assert parse_image_header(
+        b"\xff\xd8" + seg(0xC2, sof0) + b"\xff\xd9"
+    ) == ("jpeg", 640, 480)
+    # DHT (C4) is NOT a frame header: dims inside it must not parse
+    assert (
+        parse_image_header(b"\xff\xd8" + seg(0xC4, sof0) + b"\xff\xd9") is None
+    )
+    # truncated stream / EOI before SOF / desync all return None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None
+    assert parse_image_header(b"\xff\xd8garbage") is None
+
+
+def test_synthesize_jpeg_roundtrips_through_real_parser(spark):
+    from polars_trading_spark.functions.multimodal import (
+        parse_image_header,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in (0, 1, 17, 376, 377, 612, 613)],
+        "doc_id long, text string",
+    )
+    for r in synthesize_jpeg(docs).collect():
+        m = r["media_id"]
+        assert len(r["payload"]) == 110
+        assert parse_image_header(bytes(r["payload"])) == (
+            "jpeg",
+            16 + m % 613,
+            16 + m % 377,
+        ), m
+
+
 def test_synthesize_bmp_roundtrips_through_real_parser(spark):
     from polars_trading_spark.functions.multimodal import (
         parse_image_header,

@@ -937,3 +937,62 @@ def test_streaming_chunk_documents_stateless(spark):
         assert streamed == batch and len(batch) > 8
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_hawkes_matches_batch_across_batches(spark):
+    """Hawkes segment state (open-segment running sum + two prior
+    segment totals) must carry across micro-batches: a bursty tape
+    split into two files must reproduce the batch intensities."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.hawkes import hawkes_intensity
+    from polars_trading_spark.streaming import streaming_hawkes_intensity
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 1, 1, 9, 30)
+        for i in range(300):
+            gap = 2.0 if 50 <= i < 60 else float(rng.exponential(60))
+            t = t + dt.timedelta(seconds=gap)
+            rows.append((sym, t, len(rows)))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long"
+
+    # beta=0.01 -> W=3200s: the tape crosses many segment boundaries
+    beta = 0.01
+    batch = {
+        (r["symbol"], r["seq"]): (r["intensity"], r["excitation"])
+        for r in hawkes_intensity(
+            spark.createDataFrame(pdf, schema), beta=beta
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_hawkes_stream_")
+    try:
+        half = len(pdf) // 2
+        spark.createDataFrame(pdf.iloc[:half], schema).coalesce(1).write.parquet(
+            f"{d}/f0"
+        )
+        spark.createDataFrame(pdf.iloc[half:], schema).coalesce(1).write.parquet(
+            f"{d}/f1"
+        )
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_hawkes_intensity(stream, beta=beta)
+
+        rows_out = _run_stream(spark, make)
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            bi, be = batch[(r["symbol"], r["seq"])]
+            assert r["intensity"] == pytest.approx(bi, rel=1e-9, abs=1e-12)
+            assert r["excitation"] == pytest.approx(be, rel=1e-9, abs=1e-12)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
