@@ -129,6 +129,18 @@ HEADLINE = [
     "lead_lag",
     "fama_macbeth",
     "dedup_containment",
+    # round-5b batch
+    "hawkes_intensity",
+    "rsi",
+    "har_rv",
+    "permutation_entropy",
+    "event_transitions",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "zipf_fit",
+    "reading_ease",
+    "dsir_weights",
+    "multimodal_jpeg_metadata",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
 
 
 def chunk_documents(
@@ -605,4 +605,105 @@ def corpus_funnel(
         F.col("s.stage").alias("stage"),
         F.col("s.n_docs").alias("n_docs"),
         F.col("s.n_tokens").alias("n_tokens"),
+    )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    *,
+    is_target_col: str,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling log-weights (Xie et
+    al., NeurIPS 2023) — the standard recipe for tilting a raw crawl
+    toward a target domain: score every document by how much more
+    likely its hashed-bigram features are under the target corpus than
+    under the raw corpus,
+
+        log w(doc) = sum_f count_f(doc) * log(p_target(f) / p_raw(f)),
+
+    with bag-of-hashed-bigrams features (``n_buckets`` buckets, add-1
+    smoothing).  Resampling by these weights is the importance-
+    sampling step; emitting the raw log-weight keeps this operator
+    deterministic (no RNG) and lets the caller pick top-k /
+    Gumbel-top-k downstream.
+
+    ``is_target_col`` names a boolean column marking the target
+    documents (e.g. a trusted high-quality subset); every document is
+    scored, including the target rows themselves.
+
+    Distributed shape: bigram explode → per-(doc, bucket) integer
+    counts (one hash aggregate absorbing the fan-out), bucket LMs as
+    a ``n_buckets``-sized aggregate (integers, exact), one broadcast
+    join of the log-ratio table, and the per-doc reduce as a
+    BUCKET-ORDERED running sum read off the last row (fold-order
+    deterministic, zipf_fit's trick).  Zero Python.
+
+    Output: ``id_col``, ``n_feats`` (bigram occurrences), ``log_w``
+    (null for docs with no bigram features).
+    """
+    from functools import reduce as _reduce
+
+    from polars_trading_spark.functions.text import portable_hash60, tokens
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    toks = tokens(F.col(text_col))
+    m = F.size(toks) - 1
+    parts = [F.slice(toks, i + 1, m) for i in range(2)]
+    grams = F.when(
+        m > 0,
+        _reduce(lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts),
+    ).otherwise(F.array().cast("array<string>"))
+
+    feat = (
+        docs.select(id_col, F.col(is_target_col).alias("__tgt"), grams.alias("__g"))
+        .select(id_col, "__tgt", F.explode("__g").alias("__gram"))
+        .withColumn("__b", F.pmod(portable_hash60(F.col("__gram")), F.lit(n_buckets)))
+        .groupBy(id_col, "__tgt", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+    lm = feat.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__c")).otherwise(F.lit(0))).alias("__ct"),
+        F.sum("__c").alias("__cr"),
+    )
+    tot = lm.agg(
+        F.sum("__ct").alias("__nt"), F.sum("__cr").alias("__nr")
+    )
+    # log( ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) ) from exact integers
+    ratio = lm.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.col("__nt") + n_buckets).cast("double")
+            )
+            - F.log(
+                (F.col("__cr") + 1).cast("double")
+                / (F.col("__nr") + n_buckets).cast("double")
+            )
+        ).alias("__lr"),
+    )
+
+    scored = feat.join(F.broadcast(ratio), "__b")
+    w_doc = Window.partitionBy(id_col).orderBy("__b")
+    run = w_doc.rowsBetween(Window.unboundedPreceding, 0)
+    full = w_doc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    last = (
+        scored.withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__k", F.count(F.lit(1)).over(full))
+        .withColumn("__nf", F.sum("__c").over(full))
+        .withColumn("__w", F.sum(F.col("__c").cast("double") * F.col("__lr")).over(run))
+        .where(F.col("__rn") == F.col("__k"))
+        .select(id_col, F.col("__nf").alias("n_feats"), F.col("__w").alias("log_w"))
+    )
+    base = docs.select(id_col)
+    return base.join(last, id_col, "left").select(
+        id_col,
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        "log_w",
     )

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import parse_duration
 
-__all__ = ["event_funnel", "retention_cohorts", "sessionize"]
+__all__ = ["event_funnel", "event_transitions", "retention_cohorts", "sessionize"]
 
 
 def sessionize(
@@ -162,4 +162,50 @@ def retention_cohorts(
             "cohort_size",
             (F.col("n_active") / F.col("cohort_size")).alias("retention"),
         )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream.
+
+    Per user, consecutive events (ordered by ``ts_col`` then
+    ``order_cols`` for deterministic simultaneous-event order) form
+    (from_type, to_type) transitions; output is one row per observed
+    pair with ``n`` (count), ``p`` (row-normalized transition
+    probability, n / outgoing total of from_type) and ``n_from`` (the
+    denominator).  The standard user-journey / clickstream analytics
+    primitive (and the drift monitor for event pipelines: compare
+    matrices across releases with psi/ks on p).
+
+    Distributed shape: one lead window per user (user-keyed exchange),
+    one (from, to) hash aggregate — vocabulary-sized output — and the
+    denominator as a window sum over the aggregated matrix itself
+    (never a second scan of the events).  Probabilities are exact
+    integer ratios, so they are engine-independent.  Zero Python.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        ts_col, *[F.col(c) for c in order_cols]
+    )
+    pairs = (
+        events.withColumn("__to", F.lead(type_col).over(w))
+        .where(F.col("__to").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"), F.col("__to").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(w_from).alias("n_from"),
+        (F.col("n").cast("double") / F.sum("n").over(w_from).cast("double")).alias("p"),
     )

@@ -35,6 +35,7 @@ __all__ = [
     "boilerplate_profile",
     "unigram_logprob",
     "STOPWORDS",
+    "reading_ease",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -696,4 +697,76 @@ def bigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "mean_logprob",
         F.exp(-F.col("mean_logprob")).alias("ppl"),
+    )
+
+
+def reading_ease(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948) — the
+    classic fluency/complexity gate next to the stopword and
+    repetition profiles:
+
+        206.835 - 1.015 * (words / sentences)
+                - 84.6  * (syllables / words)
+
+    Sentences are non-empty ``[.!?]+`` segments of the RAW text
+    (floored at 1 so unterminated fragments still score); words are
+    the shared normalizing tokenizer's tokens; syllables use the
+    standard vowel-group heuristic — count of ``[aeiouy]+`` runs,
+    minus one silent final 'e' (length > 2, more than one group),
+    floored at 1 per word.  Vowel-free tokens (numbers) count one
+    syllable.
+
+    Distributed shape: everything is per-row HOF arithmetic over a
+    STAGED token array (rule 7/15: the tokenizer materializes once,
+    the per-token lambda touches only its own element) — zero
+    shuffles, zero joins, zero Python; counts are integers, so the
+    score is engine-exact.  Output: ``id_col``, ``n_words``,
+    ``n_sentences``, ``n_syllables``, ``flesch`` (null for wordless
+    docs).
+    """
+    toks = tokens(F.col(text_col))
+    sents = F.size(
+        F.filter(
+            F.split(F.col(text_col), r"[.!?]+"), lambda s: F.trim(s) != ""
+        )
+    )
+
+    def syl(t):
+        groups = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0))
+        silent = F.when(
+            t.endswith("e") & (F.length(t) > 2) & (groups > 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        return F.greatest(F.lit(1), groups - silent)
+
+    staged = (
+        df.select(id_col, F.col(text_col), toks.alias("__toks"))
+        .withColumn("__n_words", F.size("__toks").cast("long"))
+        .withColumn("__n_sents", F.greatest(F.lit(1), sents).cast("long"))
+        .withColumn(
+            "__n_syl",
+            F.aggregate(
+                F.transform(F.col("__toks"), syl),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("long"),
+        )
+    )
+    w = F.col("__n_words").cast("double")
+    s = F.col("__n_sents").cast("double")
+    y = F.col("__n_syl").cast("double")
+    flesch = F.when(
+        F.col("__n_words") > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+    )
+    return staged.select(
+        id_col,
+        F.col("__n_words").alias("n_words"),
+        F.col("__n_sents").alias("n_sentences"),
+        F.col("__n_syl").alias("n_syllables"),
+        flesch.alias("flesch"),
     )

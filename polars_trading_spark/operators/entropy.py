@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import SEQ_COL, with_seq
 
-__all__ = ["lz_entropy", "return_entropy"]
+__all__ = ["lz_entropy", "permutation_entropy", "return_entropy"]
 
 
 def return_entropy(
@@ -197,3 +197,76 @@ def lz_entropy(
         return out
 
     return slim.groupBy(symbol_col).applyInPandas(kernel, schema=schema)
+
+
+def permutation_entropy(
+    df: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Normalized permutation entropy (Bandt & Pompe 2002, m=3) of the
+    per-symbol price path — a complexity measure on ORDINAL patterns,
+    invariant under any monotone transform of price (so price vs
+    log-price is irrelevant by construction).
+
+    Each overlapping triple ``(x_t, x_{t+1}, x_{t+2})`` maps to one of
+    six ordinal patterns; ties rank the EARLIER index lower (stable
+    ranking — the standard convention).  Output per symbol:
+    ``n_windows``, ``perm_entropy`` = -sum p ln p / ln 6  in [0, 1]
+    (1 = maximally irregular walk, near-0 = strongly trended), and
+    ``top_pattern_share`` (concentration of the modal pattern).
+
+    Distributed shape: the pattern label is three strict comparisons
+    folded into an integer (pure codegen), counting is one hash
+    aggregate on (symbol, pattern), and the entropy reduce folds the
+    <=6 per-symbol pattern rows as a PATTERN-ORDERED running sum read
+    off the last row — engine-independent fold order, same trick as
+    zipf_fit.  One exchange, zero Python.
+    """
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(symbol_col).orderBy(*order)
+    a = F.col(price_col)
+    b = F.lead(price_col, 1).over(w)
+    c = F.lead(price_col, 2).over(w)
+    # stable ordinal code: 3 strict comparisons (ties keep index order);
+    # transitivity leaves 6 of the 8 codes reachable
+    code = (
+        F.when(b < a, 4).otherwise(0)
+        + F.when(c < a, 2).otherwise(0)
+        + F.when(c < b, 1).otherwise(0)
+    )
+    cnt = (
+        df.withColumn("__code", F.when(c.isNotNull(), code))
+        .where(F.col("__code").isNotNull())
+        .groupBy(symbol_col, "__code")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w_code = Window.partitionBy(symbol_col).orderBy("__code")
+    run = w_code.rowsBetween(Window.unboundedPreceding, 0)
+    full = w_code.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.col("__n").cast("double") / F.col("__tot").cast("double")
+    staged = (
+        cnt.withColumn("__rn", F.row_number().over(w_code))
+        .withColumn("__k", F.count(F.lit(1)).over(full))
+        .withColumn("__tot", F.sum("__n").over(full))
+        .withColumn("__mx", F.max("__n").over(full))
+        # staged __tot: a window result cannot nest inside the next
+        # window aggregate (same restriction in both engines)
+        .withColumn("__h", F.sum(-(p * F.log(p))).over(run))
+        .where(F.col("__rn") == F.col("__k"))
+    )
+    import math
+
+    return staged.select(
+        symbol_col,
+        F.col("__tot").alias("n_windows"),
+        (F.col("__h") / math.log(6.0)).alias("perm_entropy"),
+        (F.col("__mx").cast("double") / F.col("__tot").cast("double")).alias(
+            "top_pattern_share"
+        ),
+    )

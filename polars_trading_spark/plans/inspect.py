@@ -35,8 +35,14 @@ def plan_string(df: DataFrame, mode: str = "physical") -> str:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excluding broadcast exchanges)."""
-    plan = plan_string(df)
+    """Number of shuffle exchanges (excluding broadcast exchanges and
+    reused exchanges).
+
+    Reads the EXECUTED plan: exchanges are inserted by
+    EnsureRequirements during plan preparation, so they do not exist
+    yet in ``sparkPlan()`` — counting there always returned 0 and made
+    every shuffle contract vacuous (caught in round 5)."""
+    plan = plan_string(df, "executed")
     return len(re.findall(r"\bExchange (?:hash|range|SinglePartition|RoundRobin)", plan))
 
 

@@ -7145,6 +7145,375 @@ def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. HAR-RV volatility forecasting regression (operators/har.py) —
+# per-symbol Corsi cascade OLS; prefix-difference lag means and
+# bucket-ordered running normal-equation sums replayed verbatim.
+# --------------------------------------------------------------------------
+
+_HAR_W_US = 6 * 3600 * 1_000_000  # 6h buckets
+_HAR_PM, _HAR_PL, _HAR_MIN = 4, 28, 12
+
+
+@register(
+    "har_rv",
+    f"""
+WITH trades AS ({{TRADES_CTE}}),
+hs AS (
+  SELECT symbol, ts_event, seq, price,
+    ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts_event, seq)) AS r
+  FROM trades
+),
+hrv AS (
+  SELECT symbol, CAST(floor(epoch_us(ts_event) / {_HAR_W_US}) AS BIGINT) AS b,
+         sum(r * r) AS rv
+  FROM hs WHERE r IS NOT NULL GROUP BY symbol, b
+),
+hcnt AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_buckets FROM hrv GROUP BY symbol),
+hf0 AS (
+  SELECT symbol, b, rv,
+    row_number() OVER (PARTITION BY symbol ORDER BY b) AS rn,
+    sum(rv) OVER (PARTITION BY symbol ORDER BY b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM hrv
+),
+hf1 AS (
+  SELECT symbol, b, rv, rn,
+    lag(rv, 1) OVER wb AS xs,
+    (lag(p, 1) OVER wb - coalesce(lag(p, {_HAR_PM + 1}) OVER wb, 0.0)) / {_HAR_PM} AS xm,
+    (lag(p, 1) OVER wb - coalesce(lag(p, {_HAR_PL + 1}) OVER wb, 0.0)) / {_HAR_PL} AS xl
+  FROM hf0 WINDOW wb AS (PARTITION BY symbol ORDER BY b)
+),
+hf2 AS (SELECT * FROM hf1 WHERE rn >= {_HAR_PL + 1}),
+hsm AS (
+  SELECT symbol, b, rv AS y, xs, xm, xl,
+    count(*) OVER wr AS n_, count(*) OVER (PARTITION BY symbol) AS nn_,
+    sum(xs) OVER wr AS ss, sum(xm) OVER wr AS sm, sum(xl) OVER wr AS sl,
+    sum(rv) OVER wr AS sy,
+    sum(xs * xs) OVER wr AS sss, sum(xm * xm) OVER wr AS smm,
+    sum(xl * xl) OVER wr AS sll,
+    sum(xs * xm) OVER wr AS ssm, sum(xs * xl) OVER wr AS ssl,
+    sum(xm * xl) OVER wr AS sml,
+    sum(xs * rv) OVER wr AS ssy, sum(xm * rv) OVER wr AS smy,
+    sum(xl * rv) OVER wr AS sly, sum(rv * rv) OVER wr AS syy
+  FROM hf2
+  WINDOW wr AS (PARTITION BY symbol ORDER BY b
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+hlast AS (SELECT * FROM hsm WHERE n_ = nn_),
+hols AS (
+  SELECT symbol, CAST(n_ AS BIGINT) AS n_obs,
+    CAST(n_ AS DOUBLE) AS n,
+    sss - ss * ss / CAST(n_ AS DOUBLE) AS css,
+    smm - sm * sm / CAST(n_ AS DOUBLE) AS cmm,
+    sll - sl * sl / CAST(n_ AS DOUBLE) AS cll,
+    ssm - ss * sm / CAST(n_ AS DOUBLE) AS csm,
+    ssl - ss * sl / CAST(n_ AS DOUBLE) AS csl,
+    sml - sm * sl / CAST(n_ AS DOUBLE) AS cml,
+    ssy - ss * sy / CAST(n_ AS DOUBLE) AS csy,
+    smy - sm * sy / CAST(n_ AS DOUBLE) AS cmy,
+    sly - sl * sy / CAST(n_ AS DOUBLE) AS cly,
+    syy - sy * sy / CAST(n_ AS DOUBLE) AS cyy,
+    ss, sm, sl, sy
+  FROM hlast
+),
+hcoef AS (
+  SELECT symbol, n_obs, n, ss, sm, sl, sy, csy, cmy, cly, cyy,
+    css * (cmm * cll - cml * cml)
+      - csm * (csm * cll - cml * csl)
+      + csl * (csm * cml - cmm * csl) AS det,
+    (csy * (cmm * cll - cml * cml)
+      - csm * (cmy * cll - cml * cly)
+      + csl * (cmy * cml - cmm * cly)) AS num_s,
+    (css * (cmy * cll - cly * cml)
+      - csy * (csm * cll - cml * csl)
+      + csl * (csm * cly - cmy * csl)) AS num_m,
+    (css * (cmm * cly - cml * cmy)
+      - csm * (csm * cly - cmy * csl)
+      + csy * (csm * cml - cmm * csl)) AS num_l
+  FROM hols
+),
+hfit AS (
+  SELECT symbol, n_obs,
+    n_obs >= {_HAR_MIN} AND abs(det) > 1e-30 AS ok,
+    num_s / det AS b_s, num_m / det AS b_m, num_l / det AS b_l,
+    (sy - (num_s / det) * ss - (num_m / det) * sm - (num_l / det) * sl) / n AS c,
+    CASE WHEN cyy > 0
+         THEN 1.0 - (cyy - ((num_s / det) * csy + (num_m / det) * cmy
+                            + (num_l / det) * cly)) / cyy END AS r2
+  FROM hcoef
+)
+SELECT hcnt.symbol, hcnt.n_buckets,
+  coalesce(hfit.n_obs, 0) AS n_obs,
+  round(CASE WHEN ok THEN c END, 6) + 0 AS c,
+  round(CASE WHEN ok THEN b_s END, 6) + 0 AS b_s,
+  round(CASE WHEN ok THEN b_m END, 6) + 0 AS b_m,
+  round(CASE WHEN ok THEN b_l END, 6) + 0 AS b_l,
+  round(CASE WHEN ok THEN r2 END, 6) + 0 AS r2
+FROM hcnt LEFT JOIN hfit ON hfit.symbol = hcnt.symbol
+""".format(TRADES_CTE=TRADES_CTE),
+    f"HAR-RV (Corsi) per-symbol vol-forecast OLS — 6h realized-variance "
+    f"buckets, lag means over {_HAR_PM}/{_HAR_PL} observed buckets via "
+    "prefix differences (never sliding re-aggregation), bucket-ordered "
+    "running normal-equation sums, closed-form 3x3 Cramer solve; one "
+    "symbol exchange, zero Python",
+)
+def q_har_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.har import har_rv
+
+    t = trades_from_events(spark, sf_dir)
+    out = har_rv(
+        t, bucket="6h", p_mid=_HAR_PM, p_long=_HAR_PL, min_obs=_HAR_MIN,
+        seq_col=SEQ_COL,
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_buckets",
+        "n_obs",
+        (F.round("c", 6) + z0).alias("c"),
+        (F.round("b_s", 6) + z0).alias("b_s"),
+        (F.round("b_m", 6) + z0).alias("b_m"),
+        (F.round("b_l", 6) + z0).alias("b_l"),
+        (F.round("r2", 6) + z0).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Permutation entropy (operators/entropy.py::permutation_entropy)
+# — ordinal-pattern complexity; integer pattern codes + code-ordered
+# entropy fold replayed exactly.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "permutation_entropy",
+    """
+WITH trades AS ({TRADES_CTE}),
+pe0 AS (
+  SELECT symbol, price,
+    lead(price, 1) OVER w AS b2, lead(price, 2) OVER w AS c2
+  FROM trades WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq)
+),
+pe1 AS (
+  SELECT symbol,
+    (CASE WHEN b2 < price THEN 4 ELSE 0 END
+     + CASE WHEN c2 < price THEN 2 ELSE 0 END
+     + CASE WHEN c2 < b2 THEN 1 ELSE 0 END) AS code
+  FROM pe0 WHERE c2 IS NOT NULL
+),
+pec AS (SELECT symbol, code, CAST(count(*) AS BIGINT) AS n
+        FROM pe1 GROUP BY symbol, code),
+pet AS (
+  SELECT symbol, code, n,
+    row_number() OVER (PARTITION BY symbol ORDER BY code) AS rn,
+    count(*) OVER (PARTITION BY symbol) AS k,
+    sum(n) OVER (PARTITION BY symbol) AS tot,
+    max(n) OVER (PARTITION BY symbol) AS mx
+  FROM pec
+),
+per AS (
+  SELECT *,
+    sum(-((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+          * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))))
+      OVER (PARTITION BY symbol ORDER BY code
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+  FROM pet
+)
+SELECT symbol, CAST(tot AS BIGINT) AS n_windows,
+  round(h / ln(6.0), 6) + 0 AS perm_entropy,
+  round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0 AS top_pattern_share
+FROM per WHERE rn = k
+""".format(TRADES_CTE=TRADES_CTE),
+    "Permutation entropy (Bandt-Pompe m=3) per symbol — ordinal-pattern "
+    "complexity, monotone-transform invariant; 3 codegen comparisons + "
+    "one (symbol,pattern) hash aggregate + code-ordered entropy fold, "
+    "zero Python",
+)
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.entropy import permutation_entropy
+
+    t = trades_from_events(spark, sf_dir)
+    out = permutation_entropy(t, seq_col=SEQ_COL)
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_windows",
+        (F.round("perm_entropy", 6) + z0).alias("perm_entropy"),
+        (F.round("top_pattern_share", 6) + z0).alias("top_pattern_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Markov event transitions (functions/events.py::event_transitions)
+# — clickstream transition matrix; exact integer ratios.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "event_transitions",
+    """
+WITH t0 AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+t1 AS (
+  SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM t0 WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+  round(CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) + 0 AS p
+FROM t1
+""",
+    "First-order Markov transition matrix over per-user event streams "
+    "(user-journey analytics / pipeline drift baseline) — one lead "
+    "window + one vocabulary-sized hash aggregate; probabilities are "
+    "exact integer ratios, zero Python",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.events import event_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    out = event_transitions(ev)
+    return out.select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.round("p", 6) + F.lit(0.0)).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Flesch reading ease (functions/text.py::reading_ease) — integer
+# word/sentence/syllable counts, engine-exact score.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "reading_ease",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+fe AS (
+  SELECT doc_id, toks,
+    greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                s -> trim(s) != ''))) AS n_sents
+  FROM tok
+),
+fs AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(n_sents AS BIGINT) AS n_sentences,
+    CAST(coalesce(list_sum(list_transform(toks, t -> greatest(1,
+        len(regexp_extract_all(t, '[aeiouy]+'))
+        - CASE WHEN t LIKE '%e' AND length(t) > 2
+               AND len(regexp_extract_all(t, '[aeiouy]+')) > 1
+          THEN 1 ELSE 0 END))), 0) AS BIGINT) AS n_syllables
+  FROM fe
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  round(CASE WHEN n_words > 0
+        THEN 206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        END, 6) + 0 AS flesch
+FROM fs
+""",
+    "Flesch reading ease per document (vowel-group syllables with "
+    "silent-e rule, sentence floor 1) — staged-array HOFs, integer "
+    "counts, zero shuffles, zero Python",
+)
+def q_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import reading_ease
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = reading_ease(docs)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.round("flesch", 6) + F.lit(0.0)).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. DSIR importance log-weights (functions/corpus.py::
+# dsir_log_weights) — hashed-bigram target/raw LM ratio; integer bucket
+# LMs + doc-ordered running reduce replayed exactly.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+
+@register(
+    "dsir_weights",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+db0 AS (
+  SELECT doc_id, lang = 'en' AS tgt, toks, len(toks) AS ntok FROM tok
+),
+dg AS (
+  SELECT doc_id, tgt, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM db0, unnest(generate_series(1, ntok - 1)) AS gs(i)
+  WHERE ntok >= 2
+),
+dfeat AS (
+  SELECT doc_id, tgt, {_sql_hash60('gram')} % {_DSIR_B} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM dg GROUP BY 1, 2, 3
+),
+dlm AS (
+  SELECT b, CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(c) AS BIGINT) AS cr
+  FROM dfeat GROUP BY b
+),
+dtot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt_, CAST(sum(cr) AS BIGINT) AS nr_ FROM dlm),
+drat AS (
+  SELECT b,
+    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt_ + {_DSIR_B} AS DOUBLE))
+    - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr_ + {_DSIR_B} AS DOUBLE)) AS lr
+  FROM dlm CROSS JOIN dtot
+),
+dsc AS (SELECT f.doc_id, f.b, f.c, r.lr FROM dfeat f JOIN drat r USING (b)),
+drun AS (
+  SELECT doc_id, b,
+    row_number() OVER (PARTITION BY doc_id ORDER BY b) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS k,
+    sum(c) OVER (PARTITION BY doc_id) AS nf,
+    sum(CAST(c AS DOUBLE) * lr) OVER (PARTITION BY doc_id ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM dsc
+),
+dlast AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_feats, w AS log_w
+          FROM drun WHERE rn = k)
+SELECT d.doc_id, coalesce(l.n_feats, 0) AS n_feats,
+  round(l.log_w, 6) + 0 AS log_w
+FROM documents d LEFT JOIN dlast l USING (doc_id)
+""",
+    f"DSIR importance log-weights (hashed bigrams, {_DSIR_B} buckets, "
+    "add-1 smoothing; target = lang='en') — domain-tilted data "
+    "selection; integer bucket LMs, broadcast ratio join, "
+    "bucket-ordered per-doc reduce, zero Python",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import dsir_log_weights
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    out = dsir_log_weights(docs, is_target_col="__is_en", n_buckets=_DSIR_B)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        (F.round("log_w", 6) + F.lit(0.0)).alias("log_w"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #

@@ -106,3 +106,74 @@ def test_lz_window_validation(spark):
 
     with pytest.raises(ValueError, match="window"):
         lz_entropy(spark.range(1), window=1)
+
+
+class TestPermutationEntropy:
+    def _trades(self, spark, prices, symbol="A"):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 2)
+        rows = [
+            (symbol, base + dt.timedelta(seconds=i), i, float(p))
+            for i, p in enumerate(prices)
+        ]
+        return spark.createDataFrame(
+            rows, "symbol string, ts_event timestamp, seq long, price double"
+        )
+
+    @staticmethod
+    def _ref(prices):
+        import math
+        from collections import Counter
+
+        codes = Counter()
+        for a, b, c in zip(prices, prices[1:], prices[2:]):
+            codes[(b < a) * 4 + (c < a) * 2 + (c < b) * 1] += 1
+        tot = sum(codes.values())
+        h = -sum((n / tot) * math.log(n / tot) for n in codes.values())
+        return h / math.log(6), tot, max(codes.values()) / tot
+
+    def test_matches_reference_counter(self, spark):
+        import numpy as np
+        import pytest as pt
+
+        from polars_trading_spark.operators.entropy import permutation_entropy
+
+        rng = np.random.RandomState(3)
+        prices = list(100 + np.cumsum(rng.normal(0, 1, 500)))
+        row = permutation_entropy(
+            self._trades(spark, prices), seq_col="seq"
+        ).collect()[0]
+        h, tot, share = self._ref(prices)
+        assert row["n_windows"] == tot == 498
+        assert row["perm_entropy"] == pt.approx(h, rel=1e-12)
+        assert row["top_pattern_share"] == pt.approx(share, rel=1e-12)
+        # a random walk is near-maximally irregular
+        assert row["perm_entropy"] > 0.9
+
+    def test_monotone_path_entropy_zero_and_invariance(self, spark):
+        import numpy as np
+        import pytest as pt
+
+        from polars_trading_spark.operators.entropy import permutation_entropy
+
+        row = permutation_entropy(
+            self._trades(spark, list(range(1, 50))), seq_col="seq"
+        ).collect()[0]
+        assert row["perm_entropy"] == 0.0  # one pattern only
+        assert row["top_pattern_share"] == 1.0
+        # monotone-transform invariance: exp(price) gives identical output
+        rng = np.random.RandomState(5)
+        p = list(np.cumsum(rng.normal(0, 1, 200)))
+        a = permutation_entropy(self._trades(spark, p), seq_col="seq").collect()[0]
+        b = permutation_entropy(
+            self._trades(spark, list(np.exp(np.array(p) / 10))), seq_col="seq"
+        ).collect()[0]
+        assert a["perm_entropy"] == pt.approx(b["perm_entropy"], rel=1e-12)
+
+    def test_plan(self, spark):
+        from polars_trading_spark.operators.entropy import permutation_entropy
+        from polars_trading_spark.plans import count_python_stages
+
+        out = permutation_entropy(self._trades(spark, [1, 2, 3, 4]), seq_col="seq")
+        assert count_python_stages(out) == 0

@@ -80,3 +80,62 @@ def test_retention_triangle(spark):
 def test_funnel_validation(spark):
     with pytest.raises(ValueError, match="steps"):
         event_funnel(_ev(spark, [(1, datetime(2024, 1, 1), "view")]), ["view"])
+
+
+class TestEventTransitions:
+    def test_counts_probabilities_and_user_isolation(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.functions.events import event_transitions
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            # user 1: a -> b -> a -> c
+            (1, base + dt.timedelta(minutes=0), 1, "a"),
+            (1, base + dt.timedelta(minutes=1), 2, "b"),
+            (1, base + dt.timedelta(minutes=2), 3, "a"),
+            (1, base + dt.timedelta(minutes=3), 4, "c"),
+            # user 2: a -> b  (no cross-user a(c) -> a transition)
+            (2, base + dt.timedelta(minutes=5), 5, "a"),
+            (2, base + dt.timedelta(minutes=6), 6, "b"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        got = {
+            (r["from_type"], r["to_type"]): r
+            for r in event_transitions(ev).collect()
+        }
+        assert got[("a", "b")]["n"] == 2 and got[("a", "b")]["n_from"] == 3
+        assert got[("a", "b")]["p"] == 2 / 3
+        assert got[("a", "c")]["n"] == 1 and got[("a", "c")]["p"] == 1 / 3
+        assert got[("b", "a")]["n"] == 1 and got[("b", "a")]["p"] == 1.0
+        assert ("c", "a") not in got  # user boundary respected
+        assert len(got) == 3
+
+    def test_simultaneous_events_break_ties_by_order_col(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.functions.events import event_transitions
+
+        t = dt.datetime(2024, 1, 1)
+        ev = spark.createDataFrame(
+            [(1, t, 2, "b"), (1, t, 1, "a")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        got = {
+            (r["from_type"], r["to_type"]) for r in event_transitions(ev).collect()
+        }
+        assert got == {("a", "b")}
+
+    def test_plan_zero_python(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.functions.events import event_transitions
+        from polars_trading_spark.plans import count_python_stages
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), 1, "a")],
+            "user_id long, ts timestamp, event_id long, event_type string",
+        )
+        assert count_python_stages(event_transitions(ev)) == 0

@@ -1175,3 +1175,161 @@ class TestPmiCooccurrence:
         out = pmi_cooccurrence(docs, window=2, top_k=10)
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
+
+
+class TestReadingEase:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    @staticmethod
+    def _ref(text):
+        import re
+
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", text.lower())).strip()
+        words = [w for w in norm.split(" ") if w]
+        sents = max(1, len([s for s in re.split(r"[.!?]+", text) if s.strip()]))
+
+        def syl(w):
+            g = len(re.findall(r"[aeiouy]+", w))
+            if w.endswith("e") and len(w) > 2 and g > 1:
+                g -= 1
+            return max(1, g)
+
+        ns = sum(syl(w) for w in words)
+        f = (
+            206.835 - 1.015 * (len(words) / sents) - 84.6 * (ns / len(words))
+            if words
+            else None
+        )
+        return len(words), sents, ns, f
+
+    def test_hand_golden_and_reference(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.text import reading_ease
+
+        texts = [
+            "The quick brown fox jumps over the lazy dog.",
+            "Notwithstanding considerable deliberation, implementation "
+            "methodologies necessitate comprehensive evaluation! Indeed?",
+            "no terminator here",
+            "",
+            "12 34 e",
+        ]
+        rows = {r["doc_id"]: r for r in reading_ease(self._docs(spark, texts)).collect()}
+        for i, t in enumerate(texts):
+            w, s, y, f = self._ref(t)
+            assert rows[i]["n_words"] == w, i
+            assert rows[i]["n_sentences"] == s, i
+            assert rows[i]["n_syllables"] == y, i
+            if f is None:
+                assert rows[i]["flesch"] is None
+            else:
+                assert rows[i]["flesch"] == pt.approx(f, rel=1e-12), i
+        # sanity: simple prose reads far easier than the polysyllabic one
+        assert rows[0]["flesch"] > 80 > rows[1]["flesch"]
+        # the fox sentence: 9 words, 1 sentence, 11 syllables
+        assert (
+            rows[0]["n_words"],
+            rows[0]["n_sentences"],
+            rows[0]["n_syllables"],
+        ) == (9, 1, 11)
+
+    def test_plan_zero_shuffle_zero_python(self, spark):
+        from polars_trading_spark.functions.text import reading_ease
+        from polars_trading_spark.plans import count_exchanges, count_python_stages
+
+        out = reading_ease(self._docs(spark, ["a b. c!"]))
+        assert count_python_stages(out) == 0
+        assert count_exchanges(out) == 0
+
+
+class TestDsirLogWeights:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, is_tgt boolean"
+        )
+
+    @staticmethod
+    def _ref(rows, n_buckets):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def h(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+
+        def grams(t):
+            norm = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+            ws = [w for w in norm.split(" ") if w]
+            return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+        ct, cr = Counter(), Counter()
+        for _, t, tgt in rows:
+            for g in grams(t):
+                b = h(g)
+                cr[b] += 1
+                if tgt:
+                    ct[b] += 1
+        nt, nr = sum(ct.values()), sum(cr.values())
+        out = {}
+        for i, t, _ in rows:
+            fs = Counter(h(g) for g in grams(t))
+            if not fs:
+                out[i] = (0, None)
+                continue
+            w = sum(
+                c
+                * (
+                    math.log((ct[b] + 1) / (nt + n_buckets))
+                    - math.log((cr[b] + 1) / (nr + n_buckets))
+                )
+                for b, c in fs.items()
+            )
+            out[i] = (sum(fs.values()), w)
+        return out
+
+    def test_matches_reference_and_ranks_target_like_docs_higher(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.corpus import dsir_log_weights
+
+        rows = [
+            (0, "the model trains on curated encyclopedia articles daily", True),
+            (1, "curated encyclopedia articles improve the model quality", True),
+            (2, "the model trains on curated encyclopedia articles nightly", False),
+            (3, "buy cheap pills online casino jackpot winner click now", False),
+            (4, "casino jackpot pills cheap online winner now click here", False),
+            (5, "", False),
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in dsir_log_weights(
+                self._docs(spark, rows), is_target_col="is_tgt", n_buckets=64
+            ).collect()
+        }
+        ref = self._ref(rows, 64)
+        for i, (nf, w) in ref.items():
+            assert got[i]["n_feats"] == nf, i
+            if w is None:
+                assert got[i]["log_w"] is None
+            else:
+                assert got[i]["log_w"] == pt.approx(w, rel=1e-9), i
+        # encyclopedia-flavored doc 2 outranks the spam docs
+        assert got[2]["log_w"] > got[3]["log_w"]
+        assert got[2]["log_w"] > got[4]["log_w"]
+
+    def test_validation(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.corpus import dsir_log_weights
+
+        with pt.raises(ValueError):
+            dsir_log_weights(
+                self._docs(spark, [(0, "a b", True)]),
+                is_target_col="is_tgt",
+                n_buckets=1,
+            )
