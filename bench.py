@@ -141,6 +141,10 @@ HEADLINE = [
     "reading_ease",
     "dsir_weights",
     "multimodal_jpeg_metadata",
+    "fama_macbeth_nw",
+    "deflated_sharpe",
+    "asof_join_nearest",
+    "interval_join_events",
 ]
 
 

@@ -48,14 +48,18 @@ def asof_join(
     tolerance: Column | None = None,
 ) -> DataFrame:
     """Join each left row to the nearest right row at-or-before
-    (``backward``) / at-or-after (``forward``) its key, per ``by`` group.
+    (``backward``), at-or-after (``forward``), or closest in either
+    direction (``nearest``, ties to the backward match), per ``by``
+    group.
 
     ``tolerance``: optional maximum key distance (a Column/interval
     expression, e.g. ``F.expr("INTERVAL 1 DAY")``); matches farther than
     this are nulled out, matching Polars' ``tolerance``.
     """
-    if strategy not in ("backward", "forward"):
-        raise ValueError(f"strategy must be 'backward' or 'forward', got {strategy!r}")
+    if strategy not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"strategy must be 'backward', 'forward' or 'nearest', got {strategy!r}"
+        )
     left_key = left_on or on
     right_key = right_on or on
     if left_key is None or right_key is None:
@@ -98,13 +102,76 @@ def asof_join(
     # DESCENDING key order: the last right row seen descending is the
     # smallest right key ≥ the probe.  Right rows sort before probes at
     # equal keys in both directions, keeping matches inclusive.
+    pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+
+    if strategy == "nearest":
+        # Both directional scans over the SAME union and partitioning
+        # (one ascending, one descending — second sort, no second
+        # exchange), then the per-row closer candidate wins; ties take
+        # the backward match (the at-or-before row).
+        part = Window.partitionBy(*(by_cols or [F.lit(1)]))
+        wb = part.orderBy(F.col(_KEY).asc(), F.col(_MARK).desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wf = part.orderBy(F.col(_KEY).desc(), F.col(_MARK).desc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        both = unioned.select(
+            *[
+                c
+                for c in unioned.columns
+                if c not in renames.values() and c != _MATCH_KEY
+            ],
+            pick(F.col(_MATCH_KEY)).over(wb).alias("__mk_b"),
+            pick(F.col(_MATCH_KEY)).over(wf).alias("__mk_f"),
+            *[
+                pick(F.col(renames[c])).over(wb).alias(renames[c] + "__b")
+                for c in value_cols
+            ],
+            *[
+                pick(F.col(renames[c])).over(wf).alias(renames[c] + "__f")
+                for c in value_cols
+            ],
+        ).where(F.col(_MARK) == 0)
+
+        mk_b, mk_f = F.col("__mk_b"), F.col("__mk_f")
+        if tolerance is not None:
+            ok_b = (F.col(_KEY) - mk_b) <= tolerance
+            ok_f = (mk_f - F.col(_KEY)) <= tolerance
+            mk_b = F.when(ok_b, mk_b)
+            mk_f = F.when(ok_f, mk_f)
+            both = both.withColumn("__mk_b", mk_b).withColumn("__mk_f", mk_f)
+            mk_b, mk_f = F.col("__mk_b"), F.col("__mk_f")
+        use_b = mk_f.isNull() | (
+            mk_b.isNotNull() & ((F.col(_KEY) - mk_b) <= (mk_f - F.col(_KEY)))
+        )
+        filled = both.select(
+            *[
+                c
+                for c in both.columns
+                if not c.endswith(("__b", "__f")) and c != _MATCH_KEY
+            ],
+            F.when(use_b, mk_b).otherwise(mk_f).alias(_MATCH_KEY),
+            *[
+                F.when(use_b & mk_b.isNotNull(), F.col(renames[c] + "__b"))
+                .otherwise(
+                    F.when(mk_f.isNotNull(), F.col(renames[c] + "__f"))
+                )
+                .alias(renames[c])
+                for c in value_cols
+            ],
+        )
+        match_name = (
+            right_key if right_key not in left.columns else right_key + suffix
+        )
+        return filled.withColumnRenamed(_MATCH_KEY, match_name).drop(_MARK, _KEY)
+
     key_order = F.col(_KEY).asc() if strategy == "backward" else F.col(_KEY).desc()
     w = (
         Window.partitionBy(*(by_cols or [F.lit(1)]))
         .orderBy(key_order, F.col(_MARK).desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
     filled = unioned.select(
         *[c for c in unioned.columns if c not in renames.values() and c != _MATCH_KEY],
         pick(F.col(_MATCH_KEY)).over(w).alias(_MATCH_KEY),

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats", "drawdown_path", "ma_crossover_signal", "var_cvar"]
+__all__ = ["backtest_stats", "deflated_sharpe", "drawdown_path", "ma_crossover_signal", "var_cvar"]
 
 
 def backtest_stats(
@@ -306,3 +306,139 @@ def var_cvar(
         F.col("var").alias(f"var_{int(alpha * 100)}"),
         F.col("cvar").alias(f"cvar_{int(alpha * 100)}"),
     )
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation (|err| < 1.5e-7): the
+# SAME polynomial evaluates in the SQL oracle, so cross-engine values
+# are identical by construction (unlike a library erf, which this
+# container's engines do not share).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _norm_cdf(z):
+    """Standard normal CDF via the A&S erf polynomial (column expr)."""
+    import math as _math
+
+    x = z / _math.sqrt(2.0)
+    sign = F.when(x < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * ax)
+    a1, a2, a3, a4, a5 = _AS_A
+    poly = (
+        (((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t
+        + F.lit(a1)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.lit(0.5) * (F.lit(1.0) + sign * erf)
+
+
+def deflated_sharpe(
+    bars: DataFrame,
+    *,
+    periods_per_year: float,
+    n_trials: int,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Probabilistic and Deflated Sharpe Ratio (Bailey & López de
+    Prado 2012/2014) per symbol — multiple-testing-aware performance
+    evaluation on top of ``backtest_stats``:
+
+    * ``psr_prob`` = Phi(psr_z): probability the true Sharpe exceeds 0
+      given skew/kurtosis-adjusted estimation error;
+    * ``sr0`` = E[max Sharpe of ``n_trials`` zero-skill trials]
+      = sqrt(V_trials) * ((1-gamma) * z_{1-1/N} + gamma * z_{1-1/(Ne)})
+      with ``V_trials`` the observed cross-trial variance of the
+      per-period Sharpe and the quantiles PYTHON-computed constants
+      (``statistics.NormalDist``);
+    * ``dsr_z`` / ``dsr_prob``: the PSR statistic re-centered at
+      ``sr0`` — the probability the strategy beats the best of N
+      uninformed trials.  ``dsr_prob < 0.95`` means the track record
+      is explainable by selection bias alone.
+
+    ``n_trials`` is the number of configurations TRIED (>= the number
+    of surviving symbols; pass it explicitly — it is unknowable from
+    the data).  Normal CDF values use the A&S 7.1.26 erf polynomial so
+    both engines produce bit-identical probabilities.
+
+    Distributed shape: one pass of ``backtest_stats`` (per-symbol hash
+    aggregate), then the cross-trial variance folds SYMBOL-ORDERED
+    running sums over the aggregate-bounded stats frame and broadcasts
+    one row back.  Zero Python, zero extra scans of the bar frame.
+    """
+    import math as _math
+    from statistics import NormalDist
+
+    if n_trials < 2:
+        raise ValueError(f"n_trials must be >= 2, got {n_trials}")
+
+    stats = backtest_stats(
+        bars,
+        periods_per_year=periods_per_year,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+    )
+    sqrt_ann = _math.sqrt(periods_per_year)
+    sr = F.col("sharpe") / F.lit(sqrt_ann)  # back to per-period units
+
+    valid = stats.where(F.col("sharpe").isNotNull()).withColumn("__sr", sr)
+    w_g = Window.orderBy(symbol_col)
+    run = w_g.rowsBetween(Window.unboundedPreceding, 0)
+    full = w_g.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    vrow = (
+        valid.withColumn("__rn", F.row_number().over(w_g))
+        .withColumn("__k", F.count(F.lit(1)).over(full))
+        .withColumn("__s1", F.sum("__sr").over(run))
+        .withColumn("__s2", F.sum(F.col("__sr") * F.col("__sr")).over(run))
+        .where(F.col("__rn") == F.col("__k"))
+        .select(
+            F.when(
+                F.col("__k") > 1,
+                (
+                    F.col("__s2")
+                    - F.col("__k") * (F.col("__s1") / F.col("__k"))
+                    * (F.col("__s1") / F.col("__k"))
+                )
+                / (F.col("__k") - 1),
+            ).alias("__v")
+        )
+    )
+
+    nd = NormalDist()
+    gamma = 0.5772156649015329  # Euler-Mascheroni
+    z1 = nd.inv_cdf(1.0 - 1.0 / n_trials)
+    z2 = nd.inv_cdf(1.0 - 1.0 / (n_trials * _math.e))
+    sr0 = F.sqrt(F.when(F.col("__v") > 0, F.col("__v"))) * F.lit(
+        (1.0 - gamma) * z1 + gamma * z2
+    )
+
+    n = F.col("n_periods").cast("double")
+    psr_var = (
+        F.lit(1.0)
+        - F.col("skew") * F.col("__sr")
+        + (F.col("kurtosis") - 1) / 4 * F.col("__sr") * F.col("__sr")
+    )
+    dsr_z = F.when(
+        (F.col("n_periods") > 1) & (psr_var > 0),
+        (F.col("__sr") - F.col("__sr0")) * F.sqrt(n - 1) / F.sqrt(psr_var),
+    )
+    out = (
+        valid.crossJoin(F.broadcast(vrow))
+        .withColumn("__sr0", sr0)
+        .withColumn("__dsr_z", dsr_z)
+        .select(
+            symbol_col,
+            "n_periods",
+            "sharpe",
+            "psr_z",
+            _norm_cdf(F.col("psr_z")).alias("psr_prob"),
+            F.col("__sr0").alias("sr0"),
+            F.col("__dsr_z").alias("dsr_z"),
+            _norm_cdf(F.col("__dsr_z")).alias("dsr_prob"),
+            F.lit(int(n_trials)).cast("int").alias("n_trials"),
+        )
+    )
+    return out

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cross_sectional_zscore", "fama_macbeth", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+__all__ = ["cross_sectional_zscore", "fama_macbeth",
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -491,4 +492,88 @@ def lead_lag_corr(
         "corr_a_leads",
         "corr_b_leads",
         (F.col("corr_a_leads") - F.col("corr_b_leads")).alias("llr"),
+    )
+
+
+def fama_macbeth_summary(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    min_obs: int = 3,
+    nw_lags: int = 4,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Fama-MacBeth second pass: the time-series mean of the
+    per-period factor returns from ``fama_macbeth`` with a
+    Newey-West (1987) HAC t-statistic — the publication-grade answer
+    to "is the factor priced?", robust to autocorrelation in the
+    gamma series up to ``nw_lags`` (Bartlett kernel).
+
+        t_NW = mean(g) / sqrt( (c0 + 2 * sum_l w_l c_l) / T^2 ),
+        w_l = 1 - l/(L+1),  c_l = sum_t (g_t - mean)(g_{t-l} - mean)
+
+    Output: ONE row — ``n_periods``, ``gamma1_mean``, ``gamma1_t_nw``,
+    ``gamma0_mean``, ``nw_lags``; t-stat null when T <= nw_lags + 1 or
+    the variance estimate is non-positive (possible with HAC weights).
+
+    Distributed shape: the gamma series is one row per bar timestamp —
+    the per-timestamp OLS aggregate has ALREADY collapsed cardinality,
+    so the summary's global windows run over aggregate-bounded input
+    (the plan-contract detector verifies exactly this).  Lag products
+    and moment sums fold as timestamp-ordered running sums read off the
+    last row: engine-independent fold order.
+    """
+    if nw_lags < 0:
+        raise ValueError(f"nw_lags must be >= 0, got {nw_lags}")
+
+    g = fama_macbeth(
+        bars,
+        lookback=lookback,
+        min_obs=min_obs,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+    ).where(F.col("gamma1").isNotNull())
+
+    w_ts = Window.orderBy(ts_col)
+    full = w_ts.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    run = w_ts.rowsBetween(Window.unboundedPreceding, 0)
+
+    staged = (
+        g.withColumn("__T", F.count(F.lit(1)).over(full))
+        .withColumn("__mu1", F.sum("gamma1").over(full) / F.col("__T"))
+        .withColumn("__mu0", F.sum("gamma0").over(full) / F.col("__T"))
+        .withColumn("__d", F.col("gamma1") - F.col("__mu1"))
+    )
+    # stage the lagged deviations first — a window result cannot nest
+    # inside the next window aggregate (same restriction in the oracle)
+    for l in range(1, nw_lags + 1):
+        staged = staged.withColumn(f"__dl{l}", F.lag("__d", l).over(w_ts))
+    staged = staged.withColumn("__c0", F.sum(F.col("__d") * F.col("__d")).over(run))
+    for l in range(1, nw_lags + 1):
+        staged = staged.withColumn(
+            f"__c{l}", F.sum(F.col("__d") * F.col(f"__dl{l}")).over(run)
+        )
+    staged = staged.withColumn("__rn", F.row_number().over(w_ts)).where(
+        F.col("__rn") == F.col("__T")
+    )
+
+    T = F.col("__T").cast("double")
+    var_sum = F.col("__c0")
+    for l in range(1, nw_lags + 1):
+        w_l = 1.0 - l / (nw_lags + 1.0)
+        var_sum = var_sum + F.lit(2.0 * w_l) * F.coalesce(F.col(f"__c{l}"), F.lit(0.0))
+    var_mean = var_sum / (T * T)
+    t_nw = F.when(
+        (F.col("__T") > nw_lags + 1) & (var_mean > 0),
+        F.col("__mu1") / F.sqrt(var_mean),
+    )
+    return staged.select(
+        F.col("__T").cast("long").alias("n_periods"),
+        F.col("__mu1").alias("gamma1_mean"),
+        t_nw.alias("gamma1_t_nw"),
+        F.col("__mu0").alias("gamma0_mean"),
+        F.lit(nw_lags).cast("int").alias("nw_lags"),
     )

@@ -7514,6 +7514,387 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Fama-MacBeth second pass with Newey-West t-stat
+# (operators/cross_section.py::fama_macbeth_summary) — gamma series
+# recomputed by the same CTEs, summary folds replayed in ts order.
+# --------------------------------------------------------------------------
+
+_FM_NW = 4
+_FM_NW_TERMS = " + ".join(
+    f"{2.0 * (1.0 - l / (_FM_NW + 1.0))!r} * coalesce(c{l}, 0.0)"
+    for l in range(1, _FM_NW + 1)
+)
+_FM_NW_LAGS_SQL = ",\n    ".join(
+    f"lag(dd, {l}) OVER (ORDER BY ts) AS d{l}" for l in range(1, _FM_NW + 1)
+)
+_FM_NW_SUMS_SQL = ",\n    ".join(
+    f"sum(dd * d{l}) OVER wr AS c{l}" for l in range(1, _FM_NW + 1)
+)
+
+
+@register(
+    "fama_macbeth_nw",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT ts,
+    lead(close) OVER w / close - 1 AS fwd,
+    close / lag(close, {_FM_LB}) OVER w - 1 AS fac
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+r1 AS (SELECT * FROM r0 WHERE fwd IS NOT NULL AND fac IS NOT NULL),
+g AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(fac) AS sx, sum(fwd) AS sy, sum(fac*fac) AS sxx, sum(fac*fwd) AS sxy
+  FROM r1 GROUP BY ts
+),
+fit AS (
+  SELECT ts, n_obs,
+    CASE WHEN n_obs*sxx - sx*sx > 0
+         THEN (n_obs*sxy - sx*sy) / (n_obs*sxx - sx*sx) END AS gamma1,
+    sx, sy
+  FROM g WHERE n_obs >= {_FM_MIN}
+),
+fmg AS (
+  SELECT ts, gamma1, (sy - gamma1*sx) / n_obs AS gamma0
+  FROM fit WHERE gamma1 IS NOT NULL
+),
+fms AS (
+  SELECT ts, gamma1, gamma0,
+    count(*) OVER wf AS T,
+    sum(gamma1) OVER wf / count(*) OVER wf AS mu1,
+    sum(gamma0) OVER wf / count(*) OVER wf AS mu0
+  FROM fmg
+  WINDOW wf AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+fmd AS (SELECT ts, T, mu1, mu0, gamma1 - mu1 AS dd FROM fms),
+fml AS (
+  SELECT *, row_number() OVER (ORDER BY ts) AS rn,
+    {_FM_NW_LAGS_SQL}
+  FROM fmd
+),
+fmc AS (
+  SELECT *, sum(dd * dd) OVER wr AS c0,
+    {_FM_NW_SUMS_SQL}
+  FROM fml
+  WINDOW wr AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fmlast AS (SELECT * FROM fmc WHERE rn = T),
+fmout AS (
+  SELECT CAST(T AS BIGINT) AS n_periods, mu1, mu0,
+    (c0 + {_FM_NW_TERMS}) / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)) AS var_mean,
+    T > {_FM_NW + 1} AS enough
+  FROM fmlast
+)
+SELECT n_periods,
+  round(mu1, 6) + 0 AS gamma1_mean,
+  round(CASE WHEN enough AND var_mean > 0 THEN mu1 / sqrt(var_mean) END, 6) + 0
+    AS gamma1_t_nw,
+  round(mu0, 6) + 0 AS gamma0_mean,
+  CAST({_FM_NW} AS INTEGER) AS nw_lags
+FROM fmout
+""",
+    f"Fama-MacBeth second pass: time-series mean of the per-period "
+    f"factor return with a Newey-West (Bartlett, L={_FM_NW}) HAC "
+    "t-stat — summary folds over the aggregate-bounded gamma series, "
+    "ts-ordered running sums, zero Python",
+)
+def q_fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import fama_macbeth_summary
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = fama_macbeth_summary(
+        bars, lookback=_FM_LB, min_obs=_FM_MIN, nw_lags=_FM_NW,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_periods",
+        (F.round("gamma1_mean", 6) + z0).alias("gamma1_mean"),
+        (F.round("gamma1_t_nw", 6) + z0).alias("gamma1_t_nw"),
+        (F.round("gamma0_mean", 6) + z0).alias("gamma0_mean"),
+        "nw_lags",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Deflated Sharpe ratio (operators/backtest.py::deflated_sharpe) —
+# PSR/DSR probabilities via the SAME A&S erf polynomial in both engines;
+# trial-max quantiles are Python-computed constants injected verbatim.
+# --------------------------------------------------------------------------
+
+_DS_TRIALS = 10
+
+
+def _sql_norm_cdf(z: str) -> str:
+    """DuckDB twin of operators/backtest.py::_norm_cdf — identical
+    constants and association, so probabilities match bit-for-bit."""
+    import math as _m
+
+    from polars_trading_spark.operators.backtest import _AS_A, _AS_P
+
+    a1, a2, a3, a4, a5 = _AS_A
+    x = f"(({z}) / {_m.sqrt(2.0)!r})"
+    sign = f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+    ax = f"abs({x})"
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {ax}))"
+    poly = (
+        f"((((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} + {a2!r}) * {t}"
+        f" + {a1!r}) * {t})"
+    )
+    return f"(0.5 * (1.0 + {sign} * (1.0 - {poly} * exp(-{ax} * {ax}))))"
+
+
+def _ds_consts():
+    import math as _m
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    gamma = 0.5772156649015329
+    z1 = nd.inv_cdf(1.0 - 1.0 / _DS_TRIALS)
+    z2 = nd.inv_cdf(1.0 - 1.0 / (_DS_TRIALS * _m.e))
+    return (1.0 - gamma) * z1 + gamma * z2
+
+
+@register(
+    "deflated_sharpe",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ret FROM rets WHERE ret IS NOT NULL),
+agg AS (
+  SELECT symbol, count(ret) AS n, sum(ret) AS s1, sum(ret*ret) AS s2,
+    sum(ret*ret*ret) AS s3, sum(ret*ret*ret*ret) AS s4
+  FROM r2 GROUP BY symbol
+),
+calc AS (
+  SELECT symbol, n, s1 / n AS mu,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * s2 / n
+      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * s3 / n
+      + 6 * (s1 / n) * (s1 / n) * s2 / n
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+    CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END AS var_s
+  FROM agg
+),
+calc2 AS (
+  SELECT *, CASE WHEN var_s > 0 THEN sqrt(var_s) END AS sd,
+    CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END AS g3,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM calc
+),
+calc3 AS (
+  SELECT *, mu / sd AS sr,
+    1 - (CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END) * (mu / sd)
+      + ((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END) - 1) / 4
+        * (mu / sd) * (mu / sd) AS psr_var
+  FROM calc2
+),
+dsv AS (
+  SELECT symbol, n, sr, g3, g4, psr_var,
+    CASE WHEN n > 1 AND psr_var > 0
+         THEN sr * sqrt(n - 1) / sqrt(psr_var) END AS psr_z,
+    (sr * {_BT_SQRT_PPY!r}) AS sharpe_ann,
+    ((sr * {_BT_SQRT_PPY!r}) / {_BT_SQRT_PPY!r}) AS srp
+  FROM calc3 WHERE sr IS NOT NULL
+),
+dsr0 AS (
+  SELECT srp, row_number() OVER (ORDER BY symbol) AS rn,
+    count(*) OVER () AS k_,
+    sum(srp) OVER (ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS s1_,
+    sum(srp * srp) OVER (ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS s2_
+  FROM dsv
+),
+dsvv AS (
+  SELECT CASE WHEN k_ > 1
+         THEN (s2_ - k_ * (s1_ / k_) * (s1_ / k_)) / (k_ - 1) END AS v
+  FROM dsr0 WHERE rn = k_
+),
+dsfin AS (
+  SELECT d.symbol, d.n, d.sharpe_ann, d.psr_z,
+    sqrt(CASE WHEN v.v > 0 THEN v.v END) * {_ds_consts()!r} AS sr0,
+    d.srp, d.g3, d.g4
+  FROM dsv d CROSS JOIN dsvv v
+),
+dsz AS (
+  SELECT symbol, n, sharpe_ann, psr_z, sr0,
+    CASE WHEN n > 1
+          AND (1.0 - g3 * srp + (g4 - 1) / 4 * srp * srp) > 0
+         THEN (srp - sr0) * sqrt(n - 1)
+              / sqrt(1.0 - g3 * srp + (g4 - 1) / 4 * srp * srp) END AS dsr_z
+  FROM dsfin
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_periods,
+  round(sharpe_ann, 6) + 0 AS sharpe,
+  round(psr_z, 6) + 0 AS psr_z,
+  round({_sql_norm_cdf('psr_z')}, 6) + 0 AS psr_prob,
+  round(sr0, 6) + 0 AS sr0,
+  round(dsr_z, 6) + 0 AS dsr_z,
+  round({_sql_norm_cdf('dsr_z')}, 6) + 0 AS dsr_prob,
+  CAST({_DS_TRIALS} AS INTEGER) AS n_trials
+FROM dsz
+""",
+    f"Probabilistic + Deflated Sharpe (Bailey-Lopez de Prado, "
+    f"N={_DS_TRIALS} trials) — multiple-testing-aware evaluation; "
+    "trial-max quantiles as injected constants, normal CDF via the "
+    "shared A&S erf polynomial, symbol-ordered cross-trial variance "
+    "fold over the aggregate-bounded stats frame, zero Python",
+)
+def q_deflated_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import deflated_sharpe
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = deflated_sharpe(
+        bars, periods_per_year=_BT_PPY, n_trials=_DS_TRIALS,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_periods",
+        (F.round("sharpe", 6) + z0).alias("sharpe"),
+        (F.round("psr_z", 6) + z0).alias("psr_z"),
+        (F.round("psr_prob", 6) + z0).alias("psr_prob"),
+        (F.round("sr0", 6) + z0).alias("sr0"),
+        (F.round("dsr_z", 6) + z0).alias("dsr_z"),
+        (F.round("dsr_prob", 6) + z0).alias("dsr_prob"),
+        "n_trials",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Nearest as-of join (operators/asof.py strategy="nearest") —
+# closest-in-either-direction match, ties backward; oracle via
+# correlated min/max subqueries against the unique-keyed bar frame.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_nearest",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+nk AS (
+  SELECT t.symbol, t.ts_event, t.seq, t.price,
+    (SELECT max(b.ts) FROM bars b
+     WHERE b.symbol = t.symbol AND b.ts <= t.ts_event) AS kb,
+    (SELECT min(b.ts) FROM bars b
+     WHERE b.symbol = t.symbol AND b.ts >= t.ts_event) AS kf
+  FROM trades t
+),
+nc AS (
+  SELECT symbol, ts_event, seq, price,
+    CASE WHEN kf IS NULL THEN kb
+         WHEN kb IS NULL THEN kf
+         WHEN (ts_event - kb) <= (kf - ts_event) THEN kb
+         ELSE kf END AS mk
+  FROM nk
+)
+SELECT nc.symbol, nc.ts_event, nc.seq, nc.mk AS bar_ts,
+  b.close AS bar_close, CAST(b.volume AS BIGINT) AS bar_volume
+FROM nc LEFT JOIN bars b ON b.symbol = nc.symbol AND b.ts = nc.mk
+""",
+    "Nearest as-of join (closest 15m bar in either direction, ties "
+    "backward) — both directional scans over one union-marker exchange, "
+    "running frames only, zero Python",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.asof import asof_join
+
+    t = trades_from_events(spark, sf_dir)
+    with _trades_config():
+        bars = bars_ops.time_bars(t, bar_size=TIME_BAR_SIZE)
+    right = bars.select(
+        "symbol",
+        F.col("ts_event").alias("bar_ts"),  # bucket boundary (time_bars
+        # keeps the configured timestamp name for the bucket column)
+        F.col("close").alias("bar_close"),
+        F.col("volume").alias("bar_volume"),
+    )
+    out = asof_join(
+        t.select("symbol", "ts_event", F.col(SEQ_COL).alias("seq"), "price"),
+        right,
+        left_on="ts_event",
+        right_on="bar_ts",
+        by="symbol",
+        strategy="nearest",
+    )
+    return out.select(
+        "symbol", "ts_event", "seq", "bar_ts", "bar_close", "bar_volume"
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Interval (range) join (operators/interval.py) — bucketed
+# equi-join, never nested-loop; event-window trade aggregation replayed
+# by a direct theta join.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_events",
+    """
+WITH trades AS ({TRADES_CTE}),
+ev AS (
+  SELECT symbol, ts_event AS w_start,
+         ts_event + INTERVAL 45 MINUTES AS w_end, seq AS event_seq
+  FROM trades WHERE seq % 50 = 0
+)
+SELECT e.symbol, e.event_seq, e.w_start,
+  CAST(count(*) AS BIGINT) AS n_trades,
+  CAST(sum(t.size) AS BIGINT) AS sum_size
+FROM ev e JOIN trades t
+  ON t.symbol = e.symbol AND t.ts_event >= e.w_start AND t.ts_event <= e.w_end
+GROUP BY 1, 2, 3
+""".format(TRADES_CTE=TRADES_CTE),
+    "Interval join: trades aggregated into 45m event windows via the "
+    "bucketed-grid equi-join (fan-out bounded, AQE-skew-splittable; "
+    "Spark's raw BETWEEN join would nested-loop) — integer outputs",
+)
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.interval import interval_join
+
+    t = trades_from_events(spark, sf_dir).select(
+        "symbol", "ts_event", F.col(SEQ_COL).alias("seq"), "size"
+    )
+    ev = t.where(F.col("seq") % 50 == 0).select(
+        "symbol",
+        F.col("ts_event").alias("w_start"),
+        (F.col("ts_event") + F.expr("INTERVAL 45 MINUTES")).alias("w_end"),
+        F.col("seq").alias("event_seq"),
+    )
+    j = interval_join(
+        t,
+        ev,
+        point_on="ts_event",
+        start_on="w_start",
+        end_on="w_end",
+        by="symbol",
+        bucket="45m",
+    )
+    return j.groupBy("symbol", "event_seq", "w_start").agg(
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("size").cast("long").alias("sum_size"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #

@@ -49,3 +49,7 @@ from polars_trading_spark.streaming.hawkes import (  # noqa: E402
 )
 
 __all__.append("streaming_hawkes_intensity")
+
+from polars_trading_spark.streaming.rsi import streaming_rsi  # noqa: E402
+
+__all__.append("streaming_rsi")

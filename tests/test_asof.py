@@ -70,3 +70,89 @@ def test_different_key_names_keeps_matched_key(spark):
     row = out.collect()[0]
     assert row["tag"] == "m"
     assert row["anchor"] == 3
+
+
+class TestAsofNearest:
+    def _frames(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [
+                ("A", base + dt.timedelta(seconds=s), i)
+                for i, s in enumerate([5, 10, 14, 100])
+            ]
+            + [("B", base + dt.timedelta(seconds=7), 99)],
+            "symbol string, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [
+                ("A", base + dt.timedelta(seconds=s), v)
+                for s, v in [(0, 1.0), (12, 2.0), (16, 3.0)]
+            ]
+            + [("B", base + dt.timedelta(seconds=300), 9.0)],
+            "symbol string, ts timestamp, val double",
+        )
+        return left, right
+
+    def test_nearest_picks_closer_side_and_breaks_ties_backward(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["lid"]: r
+            for r in asof_join(
+                left, right, on="ts", by="symbol", strategy="nearest"
+            ).collect()
+        }
+        base = dt.datetime(2024, 1, 1)
+        # lid 0 @5s: candidates 0s (d=5) vs 12s (d=7) -> backward 0s
+        assert out[0]["val"] == 1.0
+        # lid 1 @10s: 0s (d=10) vs 12s (d=2) -> forward 12s
+        assert out[1]["val"] == 2.0
+        assert out[1]["ts_right"] == base + dt.timedelta(seconds=12)
+        # lid 2 @14s: 12s (d=2) vs 16s (d=2) -> TIE -> backward 12s
+        assert out[2]["val"] == 2.0
+        # lid 3 @100s: only backward side exists beyond 16s -> 16s
+        assert out[3]["val"] == 3.0
+        # B @7s: only forward candidate (300s)
+        assert out[99]["val"] == 9.0
+
+    def test_nearest_tolerance_nulls_far_matches(self, spark):
+        from pyspark.sql import functions as F
+
+        from polars_trading_spark.operators.asof import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            r["lid"]: r
+            for r in asof_join(
+                left,
+                right,
+                on="ts",
+                by="symbol",
+                strategy="nearest",
+                tolerance=F.expr("INTERVAL 10 SECONDS"),
+            ).collect()
+        }
+        assert out[0]["val"] == 1.0  # 5s away, inside tolerance
+        assert out[3]["val"] is None and out[3]["ts_right"] is None  # 84s away
+        assert out[99]["val"] is None  # 293s away
+
+    def test_nearest_plan_single_exchange(self, spark):
+        from polars_trading_spark.operators.asof import asof_join
+        from polars_trading_spark.plans import (
+            count_exchanges,
+            count_python_stages,
+            has_unbounded_following_frame,
+        )
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, on="ts", by="symbol", strategy="nearest")
+        assert count_python_stages(out) == 0
+        # both directional scans ride the same symbol exchange (the
+        # union adds its own round-robin-free scans); no O(n^2) frames
+        assert not has_unbounded_following_frame(out)
+        assert count_exchanges(out) <= 2

@@ -332,3 +332,83 @@ def test_rank_portfolio_validation(spark):
         rank_portfolio_backtest(df, lookback=0)
     with pytest.raises(ValueError, match="top_n"):
         rank_portfolio_backtest(df, top_n=0)
+
+
+class TestDeflatedSharpe:
+    def _bars(self, spark, seed=7, n=400, drift=(0.004, 0.0, -0.002, 0.001, 0.002)):
+        import datetime as dt
+
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for s_i, mu in enumerate(drift):
+            p = 100 * np.exp(np.cumsum(rng.normal(mu, 0.01, n)))
+            for i in range(n):
+                rows.append((f"S{s_i}", base + dt.timedelta(hours=i), float(p[i])))
+        return spark.createDataFrame(
+            rows, "symbol string, ts_event_start timestamp, close double"
+        )
+
+    def test_probabilities_match_normal_cdf_and_ordering(self, spark):
+        import math
+        from statistics import NormalDist
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import (
+            backtest_stats,
+            deflated_sharpe,
+        )
+
+        bars = self._bars(spark)
+        ppy = 24 * 365
+        out = {
+            r["symbol"]: r
+            for r in deflated_sharpe(bars, periods_per_year=ppy, n_trials=10).collect()
+        }
+        stats = {
+            r["symbol"]: r
+            for r in backtest_stats(bars, periods_per_year=ppy).collect()
+        }
+        nd = NormalDist()
+        srs = [stats[s]["sharpe"] / math.sqrt(ppy) for s in sorted(stats)]
+        mean_sr = sum(srs) / len(srs)
+        v = sum((x - mean_sr) ** 2 for x in srs) / (len(srs) - 1)
+        gamma = 0.5772156649015329
+        sr0 = math.sqrt(v) * (
+            (1 - gamma) * nd.inv_cdf(1 - 1 / 10)
+            + gamma * nd.inv_cdf(1 - 1 / (10 * math.e))
+        )
+        for s, r in out.items():
+            st = stats[s]
+            # A&S polynomial is within 1.5e-7 of the true normal CDF
+            assert r["psr_prob"] == pt.approx(nd.cdf(st["psr_z"]), abs=2e-7)
+            assert r["sr0"] == pt.approx(sr0, rel=1e-9)
+            sr = st["sharpe"] / math.sqrt(ppy)
+            var = 1 - st["skew"] * sr + (st["kurtosis"] - 1) / 4 * sr * sr
+            dsr_z = (sr - sr0) * math.sqrt(st["n_periods"] - 1) / math.sqrt(var)
+            assert r["dsr_z"] == pt.approx(dsr_z, rel=1e-9)
+            assert r["dsr_prob"] == pt.approx(nd.cdf(dsr_z), abs=2e-7)
+        # deflation must strictly lower every z-score (sr0 > 0 here)
+        for s, r in out.items():
+            assert r["dsr_z"] < stats[s]["psr_z"]
+        # the strongly-drifting symbol still survives deflation best
+        assert max(out, key=lambda s: out[s]["dsr_prob"]) == "S0"
+
+    def test_validation_and_plan(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import deflated_sharpe
+        from polars_trading_spark.plans import (
+            count_python_stages,
+            unbounded_global_windows,
+        )
+
+        bars = self._bars(spark, n=50)
+        with pt.raises(ValueError):
+            deflated_sharpe(bars, periods_per_year=252, n_trials=1)
+        out = deflated_sharpe(bars, periods_per_year=252, n_trials=5)
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []

@@ -631,3 +631,100 @@ class TestFamaMacbeth:
         # one exchange for the per-symbol window, one for the per-ts agg
         assert count_exchanges(out) <= 2
         assert count_python_stages(out) == 0
+
+
+class TestFamaMacbethSummary:
+    def _bars(self, spark, seed=13, n=120, syms=("A", "B", "C", "D", "E")):
+        import datetime as dt
+
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for s_i, sym in enumerate(syms):
+            p = 100 * np.exp(np.cumsum(rng.normal(0.0005 * s_i, 0.01, n)))
+            for i in range(n):
+                rows.append((sym, base + dt.timedelta(hours=i), float(p[i])))
+        return spark.createDataFrame(
+            rows, "symbol string, ts_event_start timestamp, close double"
+        )
+
+    @staticmethod
+    def _ref(rows, lookback=5, min_obs=3, L=4):
+        import numpy as np
+
+        by_sym = {}
+        for sym, ts, c in rows:
+            by_sym.setdefault(sym, []).append((ts, c))
+        per_ts = {}
+        for sym, series in by_sym.items():
+            series.sort()
+            cs = [c for _, c in series]
+            for i, (ts, c) in enumerate(series):
+                fwd = cs[i + 1] / c - 1 if i + 1 < len(cs) else None
+                fac = c / cs[i - lookback] - 1 if i >= lookback else None
+                if fwd is not None and fac is not None:
+                    per_ts.setdefault(ts, []).append((fac, fwd))
+        g0s, g1s = [], []
+        for ts in sorted(per_ts):
+            pairs = per_ts[ts]
+            if len(pairs) < min_obs:
+                continue
+            x = np.array([a for a, _ in pairs])
+            y = np.array([b for _, b in pairs])
+            den = len(x) * (x * x).sum() - x.sum() ** 2
+            if den <= 0:
+                continue
+            g1 = (len(x) * (x * y).sum() - x.sum() * y.sum()) / den
+            g1s.append(g1)
+            g0s.append((y.sum() - g1 * x.sum()) / len(x))
+        g = np.array(g1s)
+        T = len(g)
+        mu = g.mean()
+        d = g - mu
+        var = (d * d).sum()
+        for l in range(1, L + 1):
+            w = 1 - l / (L + 1)
+            var += 2 * w * (d[l:] * d[:-l]).sum()
+        var_mean = var / T**2
+        return {
+            "n_periods": T,
+            "gamma1_mean": mu,
+            "gamma1_t_nw": mu / var_mean**0.5 if var_mean > 0 else None,
+            "gamma0_mean": float(np.mean(g0s)),
+        }
+
+    def test_matches_numpy_reference(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.operators.cross_section import fama_macbeth_summary
+
+        bars = self._bars(spark)
+        rows = [(r["symbol"], r["ts_event_start"], r["close"]) for r in bars.collect()]
+        out = fama_macbeth_summary(bars).collect()
+        assert len(out) == 1
+        got, ref = out[0], self._ref(rows)
+        assert got["n_periods"] == ref["n_periods"] > 50
+        assert got["gamma1_mean"] == pt.approx(ref["gamma1_mean"], rel=1e-9, abs=1e-12)
+        assert got["gamma1_t_nw"] == pt.approx(ref["gamma1_t_nw"], rel=1e-9)
+        assert got["gamma0_mean"] == pt.approx(ref["gamma0_mean"], rel=1e-9, abs=1e-12)
+        assert got["nw_lags"] == 4
+
+    def test_validation_and_bounded_global_window(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.operators.cross_section import fama_macbeth_summary
+        from polars_trading_spark.plans import (
+            count_python_stages,
+            unbounded_global_windows,
+        )
+
+        bars = self._bars(spark, n=30)
+        with pt.raises(ValueError):
+            fama_macbeth_summary(bars, nw_lags=-1)
+        out = fama_macbeth_summary(bars)
+        assert count_python_stages(out) == 0
+        # the summary's global windows must sit above the per-timestamp
+        # aggregate (cardinality already collapsed)
+        assert unbounded_global_windows(out) == []

@@ -996,3 +996,63 @@ def test_streaming_hawkes_matches_batch_across_batches(spark):
             assert r["excitation"] == pytest.approx(be, rel=1e-9, abs=1e-12)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rsi_matches_batch_across_batches(spark):
+    """RSI chunk state (last price, diff count, open-chunk sums, two
+    prior chunk totals) must carry across micro-batches."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.rsi import rsi
+    from polars_trading_spark.streaming import streaming_rsi
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 1, 1, 9, 30)
+        price = 100.0
+        for i in range(260):
+            t = t + dt.timedelta(seconds=float(rng.exponential(30)) + 0.001)
+            price = max(1.0, price + float(rng.normal(0, 1.5)))
+            rows.append((sym, t, len(rows), price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long, price double"
+
+    # period=2 -> chunk_len=64: each symbol's 260 diffs cross chunk
+    # boundaries several times, and the two-file split lands mid-chunk
+    period = 2
+    batch = {
+        (r["symbol"], r["seq"]): r["rsi"]
+        for r in rsi(
+            spark.createDataFrame(pdf, schema), period=period, seq_col="seq"
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_rsi_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_rsi(stream, period=period)
+
+        rows_out = _run_stream(spark, make)
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            if b is None:
+                assert r["rsi"] is None, r["seq"]
+            else:
+                assert r["rsi"] == pytest.approx(b, rel=1e-9, abs=1e-9), r["seq"]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
