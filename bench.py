@@ -145,6 +145,8 @@ HEADLINE = [
     "deflated_sharpe",
     "asof_join_nearest",
     "interval_join_events",
+    "funnel_latency",
+    "ngram_novelty",
 ]
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import parse_duration
 
-__all__ = ["event_funnel", "event_transitions", "retention_cohorts", "sessionize"]
+__all__ = ["event_funnel", "event_transitions", "funnel_latency", "retention_cohorts", "sessionize"]
 
 
 def sessionize(
@@ -208,4 +208,97 @@ def event_transitions(
         "n",
         F.sum("n").over(w_from).alias("n_from"),
         (F.col("n").cast("double") / F.sum("n").over(w_from).cast("double")).alias("p"),
+    )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Step-to-step conversion and latency profile of an ordered
+    funnel: for each consecutive pair (step i -> step i+1), how many
+    users arrive, how many convert, and the EXACT median / p90 of the
+    conversion latency.
+
+    Count-based order statistics (the var_cvar convention): with n
+    converters, median = the ``(n+1) // 2``-th smallest latency and
+    p90 = the ``(9n + 9) // 10``-th (integer ceil of 0.9n — computed
+    in integer arithmetic because ``ceil(0.9 * n)`` in floats can
+    round 27.000000000000004 up).  Ties break by user id, so the
+    selected rows are deterministic on every engine.
+
+    Output: one row per step pair — ``step_idx, step_from, step_to,
+    n_from, n_to, conv_rate, med_latency_s, p90_latency_s``.
+
+    Shape: one funnel pass (k tiny column expressions over the per-user
+    aggregate), a (k-1)-way union of pair projections, one rank window
+    per pair and one conditional aggregate.  The rank window partitions
+    by step pair — k-1 partitions of converter-count rows; for
+    billion-user funnels swap the exact selection for approx_percentile
+    (documented dial, same output schema).
+    """
+    from functools import reduce as _reduce
+
+    fun = event_funnel(
+        events, steps, user_col=user_col, ts_col=ts_col, type_col=type_col
+    )
+    parts = []
+    for i in range(len(steps) - 1):
+        a, b = steps[i], steps[i + 1]
+        parts.append(
+            fun.select(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(a).alias("step_from"),
+                F.lit(b).alias("step_to"),
+                F.col(user_col).alias("__u"),
+                F.col(f"ts_{a}").alias("__ta"),
+                F.col(f"ts_{b}").alias("__tb"),
+            )
+        )
+    allp = _reduce(lambda x, y: x.unionByName(y), parts)
+    base = allp.withColumn(
+        "__lat", F.unix_micros("__tb") - F.unix_micros("__ta")
+    )
+
+    conv = base.groupBy("step_idx", "step_from", "step_to").agg(
+        F.sum(F.when(F.col("__ta").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_from"),
+        F.sum(F.when(F.col("__tb").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_to"),
+    )
+
+    lat = base.where(F.col("__lat").isNotNull())
+    w_rank = Window.partitionBy("step_idx").orderBy(F.asc("__lat"), F.asc("__u"))
+    w_n = Window.partitionBy("step_idx")
+    ranked = lat.withColumn("__rk", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_n)
+    )
+    k_med = F.floor((F.col("__n") + 1) / 2)
+    k_p90 = F.floor((9 * F.col("__n") + 9) / 10)
+    sel = ranked.groupBy("step_idx").agg(
+        F.max(F.when(F.col("__rk") == k_med, F.col("__lat"))).alias("__med_us"),
+        F.max(F.when(F.col("__rk") == k_p90, F.col("__lat"))).alias("__p90_us"),
+    )
+
+    return (
+        conv.join(sel, "step_idx", "left")
+        .select(
+            "step_idx",
+            "step_from",
+            "step_to",
+            "n_from",
+            "n_to",
+            F.when(
+                F.col("n_from") > 0,
+                F.col("n_to").cast("double") / F.col("n_from").cast("double"),
+            ).alias("conv_rate"),
+            (F.col("__med_us") / 1_000_000.0).alias("med_latency_s"),
+            (F.col("__p90_us") / 1_000_000.0).alias("p90_latency_s"),
+        )
     )

@@ -36,6 +36,7 @@ __all__ = [
     "unigram_logprob",
     "STOPWORDS",
     "reading_ease",
+    "ngram_novelty",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -769,4 +770,60 @@ def reading_ease(
         F.col("__n_sents").alias("n_sentences"),
         F.col("__n_syl").alias("n_syllables"),
         flesch.alias("flesch"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear in NO other document.
+
+    The corpus-level complement of the dedup family — low novelty
+    flags boilerplate/template documents even when no single pair
+    crosses a near-dup threshold, and high novelty is the standard
+    "keep" signal in quality-stratified sampling.  Exactly
+    self-excluding: a gram counts as novel iff its document frequency
+    is 1 (it cannot be in any other document).
+
+    Output: ``id_col``, ``n_grams`` (distinct n-grams), ``n_novel``,
+    ``novelty`` (null for docs with no n-gram, i.e. < n tokens).
+
+    Shape: distinct (doc, gram) explode → gram document-frequency hash
+    aggregate (vocabulary-sized) → one equi-join back → per-doc integer
+    counts.  All counts integer, the ratio exact — engine-independent.
+    A left join against the input preserves short documents.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    grams = word_ngrams(F.col(text_col), n)
+    dg = df.select(id_col, F.explode(grams).alias("__g"))
+    dfreq = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        dg.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
     )

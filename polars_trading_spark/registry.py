@@ -7895,6 +7895,143 @@ def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Funnel latency profile (functions/events.py::funnel_latency) —
+# step-pair conversion + exact count-based median/p90 latencies.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "funnel_latency",
+    f"""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events WHERE event_type IN ({", ".join(f"'{s}'" for s in _FUNNEL_STEPS)})
+),
+arr AS (
+  SELECT user_id,
+    {", ".join(f"list_sort(list(ts) FILTER (WHERE event_type = '{s}')) AS a_{s}" for s in _FUNNEL_STEPS)}
+  FROM ev GROUP BY user_id
+),
+s1 AS (SELECT *, a_view[1] AS ts_view FROM arr),
+s2 AS (SELECT *, CASE WHEN ts_view IS NOT NULL
+        THEN list_filter(a_click, x -> x > ts_view)[1] END AS ts_click FROM s1),
+s3 AS (SELECT *, CASE WHEN ts_click IS NOT NULL
+        THEN list_filter(a_signup, x -> x > ts_click)[1] END AS ts_signup FROM s2),
+s4 AS (SELECT *, CASE WHEN ts_signup IS NOT NULL
+        THEN list_filter(a_purchase, x -> x > ts_signup)[1] END AS ts_purchase FROM s3),
+fp AS (
+  SELECT 1 AS step_idx, 'view' AS step_from, 'click' AS step_to,
+         user_id AS u, ts_view AS ta, ts_click AS tb FROM s4
+  UNION ALL
+  SELECT 2, 'click', 'signup', user_id, ts_click, ts_signup FROM s4
+  UNION ALL
+  SELECT 3, 'signup', 'purchase', user_id, ts_signup, ts_purchase FROM s4
+),
+fb AS (SELECT *, epoch_us(tb) - epoch_us(ta) AS lat FROM fp),
+fconv AS (
+  SELECT step_idx, step_from, step_to,
+    CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_from,
+    CAST(sum(CASE WHEN tb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_to
+  FROM fb GROUP BY 1, 2, 3
+),
+frk AS (
+  SELECT step_idx, lat,
+    row_number() OVER (PARTITION BY step_idx ORDER BY lat, u) AS rk,
+    count(*) OVER (PARTITION BY step_idx) AS n
+  FROM fb WHERE lat IS NOT NULL
+),
+fsel AS (
+  SELECT step_idx,
+    max(CASE WHEN rk = floor((n + 1) / 2) THEN lat END) AS med_us,
+    max(CASE WHEN rk = floor((9 * n + 9) / 10) THEN lat END) AS p90_us
+  FROM frk GROUP BY step_idx
+)
+SELECT c.step_idx, c.step_from, c.step_to, c.n_from, c.n_to,
+  round(CASE WHEN n_from > 0
+        THEN CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) END, 6) + 0
+    AS conv_rate,
+  round(med_us / 1000000.0, 6) + 0 AS med_latency_s,
+  round(p90_us / 1000000.0, 6) + 0 AS p90_latency_s
+FROM fconv c LEFT JOIN fsel s ON s.step_idx = c.step_idx
+""",
+    "Funnel step-pair conversion + EXACT count-based median/p90 "
+    "latency ((n+1)//2 and integer-ceil 0.9n order statistics, "
+    "user-id tie-break) — one funnel pass, per-pair rank windows, "
+    "zero Python",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.events import funnel_latency
+
+    ev = read_table(spark, sf_dir, "events")
+    out = funnel_latency(ev, _FUNNEL_STEPS)
+    z0 = F.lit(0.0)
+    return out.select(
+        "step_idx",
+        "step_from",
+        "step_to",
+        "n_from",
+        "n_to",
+        (F.round("conv_rate", 6) + z0).alias("conv_rate"),
+        (F.round("med_latency_s", 6) + z0).alias("med_latency_s"),
+        (F.round("p90_latency_s", 6) + z0).alias("p90_latency_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. N-gram novelty (functions/text.py::ngram_novelty) — fraction of
+# a doc's distinct n-grams unique to it; integer-exact ratio.
+# --------------------------------------------------------------------------
+
+_NV_N = 3
+
+
+@register(
+    "ngram_novelty",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+nv0 AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {_NV_N}
+         THEN list_distinct([array_to_string(list_slice(toks, i, i + {_NV_N} - 1), ' ')
+                            for i in generate_series(1, len(toks) - {_NV_N} + 1)])
+         ELSE [] END AS grams
+  FROM tok
+),
+nvd AS (SELECT doc_id, unnest(grams) AS g FROM nv0),
+nvf AS (SELECT g, CAST(count(*) AS BIGINT) AS df_ FROM nvd GROUP BY g),
+nvp AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN f.df_ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM nvd d JOIN nvf f USING (g) GROUP BY d.doc_id
+)
+SELECT docs.doc_id,
+  coalesce(nvp.n_grams, 0) AS n_grams,
+  coalesce(nvp.n_novel, 0) AS n_novel,
+  round(CASE WHEN nvp.n_grams > 0
+        THEN CAST(nvp.n_novel AS DOUBLE) / CAST(nvp.n_grams AS DOUBLE) END, 6) + 0
+    AS novelty
+FROM docs LEFT JOIN nvp USING (doc_id)
+""",
+    f"Per-doc {_NV_N}-gram novelty (fraction of distinct n-grams with "
+    "corpus document-frequency 1) — boilerplate/template screen and "
+    "quality-sampling keep signal; posting-list aggregate + one "
+    "equi-join, integer-exact ratio, zero Python",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import ngram_novelty
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, n=_NV_N)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.round("novelty", 6) + F.lit(0.0)).alias("novelty"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #

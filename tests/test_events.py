@@ -139,3 +139,59 @@ class TestEventTransitions:
             "user_id long, ts timestamp, event_id long, event_type string",
         )
         assert count_python_stages(event_transitions(ev)) == 0
+
+
+class TestFunnelLatency:
+    def test_exact_order_statistics_and_conversion(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.functions.events import funnel_latency
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # 10 users view; 9 click at distinct latencies 10..90s (user u
+        # clicks u*10s after view); 3 sign up
+        for u in range(10):
+            rows.append((u, base, "view"))
+            if u < 9:
+                rows.append((u, base + dt.timedelta(seconds=(u + 1) * 10), "click"))
+            if u < 3:
+                rows.append((u, base + dt.timedelta(minutes=30 + u), "signup"))
+        ev = spark.createDataFrame(
+            [(u, t, k) for u, t, k in rows],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = {
+            r["step_idx"]: r
+            for r in funnel_latency(ev, ["view", "click", "signup"]).collect()
+        }
+        vc = out[1]
+        assert (vc["n_from"], vc["n_to"]) == (10, 9)
+        assert vc["conv_rate"] == 0.9
+        # latencies 10..90: median = rank (9+1)//2 = 5 -> 50s;
+        # p90 = rank (81+9)//10 = 9 -> 90s
+        assert vc["med_latency_s"] == 50.0
+        assert vc["p90_latency_s"] == 90.0
+        cs = out[2]
+        assert (cs["n_from"], cs["n_to"]) == (9, 3)
+        assert cs["conv_rate"] == pytest.approx(3 / 9)
+        # signup latencies: 30m-10s, 31m-20s, 32m-30s per user 0,1,2
+        assert cs["med_latency_s"] == 31 * 60 - 20
+
+    def test_empty_pair_yields_null_latencies(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.functions.events import funnel_latency
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "view")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = {
+            r["step_idx"]: r
+            for r in funnel_latency(ev, ["view", "click"]).collect()
+        }
+        r = out[1]
+        assert (r["n_from"], r["n_to"]) == (1, 0)
+        assert r["conv_rate"] == 0.0
+        assert r["med_latency_s"] is None and r["p90_latency_s"] is None

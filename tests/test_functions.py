@@ -1333,3 +1333,39 @@ class TestDsirLogWeights:
                 is_target_col="is_tgt",
                 n_buckets=1,
             )
+
+
+class TestNgramNovelty:
+    def test_planted_duplicates_and_unique_docs(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.text import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "the quick brown fox jumps over the sleepy cat"),  # shares prefix grams with 0
+                (2, "completely original words appear only here today"),
+                (3, "hi"),  # < n tokens -> no grams
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+        # doc 2 shares nothing: fully novel
+        assert out[2]["novelty"] == 1.0 and out[2]["n_novel"] == out[2]["n_grams"] == 5
+        # docs 0/1: 9-token docs -> 7 trigrams each; the first five
+        # trigrams (through "jumps over the") are shared
+        assert out[0]["n_grams"] == 7
+        shared = 5
+        assert out[0]["n_novel"] == 7 - shared
+        assert out[0]["novelty"] == pt.approx((7 - shared) / 7)
+        assert out[1]["n_novel"] == 7 - shared
+        # short doc: zero grams, null novelty
+        assert out[3]["n_grams"] == 0 and out[3]["novelty"] is None
+
+    def test_plan_zero_python(self, spark):
+        from polars_trading_spark.functions.text import ngram_novelty
+        from polars_trading_spark.plans import count_python_stages
+
+        docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        assert count_python_stages(ngram_novelty(docs)) == 0
