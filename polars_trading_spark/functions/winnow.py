@@ -163,11 +163,18 @@ def winnow_duplicate_pairs(
     boilerplate and pruned BEFORE the self-join (df-pruned posting
     lists), so no hot key ever drives a quadratic bucket.
     """
+    from polars_trading_spark._utils import persist_tracked
+
     fps = winnow_fingerprints(
         docs, k=k, w=w, id_col=id_col, text_col=text_col
     )
-    # distinct hash per doc: position is irrelevant for the overlap count
-    df_fp = fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+    # distinct hash per doc: position is irrelevant for the overlap count.
+    # Staged: three consumers (per-doc counts, doc-frequency pruning, the
+    # self-join probe) would otherwise each re-run the whole winnowing
+    # window pipeline.
+    df_fp = persist_tracked(
+        fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+    )
     n_fp = df_fp.groupBy("doc").agg(F.count("*").alias("n_fp"))
 
     doc_freq = df_fp.groupBy("fp").agg(F.count("*").alias("__df"))

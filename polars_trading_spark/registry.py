@@ -8041,7 +8041,8 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries; the 52 registered later only ever ran through the local replica
 # (tests/test_registry_oracles.py).  Rotate those 52 to the front so they
 # earn driver-grade verdicts in round 5; round 6 rotates the remainder
-# (the two deferred diagnostics + the previously-gated 50) back in.
+# (the 17 round-5 additions registered ABOVE this block + the two
+# deferred diagnostics, backfilled with previously-gated names) in.
 #
 # KEEP THIS BLOCK AT THE VERY END OF THE FILE — any @register above it is
 # subject to the rotation; new queries registered after it append behind
