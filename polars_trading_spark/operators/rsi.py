@@ -57,8 +57,10 @@ def rsi(
     an all-flat history (every smoothed gain AND loss exactly zero)
     yield null.  Rows are ordered by (``ts_col``[, ``seq_col``]).
     """
-    if period < 1:
-        raise ValueError(f"period must be >= 1, got {period}")
+    if period < 2:
+        # period=1 gives alpha=1, d=0: the decay-weight base 1/d blows
+        # up and the memoryless limit is not representable in this form
+        raise ValueError(f"period must be >= 2, got {period}")
 
     alpha = 1.0 / period
     d = 1.0 - alpha

@@ -48,8 +48,10 @@ def streaming_rsi(
 ) -> DataFrame:
     """Per-symbol streaming RSI: emits (symbol, ts, seq, rsi) per event,
     equal to the batch operator over the concatenated stream."""
-    if period < 1:
-        raise ValueError(f"period must be >= 1, got {period}")
+    if period < 2:
+        # period=1 gives alpha=1, d=0: the decay-weight base 1/d blows
+        # up and the memoryless limit is not representable in this form
+        raise ValueError(f"period must be >= 2, got {period}")
     from polars_trading_spark._utils import parse_duration
 
     alpha = 1.0 / period

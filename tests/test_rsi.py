@@ -86,7 +86,7 @@ def test_validation_and_plan(spark):
     )
 
     with pytest.raises(ValueError):
-        rsi(_trades(spark, [1, 2]), period=0)
+        rsi(_trades(spark, [1, 2]), period=1)
     out = rsi(_trades(spark, [1, 2, 3]), period=14, seq_col="seq")
     assert count_python_stages(out) == 0
     assert unbounded_global_windows(out) == []
