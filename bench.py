@@ -147,6 +147,7 @@ HEADLINE = [
     "interval_join_events",
     "funnel_latency",
     "ngram_novelty",
+    "upsample_ffill",
 ]
 
 

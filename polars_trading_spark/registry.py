@@ -8032,6 +8032,53 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Upsample + forward fill (operators/resample.py) — Polars
+# upsample/fill_forward re-expressed as grid explode + as-of join;
+# oracle via generate_series + native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+_UP_W_US = 2 * 3600 * 1_000_000  # 2h grid
+
+
+@register(
+    "upsample_ffill",
+    f"""
+WITH trades AS ({{TRADES_CTE}}),
+uu AS (
+  SELECT symbol, ts_event, max_by(price, seq) AS price
+  FROM trades GROUP BY symbol, ts_event
+),
+ub AS (
+  SELECT symbol, min(epoch_us(ts_event)) AS lo, max(epoch_us(ts_event)) AS hi
+  FROM uu GROUP BY symbol
+),
+ug AS (
+  SELECT symbol, make_timestamp(gg * {_UP_W_US}) AS ts_event
+  FROM ub, unnest(generate_series(
+         CAST(floor((lo + {_UP_W_US} - 1) / {_UP_W_US}) AS BIGINT),
+         CAST(floor(hi / {_UP_W_US}) AS BIGINT))) AS s(gg)
+)
+SELECT ug.symbol, ug.ts_event, r.price, r.ts_event AS ts_src
+FROM ug ASOF LEFT JOIN uu r
+  ON ug.symbol = r.symbol AND ug.ts_event >= r.ts_event
+""".format(TRADES_CTE=TRADES_CTE),
+    "Upsample to a 2h epoch-aligned grid with forward fill (Polars "
+    "upsample + fill_forward) — grid = explode(sequence) over integer "
+    "bucket indices, fill = the union-marker as-of join; one group "
+    "exchange, zero Python; ts_src exposes fill staleness",
+)
+def q_upsample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.resample import upsample_ffill
+
+    t = trades_from_events(spark, sf_dir)
+    u = t.groupBy("symbol", "ts_event").agg(
+        F.max_by("price", F.col(SEQ_COL)).alias("price")
+    )
+    out = upsample_ffill(u, every="2h", by="symbol", ts_col="ts_event")
+    return out.select("symbol", "ts_event", "price", "ts_src")
+
+
 # ==========================================================================
 # Driver-gate rotation (round 5).
 #
