@@ -159,7 +159,10 @@ def _guard_row_count(df: DataFrame, cap: int) -> int:
     if meta is not None:
         return meta
     try:
-        key = ("sem", df.semanticHash(), cap)
+        # inputFiles() in the key: an identical plan over a file source
+        # that has since gained files must not reuse a stale probe (a
+        # grown corpus slipping past the O(corpus x queries) guard).
+        key = ("sem", df.semanticHash(), cap, tuple(sorted(df.inputFiles())))
     except Exception:
         key = None
     if key is not None and key in _GUARD_COUNT_CACHE:

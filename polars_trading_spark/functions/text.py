@@ -793,19 +793,24 @@ def ngram_novelty(
     Output: ``id_col``, ``n_grams`` (distinct n-grams), ``n_novel``,
     ``novelty`` (null for docs with no n-gram, i.e. < n tokens).
 
-    Shape: distinct (doc, gram) explode → gram document-frequency hash
-    aggregate (vocabulary-sized) → one equi-join back → per-doc integer
-    counts.  All counts integer, the ratio exact — engine-independent.
-    A left join against the input preserves short documents.
+    Shape: ONE distinct (doc, gram) explode → document frequency as
+    ``count(*) over (partition by gram)`` riding the same frame → per-doc
+    integer counts.  The window form (rather than a doc-frequency
+    aggregate joined back) matters twice at scale: the corpus-sized
+    tokenizer explode runs ONCE instead of once per consumer, and the
+    gram-keyed window replaces an aggregate + equi-join (two shuffles on
+    the gram key) with a single exchange.  All counts integer, the ratio
+    exact — engine-independent.  A left join against the input preserves
+    short documents.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
 
     grams = word_ngrams(F.col(text_col), n)
     dg = df.select(id_col, F.explode(grams).alias("__g"))
-    dfreq = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__g")
     per = (
-        dg.join(dfreq, "__g")
+        dg.withColumn("__df", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

@@ -145,11 +145,19 @@ def asof_join(
         use_b = mk_f.isNull() | (
             mk_b.isNotNull() & ((F.col(_KEY) - mk_b) <= (mk_f - F.col(_KEY)))
         )
+        # Exclude EXACTLY the helper columns generated above — suffix
+        # matching would silently drop any user column named *__b/*__f
+        # and leak __mk_b/__mk_f into the output.
+        helpers = (
+            {renames[c] + "__b" for c in value_cols}
+            | {renames[c] + "__f" for c in value_cols}
+            | {"__mk_b", "__mk_f"}
+        )
         filled = both.select(
             *[
                 c
                 for c in both.columns
-                if not c.endswith(("__b", "__f")) and c != _MATCH_KEY
+                if c not in helpers and c != _MATCH_KEY
             ],
             F.when(use_b, mk_b).otherwise(mk_f).alias(_MATCH_KEY),
             *[

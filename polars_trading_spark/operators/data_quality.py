@@ -114,6 +114,15 @@ def universe_summary(df: DataFrame) -> DataFrame:
     Output: ``symbol, first_ts, last_ts, active_days, n_trades,
     avg_daily_volume, avg_daily_dollar_volume, mean_price`` (simple
     mean; the dollar-volume figures are the liquidity screen inputs).
+
+    The dollar-volume and mean-price sums add O(1e9)-magnitude float
+    terms over unbounded per-symbol histories, so they are folded as
+    ORDER-DETERMINISTIC running sums over (ts, seq) read at the
+    partition's last row — an unordered hash-agg sum's fold order
+    varies with partition layout and flips round-to-6 knife edges
+    between engines/runs (the round-5 ``vwap_slippage`` failure mode).
+    Counts, min/max and the exact integer-valued volume sum are
+    order-insensitive and ride the same single window pass.
     """
     ts, price, size, symbol = (
         column_names.timestamp,
@@ -121,24 +130,30 @@ def universe_summary(df: DataFrame) -> DataFrame:
         column_names.size,
         column_names.symbol,
     )
+    order_cols = [ts] + ([SEQ_COL] if SEQ_COL in df.columns else [])
     day = F.to_date(ts)
     sz = F.col(size).cast("double")
-    g = df.groupBy(symbol).agg(
-        F.min(ts).alias("first_ts"),
-        F.max(ts).alias("last_ts"),
-        F.count_distinct(day).cast("long").alias("active_days"),
-        F.count(F.lit(1)).cast("long").alias("n_trades"),
-        F.sum(sz).alias("__vol"),
-        F.sum(sz * F.col(price)).alias("__dvol"),
-        F.avg(price).alias("mean_price"),
+    w_ord = Window.partitionBy(symbol).orderBy(*order_cols)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(symbol)
+    t = df.select(
+        F.col(symbol),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.min(ts).over(w_all).alias("first_ts"),
+        F.max(ts).over(w_all).alias("last_ts"),
+        F.size(F.collect_set(day).over(w_all)).cast("long").alias("active_days"),
+        F.sum(sz).over(w_run).alias("__rvol"),
+        F.sum(sz * F.col(price)).over(w_run).alias("__rdvol"),
+        F.sum(F.col(price)).over(w_run).alias("__rp"),
     )
-    return g.select(
+    return t.where(F.col("__rn") == F.col("__n")).select(
         F.col(symbol),
         "first_ts",
         "last_ts",
         "active_days",
-        "n_trades",
-        (F.col("__vol") / F.col("active_days")).alias("avg_daily_volume"),
-        (F.col("__dvol") / F.col("active_days")).alias("avg_daily_dollar_volume"),
-        "mean_price",
+        F.col("__n").cast("long").alias("n_trades"),
+        (F.col("__rvol") / F.col("active_days")).alias("avg_daily_volume"),
+        (F.col("__rdvol") / F.col("active_days")).alias("avg_daily_dollar_volume"),
+        (F.col("__rp") / F.col("__n")).alias("mean_price"),
     )

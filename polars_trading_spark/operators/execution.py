@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_trading_spark._utils import SEQ_COL
 from polars_trading_spark.config import column_names
 
 __all__ = ["almgren_chriss_schedule", "vwap_slippage"]
@@ -111,6 +112,14 @@ def vwap_slippage(df: DataFrame, *, bucket: str = "15 minutes") -> DataFrame:
     Shape: the bucket VWAP is a window aggregate over the bucket
     partition (no join), then one symbol aggregate — two shuffles total,
     zero Python.  Column names follow the ``Config`` convention.
+
+    Every float reduction here is an ORDER-DETERMINISTIC running fold
+    over (ts, seq) read at the partition's last row, not an unordered
+    ``sum``: the bucket benchmark and the volume-weighted report both
+    add O(1e6)-magnitude terms whose unordered fold order varies with
+    partition layout, which flipped a round-to-6 knife edge between
+    engines (round-5 driver red).  Ordered folds make the result
+    bit-identical regardless of shuffle layout.
     """
     ts, price, size, symbol = (
         column_names.timestamp,
@@ -118,17 +127,47 @@ def vwap_slippage(df: DataFrame, *, bucket: str = "15 minutes") -> DataFrame:
         column_names.size,
         column_names.symbol,
     )
+    order_cols = [ts] + ([SEQ_COL] if SEQ_COL in df.columns else [])
     t = df.na.drop(subset=[price]).withColumn(
         "__bucket", F.window(F.col(ts), bucket)["start"]
     )
-    w = Window.partitionBy(symbol, "__bucket")
     sz = F.col(size).cast("double")
-    bench = F.sum(sz * F.col(price)).over(w) / F.sum(sz).over(w)
+    wb_run = (
+        Window.partitionBy(symbol, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb_full = (
+        Window.partitionBy(symbol, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    t = t.withColumns(
+        {
+            "__rpv": F.sum(sz * F.col(price)).over(wb_run),
+            "__rv": F.sum(sz).over(wb_run),
+        }
+    )
+    bench = F.last("__rpv").over(wb_full) / F.last("__rv").over(wb_full)
     t = t.withColumn("__slip", (F.col(price) - bench) / bench * 1e4)
-    return t.groupBy(symbol).agg(
-        F.count(F.lit(1)).alias("n_trades"),
-        F.sum(sz).cast("long").alias("volume"),
-        (F.sum(F.col("__slip") * sz) / F.sum(sz)).alias("vw_slippage_bps"),
-        F.max("__slip").alias("worst_bps"),
-        F.min("__slip").alias("best_bps"),
+
+    ws_ord = Window.partitionBy(symbol).orderBy(*order_cols)
+    ws_run = ws_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ws_all = Window.partitionBy(symbol)
+    rep = t.select(
+        F.col(symbol),
+        F.row_number().over(ws_ord).alias("__rn"),
+        F.count(F.lit(1)).over(ws_all).alias("__n"),
+        F.sum(F.col("__slip") * sz).over(ws_run).alias("__rss"),
+        F.sum(sz).over(ws_run).alias("__rsv"),
+        F.max("__slip").over(ws_all).alias("worst_bps"),
+        F.min("__slip").over(ws_all).alias("best_bps"),
+    )
+    return rep.where(F.col("__rn") == F.col("__n")).select(
+        symbol,
+        F.col("__n").alias("n_trades"),
+        F.col("__rsv").cast("long").alias("volume"),
+        (F.col("__rss") / F.col("__rsv")).alias("vw_slippage_bps"),
+        "worst_bps",
+        "best_bps",
     )

@@ -88,10 +88,21 @@ def interval_join(
     matched = joined.select(*out_cols)
     if how == "inner":
         return matched
-    # left: anti-join the unmatched points back in with null intervals
-    unmatched = points.join(
-        matched.select(*points.columns).distinct(), points.columns, "left_anti"
-    )
+    # left: anti-join the unmatched points back in with null intervals.
+    # The anti-join condition must be NULL-SAFE per column: a plain
+    # column-list anti-join uses `=` semantics, under which a matched
+    # point row carrying a null in any column never equals itself and
+    # would be re-emitted as a spurious unmatched row.  eqNullSafe keys
+    # still plan as a hash equi-join (Spark extracts EqualNullSafe into
+    # join keys), so this stays shuffle-hash/broadcast, never
+    # nested-loop.
+    pts = points.alias("__ij_p")
+    md = matched.select(*points.columns).distinct().alias("__ij_m")
+    cond = None
+    for c in points.columns:
+        e = pts[c].eqNullSafe(md[c])
+        cond = e if cond is None else (cond & e)
+    unmatched = pts.join(md, cond, "left_anti")
     for c in iv_cols:
         unmatched = unmatched.withColumn(
             renames[c], F.lit(None).cast(intervals.schema[c].dataType)

@@ -4200,7 +4200,12 @@ assign AS (
 )
 SELECT a.doc_id, a.shard,
   CAST(a.seq_id AS INTEGER) AS seq_id,
-  a.c_start - p2.c_start AS seq_offset,
+  -- CAST: DuckDB window sums of integers are HUGEINT; an uncast HUGEINT
+  -- output column survives fetchall() (python int) but turns float64
+  -- under a pandas-based fetch, which stringifies 100 as "100.0" and
+  -- broke the driver's string-keyed value hash (round-5 red row).
+  -- This was the ONLY oracle in the registry emitting HUGEINT.
+  CAST(a.c_start - p2.c_start AS BIGINT) AS seq_offset,
   CAST(a.n_tok AS INTEGER) AS n_tokens
 FROM assign a
 JOIN pre p2 ON p2.shard = a.shard AND p2.idx = a.bstart
@@ -5162,22 +5167,50 @@ def q_ac_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH trades AS ({TRADES_CTE}),
 b AS (
-  SELECT symbol, price, CAST(size AS DOUBLE) AS sz,
+  SELECT symbol, price, CAST(size AS DOUBLE) AS sz, ts_event, seq,
     make_timestamp((epoch_us(ts_event) // {15 * 60 * 1_000_000}) * {15 * 60 * 1_000_000}) AS bucket
   FROM trades
 ),
-w AS (
-  SELECT *, sum(sz * price) OVER (PARTITION BY symbol, bucket)
-            / sum(sz) OVER (PARTITION BY symbol, bucket) AS bench
+-- Order-deterministic folds throughout: running (ts, seq)-ordered sums
+-- read at the last row, so the fold order is identical on both engines
+-- regardless of partition layout (unordered O(1e6)-magnitude float sums
+-- flipped a round-to-6 knife edge in round 5).
+r AS (
+  SELECT *,
+    sum(sz * price) OVER wrun AS rpv,
+    sum(sz)         OVER wrun AS rv
   FROM b
+  WINDOW wrun AS (PARTITION BY symbol, bucket ORDER BY ts_event, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
-sl AS (SELECT symbol, sz, (price - bench) / bench * 1e4 AS slip FROM w)
-SELECT symbol, CAST(count(*) AS BIGINT) AS n_trades,
-  CAST(sum(sz) AS BIGINT) AS volume,
-  round(sum(slip * sz) / sum(sz), 6) AS vw_slippage_bps,
-  round(max(slip), 6) AS worst_bps,
-  round(min(slip), 6) AS best_bps
-FROM sl GROUP BY symbol
+w AS (
+  SELECT *, last_value(rpv) OVER wfull / last_value(rv) OVER wfull AS bench
+  FROM r
+  WINDOW wfull AS (PARTITION BY symbol, bucket ORDER BY ts_event, seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+sl AS (SELECT symbol, ts_event, seq, sz,
+              (price - bench) / bench * 1e4 AS slip FROM w),
+f AS (
+  SELECT symbol,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    sum(slip * sz) OVER wrun AS rss,
+    sum(sz)        OVER wrun AS rsv,
+    max(slip) OVER wall AS worst,
+    min(slip) OVER wall AS best
+  FROM sl
+  WINDOW word AS (PARTITION BY symbol ORDER BY ts_event, seq),
+         wrun AS (PARTITION BY symbol ORDER BY ts_event, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol)
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_trades,
+  CAST(rsv AS BIGINT) AS volume,
+  round(rss / rsv, 6) + 0 AS vw_slippage_bps,
+  round(worst, 6) + 0 AS worst_bps,
+  round(best, 6) + 0 AS best_bps
+FROM f WHERE rn = n
 """,
     "Per-symbol VWAP slippage report: volume-weighted bps vs the "
     "15-minute bucket VWAP benchmark, with extremes",
@@ -5191,9 +5224,9 @@ def q_vwap_slippage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "n_trades",
         "volume",
-        F.round("vw_slippage_bps", 6).alias("vw_slippage_bps"),
-        F.round("worst_bps", 6).alias("worst_bps"),
-        F.round("best_bps", 6).alias("best_bps"),
+        (F.round("vw_slippage_bps", 6) + F.lit(0.0)).alias("vw_slippage_bps"),
+        (F.round("worst_bps", 6) + F.lit(0.0)).alias("worst_bps"),
+        (F.round("best_bps", 6) + F.lit(0.0)).alias("best_bps"),
     )
 
 
@@ -5825,18 +5858,36 @@ def q_tick_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "universe_summary",
     f"""
-WITH trades AS ({TRADES_CTE})
-SELECT symbol,
-  min(ts_event) AS first_ts,
-  max(ts_event) AS last_ts,
-  CAST(count(DISTINCT CAST(ts_event AS DATE)) AS BIGINT) AS active_days,
-  CAST(count(*) AS BIGINT) AS n_trades,
-  round(sum(CAST(size AS DOUBLE)) / count(DISTINCT CAST(ts_event AS DATE)), 6)
-    AS avg_daily_volume,
-  round(sum(CAST(size AS DOUBLE) * price) / count(DISTINCT CAST(ts_event AS DATE)) / 1e6, 4)
-    AS avg_daily_dollar_volume_mm,
-  round(avg(price), 6) AS mean_price
-FROM trades GROUP BY symbol
+WITH trades AS ({TRADES_CTE}),
+-- Order-deterministic running folds over (ts, seq), read at the last
+-- row: the dollar-volume / mean-price sums add O(1e9)-magnitude float
+-- terms whose unordered fold order flips round-to-6 knife edges
+-- between engines (the round-5 vwap_slippage failure mode).
+f AS (
+  SELECT symbol,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    min(ts_event) OVER wall AS first_ts,
+    max(ts_event) OVER wall AS last_ts,
+    sum(CAST(size AS DOUBLE)) OVER wrun AS rvol,
+    sum(CAST(size AS DOUBLE) * price) OVER wrun AS rdvol,
+    sum(price) OVER wrun AS rp
+  FROM trades
+  WINDOW word AS (PARTITION BY symbol ORDER BY ts_event, seq),
+         wrun AS (PARTITION BY symbol ORDER BY ts_event, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol)
+),
+d AS (
+  SELECT symbol, CAST(count(DISTINCT CAST(ts_event AS DATE)) AS BIGINT) AS active_days
+  FROM trades GROUP BY symbol
+)
+SELECT f.symbol, f.first_ts, f.last_ts, d.active_days,
+  CAST(f.n AS BIGINT) AS n_trades,
+  round(f.rvol / d.active_days, 6) + 0 AS avg_daily_volume,
+  round(f.rdvol / d.active_days / 1e6, 4) + 0 AS avg_daily_dollar_volume_mm,
+  round(f.rp / f.n, 6) + 0 AS mean_price
+FROM f JOIN d USING (symbol) WHERE f.rn = f.n
 """,
     "Per-symbol listing span, active days, ADV and dollar-ADV — the "
     "liquidity screen",
@@ -5852,9 +5903,11 @@ def q_universe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_ts",
         "active_days",
         "n_trades",
-        F.round("avg_daily_volume", 6).alias("avg_daily_volume"),
-        F.round(F.col("avg_daily_dollar_volume") / 1e6, 4).alias("avg_daily_dollar_volume_mm"),
-        F.round("mean_price", 6).alias("mean_price"),
+        (F.round("avg_daily_volume", 6) + F.lit(0.0)).alias("avg_daily_volume"),
+        (F.round(F.col("avg_daily_dollar_volume") / 1e6, 4) + F.lit(0.0)).alias(
+            "avg_daily_dollar_volume_mm"
+        ),
+        (F.round("mean_price", 6) + F.lit(0.0)).alias("mean_price"),
     )
 
 
@@ -8080,42 +8133,45 @@ def q_upsample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# Driver-gate rotation (round 5).
+# Driver-gate rotation (round 6).
 #
 # The driver's correctness harness verifies the FIRST 50 entries of
 # ``queries()`` insertion order (rows + schema + value-hash vs the DuckDB
 # oracle at sf0.01).  Rounds 1-4 gated the original first 50 registry
-# entries; the 52 registered later only ever ran through the local replica
-# (tests/test_registry_oracles.py).  Rotate those 52 to the front so they
-# earn driver-grade verdicts in round 5; round 6 rotates the remainder
-# (the 17 round-5 additions registered ABOVE this block + the two
-# deferred diagnostics, backfilled with previously-gated names) in.
+# entries; round 5 gated 50 of the later registrations (48 green, 2 red:
+# pack_sequences — HUGEINT seq_offset in the oracle output, cast fixed —
+# and vwap_slippage — unordered float folds, rewritten as ordered running
+# sums).  Round 6's window holds the 26 names that have never had a
+# driver row (the 18 round-5 additions + 8 earlier deferrals), the two
+# red-row re-checks, and 22 backfill re-checks of the r1/r2-gated
+# originals (leading with every name that was ever red).  After this
+# window, every registry query has >= 1 driver-green row.
 #
 # KEEP THIS BLOCK AT THE VERY END OF THE FILE — any @register above it is
 # subject to the rotation; new queries registered after it append behind
 # the front window and enter the gate on a later rotation.
 # ==========================================================================
 
-_ROUND5_FRONT = [
-    # never driver-gated through round 4 (registry positions 51-102),
-    # minus the two simple diagnostics deferred to round 6 so the most
-    # intricate recursive-CTE replays (imbalance_bars_adaptive,
-    # sequential_bootstrap, range_bars, backtest_stats) plus lead_lag and
-    # dedup_containment all fit inside the 50-row window.
-    "bet_sizing", "feature_matrix", "imbalance_bars_adaptive",
-    "rolling_beta", "momentum_rank", "backtest_stats", "bde_cusum",
-    "lz_entropy", "pii_scrub", "boilerplate", "dedup_paragraph",
-    "unigram_logprob", "sequential_bootstrap", "similarity_topk_ivf_pq",
-    "mix_corpus", "pack_sequences", "pair_correlation", "drawdown_path",
-    "range_bars", "tfidf_cosine_pairs", "roll_adjust", "ou_fit",
-    "dup_spans", "semdedup", "bpe_pairs", "intraday_profile",
-    "cointegration", "spread_signal", "ledoit_wolf", "ac_schedule",
-    "vwap_slippage", "variance_ratio", "hurst", "bigram_logprob",
-    "ma_crossover", "cs_zscore", "corpus_funnel", "pcm_features",
-    "cluster_keywords", "psi_drift", "sessionize", "event_funnel",
-    "retention", "jump_test", "sign_autocorr", "var_cvar",
-    "rank_portfolio", "return_acf", "lead_lag", "dedup_containment",
-    # deferred to round 6: tick_quality, universe_summary
+_ROUND6_FRONT = [
+    # -- the 26 never driver-checked --
+    "hawkes_intensity", "winnow_fingerprints", "winnow_dup_pairs",
+    "zipf_fit", "multimodal_jpeg_metadata", "rsi", "har_rv",
+    "permutation_entropy", "event_transitions", "reading_ease",
+    "dsir_weights", "fama_macbeth_nw", "deflated_sharpe",
+    "asof_join_nearest", "interval_join_events", "funnel_latency",
+    "ngram_novelty", "upsample_ffill", "tick_quality",
+    "universe_summary", "multimodal_bmp_metadata", "chunk_documents",
+    "fama_macbeth", "ks_drift", "char_entropy", "pmi_cooccurrence",
+    # -- round-5 red rows, fixed this round, re-checked --
+    "pack_sequences", "vwap_slippage",
+    # -- 22 backfill re-checks of r1/r2-gated originals (ever-red first) --
+    "dollar_bars", "time_bars", "tick_bars", "volume_bars",
+    "sample_weights", "triple_barrier", "triple_barrier_meta",
+    "similarity_topk_ivf_kmeans", "time_bars_compound_duration",
+    "daily_vol", "vertical_barrier", "frac_diff", "fixed_time_return",
+    "cusum_filter", "asof_join_backward", "ewm_std_native",
+    "bar_groups_split", "dedup_exact", "dedup_minhash_lsh",
+    "similarity_topk", "decontaminate", "sadf",
 ]
 
 
@@ -8129,4 +8185,4 @@ def _rotate_front(front: list) -> None:
     QUERIES.update(items)
 
 
-_rotate_front(_ROUND5_FRONT)
+_rotate_front(_ROUND6_FRONT)

@@ -141,6 +141,27 @@ class TestAsofNearest:
         assert out[3]["val"] is None and out[3]["ts_right"] is None  # 84s away
         assert out[99]["val"] is None  # 293s away
 
+    def test_nearest_keeps_suffix_named_user_columns_and_no_helpers(self, spark):
+        # Regression: the output projection used to exclude columns by
+        # the *__b/*__f suffix, silently dropping user columns with
+        # those names and leaking the __mk_b/__mk_f helpers.
+        import datetime as dt
+
+        from polars_trading_spark.operators.asof import asof_join
+
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [("A", base, 5, 7)],
+            "symbol string, ts timestamp, feat__b long, feat__f long",
+        )
+        right = spark.createDataFrame(
+            [("A", base, 9.0)], "symbol string, ts timestamp, val double"
+        )
+        out = asof_join(left, right, on="ts", by="symbol", strategy="nearest")
+        assert set(out.columns) == {"symbol", "ts", "feat__b", "feat__f", "ts_right", "val"}
+        r = out.collect()[0]
+        assert (r["feat__b"], r["feat__f"], r["val"]) == (5, 7, 9.0)
+
     def test_nearest_plan_single_exchange(self, spark):
         from polars_trading_spark.operators.asof import asof_join
         from polars_trading_spark.plans import (

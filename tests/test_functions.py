@@ -1369,3 +1369,20 @@ class TestNgramNovelty:
 
         docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
         assert count_python_stages(ngram_novelty(docs)) == 0
+
+    def test_plan_single_tokenizer_pass(self, spark):
+        # The corpus-sized tokenizer explode must run ONCE: document
+        # frequency is a count(*) window over the gram partition, not a
+        # doc-frequency aggregate joined back (which re-executed the
+        # whole explode — 2x the dominant stage at corpus scale).
+        from polars_trading_spark.functions.text import ngram_novelty
+        from polars_trading_spark.plans import plan_string
+
+        docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        import re
+
+        plan = plan_string(ngram_novelty(docs), "executed")
+        assert plan.count("Generate explode") == 1
+        # exactly one join survives: the short-doc-preserving left join
+        # on the id — the gram-keyed dfreq join is gone
+        assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) == 1

@@ -82,6 +82,36 @@ def test_left_join_keeps_unmatched_points(spark):
     assert (3, 0) in matched
 
 
+def test_left_join_null_column_point_not_duplicated(spark):
+    # Regression: a MATCHED point row carrying a null in a non-key
+    # column must appear exactly once.  The old left-anti recovery
+    # joined on all point columns with `=` semantics, under which the
+    # null row never equals itself and was re-emitted as a spurious
+    # unmatched row (3 output rows instead of 2).
+    pts = spark.createDataFrame(
+        [
+            ("A", BASE + dt.timedelta(minutes=10), None),   # matched, null payload
+            ("A", BASE + dt.timedelta(minutes=200), 7),     # unmatched
+        ],
+        "symbol string, ts timestamp, payload long",
+    )
+    out = interval_join(
+        pts,
+        _intervals(spark, IVS),
+        point_on="ts",
+        start_on="w_start",
+        end_on="w_end",
+        by="symbol",
+        how="left",
+    ).collect()
+    assert len(out) == 2  # null-payload point matches window 0 only, plus 1 unmatched
+    matched = [r for r in out if r["iid"] is not None]
+    unmatched = [r for r in out if r["iid"] is None]
+    assert {r["iid"] for r in matched} == {0}
+    assert all(r["payload"] is None for r in matched)
+    assert len(unmatched) == 1 and unmatched[0]["payload"] == 7
+
+
 def test_validation_and_no_nested_loop_join(spark):
     from polars_trading_spark.plans import count_python_stages, plan_string
 
