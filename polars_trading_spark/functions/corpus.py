@@ -339,10 +339,14 @@ def decontaminate(
 
     Scale shape: the benchmark side reduces to a DISTINCT hash set that
     is tiny relative to any corpus (benchmarks are thousands of docs,
-    corpora billions), so the probe is a **broadcast** semi-join onto
-    the exploded corpus grams followed by one per-doc hash aggregate —
-    the corpus is never shuffled except for that aggregate, and the
-    n-gram explosion streams through codegen.
+    corpora billions), so the probe is a **broadcast** mark-join onto
+    the exploded corpus grams followed by ONE per-doc hash aggregate
+    counting grams and hits together — the corpus-side tokenizer/
+    shingle pipeline executes once (an earlier two-consumer shape ran
+    it twice and needed a corpus-sized doc-id join to stitch the
+    results), the corpus is never shuffled except for that aggregate,
+    and the n-gram explosion streams through codegen.  ``explode_outer``
+    keeps zero-gram documents.
 
     Returns one row per corpus doc: ``doc_id, n_grams, n_hits,
     contamination_ratio, is_contaminated``.
@@ -364,17 +368,13 @@ def decontaminate(
     bench_set = (
         grams(benchmark).select(F.explode("__sh").alias("g")).distinct()
     )
-    corpus_sh = grams(corpus)
-    exploded = corpus_sh.select("__id", F.explode("__sh").alias("g"))
-    hits = (
-        exploded.join(F.broadcast(bench_set), on="g", how="inner")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    exploded = grams(corpus).select("__id", F.explode_outer("__sh").alias("g"))
+    marked = exploded.join(
+        F.broadcast(bench_set.withColumn("__hit", F.lit(1))), on="g", how="left"
     )
-    out = (
-        corpus_sh.select("__id", F.size("__sh").alias("n_grams"))
-        .join(hits, on="__id", how="left")
-        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+    out = marked.groupBy("__id").agg(
+        F.count("g").alias("n_grams"),
+        F.count("__hit").alias("n_hits"),
     )
     return out.select(
         F.col("__id").alias(id_col),

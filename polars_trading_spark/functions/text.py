@@ -684,15 +684,20 @@ def bigram_logprob(
     )
     pair_lp = bigram_lp.unionByName(first_lp)
 
+    # SHUFFLE_HASH on both corpus-sized joins: the planner's default is
+    # sort-merge once pair_lp outgrows the broadcast threshold, and
+    # sorting the token-count-sized exploded frame is the superlinear
+    # tail (measured 45s -> see SCALING.md §30; the hash build side is
+    # pairs/partitions rows — bounded at any corpus scale).
     scored = ex.join(
-        pair_lp,
+        pair_lp.hint("shuffle_hash"),
         ex["prev"].eqNullSafe(pair_lp["prev"]) & (ex["cur"] == pair_lp["cur"]),
     ).select(ex[id_col].alias(id_col), "__lp")
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.avg("__lp").alias("mean_logprob"),
     )
-    out = df.select(id_col).join(per_doc, id_col, "left")
+    out = df.select(id_col).join(per_doc.hint("shuffle_hash"), id_col, "left")
     return out.select(
         F.col(id_col),
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
