@@ -148,6 +148,14 @@ HEADLINE = [
     "funnel_latency",
     "ngram_novelty",
     "upsample_ffill",
+    # round-6 batch
+    "two_scale_rv",
+    "realized_moments",
+    "pairs_distance",
+    "event_study_car",
+    "gumbel_topk",
+    "hard_negatives",
+    "cluster_representatives",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
 
 
 def chunk_documents(
@@ -706,4 +706,66 @@ def dsir_log_weights(
         id_col,
         F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
         "log_w",
+    )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "pts-gumbel",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Gumbel-top-k trick (Vieira 2014; Kool et al., ICML 2019): drawing
+    the k rows with the largest perturbed keys
+
+        key_i = ln(w_i) + g_i,   g_i = -ln(-ln(u_i))
+
+    is an exact sample without replacement proportional to weights
+    ``w_i`` — the selection step after ``dsir_log_weights`` (importance
+    resampling) or any quality-weighted corpus draw.  The uniforms come
+    from the salted 60-bit portable hash of ``id_col`` (RNG-free,
+    engine-portable, reproducible under any partitioning — the
+    ``mix_corpus`` convention), so the sample is a pure function of
+    (salt, ids, weights).
+
+    Rows with a null or non-positive weight never sample.  Output:
+    ``id_col, weight, sample_key, rank`` (rank 1 = first drawn),
+    ordered semantics only through ``rank`` — row order itself remains
+    non-contractual.
+
+    Scale shape: the top-k is ``orderBy(...).limit(k)`` —
+    TakeOrderedAndProject, a per-partition heap + driver merge of k
+    rows, NO global sort and NO global window over the corpus; the
+    rank window runs on the already-collapsed k-row frame.
+    """
+    from polars_trading_spark.functions.text import portable_hash60
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    mod = 1 << 30
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.pmod(
+            portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            F.lit(mod),
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(mod))
+    key = F.log(w) - F.log(-F.log(u))
+    top = (
+        df.where(w > 0)
+        .select(F.col(id_col), w.alias("weight"), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    rank_w = Window.orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+    return top.select(
+        id_col,
+        "weight",
+        "sample_key",
+        F.row_number().over(rank_w).cast("int").alias("rank"),
     )

@@ -48,6 +48,7 @@ __all__ = [
     "positional_shingle_hashes",
     "duplicated_span_stats",
     "connected_components",
+    "cluster_representatives",
     "unit_dedup",
 ]
 
@@ -789,4 +790,69 @@ def ngram_containment_pairs(
             ca.alias("containment_a"),
             cb.alias("containment_b"),
         )
+    )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    *,
+    quality_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Quality-aware near-duplicate cluster keeper: instead of the
+    min-id survivor (``corpus_filter``'s convention), keep each MinHash
+    cluster's HIGHEST-QUALITY document — the dedup policy used when
+    near-duplicates differ in cleanliness (one copy is the clean
+    original, the others are boilerplate-wrapped or truncated
+    re-crawls) and dropping by id would keep an arbitrary copy.
+
+    ``quality_col`` names an existing per-document score; when None the
+    shared ``text_profile`` quality heuristic is computed inline.  The
+    winner is decided on the score ROUNDED to 6 (round-before-threshold
+    convention) with ties to the lowest id, so the choice replays
+    identically on any engine.
+
+    Output: one row per document — ``id_col, cluster_id, cluster_size,
+    quality_score, is_representative``.
+
+    Scale shape: the pairs/components legs are exactly
+    ``corpus_filter``'s (banded LSH candidates, min-label propagation —
+    never all-pairs); the selection adds one cluster-keyed window.
+    ``cluster_size`` is an integer count over the same partition.
+    """
+    from polars_trading_spark.functions.text import text_profile
+
+    if quality_col is None:
+        scored = text_profile(df, text_col=text_col, keep=(id_col,)).select(
+            id_col, F.round("quality_score", 6).alias("__q")
+        )
+    else:
+        scored = df.select(id_col, F.round(F.col(quality_col), 6).alias("__q"))
+
+    pairs = minhash_lsh_pairs(
+        df,
+        text_col,
+        id_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs, nodes=df.select(id_col), node_col=id_col)
+    j = comp.select(id_col, "cluster_id").join(scored, id_col)
+    w_all = Window.partitionBy("cluster_id")
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col(id_col).asc()
+    )
+    return j.select(
+        F.col(id_col),
+        "cluster_id",
+        F.count(F.lit(1)).over(w_all).cast("int").alias("cluster_size"),
+        F.col("__q").alias("quality_score"),
+        (F.row_number().over(w_rank) == 1).alias("is_representative"),
     )

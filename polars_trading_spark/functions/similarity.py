@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_topk",
     "embedding_cosine_pairs",
+    "hard_negatives",
     "semdedup",
 ]
 
@@ -836,4 +837,66 @@ def _semdedup_pairs(
         "dup_of",
         "dup_sim",
         F.col("dup_of").isNull().alias("keep"),
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    max_corpus_rows: int | None = 10_000_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR, SimCSE,
+    retrieval-embedding fine-tuning): per query, the top-``k`` corpus
+    vectors by cosine WITHIN the band ``lo <= cos < hi`` — similar
+    enough to be informative negatives, but below the near-duplicate
+    ceiling that would make them likely unlabeled positives.
+
+    The band thresholds apply to the ROUNDED similarity
+    (``round_digits``), the project's round-before-threshold convention
+    (tfidf_cosine_pairs), so band membership replays identically on any
+    engine.  Self-matches are excluded; ties break on vec_id.
+
+    Output: ``query_id, rank, vec_id, cosine_sim`` (rank 1 = hardest
+    negative).  Same guard and broadcast shape as ``cosine_topk`` —
+    this is the exact baseline; swap the candidate source for the
+    IVF/LSH paths when the corpus outgrows the brute-force budget.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (lo < hi):
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+    if max_corpus_rows is not None:
+        probe = _guard_row_count(corpus, max_corpus_rows)
+        if probe > max_corpus_rows:
+            raise ValueError(
+                f"hard_negatives is the exact O(corpus x queries) baseline and "
+                f"the corpus exceeds max_corpus_rows={max_corpus_rows}; mine "
+                f"from an IVF/LSH candidate set for large corpora, or pass "
+                f"max_corpus_rows=None to override."
+            )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    sim = F.round(cosine(F.col("__qv"), F.col("__cv")), round_digits)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine_sim", sim)
+        .where((F.col("cosine_sim") >= lo) & (F.col("cosine_sim") < hi))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_sim")
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cross_sectional_zscore", "fama_macbeth",
-    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -576,4 +576,77 @@ def fama_macbeth_summary(
         t_nw.alias("gamma1_t_nw"),
         F.col("__mu0").alias("gamma0_mean"),
         F.lit(nw_lags).cast("int").alias("nw_lags"),
+    )
+
+
+def pairs_distance(
+    bars: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    min_obs: int = 2,
+) -> DataFrame:
+    """Pairs-selection distance screen — Gatev, Goetzmann & Rouwenhorst
+    (2006), "Pairs trading: performance of a relative-value arbitrage
+    rule": normalize every symbol's price path to a cumulative-return
+    index (close / first close), then score every unordered symbol pair
+    by the sum of squared differences (SSD) of the two indices over
+    their shared bar timestamps.  The lowest-SSD pairs are the classic
+    formation-period candidates for the spread/cointegration stages
+    (``spread_signal``, ``cointegration``).
+
+    Output: one row per pair — ``sym_a < sym_b``, ``n_obs`` (shared
+    bars), ``ssd``, ``rmsd`` = sqrt(ssd / n_obs) (scale-free ranking
+    metric).  Pairs with fewer than ``min_obs`` shared bars are
+    dropped.
+
+    Scale shape: one per-symbol window pass (first_value) and a
+    ts-co-partitioned self-join restricted to ``sym_a < sym_b`` —
+    O(pairs x bars) like ``rolling_pair_correlation``, quadratic in
+    universe *width* only, never in history.  The SSD float reduce is a
+    ts-ORDERED running fold read at the pair's last row (fold-order
+    deterministic across engines/layouts, SCALING.md rule 24/27); no
+    global window, so the operator holds at any pair count.
+    """
+    if min_obs < 1:
+        raise ValueError(f"min_obs must be >= 1, got {min_obs}")
+
+    w_ord = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_first = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    c = F.col(close_col).cast("double")
+    norm = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        (c / F.first(c).over(w_first)).alias("__p"),
+    ).where(F.col("__p").isNotNull())
+
+    a = norm.select(
+        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__p").alias("__pa")
+    )
+    b = norm.select(
+        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__p").alias("__pb")
+    )
+    joined = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
+
+    d = F.col("__pa") - F.col("__pb")
+    pair_ord = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    pair_run = pair_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pair_all = Window.partitionBy("sym_a", "sym_b")
+    folded = joined.select(
+        "sym_a",
+        "sym_b",
+        F.row_number().over(pair_ord).alias("__rn"),
+        F.count(F.lit(1)).over(pair_all).alias("__n"),
+        F.sum(d * d).over(pair_run).alias("__ssd"),
+    )
+    return (
+        folded.where((F.col("__rn") == F.col("__n")) & (F.col("__n") >= min_obs))
+        .select(
+            "sym_a",
+            "sym_b",
+            F.col("__n").cast("long").alias("n_obs"),
+            F.col("__ssd").alias("ssd"),
+            F.sqrt(F.col("__ssd") / F.col("__n")).alias("rmsd"),
+        )
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bar_volatility", "jump_test"]
+__all__ = ["bar_volatility", "jump_test", "realized_moments", "two_scale_rv"]
 
 _LN2 = 0.6931471805599453
 
@@ -196,4 +196,172 @@ def jump_test(
         F.when(ok, bv).alias("bv"),
         rj.alias("rj"),
         z.alias("z"),
+    )
+
+
+def two_scale_rv(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Two-scale realized variance per (symbol, day) — Zhang, Mykland
+    & Aït-Sahalia (2005), "A tale of two time scales": the
+    microstructure-noise-corrected integrated variance estimate from
+    raw tick prices, where plain realized variance diverges as the
+    sampling frequency grows (noise accumulates per tick).
+
+    With log prices ``lp_0..lp_m`` in a (symbol, day) partition,
+    ``n = m`` tick returns:
+
+        rv_all     = Σ_{j>=1} (lp_j − lp_{j−1})²          (tick scale)
+        rv_sub_avg = (1/K) Σ_{j>=K} (lp_j − lp_{j−K})²    (avg of the K
+                                                           offset subgrids)
+        n̄          = (n − K + 1) / K
+        tsrv       = rv_sub_avg − (n̄ / n) · rv_all
+
+    Null when the partition has fewer than ``K + 1`` returns.
+
+    Scale shape: two lag chains and ONE (symbol, day) window partition —
+    no joins, no Python; the float reductions are (ts, seq)-ordered
+    RUNNING sums read at the partition's last row (fold-order
+    deterministic across engines and partition layouts — SCALING.md
+    rule 24/27).
+
+    Output: ``symbol, day, n_ticks, n_returns, rv_all, rv_sub_avg,
+    tsrv``.
+    """
+    from polars_trading_spark._utils import SEQ_COL
+    from polars_trading_spark.config import column_names
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    symbol = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    seq = seq_col or (SEQ_COL if SEQ_COL in df.columns else None)
+    order_cols = [ts] + ([seq] if seq else [])
+
+    # stage day as a real column first so BOTH window passes share the
+    # same (symbol, day) partitioning — one exchange, second pass is
+    # sort-only
+    base = df.select(
+        F.col(symbol),
+        F.to_date(ts).alias("day"),
+        *[F.col(c) for c in order_cols],
+        F.log(F.col(price).cast("double")).alias("__lp"),
+    )
+    w_ord = Window.partitionBy(symbol, "day").orderBy(*order_cols)
+    lp = F.col("__lp")
+    staged = base.select(
+        F.col(symbol),
+        "day",
+        *[F.col(c) for c in order_cols],
+        (lp - F.lag(lp, 1).over(w_ord)).alias("__r1"),
+        (lp - F.lag(lp, k).over(w_ord)).alias("__rk"),
+    )
+    w2 = Window.partitionBy(symbol, "day").orderBy(*order_cols)
+    w_run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(symbol, "day")
+    agg = staged.select(
+        F.col(symbol),
+        "day",
+        F.row_number().over(w2).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.sum(F.col("__r1") * F.col("__r1")).over(w_run).alias("__rv"),
+        F.sum(F.col("__rk") * F.col("__rk")).over(w_run).alias("__rvk"),
+    ).where(F.col("__rn") == F.col("__m"))
+    n = (F.col("__m") - 1).cast("double")
+    nbar = (n - k + 1) / k
+    rv_all = F.col("__rv")
+    rv_sub = F.col("__rvk") / k
+    ok = n > k
+    return agg.select(
+        F.col(symbol),
+        "day",
+        F.col("__m").cast("long").alias("n_ticks"),
+        n.cast("long").alias("n_returns"),
+        F.when(ok, rv_all).alias("rv_all"),
+        F.when(ok, rv_sub).alias("rv_sub_avg"),
+        F.when(ok, rv_sub - nbar / n * rv_all).alias("tsrv"),
+    )
+
+
+def realized_moments(
+    df: DataFrame,
+    *,
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Realized variance / skewness / kurtosis per (symbol, day) from
+    intraday tick returns — Amaya, Christoffersen, Jacobs & Vasquez
+    (2015, "Does realized skewness predict the cross-section of equity
+    returns?"): with n intraday log returns ``r_i``,
+
+        rv    = Σ r_i²
+        rskew = sqrt(n) · Σ r_i³ / rv^(3/2)
+        rkurt = n · Σ r_i⁴ / rv²
+
+    — the daily higher-moment signals (lottery-demand / crash-risk
+    factors) computed without any rolling estimation window.  Null when
+    n < 2 or rv == 0.
+
+    Scale shape: one lag chain + one (symbol, day) window partition,
+    no joins, no Python; the three power sums are (ts, seq)-ordered
+    running folds read at the last row (SCALING.md rule 24/27).
+
+    Output: ``symbol, day, n_returns, rv, rskew, rkurt``.
+    """
+    from polars_trading_spark._utils import SEQ_COL
+    from polars_trading_spark.config import column_names
+
+    symbol = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    seq = seq_col or (SEQ_COL if SEQ_COL in df.columns else None)
+    order_cols = [ts] + ([seq] if seq else [])
+
+    base = df.select(
+        F.col(symbol),
+        F.to_date(ts).alias("day"),
+        *[F.col(c) for c in order_cols],
+        F.log(F.col(price).cast("double")).alias("__lp"),
+    )
+    w_ord = Window.partitionBy(symbol, "day").orderBy(*order_cols)
+    r = F.col("__lp") - F.lag("__lp").over(w_ord)
+    staged = base.select(
+        F.col(symbol),
+        "day",
+        *[F.col(c) for c in order_cols],
+        r.alias("__r"),
+    )
+    w2 = Window.partitionBy(symbol, "day").orderBy(*order_cols)
+    w_run = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(symbol, "day")
+    r2 = F.col("__r") * F.col("__r")
+    agg = staged.select(
+        F.col(symbol),
+        "day",
+        F.row_number().over(w2).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__m"),
+        F.sum(r2).over(w_run).alias("__s2"),
+        F.sum(r2 * F.col("__r")).over(w_run).alias("__s3"),
+        F.sum(r2 * r2).over(w_run).alias("__s4"),
+    ).where(F.col("__rn") == F.col("__m"))
+    n = (F.col("__m") - 1).cast("double")
+    rv = F.col("__s2")
+    ok = (n >= 2) & (rv > 0)
+    return agg.select(
+        F.col(symbol),
+        "day",
+        n.cast("long").alias("n_returns"),
+        F.when(ok, rv).alias("rv"),
+        F.when(ok, F.sqrt(n) * F.col("__s3") / F.pow(rv, 1.5)).alias("rskew"),
+        F.when(ok, n * F.col("__s4") / (rv * rv)).alias("rkurt"),
     )

@@ -8132,6 +8132,455 @@ def q_upsample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "ts_event", "price", "ts_src")
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). Two-scale realized variance (operators/volatility.py
+# ::two_scale_rv): the Zhang-Mykland-Aït-Sahalia noise-corrected
+# integrated-variance estimate from raw ticks.
+# --------------------------------------------------------------------------
+
+_TSRV_K = 5
+
+
+@register(
+    "two_scale_rv",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+b AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS day, ts_event, seq, ln(price) AS lp
+  FROM trades
+),
+l AS (
+  SELECT *, lp - lag(lp, 1) OVER w AS r1, lp - lag(lp, {_TSRV_K}) OVER w AS rk
+  FROM b
+  WINDOW w AS (PARTITION BY symbol, day ORDER BY ts_event, seq)
+),
+-- (ts, seq)-ordered running folds read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT symbol, day,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS m,
+    sum(r1 * r1) OVER wrun AS rv,
+    sum(rk * rk) OVER wrun AS rvk
+  FROM l
+  WINDOW word AS (PARTITION BY symbol, day ORDER BY ts_event, seq),
+         wrun AS (PARTITION BY symbol, day ORDER BY ts_event, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol, day)
+)
+SELECT symbol, day, CAST(m AS BIGINT) AS n_ticks,
+  CAST(m - 1 AS BIGINT) AS n_returns,
+  CASE WHEN m - 1 > {_TSRV_K} THEN round(rv, 6) + 0 END AS rv_all,
+  CASE WHEN m - 1 > {_TSRV_K} THEN round(rvk / {_TSRV_K}, 6) + 0 END AS rv_sub_avg,
+  CASE WHEN m - 1 > {_TSRV_K}
+       THEN round(rvk / {_TSRV_K}
+                  - ((m - 1) - {_TSRV_K} + 1.0) / {_TSRV_K} / (m - 1) * rv, 6) + 0
+  END AS tsrv
+FROM f WHERE rn = m
+""",
+    f"Two-scale realized variance per (symbol, day): K={_TSRV_K} subgrid "
+    "average minus the noise-bias-scaled tick-scale RV (Zhang-Mykland-"
+    "Aït-Sahalia 2005), ordered running folds throughout",
+)
+def q_two_scale_rv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.volatility import two_scale_rv
+
+    with _trades_config():
+        out = two_scale_rv(trades_from_events(spark, sf_dir), k=_TSRV_K)
+    return out.select(
+        "symbol",
+        "day",
+        "n_ticks",
+        "n_returns",
+        (F.round("rv_all", 6) + F.lit(0.0)).alias("rv_all"),
+        (F.round("rv_sub_avg", 6) + F.lit(0.0)).alias("rv_sub_avg"),
+        (F.round("tsrv", 6) + F.lit(0.0)).alias("tsrv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Pairs-selection distance screen
+# (operators/cross_section.py::pairs_distance).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pairs_distance",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+norm AS (
+  SELECT symbol, ts,
+    close / first_value(close) OVER (PARTITION BY symbol ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p
+  FROM bars
+),
+j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts, a.p AS pa, b.p AS pb
+  FROM norm a JOIN norm b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+-- ts-ordered running fold read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT sym_a, sym_b,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    sum((pa - pb) * (pa - pb)) OVER wrun AS ssd
+  FROM j
+  WINDOW word AS (PARTITION BY sym_a, sym_b ORDER BY ts),
+         wrun AS (PARTITION BY sym_a, sym_b ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY sym_a, sym_b)
+)
+SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n_obs,
+  round(ssd, 6) + 0 AS ssd,
+  round(sqrt(ssd / n), 6) + 0 AS rmsd
+FROM f WHERE rn = n AND n >= 2
+""",
+    "Gatev-Goetzmann-Rouwenhorst pairs screen: SSD of first-price-"
+    "normalized paths for every unordered symbol pair over shared 15m "
+    "bars, ordered running folds",
+)
+def q_pairs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import pairs_distance
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = pairs_distance(bars, ts_col="ts_event", close_col="close")
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        (F.round("ssd", 6) + F.lit(0.0)).alias("ssd"),
+        (F.round("rmsd", 6) + F.lit(0.0)).alias("rmsd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Market-model event study (operators/event_study.py):
+# rolling-OLS alpha/beta before each event, AR/CAR over the event window.
+# Events = each symbol's top-3 |log-return| bars (deterministic probe set).
+# --------------------------------------------------------------------------
+
+_ES_EST, _ES_CAR, _ES_TOPK = 12, 6, 3
+
+
+@register(
+    "event_study_car",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+r2 AS (
+  SELECT symbol, ts, r,
+    row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+  FROM rets WHERE r IS NOT NULL
+),
+mkt AS (SELECT ts, avg(r) AS rm FROM r2 GROUP BY ts),
+b AS (
+  SELECT r2.symbol, r2.ts, r2.r, m.rm, r2.rn
+  FROM r2 JOIN mkt m USING (ts)
+),
+ols AS (
+  SELECT *,
+    CAST(count(r) OVER west AS DOUBLE) AS n,
+    sum(rm) OVER west AS sx,
+    sum(r) OVER west AS sy,
+    sum(rm * rm) OVER west AS sxx,
+    sum(rm * r) OVER west AS sxy
+  FROM b
+  WINDOW west AS (PARTITION BY symbol ORDER BY ts
+                  ROWS BETWEEN {_ES_EST} PRECEDING AND 1 PRECEDING)
+),
+ols2 AS (
+  SELECT symbol, ts, rn, CAST(n AS BIGINT) AS n_est,
+    CASE WHEN n >= {_ES_EST} AND n * sxx - sx * sx > 0
+         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta,
+    sy, sx, n
+  FROM ols
+),
+evsel AS (
+  SELECT symbol, ts,
+    row_number() OVER (PARTITION BY symbol ORDER BY abs(r) DESC, ts) AS k
+  FROM r2
+),
+ev AS (
+  SELECT o.symbol, o.ts AS event_ts, o.rn, o.n_est, o.beta,
+    (o.sy - o.beta * o.sx) / o.n AS alpha
+  FROM ols2 o JOIN evsel s ON s.symbol = o.symbol AND s.ts = o.ts
+  WHERE s.k <= {_ES_TOPK} AND o.beta IS NOT NULL
+),
+tgt AS (
+  SELECT e.symbol, e.event_ts, e.n_est, e.alpha, e.beta,
+    g.off AS "offset", e.rn + g.off AS rn
+  FROM ev e, generate_series(0, {_ES_CAR - 1}) AS g(off)
+),
+j AS (
+  SELECT t.symbol, t.event_ts, t."offset", t.alpha, t.beta, t.n_est,
+    p.ts, p.r, p.rm,
+    p.r - (t.alpha + t.beta * p.rm) AS ar
+  FROM tgt t JOIN b p ON p.symbol = t.symbol AND p.rn = t.rn
+),
+-- offset-ordered running CAR fold (SCALING rule 24/27)
+f AS (
+  SELECT *, sum(ar) OVER (PARTITION BY symbol, event_ts ORDER BY "offset"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS car
+  FROM j
+)
+SELECT symbol, event_ts, CAST("offset" AS INTEGER) AS "offset", ts AS ts_event,
+  round(alpha, 6) + 0 AS alpha,
+  round(beta, 6) + 0 AS beta,
+  n_est,
+  round(r, 6) + 0 AS ret,
+  round(rm, 6) + 0 AS mkt_ret,
+  round(ar, 6) + 0 AS ar,
+  round(car, 6) + 0 AS car
+FROM f
+""",
+    f"MacKinlay market-model event study: {_ES_EST}-bar rolling OLS "
+    f"alpha/beta before each of the top-{_ES_TOPK} |return| bars per "
+    f"symbol, AR + running CAR over the {_ES_CAR}-bar event window",
+)
+def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from polars_trading_spark.operators.event_study import event_study_car
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    order = Window.partitionBy("symbol").orderBy("ts_event")
+    r = bars.select(
+        "symbol",
+        "ts_event",
+        F.log(F.col("close") / F.lag("close").over(order)).alias("__r"),
+    ).where(F.col("__r").isNotNull())
+    sel = Window.partitionBy("symbol").orderBy(
+        F.abs(F.col("__r")).desc(), F.col("ts_event").asc()
+    )
+    events = (
+        r.withColumn("__k", F.row_number().over(sel))
+        .where(F.col("__k") <= _ES_TOPK)
+        .select("symbol", F.col("ts_event").alias("event_ts"))
+    )
+    out = event_study_car(
+        bars,
+        events,
+        est_window=_ES_EST,
+        car_window=_ES_CAR,
+        ts_col="ts_event",
+        close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "event_ts",
+        "offset",
+        "ts_event",
+        (F.round("alpha", 6) + z0).alias("alpha"),
+        (F.round("beta", 6) + z0).alias("beta"),
+        "n_est",
+        (F.round("ret", 6) + z0).alias("ret"),
+        (F.round("mkt_ret", 6) + z0).alias("mkt_ret"),
+        (F.round("ar", 6) + z0).alias("ar"),
+        (F.round("car", 6) + z0).alias("car"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Gumbel-top-k weighted sampling without replacement
+# (functions/corpus.py::gumbel_topk_sample).
+# --------------------------------------------------------------------------
+
+_GUM_K = 50
+
+
+@register(
+    "gumbel_topk",
+    f"""
+WITH g AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+    ln(CAST(n_chars AS DOUBLE))
+      - ln(-ln(((CAST(('0x' || substr(md5('pts-gumbel' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1073741824) + 0.5) / 1073741824.0)) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(sample_key, 6) + 0 AS sample_key,
+  CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rnk FROM g)
+WHERE rnk <= {_GUM_K}
+""",
+    f"Deterministic weighted sampling without replacement: top-{_GUM_K} "
+    "Gumbel-perturbed keys (ln w + Gumbel noise from the salted 60-bit "
+    "hash) over document char counts — RNG-free importance resampling",
+)
+def q_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import gumbel_topk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = gumbel_topk_sample(docs, k=_GUM_K, weight_col="n_chars")
+    return out.select(
+        "doc_id",
+        "weight",
+        (F.round("sample_key", 6) + F.lit(0.0)).alias("sample_key"),
+        "rank",
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Hard-negative mining band
+# (functions/similarity.py::hard_negatives).
+# --------------------------------------------------------------------------
+
+_HN_LO, _HN_HI, _HN_K = 0.1, 0.9, 5
+
+
+@register(
+    "hard_negatives",
+    f"""
+WITH
+{_EMB_CTE},
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}),
+sims AS (
+  SELECT q.query_id, c.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_V}), 6) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+banded AS (
+  SELECT * FROM sims WHERE cosine_sim >= {_HN_LO!r} AND cosine_sim < {_HN_HI!r}
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM banded
+)
+SELECT query_id, rank, vec_id, cosine_sim FROM ranked WHERE rank <= {_HN_K}
+""",
+    f"Contrastive hard-negative mining: per query the top-{_HN_K} corpus "
+    f"vectors with rounded cosine in [{_HN_LO}, {_HN_HI}) — informative "
+    "negatives below the near-duplicate ceiling",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    out = sim_ops.hard_negatives(emb, queries, k=_HN_K, lo=_HN_LO, hi=_HN_HI)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Realized higher moments
+# (operators/volatility.py::realized_moments).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "realized_moments",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+b AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS day, ts_event, seq, ln(price) AS lp
+  FROM trades
+),
+l AS (
+  SELECT symbol, day, ts_event, seq, lp - lag(lp) OVER w AS r
+  FROM b
+  WINDOW w AS (PARTITION BY symbol, day ORDER BY ts_event, seq)
+),
+-- (ts, seq)-ordered running power-sum folds read at the last row
+f AS (
+  SELECT symbol, day,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS m,
+    sum(r * r) OVER wrun AS s2,
+    sum(r * r * r) OVER wrun AS s3,
+    sum((r * r) * (r * r)) OVER wrun AS s4
+  FROM l
+  WINDOW word AS (PARTITION BY symbol, day ORDER BY ts_event, seq),
+         wrun AS (PARTITION BY symbol, day ORDER BY ts_event, seq
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol, day)
+)
+SELECT symbol, day, CAST(m - 1 AS BIGINT) AS n_returns,
+  CASE WHEN m - 1 >= 2 AND s2 > 0 THEN round(s2, 6) + 0 END AS rv,
+  CASE WHEN m - 1 >= 2 AND s2 > 0
+       THEN round(sqrt(CAST(m - 1 AS DOUBLE)) * s3 / pow(s2, 1.5), 6) + 0 END AS rskew,
+  CASE WHEN m - 1 >= 2 AND s2 > 0
+       THEN round(CAST(m - 1 AS DOUBLE) * s4 / (s2 * s2), 6) + 0 END AS rkurt
+FROM f WHERE rn = m
+""",
+    "Realized variance / skewness / kurtosis per (symbol, day) from "
+    "intraday tick returns (Amaya et al. 2015) — ordered running "
+    "power-sum folds, one window partition",
+)
+def q_realized_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.volatility import realized_moments
+
+    with _trades_config():
+        out = realized_moments(trades_from_events(spark, sf_dir))
+    return out.select(
+        "symbol",
+        "day",
+        "n_returns",
+        (F.round("rv", 6) + F.lit(0.0)).alias("rv"),
+        (F.round("rskew", 6) + F.lit(0.0)).alias("rskew"),
+        (F.round("rkurt", 6) + F.lit(0.0)).alias("rkurt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Quality-aware near-dup cluster keeper
+# (functions/dedup.py::cluster_representatives) — reuses corpus_filter's
+# pairs/components/quality CTEs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cluster_representatives",
+    f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+{_MH_PAIR_TAIL},
+{_CC_TAIL},
+scored AS (
+  SELECT doc_id, round({_QUALITY_SQL}, 6) AS q FROM feat
+),
+m AS (
+  SELECT l.doc_id, l.cluster_id, s.q
+  FROM labeled l JOIN scored s USING (doc_id)
+),
+sel AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY cluster_id) AS csize,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+  FROM m
+)
+SELECT doc_id, cluster_id, CAST(csize AS INTEGER) AS cluster_size,
+  q + 0 AS quality_score, rk = 1 AS is_representative
+FROM sel
+""",
+    "Quality-aware near-dup keeper: each MinHash cluster's highest-"
+    "quality document survives (round-6-then-rank, ties to lowest id) "
+    "instead of the arbitrary min-id copy",
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import cluster_representatives
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = cluster_representatives(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn(
+        "quality_score", F.col("quality_score") + F.lit(0.0)
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #

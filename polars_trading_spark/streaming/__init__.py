@@ -53,3 +53,9 @@ __all__.append("streaming_hawkes_intensity")
 from polars_trading_spark.streaming.rsi import streaming_rsi  # noqa: E402
 
 __all__.append("streaming_rsi")
+
+from polars_trading_spark.streaming.moments import (  # noqa: E402
+    streaming_realized_moments,
+)
+
+__all__.append("streaming_realized_moments")

@@ -728,3 +728,218 @@ class TestFamaMacbethSummary:
         # the summary's global windows must sit above the per-timestamp
         # aggregate (cardinality already collapsed)
         assert unbounded_global_windows(out) == []
+
+
+class TestTwoScaleRV:
+    def _golden(self, prices, k):
+        import math
+
+        lp = [math.log(p) for p in prices]
+        n = len(lp) - 1
+        rv_all = sum((lp[j] - lp[j - 1]) ** 2 for j in range(1, len(lp)))
+        rv_sub = sum((lp[j] - lp[j - k]) ** 2 for j in range(k, len(lp))) / k
+        nbar = (n - k + 1) / k
+        return rv_all, rv_sub, rv_sub - nbar / n * rv_all
+
+    def test_matches_closed_form(self, spark):
+        import datetime as dt
+
+        import pytest as pt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import two_scale_rv
+
+        base = dt.datetime(2024, 1, 1, 9)
+        prices = [100.0, 100.5, 99.8, 100.2, 101.0, 100.7, 100.9, 101.5, 101.2, 101.8]
+        rows = [
+            ("A", base + dt.timedelta(seconds=i), p, i) for i, p in enumerate(prices)
+        ]
+        df = spark.createDataFrame(
+            rows, "symbol string, ts timestamp, price double, sq long"
+        )
+        with Config(timestamp_column="ts"):
+            out = two_scale_rv(df, k=3, seq_col="sq").collect()
+        assert len(out) == 1
+        r = out[0]
+        rv_all, rv_sub, tsrv = self._golden(prices, 3)
+        assert r["n_ticks"] == 10 and r["n_returns"] == 9
+        assert r["rv_all"] == pt.approx(rv_all, rel=1e-12)
+        assert r["rv_sub_avg"] == pt.approx(rv_sub, rel=1e-12)
+        assert r["tsrv"] == pt.approx(tsrv, rel=1e-12)
+
+    def test_short_partition_nulls_and_day_split(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import two_scale_rv
+
+        base = dt.datetime(2024, 1, 1, 9)
+        rows = [
+            # day 1: 4 ticks -> 3 returns == k -> null (needs > k)
+            *[("A", base + dt.timedelta(seconds=i), 100.0 + i, i) for i in range(4)],
+            # day 2: 6 ticks -> 5 returns > k -> populated
+            *[
+                ("A", base + dt.timedelta(days=1, seconds=i), 100.0 + i, 10 + i)
+                for i in range(6)
+            ],
+        ]
+        df = spark.createDataFrame(
+            rows, "symbol string, ts timestamp, price double, sq long"
+        )
+        with Config(timestamp_column="ts"):
+            out = {str(r["day"]): r for r in two_scale_rv(df, k=3, seq_col="sq").collect()}
+        assert out["2024-01-01"]["tsrv"] is None
+        assert out["2024-01-02"]["tsrv"] is not None
+
+    def test_validation_and_plan(self, spark):
+        import datetime as dt
+
+        import pytest as pt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import two_scale_rv
+        from polars_trading_spark.plans import count_exchanges, count_python_stages
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0, 0)],
+            "symbol string, ts timestamp, price double, sq long",
+        )
+        with Config(timestamp_column="ts"):
+            with pt.raises(ValueError, match="k must be"):
+                two_scale_rv(df, k=1)
+            out = two_scale_rv(df, k=3, seq_col="sq")
+        assert count_python_stages(out) == 0
+        assert count_exchanges(out) <= 1  # one (symbol, day) partition
+
+
+class TestPairsDistance:
+    def test_matches_brute_force(self, spark):
+        import datetime as dt
+        import math
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.cross_section import pairs_distance
+
+        base = dt.datetime(2024, 1, 1)
+        series = {
+            "A": [100.0, 102.0, 101.0, 103.0],
+            "B": [50.0, 51.0, 50.4, 51.6],   # ~A's path, halved: tiny SSD
+            "C": [10.0, 9.0, 11.0, 8.0],
+        }
+        rows = [
+            (s, base + dt.timedelta(days=i), p)
+            for s, ps in series.items()
+            for i, p in enumerate(ps)
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        out = {
+            (r["sym_a"], r["sym_b"]): r
+            for r in pairs_distance(df, ts_col="ts", close_col="close").collect()
+        }
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        for (a, b), r in out.items():
+            na = [p / series[a][0] for p in series[a]]
+            nb = [p / series[b][0] for p in series[b]]
+            ssd = sum((x - y) ** 2 for x, y in zip(na, nb))
+            assert r["n_obs"] == 4
+            assert r["ssd"] == pt.approx(ssd, rel=1e-12)
+            assert r["rmsd"] == pt.approx(math.sqrt(ssd / 4), rel=1e-12)
+        # the co-moving pair is by far the closest
+        assert out[("A", "B")]["ssd"] < out[("A", "C")]["ssd"]
+        assert out[("A", "B")]["ssd"] < out[("B", "C")]["ssd"]
+
+    def test_min_obs_and_partial_overlap(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.operators.cross_section import pairs_distance
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            ("A", base, 1.0), ("A", base + dt.timedelta(days=1), 1.1),
+            ("B", base, 2.0), ("B", base + dt.timedelta(days=1), 2.2),
+            ("C", base, 3.0),  # only one shared bar with anyone
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        out = pairs_distance(df, ts_col="ts", close_col="close", min_obs=2).collect()
+        assert {(r["sym_a"], r["sym_b"]) for r in out} == {("A", "B")}
+
+    def test_plan_no_python_no_global_window(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.operators.cross_section import pairs_distance
+        from polars_trading_spark.plans import count_python_stages, unbounded_global_windows
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0)],
+            "symbol string, ts timestamp, close double",
+        )
+        out = pairs_distance(df, ts_col="ts", close_col="close")
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []
+
+
+class TestRealizedMoments:
+    def test_matches_closed_form(self, spark):
+        import datetime as dt
+        import math
+
+        import pytest as pt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import realized_moments
+
+        base = dt.datetime(2024, 1, 1, 9)
+        prices = [100.0, 101.0, 99.5, 100.8, 100.1, 102.0]
+        rows = [("A", base + dt.timedelta(seconds=i), p, i) for i, p in enumerate(prices)]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, price double, sq long")
+        with Config(timestamp_column="ts"):
+            out = realized_moments(df, seq_col="sq").collect()
+        assert len(out) == 1
+        r = out[0]
+        rets = [math.log(prices[i] / prices[i - 1]) for i in range(1, len(prices))]
+        n = len(rets)
+        rv = sum(x * x for x in rets)
+        rskew = math.sqrt(n) * sum(x ** 3 for x in rets) / rv ** 1.5
+        rkurt = n * sum(x ** 4 for x in rets) / rv ** 2
+        assert r["n_returns"] == n
+        assert r["rv"] == pt.approx(rv, rel=1e-12)
+        assert r["rskew"] == pt.approx(rskew, rel=1e-12)
+        assert r["rkurt"] == pt.approx(rkurt, rel=1e-12)
+
+    def test_degenerate_partitions_null(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import realized_moments
+
+        base = dt.datetime(2024, 1, 1, 9)
+        rows = [
+            ("A", base, 100.0, 0),
+            ("A", base + dt.timedelta(seconds=1), 100.0, 1),  # 1 return only
+            ("B", base, 100.0, 2),
+            ("B", base + dt.timedelta(seconds=1), 100.0, 3),
+            ("B", base + dt.timedelta(seconds=2), 100.0, 4),  # 2 returns, rv=0
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, price double, sq long")
+        with Config(timestamp_column="ts"):
+            out = {r["symbol"]: r for r in realized_moments(df, seq_col="sq").collect()}
+        assert out["A"]["rv"] is None        # n < 2
+        assert out["B"]["rv"] is None        # rv == 0
+        assert out["B"]["n_returns"] == 2
+
+    def test_plan_single_exchange_no_python(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.config import Config
+        from polars_trading_spark.operators.volatility import realized_moments
+        from polars_trading_spark.plans import count_exchanges, count_python_stages
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0, 0)],
+            "symbol string, ts timestamp, price double, sq long",
+        )
+        with Config(timestamp_column="ts"):
+            out = realized_moments(df, seq_col="sq")
+        assert count_python_stages(out) == 0
+        assert count_exchanges(out) <= 1

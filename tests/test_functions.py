@@ -1386,3 +1386,150 @@ class TestNgramNovelty:
         # exactly one join survives: the short-doc-preserving left join
         # on the id — the gram-keyed dfreq join is gone
         assert len(re.findall(r"(?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)) == 1
+
+
+class TestGumbelTopkSample:
+    def _golden_keys(self, ids_weights, salt="pts-gumbel"):
+        import hashlib
+        import math
+
+        mod = 1 << 30
+        out = {}
+        for i, w in ids_weights:
+            h = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16)
+            u = ((h % mod) + 0.5) / mod
+            out[i] = math.log(w) - math.log(-math.log(u))
+        return out
+
+    def test_matches_python_golden_and_is_without_replacement(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.corpus import gumbel_topk_sample
+
+        rows = [(i, float(10 + 7 * (i % 13))) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        out = gumbel_topk_sample(df, k=20, weight_col="w").collect()
+        keys = self._golden_keys(rows)
+        expect = sorted(keys, key=lambda i: (-keys[i], i))[:20]
+        got = {r["rank"]: r for r in out}
+        assert [got[j + 1]["doc_id"] for j in range(20)] == expect
+        assert len({r["doc_id"] for r in out}) == 20  # no replacement
+        for r in out:
+            assert r["sample_key"] == pt.approx(keys[r["doc_id"]], rel=1e-12)
+
+    def test_nonpositive_weights_excluded_and_validation(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.functions.corpus import gumbel_topk_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        out = gumbel_topk_sample(df, k=10, weight_col="w").collect()
+        assert [r["doc_id"] for r in out] == [1]
+        with pt.raises(ValueError, match="k must be"):
+            gumbel_topk_sample(df, k=0, weight_col="w")
+
+    def test_plan_take_ordered_no_global_sort(self, spark):
+        from polars_trading_spark.functions.corpus import gumbel_topk_sample
+        from polars_trading_spark.plans import count_python_stages, plan_string
+
+        df = spark.createDataFrame([(1, 5.0)], "doc_id long, w double")
+        out = gumbel_topk_sample(df, k=10, weight_col="w")
+        assert count_python_stages(out) == 0
+        assert "TakeOrderedAndProject" in plan_string(out, "executed")
+
+
+class TestHardNegatives:
+    ROWS = [
+        (0, [1.0, 0.0]),          # query
+        (1, [1.0, 0.0]),          # exact dup: cos 1.0 -> above band
+        (2, [0.95, 0.3122499]),   # near-dup: cos ~0.95 -> above band
+        (3, [0.7, 0.71414284]),   # cos ~0.70 -> hard negative
+        (4, [0.5, 0.8660254]),    # cos 0.50 -> hard negative
+        (5, [0.0, 1.0]),          # cos 0.0  -> easy, below band
+        (6, [-1.0, 0.0]),         # cos -1.0 -> below band
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "vec_id long, embedding array<float>")
+
+    def test_band_membership_and_ranking(self, spark):
+        import pytest as pt
+
+        emb = self._df(spark)
+        out = sorted(
+            similarity.hard_negatives(
+                emb, emb.where(F.col("vec_id") == 0), k=5, lo=0.3, hi=0.9
+            ).collect(),
+            key=lambda r: r["rank"],
+        )
+        assert [r["vec_id"] for r in out] == [3, 4]
+        assert out[0]["cosine_sim"] == pt.approx(0.7, abs=1e-6)
+        assert out[1]["cosine_sim"] == pt.approx(0.5, abs=1e-6)
+
+    def test_k_truncates_and_validation(self, spark):
+        import pytest as pt
+
+        emb = self._df(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        out = similarity.hard_negatives(emb, q, k=1, lo=0.3, hi=0.9).collect()
+        assert [r["vec_id"] for r in out] == [3]
+        with pt.raises(ValueError, match="k must be"):
+            similarity.hard_negatives(emb, q, k=0)
+        with pt.raises(ValueError, match="lo < hi"):
+            similarity.hard_negatives(emb, q, lo=0.9, hi=0.3)
+
+    def test_guard_unbounded_corpus(self, spark):
+        import pytest as pt
+
+        emb = self._df(spark)
+        q = emb.where(F.col("vec_id") == 0)
+        with pt.raises(ValueError, match="max_corpus_rows"):
+            similarity.hard_negatives(emb, q, max_corpus_rows=3)
+
+
+class TestClusterRepresentatives:
+    def test_quality_keeper_beats_min_id(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # near-dup pair: doc 0 is boilerplate-wrapped, doc 1 clean.
+                (0, "buy now " + "the quick brown fox jumps over the lazy dog " * 4),
+                (1, "the quick brown fox jumps over the lazy dog " * 4),
+                # singleton
+                (2, "completely different text about astronomy and galaxies far away"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.cluster_representatives(
+                docs, ngram=3, num_hashes=12, bands=4, jaccard_threshold=0.2
+            ).collect()
+        }
+        assert out[0]["cluster_id"] == out[1]["cluster_id"]
+        assert out[0]["cluster_size"] == out[1]["cluster_size"] == 2
+        # exactly one representative per cluster, chosen by quality not id
+        reps = [i for i in (0, 1) if out[i]["is_representative"]]
+        assert len(reps) == 1
+        best = max((0, 1), key=lambda i: (out[i]["quality_score"], -i))
+        assert reps == [best]
+        assert out[2]["cluster_size"] == 1 and out[2]["is_representative"]
+
+    def test_explicit_quality_column_and_tie_to_lowest_id(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (7, "aa bb cc dd ee ff gg hh " * 3, 0.5),
+                (3, "aa bb cc dd ee ff gg hh " * 3, 0.5),  # tie -> lowest id
+            ],
+            "doc_id long, text string, q double",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.cluster_representatives(
+                docs, quality_col="q", jaccard_threshold=0.2
+            ).collect()
+        }
+        assert out[3]["is_representative"] is True
+        assert out[7]["is_representative"] is False

@@ -1056,3 +1056,72 @@ def test_streaming_rsi_matches_batch_across_batches(spark):
                 assert r["rsi"] == pytest.approx(b, rel=1e-9, abs=1e-9), r["seq"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_realized_moments_matches_batch_across_batches(spark):
+    """Per-(symbol, day) power-sum state (last log price, n, s2..s4)
+    must carry across micro-batches; the final update row per key
+    equals the batch operator over the full tape."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.volatility import realized_moments
+    from polars_trading_spark.streaming import streaming_realized_moments
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for sym in ("A", "B"):
+        for day in (1, 2):
+            t = dt.datetime(2022, 1, day, 9, 30)
+            price = 100.0
+            for _ in range(120):
+                t = t + dt.timedelta(seconds=float(rng.exponential(40)) + 0.001)
+                price = max(1.0, price + float(rng.normal(0, 0.8)))
+                rows.append((sym, t, len(rows), price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long, price double"
+
+    with Config(timestamp_column="ts_event"):
+        batch = {
+            (r["symbol"], str(r["day"])): r
+            for r in realized_moments(
+                spark.createDataFrame(pdf, schema), seq_col="seq"
+            ).collect()
+        }
+
+    d = tempfile.mkdtemp(prefix="pts_moments_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_realized_moments(stream)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        # keep each key's LAST update (largest n_returns)
+        final = {}
+        for r in rows_out:
+            key = (r["symbol"], str(r["day"]))
+            if key not in final or r["n_returns"] > final[key]["n_returns"]:
+                final[key] = r
+        assert set(final) == set(batch)
+        for key, r in final.items():
+            b = batch[key]
+            assert r["n_returns"] == b["n_returns"], key
+            for c in ("rv", "rskew", "rkurt"):
+                if b[c] is None:
+                    assert r[c] is None, (key, c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (key, c)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
