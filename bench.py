@@ -156,6 +156,11 @@ HEADLINE = [
     "gumbel_topk",
     "hard_negatives",
     "cluster_representatives",
+    "kalman_hedge",
+    "risk_ratios",
+    "vocab_divergence",
+    "size_quantiles",
+    "key_skew",
 ]
 
 

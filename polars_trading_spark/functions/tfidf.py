@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.functions.text import tokens
 
-__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "zipf_fit"]
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "vocab_divergence", "zipf_fit"]
 
 
 def term_frequencies(
@@ -263,4 +263,100 @@ def zipf_fit(
     )
     return fit.crossJoin(F.broadcast(totals)).select(
         "n_ranks", "n_vocab", "total_tokens", "alpha", "intercept", "r2"
+    )
+
+
+def vocab_divergence(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    every pair of document groups (sources, splits, time slices) — the
+    standard corpus-drift / domain-shift scalar: 0 for identical token
+    distributions, ln 2 for disjoint vocabularies.  The per-pair number
+    feeds mixture design (how different is source X from the rest) and
+    split audits (did val drift from train).
+
+    For groups a, b with token distributions p, q and m = (p + q)/2:
+
+        JS = 0.5 * Σ p_i ln(p_i / m_i) + 0.5 * Σ q_i ln(q_i / m_i)
+
+    (natural log; ``js_bits`` = JS / ln 2 ∈ [0, 1]).
+
+    Output: one row per unordered group pair — ``group_a < group_b``,
+    ``n_vocab_a, n_vocab_b, n_shared`` (distinct-token counts) and
+    ``js_nats, js_bits``.
+
+    Scale shape: one (group, token) hash aggregate (map-side
+    combinable, vocabulary-sized output), a tiny broadcast pair frame,
+    a FULL OUTER equi-join on (token, pair) to line both distributions
+    up (tokens missing on one side contribute with probability 0), and
+    a token-ORDERED running fold per pair for the float sum (fold-order
+    deterministic — SCALING.md rule 24/27).  Nothing is ever quadratic
+    in corpus size; the join is vocabulary x pairs.
+    """
+    tc = (
+        df.select(F.col(group_col).alias("__g"), F.explode(tokens(F.col(text_col))).alias("__t"))
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = tc.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    tc = tc.join(totals, "__g")
+
+    groups = totals.select(F.col("__g"), F.col("__n"))
+    pairs = (
+        groups.select(F.col("__g").alias("group_a"), F.col("__n").alias("__na"))
+        .crossJoin(
+            groups.select(F.col("__g").alias("group_b"), F.col("__n").alias("__nb"))
+        )
+        .where(F.col("group_a") < F.col("group_b"))
+    )
+
+    a = tc.join(
+        F.broadcast(pairs), tc["__g"] == pairs["group_a"]
+    ).select(
+        "group_a", "group_b", "__na", "__nb",
+        F.col("__t").alias("__tok"), F.col("__c").alias("__ca"),
+    )
+    b = tc.join(
+        F.broadcast(pairs), tc["__g"] == pairs["group_b"]
+    ).select(
+        "group_a", "group_b", "__na", "__nb",
+        F.col("__t").alias("__tok"), F.col("__c").alias("__cb"),
+    )
+    both = a.join(b, ["group_a", "group_b", "__na", "__nb", "__tok"], "full_outer")
+
+    pa = F.coalesce(F.col("__ca"), F.lit(0)).cast("double") / F.col("__na")
+    pb = F.coalesce(F.col("__cb"), F.lit(0)).cast("double") / F.col("__nb")
+    m = (pa + pb) / 2
+    term = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) * 0.5 + F.when(
+        pb > 0, pb * F.log(pb / m)
+    ).otherwise(F.lit(0.0)) * 0.5
+
+    w_ord = Window.partitionBy("group_a", "group_b").orderBy("__tok")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("group_a", "group_b")
+    folded = both.select(
+        "group_a",
+        "group_b",
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__k"),
+        F.sum(term).over(w_run).alias("__js"),
+        F.count("__ca").over(w_all).alias("n_vocab_a"),
+        F.count("__cb").over(w_all).alias("n_vocab_b"),
+        F.count(F.when(F.col("__ca").isNotNull() & F.col("__cb").isNotNull(), 1))
+        .over(w_all)
+        .alias("n_shared"),
+    )
+    ln2 = 0.6931471805599453
+    return folded.where(F.col("__rn") == F.col("__k")).select(
+        "group_a",
+        "group_b",
+        F.col("n_vocab_a").cast("long").alias("n_vocab_a"),
+        F.col("n_vocab_b").cast("long").alias("n_vocab_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("__js").alias("js_nats"),
+        (F.col("__js") / ln2).alias("js_bits"),
     )

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats", "deflated_sharpe", "drawdown_path", "ma_crossover_signal", "var_cvar"]
+__all__ = ["backtest_stats", "deflated_sharpe", "drawdown_path", "ma_crossover_signal", "risk_ratios", "var_cvar"]
 
 
 def backtest_stats(
@@ -442,3 +442,100 @@ def deflated_sharpe(
         )
     )
     return out
+
+
+def risk_ratios(
+    bars: DataFrame,
+    *,
+    periods_per_year: float,
+    target_return: float = 0.0,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Downside-aware performance ratios per symbol — the standard
+    complements to ``backtest_stats``'s Sharpe:
+
+    * **Sortino** (Sortino & Price 1994): excess return over the
+      annualized DOWNSIDE deviation ``sqrt(mean(min(r - tgt, 0)^2))``
+      — volatility above target is not risk.
+    * **Calmar**: annualized return over the maximum fractional
+      drawdown — the trend-follower's headline ratio.
+    * **Omega** (Keating & Shadwick 2002): probability-weighted gains
+      over losses around the target, ``sum(max(r - tgt, 0)) /
+      sum(max(tgt - r, 0))`` — uses the whole distribution, no
+      normality assumption.
+
+    ``target_return`` is per period (log return).  Output per symbol:
+    ``n_periods, ann_return, downside_dev_ann, sortino, max_drawdown,
+    calmar, omega`` (each ratio null when its denominator is zero or
+    ``n < 2``).
+
+    Shape: the same single (symbol, ts)-ordered window pass as
+    ``backtest_stats`` — drawdown path + running folds read at the last
+    row (fold-order deterministic, SCALING.md rule 24/27); zero joins,
+    zero Python.  ``sqrt(periods_per_year)`` is pinned python-side so
+    both engines consume the identical literal.
+    """
+    import math
+
+    if periods_per_year <= 0:
+        raise ValueError(f"periods_per_year must be > 0, got {periods_per_year}")
+
+    ppy = float(periods_per_year)
+    sqrt_ppy = math.sqrt(ppy)
+    tgt = float(target_return)
+
+    c = F.col(close_col)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    ret = F.log(c / F.lag(c).over(order))
+    df = bars.withColumn("__ret", ret).filter(F.col("__ret").isNotNull())
+
+    running = Window.partitionBy(symbol_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    df = (
+        df.withColumn("__cum", F.sum("__ret").over(running))
+        .withColumn("__peak", F.max(F.greatest("__cum", F.lit(0.0))).over(running))
+        .withColumn("__dd", F.col("__cum") - F.col("__peak"))
+    )
+
+    r = F.col("__ret")
+    excess = r - F.lit(tgt)
+    w_ord = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_all = Window.partitionBy(symbol_col)
+    folded = df.select(
+        F.col(symbol_col),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(r).over(running).alias("__s1"),
+        # x*x, not pow(x, 2): pow is not correctly-rounded in general,
+        # so the multiply form is the cross-engine-reproducible one
+        F.sum(
+            F.least(excess, F.lit(0.0)) * F.least(excess, F.lit(0.0))
+        ).over(running).alias("__sdn2"),
+        F.sum(F.greatest(excess, F.lit(0.0))).over(running).alias("__sup"),
+        F.sum(F.greatest(F.lit(tgt) - r, F.lit(0.0))).over(running).alias("__sdown"),
+        F.min("__dd").over(w_all).alias("__mindd"),
+    ).where(F.col("__rn") == F.col("__n"))
+
+    n = F.col("__n").cast("double")
+    ok = F.col("__n") >= 2
+    mu_ann = F.col("__s1") / n * ppy
+    down_ann = F.sqrt(F.col("__sdn2") / n) * sqrt_ppy
+    max_dd = 1 - F.exp(F.col("__mindd"))
+    sortino = F.when(
+        ok & (down_ann > 0), (F.col("__s1") / n - tgt) * ppy / down_ann
+    )
+    calmar = F.when(ok & (max_dd > 0), mu_ann / max_dd)
+    omega = F.when(ok & (F.col("__sdown") > 0), F.col("__sup") / F.col("__sdown"))
+    return folded.select(
+        F.col(symbol_col),
+        F.col("__n").cast("long").alias("n_periods"),
+        F.when(ok, mu_ann).alias("ann_return"),
+        F.when(ok, down_ann).alias("downside_dev_ann"),
+        sortino.alias("sortino"),
+        F.when(ok, max_dd).alias("max_drawdown"),
+        calmar.alias("calmar"),
+        omega.alias("omega"),
+    )

@@ -8581,6 +8581,324 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). Kalman-filter hedge ratio (operators/kalman.py):
+# scalar random-walk-beta recursion per pair, replayed bit-exactly by a
+# recursive CTE.
+# --------------------------------------------------------------------------
+
+_KF_Q, _KF_R, _KF_B0, _KF_P0 = 1e-5, 1e-3, 0.0, 1.0
+
+
+@register(
+    "kalman_hedge",
+    f"""
+WITH RECURSIVE
+{_FEATURE_BARS_CTE},
+pr AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts,
+    a.close AS y, b.close AS x,
+    row_number() OVER (PARTITION BY a.symbol, b.symbol ORDER BY a.ts) AS rn
+  FROM bars a JOIN bars b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+n AS (SELECT sym_a, sym_b FROM pr GROUP BY sym_a, sym_b),
+-- the identical scalar recursion as the Arrow kernel, one step per
+-- iteration; gain recomputed verbatim in both legs (same expression,
+-- same double)
+kf(sym_a, sym_b, rn, beta, p, spread) AS (
+  SELECT sym_a, sym_b, CAST(0 AS BIGINT),
+         CAST({_KF_B0!r} AS DOUBLE), CAST({_KF_P0!r} AS DOUBLE),
+         CAST(NULL AS DOUBLE)
+  FROM n
+  UNION ALL
+  SELECT k.sym_a, k.sym_b, k.rn + 1,
+    k.beta + ((k.p + {_KF_Q!r}) * pr.x / (pr.x * pr.x * (k.p + {_KF_Q!r}) + {_KF_R!r}))
+             * (pr.y - k.beta * pr.x),
+    (1 - ((k.p + {_KF_Q!r}) * pr.x / (pr.x * pr.x * (k.p + {_KF_Q!r}) + {_KF_R!r})) * pr.x)
+      * (k.p + {_KF_Q!r}),
+    pr.y - k.beta * pr.x
+  FROM kf k
+  JOIN pr ON pr.sym_a = k.sym_a AND pr.sym_b = k.sym_b AND pr.rn = k.rn + 1
+)
+SELECT k.sym_a, k.sym_b, pr.ts AS ts_event,
+  round(k.beta, 6) + 0 AS beta,
+  round(k.spread, 6) + 0 AS spread
+FROM kf k
+JOIN pr ON pr.sym_a = k.sym_a AND pr.sym_b = k.sym_b AND pr.rn = k.rn
+WHERE k.rn >= 1
+""",
+    "Kalman-filter pairs hedge ratio: scalar random-walk-beta recursion "
+    "per unordered symbol pair over shared 15m bars (Q=1e-5, R=1e-3), "
+    "innovation spread emitted per bar; recursive-CTE bit-exact replay",
+)
+def q_kalman_hedge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.kalman import kalman_hedge
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = kalman_hedge(
+        bars, q=_KF_Q, r=_KF_R, beta0=_KF_B0, p0=_KF_P0, ts_col="ts_event"
+    )
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "ts_event",
+        (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
+        (F.round("spread", 6) + F.lit(0.0)).alias("spread"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Downside-aware performance ratios
+# (operators/backtest.py::risk_ratios).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "risk_ratios",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+-- ts-ordered running folds read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT symbol,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    sum(ret) OVER wrun AS s1,
+    sum(least(ret - 0.0, 0.0) * least(ret - 0.0, 0.0)) OVER wrun AS sdn2,
+    sum(greatest(ret - 0.0, 0.0)) OVER wrun AS sup,
+    sum(greatest(0.0 - ret, 0.0)) OVER wrun AS sdown,
+    min(dd) OVER wall AS mindd
+  FROM path2
+  WINDOW word AS (PARTITION BY symbol ORDER BY ts),
+         wrun AS (PARTITION BY symbol ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol)
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_periods,
+  CASE WHEN n >= 2 THEN round(s1 / n * {_BT_PPY!r}, 6) + 0 END AS ann_return,
+  CASE WHEN n >= 2
+       THEN round(sqrt(sdn2 / n) * {_BT_SQRT_PPY!r}, 6) + 0 END AS downside_dev_ann,
+  CASE WHEN n >= 2 AND sqrt(sdn2 / n) * {_BT_SQRT_PPY!r} > 0
+       THEN round((s1 / n - 0.0) * {_BT_PPY!r}
+                  / (sqrt(sdn2 / n) * {_BT_SQRT_PPY!r}), 6) + 0 END AS sortino,
+  CASE WHEN n >= 2 THEN round(1 - exp(mindd), 6) + 0 END AS max_drawdown,
+  CASE WHEN n >= 2 AND 1 - exp(mindd) > 0
+       THEN round(s1 / n * {_BT_PPY!r} / (1 - exp(mindd)), 6) + 0 END AS calmar,
+  CASE WHEN n >= 2 AND sdown > 0 THEN round(sup / sdown, 6) + 0 END AS omega
+FROM f WHERE rn = n
+""",
+    "Sortino / Calmar / Omega per symbol from 15m-bar log returns "
+    "(downside deviation, max-drawdown and gain/loss-mass denominators), "
+    "ordered running folds",
+)
+def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import risk_ratios
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = risk_ratios(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_periods",
+        (F.round("ann_return", 6) + z0).alias("ann_return"),
+        (F.round("downside_dev_ann", 6) + z0).alias("downside_dev_ann"),
+        (F.round("sortino", 6) + z0).alias("sortino"),
+        (F.round("max_drawdown", 6) + z0).alias("max_drawdown"),
+        (F.round("calmar", 6) + z0).alias("calmar"),
+        (F.round("omega", 6) + z0).alias("omega"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Cross-source vocabulary JS divergence
+# (functions/tfidf.py::vocab_divergence).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vocab_divergence",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+tc AS (
+  SELECT source AS g, t AS tokn, count(*) AS c
+  FROM tok, unnest(toks) AS u(t)
+  GROUP BY source, t
+),
+tot AS (SELECT g, sum(c) AS n FROM tc GROUP BY g),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.g < b.g
+),
+sa AS (
+  SELECT p.ga, p.gb, p.na, p.nb, t.tokn, t.c AS ca
+  FROM tc t JOIN pairs p ON t.g = p.ga
+),
+sb AS (
+  SELECT p.ga, p.gb, p.na, p.nb, t.tokn, t.c AS cb
+  FROM tc t JOIN pairs p ON t.g = p.gb
+),
+ab AS (
+  SELECT coalesce(sa.ga, sb.ga) AS ga, coalesce(sa.gb, sb.gb) AS gb,
+    coalesce(sa.na, sb.na) AS na, coalesce(sa.nb, sb.nb) AS nb,
+    coalesce(sa.tokn, sb.tokn) AS tokn, sa.ca, sb.cb
+  FROM sa FULL OUTER JOIN sb
+    ON sa.ga = sb.ga AND sa.gb = sb.gb AND sa.tokn = sb.tokn
+),
+terms AS (
+  SELECT ga, gb, tokn, ca, cb,
+    (CASE WHEN coalesce(ca, 0) > 0
+          THEN (CAST(coalesce(ca, 0) AS DOUBLE) / na)
+               * ln((CAST(coalesce(ca, 0) AS DOUBLE) / na)
+                    / ((CAST(coalesce(ca, 0) AS DOUBLE) / na
+                        + CAST(coalesce(cb, 0) AS DOUBLE) / nb) / 2))
+          ELSE 0.0 END) * 0.5
+    + (CASE WHEN coalesce(cb, 0) > 0
+            THEN (CAST(coalesce(cb, 0) AS DOUBLE) / nb)
+                 * ln((CAST(coalesce(cb, 0) AS DOUBLE) / nb)
+                      / ((CAST(coalesce(ca, 0) AS DOUBLE) / na
+                          + CAST(coalesce(cb, 0) AS DOUBLE) / nb) / 2))
+            ELSE 0.0 END) * 0.5 AS term
+  FROM ab
+),
+-- token-ordered running fold read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT ga, gb,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS k,
+    sum(term) OVER wrun AS js,
+    count(ca) OVER wall AS n_vocab_a,
+    count(cb) OVER wall AS n_vocab_b,
+    count(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 END) OVER wall AS n_shared
+  FROM terms
+  WINDOW word AS (PARTITION BY ga, gb ORDER BY tokn),
+         wrun AS (PARTITION BY ga, gb ORDER BY tokn
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY ga, gb)
+)
+SELECT ga AS group_a, gb AS group_b,
+  CAST(n_vocab_a AS BIGINT) AS n_vocab_a,
+  CAST(n_vocab_b AS BIGINT) AS n_vocab_b,
+  CAST(n_shared AS BIGINT) AS n_shared,
+  round(js, 6) + 0 AS js_nats,
+  round(js / 0.6931471805599453, 6) + 0 AS js_bits
+FROM f WHERE rn = k
+""",
+    "Jensen-Shannon divergence between every pair of document sources' "
+    "unigram distributions — corpus-drift / domain-shift scalar with "
+    "shared-vocabulary diagnostics, token-ordered folds",
+)
+def q_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import vocab_divergence
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = vocab_divergence(docs, group_col="source")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_vocab_a",
+        "n_vocab_b",
+        "n_shared",
+        (F.round("js_nats", 6) + F.lit(0.0)).alias("js_nats"),
+        (F.round("js_bits", 6) + F.lit(0.0)).alias("js_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Distribution diagnostics (operators/stats.py):
+# exact group quantiles and join-key skew profiling.
+# --------------------------------------------------------------------------
+
+_QP_PCTS = (25, 50, 75, 90, 99)
+_SKEW_TOPK = 10
+
+
+@register(
+    "size_quantiles",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+r AS (
+  SELECT symbol, size AS v,
+    row_number() OVER (PARTITION BY symbol ORDER BY size) AS rn,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM trades
+)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n,
+  {", ".join(f"max(CASE WHEN rn = ({p} * n + 99) // 100 THEN v END) AS p{p}" for p in _QP_PCTS)}
+FROM r GROUP BY symbol
+""",
+    "Exact per-symbol trade-size percentiles via integer-ceil count-based "
+    "selection (the reproducible sibling of approx_percentile)",
+)
+def q_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.stats import quantile_profile
+
+    t = trades_from_events(spark, sf_dir)
+    return quantile_profile(t, "size", by="symbol", percents=_QP_PCTS)
+
+
+@register(
+    "key_skew",
+    f"""
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+t AS (SELECT count(*) AS nk, sum(n_rows) AS tot, max(n_rows) AS mx FROM c),
+top AS (
+  SELECT * FROM c ORDER BY n_rows DESC, key ASC NULLS LAST LIMIT {_SKEW_TOPK}
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS LAST) AS INTEGER) AS rank,
+  key,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  round(n_rows / CAST(tot AS DOUBLE), 6) + 0 AS share,
+  CAST(nk AS BIGINT) AS n_keys,
+  CAST(tot AS BIGINT) AS total_rows,
+  round(mx / (tot / CAST(nk AS DOUBLE)), 6) + 0 AS skew_ratio
+FROM top, t
+""",
+    f"Join-key heavy-hitter report: top-{_SKEW_TOPK} event user_ids by "
+    "row count with share and max/mean skew ratio — the salting/AQE "
+    "decision input",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.stats import key_skew_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    out = key_skew_profile(ev, "user_id", top_k=_SKEW_TOPK)
+    return out.select(
+        "rank",
+        "key",
+        "n_rows",
+        (F.round("share", 6) + F.lit(0.0)).alias("share"),
+        "n_keys",
+        "total_rows",
+        (F.round("skew_ratio", 6) + F.lit(0.0)).alias("skew_ratio"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #

@@ -412,3 +412,79 @@ class TestDeflatedSharpe:
         out = deflated_sharpe(bars, periods_per_year=252, n_trials=5)
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
+
+
+class TestRiskRatios:
+    def _bars(self, spark, prices):
+        import datetime as dt
+
+        rows = [
+            ("A", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), p)
+            for i, p in enumerate(prices)
+        ]
+        return spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+
+    def test_matches_python_golden(self, spark):
+        import math
+        import random
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import risk_ratios
+
+        rng = random.Random(5)
+        prices = [100.0]
+        for _ in range(99):
+            prices.append(max(1.0, prices[-1] * math.exp(rng.gauss(0.001, 0.02))))
+        out = risk_ratios(
+            self._bars(spark, prices), periods_per_year=252, ts_col="ts"
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        rets = [math.log(prices[i] / prices[i - 1]) for i in range(1, len(prices))]
+        n = len(rets)
+        mu_ann = sum(rets) / n * 252
+        down = math.sqrt(sum(min(x, 0.0) ** 2 for x in rets) / n) * math.sqrt(252)
+        cum = peak = 0.0
+        mindd = 0.0
+        for x in rets:
+            cum += x
+            peak = max(peak, cum, 0.0)
+            mindd = min(mindd, cum - peak)
+        maxdd = 1 - math.exp(mindd)
+        assert r["n_periods"] == n
+        assert r["ann_return"] == pt.approx(mu_ann, rel=1e-9)
+        assert r["downside_dev_ann"] == pt.approx(down, rel=1e-9)
+        assert r["sortino"] == pt.approx(mu_ann / down, rel=1e-9)
+        assert r["max_drawdown"] == pt.approx(maxdd, rel=1e-9)
+        assert r["calmar"] == pt.approx(mu_ann / maxdd, rel=1e-9)
+        omega = sum(max(x, 0.0) for x in rets) / sum(max(-x, 0.0) for x in rets)
+        assert r["omega"] == pt.approx(omega, rel=1e-9)
+
+    def test_degenerate_guards(self, spark):
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import risk_ratios
+
+        # monotone-up path: no downside, no drawdown, no losses
+        out = risk_ratios(
+            self._bars(spark, [100.0, 101.0, 102.0, 103.0]),
+            periods_per_year=252,
+            ts_col="ts",
+        ).collect()[0]
+        assert out["sortino"] is None      # downside dev == 0
+        assert out["calmar"] is None       # max drawdown == 0
+        assert out["omega"] is None        # loss mass == 0
+        assert out["ann_return"] is not None
+        with pt.raises(ValueError, match="periods_per_year"):
+            risk_ratios(self._bars(spark, [1.0]), periods_per_year=0, ts_col="ts")
+
+    def test_plan_zero_python_no_global_window(self, spark):
+        from polars_trading_spark.operators.backtest import risk_ratios
+        from polars_trading_spark.plans import count_python_stages, unbounded_global_windows
+
+        out = risk_ratios(
+            self._bars(spark, [100.0, 101.0]), periods_per_year=252, ts_col="ts"
+        )
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []

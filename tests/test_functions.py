@@ -1533,3 +1533,67 @@ class TestClusterRepresentatives:
         }
         assert out[3]["is_representative"] is True
         assert out[7]["is_representative"] is False
+
+
+class TestVocabDivergence:
+    def test_matches_python_golden(self, spark):
+        import math
+        from collections import Counter
+
+        import pytest as pt
+
+        from polars_trading_spark.functions.tfidf import vocab_divergence
+
+        docs = spark.createDataFrame(
+            [
+                (0, "web", "the cat sat on the mat"),
+                (1, "web", "the dog sat on the log"),
+                (2, "book", "the cat chased the dog through tall grass"),
+                (3, "wiki", "quantum field theory describes particle interactions"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        out = {
+            (r["group_a"], r["group_b"]): r
+            for r in vocab_divergence(docs, group_col="source").collect()
+        }
+        corpora = {
+            "web": "the cat sat on the mat the dog sat on the log".split(),
+            "book": "the cat chased the dog through tall grass".split(),
+            "wiki": "quantum field theory describes particle interactions".split(),
+        }
+
+        def js(a, b):
+            ca, cb = Counter(corpora[a]), Counter(corpora[b])
+            na, nb = sum(ca.values()), sum(cb.values())
+            s = 0.0
+            for t in set(ca) | set(cb):
+                pa, pb = ca[t] / na, cb[t] / nb
+                m = (pa + pb) / 2
+                if pa > 0:
+                    s += 0.5 * pa * math.log(pa / m)
+                if pb > 0:
+                    s += 0.5 * pb * math.log(pb / m)
+            return s
+
+        assert set(out) == {("book", "web"), ("book", "wiki"), ("web", "wiki")}
+        for (a, b), r in out.items():
+            assert r["js_nats"] == pt.approx(js(a, b), rel=1e-9), (a, b)
+            assert r["js_bits"] == pt.approx(js(a, b) / math.log(2), rel=1e-9)
+        # disjoint vocabularies (web vs wiki) hit the ln 2 ceiling
+        assert out[("web", "wiki")]["js_bits"] == pt.approx(1.0)
+        assert out[("web", "wiki")]["n_shared"] == 0
+        # overlapping corpora sit strictly below it
+        assert out[("book", "web")]["js_bits"] < 1.0
+        assert out[("book", "web")]["n_shared"] > 0
+
+    def test_plan_zero_python_no_global_window(self, spark):
+        from polars_trading_spark.functions.tfidf import vocab_divergence
+        from polars_trading_spark.plans import count_python_stages, unbounded_global_windows
+
+        docs = spark.createDataFrame(
+            [(0, "a", "x y"), (1, "b", "y z")], "doc_id long, source string, text string"
+        )
+        out = vocab_divergence(docs, group_col="source")
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []
