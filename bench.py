@@ -161,6 +161,8 @@ HEADLINE = [
     "vocab_divergence",
     "size_quantiles",
     "key_skew",
+    "embedding_cohesion",
+    "centroid_similarity",
 ]
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "ivf_topk",
     "ivf_pq_topk",
     "embedding_cosine_pairs",
+    "embedding_cohesion",
+    "centroid_similarity",
     "hard_negatives",
     "semdedup",
 ]
@@ -899,4 +901,136 @@ def hard_negatives(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cosine_sim")
+    )
+
+
+def _centroids(
+    emb: DataFrame, *, label_col: str, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-label centroid as a packed array<double> column plus the
+    label's vector count.
+
+    The per-dimension mean is a vec_id-ORDERED running fold read at the
+    last row (an unordered sum's fold order follows partition layout
+    and drifts at the last ulp — SCALING.md rule 24/27), and the array
+    is packed by sorting (dim, value) structs so element order is
+    engine-independent.
+    """
+    e = emb.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(id_col).alias("__vid"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__i", "__v"),
+    )
+    w_ord = Window.partitionBy("__lbl", "__i").orderBy("__vid")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("__lbl", "__i")
+    folded = e.select(
+        "__lbl",
+        "__i",
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__v").over(w_run).alias("__s"),
+    ).where(F.col("__rn") == F.col("__n"))
+    return folded.groupBy("__lbl").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", (F.col("__s") / F.col("__n")).alias("__c")))),
+            lambda s: s["__c"],
+        ).alias("__cent"),
+        F.max("__n").cast("long").alias("__nvec"),
+    )
+
+
+def embedding_cohesion(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster embedding quality report: how tight is each labeled
+    group around its own centroid — the first diagnostic after any
+    clustering / classification pass over an embedding column (k-means
+    quality, label noise screening, semdedup cell inspection).
+
+    Output per label: ``n_vectors``, ``centroid_norm`` (mean-vector
+    length — near 0 means the group's directions cancel, i.e. no
+    coherent topic), ``mean_cos_to_centroid`` (average cosine of
+    members to their centroid — 1.0 is perfectly tight).
+
+    Shape: one dimension-explode aggregate builds the centroids
+    (output is labels x dims — tiny), centroids broadcast back for the
+    member-cosine pass, and every float reduce is an ordered running
+    fold.  Nothing is pairwise: O(n·d), never O(n²).
+    """
+    cents = _centroids(emb, label_col=label_col, id_col=id_col, vec_col=vec_col)
+    j = emb.select(
+        F.col(label_col).alias("__lbl"),
+        F.col(id_col).alias("__vid"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).join(F.broadcast(cents), "__lbl")
+    cn = _norm(F.col("__cent"))
+    # a zero centroid (directions cancel) has no cosine: null, not a
+    # divide-by-zero (ANSI mode raises on the naked division)
+    cs = F.when(cn > 0, cosine(F.col("__v"), F.col("__cent")))
+    w_ord = Window.partitionBy("__lbl").orderBy("__vid")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("__lbl")
+    folded = j.select(
+        "__lbl",
+        F.col("__nvec"),
+        cn.alias("__cn"),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(cs).over(w_run).alias("__s"),
+    ).where(F.col("__rn") == F.col("__n"))
+    return folded.select(
+        F.col("__lbl").alias(label_col),
+        F.col("__nvec").alias("n_vectors"),
+        F.col("__cn").alias("centroid_norm"),
+        F.when(F.col("__cn") > 0, F.col("__s") / F.col("__n")).alias(
+            "mean_cos_to_centroid"
+        ),
+    )
+
+
+def centroid_similarity(
+    emb: DataFrame,
+    *,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine between label centroids — the cluster-confusion
+    complement of ``embedding_cohesion``: two labels whose centroids
+    sit at cosine ~1 are semantically merged (candidates for label
+    consolidation or sign of annotation noise).
+
+    Output: one row per unordered label pair — ``label_a < label_b,
+    n_a, n_b, centroid_cosine``.  The pair frame is labels², computed
+    on the tiny centroid aggregate, never on member vectors.
+    """
+    cents = _centroids(emb, label_col=label_col, id_col=id_col, vec_col=vec_col)
+    a = cents.select(
+        F.col("__lbl").alias("label_a"),
+        F.col("__cent").alias("__ca"),
+        F.col("__nvec").alias("n_a"),
+    )
+    b = cents.select(
+        F.col("__lbl").alias("label_b"),
+        F.col("__cent").alias("__cb"),
+        F.col("__nvec").alias("n_b"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.when(
+                (_norm(F.col("__ca")) > 0) & (_norm(F.col("__cb")) > 0),
+                cosine(F.col("__ca"), F.col("__cb")),
+            ).alias("centroid_cosine"),
+        )
     )

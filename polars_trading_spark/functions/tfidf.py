@@ -297,7 +297,14 @@ def vocab_divergence(
     deterministic — SCALING.md rule 24/27).  Nothing is ever quadratic
     in corpus size; the join is vocabulary x pairs.
     """
-    tc = (
+    from polars_trading_spark._utils import persist_tracked
+
+    # STAGED: (group, token) counts have three consumers (totals, the
+    # a-side and b-side pair joins) — unstaged, the corpus-sized
+    # tokenizer explode re-executes per consumer (measured 53s -> 18s
+    # at 320k docs, SCALING.md §35).  The cached frame itself is only
+    # vocabulary x groups.
+    tc = persist_tracked(
         df.select(F.col(group_col).alias("__g"), F.explode(tokens(F.col(text_col))).alias("__t"))
         .groupBy("__g", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -8899,6 +8899,107 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). Embedding cluster diagnostics
+# (functions/similarity.py::embedding_cohesion / centroid_similarity).
+# --------------------------------------------------------------------------
+
+_COHESION_CTES = """
+ce AS (
+  SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+d AS (
+  SELECT label, vec_id, i, v[i] AS val
+  FROM ce, unnest(range(1, len(v) + 1)) AS g(i)
+),
+-- vec_id-ordered per-dimension folds read at the last row
+f AS (
+  SELECT label, i,
+    row_number() OVER (PARTITION BY label, i ORDER BY vec_id) AS rn,
+    count(*) OVER (PARTITION BY label, i) AS n,
+    sum(val) OVER (PARTITION BY label, i ORDER BY vec_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM d
+),
+cent AS (
+  SELECT label, list(s / n ORDER BY i) AS cv, CAST(max(n) AS BIGINT) AS nvec
+  FROM f WHERE rn = n GROUP BY label
+)"""
+
+
+@register(
+    "embedding_cohesion",
+    f"""
+WITH
+{_COHESION_CTES},
+cosd AS (
+  SELECT ce.label, ce.vec_id,
+    sqrt(list_sum([x * x for x in ct.cv])) AS cn,
+    CASE WHEN sqrt(list_sum([x * x for x in ct.cv])) > 0 THEN
+      list_sum([ce.v[i+1] * ct.cv[i+1] for i in range(0, len(ce.v))])
+      / (sqrt(list_sum([x * x for x in ce.v])) * sqrt(list_sum([x * x for x in ct.cv])))
+    END AS cs
+  FROM ce JOIN cent ct USING (label)
+),
+m AS (
+  SELECT label,
+    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+    count(*) OVER (PARTITION BY label) AS n,
+    sum(cs) OVER (PARTITION BY label ORDER BY vec_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+    max(cn) OVER (PARTITION BY label) AS cn
+  FROM cosd
+)
+SELECT m.label, ct.nvec AS n_vectors,
+  round(m.cn, 6) + 0 AS centroid_norm,
+  CASE WHEN m.cn > 0 THEN round(m.s / m.n, 6) + 0 END AS mean_cos_to_centroid
+FROM m JOIN cent ct USING (label) WHERE rn = n
+""",
+    "Per-label embedding cluster tightness: centroid norm + mean member "
+    "cosine to centroid (vec_id-ordered per-dimension folds)",
+)
+def q_embedding_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.embedding_cohesion(emb)
+    return out.select(
+        "label",
+        "n_vectors",
+        (F.round("centroid_norm", 6) + F.lit(0.0)).alias("centroid_norm"),
+        (F.round("mean_cos_to_centroid", 6) + F.lit(0.0)).alias(
+            "mean_cos_to_centroid"
+        ),
+    )
+
+
+@register(
+    "centroid_similarity",
+    f"""
+WITH
+{_COHESION_CTES}
+SELECT a.label AS label_a, b.label AS label_b, a.nvec AS n_a, b.nvec AS n_b,
+  CASE WHEN sqrt(list_sum([x * x for x in a.cv])) > 0
+        AND sqrt(list_sum([x * x for x in b.cv])) > 0 THEN
+    round(list_sum([a.cv[i+1] * b.cv[i+1] for i in range(0, len(a.cv))])
+          / (sqrt(list_sum([x * x for x in a.cv]))
+             * sqrt(list_sum([x * x for x in b.cv]))), 6) + 0
+  END AS centroid_cosine
+FROM cent a JOIN cent b ON a.label < b.label
+""",
+    "Pairwise cosine between label centroids — cluster-confusion "
+    "report on the tiny centroid aggregate, never on member vectors",
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.centroid_similarity(emb)
+    return out.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (F.round("centroid_cosine", 6) + F.lit(0.0)).alias("centroid_cosine"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #

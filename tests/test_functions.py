@@ -1597,3 +1597,68 @@ class TestVocabDivergence:
         out = vocab_divergence(docs, group_col="source")
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
+
+
+class TestEmbeddingCohesion:
+    ROWS = [
+        # label 0: tight cluster around +x
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9805806756909202, 0.19611613513818404]),   # unit (5,1)/|.|
+        (2, 0, [0.9805806756909202, -0.19611613513818404]),
+        # label 1: antipodal pair -> centroid ~0, cohesion ~0
+        (3, 1, [0.0, 1.0]),
+        (4, 1, [0.0, -1.0]),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_cohesion_golden(self, spark):
+        import math
+
+        import pytest as pt
+
+        out = {
+            r["label"]: r
+            for r in similarity.embedding_cohesion(self._df(spark)).collect()
+        }
+        vecs0 = [v for _, l, v in self.ROWS if l == 0]
+        cent0 = [sum(c) / 3 for c in zip(*vecs0)]
+        norm0 = math.hypot(*cent0)
+        cos0 = [
+            sum(a * b for a, b in zip(v, cent0))
+            / (math.hypot(*v) * norm0)
+            for v in vecs0
+        ]
+        assert out[0]["n_vectors"] == 3
+        assert out[0]["centroid_norm"] == pt.approx(norm0, rel=1e-6)
+        assert out[0]["mean_cos_to_centroid"] == pt.approx(sum(cos0) / 3, rel=1e-6)
+        # antipodal label: centroid collapses to ~0
+        assert out[1]["centroid_norm"] == pt.approx(0.0, abs=1e-9)
+
+    def test_centroid_similarity_golden(self, spark):
+        import pytest as pt
+
+        rows = [
+            (0, 0, [1.0, 0.0]),
+            (1, 0, [1.0, 0.0]),
+            (2, 1, [0.0, 1.0]),   # orthogonal to label 0
+            (3, 2, [-1.0, 0.0]),  # antipodal to label 0
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        out = {
+            (r["label_a"], r["label_b"]): r
+            for r in similarity.centroid_similarity(df).collect()
+        }
+        assert out[(0, 1)]["centroid_cosine"] == pt.approx(0.0, abs=1e-9)
+        assert out[(0, 2)]["centroid_cosine"] == pt.approx(-1.0, rel=1e-9)
+        assert out[(0, 1)]["n_a"] == 2 and out[(0, 1)]["n_b"] == 1
+
+    def test_plans_zero_python(self, spark):
+        from polars_trading_spark.plans import count_python_stages
+
+        df = self._df(spark)
+        assert count_python_stages(similarity.embedding_cohesion(df)) == 0
+        assert count_python_stages(similarity.centroid_similarity(df)) == 0

@@ -112,6 +112,24 @@ def test_left_join_null_column_point_not_duplicated(spark):
     assert len(unmatched) == 1 and unmatched[0]["payload"] == 7
 
 
+def test_left_join_anti_recovery_plans_as_hash_join(spark):
+    # the null-safe anti-join must extract its eqNullSafe conditions
+    # into hash-join keys — never fall to a nested-loop plan
+    from polars_trading_spark.plans import plan_string
+
+    out = interval_join(
+        _points(spark, PTS),
+        _intervals(spark, IVS),
+        point_on="ts",
+        start_on="w_start",
+        end_on="w_end",
+        by="symbol",
+        how="left",
+    )
+    plan = plan_string(out, "executed")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_validation_and_no_nested_loop_join(spark):
     from polars_trading_spark.plans import count_python_stages, plan_string
 
