@@ -163,6 +163,7 @@ HEADLINE = [
     "key_skew",
     "embedding_cohesion",
     "centroid_similarity",
+    "ann_recall",
 ]
 
 

@@ -659,7 +659,13 @@ def dsir_log_weights(
         _reduce(lambda a, b: F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y)), parts),
     ).otherwise(F.array().cast("array<string>"))
 
-    feat = (
+    from polars_trading_spark._utils import persist_tracked
+
+    # STAGED: the (doc, bucket) count aggregate has two consumers (the
+    # bucket LMs and the scoring join) — unstaged, the corpus-sized
+    # bigram explode re-executes per consumer (the §35 failure mode);
+    # the cached frame is bounded by docs x min(bigrams, n_buckets).
+    feat = persist_tracked(
         docs.select(id_col, F.col(is_target_col).alias("__tgt"), grams.alias("__g"))
         .select(id_col, "__tgt", F.explode("__g").alias("__gram"))
         .withColumn("__b", F.pmod(portable_hash60(F.col("__gram")), F.lit(n_buckets)))

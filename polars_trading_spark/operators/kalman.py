@@ -77,7 +77,13 @@ def kalman_hedge(
         F.col(ts_col).alias("__ts"),
         F.col(close_col).cast("double").alias("__x"),
     )
-    joined = a.join(b, on="__ts").where(F.col("sym_a") < F.col("sym_b"))
+    joined = (
+        a.join(b, on="__ts")
+        .where(F.col("sym_a") < F.col("sym_b"))
+        # a null on either leg would poison the sequential state (NaN
+        # propagates through every later beta) — drop the bar instead
+        .where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    )
 
     qq, rr, b0, pp0 = float(q), float(r), float(beta0), float(p0)
     ts_name = ts_col

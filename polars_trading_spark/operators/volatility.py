@@ -248,8 +248,10 @@ def two_scale_rv(
 
     # stage day as a real column first so BOTH window passes share the
     # same (symbol, day) partitioning — one exchange, second pass is
-    # sort-only
-    base = df.select(
+    # sort-only.  Non-positive/null prices are dropped (log undefined);
+    # a null return row would silently skew the n-based denominators —
+    # same contract as the streaming twin.
+    base = df.where(F.col(price) > 0).select(
         F.col(symbol),
         F.to_date(ts).alias("day"),
         *[F.col(c) for c in order_cols],
@@ -327,7 +329,7 @@ def realized_moments(
     seq = seq_col or (SEQ_COL if SEQ_COL in df.columns else None)
     order_cols = [ts] + ([seq] if seq else [])
 
-    base = df.select(
+    base = df.where(F.col(price) > 0).select(
         F.col(symbol),
         F.to_date(ts).alias("day"),
         *[F.col(c) for c in order_cols],

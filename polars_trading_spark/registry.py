@@ -9000,6 +9000,115 @@ def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). ANN recall evaluation: SRP-LSH top-k vs the exact
+# brute-force top-k, per query — the harness every approximate index
+# ships with.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall",
+    f"""
+WITH
+{_EMB_CTE},
+-- exact branch (the similarity_topk replay)
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < {_N_QUERIES}),
+esims AS (
+  SELECT q.query_id, c.vec_id,
+         round({_DOT} / ({_NORM_Q} * {_NORM_V}), 6) AS cosine_sim
+  FROM c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+),
+eranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM esims
+),
+etop AS (SELECT query_id, vec_id FROM eranked WHERE rank <= {_TOPK}),
+-- LSH branch (the similarity_topk_lsh replay)
+planes AS (
+  SELECT v AS pv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_N_PLANES})
+),
+bucketed AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_sum([pv[i+1] * v[i+1] for i in range(0, len(v))]) >= 0
+                       THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM c CROSS JOIN planes
+  GROUP BY c.vec_id, c.v
+),
+lq AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < {_N_QUERIES}),
+lsims AS (
+  SELECT lq.query_id, b.vec_id,
+         round(list_sum([qv[i+1] * cv[i+1] for i in range(0, len(cv))])
+               / ({_NORM_Q} * sqrt(list_sum([x * x for x in cv]))), 6) AS cosine_sim
+  FROM (SELECT vec_id, v AS cv, bucket FROM bucketed) b
+  JOIN lq ON b.bucket = lq.bucket
+  WHERE b.vec_id <> lq.query_id
+),
+lranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM lsims
+),
+ltop AS (SELECT query_id, vec_id FROM lranked WHERE rank <= {_TOPK}),
+-- compare
+hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM etop e JOIN ltop l ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+  GROUP BY e.query_id
+),
+base AS (
+  SELECT e.query_id, count(*) AS n_exact FROM etop e GROUP BY e.query_id
+),
+appr AS (
+  SELECT l.query_id, count(*) AS n_approx FROM ltop l GROUP BY l.query_id
+)
+SELECT b.query_id,
+  CAST(b.n_exact AS BIGINT) AS n_exact,
+  CAST(coalesce(a.n_approx, 0) AS BIGINT) AS n_approx,
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(coalesce(h.n_hit, 0) / CAST(b.n_exact AS DOUBLE), 6) + 0 AS recall
+FROM base b
+LEFT JOIN appr a ON a.query_id = b.query_id
+LEFT JOIN hits h ON h.query_id = b.query_id
+""",
+    f"ANN recall harness: per-query overlap of SRP-LSH top-{_TOPK} with "
+    f"the exact brute-force top-{_TOPK} — the recall evaluation every "
+    "approximate index ships with",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _N_QUERIES)
+    exact = sim_ops.cosine_topk(emb, queries, k=_TOPK).select("query_id", "vec_id")
+    lsh = sim_ops.srp_lsh_topk(emb, queries, k=_TOPK, num_planes=_N_PLANES).select(
+        "query_id", "vec_id"
+    )
+    base = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    appr = lsh.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = exact.join(lsh, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    out = (
+        base.join(appr, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.coalesce("n_approx", F.lit(0)).cast("long").alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.round(
+                    F.coalesce("n_hit", F.lit(0)) / F.col("n_exact").cast("double"), 6
+                )
+                + F.lit(0.0)
+            ).alias("recall"),
+        )
+    )
+    return out
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #

@@ -56,6 +56,8 @@ __all__.append("streaming_rsi")
 
 from polars_trading_spark.streaming.moments import (  # noqa: E402
     streaming_realized_moments,
+    streaming_two_scale_rv,
 )
 
 __all__.append("streaming_realized_moments")
+__all__.append("streaming_two_scale_rv")

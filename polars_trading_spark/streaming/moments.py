@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_realized_moments"]
+__all__ = ["streaming_realized_moments", "streaming_two_scale_rv"]
 
 
 def streaming_realized_moments(
@@ -128,6 +128,131 @@ def streaming_realized_moments(
                 "rv": [rv],
                 "rskew": [rskew],
                 "rkurt": [rkurt],
+            }
+        )
+
+    keyed = stream.withColumn("day", F.to_date(ts_col))
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy(symbol_col, "day").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_two_scale_rv(
+    stream: DataFrame,
+    *,
+    k: int = 5,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Running per-(symbol, day) two-scale realized variance (the
+    streaming twin of operators/volatility.py::two_scale_rv).
+
+    State per key is O(K): the last ``min(K, n)`` log prices (for the
+    lag-K subgrid diffs that straddle a micro-batch boundary), the
+    price count, and the two running squared-diff sums.  Emits one row
+    per (symbol, day, micro-batch) in update mode; a replayed stream's
+    final row per key equals the batch operator's output.
+    """
+    from polars_trading_spark._utils import parse_duration
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    ttl_ms = parse_duration(state_ttl)[0] // 1000 if state_ttl is not None else None
+
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField("day", T.DateType()),
+            T.StructField("n_ticks", T.LongType()),
+            T.StructField("n_returns", T.LongType()),
+            T.StructField("rv_all", T.DoubleType()),
+            T.StructField("rv_sub_avg", T.DoubleType()),
+            T.StructField("tsrv", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tail", T.ArrayType(T.DoubleType())),
+            T.StructField("m", T.LongType()),
+            T.StructField("s2", T.DoubleType()),
+            T.StructField("sk", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[str, object], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        sym, day = key
+        if state.exists:
+            tail, m, s2, sk = state.get
+            tail = list(tail)
+        else:
+            tail, m, s2, sk = [], 0, 0.0, 0.0
+
+        batches = [b for b in pdfs if len(b)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches)
+            .sort_values([ts_col, seq_col], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        batch = batch[batch[price_col].notna() & (batch[price_col] > 0)]
+        if len(batch) == 0:
+            return
+        lp = np.log(batch[price_col].to_numpy(dtype=np.float64))
+
+        # `tail` holds the last min(K, m) log prices; its local index
+        # aligns with the global one exactly when m < K, and when
+        # m >= K every new element has both lags available — so the
+        # `i >= 1` / `i >= k` guards below are correct in both regimes.
+        full = tail + lp.tolist()
+        start = len(tail)
+        for i in range(start, len(full)):
+            if i >= 1:
+                d1 = full[i] - full[i - 1]
+                s2 += d1 * d1
+            if i >= k:
+                dk = full[i] - full[i - k]
+                sk += dk * dk
+        m += len(lp)
+        tail = full[-k:] if len(full) > k else full
+
+        state.update((tail, m, s2, sk))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+        n = m - 1
+        ok = n > k
+        rv_all = s2 if ok else None
+        rv_sub = sk / k if ok else None
+        tsrv = (
+            sk / k - ((n - k + 1) / k) / n * s2 if ok else None
+        )
+        yield pd.DataFrame(
+            {
+                symbol_col: [sym],
+                "day": [day],
+                "n_ticks": [m],
+                "n_returns": [n],
+                "rv_all": [rv_all],
+                "rv_sub_avg": [rv_sub],
+                "tsrv": [tsrv],
             }
         )
 

@@ -66,7 +66,11 @@ def test_dsir_weights_zero_python_broadcast_ratio(spark, docs):
     assert count_python_stages(out) == 0
     # the bucket log-ratio table joins the feature frame via broadcast
     # (n_buckets rows), not a shuffled join of the corpus-sized side
-    assert "BroadcastHashJoin" in plan_string(out, "executed")
+    plan = plan_string(out, "executed")
+    assert "BroadcastHashJoin" in plan
+    # the (doc, bucket) aggregate is STAGED: its two consumers read the
+    # cache, not two re-executions of the bigram explode (SCALING §35)
+    assert "InMemoryTableScan" in plan
     assert count_exchanges(out) <= 8
 
 

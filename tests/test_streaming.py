@@ -1125,3 +1125,70 @@ def test_streaming_realized_moments_matches_batch_across_batches(spark):
                     assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (key, c)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_two_scale_rv_matches_batch_across_batches(spark):
+    """The O(K) log-price tail must carry lag-K subgrid diffs across
+    micro-batch boundaries; final update row per key equals batch."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.volatility import two_scale_rv
+    from polars_trading_spark.streaming import streaming_two_scale_rv
+
+    rng = np.random.default_rng(37)
+    rows = []
+    for sym in ("A", "B"):
+        for day in (1, 2):
+            t = dt.datetime(2022, 1, day, 9, 30)
+            price = 100.0
+            for _ in range(90):
+                t = t + dt.timedelta(seconds=float(rng.exponential(50)) + 0.001)
+                price = max(1.0, price + float(rng.normal(0, 0.6)))
+                rows.append((sym, t, len(rows), price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long, price double"
+
+    with Config(timestamp_column="ts_event"):
+        batch = {
+            (r["symbol"], str(r["day"])): r
+            for r in two_scale_rv(
+                spark.createDataFrame(pdf, schema), k=5, seq_col="seq"
+            ).collect()
+        }
+
+    d = tempfile.mkdtemp(prefix="pts_tsrv_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_two_scale_rv(stream, k=5)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        final = {}
+        for r in rows_out:
+            key = (r["symbol"], str(r["day"]))
+            if key not in final or r["n_ticks"] > final[key]["n_ticks"]:
+                final[key] = r
+        assert set(final) == set(batch)
+        for key, r in final.items():
+            b = batch[key]
+            assert r["n_ticks"] == b["n_ticks"] and r["n_returns"] == b["n_returns"]
+            for c in ("rv_all", "rv_sub_avg", "tsrv"):
+                if b[c] is None:
+                    assert r[c] is None, (key, c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (key, c)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
