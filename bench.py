@@ -164,6 +164,8 @@ HEADLINE = [
     "embedding_cohesion",
     "centroid_similarity",
     "ann_recall",
+    "ulcer_index",
+    "runs_test",
 ]
 
 

@@ -34,7 +34,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["backtest_stats", "deflated_sharpe", "drawdown_path", "ma_crossover_signal", "risk_ratios", "var_cvar"]
+__all__ = ["backtest_stats", "deflated_sharpe", "drawdown_path", "ma_crossover_signal", "risk_ratios", "ulcer_index", "var_cvar"]
 
 
 def backtest_stats(
@@ -538,4 +538,71 @@ def risk_ratios(
         F.when(ok, max_dd).alias("max_drawdown"),
         calmar.alias("calmar"),
         omega.alias("omega"),
+    )
+
+
+def ulcer_index(
+    bars: DataFrame,
+    *,
+    periods_per_year: float,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Ulcer index and Martin ratio per symbol — the drawdown-DEPTH-
+    weighted risk pair (Martin & McCann 1989): where max_drawdown keeps
+    only the single worst point, the ulcer index is the RMS of the
+    whole fractional-drawdown path,
+
+        ulcer  = sqrt( mean( dd_frac_t^2 ) ),
+        martin = ann_return / ulcer
+
+    so long shallow underwater spells (the slow bleed a Calmar ratio
+    ignores) are priced in.
+
+    Output per symbol: ``n_periods, ann_return, ulcer, martin``
+    (``martin`` null when the path never draws down or ``n < 2``).
+
+    Shape: the same single (symbol, ts)-ordered window pass as
+    ``backtest_stats``/``risk_ratios`` — drawdown path + ordered
+    running folds read at the last row; zero joins, zero Python.
+    """
+    if periods_per_year <= 0:
+        raise ValueError(f"periods_per_year must be > 0, got {periods_per_year}")
+    ppy = float(periods_per_year)
+
+    c = F.col(close_col)
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    ret = F.log(c / F.lag(c).over(order))
+    df = bars.withColumn("__ret", ret).filter(F.col("__ret").isNotNull())
+
+    running = Window.partitionBy(symbol_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    df = (
+        df.withColumn("__cum", F.sum("__ret").over(running))
+        .withColumn("__peak", F.max(F.greatest("__cum", F.lit(0.0))).over(running))
+        # fractional drawdown depth at t (>= 0)
+        .withColumn("__ddf", 1 - F.exp(F.col("__cum") - F.col("__peak")))
+    )
+    w_ord = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_all = Window.partitionBy(symbol_col)
+    folded = df.select(
+        F.col(symbol_col),
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__ret").over(running).alias("__s1"),
+        F.sum(F.col("__ddf") * F.col("__ddf")).over(running).alias("__sdd2"),
+    ).where(F.col("__rn") == F.col("__n"))
+
+    n = F.col("__n").cast("double")
+    ok = F.col("__n") >= 2
+    mu_ann = F.col("__s1") / n * ppy
+    ulcer = F.sqrt(F.col("__sdd2") / n)
+    return folded.select(
+        F.col(symbol_col),
+        F.col("__n").cast("long").alias("n_periods"),
+        F.when(ok, mu_ann).alias("ann_return"),
+        F.when(ok, ulcer).alias("ulcer"),
+        F.when(ok & (ulcer > 0), mu_ann / ulcer).alias("martin"),
     )

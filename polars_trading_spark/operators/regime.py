@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hurst_exponent", "return_acf", "variance_ratio"]
+__all__ = ["hurst_exponent", "return_acf", "runs_test", "variance_ratio"]
 
 
 def _q_returns(x, order, q: int):
@@ -231,3 +231,65 @@ def return_acf(
         q = q + rho * rho / (n - k)
     out_cols.append(F.when(ok, n * (n + 2) * q).alias("ljung_box_q"))
     return g.select(*out_cols)
+
+
+def runs_test(
+    bars: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the sign sequence of bar returns —
+    the classic distribution-free randomness gate: too FEW runs means
+    trending/persistent signs, too MANY means mean-reverting flipping;
+    |z| > ~2 rejects the i.i.d.-sign null either way.  Complements
+    ``sign_autocorr`` (which measures lag-1 dependence; this measures
+    the whole run-length structure).
+
+    With ``n1`` up moves, ``n2`` down moves (zero returns excluded),
+    ``n = n1 + n2`` and ``R`` observed runs:
+
+        E[R]   = 1 + 2·n1·n2 / n
+        Var[R] = 2·n1·n2·(2·n1·n2 − n) / (n² · (n − 1))
+        z      = (R − E[R]) / sqrt(Var[R])
+
+    Output per symbol: ``n_up, n_down, n_runs, expected_runs, z`` (z
+    null when either side is empty or the variance degenerates).
+
+    Shape: one lag window for returns, one ordered lag over the
+    nonzero-sign rows to count sign changes (integer-exact), one hash
+    aggregate.  The only float arithmetic is the final closed form
+    from exact integers — engine-identical without ordered folds.
+    """
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    ret = F.log(c / F.lag(c).over(order))
+    r = bars.withColumn("__ret", ret).where(
+        F.col("__ret").isNotNull() & (F.col("__ret") != 0)
+    )
+    sign = F.when(F.col("__ret") > 0, F.lit(1)).otherwise(F.lit(-1))
+    r = r.withColumn("__sgn", sign)
+    prev = F.lag("__sgn").over(order)
+    r = r.withColumn(
+        "__new_run", F.when(prev.isNull() | (prev != F.col("__sgn")), 1).otherwise(0)
+    )
+    g = r.groupBy(symbol_col).agg(
+        F.sum(F.when(F.col("__sgn") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("__sgn") == -1, 1).otherwise(0)).cast("long").alias("n_down"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    n = n1 + n2
+    e_r = 1 + 2 * n1 * n2 / n
+    var_r = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    ok = (F.col("n_up") > 0) & (F.col("n_down") > 0) & (n > 1) & (var_r > 0)
+    return g.select(
+        F.col(symbol_col),
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.when(n > 0, e_r).alias("expected_runs"),
+        F.when(ok, (F.col("n_runs") - e_r) / F.sqrt(var_r)).alias("z"),
+    )

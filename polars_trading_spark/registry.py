@@ -9109,6 +9109,147 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). Ulcer index / Martin ratio (operators/backtest.py)
+# and the Wald-Wolfowitz runs test (operators/regime.py).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ulcer_index",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pathd AS (
+  SELECT symbol, ts, ret,
+    1 - exp(cum - max(greatest(cum, 0.0)) OVER w) AS ddf
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+-- ts-ordered running folds read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT symbol,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    sum(ret) OVER wrun AS s1,
+    sum(ddf * ddf) OVER wrun AS sdd2
+  FROM pathd
+  WINDOW word AS (PARTITION BY symbol ORDER BY ts),
+         wrun AS (PARTITION BY symbol ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol)
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_periods,
+  CASE WHEN n >= 2 THEN round(s1 / n * {_BT_PPY!r}, 6) + 0 END AS ann_return,
+  CASE WHEN n >= 2 THEN round(sqrt(sdd2 / n), 6) + 0 END AS ulcer,
+  CASE WHEN n >= 2 AND sqrt(sdd2 / n) > 0
+       THEN round(s1 / n * {_BT_PPY!r} / sqrt(sdd2 / n), 6) + 0 END AS martin
+FROM f WHERE rn = n
+""",
+    "Ulcer index (RMS of the fractional drawdown path) and Martin "
+    "ratio per symbol — drawdown-depth-weighted risk, ordered folds",
+)
+def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import ulcer_index
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = ulcer_index(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_periods",
+        (F.round("ann_return", 6) + z0).alias("ann_return"),
+        (F.round("ulcer", 6) + z0).alias("ulcer"),
+        (F.round("martin", 6) + z0).alias("martin"),
+    )
+
+
+@register(
+    "runs_test",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (
+  SELECT symbol, ts, CASE WHEN ret > 0 THEN 1 ELSE -1 END AS sgn
+  FROM rets WHERE ret IS NOT NULL AND ret <> 0
+),
+marked AS (
+  SELECT symbol, sgn,
+    CASE WHEN lag(sgn) OVER w IS NULL OR lag(sgn) OVER w <> sgn
+         THEN 1 ELSE 0 END AS nr
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+g AS (
+  SELECT symbol,
+    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+    CAST(sum(nr) AS BIGINT) AS n_runs
+  FROM marked GROUP BY symbol
+)
+SELECT symbol, n_up, n_down, n_runs,
+  CASE WHEN n_up + n_down > 0 THEN
+    round(1 + 2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+              / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)), 6) + 0
+  END AS expected_runs,
+  CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+        AND 2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+            * (2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+               - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)))
+            / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+               * ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) - 1)) > 0
+  THEN
+    round((n_runs - (1 + 2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                         / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))))
+          / sqrt(2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                 * (2 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                    - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)))
+                 / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                    * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                    * ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)) - 1))), 6) + 0
+  END AS z
+FROM g
+""",
+    "Wald-Wolfowitz runs test on 15m-bar return signs per symbol — "
+    "distribution-free trending/mean-reversion gate from exact integer "
+    "run counts",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.regime import runs_test
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = runs_test(bars, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "n_up",
+        "n_down",
+        "n_runs",
+        (F.round("expected_runs", 6) + F.lit(0.0)).alias("expected_runs"),
+        (F.round("z", 6) + F.lit(0.0)).alias("z"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #

@@ -488,3 +488,119 @@ class TestRiskRatios:
         )
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
+
+
+class TestUlcerIndex:
+    def test_matches_python_golden(self, spark):
+        import datetime as dt
+        import math
+        import random
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import ulcer_index
+
+        rng = random.Random(17)
+        prices = [100.0]
+        for _ in range(149):
+            prices.append(max(1.0, prices[-1] * math.exp(rng.gauss(0.0005, 0.02))))
+        rows = [
+            ("A", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), p)
+            for i, p in enumerate(prices)
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        out = ulcer_index(df, periods_per_year=252, ts_col="ts").collect()
+        assert len(out) == 1
+        r = out[0]
+        rets = [math.log(prices[i] / prices[i - 1]) for i in range(1, len(prices))]
+        cum = peak = 0.0
+        sdd2 = 0.0
+        for x in rets:
+            cum += x
+            peak = max(peak, cum, 0.0)
+            ddf = 1 - math.exp(cum - peak)
+            sdd2 += ddf * ddf
+        n = len(rets)
+        ulcer = math.sqrt(sdd2 / n)
+        mu_ann = sum(rets) / n * 252
+        assert r["n_periods"] == n
+        assert r["ulcer"] == pt.approx(ulcer, rel=1e-9)
+        assert r["martin"] == pt.approx(mu_ann / ulcer, rel=1e-9)
+
+    def test_monotone_up_has_zero_ulcer_null_martin(self, spark):
+        import datetime as dt
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.backtest import ulcer_index
+
+        rows = [
+            ("A", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 100.0 + i)
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        r = ulcer_index(df, periods_per_year=252, ts_col="ts").collect()[0]
+        assert r["ulcer"] == pt.approx(0.0, abs=1e-15)
+        assert r["martin"] is None
+        with pt.raises(ValueError, match="periods_per_year"):
+            ulcer_index(df, periods_per_year=0, ts_col="ts")
+
+
+class TestRunsTest:
+    def test_matches_closed_form(self, spark):
+        import datetime as dt
+        import math
+
+        import pytest as pt
+
+        from polars_trading_spark.operators.regime import runs_test
+
+        # signs: + + - + - - + +  (prices engineered to alternate as below)
+        moves = [1, 1, -1, 1, -1, -1, 1, 1]
+        prices = [100.0]
+        for m in moves:
+            prices.append(prices[-1] * (1.02 if m > 0 else 0.98))
+        rows = [
+            ("A", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), p)
+            for i, p in enumerate(prices)
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        r = runs_test(df, ts_col="ts").collect()[0]
+        n1 = sum(1 for m in moves if m > 0)
+        n2 = sum(1 for m in moves if m < 0)
+        runs = 1 + sum(1 for a, b in zip(moves, moves[1:]) if a != b)
+        n = n1 + n2
+        e = 1 + 2 * n1 * n2 / n
+        var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+        assert (r["n_up"], r["n_down"], r["n_runs"]) == (n1, n2, runs)
+        assert r["expected_runs"] == pt.approx(e, rel=1e-12)
+        assert r["z"] == pt.approx((runs - e) / math.sqrt(var), rel=1e-12)
+
+    def test_one_sided_and_zero_returns_guarded(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.operators.regime import runs_test
+
+        rows = [
+            # B: all up moves, plus one flat (excluded)
+            ("B", dt.datetime(2024, 1, 1), 100.0),
+            ("B", dt.datetime(2024, 1, 2), 101.0),
+            ("B", dt.datetime(2024, 1, 3), 101.0),
+            ("B", dt.datetime(2024, 1, 4), 102.0),
+        ]
+        df = spark.createDataFrame(rows, "symbol string, ts timestamp, close double")
+        r = runs_test(df, ts_col="ts").collect()[0]
+        assert r["n_up"] == 2 and r["n_down"] == 0 and r["n_runs"] == 1
+        assert r["z"] is None  # one-sided: variance degenerates
+
+    def test_plan_zero_python(self, spark):
+        import datetime as dt
+
+        from polars_trading_spark.operators.regime import runs_test
+        from polars_trading_spark.plans import count_python_stages
+
+        df = spark.createDataFrame(
+            [("A", dt.datetime(2024, 1, 1), 1.0)],
+            "symbol string, ts timestamp, close double",
+        )
+        assert count_python_stages(runs_test(df, ts_col="ts")) == 0
