@@ -166,6 +166,7 @@ HEADLINE = [
     "ann_recall",
     "ulcer_index",
     "runs_test",
+    "dedup_recall",
 ]
 
 

@@ -9250,6 +9250,76 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext (round 6). MinHash banding recall harness: LSH-surviving pairs
+# vs ALL pairs at the same exact-Jaccard threshold (the dedup sibling
+# of ann_recall — measures what the banding probability actually costs).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_recall",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_MH_PAIR_TAIL},
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+             THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             ELSE 0.0 END >= {_MH_THRESHOLD}
+),
+lshp AS (SELECT DISTINCT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
+h AS (
+  SELECT count(*) AS c
+  FROM exact e JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+  CAST((SELECT c FROM h) AS BIGINT) AS n_hit,
+  CASE WHEN (SELECT count(*) FROM exact) > 0
+       THEN round((SELECT c FROM h)
+                  / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) + 0
+  END AS recall
+""",
+    f"MinHash banding recall: pairs surviving {_MH_BANDS}-band LSH vs "
+    f"every pair with exact shingle Jaccard >= {_MH_THRESHOLD} — the "
+    "measured candidate-generation loss of the dedup scale path",
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    exact = dedup_ops.ngram_jaccard_pairs(
+        docs, ngram=_MH_NGRAM, threshold=_MH_THRESHOLD, block_cols=()
+    ).select("id_a", "id_b")
+    lsh = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(l)
+        .crossJoin(h)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
+                + F.lit(0.0),
+            ).alias("recall"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 6).
 #
