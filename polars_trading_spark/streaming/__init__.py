@@ -61,3 +61,7 @@ from polars_trading_spark.streaming.moments import (  # noqa: E402
 
 __all__.append("streaming_realized_moments")
 __all__.append("streaming_two_scale_rv")
+
+from polars_trading_spark.streaming.ulcer import streaming_ulcer  # noqa: E402
+
+__all__.append("streaming_ulcer")

@@ -1192,3 +1192,71 @@ def test_streaming_two_scale_rv_matches_batch_across_batches(spark):
                     assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (key, c)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_ulcer_matches_batch_across_batches(spark):
+    """Drawdown-path state (last close, cum, peak, sdd2) must carry
+    across micro-batches; final update row per symbol equals batch
+    ulcer_index."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.backtest import ulcer_index
+    from polars_trading_spark.streaming import streaming_ulcer
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 1, 1, 9, 30)
+        price = 100.0
+        for _ in range(200):
+            t = t + dt.timedelta(seconds=float(rng.exponential(30)) + 0.001)
+            price = max(1.0, price * float(np.exp(rng.normal(0.0002, 0.01))))
+            rows.append((sym, t, len(rows), price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long, price double"
+
+    batch = {
+        r["symbol"]: r
+        for r in ulcer_index(
+            spark.createDataFrame(pdf, schema),
+            periods_per_year=252.0,
+            ts_col="ts_event",
+            close_col="price",
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_ulcer_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_ulcer(stream, periods_per_year=252.0)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        final = {}
+        for r in rows_out:
+            if r["symbol"] not in final or r["n_periods"] > final[r["symbol"]]["n_periods"]:
+                final[r["symbol"]] = r
+        assert set(final) == set(batch)
+        for sym, r in final.items():
+            b = batch[sym]
+            assert r["n_periods"] == b["n_periods"]
+            for c in ("ann_return", "ulcer", "martin"):
+                if b[c] is None:
+                    assert r[c] is None, (sym, c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (sym, c)
+            assert 0.0 <= r["cur_drawdown"] < 1.0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
