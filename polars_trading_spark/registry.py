@@ -9321,45 +9321,44 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ==========================================================================
-# Driver-gate rotation (round 6).
+# Driver-gate rotation (round 7).
 #
 # The driver's correctness harness verifies the FIRST 50 entries of
 # ``queries()`` insertion order (rows + schema + value-hash vs the DuckDB
 # oracle at sf0.01).  Rounds 1-4 gated the original first 50 registry
-# entries; round 5 gated 50 of the later registrations (48 green, 2 red:
-# pack_sequences — HUGEINT seq_offset in the oracle output, cast fixed —
-# and vwap_slippage — unordered float folds, rewritten as ordered running
-# sums).  Round 6's window holds the 26 names that have never had a
-# driver row (the 18 round-5 additions + 8 earlier deferrals), the two
-# red-row re-checks, and 22 backfill re-checks of the r1/r2-gated
-# originals (leading with every name that was ever red).  After this
-# window, every registry query has >= 1 driver-green row.
+# entries; round 5 gated 50 of the later registrations (48 green, 2 red —
+# both determinism bugs, fixed and re-gated green in round 6); round 6's
+# window (50/50 green) covered the 26 then-never-checked names, the two
+# red re-checks, and 22 backfill — so every query registered through
+# round 5 has a driver-green row.  Round 7's window holds the 18 round-6
+# registrations (which sat behind the round-6 window and have never been
+# driver-checked), the 28 queries whose most recent driver row is round 4
+# or older, and 4 regression-heavy round-5-gated re-checks (closed-form
+# OLS / eigen-ish folds most exposed to cross-engine float drift).
 #
 # KEEP THIS BLOCK AT THE VERY END OF THE FILE — any @register above it is
 # subject to the rotation; new queries registered after it append behind
 # the front window and enter the gate on a later rotation.
 # ==========================================================================
 
-_ROUND6_FRONT = [
-    # -- the 26 never driver-checked --
-    "hawkes_intensity", "winnow_fingerprints", "winnow_dup_pairs",
-    "zipf_fit", "multimodal_jpeg_metadata", "rsi", "har_rv",
-    "permutation_entropy", "event_transitions", "reading_ease",
-    "dsir_weights", "fama_macbeth_nw", "deflated_sharpe",
-    "asof_join_nearest", "interval_join_events", "funnel_latency",
-    "ngram_novelty", "upsample_ffill", "tick_quality",
-    "universe_summary", "multimodal_bmp_metadata", "chunk_documents",
-    "fama_macbeth", "ks_drift", "char_entropy", "pmi_cooccurrence",
-    # -- round-5 red rows, fixed this round, re-checked --
-    "pack_sequences", "vwap_slippage",
-    # -- 22 backfill re-checks of r1/r2-gated originals (ever-red first) --
-    "dollar_bars", "time_bars", "tick_bars", "volume_bars",
-    "sample_weights", "triple_barrier", "triple_barrier_meta",
-    "similarity_topk_ivf_kmeans", "time_bars_compound_duration",
-    "daily_vol", "vertical_barrier", "frac_diff", "fixed_time_return",
-    "cusum_filter", "asof_join_backward", "ewm_std_native",
-    "bar_groups_split", "dedup_exact", "dedup_minhash_lsh",
-    "similarity_topk", "decontaminate", "sadf",
+_ROUND7_FRONT = [
+    # -- the 18 round-6 registrations, never driver-checked --
+    "two_scale_rv", "pairs_distance", "event_study_car", "gumbel_topk",
+    "hard_negatives", "realized_moments", "cluster_representatives",
+    "kalman_hedge", "risk_ratios", "vocab_divergence", "size_quantiles",
+    "key_skew", "embedding_cohesion", "centroid_similarity", "ann_recall",
+    "ulcer_index", "runs_test", "dedup_recall",
+    # -- 28 backfill: most recent driver row is round 4 or older --
+    "bar_volatility", "corpus_filter", "corpus_split", "corpus_stats",
+    "corwin_schultz", "cpcv_assign", "csw_explosiveness", "dedup_clusters",
+    "dedup_embedding_cosine", "dedup_ngram_jaccard", "dedup_simhash",
+    "imbalance_bars", "microstructure", "multimodal_frame_sample",
+    "multimodal_metadata", "purged_kfold", "repetition_profile",
+    "return_entropy", "run_bars", "sadf_adf1", "similarity_topk_ivf",
+    "similarity_topk_lsh", "stratified_sample", "text_analysis",
+    "tfidf_topk", "trend_scan", "vocab_topk", "vpin",
+    # -- 4 regression-heavy round-5-gated re-checks --
+    "ou_fit", "cointegration", "variance_ratio", "hurst",
 ]
 
 
@@ -9373,4 +9372,4 @@ def _rotate_front(front: list) -> None:
     QUERIES.update(items)
 
 
-_rotate_front(_ROUND6_FRONT)
+_rotate_front(_ROUND7_FRONT)
