@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "mix_corpus", "pack_sequences", "stratified_sample"]
+__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -774,4 +774,126 @@ def gumbel_topk_sample(
         "weight",
         "sample_key",
         F.row_number().over(rank_w).cast("int").alias("rank"),
+    )
+
+
+# Engine-portable URL/domain extractor: scheme + host captured from the
+# lowercased text (Java regex and RE2 evaluate this subset identically).
+URL_DOMAIN_PATTERN = r"https?://([a-z0-9.-]+)"
+
+
+def url_profile(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level domain histogram of in-text URLs — the provenance /
+    spam-surface audit a crawl pipeline runs before domain-level
+    filtering decisions (blocklists, per-domain caps, licensing tiers):
+    which hosts does this corpus cite, in how many documents, how
+    often?
+
+    URLs are extracted with one portable regex over the lowercased
+    text; the host (capture group) is the domain key.  Output: the
+    ``top_k`` domains by total occurrences (ties broken by doc reach
+    desc, then domain asc): ``domain, n_docs, n_urls``.
+
+    Scale/determinism shape: regex extraction and explode happen in the
+    scan stage; one (domain, doc) hash aggregate absorbs per-doc
+    repeats map-side, one domain-keyed reduce is vocabulary-sized, and
+    the top-k is TakeOrderedAndProject — never a global sort.  Every
+    output is an INTEGER count, so the ordering key is exact and the
+    cut set is engine-independent.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    doms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(URL_DOMAIN_PATTERN), 1)
+        ).alias("domain"),
+    )
+    per_doc = doms.groupBy("__id", "domain").agg(F.count(F.lit(1)).alias("__c"))
+    g = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__c").cast("long").alias("n_urls"),
+    )
+    return g.orderBy(
+        F.desc("n_urls"), F.desc("n_docs"), F.asc("domain")
+    ).limit(int(top_k))
+
+
+def lang_mix(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Language-mix profile per corpus source — the cross-lingual
+    contamination gate: a source that claims to be monolingual but
+    shows high language entropy is mislabeled, machine-translated, or
+    scraped through a boilerplate mixer.
+
+    Per group: document count, distinct languages, the majority
+    language and its share, and the Shannon entropy (nats) of the
+    language distribution (0 = pure, ln(k) = uniform over k).
+
+    Scale/determinism shape: one (group, lang) hash aggregate (group
+    cardinality × language cardinality rows — tiny), then windows over
+    that tiny frame only.  The entropy fold runs in ``lang`` order via
+    a running window read at the last row (SCALING rule 24) and the
+    majority pick is a total ordering (count desc, lang asc), so every
+    float is engine-independent.  No data-sized shuffles beyond the one
+    aggregate; no Python.
+    """
+    cnt = df.groupBy(group_col, lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    full = Window.partitionBy(group_col)
+    by_lang = Window.partitionBy(group_col).orderBy(lang_col)
+    run = by_lang.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top_first = Window.partitionBy(group_col).orderBy(
+        F.desc("__c"), F.asc(lang_col)
+    )
+    staged = cnt.select(
+        F.col(group_col),
+        F.col(lang_col),
+        F.col("__c"),
+        F.sum("__c").over(full).cast("long").alias("__tot"),
+        F.count(F.lit(1)).over(full).cast("long").alias("__k"),
+        F.row_number().over(by_lang).alias("__rn"),
+        F.row_number().over(top_first).alias("__top"),
+    )
+    p = F.col("__c").cast("double") / F.col("__tot").cast("double")
+    staged2 = staged.select(
+        group_col,
+        lang_col,
+        "__c",
+        "__tot",
+        "__k",
+        "__rn",
+        (-(p * F.log(p))).alias("__term"),
+        F.when(F.col("__top") == 1, F.col(lang_col)).alias("__tl"),
+        F.when(F.col("__top") == 1, F.col("__c")).alias("__tc"),
+    )
+    folded = staged2.select(
+        group_col,
+        "__tot",
+        "__k",
+        "__rn",
+        F.sum("__term").over(run).alias("__ent"),
+        F.max("__tl").over(full).alias("top_lang"),
+        F.max("__tc").over(full).alias("__topc"),
+    )
+    return folded.where(F.col("__rn") == F.col("__k")).select(
+        F.col(group_col),
+        F.col("__tot").alias("n_docs"),
+        F.col("__k").alias("n_langs"),
+        "top_lang",
+        (F.col("__topc").cast("double") / F.col("__tot").cast("double")).alias(
+            "top_share"
+        ),
+        F.col("__ent").alias("lang_entropy"),
     )

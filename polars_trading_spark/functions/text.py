@@ -37,6 +37,12 @@ __all__ = [
     "STOPWORDS",
     "reading_ease",
     "ngram_novelty",
+    "lexical_diversity",
+    "encoding_quality",
+    "code_detection",
+    "CODE_SYMBOL_PATTERN",
+    "CODE_INDENT_PATTERN",
+    "CODE_SEMI_EOL_PATTERN",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -836,4 +842,216 @@ def ngram_novelty(
                 F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
             ).alias("novelty"),
         )
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-diversity profile per document: type-token ratio, hapax
+    ratio and Yule's K — the standard vocabulary-richness trio used to
+    flag template spam (low TTR, huge K) and keyboard-mash noise (TTR
+    near 1, K near 0) in pre-training corpora (Yule 1944; Tweedie &
+    Baayen 1998).
+
+    With ``N`` whitespace tokens of the normalized text, ``V`` distinct
+    types, ``V1`` types occurring exactly once and ``S2 = sum over
+    types of count^2``:
+
+    * ``ttr = V / N``
+    * ``hapax_ratio = V1 / V``
+    * ``yule_k = 1e4 * (S2 - N) / N^2`` (0 when every token is unique,
+      ~1e4/V for a V-symbol uniform stream, huge for one repeated word)
+
+    Documents with zero tokens keep their row with null metrics.
+
+    Scale/determinism shape: one explode into a (doc, token) hash
+    aggregate (map-side combine absorbs the fan-out) and one doc-keyed
+    reduce — no per-row O(V x N) higher-order scans, no windows, no
+    Python.  Every aggregate is an INTEGER sum, so the only floats are
+    final single divisions: bit-identical on any engine.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    per_type = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per_type.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            F.when(F.col("n_tokens") > 0, v / n).alias("ttr"),
+            F.when(F.col("n_types") > 0, F.col("n_hapax").cast("double") / v).alias(
+                "hapax_ratio"
+            ),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.lit(1e4) * (F.col("__s2") - F.col("n_tokens")).cast("double") / (n * n),
+            ).alias("yule_k"),
+        )
+    )
+
+
+# Mojibake "leader" characters: the UTF-8 lead bytes C3/C2/E2/EF as they
+# appear when UTF-8 text is mis-decoded through Latin-1/CP1252 ("Ã©",
+# "â€™", "ï»¿", ...).  A high density of these in supposedly-clean text
+# is the classic double-encoding fingerprint.
+_MOJIBAKE_LEADERS = "ÃÂâï"
+
+
+def encoding_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    control_pattern: str = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]",
+) -> DataFrame:
+    """Byte-sanity / mojibake profile per document — the cheap
+    encoding-quality gate a crawl pipeline runs before any NLP: count
+    U+FFFD replacement characters (lossy decode already happened),
+    C0/C1-style control characters (binary junk pasted into text), the
+    printable-ASCII ratio, and the density of classic UTF-8-as-Latin-1
+    mojibake lead characters.
+
+    Output: ``id_col, n_chars, n_replacement, n_control,
+    mojibake_leads, ascii_ratio, flagged`` where ``flagged`` is true
+    when any replacement/control char appears or mojibake leads exceed
+    0.5% of characters.  Empty documents yield 0 counts, null ratio,
+    false flag.
+
+    Scale/determinism shape: pure built-in Column expressions (length /
+    regexp_replace difference counts) — zero shuffles, zero Python, one
+    codegen stage over the scan; counts are integers and the only
+    float is one final division.  The regexes stay in the syntax subset
+    Java regex and RE2 evaluate identically.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    repl = n - F.length(F.regexp_replace(t, "�", ""))
+    ctrl = n - F.length(F.regexp_replace(t, control_pattern, ""))
+    moji = n - F.length(F.regexp_replace(t, f"[{_MOJIBAKE_LEADERS}]", ""))
+    ascii_keep = F.length(F.regexp_replace(t, "[^ -~\\t\\n\\r]", ""))
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_chars"),
+        F.coalesce(repl, F.lit(0)).cast("long").alias("n_replacement"),
+        F.coalesce(ctrl, F.lit(0)).cast("long").alias("n_control"),
+        F.coalesce(moji, F.lit(0)).cast("long").alias("mojibake_leads"),
+        F.coalesce(ascii_keep, F.lit(0)).cast("long").alias("__ascii"),
+    )
+    nn = F.col("n_chars").cast("double")
+    return staged.select(
+        id_col,
+        "n_chars",
+        "n_replacement",
+        "n_control",
+        "mojibake_leads",
+        F.when(F.col("n_chars") > 0, F.col("__ascii").cast("double") / nn).alias(
+            "ascii_ratio"
+        ),
+        (
+            (F.col("n_replacement") > 0)
+            | (F.col("n_control") > 0)
+            | (
+                (F.col("n_chars") > 0)
+                & (F.col("mojibake_leads").cast("double") > F.lit(0.005) * nn)
+            )
+        ).alias("flagged"),
+    )
+
+
+# Shared engine-portable regexes for code detection (Java regex and RE2
+# evaluate this subset identically; \r is folded into the EOL class so
+# CRLF corpora count the same on both).
+CODE_SYMBOL_PATTERN = r"[{}()\[\];=<>]"
+CODE_INDENT_PATTERN = r"(?m)^[ \t]"
+CODE_SEMI_EOL_PATTERN = r"(?m);[ \t\r]*$"
+
+
+def code_detection(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    symbol_threshold: float = 0.03,
+    indent_threshold: float = 0.15,
+    semi_threshold: float = 0.10,
+) -> DataFrame:
+    """Code-likeness profile per document — the cheap structural gate a
+    pre-training pipeline uses to route source code away from the prose
+    filters (quality scoring, language ID and perplexity models all
+    misfire on code): density of code punctuation ``{}()[];=<>``,
+    fraction of indented lines, fraction of lines ending in ``;``.
+
+    ``is_code`` fires when the symbol density clears
+    ``symbol_threshold`` AND either structural line signal clears its
+    threshold — braces alone also appear in prose ("(see above)"), the
+    conjunction is what separates code blocks.
+
+    Output: ``id_col, n_chars, n_lines, symbol_chars, indent_lines,
+    semi_lines, symbol_ratio, indent_ratio, semi_ratio, is_code``
+    (ratios null for empty documents, ``is_code`` false).
+
+    Scale/determinism shape: pure built-in Column expressions (length
+    differences and ``regexp_extract_all`` sizes) — zero shuffles, zero
+    Python, one codegen stage over the scan; counts are integers and
+    ratios are final single divisions.
+    """
+    t = F.col(text_col)
+    n = F.coalesce(F.length(t), F.lit(0)).cast("long")
+    nl = F.coalesce(
+        F.length(t) - F.length(F.regexp_replace(t, r"\n", "")), F.lit(0)
+    ).cast("long")
+    sym = F.coalesce(
+        F.length(t) - F.length(F.regexp_replace(t, CODE_SYMBOL_PATTERN, "")), F.lit(0)
+    ).cast("long")
+    ind = F.coalesce(
+        F.size(F.regexp_extract_all(t, F.lit(CODE_INDENT_PATTERN), 0)), F.lit(0)
+    ).cast("long")
+    semi = F.coalesce(
+        F.size(F.regexp_extract_all(t, F.lit(CODE_SEMI_EOL_PATTERN), 0)), F.lit(0)
+    ).cast("long")
+    staged = df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        F.when(n > 0, nl + 1).otherwise(F.lit(0)).cast("long").alias("n_lines"),
+        sym.alias("symbol_chars"),
+        ind.alias("indent_lines"),
+        semi.alias("semi_lines"),
+    )
+    nn = F.col("n_chars").cast("double")
+    nln = F.col("n_lines").cast("double")
+    sym_r = F.when(F.col("n_chars") > 0, F.col("symbol_chars").cast("double") / nn)
+    ind_r = F.when(F.col("n_lines") > 0, F.col("indent_lines").cast("double") / nln)
+    semi_r = F.when(F.col("n_lines") > 0, F.col("semi_lines").cast("double") / nln)
+    return staged.select(
+        id_col,
+        "n_chars",
+        "n_lines",
+        "symbol_chars",
+        "indent_lines",
+        "semi_lines",
+        sym_r.alias("symbol_ratio"),
+        ind_r.alias("indent_ratio"),
+        semi_r.alias("semi_ratio"),
+        (
+            (F.col("n_chars") > 0)
+            & (F.coalesce(sym_r, F.lit(0.0)) > F.lit(float(symbol_threshold)))
+            & (
+                (F.coalesce(ind_r, F.lit(0.0)) > F.lit(float(indent_threshold)))
+                | (F.coalesce(semi_r, F.lit(0.0)) > F.lit(float(semi_threshold)))
+            )
+        ).alias("is_code"),
     )

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.functions.text import tokens
 
-__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "vocab_divergence", "zipf_fit"]
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "vocab_divergence", "zipf_fit", "heaps_law", "term_burstiness"]
 
 
 def term_frequencies(
@@ -367,3 +367,168 @@ def vocab_divergence(
         F.col("__js").alias("js_nats"),
         (F.col("__js") / ln2).alias("js_bits"),
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_checkpoints: int = 200,
+) -> DataFrame:
+    """Heaps'-law fit of corpus vocabulary growth, ``V(N) ~ k * N^beta``
+    (Heaps 1978; natural language sits around beta ~ 0.4-0.6).  The
+    corpus-level companion to ``zipf_fit``: a beta near 1 means the
+    vocabulary never saturates (OCR noise, random ids), a beta near 0
+    means template text recycling a closed vocabulary.
+
+    Documents are consumed in ``id_col`` order; the cumulative token
+    count N and cumulative distinct-vocabulary count V are checkpointed
+    at up to ``n_checkpoints`` evenly-spaced points of the id range and
+    OLS fits ``ln V`` on ``ln N`` over the checkpoints.  Returns ONE
+    row: ``n_points, n_vocab, total_tokens, k_coef, beta, r2``.
+
+    Scale/determinism shape: the corpus-sized work is two hash
+    aggregates — per-token first-occurrence checkpoint (``min`` over
+    the doc bucket) and per-bucket token totals; the ordered windows
+    and the OLS running folds then touch only ``n_checkpoints`` rows,
+    so no global data-sized sort or single-partition window exists.
+    Cumulative N and V are INTEGER running sums (exact); the float
+    power sums run in checkpoint order and are read off the last row,
+    making the fold order engine-independent (SCALING rule 24).  The
+    id-range max enters as a broadcast one-row aggregate, not a
+    driver-side action.
+    """
+    if n_checkpoints < 3:
+        raise ValueError(f"n_checkpoints must be >= 3 to fit a line, got {n_checkpoints}")
+
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    bounds = df.agg(
+        F.min(id_col).cast("long").alias("__lo"), F.max(id_col).cast("long").alias("__hi")
+    )
+    # checkpoint bucket of a doc id: floor((id - lo) * C / (hi - lo + 1))
+    t2 = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "__b",
+        F.floor(
+            (F.col("__id") - F.col("__lo")) * F.lit(int(n_checkpoints))
+            / (F.col("__hi") - F.col("__lo") + 1)
+        ).cast("int"),
+    )
+    # a token's vocabulary entry is charged to the bucket where it first appears
+    first_b = t2.groupBy("__t").agg(F.min("__b").alias("__fb"))
+    new_types = first_b.groupBy(F.col("__fb").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    tok_counts = t2.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    per_bucket = tok_counts.join(new_types, "__b", "left").select(
+        "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
+    )
+
+    run = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = (
+        per_bucket.withColumn("__N", F.sum("__nt").over(run))
+        .withColumn("__V", F.sum("__nv").over(run))
+        .where((F.col("__N") > 0) & (F.col("__V") > 0))
+    )
+    x = F.log(F.col("__N").cast("double"))
+    y = F.log(F.col("__V").cast("double"))
+    run2 = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    full2 = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = (
+        cum.withColumn("__x", x)
+        .withColumn("__y", y)
+        .withColumn("__rn", F.row_number().over(Window.orderBy("__b")))
+        .withColumn("__sx", F.sum("__x").over(run2))
+        .withColumn("__sy", F.sum("__y").over(run2))
+        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(run2))
+        .withColumn("__sxy", F.sum(F.col("__x") * F.col("__y")).over(run2))
+        .withColumn("__syy", F.sum(F.col("__y") * F.col("__y")).over(run2))
+        # NB: Spark resolves column names case-insensitively, so the
+        # totals must NOT be spelled "__NN"/"__VV" (they would overwrite
+        # "__nn" / collide at resolution time).
+        .withColumn("__nn", F.count(F.lit(1)).over(full2))
+        .withColumn("__totn", F.max("__N").over(full2))
+        .withColumn("__totv", F.max("__V").over(full2))
+        .withColumn("__vlo", F.min("__V").over(full2))
+        .where(F.col("__rn") == F.col("__nn"))
+    )
+    n = F.col("__nn").cast("double")
+    vxx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cxy = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    slope = cxy / vxx
+    return staged.select(
+        F.col("__nn").cast("long").alias("n_points"),
+        F.col("__totv").cast("long").alias("n_vocab"),
+        F.col("__totn").cast("long").alias("total_tokens"),
+        F.when(vxx > 0, F.exp((F.col("__sy") - slope * F.col("__sx")) / n)).alias("k_coef"),
+        F.when(vxx > 0, slope).alias("beta"),
+        # y is exactly constant (degenerate r2) iff V never grows past the
+        # first checkpoint — an INTEGER test.  A float `vyy > 0` guard is a
+        # knife-edge here: with constant y the fold's true value is 0 and
+        # engines whose ln() differs at 1 ulp land on opposite sides.
+        F.when(
+            (vxx > 0) & (F.col("__totv") > F.col("__vlo")), cxy * cxy / (vxx * vyy)
+        ).alias("r2"),
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Per-term burstiness (Fano factor of the per-document count
+    distribution, zeros included) — Church & Gale (1995): content words
+    arrive in bursts (variance far above mean), function words are
+    Poisson-ish (Fano ~ 1).  Terms whose burstiness is extreme flag
+    template boilerplate (one doc repeating a token hundreds of times)
+    and are natural stopword/keyword candidates.
+
+    Over ``D`` corpus documents, with per-doc counts ``c_d`` of a term
+    (``S1 = sum c_d``, ``S2 = sum c_d^2``):
+
+    ``fano = var/mean = S2/S1 - S1/D``
+
+    Output: the ``top_k`` terms with document frequency >= ``min_df``
+    ranked by Fano factor desc (ties token asc): ``token, df,
+    total_count, fano``.
+
+    Scale/determinism shape: one explode into a (doc, token) hash
+    aggregate, one token-keyed reduce (vocabulary-sized), D as a
+    broadcast one-row aggregate and a TakeOrderedAndProject top-k —
+    never a global sort.  S1/S2/D are INTEGER sums; ``fano`` is two
+    exact divisions, bit-identical across engines.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t"))
+    per_doc = toks.groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__c"))
+    stats = per_doc.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__c").cast("long").alias("total_count"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    d_total = df.agg(F.count(F.lit(1)).cast("long").alias("__D"))
+    scored = (
+        stats.where(F.col("df") >= int(min_df))
+        .crossJoin(F.broadcast(d_total))
+        .select(
+            F.col("__t").alias("token"),
+            "df",
+            "total_count",
+            (
+                F.col("__s2").cast("double") / F.col("total_count").cast("double")
+                - F.col("total_count").cast("double") / F.col("__D").cast("double")
+            ).alias("fano"),
+        )
+    )
+    return scored.orderBy(F.desc("fano"), F.asc("token")).limit(int(top_k))

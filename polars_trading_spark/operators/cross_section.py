@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cross_sectional_zscore", "fama_macbeth",
-    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "rank_ic", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -649,4 +649,69 @@ def pairs_distance(
             F.col("__ssd").alias("ssd"),
             F.sqrt(F.col("__ssd") / F.col("__n")).alias("rmsd"),
         )
+    )
+
+
+def rank_ic(
+    bars: DataFrame,
+    *,
+    momentum_lag: int = 5,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Per-period rank information coefficient of a momentum signal —
+    the standard alpha-research diagnostic: Spearman correlation,
+    within each bar timestamp, between the cross-sectional ranks of the
+    trailing ``momentum_lag``-bar log return (the signal) and the next
+    bar's log return (the realization).  Grinold & Kahn's IC; an
+    |IC| of a few percent is already a tradeable signal.
+
+    Ranks are ``row_number`` over ``(value, symbol)`` — the symbol
+    tiebreak makes the ranking total, so with tie-free integer ranks
+    Spearman reduces to the exact rational
+
+        ic = 1 - 6 * sum(d^2) / (n * (n^2 - 1)),   d = rank_sig - rank_fwd
+
+    and the only float is one final division: bit-identical on any
+    engine.  Output per period: ``ts, n_sym, ic`` (ic null when fewer
+    than 3 symbols are rankable that period).
+
+    Scale shape: one per-symbol lag chain (shared exchange), two
+    per-period ``row_number`` windows over the SAME per-period
+    partitioning (cross-section width rows each, never data-sized), one
+    integer hash aggregate per period.  No joins, no Python.
+    """
+    if momentum_lag < 1:
+        raise ValueError(f"momentum_lag must be >= 1, got {momentum_lag}")
+
+    c = F.col(close_col).cast("double")
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    base = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col).alias("ts"),
+        F.log(c / F.lag(c, momentum_lag).over(order)).alias("__sig"),
+        F.log(F.lead(c).over(order) / c).alias("__fwd"),
+    ).where(F.col("__sig").isNotNull() & F.col("__fwd").isNotNull())
+
+    by_ts_sig = Window.partitionBy("ts").orderBy("__sig", symbol_col)
+    by_ts_fwd = Window.partitionBy("ts").orderBy("__fwd", symbol_col)
+    ranked = base.select(
+        "ts",
+        F.row_number().over(by_ts_sig).alias("__rs"),
+        F.row_number().over(by_ts_fwd).alias("__rf"),
+    )
+    d = (F.col("__rs") - F.col("__rf")).cast("long")
+    g = ranked.groupBy("ts").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sym"),
+        F.sum(d * d).cast("long").alias("__ssd"),
+    )
+    n = F.col("n_sym").cast("double")
+    return g.select(
+        "ts",
+        "n_sym",
+        F.when(
+            F.col("n_sym") >= 3,
+            F.lit(1.0) - F.lit(6.0) * F.col("__ssd").cast("double") / (n * (n * n - 1)),
+        ).alias("ic"),
     )

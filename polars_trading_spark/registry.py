@@ -9320,6 +9320,746 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Lexical diversity (functions/text.py::lexical_diversity) — TTR /
+# hapax ratio / Yule's K per document; pure integer hash aggregates, floats
+# are final single divisions.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lexical_diversity",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+ltk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+lpt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        FROM ltk GROUP BY doc_id, token),
+ldv AS (
+  SELECT doc_id,
+    CAST(sum(c) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_types,
+    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+    CAST(sum(c * c) AS BIGINT) AS s2
+  FROM lpt GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_types, 0) AS n_types,
+  COALESCE(a.n_hapax, 0) AS n_hapax,
+  CASE WHEN a.n_tokens > 0
+       THEN round(CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6) + 0
+  END AS ttr,
+  CASE WHEN a.n_types > 0
+       THEN round(CAST(a.n_hapax AS DOUBLE) / CAST(a.n_types AS DOUBLE), 6) + 0
+  END AS hapax_ratio,
+  CASE WHEN a.n_tokens > 0
+       THEN round(1e4 * CAST(a.s2 - a.n_tokens AS DOUBLE)
+                  / (CAST(a.n_tokens AS DOUBLE) * CAST(a.n_tokens AS DOUBLE)), 6) + 0
+  END AS yule_k
+FROM docs d LEFT JOIN ldv a ON d.doc_id = a.doc_id
+""",
+    "Per-document vocabulary richness: type-token ratio, hapax ratio, "
+    "Yule's K (template-spam / keyboard-mash gate); integer hash "
+    "aggregates only, floats are final single divisions",
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import lexical_diversity
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = lexical_diversity(docs)
+    z0 = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        (F.round("ttr", 6) + z0).alias("ttr"),
+        (F.round("hapax_ratio", 6) + z0).alias("hapax_ratio"),
+        (F.round("yule_k", 6) + z0).alias("yule_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Encoding quality (functions/text.py::encoding_quality) — U+FFFD /
+# control-char / mojibake / printable-ASCII profile.  Zero shuffles; the
+# regexes stay in the subset Java regex and RE2 evaluate identically, and
+# the SAME pattern strings are interpolated into both engines.
+# --------------------------------------------------------------------------
+
+_EQ_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_EQ_ASCII = r"[^ -~\t\n\r]"
+_EQ_MOJI = "[ÃÂâï]"
+
+
+@register(
+    "encoding_quality",
+    f"""
+WITH eq AS (
+  SELECT doc_id,
+    CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+    CAST(COALESCE(length(text) - length(regexp_replace(text, '�', '', 'g')), 0)
+         AS BIGINT) AS n_replacement,
+    CAST(COALESCE(length(text) - length(regexp_replace(text, '{_EQ_CTRL}', '', 'g')), 0)
+         AS BIGINT) AS n_control,
+    CAST(COALESCE(length(text) - length(regexp_replace(text, '{_EQ_MOJI}', '', 'g')), 0)
+         AS BIGINT) AS mojibake_leads,
+    CAST(COALESCE(length(regexp_replace(text, '{_EQ_ASCII}', '', 'g')), 0)
+         AS BIGINT) AS ascii_n
+  FROM documents
+)
+SELECT doc_id, n_chars, n_replacement, n_control, mojibake_leads,
+  CASE WHEN n_chars > 0
+       THEN round(CAST(ascii_n AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0
+  END AS ascii_ratio,
+  CAST(CASE WHEN n_replacement > 0 OR n_control > 0
+              OR (n_chars > 0
+                  AND CAST(mojibake_leads AS DOUBLE)
+                      > 0.005 * CAST(n_chars AS DOUBLE))
+       THEN 1 ELSE 0 END AS INTEGER) AS flagged
+FROM eq
+""",
+    "Byte-sanity gate: U+FFFD replacement chars, C0 control chars, "
+    "UTF-8-as-Latin-1 mojibake lead density, printable-ASCII ratio — "
+    "zero-shuffle codegen pass with engine-portable regexes",
+)
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import encoding_quality
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = encoding_quality(docs, control_pattern=_EQ_CTRL)
+    z0 = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_replacement",
+        "n_control",
+        "mojibake_leads",
+        (F.round("ascii_ratio", 6) + z0).alias("ascii_ratio"),
+        F.col("flagged").cast("int").alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Heaps'-law vocabulary-growth fit (functions/tfidf.py::heaps_law) —
+# corpus-level OCR-noise / template-recycling gate.  Cumulative N and V are
+# INTEGER running sums; the OLS power sums fold in checkpoint order and are
+# read off the last row (SCALING rule 24), so the double fold order is
+# engine-independent.
+# --------------------------------------------------------------------------
+
+_HL_C = 200
+
+
+@register(
+    "heaps_law",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+htk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+hbd AS (SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+               CAST(max(doc_id) AS BIGINT) AS hi FROM docs),
+hbk AS (
+  SELECT token,
+    CAST(floor((doc_id - lo) * {_HL_C} / (hi - lo + 1)) AS INTEGER) AS b
+  FROM htk CROSS JOIN hbd
+),
+hfb AS (SELECT token, min(b) AS fb FROM hbk GROUP BY token),
+hnv AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS nv FROM hfb GROUP BY fb),
+hnt AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM hbk GROUP BY b),
+hpb AS (SELECT hnt.b, nt, COALESCE(nv, 0) AS nv
+        FROM hnt LEFT JOIN hnv ON hnt.b = hnv.b),
+hcm AS (
+  SELECT b,
+    CAST(sum(nt) OVER w AS BIGINT) AS cn,
+    CAST(sum(nv) OVER w AS BIGINT) AS cv
+  FROM hpb
+  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+hst AS (SELECT b, cn, cv, ln(CAST(cn AS DOUBLE)) AS x, ln(CAST(cv AS DOUBLE)) AS y
+        FROM hcm WHERE cn > 0 AND cv > 0),
+hrn AS (
+  SELECT b, cn, cv,
+    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+    sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy, sum(y * y) OVER w AS syy,
+    count(*) OVER wf AS nn,
+    CAST(min(cv) OVER wf AS BIGINT) AS vlo,
+    CAST(max(cv) OVER wf AS BIGINT) AS vhi,
+    CAST(row_number() OVER (ORDER BY b) AS BIGINT) AS rn
+  FROM hst
+  WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+hlt AS (SELECT * FROM hrn WHERE rn = nn)
+SELECT
+  CAST(nn AS BIGINT) AS n_points,
+  cv AS n_vocab,
+  cn AS total_tokens,
+  CASE WHEN (nn * sxx - sx * sx) > 0
+       THEN round(exp((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn),
+                  6) + 0
+  END AS k_coef,
+  CASE WHEN (nn * sxx - sx * sx) > 0
+       THEN round((nn * sxy - sx * sy) / (nn * sxx - sx * sx), 6) + 0
+  END AS beta,
+  CASE WHEN (nn * sxx - sx * sx) > 0 AND vhi > vlo
+       THEN round((nn * sxy - sx * sy) * (nn * sxy - sx * sy)
+                  / ((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6) + 0
+  END AS r2
+FROM hlt
+""",
+    f"Heaps'-law OLS fit of vocabulary growth over {_HL_C} id-range "
+    "checkpoints (beta~1 flags OCR noise, beta~0 template recycling); "
+    "integer cumulative sums + checkpoint-ordered running-sum OLS so "
+    "the double fold order is engine-independent",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import heaps_law
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = heaps_law(docs, n_checkpoints=_HL_C)
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_points",
+        "n_vocab",
+        "total_tokens",
+        (F.round("k_coef", 6) + z0).alias("k_coef"),
+        (F.round("beta", 6) + z0).alias("beta"),
+        (F.round("r2", 6) + z0).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Term burstiness (functions/tfidf.py::term_burstiness) — Fano
+# factor of per-document counts (Church & Gale 1995).  S1/S2/D are integer
+# sums; fano is two exact divisions, bit-identical, so the top-k cut
+# (fano desc, token asc) selects the same set on both engines.
+# --------------------------------------------------------------------------
+
+_TB_MIN_DF = 5
+_TB_K = 100
+
+
+@register(
+    "term_burstiness",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+btk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+bpd AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+        FROM btk GROUP BY doc_id, token),
+bst AS (
+  SELECT token,
+    CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(c) AS BIGINT) AS total_count,
+    CAST(sum(c * c) AS BIGINT) AS s2
+  FROM bpd GROUP BY token
+),
+btt AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM docs),
+bsc AS (
+  SELECT token, df, total_count,
+    CAST(s2 AS DOUBLE) / CAST(total_count AS DOUBLE)
+      - CAST(total_count AS DOUBLE) / CAST(nd AS DOUBLE) AS fano_raw
+  FROM bst CROSS JOIN btt
+  WHERE df >= {_TB_MIN_DF}
+)
+SELECT token, df, total_count, round(fano_raw, 6) + 0 AS fano
+FROM bsc
+ORDER BY fano_raw DESC, token ASC
+LIMIT {_TB_K}
+""",
+    f"Top-{_TB_K} burstiest terms (Fano factor of per-doc counts, "
+    f"df >= {_TB_MIN_DF}): boilerplate/stopword detector; integer "
+    "aggregates + exact divisions, TakeOrdered top-k never a global sort",
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import term_burstiness
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = term_burstiness(docs, min_df=_TB_MIN_DF, top_k=_TB_K)
+    z0 = F.lit(0.0)
+    return out.select(
+        "token",
+        "df",
+        "total_count",
+        (F.round("fano", 6) + z0).alias("fano"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Rank information coefficient (operators/cross_section.py::rank_ic)
+# — per-period Spearman corr of momentum-signal ranks vs next-bar-return
+# ranks.  row_number over (value, symbol) makes ranks tie-free integers, so
+# the Spearman closed form is an exact rational and the only float is one
+# final division.
+# --------------------------------------------------------------------------
+
+_IC_LAG = 5
+
+
+@register(
+    "rank_ic",
+    f"""
+WITH
+{{bars_cte}},
+icb AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_IC_LAG}) OVER o) AS sig,
+    ln(lead(close) OVER o / close) AS fwd
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY ts)
+),
+icq AS (SELECT * FROM icb WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+icr AS (
+  SELECT ts,
+    CAST(row_number() OVER (PARTITION BY ts ORDER BY sig, symbol) AS BIGINT) AS rs,
+    CAST(row_number() OVER (PARTITION BY ts ORDER BY fwd, symbol) AS BIGINT) AS rf
+  FROM icq
+),
+icg AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_sym,
+    CAST(sum((rs - rf) * (rs - rf)) AS BIGINT) AS ssd
+  FROM icr GROUP BY ts
+)
+SELECT ts, n_sym,
+  CASE WHEN n_sym >= 3
+       THEN round(1.0 - 6.0 * CAST(ssd AS DOUBLE)
+                  / (CAST(n_sym AS DOUBLE)
+                     * (CAST(n_sym AS DOUBLE) * CAST(n_sym AS DOUBLE) - 1)), 6) + 0
+  END AS ic
+FROM icg
+""".format(bars_cte=_FEATURE_BARS_CTE),
+    f"Per-period rank IC: Spearman corr of {_IC_LAG}-bar momentum ranks "
+    "vs next-bar return ranks (Grinold-Kahn alpha diagnostic); tie-free "
+    "integer ranks make the closed form exact",
+)
+def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rank_ic
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_ic(bars, momentum_lag=_IC_LAG, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "ts",
+        "n_sym",
+        (F.round("ic", 6) + z0).alias("ic"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. URL/domain profile (functions/corpus.py::url_profile) — the
+# testdata corpus carries no URLs, so the query synthesizes deterministic
+# URL-bearing text per doc IDENTICALLY in both engines (precedent: the
+# synthesized JPEG/BMP marker streams) and the regex extraction + domain
+# rollup is exercised for real.
+# --------------------------------------------------------------------------
+
+_UD_K = 40
+
+
+@register(
+    "url_domains",
+    f"""
+WITH uds AS (
+  SELECT doc_id,
+    text || ' see http://www.site' || CAST(doc_id % 17 AS VARCHAR)
+         || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+         || ' and https://cdn' || CAST(doc_id % 5 AS VARCHAR) || '.host.net/x'
+      AS text
+  FROM documents
+),
+udx AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1)) AS domain
+  FROM uds
+),
+udp AS (SELECT doc_id, domain, CAST(count(*) AS BIGINT) AS c
+        FROM udx GROUP BY doc_id, domain),
+udg AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(c) AS BIGINT) AS n_urls
+        FROM udp GROUP BY domain)
+SELECT domain, n_docs, n_urls FROM udg
+ORDER BY n_urls DESC, n_docs DESC, domain ASC
+LIMIT {_UD_K}
+""",
+    f"Top-{_UD_K} cited domains (doc reach + occurrence counts) from "
+    "regex URL extraction over deterministic synthesized URL text — "
+    "provenance/spam audit; integer-only ordering keys",
+)
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import url_profile
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://www.site"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" and https://cdn"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".host.net/x"),
+        ),
+    )
+    return url_profile(docs, top_k=_UD_K).select("domain", "n_docs", "n_urls")
+
+
+# --------------------------------------------------------------------------
+# C-ext. Code detection (functions/text.py::code_detection) — structural
+# code-likeness gate; the SAME pattern strings feed both engines and stay
+# in the Java-regex/RE2-identical subset (\\r folded into the EOL class for
+# CRLF parity).
+# --------------------------------------------------------------------------
+
+from polars_trading_spark.functions.text import (  # noqa: E402
+    CODE_INDENT_PATTERN,
+    CODE_SEMI_EOL_PATTERN,
+    CODE_SYMBOL_PATTERN,
+)
+
+# The testdata corpus is pure prose (zero code punctuation), so the query
+# splices a deterministic code snippet into 2/3 of the docs IDENTICALLY in
+# both engines — the structural counters then separate three real classes
+# (heavy code, light code, prose) instead of emitting all-zero rows.
+_CD_SNIP = "\ndef f(x):\n    return x + 1;\n    y = (x + 2);"
+_CD_SNIP_SQL = "e'" + _CD_SNIP.replace("\n", "\\n") + "'"
+
+
+@register(
+    "code_detection",
+    """
+WITH cds AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 3 = 0 THEN repeat({snip}, 4)
+                 WHEN doc_id % 3 = 2 THEN {snip}
+                 ELSE '' END AS text
+  FROM documents
+),
+cdq AS (
+  SELECT doc_id,
+    CAST(COALESCE(length(text), 0) AS BIGINT) AS n_chars,
+    CAST(CASE WHEN COALESCE(length(text), 0) > 0
+         THEN length(text) - length(regexp_replace(text, '\\n', '', 'g')) + 1
+         ELSE 0 END AS BIGINT) AS n_lines,
+    CAST(COALESCE(length(text)
+         - length(regexp_replace(text, '{sym}', '', 'g')), 0) AS BIGINT)
+      AS symbol_chars,
+    CAST(COALESCE(len(regexp_extract_all(text, '{ind}')), 0) AS BIGINT)
+      AS indent_lines,
+    CAST(COALESCE(len(regexp_extract_all(text, '{semi}')), 0) AS BIGINT)
+      AS semi_lines
+  FROM cds
+)
+SELECT doc_id, n_chars, n_lines, symbol_chars, indent_lines, semi_lines,
+  CASE WHEN n_chars > 0
+       THEN round(CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) + 0
+  END AS symbol_ratio,
+  CASE WHEN n_lines > 0
+       THEN round(CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) + 0
+  END AS indent_ratio,
+  CASE WHEN n_lines > 0
+       THEN round(CAST(semi_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) + 0
+  END AS semi_ratio,
+  CAST(CASE WHEN n_chars > 0
+         AND CAST(symbol_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) > 0.03
+         AND (CASE WHEN n_lines > 0
+                THEN CAST(indent_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0 END > 0.15
+           OR CASE WHEN n_lines > 0
+                THEN CAST(semi_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0 END > 0.10)
+       THEN 1 ELSE 0 END AS INTEGER) AS is_code
+FROM cdq
+""".format(
+        sym=CODE_SYMBOL_PATTERN,
+        ind=CODE_INDENT_PATTERN,
+        semi=CODE_SEMI_EOL_PATTERN,
+        snip=_CD_SNIP_SQL,
+    ),
+    "Structural code-likeness gate: code-punctuation density, indented-"
+    "line and semicolon-EOL fractions (routes source code away from the "
+    "prose filters) over deterministically code-spliced docs; "
+    "zero-shuffle codegen pass, portable regexes",
+)
+def q_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import code_detection
+
+    snip = F.lit(_CD_SNIP)
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.repeat(snip, 4))
+            .when(F.col("doc_id") % 3 == 2, snip)
+            .otherwise(F.lit("")),
+        ),
+    )
+    out = code_detection(docs)
+    z0 = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_lines",
+        "symbol_chars",
+        "indent_lines",
+        "semi_lines",
+        (F.round("symbol_ratio", 6) + z0).alias("symbol_ratio"),
+        (F.round("indent_ratio", 6) + z0).alias("indent_ratio"),
+        (F.round("semi_ratio", 6) + z0).alias("semi_ratio"),
+        F.col("is_code").cast("int").alias("is_code"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Language-mix profile (functions/corpus.py::lang_mix) — per-source
+# cross-lingual contamination gate.  The entropy fold runs in lang order
+# via a running window read at the last row (SCALING rule 24); the majority
+# pick is a total ordering (count desc, lang asc).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "lang_mix",
+    """
+WITH lmc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY source, lang),
+lmw AS (
+  SELECT source, lang, c,
+    CAST(sum(c) OVER f AS BIGINT) AS tot,
+    CAST(count(*) OVER f AS BIGINT) AS k,
+    row_number() OVER (PARTITION BY source ORDER BY lang) AS rn,
+    row_number() OVER (PARTITION BY source ORDER BY c DESC, lang ASC) AS toprn
+  FROM lmc
+  WINDOW f AS (PARTITION BY source)
+),
+lm2 AS (
+  SELECT source, lang, c, tot, k, rn,
+    -((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))) AS term,
+    CASE WHEN toprn = 1 THEN lang END AS tl,
+    CASE WHEN toprn = 1 THEN c END AS tc
+  FROM lmw
+),
+lm3 AS (
+  SELECT source, tot, k, rn,
+    sum(term) OVER (PARTITION BY source ORDER BY lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ent,
+    max(tl) OVER (PARTITION BY source) AS top_lang,
+    max(tc) OVER (PARTITION BY source) AS topc
+  FROM lm2
+)
+SELECT source, tot AS n_docs, k AS n_langs, top_lang,
+  round(CAST(topc AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0 AS top_share,
+  round(ent, 6) + 0 AS lang_entropy
+FROM lm3 WHERE rn = k
+""",
+    "Per-source language mix: doc counts, majority language + share, "
+    "Shannon entropy of the language distribution (mislabeled / "
+    "machine-mixed source gate); lang-ordered entropy fold",
+)
+def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import lang_mix
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = lang_mix(docs)
+    z0 = F.lit(0.0)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        (F.round("top_share", 6) + z0).alias("top_share"),
+        (F.round("lang_entropy", 6) + z0).alias("lang_entropy"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext. Classic technical indicators over 15m bars
+# (operators/indicators.py: ATR / Bollinger / MACD).  The EWM oracles replay
+# the operator's segment-renormalized closed form verbatim (same constants
+# via !r) — the proven rsi/ewm_std idiom.
+# --------------------------------------------------------------------------
+
+from polars_trading_spark.operators.indicators import _chunk_len as _ind_chunk_len
+
+
+def _sql_ewm_fold(src: str, val: str, out: str, alpha: float, p: str) -> str:
+    """One segment-renormalized EWM-mean fold as a CTE chain ending in
+    CTE ``{p}`` that carries every ``src`` column plus ``{out}``.
+    Mirrors operators/indicators.py::_ewm_mean exactly (identical
+    Python-float constants on both engines)."""
+    d = 1.0 - alpha
+    r = 1.0 / d
+    L = _ind_chunk_len(d)
+    return f"""{p}0 AS (
+  SELECT *, count(*) OVER (PARTITION BY symbol ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS {p}_t
+  FROM {src}
+),
+{p}1 AS (
+  SELECT *, CAST(floor({p}_t / {L}) AS BIGINT) AS {p}_k,
+    CAST({p}_t - CAST(floor({p}_t / {L}) AS BIGINT) * {L} AS DOUBLE) AS {p}_j
+  FROM {p}0
+),
+{p}2 AS (
+  SELECT *,
+    sum(pow({r!r}, {p}_j) * ({val})) OVER (PARTITION BY symbol, {p}_k ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS {p}_loc,
+    sum(pow({r!r}, {p}_j) * ({val})) OVER (PARTITION BY symbol, {p}_k) AS {p}_tot
+  FROM {p}1
+),
+{p}3 AS (
+  SELECT *,
+    coalesce(max({p}_tot) OVER (PARTITION BY symbol ORDER BY {p}_k
+      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0) * {d ** L!r}
+    + coalesce(max({p}_tot) OVER (PARTITION BY symbol ORDER BY {p}_k
+      RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0) * {d ** (2 * L)!r} AS {p}_carry
+  FROM {p}2
+),
+{p} AS (
+  SELECT *, pow({d!r}, {p}_j) * ({p}_loc + {p}_carry)
+            / ((1.0 - pow({d!r}, {p}_t + 1)) / {1.0 - d!r}) AS {out}
+  FROM {p}3
+)"""
+
+
+_ATR_N = 14
+_BB_W, _BB_K = 20, 2.0
+_MACD_F, _MACD_S, _MACD_G = 12, 26, 9
+
+
+@register(
+    "atr",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+trd0 AS (
+  SELECT symbol, ts, close, high, low,
+    lag(close) OVER (PARTITION BY symbol ORDER BY ts) AS pc
+  FROM bars
+),
+trd AS (
+  SELECT symbol, ts, close,
+    CASE WHEN pc IS NULL THEN high - low
+         ELSE greatest(high - low, abs(high - pc), abs(low - pc)) END AS tr
+  FROM trd0
+),
+{_sql_ewm_fold('trd', 'tr', 'atr', 1.0 / _ATR_N, 'at')}
+SELECT symbol, ts AS ts_event,
+  round(tr, 6) + 0 AS tr,
+  round(atr, 6) + 0 AS atr,
+  round(100.0 * atr / close, 6) + 0 AS natr
+FROM at
+""",
+    f"Wilder ATR (period {_ATR_N}, adjust=True EWM mean of true range) "
+    "plus normalized NATR over 15m bars — segment-renormalized, "
+    "overflow-free, one symbol exchange, zero Python",
+)
+def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import atr
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = atr(bars, period=_ATR_N, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        (F.round("tr", 6) + z0).alias("tr"),
+        (F.round("atr", 6) + z0).alias("atr"),
+        (F.round("natr", 6) + z0).alias("natr"),
+    )
+
+
+@register(
+    "bollinger",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+bb0 AS (
+  SELECT symbol, ts, close,
+    count(*) OVER r AS n_,
+    avg(close) OVER r AS mid,
+    stddev_samp(close) OVER r AS sd
+  FROM bars
+  WINDOW r AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_BB_W - 1} PRECEDING AND CURRENT ROW)
+),
+bb1 AS (
+  SELECT symbol, ts, close,
+    CASE WHEN n_ = {_BB_W} THEN mid END AS bb_mid,
+    CASE WHEN n_ = {_BB_W} THEN mid + {_BB_K!r} * sd END AS bb_upper,
+    CASE WHEN n_ = {_BB_W} THEN mid - {_BB_K!r} * sd END AS bb_lower
+  FROM bb0
+),
+bb2 AS (SELECT *, bb_upper - bb_lower AS width FROM bb1)
+SELECT symbol, ts AS ts_event,
+  round(bb_mid, 6) + 0 AS bb_mid,
+  round(bb_upper, 6) + 0 AS bb_upper,
+  round(bb_lower, 6) + 0 AS bb_lower,
+  round(CASE WHEN width > 0 THEN (close - bb_lower) / width END, 6) + 0 AS pct_b,
+  round(CASE WHEN bb_mid != 0 THEN width / bb_mid END, 6) + 0 AS bb_bandwidth
+FROM bb2
+""",
+    f"Bollinger bands ({_BB_W}-bar SMA ± {_BB_K}σ sample std) with %B and "
+    "bandwidth over 15m bars; full-window gate, single rolling frame, "
+    "zero Python",
+)
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import bollinger
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = bollinger(bars, window=_BB_W, num_std=_BB_K, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        *[
+            (F.round(c, 6) + z0).alias(c)
+            for c in ("bb_mid", "bb_upper", "bb_lower", "pct_b", "bb_bandwidth")
+        ],
+    )
+
+
+@register(
+    "macd",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+mbase AS (SELECT symbol, ts, close FROM bars),
+{_sql_ewm_fold('mbase', 'close', 'ema_f', 2.0 / (_MACD_F + 1), 'mf')},
+{_sql_ewm_fold('mf', 'close', 'ema_s', 2.0 / (_MACD_S + 1), 'ms')},
+md AS (SELECT *, ema_f - ema_s AS macd FROM ms),
+{_sql_ewm_fold('md', 'macd', 'macd_signal', 2.0 / (_MACD_G + 1), 'mg')}
+SELECT symbol, ts AS ts_event,
+  round(macd, 6) + 0 AS macd,
+  round(macd_signal, 6) + 0 AS macd_signal,
+  round(macd - macd_signal, 6) + 0 AS macd_hist
+FROM mg
+""",
+    f"MACD({_MACD_F},{_MACD_S},{_MACD_G}) over 15m bars — three cascaded "
+    "segment-renormalized EWM folds (fast/slow/signal), one symbol "
+    "exchange, zero joins, zero Python",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import macd
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = macd(bars, fast=_MACD_F, slow=_MACD_S, signal=_MACD_G, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        (F.round("macd", 6) + z0).alias("macd"),
+        (F.round("macd_signal", 6) + z0).alias("macd_signal"),
+        (F.round("macd_hist", 6) + z0).alias("macd_hist"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #

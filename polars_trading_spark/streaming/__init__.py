@@ -65,3 +65,7 @@ __all__.append("streaming_two_scale_rv")
 from polars_trading_spark.streaming.ulcer import streaming_ulcer  # noqa: E402
 
 __all__.append("streaming_ulcer")
+
+from polars_trading_spark.streaming.acf import streaming_return_acf  # noqa: E402
+
+__all__.append("streaming_return_acf")

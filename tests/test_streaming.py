@@ -1260,3 +1260,111 @@ def test_streaming_ulcer_matches_batch_across_batches(spark):
             assert 0.0 <= r["cur_drawdown"] < 1.0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_return_acf_matches_batch_across_batches(spark):
+    """Per-symbol ACF state (last log close, return ring, running lag
+    sums) must carry across micro-batches; the final update row per
+    symbol equals the batch operator over the full tape."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.regime import return_acf
+    from polars_trading_spark.streaming import streaming_return_acf
+
+    lags = (1, 2, 3)
+    rng = np.random.default_rng(47)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        price = 100.0
+        for _ in range(90):
+            t = t + dt.timedelta(seconds=float(rng.exponential(30)) + 0.001)
+            price = max(1.0, price * (1.0 + float(rng.normal(0, 0.004))))
+            rows.append((sym, t, len(rows), price))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "close"])
+    pdf = pdf.sort_values(["ts_event", "seq"]).reset_index(drop=True)
+    schema = "symbol string, ts_event timestamp, seq long, close double"
+
+    batch = {
+        r["symbol"]: r
+        for r in return_acf(
+            spark.createDataFrame(pdf, schema), lags=lags, ts_col="ts_event"
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_acf_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_return_acf(stream, lags=lags)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        final = {}
+        for r in rows_out:
+            if r["symbol"] not in final or r["n_obs"] > final[r["symbol"]]["n_obs"]:
+                final[r["symbol"]] = r
+        assert set(final) == set(batch)
+        for sym, r in final.items():
+            b = batch[sym]
+            assert r["n_obs"] == b["n_obs"], sym
+            for c in [f"acf_{k}" for k in lags] + ["ljung_box_q"]:
+                if b[c] is None:
+                    assert r[c] is None, (sym, c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (sym, c)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_return_acf_short_series_nulls(spark):
+    """Below max(lag) + 2 returns every metric is null, matching batch."""
+    import pandas as pd
+
+    from polars_trading_spark.streaming import streaming_return_acf
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["A"] * 3,
+            "ts_event": [dt.datetime(2022, 3, 1, 9, 30, s) for s in range(3)],
+            "seq": range(3),
+            "close": [100.0, 101.0, 100.5],
+        }
+    )
+    schema = "symbol string, ts_event timestamp, seq long, close double"
+    d = tempfile.mkdtemp(prefix="pts_acf_short_")
+    try:
+        spark.createDataFrame(pdf, schema).coalesce(1).write.parquet(f"{d}/f0")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_return_acf(stream, lags=(1, 2))
+
+        rows_out = _run_stream(spark, make, mode="update")
+        assert rows_out
+        last = max(rows_out, key=lambda r: r["n_obs"])
+        assert last["n_obs"] == 2
+        assert last["acf_1"] is None and last["ljung_box_q"] is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_return_acf_rejects_bad_lags(spark):
+    from polars_trading_spark.streaming import streaming_return_acf
+
+    with pytest.raises(ValueError):
+        streaming_return_acf(spark.readStream.format("rate").load(), lags=())
