@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from polars_trading_spark.config import column_names
 
-__all__ = ["trades_schema", "read_trades"]
+__all__ = ["trades_schema", "read_trades", "documents_schema", "read_documents"]
 
 
 def trades_schema() -> T.StructType:
@@ -53,3 +53,46 @@ def read_trades(spark: SparkSession, path: str, *, format: str = "parquet", **op
     if fmt in ("json", "jsonl"):
         return spark.read.options(**options).schema(trades_schema()).json(path)
     raise ValueError(f"unsupported format {format!r} (parquet|csv|json)")
+
+
+def documents_schema() -> T.StructType:
+    """The documents-table contract (matches the testdata corpus)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
+def read_documents(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str = "parquet",
+    schema: T.StructType | None = None,
+    **options,
+) -> DataFrame:
+    """Read a documents corpus: Parquet or JSONL (the LLM-corpus
+    interchange format — one JSON object per line, optionally
+    ``.gz``/``.zst``-compressed per file, which Spark decodes from the
+    extension).
+
+    The schema is always explicit (``documents_schema()`` by default):
+    JSON inference costs a full extra pass over the corpus and can
+    silently widen types between runs — at 100 TB both are outages, not
+    conveniences.  Extra keys in the JSON objects are ignored; missing
+    keys land null.  Pass ``multiLine=False`` semantics only (JSONL),
+    so files split by line and parallelism follows file count × block
+    size rather than one task per file.
+    """
+    fmt = format.lower()
+    sch = schema if schema is not None else documents_schema()
+    if fmt == "parquet":
+        return spark.read.options(**options).schema(sch).parquet(path)
+    if fmt in ("json", "jsonl"):
+        return spark.read.options(**options).schema(sch).json(path)
+    raise ValueError(f"unsupported format {format!r} (parquet|json)")

@@ -22,7 +22,13 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.config import column_names
 
-__all__ = ["write_trades", "write_documents", "write_bucketed", "write_training_shards"]
+__all__ = [
+    "write_trades",
+    "write_documents",
+    "write_documents_jsonl",
+    "write_bucketed",
+    "write_training_shards",
+]
 
 
 def write_trades(
@@ -66,6 +72,42 @@ def write_documents(
         .option("maxRecordsPerFile", target_rows_per_file)
         .parquet(path)
     )
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    compression: str = "gzip",
+    target_rows_per_file: int = 100_000,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write a documents corpus as JSONL — the interchange format every
+    LLM-data toolchain reads (one JSON object per line, one compressed
+    file per split).
+
+    Layout choices that matter at 100 TB:
+
+    * ``repartitionByRange(doc_id)`` keeps each output file a contiguous
+      id range, so downstream exact-dedup / join-back stages read
+      nearly-sorted input and a partial corpus fetch prunes by filename;
+    * ``maxRecordsPerFile`` bounds file size — gzip JSONL is NOT
+      splittable, so one file is one task on re-read and oversized files
+      serialize the whole pipeline behind a straggler;
+    * optional ``partition_by`` (e.g. ``("source",)`` or ``("lang",)``)
+      gives directory-level pruning for mixture-sampling reads.
+    """
+    key = "doc_id" if "doc_id" in df.columns else df.columns[0]
+    out = df.repartitionByRange(*(list(partition_by) + [key]))
+    writer = (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
 
 
 def write_bucketed(

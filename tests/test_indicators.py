@@ -1,0 +1,166 @@
+"""ATR / Bollinger / MACD (operators/indicators.py) vs pandas references.
+
+pandas ``ewm(alpha, adjust=True).mean()`` is the exact convention the
+segment-renormalized folds implement, so it is the golden reference;
+small periods force chunk lengths under the series length so every test
+crosses segment boundaries.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_trading_spark.operators.indicators import atr, bollinger, macd
+
+BASE = dt.datetime(2024, 1, 2, 9, 30, 0)
+
+
+def _bars_pdf(n=300, symbols=("A", "B"), seed=11):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for s, sym in enumerate(symbols):
+        close = 100.0 + 10 * s + np.cumsum(rng.normal(0, 1, size=n))
+        close = np.maximum(close, 5.0)
+        spread = np.abs(rng.normal(0, 0.5, size=n)) + 0.01
+        open_ = close + rng.normal(0, 0.3, size=n)
+        high = np.maximum(open_, close) + spread
+        low = np.minimum(open_, close) - spread
+        for i in range(n):
+            rows.append(
+                (
+                    sym,
+                    BASE + dt.timedelta(minutes=15 * i),
+                    float(open_[i]),
+                    float(high[i]),
+                    float(low[i]),
+                    float(close[i]),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "open", "high", "low", "close"]
+    )
+
+
+def _bars(spark, pdf):
+    return spark.createDataFrame(
+        pdf,
+        "symbol string, ts_event timestamp, open double, high double, "
+        "low double, close double",
+    )
+
+
+def _ref_tr(g: pd.DataFrame) -> pd.Series:
+    pc = g["close"].shift(1)
+    tr = pd.concat(
+        [g["high"] - g["low"], (g["high"] - pc).abs(), (g["low"] - pc).abs()],
+        axis=1,
+    ).max(axis=1)
+    tr.iloc[0] = g["high"].iloc[0] - g["low"].iloc[0]
+    return tr
+
+
+@pytest.mark.parametrize("period", [2, 14])
+def test_atr_matches_pandas(spark, period):
+    pdf = _bars_pdf()
+    out = atr(_bars(spark, pdf), period=period).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        tr = _ref_tr(g)
+        ref = tr.ewm(alpha=1.0 / period, adjust=True).mean()
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(got["tr"], tr.to_numpy(), rtol=1e-9)
+        np.testing.assert_allclose(got["atr"], ref.to_numpy(), rtol=1e-9)
+        np.testing.assert_allclose(
+            got["natr"],
+            100.0 * ref.to_numpy() / g["close"].to_numpy(),
+            rtol=1e-9,
+        )
+
+
+def test_bollinger_matches_pandas(spark):
+    pdf = _bars_pdf(n=120)
+    w, k = 20, 2.0
+    out = bollinger(_bars(spark, pdf), window=w, num_std=k).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        mid = g["close"].rolling(w).mean()
+        sd = g["close"].rolling(w).std(ddof=1)
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        assert got["bb_mid"].iloc[: w - 1].isna().all()
+        m = mid.notna().to_numpy()
+        np.testing.assert_allclose(got["bb_mid"][m], mid[m], rtol=1e-9)
+        np.testing.assert_allclose(
+            got["bb_upper"][m], (mid + k * sd)[m], rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            got["bb_lower"][m], (mid - k * sd)[m], rtol=1e-9
+        )
+        width = (mid + k * sd) - (mid - k * sd)
+        pb = (g["close"] - (mid - k * sd)) / width
+        np.testing.assert_allclose(got["pct_b"][m], pb[m], rtol=1e-8)
+        np.testing.assert_allclose(
+            got["bb_bandwidth"][m], (width / mid)[m], rtol=1e-8
+        )
+
+
+@pytest.mark.parametrize("fast,slow,signal", [(3, 5, 2), (12, 26, 9)])
+def test_macd_matches_pandas(spark, fast, slow, signal):
+    pdf = _bars_pdf()
+    out = macd(_bars(spark, pdf), fast=fast, slow=slow, signal=signal).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        ef = g["close"].ewm(alpha=2.0 / (fast + 1), adjust=True).mean()
+        es = g["close"].ewm(alpha=2.0 / (slow + 1), adjust=True).mean()
+        line = ef - es
+        sig = line.ewm(alpha=2.0 / (signal + 1), adjust=True).mean()
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        # the MACD line is a difference of two ~price-magnitude EMAs, so
+        # absolute error floor ~1e-12 from cancellation is expected
+        np.testing.assert_allclose(
+            got["macd"], line.to_numpy(), rtol=1e-9, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            got["macd_signal"], sig.to_numpy(), rtol=1e-9, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            got["macd_hist"], (line - sig).to_numpy(), rtol=1e-9, atol=1e-10
+        )
+
+
+def test_validation_and_plan(spark):
+    from polars_trading_spark.plans import (
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    bars = _bars(spark, _bars_pdf(n=30, symbols=("A",)))
+    with pytest.raises(ValueError):
+        atr(bars, period=1)
+    with pytest.raises(ValueError):
+        bollinger(bars, window=1)
+    with pytest.raises(ValueError):
+        macd(bars, fast=26, slow=12)
+    with pytest.raises(ValueError):
+        macd(bars, signal=0)
+    for out in (
+        atr(bars),
+        bollinger(bars),
+        macd(bars),
+    ):
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []
+        assert not has_unbounded_following_frame(out)

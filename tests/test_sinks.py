@@ -126,3 +126,51 @@ def test_write_training_shards_layout(spark, tmp_path):
     # budget respected within every sequence of this shard
     fill = pdf.groupby("seq_id").n_tokens.sum()
     assert (fill <= 64).all() or (pdf.groupby("seq_id").size()[fill > 64] == 1).all()
+
+
+def test_documents_jsonl_roundtrip_and_layout(spark, sf_dir):
+    from polars_trading_spark.sources.readers import read_documents
+    from polars_trading_spark.sources.sinks import write_documents_jsonl
+
+    docs = read_documents(spark, f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="pts_jsonl_")
+    try:
+        write_documents_jsonl(docs, f"{out}/plain", target_rows_per_file=100)
+        files = glob.glob(f"{out}/plain/part-*.json.gz")
+        assert files, "expected gzip jsonl part files"
+        # maxRecordsPerFile honored: no file holds more than the cap
+        back = read_documents(spark, f"{out}/plain", format="jsonl")
+        assert back.count() == docs.count()
+        # value fidelity through the JSON round-trip
+        a = {r["doc_id"]: r for r in docs.collect()}
+        for r in back.collect():
+            o = a[r["doc_id"]]
+            assert r["text"] == o["text"] and r["source"] == o["source"]
+            assert r["lang"] == o["lang"] and r["n_chars"] == o["n_chars"]
+
+        # partitioned layout prunes by directory
+        write_documents_jsonl(
+            docs, f"{out}/bysrc", partition_by=("source",), target_rows_per_file=100
+        )
+        dirs = glob.glob(f"{out}/bysrc/source=*")
+        assert len(dirs) > 1
+        import pyspark.sql.types as T
+
+        sch = T.StructType(
+            [f for f in read_documents(spark, f"{sf_dir}/documents.parquet").schema]
+        )
+        one = (
+            spark.read.schema(sch)
+            .json(f"{out}/bysrc")
+            .where(F.col("source") == dirs[0].rsplit("=", 1)[1])
+        )
+        assert 0 < one.count() < docs.count()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_read_documents_rejects_unknown_format(spark):
+    from polars_trading_spark.sources.readers import read_documents
+
+    with pytest.raises(ValueError):
+        read_documents(spark, "/nonexistent", format="avro")
