@@ -167,6 +167,18 @@ HEADLINE = [
     "ulcer_index",
     "runs_test",
     "dedup_recall",
+    # round 7
+    "lexical_diversity",
+    "encoding_quality",
+    "heaps_law",
+    "term_burstiness",
+    "rank_ic",
+    "url_domains",
+    "code_detection",
+    "lang_mix",
+    "atr",
+    "bollinger",
+    "macd",
 ]
 
 
