@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark.functions.text import tokens
 
-__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "vocab_divergence", "zipf_fit", "heaps_law", "term_burstiness"]
+__all__ = ["term_frequencies", "document_frequencies", "vocabulary", "tfidf_topk", "tfidf_cosine_pairs", "vocab_divergence", "zipf_fit", "heaps_law", "term_burstiness", "bm25_topk"]
 
 
 def term_frequencies(
@@ -532,3 +532,90 @@ def term_burstiness(
         )
     )
     return scored.orderBy(F.desc("fano"), F.asc("token")).limit(int(top_k))
+
+
+def bm25_topk(
+    df: DataFrame,
+    *,
+    query_terms: tuple[str, ...] | list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking against a fixed query term set (Robertson
+    & Zaragoza 2009; the Lucene non-negative idf variant) — the IR
+    staple a data-curation pipeline uses to pull topic-relevant
+    training documents out of a crawl.
+
+        score(d,Q) = sum over t in Q of
+            idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * |d| / avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    ``query_terms`` must already be normalized (lowercase alnum —
+    whatever ``text.tokens`` emits).  Returns the ``top_k`` matching
+    documents: ``id_col, n_terms_hit, dl, score``; documents hitting no
+    query term never rank.
+
+    Scale/determinism shape: document length comes from ``F.size`` of
+    the token array — NO corpus explode; the only exploded tokens are
+    the ones surviving an in-array HOF filter to the |Q| query terms,
+    so the (doc, token) aggregate is |Q|-bounded per doc.  N and
+    Σ|d| are INTEGER broadcast aggregates (avgdl one exact division);
+    per-doc score sums |Q| O(1)-magnitude floats.  Ranking rounds the
+    score to 6 BEFORE the (score desc, id asc) TakeOrdered top-k —
+    round-before-rank, so selection replays on any engine/layout.
+    """
+    from polars_trading_spark.functions.text import token_count, tokens
+
+    terms = sorted({str(t) for t in query_terms})
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    if k1 <= 0 or not (0.0 <= b <= 1.0):
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("__dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("__qt"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("__dl").cast("long").alias("__sumdl"),
+    )
+    tf = (
+        base.select(id_col, "__dl", F.explode("__qt").alias("token"))
+        .groupBy(id_col, "__dl", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+
+    nd = F.col("__nd").cast("double")
+    dfd = F.col("__df").cast("double")
+    avgdl = F.col("__sumdl").cast("double") / nd
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("__dl").cast("double") / avgdl
+    )
+    term_score = (idf * (F.col("tf").cast("double") * F.lit(float(k1) + 1.0))) / denom
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.max("__dl").alias("dl"),
+            F.sum(term_score).alias("__score"),
+        )
+        .withColumn("score", F.round("__score", 6) + F.lit(0.0))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(top_k))
+        .select(id_col, "n_terms_hit", "dl", "score")
+    )

@@ -10060,6 +10060,71 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. BM25 document ranking (functions/tfidf.py::bm25_topk) — Robertson
+# idf, in-array query-term filter so the only explode is |Q|-bounded,
+# round-before-rank TakeOrdered selection.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "merge", "stream")
+_BM25_K1, _BM25_B, _BM25_K = 1.2, 0.75, 25
+_BM25_IN = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+
+
+@register(
+    "bm25",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+qbase AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, x -> x IN ({_BM25_IN})) AS qt
+  FROM tok
+),
+qtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sumdl
+  FROM qbase
+),
+qtf AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(qt) AS token FROM qbase)
+  GROUP BY doc_id, dl, token
+),
+qdf AS (SELECT token, CAST(count(*) AS BIGINT) AS df_ FROM qtf GROUP BY token),
+qsc AS (
+  SELECT doc_id,
+    CAST(count(*) AS INTEGER) AS n_terms_hit,
+    CAST(max(dl) AS BIGINT) AS dl,
+    sum(
+      (ln((CAST(nd AS DOUBLE) - CAST(df_ AS DOUBLE) + 0.5)
+          / (CAST(df_ AS DOUBLE) + 0.5) + 1.0)
+       * (CAST(tf AS DOUBLE) * {_BM25_K1 + 1.0!r}))
+      / (CAST(tf AS DOUBLE) + {_BM25_K1!r}
+         * ({1.0 - _BM25_B!r} + {_BM25_B!r} * CAST(dl AS DOUBLE)
+            / (CAST(sumdl AS DOUBLE) / CAST(nd AS DOUBLE))))
+    ) AS score_raw
+  FROM qtf JOIN qdf USING (token) CROSS JOIN qtot
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms_hit, dl, round(score_raw, 6) + 0 AS score
+FROM qsc
+ORDER BY round(score_raw, 6) + 0 DESC, doc_id ASC
+LIMIT {_BM25_K}
+""",
+    f"BM25 top-{_BM25_K} documents for a {len(_BM25_TERMS)}-term query "
+    f"(k1={_BM25_K1}, b={_BM25_B}, Lucene non-negative idf) — doc length "
+    "via F.size (no corpus explode), |Q|-bounded token explode, "
+    "round-before-rank TakeOrdered selection",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.tfidf import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, query_terms=_BM25_TERMS, k1=_BM25_K1, b=_BM25_B, top_k=_BM25_K
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #

@@ -69,3 +69,9 @@ __all__.append("streaming_ulcer")
 from polars_trading_spark.streaming.acf import streaming_return_acf  # noqa: E402
 
 __all__.append("streaming_return_acf")
+from polars_trading_spark.streaming.indicators import (  # noqa: E402
+    streaming_atr,
+    streaming_macd,
+)
+
+__all__ += ["streaming_atr", "streaming_macd"]

@@ -1368,3 +1368,134 @@ def test_streaming_return_acf_rejects_bad_lags(spark):
 
     with pytest.raises(ValueError):
         streaming_return_acf(spark.readStream.format("rate").load(), lags=())
+
+
+def test_streaming_atr_matches_batch_across_batches(spark):
+    """ATR state (prev close + EWM chunk totals) must carry across
+    micro-batches; every emitted row equals the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import atr
+    from polars_trading_spark.streaming import streaming_atr
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for i in range(120):
+            t = t + dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 1)))
+            spread = abs(float(rng.normal(0, 0.5))) + 0.01
+            rows.append(
+                (sym, t, len(rows), close + spread, close - spread, close)
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "seq", "high", "low", "close"]
+    )
+    schema = (
+        "symbol string, ts_event timestamp, seq long, high double, "
+        "low double, close double"
+    )
+
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in atr(
+            spark.createDataFrame(pdf, schema).withColumn("seq", F.col("seq"))
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_atr_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_atr(stream)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            for c in ("tr", "atr", "natr"):
+                assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (
+                    r["symbol"], r["seq"], c,
+                )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_macd_matches_batch_across_batches(spark):
+    """Three resumable EWM folds; small spans force chunk rollovers
+    inside the replay so the carried chunk totals are exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import macd
+    from polars_trading_spark.streaming import streaming_macd
+
+    rng = np.random.default_rng(59)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for _ in range(200):
+            t = t + dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 1)))
+            rows.append((sym, t, len(rows), close))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "close"])
+    schema = "symbol string, ts_event timestamp, seq long, close double"
+
+    fast, slow, signal = 3, 5, 2  # chunk lens 47/79/30 — all roll over
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in macd(
+            spark.createDataFrame(pdf, schema), fast=fast, slow=slow, signal=signal
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_macd_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_macd(stream, fast=fast, slow=slow, signal=signal)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            for c in ("macd", "macd_signal", "macd_hist"):
+                assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-10), (
+                    r["symbol"], r["seq"], c,
+                )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_indicators_validation(spark):
+    from polars_trading_spark.streaming import streaming_atr, streaming_macd
+
+    rate = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError):
+        streaming_atr(rate, period=1)
+    with pytest.raises(ValueError):
+        streaming_macd(rate, fast=26, slow=12)
