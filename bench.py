@@ -179,6 +179,9 @@ HEADLINE = [
     "atr",
     "bollinger",
     "macd",
+    "bm25",
+    "stochastic",
+    "obv",
 ]
 
 

@@ -27,7 +27,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["atr", "bollinger", "macd"]
+__all__ = ["atr", "bollinger", "macd", "stochastic", "obv"]
 
 _CARRIED = 2  # prior chunks carried; dropped relative weight <= e^-96
 
@@ -212,3 +212,79 @@ def macd(
     return out.withColumn(
         "macd_hist", F.col("macd") - F.col("macd_signal")
     ).drop("__ema_f", "__ema_s")
+
+
+def stochastic(
+    bars: DataFrame,
+    *,
+    k_window: int = 14,
+    d_window: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+) -> DataFrame:
+    """Stochastic oscillator (Lane): ``%K = 100 * (close - LL) /
+    (HH - LL)`` over the trailing ``k_window`` bars' low/high range,
+    ``%D`` = ``d_window``-bar SMA of %K.
+
+    Appends ``pct_k`` and ``pct_d``; null until the respective window
+    is full and when the range is degenerate (``HH == LL``).  %K is
+    staged as a real column before the %D average — a window expression
+    cannot nest inside another window aggregate (Spark and DuckDB both
+    reject it).  Two rolling frames over one symbol exchange, zero
+    Python.
+    """
+    if k_window < 2:
+        raise ValueError(f"k_window must be >= 2, got {k_window}")
+    if d_window < 1:
+        raise ValueError(f"d_window must be >= 1, got {d_window}")
+    wk = (
+        Window.partitionBy(symbol_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(k_window - 1), 0)
+    )
+    full_k = F.count(F.lit(1)).over(wk) == k_window
+    ll = F.min("low").over(wk)
+    hh = F.max("high").over(wk)
+    staged = bars.withColumn(
+        "pct_k",
+        F.when(
+            full_k & (hh > ll),
+            F.lit(100.0) * (F.col("close") - ll) / (hh - ll),
+        ),
+    )
+    wd = (
+        Window.partitionBy(symbol_col)
+        .orderBy(ts_col)
+        .rowsBetween(-(d_window - 1), 0)
+    )
+    return staged.withColumn(
+        "pct_d",
+        F.when(F.count("pct_k").over(wd) == d_window, F.avg("pct_k").over(wd)),
+    )
+
+
+def obv(
+    bars: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+) -> DataFrame:
+    """On-balance volume (Granville): running sum of volume signed by
+    the close-to-close direction (first bar contributes 0).
+
+    Appends ``obv`` as a LONG — the fold is an INTEGER cumulative sum,
+    exact and engine-independent at any tape length (no float
+    association risk).  One ordered window over one symbol exchange.
+    """
+    w = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    diff = F.col("close") - F.lag("close").over(w)
+    signed = (
+        F.when(diff > 0, F.col("volume"))
+        .when(diff < 0, -F.col("volume"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return bars.withColumn(
+        "obv", F.sum(F.coalesce(signed, F.lit(0))).over(w_run).cast("long")
+    )

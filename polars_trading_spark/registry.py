@@ -10125,6 +10125,99 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Stochastic oscillator + on-balance volume
+# (operators/indicators.py) over the shared 15m bar frame.
+# --------------------------------------------------------------------------
+
+_STO_K, _STO_D = 14, 3
+
+
+@register(
+    "stochastic",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+st0 AS (
+  SELECT symbol, ts, close,
+    count(*) OVER wk AS nk,
+    min(low) OVER wk AS ll,
+    max(high) OVER wk AS hh
+  FROM bars
+  WINDOW wk AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN {_STO_K - 1} PRECEDING AND CURRENT ROW)
+),
+st1 AS (
+  SELECT symbol, ts,
+    CASE WHEN nk = {_STO_K} AND hh > ll
+         THEN 100.0 * (close - ll) / (hh - ll) END AS pct_k
+  FROM st0
+),
+st2 AS (
+  SELECT symbol, ts, pct_k,
+    count(pct_k) OVER wd AS nd_,
+    avg(pct_k) OVER wd AS d_
+  FROM st1
+  WINDOW wd AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN {_STO_D - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts AS ts_event,
+  round(pct_k, 6) + 0 AS pct_k,
+  round(CASE WHEN nd_ = {_STO_D} THEN d_ END, 6) + 0 AS pct_d
+FROM st2
+""",
+    f"Stochastic oscillator %K({_STO_K}) / %D({_STO_D}) over 15m bars — "
+    "two rolling frames, %K staged before the %D average (no nested "
+    "window), degenerate-range null guard, zero Python",
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import stochastic
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = stochastic(bars, k_window=_STO_K, d_window=_STO_D, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        (F.round("pct_k", 6) + z0).alias("pct_k"),
+        (F.round("pct_d", 6) + z0).alias("pct_d"),
+    )
+
+
+@register(
+    "obv",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+ob0 AS (
+  SELECT symbol, ts, volume,
+    close - lag(close) OVER (PARTITION BY symbol ORDER BY ts) AS d_
+  FROM bars
+),
+ob1 AS (
+  SELECT symbol, ts,
+    CASE WHEN d_ > 0 THEN volume WHEN d_ < 0 THEN -volume ELSE 0 END AS sv
+  FROM ob0
+)
+SELECT symbol, ts AS ts_event,
+  CAST(sum(sv) OVER (PARTITION BY symbol ORDER BY ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+FROM ob1
+""",
+    "On-balance volume over 15m bars — INTEGER cumulative fold, exact "
+    "and engine-independent at any tape length; one ordered window, "
+    "zero Python",
+)
+def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import obv
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = obv(bars, ts_col="ts_event")
+    return out.select("symbol", "ts_event", "obv")
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #

@@ -164,3 +164,92 @@ def test_validation_and_plan(spark):
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
         assert not has_unbounded_following_frame(out)
+
+
+def test_stochastic_matches_pandas(spark):
+    pdf = _bars_pdf(n=120)
+    kw, dw = 14, 3
+    from polars_trading_spark.operators.indicators import stochastic
+
+    out = stochastic(_bars(spark, pdf), k_window=kw, d_window=dw).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        ll = g["low"].rolling(kw).min()
+        hh = g["high"].rolling(kw).max()
+        k = 100.0 * (g["close"] - ll) / (hh - ll)
+        d = k.rolling(dw).mean()
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        assert got["pct_k"].iloc[: kw - 1].isna().all()
+        m = k.notna().to_numpy()
+        np.testing.assert_allclose(got["pct_k"][m], k[m], rtol=1e-9)
+        md = d.notna().to_numpy()
+        np.testing.assert_allclose(got["pct_d"][md], d[md], rtol=1e-9)
+
+
+def test_stochastic_degenerate_range_null(spark):
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import stochastic
+
+    # flat tape: HH == LL for every window -> %K null everywhere
+    rows = [
+        ("A", BASE + dt.timedelta(minutes=15 * i), 10.0, 10.0, 10.0, 10.0)
+        for i in range(10)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "open", "high", "low", "close"]
+    )
+    out = stochastic(_bars(spark, pdf), k_window=3, d_window=2).toPandas()
+    assert out["pct_k"].isna().all() and out["pct_d"].isna().all()
+
+
+def test_obv_matches_reference_and_is_integer_exact(spark):
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import obv
+
+    pdf = _bars_pdf(n=80)
+    rng = np.random.RandomState(5)
+    pdf["volume"] = rng.randint(1, 10_000, size=len(pdf)).astype("int64")
+    bars = spark.createDataFrame(
+        pdf,
+        "symbol string, ts_event timestamp, open double, high double, "
+        "low double, close double, volume long",
+    )
+    out = obv(bars).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        d = g["close"].diff()
+        sv = np.where(d > 0, g["volume"], np.where(d < 0, -g["volume"], 0))
+        ref = np.cumsum(sv)
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        assert got["obv"].tolist() == ref.tolist()  # exact integers
+    assert str(out["obv"].dtype) == "int64"
+
+
+def test_stochastic_obv_validation_and_plan(spark):
+    from polars_trading_spark.operators.indicators import obv, stochastic
+    from polars_trading_spark.plans import (
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    from pyspark.sql import functions as F
+
+    bars = _bars(spark, _bars_pdf(n=30, symbols=("A",)))
+    with pytest.raises(ValueError):
+        stochastic(bars, k_window=1)
+    with pytest.raises(ValueError):
+        stochastic(bars, d_window=0)
+    with_vol = bars.withColumn("volume", F.lit(100).cast("long"))
+    for out in (stochastic(bars), obv(with_vol)):
+        assert count_python_stages(out) == 0
+        assert unbounded_global_windows(out) == []
+        assert not has_unbounded_following_frame(out)
