@@ -75,3 +75,9 @@ from polars_trading_spark.streaming.indicators import (  # noqa: E402
 )
 
 __all__ += ["streaming_atr", "streaming_macd"]
+from polars_trading_spark.streaming.indicators import (  # noqa: E402
+    streaming_obv,
+    streaming_stochastic,
+)
+
+__all__ += ["streaming_obv", "streaming_stochastic"]

@@ -1,4 +1,4 @@
-"""Streaming ATR and MACD.
+"""Streaming ATR, MACD, OBV and stochastic oscillator.
 
 Stateful twins of ``operators/indicators.py``: each EWM mean is the
 same segment-renormalized closed form the batch operator computes, so
@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark.operators.indicators import _chunk_len
 
-__all__ = ["streaming_atr", "streaming_macd"]
+__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic"]
 
 _CARRIED = 2
 
@@ -246,6 +246,183 @@ def streaming_macd(
         out["macd"] = line
         out["macd_signal"] = sig
         out["macd_hist"] = line - sig
+        yield out
+
+    return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_obv(
+    stream: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-bar streaming on-balance volume: emits ``(symbol, ts, seq,
+    obv)`` per event, EXACTLY equal to the batch operator over the
+    concatenated stream — the fold is an integer sum, so there is no
+    float tolerance at all.  State: last close + running OBV."""
+    ttl_ms, timeout = _common(state_ttl)
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("obv", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_close", T.DoubleType()),
+            T.StructField("obv", T.LongType()),
+            T.StructField("seeded", T.BooleanType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sym,) = key
+        last_close, run, seeded = state.get if state.exists else (0.0, 0, False)
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
+        )
+        cl = batch["close"].to_numpy(dtype=np.float64)
+        vol = batch["volume"].to_numpy(dtype=np.int64)
+        pc = np.concatenate(([last_close if seeded else np.nan], cl[:-1]))
+        sv = np.where(np.isnan(pc), 0, np.where(cl > pc, vol, np.where(cl < pc, -vol, 0)))
+        obv_out = run + np.cumsum(sv)
+        state.update((float(cl[-1]), int(obv_out[-1]), True))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = batch[[ts_col, seq_col]].copy()
+        out.insert(0, symbol_col, sym)
+        out["obv"] = obv_out.astype(np.int64)
+        yield out
+
+    return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_stochastic(
+    stream: DataFrame,
+    *,
+    k_window: int = 14,
+    d_window: int = 3,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-bar streaming stochastic oscillator: emits ``(symbol, ts,
+    seq, pct_k, pct_d)`` per event, equal to the batch operator over the
+    concatenated stream.  State: rings of the last ``k_window - 1``
+    (high, low) pairs and the last ``d_window - 1`` %K values (None for
+    pre-window/degenerate rows, so the %D full-window gate replays
+    exactly), plus the total bar count."""
+    if k_window < 2:
+        raise ValueError(f"k_window must be >= 2, got {k_window}")
+    if d_window < 1:
+        raise ValueError(f"d_window must be >= 1, got {d_window}")
+    ttl_ms, timeout = _common(state_ttl)
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("pct_k", T.DoubleType()),
+            T.StructField("pct_d", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("highs", T.ArrayType(T.DoubleType())),
+            T.StructField("lows", T.ArrayType(T.DoubleType())),
+            # NaN encodes a null %K in the ring (arrays can't hold None
+            # reliably through the state pickler round-trip)
+            T.StructField("ks", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sym,) = key
+        if state.exists:
+            n, highs, lows, ks = state.get
+            highs, lows, ks = list(highs), list(lows), list(ks)
+        else:
+            n, highs, lows, ks = 0, [], [], []
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
+        )
+        hi = batch["high"].to_numpy(dtype=np.float64)
+        lo = batch["low"].to_numpy(dtype=np.float64)
+        cl = batch["close"].to_numpy(dtype=np.float64)
+
+        pct_k_out, pct_d_out = [], []
+        for i in range(len(batch)):
+            highs.append(float(hi[i]))
+            lows.append(float(lo[i]))
+            n += 1
+            if len(highs) > k_window:
+                highs.pop(0)
+                lows.pop(0)
+            if n >= k_window:
+                hh, ll = max(highs), min(lows)
+                # plain float: numpy scalars break the state pickler
+                k_val = (
+                    float(100.0 * (float(cl[i]) - ll) / (hh - ll))
+                    if hh > ll
+                    else float("nan")
+                )
+            else:
+                k_val = float("nan")
+            ks.append(k_val)
+            if len(ks) > d_window:
+                ks.pop(0)
+            window_ks = ks[-d_window:]
+            if len(window_ks) == d_window and not any(np.isnan(window_ks)):
+                d_val = float(np.mean(window_ks))
+            else:
+                d_val = float("nan")
+            pct_k_out.append(None if np.isnan(k_val) else float(k_val))
+            pct_d_out.append(None if np.isnan(d_val) else d_val)
+
+        state.update((int(n), highs[-(k_window - 1):] if k_window > 1 else [],
+                      lows[-(k_window - 1):] if k_window > 1 else [],
+                      ks[-max(d_window - 1, 0):] if d_window > 1 else []))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = batch[[ts_col, seq_col]].copy()
+        out.insert(0, symbol_col, sym)
+        out["pct_k"] = pct_k_out
+        out["pct_d"] = pct_d_out
         yield out
 
     return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(

@@ -1499,3 +1499,117 @@ def test_streaming_indicators_validation(spark):
         streaming_atr(rate, period=1)
     with pytest.raises(ValueError):
         streaming_macd(rate, fast=26, slow=12)
+
+
+def test_streaming_obv_matches_batch_exactly(spark):
+    """OBV is an integer fold — streaming equals batch with NO float
+    tolerance, including across micro-batch boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import obv
+    from polars_trading_spark.streaming import streaming_obv
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for _ in range(90):
+            t = t + dt.timedelta(minutes=15)
+            step = float(rng.normal(0, 1))
+            close = max(5.0, close + (0.0 if abs(step) < 0.1 else step))
+            rows.append((sym, t, len(rows), close, int(rng.integers(1, 5000))))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "close", "volume"])
+    schema = "symbol string, ts_event timestamp, seq long, close double, volume long"
+
+    batch = {
+        (r["symbol"], r["seq"]): r["obv"]
+        for r in obv(spark.createDataFrame(pdf, schema)).collect()
+    }
+    d = tempfile.mkdtemp(prefix="pts_obv_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_obv(stream)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            assert r["obv"] == batch[(r["symbol"], r["seq"])]  # exact
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_stochastic_matches_batch_across_batches(spark):
+    """%K/%D ring state must carry across boundaries, including the
+    pre-window null gate and degenerate flat-range nulls."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import stochastic
+    from polars_trading_spark.streaming import streaming_stochastic
+
+    rng = np.random.default_rng(67)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for i in range(90):
+            t = t + dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 1)))
+            spread = abs(float(rng.normal(0, 0.5))) + 0.01
+            rows.append((sym, t, len(rows), close + spread, close - spread, close))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "seq", "high", "low", "close"]
+    )
+    schema = (
+        "symbol string, ts_event timestamp, seq long, high double, "
+        "low double, close double"
+    )
+    kw, dw = 14, 3
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in stochastic(
+            spark.createDataFrame(pdf, schema), k_window=kw, d_window=dw
+        ).collect()
+    }
+    d = tempfile.mkdtemp(prefix="pts_sto_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_stochastic(stream, k_window=kw, d_window=dw)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            for c in ("pct_k", "pct_d"):
+                if b[c] is None:
+                    assert r[c] is None, (r["symbol"], r["seq"], c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9), (
+                        r["symbol"], r["seq"], c,
+                    )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
