@@ -558,16 +558,20 @@ def bm25_topk(
     documents: ``id_col, n_terms_hit, dl, score``; documents hitting no
     query term never rank.
 
-    Scale/determinism shape: document length comes from ``F.size`` of
-    the token array — NO corpus explode; the only exploded tokens are
-    the ones surviving an in-array HOF filter to the |Q| query terms,
-    so the (doc, token) aggregate is |Q|-bounded per doc.  N and
-    Σ|d| are INTEGER broadcast aggregates (avgdl one exact division);
-    per-doc score sums |Q| O(1)-magnitude floats.  Ranking rounds the
-    score to 6 BEFORE the (score desc, id asc) TakeOrdered top-k —
-    round-before-rank, so selection replays on any engine/layout.
+    Scale/determinism shape: the tokenizer runs ONCE — the token array
+    is staged as a real column (CollapseProject keeps non-cheap aliased
+    expressions staged), its ``F.size`` gives the document length with
+    no corpus explode, and the only exploded tokens are the ones
+    surviving an in-array HOF filter to the |Q| query terms
+    (``explode_outer`` keeps no-hit docs so N and Σ|d| see the whole
+    corpus).  ONE corpus-sized (doc, token) hash aggregate collapses
+    everything; N and Σ|d| are INTEGER aggregates over its doc-deduped
+    output (avgdl one exact division); per-doc score sums |Q|
+    O(1)-magnitude floats.  Ranking rounds the score to 6 BEFORE the
+    (score desc, id asc) TakeOrdered top-k — round-before-rank, so
+    selection replays on any engine/layout.
     """
-    from polars_trading_spark.functions.text import token_count, tokens
+    from polars_trading_spark.functions.text import tokens
 
     terms = sorted({str(t) for t in query_terms})
     if not terms:
@@ -577,21 +581,33 @@ def bm25_topk(
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
 
-    toks = tokens(F.col(text_col))
-    base = df.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).cast("long").alias("__dl"),
-        F.filter(toks, lambda t: t.isin(*terms)).alias("__qt"),
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    base = staged.select(
+        id_col,
+        F.size("__toks").cast("long").alias("__dl"),
+        F.explode_outer(
+            F.filter("__toks", lambda t: t.isin(*terms))
+        ).alias("token"),
     )
-    totals = base.agg(
-        F.count(F.lit(1)).cast("long").alias("__nd"),
-        F.sum("__dl").cast("long").alias("__sumdl"),
+    from polars_trading_spark._utils import persist_tracked
+
+    # g1 is the ONLY corpus-sized pass (tokenize + filter + explode +
+    # hash agg); its output is tiny (≤ docs × (|Q|+1) rows) and has two
+    # consumers (totals, tf) — stage it so the pipeline runs once
+    g1 = persist_tracked(
+        base.groupBy(id_col, "__dl", "token").agg(
+            F.count(F.lit(1)).cast("long").alias("tf")
+        )
     )
-    tf = (
-        base.select(id_col, "__dl", F.explode("__qt").alias("token"))
-        .groupBy(id_col, "__dl", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    totals = (
+        g1.select(id_col, "__dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nd"),
+            F.sum("__dl").cast("long").alias("__sumdl"),
+        )
     )
+    tf = g1.where(F.col("token").isNotNull())
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("__df"))
 
     nd = F.col("__nd").cast("double")
