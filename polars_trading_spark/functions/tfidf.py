@@ -414,12 +414,21 @@ def heaps_law(
             / (F.col("__hi") - F.col("__lo") + 1)
         ).cast("int"),
     )
+    from polars_trading_spark._utils import persist_tracked
+
+    # ONE corpus-sized pass: collapse the explode to (token, bucket)
+    # counts, then stage that (distinct-pair-sized) frame for its two
+    # consumers — an unstaged t2 re-runs the tokenizer explode per
+    # consumer (measured 2x wall, SCALING §41)
+    g = persist_tracked(
+        t2.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    )
     # a token's vocabulary entry is charged to the bucket where it first appears
-    first_b = t2.groupBy("__t").agg(F.min("__b").alias("__fb"))
+    first_b = g.groupBy("__t").agg(F.min("__b").alias("__fb"))
     new_types = first_b.groupBy(F.col("__fb").alias("__b")).agg(
         F.count(F.lit(1)).alias("__nv")
     )
-    tok_counts = t2.groupBy("__b").agg(F.count(F.lit(1)).alias("__nt"))
+    tok_counts = g.groupBy("__b").agg(F.sum("__c").alias("__nt"))
     per_bucket = tok_counts.join(new_types, "__b", "left").select(
         "__b", "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv")
     )
