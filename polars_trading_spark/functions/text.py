@@ -868,39 +868,44 @@ def lexical_diversity(
 
     Documents with zero tokens keep their row with null metrics.
 
-    Scale/determinism shape: one explode into a (doc, token) hash
-    aggregate (map-side combine absorbs the fan-out) and one doc-keyed
-    reduce — no per-row O(V x N) higher-order scans, no windows, no
-    Python.  Every aggregate is an INTEGER sum, so the only floats are
-    final single divisions: bit-identical on any engine.
+    Scale/determinism shape: one ``explode_outer`` into a (doc, token)
+    hash aggregate (map-side combine absorbs the fan-out; zero-token
+    documents keep a null-token row, so there is NO join-back and no
+    second corpus scan) and one doc-keyed reduce — no per-row O(V x N)
+    higher-order scans, no windows, no Python.  Every aggregate is an
+    INTEGER sum, so the only floats are final single divisions:
+    bit-identical on any engine.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t"))
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("__t")
+    )
     per_type = toks.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    real = F.col("__t").isNotNull()
     agg = per_type.groupBy(id_col).agg(
-        F.sum("__c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
-        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+        F.sum(F.when(real, F.col("__c")).otherwise(0)).cast("long").alias("n_tokens"),
+        F.sum(F.when(real, 1).otherwise(0)).cast("long").alias("n_types"),
+        F.sum(F.when(real & (F.col("__c") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.sum(F.when(real, F.col("__c") * F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("__s2"),
     )
     n = F.col("n_tokens").cast("double")
     v = F.col("n_types").cast("double")
-    return (
-        df.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_types", F.lit(0)).alias("n_types"),
-            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
-            F.when(F.col("n_tokens") > 0, v / n).alias("ttr"),
-            F.when(F.col("n_types") > 0, F.col("n_hapax").cast("double") / v).alias(
-                "hapax_ratio"
-            ),
-            F.when(
-                F.col("n_tokens") > 0,
-                F.lit(1e4) * (F.col("__s2") - F.col("n_tokens")).cast("double") / (n * n),
-            ).alias("yule_k"),
-        )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(F.col("n_tokens") > 0, v / n).alias("ttr"),
+        F.when(F.col("n_types") > 0, F.col("n_hapax").cast("double") / v).alias(
+            "hapax_ratio"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.lit(1e4) * (F.col("__s2") - F.col("n_tokens")).cast("double") / (n * n),
+        ).alias("yule_k"),
     )
 
 

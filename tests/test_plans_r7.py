@@ -46,8 +46,9 @@ def test_lexical_diversity_contract(spark, docs):
     assert count_python_stages(out) == 0
     assert not has_unbounded_following_frame(out)
     assert unbounded_global_windows(out) == []
-    # (doc,type) agg + doc reduce + join-back — never more
-    assert count_exchanges(out) <= 4
+    # exactly (doc,type) agg + doc reduce — explode_outer removed the
+    # join-back (and its corpus-id shuffle + second scan)
+    assert count_exchanges(out) <= 2
 
 
 def test_heaps_law_contract(spark, docs):
