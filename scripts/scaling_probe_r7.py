@@ -44,7 +44,11 @@ def probe_corpus(spark) -> None:
         encoding_quality,
         lexical_diversity,
     )
-    from polars_trading_spark.functions.tfidf import heaps_law, term_burstiness
+    from polars_trading_spark.functions.tfidf import (
+        bm25_topk,
+        heaps_law,
+        term_burstiness,
+    )
 
     for nd in (20_000, 80_000, 320_000):
         d = tempfile.mkdtemp(prefix="pts_probe_r7_docs_")
@@ -57,6 +61,12 @@ def probe_corpus(spark) -> None:
             _bench("term_burstiness", term_burstiness(docs))
             _bench("encoding_quality", encoding_quality(docs))
             _bench("code_detection", code_detection(docs))
+            _bench(
+                "bm25",
+                bm25_topk(
+                    docs, query_terms=("hash", "join", "merge", "stream"), top_k=25
+                ),
+            )
         finally:
             shutil.rmtree(d, ignore_errors=True)
 

@@ -114,3 +114,22 @@ def test_indicator_single_symbol_exchange(spark, sf_dir):
         assert count_python_stages(out) == 0
         assert not has_unbounded_following_frame(out)
         assert count_exchanges(out) <= base + 1, op.__name__
+
+
+def test_bm25_and_heaps_single_corpus_pass(spark, docs):
+    """SCALING §40/§41: the only corpus-sized pipeline (tokenize +
+    explode + hash agg) must execute ONCE — its multi-consumer
+    aggregate is staged, visible as an InMemoryTableScan."""
+    from polars_trading_spark.functions.tfidf import bm25_topk, heaps_law
+
+    # Note: "Generate explode" can PRINT multiple times (each
+    # InMemoryRelation re-prints its cached child plan), so the staging
+    # proof is that BOTH consumers read InMemoryTableScans — the
+    # runtime single-pass wins are measured in SCALING §40/§41.
+    out = bm25_topk(docs, query_terms=("hash", "join"), top_k=5)
+    plan = plan_string(out, "executed")
+    assert plan.count("InMemoryTableScan") >= 2
+
+    out2 = heaps_law(docs, n_checkpoints=20)
+    plan2 = plan_string(out2, "executed")
+    assert plan2.count("InMemoryTableScan") >= 2
