@@ -10270,4 +10270,23 @@ def _rotate_front(front: list) -> None:
     QUERIES.update(items)
 
 
+# Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r06 latest-round
+# history (activate at the START of round 8 by defining _ROUND8_FRONT
+# with the list below and switching the call; keep new round-8
+# @register calls above this block).  Front = the 14 round-7
+# registrations (never driver-checked): lexical_diversity,
+# encoding_quality, heaps_law, term_burstiness, rank_ic, url_domains,
+# code_detection, lang_mix, atr, bollinger, macd, bm25, stochastic,
+# obv; backfill = the 36 alphabetically-first names whose latest
+# driver row is round 5 (the stalest cohort after the r6/r7 windows):
+# ac_schedule, backtest_stats, bde_cusum, bet_sizing, bigram_logprob,
+# boilerplate, bpe_pairs, cluster_keywords, corpus_funnel, cs_zscore,
+# dedup_containment, dedup_paragraph, drawdown_path, dup_spans,
+# event_funnel, feature_matrix, imbalance_bars_adaptive,
+# intraday_profile, jump_test, lead_lag, ledoit_wolf, lz_entropy,
+# ma_crossover, mix_corpus, momentum_rank, pair_correlation,
+# pcm_features, pii_scrub, psi_drift, range_bars, rank_portfolio,
+# retention, return_acf, roll_adjust, rolling_beta, semdedup.
+# (The remaining r5-latest names rotate in round 9.)
+
 _rotate_front(_ROUND7_FRONT)
