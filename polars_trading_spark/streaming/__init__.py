@@ -81,3 +81,6 @@ from polars_trading_spark.streaming.indicators import (  # noqa: E402
 )
 
 __all__ += ["streaming_obv", "streaming_stochastic"]
+from polars_trading_spark.streaming.indicators import streaming_bollinger  # noqa: E402
+
+__all__.append("streaming_bollinger")

@@ -1,4 +1,4 @@
-"""Streaming ATR, MACD, OBV and stochastic oscillator.
+"""Streaming ATR, MACD, OBV, stochastic and Bollinger bands.
 
 Stateful twins of ``operators/indicators.py``: each EWM mean is the
 same segment-renormalized closed form the batch operator computes, so
@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark.operators.indicators import _chunk_len
 
-__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic"]
+__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic", "streaming_bollinger"]
 
 _CARRIED = 2
 
@@ -423,6 +423,105 @@ def streaming_stochastic(
         out.insert(0, symbol_col, sym)
         out["pct_k"] = pct_k_out
         out["pct_d"] = pct_d_out
+        yield out
+
+    return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_bollinger(
+    stream: DataFrame,
+    *,
+    window: int = 20,
+    num_std: float = 2.0,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    close_col: str = "close",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-bar streaming Bollinger bands: emits ``(symbol, ts, seq,
+    bb_mid, bb_upper, bb_lower, pct_b, bb_bandwidth)`` per event, equal
+    to the batch operator over the concatenated stream.  State: a ring
+    of the last ``window - 1`` closes plus the bar count; each emitted
+    row recomputes the window mean / sample std from the ring — O(w)
+    per row, matching the batch operator's per-row frame aggregate
+    bit-for-bit up to float-fold order (~1e-9 relative)."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    ttl_ms, timeout = _common(state_ttl)
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("bb_mid", T.DoubleType()),
+            T.StructField("bb_upper", T.DoubleType()),
+            T.StructField("bb_lower", T.DoubleType()),
+            T.StructField("pct_b", T.DoubleType()),
+            T.StructField("bb_bandwidth", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("ring", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sym,) = key
+        if state.exists:
+            n, ring = state.get
+            ring = list(ring)
+        else:
+            n, ring = 0, []
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
+        )
+        cl = batch[close_col].to_numpy(dtype=np.float64)
+        cols = {c: [] for c in ("bb_mid", "bb_upper", "bb_lower", "pct_b", "bb_bandwidth")}
+        for i in range(len(batch)):
+            ring.append(float(cl[i]))
+            n += 1
+            if len(ring) > window:
+                ring.pop(0)
+            if len(ring) == window:
+                arr = np.asarray(ring)
+                mid = float(arr.mean())
+                sd = float(arr.std(ddof=1))
+                up, lo_ = mid + num_std * sd, mid - num_std * sd
+                width = up - lo_
+                cols["bb_mid"].append(mid)
+                cols["bb_upper"].append(up)
+                cols["bb_lower"].append(lo_)
+                cols["pct_b"].append(
+                    (float(cl[i]) - lo_) / width if width > 0 else None
+                )
+                cols["bb_bandwidth"].append(width / mid if mid != 0 else None)
+            else:
+                for c in cols:
+                    cols[c].append(None)
+        state.update((int(n), ring[-(window - 1):]))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = batch[[ts_col, seq_col]].copy()
+        out.insert(0, symbol_col, sym)
+        for c, v in cols.items():
+            out[c] = v
         yield out
 
     return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(

@@ -1613,3 +1613,61 @@ def test_streaming_stochastic_matches_batch_across_batches(spark):
                     )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_bollinger_matches_batch_across_batches(spark):
+    """Ring of the last window-1 closes must carry across micro-batch
+    boundaries; every emitted row equals the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import bollinger
+    from polars_trading_spark.streaming import streaming_bollinger
+
+    rng = np.random.default_rng(71)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for _ in range(90):
+            t = t + dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 1)))
+            rows.append((sym, t, len(rows), close))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "close"])
+    schema = "symbol string, ts_event timestamp, seq long, close double"
+    w, k = 20, 2.0
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in bollinger(
+            spark.createDataFrame(pdf, schema), window=w, num_std=k
+        ).collect()
+    }
+    d = tempfile.mkdtemp(prefix="pts_bb_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_bollinger(stream, window=w, num_std=k)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            for c in ("bb_mid", "bb_upper", "bb_lower", "pct_b", "bb_bandwidth"):
+                if b[c] is None:
+                    assert r[c] is None, (r["symbol"], r["seq"], c)
+                else:
+                    assert r[c] == pytest.approx(b[c], rel=1e-9), (
+                        r["symbol"], r["seq"], c,
+                    )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
