@@ -182,6 +182,7 @@ HEADLINE = [
     "bm25",
     "stochastic",
     "obv",
+    "session_vwap",
 ]
 
 

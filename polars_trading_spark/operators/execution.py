@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark._utils import SEQ_COL
 from polars_trading_spark.config import column_names
 
-__all__ = ["almgren_chriss_schedule", "vwap_slippage"]
+__all__ = ["almgren_chriss_schedule", "vwap_slippage", "session_vwap"]
 
 
 def almgren_chriss_schedule(
@@ -170,4 +170,45 @@ def vwap_slippage(df: DataFrame, *, bucket: str = "15 minutes") -> DataFrame:
         (F.col("__rss") / F.col("__rsv")).alias("vw_slippage_bps"),
         "worst_bps",
         "best_bps",
+    )
+
+
+def session_vwap(
+    df: DataFrame,
+    *,
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    size_col: str | None = None,
+    seq_col: str | None = SEQ_COL,
+) -> DataFrame:
+    """Session-anchored running VWAP — the intraday execution benchmark
+    every desk quotes against: per (symbol, UTC session day), the
+    cumulative ``sum(price*size) / sum(size)`` up to and including each
+    trade, plus the cumulative volume.
+
+    Appends ``session_day``, ``cum_volume`` (long) and ``session_vwap``.
+
+    Scale/determinism shape: the day is staged as a real column so the
+    running frame partitions on (symbol, day) — one exchange, no joins,
+    no Python; both running sums are (ts, seq)-ordered folds, so the
+    float result is engine- and layout-independent (the ordered-fold
+    rule that fixed vwap_slippage, SCALING §27), and ``cum_volume`` is
+    an exact INTEGER fold.
+    """
+    symbol = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    size = size_col or column_names.size
+    order = [F.col(ts)] + ([F.col(seq_col)] if seq_col else [])
+    staged = df.withColumn("session_day", F.to_date(ts))
+    w = (
+        Window.partitionBy(symbol, "session_day")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pv = F.sum(F.col(price) * F.col(size)).over(w)
+    v = F.sum(size).over(w)
+    return staged.withColumn("cum_volume", v.cast("long")).withColumn(
+        "session_vwap", pv / v
     )

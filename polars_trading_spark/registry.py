@@ -10218,6 +10218,54 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("symbol", "ts_event", "obv")
 
 
+# --------------------------------------------------------------------------
+# C-ext. Session-anchored running VWAP (operators/execution.py::session_vwap)
+# — (ts, seq)-ordered running folds per (symbol, UTC day), replayed verbatim.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "session_vwap",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+sv0 AS (
+  SELECT symbol, ts_event, seq, price, size,
+    CAST(ts_event AS DATE) AS session_day
+  FROM trades
+),
+sv1 AS (
+  SELECT symbol, ts_event, seq, session_day,
+    sum(price * size) OVER w AS pv,
+    sum(size) OVER w AS v
+  FROM sv0
+  WINDOW w AS (PARTITION BY symbol, session_day ORDER BY ts_event, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_event, seq, session_day,
+  CAST(v AS BIGINT) AS cum_volume,
+  round(pv / v, 6) + 0 AS session_vwap
+FROM sv1
+""",
+    "Session-anchored running VWAP per (symbol, UTC day) — the intraday "
+    "execution benchmark; (ts, seq)-ordered running folds (layout-"
+    "independent floats, INTEGER cumulative volume), one exchange, "
+    "zero Python",
+)
+def q_session_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.execution import session_vwap
+
+    with _trades_config():
+        out = session_vwap(trades_from_events(spark, sf_dir), seq_col=SEQ_COL)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.col(SEQ_COL).alias("seq"),
+        "session_day",
+        "cum_volume",
+        (F.round("session_vwap", 6) + F.lit(0.0)).alias("session_vwap"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #

@@ -84,3 +84,6 @@ __all__ += ["streaming_obv", "streaming_stochastic"]
 from polars_trading_spark.streaming.indicators import streaming_bollinger  # noqa: E402
 
 __all__.append("streaming_bollinger")
+from polars_trading_spark.streaming.indicators import streaming_session_vwap  # noqa: E402
+
+__all__.append("streaming_session_vwap")

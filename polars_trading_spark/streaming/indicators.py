@@ -1,4 +1,4 @@
-"""Streaming ATR, MACD, OBV, stochastic and Bollinger bands.
+"""Streaming ATR, MACD, OBV, stochastic, Bollinger and session VWAP.
 
 Stateful twins of ``operators/indicators.py``: each EWM mean is the
 same segment-renormalized closed form the batch operator computes, so
@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark.operators.indicators import _chunk_len
 
-__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic", "streaming_bollinger"]
+__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic", "streaming_bollinger", "streaming_session_vwap"]
 
 _CARRIED = 2
 
@@ -522,6 +522,86 @@ def streaming_bollinger(
         out.insert(0, symbol_col, sym)
         for c, v in cols.items():
             out[c] = v
+        yield out
+
+    return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_session_vwap(
+    stream: DataFrame,
+    *,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    price_col: str = "price",
+    size_col: str = "size",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-trade streaming session VWAP: emits ``(symbol, ts, seq,
+    session_day, cum_volume, session_vwap)`` per event, equal to the
+    batch operator over the concatenated stream.  State per symbol is
+    O(1): the open session day and its two running sums; the sums reset
+    when the UTC day rolls, whether the roll lands inside a micro-batch
+    or between batches.  The price·size fold is (ts, seq)-ordered like
+    the batch fold, and the volume fold is integer-exact."""
+    ttl_ms, timeout = _common(state_ttl)
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("session_day", T.DateType()),
+            T.StructField("cum_volume", T.LongType()),
+            T.StructField("session_vwap", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("day_us", T.LongType()),
+            T.StructField("pv", T.DoubleType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("seeded", T.BooleanType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sym,) = key
+        day_us, pv0, v0, seeded = state.get if state.exists else (0, 0.0, 0, False)
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
+        )
+        day = batch[ts_col].dt.floor("D")
+        px = batch[price_col].to_numpy(dtype=np.float64)
+        sz = batch[size_col].to_numpy(dtype=np.int64)
+        pv = pd.Series(px * sz).groupby(day.values).cumsum().to_numpy()
+        v = pd.Series(sz).groupby(day.values).cumsum().to_numpy()
+        day_us_arr = (day.astype("int64") // 1000).to_numpy()  # ns -> us
+        if seeded:
+            same = day_us_arr == day_us
+            pv = pv + np.where(same, pv0, 0.0)
+            v = v + np.where(same, v0, 0)
+        state.update((int(day_us_arr[-1]), float(pv[-1]), int(v[-1]), True))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = batch[[ts_col, seq_col]].copy()
+        out.insert(0, symbol_col, sym)
+        out["session_day"] = day.dt.date
+        out["cum_volume"] = v.astype(np.int64)
+        out["session_vwap"] = pv / v
         yield out
 
     return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(

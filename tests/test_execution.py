@@ -89,3 +89,57 @@ def test_vwap_slippage_golden(spark):
     assert r["vw_slippage_bps"] == pytest.approx(expected_vw, rel=1e-9)
     assert r["worst_bps"] == pytest.approx(s2, rel=1e-9)
     assert r["best_bps"] == pytest.approx(s1, rel=1e-9)
+
+
+def test_session_vwap_hand_computed_and_day_reset(spark):
+    from polars_trading_spark.operators.execution import session_vwap
+
+    rows = [
+        # day 1: two trades
+        ("A", datetime(2024, 1, 2, 10, 0), 0, 10.0, 100),
+        ("A", datetime(2024, 1, 2, 11, 0), 1, 20.0, 300),
+        # day 2: sums must reset
+        ("A", datetime(2024, 1, 3, 9, 0), 2, 50.0, 10),
+        # other symbol independent
+        ("B", datetime(2024, 1, 2, 10, 30), 3, 7.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, seq long, price double, size long"
+    )
+    out = {
+        (r["symbol"], r["seq"]): r
+        for r in session_vwap(
+            df, symbol_col="symbol", ts_col="ts_event",
+            price_col="price", size_col="size", seq_col="seq",
+        ).collect()
+    }
+    assert out[("A", 0)]["session_vwap"] == pytest.approx(10.0)
+    assert out[("A", 0)]["cum_volume"] == 100
+    assert out[("A", 1)]["session_vwap"] == pytest.approx(
+        (10.0 * 100 + 20.0 * 300) / 400
+    )
+    assert out[("A", 1)]["cum_volume"] == 400
+    assert out[("A", 2)]["session_vwap"] == pytest.approx(50.0)  # reset
+    assert out[("A", 2)]["cum_volume"] == 10
+    assert out[("B", 3)]["session_vwap"] == pytest.approx(7.0)
+
+
+def test_session_vwap_plan(spark):
+    from polars_trading_spark.operators.execution import session_vwap
+    from polars_trading_spark.plans import (
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("A", datetime(2024, 1, 2, 10, 0), 0, 10.0, 100)],
+        "symbol string, ts_event timestamp, seq long, price double, size long",
+    )
+    out = session_vwap(
+        df, symbol_col="symbol", ts_col="ts_event",
+        price_col="price", size_col="size", seq_col="seq",
+    )
+    assert count_python_stages(out) == 0
+    assert unbounded_global_windows(out) == []
+    assert not has_unbounded_following_frame(out)

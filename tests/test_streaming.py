@@ -1671,3 +1671,75 @@ def test_streaming_bollinger_matches_batch_across_batches(spark):
                     )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_session_vwap_matches_batch_with_day_rolls(spark):
+    """Session sums must reset on the UTC day roll whether the roll
+    lands inside a micro-batch or between batches."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.execution import session_vwap
+    from polars_trading_spark.streaming import streaming_session_vwap
+
+    rng = np.random.default_rng(73)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 22, 0)  # starts 2h before midnight
+        for i in range(120):
+            t = t + dt.timedelta(minutes=37)  # spans ~3 UTC days
+            rows.append(
+                (
+                    sym,
+                    t,
+                    len(rows),
+                    100.0 + float(rng.normal(0, 2)),
+                    int(rng.integers(1, 900)),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price", "size"])
+    schema = (
+        "symbol string, ts_event timestamp, seq long, price double, size long"
+    )
+
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in session_vwap(
+            spark.createDataFrame(pdf, schema),
+            symbol_col="symbol",
+            ts_col="ts_event",
+            price_col="price",
+            size_col="size",
+            seq_col="seq",
+        ).collect()
+    }
+    d = tempfile.mkdtemp(prefix="pts_svwap_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_session_vwap(stream)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        days = set()
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            assert r["session_day"] == b["session_day"]
+            assert r["cum_volume"] == b["cum_volume"]  # integer exact
+            assert r["session_vwap"] == pytest.approx(
+                b["session_vwap"], rel=1e-9
+            )
+            days.add(r["session_day"])
+        assert len(days) >= 3  # the tape really spans day rolls
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
