@@ -183,6 +183,7 @@ HEADLINE = [
     "stochastic",
     "obv",
     "session_vwap",
+    "donchian",
 ]
 
 

@@ -27,7 +27,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["atr", "bollinger", "macd", "stochastic", "obv"]
+__all__ = ["atr", "bollinger", "macd", "stochastic", "obv", "donchian"]
 
 _CARRIED = 2  # prior chunks carried; dropped relative weight <= e^-96
 
@@ -287,4 +287,45 @@ def obv(
     )
     return bars.withColumn(
         "obv", F.sum(F.coalesce(signed, F.lit(0))).over(w_run).cast("long")
+    )
+
+
+def donchian(
+    bars: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+) -> DataFrame:
+    """Donchian channel (the turtle-trading channel): highest high and
+    lowest low over the trailing ``window`` bars, the mid line, and the
+    classic breakout flags against the PREVIOUS bar's channel (a close
+    above yesterday's upper band is the turtle entry — comparing
+    against the current bar's own channel could never fire, the close
+    is inside it by construction).
+
+    Appends ``dc_upper``, ``dc_lower``, ``dc_mid`` (null until a full
+    window exists) and ``breakout_up`` / ``breakout_down`` booleans
+    (false when the previous channel is not yet defined).  Two rolling
+    extrema plus one lag over a single symbol exchange, zero Python.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    w_ord = Window.partitionBy(symbol_col).orderBy(ts_col)
+    w = w_ord.rowsBetween(-(window - 1), 0)
+    full = F.count(F.lit(1)).over(w) == window
+    upper = F.when(full, F.max("high").over(w))
+    lower = F.when(full, F.min("low").over(w))
+    staged = bars.withColumn("dc_upper", upper).withColumn("dc_lower", lower)
+    staged = staged.withColumn(
+        "dc_mid", (F.col("dc_upper") + F.col("dc_lower")) / 2.0
+    )
+    prev_u = F.lag("dc_upper").over(w_ord)
+    prev_l = F.lag("dc_lower").over(w_ord)
+    return staged.withColumn(
+        "breakout_up",
+        F.coalesce(F.col("close") > prev_u, F.lit(False)),
+    ).withColumn(
+        "breakout_down",
+        F.coalesce(F.col("close") < prev_l, F.lit(False)),
     )

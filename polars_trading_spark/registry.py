@@ -10266,6 +10266,73 @@ def q_session_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Donchian channel + turtle breakout flags
+# (operators/indicators.py::donchian) over the shared 15m bar frame.
+# Flags cast to int for the driver's value hash (no boolean oracle
+# outputs anywhere in the registry).
+# --------------------------------------------------------------------------
+
+_DC_W = 20
+
+
+@register(
+    "donchian",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+dc0 AS (
+  SELECT symbol, ts, close,
+    count(*) OVER w AS n_,
+    max(high) OVER w AS hh,
+    min(low) OVER w AS ll
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN {_DC_W - 1} PRECEDING AND CURRENT ROW)
+),
+dc1 AS (
+  SELECT symbol, ts, close,
+    CASE WHEN n_ = {_DC_W} THEN hh END AS dc_upper,
+    CASE WHEN n_ = {_DC_W} THEN ll END AS dc_lower
+  FROM dc0
+),
+dc2 AS (
+  SELECT symbol, ts, close, dc_upper, dc_lower,
+    (dc_upper + dc_lower) / 2.0 AS dc_mid,
+    lag(dc_upper) OVER (PARTITION BY symbol ORDER BY ts) AS pu,
+    lag(dc_lower) OVER (PARTITION BY symbol ORDER BY ts) AS pl
+  FROM dc1
+)
+SELECT symbol, ts AS ts_event,
+  round(dc_upper, 6) + 0 AS dc_upper,
+  round(dc_lower, 6) + 0 AS dc_lower,
+  round(dc_mid, 6) + 0 AS dc_mid,
+  CAST(coalesce(close > pu, FALSE) AS INTEGER) AS breakout_up,
+  CAST(coalesce(close < pl, FALSE) AS INTEGER) AS breakout_down
+FROM dc2
+""",
+    f"Donchian channel ({_DC_W}-bar high/low bands + mid) with turtle "
+    "breakout flags vs the PREVIOUS bar's channel; two rolling extrema "
+    "+ one lag over one symbol exchange, zero Python",
+)
+def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.indicators import donchian
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = donchian(bars, window=_DC_W, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        (F.round("dc_upper", 6) + z0).alias("dc_upper"),
+        (F.round("dc_lower", 6) + z0).alias("dc_lower"),
+        (F.round("dc_mid", 6) + z0).alias("dc_mid"),
+        F.col("breakout_up").cast("int").alias("breakout_up"),
+        F.col("breakout_down").cast("int").alias("breakout_down"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #

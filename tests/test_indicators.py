@@ -253,3 +253,69 @@ def test_stochastic_obv_validation_and_plan(spark):
         assert count_python_stages(out) == 0
         assert unbounded_global_windows(out) == []
         assert not has_unbounded_following_frame(out)
+
+
+def test_donchian_matches_pandas(spark):
+    from polars_trading_spark.operators.indicators import donchian
+
+    pdf = _bars_pdf(n=120)
+    w = 20
+    out = donchian(_bars(spark, pdf), window=w).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        hh = g["high"].rolling(w).max()
+        ll = g["low"].rolling(w).min()
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        assert got["dc_upper"].iloc[: w - 1].isna().all()
+        m = hh.notna().to_numpy()
+        np.testing.assert_allclose(got["dc_upper"][m], hh[m], rtol=0)
+        np.testing.assert_allclose(got["dc_lower"][m], ll[m], rtol=0)
+        np.testing.assert_allclose(
+            got["dc_mid"][m], ((hh + ll) / 2.0)[m], rtol=1e-12
+        )
+        ref_up = (g["close"] > hh.shift(1)).fillna(False).to_numpy()
+        ref_dn = (g["close"] < ll.shift(1)).fillna(False).to_numpy()
+        assert got["breakout_up"].tolist() == ref_up.tolist()
+        assert got["breakout_down"].tolist() == ref_dn.tolist()
+
+
+def test_donchian_breakout_golden_and_plan(spark):
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import donchian
+    from polars_trading_spark.plans import (
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    # closes 1..5; window 3: channel defined from bar 3; bar 4 close 40
+    # breaks above bar-3 upper (30); bar 5 close 1 breaks below lower (20)
+    rows = [
+        ("A", BASE + dt.timedelta(minutes=15 * i), o, h, l, c)
+        for i, (o, h, l, c) in enumerate(
+            [
+                (10.0, 10.0, 10.0, 10.0),
+                (20.0, 20.0, 20.0, 20.0),
+                (30.0, 30.0, 20.0, 25.0),
+                (40.0, 40.0, 39.0, 40.0),
+                (1.0, 2.0, 1.0, 1.0),
+            ]
+        )
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "open", "high", "low", "close"]
+    )
+    out = donchian(_bars(spark, pdf), window=3).toPandas().sort_values("ts_event")
+    assert out["breakout_up"].tolist() == [False, False, False, True, False]
+    assert out["breakout_down"].tolist() == [False, False, False, False, True]
+
+    with pytest.raises(ValueError):
+        donchian(_bars(spark, pdf), window=1)
+    plan = donchian(_bars(spark, pdf))
+    assert count_python_stages(plan) == 0
+    assert unbounded_global_windows(plan) == []
+    assert not has_unbounded_following_frame(plan)
