@@ -10388,11 +10388,12 @@ def _rotate_front(front: list) -> None:
 # Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r06 latest-round
 # history (activate at the START of round 8 by defining _ROUND8_FRONT
 # with the list below and switching the call; keep new round-8
-# @register calls above this block).  Front = the 15 round-7
+# @register calls above this block).  Front = the 16 round-7
 # registrations (never driver-checked): lexical_diversity,
 # encoding_quality, heaps_law, term_burstiness, rank_ic, url_domains,
 # code_detection, lang_mix, atr, bollinger, macd, bm25, stochastic,
-# obv, session_vwap; backfill = the 35 alphabetically-first names whose
+# obv, session_vwap, donchian; backfill = the 34 alphabetically-first
+# names whose
 # latest driver row is round 5 (the stalest cohort after the r6/r7
 # windows):
 # ac_schedule, backtest_stats, bde_cusum, bet_sizing, bigram_logprob,
@@ -10402,8 +10403,8 @@ def _rotate_front(front: list) -> None:
 # intraday_profile, jump_test, lead_lag, ledoit_wolf, lz_entropy,
 # ma_crossover, mix_corpus, momentum_rank, pair_correlation,
 # pcm_features, pii_scrub, psi_drift, range_bars, rank_portfolio,
-# retention, return_acf, roll_adjust, rolling_beta.
-# (The remaining r5-latest names, starting with semdedup, rotate in
-# round 9.)
+# retention, return_acf, roll_adjust.
+# (The remaining r5-latest names, starting with rolling_beta, rotate
+# in round 9.)
 
 _rotate_front(_ROUND7_FRONT)
