@@ -87,3 +87,6 @@ __all__.append("streaming_bollinger")
 from polars_trading_spark.streaming.indicators import streaming_session_vwap  # noqa: E402
 
 __all__.append("streaming_session_vwap")
+from polars_trading_spark.streaming.indicators import streaming_donchian  # noqa: E402
+
+__all__.append("streaming_donchian")

@@ -1,4 +1,4 @@
-"""Streaming ATR, MACD, OBV, stochastic, Bollinger and session VWAP.
+"""Streaming ATR, MACD, OBV, stochastic, Bollinger, Donchian and session VWAP.
 
 Stateful twins of ``operators/indicators.py``: each EWM mean is the
 same segment-renormalized closed form the batch operator computes, so
@@ -34,7 +34,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from polars_trading_spark.operators.indicators import _chunk_len
 
-__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic", "streaming_bollinger", "streaming_session_vwap"]
+__all__ = ["streaming_atr", "streaming_macd", "streaming_obv", "streaming_stochastic", "streaming_bollinger", "streaming_session_vwap", "streaming_donchian"]
 
 _CARRIED = 2
 
@@ -602,6 +602,111 @@ def streaming_session_vwap(
         out["session_day"] = day.dt.date
         out["cum_volume"] = v.astype(np.int64)
         out["session_vwap"] = pv / v
+        yield out
+
+    return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def streaming_donchian(
+    stream: DataFrame,
+    *,
+    window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event",
+    seq_col: str = "seq",
+    state_ttl: str | None = None,
+) -> DataFrame:
+    """Per-bar streaming Donchian channel: emits ``(symbol, ts, seq,
+    dc_upper, dc_lower, dc_mid, breakout_up, breakout_down)`` per
+    event, equal to the batch operator over the concatenated stream.
+    State: rings of the last ``window`` highs/lows plus the previous
+    bar's channel (for the turtle breakout comparison) and the bar
+    count."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    ttl_ms, timeout = _common(state_ttl)
+    out_schema = T.StructType(
+        [
+            T.StructField(symbol_col, T.StringType()),
+            T.StructField(ts_col, T.TimestampType()),
+            T.StructField(seq_col, T.LongType()),
+            T.StructField("dc_upper", T.DoubleType()),
+            T.StructField("dc_lower", T.DoubleType()),
+            T.StructField("dc_mid", T.DoubleType()),
+            T.StructField("breakout_up", T.BooleanType()),
+            T.StructField("breakout_down", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("highs", T.ArrayType(T.DoubleType())),
+            T.StructField("lows", T.ArrayType(T.DoubleType())),
+            # NaN encodes "previous channel undefined"
+            T.StructField("prev_u", T.DoubleType()),
+            T.StructField("prev_l", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (sym,) = key
+        if state.exists:
+            n, highs, lows, prev_u, prev_l = state.get
+            highs, lows = list(highs), list(lows)
+        else:
+            n, highs, lows = 0, [], []
+            prev_u = prev_l = float("nan")
+        batches = [p for p in pdfs if len(p)]
+        if not batches:
+            return
+        batch = (
+            pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
+        )
+        hi = batch["high"].to_numpy(dtype=np.float64)
+        lo = batch["low"].to_numpy(dtype=np.float64)
+        cl = batch["close"].to_numpy(dtype=np.float64)
+        cols = {c: [] for c in ("dc_upper", "dc_lower", "dc_mid", "breakout_up", "breakout_down")}
+        for i in range(len(batch)):
+            cols["breakout_up"].append(
+                bool(not np.isnan(prev_u) and cl[i] > prev_u)
+            )
+            cols["breakout_down"].append(
+                bool(not np.isnan(prev_l) and cl[i] < prev_l)
+            )
+            highs.append(float(hi[i]))
+            lows.append(float(lo[i]))
+            n += 1
+            if len(highs) > window:
+                highs.pop(0)
+                lows.pop(0)
+            if n >= window:
+                u, l_ = max(highs), min(lows)
+                cols["dc_upper"].append(u)
+                cols["dc_lower"].append(l_)
+                cols["dc_mid"].append((u + l_) / 2.0)
+                prev_u, prev_l = u, l_
+            else:
+                for c in ("dc_upper", "dc_lower", "dc_mid"):
+                    cols[c].append(None)
+                prev_u = prev_l = float("nan")
+        state.update((int(n), highs, lows, float(prev_u), float(prev_l)))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = batch[[ts_col, seq_col]].copy()
+        out.insert(0, symbol_col, sym)
+        for c, v in cols.items():
+            out[c] = v
         yield out
 
     return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(

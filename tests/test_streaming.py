@@ -1743,3 +1743,69 @@ def test_streaming_session_vwap_matches_batch_with_day_rolls(spark):
         assert len(days) >= 3  # the tape really spans day rolls
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_donchian_matches_batch_across_batches(spark):
+    """High/low rings and the previous-bar channel must carry across
+    micro-batch boundaries; every emitted row equals the batch operator
+    (bands exact — rolling extrema have no float-fold ambiguity)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.indicators import donchian
+    from polars_trading_spark.streaming import streaming_donchian
+
+    rng = np.random.default_rng(79)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for _ in range(90):
+            t = t + dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 2)))
+            spread = abs(float(rng.normal(0, 1))) + 0.01
+            rows.append((sym, t, len(rows), close + spread, close - spread, close))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "seq", "high", "low", "close"]
+    )
+    schema = (
+        "symbol string, ts_event timestamp, seq long, high double, "
+        "low double, close double"
+    )
+    w = 20
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in donchian(spark.createDataFrame(pdf, schema), window=w).collect()
+    }
+    d = tempfile.mkdtemp(prefix="pts_dc_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_donchian(stream, window=w)
+
+        rows_out = _run_stream(spark, make, mode="append")
+        assert len(rows_out) == len(pdf)
+        fired = 0
+        for r in rows_out:
+            b = batch[(r["symbol"], r["seq"])]
+            for c in ("dc_upper", "dc_lower", "dc_mid"):
+                if b[c] is None:
+                    assert r[c] is None, (r["symbol"], r["seq"], c)
+                else:
+                    assert r[c] == b[c], (r["symbol"], r["seq"], c)  # exact
+            assert r["breakout_up"] == b["breakout_up"]
+            assert r["breakout_down"] == b["breakout_down"]
+            fired += int(r["breakout_up"]) + int(r["breakout_down"])
+        assert fired > 0  # the random walk actually breaks out somewhere
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
