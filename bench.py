@@ -184,6 +184,7 @@ HEADLINE = [
     "obv",
     "session_vwap",
     "donchian",
+    "hampel_filter",
 ]
 
 

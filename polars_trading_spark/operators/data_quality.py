@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark._utils import SEQ_COL, with_seq
 from polars_trading_spark.config import column_names
 
-__all__ = ["tick_quality", "universe_summary"]
+__all__ = ["tick_quality", "universe_summary", "hampel_filter"]
 
 
 def tick_quality(
@@ -156,4 +156,70 @@ def universe_summary(df: DataFrame) -> DataFrame:
         (F.col("__rvol") / F.col("active_days")).alias("avg_daily_volume"),
         (F.col("__rdvol") / F.col("active_days")).alias("avg_daily_dollar_volume"),
         (F.col("__rp") / F.col("__n")).alias("mean_price"),
+    )
+
+
+def hampel_filter(
+    df: DataFrame,
+    *,
+    window: int = 21,
+    k: float = 3.0,
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    seq_col: str | None = SEQ_COL,
+) -> DataFrame:
+    """Hampel outlier filter — the standard robust tick scrubber: flag a
+    price whose deviation from the centered ``window``-tick rolling
+    median exceeds ``k`` scaled rolling MADs (median absolute
+    deviation, Gaussian-consistent scale 1.4826), and offer the median
+    as the cleaned value.  Mean/std filters chase the very outliers
+    they should remove; the median/MAD pair has a 50% breakdown point.
+
+    Appends ``rolling_median``, ``rolling_mad`` (null until the
+    centered window is full — shrunken edge windows give noisy
+    medians), ``is_outlier`` (false on partial windows) and
+    ``price_clean`` (median where flagged, else the price).
+
+    Scale/determinism shape: two bounded centered frames (NOT the
+    quadratic unbounded-following shape — a ±h row frame is a sliding
+    buffer) over ONE symbol exchange; the inner median is staged as a
+    real column before the MAD window (nested-window restriction).
+    ``percentile`` / ``quantile_cont`` are the same exact interpolated
+    quantile on both engines, and the outlier comparison rounds both
+    sides to 9 so a 1-ulp MAD difference cannot flip the flag.  Zero
+    joins, zero Python.
+    """
+    if window < 3 or window % 2 == 0:
+        raise ValueError(f"window must be an odd int >= 3, got {window}")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    symbol = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    h = window // 2
+    order = [F.col(ts)] + ([F.col(seq_col)] if seq_col else [])
+    w = (
+        Window.partitionBy(symbol)
+        .orderBy(*order)
+        .rowsBetween(-h, h)
+    )
+    staged = df.withColumn("__hn", F.count(F.lit(1)).over(w)).withColumn(
+        "__med", F.expr(f"percentile({price}, 0.5)").over(w)
+    )
+    staged = staged.withColumn("__dev", F.abs(F.col(price) - F.col("__med")))
+    staged = staged.withColumn("__mad", F.expr("percentile(__dev, 0.5)").over(w))
+    full = F.col("__hn") == window
+    scale = 1.4826 * float(k)
+    flag = full & (
+        F.round(F.col("__dev"), 9) > F.round(F.lit(scale) * F.col("__mad"), 9)
+    )
+    return (
+        staged.withColumn("rolling_median", F.when(full, F.col("__med")))
+        .withColumn("rolling_mad", F.when(full, F.col("__mad")))
+        .withColumn("is_outlier", flag)
+        .withColumn(
+            "price_clean", F.when(flag, F.col("__med")).otherwise(F.col(price))
+        )
+        .drop("__hn", "__med", "__dev", "__mad")
     )

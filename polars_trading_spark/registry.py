@@ -10333,6 +10333,77 @@ def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Hampel outlier filter (operators/data_quality.py::hampel_filter)
+# — rolling median/MAD tick scrubber; percentile / quantile_cont are the
+# same exact interpolated quantile on both engines, comparison rounded
+# to 9 on both sides.
+# --------------------------------------------------------------------------
+
+_HAMP_W, _HAMP_K = 21, 3.0
+_HAMP_H = _HAMP_W // 2
+_HAMP_SCALE = 1.4826 * _HAMP_K
+
+
+@register(
+    "hampel_filter",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+hp0 AS (
+  SELECT symbol, ts_event, seq, price,
+    count(*) OVER w AS n_,
+    quantile_cont(price, 0.5) OVER w AS med
+  FROM trades
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN {_HAMP_H} PRECEDING AND {_HAMP_H} FOLLOWING)
+),
+hp1 AS (SELECT *, abs(price - med) AS dev FROM hp0),
+hp2 AS (
+  SELECT symbol, ts_event, seq, price, n_, med, dev,
+    quantile_cont(dev, 0.5) OVER w AS mad
+  FROM hp1
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
+               ROWS BETWEEN {_HAMP_H} PRECEDING AND {_HAMP_H} FOLLOWING)
+),
+hp3 AS (
+  SELECT *,
+    CASE WHEN n_ = {_HAMP_W}
+          AND round(dev, 9) > round({_HAMP_SCALE!r} * mad, 9)
+         THEN 1 ELSE 0 END AS flag
+  FROM hp2
+)
+SELECT symbol, ts_event, seq,
+  round(CASE WHEN n_ = {_HAMP_W} THEN med END, 6) + 0 AS rolling_median,
+  round(CASE WHEN n_ = {_HAMP_W} THEN mad END, 6) + 0 AS rolling_mad,
+  CAST(flag AS INTEGER) AS is_outlier,
+  round(CASE WHEN flag = 1 THEN med ELSE price END, 6) + 0 AS price_clean
+FROM hp3
+""",
+    f"Hampel outlier filter (centered {_HAMP_W}-tick rolling median/MAD, "
+    f"k={_HAMP_K}, Gaussian scale) — the robust tick scrubber; two "
+    "bounded centered frames over one symbol exchange, median staged "
+    "before the MAD window, comparison rounded to 9 on both engines, "
+    "zero Python",
+)
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.data_quality import hampel_filter
+
+    with _trades_config():
+        out = hampel_filter(
+            trades_from_events(spark, sf_dir), window=_HAMP_W, k=_HAMP_K, seq_col=SEQ_COL
+        )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.col(SEQ_COL).alias("seq"),
+        (F.round("rolling_median", 6) + z0).alias("rolling_median"),
+        (F.round("rolling_mad", 6) + z0).alias("rolling_mad"),
+        F.col("is_outlier").cast("int").alias("is_outlier"),
+        (F.round("price_clean", 6) + z0).alias("price_clean"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #
@@ -10388,11 +10459,12 @@ def _rotate_front(front: list) -> None:
 # Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r06 latest-round
 # history (activate at the START of round 8 by defining _ROUND8_FRONT
 # with the list below and switching the call; keep new round-8
-# @register calls above this block).  Front = the 16 round-7
+# @register calls above this block).  Front = the 17 round-7
 # registrations (never driver-checked): lexical_diversity,
 # encoding_quality, heaps_law, term_burstiness, rank_ic, url_domains,
 # code_detection, lang_mix, atr, bollinger, macd, bm25, stochastic,
-# obv, session_vwap, donchian; backfill = the 34 alphabetically-first
+# obv, session_vwap, donchian, hampel_filter; backfill = the 33
+# alphabetically-first
 # names whose
 # latest driver row is round 5 (the stalest cohort after the r6/r7
 # windows):
@@ -10403,8 +10475,8 @@ def _rotate_front(front: list) -> None:
 # intraday_profile, jump_test, lead_lag, ledoit_wolf, lz_entropy,
 # ma_crossover, mix_corpus, momentum_rank, pair_correlation,
 # pcm_features, pii_scrub, psi_drift, range_bars, rank_portfolio,
-# retention, return_acf, roll_adjust.
-# (The remaining r5-latest names, starting with rolling_beta, rotate
+# retention, return_acf.
+# (The remaining r5-latest names, starting with roll_adjust, rotate
 # in round 9.)
 
 _rotate_front(_ROUND7_FRONT)

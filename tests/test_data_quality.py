@@ -75,3 +75,115 @@ def test_tick_quality_validation(spark):
     with Config(timestamp_column="ts"):
         with pytest.raises(ValueError, match="max_abs_ret"):
             tick_quality(df, max_abs_ret=0.0)
+
+
+def test_hampel_filter_catches_planted_spike(spark):
+    import datetime as dt
+
+    from polars_trading_spark.operators.data_quality import hampel_filter
+
+    base = dt.datetime(2024, 1, 2, 9, 30)
+    # smooth tape with one fat-finger print at seq 10
+    prices = [100.0 + 0.01 * i for i in range(21)]
+    prices[10] = 150.0
+    rows = [
+        ("A", base + dt.timedelta(seconds=i), i, p) for i, p in enumerate(prices)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, __pts_seq long, price double"
+    )
+    from polars_trading_spark.config import Config
+
+    with Config(timestamp_column="ts_event"):
+        out = {
+            r["__pts_seq"]: r
+            for r in hampel_filter(df, window=21, k=3.0).collect()
+        }
+    # only the center row has a full +/-10 window on this 21-row tape
+    assert out[10]["is_outlier"] is True
+    assert out[10]["price_clean"] == pytest.approx(out[10]["rolling_median"])
+    # the spike replaced 100.10, so the window median is the 11th of the
+    # remaining sorted values: 100.11
+    assert out[10]["rolling_median"] == pytest.approx(100.11)
+    for i in (0, 5, 15, 20):
+        assert out[i]["is_outlier"] is False
+        assert out[i]["rolling_median"] is None  # partial window gated
+        assert out[i]["price_clean"] == pytest.approx(prices[i])
+
+
+def test_hampel_filter_matches_pandas_reference(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.data_quality import hampel_filter
+
+    rng = np.random.RandomState(17)
+    base = dt.datetime(2024, 1, 2, 9, 30)
+    rows = []
+    for sym in ("A", "B"):
+        p = 100.0 + np.cumsum(rng.normal(0, 0.5, size=120))
+        spikes = rng.choice(120, size=5, replace=False)
+        p[spikes] += rng.choice([-1, 1], size=5) * 25.0
+        for i, x in enumerate(p):
+            rows.append((sym, base + dt.timedelta(seconds=i), i, float(x)))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "__pts_seq", "price"])
+    df = spark.createDataFrame(pdf)
+    w, k = 11, 3.0
+    with Config(timestamp_column="ts_event"):
+        out = hampel_filter(df, window=w, k=k).toPandas()
+    for sym, g in pdf.groupby("symbol"):
+        # min_periods=1 mirrors SQL window semantics: edge rows see a
+        # shrunken window, and the MAD window consumes those edge devs;
+        # the operator only GATES its outputs on the full-window count
+        cnt = g["price"].rolling(w, center=True, min_periods=1).count()
+        med = g["price"].rolling(w, center=True, min_periods=1).median()
+        dev = (g["price"] - med).abs()
+        mad = dev.rolling(w, center=True, min_periods=1).median()
+        full = (cnt == w).to_numpy()
+        flag = ((dev.round(9) > (1.4826 * k * mad).round(9)).to_numpy()) & full
+        got = (
+            out[out["symbol"] == sym]
+            .sort_values("__pts_seq")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_allclose(
+            got["rolling_median"][full], med[full], rtol=1e-12
+        )
+        np.testing.assert_allclose(got["rolling_mad"][full], mad[full], rtol=1e-12)
+        assert got["is_outlier"].tolist() == flag.tolist()
+        assert (got["is_outlier"].sum()) >= 4  # the planted spikes fire
+
+
+def test_hampel_filter_validation_and_plan(spark):
+    import datetime as dt
+
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.data_quality import hampel_filter
+    from polars_trading_spark.plans import (
+        count_exchanges,
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("A", dt.datetime(2024, 1, 2), 0, 1.0)],
+        "symbol string, ts_event timestamp, __pts_seq long, price double",
+    )
+    with Config(timestamp_column="ts_event"):
+        with pytest.raises(ValueError):
+            hampel_filter(df, window=4)  # even
+        with pytest.raises(ValueError):
+            hampel_filter(df, window=1)
+        with pytest.raises(ValueError):
+            hampel_filter(df, k=0)
+        out = hampel_filter(df)
+    assert count_python_stages(out) == 0
+    assert unbounded_global_windows(out) == []
+    # bounded centered frames are sliding buffers, not the quadratic
+    # unbounded-following shape
+    assert not has_unbounded_following_frame(out)
+    assert count_exchanges(out) <= 1
