@@ -185,6 +185,7 @@ HEADLINE = [
     "session_vwap",
     "donchian",
     "hampel_filter",
+    "robust_moments",
 ]
 
 

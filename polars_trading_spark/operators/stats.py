@@ -25,7 +25,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["quantile_profile", "key_skew_profile"]
+__all__ = ["quantile_profile", "key_skew_profile", "robust_moments"]
 
 
 def quantile_profile(
@@ -126,4 +126,84 @@ def key_skew_profile(
                 F.col("__mx") / (F.col("__tot") / F.col("__nk").cast("double"))
             ).alias("skew_ratio"),
         )
+    )
+
+
+def robust_moments(
+    df: DataFrame,
+    *,
+    alpha: float = 0.1,
+    group_col: str = "symbol",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact trimmed and winsorized moments per group — the robust
+    alternative to raw mean/std for outlier-heavy inputs (fat-finger
+    ticks, heavy-tailed returns): drop (trim) or clamp (winsorize) the
+    lowest and highest ``floor(alpha * n)`` values before the moments.
+
+    Output per group: ``n``, ``n_cut`` (per side), ``trimmed_mean``,
+    ``winsor_mean``, ``winsor_std`` (sample); null moments when fewer
+    than one value survives the trim.
+
+    Scale/determinism shape: rank values with a total order (value,
+    then ``order_cols`` tiebreak), take ONE rank-ordered prefix sum per
+    power — the trimmed sum is then the DIFFERENCE of two prefix-sum
+    readings (ranks n-k and k) and the winsorized moments add the
+    clamp values times k, so every float is a prefix fold in a single
+    deterministic order: layout- and engine-independent by
+    construction, no unordered reduces at all.  One group exchange,
+    windows reuse it, one final aggregate, zero Python.
+    """
+    if not (0.0 < alpha < 0.5):
+        raise ValueError(f"alpha must be in (0, 0.5), got {alpha}")
+    v = F.col(value_col)
+    order = [v] + [F.col(c) for c in order_cols]
+    w_ord = Window.partitionBy(group_col).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_full = Window.partitionBy(group_col)
+    staged = (
+        df.where(v.isNotNull())
+        .withColumn("__rn", F.row_number().over(w_ord))
+        .withColumn("__s1", F.sum(v).over(w_run))
+        .withColumn("__s2", F.sum(v * v).over(w_run))
+        # n and k staged as real columns: an aggregate cannot nest inside
+        # the conditional aggregates below
+        .withColumn("__n", F.count(F.lit(1)).over(w_full))
+        .withColumn("__kc", F.floor(F.lit(float(alpha)) * F.col("__n")).cast("long"))
+    )
+    rn = F.col("__rn")
+    kc = F.col("__kc")
+    top = F.col("__n") - kc
+    agg = staged.groupBy(group_col).agg(
+        F.first("__n").cast("long").alias("n"),
+        F.first("__kc").alias("__k"),
+        # prefix sums at the two cut ranks and the top of the kept range,
+        # plus the clamp values at ranks k+1 and n-k
+        F.max(F.when(rn == kc, F.col("__s1"))).alias("__s1_k"),
+        F.max(F.when(rn == top, F.col("__s1"))).alias("__s1_top"),
+        F.max(F.when(rn == kc, F.col("__s2"))).alias("__s2_k"),
+        F.max(F.when(rn == top, F.col("__s2"))).alias("__s2_top"),
+        F.max(F.when(rn == kc + 1, v)).alias("__lo"),
+        F.max(F.when(rn == top, v)).alias("__hi"),
+    )
+    k = F.col("__k").cast("double")
+    nn = F.col("n").cast("double")
+    kept = nn - 2.0 * k
+    s1_k = F.coalesce("__s1_k", F.lit(0.0))
+    s2_k = F.coalesce("__s2_k", F.lit(0.0))
+    t1 = F.col("__s1_top") - s1_k
+    t2 = F.col("__s2_top") - s2_k
+    w1 = t1 + k * F.col("__lo") + k * F.col("__hi")
+    w2 = t2 + k * (F.col("__lo") * F.col("__lo")) + k * (F.col("__hi") * F.col("__hi"))
+    wvar = (w2 - (w1 * w1) / nn) / (nn - 1.0)
+    return agg.select(
+        group_col,
+        "n",
+        F.col("__k").alias("n_cut"),
+        F.when(kept >= 1.0, t1 / kept).alias("trimmed_mean"),
+        F.when(kept >= 1.0, w1 / nn).alias("winsor_mean"),
+        F.when(
+            (kept >= 1.0) & (nn >= 2.0), F.sqrt(F.greatest(wvar, F.lit(0.0)))
+        ).alias("winsor_std"),
     )

@@ -10404,6 +10404,106 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# C-ext. Exact trimmed/winsorized moments (operators/stats.py::
+# robust_moments) over per-symbol log returns — trimmed sum = difference
+# of two rank-ordered prefix-sum readings, so every float is a
+# deterministic single-order fold.
+# --------------------------------------------------------------------------
+
+_RM_ALPHA = 0.1
+
+
+@register(
+    "robust_moments",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+rm0 AS (
+  SELECT symbol, ts_event, seq,
+    ln(price / lag(price) OVER (PARTITION BY symbol ORDER BY ts_event, seq)) AS r
+  FROM trades
+),
+rm1 AS (SELECT * FROM rm0 WHERE r IS NOT NULL),
+rm2 AS (
+  SELECT symbol, r,
+    row_number() OVER wo AS rn,
+    sum(r) OVER wr AS s1,
+    sum(r * r) OVER wr AS s2,
+    count(*) OVER (PARTITION BY symbol) AS n_,
+    CAST(floor({_RM_ALPHA!r} * count(*) OVER (PARTITION BY symbol)) AS BIGINT) AS kc
+  FROM rm1
+  WINDOW wo AS (PARTITION BY symbol ORDER BY r, ts_event, seq),
+         wr AS (PARTITION BY symbol ORDER BY r, ts_event, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+rm3 AS (
+  SELECT symbol,
+    CAST(max(n_) AS BIGINT) AS n,
+    max(kc) AS k,
+    max(CASE WHEN rn = kc THEN s1 END) AS s1_k,
+    max(CASE WHEN rn = n_ - kc THEN s1 END) AS s1_top,
+    max(CASE WHEN rn = kc THEN s2 END) AS s2_k,
+    max(CASE WHEN rn = n_ - kc THEN s2 END) AS s2_top,
+    max(CASE WHEN rn = kc + 1 THEN r END) AS lo_,
+    max(CASE WHEN rn = n_ - kc THEN r END) AS hi_
+  FROM rm2 GROUP BY symbol
+),
+rm4 AS (
+  SELECT symbol, n, k,
+    CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd,
+    CAST(n AS DOUBLE) - 2.0 * CAST(k AS DOUBLE) AS kept,
+    s1_top - coalesce(s1_k, 0.0) AS t1,
+    s2_top - coalesce(s2_k, 0.0) AS t2,
+    lo_, hi_
+  FROM rm3
+),
+rm5 AS (
+  SELECT symbol, n, k, kept, nd, t1,
+    t1 + kd * lo_ + kd * hi_ AS w1,
+    t2 + kd * (lo_ * lo_) + kd * (hi_ * hi_) AS w2
+  FROM rm4
+)
+SELECT symbol, n, k AS n_cut,
+  round(CASE WHEN kept >= 1.0 THEN t1 / kept END, 6) + 0 AS trimmed_mean,
+  round(CASE WHEN kept >= 1.0 THEN w1 / nd END, 6) + 0 AS winsor_mean,
+  round(CASE WHEN kept >= 1.0 AND nd >= 2.0
+        THEN sqrt(greatest((w2 - (w1 * w1) / nd) / (nd - 1.0), 0.0)) END, 6) + 0
+    AS winsor_std
+FROM rm5
+""",
+    f"Exact {_RM_ALPHA:.0%}-trimmed and winsorized return moments per "
+    "symbol — robust outlier-resistant stats; trimmed sum = difference "
+    "of two rank-ordered prefix-sum readings (single deterministic fold "
+    "order, no unordered reduces), one group exchange, zero Python",
+)
+def q_robust_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.stats import robust_moments
+
+    with _trades_config():
+        t = trades_from_events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("symbol").orderBy("ts_event", SEQ_COL)
+    r = F.log(F.col("price") / F.lag("price").over(wo))
+    staged = t.withColumn("__r", r).where(F.col("__r").isNotNull())
+    out = robust_moments(
+        staged,
+        alpha=_RM_ALPHA,
+        group_col="symbol",
+        value_col="__r",
+        order_cols=("ts_event", SEQ_COL),
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n",
+        "n_cut",
+        (F.round("trimmed_mean", 6) + z0).alias("trimmed_mean"),
+        (F.round("winsor_mean", 6) + z0).alias("winsor_mean"),
+        (F.round("winsor_std", 6) + z0).alias("winsor_std"),
+    )
+
+
 # ==========================================================================
 # Driver-gate rotation (round 7).
 #
@@ -10459,12 +10559,12 @@ def _rotate_front(front: list) -> None:
 # Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r06 latest-round
 # history (activate at the START of round 8 by defining _ROUND8_FRONT
 # with the list below and switching the call; keep new round-8
-# @register calls above this block).  Front = the 17 round-7
+# @register calls above this block).  Front = the 18 round-7
 # registrations (never driver-checked): lexical_diversity,
 # encoding_quality, heaps_law, term_burstiness, rank_ic, url_domains,
 # code_detection, lang_mix, atr, bollinger, macd, bm25, stochastic,
-# obv, session_vwap, donchian, hampel_filter; backfill = the 33
-# alphabetically-first
+# obv, session_vwap, donchian, hampel_filter, robust_moments;
+# backfill = the 32 alphabetically-first
 # names whose
 # latest driver row is round 5 (the stalest cohort after the r6/r7
 # windows):
@@ -10475,8 +10575,8 @@ def _rotate_front(front: list) -> None:
 # intraday_profile, jump_test, lead_lag, ledoit_wolf, lz_entropy,
 # ma_crossover, mix_corpus, momentum_rank, pair_correlation,
 # pcm_features, pii_scrub, psi_drift, range_bars, rank_portfolio,
-# retention, return_acf.
-# (The remaining r5-latest names, starting with roll_adjust, rotate
+# retention.
+# (The remaining r5-latest names, starting with return_acf, rotate
 # in round 9.)
 
 _rotate_front(_ROUND7_FRONT)

@@ -77,3 +77,73 @@ class TestKeySkewProfile:
         out = key_skew_profile(df, "k")
         assert count_python_stages(out) == 0
         assert "TakeOrderedAndProject" in plan_string(out, "executed")
+
+
+def test_robust_moments_matches_python_reference(spark):
+    import numpy as np
+
+    from polars_trading_spark.operators.stats import robust_moments
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for sym in ("A", "B"):
+        vals = rng.normal(0, 1, size=57).tolist() + [40.0, -35.0, 60.0]
+        for i, x in enumerate(vals):
+            rows.append((sym, i, float(x)))
+    df = spark.createDataFrame(rows, "symbol string, i long, value double")
+    alpha = 0.1
+    out = {
+        r["symbol"]: r
+        for r in robust_moments(
+            df, alpha=alpha, group_col="symbol", value_col="value", order_cols=("i",)
+        ).collect()
+    }
+    by_sym = {}
+    for sym, i, x in rows:
+        by_sym.setdefault(sym, []).append(x)
+    for sym, vals in by_sym.items():
+        n = len(vals)
+        k = int(np.floor(alpha * n))
+        s = sorted(vals)
+        trimmed = s[k : n - k]
+        winsor = [s[k]] * k + trimmed + [s[n - k - 1]] * k
+        r = out[sym]
+        assert r["n"] == n and r["n_cut"] == k
+        assert r["trimmed_mean"] == pytest.approx(np.mean(trimmed), rel=1e-9)
+        assert r["winsor_mean"] == pytest.approx(np.mean(winsor), rel=1e-9)
+        assert r["winsor_std"] == pytest.approx(np.std(winsor, ddof=1), rel=1e-9)
+        # the planted 40/-35/60 outliers must not survive the trim:
+        # robust mean stays near 0 while the raw mean is dragged
+        assert abs(r["trimmed_mean"]) < 0.5 < abs(np.mean(vals))
+
+
+def test_robust_moments_validation_degenerate_and_plan(spark):
+    from polars_trading_spark.operators.stats import robust_moments
+    from polars_trading_spark.plans import (
+        count_python_stages,
+        has_unbounded_following_frame,
+        unbounded_global_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, 1.0), ("A", 1, 2.0)], "symbol string, i long, value double"
+    )
+    with pytest.raises(ValueError):
+        robust_moments(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        robust_moments(df, alpha=0.5)
+    # n=2, alpha=0.4 -> k=0: nothing trimmed, plain moments
+    out = robust_moments(
+        df, alpha=0.4, group_col="symbol", value_col="value", order_cols=("i",)
+    ).collect()[0]
+    assert out["n_cut"] == 0
+    assert out["trimmed_mean"] == pytest.approx(1.5)
+    assert out["winsor_mean"] == pytest.approx(1.5)
+    assert out["winsor_std"] == pytest.approx(0.7071067811865476)
+
+    plan = robust_moments(
+        df, group_col="symbol", value_col="value", order_cols=("i",)
+    )
+    assert count_python_stages(plan) == 0
+    assert unbounded_global_windows(plan) == []
+    assert not has_unbounded_following_frame(plan)
