@@ -444,26 +444,22 @@ def heaps_law(
     )
     x = F.log(F.col("__N").cast("double"))
     y = F.log(F.col("__V").cast("double"))
-    run2 = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
-    full2 = Window.orderBy("__b").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     staged = (
         cum.withColumn("__x", x)
         .withColumn("__y", y)
         .withColumn("__rn", F.row_number().over(Window.orderBy("__b")))
-        .withColumn("__sx", F.sum("__x").over(run2))
-        .withColumn("__sy", F.sum("__y").over(run2))
-        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(run2))
-        .withColumn("__sxy", F.sum(F.col("__x") * F.col("__y")).over(run2))
-        .withColumn("__syy", F.sum(F.col("__y") * F.col("__y")).over(run2))
+        .withColumn("__sx", F.sum("__x").over(run))
+        .withColumn("__sy", F.sum("__y").over(run))
+        .withColumn("__sxx", F.sum(F.col("__x") * F.col("__x")).over(run))
+        .withColumn("__sxy", F.sum(F.col("__x") * F.col("__y")).over(run))
+        .withColumn("__syy", F.sum(F.col("__y") * F.col("__y")).over(run))
         # NB: Spark resolves column names case-insensitively, so the
         # totals must NOT be spelled "__NN"/"__VV" (they would overwrite
         # "__nn" / collide at resolution time).
-        .withColumn("__nn", F.count(F.lit(1)).over(full2))
-        .withColumn("__totn", F.max("__N").over(full2))
-        .withColumn("__totv", F.max("__V").over(full2))
-        .withColumn("__vlo", F.min("__V").over(full2))
+        .withColumn("__nn", F.count(F.lit(1)).over(full))
+        .withColumn("__totn", F.max("__N").over(full))
+        .withColumn("__totv", F.max("__V").over(full))
+        .withColumn("__vlo", F.min("__V").over(full))
         .where(F.col("__rn") == F.col("__nn"))
     )
     n = F.col("__nn").cast("double")

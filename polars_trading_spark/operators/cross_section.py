@@ -669,7 +669,12 @@ def rank_ic(
 
     Ranks are ``row_number`` over ``(value, symbol)`` — the symbol
     tiebreak makes the ranking total, so with tie-free integer ranks
-    Spearman reduces to the exact rational
+    Spearman reduces to the exact rational.  NOTE: tied signal or
+    forward-return values are therefore tie-broken BY SYMBOL NAME, not
+    averaged — under ties this deviates from the tie-corrected
+    (fractional-rank) Spearman, by design: the total order keeps the
+    statistic exact-rational and bit-identical across engines, and with
+    continuous log returns exact ties have measure zero.
 
         ic = 1 - 6 * sum(d^2) / (n * (n^2 - 1)),   d = rank_sig - rank_fwd
 

@@ -181,14 +181,23 @@ def hampel_filter(
     medians), ``is_outlier`` (false on partial windows) and
     ``price_clean`` (median where flagged, else the price).
 
+    The MAD is the CANONICAL Hampel estimator — the median of each
+    window member's deviation from the CENTER window's median,
+    ``median_j(|x_j - med_t|)`` — not the staged approximation
+    ``median_j(|x_j - med_j|)`` that naive window composition gives.
+    A window aggregate cannot nest inside another window, so the
+    center's median is staged as a real column and the exact MAD is
+    read as the middle element of the sorted per-window deviation
+    array (odd ``window`` makes the median interpolation-free).
+
     Scale/determinism shape: two bounded centered frames (NOT the
     quadratic unbounded-following shape — a ±h row frame is a sliding
-    buffer) over ONE symbol exchange; the inner median is staged as a
-    real column before the MAD window (nested-window restriction).
-    ``percentile`` / ``quantile_cont`` are the same exact interpolated
-    quantile on both engines, and the outlier comparison rounds both
-    sides to 9 so a 1-ulp MAD difference cannot flip the flag.  Zero
-    joins, zero Python.
+    buffer) over ONE symbol exchange; the deviation array is
+    ``window``-sized per row (21 doubles by default — a bounded
+    constant, not data-sized).  ``percentile`` / ``quantile_cont`` are
+    the same exact quantile on both engines, and the outlier comparison
+    rounds both sides to 9 so a 1-ulp MAD difference cannot flip the
+    flag.  Zero joins, zero Python.
     """
     if window < 3 or window % 2 == 0:
         raise ValueError(f"window must be an odd int >= 3, got {window}")
@@ -204,11 +213,24 @@ def hampel_filter(
         .orderBy(*order)
         .rowsBetween(-h, h)
     )
-    staged = df.withColumn("__hn", F.count(F.lit(1)).over(w)).withColumn(
-        "__med", F.expr(f"percentile({price}, 0.5)").over(w)
+    staged = (
+        df.withColumn("__hn", F.count(F.lit(1)).over(w))
+        .withColumn("__med", F.expr(f"percentile({price}, 0.5)").over(w))
+        .withColumn("__vals", F.collect_list(F.col(price)).over(w))
     )
     staged = staged.withColumn("__dev", F.abs(F.col(price) - F.col("__med")))
-    staged = staged.withColumn("__mad", F.expr("percentile(__dev, 0.5)").over(w))
+    # canonical MAD: middle element of the sorted |x_j - med_t| array
+    # (F.get is 0-based and null — not an ANSI error — on short edge
+    # windows, which the full-window gate masks anyway)
+    staged = staged.withColumn(
+        "__mad",
+        F.get(
+            F.array_sort(
+                F.transform("__vals", lambda v: F.abs(v - F.col("__med")))
+            ),
+            F.lit(h),
+        ),
+    ).drop("__vals")
     full = F.col("__hn") == window
     scale = 1.4826 * float(k)
     flag = full & (

@@ -10335,9 +10335,9 @@ def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # C-ext. Hampel outlier filter (operators/data_quality.py::hampel_filter)
-# — rolling median/MAD tick scrubber; percentile / quantile_cont are the
-# same exact interpolated quantile on both engines, comparison rounded
-# to 9 on both sides.
+# — rolling median + CANONICAL MAD (deviations from the CENTER window's
+# median, read as the middle element of the sorted deviation list);
+# comparison rounded to 9 on both sides.
 # --------------------------------------------------------------------------
 
 _HAMP_W, _HAMP_K = 21, 3.0
@@ -10352,18 +10352,18 @@ WITH trades AS ({TRADES_CTE}),
 hp0 AS (
   SELECT symbol, ts_event, seq, price,
     count(*) OVER w AS n_,
-    quantile_cont(price, 0.5) OVER w AS med
+    quantile_cont(price, 0.5) OVER w AS med,
+    list(price) OVER w AS vals
   FROM trades
   WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
                ROWS BETWEEN {_HAMP_H} PRECEDING AND {_HAMP_H} FOLLOWING)
 ),
-hp1 AS (SELECT *, abs(price - med) AS dev FROM hp0),
 hp2 AS (
-  SELECT symbol, ts_event, seq, price, n_, med, dev,
-    quantile_cont(dev, 0.5) OVER w AS mad
-  FROM hp1
-  WINDOW w AS (PARTITION BY symbol ORDER BY ts_event, seq
-               ROWS BETWEEN {_HAMP_H} PRECEDING AND {_HAMP_H} FOLLOWING)
+  SELECT symbol, ts_event, seq, price, n_, med,
+    abs(price - med) AS dev,
+    -- canonical MAD: middle element of the sorted |x_j - med_t| list
+    list_sort(list_transform(vals, v -> abs(v - med)))[{_HAMP_H + 1}] AS mad
+  FROM hp0
 ),
 hp3 AS (
   SELECT *,
@@ -10379,11 +10379,11 @@ SELECT symbol, ts_event, seq,
   round(CASE WHEN flag = 1 THEN med ELSE price END, 6) + 0 AS price_clean
 FROM hp3
 """,
-    f"Hampel outlier filter (centered {_HAMP_W}-tick rolling median/MAD, "
-    f"k={_HAMP_K}, Gaussian scale) — the robust tick scrubber; two "
-    "bounded centered frames over one symbol exchange, median staged "
-    "before the MAD window, comparison rounded to 9 on both engines, "
-    "zero Python",
+    f"Hampel outlier filter (centered {_HAMP_W}-tick rolling median + "
+    f"canonical MAD of deviations from the center's median, k={_HAMP_K}, "
+    "Gaussian scale) — the robust tick scrubber; bounded centered frames "
+    "over one symbol exchange, exact MAD via sorted deviation array, "
+    "comparison rounded to 9 on both engines, zero Python",
 )
 def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.data_quality import hampel_filter
@@ -10556,27 +10556,31 @@ def _rotate_front(front: list) -> None:
     QUERIES.update(items)
 
 
-# Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r06 latest-round
-# history (activate at the START of round 8 by defining _ROUND8_FRONT
-# with the list below and switching the call; keep new round-8
-# @register calls above this block).  Front = the 18 round-7
-# registrations (never driver-checked): lexical_diversity,
-# encoding_quality, heaps_law, term_burstiness, rank_ic, url_domains,
-# code_detection, lang_mix, atr, bollinger, macd, bm25, stochastic,
-# obv, session_vwap, donchian, hampel_filter, robust_moments;
-# backfill = the 32 alphabetically-first
-# names whose
-# latest driver row is round 5 (the stalest cohort after the r6/r7
-# windows):
-# ac_schedule, backtest_stats, bde_cusum, bet_sizing, bigram_logprob,
-# boilerplate, bpe_pairs, cluster_keywords, corpus_funnel, cs_zscore,
-# dedup_containment, dedup_paragraph, drawdown_path, dup_spans,
-# event_funnel, feature_matrix, imbalance_bars_adaptive,
-# intraday_profile, jump_test, lead_lag, ledoit_wolf, lz_entropy,
-# ma_crossover, mix_corpus, momentum_rank, pair_correlation,
-# pcm_features, pii_scrub, psi_drift, range_bars, rank_portfolio,
-# retention.
-# (The remaining r5-latest names, starting with return_acf, rotate
-# in round 9.)
+# Round-8 rotation, PRE-COMPUTED from CORRECTNESS_r01–r07 latest-round
+# history.  Front = the 18 round-7 registrations (never driver-checked)
+# + the 32 alphabetically-first names whose latest driver row is
+# round 5 (the stalest cohort after the r6/r7 windows).  A 50/50 green
+# CORRECTNESS_r08 completes driver coverage: all 162 queries registered
+# through round 7 will then have at least one green driver row.
+# (The remaining r5-latest names, starting with return_acf, rotate in
+# round 9, together with any round-8 registrations.)
 
-_rotate_front(_ROUND7_FRONT)
+_ROUND8_FRONT = [
+    # -- the 18 round-7 registrations, never driver-checked --
+    "lexical_diversity", "encoding_quality", "heaps_law",
+    "term_burstiness", "rank_ic", "url_domains", "code_detection",
+    "lang_mix", "atr", "bollinger", "macd", "bm25", "stochastic", "obv",
+    "session_vwap", "donchian", "hampel_filter", "robust_moments",
+    # -- 32 backfill: latest driver row is round 5 (stalest cohort) --
+    "ac_schedule", "backtest_stats", "bde_cusum", "bet_sizing",
+    "bigram_logprob", "boilerplate", "bpe_pairs", "cluster_keywords",
+    "corpus_funnel", "cs_zscore", "dedup_containment", "dedup_paragraph",
+    "drawdown_path", "dup_spans", "event_funnel", "feature_matrix",
+    "imbalance_bars_adaptive", "intraday_profile", "jump_test",
+    "lead_lag", "ledoit_wolf", "lz_entropy", "ma_crossover",
+    "mix_corpus", "momentum_rank", "pair_correlation", "pcm_features",
+    "pii_scrub", "psi_drift", "range_bars", "rank_portfolio",
+    "retention",
+]
+
+_rotate_front(_ROUND8_FRONT)

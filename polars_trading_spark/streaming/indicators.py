@@ -301,7 +301,9 @@ def streaming_obv(
             pd.concat(batches).sort_values([ts_col, seq_col]).reset_index(drop=True)
         )
         cl = batch["close"].to_numpy(dtype=np.float64)
-        vol = batch["volume"].to_numpy(dtype=np.int64)
+        # null volume contributes 0, matching the batch obv's coalesce —
+        # a raw to_numpy(int64) would raise on NaN and kill the query.
+        vol = batch["volume"].fillna(0).to_numpy(dtype=np.int64)
         pc = np.concatenate(([last_close if seeded else np.nan], cl[:-1]))
         sv = np.where(np.isnan(pc), 0, np.where(cl > pc, vol, np.where(cl < pc, -vol, 0)))
         obv_out = run + np.cumsum(sv)
@@ -586,7 +588,9 @@ def streaming_session_vwap(
         )
         day = batch[ts_col].dt.floor("D")
         px = batch[price_col].to_numpy(dtype=np.float64)
-        sz = batch[size_col].to_numpy(dtype=np.int64)
+        # null sizes contribute 0 (the batch operator's sum ignores
+        # nulls); raw to_numpy(int64) would raise on NaN.
+        sz = batch[size_col].fillna(0).to_numpy(dtype=np.int64)
         pv = pd.Series(px * sz).groupby(day.values).cumsum().to_numpy()
         v = pd.Series(sz).groupby(day.values).cumsum().to_numpy()
         day_us_arr = (day.astype("int64") // 1000).to_numpy()  # ns -> us
@@ -601,7 +605,12 @@ def streaming_session_vwap(
         out.insert(0, symbol_col, sym)
         out["session_day"] = day.dt.date
         out["cum_volume"] = v.astype(np.int64)
-        out["session_vwap"] = pv / v
+        # zero cumulative volume -> null, matching the batch operator's
+        # Spark division semantics (x / 0 -> null, not inf/NaN).  The
+        # Float64 extension dtype maps NaN -> NA -> Arrow null.
+        out["session_vwap"] = pd.Series(
+            np.where(v > 0, pv / np.maximum(v, 1), np.nan)
+        ).astype("Float64")
         yield out
 
     return stream.groupBy(F.col(symbol_col)).applyInPandasWithState(

@@ -135,13 +135,16 @@ def test_hampel_filter_matches_pandas_reference(spark):
     with Config(timestamp_column="ts_event"):
         out = hampel_filter(df, window=w, k=k).toPandas()
     for sym, g in pdf.groupby("symbol"):
-        # min_periods=1 mirrors SQL window semantics: edge rows see a
-        # shrunken window, and the MAD window consumes those edge devs;
-        # the operator only GATES its outputs on the full-window count
         cnt = g["price"].rolling(w, center=True, min_periods=1).count()
         med = g["price"].rolling(w, center=True, min_periods=1).median()
         dev = (g["price"] - med).abs()
-        mad = dev.rolling(w, center=True, min_periods=1).median()
+        # canonical Hampel MAD: median of each window member's deviation
+        # from the CENTER window's median
+        mad = (
+            g["price"]
+            .rolling(w, center=True, min_periods=1)
+            .apply(lambda s: np.median(np.abs(s - np.median(s))), raw=True)
+        )
         full = (cnt == w).to_numpy()
         flag = ((dev.round(9) > (1.4826 * k * mad).round(9)).to_numpy()) & full
         got = (
