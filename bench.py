@@ -186,6 +186,8 @@ HEADLINE = [
     "donchian",
     "hampel_filter",
     "robust_moments",
+    # round 8
+    "multimodal_png_decode",
 ]
 
 
@@ -217,6 +219,24 @@ def main() -> None:
     from polars_trading_spark import release_persisted
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+
+    # Drift sentinel: the machine slows over a long session (SCALING §36:
+    # identical queries co-moved 169.8->217.4s across three round-6 runs).
+    # Time one fixed, plan-stable query before and after the sweep and
+    # record both plus the wall-clock start, so round-over-round deltas
+    # can be normalized by the sentinel ratio instead of guessed at.
+    def _time_sentinel() -> float:
+        q = QUERIES["time_bars"]
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            q.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        return round(sorted(times)[len(times) // 2], 3)
+
+    run_started_utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    sentinel_pre = _time_sentinel()
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     total = 0.0
@@ -260,6 +280,12 @@ def main() -> None:
         "spread": spread,
         "repeats": repeats,
         "sf": sf,
+        "sentinel": {
+            "query": "time_bars",
+            "pre": sentinel_pre,
+            "post": _time_sentinel(),
+            "run_started_utc": run_started_utc,
+        },
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -4,11 +4,12 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column (or a reference to object storage), decode/feature
 steps are Arrow-batched ``mapInPandas`` stages, and everything around
 them (schema, partitioning, metadata pushdown) is ordinary columnar
-Spark.  The decode kernels themselves need codec libraries that are not
-in this container, so they are STUBBED — ``decode_image`` raises
-``NotImplementedError`` unless PIL is importable — while the Spark-side
-plumbing (UDF signatures, batch iteration, schema contracts, frame
-explosion) is real and tested via the deterministic fake decoder.
+Spark.  PNG (zlib inflate + unfilter) and uncompressed BMP pixel decode
+are REAL pure-stdlib kernels; only the entropy/LZW coders (JPEG, GIF)
+still need a codec library this container lacks — ``decode_image``
+raises ``NotImplementedError`` for those unless PIL is importable —
+while the Spark-side plumbing (UDF signatures, batch iteration, schema
+contracts, frame explosion) is real and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -24,10 +25,15 @@ __all__ = [
     "synthesize_media",
     "synthesize_bmp",
     "synthesize_jpeg",
+    "synthesize_png",
     "parse_image_header",
     "extract_media_metadata",
     "sample_frames",
     "decode_image",
+    "png_encode",
+    "png_decode",
+    "bmp_decode",
+    "png_pixel_stats",
     "synthesize_pcm",
     "pcm_features",
 ]
@@ -222,23 +228,325 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real pixel-decode kernel — requires an image codec library.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (bit depth 8, non-interlaced only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    STUB (narrowed in round 5): header metadata for PNG/BMP/GIF is now
-    parsed for real by ``parse_image_header``; only compressed PIXEL
-    decoding still needs PIL/opencv, which this container lacks — the
-    import-try keeps the call site honest.
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode(pixels, *, color_type: int = 2, filters=None) -> bytes:
+    """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
+    PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8,
+    non-interlaced.  ``filters`` optionally gives the per-row filter
+    type (0..4); default cycles rows through all five so a round-trip
+    exercises every unfilter path.  Pure stdlib (struct + zlib)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    if _PNG_CHANNELS.get(color_type) != ch:
+        raise ValueError(f"color_type {color_type} expects {_PNG_CHANNELS.get(color_type)} channels, got {ch}")
+    bpp = ch  # bytes per pixel at depth 8
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        line = px[r].reshape(-1).astype(np.int32)
+        f = (r % 5) if filters is None else int(filters[r % len(filters)])
+        if f == 0:
+            out = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            out = (line - left) % 256
+        elif f == 2:  # Up
+            out = (line - prev) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            out = (line - (left + prev) // 2) % 256
+        elif f == 4:  # Paeth (sequential by definition)
+            out = np.empty_like(line)
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                out[x] = (line[x] - _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(payload: bytes):
+    """REAL pure-stdlib PNG pixel decode: chunk walk (CRC-verified),
+    zlib inflate of the concatenated IDAT stream, and per-row unfilter
+    of all five PNG filter types.  Supports bit depth 8, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced — palette
+    (PLTE) and interlaced images raise ``NotImplementedError``.
+    Returns an ``(h, w, channels)`` uint8 numpy array.
+
+    The per-row Sub/Average/Paeth unfilter is an inherently sequential
+    scan in x (each byte needs the reconstructed byte ``bpp`` to its
+    left); row lengths are image-width-bounded so this is O(pixels)
+    like any codec.  (Reference repo has no media path at all — this
+    closes the one stub the container's missing codec libs forced,
+    see reference polars_trading/ having no counterpart.)
     """
-    try:
-        from PIL import Image  # noqa: F401
-        import io
+    import struct
+    import zlib
 
-        return Image.open(io.BytesIO(payload))
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "image decoding requires PIL/opencv; not available in this environment"
-        ) from exc
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    i, n = 8, len(payload)
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (clen,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + clen]
+        (crc,) = struct.unpack(">I", payload[i + 8 + clen : i + 12 + clen])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            raise NotImplementedError("palette PNG decode not supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG depth={depth} color_type={color_type} not supported")
+    if interlace:
+        raise NotImplementedError("interlaced PNG decode not supported")
+    ch = _PNG_CHANNELS[color_type]
+    bpp = ch
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG raw stream {len(raw)} != expected {h * (stride + 1)}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — fully vectorized
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):  # left-dependent: sequential in x
+            rec = np.empty_like(line)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (line[x] + a) % 256
+                elif f == 3:
+                    rec[x] = (line[x] + (int(a) + int(prev[x])) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    rec[x] = (line[x] + _paeth(int(a), int(prev[x]), int(c))) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)
+
+
+def bmp_decode(payload: bytes):
+    """REAL pure-stdlib BMP pixel decode for uncompressed 24-bit
+    BITMAPINFOHEADER files (the kind ``synthesize_bmp`` writes): strips
+    the 4-byte row padding and flips bottom-up row order.  Returns an
+    ``(h, w, 3)`` uint8 numpy array in BGR byte order (as stored)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (px_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_sz,) = struct.unpack("<I", payload[14:18])
+    if hdr_sz not in (40, 108, 124):
+        raise NotImplementedError(f"BMP DIB header size {hdr_sz} not supported")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bits = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if bits != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bits={bits} compression={compression} not supported")
+    h = abs(h_signed)
+    row_sz = (3 * w + 3) // 4 * 4
+    buf = np.frombuffer(payload, dtype=np.uint8, count=row_sz * h, offset=px_off)
+    rows = buf.reshape(h, row_sz)[:, : 3 * w]
+    if h_signed > 0:  # bottom-up storage
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3).copy()
+
+
+def decode_image(payload: bytes):
+    """Pixel-decode kernel: returns ``(format, width, height, pixels)``
+    with ``pixels`` an ``(h, w, channels)`` uint8 array.
+
+    REAL pure-stdlib decode paths (no codec library): PNG (zlib inflate
+    + all five unfilter types, depth-8 gray/RGB/GA/RGBA) and
+    uncompressed 24-bit BMP.  STUB (narrowed in round 8 from "all pixel
+    decode" to exactly the entropy/LZW coders): JPEG entropy decode and
+    GIF LZW still require PIL/opencv, which this container lacks — the
+    import-try keeps those call sites honest.
+    """
+    hdr = parse_image_header(payload)
+    if hdr is not None and hdr[0] == "png":
+        px = png_decode(payload)
+        return ("png", px.shape[1], px.shape[0], px)
+    if hdr is not None and hdr[0] == "bmp":
+        px = bmp_decode(payload)
+        return ("bmp", px.shape[1], px.shape[0], px)
+    if hdr is not None and hdr[0] in ("jpeg", "gif"):
+        try:
+            from PIL import Image  # noqa: F401
+            import io
+
+            import numpy as np
+
+            im = Image.open(io.BytesIO(payload))
+            px = np.asarray(im)
+            return (hdr[0], im.width, im.height, px)
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                f"{hdr[0]} entropy/LZW decode requires PIL/opencv; "
+                "not available in this environment"
+            ) from exc
+    raise ValueError("unrecognized image container")
+
+
+def synthesize_png(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL PNG per document id — a complete spec-valid
+    file (signature, CRC-correct IHDR/IDAT/IEND, zlib-deflate pixel
+    stream, rows cycling through all five PNG filter types), so
+    downstream decode exercises real inflate + unfilter work.
+
+    ``width = 4 + doc_id % 29``, ``height = 3 + doc_id % 17``; RGB byte
+    ``j`` of the row-major pixel stream of media ``m`` is
+    ``(m * 31 + j * 7) % 256`` — the same regenerable arithmetic as
+    ``synthesize_bmp``, so the differential oracle recomputes pixel
+    aggregates closed-form without any image library.
+    """
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((m * 31 + j * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append(png_encode(px, color_type=2))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_px_bytes", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_dot", T.LongType()),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL stdlib codec path
+    (``decode_image`` -> inflate + unfilter for PNG, row de-pad for
+    BMP) and emit exact integer pixel aggregates:
+
+    * ``px_sum`` — sum of all pixel bytes (row-major, channel-minor)
+    * ``px_dot`` — order-sensitive checksum ``sum(byte_j * (j%251+1))``
+
+    Integer outputs make the differential oracle exact: for synthesized
+    media the byte stream is pure modular arithmetic, so DuckDB
+    regenerates the SAME aggregates from ``generate_series`` — if the
+    deflate/filter round-trip corrupted a single byte anywhere, the
+    order-sensitive ``px_dot`` hash would move.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage over the
+    payload column (the canonical decode step — pixel work is data-
+    parallel per file and never shuffles), aggregates computed inside
+    the batch in numpy; everything else stays columnar.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "format", "width", "height", "n_px_bytes", "px_sum", "px_dot")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                fmt, w, h, px = decode_image(bytes(payload))
+                flat = px.reshape(-1).astype(np.int64)
+                j = np.arange(flat.shape[0], dtype=np.int64)
+                out["media_id"].append(int(mid))
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px_bytes"].append(int(flat.shape[0]))
+                out["px_sum"].append(int(flat.sum()))
+                out["px_dot"].append(int((flat * (j % 251 + 1)).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=_PIXEL_STATS_SCHEMA)
 
 
 _META_SCHEMA = T.StructType(

@@ -323,6 +323,11 @@ def rank_portfolio_backtest(
     Shape: symbol-window momentum, bucket-window ranks, one bucket
     aggregate for P&L, and membership turnover via a self-join of the
     (tiny) per-bucket membership sets on consecutive bucket indexes.
+    The membership frame is persisted (tracked): it has only
+    ``2 * top_n`` rows per bucket but FOUR downstream consumers (P&L,
+    bucket lag, and both sides of the turnover self-join) — unpersisted,
+    each consumer re-executes the full input scan + momentum windows
+    (measured ~4x the single-pass wall at sf0.1, round 8).
     """
     if lookback < 1:
         raise ValueError(f"lookback must be >= 1, got {lookback}")
@@ -357,7 +362,11 @@ def rank_portfolio_backtest(
         .when(F.col("__rd") <= top_n, F.lit(-1.0))
         .otherwise(F.lit(0.0))
     )
-    members = m.withColumn("__side", side).where(F.col("__side") != 0)
+    from polars_trading_spark._utils import persist_tracked
+
+    members = persist_tracked(
+        m.withColumn("__side", side).where(F.col("__side") != 0)
+    )
 
     pnl = members.groupBy(ts_col).agg(
         F.count(F.when(F.col("__side") > 0, 1)).cast("int").alias("n_long"),

@@ -1,0 +1,813 @@
+"""Auto-split oracle module (from the former monolithic registry.py).
+
+Part of polars_trading_spark.oracles: each module registers its domain's
+(Spark, DuckDB-oracle) query pairs into the shared QUERIES dict at import
+time.  Import ORDER (see registry.py) plus the rotation front pins the
+driver gate window; tests/test_registry_order.py asserts the manifest.
+"""
+
+
+from __future__ import annotations
+from polars_trading_spark.functions import corpus as corpus_ops
+from polars_trading_spark.sources.tables import TRADES_CTE
+from polars_trading_spark.sources.tables import read_table
+from polars_trading_spark.sources.tables import trades_from_events
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from polars_trading_spark.oracles._shared import (  # noqa: F401
+    QUERIES,
+    Query,
+    register,
+)
+from polars_trading_spark.oracles.text import (  # noqa: F401
+    _DOCS_TOK_CTE,
+    _QUALITY_SQL,
+    _TEXT_FEAT_CTES,
+    _sql_hash60,
+    _sql_shingle_sh_cte,
+)
+from polars_trading_spark.oracles.dedup import (  # noqa: F401
+    _CC_TAIL,
+    _MH_BANDS,
+    _MH_K,
+    _MH_NGRAM,
+    _MH_PAIR_TAIL,
+    _MH_THRESHOLD,
+)
+
+
+
+# --------------------------------------------------------------------------
+# corpus_stats — per-language corpus profile: counts, distinct
+# fingerprints, token percentiles, mean quality.  Exact percentile /
+# count-distinct here (oracle-checkable); the operator's exact=False
+# flips the same aggregate to t-digest + HLL sketches for 100 TB runs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stats",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+q AS (
+  SELECT lang, n_tokens, fingerprint, {_QUALITY_SQL} AS quality FROM feat
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS distinct_fingerprints,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(quality), 6) AS avg_quality
+FROM q
+GROUP BY lang
+""",
+    "Per-language corpus dashboard: doc counts, post-exact-dedup size, "
+    "token percentiles, mean quality — one hash aggregate; sketch "
+    "variants (t-digest/HLL) behind exact=False",
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus_ops.corpus_stats(docs, exact=True)
+    return out.select(
+        "lang",
+        "n_docs",
+        "distinct_fingerprints",
+        *[F.round(c, 6).alias(c) for c in ("p50_tokens", "p90_tokens", "p99_tokens")],
+        F.round("avg_tokens", 6).alias("avg_tokens"),
+        F.round("avg_quality", 6).alias("avg_quality"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# corpus_filter: the composite training-data cleanse (gates + dedup).
+# --------------------------------------------------------------------------
+
+_CF_LANGS = ("en", "de", "fr", "es")
+
+_CF_MIN_TOKENS, _CF_MAX_TOKENS, _CF_MIN_QUALITY = 20, 100_000, 0.5
+
+_CF_LANGS_SQL = ", ".join(f"'{lang}'" for lang in _CF_LANGS)
+
+_CF_GATES_SQL = f"""s.lang_guess IN ({_CF_LANGS_SQL})
+        AND s.n_tokens BETWEEN {_CF_MIN_TOKENS} AND {_CF_MAX_TOKENS}
+        AND s.q >= {_CF_MIN_QUALITY}"""
+
+
+
+@register(
+    "corpus_filter",
+    f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+{_MH_PAIR_TAIL},
+{_CC_TAIL},
+scored AS (
+  SELECT doc_id, lang_guess, n_tokens, fingerprint,
+         {_QUALITY_SQL} AS q
+  FROM feat
+),
+ex AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fingerprint) AS keep_id
+  FROM scored
+)
+SELECT s.doc_id, s.lang_guess, s.n_tokens,
+       round(s.q, 6) AS quality_score,
+       s.lang_guess IN ({_CF_LANGS_SQL}) AS pass_lang,
+       s.n_tokens BETWEEN {_CF_MIN_TOKENS} AND {_CF_MAX_TOKENS} AS pass_tokens,
+       s.q >= {_CF_MIN_QUALITY} AS pass_quality,
+       s.doc_id <> e.keep_id AS is_exact_dup,
+       s.doc_id <> l.cluster_id AS is_near_dup,
+       ({_CF_GATES_SQL}
+        AND s.doc_id = e.keep_id
+        AND s.doc_id = l.cluster_id) AS keep
+FROM scored s JOIN ex e USING (doc_id) JOIN labeled l USING (doc_id)
+""",
+    "Training-data cleanse: language/token/quality gates + exact-dedup "
+    "keeper + near-dup cluster keeper -> keep decision with audit trail",
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = corpus_ops.corpus_filter(
+        docs,
+        langs=_CF_LANGS,
+        min_tokens=_CF_MIN_TOKENS,
+        max_tokens=_CF_MAX_TOKENS,
+        min_quality=_CF_MIN_QUALITY,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn("quality_score", F.round("quality_score", 6))
+
+
+
+# --------------------------------------------------------------------------
+# corpus_split: deterministic hash-based train/val/test assignment.
+# --------------------------------------------------------------------------
+
+_SPLIT_MOD = 1 << 30
+
+_SPLIT_SALT = "pts-split"
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+
+@register(
+    "corpus_split",
+    f"""
+WITH u AS (
+  SELECT doc_id,
+         ({_sql_hash60(f"concat('{_SPLIT_SALT}', CAST(doc_id AS VARCHAR))")} % {_SPLIT_MOD})
+           / {float(_SPLIT_MOD)} AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+""",
+    "Deterministic, engine-portable train/val/test split by salted id "
+    "hash — stable under re-ingestion, leakage-safe",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ops.hash_split(docs, weights=_SPLIT_WEIGHTS, salt=_SPLIT_SALT).select(
+        "doc_id", "split"
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Stratified corpus sampling (functions/corpus.py) — deterministic
+# per-language rebalancing by the same engine-portable salted hash the
+# split assignment uses.
+# --------------------------------------------------------------------------
+
+_SAMPLE_SALT = "pts-sample"
+
+_SAMPLE_FRACS = {"en": 0.25, "de": 0.75, "fr": 0.75, "es": 0.75}
+
+_SAMPLE_DEFAULT = 1.0
+
+_SAMPLE_MOD = 1 << 30
+
+
+_SAMPLE_CASE = " ".join(
+    [f"WHEN lang = '{k}' THEN {v!r}" for k, v in _SAMPLE_FRACS.items()]
+)
+
+
+
+@register(
+    "stratified_sample",
+    f"""
+WITH u AS (
+  SELECT doc_id, lang,
+         ({_sql_hash60(f"concat('{_SAMPLE_SALT}', CAST(doc_id AS VARCHAR))")} % {_SAMPLE_MOD})
+           / {float(_SAMPLE_MOD)} AS u
+  FROM documents
+)
+SELECT doc_id, lang
+FROM u
+WHERE u < CASE {_SAMPLE_CASE} ELSE {_SAMPLE_DEFAULT!r} END
+""",
+    "Deterministic stratified corpus sample: downweight the dominant "
+    "language via salted id hash — nested, engine-portable, zero-shuffle",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import stratified_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs.select("doc_id", "lang"),
+        stratum_col="lang",
+        fractions=_SAMPLE_FRACS,
+        default_fraction=_SAMPLE_DEFAULT,
+        salt=_SAMPLE_SALT,
+    )
+    return out
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Benchmark decontamination (functions/corpus.py::decontaminate)
+# --------------------------------------------------------------------------
+
+_DECON_NGRAM = 3
+
+
+
+@register(
+    "decontaminate",
+    f"""
+WITH {_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_DECON_NGRAM)},
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 20 = 0
+),
+grams AS (
+  SELECT doc_id, unnest(sh) AS g FROM sh
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM grams JOIN bench USING (g)
+  GROUP BY doc_id
+)
+SELECT s.doc_id,
+  CAST(len(s.sh) AS INTEGER) AS n_grams,
+  CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+  CASE WHEN len(s.sh) > 0
+       THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / len(s.sh)
+       ELSE 0.0 END AS contamination_ratio,
+  coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+FROM sh s LEFT JOIN hits h USING (doc_id)
+""",
+    f"Benchmark decontamination: {_DECON_NGRAM}-gram shingle-hash overlap "
+    "against the benchmark subset (doc_id % 20 = 0) via broadcast "
+    "semi-probe (GPT-3 appx C / FineWeb hygiene pass)",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(docs, bench, ngram=_DECON_NGRAM)
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Training-mixture sampling (functions/corpus.py::mix_corpus)
+# --------------------------------------------------------------------------
+
+_MIX_TARGET = 12_000
+
+_MIX_WEIGHTS = {"src0": 0.70, "src1": 0.10, "src2": 0.10, "src3": 0.10}
+
+
+
+def _mix_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    wcase = " ".join(
+        f"WHEN '{s}' THEN CAST({w / total_w!r} AS DOUBLE)"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH
+{_DOCS_TOK_CTE},
+avail AS (
+  SELECT source, CAST(sum(len(toks)) AS DOUBLE) AS av,
+    CASE source {wcase} END AS w
+  FROM tok GROUP BY source
+),
+rates AS (
+  SELECT source, least(4.0, w * {_MIX_TARGET} / av) AS mix_rate
+  FROM avail WHERE w IS NOT NULL
+),
+drawn AS (
+  SELECT d.doc_id, d.source, r.mix_rate,
+    CAST(floor(r.mix_rate) AS INTEGER)
+      + CASE WHEN CAST(('0x' || substr(md5('pts-mix' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 1073741824 / 1073741824.0
+                < r.mix_rate - floor(r.mix_rate) THEN 1 ELSE 0 END AS n
+  FROM docs d JOIN rates r USING (source)
+)
+SELECT doc_id, source, round(mix_rate, 6) AS mix_rate, g.e AS epoch
+FROM drawn
+JOIN generate_series(0, 7) AS g(e) ON g.e < n
+WHERE n > 0
+""",
+
+
+
+@register(
+    "mix_corpus",
+    _mix_oracle()[0],
+    "Static domain mixing: per-source sample/oversample rates hitting a "
+    "40k-token budget at pinned weights, deterministic salted-hash draws "
+    "with epoch expansion",
+)
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import mix_corpus
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = mix_corpus(docs, weights=_MIX_WEIGHTS, target_tokens=_MIX_TARGET)
+    return out.select(
+        "doc_id",
+        "source",
+        F.round("mix_rate", 6).alias("mix_rate"),
+        "epoch",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Sequence packing (functions/corpus.py::pack_sequences)
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET, _PACK_SHARDS = 512, 4
+
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH RECURSIVE
+pdocs AS (
+  SELECT doc_id,
+    len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS n_tok,
+    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, n_tok, h, CAST(h % {_PACK_SHARDS} AS INTEGER) AS shard,
+    row_number() OVER (PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id) - 1 AS idx
+  FROM pdocs
+),
+pre AS (
+  SELECT *,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_end,
+    sum(n_tok) OVER (PARTITION BY shard ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS c_start
+  FROM sharded
+),
+nmax AS (SELECT shard, count(*) AS n FROM pre GROUP BY shard),
+rec AS (
+  SELECT shard, 0 AS s, 0 AS b FROM nmax
+  UNION ALL
+  SELECT r.shard,
+    CAST(greatest(r.s + 1,
+      coalesce((SELECT min(p.idx) FROM pre p
+                WHERE p.shard = r.shard AND p.idx >= r.s
+                  AND p.c_end - coalesce((SELECT p2.c_end FROM pre p2
+                                          WHERE p2.shard = r.shard AND p2.idx = r.s - 1), 0)
+                      > {_PACK_BUDGET}),
+               (SELECT n FROM nmax WHERE nmax.shard = r.shard))) AS INTEGER) AS s,
+    r.b + 1 AS b
+  FROM rec r
+  WHERE r.s < (SELECT n FROM nmax WHERE nmax.shard = r.shard)
+),
+assign AS (
+  SELECT p.shard, p.doc_id, p.idx, p.n_tok, p.c_start,
+    (SELECT max(r.b) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS seq_id,
+    (SELECT max(r.s) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS bstart
+  FROM pre p
+)
+SELECT a.doc_id, a.shard,
+  CAST(a.seq_id AS INTEGER) AS seq_id,
+  -- CAST: DuckDB window sums of integers are HUGEINT; an uncast HUGEINT
+  -- output column survives fetchall() (python int) but turns float64
+  -- under a pandas-based fetch, which stringifies 100 as "100.0" and
+  -- broke the driver's string-keyed value hash (round-5 red row).
+  -- This was the ONLY oracle in the registry emitting HUGEINT.
+  CAST(a.c_start - p2.c_start AS BIGINT) AS seq_offset,
+  CAST(a.n_tok AS INTEGER) AS n_tokens
+FROM assign a
+JOIN pre p2 ON p2.shard = a.shard AND p2.idx = a.bstart
+""",
+    f"Greedy {_PACK_BUDGET}-token sequence packing after a deterministic "
+    f"salted-hash shuffle, {_PACK_SHARDS} parallel shards (T5-style "
+    "pre-tokenization packing), replayed by a recursive-CTE oracle",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Corpus cleanse funnel (functions/corpus.py::corpus_funnel) — the
+# per-stage yield report; oracle wraps the corpus_filter oracle verbatim.
+# --------------------------------------------------------------------------
+
+_FUNNEL_SQL = f"""
+WITH agg AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS d0, CAST(sum(n_tokens) AS BIGINT) AS t0,
+    CAST(count(CASE WHEN pass_lang AND pass_tokens AND pass_quality THEN 1 END) AS BIGINT) AS d1,
+    CAST(coalesce(sum(CASE WHEN pass_lang AND pass_tokens AND pass_quality THEN n_tokens END), 0) AS BIGINT) AS t1,
+    CAST(count(CASE WHEN pass_lang AND pass_tokens AND pass_quality AND NOT is_exact_dup THEN 1 END) AS BIGINT) AS d2,
+    CAST(coalesce(sum(CASE WHEN pass_lang AND pass_tokens AND pass_quality AND NOT is_exact_dup THEN n_tokens END), 0) AS BIGINT) AS t2,
+    CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS d3,
+    CAST(coalesce(sum(CASE WHEN keep THEN n_tokens END), 0) AS BIGINT) AS t3
+  FROM ({{base}}) b
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT 1, 'quality', d1, t1 FROM agg
+UNION ALL SELECT 2, 'exact_dedup', d2, t2 FROM agg
+UNION ALL SELECT 3, 'near_dedup', d3, t3 FROM agg
+"""
+
+
+
+@register(
+    "corpus_funnel",
+    None,  # filled in immediately below from the corpus_filter oracle
+    "Cleanse funnel: docs/tokens surviving raw -> quality gates -> "
+    "exact dedup -> near dedup",
+)
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_ops.corpus_funnel(
+        docs,
+        langs=_CF_LANGS,
+        min_tokens=_CF_MIN_TOKENS,
+        max_tokens=_CF_MAX_TOKENS,
+        min_quality=_CF_MIN_QUALITY,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).withColumn("stage_idx", F.col("stage_idx").cast("int"))
+
+
+
+QUERIES["corpus_funnel"] = Query(
+    name="corpus_funnel",
+    spark=QUERIES["corpus_funnel"].spark,
+    oracle=_FUNNEL_SQL.format(base=QUERIES["corpus_filter"].oracle),
+    description=QUERIES["corpus_funnel"].description,
+)
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. PSI feature drift (operators/drift.py::psi_drift)
+# --------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-08 00:00:00"
+
+_PSI_BINS, _PSI_EPS = 10, 1e-4
+
+
+
+@register(
+    "psi_drift",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, price AS x, ts_event < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM trades WHERE price IS NOT NULL
+),
+rng AS (
+  SELECT symbol, min(x) AS mn, max(x) AS mx FROM t WHERE is_ref GROUP BY symbol
+),
+b AS (
+  SELECT t.symbol, t.is_ref,
+    CASE WHEN r.mx > r.mn
+         THEN least(greatest(CAST(floor((t.x - r.mn) / (r.mx - r.mn) * {_PSI_BINS}) AS BIGINT), 0), {_PSI_BINS - 1})
+         ELSE 0 END AS bin
+  FROM t JOIN rng r USING (symbol)
+),
+g AS (
+  SELECT symbol, bin,
+    count(CASE WHEN is_ref THEN 1 END) AS cr,
+    count(CASE WHEN NOT is_ref THEN 1 END) AS cc
+  FROM b GROUP BY symbol, bin
+),
+tot AS (SELECT symbol, CAST(sum(cr) AS BIGINT) AS n_ref, CAST(sum(cc) AS BIGINT) AS n_cur
+        FROM g GROUP BY symbol),
+s AS (
+  SELECT g.symbol, tot.n_ref, tot.n_cur,
+    sum((cc / CAST(n_cur AS DOUBLE) + {_PSI_EPS!r} - (cr / CAST(n_ref AS DOUBLE) + {_PSI_EPS!r}))
+        * ln((cc / CAST(n_cur AS DOUBLE) + {_PSI_EPS!r}) / (cr / CAST(n_ref AS DOUBLE) + {_PSI_EPS!r}))) AS psi
+  FROM g JOIN tot USING (symbol)
+  GROUP BY g.symbol, tot.n_ref, tot.n_cur
+)
+SELECT symbol, n_ref, n_cur,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi END, 6) AS psi,
+  CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi > 0.2 END AS drifted
+FROM s
+""",
+    f"Population Stability Index of tick prices per symbol ({_PSI_BINS} "
+    f"reference-range bins, split at {_PSI_SPLIT}) — the deployed-model "
+    "drift monitor",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.drift import psi_drift
+
+    t = trades_from_events(spark, sf_dir)
+    out = psi_drift(
+        t, "price", split_ts=_PSI_SPLIT, bins=_PSI_BINS, epsilon=_PSI_EPS
+    )
+    return out.select(
+        "symbol", "n_ref", "n_cur", F.round("psi", 6).alias("psi"), "drifted"
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Kolmogorov-Smirnov drift (operators/drift.py::ks_drift) — the
+# binning-free sibling of psi_drift; integer cumulative CDFs replayed.
+# --------------------------------------------------------------------------
+
+_KS_COEFF = 1.358
+
+
+
+@register(
+    "ks_drift",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+t AS (
+  SELECT symbol, price AS x, ts_event < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+  FROM trades WHERE price IS NOT NULL
+),
+g AS (
+  SELECT symbol, x,
+    count(CASE WHEN is_ref THEN 1 END) AS r,
+    count(CASE WHEN NOT is_ref THEN 1 END) AS c
+  FROM t GROUP BY symbol, x
+),
+cum AS (
+  SELECT symbol,
+    sum(r) OVER (PARTITION BY symbol) AS nr,
+    sum(c) OVER (PARTITION BY symbol) AS nc,
+    sum(r) OVER (PARTITION BY symbol ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS cr,
+    sum(c) OVER (PARTITION BY symbol ORDER BY x
+                 ROWS UNBOUNDED PRECEDING) AS cc
+  FROM g
+),
+per AS (
+  SELECT symbol, CAST(max(nr) AS BIGINT) AS n_ref, CAST(max(nc) AS BIGINT) AS n_cur,
+    max(CASE WHEN nr > 0 AND nc > 0
+             THEN abs(cr / CAST(nr AS DOUBLE) - cc / CAST(nc AS DOUBLE)) END) AS ks
+  FROM cum GROUP BY symbol
+)
+SELECT symbol, n_ref, n_cur,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN ks END, 6) AS ks,
+  round(CASE WHEN n_ref > 0 AND n_cur > 0
+             THEN {_KS_COEFF} * sqrt((n_ref + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur)) END, 6)
+    AS ks_critical,
+  CASE WHEN n_ref > 0 AND n_cur > 0
+       THEN ks > {_KS_COEFF} * sqrt((n_ref + n_cur) / (CAST(n_ref AS DOUBLE) * n_cur)) END
+    AS drifted
+FROM per
+""",
+    f"Exact two-sample KS drift of tick prices per symbol (split at "
+    f"{_PSI_SPLIT}, alpha 0.05 critical value) — binning-free sibling "
+    "of psi_drift",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.drift import ks_drift
+
+    t = trades_from_events(spark, sf_dir)
+    out = ks_drift(t, "price", split_ts=_PSI_SPLIT, alpha_coeff=_KS_COEFF)
+    return out.select(
+        "symbol",
+        "n_ref",
+        "n_cur",
+        F.round("ks", 6).alias("ks"),
+        F.round("ks_critical", 6).alias("ks_critical"),
+        "drifted",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. DSIR importance log-weights (functions/corpus.py::
+# dsir_log_weights) — hashed-bigram target/raw LM ratio; integer bucket
+# LMs + doc-ordered running reduce replayed exactly.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 4096
+
+
+
+@register(
+    "dsir_weights",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+db0 AS (
+  SELECT doc_id, lang = 'en' AS tgt, toks, len(toks) AS ntok FROM tok
+),
+dg AS (
+  SELECT doc_id, tgt, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM db0, unnest(generate_series(1, ntok - 1)) AS gs(i)
+  WHERE ntok >= 2
+),
+dfeat AS (
+  SELECT doc_id, tgt, {_sql_hash60('gram')} % {_DSIR_B} AS b,
+         CAST(count(*) AS BIGINT) AS c
+  FROM dg GROUP BY 1, 2, 3
+),
+dlm AS (
+  SELECT b, CAST(sum(CASE WHEN tgt THEN c ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(c) AS BIGINT) AS cr
+  FROM dfeat GROUP BY b
+),
+dtot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt_, CAST(sum(cr) AS BIGINT) AS nr_ FROM dlm),
+drat AS (
+  SELECT b,
+    ln(CAST(ct + 1 AS DOUBLE) / CAST(nt_ + {_DSIR_B} AS DOUBLE))
+    - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr_ + {_DSIR_B} AS DOUBLE)) AS lr
+  FROM dlm CROSS JOIN dtot
+),
+dsc AS (SELECT f.doc_id, f.b, f.c, r.lr FROM dfeat f JOIN drat r USING (b)),
+drun AS (
+  SELECT doc_id, b,
+    row_number() OVER (PARTITION BY doc_id ORDER BY b) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS k,
+    sum(c) OVER (PARTITION BY doc_id) AS nf,
+    sum(CAST(c AS DOUBLE) * lr) OVER (PARTITION BY doc_id ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+  FROM dsc
+),
+dlast AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_feats, w AS log_w
+          FROM drun WHERE rn = k)
+SELECT d.doc_id, coalesce(l.n_feats, 0) AS n_feats,
+  round(l.log_w, 6) + 0 AS log_w
+FROM documents d LEFT JOIN dlast l USING (doc_id)
+""",
+    f"DSIR importance log-weights (hashed bigrams, {_DSIR_B} buckets, "
+    "add-1 smoothing; target = lang='en') — domain-tilted data "
+    "selection; integer bucket LMs, broadcast ratio join, "
+    "bucket-ordered per-doc reduce, zero Python",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import dsir_log_weights
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    out = dsir_log_weights(docs, is_target_col="__is_en", n_buckets=_DSIR_B)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        (F.round("log_w", 6) + F.lit(0.0)).alias("log_w"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Gumbel-top-k weighted sampling without replacement
+# (functions/corpus.py::gumbel_topk_sample).
+# --------------------------------------------------------------------------
+
+_GUM_K = 50
+
+
+
+@register(
+    "gumbel_topk",
+    f"""
+WITH g AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+    ln(CAST(n_chars AS DOUBLE))
+      - ln(-ln(((CAST(('0x' || substr(md5('pts-gumbel' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 1073741824) + 0.5) / 1073741824.0)) AS sample_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(sample_key, 6) + 0 AS sample_key,
+  CAST(rnk AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rnk FROM g)
+WHERE rnk <= {_GUM_K}
+""",
+    f"Deterministic weighted sampling without replacement: top-{_GUM_K} "
+    "Gumbel-perturbed keys (ln w + Gumbel noise from the salted 60-bit "
+    "hash) over document char counts — RNG-free importance resampling",
+)
+def q_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import gumbel_topk_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = gumbel_topk_sample(docs, k=_GUM_K, weight_col="n_chars")
+    return out.select(
+        "doc_id",
+        "weight",
+        (F.round("sample_key", 6) + F.lit(0.0)).alias("sample_key"),
+        "rank",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Distribution diagnostics (operators/stats.py):
+# exact group quantiles and join-key skew profiling.
+# --------------------------------------------------------------------------
+
+_QP_PCTS = (25, 50, 75, 90, 99)
+
+_SKEW_TOPK = 10
+
+
+
+@register(
+    "size_quantiles",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+r AS (
+  SELECT symbol, size AS v,
+    row_number() OVER (PARTITION BY symbol ORDER BY size) AS rn,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM trades
+)
+SELECT symbol, CAST(max(n) AS BIGINT) AS n,
+  {", ".join(f"max(CASE WHEN rn = ({p} * n + 99) // 100 THEN v END) AS p{p}" for p in _QP_PCTS)}
+FROM r GROUP BY symbol
+""",
+    "Exact per-symbol trade-size percentiles via integer-ceil count-based "
+    "selection (the reproducible sibling of approx_percentile)",
+)
+def q_size_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.stats import quantile_profile
+
+    t = trades_from_events(spark, sf_dir)
+    return quantile_profile(t, "size", by="symbol", percents=_QP_PCTS)
+
+
+
+@register(
+    "key_skew",
+    f"""
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+t AS (SELECT count(*) AS nk, sum(n_rows) AS tot, max(n_rows) AS mx FROM c),
+top AS (
+  SELECT * FROM c ORDER BY n_rows DESC, key ASC NULLS LAST LIMIT {_SKEW_TOPK}
+)
+SELECT
+  CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS LAST) AS INTEGER) AS rank,
+  key,
+  CAST(n_rows AS BIGINT) AS n_rows,
+  round(n_rows / CAST(tot AS DOUBLE), 6) + 0 AS share,
+  CAST(nk AS BIGINT) AS n_keys,
+  CAST(tot AS BIGINT) AS total_rows,
+  round(mx / (tot / CAST(nk AS DOUBLE)), 6) + 0 AS skew_ratio
+FROM top, t
+""",
+    f"Join-key heavy-hitter report: top-{_SKEW_TOPK} event user_ids by "
+    "row count with share and max/mean skew ratio — the salting/AQE "
+    "decision input",
+)
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.stats import key_skew_profile
+
+    ev = read_table(spark, sf_dir, "events")
+    out = key_skew_profile(ev, "user_id", top_k=_SKEW_TOPK)
+    return out.select(
+        "rank",
+        "key",
+        "n_rows",
+        (F.round("share", 6) + F.lit(0.0)).alias("share"),
+        "n_keys",
+        "total_rows",
+        (F.round("skew_ratio", 6) + F.lit(0.0)).alias("skew_ratio"),
+    )

@@ -1,0 +1,650 @@
+"""Auto-split oracle module (from the former monolithic registry.py).
+
+Part of polars_trading_spark.oracles: each module registers its domain's
+(Spark, DuckDB-oracle) query pairs into the shared QUERIES dict at import
+time.  Import ORDER (see registry.py) plus the rotation front pins the
+driver gate window; tests/test_registry_order.py asserts the manifest.
+"""
+
+
+from __future__ import annotations
+from polars_trading_spark.functions import dedup as dedup_ops
+from polars_trading_spark.functions import similarity as sim_ops
+from polars_trading_spark.functions.dedup import MERSENNE31
+from polars_trading_spark.functions.dedup import _coeffs
+from polars_trading_spark.sources.tables import read_table
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from polars_trading_spark.oracles._shared import (  # noqa: F401
+    register,
+)
+from polars_trading_spark.oracles.text import (  # noqa: F401
+    _DOCS_TOK_CTE,
+    _QUALITY_SQL,
+    _TEXT_FEAT_CTES,
+    _sql_hash60,
+    _sql_shingle_sh_cte,
+)
+from polars_trading_spark.oracles.similarity import (  # noqa: F401
+    _EMB_CTE,
+)
+
+
+
+# --------------------------------------------------------------------------
+# dedup_exact: fingerprint-group keeper assignment.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+fp AS (SELECT doc_id, md5(norm) AS fingerprint FROM docs)
+SELECT doc_id, fingerprint,
+       CAST(min(doc_id) OVER (PARTITION BY fingerprint) AS BIGINT) AS keep_id,
+       CAST(count(*) OVER (PARTITION BY fingerprint) AS INTEGER) AS n_copies,
+       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_duplicate
+FROM fp
+""",
+    "Exact dedup on the normalized-content fingerprint (hash groupBy)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs).select(
+        "doc_id", "fingerprint", "keep_id", "n_copies", "is_duplicate"
+    )
+
+
+
+# --------------------------------------------------------------------------
+# dedup_minhash_lsh: banded MinHash candidates + exact Jaccard verify.
+# --------------------------------------------------------------------------
+
+_MH_K, _MH_BANDS, _MH_NGRAM, _MH_THRESHOLD = 12, 4, 3, 0.2
+
+_ROWS_PER_BAND = _MH_K // _MH_BANDS
+
+
+_SIG_SQL = ", ".join(
+    f"coalesce(list_min([({a} * h + {b}) % {MERSENNE31} for h in sh]), {MERSENNE31}) AS s{i}"
+    for i, (a, b) in enumerate(_coeffs(_MH_K))
+)
+
+_BAND_KEYS_SQL = ", ".join(
+    "concat_ws(',', "
+    + ", ".join(f"s{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + f") AS band{b}"
+    for b in range(_MH_BANDS)
+)
+
+_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, sh, {b} AS band, concat_ws(',', "
+    + ", ".join(f"s{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + ") AS key FROM sig"
+    for b in range(_MH_BANDS)
+)
+
+
+
+# The minhash pair-generation CTE chain (sans docs/tok, so composites
+# can prepend their own shared scan CTEs), used by the pairs oracle, the
+# connected-components (dedup_clusters) oracle, and corpus_filter.
+_MH_PAIR_TAIL = f"""{_sql_shingle_sh_cte(_MH_NGRAM)},
+sig AS (SELECT doc_id, sh, {_SIG_SQL} FROM sh),
+banded AS ({_BAND_UNION_SQL}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         CASE WHEN len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) > 0
+              THEN len(list_intersect(x.sh, y.sh))::DOUBLE
+                   / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+              ELSE 0.0 END AS jaccard
+  FROM cand c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id
+)"""
+
+
+_MH_PAIR_CTES = f"""{_DOCS_TOK_CTE},
+{_MH_PAIR_TAIL}"""
+
+
+# Transitive closure of the verified pairs (recursive CTE) down to the
+# per-document canonical label — shared by dedup_clusters/corpus_filter.
+_CC_TAIL = f"""pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (SELECT src AS doc_id, min(dst) AS mind FROM reach GROUP BY src),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(least(c.doc_id, c.mind), d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)"""
+
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH
+{_MH_PAIR_CTES}
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM verified WHERE jaccard >= {_MH_THRESHOLD}
+""",
+    "Near-dup pairs: word-3-gram shingles → 12-perm MinHash → 4-band LSH "
+    "buckets → exact-Jaccard verification",
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters: transitive closure of the near-dup pairs -> keep/drop.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+{_MH_PAIR_CTES},
+{_CC_TAIL}
+SELECT doc_id, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+       doc_id <> cluster_id AS is_duplicate
+FROM labeled
+""",
+    "Duplicate clusters: MinHash-LSH pairs -> connected components "
+    "(min-label propagation) -> canonical keeper per cluster, singletons "
+    "included",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return dedup_ops.connected_components(pairs, nodes=docs)
+
+
+
+# --------------------------------------------------------------------------
+# dedup_simhash: 32-bit simhash, pigeonhole-blocked hamming pairs.
+# --------------------------------------------------------------------------
+
+_SH_BITS, _SH_MAXHAM = 48, 3
+
+_SH_BLOCKS = _SH_MAXHAM + 1
+
+_SH_BLOCK_BITS = _SH_BITS // _SH_BLOCKS
+
+
+_SIMHASH_SQL = " + ".join(
+    f"CASE WHEN list_sum([CAST(((h >> {b}) & 1) * 2 - 1 AS BIGINT) for h in hs]) > 0 "
+    f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(_SH_BITS)
+)
+
+_SH_BLOCK_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, sh, {b} AS blk, (sh >> {b * _SH_BLOCK_BITS}) & {(1 << _SH_BLOCK_BITS) - 1} AS key FROM sh"
+    for b in range(_SH_BLOCKS)
+)
+
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+hashes AS (SELECT doc_id, [{_sql_hash60("t")} for t in toks] AS hs FROM tok),
+sh AS (SELECT doc_id, {_SIMHASH_SQL} AS sh FROM hashes),
+blocked AS ({_SH_BLOCK_UNION}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {_SH_MAXHAM}
+""",
+    "SimHash near-dup pairs: 48-bit token-majority sketch, hamming ≤ 3 via "
+    "pigeonhole block joins (no cross product)",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_pairs(docs, bits=_SH_BITS, max_hamming=_SH_MAXHAM)
+
+
+
+# --------------------------------------------------------------------------
+# dedup_ngram_jaccard: exact Jaccard within (lang) blocks.
+# --------------------------------------------------------------------------
+
+_NJ_THRESHOLD = 0.2
+
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(3)},
+ng AS (
+  SELECT s.doc_id, t.lang, s.sh AS g
+  FROM sh s JOIN tok t ON s.doc_id = t.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+              THEN len(list_intersect(a.g, b.g))::DOUBLE
+                   / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+              ELSE 0.0 END AS jaccard
+  FROM ng a JOIN ng b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs WHERE jaccard >= {_NJ_THRESHOLD}
+""",
+    "Exact word-3-gram Jaccard pairs within language blocks",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.ngram_jaccard_pairs(docs, threshold=_NJ_THRESHOLD, block_cols=("lang",))
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+
+# --------------------------------------------------------------------------
+# dedup_embedding_cosine: the 5th dedup modality — near-dups in embedding
+# space, SRP-bucketed candidates + exact cosine verify.
+# --------------------------------------------------------------------------
+
+_EC_THRESHOLD, _EC_PLANES = 0.42, 6
+
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+WITH
+{_EMB_CTE},
+planes AS (
+  SELECT v AS pv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_EC_PLANES})
+),
+bucketed AS (
+  SELECT c.vec_id, c.v,
+         CAST(sum(CASE WHEN list_sum([pv[i+1] * v[i+1] for i in range(0, len(v))]) >= 0
+                       THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+  FROM c CROSS JOIN planes
+  GROUP BY c.vec_id, c.v
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum([a.v[i+1] * b.v[i+1] for i in range(0, len(a.v))])
+               / (sqrt(list_sum([x * x for x in a.v])) * sqrt(list_sum([x * x for x in b.v]))), 6)
+           AS cosine_sim
+  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= {_EC_THRESHOLD}
+""",
+    "Embedding-cosine near-dup pairs: SRP bucket candidates (6 planes), "
+    "exact cosine verification at threshold 0.42",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_cosine_pairs(
+        emb, threshold=_EC_THRESHOLD, num_planes=_EC_PLANES
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Paragraph-level (unit) dedup (functions/dedup.py::unit_dedup)
+# --------------------------------------------------------------------------
+
+_UNIT_K = 10
+
+
+
+@register(
+    "dedup_paragraph",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+units AS (
+  SELECT doc_id, g.i AS idx,
+    array_to_string(toks[g.i * {_UNIT_K} + 1 : g.i * {_UNIT_K} + {_UNIT_K}], ' ') AS unit
+  FROM tok
+  CROSS JOIN generate_series(0, 4999) AS g(i)
+  WHERE g.i < ceil(len(toks) / CAST({_UNIT_K} AS DOUBLE))
+),
+marked AS (
+  SELECT doc_id, idx, unit,
+    row_number() OVER (PARTITION BY md5(unit) ORDER BY doc_id, idx) = 1 AS is_first
+  FROM units
+),
+per_doc AS (
+  SELECT doc_id,
+    count(*) AS n_units,
+    sum(CASE WHEN is_first THEN 0 ELSE 1 END) AS n_dup,
+    coalesce(string_agg(unit, ' ' ORDER BY idx) FILTER (WHERE is_first), '')
+      AS text_deduped
+  FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.n_units, 0) AS INTEGER) AS n_units,
+  CAST(coalesce(p.n_dup, 0) AS INTEGER) AS n_dup_units,
+  round(CASE WHEN p.n_units > 0 THEN p.n_dup / CAST(p.n_units AS DOUBLE) END, 6)
+    AS dup_unit_frac,
+  md5(p.text_deduped) AS dedup_md5
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+""",
+    f"Paragraph-level exact dedup over {_UNIT_K}-token units: per-doc "
+    "duplicated-unit fraction and the fingerprint of the deduped text "
+    "(C4-style span dedup, splitter-agnostic)",
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import unit_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = unit_dedup(docs, unit_tokens=_UNIT_K)
+    return out.select(
+        "doc_id",
+        "n_units",
+        "n_dup_units",
+        F.round("dup_unit_frac", 6).alias("dup_unit_frac"),
+        F.md5("text_deduped").alias("dedup_md5"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-doc duplicated spans (functions/dedup.py::
+# duplicated_span_stats) — the exact-substring-dedup approximation.
+# --------------------------------------------------------------------------
+
+_DSP_N = 8
+
+
+
+def _sql_positional_shingles(n: int) -> str:
+    """DuckDB twin of ``dedup.positional_shingle_hashes``: (doc_id, pos,
+    h) rows, pos 0-based, duplicates kept.  Expects the ``tok`` CTE."""
+    combined = "hs[i+1]"
+    for j in range(2, n + 1):
+        combined = f"(({combined}) * 31 + hs[i+{j}]) % {MERSENNE31}"
+    return f"""hs AS (
+  SELECT doc_id, [{_sql_hash60("t")} % {MERSENNE31} for t in toks] AS hs FROM tok
+),
+ps AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (SELECT doc_id,
+          unnest([{{'pos': i, 'h': {combined}}}
+                  for i in range(0, len(hs) - {n - 1})]) AS u
+        FROM hs)
+)"""
+
+
+
+@register(
+    "dup_spans",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_positional_shingles(_DSP_N)},
+dup AS (SELECT h FROM ps GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+lagged AS (
+  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM (SELECT ps.doc_id, ps.pos FROM ps JOIN dup USING (h))
+),
+cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_shingles,
+    CAST(sum(CASE WHEN prev IS NULL THEN {_DSP_N}
+             ELSE least({_DSP_N}, pos - prev) END) AS BIGINT) AS dup_token_cov
+  FROM lagged GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT t.doc_id, t.n_tokens,
+  CAST(greatest(t.n_tokens - {_DSP_N - 1}, 0) AS BIGINT) AS n_shingles,
+  coalesce(c.dup_shingles, CAST(0 AS BIGINT)) AS dup_shingles,
+  coalesce(c.dup_token_cov, CAST(0 AS BIGINT)) AS dup_token_cov,
+  round(CASE WHEN t.n_tokens > 0
+        THEN coalesce(c.dup_token_cov, 0) / CAST(t.n_tokens AS DOUBLE)
+        ELSE 0.0 END, 6) AS dup_frac,
+  (CASE WHEN t.n_tokens > 0
+   THEN coalesce(c.dup_token_cov, 0) / CAST(t.n_tokens AS DOUBLE)
+   ELSE 0.0 END) <= 0.5 AS keep
+FROM tot t LEFT JOIN cov c USING (doc_id)
+""",
+    f"Cross-doc duplicated {_DSP_N}-gram spans (exact-substring-dedup "
+    "approximation): per-doc duplicated shingle count and exact "
+    "union-of-spans token coverage",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import duplicated_span_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = duplicated_span_stats(docs, ngram=_DSP_N, min_docs=2, max_dup_frac=0.5)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_shingles",
+        "dup_shingles",
+        "dup_token_cov",
+        F.round("dup_frac", 6).alias("dup_frac"),
+        "keep",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. n-gram containment pairs (functions/dedup.py::
+# ngram_containment_pairs) — the asymmetric dedup modality.
+# --------------------------------------------------------------------------
+
+_CT_N, _CT_T, _CT_MAXDF = 3, 0.6, 0.2
+
+
+
+@register(
+    "dedup_containment",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_CT_N)},
+post AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+dfq AS (SELECT h, count(*) AS df FROM post GROUP BY h),
+pruned AS (
+  SELECT p.doc_id, p.h FROM post p JOIN dfq USING (h) CROSS JOIN nd
+  WHERE dfq.df <= nd.n * {_CT_MAXDF!r}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.ida, c.idb,
+    len(list_intersect(sa.sh, sb.sh)) AS shared,
+    len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.ida
+  JOIN sh sb ON sb.doc_id = c.idb
+)
+SELECT ida AS id_a, idb AS id_b, CAST(shared AS BIGINT) AS n_shared,
+  round(shared / CAST(na AS DOUBLE), 6) + 0 AS containment_a,
+  round(shared / CAST(nb AS DOUBLE), 6) + 0 AS containment_b
+FROM v
+WHERE na > 0 AND nb > 0
+  AND (shared / CAST(na AS DOUBLE) >= {_CT_T!r}
+       OR shared / CAST(nb AS DOUBLE) >= {_CT_T!r})
+""",
+    f"Asymmetric n-gram containment pairs (either direction >= {_CT_T}; "
+    f"df-pruned candidates at max-df {_CT_MAXDF}, exact verify) — "
+    "catches quote-inclusion near-dups Jaccard misses",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import ngram_containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(
+        docs, ngram=_CT_N, threshold=_CT_T, max_df_frac=_CT_MAXDF
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        (F.round("containment_a", 6) + z0).alias("containment_a"),
+        (F.round("containment_b", 6) + z0).alias("containment_b"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Quality-aware near-dup cluster keeper
+# (functions/dedup.py::cluster_representatives) — reuses corpus_filter's
+# pairs/components/quality CTEs.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cluster_representatives",
+    f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+{_MH_PAIR_TAIL},
+{_CC_TAIL},
+scored AS (
+  SELECT doc_id, round({_QUALITY_SQL}, 6) AS q FROM feat
+),
+m AS (
+  SELECT l.doc_id, l.cluster_id, s.q
+  FROM labeled l JOIN scored s USING (doc_id)
+),
+sel AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY cluster_id) AS csize,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rk
+  FROM m
+)
+SELECT doc_id, cluster_id, CAST(csize AS INTEGER) AS cluster_size,
+  q + 0 AS quality_score, rk = 1 AS is_representative
+FROM sel
+""",
+    "Quality-aware near-dup keeper: each MinHash cluster's highest-"
+    "quality document survives (round-6-then-rank, ties to lowest id) "
+    "instead of the arbitrary min-id copy",
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.dedup import cluster_representatives
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = cluster_representatives(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    return out.withColumn(
+        "quality_score", F.col("quality_score") + F.lit(0.0)
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). MinHash banding recall harness: LSH-surviving pairs
+# vs ALL pairs at the same exact-Jaccard threshold (the dedup sibling
+# of ann_recall — measures what the banding probability actually costs).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_recall",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_MH_PAIR_TAIL},
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+             THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             ELSE 0.0 END >= {_MH_THRESHOLD}
+),
+lshp AS (SELECT DISTINCT id_a, id_b FROM verified WHERE jaccard >= {_MH_THRESHOLD}),
+h AS (
+  SELECT count(*) AS c
+  FROM exact e JOIN lshp l ON e.id_a = l.id_a AND e.id_b = l.id_b
+)
+SELECT
+  CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+  CAST((SELECT count(*) FROM lshp) AS BIGINT) AS n_lsh,
+  CAST((SELECT c FROM h) AS BIGINT) AS n_hit,
+  CASE WHEN (SELECT count(*) FROM exact) > 0
+       THEN round((SELECT c FROM h)
+                  / CAST((SELECT count(*) FROM exact) AS DOUBLE), 6) + 0
+  END AS recall
+""",
+    f"MinHash banding recall: pairs surviving {_MH_BANDS}-band LSH vs "
+    f"every pair with exact shingle Jaccard >= {_MH_THRESHOLD} — the "
+    "measured candidate-generation loss of the dedup scale path",
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    exact = dedup_ops.ngram_jaccard_pairs(
+        docs, ngram=_MH_NGRAM, threshold=_MH_THRESHOLD, block_cols=()
+    ).select("id_a", "id_b")
+    lsh = dedup_ops.minhash_lsh_pairs(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(l)
+        .crossJoin(h)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
+                + F.lit(0.0),
+            ).alias("recall"),
+        )
+    )

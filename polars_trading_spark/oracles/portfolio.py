@@ -1,0 +1,1109 @@
+"""Auto-split oracle module (from the former monolithic registry.py).
+
+Part of polars_trading_spark.oracles: each module registers its domain's
+(Spark, DuckDB-oracle) query pairs into the shared QUERIES dict at import
+time.  Import ORDER (see registry.py) plus the rotation front pins the
+driver gate window; tests/test_registry_order.py asserts the manifest.
+"""
+
+
+from __future__ import annotations
+from polars_trading_spark.operators import bars as bars_ops
+from polars_trading_spark.sources.tables import trades_from_events
+from pyspark.sql import DataFrame
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from polars_trading_spark.oracles._shared import (  # noqa: F401
+    TIME_BAR_SIZE,
+    _trades_config,
+    register,
+)
+from polars_trading_spark.oracles.bars import (  # noqa: F401
+    _FEATURE_BARS_CTE,
+)
+from polars_trading_spark.oracles.timeseries import (  # noqa: F401
+    _MOM_LOOKBACK,
+)
+
+
+
+@register(
+    "momentum_rank",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r2 AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_MOM_LOOKBACK}) OVER (PARTITION BY symbol ORDER BY ts)) AS mom
+  FROM bars
+),
+ranked AS (
+  SELECT symbol, ts,
+    row_number() OVER (PARTITION BY ts ORDER BY mom DESC, symbol ASC) AS mom_rank,
+    count(*) OVER (PARTITION BY ts) AS n_ranked
+  FROM r2 WHERE mom IS NOT NULL
+)
+SELECT r2.symbol, r2.ts AS ts_event, r2.mom AS momentum,
+  CAST(rk.mom_rank AS INTEGER) AS mom_rank,
+  CAST(rk.n_ranked AS INTEGER) AS n_ranked
+FROM r2 LEFT JOIN ranked rk ON r2.symbol = rk.symbol AND r2.ts = rk.ts
+""",
+    f"Cross-sectional momentum rank per bucket (trailing {_MOM_LOOKBACK}-bar "
+    "log return, 1 = strongest; deterministic symbol tiebreak)",
+)
+def q_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import momentum_rank
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    return momentum_rank(bars, lookback=_MOM_LOOKBACK, ts_col="ts_event")
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Backtest statistics (operators/backtest.py, AFML ch.14-15)
+# --------------------------------------------------------------------------
+
+_BT_PPY = 35040.0  # 15-minute bars: 365 * 24 * 4 periods per year
+
+_BT_SQRT_PPY = 187.18974330876145  # math.sqrt(_BT_PPY), pinned literal
+
+
+
+@register(
+    "backtest_stats",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path3 AS (
+  SELECT symbol, ts, ret, dd,
+    sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) OVER w AS hwm
+  FROM path2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+spells AS (SELECT symbol, hwm, count(*) AS len FROM path3 GROUP BY symbol, hwm),
+tuw AS (
+  SELECT symbol, max(CASE WHEN hwm = 0 THEN len ELSE len - 1 END) AS max_tuw
+  FROM spells GROUP BY symbol
+),
+agg AS (
+  SELECT symbol,
+    count(ret) AS n,
+    sum(ret) AS s1, sum(ret * ret) AS s2,
+    sum(ret * ret * ret) AS s3, sum(ret * ret * ret * ret) AS s4,
+    sum(CASE WHEN ret > 0 THEN 1 ELSE 0 END) AS n_up,
+    sum(CASE WHEN ret <> 0 THEN 1 ELSE 0 END) AS n_nz,
+    min(dd) AS min_dd
+  FROM path3 GROUP BY symbol
+),
+calc AS (
+  SELECT symbol, n, n_up, n_nz, min_dd,
+    s1 / n AS mu,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * s2 / n
+      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * s3 / n
+      + 6 * (s1 / n) * (s1 / n) * s2 / n
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+    CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END AS var_s
+  FROM agg
+),
+calc2 AS (
+  SELECT *,
+    CASE WHEN var_s > 0 THEN sqrt(var_s) END AS sd,
+    CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END AS g3,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM calc
+),
+calc3 AS (
+  SELECT *, mu / sd AS sr,
+    1 - (CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END) * (mu / sd)
+      + ((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END) - 1) / 4
+        * (mu / sd) * (mu / sd) AS psr_var
+  FROM calc2
+)
+SELECT c.symbol,
+  n AS n_periods,
+  round(mu * {_BT_PPY!r}, 6) AS ann_return,
+  round(sd * {_BT_SQRT_PPY!r}, 6) AS ann_vol,
+  round(sr * {_BT_SQRT_PPY!r}, 6) AS sharpe,
+  round(CASE WHEN n > 1 AND psr_var > 0
+        THEN sr * sqrt(n - 1) / sqrt(psr_var) END, 6) AS psr_z,
+  round(g3, 6) AS skew,
+  round(g4, 6) AS kurtosis,
+  round(CASE WHEN n_nz > 0 THEN n_up / CAST(n_nz AS DOUBLE) END, 6) AS hit_ratio,
+  round(1 - exp(min_dd), 6) AS max_drawdown,
+  t.max_tuw
+FROM calc3 c LEFT JOIN tuw t ON c.symbol = t.symbol
+""",
+    "Per-symbol Sharpe, PSR z-stat, skew/kurtosis, hit ratio, max drawdown "
+    "and longest time-under-water from 15m-bar log returns (AFML ch.14-15)",
+)
+def q_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import backtest_stats
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = backtest_stats(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "n_periods",
+        F.round("ann_return", 6).alias("ann_return"),
+        F.round("ann_vol", 6).alias("ann_vol"),
+        F.round("sharpe", 6).alias("sharpe"),
+        F.round("psr_z", 6).alias("psr_z"),
+        F.round("skew", 6).alias("skew"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+        F.round("hit_ratio", 6).alias("hit_ratio"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+        "max_tuw",
+    )
+
+
+
+@register(
+    "drawdown_path",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path3 AS (
+  SELECT symbol, ts, cum, dd,
+    sum(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) OVER w AS hwm
+  FROM path2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts AS ts_event,
+  round(cum, 6) AS cum_return,
+  round(1 - exp(dd), 6) AS drawdown,
+  CAST(CASE WHEN dd >= 0 THEN 0
+       ELSE row_number() OVER (PARTITION BY symbol, hwm ORDER BY ts)
+            - CASE WHEN hwm > 0 THEN 1 ELSE 0 END END AS BIGINT) AS underwater
+FROM path3
+""",
+    "Per-row drawdown diagnostics: cumulative log return, fractional "
+    "drawdown from the running peak, consecutive underwater periods",
+)
+def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import drawdown_path
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = drawdown_path(bars, ts_col="ts_event")
+    return out.select(
+        "symbol",
+        "ts_event",
+        F.round("cum_return", 6).alias("cum_return"),
+        F.round("drawdown", 6).alias("drawdown"),
+        "underwater",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Ledoit-Wolf shrunk covariance (operators/covariance.py) — the
+# sklearn-form identity-target shrinkage, computed pairwise.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ledoit_wolf",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT symbol AS s, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+r1 AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+ns AS (SELECT count(DISTINCT s) AS nsym FROM r1),
+r2 AS (
+  SELECT r1.s, r1.ts, r1.r
+  FROM r1
+  JOIN (SELECT ts, count(DISTINCT s) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
+  CROSS JOIN ns WHERE t.c = ns.nsym
+),
+x AS (SELECT s, ts, r - avg(r) OVER (PARTITION BY s) AS x FROM r2),
+p AS (
+  SELECT a.s AS sym_a, b.s AS sym_b, a.x * b.x AS prod
+  FROM x a JOIN x b ON a.ts = b.ts AND a.s <= b.s
+),
+pp AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+         sum(prod) AS sp, sum(prod * prod) AS q
+  FROM p GROUP BY sym_a, sym_b
+),
+pp2 AS (SELECT *, sp / n AS sij FROM pp),
+g AS (
+  SELECT max(n) AS nn,
+    sum(CASE WHEN sym_a = sym_b THEN sij END) AS tr,
+    CAST(count(CASE WHEN sym_a = sym_b THEN 1 END) AS DOUBLE) AS pdim,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * sij * sij) AS ss2,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * q) AS sq
+  FROM pp2
+),
+sc AS (
+  SELECT nn, tr / pdim AS mu,
+    (ss2 - 2 * (tr / pdim) * tr + pdim * (tr / pdim) * (tr / pdim)) / pdim AS d2,
+    (sq / (CAST(nn AS DOUBLE) * nn) - ss2 / nn) / pdim AS b2raw
+  FROM g
+),
+sc2 AS (
+  SELECT mu,
+    CASE WHEN nn >= 2 AND d2 > 0
+         THEN least(greatest(b2raw, 0.0), d2) / d2 END AS shrinkage
+  FROM sc
+)
+SELECT sym_a, sym_b, n AS n_obs,
+  round(sij * 1e6, 6) AS cov_sample_ppm,
+  round((CASE WHEN shrinkage IS NOT NULL
+         THEN shrinkage * (CASE WHEN sym_a = sym_b THEN mu ELSE 0.0 END)
+              + (1 - shrinkage) * sij
+         ELSE sij END) * 1e6, 6) AS cov_shrunk_ppm,
+  round(shrinkage, 6) AS shrinkage,
+  round(mu * 1e6, 6) AS mu_ppm
+FROM pp2 CROSS JOIN sc2
+""",
+    "Ledoit-Wolf identity-target shrunk covariance of 15m bar returns, "
+    "pairwise (complete-case aligned, demeaned; sklearn formulas)",
+)
+def q_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.covariance import ledoit_wolf_cov
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = ledoit_wolf_cov(bars, ts_col="ts_event", close_col="close")
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_obs",
+        F.round(F.col("cov_sample") * 1e6, 6).alias("cov_sample_ppm"),
+        F.round(F.col("cov_shrunk") * 1e6, 6).alias("cov_shrunk_ppm"),
+        F.round("shrinkage", 6).alias("shrinkage"),
+        F.round(F.col("mu") * 1e6, 6).alias("mu_ppm"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Execution layer (operators/execution.py): Almgren-Chriss optimal
+# schedule and VWAP slippage report.
+# --------------------------------------------------------------------------
+
+_AC_N, _AC_LAMBDA, _AC_ETA, _AC_X = 13, 1e-6, 2.5e-6, 10_000.0
+
+
+
+@register(
+    "ac_schedule",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+d AS (
+  SELECT symbol,
+    close - lag(close) OVER (PARTITION BY symbol ORDER BY ts) AS dc
+  FROM bars
+),
+s AS (
+  SELECT symbol, CAST(count(dc) AS BIGINT) AS n, sum(dc) AS sd, sum(dc*dc) AS sdd
+  FROM d WHERE dc IS NOT NULL GROUP BY symbol
+),
+v AS (
+  SELECT symbol,
+    sqrt(greatest((n * sdd - sd * sd) / (CAST(n AS DOUBLE) * (n - 1)), 0.0)) AS sigma
+  FROM s WHERE n >= 2
+),
+k AS (
+  SELECT symbol, sigma,
+    {_AC_LAMBDA!r} * sigma * sigma / {_AC_ETA!r} AS kt2
+  FROM v
+),
+kk AS (
+  SELECT symbol, sigma,
+    CASE WHEN kt2 > 0 THEN ln(1 + kt2/2 + sqrt((1 + kt2/2)*(1 + kt2/2) - 1))
+         ELSE 0.0 END AS kappa
+  FROM k
+),
+sched AS (
+  SELECT symbol, sigma, kappa, j.bucket
+  FROM kk, (SELECT unnest(range(0, {_AC_N})) AS bucket) j
+),
+fr AS (
+  SELECT *,
+    CASE WHEN kappa > 0
+      THEN ((exp(kappa*({_AC_N} - bucket)) - exp(-kappa*({_AC_N} - bucket)))/2)
+           / ((exp(kappa*{_AC_N}.0) - exp(-kappa*{_AC_N}.0))/2)
+      ELSE ({_AC_N} - bucket) / {_AC_N}.0 END AS frac,
+    CASE WHEN kappa > 0
+      THEN ((exp(kappa*({_AC_N} - bucket - 1)) - exp(-kappa*({_AC_N} - bucket - 1)))/2)
+           / ((exp(kappa*{_AC_N}.0) - exp(-kappa*{_AC_N}.0))/2)
+      ELSE ({_AC_N} - bucket - 1) / {_AC_N}.0 END AS frac_next
+  FROM sched
+)
+SELECT symbol, CAST(bucket AS INTEGER) AS bucket,
+  round(sigma, 6) AS sigma, round(kappa, 6) AS kappa,
+  round({_AC_X!r} * frac, 6) AS x_remaining,
+  round({_AC_X!r} * (frac - frac_next), 6) AS shares
+FROM fr
+""",
+    f"Almgren-Chriss optimal liquidation schedule ({_AC_N} buckets) from "
+    "per-symbol bar price-change volatility — closed-form sinh ratios",
+)
+def q_ac_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from polars_trading_spark.operators.execution import almgren_chriss_schedule
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    order = Window.partitionBy("symbol").orderBy("ts_event")
+    d = bars.withColumn("__dc", F.col("close") - F.lag("close").over(order))
+    vols = (
+        d.where(F.col("__dc").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__dc").alias("__sd"),
+            F.sum(F.col("__dc") * F.col("__dc")).alias("__sdd"),
+        )
+        .where(F.col("__n") >= 2)
+        .select(
+            "symbol",
+            F.sqrt(
+                F.greatest(
+                    (F.col("__n") * F.col("__sdd") - F.col("__sd") * F.col("__sd"))
+                    / (F.col("__n").cast("double") * (F.col("__n") - 1)),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    out = almgren_chriss_schedule(
+        vols,
+        n_buckets=_AC_N,
+        total_shares=_AC_X,
+        risk_aversion=_AC_LAMBDA,
+        eta=_AC_ETA,
+    )
+    return out.select(
+        "symbol",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round("kappa", 6).alias("kappa"),
+        F.round("x_remaining", 6).alias("x_remaining"),
+        F.round("shares", 6).alias("shares"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-sectional z-score (operators/cross_section.py::
+# cross_sectional_zscore) over bar log returns.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cs_zscore",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+z AS (
+  SELECT symbol, ts, ret,
+    count(ret) OVER w AS n, sum(ret) OVER w AS s, sum(ret*ret) OVER w AS s2
+  FROM r
+  WINDOW w AS (PARTITION BY ts)
+),
+f AS (
+  SELECT symbol, ts, ret,
+    CASE WHEN ret IS NOT NULL AND n >= 2
+              AND sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) > 0
+         THEN (ret - s/n) / sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) END AS z
+  FROM z
+)
+SELECT symbol, ts, round(ret, 6) + 0 AS ret,
+  round(z, 6) + 0 AS z,
+  round(CASE WHEN z IS NOT NULL THEN least(greatest(z, -3.0), 3.0) END, 6) + 0 AS z_clipped
+FROM f
+""",
+    "Cross-sectional z-score of bar log returns per timestamp bucket, "
+    "winsorized at 3 sigma — the factor-pipeline normalization step",
+)
+def q_cs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from polars_trading_spark.operators.cross_section import cross_sectional_zscore
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    order = Window.partitionBy("symbol").orderBy("ts_event")
+    r = bars.select(
+        "symbol",
+        "ts_event",
+        F.log(F.col("close") / F.lag("close").over(order)).alias("ret"),
+    )
+    out = cross_sectional_zscore(r, "ret", clip_sigmas=3.0, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        F.col("ts_event").alias("ts"),
+        (F.round("ret", 6) + z0).alias("ret"),
+        (F.round("z", 6) + z0).alias("z"),
+        (F.round("z_clipped", 6) + z0).alias("z_clipped"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Empirical VaR / CVaR (operators/backtest.py::var_cvar)
+# --------------------------------------------------------------------------
+
+_VAR_A = 0.05
+
+
+
+@register(
+    "var_cvar",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+rr AS (SELECT * FROM r WHERE ret IS NOT NULL),
+rk AS (
+  SELECT symbol, ts, ret,
+    row_number() OVER (PARTITION BY symbol ORDER BY ret, ts) AS rk,
+    count(*) OVER (PARTITION BY symbol) AS n
+  FROM rr
+),
+w AS (SELECT * FROM rk WHERE rk <= greatest(CAST(floor({_VAR_A!r} * n) AS BIGINT), 1))
+SELECT symbol, CAST(max(n) AS BIGINT) AS n_obs, CAST(count(*) AS BIGINT) AS k,
+  round(max(ret), 6) + 0 AS var_5,
+  round(avg(ret), 6) + 0 AS cvar_5
+FROM w GROUP BY symbol
+""",
+    f"Empirical VaR/CVaR at alpha={_VAR_A} of 15m bar log returns — "
+    "count-based k-worst definition, engine-exact",
+)
+def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import var_cvar
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = var_cvar(bars, alpha=_VAR_A, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_obs",
+        "k",
+        (F.round("var_5", 6) + z0).alias("var_5"),
+        (F.round("cvar_5", 6) + z0).alias("cvar_5"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Cross-sectional momentum portfolio (operators/cross_section.py::
+# rank_portfolio_backtest)
+# --------------------------------------------------------------------------
+
+_RP_LB, _RP_TOP = 5, 1
+
+
+
+@register(
+    "rank_portfolio",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_RP_LB}) OVER w) AS mom,
+    ln(lead(close) OVER w / close) AS fwd
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+rr AS (SELECT * FROM r WHERE mom IS NOT NULL),
+m AS (
+  SELECT symbol, ts, fwd,
+    row_number() OVER (PARTITION BY ts ORDER BY mom DESC, symbol) AS ru,
+    row_number() OVER (PARTITION BY ts ORDER BY mom ASC, symbol) AS rd,
+    count(*) OVER (PARTITION BY ts) AS nb
+  FROM rr
+),
+mem AS (
+  SELECT symbol, ts,
+    CASE WHEN ru <= {_RP_TOP} THEN 1.0 WHEN rd <= {_RP_TOP} THEN -1.0 END AS side,
+    fwd
+  FROM m WHERE nb >= {2 * _RP_TOP} AND (ru <= {_RP_TOP} OR rd <= {_RP_TOP})
+),
+pnl AS (
+  SELECT ts,
+    CAST(count(CASE WHEN side > 0 THEN 1 END) AS INTEGER) AS n_long,
+    CAST(count(CASE WHEN side < 0 THEN 1 END) AS INTEGER) AS n_short,
+    avg(CASE WHEN side > 0 THEN fwd END) - avg(CASE WHEN side < 0 THEN fwd END) AS pnl
+  FROM mem GROUP BY ts
+),
+pm AS (
+  SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts
+  FROM (SELECT DISTINCT ts FROM mem)
+),
+kept AS (
+  SELECT a.ts, count(*) AS nm, count(b.symbol) AS nkept, max(a.prev_ts) AS pts
+  FROM (SELECT mem.*, pm.prev_ts FROM mem JOIN pm USING (ts)) a
+  LEFT JOIN mem b
+    ON b.ts = a.prev_ts AND b.symbol = a.symbol AND b.side = a.side
+  GROUP BY a.ts
+)
+SELECT p.ts, p.n_long, p.n_short, round(p.pnl, 6) + 0 AS pnl,
+  round(CASE WHEN k.pts IS NOT NULL THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END, 6) + 0
+    AS turnover
+FROM pnl p JOIN kept k USING (ts)
+""",
+    f"Cross-sectional momentum portfolio (top/bottom {_RP_TOP} by "
+    f"{_RP_LB}-bar momentum, next-bar P&L, membership turnover)",
+)
+def q_rank_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_portfolio_backtest(
+        bars, lookback=_RP_LB, top_n=_RP_TOP, ts_col="ts_event", close_col="close"
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        F.col("ts_event").alias("ts"),
+        "n_long",
+        "n_short",
+        (F.round("pnl", 6) + z0).alias("pnl"),
+        (F.round("turnover", 6) + z0).alias("turnover"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Fama-MacBeth factor regression (operators/cross_section.py::
+# fama_macbeth) — per-timestamp cross-sectional OLS of next-bar return on
+# trailing momentum; explicit-sum coefficients replayed by the oracle.
+# --------------------------------------------------------------------------
+
+_FM_LB, _FM_MIN = 4, 3
+
+
+
+@register(
+    "fama_macbeth",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT ts,
+    lead(close) OVER w / close - 1 AS fwd,
+    close / lag(close, {_FM_LB}) OVER w - 1 AS fac
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+r1 AS (SELECT * FROM r0 WHERE fwd IS NOT NULL AND fac IS NOT NULL),
+g AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(fac) AS sx, sum(fwd) AS sy, sum(fac*fac) AS sxx, sum(fac*fwd) AS sxy
+  FROM r1 GROUP BY ts
+),
+fit AS (
+  SELECT ts, n_obs,
+    CASE WHEN n_obs*sxx - sx*sx > 0
+         THEN (n_obs*sxy - sx*sy) / (n_obs*sxx - sx*sx) END AS gamma1,
+    sx, sy
+  FROM g WHERE n_obs >= {_FM_MIN}
+)
+SELECT ts AS ts_event, n_obs,
+  round(CASE WHEN gamma1 IS NOT NULL THEN (sy - gamma1*sx) / n_obs END, 6) + 0
+    AS gamma0,
+  round(gamma1, 6) + 0 AS gamma1
+FROM fit
+""",
+    f"Fama-MacBeth first pass: per-timestamp cross-sectional OLS of "
+    f"next-bar return on trailing {_FM_LB}-bar momentum (two shared "
+    "window passes + one hash aggregate, no joins)",
+)
+def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import fama_macbeth
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = fama_macbeth(
+        bars, lookback=_FM_LB, min_obs=_FM_MIN, ts_col="ts_event", close_col="close"
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "ts_event",
+        "n_obs",
+        (F.round("gamma0", 6) + z0).alias("gamma0"),
+        (F.round("gamma1", 6) + z0).alias("gamma1"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Fama-MacBeth second pass with Newey-West t-stat
+# (operators/cross_section.py::fama_macbeth_summary) — gamma series
+# recomputed by the same CTEs, summary folds replayed in ts order.
+# --------------------------------------------------------------------------
+
+_FM_NW = 4
+
+_FM_NW_TERMS = " + ".join(
+    f"{2.0 * (1.0 - l / (_FM_NW + 1.0))!r} * coalesce(c{l}, 0.0)"
+    for l in range(1, _FM_NW + 1)
+)
+
+_FM_NW_LAGS_SQL = ",\n    ".join(
+    f"lag(dd, {l}) OVER (ORDER BY ts) AS d{l}" for l in range(1, _FM_NW + 1)
+)
+
+_FM_NW_SUMS_SQL = ",\n    ".join(
+    f"sum(dd * d{l}) OVER wr AS c{l}" for l in range(1, _FM_NW + 1)
+)
+
+
+
+@register(
+    "fama_macbeth_nw",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT ts,
+    lead(close) OVER w / close - 1 AS fwd,
+    close / lag(close, {_FM_LB}) OVER w - 1 AS fac
+  FROM bars WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+r1 AS (SELECT * FROM r0 WHERE fwd IS NOT NULL AND fac IS NOT NULL),
+g AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(fac) AS sx, sum(fwd) AS sy, sum(fac*fac) AS sxx, sum(fac*fwd) AS sxy
+  FROM r1 GROUP BY ts
+),
+fit AS (
+  SELECT ts, n_obs,
+    CASE WHEN n_obs*sxx - sx*sx > 0
+         THEN (n_obs*sxy - sx*sy) / (n_obs*sxx - sx*sx) END AS gamma1,
+    sx, sy
+  FROM g WHERE n_obs >= {_FM_MIN}
+),
+fmg AS (
+  SELECT ts, gamma1, (sy - gamma1*sx) / n_obs AS gamma0
+  FROM fit WHERE gamma1 IS NOT NULL
+),
+fms AS (
+  SELECT ts, gamma1, gamma0,
+    count(*) OVER wf AS T,
+    sum(gamma1) OVER wf / count(*) OVER wf AS mu1,
+    sum(gamma0) OVER wf / count(*) OVER wf AS mu0
+  FROM fmg
+  WINDOW wf AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+fmd AS (SELECT ts, T, mu1, mu0, gamma1 - mu1 AS dd FROM fms),
+fml AS (
+  SELECT *, row_number() OVER (ORDER BY ts) AS rn,
+    {_FM_NW_LAGS_SQL}
+  FROM fmd
+),
+fmc AS (
+  SELECT *, sum(dd * dd) OVER wr AS c0,
+    {_FM_NW_SUMS_SQL}
+  FROM fml
+  WINDOW wr AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fmlast AS (SELECT * FROM fmc WHERE rn = T),
+fmout AS (
+  SELECT CAST(T AS BIGINT) AS n_periods, mu1, mu0,
+    (c0 + {_FM_NW_TERMS}) / (CAST(T AS DOUBLE) * CAST(T AS DOUBLE)) AS var_mean,
+    T > {_FM_NW + 1} AS enough
+  FROM fmlast
+)
+SELECT n_periods,
+  round(mu1, 6) + 0 AS gamma1_mean,
+  round(CASE WHEN enough AND var_mean > 0 THEN mu1 / sqrt(var_mean) END, 6) + 0
+    AS gamma1_t_nw,
+  round(mu0, 6) + 0 AS gamma0_mean,
+  CAST({_FM_NW} AS INTEGER) AS nw_lags
+FROM fmout
+""",
+    f"Fama-MacBeth second pass: time-series mean of the per-period "
+    f"factor return with a Newey-West (Bartlett, L={_FM_NW}) HAC "
+    "t-stat — summary folds over the aggregate-bounded gamma series, "
+    "ts-ordered running sums, zero Python",
+)
+def q_fama_macbeth_nw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import fama_macbeth_summary
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = fama_macbeth_summary(
+        bars, lookback=_FM_LB, min_obs=_FM_MIN, nw_lags=_FM_NW,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_periods",
+        (F.round("gamma1_mean", 6) + z0).alias("gamma1_mean"),
+        (F.round("gamma1_t_nw", 6) + z0).alias("gamma1_t_nw"),
+        (F.round("gamma0_mean", 6) + z0).alias("gamma0_mean"),
+        "nw_lags",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Deflated Sharpe ratio (operators/backtest.py::deflated_sharpe) —
+# PSR/DSR probabilities via the SAME A&S erf polynomial in both engines;
+# trial-max quantiles are Python-computed constants injected verbatim.
+# --------------------------------------------------------------------------
+
+_DS_TRIALS = 10
+
+
+
+def _sql_norm_cdf(z: str) -> str:
+    """DuckDB twin of operators/backtest.py::_norm_cdf — identical
+    constants and association, so probabilities match bit-for-bit."""
+    import math as _m
+
+    from polars_trading_spark.operators.backtest import _AS_A, _AS_P
+
+    a1, a2, a3, a4, a5 = _AS_A
+    x = f"(({z}) / {_m.sqrt(2.0)!r})"
+    sign = f"(CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END)"
+    ax = f"abs({x})"
+    t = f"(1.0 / (1.0 + {_AS_P!r} * {ax}))"
+    poly = (
+        f"((((({a5!r} * {t} + {a4!r}) * {t} + {a3!r}) * {t} + {a2!r}) * {t}"
+        f" + {a1!r}) * {t})"
+    )
+    return f"(0.5 * (1.0 + {sign} * (1.0 - {poly} * exp(-{ax} * {ax}))))"
+
+
+
+def _ds_consts():
+    import math as _m
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    gamma = 0.5772156649015329
+    z1 = nd.inv_cdf(1.0 - 1.0 / _DS_TRIALS)
+    z2 = nd.inv_cdf(1.0 - 1.0 / (_DS_TRIALS * _m.e))
+    return (1.0 - gamma) * z1 + gamma * z2
+
+
+
+@register(
+    "deflated_sharpe",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ret FROM rets WHERE ret IS NOT NULL),
+agg AS (
+  SELECT symbol, count(ret) AS n, sum(ret) AS s1, sum(ret*ret) AS s2,
+    sum(ret*ret*ret) AS s3, sum(ret*ret*ret*ret) AS s4
+  FROM r2 GROUP BY symbol
+),
+calc AS (
+  SELECT symbol, n, s1 / n AS mu,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * s2 / n
+      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * s3 / n
+      + 6 * (s1 / n) * (s1 / n) * s2 / n
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4,
+    CASE WHEN n > 1 THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END AS var_s
+  FROM agg
+),
+calc2 AS (
+  SELECT *, CASE WHEN var_s > 0 THEN sqrt(var_s) END AS sd,
+    CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END AS g3,
+    CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM calc
+),
+calc3 AS (
+  SELECT *, mu / sd AS sr,
+    1 - (CASE WHEN m2 > 0 THEN m3 / power(m2, 1.5) END) * (mu / sd)
+      + ((CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END) - 1) / 4
+        * (mu / sd) * (mu / sd) AS psr_var
+  FROM calc2
+),
+dsv AS (
+  SELECT symbol, n, sr, g3, g4, psr_var,
+    CASE WHEN n > 1 AND psr_var > 0
+         THEN sr * sqrt(n - 1) / sqrt(psr_var) END AS psr_z,
+    (sr * {_BT_SQRT_PPY!r}) AS sharpe_ann,
+    ((sr * {_BT_SQRT_PPY!r}) / {_BT_SQRT_PPY!r}) AS srp
+  FROM calc3 WHERE sr IS NOT NULL
+),
+dsr0 AS (
+  SELECT srp, row_number() OVER (ORDER BY symbol) AS rn,
+    count(*) OVER () AS k_,
+    sum(srp) OVER (ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS s1_,
+    sum(srp * srp) OVER (ORDER BY symbol ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS s2_
+  FROM dsv
+),
+dsvv AS (
+  SELECT CASE WHEN k_ > 1
+         THEN (s2_ - k_ * (s1_ / k_) * (s1_ / k_)) / (k_ - 1) END AS v
+  FROM dsr0 WHERE rn = k_
+),
+dsfin AS (
+  SELECT d.symbol, d.n, d.sharpe_ann, d.psr_z,
+    sqrt(CASE WHEN v.v > 0 THEN v.v END) * {_ds_consts()!r} AS sr0,
+    d.srp, d.g3, d.g4
+  FROM dsv d CROSS JOIN dsvv v
+),
+dsz AS (
+  SELECT symbol, n, sharpe_ann, psr_z, sr0,
+    CASE WHEN n > 1
+          AND (1.0 - g3 * srp + (g4 - 1) / 4 * srp * srp) > 0
+         THEN (srp - sr0) * sqrt(n - 1)
+              / sqrt(1.0 - g3 * srp + (g4 - 1) / 4 * srp * srp) END AS dsr_z
+  FROM dsfin
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_periods,
+  round(sharpe_ann, 6) + 0 AS sharpe,
+  round(psr_z, 6) + 0 AS psr_z,
+  round({_sql_norm_cdf('psr_z')}, 6) + 0 AS psr_prob,
+  round(sr0, 6) + 0 AS sr0,
+  round(dsr_z, 6) + 0 AS dsr_z,
+  round({_sql_norm_cdf('dsr_z')}, 6) + 0 AS dsr_prob,
+  CAST({_DS_TRIALS} AS INTEGER) AS n_trials
+FROM dsz
+""",
+    f"Probabilistic + Deflated Sharpe (Bailey-Lopez de Prado, "
+    f"N={_DS_TRIALS} trials) — multiple-testing-aware evaluation; "
+    "trial-max quantiles as injected constants, normal CDF via the "
+    "shared A&S erf polynomial, symbol-ordered cross-trial variance "
+    "fold over the aggregate-bounded stats frame, zero Python",
+)
+def q_deflated_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import deflated_sharpe
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = deflated_sharpe(
+        bars, periods_per_year=_BT_PPY, n_trials=_DS_TRIALS,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_periods",
+        (F.round("sharpe", 6) + z0).alias("sharpe"),
+        (F.round("psr_z", 6) + z0).alias("psr_z"),
+        (F.round("psr_prob", 6) + z0).alias("psr_prob"),
+        (F.round("sr0", 6) + z0).alias("sr0"),
+        (F.round("dsr_z", 6) + z0).alias("dsr_z"),
+        (F.round("dsr_prob", 6) + z0).alias("dsr_prob"),
+        "n_trials",
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 6). Downside-aware performance ratios
+# (operators/backtest.py::risk_ratios).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "risk_ratios",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+rets AS (
+  SELECT symbol, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS ret
+  FROM bars
+),
+r2 AS (SELECT symbol, ts, ret FROM rets WHERE ret IS NOT NULL),
+path AS (
+  SELECT symbol, ts, ret, sum(ret) OVER w AS cum
+  FROM r2
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+path2 AS (
+  SELECT symbol, ts, ret, cum,
+    cum - max(greatest(cum, 0.0)) OVER w AS dd
+  FROM path
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+-- ts-ordered running folds read at the last row (SCALING rule 24/27)
+f AS (
+  SELECT symbol,
+    row_number() OVER word AS rn,
+    count(*) OVER wall AS n,
+    sum(ret) OVER wrun AS s1,
+    sum(least(ret - 0.0, 0.0) * least(ret - 0.0, 0.0)) OVER wrun AS sdn2,
+    sum(greatest(ret - 0.0, 0.0)) OVER wrun AS sup,
+    sum(greatest(0.0 - ret, 0.0)) OVER wrun AS sdown,
+    min(dd) OVER wall AS mindd
+  FROM path2
+  WINDOW word AS (PARTITION BY symbol ORDER BY ts),
+         wrun AS (PARTITION BY symbol ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY symbol)
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_periods,
+  CASE WHEN n >= 2 THEN round(s1 / n * {_BT_PPY!r}, 6) + 0 END AS ann_return,
+  CASE WHEN n >= 2
+       THEN round(sqrt(sdn2 / n) * {_BT_SQRT_PPY!r}, 6) + 0 END AS downside_dev_ann,
+  CASE WHEN n >= 2 AND sqrt(sdn2 / n) * {_BT_SQRT_PPY!r} > 0
+       THEN round((s1 / n - 0.0) * {_BT_PPY!r}
+                  / (sqrt(sdn2 / n) * {_BT_SQRT_PPY!r}), 6) + 0 END AS sortino,
+  CASE WHEN n >= 2 THEN round(1 - exp(mindd), 6) + 0 END AS max_drawdown,
+  CASE WHEN n >= 2 AND 1 - exp(mindd) > 0
+       THEN round(s1 / n * {_BT_PPY!r} / (1 - exp(mindd)), 6) + 0 END AS calmar,
+  CASE WHEN n >= 2 AND sdown > 0 THEN round(sup / sdown, 6) + 0 END AS omega
+FROM f WHERE rn = n
+""",
+    "Sortino / Calmar / Omega per symbol from 15m-bar log returns "
+    "(downside deviation, max-drawdown and gain/loss-mass denominators), "
+    "ordered running folds",
+)
+def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.backtest import risk_ratios
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = risk_ratios(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_periods",
+        (F.round("ann_return", 6) + z0).alias("ann_return"),
+        (F.round("downside_dev_ann", 6) + z0).alias("downside_dev_ann"),
+        (F.round("sortino", 6) + z0).alias("sortino"),
+        (F.round("max_drawdown", 6) + z0).alias("max_drawdown"),
+        (F.round("calmar", 6) + z0).alias("calmar"),
+        (F.round("omega", 6) + z0).alias("omega"),
+    )
+
+
+
+# --------------------------------------------------------------------------
+# C-ext. Rank information coefficient (operators/cross_section.py::rank_ic)
+# — per-period Spearman corr of momentum-signal ranks vs next-bar-return
+# ranks.  row_number over (value, symbol) makes ranks tie-free integers, so
+# the Spearman closed form is an exact rational and the only float is one
+# final division.
+# --------------------------------------------------------------------------
+
+_IC_LAG = 5
+
+
+
+@register(
+    "rank_ic",
+    f"""
+WITH
+{{bars_cte}},
+icb AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_IC_LAG}) OVER o) AS sig,
+    ln(lead(close) OVER o / close) AS fwd
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY ts)
+),
+icq AS (SELECT * FROM icb WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+icr AS (
+  SELECT ts,
+    CAST(row_number() OVER (PARTITION BY ts ORDER BY sig, symbol) AS BIGINT) AS rs,
+    CAST(row_number() OVER (PARTITION BY ts ORDER BY fwd, symbol) AS BIGINT) AS rf
+  FROM icq
+),
+icg AS (
+  SELECT ts, CAST(count(*) AS BIGINT) AS n_sym,
+    CAST(sum((rs - rf) * (rs - rf)) AS BIGINT) AS ssd
+  FROM icr GROUP BY ts
+)
+SELECT ts, n_sym,
+  CASE WHEN n_sym >= 3
+       THEN round(1.0 - 6.0 * CAST(ssd AS DOUBLE)
+                  / (CAST(n_sym AS DOUBLE)
+                     * (CAST(n_sym AS DOUBLE) * CAST(n_sym AS DOUBLE) - 1)), 6) + 0
+  END AS ic
+FROM icg
+""".format(bars_cte=_FEATURE_BARS_CTE),
+    f"Per-period rank IC: Spearman corr of {_IC_LAG}-bar momentum ranks "
+    "vs next-bar return ranks (Grinold-Kahn alpha diagnostic); tie-free "
+    "integer ranks make the closed form exact",
+)
+def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import rank_ic
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_ic(bars, momentum_lag=_IC_LAG, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "ts",
+        "n_sym",
+        (F.round("ic", 6) + z0).alias("ic"),
+    )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -190,9 +191,97 @@ def test_multimodal_metadata_and_frames(docs):
     assert all(r["offset_ms"] % 500 == 0 for r in frames)
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_garbage_and_narrowed_stub():
+    # unrecognized container -> ValueError (not a stub any more)
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"not an image")
+    # JPEG entropy decode is the remaining honest stub (no PIL here);
+    # synthesize a valid marker stream via the same layout the engine
+    # uses and confirm the error names the narrowed scope
+    import struct
+
+    m = 5
+    w, h = 16 + m % 613, 16 + m % 377
+    app0 = b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL available; stub path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="entropy"):
+        multimodal.decode_image(jpeg)
+
+
+def test_png_codec_roundtrip_all_filters_and_color_types():
+    rng = np.random.RandomState(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        px = rng.randint(0, 256, size=(17, 29, ch), dtype=np.uint8)
+        blob = multimodal.png_encode(px, color_type=ct)
+        assert multimodal.parse_image_header(blob) == ("png", 29, 17)
+        assert np.array_equal(multimodal.png_decode(blob), px)
+    # isolate each unfilter path with single-filter encodes
+    for f in range(5):
+        px = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.png_decode(multimodal.png_encode(px, filters=[f])), px
+        ), f"filter {f}"
+
+
+def test_png_decode_rejects_corruption_and_exotics():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    blob = bytearray(multimodal.png_encode(px))
+    blob[40] ^= 0xFF  # flip a byte inside a CRC-protected chunk
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.png_decode(bytes(blob))
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.png_decode(b"\x00" * 32)
+
+
+def test_bmp_decode_strips_padding_and_flips_rows():
+    import struct
+
+    m = 41
+    w, h = 4 + m % 29, 3 + m % 17
+    row_sz = (3 * w + 3) // 4 * 4
+    px_sz = row_sz * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + px_sz, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, px_sz, 2835, 2835, 0, 0
+    )
+    j = np.arange(px_sz, dtype=np.int64)
+    payload = header + ((m * 31 + j * 7) % 256).astype(np.uint8).tobytes()
+    fmt, ww, hh, back = multimodal.decode_image(payload)
+    assert (fmt, ww, hh) == ("bmp", w, h)
+    exp = (
+        ((m * 31 + j * 7) % 256)
+        .astype(np.uint8)
+        .reshape(h, row_sz)[:, : 3 * w][::-1]
+        .reshape(h, w, 3)
+    )
+    assert np.array_equal(back, exp)
+
+
+def test_png_pixel_stats_spark_roundtrip(spark):
+    """End-to-end: synthesize real PNGs in one mapInPandas stage, decode
+    them (inflate + unfilter) in another, and match the closed-form
+    arithmetic expected values — the Spark twin of the registry oracle."""
+    ids = [0, 1, 7, 28, 41, 123, 999, 4567, 29 * 17, 29 * 17 + 5]
+    base = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = multimodal.synthesize_png(base)
+    rows = {r["media_id"]: r for r in multimodal.png_pixel_stats(media).collect()}
+    assert len(rows) == len(ids)
+    for m, r in rows.items():
+        w, h = 4 + m % 29, 3 + m % 17
+        j = np.arange(w * h * 3, dtype=np.int64)
+        b = (m * 31 + j * 7) % 256
+        assert (r["format"], r["width"], r["height"]) == ("png", w, h)
+        assert r["n_px_bytes"] == w * h * 3
+        assert r["px_sum"] == int(b.sum())
+        assert r["px_dot"] == int((b * (j % 251 + 1)).sum())
 
 
 def test_release_persisted_clears_all_caches(docs):
