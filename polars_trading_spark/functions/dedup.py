@@ -856,3 +856,83 @@ def cluster_representatives(
         F.col("__q").alias("quality_score"),
         (F.row_number().over(w_rank) == 1).alias("is_representative"),
     )
+
+
+def dedup_recall_stats(
+    docs: DataFrame,
+    *,
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.2,
+    sample_fraction: float | None = 0.5,
+    salt: str = "pts-recall",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash banding recall harness: pairs surviving LSH banding vs
+    every pair at the same exact shingle-Jaccard threshold, on a
+    deterministic document sample.
+
+    CONTRACT — sampled by default.  The exact arm is PPJoin-filtered
+    but GLOBAL: at low thresholds the prefix filter keeps
+    ``n - ceil(t*n) + 1`` (~80% at t=0.2) of postings, so its candidate
+    generation degrades toward quadratic with corpus size.  That is
+    fine for a diagnostic, a scale-killer as a routine job — so the
+    harness measures recall on a salted-hash document sample
+    (``sample_fraction``, same engine-portable nested recipe as
+    ``stratified_sample``): docs survive iff ``u(id) < fraction``, so
+    pair cost falls ~quadratically (fraction^2) while the recall RATIO
+    stays an asymptotically unbiased estimate of the full-corpus recall
+    — banding survival is decided per-pair by signature agreement, so
+    restricting to sampled-doc pairs does not bias which pairs survive.
+    Pass ``sample_fraction=None`` to opt in to the full-corpus exact
+    arm explicitly.
+
+    Output: one row — ``n_exact, n_lsh, n_hit, recall`` (null when no
+    exact pair exists in the sample; widen the fraction if so).
+    """
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(
+            f"sample_fraction must be in (0, 1] or None, got {sample_fraction}"
+        )
+    base = docs
+    if sample_fraction is not None and sample_fraction < 1.0:
+        mod = 1 << 30
+        u = (
+            F.pmod(
+                portable_hash60(
+                    F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                ),
+                F.lit(mod),
+            )
+            / F.lit(float(mod))
+        )
+        base = docs.where(u < F.lit(float(sample_fraction)))
+
+    exact = ngram_jaccard_pairs(
+        base, text_col, id_col, ngram=ngram, threshold=jaccard_threshold,
+        block_cols=(),
+    ).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(
+        base, text_col, id_col,
+        ngram=ngram, num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    ).select("id_a", "id_b")
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        e.crossJoin(l)
+        .crossJoin(h)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
+                + F.lit(0.0),
+            ).alias("recall"),
+        )
+    )

@@ -21,6 +21,7 @@ from polars_trading_spark.oracles._shared import (  # noqa: F401
 )
 from polars_trading_spark.oracles.text import (  # noqa: F401
     _DOCS_TOK_CTE,
+    _docs_tok_cte,
     _QUALITY_SQL,
     _TEXT_FEAT_CTES,
     _sql_hash60,
@@ -581,17 +582,30 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C-ext (round 6). MinHash banding recall harness: LSH-surviving pairs
-# vs ALL pairs at the same exact-Jaccard threshold (the dedup sibling
-# of ann_recall — measures what the banding probability actually costs).
+# C-ext (round 6, sampled round 8). MinHash banding recall harness:
+# LSH-surviving pairs vs ALL pairs at the same exact-Jaccard threshold
+# (the dedup sibling of ann_recall).  Round 8: the harness runs on a
+# deterministic salted-hash HALF of the corpus (the exact arm is global
+# PPJoin — sub-quadratic but still the slowest bench query full-corpus;
+# the sampled recall ratio is an unbiased estimate, full-corpus mode
+# stays behind an explicit sample_fraction=None).
 # --------------------------------------------------------------------------
+
+_RECALL_FRACTION = 0.5
+_RECALL_SALT = "pts-recall"
+_RECALL_MOD = 1 << 30
+_RECALL_EXPR = f"concat('{_RECALL_SALT}', CAST(doc_id AS VARCHAR))"
+_RECALL_WHERE = (
+    f"WHERE ({_sql_hash60(_RECALL_EXPR)} % {_RECALL_MOD})"
+    f" / {float(_RECALL_MOD)} < {_RECALL_FRACTION!r}"
+)
 
 
 @register(
     "dedup_recall",
     f"""
 WITH
-{_DOCS_TOK_CTE},
+{_docs_tok_cte(_RECALL_WHERE)},
 {_MH_PAIR_TAIL},
 exact AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -616,35 +630,19 @@ SELECT
   END AS recall
 """,
     f"MinHash banding recall: pairs surviving {_MH_BANDS}-band LSH vs "
-    f"every pair with exact shingle Jaccard >= {_MH_THRESHOLD} — the "
-    "measured candidate-generation loss of the dedup scale path",
+    f"every pair with exact shingle Jaccard >= {_MH_THRESHOLD} on a "
+    f"deterministic {_RECALL_FRACTION:.0%} salted-hash document sample "
+    "— unbiased estimate of the candidate-generation loss; the global "
+    "exact arm stays behind sample_fraction=None",
 )
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    exact = dedup_ops.ngram_jaccard_pairs(
-        docs, ngram=_MH_NGRAM, threshold=_MH_THRESHOLD, block_cols=()
-    ).select("id_a", "id_b")
-    lsh = dedup_ops.minhash_lsh_pairs(
+    return dedup_ops.dedup_recall_stats(
         docs,
         ngram=_MH_NGRAM,
         num_hashes=_MH_K,
         bands=_MH_BANDS,
         jaccard_threshold=_MH_THRESHOLD,
-    ).select("id_a", "id_b")
-    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
-    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
-    h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        e.crossJoin(l)
-        .crossJoin(h)
-        .select(
-            F.col("n_exact").cast("long").alias("n_exact"),
-            F.col("n_lsh").cast("long").alias("n_lsh"),
-            F.col("n_hit").cast("long").alias("n_hit"),
-            F.when(
-                F.col("n_exact") > 0,
-                F.round(F.col("n_hit") / F.col("n_exact").cast("double"), 6)
-                + F.lit(0.0),
-            ).alias("recall"),
-        )
+        sample_fraction=_RECALL_FRACTION,
+        salt=_RECALL_SALT,
     )

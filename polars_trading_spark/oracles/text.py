@@ -29,17 +29,24 @@ from polars_trading_spark.oracles._shared import (  # noqa: F401
 
 
 # Shared DuckDB fragments — the exact SQL twins of functions/text.py.
-_DOCS_TOK_CTE = """
+def _docs_tok_cte(where: str = "") -> str:
+    """The docs+tok CTE pair, optionally filtered (e.g. the salted-hash
+    document sample the dedup_recall harness uses)."""
+    return f"""
 docs AS (
   SELECT doc_id, text, lang, source, n_chars,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
                              ' +', ' ', 'g')) AS norm
   FROM documents
+  {where}
 ),
 tok AS (
   SELECT *, list_filter(string_split(norm, ' '), x -> x != '') AS toks FROM docs
 )
 """
+
+
+_DOCS_TOK_CTE = _docs_tok_cte()
 
 
 

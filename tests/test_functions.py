@@ -284,6 +284,37 @@ def test_png_pixel_stats_spark_roundtrip(spark):
         assert r["px_dot"] == int((b * (j % 251 + 1)).sum())
 
 
+def test_dedup_recall_stats_sampled_contract(docs):
+    """Sampled harness: full mode reproduces the unsampled arms; the
+    sampled mode is a deterministic strict subset (nested salted-hash
+    recipe) with recall in [0, 1]; bad fractions rejected."""
+    full = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction=None,
+    ).collect()[0]
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2, block_cols=()).count()
+    assert full["n_exact"] == exact
+    assert 0 <= full["n_hit"] <= full["n_exact"]
+    if full["n_exact"]:
+        assert 0.0 <= full["recall"] <= 1.0
+
+    s1 = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction=0.5,
+    ).collect()[0]
+    s2 = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction=0.5,
+    ).collect()[0]
+    assert tuple(s1) == tuple(s2)  # deterministic, no RNG state
+    assert s1["n_exact"] <= full["n_exact"]
+
+    with pytest.raises(ValueError):
+        dedup.dedup_recall_stats(docs, sample_fraction=0.0)
+    with pytest.raises(ValueError):
+        dedup.dedup_recall_stats(docs, sample_fraction=1.5)
+
+
 def test_release_persisted_clears_all_caches(docs):
     """Cache-ownership contract: tracked persists never outlive a
     release_persisted() call (VERDICT r1 'unpersist discipline')."""
