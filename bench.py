@@ -188,6 +188,11 @@ HEADLINE = [
     "robust_moments",
     # round 8
     "multimodal_png_decode",
+    "portfolio_capacity",
+    "hrp_weights",
+    "token_budget_curves",
+    "bpe_train_merges",
+    "bpe_token_budget",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "dsir_log_weights", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["chunk_documents", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -897,3 +897,78 @@ def lang_mix(
         ),
         F.col("__ent").alias("lang_entropy"),
     )
+
+
+def token_budget_curves(
+    documents: DataFrame,
+    *,
+    n_cutoffs: int = 10,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-budget curves under quality filtering — the
+    training-data budgeting question in one frame: "if I keep only each
+    source's best-quality documents, how many tokens survive at every
+    cutoff?"  (FineWeb/DataComp-style ablations pick their quality
+    thresholds off exactly this curve.)
+
+    Within each source, documents rank by ``(quality_score desc,
+    doc_id)`` — the score is ROUNDED to 6 before ranking so a 1-ulp
+    cross-engine difference cannot reorder the curve (round-before-rank,
+    same trick as bm25) — and the curve is sampled at ``n_cutoffs``
+    evenly spaced membership fractions.  Output one row per (source,
+    cutoff): ``source, cutoff_idx (1..n_cutoffs), n_docs_kept,
+    quality_cutoff, cum_tokens, total_tokens, token_share``.
+
+    Scale shape: one projection computing (token count, quality) per
+    doc — pure Column expressions, no joins — then ONE per-source
+    window pass (rank + ordered integer prefix-sum of tokens + source
+    totals over the same partition).  The boundary rows are selected
+    with closed-form integer arithmetic (row rn is the decile-d
+    boundary iff ``(rn-1)*nc < d*n_src <= rn*nc``), emitting exactly
+    ``n_cutoffs`` rows per source via a bounded sequence explode —
+    output is (sources x cutoffs)-sized, never corpus-sized.
+    """
+    from polars_trading_spark.functions.text import quality_score, token_count
+
+    if n_cutoffs < 1:
+        raise ValueError(f"n_cutoffs must be >= 1, got {n_cutoffs}")
+
+    base = documents.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("__id"),
+        token_count(F.col(text_col)).cast("long").alias("__tok"),
+        F.round(quality_score(F.col(text_col)), 6).alias("__q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("__id"))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy("source")
+    staged = base.select(
+        "source",
+        F.row_number().over(w).alias("__rn"),
+        F.col("__q"),
+        F.sum("__tok").over(run).alias("__cum"),
+        F.count(F.lit(1)).over(full).alias("__nsrc"),
+        F.sum("__tok").over(full).alias("__tot"),
+    )
+    nc = F.lit(int(n_cutoffs))
+    rn = F.col("__rn")
+    nsrc = F.col("__nsrc")
+    # integer-exact boundary deciles: d in ((rn-1)*nc/nsrc, rn*nc/nsrc]
+    d_min = F.floor(((rn - 1) * nc) / nsrc) + 1
+    d_max = F.floor((rn * nc) / nsrc)
+    out = staged.where(d_max >= d_min).select(
+        "source",
+        F.explode(F.sequence(d_min.cast("int"), d_max.cast("int"))).alias(
+            "cutoff_idx"
+        ),
+        rn.cast("long").alias("n_docs_kept"),
+        F.col("__q").alias("quality_cutoff"),
+        F.col("__cum").cast("long").alias("cum_tokens"),
+        F.col("__tot").cast("long").alias("total_tokens"),
+        F.round(F.col("__cum") / F.col("__tot").cast("double"), 6).alias(
+            "token_share"
+        ),
+    )
+    return out

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cross_sectional_zscore", "fama_macbeth",
-    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "rank_ic", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "portfolio_capacity", "rank_ic", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -728,4 +728,161 @@ def rank_ic(
             F.col("n_sym") >= 3,
             F.lit(1.0) - F.lit(6.0) * F.col("__ssd").cast("double") / (n * (n * n - 1)),
         ).alias("ic"),
+    )
+
+
+def portfolio_capacity(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    top_n: int = 1,
+    adv_window: int = 20,
+    max_participation: float = 0.05,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    volume_col: str = "volume",
+) -> DataFrame:
+    """Capacity and turnover diagnostics for the cross-sectional
+    momentum book (the `rank_portfolio_backtest` membership rule):
+    how much capital the strategy can deploy before its own trading
+    dominates the tape, and how fast the book churns.
+
+    Per formed bucket t (every bucket with >= ``2*top_n`` ranked
+    symbols; the long and short books are then exactly ``top_n`` names
+    each, disjoint):
+
+    * ``n_members``       — always ``2*top_n`` once formed
+    * ``n_changed``       — members whose (symbol, side) was NOT in the
+                            previous formed bucket (null on the first)
+    * ``turnover``        — ``n_changed / n_members``
+    * ``min_member_adv``  — the smallest member's trailing
+                            ``adv_window``-bar average dollar volume
+                            (null until every member has a full ADV
+                            window — capacity on a partial window would
+                            overstate tradability)
+    * ``capacity_dollars``— ``max_participation * min_member_adv *
+                            n_members``: the equal-weight book size at
+                            which the WORST name hits the participation
+                            cap (each name trades ``book/n_members``
+                            per rebalance).
+
+    Scale shape: one symbol-window pass (momentum + ADV share the same
+    partitioning/ordering — one exchange), two bucket-rank windows, and
+    the tiny members frame (``2*top_n`` rows per bucket) persisted once
+    and self-joined on consecutive buckets, exactly like
+    ``rank_portfolio_backtest``.  ADV uses an ORDERED sliding frame so
+    the float fold is deterministic on any engine/partitioning.
+    """
+    if lookback < 1:
+        raise ValueError(f"lookback must be >= 1, got {lookback}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    if adv_window < 1:
+        raise ValueError(f"adv_window must be >= 1, got {adv_window}")
+    if not (0.0 < max_participation <= 1.0):
+        raise ValueError(
+            f"max_participation must be in (0, 1], got {max_participation}"
+        )
+
+    order = Window.partitionBy(symbol_col).orderBy(ts_col)
+    run_w = order.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.col(close_col).cast("double")
+    dv = c * F.col(volume_col).cast("double")
+    # ADV as a PREFIX-SUM difference, not a sliding avg: running sums
+    # accumulate in one deterministic order on any engine, where sliding
+    # frames may fold in segment-tree order (cross-engine ulp drift).
+    # The cumsum is staged as a real column first (a window expression
+    # cannot nest inside another window).
+    staged = bars.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        F.log(c / F.lag(c, lookback).over(order)).alias("__mom"),
+        F.sum(dv).over(run_w).alias("__cdv"),
+        F.count(F.lit(1)).over(run_w).alias("__rn"),
+    )
+    adv = F.when(
+        F.col("__rn") >= adv_window,
+        (
+            F.col("__cdv")
+            - F.coalesce(F.lag("__cdv", adv_window).over(order), F.lit(0.0))
+        )
+        / adv_window,
+    )
+    r = staged.select(
+        F.col(symbol_col), F.col(ts_col), "__mom", adv.alias("__adv")
+    ).where(F.col("__mom").isNotNull())
+
+    rank_up = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(F.desc("__mom"), F.asc(symbol_col))
+    )
+    rank_dn = F.row_number().over(
+        Window.partitionBy(ts_col).orderBy(F.asc("__mom"), F.asc(symbol_col))
+    )
+    n_in_bucket = F.count(F.lit(1)).over(Window.partitionBy(ts_col))
+    m = r.select(
+        F.col(symbol_col),
+        F.col(ts_col),
+        "__adv",
+        rank_up.alias("__ru"),
+        rank_dn.alias("__rd"),
+        n_in_bucket.alias("__nb"),
+    ).where(F.col("__nb") >= 2 * top_n)
+    side = (
+        F.when(F.col("__ru") <= top_n, F.lit(1.0))
+        .when(F.col("__rd") <= top_n, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    from polars_trading_spark._utils import persist_tracked
+
+    members = persist_tracked(
+        m.withColumn("__side", side).where(F.col("__side") != 0)
+    )
+
+    prev_map = (
+        members.select(ts_col)
+        .distinct()
+        .withColumn("__prev_ts", F.lag(ts_col).over(Window.orderBy(ts_col)))
+    )
+    mem = members.select(F.col(ts_col), F.col(symbol_col), "__side", "__adv").join(
+        prev_map, ts_col
+    )
+    prev = members.select(
+        F.col(ts_col).alias("__prev_ts"),
+        F.col(symbol_col).alias("__psym"),
+        F.col("__side").alias("__pside"),
+    )
+    g = (
+        mem.join(
+            prev,
+            (mem["__prev_ts"] == prev["__prev_ts"])
+            & (mem[symbol_col] == prev["__psym"])
+            & (mem["__side"] == prev["__pside"]),
+            "left",
+        )
+        .groupBy(ts_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nm"),
+            F.count("__psym").alias("__nkept"),
+            F.max(mem["__prev_ts"]).alias("__pts"),
+            F.min("__adv").alias("__minadv"),
+            F.count(F.when(F.col("__adv").isNull(), 1)).alias("__nulladv"),
+        )
+    )
+    formed_prev = F.col("__pts").isNotNull()
+    min_adv = F.when(F.col("__nulladv") == 0, F.col("__minadv"))
+    return g.select(
+        F.col(ts_col),
+        F.col("__nm").cast("int").alias("n_members"),
+        F.when(formed_prev, F.col("__nm") - F.col("__nkept"))
+        .cast("int")
+        .alias("n_changed"),
+        F.when(
+            formed_prev,
+            (F.col("__nm") - F.col("__nkept")) / F.col("__nm").cast("double"),
+        ).alias("turnover"),
+        min_adv.alias("min_member_adv"),
+        (F.lit(float(max_participation)) * min_adv * F.col("__nm")).alias(
+            "capacity_dollars"
+        ),
     )

@@ -811,3 +811,122 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows",
         (F.round("skew_ratio", 6) + F.lit(0.0)).alias("skew_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Per-source token-budget curves under quality cutoffs
+# (functions/corpus.py::token_budget_curves) — quality rounded to 6
+# BEFORE ranking (round-before-rank), ordered integer token prefix-sum,
+# boundary rows picked with closed-form integer arithmetic.
+# --------------------------------------------------------------------------
+
+_TBC_NC = 10
+
+
+@register(
+    "token_budget_curves",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+base AS (
+  SELECT d.source, f.doc_id AS id, CAST(f.n_tokens AS BIGINT) AS tok,
+         round({_QUALITY_SQL}, 6) AS q
+  FROM feat f JOIN docs d USING (doc_id)
+),
+staged AS (
+  SELECT source,
+    row_number() OVER w AS rn,
+    q,
+    CAST(sum(tok) OVER (PARTITION BY source ORDER BY q DESC, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum,
+    count(*) OVER (PARTITION BY source) AS nsrc,
+    CAST(sum(tok) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM base WINDOW w AS (PARTITION BY source ORDER BY q DESC, id)
+),
+bounded AS (
+  SELECT *,
+    ((rn - 1) * {_TBC_NC}) // nsrc + 1 AS d_min,
+    (rn * {_TBC_NC}) // nsrc AS d_max
+  FROM staged
+)
+SELECT source,
+  CAST(unnest(range(d_min, d_max + 1)) AS INTEGER) AS cutoff_idx,
+  CAST(rn AS BIGINT) AS n_docs_kept,
+  q + 0 AS quality_cutoff,
+  cum AS cum_tokens,
+  tot AS total_tokens,
+  round(cum / CAST(tot AS DOUBLE), 6) + 0 AS token_share
+FROM bounded WHERE d_max >= d_min
+""",
+    f"Per-source token-budget curves: tokens surviving at {_TBC_NC} "
+    "quality-cutoff fractions per source — the training-data budgeting "
+    "curve; one window pass, integer prefix-sums, output "
+    "sources x cutoffs",
+)
+def q_token_budget_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import token_budget_curves
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = token_budget_curves(docs, n_cutoffs=_TBC_NC)
+    z0 = F.lit(0.0)
+    return out.select(
+        "source",
+        "cutoff_idx",
+        "n_docs_kept",
+        (F.round("quality_cutoff", 6) + z0).alias("quality_cutoff"),
+        "cum_tokens",
+        "total_tokens",
+        (F.round("token_share", 6) + z0).alias("token_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Distributed BPE training + tokenizer-aware budget
+# (functions/bpe.py).  Greedy iterative merge learning is not
+# SQL-expressible — rows-only driver checks; correctness is an EXACT
+# match against the independent pure-Python reference in
+# tests/test_bpe_train.py.
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 20
+
+
+@register(
+    "bpe_train_merges",
+    None,  # greedy iterative training — not SQL-expressible
+    f"Distributed BPE trainer: {_BPE_MERGES} merges learned on the "
+    "distinct-word table (one corpus pass, vocabulary-sized rounds, "
+    "native aggregate-fold merge application, scalar-only collects)",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.bpe import bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=_BPE_MERGES)
+    return merges
+
+
+@register(
+    "bpe_token_budget",
+    None,  # consumes the iteratively trained vocabulary
+    "Per-source token budget under the trained BPE vocabulary "
+    "(fertility = BPE tokens per whitespace word): corpus explode + "
+    "shuffle_hash join on the vocabulary-sized segmentation table",
+)
+def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.bpe import bpe_token_budget, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_merges=_BPE_MERGES)
+    out = bpe_token_budget(docs, words)
+    z0 = F.lit(0.0)
+    return out.select(
+        "source",
+        "n_docs",
+        "whitespace_tokens",
+        "bpe_tokens",
+        "chars",
+        (F.round("bpe_per_word", 6) + z0).alias("bpe_per_word"),
+    )

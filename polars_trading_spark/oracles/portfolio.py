@@ -1107,3 +1107,136 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sym",
         (F.round("ic", 6) + z0).alias("ic"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Portfolio capacity/turnover diagnostics
+# (operators/cross_section.py::portfolio_capacity) — membership churn +
+# the participation-capped book size; ADV is a prefix-sum difference so
+# the float fold is order-deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_PC_LB, _PC_TOP, _PC_ADVW, _PC_PART = 5, 1, 20, 0.05
+
+
+@register(
+    "portfolio_capacity",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+staged AS (
+  SELECT symbol, ts,
+    ln(close / lag(close, {_PC_LB}) OVER w) AS mom,
+    sum(close * volume) OVER wr AS cdv,
+    count(*) OVER wr AS rn
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts),
+         wr AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+r0 AS (
+  -- the lag must see the UNFILTERED per-symbol tape (SQL evaluates
+  -- WHERE before window functions; the engine computes adv pre-filter)
+  SELECT symbol, ts, mom,
+    CASE WHEN rn >= {_PC_ADVW}
+         THEN (cdv - coalesce(lag(cdv, {_PC_ADVW}) OVER (PARTITION BY symbol ORDER BY ts), 0.0))
+              / {_PC_ADVW} END AS adv
+  FROM staged
+),
+r AS (SELECT * FROM r0 WHERE mom IS NOT NULL),
+m AS (
+  SELECT symbol, ts, adv,
+    row_number() OVER (PARTITION BY ts ORDER BY mom DESC, symbol) AS ru,
+    row_number() OVER (PARTITION BY ts ORDER BY mom ASC, symbol) AS rd,
+    count(*) OVER (PARTITION BY ts) AS nb
+  FROM r
+),
+mem AS (
+  SELECT symbol, ts, adv,
+    CASE WHEN ru <= {_PC_TOP} THEN 1.0 WHEN rd <= {_PC_TOP} THEN -1.0 END AS side
+  FROM m WHERE nb >= {2 * _PC_TOP} AND (ru <= {_PC_TOP} OR rd <= {_PC_TOP})
+),
+pm AS (
+  SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts
+  FROM (SELECT DISTINCT ts FROM mem)
+),
+g AS (
+  SELECT a.ts, count(*) AS nm, count(b.symbol) AS nkept, max(a.prev_ts) AS pts,
+    min(a.adv) AS minadv,
+    count(CASE WHEN a.adv IS NULL THEN 1 END) AS nulladv
+  FROM (SELECT mem.*, pm.prev_ts FROM mem JOIN pm USING (ts)) a
+  LEFT JOIN mem b
+    ON b.ts = a.prev_ts AND b.symbol = a.symbol AND b.side = a.side
+  GROUP BY a.ts
+)
+SELECT ts,
+  CAST(nm AS INTEGER) AS n_members,
+  CAST(CASE WHEN pts IS NOT NULL THEN nm - nkept END AS INTEGER) AS n_changed,
+  round(CASE WHEN pts IS NOT NULL THEN (nm - nkept) / CAST(nm AS DOUBLE) END, 6) + 0
+    AS turnover,
+  round(CASE WHEN nulladv = 0 THEN minadv END, 6) + 0 AS min_member_adv,
+  round({_PC_PART!r} * (CASE WHEN nulladv = 0 THEN minadv END) * nm, 6) + 0
+    AS capacity_dollars
+FROM g
+""",
+    f"Portfolio capacity/turnover: momentum book membership churn and "
+    f"the participation-capped ({_PC_PART:.0%} of trailing {_PC_ADVW}-bar "
+    "ADV) book size at which the worst member saturates",
+)
+def q_portfolio_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import portfolio_capacity
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = portfolio_capacity(
+        bars,
+        lookback=_PC_LB,
+        top_n=_PC_TOP,
+        adv_window=_PC_ADVW,
+        max_participation=_PC_PART,
+        ts_col="ts_event",
+        close_col="close",
+        volume_col="volume",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        F.col("ts_event").alias("ts"),
+        "n_members",
+        "n_changed",
+        (F.round("turnover", 6) + z0).alias("turnover"),
+        (F.round("min_member_adv", 6) + z0).alias("min_member_adv"),
+        (F.round("capacity_dollars", 6) + z0).alias("capacity_dollars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Hierarchical Risk Parity (operators/hrp.py) — AFML
+# ch.16 allocation over the distributed Ledoit-Wolf pair covariance.
+# No SQL oracle (iterative single-linkage + recursive bisection); the
+# driver records rows-only — correctness is pinned by the closed-form
+# golden anchors in tests/test_hrp.py (2-asset == inverse variance,
+# orthogonal equal-norm == equal weight, analytic cluster allocation).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "hrp_weights",
+    None,  # iterative linkage/bisection — not SQL-expressible
+    "Hierarchical Risk Parity allocation (single-linkage seriation + "
+    "recursive inverse-variance bisection) over the pairwise Ledoit-Wolf "
+    "covariance; distributed covariance, bounded universe-sized driver "
+    "clustering (IVF-training pattern)",
+)
+def q_hrp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.hrp import hrp_weights
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = hrp_weights(bars, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        (F.round("weight", 9) + z0).alias("weight"),
+        "seriation_rank",
+        (F.round("variance", 9) + z0).alias("variance"),
+    )

@@ -73,6 +73,60 @@ def probe_png(spark) -> None:
         _bench("png_decode", png_pixel_stats(synthesize_png(base)))
 
 
+def probe_budget(spark) -> None:
+    import shutil
+    import tempfile
+
+    from scripts.scaling_probe_r4 import gen_docs
+
+    from polars_trading_spark.functions.bpe import bpe_token_budget, bpe_train
+    from polars_trading_spark.functions.corpus import token_budget_curves
+
+    for nd in (20_000, 80_000, 320_000):
+        d = tempfile.mkdtemp(prefix="pts_probe_r8b_docs_")
+        try:
+            gen_docs(spark, nd, d)
+            from pyspark.sql import functions as F
+
+            docs = spark.read.parquet(d).withColumn(
+                "source",
+                F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")),
+            )
+            print(f"== docs={nd}")
+            _bench("token_budget_curves", token_budget_curves(docs))
+            import time as _t
+
+            t0 = _t.time()
+            merges, words = bpe_train(docs, n_merges=20)
+            merges.collect()
+            print(f"  bpe_train(20): {_t.time() - t0:.2f}s", flush=True)
+            _bench("bpe_token_budget", bpe_token_budget(docs, words))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def probe_capacity(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from polars_trading_spark.operators.cross_section import portfolio_capacity
+
+    for n in (200_000, 800_000, 3_200_000):
+        bars = spark.range(n).select(
+            F.concat(F.lit("S"), (F.col("id") % 8).cast("string")).alias("symbol"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.floor(F.col("id") / 8).cast("long") * 900_000_000
+            ).alias("ts_event"),
+            (100.0 + 5.0 * F.sin(F.col("id") / 97.0) + F.randn(seed=11)).alias("close"),
+            (F.col("id") % 1000 + 100).alias("volume"),
+        )
+        print(f"== bars={n}")
+        _bench(
+            "portfolio_capacity",
+            portfolio_capacity(bars, ts_col="ts_event"),
+        )
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark("pts-probe-r8")
@@ -81,6 +135,10 @@ def main() -> None:
         probe_recall(spark)
     if which in ("png", "all"):
         probe_png(spark)
+    if which in ("budget", "all"):
+        probe_budget(spark)
+    if which in ("capacity", "all"):
+        probe_capacity(spark)
 
 
 if __name__ == "__main__":
