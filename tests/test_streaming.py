@@ -1809,3 +1809,165 @@ def test_streaming_donchian_matches_batch_across_batches(spark):
         assert fired > 0  # the random walk actually breaks out somewhere
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_with_restart(spark, schema, src_parts, make_query):
+    """Run a stateful streaming query in TWO generations against the
+    same checkpoint: generation 1 consumes the first files and STOPS
+    (the 'kill'); more files land; generation 2 starts fresh from the
+    checkpoint and must restore the state store exactly.  Returns all
+    rows the parquet sink accumulated across both generations."""
+    src = tempfile.mkdtemp(prefix="pts_restart_src_")
+    chk = tempfile.mkdtemp(prefix="pts_restart_chk_")
+    sink = tempfile.mkdtemp(prefix="pts_restart_sink_")
+    try:
+        def start():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            return (
+                make_query(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        mid = len(src_parts) // 2
+        for i, part in enumerate(src_parts[:mid]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src}/f{i}"
+            )
+        q = start()
+        q.awaitTermination(120)  # generation 1 drains and stops
+        for i, part in enumerate(src_parts[mid:]):
+            spark.createDataFrame(part, schema).coalesce(1).write.parquet(
+                f"{src}/g{i}"
+            )
+        q2 = start()  # generation 2: fresh query, restored state
+        q2.awaitTermination(120)
+        return spark.read.parquet(sink).collect()
+    finally:
+        for active in spark.streams.active:
+            active.stop()
+        for d in (src, chk, sink):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.streaming
+def test_streaming_restart_resumes_state_atr_macd_session_vwap(spark):
+    """VERDICT r7 item 7: kill the query mid-tape and resume from the
+    checkpoint — the round-7 twins' state (EWM chunk totals, prev
+    close, session sums) must round-trip through the state store and
+    still match the batch operator at 1e-9 on EVERY row."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.execution import session_vwap
+    from polars_trading_spark.operators.indicators import atr, macd
+    from polars_trading_spark.streaming import (
+        streaming_atr,
+        streaming_macd,
+        streaming_session_vwap,
+    )
+
+    rng = np.random.default_rng(97)
+    bar_rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 9, 30)
+        close = 100.0
+        for _ in range(96):
+            t += dt.timedelta(minutes=15)
+            close = max(5.0, close + float(rng.normal(0, 1)))
+            spread = abs(float(rng.normal(0, 0.5))) + 0.01
+            bar_rows.append(
+                (sym, t, len(bar_rows), close + spread, close - spread, close)
+            )
+    bar_schema = (
+        "symbol string, ts_event timestamp, seq long, high double, "
+        "low double, close double"
+    )
+    bar_pdf = pd.DataFrame(
+        bar_rows, columns=["symbol", "ts_event", "seq", "high", "low", "close"]
+    )
+    quarters = [
+        bar_pdf.iloc[i * len(bar_pdf) // 4 : (i + 1) * len(bar_pdf) // 4]
+        for i in range(4)
+    ]
+    bars_df = spark.createDataFrame(bar_pdf, bar_schema)
+
+    # --- ATR twin through a kill/resume cycle ---
+    batch = {(r["symbol"], r["seq"]): r for r in atr(bars_df).collect()}
+    out = _run_with_restart(spark, bar_schema, quarters, lambda s: streaming_atr(s))
+    assert len(out) == len(bar_pdf)
+    for r in out:
+        b = batch[(r["symbol"], r["seq"])]
+        for c in ("tr", "atr", "natr"):
+            assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (
+                "atr", r["symbol"], r["seq"], c,
+            )
+
+    # --- MACD twin (three cascaded EWM folds in state) ---
+    batch = {(r["symbol"], r["seq"]): r for r in macd(bars_df, fast=5, slow=9, signal=3).collect()}
+    out = _run_with_restart(
+        spark, bar_schema, quarters,
+        lambda s: streaming_macd(s, fast=5, slow=9, signal=3),
+    )
+    assert len(out) == len(bar_pdf)
+    for r in out:
+        b = batch[(r["symbol"], r["seq"])]
+        for c in ("macd", "macd_signal", "macd_hist"):
+            if b[c] is None:
+                assert r[c] is None or r[c] != r[c], ("macd", r["seq"], c)
+            else:
+                assert r[c] == pytest.approx(b[c], rel=1e-9, abs=1e-12), (
+                    "macd", r["symbol"], r["seq"], c,
+                )
+
+    # --- session VWAP twin: the restart lands around a UTC day roll ---
+    trade_rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 3, 1, 22, 0)
+        for _ in range(96):
+            t += dt.timedelta(minutes=37)
+            trade_rows.append(
+                (
+                    sym,
+                    t,
+                    len(trade_rows),
+                    100.0 + float(rng.normal(0, 2)),
+                    int(rng.integers(1, 900)),
+                )
+            )
+    tr_schema = (
+        "symbol string, ts_event timestamp, seq long, price double, size long"
+    )
+    tr_pdf = pd.DataFrame(
+        trade_rows, columns=["symbol", "ts_event", "seq", "price", "size"]
+    )
+    tr_quarters = [
+        tr_pdf.iloc[i * len(tr_pdf) // 4 : (i + 1) * len(tr_pdf) // 4]
+        for i in range(4)
+    ]
+    batch = {
+        (r["symbol"], r["seq"]): r
+        for r in session_vwap(
+            spark.createDataFrame(tr_pdf, tr_schema),
+            ts_col="ts_event",
+            seq_col="seq",
+        ).collect()
+    }
+    out = _run_with_restart(
+        spark, tr_schema, tr_quarters, lambda s: streaming_session_vwap(s)
+    )
+    assert len(out) == len(tr_pdf)
+    for r in out:
+        b = batch[(r["symbol"], r["seq"])]
+        assert r["cum_volume"] == b["cum_volume"], ("vwap", r["seq"])
+        assert r["session_vwap"] == pytest.approx(
+            b["session_vwap"], rel=1e-9
+        ), ("vwap", r["symbol"], r["seq"])
