@@ -193,6 +193,8 @@ HEADLINE = [
     "token_budget_curves",
     "bpe_train_merges",
     "bpe_token_budget",
+    "risk_contributions",
+    "pcm_band_power",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "png_pixel_stats",
     "synthesize_pcm",
     "pcm_features",
+    "pcm_band_power",
 ]
 
 _MEDIA_TYPES = ["image", "audio", "video"]
@@ -718,3 +719,78 @@ def pcm_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(feats, schema=_PCM_FEAT_SCHEMA)
+
+
+_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dc_mean", T.DoubleType()),
+        T.StructField("amp_sr8", T.DoubleType()),
+        T.StructField("amp_sr4", T.DoubleType()),
+        T.StructField("amp_sr2", T.DoubleType()),
+    ]
+)
+
+# sqrt(1/2), the only irrational in the dyadic-bin DFT coefficients —
+# injected as the SAME literal into the SQL oracle, so both engines
+# compute bit-identical amplitudes.
+SQRT_HALF = 0.7071067811865476
+
+
+def pcm_band_power(media: DataFrame) -> DataFrame:
+    """Single-bin DFT amplitudes of raw s16le PCM at the dyadic
+    frequencies sr/8, sr/4, sr/2 plus the DC mean — the tone-detection
+    / aliasing-check feature a real audio-QA pass computes per clip.
+
+    Exactness design (what makes this DIFFERENTIALLY testable): at a
+    period-P dyadic bin every cos/sin coefficient is one of
+    ``{0, ±1, ±sqrt(1/2)}`` over the 8 phase classes ``t mod 8``, so
+
+        c_f = sum_t x_t cos(2*pi*t/P) = f(S_0..S_7)
+
+    reduces to INTEGER phase sums ``S_p = sum of samples with t = p
+    (mod 8)`` (order-free, exact) combined in one fixed-order float
+    expression with a single irrational constant — bit-identical on
+    any engine and partitioning, no float-fold ambiguity anywhere.
+
+    Shape: one Arrow ``mapInPandas`` decode stage emitting the eight
+    integer phase sums per clip; amplitudes are fixed-order arithmetic.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        r = SQRT_HALF
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_samples", "dc_mean", "amp_sr8", "amp_sr4", "amp_sr2"
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                n = int(x.shape[0])
+                s = [int(x[p::8].sum()) for p in range(8)]
+                c8 = float((s[0] - s[4]) + r * ((s[1] + s[7]) - (s[3] + s[5])))
+                s8 = float((s[2] - s[6]) + r * ((s[1] + s[3]) - (s[5] + s[7])))
+                c4 = float((s[0] + s[4]) - (s[2] + s[6]))
+                s4 = float((s[1] + s[5]) - (s[3] + s[7]))
+                c2 = float(
+                    (s[0] + s[2] + s[4] + s[6]) - (s[1] + s[3] + s[5] + s[7])
+                )
+                tot = sum(s)
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(n)
+                out["dc_mean"].append(tot / n if n else None)
+                out["amp_sr8"].append(
+                    2.0 * math.sqrt(c8 * c8 + s8 * s8) / n if n else None
+                )
+                out["amp_sr4"].append(
+                    2.0 * math.sqrt(c4 * c4 + s4 * s4) / n if n else None
+                )
+                # Nyquist bin: no conjugate pair, so no single-sided x2
+                out["amp_sr2"].append(abs(c2) / n if n else None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, schema=_BAND_SCHEMA)

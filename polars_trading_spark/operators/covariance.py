@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ledoit_wolf_cov"]
+__all__ = ["ledoit_wolf_cov", "risk_contributions"]
 
 
 def ledoit_wolf_cov(
@@ -132,4 +132,105 @@ def ledoit_wolf_cov(
         shrunk.alias("cov_shrunk"),
         "shrinkage",
         "mu",
+    )
+
+
+def risk_contributions(
+    bars: DataFrame,
+    *,
+    use_shrunk: bool = True,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Inverse-variance portfolio risk decomposition over the pairwise
+    (Ledoit-Wolf) covariance — the risk-budgeting report HRP's
+    bisection uses implicitly, as a fully declarative frame:
+
+    * ``weight``   — inverse-variance weights ``(1/sigma_ii) / sum``
+    * ``mrc``      — marginal risk contribution ``(Sigma w)_i``
+    * ``rc``       — risk contribution ``w_i * (Sigma w)_i``
+    * ``rc_share`` — ``rc_i / w' Sigma w`` (sums to 1)
+
+    Everything is computed from the pair table without materializing a
+    matrix; every float reduction that fans into the outputs (the
+    inverse-variance total, each row's ``Sigma w`` dot product, the
+    portfolio variance) is an ORDER-DETERMINISTIC running fold over the
+    symbol order read at its last row — bit-identical on any engine or
+    partitioning, which is what lets the DuckDB oracle gate it exactly.
+
+    Scale shape: the pair join + hash agg of ``ledoit_wolf_cov`` (the
+    data-sized work), then symbol- and pair-table-sized windows; the
+    weight table rides a broadcast join.  Zero Python.
+    """
+    cov_col = "cov_shrunk" if use_shrunk else "cov_sample"
+    pairs = ledoit_wolf_cov(
+        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col
+    ).select("sym_a", "sym_b", F.col(cov_col).alias("__cov"))
+
+    sym_pairs = pairs.union(
+        pairs.where(F.col("sym_a") != F.col("sym_b")).select(
+            F.col("sym_b").alias("sym_a"),
+            F.col("sym_a").alias("sym_b"),
+            "__cov",
+        )
+    )
+
+    # inverse-variance weights via an ordered fold over the symbol order
+    diag = pairs.where(F.col("sym_a") == F.col("sym_b")).select(
+        F.col("sym_a").alias("__sym"), F.col("__cov").alias("__var")
+    )
+    wrun = Window.orderBy("__sym").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("__sym").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # stage the running fold as a real column first (a window cannot
+    # nest inside another window), then read its last value
+    weights = (
+        diag.withColumn("__irun", F.sum(1.0 / F.col("__var")).over(wrun))
+        .withColumn("__itot", F.last("__irun").over(wfull))
+        .select(
+            "__sym",
+            "__var",
+            ((1.0 / F.col("__var")) / F.col("__itot")).alias("__w"),
+        )
+    )
+
+    # mrc_i = (Sigma w)_i: per-sym_a ordered fold over sym_b
+    j = sym_pairs.join(
+        F.broadcast(weights.select(F.col("__sym").alias("sym_b"), "__w")),
+        "sym_b",
+    )
+    orun = Window.partitionBy("sym_a").orderBy("sym_b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ofull = Window.partitionBy("sym_a").orderBy("sym_b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mrc = (
+        j.withColumn(
+            "__drun", F.sum(F.col("__cov") * F.col("__w")).over(orun)
+        )
+        .withColumn("__mrc", F.last("__drun").over(ofull))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("sym_a").orderBy("sym_b")),
+        )
+        .where(F.col("__rn") == 1)
+        .select(F.col("sym_a").alias("__sym"), "__mrc")
+    )
+
+    out = weights.join(mrc, "__sym")
+    # portfolio variance: ordered fold of w_i * mrc_i over symbols
+    out = out.withColumn(
+        "__pvrun", F.sum(F.col("__w") * F.col("__mrc")).over(wrun)
+    ).withColumn("__pv", F.last("__pvrun").over(wfull))
+    return out.select(
+        F.col("__sym").alias("symbol"),
+        F.col("__w").alias("weight"),
+        F.col("__var").alias("variance"),
+        F.col("__mrc").alias("mrc"),
+        (F.col("__w") * F.col("__mrc")).alias("rc"),
+        (F.col("__w") * F.col("__mrc") / F.col("__pv")).alias("rc_share"),
+        F.col("__pv").alias("portfolio_variance"),
     )

@@ -266,3 +266,78 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_png(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). PCM dyadic-bin DFT amplitudes (functions/
+# multimodal.py::pcm_band_power) — at periods 8/4/2 every cos/sin
+# coefficient is in {0, +-1, +-sqrt(1/2)} over the t mod 8 phase
+# classes, so the bins reduce to INTEGER phase sums combined in one
+# fixed-order float expression with a single injected irrational —
+# bit-identical cross-engine, no float-fold ambiguity.
+# --------------------------------------------------------------------------
+
+_BAND_R = 0.7071067811865476  # = functions/multimodal.py::SQRT_HALF
+
+
+@register(
+    "pcm_band_power",
+    f"""
+WITH m AS (SELECT doc_id AS media_id FROM documents),
+s AS (
+  SELECT media_id, i % 8 AS p,
+    ((media_id * 7919 + i * 104729) % 65536) - 32768 AS v
+  FROM m, unnest(range(0, 400 + CAST(media_id % 800 AS INTEGER))) AS t(i)
+),
+ph AS (
+  SELECT media_id,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN p = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+    CAST(sum(CASE WHEN p = 1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+    CAST(sum(CASE WHEN p = 2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+    CAST(sum(CASE WHEN p = 3 THEN v ELSE 0 END) AS BIGINT) AS s3,
+    CAST(sum(CASE WHEN p = 4 THEN v ELSE 0 END) AS BIGINT) AS s4,
+    CAST(sum(CASE WHEN p = 5 THEN v ELSE 0 END) AS BIGINT) AS s5,
+    CAST(sum(CASE WHEN p = 6 THEN v ELSE 0 END) AS BIGINT) AS s6,
+    CAST(sum(CASE WHEN p = 7 THEN v ELSE 0 END) AS BIGINT) AS s7
+  FROM s GROUP BY media_id
+),
+amp AS (
+  SELECT media_id, n,
+    (s0 - s4) + CAST({_BAND_R!r} AS DOUBLE) * ((s1 + s7) - (s3 + s5)) AS c8,
+    (s2 - s6) + CAST({_BAND_R!r} AS DOUBLE) * ((s1 + s3) - (s5 + s7)) AS s8,
+    (s0 + s4) - (s2 + s6) AS c4,
+    (s1 + s5) - (s3 + s7) AS s4x,
+    (s0 + s2 + s4 + s6) - (s1 + s3 + s5 + s7) AS c2,
+    s0 + s1 + s2 + s3 + s4 + s5 + s6 + s7 AS tot
+  FROM ph
+)
+SELECT media_id, n AS n_samples,
+  round(tot / n, 6) + 0 AS dc_mean,
+  round(2.0 * sqrt(c8 * c8 + s8 * s8) / n, 6) + 0 AS amp_sr8,
+  round(2.0 * sqrt(c4 * c4 + s4x * s4x) / n, 6) + 0 AS amp_sr4,
+  round(abs(c2) / n, 6) + 0 AS amp_sr2
+FROM amp
+""",
+    "Dyadic-bin DFT amplitudes (sr/8, sr/4, sr/2) + DC over raw s16le "
+    "PCM — integer phase sums, fixed-order float combination, one "
+    "injected sqrt(1/2) literal: exact cross-engine audio features",
+)
+def q_pcm_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        pcm_band_power,
+        synthesize_pcm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = synthesize_pcm(docs, sample_rate=16_000)
+    out = pcm_band_power(media)
+    z0 = F.lit(0.0)
+    return out.select(
+        "media_id",
+        "n_samples",
+        (F.round("dc_mean", 6) + z0).alias("dc_mean"),
+        (F.round("amp_sr8", 6) + z0).alias("amp_sr8"),
+        (F.round("amp_sr4", 6) + z0).alias("amp_sr4"),
+        (F.round("amp_sr2", 6) + z0).alias("amp_sr2"),
+    )

@@ -245,6 +245,65 @@ def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Reusable Ledoit-Wolf pair-covariance CTE chain (ends at lw = the
+# shrunk pair table) — shared by the ledoit_wolf and risk_contributions
+# oracles.
+_LW_CTES = f"""
+{_FEATURE_BARS_CTE},
+r0 AS (
+  SELECT symbol AS s, ts,
+    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
+  FROM bars
+),
+r1 AS (SELECT * FROM r0 WHERE r IS NOT NULL),
+ns AS (SELECT count(DISTINCT s) AS nsym FROM r1),
+r2 AS (
+  SELECT r1.s, r1.ts, r1.r
+  FROM r1
+  JOIN (SELECT ts, count(DISTINCT s) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
+  CROSS JOIN ns WHERE t.c = ns.nsym
+),
+x AS (SELECT s, ts, r - avg(r) OVER (PARTITION BY s) AS x FROM r2),
+p AS (
+  SELECT a.s AS sym_a, b.s AS sym_b, a.x * b.x AS prod
+  FROM x a JOIN x b ON a.ts = b.ts AND a.s <= b.s
+),
+pp AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
+         sum(prod) AS sp, sum(prod * prod) AS q
+  FROM p GROUP BY sym_a, sym_b
+),
+pp2 AS (SELECT *, sp / n AS sij FROM pp),
+g AS (
+  SELECT max(n) AS nn,
+    sum(CASE WHEN sym_a = sym_b THEN sij END) AS tr,
+    CAST(count(CASE WHEN sym_a = sym_b THEN 1 END) AS DOUBLE) AS pdim,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * sij * sij) AS ss2,
+    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * q) AS sq
+  FROM pp2
+),
+sc AS (
+  SELECT nn, tr / pdim AS mu,
+    (ss2 - 2 * (tr / pdim) * tr + pdim * (tr / pdim) * (tr / pdim)) / pdim AS d2,
+    (sq / (CAST(nn AS DOUBLE) * nn) - ss2 / nn) / pdim AS b2raw
+  FROM g
+),
+sc2 AS (
+  SELECT mu,
+    CASE WHEN nn >= 2 AND d2 > 0
+         THEN least(greatest(b2raw, 0.0), d2) / d2 END AS shrinkage
+  FROM sc
+),
+lw AS (
+  SELECT sym_a, sym_b, n, sij, shrinkage, mu,
+    CASE WHEN shrinkage IS NOT NULL
+         THEN shrinkage * (CASE WHEN sym_a = sym_b THEN mu ELSE 0.0 END)
+              + (1 - shrinkage) * sij
+         ELSE sij END AS cov
+  FROM pp2 CROSS JOIN sc2
+)"""
+
+
 @register(
     "ledoit_wolf",
     f"""
@@ -1230,8 +1289,11 @@ def q_portfolio_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hrp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.hrp import hrp_weights
 
+    # 6h bars: the covariance step's complete-case alignment needs every
+    # symbol present in a bucket — at sf0.001 the 15m tape is too sparse
+    # to align anything, and HRP's inputs are naturally coarse anyway
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size="6h")
     out = hrp_weights(bars, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -1239,4 +1301,100 @@ def q_hrp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("weight", 9) + z0).alias("weight"),
         "seriation_rank",
         (F.round("variance", 9) + z0).alias("variance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Inverse-variance risk decomposition
+# (operators/covariance.py::risk_contributions) — the SQL-gated
+# companion of the rows-only hrp_weights: weights, marginal/total risk
+# contributions and portfolio variance from the shrunk pair table, with
+# every fanning float reduce an ordered symbol fold on both engines.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "risk_contributions",
+    f"""
+WITH
+{_LW_CTES},
+sympairs AS (
+  SELECT sym_a, sym_b, cov FROM lw
+  UNION ALL
+  SELECT sym_b AS sym_a, sym_a AS sym_b, cov FROM lw WHERE sym_a <> sym_b
+),
+diag AS (SELECT sym_a AS sym, cov AS var FROM lw WHERE sym_a = sym_b),
+wts0 AS (
+  SELECT sym, var,
+    sum(1.0 / var) OVER (ORDER BY sym
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS irun
+  FROM diag
+),
+wts AS (
+  SELECT sym, var,
+    (1.0 / var) / last_value(irun) OVER (ORDER BY sym
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w
+  FROM wts0
+),
+jj AS (
+  SELECT p.sym_a, p.sym_b, p.cov * w.w AS term
+  FROM sympairs p JOIN wts w ON p.sym_b = w.sym
+),
+m0 AS (
+  SELECT sym_a, sym_b,
+    sum(term) OVER (PARTITION BY sym_a ORDER BY sym_b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drun
+  FROM jj
+),
+m1 AS (
+  SELECT sym_a,
+    last_value(drun) OVER (PARTITION BY sym_a ORDER BY sym_b
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS mrc,
+    row_number() OVER (PARTITION BY sym_a ORDER BY sym_b) AS rn
+  FROM m0
+),
+mrc AS (SELECT sym_a AS sym, mrc FROM m1 WHERE rn = 1),
+o0 AS (SELECT w.sym, w.var, w.w, m.mrc FROM wts w JOIN mrc m USING (sym)),
+o1 AS (
+  SELECT *,
+    sum(w * mrc) OVER (ORDER BY sym
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pvrun
+  FROM o0
+),
+o2 AS (
+  SELECT *,
+    last_value(pvrun) OVER (ORDER BY sym
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS pv
+  FROM o1
+)
+SELECT sym AS symbol,
+  round(w, 6) + 0 AS weight,
+  round(var * 1e6, 6) + 0 AS variance_ppm,
+  round(mrc * 1e6, 6) + 0 AS mrc_ppm,
+  round(w * mrc * 1e6, 6) + 0 AS rc_ppm,
+  round(w * mrc / pv, 6) + 0 AS rc_share,
+  round(pv * 1e6, 6) + 0 AS portfolio_variance_ppm
+FROM o2
+""",
+    "Inverse-variance risk decomposition over the shrunk pair "
+    "covariance: weights, marginal/total risk contributions, portfolio "
+    "variance — ordered symbol folds, no matrix, no Python",
+)
+def q_risk_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.covariance import risk_contributions
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = risk_contributions(bars, ts_col="ts_event", close_col="close")
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        (F.round("weight", 6) + z0).alias("weight"),
+        (F.round(F.col("variance") * 1e6, 6) + z0).alias("variance_ppm"),
+        (F.round(F.col("mrc") * 1e6, 6) + z0).alias("mrc_ppm"),
+        (F.round(F.col("rc") * 1e6, 6) + z0).alias("rc_ppm"),
+        (F.round("rc_share", 6) + z0).alias("rc_share"),
+        (F.round(F.col("portfolio_variance") * 1e6, 6) + z0).alias(
+            "portfolio_variance_ppm"
+        ),
     )

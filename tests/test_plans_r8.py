@@ -126,3 +126,22 @@ def test_hrp_output_shape_and_invariants(spark):
     assert all(w > 0 for w in ws)
     assert sum(ws) == pytest.approx(1.0, rel=1e-9)
     assert sorted(r["seriation_rank"] for r in out) == list(range(len(out)))
+
+
+def test_risk_contributions_contract(spark, bars):
+    from polars_trading_spark.operators.covariance import risk_contributions
+
+    out = risk_contributions(bars, ts_col="ts_event")
+    assert count_python_stages(out) == 0
+    assert not has_unbounded_following_frame(out)
+
+
+def test_pcm_band_power_single_python_island(spark, docs):
+    from polars_trading_spark.functions.multimodal import (
+        pcm_band_power,
+        synthesize_pcm,
+    )
+
+    out = pcm_band_power(synthesize_pcm(docs))
+    assert count_python_stages(out) == 2  # synth + decode islands
+    assert count_exchanges(out) == 0
