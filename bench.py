@@ -195,6 +195,7 @@ HEADLINE = [
     "bpe_token_budget",
     "risk_contributions",
     "pcm_band_power",
+    "multimodal_gif_decode",
 ]
 
 

@@ -4,10 +4,10 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column (or a reference to object storage), decode/feature
 steps are Arrow-batched ``mapInPandas`` stages, and everything around
 them (schema, partitioning, metadata pushdown) is ordinary columnar
-Spark.  PNG (zlib inflate + unfilter) and uncompressed BMP pixel decode
-are REAL pure-stdlib kernels; only the entropy/LZW coders (JPEG, GIF)
-still need a codec library this container lacks — ``decode_image``
-raises ``NotImplementedError`` for those unless PIL is importable —
+Spark.  PNG (zlib inflate + unfilter), uncompressed BMP, and GIF (full
+variable-width LZW) pixel decode are REAL pure-stdlib kernels; only
+JPEG entropy decode still needs a codec library this container lacks —
+``decode_image`` raises ``NotImplementedError`` for it unless PIL is importable —
 while the Spark-side plumbing (UDF signatures, batch iteration, schema
 contracts, frame explosion) is real and tested end-to-end.
 """
@@ -33,6 +33,10 @@ __all__ = [
     "png_encode",
     "png_decode",
     "bmp_decode",
+    "gif_encode",
+    "gif_decode",
+    "gif_palette",
+    "synthesize_gif",
     "png_pixel_stats",
     "synthesize_pcm",
     "pcm_features",
@@ -427,11 +431,12 @@ def decode_image(payload: bytes):
     with ``pixels`` an ``(h, w, channels)`` uint8 array.
 
     REAL pure-stdlib decode paths (no codec library): PNG (zlib inflate
-    + all five unfilter types, depth-8 gray/RGB/GA/RGBA) and
-    uncompressed 24-bit BMP.  STUB (narrowed in round 8 from "all pixel
-    decode" to exactly the entropy/LZW coders): JPEG entropy decode and
-    GIF LZW still require PIL/opencv, which this container lacks — the
-    import-try keeps those call sites honest.
+    + all five unfilter types, depth-8 gray/RGB/GA/RGBA), uncompressed
+    24-bit BMP, and GIF (the full variable-width LZW decoder incl.
+    CLEAR resets and the KwKwK case; non-interlaced).  STUB (narrowed
+    in round 8 from "all pixel decode" to exactly one coder): JPEG
+    entropy decode still requires PIL/opencv, which this container
+    lacks — the import-try keeps that call site honest.
     """
     hdr = parse_image_header(payload)
     if hdr is not None and hdr[0] == "png":
@@ -440,7 +445,10 @@ def decode_image(payload: bytes):
     if hdr is not None and hdr[0] == "bmp":
         px = bmp_decode(payload)
         return ("bmp", px.shape[1], px.shape[0], px)
-    if hdr is not None and hdr[0] in ("jpeg", "gif"):
+    if hdr is not None and hdr[0] == "gif":
+        px = gif_decode(payload)
+        return ("gif", px.shape[1], px.shape[0], px)
+    if hdr is not None and hdr[0] == "jpeg":
         try:
             from PIL import Image  # noqa: F401
             import io
@@ -449,10 +457,10 @@ def decode_image(payload: bytes):
 
             im = Image.open(io.BytesIO(payload))
             px = np.asarray(im)
-            return (hdr[0], im.width, im.height, px)
+            return ("jpeg", im.width, im.height, px)
         except ImportError as exc:  # pragma: no cover
             raise NotImplementedError(
-                f"{hdr[0]} entropy/LZW decode requires PIL/opencv; "
+                "jpeg entropy decode requires PIL/opencv; "
                 "not available in this environment"
             ) from exc
     raise ValueError("unrecognized image container")
@@ -794,3 +802,249 @@ def pcm_band_power(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(feats, schema=_BAND_SCHEMA)
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (LSB-first bit packing),
+    CLEAR emitted up front and on dictionary overflow at 4096."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits = []  # (code, width)
+    width = min_code_size + 1
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    w = ()
+    for c in indices:
+        c = int(c)
+        wc = w + (c,)
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        # width grows when the NEXT code to assign no longer fits
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = (c,)
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+
+    # LSB-first bit packing into 255-byte sub-blocks
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, wdt in out_bits:
+        acc |= code << nbits
+        nbits += wdt
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)  # block terminator
+    return bytes(blocks)
+
+
+def _lzw_decode_gif(blocks: bytes, min_code_size: int, n_expected: int):
+    """Decode the GIF LZW sub-block stream to pixel indices — the real
+    variable-width decoder incl. the KwKwK (code == next_code) case and
+    CLEAR resets."""
+    # unwrap sub-blocks
+    data = bytearray()
+    i = 0
+    while i < len(blocks):
+        n = blocks[i]
+        i += 1
+        if n == 0:
+            break
+        data.extend(blocks[i : i + n])
+        i += n
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = []
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def read(width):
+        nonlocal acc, nbits, pos
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            raise ValueError("GIF LZW stream truncated")
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table = None
+    width = min_code_size + 1
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if table is None:
+            raise ValueError("GIF LZW data before initial CLEAR")
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):  # KwKwK
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        if prev is not None and table[-1] is not None:
+            # width grows when the next assignable code would overflow
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        if len(out) >= n_expected:
+            break
+        prev = entry
+    return out[:n_expected]
+
+
+GIF_PALETTE_SIZE = 16  # 4-bit palette
+
+
+def gif_palette(k: int):
+    """Deterministic palette entry k — replayable arithmetically by the
+    differential oracle."""
+    return ((k * 37) % 256, (k * 59 + 11) % 256, (k * 83 + 29) % 256)
+
+
+def gif_encode(indices, width: int, height: int) -> bytes:
+    """Encode palette indices (row-major, values < 16) as a REAL
+    spec-valid GIF89a: header, logical screen descriptor, 16-entry
+    global color table, image descriptor, LZW-compressed data,
+    trailer.  Pure stdlib."""
+    import struct
+
+    if len(indices) != width * height:
+        raise ValueError("indices length != width*height")
+    hdr = b"GIF89a" + struct.pack(
+        "<HHBBB", width, height, 0x80 | 0x23, 0, 0
+    )  # GCT present, 4-bit color resolution bits, 16-entry table
+    gct = bytearray()
+    for k in range(GIF_PALETTE_SIZE):
+        gct.extend(gif_palette(k))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    min_code_size = 4
+    return (
+        hdr
+        + bytes(gct)
+        + img_desc
+        + bytes([min_code_size])
+        + _lzw_encode_gif(indices, min_code_size)
+        + b"\x3b"
+    )
+
+
+def gif_decode(payload: bytes):
+    """REAL pure-stdlib GIF decode for non-interlaced, non-animated
+    GIFs with a global color table: header parse, LZW decompression
+    (variable-width, CLEAR resets, KwKwK), palette mapping.  Returns an
+    ``(h, w, 3)`` uint8 RGB numpy array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    palette = None
+    if flags & 0x80:
+        gct_size = 2 << (flags & 0x07)
+        palette = np.frombuffer(
+            payload, dtype=np.uint8, count=3 * gct_size, offset=i
+        ).reshape(gct_size, 3)
+        i += 3 * gct_size
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF decode not supported")
+            if iflags & 0x80:
+                lct_size = 2 << (iflags & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * lct_size, offset=i
+                ).reshape(lct_size, 3)
+                i += 3 * lct_size
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[i]
+            i += 1
+            idx = _lzw_decode_gif(payload[i:], min_code_size, iw * ih)
+            arr = palette[np.asarray(idx, dtype=np.int64)].reshape(ih, iw, 3)
+            return arr.copy()
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def synthesize_gif(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF89a per document id: 16-color deterministic
+    palette, LZW-compressed index stream (``width = 4 + doc_id % 29``,
+    ``height = 3 + doc_id % 17``, index ``j`` of media ``m`` is
+    ``(m * 31 + j * 7) % 16``) — the differential oracle regenerates
+    the decoded RGB aggregates closed-form through the palette map."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                j = np.arange(w * h, dtype=np.int64)
+                idx = ((m * 31 + j * 7) % GIF_PALETTE_SIZE).tolist()
+                rows.append(gif_encode(idx, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

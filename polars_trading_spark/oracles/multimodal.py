@@ -341,3 +341,61 @@ def q_pcm_band_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("amp_sr4", 6) + z0).alias("amp_sr4"),
         (F.round("amp_sr2", 6) + z0).alias("amp_sr2"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). REAL GIF LZW pixel decode (functions/multimodal.py::
+# gif_decode) — spec-valid GIF89a files synthesized per doc (16-color
+# deterministic palette, variable-width LZW with CLEAR resets), decoded
+# by the pure-stdlib LZW kernel; the oracle regenerates the decoded RGB
+# aggregates closed-form through the palette map, so one wrong index
+# anywhere in the compress/decompress round-trip flips px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+         CAST(3 + doc_id % 17 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j,
+         (media_id * 31 + j * 7) % 16 AS idx
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(j)
+),
+rgb AS (
+  SELECT media_id, width, height, j,
+    (idx * 37) % 256 AS r,
+    (idx * 59 + 11) % 256 AS g,
+    (idx * 83 + 29) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+  'gif' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+  CAST(sum(r * ((3 * j) % 251 + 1)
+         + g * ((3 * j + 1) % 251 + 1)
+         + b * ((3 * j + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib GIF pixel decode: synthesized spec-valid GIF89a "
+    "(deterministic 16-color palette, variable-width LZW incl. CLEAR "
+    "resets) decoded via the pure-Python LZW kernel in Arrow "
+    "mapInPandas; exact integer RGB aggregates replayed arithmetically",
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_gif,
+    )
+
+    media = synthesize_gif(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -242,6 +242,58 @@ def test_png_decode_rejects_corruption_and_exotics():
         multimodal.png_decode(b"\x00" * 32)
 
 
+def test_gif_lzw_codec_roundtrip_stress():
+    from polars_trading_spark.functions.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    # random streams across sizes: forces code-width growth 5->12 and,
+    # at 60k symbols, dictionary overflow + CLEAR reset mid-stream
+    for n in (1, 2, 7, 100, 1000, 60000):
+        seq = rng.randint(0, 16, size=n).tolist()
+        assert _lzw_decode_gif(_lzw_encode_gif(seq, 4), 4, n) == seq, n
+    # KwKwK (code == next_code) trigger: long runs of one symbol
+    seq = [5] * 5000
+    assert _lzw_decode_gif(_lzw_encode_gif(seq, 4), 4, 5000) == seq
+
+
+def test_gif_encode_decode_full_file():
+    from polars_trading_spark.functions.multimodal import (
+        gif_encode,
+        gif_palette,
+    )
+
+    for m in (0, 7, 123, 4567):
+        w, h = 4 + m % 29, 3 + m % 17
+        j = np.arange(w * h, dtype=np.int64)
+        idx = ((m * 31 + j * 7) % 16).tolist()
+        payload = gif_encode(idx, w, h)
+        assert multimodal.parse_image_header(payload) == ("gif", w, h)
+        fmt, ww, hh, px = multimodal.decode_image(payload)
+        exp = np.array([gif_palette(k) for k in idx], dtype=np.uint8).reshape(
+            h, w, 3
+        )
+        assert (fmt, ww, hh) == ("gif", w, h)
+        assert np.array_equal(px, exp), m
+
+
+def test_gif_decode_rejects_interlaced_and_garbage():
+    import struct
+
+    from polars_trading_spark.functions.multimodal import gif_decode, gif_encode
+
+    with pytest.raises(ValueError):
+        gif_decode(b"not a gif at all")
+    # flip the interlace flag in a valid file's image descriptor
+    payload = bytearray(gif_encode([1, 2, 3, 4], 2, 2))
+    desc_at = payload.index(b"\x2c", 13)
+    payload[desc_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        gif_decode(bytes(payload))
+
+
 def test_bmp_decode_strips_padding_and_flips_rows():
     import struct
 
