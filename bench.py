@@ -196,6 +196,7 @@ HEADLINE = [
     "risk_contributions",
     "pcm_band_power",
     "multimodal_gif_decode",
+    "multimodal_jpeg_decode",
 ]
 
 

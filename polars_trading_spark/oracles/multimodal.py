@@ -399,3 +399,54 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_gif(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). REAL JPEG entropy decode (functions/multimodal.py::
+# jpeg_decode_gray) — decodable baseline grayscale JPEGs synthesized per
+# doc (standard Annex-K Huffman tables, differential DC, byte stuffing),
+# decoded by the pure-stdlib Huffman+IDCT kernel.  DC-only blocks make
+# every decoded pixel an exact closed-form integer, so the oracle
+# replays the aggregates arithmetically: one wrong bit anywhere in the
+# Huffman stream flips px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j,
+    2 * ((media_id + 13 * ((j // width // 8) * (width // 8) + (j % width) // 8)) % 64) + 64 AS v
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(j)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib JPEG entropy decode: synthesized decodable baseline "
+    "grayscale JPEGs (standard Annex-K Huffman tables, differential DC, "
+    "byte stuffing) decoded via canonical-Huffman + IDCT in Arrow "
+    "mapInPandas; DC-only spectra make every pixel an exact integer the "
+    "oracle replays closed-form",
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_decodable,
+    )
+
+    media = synthesize_jpeg_decodable(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -191,30 +191,117 @@ def test_multimodal_metadata_and_frames(docs):
     assert all(r["offset_ms"] % 500 == 0 for r in frames)
 
 
-def test_decode_image_garbage_and_narrowed_stub():
+def test_decode_image_garbage_and_pinned_jpeg_scope():
     # unrecognized container -> ValueError (not a stub any more)
     with pytest.raises(ValueError):
         multimodal.decode_image(b"not an image")
-    # JPEG entropy decode is the remaining honest stub (no PIL here);
-    # synthesize a valid marker stream via the same layout the engine
-    # uses and confirm the error names the narrowed scope
     import struct
 
+    # a header-only JPEG (no scan) is malformed, not unsupported
     m = 5
     w, h = 16 + m % 613, 16 + m % 377
     app0 = b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    jpeg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    # a 3-component frame is rejected as unsupported COLOR immediately
+    with pytest.raises(NotImplementedError, match="color"):
+        multimodal.jpeg_decode_gray(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
+    # a header-only GRAYSCALE stream is malformed, not unsupported
+    sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    with pytest.raises(ValueError, match="no scan"):
+        multimodal.jpeg_decode_gray(b"\xff\xd8" + app0 + sof_gray + b"\xff\xd9")
+    # chroma-subsampled COLOR frames are outside the pinned
+    # baseline-grayscale scope -> NotImplementedError naming it (via
+    # the PIL fallback when PIL is absent)
     try:
         import PIL  # noqa: F401
 
-        pytest.skip("PIL available; stub path not reachable")
+        pytest.skip("PIL available; fallback path not reachable")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="entropy"):
-        multimodal.decode_image(jpeg)
+    sos = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+    with pytest.raises(NotImplementedError, match="color"):
+        multimodal.decode_image(b"\xff\xd8" + app0 + sof0 + sos + b"\xff\xd9")
+
+
+def test_jpeg_codec_dc_only_exact_and_ac_reference():
+    from polars_trading_spark.functions.multimodal import (
+        decode_image,
+        jpeg_encode_gray,
+    )
+
+    w, h = 16, 24
+    nb = (w // 8) * (h // 8)
+    blocks = []
+    for k in range(nb):
+        blk = [0] * 64
+        blk[0] = ((7 + 13 * k) % 64) - 32
+        blocks.append(blk)
+    fmt, ww, hh, px = decode_image(jpeg_encode_gray(blocks, w, h))
+    assert (fmt, ww, hh) == ("jpeg", w, h)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            k = by * (w // 8) + bx
+            want = 2 * (((7 + 13 * k) % 64) - 32) + 128
+            assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] == want).all()
+
+    # AC spectra vs a textbook double-loop IDCT reference
+    zz = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5, 12, 19,
+          26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42,
+          49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59,
+          52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+    def ref_idct(blk):
+        Fm = np.zeros((8, 8))
+        for kk, pos in enumerate(zz):
+            Fm[pos // 8, pos % 8] = blk[kk] * 16
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                        cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                        s += cu * cv * Fm[u, v] * np.cos(
+                            (2 * y + 1) * u * np.pi / 16
+                        ) * np.cos((2 * x + 1) * v * np.pi / 16)
+                out[y, x] = s / 4
+        return np.clip(np.rint(out + 128), 0, 255)
+
+    rng = np.random.RandomState(11)
+    blocks = []
+    for k in range(nb):
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-40, 40))
+        for pos in rng.choice(range(1, 64), size=7, replace=False):
+            blk[pos] = int(rng.randint(-15, 15))
+        blocks.append(blk)
+    _, _, _, px = decode_image(jpeg_encode_gray(blocks, w, h))
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            k = by * (w // 8) + bx
+            got = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0].astype(float)
+            assert np.abs(got - ref_idct(blocks[k])).max() <= 1, k
+
+    # orientation: a lone horizontal-frequency coefficient varies along
+    # x only (catches a transposed IDCT that round-trips would miss)
+    blk = [0] * 64
+    blk[1] = 10
+    _, _, _, px = decode_image(jpeg_encode_gray([blk], 8, 8))
+    g = px[:, :, 0].astype(int)
+    assert (np.ptp(g, axis=1) > 0).all() and (np.ptp(g, axis=0) == 0).all()
+
+    # ZRL (16-zero runs) and a coefficient on the last zig-zag index
+    blk = [0] * 64
+    blk[0], blk[40], blk[63] = 5, 7, -3
+    _, _, _, px = decode_image(jpeg_encode_gray([blk], 8, 8))
+    assert np.abs(px[:, :, 0].astype(float) - ref_idct(blk)).max() <= 1
 
 
 def test_png_codec_roundtrip_all_filters_and_color_types():
