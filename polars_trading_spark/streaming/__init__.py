@@ -90,3 +90,6 @@ __all__.append("streaming_session_vwap")
 from polars_trading_spark.streaming.indicators import streaming_donchian  # noqa: E402
 
 __all__.append("streaming_donchian")
+from polars_trading_spark.streaming.quality import streaming_hampel  # noqa: E402
+
+__all__.append("streaming_hampel")

@@ -1971,3 +1971,81 @@ def test_streaming_restart_resumes_state_atr_macd_session_vwap(spark):
         assert r["session_vwap"] == pytest.approx(
             b["session_vwap"], rel=1e-9
         ), ("vwap", r["symbol"], r["seq"])
+
+
+@pytest.mark.streaming
+def test_streaming_hampel_matches_batch_minus_lookahead(spark):
+    """Centered-window streaming: every emitted row equals the batch
+    Hampel filter bit-for-bit (same median/MAD picks); the tape's last
+    h rows stay pending (the inherent lookahead of a two-sided window),
+    and the spike planted mid-tape is flagged through a chunk boundary."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.data_quality import hampel_filter
+    from polars_trading_spark.streaming import streaming_hampel
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for sym in ("A", "B"):
+        t = dt.datetime(2022, 5, 2, 9, 30)
+        p = 100.0
+        for i in range(90):
+            t += dt.timedelta(seconds=7)
+            p = max(1.0, p + float(rng.normal(0, 0.2)))
+            px = 150.0 if (sym == "A" and i == 44) else p  # planted spike
+            rows.append((sym, t, len(rows), px))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "seq", "price"])
+    schema = "symbol string, ts_event timestamp, seq long, price double"
+    w, k = 21, 3.0
+    h = w // 2
+
+    with Config(timestamp_column="ts_event"):
+        batch = {
+            (r["symbol"], r["seq"]): r
+            for r in hampel_filter(
+                spark.createDataFrame(pdf, schema), window=w, k=k, seq_col="seq"
+            ).collect()
+        }
+
+    d = tempfile.mkdtemp(prefix="pts_hampel_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, sl in enumerate(
+            (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+        ):
+            spark.createDataFrame(sl, schema).coalesce(1).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_hampel(stream, window=w, k=k)
+
+        out = _run_stream(spark, make, mode="append")
+        # exactly the batch rows minus each symbol's last h (pending)
+        per_sym = {"A": 0, "B": 0}
+        flagged = 0
+        for r in out:
+            per_sym[r["symbol"]] += 1
+            b = batch[(r["symbol"], r["seq"])]
+            assert r["price"] == b[
+                "price"
+            ] if "price" in b else True
+            for c in ("rolling_median", "rolling_mad"):
+                if b[c] is None:
+                    assert r[c] is None or r[c] != r[c], (r["seq"], c)
+                else:
+                    assert r[c] == b[c], (r["seq"], c)  # exact median picks
+            assert r["is_outlier"] == b["is_outlier"], r["seq"]
+            assert r["price_clean"] == b["price_clean"], r["seq"]
+            flagged += int(r["is_outlier"])
+        assert per_sym == {"A": 90 - h, "B": 90 - h}
+        assert flagged >= 1  # the planted spike fired (and emitted)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        for active in spark.streams.active:
+            active.stop()
