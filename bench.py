@@ -197,6 +197,7 @@ HEADLINE = [
     "pcm_band_power",
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
+    "dedup_survivor_budget",
 ]
 
 

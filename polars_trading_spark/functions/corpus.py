@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["chunk_documents", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -972,3 +972,73 @@ def token_budget_curves(
         ),
     )
     return out
+
+
+def dedup_survivor_budget(
+    documents: DataFrame,
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token budget AFTER near-duplicate removal — the
+    composition every training-data pipeline actually budgets with:
+    "how many tokens does source S contribute once MinHash-LSH
+    clusters keep one copy each?"
+
+    Pipeline: banded MinHash candidate pairs -> exact-Jaccard verify ->
+    connected components -> the canonical (min-id) keeper per cluster
+    survives -> per-source integer token aggregates, raw vs surviving.
+
+    Output one row per source: ``source, n_docs, n_survivors,
+    raw_tokens, surviving_tokens, token_retention`` (surviving/raw).
+
+    Scale shape: exactly the `dedup_clusters` plan (banding is the only
+    corpus-pair shuffle, components iterate label propagation with
+    scalar-only convergence collects) plus one integer hash aggregate;
+    token counts are zero-join Column expressions.
+    """
+    from polars_trading_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from polars_trading_spark.functions.text import token_count
+
+    pairs = minhash_lsh_pairs(
+        documents,
+        text_col,
+        id_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    labeled = connected_components(pairs, nodes=documents.select(id_col))
+    base = documents.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("__tok"),
+    ).join(labeled.select(id_col, "cluster_id"), id_col)
+    survivor = F.col(id_col) == F.col("cluster_id")
+    g = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(survivor, 1)).cast("long").alias("n_survivors"),
+        F.sum("__tok").cast("long").alias("raw_tokens"),
+        F.sum(F.when(survivor, F.col("__tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("surviving_tokens"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_survivors",
+        "raw_tokens",
+        "surviving_tokens",
+        F.round(
+            F.col("surviving_tokens") / F.col("raw_tokens").cast("double"), 6
+        ).alias("token_retention"),
+    )

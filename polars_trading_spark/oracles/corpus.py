@@ -930,3 +930,60 @@ def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars",
         (F.round("bpe_per_word", 6) + z0).alias("bpe_per_word"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Dedup-survivor token budget (functions/corpus.py::
+# dedup_survivor_budget) — the dedup x budgeting composition: per-source
+# tokens surviving MinHash-LSH near-dup removal (min-id keeper per
+# connected component).  Integer aggregates; reuses the shared MinHash
+# pair + connected-components CTE chains verbatim.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivor_budget",
+    f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_MH_PAIR_TAIL},
+{_CC_TAIL},
+base AS (
+  SELECT t.doc_id, t.source, CAST(len(t.toks) AS BIGINT) AS tok, l.cluster_id
+  FROM tok t JOIN labeled l USING (doc_id)
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(CASE WHEN doc_id = cluster_id THEN 1 END) AS BIGINT) AS n_survivors,
+  CAST(sum(tok) AS BIGINT) AS raw_tokens,
+  CAST(sum(CASE WHEN doc_id = cluster_id THEN tok ELSE 0 END) AS BIGINT)
+    AS surviving_tokens,
+  round(sum(CASE WHEN doc_id = cluster_id THEN tok ELSE 0 END)
+        / CAST(sum(tok) AS DOUBLE), 6) + 0 AS token_retention
+FROM base GROUP BY source
+""",
+    "Per-source token budget after MinHash-LSH near-dup removal "
+    "(min-id keeper per connected component): raw vs surviving tokens "
+    "and retention — the dedup x budgeting composition a training "
+    "pipeline actually plans capacity with",
+)
+def q_dedup_survivor_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import dedup_survivor_budget
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_survivor_budget(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "source",
+        "n_docs",
+        "n_survivors",
+        "raw_tokens",
+        "surviving_tokens",
+        (F.round("token_retention", 6) + z0).alias("token_retention"),
+    )
