@@ -163,10 +163,17 @@ def risk_contributions(
     data-sized work), then symbol- and pair-table-sized windows; the
     weight table rides a broadcast join.  Zero Python.
     """
+    from polars_trading_spark._utils import persist_tracked
+
     cov_col = "cov_shrunk" if use_shrunk else "cov_sample"
-    pairs = ledoit_wolf_cov(
-        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col
-    ).select("sym_a", "sym_b", F.col(cov_col).alias("__cov"))
+    # the pair table is universe-sized (N(N+1)/2 rows) but feeds FOUR
+    # consumers (both union branches, the diagonal, the weight join) —
+    # unpersisted, each re-executes the full bar scan + pair join
+    pairs = persist_tracked(
+        ledoit_wolf_cov(
+            bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col
+        ).select("sym_a", "sym_b", F.col(cov_col).alias("__cov"))
+    )
 
     sym_pairs = pairs.union(
         pairs.where(F.col("sym_a") != F.col("sym_b")).select(
