@@ -198,6 +198,8 @@ HEADLINE = [
     "multimodal_gif_decode",
     "multimodal_jpeg_decode",
     "dedup_survivor_budget",
+    "spread_band_backtest",
+    "embedding_drift",
 ]
 
 

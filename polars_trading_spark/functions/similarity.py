@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "embedding_drift",
     "dot",
     "cosine",
     "cosine_topk",
@@ -1032,5 +1033,118 @@ def centroid_similarity(
                 (_norm(F.col("__ca")) > 0) & (_norm(F.col("__cb")) > 0),
                 cosine(F.col("__ca"), F.col("__cb")),
             ).alias("centroid_cosine"),
+        )
+    )
+
+
+def embedding_drift(
+    emb: DataFrame,
+    *,
+    n_cells: int = 8,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift per label/source: Jensen-Shannon
+    divergence between each group's IVF-cell histogram and the global
+    one — the embedding-space sibling of ``psi_drift`` (a new corpus
+    snapshot whose vectors land in different Voronoi cells than the
+    rest of the collection is drifting, whatever its text stats say).
+
+    Cells come from the SAME deterministic sampled spherical k-means as
+    ``ivf_topk`` (per-iteration rounded, bounded lowest-id training
+    sample, argmax-cosine assignment with first-index ties) — so the
+    quantizer is engine-replayable and the oracle replays training as
+    unrolled Lloyd SQL.  The JS sum runs over the full label x cell
+    grid (zero-count cells included — dropping them understates
+    divergence), with exact integer-count ratios; divergences are O(1)
+    and rounded to ``round_digits``.
+
+    Output per label: ``label, n_vecs, js_divergence, top_cell,
+    top_cell_share``.
+
+    Scale shape: one broadcast of the trained centroid pack, one
+    corpus-sized projection computing the argmax-cosine cell (HOF
+    Columns, zero Python), one (label, cell) integer hash aggregate;
+    everything after is (labels x cells)-sized.
+    """
+    if n_cells < 2:
+        raise ValueError(f"n_cells must be >= 2, got {n_cells}")
+    trained = kmeans_centroids(
+        emb, n_cells, id_col=id_col, vec_col=vec_col, round_digits=round_digits
+    )
+    cents = emb.sparkSession.createDataFrame(
+        [(trained,)], "__cents: array<array<double>>"
+    )
+    assigned = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__sims", _centroid_sims_col(F.col("__v"), F.col("__cents")))
+        .select(
+            "label",
+            (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    hist = assigned.groupBy("label", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    labels = hist.groupBy("label").agg(F.sum("__cnt").cast("long").alias("__nl"))
+    cells = emb.sparkSession.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    glob = hist.groupBy("cell").agg(F.sum("__cnt").cast("long").alias("__gc"))
+    total = labels.agg(F.sum("__nl").cast("long").alias("__nn"))
+
+    grid = (
+        labels.crossJoin(cells)
+        .join(hist, ["label", "cell"], "left")
+        .join(glob, "cell", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "cell",
+            "__nl",
+            F.coalesce("__cnt", F.lit(0)).alias("__cnt"),
+            F.coalesce("__gc", F.lit(0)).alias("__gc"),
+            "__nn",
+        )
+    )
+    p = F.col("__cnt") / F.col("__nl").cast("double")
+    g = F.col("__gc") / F.col("__nn").cast("double")
+    m = (p + g) / 2
+    term = F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+        g > 0, 0.5 * g * F.log(g / m)
+    ).otherwise(F.lit(0.0))
+    per_label = grid.withColumn("__term", term)
+    js = per_label.groupBy("label").agg(
+        F.max("__nl").alias("n_vecs"),
+        F.sum("__term").alias("__js"),
+    )
+    top = (
+        hist.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("__cnt").desc(), F.col("cell")
+                )
+            ),
+        )
+        .where(F.col("__rk") == 1)
+        .select("label", F.col("cell").alias("top_cell"), F.col("__cnt").alias("__topc"))
+    )
+    return (
+        js.join(top, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("__js", round_digits).alias("js_divergence"),
+            "top_cell",
+            F.round(F.col("__topc") / F.col("n_vecs").cast("double"), round_digits).alias(
+                "top_cell_share"
+            ),
         )
     )

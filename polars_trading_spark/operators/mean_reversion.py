@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cointegration_fit", "ou_fit", "spread_zscore_signal"]
+__all__ = ["cointegration_fit", "ou_fit", "spread_band_backtest", "spread_zscore_signal"]
 
 
 def ou_fit(
@@ -274,4 +274,80 @@ def spread_zscore_signal(
     pnl = F.when(prev_pos.isNotNull(), prev_pos * dspread)
     return j.select(
         "sym_a", "sym_b", F.col(ts_col), "spread", "z", "pos", pnl.alias("pnl")
+    )
+
+
+def spread_band_backtest(
+    bars: DataFrame,
+    *,
+    entry_z: float = 2.0,
+    exit_z: float = 0.5,
+    window: int = 50,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    use_log: bool = True,
+    coef_round_digits: int | None = 6,
+) -> DataFrame:
+    """Pairs-trading band backtest WITH entry/exit hysteresis — the rule
+    desks actually run: enter short(long) the spread when z crosses
+    ``+entry_z`` (``-entry_z``), HOLD through the band, exit only when
+    ``|z|`` falls to ``exit_z``.
+
+    The position looks stateful but is a pure window expression: each
+    row emits an EVENT (``-1``/``+1`` beyond the entry bands, ``0``
+    inside the exit band, null in the hold band where nothing fires),
+    and the position is the LAST NON-NULL event over the running frame
+    — ``last(event, ignorenulls)`` — which every engine evaluates
+    identically, no ``applyInPandas``, no state store.  ``z`` is
+    ROUNDED to 6 before every band comparison so a 1-ulp cross-engine
+    difference cannot flip an entry (round-before-compare).
+
+    Output per (pair, ts): ``spread, z, position, traded`` (position
+    changed this bar), ``pnl`` (previous position times spread change —
+    no lookahead).  Rows with null z (warmup, zero dispersion) emit no
+    event and hold.
+
+    Shape: everything ``spread_zscore_signal`` does plus one running
+    (unbounded-preceding) frame per pair — no extra exchange.
+    """
+    if exit_z < 0 or exit_z >= entry_z:
+        raise ValueError(
+            f"need 0 <= exit_z < entry_z, got exit_z={exit_z} entry_z={entry_z}"
+        )
+    base = spread_zscore_signal(
+        bars,
+        entry_z=entry_z,
+        window=window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+        use_log=use_log,
+        coef_round_digits=coef_round_digits,
+    ).select("sym_a", "sym_b", ts_col, "spread", "z")
+
+    zr = F.round(F.col("z"), 6)
+    event = (
+        F.when(zr >= entry_z, F.lit(-1.0))
+        .when(zr <= -entry_z, F.lit(1.0))
+        .when(F.abs(zr) <= exit_z, F.lit(0.0))
+    )
+    order = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    staged = base.withColumn("__evt", event).withColumn(
+        "position", F.coalesce(F.last("__evt", ignorenulls=True).over(run), F.lit(0.0))
+    )
+    prev_pos = F.lag("position").over(order)
+    prev_spread = F.lag("spread").over(order)
+    return staged.select(
+        "sym_a",
+        "sym_b",
+        F.col(ts_col),
+        "spread",
+        "z",
+        "position",
+        (F.coalesce(prev_pos, F.lit(0.0)) != F.col("position")).alias("traded"),
+        (F.coalesce(prev_pos, F.lit(0.0)) * (F.col("spread") - prev_spread)).alias(
+            "pnl"
+        ),
     )

@@ -732,3 +732,110 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Embedding-distribution drift per label
+# (functions/similarity.py::embedding_drift) — JS divergence between
+# each label's IVF-cell histogram and the global one; the k-means
+# quantizer replays as the same unrolled Lloyd SQL the ivf_kmeans
+# oracle uses, the JS grid includes zero-count cells, and all ratios
+# are exact integer divisions (divergences O(1), rounded to 6).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_drift",
+    f"""
+WITH
+{_EMB_CTE},
+samp0 AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) AS rid
+  FROM (SELECT * FROM c ORDER BY vec_id LIMIT {_KM_SAMPLE})
+),
+samp AS (
+  SELECT rid, CASE WHEN nrm = 0 THEN v ELSE [x / nrm for x in v] END AS sv
+  FROM (SELECT rid, v, sqrt(list_sum([x * x for x in v])) AS nrm FROM samp0)
+),
+cent0 AS (
+  SELECT CAST(rid - 1 AS INTEGER) AS j, [round(x, {_KM_RD}) for x in sv] AS cv
+  FROM samp WHERE rid <= {_N_CELLS}
+),
+{','.join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))},
+cent AS (SELECT cv, j FROM cent{_KM_ITERS}),
+cell_sims AS (
+  SELECT c.vec_id, cent.j,
+         list_sum([cv[i+1] * v[i+1] for i in range(0, len(v))])
+           / (sqrt(list_sum([x * x for x in cv])) * {_NORM_V}) AS csim
+  FROM c CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, j AS cell
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, j) AS rn
+        FROM cell_sims)
+  WHERE rn = 1
+),
+lab AS (
+  SELECT a.vec_id, e.label, a.cell
+  FROM assigned a JOIN embeddings e USING (vec_id)
+),
+hist AS (
+  SELECT label, cell, CAST(count(*) AS BIGINT) AS cnt
+  FROM lab GROUP BY label, cell
+),
+labels AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS nl FROM hist GROUP BY label),
+cells AS (SELECT CAST(unnest(range(0, {_N_CELLS})) AS INTEGER) AS cell),
+gcell AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS gc FROM hist GROUP BY cell),
+tot AS (SELECT CAST(sum(nl) AS BIGINT) AS nn FROM labels),
+grid AS (
+  SELECT l.label, ce.cell, l.nl,
+    coalesce(h.cnt, 0) AS cnt, coalesce(g.gc, 0) AS gc, t.nn
+  FROM labels l CROSS JOIN cells ce
+  LEFT JOIN hist h ON h.label = l.label AND h.cell = ce.cell
+  LEFT JOIN gcell g ON g.cell = ce.cell
+  CROSS JOIN tot t
+),
+terms AS (
+  SELECT label, nl,
+    (CASE WHEN cnt > 0
+          THEN 0.5 * (cnt / CAST(nl AS DOUBLE))
+               * ln((cnt / CAST(nl AS DOUBLE))
+                    / ((cnt / CAST(nl AS DOUBLE) + gc / CAST(nn AS DOUBLE)) / 2))
+          ELSE 0.0 END)
+    + (CASE WHEN gc > 0
+            THEN 0.5 * (gc / CAST(nn AS DOUBLE))
+                 * ln((gc / CAST(nn AS DOUBLE))
+                      / ((cnt / CAST(nl AS DOUBLE) + gc / CAST(nn AS DOUBLE)) / 2))
+            ELSE 0.0 END) AS term
+  FROM grid
+),
+js AS (
+  SELECT label, max(nl) AS n_vecs, sum(term) AS jsd FROM terms GROUP BY label
+),
+top AS (
+  SELECT label, cell AS top_cell, cnt AS topc
+  FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY cnt DESC, cell) AS rk FROM hist)
+  WHERE rk = 1
+)
+SELECT j.label, j.n_vecs,
+  round(j.jsd, 6) + 0 AS js_divergence,
+  t.top_cell,
+  round(t.topc / CAST(j.n_vecs AS DOUBLE), 6) + 0 AS top_cell_share
+FROM js j JOIN top t USING (label)
+""",
+    "Embedding drift per label: JS divergence of IVF-cell histograms "
+    "vs the global distribution (deterministic k-means quantizer, "
+    "zero-count cells included) — the embedding-space psi_drift",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.embedding_drift(emb, n_cells=_N_CELLS)
+    z0 = F.lit(0.0)
+    return out.select(
+        "label",
+        "n_vecs",
+        (F.col("js_divergence") + z0).alias("js_divergence"),
+        "top_cell",
+        (F.col("top_cell_share") + z0).alias("top_cell_share"),
+    )

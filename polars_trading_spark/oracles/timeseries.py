@@ -955,3 +955,115 @@ def q_kalman_hedge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("beta", 6) + F.lit(0.0)).alias("beta"),
         (F.round("spread", 6) + F.lit(0.0)).alias("spread"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Pairs band backtest with entry/exit hysteresis
+# (operators/mean_reversion.py::spread_band_backtest) — the stateful-
+# looking band rule as a pure window expression: last-non-null event
+# over the running frame; z rounded to 6 before every band comparison.
+# --------------------------------------------------------------------------
+
+_SB_W, _SB_ENTRY, _SB_EXIT = 50, 2.0, 0.5
+
+
+@register(
+    "spread_band_backtest",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+r AS (SELECT symbol, ts, ln(close) AS x FROM bars),
+p AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.ts, a.x AS xa, b.x AS xb
+  FROM r a JOIN r b ON a.ts = b.ts AND a.symbol < b.symbol
+),
+s1 AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_obs,
+    sum(xa) AS sa, sum(xb) AS sb, sum(xb*xb) AS sbb, sum(xa*xb) AS sab
+  FROM p GROUP BY sym_a, sym_b
+),
+cf AS (
+  SELECT sym_a, sym_b, n_obs, sa, sb,
+    CASE WHEN n_obs >= 3 AND n_obs*sbb - sb*sb > 0
+         THEN (n_obs*sab - sa*sb) / (n_obs*sbb - sb*sb) END AS beta
+  FROM s1
+),
+cf2 AS (
+  SELECT sym_a, sym_b,
+    round(CASE WHEN beta IS NOT NULL THEN (sa - beta*sb) / n_obs END, 6) AS alpha,
+    round(beta, 6) AS beta
+  FROM cf
+),
+sp AS (
+  SELECT p.sym_a, p.sym_b, p.ts, p.xa - c.alpha - c.beta * p.xb AS spread
+  FROM p JOIN cf2 c USING (sym_a, sym_b)
+),
+zx AS (
+  SELECT *,
+    count(spread) OVER w AS n,
+    sum(spread) OVER w AS s,
+    sum(spread*spread) OVER w AS s2
+  FROM sp
+  WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY ts
+               ROWS BETWEEN {_SB_W - 1} PRECEDING AND CURRENT ROW)
+),
+zz AS (
+  SELECT sym_a, sym_b, ts, spread,
+    CASE WHEN n >= {_SB_W} AND sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) > 0
+         THEN (spread - s/n) / sqrt(greatest((s2 - s*s/n) / (n - 1), 0.0)) END AS z
+  FROM zx
+),
+ev AS (
+  SELECT *,
+    CASE WHEN round(z, 6) >= {_SB_ENTRY!r} THEN -1.0
+         WHEN round(z, 6) <= -{_SB_ENTRY!r} THEN 1.0
+         WHEN abs(round(z, 6)) <= {_SB_EXIT!r} THEN 0.0 END AS evt
+  FROM zz
+),
+pos AS (
+  SELECT *,
+    coalesce(last_value(evt IGNORE NULLS) OVER (
+      PARTITION BY sym_a, sym_b ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS position
+  FROM ev
+),
+fin AS (
+  SELECT sym_a, sym_b, ts, spread, z, position,
+    coalesce(lag(position) OVER w2, 0.0) <> position AS traded,
+    coalesce(lag(position) OVER w2, 0.0)
+      * (spread - lag(spread) OVER w2) AS pnl
+  FROM pos
+  WINDOW w2 AS (PARTITION BY sym_a, sym_b ORDER BY ts)
+)
+SELECT sym_a, sym_b, ts,
+  round(spread, 6) + 0 AS spread,
+  round(z, 6) + 0 AS z,
+  position + 0 AS position,
+  CAST(traded AS INTEGER) AS traded,
+  round(pnl, 6) + 0 AS pnl
+FROM fin
+""",
+    f"Pairs band backtest with hysteresis (enter |z| >= {_SB_ENTRY}, "
+    f"hold, exit |z| <= {_SB_EXIT}): last-non-null event over a running "
+    "frame makes the stateful band rule a pure window expression",
+)
+def q_spread_band_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import spread_band_backtest
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = spread_band_backtest(
+        bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.col("ts_event").alias("ts"),
+        (F.round("spread", 6) + z0).alias("spread"),
+        (F.round("z", 6) + z0).alias("z"),
+        (F.col("position") + z0).alias("position"),
+        F.col("traded").cast("int").alias("traded"),
+        (F.round("pnl", 6) + z0).alias("pnl"),
+    )

@@ -265,3 +265,76 @@ def test_spread_signal_validation(spark):
         spread_zscore_signal(df, entry_z=0.0)
     with pytest.raises(ValueError, match="window"):
         spread_zscore_signal(df, window=1)
+
+
+def test_spread_band_backtest_hysteresis_properties(spark):
+    """Band-rule invariants, checked row-by-row on a tape engineered to
+    cross both bands repeatedly: beyond entry -> position = -sign(z);
+    inside exit -> flat; in the HOLD band -> position unchanged from
+    the previous bar (the hysteresis memoryless pos cannot express);
+    pnl = prev position x spread change; traded marks every flip."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.mean_reversion import (
+        spread_band_backtest,
+    )
+
+    base = dt.datetime(2024, 1, 2)
+    rows = []
+    rng = np.random.RandomState(7)
+    # symbol B is a flat anchor; A oscillates slowly so the spread
+    # z-score sweeps across +-entry and back through the exit band
+    n = 400
+    for i in range(n):
+        ts = base + dt.timedelta(minutes=15 * i)
+        osc = 0.06 * np.sin(i / 17.0) + 0.002 * rng.normal()
+        rows.append(("A", ts, float(100.0 * np.exp(osc))))
+        rows.append(("B", ts, float(50.0 * np.exp(0.0005 * i))))
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, close double"
+    )
+    out = (
+        spread_band_backtest(
+            bars, entry_z=2.0, exit_z=0.5, window=50, ts_col="ts_event"
+        )
+        .orderBy("ts_event")
+        .collect()
+    )
+    assert len(out) == n
+    entered = exited = held = 0
+    prev = None
+    for r in out:
+        z = r["z"]
+        pos = r["position"]
+        ppos = prev["position"] if prev is not None else 0.0
+        if z is not None:
+            zr = round(z, 6)
+            if zr >= 2.0:
+                assert pos == -1.0, r
+                entered += 1
+            elif zr <= -2.0:
+                assert pos == 1.0, r
+                entered += 1
+            elif abs(zr) <= 0.5:
+                assert pos == 0.0, r
+                exited += 1
+            else:
+                assert pos == ppos, r  # hold band: hysteresis
+                held += 1
+        else:
+            assert pos == ppos, r  # no signal -> hold
+        assert r["traded"] == (pos != ppos), r
+        if prev is not None and prev["spread"] is not None:
+            want = ppos * (r["spread"] - prev["spread"])
+            if r["pnl"] is not None:
+                assert r["pnl"] == pytest.approx(want, abs=1e-12), r
+        prev = r
+    # the tape must actually exercise all three regimes, with real
+    # held-through-band rows where position is nonzero
+    assert entered > 5 and exited > 5 and held > 5
+    assert any(
+        r["position"] != 0.0 and r["z"] is not None and 0.5 < abs(round(r["z"], 6)) < 2.0
+        for r in out
+    )
