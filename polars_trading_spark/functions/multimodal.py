@@ -40,6 +40,7 @@ __all__ = [
     "synthesize_jpeg_decodable",
     "gif_palette",
     "synthesize_gif",
+    "pixel_stats",
     "png_pixel_stats",
     "synthesize_pcm",
     "pcm_features",
@@ -528,7 +529,7 @@ _PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def png_pixel_stats(media: DataFrame) -> DataFrame:
+def pixel_stats(media: DataFrame) -> DataFrame:
     """Decode every payload with the REAL stdlib codec path
     (``decode_image`` -> inflate + unfilter for PNG, row de-pad for
     BMP) and emit exact integer pixel aggregates:
@@ -567,6 +568,11 @@ def png_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=_PIXEL_STATS_SCHEMA)
+
+
+# back-compat name from when PNG was the only real decode path; the
+# kernel dispatches on container magic and serves GIF/JPEG/BMP too
+png_pixel_stats = pixel_stats
 
 
 _META_SCHEMA = T.StructType(
@@ -959,6 +965,8 @@ def gif_encode(indices, width: int, height: int) -> bytes:
 
     if len(indices) != width * height:
         raise ValueError("indices length != width*height")
+    if any(not (0 <= int(i) < GIF_PALETTE_SIZE) for i in indices):
+        raise ValueError(f"palette indices must be in [0, {GIF_PALETTE_SIZE})")
     hdr = b"GIF89a" + struct.pack(
         "<HHBBB", width, height, 0x80 | 0x23, 0, 0
     )  # GCT present, 4-bit color resolution bits, 16-entry table
