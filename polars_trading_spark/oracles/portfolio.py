@@ -308,60 +308,13 @@ lw AS (
     "ledoit_wolf",
     f"""
 WITH
-{_FEATURE_BARS_CTE},
-r0 AS (
-  SELECT symbol AS s, ts,
-    ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
-  FROM bars
-),
-r1 AS (SELECT * FROM r0 WHERE r IS NOT NULL),
-ns AS (SELECT count(DISTINCT s) AS nsym FROM r1),
-r2 AS (
-  SELECT r1.s, r1.ts, r1.r
-  FROM r1
-  JOIN (SELECT ts, count(DISTINCT s) AS c FROM r1 GROUP BY ts) t ON r1.ts = t.ts
-  CROSS JOIN ns WHERE t.c = ns.nsym
-),
-x AS (SELECT s, ts, r - avg(r) OVER (PARTITION BY s) AS x FROM r2),
-p AS (
-  SELECT a.s AS sym_a, b.s AS sym_b, a.x * b.x AS prod
-  FROM x a JOIN x b ON a.ts = b.ts AND a.s <= b.s
-),
-pp AS (
-  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n,
-         sum(prod) AS sp, sum(prod * prod) AS q
-  FROM p GROUP BY sym_a, sym_b
-),
-pp2 AS (SELECT *, sp / n AS sij FROM pp),
-g AS (
-  SELECT max(n) AS nn,
-    sum(CASE WHEN sym_a = sym_b THEN sij END) AS tr,
-    CAST(count(CASE WHEN sym_a = sym_b THEN 1 END) AS DOUBLE) AS pdim,
-    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * sij * sij) AS ss2,
-    sum((CASE WHEN sym_a = sym_b THEN 1.0 ELSE 2.0 END) * q) AS sq
-  FROM pp2
-),
-sc AS (
-  SELECT nn, tr / pdim AS mu,
-    (ss2 - 2 * (tr / pdim) * tr + pdim * (tr / pdim) * (tr / pdim)) / pdim AS d2,
-    (sq / (CAST(nn AS DOUBLE) * nn) - ss2 / nn) / pdim AS b2raw
-  FROM g
-),
-sc2 AS (
-  SELECT mu,
-    CASE WHEN nn >= 2 AND d2 > 0
-         THEN least(greatest(b2raw, 0.0), d2) / d2 END AS shrinkage
-  FROM sc
-)
+{_LW_CTES}
 SELECT sym_a, sym_b, n AS n_obs,
   round(sij * 1e6, 6) AS cov_sample_ppm,
-  round((CASE WHEN shrinkage IS NOT NULL
-         THEN shrinkage * (CASE WHEN sym_a = sym_b THEN mu ELSE 0.0 END)
-              + (1 - shrinkage) * sij
-         ELSE sij END) * 1e6, 6) AS cov_shrunk_ppm,
+  round(cov * 1e6, 6) AS cov_shrunk_ppm,
   round(shrinkage, 6) AS shrinkage,
   round(mu * 1e6, 6) AS mu_ppm
-FROM pp2 CROSS JOIN sc2
+FROM lw
 """,
     "Ledoit-Wolf identity-target shrunk covariance of 15m bar returns, "
     "pairwise (complete-case aligned, demeaned; sklearn formulas)",

@@ -13,7 +13,6 @@ from collections import Counter
 import pytest
 
 from polars_trading_spark.functions.bpe import bpe_token_budget, bpe_train
-from polars_trading_spark.functions.text import normalize_text  # noqa: F401
 
 
 def _ref_tokens(text: str) -> list[str]:
