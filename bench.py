@@ -200,6 +200,7 @@ HEADLINE = [
     "dedup_survivor_budget",
     "spread_band_backtest",
     "embedding_drift",
+    "dedup_recall_curve",
 ]
 
 

@@ -936,3 +936,115 @@ def dedup_recall_stats(
             ).alias("recall"),
         )
     )
+
+
+def dedup_recall_curve(
+    docs: DataFrame,
+    *,
+    thresholds: tuple = (0.2, 0.3, 0.4, 0.5),
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    sample_fraction: float | None = 0.5,
+    salt: str = "pts-recall",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash banding recall as a CURVE over Jaccard thresholds — one
+    pass, every threshold.
+
+    ``dedup_recall_stats`` answers "what does banding cost at t?";
+    tuning bands/rows needs the whole curve, and re-running pair
+    generation per threshold re-pays the expensive part each time.
+    Here both arms run ONCE at ``min(thresholds)`` (their pair sets
+    carry exact Jaccard values), and each requested threshold is a
+    filter over the same persisted pair frames — the candidate
+    generation cost is paid once for the entire curve.
+
+    Same sampling contract as ``dedup_recall_stats`` (deterministic
+    salted-hash document sample, full corpus behind an explicit
+    ``sample_fraction=None``).  Output one row per threshold:
+    ``threshold, n_exact, n_lsh, n_hit, recall``.
+
+    NOTE the one caveat the curve inherits from LSH itself: the banded
+    arm's CANDIDATES are generated with the banding probability tuned
+    by (num_hashes, bands) — the same candidates for every threshold —
+    so recall at t > min(thresholds) measures those bands' behavior at
+    stricter verification, exactly what a bands/rows sweep wants.
+    """
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts or ts[0] <= 0 or ts[-1] > 1:
+        raise ValueError(f"thresholds must be in (0, 1], got {thresholds}")
+    base = docs
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"sample_fraction must be in (0, 1] or None, got {sample_fraction}"
+            )
+        if sample_fraction < 1.0:
+            mod = 1 << 30
+            u = (
+                F.pmod(
+                    portable_hash60(
+                        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                    ),
+                    F.lit(mod),
+                )
+                / F.lit(float(mod))
+            )
+            base = docs.where(u < F.lit(float(sample_fraction)))
+
+    t0 = ts[0]
+    exact = persist_tracked(
+        ngram_jaccard_pairs(
+            base, text_col, id_col, ngram=ngram, threshold=t0, block_cols=()
+        ).select("id_a", "id_b", F.col("jaccard").alias("__je"))
+    )
+    lsh = persist_tracked(
+        minhash_lsh_pairs(
+            base, text_col, id_col,
+            ngram=ngram, num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=t0,
+        ).select("id_a", "id_b", F.col("jaccard").alias("__jl"))
+    )
+    spark = docs.sparkSession
+    tf = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    e = (
+        exact.crossJoin(F.broadcast(tf))
+        .where(F.round("__je", 9) >= F.round("threshold", 9))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    l = (
+        lsh.crossJoin(F.broadcast(tf))
+        .where(F.round("__jl", 9) >= F.round("threshold", 9))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    )
+    h = (
+        exact.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"])
+        .crossJoin(F.broadcast(tf))
+        .where(F.round("__je", 9) >= F.round("threshold", 9))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    return (
+        tf.join(e, "threshold", "left")
+        .join(l, "threshold", "left")
+        .join(h, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.when(
+                F.coalesce("n_exact", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+                + F.lit(0.0),
+            ).alias("recall"),
+        )
+    )

@@ -646,3 +646,75 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_fraction=_RECALL_FRACTION,
         salt=_RECALL_SALT,
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 8). Banding recall CURVE (functions/dedup.py::
+# dedup_recall_curve) — one candidate-generation pass at the lowest
+# threshold, every requested threshold a filter over the same pair
+# sets; same salted-hash document sample as dedup_recall.
+# --------------------------------------------------------------------------
+
+_RC_THRESHOLDS = (0.2, 0.3, 0.4, 0.5)
+_RC_VALUES = ", ".join(f"({t!r})" for t in _RC_THRESHOLDS)
+
+
+@register(
+    "dedup_recall_curve",
+    f"""
+WITH
+{_docs_tok_cte(_RECALL_WHERE)},
+{_MH_PAIR_TAIL},
+th(threshold) AS (VALUES {_RC_VALUES}),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         ELSE 0.0 END AS je
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+exact_t AS (SELECT * FROM exact WHERE je >= {_RC_THRESHOLDS[0]!r}),
+lsh_t AS (
+  SELECT DISTINCT id_a, id_b, jaccard AS jl
+  FROM verified WHERE jaccard >= {_RC_THRESHOLDS[0]!r}
+),
+e AS (
+  SELECT t.threshold, CAST(count(x.id_a) AS BIGINT) AS n_exact
+  FROM th t LEFT JOIN exact_t x ON round(x.je, 9) >= round(t.threshold, 9)
+  GROUP BY t.threshold
+),
+l AS (
+  SELECT t.threshold, CAST(count(x.id_a) AS BIGINT) AS n_lsh
+  FROM th t LEFT JOIN lsh_t x ON round(x.jl, 9) >= round(t.threshold, 9)
+  GROUP BY t.threshold
+),
+h AS (
+  SELECT t.threshold, CAST(count(x.id_a) AS BIGINT) AS n_hit
+  FROM th t LEFT JOIN (
+    SELECT e0.id_a, e0.id_b, e0.je
+    FROM exact_t e0 JOIN lsh_t l0 ON e0.id_a = l0.id_a AND e0.id_b = l0.id_b
+  ) x ON round(x.je, 9) >= round(t.threshold, 9)
+  GROUP BY t.threshold
+)
+SELECT e.threshold, e.n_exact, l.n_lsh, h.n_hit,
+  CASE WHEN e.n_exact > 0
+       THEN round(h.n_hit / CAST(e.n_exact AS DOUBLE), 6) + 0 END AS recall
+FROM e JOIN l USING (threshold) JOIN h USING (threshold)
+""",
+    f"Banding recall curve over thresholds {_RC_THRESHOLDS}: one pair-"
+    "generation pass at the lowest threshold, recall per threshold as "
+    "filters over the same (sampled) pair sets — the bands/rows tuning "
+    "diagnostic without re-paying candidate generation",
+)
+def q_dedup_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.dedup_recall_curve(
+        docs,
+        thresholds=_RC_THRESHOLDS,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        sample_fraction=_RECALL_FRACTION,
+        salt=_RECALL_SALT,
+    )

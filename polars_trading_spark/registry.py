@@ -100,8 +100,8 @@ _ROUND8_FRONT = [
 #   token_budget_curves, bpe_train_merges, bpe_token_budget,
 #   multimodal_png_decode, pcm_band_power, multimodal_gif_decode,
 #   multimodal_jpeg_decode, dedup_survivor_budget,
-#   spread_band_backtest, embedding_drift (13 now — drop the last
-#   three backfill names to fit 50);
+#   spread_band_backtest, embedding_drift, dedup_recall_curve (14 now —
+#   drop the last four backfill names to fit 50);
 # backfill = the 40 stalest names (latest driver row r5, then r6
 # alphabetical):
 #   return_acf, roll_adjust, rolling_beta, semdedup,

@@ -1921,3 +1921,34 @@ class TestEmbeddingCohesion:
         df = self._df(spark)
         assert count_python_stages(similarity.embedding_cohesion(df)) == 0
         assert count_python_stages(similarity.centroid_similarity(df)) == 0
+
+
+def test_dedup_recall_curve_one_pass_monotone(docs):
+    """The curve from one candidate-generation pass: counts are
+    non-increasing in the threshold, the lowest threshold reproduces
+    dedup_recall_stats exactly, and hits never exceed either arm."""
+    ts = (0.2, 0.4, 0.6)
+    curve = {
+        r["threshold"]: r
+        for r in dedup.dedup_recall_curve(
+            docs, thresholds=ts, num_hashes=12, bands=4, sample_fraction=None
+        ).collect()
+    }
+    assert set(curve) == set(ts)
+    prev_e = prev_l = None
+    for t in ts:
+        r = curve[t]
+        assert r["n_hit"] <= min(r["n_exact"], r["n_lsh"])
+        if prev_e is not None:
+            assert r["n_exact"] <= prev_e and r["n_lsh"] <= prev_l
+        prev_e, prev_l = r["n_exact"], r["n_lsh"]
+        if r["n_exact"]:
+            assert 0.0 <= r["recall"] <= 1.0
+    single = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction=None,
+    ).collect()[0]
+    low = curve[0.2]
+    assert (low["n_exact"], low["n_lsh"], low["n_hit"]) == (
+        single["n_exact"], single["n_lsh"], single["n_hit"]
+    )
