@@ -665,7 +665,7 @@ _RC_VALUES = ", ".join(f"({t!r})" for t in _RC_THRESHOLDS)
 WITH
 {_docs_tok_cte(_RECALL_WHERE)},
 {_MH_PAIR_TAIL},
-th(threshold) AS (VALUES {_RC_VALUES}),
+th(threshold) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES {_RC_VALUES}) v(x)),
 exact AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
     CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
