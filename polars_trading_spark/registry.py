@@ -90,32 +90,35 @@ _ROUND8_FRONT = [
     "retention",
 ]
 
-# Round-9 rotation, PRE-COMPUTED from CORRECTNESS_r01-r07 latest-round
-# history (activate at the START of round 9: define _ROUND9_FRONT with
-# the list below and switch the call; keep new round-9 registrations in
-# their domain modules as usual).  Front = the 10 round-8 registrations
-# (never driver-checked; hrp_weights / bpe_train_merges /
-# bpe_token_budget are rows-only):
-#   portfolio_capacity, hrp_weights, risk_contributions,
-#   token_budget_curves, bpe_train_merges, bpe_token_budget,
-#   multimodal_png_decode, pcm_band_power, multimodal_gif_decode,
-#   multimodal_jpeg_decode, dedup_survivor_budget,
-#   spread_band_backtest, embedding_drift, dedup_recall_curve (14 now —
-#   drop the last four backfill names to fit 50);
-# backfill = the 40 stalest names (latest driver row r5, then r6
-# alphabetical):
-#   return_acf, roll_adjust, rolling_beta, semdedup,
-#   sequential_bootstrap, sessionize, sign_autocorr,
-#   similarity_topk_ivf_pq, spread_signal, tfidf_cosine_pairs,
-#   unigram_logprob, var_cvar, asof_join_backward, asof_join_nearest,
-#   bar_groups_split, char_entropy, chunk_documents, cusum_filter,
-#   daily_vol, decontaminate, dedup_exact, dedup_minhash_lsh,
-#   deflated_sharpe, dollar_bars, dsir_weights, event_transitions,
-#   ewm_std_native, fama_macbeth, fama_macbeth_nw, fixed_time_return,
-#   frac_diff, funnel_latency, har_rv, hawkes_intensity,
-#   interval_join_events, ks_drift, multimodal_bmp_metadata,
-#   multimodal_jpeg_metadata, ngram_novelty, pack_sequences.
-# (Remaining r6-latest names, starting with permutation_entropy,
-# rotate in round 10.)
+# Round-9 rotation, PRE-COMPUTED from CORRECTNESS_r01-r08 latest-round
+# history.  Front = the 14 round-8 registrations (never driver-checked;
+# hrp_weights / bpe_train_merges / bpe_token_budget are rows-only) + the
+# 36 stalest backfill names (latest driver row r5, then r6
+# alphabetical).  A 50/50 green CORRECTNESS_r09 completes driver
+# coverage: every query registered through round 8 will then have at
+# least one green driver row.  (Remaining r6-latest names, starting
+# with multimodal_bmp_metadata, rotate in round 10 together with any
+# round-9 registrations.)
 
-_rotate_front(_ROUND8_FRONT)
+_ROUND9_FRONT = [
+    # -- the 14 round-8 registrations, never driver-checked --
+    "portfolio_capacity", "hrp_weights", "risk_contributions",
+    "token_budget_curves", "bpe_train_merges", "bpe_token_budget",
+    "multimodal_png_decode", "pcm_band_power", "multimodal_gif_decode",
+    "multimodal_jpeg_decode", "dedup_survivor_budget",
+    "spread_band_backtest", "embedding_drift", "dedup_recall_curve",
+    # -- 36 backfill: latest driver row is round 5, then r6 alpha --
+    "return_acf", "roll_adjust", "rolling_beta", "semdedup",
+    "sequential_bootstrap", "sessionize", "sign_autocorr",
+    "similarity_topk_ivf_pq", "spread_signal", "tfidf_cosine_pairs",
+    "unigram_logprob", "var_cvar", "asof_join_backward",
+    "asof_join_nearest", "bar_groups_split", "char_entropy",
+    "chunk_documents", "cusum_filter", "daily_vol", "decontaminate",
+    "dedup_exact", "dedup_minhash_lsh", "deflated_sharpe",
+    "dollar_bars", "dsir_weights", "event_transitions",
+    "ewm_std_native", "fama_macbeth", "fama_macbeth_nw",
+    "fixed_time_return", "frac_diff", "funnel_latency", "har_rv",
+    "hawkes_intensity", "interval_join_events", "ks_drift",
+]
+
+_rotate_front(_ROUND9_FRONT)

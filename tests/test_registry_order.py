@@ -26,22 +26,25 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-8 driver gate window: the 18 round-7 registrations that have
-# never been driver-checked, then the 32 stalest round-5-gated names.
-_ROUND8_WINDOW = [
-    "lexical_diversity", "encoding_quality", "heaps_law",
-    "term_burstiness", "rank_ic", "url_domains", "code_detection",
-    "lang_mix", "atr", "bollinger", "macd", "bm25", "stochastic", "obv",
-    "session_vwap", "donchian", "hampel_filter", "robust_moments",
-    "ac_schedule", "backtest_stats", "bde_cusum", "bet_sizing",
-    "bigram_logprob", "boilerplate", "bpe_pairs", "cluster_keywords",
-    "corpus_funnel", "cs_zscore", "dedup_containment", "dedup_paragraph",
-    "drawdown_path", "dup_spans", "event_funnel", "feature_matrix",
-    "imbalance_bars_adaptive", "intraday_profile", "jump_test",
-    "lead_lag", "ledoit_wolf", "lz_entropy", "ma_crossover",
-    "mix_corpus", "momentum_rank", "pair_correlation", "pcm_features",
-    "pii_scrub", "psi_drift", "range_bars", "rank_portfolio",
-    "retention",
+# The round-9 driver gate window: the 14 round-8 registrations that have
+# never been driver-checked, then the 36 stalest backfill names.
+_ROUND9_WINDOW = [
+    "portfolio_capacity", "hrp_weights", "risk_contributions",
+    "token_budget_curves", "bpe_train_merges", "bpe_token_budget",
+    "multimodal_png_decode", "pcm_band_power", "multimodal_gif_decode",
+    "multimodal_jpeg_decode", "dedup_survivor_budget",
+    "spread_band_backtest", "embedding_drift", "dedup_recall_curve",
+    "return_acf", "roll_adjust", "rolling_beta", "semdedup",
+    "sequential_bootstrap", "sessionize", "sign_autocorr",
+    "similarity_topk_ivf_pq", "spread_signal", "tfidf_cosine_pairs",
+    "unigram_logprob", "var_cvar", "asof_join_backward",
+    "asof_join_nearest", "bar_groups_split", "char_entropy",
+    "chunk_documents", "cusum_filter", "daily_vol", "decontaminate",
+    "dedup_exact", "dedup_minhash_lsh", "deflated_sharpe",
+    "dollar_bars", "dsir_weights", "event_transitions",
+    "ewm_std_native", "fama_macbeth", "fama_macbeth_nw",
+    "fixed_time_return", "frac_diff", "funnel_latency", "har_rv",
+    "hawkes_intensity", "interval_join_events", "ks_drift",
 ]
 
 
@@ -66,8 +69,8 @@ def test_queries_order_matches_manifest():
     )
 
 
-def test_round8_gate_window_is_first_50():
-    assert list(QUERIES)[:50] == _ROUND8_WINDOW
+def test_round9_gate_window_is_first_50():
+    assert list(QUERIES)[:50] == _ROUND9_WINDOW
 
 
 def test_every_query_name_is_unique_and_self_consistent():
