@@ -9,32 +9,45 @@ trainer is a single-machine loop over a word-frequency dictionary; the
 * ONE corpus pass builds the DISTINCT-WORD frequency table (the only
   corpus-sized job — everything after is vocabulary-sized);
 * each merge round is a small Spark job over the word table: explode
-  adjacent segment pairs weighted by word count, hash-aggregate, take
-  the argmax (a one-row collect — the same scalar-collect pattern as
-  the connected-components convergence check), then rewrite the
-  segmentations of affected words with a native ``aggregate`` fold
-  (greedy leftmost non-overlapping, exactly the reference semantics);
+  adjacent segment pairs weighted by word count, hash-aggregate, and
+  collect the TOP-``candidate_window`` pairs in ``(count desc, left,
+  right)`` order (a bounded collect — the same scalar-collect pattern
+  as the connected-components convergence check);
+* the round then selects up to ``merges_per_round`` pairwise
+  NON-CONFLICTING merges from that ordered window (greedy scan: a pair
+  is taken iff neither of its symbols appears in an already-taken pair
+  this round) and applies them ALL in one greedy left-to-right
+  ``aggregate`` fold — so a 32k-vocab tokenizer costs ~vocab/k Spark
+  rounds, not 32k sequential jobs.  Token-disjoint merges have
+  non-overlapping occurrences (a shared position would need a shared
+  symbol), so the single fold is order-independent across the round's
+  pairs; ``merges_per_round=1`` reduces exactly to the classic
+  one-merge-per-round algorithm;
 * ``localCheckpoint`` per round keeps the lineage flat, so expression
   depth does not grow with the merge count.
 
 Applying the trained tokenizer to the corpus is then JOIN-shaped, not
-loop-shaped: every corpus word is in the word table by construction,
-so per-document BPE token counts are an explode + hash-join against
-the (vocabulary-sized, ``shuffle_hash``-hinted) segmentation table —
-no per-row Python in the corpus path.
+loop-shaped: per-document BPE token counts are an explode + hash-join
+against the (vocabulary-sized, ``shuffle_hash``-hinted) segmentation
+table — no per-row Python in the corpus path.  Words absent from the
+training corpus fall back to their character count (the segmentation
+an unmerged BPE vocabulary assigns) and are surfaced in an
+``n_oov_words`` column rather than silently contributing zero.
 
 No SQL oracle (greedy iterative training is not SQL-expressible; the
-driver records rows-only) — correctness is pinned by an exact-match
-golden test against an independent pure-Python BPE reference
-implementation in tests/test_bpe_train.py.
+driver records rows-only) — correctness is pinned by exact-match
+golden tests against an independent pure-Python BPE reference
+implementation (classic AND batched variants) in
+tests/test_bpe_train.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
-from pyspark.sql import functions as F
+import functools
+import operator
 
-from polars_trading_spark._utils import persist_tracked
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 __all__ = ["bpe_train", "bpe_token_budget"]
 
@@ -55,23 +68,46 @@ def _word_table(documents: DataFrame, text_col: str) -> DataFrame:
     return words.select("__w", "__c", chars.alias("__seg"))
 
 
-def _merge_expr(seg, left: str, right: str):
-    """Greedy leftmost non-overlapping replacement of the adjacent
-    segment pair (left, right) by their concatenation — one native
-    ``aggregate`` fold, no Python."""
-    merged = left + right
-    return F.aggregate(
-        seg,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+def _adjacent_pairs(seg):
+    """arrays_zip of each segment with its right neighbor."""
+    return F.arrays_zip(
+        F.slice(seg, 1, F.size(seg) - 1).alias("l"),
+        F.slice(seg, 2, F.size(seg) - 1).alias("r"),
     )
+
+
+def _round_fold_expr(seg, selected: list):
+    """Apply ALL of a round's (token-disjoint) merges in ONE greedy
+    left-to-right ``aggregate`` fold, no Python.
+
+    At each element the fold checks whether (last accumulated segment,
+    current segment) matches ANY of the round's pairs — at most one can
+    match since the pairs are distinct — and replaces the two by their
+    concatenation if so.  Greedy leftmost non-overlapping per pair,
+    exactly the reference semantics; cascades within the fold (a merged
+    token immediately pairing with the next symbol) are part of the
+    batched algorithm's definition and mirrored by the pure-Python
+    reference.
+    """
+
+    def step(acc, x):
+        expr = F.concat(acc, F.array(x))
+        for left, right, _ in reversed(selected):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (x == F.lit(right))
+            )
+            expr = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(expr)
+        return expr
+
+    return F.aggregate(seg, F.array().cast("array<string>"), step)
 
 
 def bpe_train(
@@ -79,6 +115,8 @@ def bpe_train(
     *,
     n_merges: int = 30,
     min_pair_count: int = 2,
+    merges_per_round: int = 8,
+    candidate_window: int | None = None,
     text_col: str = "text",
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus.
@@ -86,61 +124,97 @@ def bpe_train(
     Returns ``(merges, words)``:
 
     * ``merges`` — one row per learned merge in order: ``rank (1-based),
-      left, right, merged, pair_count``; training stops early when the
-      best pair's weighted count falls below ``min_pair_count``.
+      left, right, merged, pair_count`` (the pair's weighted count at
+      the START of its round); training stops early when no candidate
+      reaches ``min_pair_count``.
     * ``words`` — the final word table ``word, word_count, n_bpe_tokens``
       (each distinct word's segment count under the learned merges) —
       the lookup table ``bpe_token_budget`` joins the corpus against.
 
-    Determinism: the argmax tiebreak is ``(count desc, left, right)``,
-    so the learned table is a pure function of the corpus.
+    ``merges_per_round`` batches the greedy loop: each Spark round
+    selects up to that many pairwise non-conflicting merges (no symbol
+    shared between selected pairs) from the top ``candidate_window``
+    (default ``8 * merges_per_round``) candidates in ``(count desc,
+    left, right)`` order, so the number of sequential Spark jobs is
+    ~``n_merges / merges_per_round``.  ``merges_per_round=1`` is
+    exactly the classic one-merge-at-a-time algorithm.  The candidate
+    window, the conflict rule, and the single-fold application are all
+    part of the deterministic algorithm definition (mirrored by the
+    pure-Python golden reference): the learned table is a pure function
+    of ``(corpus, n_merges, min_pair_count, merges_per_round,
+    candidate_window)``.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
+    window = (
+        candidate_window
+        if candidate_window is not None
+        else 8 * merges_per_round
+    )
+    if window < merges_per_round:
+        raise ValueError(
+            f"candidate_window ({window}) must be >= merges_per_round "
+            f"({merges_per_round})"
+        )
 
     spark = documents.sparkSession
     words = _word_table(documents, text_col).localCheckpoint()
     merges: list[tuple] = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        k = min(merges_per_round, n_merges - len(merges))
         pairs = words.where(F.size("__seg") >= 2).select(
-            "__c",
-            F.explode(
-                F.arrays_zip(
-                    F.slice("__seg", 1, F.size("__seg") - 1).alias("l"),
-                    F.slice(F.col("__seg"), 2, F.size("__seg") - 1).alias("r"),
-                )
-            ).alias("__p"),
+            "__c", F.explode(_adjacent_pairs(F.col("__seg"))).alias("__p")
         )
-        best = (
+        top = (
             pairs.groupBy(
                 F.col("__p.l").alias("__l"), F.col("__p.r").alias("__r")
             )
             .agg(F.sum("__c").alias("__n"))
             .orderBy(F.desc("__n"), F.asc("__l"), F.asc("__r"))
-            .limit(1)
+            .limit(window)
             .collect()
         )
-        if not best or best[0]["__n"] < min_pair_count:
+        selected: list[tuple] = []
+        used: set[str] = set()
+        for row in top:
+            if int(row["__n"]) < min_pair_count:
+                break  # ordered desc — every later candidate is smaller
+            left, right = row["__l"], row["__r"]
+            if left in used or right in used:
+                continue
+            selected.append((left, right, int(row["__n"])))
+            used.update((left, right))
+            if len(selected) == k:
+                break
+        if not selected:
             break
-        left, right, cnt = best[0]["__l"], best[0]["__r"], int(best[0]["__n"])
-        merges.append((rank, left, right, left + right, cnt))
-        # rewrite only the words that contain the pair; checkpoint keeps
-        # the plan flat across rounds
-        has_pair = F.exists(
-            F.arrays_zip(
-                F.slice("__seg", 1, F.size("__seg") - 1).alias("l"),
-                F.slice(F.col("__seg"), 2, F.size("__seg") - 1).alias("r"),
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+        # rewrite only the words containing at least one selected pair
+        # (the fold is the identity for the rest); checkpoint keeps the
+        # plan flat across rounds
+        has_any = F.exists(
+            _adjacent_pairs(F.col("__seg")),
+            lambda p: functools.reduce(
+                operator.or_,
+                [
+                    (p["l"] == F.lit(left)) & (p["r"] == F.lit(right))
+                    for left, right, _ in selected
+                ],
             ),
-            lambda p: (p["l"] == F.lit(left)) & (p["r"] == F.lit(right)),
         )
         words = words.select(
             "__w",
             "__c",
             F.when(
-                (F.size("__seg") >= 2) & has_pair,
-                _merge_expr(F.col("__seg"), left, right),
+                (F.size("__seg") >= 2) & has_any,
+                _round_fold_expr(F.col("__seg"), selected),
             )
             .otherwise(F.col("__seg"))
             .alias("__seg"),
@@ -164,14 +238,21 @@ def bpe_token_budget(
     *,
     source_col: str = "source",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-source token budget under a trained BPE vocabulary: join the
     corpus' words against the (vocabulary-sized) segmentation table and
     aggregate — the tokenizer-aware sibling of ``token_budget_curves``.
 
     Output one row per source: ``source, n_docs, whitespace_tokens,
-    bpe_tokens, chars, bpe_per_word`` (BPE tokens per whitespace word —
-    the fertility statistic tokenizer papers report).
+    bpe_tokens, chars, n_oov_words, bpe_per_word`` (BPE tokens per
+    whitespace word — the fertility statistic tokenizer papers report).
+
+    Out-of-vocabulary words (any corpus other than the training one)
+    fall back to their CHARACTER count — the segmentation an unmerged
+    BPE vocabulary assigns — instead of silently contributing zero, and
+    are counted in ``n_oov_words`` so a budget over a shifted corpus is
+    visibly flagged rather than understated.
 
     Scale shape: corpus explode -> ``shuffle_hash``-hinted equi-join on
     the word table (vocabulary-sized build side; never sorts the
@@ -182,23 +263,31 @@ def bpe_token_budget(
 
     exploded = documents.select(
         F.col(source_col).alias("source"),
-        F.col("doc_id"),
+        F.col(id_col).alias("__id"),
         F.length(text_col).cast("long").alias("__chars"),
         F.explode_outer(tokens(F.col(text_col))).alias("word"),
     )
     joined = exploded.join(words.hint("shuffle_hash"), "word", "left")
-    per_doc = joined.groupBy("source", "doc_id").agg(
+    oov = F.col("word").isNotNull() & F.col("n_bpe_tokens").isNull()
+    per_doc = joined.groupBy("source", "__id").agg(
         F.max("__chars").alias("__chars"),
         F.count("word").cast("long").alias("__ws"),
-        F.sum(F.coalesce(F.col("n_bpe_tokens").cast("long"), F.lit(0))).alias(
-            "__bpe"
-        ),
+        F.sum(
+            F.when(F.col("word").isNull(), F.lit(0)).otherwise(
+                F.coalesce(
+                    F.col("n_bpe_tokens").cast("long"),
+                    F.length("word").cast("long"),
+                )
+            )
+        ).alias("__bpe"),
+        F.sum(oov.cast("long")).alias("__oov"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__ws").cast("long").alias("whitespace_tokens"),
         F.sum("__bpe").cast("long").alias("bpe_tokens"),
         F.sum("__chars").cast("long").alias("chars"),
+        F.sum("__oov").cast("long").alias("n_oov_words"),
         F.round(
             F.sum("__bpe") / F.sum("__ws").cast("double"), 6
         ).alias("bpe_per_word"),

@@ -858,6 +858,55 @@ def cluster_representatives(
     )
 
 
+def _recall_sample(
+    docs: DataFrame,
+    sample_fraction,
+    target_docs: int,
+    salt: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic salted-hash document sample shared by the recall
+    harnesses (same engine-portable nested recipe as
+    ``stratified_sample``): docs survive iff ``u(id) < fraction``.
+
+    ``sample_fraction="auto"`` (the default) resolves the fraction to
+    ``min(1.0, target_docs / n_docs)`` — a CONSTANT sampled-doc budget,
+    so the harness's pair cost stays flat as the corpus grows instead
+    of merely 4x-cheaper-but-still-quadratic under a static fraction
+    (the count is one scalar job; the division is exact in double on
+    both engines, so the oracle reproduces the same sample).  A float
+    is an explicit static fraction; ``None`` opts in to the full
+    corpus.
+    """
+    if sample_fraction is None:
+        return docs
+    if sample_fraction == "auto":
+        if target_docs < 1:
+            raise ValueError(f"target_docs must be >= 1, got {target_docs}")
+        n = docs.count()
+        fraction = min(1.0, float(target_docs) / max(n, 1))
+    else:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                "sample_fraction must be in (0, 1], 'auto', or None, "
+                f"got {sample_fraction}"
+            )
+        fraction = float(sample_fraction)
+    if fraction >= 1.0:
+        return docs
+    mod = 1 << 30
+    u = (
+        F.pmod(
+            portable_hash60(
+                F.concat(F.lit(salt), F.col(id_col).cast("string"))
+            ),
+            F.lit(mod),
+        )
+        / F.lit(float(mod))
+    )
+    return docs.where(u < F.lit(fraction))
+
+
 def dedup_recall_stats(
     docs: DataFrame,
     *,
@@ -865,7 +914,8 @@ def dedup_recall_stats(
     num_hashes: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.2,
-    sample_fraction: float | None = 0.5,
+    sample_fraction: float | str | None = "auto",
+    target_docs: int = 2500,
     salt: str = "pts-recall",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -879,46 +929,34 @@ def dedup_recall_stats(
     ``n - ceil(t*n) + 1`` (~80% at t=0.2) of postings, so its candidate
     generation degrades toward quadratic with corpus size.  That is
     fine for a diagnostic, a scale-killer as a routine job — so the
-    harness measures recall on a salted-hash document sample
-    (``sample_fraction``, same engine-portable nested recipe as
-    ``stratified_sample``): docs survive iff ``u(id) < fraction``, so
-    pair cost falls ~quadratically (fraction^2) while the recall RATIO
-    stays an asymptotically unbiased estimate of the full-corpus recall
-    — banding survival is decided per-pair by signature agreement, so
+    harness measures recall on a salted-hash document sample, and the
+    DEFAULT ``sample_fraction="auto"`` targets a constant sampled-doc
+    budget (``target_docs``, fraction = min(1, target_docs/n)): pair
+    cost is then flat in corpus size, while the recall RATIO stays an
+    asymptotically unbiased estimate of the full-corpus recall —
+    banding survival is decided per-pair by signature agreement, so
     restricting to sampled-doc pairs does not bias which pairs survive.
-    Pass ``sample_fraction=None`` to opt in to the full-corpus exact
-    arm explicitly.
+    A float pins a static fraction; ``sample_fraction=None`` opts in to
+    the full-corpus exact arm explicitly.
 
     Output: one row — ``n_exact, n_lsh, n_hit, recall`` (null when no
-    exact pair exists in the sample; widen the fraction if so).
+    exact pair exists in the sample; widen ``target_docs`` if so).
     """
-    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
-        raise ValueError(
-            f"sample_fraction must be in (0, 1] or None, got {sample_fraction}"
-        )
-    base = docs
-    if sample_fraction is not None and sample_fraction < 1.0:
-        mod = 1 << 30
-        u = (
-            F.pmod(
-                portable_hash60(
-                    F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                ),
-                F.lit(mod),
-            )
-            / F.lit(float(mod))
-        )
-        base = docs.where(u < F.lit(float(sample_fraction)))
+    base = _recall_sample(docs, sample_fraction, target_docs, salt, id_col)
 
-    exact = ngram_jaccard_pairs(
-        base, text_col, id_col, ngram=ngram, threshold=jaccard_threshold,
-        block_cols=(),
-    ).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(
-        base, text_col, id_col,
-        ngram=ngram, num_hashes=num_hashes, bands=bands,
-        jaccard_threshold=jaccard_threshold,
-    ).select("id_a", "id_b")
+    exact = persist_tracked(
+        ngram_jaccard_pairs(
+            base, text_col, id_col, ngram=ngram, threshold=jaccard_threshold,
+            block_cols=(),
+        ).select("id_a", "id_b")
+    )
+    lsh = persist_tracked(
+        minhash_lsh_pairs(
+            base, text_col, id_col,
+            ngram=ngram, num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=jaccard_threshold,
+        ).select("id_a", "id_b")
+    )
     e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     h = exact.join(lsh, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
@@ -945,7 +983,8 @@ def dedup_recall_curve(
     ngram: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
-    sample_fraction: float | None = 0.5,
+    sample_fraction: float | str | None = "auto",
+    target_docs: int = 2500,
     salt: str = "pts-recall",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -962,7 +1001,8 @@ def dedup_recall_curve(
     generation cost is paid once for the entire curve.
 
     Same sampling contract as ``dedup_recall_stats`` (deterministic
-    salted-hash document sample, full corpus behind an explicit
+    salted-hash document sample; ``"auto"`` targets a constant
+    ``target_docs`` budget, full corpus behind an explicit
     ``sample_fraction=None``).  Output one row per threshold:
     ``threshold, n_exact, n_lsh, n_hit, recall``.
 
@@ -975,24 +1015,7 @@ def dedup_recall_curve(
     ts = sorted(set(float(t) for t in thresholds))
     if not ts or ts[0] <= 0 or ts[-1] > 1:
         raise ValueError(f"thresholds must be in (0, 1], got {thresholds}")
-    base = docs
-    if sample_fraction is not None:
-        if not (0.0 < sample_fraction <= 1.0):
-            raise ValueError(
-                f"sample_fraction must be in (0, 1] or None, got {sample_fraction}"
-            )
-        if sample_fraction < 1.0:
-            mod = 1 << 30
-            u = (
-                F.pmod(
-                    portable_hash60(
-                        F.concat(F.lit(salt), F.col(id_col).cast("string"))
-                    ),
-                    F.lit(mod),
-                )
-                / F.lit(float(mod))
-            )
-            base = docs.where(u < F.lit(float(sample_fraction)))
+    base = _recall_sample(docs, sample_fraction, target_docs, salt, id_col)
 
     t0 = ts[0]
     exact = persist_tracked(

@@ -36,8 +36,11 @@ __all__ = [
     "gif_encode",
     "gif_decode",
     "jpeg_encode_gray",
+    "jpeg_encode_ycbcr",
+    "jpeg_decode",
     "jpeg_decode_gray",
     "synthesize_jpeg_decodable",
+    "synthesize_jpeg_color",
     "gif_palette",
     "synthesize_gif",
     "pixel_stats",
@@ -438,10 +441,10 @@ def decode_image(payload: bytes):
     + all five unfilter types, depth-8 gray/RGB/GA/RGBA), uncompressed
     24-bit BMP, GIF (the full variable-width LZW decoder incl. CLEAR
     resets and the KwKwK case; non-interlaced), and baseline
-    sequential grayscale JPEG (generic canonical-Huffman entropy
-    decode, dequantize, float IDCT).  Round 8 closed the last stub:
-    only JPEG features outside the pinned baseline-grayscale scope
-    (progressive scans, chroma-subsampled color) still fall back to a
+    sequential JPEG — grayscale AND 4:4:4 YCbCr color (generic
+    canonical-Huffman entropy decode, dequantize, float IDCT, BT.601
+    color transform).  Only JPEG features outside that pinned scope
+    (progressive scans, chroma-SUBSAMPLED color) still fall back to a
     codec library, with the missing feature named in the error.
     """
     hdr = parse_image_header(payload)
@@ -456,7 +459,7 @@ def decode_image(payload: bytes):
         return ("gif", px.shape[1], px.shape[0], px)
     if hdr is not None and hdr[0] == "jpeg":
         try:
-            px = jpeg_decode_gray(payload)
+            px = jpeg_decode(payload)
             return ("jpeg", px.shape[1], px.shape[0], px)
         except NotImplementedError:
             # outside the stdlib decoder's pinned scope (progressive,
@@ -1073,9 +1076,9 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
 # Baseline JPEG codec (grayscale, sequential DCT) — pure stdlib + numpy.
 # With PNG (deflate+unfilter) and GIF (LZW) this removes the last codec
 # stub: decode_image handles every container it recognizes.  Scope is
-# pinned honestly: baseline sequential, 8-bit, single-component
-# (grayscale) frames; progressive scans and chroma-subsampled color
-# raise NotImplementedError with the exact missing feature named.
+# pinned honestly: baseline sequential, 8-bit, grayscale OR 4:4:4
+# YCbCr color (round 9) frames; progressive scans and chroma-SUBSAMPLED
+# color raise NotImplementedError with the exact missing feature named.
 # --------------------------------------------------------------------------
 
 # canonical zig-zag order (spec figure A.6)
@@ -1192,36 +1195,89 @@ def jpeg_encode_gray(coeffs, width: int, height: int, qtable=None) -> bytes:
     w = _BitWriterMSB()
     prev_dc = 0
     for blk in coeffs:
-        diff = int(blk[0]) - prev_dc
-        prev_dc = int(blk[0])
-        s, bits = _jpeg_category(diff)
-        c, ln = dc_codes[s]
+        prev_dc = _encode_block(w, blk, prev_dc, dc_codes, ac_codes)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_block(w, blk, prev_dc, dc_codes, ac_codes) -> int:
+    """Entropy-encode one 64-coefficient zig-zag block (differential DC,
+    run/size AC with ZRL/EOB); returns the new DC predictor."""
+    diff = int(blk[0]) - prev_dc
+    s, bits = _jpeg_category(diff)
+    c, ln = dc_codes[s]
+    w.write(c, ln)
+    if s:
+        w.write(bits, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        s, bits = _jpeg_category(v)
+        sym = (run << 4) | s
+        if sym not in ac_codes:
+            raise ValueError(
+                f"AC symbol 0x{sym:02x} not in the compact encoder table"
+            )
+        c, ln = ac_codes[sym]
         w.write(c, ln)
-        if s:
-            w.write(bits, s)
+        w.write(bits, s)
         run = 0
-        for k in range(1, 64):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                c, ln = ac_codes[0xF0]  # ZRL
-                w.write(c, ln)
-                run -= 16
-            s, bits = _jpeg_category(v)
-            sym = (run << 4) | s
-            if sym not in ac_codes:
-                raise ValueError(
-                    f"AC symbol 0x{sym:02x} not in the compact encoder table"
-                )
-            c, ln = ac_codes[sym]
-            w.write(c, ln)
-            w.write(bits, s)
-            run = 0
-        if run:  # trailing zeros -> EOB
-            c, ln = ac_codes[0x00]
-            w.write(c, ln)
+    if run:  # trailing zeros -> EOB
+        c, ln = ac_codes[0x00]
+        w.write(c, ln)
+    return int(blk[0])
+
+
+def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
+    """Encode a COLOR baseline JPEG (YCbCr 4:4:4, interleaved scan) from
+    QUANTIZED DCT coefficients: ``coeffs`` is a list of per-MCU
+    ``(blk_y, blk_cb, blk_cr)`` triples of 64-element zig-zag blocks
+    (row-major MCUs; at 4:4:4 one MCU = one 8x8 block per component).
+    One quant table and the standard Annex-K luminance Huffman pair
+    serve all three components (spec-legal — the SOS declares table 0
+    for each); each component keeps its OWN DC predictor, per spec
+    F.1.1.5.  ``width``/``height`` must be multiples of 8."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("width/height must be multiples of 8")
+    n_blocks = (width // 8) * (height // 8)
+    if len(coeffs) != n_blocks:
+        raise ValueError(f"need {n_blocks} MCUs, got {len(coeffs)}")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid in (1, 2, 3):  # Y, Cb, Cr — all 1x1 sampling, quant table 0
+        out += bytes([cid, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriterMSB()
+    prev = [0, 0, 0]
+    for mcu in coeffs:
+        if len(mcu) != 3:
+            raise ValueError("each MCU needs (Y, Cb, Cr) blocks")
+        for ci, blk in enumerate(mcu):
+            prev[ci] = _encode_block(w, blk, prev[ci], dc_codes, ac_codes)
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1271,15 +1327,19 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def jpeg_decode_gray(payload: bytes):
+def jpeg_decode(payload: bytes):
     """REAL baseline JPEG decoder — pure stdlib + numpy, no codec
     library: marker walk, DQT/DHT/SOF0/SOS parse, generic canonical-
-    Huffman entropy decode (byte unstuffing, DC prediction, run/size AC
-    with EOB/ZRL), de-zig-zag, dequantize, float IDCT, level shift and
-    clamp.  Scope: baseline sequential (SOF0), 8-bit, ONE component;
-    progressive (SOF2) and multi-component color raise
+    Huffman entropy decode (byte unstuffing, per-component DC
+    prediction, run/size AC with EOB/ZRL), de-zig-zag, dequantize,
+    float IDCT, level shift and clamp.  Scope: baseline sequential
+    (SOF0), 8-bit, ONE component (grayscale) or THREE components at
+    4:4:4 (no chroma subsampling) converted YCbCr -> RGB with the
+    BT.601/JFIF constants (``floor(x + 0.5)`` rounding, clamped —
+    deterministic and reproducible closed-form by the SQL oracle);
+    progressive (SOF2) and subsampled color raise
     ``NotImplementedError`` naming the missing feature.  Returns an
-    ``(h, w, 1)`` uint8 array."""
+    ``(h, w, 1)`` (gray) or ``(h, w, 3)`` (RGB) uint8 array."""
     import struct
 
     import numpy as np
@@ -1322,15 +1382,20 @@ def jpeg_decode_gray(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"precision {prec} not supported")
-            if nc != 1:
+            if nc not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (color) JPEG decode not supported — "
-                    "grayscale baseline only"
+                    f"{nc}-component JPEG decode not supported — "
+                    "grayscale or 4:4:4 YCbCr baseline only"
                 )
-            comp_id, sampling, tq = body[6], body[7], body[8]
-            if sampling != 0x11:
-                raise NotImplementedError("subsampled JPEG not supported")
-            frame = (h, w, comp_id, tq)
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG not supported — 4:4:4 only"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}) not supported"
@@ -1338,18 +1403,47 @@ def jpeg_decode_gray(payload: bytes):
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF0")
+            h, w, comps = frame
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan not supported")
-            td, ta = body[2] >> 4, body[2] & 0x0F
-            h, w, _cid, tq = frame
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) JPEG not supported"
+                )
+            # scan-order component tables, matched to the frame by id
+            by_id = {cid: tq for cid, tq in comps}
+            comp_tables = []
+            for ci in range(ns):
+                cid = body[1 + 2 * ci]
+                tsel = body[2 + 2 * ci]
+                td, ta = tsel >> 4, tsel & 0x0F
+                comp_tables.append(
+                    (qtables[by_id[cid]], dc_tables[td], ac_tables[ta])
+                )
             scan_start = i + 2 + seg_len
-            return _jpeg_decode_scan(
-                payload, scan_start, h, w,
-                qtables[tq], dc_tables[td], ac_tables[ta],
+            planes = _jpeg_decode_scan(
+                payload, scan_start, h, w, comp_tables
             )
+            if ns == 1:
+                return planes[0][:, :, None]
+            y = planes[0].astype(np.float64)
+            cb = planes[1].astype(np.float64)
+            cr = planes[2].astype(np.float64)
+            # BT.601/JFIF; floor(x + 0.5) so the SQL oracle reproduces
+            # the exact bytes (correctly-rounded double ops, same order)
+            r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+            g = np.floor(
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+            )
+            b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+            return np.clip(
+                np.stack([r, g, b], axis=-1), 0, 255
+            ).astype(np.uint8)
         i += 2 + seg_len
     raise ValueError("JPEG contains no scan")
+
+
+# back-compat name from when grayscale was the only in-scope frame type
+jpeg_decode_gray = jpeg_decode
 
 
 def _idct_basis():
@@ -1362,7 +1456,11 @@ def _idct_basis():
     return c * scale[None, :]  # B[x, u] = C(u)/2 * cos((2x+1)u*pi/16)
 
 
-def _jpeg_decode_scan(data, pos, h, w, qtable, dc_table, ac_table):
+def _jpeg_decode_scan(data, pos, h, w, comp_tables):
+    """Interleaved baseline scan at 4:4:4: each MCU is one 8x8 block per
+    component in scan order; every component keeps its own DC
+    predictor.  ``comp_tables`` is ``[(qtable, dc_table, ac_table)]``
+    in scan order; returns one ``(h, w)`` uint8 plane per component."""
     import numpy as np
 
     if h % 8 or w % 8:
@@ -1379,41 +1477,44 @@ def _jpeg_decode_scan(data, pos, h, w, qtable, dc_table, ac_table):
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
-    q = np.array(qtable, dtype=np.float64)
+    nc = len(comp_tables)
+    qs = [np.array(q, dtype=np.float64) for q, _, _ in comp_tables]
     basis = _idct_basis()
-    out = np.empty((h, w), dtype=np.uint8)
-    prev_dc = 0
+    planes = [np.empty((h, w), dtype=np.uint8) for _ in range(nc)]
+    prev_dc = [0] * nc
     for by in range(h // 8):
         for bx in range(w // 8):
-            zz = np.zeros(64, dtype=np.float64)
-            s = read_symbol(dc_table)
-            diff = _extend(reader.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_symbol(ac_table)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"bad AC symbol 0x{sym:02x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
-            zz *= q
-            block = np.zeros((8, 8), dtype=np.float64)
-            block.flat[_ZIGZAG] = zz  # natural position of zig-zag index k
-            px = basis @ block @ basis.T
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(px + 128.0), 0, 255
-            ).astype(np.uint8)
-    return out[:, :, None]
+            for ci in range(nc):
+                _, dc_table, ac_table = comp_tables[ci]
+                zz = np.zeros(64, dtype=np.float64)
+                s = read_symbol(dc_table)
+                diff = _extend(reader.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_table)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol 0x{sym:02x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past block end")
+                    zz[k] = _extend(reader.bits(size), size)
+                    k += 1
+                zz *= qs[ci]
+                block = np.zeros((8, 8), dtype=np.float64)
+                block.flat[_ZIGZAG] = zz  # natural position of zz index k
+                px = basis @ block @ basis.T
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+                )
+    return planes
 
 
 def synthesize_jpeg_decodable(documents: DataFrame) -> DataFrame:
@@ -1439,6 +1540,52 @@ def synthesize_jpeg_decodable(documents: DataFrame) -> DataFrame:
                     blk[0] = ((m + 13 * k) % 64) - 32
                     blocks.append(blk)
                 rows.append(jpeg_encode_gray(blocks, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable baseline COLOR JPEG (YCbCr 4:4:4,
+    interleaved scan) per document id: DC-only 8x8 blocks per component
+    (standard Annex-K Huffman tables for all three, per-component
+    differential DC, byte stuffing), flat quant table of 16.  MCU ``k``
+    (row-major) of media ``m`` carries quantized DCs such that the
+    decoded planes are the exact integers::
+
+        Y  = 2*((m   + 13*k) % 64) + 64
+        Cb = 2*((2*m +  7*k) % 64) + 64
+        Cr = 2*((3*m +  5*k) % 64) + 64
+
+    so every RGB byte is the closed form ``floor(plane-combination +
+    0.5)`` clamped to [0, 255] — replayable bit-exactly by the SQL
+    oracle.  ``width = 8*(1 + m%6)``, ``height = 8*(1 + m%4)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+                nb = (w // 8) * (h // 8)
+                mcus = []
+                for k in range(nb):
+                    blks = []
+                    for a, b in ((1, 13), (2, 7), (3, 5)):
+                        blk = [0] * 64
+                        blk[0] = ((a * m + b * k) % 64) - 32
+                        blks.append(blk)
+                    mcus.append(tuple(blks))
+                rows.append(jpeg_encode_ycbcr(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

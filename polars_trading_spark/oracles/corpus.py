@@ -897,8 +897,9 @@ _BPE_MERGES = 20
     "bpe_train_merges",
     None,  # greedy iterative training — not SQL-expressible
     f"Distributed BPE trainer: {_BPE_MERGES} merges learned on the "
-    "distinct-word table (one corpus pass, vocabulary-sized rounds, "
-    "native aggregate-fold merge application, scalar-only collects)",
+    "distinct-word table (one corpus pass; each Spark round applies up "
+    "to 8 pairwise token-disjoint merges in one aggregate fold, so "
+    "rounds ~ vocab/8; bounded top-window collects only)",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.bpe import bpe_train
@@ -913,7 +914,9 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # consumes the iteratively trained vocabulary
     "Per-source token budget under the trained BPE vocabulary "
     "(fertility = BPE tokens per whitespace word): corpus explode + "
-    "shuffle_hash join on the vocabulary-sized segmentation table",
+    "shuffle_hash join on the vocabulary-sized segmentation table; "
+    "OOV words fall back to character count and are flagged in "
+    "n_oov_words",
 )
 def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.bpe import bpe_token_budget, bpe_train
@@ -928,6 +931,7 @@ def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "whitespace_tokens",
         "bpe_tokens",
         "chars",
+        "n_oov_words",
         (F.round("bpe_per_word", 6) + z0).alias("bpe_per_word"),
     )
 

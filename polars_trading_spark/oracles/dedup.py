@@ -591,13 +591,18 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays behind an explicit sample_fraction=None).
 # --------------------------------------------------------------------------
 
-_RECALL_FRACTION = 0.5
+_RECALL_TARGET = 2500  # auto fraction = min(1, target / n_docs)
 _RECALL_SALT = "pts-recall"
 _RECALL_MOD = 1 << 30
 _RECALL_EXPR = f"concat('{_RECALL_SALT}', CAST(doc_id AS VARCHAR))"
+# Same auto-fraction as functions/dedup.py::_recall_sample: the count
+# and the division are exact in double on both engines, so the sampled
+# document set is identical.
 _RECALL_WHERE = (
     f"WHERE ({_sql_hash60(_RECALL_EXPR)} % {_RECALL_MOD})"
-    f" / {float(_RECALL_MOD)} < {_RECALL_FRACTION!r}"
+    f" / {float(_RECALL_MOD)}"
+    f" < least(1.0, CAST({_RECALL_TARGET} AS DOUBLE)"
+    f" / greatest((SELECT count(*) FROM documents), 1))"
 )
 
 
@@ -631,8 +636,9 @@ SELECT
 """,
     f"MinHash banding recall: pairs surviving {_MH_BANDS}-band LSH vs "
     f"every pair with exact shingle Jaccard >= {_MH_THRESHOLD} on a "
-    f"deterministic {_RECALL_FRACTION:.0%} salted-hash document sample "
-    "— unbiased estimate of the candidate-generation loss; the global "
+    f"deterministic salted-hash document sample auto-sized to "
+    f"~{_RECALL_TARGET} docs (flat pair cost in corpus size) — "
+    "unbiased estimate of the candidate-generation loss; the global "
     "exact arm stays behind sample_fraction=None",
 )
 def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +649,8 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=_MH_K,
         bands=_MH_BANDS,
         jaccard_threshold=_MH_THRESHOLD,
-        sample_fraction=_RECALL_FRACTION,
+        sample_fraction="auto",
+        target_docs=_RECALL_TARGET,
         salt=_RECALL_SALT,
     )
 
@@ -715,6 +722,7 @@ def q_dedup_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=_MH_NGRAM,
         num_hashes=_MH_K,
         bands=_MH_BANDS,
-        sample_fraction=_RECALL_FRACTION,
+        sample_fraction="auto",
+        target_docs=_RECALL_TARGET,
         salt=_RECALL_SALT,
     )

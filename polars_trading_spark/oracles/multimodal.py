@@ -450,3 +450,74 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_jpeg_decodable(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Baseline COLOR JPEG decode (functions/multimodal.py::
+# jpeg_decode, 3-component YCbCr 4:4:4 through the same generic
+# Huffman/dequant/IDCT path + BT.601 color transform).  DC-only spectra
+# per component make each plane an exact integer; the floor(x+0.5)
+# color transform is replayed in double on both engines, so px_dot is
+# bit-exact over the full RGB byte stream.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_color_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+blk AS (
+  SELECT media_id, width, height, k,
+    CAST(2 * ((media_id + 13 * k) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM m, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+rgb AS (
+  SELECT media_id, width, height, k,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM blk
+),
+px AS (
+  SELECT media_id, width, height,
+    3 * (((k // (width // 8)) * 8 + p // 8) * width
+         + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS BIGINT) AS v
+  FROM rgb, unnest(range(0, 64)) AS tp(p), unnest(range(0, 3)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib COLOR JPEG decode: synthesized baseline YCbCr 4:4:4 "
+    "JPEGs (interleaved scan, per-component differential DC) decoded "
+    "via the generic canonical-Huffman + IDCT path and the BT.601 "
+    "floor(x+0.5) color transform in Arrow mapInPandas; the oracle "
+    "replays every RGB byte closed-form, so one wrong bit anywhere in "
+    "the 3-component entropy decode or the color math breaks px_dot",
+)
+def q_multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_color,
+    )
+
+    media = synthesize_jpeg_color(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -46,7 +46,18 @@ def streaming_hampel(
     tape's final h rows, which remain pending.  The MAD is the
     CANONICAL estimator (median of deviations from the center window's
     median), matching the batch operator bit-for-bit: medians of the
-    same float sets, flag comparison rounded to 9."""
+    same float sets, flag comparison rounded to 9.
+
+    IN-ORDER ARRIVAL ASSUMPTION (same contract as the other streaming
+    twins): rows within a micro-batch are sorted by ``(ts, seq)``, but
+    rows are appended to the per-symbol buffer in MICRO-BATCH ARRIVAL
+    order across batches — a row arriving in a later micro-batch with
+    an earlier ``(ts, seq)`` than already-buffered state lands after
+    it, and the windows around it diverge from the batch operator's.
+    The bit-for-bit equality claim therefore requires per-symbol
+    cross-batch in-order delivery (e.g. a source partitioned by symbol
+    and ordered within partition); late/out-of-order ticks need an
+    upstream reorder buffer."""
     if window < 3 or window % 2 == 0:
         raise ValueError(f"window must be an odd int >= 3, got {window}")
     if k <= 0:

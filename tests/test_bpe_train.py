@@ -3,7 +3,10 @@
 No SQL oracle exists (greedy iterative training), so the gate is an
 EXACT match against an independent pure-Python BPE reference — the
 classic word-frequency-dict implementation, written from the Sennrich
-et al. (2016) algorithm description, sharing no code with the engine.
+et al. (2016) algorithm description, sharing no code with the engine —
+in both the classic one-merge-per-round mode (``merges_per_round=1``)
+and the batched mode (top-k pairwise non-conflicting merges per round,
+applied in one simultaneous greedy fold).
 """
 
 from __future__ import annotations
@@ -24,36 +27,54 @@ def _ref_tokens(text: str) -> list[str]:
     return [t for t in norm.split(" ") if t]
 
 
-def _ref_bpe_train(texts, n_merges, min_pair_count=2):
-    """Independent reference: greedy BPE on the word-frequency dict."""
+def _ref_bpe_train(texts, n_merges, min_pair_count=2, k=1, window=None):
+    """Independent reference: greedy BPE on the word-frequency dict.
+
+    ``k=1`` is the classic algorithm.  ``k>1`` is the batched variant:
+    each round scans the top-``window`` pairs in (count desc, left,
+    right) order, greedily selects up to ``k`` pairwise token-disjoint
+    merges, and applies them ALL in one left-to-right fold (a merge
+    fires whenever (accumulated-last, next) matches ANY selected pair).
+    """
+    window = window if window is not None else 8 * k
     words = Counter()
     for t in texts:
         words.update(_ref_tokens(t))
     segs = {w: list(w) for w in words}
     merges = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        kk = min(k, n_merges - len(merges))
         pairs = Counter()
         for w, c in words.items():
             s = segs[w]
             for a, b in zip(s, s[1:]):
                 pairs[(a, b)] += c
-        if not pairs:
-            break
-        # (count desc, left, right) tiebreak
-        (left, right), cnt = min(
+        cands = sorted(
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if cnt < min_pair_count:
+        )[:window]
+        selected, used = [], set()
+        for (left, right), cnt in cands:
+            if cnt < min_pair_count:
+                break
+            if left in used or right in used:
+                continue
+            selected.append((left, right, cnt))
+            used.update((left, right))
+            if len(selected) == kk:
+                break
+        if not selected:
             break
-        merges.append((rank, left, right, left + right, cnt))
+        pairset = {(left, right) for left, right, _ in selected}
         for w, s in segs.items():
             out = []
             for x in s:
-                if out and out[-1] == left and x == right:
-                    out[-1] = left + right
+                if out and (out[-1], x) in pairset:
+                    out[-1] = out[-1] + x
                 else:
                     out.append(x)
             segs[w] = out
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
     return merges, {w: len(s) for w, s in segs.items()}, dict(words)
 
 
@@ -75,14 +96,19 @@ def docs(spark):
     )
 
 
-def test_bpe_train_matches_reference_exactly(docs, spark):
-    merges_df, words_df = bpe_train(docs, n_merges=12, min_pair_count=2)
-    got = [
+def _got_merges(merges_df):
+    return [
         (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
         for r in merges_df.orderBy("rank").collect()
     ]
-    ref_merges, ref_seg_counts, ref_counts = _ref_bpe_train(CORPUS, 12, 2)
-    assert got == ref_merges
+
+
+def test_bpe_train_classic_matches_reference_exactly(docs, spark):
+    merges_df, words_df = bpe_train(
+        docs, n_merges=12, min_pair_count=2, merges_per_round=1
+    )
+    ref_merges, ref_seg_counts, ref_counts = _ref_bpe_train(CORPUS, 12, 2, k=1)
+    assert _got_merges(merges_df) == ref_merges
     got_words = {
         r["word"]: (r["word_count"], r["n_bpe_tokens"])
         for r in words_df.collect()
@@ -90,6 +116,40 @@ def test_bpe_train_matches_reference_exactly(docs, spark):
     assert set(got_words) == set(ref_counts)
     for w in ref_counts:
         assert got_words[w] == (ref_counts[w], ref_seg_counts[w]), w
+
+
+@pytest.mark.parametrize("k", [3, 8])
+def test_bpe_train_batched_matches_batched_reference(docs, spark, k):
+    merges_df, words_df = bpe_train(
+        docs, n_merges=12, min_pair_count=2, merges_per_round=k
+    )
+    ref_merges, ref_seg_counts, _ = _ref_bpe_train(CORPUS, 12, 2, k=k)
+    assert _got_merges(merges_df) == ref_merges
+    got_seg = {r["word"]: r["n_bpe_tokens"] for r in words_df.collect()}
+    assert got_seg == ref_seg_counts
+
+
+def test_bpe_train_batched_rounds_scale_as_vocab_over_k(docs, spark):
+    # the whole point of batching: ~n_merges/k sequential Spark rounds.
+    # Spark's merge list is pinned exact-equal to the reference (test
+    # above), and the reference's round count is directly countable —
+    # 12 merges at k=8 must take far fewer rounds than the classic 12.
+    rounds = {}
+    for k in (1, 8):
+        n, merges = 0, []
+        texts, counter = CORPUS, Counter()
+        for t in texts:
+            counter.update(_ref_tokens(t))
+        segs = {w: list(w) for w in counter}
+        while len(merges) < 12:
+            n += 1
+            got, segs2, _ = _ref_bpe_train(texts, len(merges) + k, 2, k=k)
+            if len(got) == len(merges):
+                break
+            merges = got
+        rounds[k] = n
+    assert rounds[1] == 12
+    assert rounds[8] <= 2
 
 
 def test_bpe_train_early_stop_and_overlap_semantics(spark):
@@ -100,24 +160,26 @@ def test_bpe_train_early_stop_and_overlap_semantics(spark):
         [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
         "doc_id long, text string, lang string, source string, n_chars int",
     )
-    merges_df, words_df = bpe_train(df, n_merges=50, min_pair_count=2)
-    ref_merges, ref_seg_counts, _ = _ref_bpe_train(texts, 50, 2)
-    got = [
-        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
-        for r in merges_df.orderBy("rank").collect()
-    ]
-    assert got == ref_merges
+    merges_df, words_df = bpe_train(
+        df, n_merges=50, min_pair_count=2, merges_per_round=1
+    )
+    ref_merges, ref_seg_counts, _ = _ref_bpe_train(texts, 50, 2, k=1)
+    assert _got_merges(merges_df) == ref_merges
     got_seg = {r["word"]: r["n_bpe_tokens"] for r in words_df.collect()}
     assert got_seg == ref_seg_counts
     # early stop: merge count << 50
-    assert len(got) < 50
+    assert len(ref_merges) < 50
+    # batched mode early-stops identically on this corpus
+    merges_b, _ = bpe_train(df, n_merges=50, min_pair_count=2)
+    ref_b, _, _ = _ref_bpe_train(texts, 50, 2, k=8)
+    assert _got_merges(merges_b) == ref_b
 
 
 def test_bpe_token_budget_matches_reference(docs, spark):
     n_merges = 8
     merges_df, words_df = bpe_train(docs, n_merges=n_merges)
     out = {r["source"]: r for r in bpe_token_budget(docs, words_df).collect()}
-    _, ref_seg_counts, _ = _ref_bpe_train(CORPUS, n_merges, 2)
+    _, ref_seg_counts, _ = _ref_bpe_train(CORPUS, n_merges, 2, k=8)
     for src in ("s0", "s1"):
         texts = [t for i, t in enumerate(CORPUS) if f"s{i % 2}" == src]
         ws = sum(len(_ref_tokens(t)) for t in texts)
@@ -129,6 +191,32 @@ def test_bpe_token_budget_matches_reference(docs, spark):
         assert r["bpe_tokens"] == bpe
         assert r["bpe_per_word"] == pytest.approx(round(bpe / ws, 6))
         assert r["n_docs"] == len(texts)
+        assert r["n_oov_words"] == 0  # training corpus: full coverage
+
+
+def test_bpe_token_budget_oov_fallback(docs, spark):
+    # apply the vocabulary trained on CORPUS to a SHIFTED corpus: OOV
+    # words contribute their character count (unmerged segmentation),
+    # never zero, and are counted in n_oov_words.
+    _, words_df = bpe_train(docs, n_merges=8)
+    vocab = {r["word"]: r["n_bpe_tokens"] for r in words_df.collect()}
+    shifted = ["the quick zyzzyva qqq", "xylophone the dog"]
+    sdf = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(shifted)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    r = bpe_token_budget(sdf, words_df).collect()[0]
+    exp_bpe = exp_oov = 0
+    for t in shifted:
+        for w in _ref_tokens(t):
+            if w in vocab:
+                exp_bpe += vocab[w]
+            else:
+                exp_bpe += len(w)
+                exp_oov += 1
+    assert r["bpe_tokens"] == exp_bpe
+    assert r["n_oov_words"] == exp_oov
+    assert exp_oov > 0  # the scenario actually exercises the fallback
 
 
 def test_bpe_train_validation(docs):
@@ -136,3 +224,7 @@ def test_bpe_train_validation(docs):
         bpe_train(docs, n_merges=0)
     with pytest.raises(ValueError):
         bpe_train(docs, min_pair_count=0)
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges_per_round=0)
+    with pytest.raises(ValueError):
+        bpe_train(docs, merges_per_round=8, candidate_window=4)

@@ -204,18 +204,30 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    # a 3-component frame is rejected as unsupported COLOR immediately
-    with pytest.raises(NotImplementedError, match="color"):
-        multimodal.jpeg_decode_gray(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
+    # a 4:2:0-SUBSAMPLED 3-component frame is rejected as unsupported
+    # (round 9 widened color support to 4:4:4 only)
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
     # a header-only GRAYSCALE stream is malformed, not unsupported
     sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode_gray(b"\xff\xd8" + app0 + sof_gray + b"\xff\xd9")
-    # chroma-subsampled COLOR frames are outside the pinned
-    # baseline-grayscale scope -> NotImplementedError naming it (via
-    # the PIL fallback when PIL is absent)
+    # ... and so is a header-only 4:4:4 COLOR stream (in scope now)
+    sof_444 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(ValueError, match="no scan"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_444 + b"\xff\xd9")
+    # a 4-component (CMYK-style) frame stays out of scope by count
+    sof_cmyk = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="4-component"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk + b"\xff\xd9")
+    # subsampled color is outside the pinned scope end-to-end ->
+    # NotImplementedError naming it (via the PIL fallback when absent)
     try:
         import PIL  # noqa: F401
 
@@ -302,6 +314,68 @@ def test_jpeg_codec_dc_only_exact_and_ac_reference():
     blk[0], blk[40], blk[63] = 5, 7, -3
     _, _, _, px = decode_image(jpeg_encode_gray([blk], 8, 8))
     assert np.abs(px[:, :, 0].astype(float) - ref_idct(blk)).max() <= 1
+
+
+def test_jpeg_color_codec_dc_only_exact_and_interleave():
+    from polars_trading_spark.functions.multimodal import (
+        decode_image,
+        jpeg_encode_ycbcr,
+    )
+
+    m, w, h = 23, 16, 24
+    nb = (w // 8) * (h // 8)
+    mcus = []
+    for k in range(nb):
+        blks = []
+        for a, b in ((1, 13), (2, 7), (3, 5)):
+            blk = [0] * 64
+            blk[0] = ((a * m + b * k) % 64) - 32
+            blks.append(blk)
+        mcus.append(tuple(blks))
+    fmt, ww, hh, px = decode_image(jpeg_encode_ycbcr(mcus, w, h))
+    assert (fmt, ww, hh) == ("jpeg", w, h)
+    assert px.shape == (h, w, 3)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            k = by * (w // 8) + bx
+            y = 2 * ((m + 13 * k) % 64) + 64
+            cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            want = np.clip(
+                [
+                    np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+                    np.floor(
+                        y
+                        - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0)
+                        + 0.5
+                    ),
+                    np.floor(y + 1.772 * (cb - 128.0) + 0.5),
+                ],
+                0,
+                255,
+            )
+            got = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
+            assert (got == want[None, None, :]).all(), (k, got[0, 0], want)
+
+    # interleaving: three DIFFERENT DC runs must land on their own
+    # planes (a component mix-up would swap them); neutral chroma
+    # (Cb = Cr = 128) must decode to gray R = G = B = Y
+    mcus = []
+    for k in range(nb):
+        yb, cbb, crb = [0] * 64, [0] * 64, [0] * 64
+        yb[0] = (11 * k) % 40 - 20
+        mcus.append((yb, cbb, crb))
+    _, _, _, px = decode_image(jpeg_encode_ycbcr(mcus, w, h))
+    assert (px[:, :, 0] == px[:, :, 1]).all()
+    assert (px[:, :, 1] == px[:, :, 2]).all()
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            k = by * (w // 8) + bx
+            want = 2 * ((11 * k) % 40 - 20) + 128
+            assert (
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0] == want
+            ).all()
 
 
 def test_png_codec_roundtrip_all_filters_and_color_types():
@@ -448,10 +522,33 @@ def test_dedup_recall_stats_sampled_contract(docs):
     assert tuple(s1) == tuple(s2)  # deterministic, no RNG state
     assert s1["n_exact"] <= full["n_exact"]
 
+    # auto mode: fraction = min(1, target_docs / n) — a huge target is
+    # exactly the full corpus, a matching target equals the same static
+    # fraction (constant sampled-doc budget contract)
+    a_full = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction="auto", target_docs=10**9,
+    ).collect()[0]
+    assert tuple(a_full) == tuple(full)
+    n = docs.count()
+    a_half = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction="auto", target_docs=max(1, n // 2),
+    ).collect()[0]
+    m_half = dedup.dedup_recall_stats(
+        docs, num_hashes=12, bands=4, jaccard_threshold=0.2,
+        sample_fraction=max(1, n // 2) / n,
+    ).collect()[0]
+    assert tuple(a_half) == tuple(m_half)
+
     with pytest.raises(ValueError):
         dedup.dedup_recall_stats(docs, sample_fraction=0.0)
     with pytest.raises(ValueError):
         dedup.dedup_recall_stats(docs, sample_fraction=1.5)
+    with pytest.raises(ValueError):
+        dedup.dedup_recall_stats(
+            docs, sample_fraction="auto", target_docs=0
+        )
 
 
 def test_release_persisted_clears_all_caches(docs):
