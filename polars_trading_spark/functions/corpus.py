@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -1041,4 +1041,123 @@ def dedup_survivor_budget(
         F.round(
             F.col("surviving_tokens") / F.col("raw_tokens").cast("double"), 6
         ).alias("token_retention"),
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    *,
+    ngram: int = 3,
+    min_hits: int = 1,
+    bench_col: str = "benchmark",
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(benchmark, source) contamination report — ``decontaminate``
+    composed with the corpus-governance rollup: instead of a per-doc
+    flag against ONE benchmark, the leakage rate of every corpus source
+    against every benchmark suite, the table a data audit actually
+    publishes (cf. GPT-3 appendix C's per-eval overlap tables).
+
+    ``benchmarks`` carries one row per benchmark document with a
+    ``bench_col`` label (the suite name); a corpus document is
+    contaminated against suite ``b`` when it shares ``min_hits``+ word
+    ``ngram``-shingles with ANY document of ``b``.
+
+    Output one row per (benchmark, source) — including clean pairs:
+    ``benchmark, source, n_docs, n_contaminated, contamination_rate,
+    tokens_total, tokens_contaminated, token_leak_rate`` (token columns
+    use whitespace-token counts, the budget currency of the mix/pack
+    pipeline, so the leak rate states how much TRAINING BUDGET the
+    contaminated docs represent — doc counts understate big-doc leaks).
+
+    Scale shape (same posture as ``decontaminate``): the benchmark gram
+    set collapses to per-suite DISTINCT hashes — tiny versus any corpus
+    — broadcast onto the exploded corpus grams; one per-(doc, suite)
+    hash aggregate, one per-(suite, source) rollup, and a broadcast
+    cross of the (sources x suites) totals grid.  The corpus-side
+    tokenizer/shingle pipeline executes ONCE (token count and grams in
+    the same staged projection); the corpus never shuffles except for
+    the doc-level aggregate.
+    """
+    from polars_trading_spark.functions.dedup import shingle_hashes
+    from polars_trading_spark.functions.text import tokens
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1, got {min_hits}")
+
+    # one corpus pass: stage the token array once (CollapseProject keeps
+    # non-cheap aliases staged when referenced twice — SCALING rule 40)
+    staged = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "__id",
+        "source",
+        F.size("__toks").alias("__n_tokens"),
+        shingle_hashes(F.col("__toks"), n=ngram).alias("__sh"),
+    )
+
+    bench_set = (
+        benchmarks.select(
+            F.col(bench_col).alias("benchmark"),
+            shingle_hashes(tokens(F.col(text_col)), n=ngram).alias("__sh"),
+        )
+        .select("benchmark", F.explode("__sh").alias("g"))
+        .distinct()
+    )
+
+    exploded = staged.select(
+        "__id", "source", "__n_tokens", F.explode_outer("__sh").alias("g")
+    )
+    doc_hits = (
+        exploded.join(F.broadcast(bench_set), on="g")
+        .groupBy("benchmark", "__id", "source", "__n_tokens")
+        .agg(F.count(F.lit(1)).alias("__n_hits"))
+        .where(F.col("__n_hits") >= min_hits)
+    )
+    leak = doc_hits.groupBy("benchmark", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+        F.sum("__n_tokens").cast("long").alias("tokens_contaminated"),
+    )
+
+    totals = staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n_tokens").cast("long").alias("tokens_total"),
+    )
+    grid = totals.crossJoin(
+        F.broadcast(bench_set.select("benchmark").distinct())
+    )
+    out = grid.join(F.broadcast(leak), on=["benchmark", "source"], how="left")
+    return out.select(
+        "benchmark",
+        "source",
+        "n_docs",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.coalesce("n_contaminated", F.lit(0))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("contamination_rate"),
+        "tokens_total",
+        F.coalesce("tokens_contaminated", F.lit(0)).cast("long").alias(
+            "tokens_contaminated"
+        ),
+        F.when(
+            F.col("tokens_total") > 0,
+            F.round(
+                F.coalesce("tokens_contaminated", F.lit(0))
+                / F.col("tokens_total").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("token_leak_rate"),
     )

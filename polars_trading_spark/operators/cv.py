@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import SEQ_COL, duration_to_interval
 
-__all__ = ["cpcv_assign", "purged_kfold"]
+__all__ = ["cpcv_assign", "purged_kfold", "walk_forward"]
 
 
 def purged_kfold(
@@ -196,5 +196,104 @@ def cpcv_assign(
         "symbol",
         F.col("t0").alias(t0_col),
         "split_id",
+        role.alias("role"),
+    )
+
+
+def walk_forward(
+    events: DataFrame,
+    *,
+    n_splits: int = 4,
+    mode: str = "anchored",
+    embargo: str | None = None,
+    symbol_col: str = "symbol",
+    t0_col: str = "ts_event",
+    t1_col: str = "vertical_barrier",
+) -> DataFrame:
+    """Walk-forward evaluation splits — the out-of-sample sibling of
+    ``purged_kfold`` (which shuffles test blocks through time; walk-
+    forward only ever trains on the PAST, the deployment-faithful
+    protocol of AFML ch.11/12's WF backtests).
+
+    The per-symbol tape splits into ``n_splits + 1`` contiguous blocks
+    in ``t0`` order.  Split ``s`` (1-based) tests on block ``s + 1``:
+
+    * ``anchored`` — train on everything before the test block
+      (expanding window, blocks ``1..s``);
+    * ``rolling`` — train on block ``s`` only (fixed-width window);
+      earlier blocks get role ``unused``.
+
+    A train-candidate event whose span ``[t0, t1]`` reaches INTO the
+    test block (``t1 >= test_start``) is ``purged`` — the walk-forward
+    leak is label spans crossing the train/test boundary, the same
+    failure PurgedKFold guards K-fold against.  ``embargo`` (a duration)
+    additionally marks train events whose span ends within that gap
+    BEFORE the test block (``t1 >= test_start - embargo``) — the
+    serial-correlation buffer, applied on the train side since nothing
+    is ever trained after the test block.  Events after the test block
+    are ``future``.  Null ``t1`` extends to the symbol's series end,
+    exactly as in ``purged_kfold``.
+
+    Output one row per (event, split): ``symbol, t0, split, role`` with
+    role in {train, test, purged, embargo, future, unused}.
+
+    Distributed shape: one ``ntile`` window per symbol (the plan's only
+    corpus shuffle), block starts are a ``n_symbols x (n_splits + 1)``
+    aggregate joined back **broadcast** — the same shape as
+    ``purged_kfold``, so the assignment matrix never materializes more
+    than a projection + broadcast hash join at any scale.
+    """
+    if n_splits < 1:
+        raise ValueError(f"n_splits must be >= 1, got {n_splits}")
+    if mode not in ("anchored", "rolling"):
+        raise ValueError(f"mode must be 'anchored' or 'rolling', got {mode!r}")
+
+    t0, t1 = F.col(t0_col), F.col(t1_col)
+    order_cols = [t0_col, SEQ_COL] if SEQ_COL in events.columns else [t0_col]
+    block_w = Window.partitionBy(symbol_col).orderBy(*order_cols)
+
+    series_end = F.max(F.greatest(t0, F.coalesce(t1, t0))).over(
+        Window.partitionBy(symbol_col)
+    )
+    ev = events.select(
+        F.col(symbol_col).alias("symbol"),
+        t0.alias("t0"),
+        F.coalesce(t1, series_end).alias("t1"),
+        F.ntile(n_splits + 1).over(block_w).alias("blk"),
+    )
+
+    # one row per (symbol, split): the split's test-block start
+    splits = (
+        ev.groupBy("symbol", "blk")
+        .agg(F.min("t0").alias("test_start"))
+        .where(F.col("blk") >= 2)
+        .select(
+            "symbol",
+            (F.col("blk") - 1).cast("int").alias("split"),
+            "test_start",
+        )
+    )
+
+    j = ev.join(F.broadcast(splits), on="symbol")
+    gap_start = F.col("test_start")
+    if embargo is not None:
+        gap_start = F.col("test_start") - F.expr(
+            f"INTERVAL {duration_to_interval(embargo)}"
+        )
+    role = (
+        F.when(F.col("blk") == F.col("split") + 1, F.lit("test"))
+        .when(F.col("blk") > F.col("split") + 1, F.lit("future"))
+    )
+    if mode == "rolling":
+        role = role.when(F.col("blk") < F.col("split"), F.lit("unused"))
+    role = (
+        role.when(F.col("t1") >= F.col("test_start"), F.lit("purged"))
+        .when(F.col("t1") >= gap_start, F.lit("embargo"))
+        .otherwise(F.lit("train"))
+    )
+    return j.select(
+        "symbol",
+        F.col("t0").alias(t0_col),
+        "split",
         role.alias("role"),
     )

@@ -29,7 +29,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cointegration_fit", "ou_fit", "spread_band_backtest", "spread_zscore_signal"]
+__all__ = [
+    "cointegration_fit",
+    "ou_fit",
+    "spread_band_backtest",
+    "spread_band_backtest_net",
+    "spread_zscore_signal",
+]
 
 
 def ou_fit(
@@ -196,10 +202,13 @@ def spread_zscore_signal(
     close_col: str = "close",
     use_log: bool = True,
     coef_round_digits: int | None = 6,
+    include_coefs: bool = False,
 ) -> DataFrame:
     """Per-pair spread z-score signal and its one-bar-lagged P&L — the
     standard stateless pairs-trading backtest over every cointegrated
-    pair candidate.
+    pair candidate.  ``include_coefs`` adds the hedge ratio ``beta`` to
+    the output (consumed by the cost-aware net backtest, which prices
+    the hedge leg's share of each trade).
 
     Builds the spread ``e_t = x_a − α − β·x_b`` from the full-sample
     Engle-Granger fit (``cointegration_fit``), z-scores it against a
@@ -272,8 +281,10 @@ def spread_zscore_signal(
     prev_pos = F.lag("pos").over(order)
     dspread = F.col("spread") - F.lag("spread").over(order)
     pnl = F.when(prev_pos.isNotNull(), prev_pos * dspread)
+    extra = ["beta"] if include_coefs else []
     return j.select(
-        "sym_a", "sym_b", F.col(ts_col), "spread", "z", "pos", pnl.alias("pnl")
+        "sym_a", "sym_b", F.col(ts_col), *extra,
+        "spread", "z", "pos", pnl.alias("pnl"),
     )
 
 
@@ -288,6 +299,7 @@ def spread_band_backtest(
     close_col: str = "close",
     use_log: bool = True,
     coef_round_digits: int | None = 6,
+    include_coefs: bool = False,
 ) -> DataFrame:
     """Pairs-trading band backtest WITH entry/exit hysteresis — the rule
     desks actually run: enter short(long) the spread when z crosses
@@ -324,7 +336,12 @@ def spread_band_backtest(
         close_col=close_col,
         use_log=use_log,
         coef_round_digits=coef_round_digits,
-    ).select("sym_a", "sym_b", ts_col, "spread", "z")
+        include_coefs=include_coefs,
+    ).select(
+        "sym_a", "sym_b", ts_col,
+        *(["beta"] if include_coefs else []),
+        "spread", "z",
+    )
 
     zr = F.round(F.col("z"), 6)
     event = (
@@ -343,6 +360,7 @@ def spread_band_backtest(
         "sym_a",
         "sym_b",
         F.col(ts_col),
+        *(["beta"] if include_coefs else []),
         "spread",
         "z",
         "position",
@@ -350,4 +368,118 @@ def spread_band_backtest(
         (F.coalesce(prev_pos, F.lit(0.0)) * (F.col("spread") - prev_spread)).alias(
             "pnl"
         ),
+    )
+
+
+def spread_band_backtest_net(
+    bars: DataFrame,
+    *,
+    entry_z: float = 2.0,
+    exit_z: float = 0.5,
+    window: int = 50,
+    cs_window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    use_log: bool = True,
+    coef_round_digits: int | None = 6,
+) -> DataFrame:
+    """Cost-aware pairs band backtest: ``spread_band_backtest`` P&L NET
+    of transaction costs priced from the Corwin-Schultz spread
+    estimator — the composition a desk actually evaluates, since gross
+    band P&L is exactly the quantity spread costs eat.
+
+    Cost model (per bar, per pair): each position change trades one
+    unit of leg A and ``|beta|`` units of leg B (the hedge ratio the
+    spread is built with), each leg crossing HALF its estimated
+    relative bid-ask spread.  Spreads are the per-(symbol, bar)
+    rolling Corwin-Schultz estimates (AFML 19.4) from the SAME bars;
+    because the traded "spread" is in log-price units, a leg's relative
+    spread IS its cost in those units::
+
+        cost_t = |pos_t - pos_{t-1}| * (cs_a + |beta| * cs_b) / 2
+        net_pnl_t = pnl_t - cost_t          (pnl null -> 0 on bar one)
+
+    Null CS estimates (warmup bars) price as zero cost — the honest
+    alternative (dropping the bar) would silently skip early trades.
+    CS spreads and beta are rounded to 6 before the cost arithmetic so
+    the composed surface stays engine-reproducible (round-before-
+    combine, the same trick as the band events).
+
+    Output per (pair, ts): ``beta, spread, z, position, traded, pnl,
+    cost, net_pnl``.
+
+    Distributed shape: the band backtest's plan (pair join + two window
+    passes) plus one CS window pass over the bars and two
+    ``shuffle_hash`` lookup joins of the (symbols x bars)-sized CS
+    frame onto the (pairs x bars)-sized backtest frame — the CS side is
+    the build side (smaller by a factor of ~n_symbols/2), and the probe
+    side is never sorted.
+    """
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+
+    base = spread_band_backtest(
+        bars,
+        entry_z=entry_z,
+        exit_z=exit_z,
+        window=window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+        use_log=use_log,
+        coef_round_digits=coef_round_digits,
+        include_coefs=True,
+    )
+    cs = corwin_schultz(
+        bars,
+        window=cs_window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        high_col=high_col,
+        low_col=low_col,
+    ).select(
+        F.col(symbol_col).alias("__sym"),
+        F.col(ts_col).alias("__ts"),
+        F.round("cs_spread", 6).alias("__cs"),
+    )
+    j = base.join(
+        cs.hint("shuffle_hash").select(
+            F.col("__sym").alias("sym_a"),
+            F.col("__ts").alias(ts_col),
+            F.col("__cs").alias("__cs_a"),
+        ),
+        on=["sym_a", ts_col],
+        how="left",
+    ).join(
+        cs.hint("shuffle_hash").select(
+            F.col("__sym").alias("sym_b"),
+            F.col("__ts").alias(ts_col),
+            F.col("__cs").alias("__cs_b"),
+        ),
+        on=["sym_b", ts_col],
+        how="left",
+    )
+    order = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    turnover = F.abs(
+        F.col("position") - F.coalesce(F.lag("position").over(order), F.lit(0.0))
+    )
+    half = (
+        F.coalesce(F.col("__cs_a"), F.lit(0.0))
+        + F.abs(F.col("beta")) * F.coalesce(F.col("__cs_b"), F.lit(0.0))
+    ) / F.lit(2.0)
+    cost = turnover * half
+    return j.select(
+        "sym_a",
+        "sym_b",
+        F.col(ts_col),
+        "beta",
+        "spread",
+        "z",
+        "position",
+        "traded",
+        "pnl",
+        cost.alias("cost"),
+        (F.coalesce(F.col("pnl"), F.lit(0.0)) - cost).alias("net_pnl"),
     )

@@ -991,3 +991,82 @@ def q_dedup_survivor_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "surviving_tokens",
         (F.round("token_retention", 6) + z0).alias("token_retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Per-(benchmark, source) contamination report
+# (functions/corpus.py::contamination_report) — decontaminate composed
+# with the corpus-governance rollup: leakage rates of every source
+# against every benchmark suite, doc- and token-weighted.
+# --------------------------------------------------------------------------
+
+_CR_NGRAM = 3
+_CR_MIN_HITS = 1
+
+
+@register(
+    "contamination_report",
+    f"""
+WITH {_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_CR_NGRAM)},
+bench AS (
+  SELECT 'bench_a' AS benchmark, sh FROM sh WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT 'bench_b' AS benchmark, sh FROM sh WHERE doc_id % 20 = 7
+),
+bset AS (SELECT DISTINCT benchmark, unnest(sh) AS g FROM bench),
+grams AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+docmeta AS (SELECT doc_id, source, len(toks) AS n_tokens FROM tok),
+hits AS (
+  SELECT b.benchmark, g.doc_id, count(*) AS n_hits
+  FROM grams g JOIN bset b USING (g)
+  GROUP BY b.benchmark, g.doc_id
+),
+contaminated AS (
+  SELECT h.benchmark, d.source,
+    CAST(count(*) AS BIGINT) AS n_contaminated,
+    CAST(sum(d.n_tokens) AS BIGINT) AS tokens_contaminated
+  FROM hits h JOIN docmeta d USING (doc_id)
+  WHERE h.n_hits >= {_CR_MIN_HITS}
+  GROUP BY h.benchmark, d.source
+),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+  FROM docmeta GROUP BY source
+),
+grid AS (
+  SELECT b.benchmark, t.source, t.n_docs, t.tokens_total
+  FROM (SELECT DISTINCT benchmark FROM bset) b, totals t
+)
+SELECT g.benchmark, g.source, g.n_docs,
+  CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  round(coalesce(c.n_contaminated, 0) / CAST(g.n_docs AS DOUBLE), 6)
+    AS contamination_rate,
+  g.tokens_total,
+  CAST(coalesce(c.tokens_contaminated, 0) AS BIGINT) AS tokens_contaminated,
+  CASE WHEN g.tokens_total > 0
+       THEN round(coalesce(c.tokens_contaminated, 0)
+                  / CAST(g.tokens_total AS DOUBLE), 6)
+       ELSE 0.0 END AS token_leak_rate
+FROM grid g LEFT JOIN contaminated c USING (benchmark, source)
+""",
+    f"Per-(benchmark, source) contamination report: {_CR_NGRAM}-gram "
+    "shingle leakage of every corpus source against two benchmark "
+    "suites (doc_id % 20 = 0 / 7), doc- and token-budget-weighted "
+    "(the per-eval overlap table of GPT-3 appx C, rolled up by source)",
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bench = (
+        docs.where(F.col("doc_id") % 20 == 0)
+        .withColumn("benchmark", F.lit("bench_a"))
+        .unionByName(
+            docs.where(F.col("doc_id") % 20 == 7).withColumn(
+                "benchmark", F.lit("bench_b")
+            )
+        )
+    )
+    return corpus_ops.contamination_report(
+        docs, bench, ngram=_CR_NGRAM, min_hits=_CR_MIN_HITS
+    )

@@ -894,3 +894,93 @@ def q_sequential_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SEQ_COL,
     )
     return sequential_bootstrap(ev, n_draws=_SB_DRAWS)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Walk-forward evaluation splits (operators/cv.py::
+# walk_forward) — the train-on-the-past sibling of purged_kfold:
+# anchored (expanding) and rolling (fixed-width) train windows, span
+# purging at the train/test boundary, pre-test embargo gap.
+# --------------------------------------------------------------------------
+
+_WF_SPLITS = 4
+
+_WF_EMBARGO = "30m"
+
+
+def _walk_forward_oracle(mode: str) -> str:
+    unused = (
+        "WHEN blk < split THEN 'unused'\n       " if mode == "rolling" else ""
+    )
+    return f"""
+WITH trades AS ({TRADES_CTE}),
+offs AS (
+  SELECT symbol, ts_event, ts_event + INTERVAL 4 HOURS AS off FROM trades
+),
+barrier_events AS (
+  SELECT o.symbol, o.ts_event, b.vertical_barrier
+  FROM offs o
+  ASOF LEFT JOIN (SELECT symbol, ts_event AS vertical_barrier FROM trades) b
+    ON o.symbol = b.symbol AND o.off <= b.vertical_barrier
+),
+ev AS (
+  SELECT symbol, ts_event AS t0,
+    coalesce(vertical_barrier,
+             max(greatest(ts_event, coalesce(vertical_barrier, ts_event)))
+               OVER (PARTITION BY symbol)) AS t1,
+    ntile({_WF_SPLITS + 1}) OVER (PARTITION BY symbol ORDER BY ts_event) AS blk
+  FROM barrier_events
+),
+splits AS (
+  SELECT symbol, CAST(blk - 1 AS INTEGER) AS split, min(t0) AS test_start
+  FROM ev WHERE blk >= 2 GROUP BY symbol, blk
+)
+SELECT e.symbol, e.t0 AS ts_event, s.split,
+  CASE WHEN blk = split + 1 THEN 'test'
+       WHEN blk > split + 1 THEN 'future'
+       {unused}WHEN t1 >= test_start THEN 'purged'
+       WHEN t1 >= test_start - INTERVAL 30 MINUTES THEN 'embargo'
+       ELSE 'train' END AS role
+FROM ev e JOIN splits s ON e.symbol = s.symbol
+"""
+
+
+@register(
+    "walk_forward",
+    _walk_forward_oracle("anchored"),
+    f"Anchored walk-forward splits: {_WF_SPLITS} expanding train windows "
+    f"over 4h-barrier events, span purging at the test boundary and a "
+    f"{_WF_EMBARGO} pre-test embargo gap (deployment-faithful WF backtest "
+    "protocol, AFML ch.11-12)",
+)
+def q_walk_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cv import walk_forward
+
+    with _trades_config():
+        events = dyn_ops.get_vertical_barrier_by_timedelta(
+            trades_from_events(spark, sf_dir), BARRIER_OFFSET
+        )
+        out = walk_forward(
+            events, n_splits=_WF_SPLITS, mode="anchored", embargo=_WF_EMBARGO
+        )
+    return out
+
+
+@register(
+    "walk_forward_rolling",
+    _walk_forward_oracle("rolling"),
+    f"Rolling walk-forward splits: {_WF_SPLITS} fixed-width train windows "
+    "(one block each; earlier blocks 'unused'), same purge + embargo as "
+    "the anchored variant",
+)
+def q_walk_forward_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cv import walk_forward
+
+    with _trades_config():
+        events = dyn_ops.get_vertical_barrier_by_timedelta(
+            trades_from_events(spark, sf_dir), BARRIER_OFFSET
+        )
+        out = walk_forward(
+            events, n_splits=_WF_SPLITS, mode="rolling", embargo=_WF_EMBARGO
+        )
+    return out

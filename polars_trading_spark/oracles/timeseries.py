@@ -966,11 +966,10 @@ def q_kalman_hedge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SB_W, _SB_ENTRY, _SB_EXIT = 50, 2.0, 0.5
 
-
-@register(
-    "spread_band_backtest",
-    f"""
-WITH
+# Shared CTE chain (bars -> pair spread -> rolling z -> hysteresis
+# position) reused by spread_band_backtest and its cost-aware net
+# variant below.
+_SB_CTES = f"""
 {_FEATURE_BARS_CTE},
 r AS (SELECT symbol, ts, ln(close) AS x FROM bars),
 p AS (
@@ -1026,7 +1025,14 @@ pos AS (
       PARTITION BY sym_a, sym_b ORDER BY ts
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS position
   FROM ev
-),
+)"""
+
+
+@register(
+    "spread_band_backtest",
+    f"""
+WITH
+{_SB_CTES},
 fin AS (
   SELECT sym_a, sym_b, ts, spread, z, position,
     coalesce(lag(position) OVER w2, 0.0) <> position AS traded,
@@ -1066,4 +1072,108 @@ def q_spread_band_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("position") + z0).alias("position"),
         F.col("traded").cast("int").alias("traded"),
         (F.round("pnl", 6) + z0).alias("pnl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Cost-aware pairs band backtest (operators/
+# mean_reversion.py::spread_band_backtest_net): the band P&L net of
+# transaction costs priced from the rolling Corwin-Schultz spread
+# estimator over the SAME bars — one unit of leg A plus |beta| units of
+# the hedge leg, each crossing half its estimated relative spread.
+# Constants duplicated from the microstructure oracle (importing that
+# module here would reorder the pinned registration manifest).
+# --------------------------------------------------------------------------
+
+_SBN_CS_W = 20
+_SBN_DEN = 3.0 - 2.0 * (2.0**0.5)
+_SBN_C1 = 2.0**0.5 - 1.0
+
+
+@register(
+    "spread_band_backtest_net",
+    f"""
+WITH
+{_SB_CTES},
+cs_terms AS (
+  SELECT symbol, ts,
+    pow(ln(high / low), 2) + lag(pow(ln(high / low), 2)) OVER w AS tb,
+    pow(ln(greatest(high, lag(high) OVER w) / least(low, lag(low) OVER w)), 2) AS gm
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+cs_rolled AS (
+  SELECT symbol, ts, gm,
+    count(tb) OVER rw AS n_tb,
+    avg(tb) OVER rw AS cs_beta
+  FROM cs_terms
+  WINDOW rw AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN {_SBN_CS_W - 1} PRECEDING AND CURRENT ROW)
+),
+cs AS (
+  SELECT symbol, ts,
+    round((2.0 * (exp(a) - 1.0)) / (1.0 + exp(a)), 6) AS csd
+  FROM (
+    SELECT symbol, ts,
+      CASE WHEN n_tb = {_SBN_CS_W} AND gm IS NOT NULL THEN
+        greatest((({_SBN_C1!r} * sqrt(cs_beta)) / {_SBN_DEN!r})
+                 - sqrt(gm / {_SBN_DEN!r}), 0.0)
+      END AS a
+    FROM cs_rolled
+  )
+),
+fin AS (
+  SELECT f.sym_a, f.sym_b, f.ts, c2.beta, f.spread, f.z, f.position,
+    coalesce(lag(f.position) OVER w2, 0.0) <> f.position AS traded,
+    coalesce(lag(f.position) OVER w2, 0.0)
+      * (f.spread - lag(f.spread) OVER w2) AS pnl,
+    abs(f.position - coalesce(lag(f.position) OVER w2, 0.0))
+      * (coalesce(ca.csd, 0.0) + abs(c2.beta) * coalesce(cb.csd, 0.0))
+      / 2.0 AS cost
+  FROM pos f
+  JOIN cf2 c2 USING (sym_a, sym_b)
+  LEFT JOIN cs ca ON f.sym_a = ca.symbol AND f.ts = ca.ts
+  LEFT JOIN cs cb ON f.sym_b = cb.symbol AND f.ts = cb.ts
+  WINDOW w2 AS (PARTITION BY f.sym_a, f.sym_b ORDER BY f.ts)
+)
+SELECT sym_a, sym_b, ts,
+  beta + 0 AS beta,
+  round(spread, 6) + 0 AS spread,
+  round(z, 6) + 0 AS z,
+  position + 0 AS position,
+  CAST(traded AS INTEGER) AS traded,
+  round(pnl, 6) + 0 AS pnl,
+  round(cost, 6) + 0 AS cost,
+  round(coalesce(pnl, 0.0) - cost, 6) + 0 AS net_pnl
+FROM fin
+""",
+    f"Cost-aware pairs band backtest: hysteresis band P&L net of "
+    f"Corwin-Schultz spread costs ({_SBN_CS_W}-bar estimator, half-"
+    "spread per leg, hedge leg weighted by |beta|) — gross-vs-net is "
+    "the composition a desk actually evaluates",
+)
+def q_spread_band_backtest_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import (
+        spread_band_backtest_net,
+    )
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = spread_band_backtest_net(
+        bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
+        cs_window=_SBN_CS_W, ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        F.col("ts_event").alias("ts"),
+        (F.col("beta") + z0).alias("beta"),
+        (F.round("spread", 6) + z0).alias("spread"),
+        (F.round("z", 6) + z0).alias("z"),
+        (F.col("position") + z0).alias("position"),
+        F.col("traded").cast("int").alias("traded"),
+        (F.round("pnl", 6) + z0).alias("pnl"),
+        (F.round("cost", 6) + z0).alias("cost"),
+        (F.round("net_pnl", 6) + z0).alias("net_pnl"),
     )

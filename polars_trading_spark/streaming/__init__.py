@@ -93,3 +93,6 @@ __all__.append("streaming_donchian")
 from polars_trading_spark.streaming.quality import streaming_hampel  # noqa: E402
 
 __all__.append("streaming_hampel")
+from polars_trading_spark.streaming.spread import streaming_spread_band  # noqa: E402
+
+__all__.append("streaming_spread_band")

@@ -215,3 +215,98 @@ def test_cpcv_validation(spark, events_pdf):
         cpcv_assign(sdf, n_groups=1)
     with pytest.raises(ValueError):
         cpcv_assign(sdf, n_groups=4, k_test=4)
+
+
+# ----------------------------------------------------------------------
+# walk_forward (round 9): the train-on-the-past sibling of purged_kfold
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def wf_anchored(spark, events_pdf):
+    from polars_trading_spark.operators.cv import walk_forward
+
+    return walk_forward(
+        spark.createDataFrame(events_pdf), n_splits=3, embargo=EMBARGO
+    ).toPandas()
+
+
+@pytest.fixture(scope="module")
+def wf_rolling(spark, events_pdf):
+    from polars_trading_spark.operators.cv import walk_forward
+
+    return walk_forward(
+        spark.createDataFrame(events_pdf),
+        n_splits=3,
+        mode="rolling",
+        embargo=EMBARGO,
+    ).toPandas()
+
+
+def test_walk_forward_shape_and_role_domain(wf_anchored, events_pdf):
+    assert len(wf_anchored) == 3 * len(events_pdf)
+    assert set(wf_anchored.role) <= {
+        "train", "test", "purged", "embargo", "future",
+    }
+    # every (event, split) appears exactly once
+    per = wf_anchored.groupby(["symbol", "ts_event"]).size()
+    assert (per == 3).all()
+
+
+def test_walk_forward_trains_only_on_the_past(wf_anchored):
+    # in every split, every non-future role starts strictly before every
+    # test event of the same symbol (train/purged/embargo precede test)
+    for (sym, split), g in wf_anchored.groupby(["symbol", "split"]):
+        test_start = g.loc[g.role == "test", "ts_event"].min()
+        past = g[g.role.isin(["train", "purged", "embargo"])]
+        assert (past.ts_event < test_start).all(), (sym, split)
+        fut = g[g.role == "future"]
+        if len(fut):
+            test_end = g.loc[g.role == "test", "ts_event"].max()
+            assert (fut.ts_event > test_end).all(), (sym, split)
+
+
+def test_walk_forward_purge_and_embargo_guard_the_boundary(
+    wf_anchored, events_pdf, spark
+):
+    # reconstruct spans; any train row must END before the embargo gap
+    ev = events_pdf.copy()
+    end = ev.groupby("symbol")["vertical_barrier"].transform(
+        lambda s: s.fillna(s.max())
+    )
+    ev = ev.assign(t1=ev.vertical_barrier.fillna(end))
+    spans = ev.set_index(["symbol", "ts_event"]).t1
+    for (sym, split), g in wf_anchored.groupby(["symbol", "split"]):
+        test_start = g.loc[g.role == "test", "ts_event"].min()
+        gap = test_start - pd.Timedelta(EMBARGO.replace("m", "min"))
+        for _, row in g[g.role == "train"].iterrows():
+            assert spans[(sym, row.ts_event)] < gap, (sym, split, row.ts_event)
+        for _, row in g[g.role == "purged"].iterrows():
+            assert spans[(sym, row.ts_event)] >= test_start
+        for _, row in g[g.role == "embargo"].iterrows():
+            t1 = spans[(sym, row.ts_event)]
+            assert gap <= t1 < test_start
+
+
+def test_walk_forward_rolling_unused_blocks(wf_rolling, wf_anchored):
+    assert "unused" in set(wf_rolling.role)
+    # rolling demotes SOME anchored train rows to unused, never the
+    # reverse, and the per-(event, split) role otherwise agrees
+    key = ["symbol", "ts_event", "split"]
+    m = wf_anchored.merge(wf_rolling, on=key, suffixes=("_a", "_r"))
+    assert len(m) == len(wf_anchored)
+    changed = m[m.role_a != m.role_r]
+    assert (changed.role_r == "unused").all()
+    # only past-of-train-window rows are demoted (train, or purged/
+    # embargo spans that originated in those early blocks)
+    assert changed.role_a.isin(["train", "purged", "embargo"]).all()
+
+
+def test_walk_forward_validation(spark, events_pdf):
+    from polars_trading_spark.operators.cv import walk_forward
+
+    df = spark.createDataFrame(events_pdf)
+    with pytest.raises(ValueError):
+        walk_forward(df, n_splits=0)
+    with pytest.raises(ValueError):
+        walk_forward(df, mode="sliding")

@@ -205,3 +205,64 @@ def test_decontaminate_validation(spark, contamination_pdf):
         decontaminate(c, b, ngram=0)
     with pytest.raises(ValueError):
         decontaminate(c, b, min_hits=0)
+
+
+def test_contamination_report_hand_computed(spark, contamination_pdf):
+    """Round-9 rollup: per-(benchmark, source) leakage, hand-checked —
+    suite_fox contaminates only src_x (doc 1 partial + nothing else);
+    suite_hamlet catches the verbatim copy in src_y; clean pairs emit
+    zero rows with full totals; token leak weights by doc token count."""
+    from polars_trading_spark.functions.corpus import contamination_report
+
+    corpus, bench = contamination_pdf
+    corpus = corpus.assign(source=["src_x", "src_y", "src_y", "src_x"])
+    bench = bench.assign(benchmark=["suite_fox", "suite_hamlet"])
+    out = (
+        contamination_report(
+            spark.createDataFrame(corpus),
+            spark.createDataFrame(bench),
+            ngram=3,
+        )
+        .toPandas()
+        .set_index(["benchmark", "source"])
+        .sort_index()
+    )
+    # full grid: 2 suites x 2 sources, including clean combinations
+    assert len(out) == 4
+    toks = corpus.text.str.split().str.len()
+    for src, n in (("src_x", 2), ("src_y", 2)):
+        for suite in ("suite_fox", "suite_hamlet"):
+            r = out.loc[(suite, src)]
+            assert r.n_docs == n
+            assert r.tokens_total == toks[corpus.source == src].sum()
+    fox_x = out.loc[("suite_fox", "src_x")]
+    assert fox_x.n_contaminated == 1  # doc 1 only
+    assert fox_x.contamination_rate == 0.5
+    assert fox_x.tokens_contaminated == toks[0]
+    ham_y = out.loc[("suite_hamlet", "src_y")]
+    assert ham_y.n_contaminated == 1  # the verbatim copy (doc 2)
+    assert ham_y.tokens_contaminated == toks[1]
+    assert out.loc[("suite_fox", "src_y")].n_contaminated == 0
+    assert out.loc[("suite_fox", "src_y")].token_leak_rate == 0.0
+    assert out.loc[("suite_hamlet", "src_x")].n_contaminated == 0
+
+
+def test_contamination_report_broadcast_plan_and_validation(
+    spark, contamination_pdf
+):
+    from polars_trading_spark.functions.corpus import contamination_report
+
+    corpus, bench = contamination_pdf
+    c = spark.createDataFrame(corpus.assign(source="s"))
+    b = spark.createDataFrame(bench.assign(benchmark="x"))
+    plan = (
+        contamination_report(c, b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    with pytest.raises(ValueError):
+        contamination_report(c, b, ngram=0)
+    with pytest.raises(ValueError):
+        contamination_report(c, b, min_hits=0)

@@ -338,3 +338,72 @@ def test_spread_band_backtest_hysteresis_properties(spark):
         r["position"] != 0.0 and r["z"] is not None and 0.5 < abs(round(r["z"], 6)) < 2.0
         for r in out
     )
+
+
+def test_spread_band_backtest_net_cost_invariants(spark):
+    """Round-9 cost-aware variant: gross columns equal the plain band
+    backtest; cost = |position change| x (cs_a + |beta| * cs_b)/2 with
+    Corwin-Schultz half-spreads (0 where nothing traded, 0 in the CS
+    warmup); net_pnl = coalesce(pnl, 0) - cost."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.mean_reversion import (
+        spread_band_backtest,
+        spread_band_backtest_net,
+    )
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+
+    base = dt.datetime(2024, 1, 2)
+    rows = []
+    rng = np.random.RandomState(7)
+    n = 400
+    for i in range(n):
+        ts = base + dt.timedelta(minutes=15 * i)
+        osc = 0.06 * np.sin(i / 17.0) + 0.002 * rng.normal()
+        ca = float(100.0 * np.exp(osc))
+        cb = float(50.0 * np.exp(0.0005 * i))
+        # highs/lows around the close so Corwin-Schultz has real ranges
+        rows.append(("A", ts, ca, ca * 1.004, ca * 0.996))
+        rows.append(("B", ts, cb, cb * 1.002, cb * 0.998))
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    kw = dict(entry_z=2.0, exit_z=0.5, window=50, ts_col="ts_event")
+    gross = {
+        (r["sym_a"], r["sym_b"], r["ts_event"]): r
+        for r in spread_band_backtest(bars, **kw).collect()
+    }
+    cs = {
+        (r["symbol"], r["ts_event"]): (
+            round(r["cs_spread"], 6) if r["cs_spread"] is not None else None
+        )
+        for r in corwin_schultz(bars, window=20, ts_col="ts_event").collect()
+    }
+    out = sorted(
+        spread_band_backtest_net(bars, cs_window=20, **kw).collect(),
+        key=lambda r: (r["sym_a"], r["sym_b"], r["ts_event"]),
+    )
+    assert len(out) == len(gross)
+    n_costly = 0
+    prev_pos = 0.0
+    for r in out:
+        g = gross[(r["sym_a"], r["sym_b"], r["ts_event"])]
+        for col in ("spread", "z", "position", "traded", "pnl"):
+            assert r[col] == g[col], (col, r, g)
+        turn = abs(r["position"] - prev_pos)
+        csa = cs.get(("A", r["ts_event"])) or 0.0
+        csb = cs.get(("B", r["ts_event"])) or 0.0
+        want = turn * (csa + abs(r["beta"]) * csb) / 2.0
+        assert r["cost"] == pytest.approx(want, abs=1e-12), r
+        assert r["cost"] >= 0.0
+        if not r["traded"]:
+            assert r["cost"] == 0.0
+        elif want > 0:
+            n_costly += 1
+        want_net = (r["pnl"] if r["pnl"] is not None else 0.0) - r["cost"]
+        assert r["net_pnl"] == pytest.approx(want_net, abs=1e-12)
+        prev_pos = r["position"]
+    assert n_costly > 5  # the tape actually charges real costs

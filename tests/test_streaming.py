@@ -2049,3 +2049,114 @@ def test_streaming_hampel_matches_batch_minus_lookahead(spark):
         shutil.rmtree(d, ignore_errors=True)
         for active in spark.streams.active:
             active.stop()
+
+
+def test_streaming_spread_band_matches_batch_across_batches(spark):
+    """Round-9 twin: the hysteresis band rule streamed against
+    pre-fitted coefficients equals the batch spread_band_backtest on
+    the same bars — positions/trades exactly, floats to 1e-9 — with
+    state (pending legs, spread ring, carried position) crossing a
+    three-file replay."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.mean_reversion import (
+        cointegration_fit,
+        spread_band_backtest,
+    )
+    from polars_trading_spark.streaming import streaming_spread_band
+
+    rng = np.random.default_rng(41)
+    bar_schema = "symbol string, ts_event timestamp, close double"
+    rows = []
+    base = {"A": 100.0, "B": 80.0, "C": 55.0}
+    drift = {"A": 0.0, "B": 0.0, "C": 0.0002}
+    t = dt.datetime(2022, 3, 1, 9, 30)
+    common = rng.normal(0.0, 0.008, size=300)
+    for i in range(300):
+        t = t + dt.timedelta(minutes=5)
+        for sym in ("A", "B", "C"):
+            base[sym] = max(
+                1.0,
+                base[sym]
+                * float(
+                    np.exp(
+                        drift[sym]
+                        + 0.7 * common[i]
+                        + rng.normal(0.0, 0.004)
+                    )
+                ),
+            )
+            rows.append((sym, t, base[sym]))
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts_event", "close"])
+    bars = spark.createDataFrame(pdf, bar_schema)
+
+    kw = dict(entry_z=1.5, exit_z=0.5, window=40)
+    batch = (
+        spread_band_backtest(bars, ts_col="ts_event", **kw)
+        .toPandas()
+        .set_index(["sym_a", "sym_b", "ts_event"])
+        .sort_index()
+    )
+    coefs = cointegration_fit(bars, ts_col="ts_event").select(
+        "sym_a", "sym_b",
+        F.round("alpha", 6).alias("alpha"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+    d = tempfile.mkdtemp(prefix="pts_band_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], bar_schema).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(bar_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_spread_band(stream, coefs, **kw)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .set_index(["sym_a", "sym_b", "ts_event"])
+            .sort_index()
+        )
+        assert len(got) == len(batch)
+        assert (got.index == batch.index).all()
+        # hysteresis state (position/traded) exactly; floats to 1e-9
+        assert (got.position == batch.position).all()
+        assert (got.traded == batch.traded).all()
+        np.testing.assert_allclose(got.spread, batch.spread, rtol=1e-9)
+        z_both = got.z.notna() & batch.z.notna()
+        assert (got.z.isna() == batch.z.isna()).all()
+        np.testing.assert_allclose(
+            got.z[z_both], batch.z[z_both], rtol=1e-7
+        )
+        p_both = got.pnl.notna() & batch.pnl.notna()
+        assert (got.pnl.isna() == batch.pnl.isna()).all()
+        np.testing.assert_allclose(
+            got.pnl[p_both], batch.pnl[p_both], rtol=1e-9, atol=1e-15
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_spread_band_validation(spark):
+    from polars_trading_spark.streaming import streaming_spread_band
+
+    coefs = spark.createDataFrame(
+        [("A", "B", 0.1, 1.0)], "sym_a string, sym_b string, alpha double, beta double"
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError):
+        streaming_spread_band(stream, coefs, entry_z=1.0, exit_z=1.5)
+    with pytest.raises(ValueError):
+        streaming_spread_band(stream, coefs, window=1)
