@@ -201,6 +201,12 @@ HEADLINE = [
     "spread_band_backtest",
     "embedding_drift",
     "dedup_recall_curve",
+    # round 9
+    "walk_forward",
+    "walk_forward_rolling",
+    "spread_band_backtest_net",
+    "contamination_report",
+    "multimodal_jpeg_color_decode",
 ]
 
 
