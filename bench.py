@@ -207,6 +207,8 @@ HEADLINE = [
     "spread_band_backtest_net",
     "contamination_report",
     "multimodal_jpeg_color_decode",
+    "rank_portfolio_net",
+    "lsh_power_curve",
 ]
 
 

@@ -50,6 +50,9 @@ __all__ = [
     "connected_components",
     "cluster_representatives",
     "unit_dedup",
+    "dedup_recall_stats",
+    "dedup_recall_curve",
+    "lsh_power_curve",
 ]
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -1069,5 +1072,151 @@ def dedup_recall_curve(
                 )
                 + F.lit(0.0),
             ).alias("recall"),
+        )
+    )
+
+
+def _pow_chain(x, n: int, mul):
+    """Fixed-order binary-exponentiation product: x**n as the SAME
+    multiplication sequence on any backend (LSB-first squarings,
+    ascending set bits) — so a Spark Column chain and the SQL oracle's
+    string chain evaluate bit-identical doubles, unlike pow()."""
+    if n < 1:
+        raise ValueError(f"exponent must be >= 1, got {n}")
+    result = None
+    sq = x
+    while n:
+        if n & 1:
+            result = sq if result is None else mul(result, sq)
+        n >>= 1
+        if n:
+            sq = mul(sq, sq)
+    return result
+
+
+def lsh_power_curve(
+    docs: DataFrame,
+    *,
+    thresholds: tuple = (0.2, 0.3, 0.4, 0.5),
+    ngram: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    sample_fraction: float | str | None = "auto",
+    target_docs: int = 2500,
+    salt: str = "pts-recall",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Theory-vs-practice banding diagnostic: the analytic LSH S-curve
+    ``p(j) = 1 - (1 - j^r)^b`` (r = num_hashes/bands rows per band)
+    EVALUATED ON THE ACTUAL PAIR POPULATION against the measured
+    banding hits — the tuning companion of ``dedup_recall_curve``.
+    A measured recall far below the expected one indicates broken
+    signatures/banding, not an unlucky corpus; expected-vs-actual per
+    threshold is exactly the evidence a bands/rows sweep needs.
+
+    Per threshold ``t``: ``n_exact`` pairs with exact shingle-Jaccard
+    >= t, ``expected_hits`` = sum of p(j) over those pairs (the mean of
+    independent per-pair banding-survival Bernoullis), ``n_hit`` =
+    pairs the banding actually surfaced, plus both recalls.
+
+    Engine-portable float discipline: ``p(j)`` is built from ``j`` (an
+    exact small-integer ratio) with a FIXED-ORDER binary-exponentiation
+    multiplication chain (never ``pow``, which is not correctly
+    rounded), and the per-threshold sum of p(j) folds as an ORDERED
+    running window over (id_a, id_b) read at its last row — the
+    SCALING float-association rule.
+
+    Same sampling contract as ``dedup_recall_stats``.  One candidate-
+    generation pass at min(thresholds) for the whole curve.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    ts = sorted(set(float(t) for t in thresholds))
+    if not ts or ts[0] <= 0 or ts[-1] > 1:
+        raise ValueError(f"thresholds must be in (0, 1], got {thresholds}")
+    r = num_hashes // bands
+    base = _recall_sample(docs, sample_fraction, target_docs, salt, id_col)
+
+    t0 = ts[0]
+    exact = persist_tracked(
+        ngram_jaccard_pairs(
+            base, text_col, id_col, ngram=ngram, threshold=t0, block_cols=()
+        ).select("id_a", "id_b", F.col("jaccard").alias("__j"))
+    )
+    lsh = persist_tracked(
+        minhash_lsh_pairs(
+            base, text_col, id_col,
+            ngram=ngram, num_hashes=num_hashes, bands=bands,
+            jaccard_threshold=t0,
+        ).select("id_a", "id_b")
+    )
+
+    mul = lambda a, b: a * b  # noqa: E731
+    jr = _pow_chain(F.col("__j"), r, mul)
+    p = F.lit(1.0) - _pow_chain(F.lit(1.0) - jr, bands, mul)
+    spark = docs.sparkSession
+    tf = spark.createDataFrame([(t,) for t in ts], "threshold double")
+
+    fanned = (
+        exact.withColumn("__p", p)
+        .crossJoin(F.broadcast(tf))
+        .where(F.round("__j", 9) >= F.round("threshold", 9))
+    )
+    w = Window.partitionBy("threshold").orderBy("id_a", "id_b")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e = (
+        fanned.select(
+            "threshold",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(full).alias("__cnt"),
+            F.sum("__p").over(run).alias("__psum"),
+        )
+        .where(F.col("__rn") == F.col("__cnt"))
+        .select(
+            "threshold",
+            F.col("__cnt").cast("long").alias("n_exact"),
+            F.col("__psum").alias("__expected"),
+        )
+    )
+    h = (
+        exact.join(lsh, ["id_a", "id_b"])
+        .crossJoin(F.broadcast(tf))
+        .where(F.round("__j", 9) >= F.round("threshold", 9))
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    z0 = F.lit(0.0)
+    return (
+        tf.join(e, "threshold", "left")
+        .join(h, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.round(F.coalesce("__expected", F.lit(0.0)), 6) + z0).alias(
+                "expected_hits"
+            ),
+            F.when(
+                F.coalesce("n_exact", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("n_hit", F.lit(0))
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+                + z0,
+            ).alias("recall"),
+            F.when(
+                F.coalesce("n_exact", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("__expected", F.lit(0.0))
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+                + z0,
+            ).alias("expected_recall"),
         )
     )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cross_sectional_zscore", "fama_macbeth",
-    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "portfolio_capacity", "rank_ic", "rank_portfolio_backtest", "rolling_beta", "rolling_pair_correlation"]
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "portfolio_capacity", "rank_ic", "rank_portfolio_backtest", "rank_portfolio_backtest_net", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -298,37 +298,21 @@ def cross_sectional_zscore(
     )
 
 
-def rank_portfolio_backtest(
+def _rank_members(
     bars: DataFrame,
     *,
-    lookback: int = 5,
-    top_n: int = 1,
-    symbol_col: str = "symbol",
-    ts_col: str = "ts_event_start",
-    close_col: str = "close",
+    lookback: int,
+    top_n: int,
+    symbol_col: str,
+    ts_col: str,
+    close_col: str,
 ) -> DataFrame:
-    """Cross-sectional momentum portfolio: long the ``top_n`` strongest
-    trailing-momentum names, short the ``top_n`` weakest, equal weight,
-    rebalanced every bar — the canonical factor backtest built entirely
-    from window algebra (momentum → rank → weights → next-bar P&L →
-    turnover).
-
-    Per bucket t the portfolio formed at t earns each member's log
-    return over (t, t+1] — a no-lookahead convention enforced with
-    ``lead``.  Output per bucket: ``n_long, n_short, pnl`` (mean long
-    return − mean short return) and ``turnover`` (fraction of the
-    previous bucket's membership replaced, long and short books
-    combined; null on the first formed bucket).
-
-    Shape: symbol-window momentum, bucket-window ranks, one bucket
-    aggregate for P&L, and membership turnover via a self-join of the
-    (tiny) per-bucket membership sets on consecutive bucket indexes.
-    The membership frame is persisted (tracked): it has only
-    ``2 * top_n`` rows per bucket but FOUR downstream consumers (P&L,
-    bucket lag, and both sides of the turnover self-join) — unpersisted,
-    each consumer re-executes the full input scan + momentum windows
-    (measured ~4x the single-pass wall at sf0.1, round 8).
-    """
+    """Momentum-book membership shared by ``rank_portfolio_backtest``
+    and its cost-aware net variant: one row per (bucket, member) with
+    ``__side`` (+1 long / -1 short) and ``__fwd`` (next-bar log return).
+    Persisted (tracked) — it has only ``2 * top_n`` rows per bucket but
+    multiple downstream consumers (P&L, bucket lag, both sides of the
+    turnover self-join, and the net variant's trade sets)."""
     if lookback < 1:
         raise ValueError(f"lookback must be >= 1, got {lookback}")
     if top_n < 1:
@@ -364,8 +348,49 @@ def rank_portfolio_backtest(
     )
     from polars_trading_spark._utils import persist_tracked
 
-    members = persist_tracked(
+    return persist_tracked(
         m.withColumn("__side", side).where(F.col("__side") != 0)
+    )
+
+
+def rank_portfolio_backtest(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    top_n: int = 1,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Cross-sectional momentum portfolio: long the ``top_n`` strongest
+    trailing-momentum names, short the ``top_n`` weakest, equal weight,
+    rebalanced every bar — the canonical factor backtest built entirely
+    from window algebra (momentum → rank → weights → next-bar P&L →
+    turnover).
+
+    Per bucket t the portfolio formed at t earns each member's log
+    return over (t, t+1] — a no-lookahead convention enforced with
+    ``lead``.  Output per bucket: ``n_long, n_short, pnl`` (mean long
+    return − mean short return) and ``turnover`` (fraction of the
+    previous bucket's membership replaced, long and short books
+    combined; null on the first formed bucket).
+
+    Shape: symbol-window momentum, bucket-window ranks, one bucket
+    aggregate for P&L, and membership turnover via a self-join of the
+    (tiny) per-bucket membership sets on consecutive bucket indexes.
+    The membership frame is persisted (tracked): it has only
+    ``2 * top_n`` rows per bucket but FOUR downstream consumers (P&L,
+    bucket lag, and both sides of the turnover self-join) — unpersisted,
+    each consumer re-executes the full input scan + momentum windows
+    (measured ~4x the single-pass wall at sf0.1, round 8).
+    """
+    members = _rank_members(
+        bars,
+        lookback=lookback,
+        top_n=top_n,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
     )
 
     pnl = members.groupBy(ts_col).agg(
@@ -415,6 +440,182 @@ def rank_portfolio_backtest(
     to = kept.select(F.col(ts_col), turn.alias("turnover"))
     return pnl.join(to, ts_col).select(
         ts_col, "n_long", "n_short", "pnl", "turnover"
+    )
+
+
+def rank_portfolio_backtest_net(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    top_n: int = 1,
+    cs_window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """Cost-aware cross-sectional momentum backtest:
+    ``rank_portfolio_backtest`` P&L NET of rebalancing costs priced
+    from the rolling Corwin-Schultz spread estimator — turnover is the
+    factor backtest's cost driver, and this states it in return units.
+
+    Cost model: every membership change at bucket ``t`` (an entry OR an
+    exit of a (symbol, side) slot; a side flip is both) trades one book
+    slot of notional ``1 / top_n``, crossing HALF that symbol's
+    estimated relative spread at the rebalance bar.  Per-trade
+    half-spreads are quantized to 1e-6 ("micro-spread" integers) and
+    SUMMED IN INTEGER SPACE before one final division — an unordered
+    float sum over a bucket's trades would be fold-order-sensitive
+    across engines (the SCALING float-association rule)::
+
+        cost_t  = sum_trades round(cs_sym_t * 1e6) / 1e6 / (2 * top_n)
+        net_pnl = coalesce(pnl, 0) - cost
+
+    The FIRST formed bucket buys the entire book (full entry cost,
+    turnover null — same convention split as the gross operator); the
+    LAST bucket's exit is never charged (the book is still held).  Null
+    CS estimates (warmup) price as zero.
+
+    Output per bucket: ``ts, n_long, n_short, pnl, turnover, cost,
+    net_pnl``.
+
+    Shape: the gross backtest's plan (the persisted 2*top_n-per-bucket
+    membership frame now has SIX consumers — the two trade-set
+    anti-joins are bucket-count-sized) plus one CS window pass over the
+    bars and a lookup join of CS onto the tiny trade set.
+    """
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+
+    members = _rank_members(
+        bars,
+        lookback=lookback,
+        top_n=top_n,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+    )
+
+    pnl = members.groupBy(ts_col).agg(
+        F.count(F.when(F.col("__side") > 0, 1)).cast("int").alias("n_long"),
+        F.count(F.when(F.col("__side") < 0, 1)).cast("int").alias("n_short"),
+        (
+            F.avg(F.when(F.col("__side") > 0, F.col("__fwd")))
+            - F.avg(F.when(F.col("__side") < 0, F.col("__fwd")))
+        ).alias("pnl"),
+    )
+
+    buckets = members.select(ts_col).distinct()
+    bucket_w = Window.orderBy(ts_col)
+    bmap = buckets.select(
+        F.col(ts_col),
+        F.lag(ts_col).over(bucket_w).alias("__prev_ts"),
+        F.lead(ts_col).over(bucket_w).alias("__next_ts"),
+    )
+
+    cur = members.select(F.col(ts_col), F.col(symbol_col), "__side").join(
+        F.broadcast(bmap), ts_col
+    )
+    prev = members.select(
+        F.col(ts_col).alias("__pts"),
+        F.col(symbol_col).alias("__psym"),
+        F.col("__side").alias("__pside"),
+    )
+    # turnover (same convention as the gross operator)
+    kept = (
+        cur.join(
+            prev,
+            (cur["__prev_ts"] == prev["__pts"])
+            & (cur[symbol_col] == prev["__psym"])
+            & (cur["__side"] == prev["__pside"]),
+            "left",
+        )
+        .groupBy(ts_col)
+        .agg(
+            F.count(F.lit(1)).alias("__nm"),
+            F.count("__psym").alias("__nkept"),
+            F.max(cur["__prev_ts"]).alias("__prev_seen"),
+        )
+    )
+    turnover = F.when(
+        F.col("__prev_seen").isNotNull(),
+        1.0 - F.col("__nkept") / F.col("__nm"),
+    )
+    to = kept.select(F.col(ts_col), turnover.alias("turnover"))
+
+    # entries at t: current member with no same-(symbol, side) slot in
+    # the previous bucket (the whole first bucket enters)
+    entries = cur.join(
+        prev,
+        (cur["__prev_ts"] == prev["__pts"])
+        & (cur[symbol_col] == prev["__psym"])
+        & (cur["__side"] == prev["__pside"]),
+        "left_anti",
+    ).select(F.col(ts_col).alias("__trade_ts"), F.col(symbol_col).alias("__tsym"))
+    # exits charged at the NEXT bucket's rebalance: member of t absent
+    # from t's successor (the final bucket's book is held, not sold)
+    nxt = members.select(
+        F.col(ts_col).alias("__nts"),
+        F.col(symbol_col).alias("__nsym"),
+        F.col("__side").alias("__nside"),
+    )
+    exits = (
+        cur.where(F.col("__next_ts").isNotNull())
+        .join(
+            nxt,
+            (cur["__next_ts"] == nxt["__nts"])
+            & (cur[symbol_col] == nxt["__nsym"])
+            & (cur["__side"] == nxt["__nside"]),
+            "left_anti",
+        )
+        .select(
+            F.col("__next_ts").alias("__trade_ts"),
+            F.col(symbol_col).alias("__tsym"),
+        )
+    )
+    trades = entries.unionByName(exits)
+
+    cs = corwin_schultz(
+        bars,
+        window=cs_window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        high_col=high_col,
+        low_col=low_col,
+    ).select(
+        F.col(symbol_col).alias("__tsym"),
+        F.col(ts_col).alias("__trade_ts"),
+        F.round(F.col("cs_spread") * 1e6, 0).cast("long").alias("__micro"),
+    )
+    costs = (
+        trades.join(cs.hint("shuffle_hash"), on=["__trade_ts", "__tsym"], how="left")
+        .groupBy("__trade_ts")
+        .agg(F.sum(F.coalesce("__micro", F.lit(0))).alias("__micro_sum"))
+        .select(
+            F.col("__trade_ts").alias(ts_col),
+            (
+                F.col("__micro_sum").cast("double")
+                / F.lit(1e6)
+                / F.lit(2.0 * top_n)
+            ).alias("cost"),
+        )
+    )
+
+    return (
+        pnl.join(to, ts_col)
+        .join(costs, ts_col, "left")
+        .select(
+            ts_col,
+            "n_long",
+            "n_short",
+            "pnl",
+            "turnover",
+            F.coalesce("cost", F.lit(0.0)).alias("cost"),
+            (
+                F.coalesce("pnl", F.lit(0.0))
+                - F.coalesce("cost", F.lit(0.0))
+            ).alias("net_pnl"),
+        )
     )
 
 

@@ -726,3 +726,105 @@ def q_dedup_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_docs=_RECALL_TARGET,
         salt=_RECALL_SALT,
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). LSH power-curve diagnostic (functions/dedup.py::
+# lsh_power_curve): the analytic banding S-curve p(j) = 1 - (1 - j^r)^b
+# evaluated on the actual pair population vs the measured banding hits.
+# p(j) is built with the SAME fixed-order binary-exponentiation chain
+# as the Spark Column (never pow), and the per-threshold sum of p folds
+# as an ORDERED (id_a, id_b) running window read at its last row.
+# --------------------------------------------------------------------------
+
+
+def _sql_pow_chain(x: str, n: int) -> str:
+    """SQL twin of functions/dedup.py::_pow_chain — identical
+    multiplication order, hence identical doubles."""
+    from polars_trading_spark.functions.dedup import _pow_chain
+
+    return _pow_chain(x, n, lambda a, b: f"({a} * {b})")
+
+
+_PC_R = _MH_K // _MH_BANDS
+_PC_JR_SQL = _sql_pow_chain("je", _PC_R)
+_PC_MISS_SQL = _sql_pow_chain(f"(1.0 - {_PC_JR_SQL})", _MH_BANDS)
+_PC_P_SQL = f"1.0 - {_PC_MISS_SQL}"
+
+
+@register(
+    "lsh_power_curve",
+    f"""
+WITH
+{_docs_tok_cte(_RECALL_WHERE)},
+{_MH_PAIR_TAIL},
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         ELSE 0.0 END AS je
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+th(threshold) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES {_RC_VALUES}) v(x)),
+exact_t AS (
+  SELECT *, {_PC_P_SQL} AS p
+  FROM exact WHERE je >= {_RC_THRESHOLDS[0]!r}
+),
+lsh_t AS (
+  SELECT DISTINCT id_a, id_b FROM verified
+  WHERE jaccard >= {_RC_THRESHOLDS[0]!r}
+),
+fanned AS (
+  SELECT t.threshold, x.id_a, x.id_b, x.p
+  FROM th t JOIN exact_t x ON round(x.je, 9) >= round(t.threshold, 9)
+),
+e AS (
+  SELECT threshold,
+    CAST(cnt AS BIGINT) AS n_exact, psum AS expected
+  FROM (
+    SELECT threshold,
+      row_number() OVER w AS rn,
+      count(*) OVER (PARTITION BY threshold) AS cnt,
+      sum(p) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+    FROM fanned
+    WINDOW w AS (PARTITION BY threshold ORDER BY id_a, id_b)
+  ) WHERE rn = cnt
+),
+h AS (
+  SELECT t.threshold, CAST(count(x.id_a) AS BIGINT) AS n_hit
+  FROM th t LEFT JOIN (
+    SELECT e0.id_a, e0.id_b, e0.je FROM exact_t e0
+    JOIN lsh_t l0 ON e0.id_a = l0.id_a AND e0.id_b = l0.id_b
+  ) x ON round(x.je, 9) >= round(t.threshold, 9)
+  GROUP BY t.threshold
+)
+SELECT t.threshold,
+  CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+  coalesce(h.n_hit, 0) AS n_hit,
+  round(coalesce(e.expected, 0.0), 6) + 0 AS expected_hits,
+  CASE WHEN coalesce(e.n_exact, 0) > 0
+       THEN round(h.n_hit / CAST(e.n_exact AS DOUBLE), 6) + 0 END AS recall,
+  CASE WHEN coalesce(e.n_exact, 0) > 0
+       THEN round(e.expected / CAST(e.n_exact AS DOUBLE), 6) + 0 END
+    AS expected_recall
+FROM th t LEFT JOIN e ON t.threshold = e.threshold
+LEFT JOIN h ON t.threshold = h.threshold
+""",
+    f"LSH power-curve diagnostic: analytic banding survival "
+    f"1-(1-j^{_PC_R})^{_MH_BANDS} summed over the actual pair "
+    "population (ordered fold) vs measured banding hits per threshold "
+    "— separates a broken banding pipeline from an unlucky corpus",
+)
+def q_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.lsh_power_curve(
+        docs,
+        thresholds=_RC_THRESHOLDS,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        sample_fraction="auto",
+        target_docs=_RECALL_TARGET,
+        salt=_RECALL_SALT,
+    )

@@ -568,12 +568,10 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RP_LB, _RP_TOP = 5, 1
 
-
-
-@register(
-    "rank_portfolio",
-    f"""
-WITH
+# Shared CTE chain (bars -> momentum ranks -> book membership -> bucket
+# P&L -> turnover) reused by rank_portfolio and its cost-aware net
+# variant below.
+_RP_CTES = f"""
 {_FEATURE_BARS_CTE},
 r AS (
   SELECT symbol, ts,
@@ -603,7 +601,8 @@ pnl AS (
   FROM mem GROUP BY ts
 ),
 pm AS (
-  SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts
+  SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts,
+         lead(ts) OVER (ORDER BY ts) AS next_ts
   FROM (SELECT DISTINCT ts FROM mem)
 ),
 kept AS (
@@ -612,7 +611,14 @@ kept AS (
   LEFT JOIN mem b
     ON b.ts = a.prev_ts AND b.symbol = a.symbol AND b.side = a.side
   GROUP BY a.ts
-)
+)"""
+
+
+@register(
+    "rank_portfolio",
+    f"""
+WITH
+{_RP_CTES}
 SELECT p.ts, p.n_long, p.n_short, round(p.pnl, 6) + 0 AS pnl,
   round(CASE WHEN k.pts IS NOT NULL THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END, 6) + 0
     AS turnover
@@ -1350,4 +1356,116 @@ def q_risk_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("portfolio_variance") * 1e6, 6) + z0).alias(
             "portfolio_variance_ppm"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Cost-aware momentum backtest (operators/
+# cross_section.py::rank_portfolio_backtest_net): the rank portfolio's
+# P&L net of rebalancing costs — every membership entry/exit trades one
+# 1/top_n book slot at half the symbol's rolling Corwin-Schultz spread.
+# Per-trade half-spreads quantize to 1e-6 integers and sum in INTEGER
+# space (unordered float sums are fold-order-sensitive across engines).
+# CS constants duplicated (importing the microstructure oracle here
+# would reorder the pinned registration manifest).
+# --------------------------------------------------------------------------
+
+_RPN_CS_W = 20
+_RPN_DEN = 3.0 - 2.0 * (2.0**0.5)
+_RPN_C1 = 2.0**0.5 - 1.0
+
+
+@register(
+    "rank_portfolio_net",
+    f"""
+WITH
+{_RP_CTES},
+cs_terms AS (
+  SELECT symbol, ts,
+    pow(ln(high / low), 2) + lag(pow(ln(high / low), 2)) OVER w AS tb,
+    pow(ln(greatest(high, lag(high) OVER w) / least(low, lag(low) OVER w)), 2) AS gm
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts)
+),
+cs_rolled AS (
+  SELECT symbol, ts, gm,
+    count(tb) OVER rw AS n_tb,
+    avg(tb) OVER rw AS cs_beta
+  FROM cs_terms
+  WINDOW rw AS (PARTITION BY symbol ORDER BY ts
+                ROWS BETWEEN {_RPN_CS_W - 1} PRECEDING AND CURRENT ROW)
+),
+cs AS (
+  SELECT symbol, ts,
+    CAST(round(((2.0 * (exp(a) - 1.0)) / (1.0 + exp(a))) * 1000000.0, 0) AS BIGINT)
+      AS micro
+  FROM (
+    SELECT symbol, ts,
+      CASE WHEN n_tb = {_RPN_CS_W} AND gm IS NOT NULL THEN
+        greatest((({_RPN_C1!r} * sqrt(cs_beta)) / {_RPN_DEN!r})
+                 - sqrt(gm / {_RPN_DEN!r}), 0.0)
+      END AS a
+    FROM cs_rolled
+  )
+),
+entries AS (
+  SELECT a.ts AS trade_ts, a.symbol
+  FROM (SELECT mem.*, pm.prev_ts FROM mem JOIN pm USING (ts)) a
+  LEFT JOIN mem b
+    ON b.ts = a.prev_ts AND b.symbol = a.symbol AND b.side = a.side
+  WHERE b.symbol IS NULL
+),
+exits AS (
+  SELECT a.next_ts AS trade_ts, a.symbol
+  FROM (SELECT mem.*, pm.next_ts FROM mem JOIN pm USING (ts)) a
+  LEFT JOIN mem c
+    ON c.ts = a.next_ts AND c.symbol = a.symbol AND c.side = a.side
+  WHERE a.next_ts IS NOT NULL AND c.symbol IS NULL
+),
+alltrades AS (SELECT * FROM entries UNION ALL SELECT * FROM exits),
+costs AS (
+  SELECT t.trade_ts AS ts,
+    CAST(sum(coalesce(cs.micro, 0)) AS BIGINT) AS micro_sum
+  FROM alltrades t
+  LEFT JOIN cs ON cs.symbol = t.symbol AND cs.ts = t.trade_ts
+  GROUP BY t.trade_ts
+)
+SELECT p.ts, p.n_long, p.n_short, round(p.pnl, 6) + 0 AS pnl,
+  round(CASE WHEN k.pts IS NOT NULL THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END, 6) + 0
+    AS turnover,
+  round(coalesce(c.micro_sum, 0) / 1000000.0 / {2.0 * _RP_TOP!r}, 7) + 0 AS cost,
+  round(coalesce(p.pnl, 0.0)
+        - coalesce(c.micro_sum, 0) / 1000000.0 / {2.0 * _RP_TOP!r}, 6) + 0 AS net_pnl
+FROM pnl p JOIN kept k USING (ts) LEFT JOIN costs c USING (ts)
+""",
+    f"Cost-aware momentum portfolio: top/bottom-{_RP_TOP} book P&L net "
+    f"of Corwin-Schultz rebalancing costs (half-spread per 1/{_RP_TOP} "
+    "slot traded, integer micro-spread folding) — turnover priced in "
+    "return units, gross-vs-net per bucket",
+)
+def q_rank_portfolio_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import (
+        rank_portfolio_backtest_net,
+    )
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_portfolio_backtest_net(
+        bars, lookback=_RP_LB, top_n=_RP_TOP, cs_window=_RPN_CS_W,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        F.col("ts_event").alias("ts"),
+        "n_long",
+        "n_short",
+        (F.round("pnl", 6) + z0).alias("pnl"),
+        (F.round("turnover", 6) + z0).alias("turnover"),
+        # 7 digits, NOT 6: cost = micro_sum / 2e6 has <= 7 exact decimal
+        # digits (odd micro sums land exactly on a 6th-digit half, where
+        # Spark's BigDecimal HALF_UP and DuckDB's multiply-rint disagree
+        # on which side of the unrepresentable .5 the double sits);
+        # rounding at 7 is an identity on the exact decimal instead.
+        (F.round("cost", 7) + z0).alias("cost"),
+        (F.round("net_pnl", 6) + z0).alias("net_pnl"),
     )

@@ -96,3 +96,6 @@ __all__.append("streaming_hampel")
 from polars_trading_spark.streaming.spread import streaming_spread_band  # noqa: E402
 
 __all__.append("streaming_spread_band")
+from polars_trading_spark.streaming.capacity import streaming_portfolio_capacity  # noqa: E402
+
+__all__.append("streaming_portfolio_capacity")

@@ -2049,3 +2049,42 @@ def test_dedup_recall_curve_one_pass_monotone(docs):
     assert (low["n_exact"], low["n_lsh"], low["n_hit"]) == (
         single["n_exact"], single["n_lsh"], single["n_hit"]
     )
+
+
+def test_lsh_power_curve_matches_analytic_reference(docs):
+    """Theory-vs-practice diagnostic: expected_hits equals the python
+    recomputation of sum 1-(1-j^r)^b over the exact pair population
+    (to the output rounding); counts nest across thresholds; measured
+    hits never exceed the exact pair count."""
+    ts = (0.2, 0.35, 0.5)
+    k, b = 12, 4
+    out = {
+        r["threshold"]: r
+        for r in dedup.lsh_power_curve(
+            docs, thresholds=ts, num_hashes=k, bands=b, sample_fraction=None
+        ).collect()
+    }
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=min(ts), block_cols=()
+    ).collect()
+    r_rows = k // b
+    assert len(out) == len(ts)
+    prev_exact = None
+    for t in sorted(ts):
+        row = out[t]
+        js = [p["jaccard"] for p in pairs if round(p["jaccard"], 9) >= round(t, 9)]
+        assert row["n_exact"] == len(js)
+        want = sum(1.0 - (1.0 - j**r_rows) ** b for j in js)
+        assert row["expected_hits"] == pytest.approx(round(want, 6), abs=2e-6)
+        assert 0 <= row["n_hit"] <= row["n_exact"]
+        if row["n_exact"]:
+            assert 0.0 <= row["expected_recall"] <= 1.0
+            assert 0.0 <= row["recall"] <= 1.0
+        if prev_exact is not None:
+            assert row["n_exact"] <= prev_exact  # nesting across thresholds
+        prev_exact = row["n_exact"]
+
+    with pytest.raises(ValueError):
+        dedup.lsh_power_curve(docs, num_hashes=10, bands=4)
+    with pytest.raises(ValueError):
+        dedup.lsh_power_curve(docs, thresholds=())

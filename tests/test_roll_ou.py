@@ -407,3 +407,88 @@ def test_spread_band_backtest_net_cost_invariants(spark):
         assert r["net_pnl"] == pytest.approx(want_net, abs=1e-12)
         prev_pos = r["position"]
     assert n_costly > 5  # the tape actually charges real costs
+
+
+def test_rank_portfolio_net_cost_invariants(spark):
+    """Cost-aware momentum book: gross columns equal the plain
+    backtest; per-bucket cost equals the hand-recomputed integer
+    micro-spread fold over that bucket's entry/exit trades (first
+    bucket = full entry cost, last bucket's exit never charged);
+    zero-turnover buckets cost zero; net = pnl - cost."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.cross_section import (
+        _rank_members,
+        rank_portfolio_backtest,
+        rank_portfolio_backtest_net,
+    )
+    from polars_trading_spark.operators.microstructure import corwin_schultz
+
+    base = dt.datetime(2024, 1, 2)
+    rows = []
+    rng = np.random.RandomState(3)
+    n, syms = 240, ("A", "B", "C", "D")
+    px = {s: 100.0 * (1 + i) for i, s in enumerate(syms)}
+    for i in range(n):
+        ts = base + dt.timedelta(minutes=15 * i)
+        for s in syms:
+            px[s] *= float(np.exp(rng.normal(0.0, 0.01)))
+            c = px[s]
+            rows.append((s, ts, c, c * 1.004, c * 0.996))
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    kw = dict(lookback=5, top_n=1, ts_col="ts_event")
+    gross = {
+        r["ts_event"]: r for r in rank_portfolio_backtest(bars, **kw).collect()
+    }
+    out = sorted(
+        rank_portfolio_backtest_net(bars, cs_window=20, **kw).collect(),
+        key=lambda r: r["ts_event"],
+    )
+    assert len(out) == len(gross)
+
+    # hand-recompute trades from the membership + CS micro-spreads
+    members = sorted(
+        _rank_members(bars, close_col="close", symbol_col="symbol", **kw)
+        .select("ts_event", "symbol", "__side")
+        .collect(),
+        key=lambda r: r["ts_event"],
+    )
+    micro = {
+        (r["symbol"], r["ts_event"]): int(round(r["cs_spread"] * 1e6))
+        for r in corwin_schultz(bars, window=20, ts_col="ts_event").collect()
+        if r["cs_spread"] is not None
+    }
+    buckets = sorted({r["ts_event"] for r in members})
+    book = {
+        t: {(r["symbol"], r["__side"]) for r in members if r["ts_event"] == t}
+        for t in buckets
+    }
+    want_cost = {}
+    for i, t in enumerate(buckets):
+        prev = book[buckets[i - 1]] if i > 0 else set()
+        entries = book[t] - prev
+        exits = prev - book[t]
+        k = sum(micro.get((s, t), 0) for s, _ in entries) + sum(
+            micro.get((s, t), 0) for s, _ in exits
+        )
+        want_cost[t] = k / 1e6 / 2.0  # top_n = 1 -> / (2 * 1)
+
+    n_nonzero = 0
+    for r in out:
+        g = gross[r["ts_event"]]
+        for col in ("n_long", "n_short", "pnl", "turnover"):
+            assert r[col] == g[col], (col, r, g)
+        assert r["cost"] == pytest.approx(want_cost[r["ts_event"]], abs=1e-12)
+        assert r["cost"] >= 0.0
+        if r["turnover"] == 0.0:
+            assert r["cost"] == 0.0
+        if r["cost"] > 0:
+            n_nonzero += 1
+        want_net = (r["pnl"] if r["pnl"] is not None else 0.0) - r["cost"]
+        assert r["net_pnl"] == pytest.approx(want_net, abs=1e-12)
+    assert n_nonzero > 10  # the tape actually rebalances

@@ -2160,3 +2160,94 @@ def test_streaming_spread_band_validation(spark):
         streaming_spread_band(stream, coefs, entry_z=1.0, exit_z=1.5)
     with pytest.raises(ValueError):
         streaming_spread_band(stream, coefs, window=1)
+
+
+def test_streaming_portfolio_capacity_matches_batch(spark):
+    """Round-9 twin: the single-group capacity monitor over a
+    three-file replay equals the batch portfolio_capacity on every
+    bucket except the tape's final one (pending, one-bucket lag) —
+    integers exactly, ADV/capacity bit-equal (same prefix-sum folds)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.cross_section import portfolio_capacity
+    from polars_trading_spark.streaming import streaming_portfolio_capacity
+
+    rng = np.random.default_rng(59)
+    bar_schema = (
+        "symbol string, ts_event timestamp, close double, volume double"
+    )
+    rows = []
+    px = {"A": 100.0, "B": 90.0, "C": 70.0, "D": 55.0}
+    t = dt.datetime(2022, 5, 2, 9, 30)
+    for _ in range(120):
+        t = t + dt.timedelta(minutes=15)
+        for s in sorted(px):
+            px[s] = max(1.0, px[s] * float(np.exp(rng.normal(0, 0.01))))
+            rows.append((s, t, px[s], float(rng.integers(100, 5000))))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "close", "volume"]
+    )
+    kw = dict(lookback=5, top_n=1, adv_window=10, max_participation=0.05)
+    batch = (
+        portfolio_capacity(
+            spark.createDataFrame(pdf, bar_schema), ts_col="ts_event", **kw
+        )
+        .toPandas()
+        .set_index("ts_event")
+        .sort_index()
+    )
+
+    d = tempfile.mkdtemp(prefix="pts_cap_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], bar_schema).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(bar_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_portfolio_capacity(
+                stream, ts_col="ts_event", **kw
+            )
+
+        rows_out = _run_stream(spark, make, mode="update")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .set_index("ts_event")
+            .sort_index()
+        )
+        want = batch.iloc[:-1]  # final bucket pending in the stream
+        assert len(got) == len(want)
+        assert (got.index == want.index).all()
+        for col in ("n_members", "n_changed"):
+            pd.testing.assert_series_equal(
+                got[col].astype("float64"),
+                want[col].astype("float64"),
+                check_names=False,
+            )
+        for col in ("turnover", "min_member_adv", "capacity_dollars"):
+            a, b = got[col], want[col]
+            assert (a.isna() == b.isna()).all(), col
+            m = a.notna()
+            np.testing.assert_allclose(a[m], b[m], rtol=1e-12), col
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_portfolio_capacity_validation(spark):
+    from polars_trading_spark.streaming import streaming_portfolio_capacity
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError):
+        streaming_portfolio_capacity(stream, top_n=0)
+    with pytest.raises(ValueError):
+        streaming_portfolio_capacity(stream, max_participation=1.5)
