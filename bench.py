@@ -209,6 +209,7 @@ HEADLINE = [
     "multimodal_jpeg_color_decode",
     "rank_portfolio_net",
     "lsh_power_curve",
+    "benchmark_coverage",
 ]
 
 

@@ -27,10 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_trading_spark._utils import persist_tracked
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["benchmark_coverage", "chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -1160,4 +1161,86 @@ def contamination_report(
         )
         .otherwise(F.lit(0.0))
         .alias("token_leak_rate"),
+    )
+
+
+def benchmark_coverage(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    *,
+    ngram: int = 3,
+    bench_col: str = "benchmark",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Eval-set representativeness: what fraction of each benchmark
+    suite's n-gram shingles appear ANYWHERE in the corpus — the flip
+    side of ``contamination_report`` (there the corpus leaks INTO the
+    benchmark; here the question is whether the benchmark's language is
+    even in-distribution for the training set; near-zero coverage means
+    the eval measures extrapolation, near-one invites leakage checks).
+
+    Output one row per benchmark: ``benchmark, n_bench_docs,
+    n_bench_grams (distinct), n_covered, coverage``.
+
+    Scale shape: the benchmark gram set (tiny) broadcasts onto the
+    exploded corpus grams; only MATCHING grams survive the join, so the
+    corpus-side shuffle carries at most |bench grams| distinct values —
+    the corpus is scanned once and never re-keyed by anything
+    corpus-sized.
+    """
+    from polars_trading_spark.functions.dedup import shingle_hashes
+    from polars_trading_spark.functions.text import tokens
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+
+    bench_grams = persist_tracked(
+        benchmarks.select(
+            F.col(bench_col).alias("benchmark"),
+            F.col(id_col).alias("__bid"),
+            shingle_hashes(tokens(F.col(text_col)), n=ngram).alias("__sh"),
+        )
+    )
+    bench_set = (
+        bench_grams.select("benchmark", F.explode("__sh").alias("g")).distinct()
+    )
+    totals = bench_grams.groupBy("benchmark").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_docs"),
+    )
+    gram_totals = bench_set.groupBy("benchmark").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bench_grams")
+    )
+
+    corpus_grams = corpus.select(
+        F.explode(
+            shingle_hashes(tokens(F.col(text_col)), n=ngram)
+        ).alias("g")
+    )
+    covered = (
+        corpus_grams.join(F.broadcast(bench_set), on="g")
+        .select("benchmark", "g")
+        .distinct()
+        .groupBy("benchmark")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_covered"))
+    )
+    return (
+        totals.join(gram_totals, "benchmark")
+        .join(covered, "benchmark", "left")
+        .select(
+            "benchmark",
+            "n_bench_docs",
+            "n_bench_grams",
+            F.coalesce("n_covered", F.lit(0)).cast("long").alias("n_covered"),
+            F.when(
+                F.col("n_bench_grams") > 0,
+                F.round(
+                    F.coalesce("n_covered", F.lit(0))
+                    / F.col("n_bench_grams").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
     )

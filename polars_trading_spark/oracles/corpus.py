@@ -1070,3 +1070,66 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.contamination_report(
         docs, bench, ngram=_CR_NGRAM, min_hits=_CR_MIN_HITS
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Benchmark n-gram coverage (functions/corpus.py::
+# benchmark_coverage) — the flip side of contamination_report: is the
+# eval suite's language in-distribution for the training corpus at all?
+# The corpus side EXCLUDES the benchmark docs, so coverage is a real
+# fraction rather than a trivial 1.0.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "benchmark_coverage",
+    f"""
+WITH {_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_CR_NGRAM)},
+bench AS (
+  SELECT 'bench_a' AS benchmark, doc_id, sh FROM sh WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT 'bench_b' AS benchmark, doc_id, sh FROM sh WHERE doc_id % 20 = 7
+),
+bset AS (SELECT DISTINCT benchmark, unnest(sh) AS g FROM bench),
+totals AS (
+  SELECT benchmark, CAST(count(*) AS BIGINT) AS n_bench_docs
+  FROM bench GROUP BY benchmark
+),
+gt AS (
+  SELECT benchmark, CAST(count(*) AS BIGINT) AS n_bench_grams
+  FROM bset GROUP BY benchmark
+),
+cg AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh
+  WHERE doc_id % 20 NOT IN (0, 7)
+),
+cov AS (
+  SELECT b.benchmark, CAST(count(*) AS BIGINT) AS n_covered
+  FROM bset b JOIN cg ON b.g = cg.g GROUP BY b.benchmark
+)
+SELECT t.benchmark, t.n_bench_docs, g.n_bench_grams,
+  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+  CASE WHEN g.n_bench_grams > 0
+       THEN round(coalesce(c.n_covered, 0)
+                  / CAST(g.n_bench_grams AS DOUBLE), 6)
+       ELSE 0.0 END AS coverage
+FROM totals t JOIN gt g USING (benchmark) LEFT JOIN cov c USING (benchmark)
+""",
+    f"Benchmark {_CR_NGRAM}-gram coverage: the fraction of each eval "
+    "suite's distinct shingles present anywhere in the (benchmark-"
+    "excluded) corpus — eval representativeness, the flip side of the "
+    "contamination report",
+)
+def q_benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 20
+    bench = (
+        docs.where(mod == 0)
+        .withColumn("benchmark", F.lit("bench_a"))
+        .unionByName(
+            docs.where(mod == 7).withColumn("benchmark", F.lit("bench_b"))
+        )
+    )
+    corpus = docs.where((mod != 0) & (mod != 7))
+    return corpus_ops.benchmark_coverage(corpus, bench, ngram=_CR_NGRAM)

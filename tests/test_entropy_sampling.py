@@ -266,3 +266,50 @@ def test_contamination_report_broadcast_plan_and_validation(
         contamination_report(c, b, ngram=0)
     with pytest.raises(ValueError):
         contamination_report(c, b, min_hits=0)
+
+
+def test_benchmark_coverage_hand_computed(spark, contamination_pdf):
+    """Coverage = |suite grams ∩ corpus grams| / |suite grams|, per
+    suite — recomputed from the (independently golden-tested) shingle
+    arrays via python set algebra."""
+    from pyspark.sql import functions as F
+
+    from polars_trading_spark.functions.corpus import benchmark_coverage
+    from polars_trading_spark.functions.dedup import shingle_hashes
+    from polars_trading_spark.functions.text import tokens as tok
+
+    corpus, bench = contamination_pdf
+    bench = bench.assign(benchmark=["suite_fox", "suite_hamlet"])
+    c = spark.createDataFrame(corpus)
+    b = spark.createDataFrame(bench)
+    out = {
+        r["benchmark"]: r
+        for r in benchmark_coverage(c, b, ngram=3).collect()
+    }
+
+    def grams(df):
+        return {
+            r["doc_id"]: set(r["g"])
+            for r in df.select(
+                "doc_id", shingle_hashes(tok(F.col("text")), n=3).alias("g")
+            ).collect()
+        }
+
+    cg = set().union(*grams(c).values())
+    bg = grams(b)
+    suites = {"suite_fox": bg[1000], "suite_hamlet": bg[1001]}
+    for suite, gs in suites.items():
+        r = out[suite]
+        assert r["n_bench_docs"] == 1
+        assert r["n_bench_grams"] == len(gs)
+        assert r["n_covered"] == len(gs & cg)
+        assert r["coverage"] == pytest.approx(
+            round(len(gs & cg) / len(gs), 6)
+        )
+    # the fixture exercises both regimes: partial coverage and a
+    # verbatim copy (full coverage)
+    assert 0 < out["suite_fox"]["coverage"] < 1
+    assert out["suite_hamlet"]["coverage"] == 1.0
+
+    with pytest.raises(ValueError):
+        benchmark_coverage(c, b, ngram=0)
