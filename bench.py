@@ -210,6 +210,8 @@ HEADLINE = [
     "rank_portfolio_net",
     "lsh_power_curve",
     "benchmark_coverage",
+    "multimodal_png_palette_decode",
+    "multimodal_gif_interlaced_decode",
 ]
 
 

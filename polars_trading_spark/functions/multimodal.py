@@ -4,12 +4,15 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 ``binary`` column (or a reference to object storage), decode/feature
 steps are Arrow-batched ``mapInPandas`` stages, and everything around
 them (schema, partitioning, metadata pushdown) is ordinary columnar
-Spark.  PNG (zlib inflate + unfilter), uncompressed BMP, and GIF (full
-variable-width LZW) pixel decode are REAL pure-stdlib kernels; only
-JPEG entropy decode still needs a codec library this container lacks —
-``decode_image`` raises ``NotImplementedError`` for it unless PIL is importable —
-while the Spark-side plumbing (UDF signatures, batch iteration, schema
-contracts, frame explosion) is real and tested end-to-end.
+Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
+inflate + all five unfilters, truecolor AND indexed/PLTE), uncompressed
+BMP, GIF (full variable-width LZW, interlaced or not), and baseline
+JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 YCbCr color).  The
+remaining out-of-scope features — Adam7-interlaced PNG, progressive /
+chroma-subsampled / 4-component JPEG — raise ``NotImplementedError``
+naming the feature (``decode_image`` falls back to PIL for those when
+importable); the Spark-side plumbing (UDF signatures, batch iteration,
+schema contracts, frame explosion) is real and tested end-to-end.
 """
 
 from __future__ import annotations
@@ -26,6 +29,7 @@ __all__ = [
     "synthesize_bmp",
     "synthesize_jpeg",
     "synthesize_png",
+    "synthesize_png_palette",
     "parse_image_header",
     "extract_media_metadata",
     "sample_frames",
@@ -43,6 +47,7 @@ __all__ = [
     "synthesize_jpeg_color",
     "gif_palette",
     "synthesize_gif",
+    "synthesize_gif_interlaced",
     "pixel_stats",
     "png_pixel_stats",
     "synthesize_pcm",
@@ -267,12 +272,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_encode(pixels, *, color_type: int = 2, filters=None) -> bytes:
+def png_encode(pixels, *, color_type: int = 2, filters=None, palette=None) -> bytes:
     """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
     PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8,
     non-interlaced.  ``filters`` optionally gives the per-row filter
     type (0..4); default cycles rows through all five so a round-trip
-    exercises every unfilter path.  Pure stdlib (struct + zlib)."""
+    exercises every unfilter path.  ``color_type=3`` (round 9) writes an
+    indexed-color image: ``pixels`` holds palette INDICES (one channel)
+    and ``palette`` the ``[(r, g, b), ...]`` table emitted as PLTE.
+    Pure stdlib (struct + zlib)."""
     import struct
     import zlib
 
@@ -282,7 +290,18 @@ def png_encode(pixels, *, color_type: int = 2, filters=None) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, ch = px.shape
-    if _PNG_CHANNELS.get(color_type) != ch:
+    plte = b""
+    if color_type == 3:
+        if palette is None or not (1 <= len(palette) <= 256):
+            raise ValueError("color_type 3 needs a 1..256-entry palette")
+        if ch != 1:
+            raise ValueError(f"color_type 3 expects 1 index channel, got {ch}")
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        plte = _png_chunk(
+            b"PLTE", b"".join(bytes(entry) for entry in palette)
+        )
+    elif _PNG_CHANNELS.get(color_type) != ch:
         raise ValueError(f"color_type {color_type} expects {_PNG_CHANNELS.get(color_type)} channels, got {ch}")
     bpp = ch  # bytes per pixel at depth 8
     raw = bytearray()
@@ -316,6 +335,7 @@ def png_encode(pixels, *, color_type: int = 2, filters=None) -> bytes:
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + plte
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -325,8 +345,9 @@ def png_decode(payload: bytes):
     """REAL pure-stdlib PNG pixel decode: chunk walk (CRC-verified),
     zlib inflate of the concatenated IDAT stream, and per-row unfilter
     of all five PNG filter types.  Supports bit depth 8, color types
-    0/2/4/6 (gray, RGB, gray+alpha, RGBA), non-interlaced — palette
-    (PLTE) and interlaced images raise ``NotImplementedError``.
+    0/2/3/4/6 (gray, RGB, PALETTE — round 9, indices mapped through
+    PLTE to an RGB output — gray+alpha, RGBA), non-interlaced;
+    interlaced (Adam7) images raise ``NotImplementedError``.
     Returns an ``(h, w, channels)`` uint8 numpy array.
 
     The per-row Sub/Average/Paeth unfilter is an inherently sequential
@@ -345,6 +366,7 @@ def png_decode(payload: bytes):
         raise ValueError("not a PNG (bad signature)")
     i, n = 8, len(payload)
     ihdr = None
+    plte = None
     idat = bytearray()
     while i + 8 <= n:
         (clen,) = struct.unpack(">I", payload[i : i + 4])
@@ -356,7 +378,9 @@ def png_decode(payload: bytes):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
-            raise NotImplementedError("palette PNG decode not supported")
+            if len(data) % 3 or not (3 <= len(data) <= 768):
+                raise ValueError("malformed PLTE chunk")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -365,11 +389,13 @@ def png_decode(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _PNG_CHANNELS:
+    if depth != 8 or (color_type != 3 and color_type not in _PNG_CHANNELS):
         raise NotImplementedError(f"PNG depth={depth} color_type={color_type} not supported")
     if interlace:
         raise NotImplementedError("interlaced PNG decode not supported")
-    ch = _PNG_CHANNELS[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     bpp = ch
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
@@ -401,7 +427,12 @@ def png_decode(payload: bytes):
             raise ValueError(f"bad PNG filter byte {f}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(h, w, ch)
+    px = out.reshape(h, w, ch)
+    if color_type == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of PLTE range")
+        px = plte[px[:, :, 0].astype(np.int64)]
+    return px
 
 
 def bmp_decode(payload: bytes):
@@ -438,14 +469,15 @@ def decode_image(payload: bytes):
     with ``pixels`` an ``(h, w, channels)`` uint8 array.
 
     REAL pure-stdlib decode paths (no codec library): PNG (zlib inflate
-    + all five unfilter types, depth-8 gray/RGB/GA/RGBA), uncompressed
-    24-bit BMP, GIF (the full variable-width LZW decoder incl. CLEAR
-    resets and the KwKwK case; non-interlaced), and baseline
-    sequential JPEG — grayscale AND 4:4:4 YCbCr color (generic
-    canonical-Huffman entropy decode, dequantize, float IDCT, BT.601
-    color transform).  Only JPEG features outside that pinned scope
-    (progressive scans, chroma-SUBSAMPLED color) still fall back to a
-    codec library, with the missing feature named in the error.
+    + all five unfilter types, depth-8 gray/RGB/GA/RGBA AND
+    indexed-color PLTE), uncompressed 24-bit BMP, GIF (the full
+    variable-width LZW decoder incl. CLEAR resets and the KwKwK case,
+    interlaced or not), and baseline sequential JPEG — grayscale AND
+    4:4:4 YCbCr color (generic canonical-Huffman entropy decode,
+    dequantize, float IDCT, BT.601 color transform).  Only JPEG
+    features outside that pinned scope (progressive scans,
+    chroma-SUBSAMPLED color) still fall back to a codec library, with
+    the missing feature named in the error.
     """
     hdr = parse_image_header(payload)
     if hdr is not None and hdr[0] == "png":
@@ -959,11 +991,21 @@ def gif_palette(k: int):
     return ((k * 37) % 256, (k * 59 + 11) % 256, (k * 83 + 29) % 256)
 
 
-def gif_encode(indices, width: int, height: int) -> bytes:
+def _gif_interlace_rows(height: int) -> list:
+    """GIF interlace pass order: rows 0,8,16,... then 4,12,... then
+    2,6,10,... then 1,3,5,... (spec appendix E)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def gif_encode(indices, width: int, height: int, *, interlace: bool = False) -> bytes:
     """Encode palette indices (row-major, values < 16) as a REAL
     spec-valid GIF89a: header, logical screen descriptor, 16-entry
     global color table, image descriptor, LZW-compressed data,
-    trailer.  Pure stdlib."""
+    trailer.  ``interlace=True`` stores rows in the 4-pass spec order
+    with the descriptor flag set.  Pure stdlib."""
     import struct
 
     if len(indices) != width * height:
@@ -976,7 +1018,14 @@ def gif_encode(indices, width: int, height: int) -> bytes:
     gct = bytearray()
     for k in range(GIF_PALETTE_SIZE):
         gct.extend(gif_palette(k))
-    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    img_desc = b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlace else 0
+    )
+    if interlace:
+        rows = _gif_interlace_rows(height)
+        indices = [
+            indices[r * width + x] for r in rows for x in range(width)
+        ]
     min_code_size = 4
     return (
         hdr
@@ -989,10 +1038,11 @@ def gif_encode(indices, width: int, height: int) -> bytes:
 
 
 def gif_decode(payload: bytes):
-    """REAL pure-stdlib GIF decode for non-interlaced, non-animated
-    GIFs with a global color table: header parse, LZW decompression
-    (variable-width, CLEAR resets, KwKwK), palette mapping.  Returns an
-    ``(h, w, 3)`` uint8 RGB numpy array."""
+    """REAL pure-stdlib GIF decode for non-animated GIFs with a color
+    table: header parse, LZW decompression (variable-width, CLEAR
+    resets, KwKwK), 4-pass DE-INTERLACING when the descriptor flag is
+    set (round 9 — the former NotImplementedError), palette mapping.
+    Returns an ``(h, w, 3)`` uint8 RGB numpy array."""
     import struct
 
     import numpy as np
@@ -1018,8 +1068,6 @@ def gif_decode(payload: bytes):
         elif b0 == 0x2C:  # image descriptor
             ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
             i += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF decode not supported")
             if iflags & 0x80:
                 lct_size = 2 << (iflags & 0x07)
                 palette = np.frombuffer(
@@ -1032,6 +1080,10 @@ def gif_decode(payload: bytes):
             i += 1
             idx = _lzw_decode_gif(payload[i:], min_code_size, iw * ih)
             arr = palette[np.asarray(idx, dtype=np.int64)].reshape(ih, iw, 3)
+            if iflags & 0x40:  # de-interlace: stored rows are pass-ordered
+                out = np.empty_like(arr)
+                out[_gif_interlace_rows(ih)] = arr
+                arr = out
             return arr.copy()
         elif b0 == 0x3B:  # trailer
             break
@@ -1586,6 +1638,76 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
                         blks.append(blk)
                     mcus.append(tuple(blks))
                 rows.append(jpeg_encode_ycbcr(mcus, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_png_palette(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL indexed-color (PLTE) PNG per document id:
+    16-entry palette ``pal[i] = ((i*37+11)%256, (i*59+23)%256,
+    (i*83+47)%256)``, index at row-major pixel ``p`` of media ``m`` =
+    ``(m*7 + p*13) % 16``, rows cycling all five PNG filter types.
+    ``width = 4 + m%29``, ``height = 3 + m%17`` — decoded RGB bytes are
+    pure modular arithmetic for the differential oracle."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = [
+            ((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+            for i in range(16)
+        ]
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                p = np.arange(w * h, dtype=np.int64)
+                idx = ((m * 7 + p * 13) % 16).astype(np.uint8).reshape(h, w)
+                rows.append(png_encode(idx, color_type=3, palette=pal))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_gif_interlaced(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL INTERLACED GIF89a per document id (descriptor
+    flag set, rows stored in the 4-pass spec order): index ``j`` of
+    media ``m`` is ``(m*13 + j*5) % 16`` over the same deterministic
+    palette as ``synthesize_gif`` — the decoder must de-interlace to
+    reproduce the row-major closed form, so a pass-order slip anywhere
+    flips the oracle's px_dot."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                j = np.arange(w * h, dtype=np.int64)
+                idx = ((m * 13 + j * 5) % GIF_PALETTE_SIZE).tolist()
+                rows.append(gif_encode(idx, w, h, interlace=True))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -521,3 +521,114 @@ def q_multimodal_jpeg_color_decode(spark: SparkSession, sf_dir: str) -> DataFram
 
     media = synthesize_jpeg_color(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Indexed-color (PLTE) PNG decode — the former
+# NotImplementedError: palette indices flow through the full
+# inflate/unfilter path (all five filters), then map through the PLTE
+# table; the oracle replays every RGB byte arithmetically.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_palette_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+         CAST(3 + doc_id % 17 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j,
+         (media_id * 7 + j * 13) % 16 AS idx
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(j)
+),
+rgb AS (
+  SELECT media_id, width, height, j,
+    (idx * 37 + 11) % 256 AS r,
+    (idx * 59 + 23) % 256 AS g,
+    (idx * 83 + 47) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+  'png' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+  CAST(sum(r * ((3 * j) % 251 + 1)
+         + g * ((3 * j + 1) % 251 + 1)
+         + b * ((3 * j + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib PALETTE PNG decode: indexed-color PNGs (16-entry PLTE, "
+    "rows cycling all five filter types) decoded via inflate + unfilter "
+    "+ palette map in Arrow mapInPandas; exact RGB aggregates replayed "
+    "arithmetically — closes the palette NotImplementedError",
+)
+def q_multimodal_png_palette_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_png_palette,
+    )
+
+    media = synthesize_png_palette(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). INTERLACED GIF decode — the former
+# NotImplementedError: rows stored in the 4-pass spec order must be
+# de-interlaced back to row-major, so the oracle's order-sensitive
+# px_dot breaks on any pass-mapping slip.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_interlaced_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+         CAST(3 + doc_id % 17 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j,
+         (media_id * 13 + j * 5) % 16 AS idx
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(j)
+),
+rgb AS (
+  SELECT media_id, width, height, j,
+    (idx * 37) % 256 AS r,
+    (idx * 59 + 11) % 256 AS g,
+    (idx * 83 + 29) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+  'gif' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+  CAST(sum(r * ((3 * j) % 251 + 1)
+         + g * ((3 * j + 1) % 251 + 1)
+         + b * ((3 * j + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib INTERLACED GIF decode: 4-pass row order de-interlaced "
+    "back to row-major through the LZW kernel; the row-major closed "
+    "form only matches if the pass mapping is exactly right",
+)
+def q_multimodal_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_gif_interlaced,
+    )
+
+    media = synthesize_gif_interlaced(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -440,19 +440,25 @@ def test_gif_encode_decode_full_file():
         assert np.array_equal(px, exp), m
 
 
-def test_gif_decode_rejects_interlaced_and_garbage():
-    import struct
-
+def test_gif_decode_rejects_garbage_and_deinterlaces_flagged_stream():
     from polars_trading_spark.functions.multimodal import gif_decode, gif_encode
 
     with pytest.raises(ValueError):
         gif_decode(b"not a gif at all")
-    # flip the interlace flag in a valid file's image descriptor
-    payload = bytearray(gif_encode([1, 2, 3, 4], 2, 2))
+    # round 9: the interlace flag no longer rejects — flipping it on a
+    # NON-reordered stream must reorder rows on decode (i.e. the flag is
+    # honored, not ignored); 2x2 passes are rows [0, 1] -> identity is
+    # too small, use height 5 where pass order is [0, 4, 2, 1, 3]
+    ind = list(range(10)) + [15 - i for i in range(10)]
+    payload = bytearray(gif_encode(ind, 4, 5))
     desc_at = payload.index(b"\x2c", 13)
     payload[desc_at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        gif_decode(bytes(payload))
+    plain = gif_decode(gif_encode(ind, 4, 5))
+    flagged = gif_decode(bytes(payload))
+    import numpy as np
+
+    order = [0, 4, 2, 1, 3]
+    assert np.array_equal(flagged[order], plain)
 
 
 def test_bmp_decode_strips_padding_and_flips_rows():
@@ -2088,3 +2094,47 @@ def test_lsh_power_curve_matches_analytic_reference(docs):
         dedup.lsh_power_curve(docs, num_hashes=10, bands=4)
     with pytest.raises(ValueError):
         dedup.lsh_power_curve(docs, thresholds=())
+
+
+def test_png_palette_codec_roundtrip_and_validation():
+    rng = np.random.RandomState(5)
+    pal = [
+        ((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+        for i in range(16)
+    ]
+    idx = rng.randint(0, 16, size=(13, 21), dtype=np.uint8)
+    exp = np.array(pal, dtype=np.uint8)[idx.astype(np.int64)]
+    blob = multimodal.png_encode(idx, color_type=3, palette=pal)
+    assert multimodal.parse_image_header(blob) == ("png", 21, 13)
+    assert np.array_equal(multimodal.png_decode(blob), exp)
+    fmt, w, h, px = multimodal.decode_image(blob)
+    assert (fmt, w, h) == ("png", 21, 13) and np.array_equal(px, exp)
+    # isolate every unfilter path on the 1-byte-per-pixel index stream
+    for f in range(5):
+        b2 = multimodal.png_encode(idx, color_type=3, palette=pal, filters=[f])
+        assert np.array_equal(multimodal.png_decode(b2), exp), f
+    with pytest.raises(ValueError):
+        multimodal.png_encode(idx, color_type=3)  # palette required
+    with pytest.raises(ValueError):
+        multimodal.png_encode(idx, color_type=3, palette=pal[:8])  # oob idx
+
+
+def test_gif_interlaced_codec_matches_plain_rows():
+    # pass-order storage + de-interlace must reproduce the row-major
+    # pixels exactly, across heights exercising every pass subset
+    for w, h in [(7, 11), (16, 9), (4, 1), (5, 2), (3, 3), (6, 8)]:
+        j = np.arange(w * h, dtype=np.int64)
+        ind = ((7 * j + 3) % multimodal.GIF_PALETTE_SIZE).tolist()
+        plain = multimodal.gif_decode(multimodal.gif_encode(ind, w, h))
+        inter = multimodal.gif_decode(
+            multimodal.gif_encode(ind, w, h, interlace=True)
+        )
+        assert np.array_equal(plain, inter), (w, h)
+    # the stored byte streams genuinely differ (rows really reordered)
+    j = np.arange(8 * 8, dtype=np.int64)
+    ind = ((5 * j + 1) % 16).tolist()
+    assert multimodal.gif_encode(ind, 8, 8) != multimodal.gif_encode(
+        ind, 8, 8, interlace=True
+    )
+    # interlace row order itself (spec appendix E)
+    assert multimodal._gif_interlace_rows(8) == [0, 4, 2, 6, 1, 3, 5, 7]
