@@ -212,6 +212,7 @@ HEADLINE = [
     "benchmark_coverage",
     "multimodal_png_palette_decode",
     "multimodal_gif_interlaced_decode",
+    "multimodal_png_interlaced_decode",
 ]
 
 

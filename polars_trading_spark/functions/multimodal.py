@@ -8,8 +8,8 @@ Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
 inflate + all five unfilters, truecolor AND indexed/PLTE), uncompressed
 BMP, GIF (full variable-width LZW, interlaced or not), and baseline
 JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 YCbCr color).  The
-remaining out-of-scope features — Adam7-interlaced PNG, progressive /
-chroma-subsampled / 4-component JPEG — raise ``NotImplementedError``
+remaining out-of-scope features — progressive / chroma-subsampled /
+4-component JPEG, non-depth-8 PNG — raise ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -30,6 +30,7 @@ __all__ = [
     "synthesize_jpeg",
     "synthesize_png",
     "synthesize_png_palette",
+    "synthesize_png_interlaced",
     "parse_image_header",
     "extract_media_metadata",
     "sample_frames",
@@ -272,37 +273,20 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def png_encode(pixels, *, color_type: int = 2, filters=None, palette=None) -> bytes:
-    """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
-    PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8,
-    non-interlaced.  ``filters`` optionally gives the per-row filter
-    type (0..4); default cycles rows through all five so a round-trip
-    exercises every unfilter path.  ``color_type=3`` (round 9) writes an
-    indexed-color image: ``pixels`` holds palette INDICES (one channel)
-    and ``palette`` the ``[(r, g, b), ...]`` table emitted as PLTE.
-    Pure stdlib (struct + zlib)."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), spec 8.5.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_filter_image(px, filters) -> bytearray:
+    """Filter one (sub)image's rows into the PNG scanline stream (filter
+    byte + filtered bytes per row).  Shared by the sequential path and
+    each Adam7 pass (every pass filters independently per spec)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
     h, w, ch = px.shape
-    plte = b""
-    if color_type == 3:
-        if palette is None or not (1 <= len(palette) <= 256):
-            raise ValueError("color_type 3 needs a 1..256-entry palette")
-        if ch != 1:
-            raise ValueError(f"color_type 3 expects 1 index channel, got {ch}")
-        if int(px.max(initial=0)) >= len(palette):
-            raise ValueError("palette index out of range")
-        plte = _png_chunk(
-            b"PLTE", b"".join(bytes(entry) for entry in palette)
-        )
-    elif _PNG_CHANNELS.get(color_type) != ch:
-        raise ValueError(f"color_type {color_type} expects {_PNG_CHANNELS.get(color_type)} channels, got {ch}")
     bpp = ch  # bytes per pixel at depth 8
     raw = bytearray()
     prev = np.zeros(w * ch, dtype=np.int32)
@@ -331,7 +315,54 @@ def png_encode(pixels, *, color_type: int = 2, filters=None, palette=None) -> by
         raw.append(f)
         raw.extend(out.astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return raw
+
+
+def png_encode(
+    pixels, *, color_type: int = 2, filters=None, palette=None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
+    PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8.
+    ``filters`` optionally gives the per-row filter type (0..4); default
+    cycles rows through all five so a round-trip exercises every
+    unfilter path.  ``color_type=3`` (round 9) writes an indexed-color
+    image: ``pixels`` holds palette INDICES (one channel) and
+    ``palette`` the ``[(r, g, b), ...]`` table emitted as PLTE.
+    ``interlace=True`` (round 9) writes the Adam7 seven-pass layout —
+    each pass an independently filtered sub-image, per spec 8.5.2.
+    Pure stdlib (struct + zlib)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    plte = b""
+    if color_type == 3:
+        if palette is None or not (1 <= len(palette) <= 256):
+            raise ValueError("color_type 3 needs a 1..256-entry palette")
+        if ch != 1:
+            raise ValueError(f"color_type 3 expects 1 index channel, got {ch}")
+        if int(px.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        plte = _png_chunk(
+            b"PLTE", b"".join(bytes(entry) for entry in palette)
+        )
+    elif _PNG_CHANNELS.get(color_type) != ch:
+        raise ValueError(f"color_type {color_type} expects {_PNG_CHANNELS.get(color_type)} channels, got {ch}")
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _png_filter_image(sub, filters)
+    else:
+        raw = _png_filter_image(px, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -346,9 +377,11 @@ def png_decode(payload: bytes):
     zlib inflate of the concatenated IDAT stream, and per-row unfilter
     of all five PNG filter types.  Supports bit depth 8, color types
     0/2/3/4/6 (gray, RGB, PALETTE — round 9, indices mapped through
-    PLTE to an RGB output — gray+alpha, RGBA), non-interlaced;
-    interlaced (Adam7) images raise ``NotImplementedError``.
-    Returns an ``(h, w, channels)`` uint8 numpy array.
+    PLTE to an RGB output — gray+alpha, RGBA), sequential AND Adam7
+    interlaced (round 9: each of the seven passes unfilters as its own
+    sub-image and scatters onto the pixel grid — PNG scope is now
+    complete for depth 8).  Returns an ``(h, w, channels)`` uint8 numpy
+    array.
 
     The per-row Sub/Average/Paeth unfilter is an inherently sequential
     scan in x (each byte needs the reconstructed byte ``bpp`` to its
@@ -391,22 +424,63 @@ def png_decode(payload: bytes):
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8 or (color_type != 3 and color_type not in _PNG_CHANNELS):
         raise NotImplementedError(f"PNG depth={depth} color_type={color_type} not supported")
-    if interlace:
-        raise NotImplementedError("interlaced PNG decode not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
-    bpp = ch
     raw = zlib.decompress(bytes(idat))
+    if interlace == 1:  # Adam7: each pass an independent filtered image
+        px = np.empty((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            if ph == 0 or pw == 0:
+                continue
+            sub, off = _png_unfilter_image(raw, off, ph, pw, ch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if off != len(raw):
+            raise ValueError(
+                f"PNG interlaced stream {len(raw)} != consumed {off}"
+            )
+    else:
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG raw stream {len(raw)} != expected {h * (stride + 1)}"
+            )
+        out, _ = _png_unfilter_image(raw, 0, h, w, ch)
+        px = out.reshape(h, w, ch)
+    if color_type == 3:
+        if int(px.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of PLTE range")
+        px = plte[px[:, :, 0].astype(np.int64)]
+    return px
+
+
+def _png_unfilter_image(raw, offset: int, h: int, w: int, ch: int):
+    """Unfilter one (sub)image's scanlines starting at ``offset`` in the
+    inflated stream; returns ``((h, w*ch) uint8 array, next offset)``.
+    Shared by the sequential path and each Adam7 pass.
+
+    The per-row Sub/Average/Paeth unfilter is an inherently sequential
+    scan in x (each byte needs the reconstructed byte ``bpp`` to its
+    left); row lengths are image-width-bounded so this is O(pixels)
+    like any codec."""
+    import numpy as np
+
+    bpp = ch
     stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"PNG raw stream {len(raw)} != expected {h * (stride + 1)}")
+    if len(raw) < offset + h * (stride + 1):
+        raise ValueError("PNG raw stream truncated")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for r in range(h):
-        f = raw[r * (stride + 1)]
+        base = offset + r * (stride + 1)
+        f = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if f == 0:
             rec = line
@@ -427,12 +501,7 @@ def png_decode(payload: bytes):
             raise ValueError(f"bad PNG filter byte {f}")
         out[r] = rec.astype(np.uint8)
         prev = rec
-    px = out.reshape(h, w, ch)
-    if color_type == 3:
-        if int(px.max(initial=0)) >= len(plte):
-            raise ValueError("palette index out of PLTE range")
-        px = plte[px[:, :, 0].astype(np.int64)]
-    return px
+    return out, offset + h * (stride + 1)
 
 
 def bmp_decode(payload: bytes):
@@ -470,14 +539,14 @@ def decode_image(payload: bytes):
 
     REAL pure-stdlib decode paths (no codec library): PNG (zlib inflate
     + all five unfilter types, depth-8 gray/RGB/GA/RGBA AND
-    indexed-color PLTE), uncompressed 24-bit BMP, GIF (the full
-    variable-width LZW decoder incl. CLEAR resets and the KwKwK case,
-    interlaced or not), and baseline sequential JPEG — grayscale AND
-    4:4:4 YCbCr color (generic canonical-Huffman entropy decode,
-    dequantize, float IDCT, BT.601 color transform).  Only JPEG
-    features outside that pinned scope (progressive scans,
-    chroma-SUBSAMPLED color) still fall back to a codec library, with
-    the missing feature named in the error.
+    indexed-color PLTE, sequential AND Adam7 interlaced), uncompressed
+    24-bit BMP, GIF (the full variable-width LZW decoder incl. CLEAR
+    resets and the KwKwK case, interlaced or not), and baseline
+    sequential JPEG — grayscale AND 4:4:4 YCbCr color (generic
+    canonical-Huffman entropy decode, dequantize, float IDCT, BT.601
+    color transform).  Only JPEG features outside that pinned scope
+    (progressive scans, chroma-SUBSAMPLED color) still fall back to a
+    codec library, with the missing feature named in the error.
     """
     hdr = parse_image_header(payload)
     if hdr is not None and hdr[0] == "png":
@@ -1708,6 +1777,38 @@ def synthesize_gif_interlaced(documents: DataFrame) -> DataFrame:
                 j = np.arange(w * h, dtype=np.int64)
                 idx = ((m * 13 + j * 5) % GIF_PALETTE_SIZE).tolist()
                 rows.append(gif_encode(idx, w, h, interlace=True))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_png_interlaced(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL Adam7-INTERLACED RGB PNG per document id: the
+    same byte formula as ``synthesize_png`` (byte ``j`` of media ``m``
+    is ``(m*31 + j*7) % 256``) stored as seven independently filtered
+    passes — the decoder must unfilter every pass and scatter it onto
+    the right grid positions to reproduce the row-major closed form."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((m * 31 + j * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+                rows.append(png_encode(px, color_type=2, interlace=True))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -632,3 +632,49 @@ def q_multimodal_gif_interlaced_decode(spark: SparkSession, sf_dir: str) -> Data
 
     media = synthesize_gif_interlaced(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Adam7-INTERLACED PNG decode — the last PNG scope gap:
+# seven independently filtered passes scattered back onto the pixel
+# grid; the order-sensitive px_dot only matches if every pass's
+# unfilter AND its grid placement are exactly right.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_interlaced_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+         CAST(3 + doc_id % 17 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j, (media_id * 31 + j * 7) % 256 AS v
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS t(j)
+)
+SELECT media_id,
+  'png' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib Adam7-interlaced PNG decode: seven independently "
+    "filtered passes unfiltered and scattered back to the row-major "
+    "grid; the closed-form byte stream only matches if every pass "
+    "boundary, sub-image unfilter, and grid placement is exact",
+)
+def q_multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_png_interlaced,
+    )
+
+    media = synthesize_png_interlaced(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

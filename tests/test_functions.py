@@ -2138,3 +2138,36 @@ def test_gif_interlaced_codec_matches_plain_rows():
     )
     # interlace row order itself (spec appendix E)
     assert multimodal._gif_interlace_rows(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+
+
+def test_png_adam7_interlaced_roundtrip_all_types_dims_filters():
+    rng = np.random.RandomState(9)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for h, w in [(17, 29), (8, 8), (1, 1), (3, 5), (7, 2), (2, 13)]:
+            px = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+            blob = multimodal.png_encode(px, color_type=ct, interlace=True)
+            assert np.array_equal(multimodal.png_decode(blob), px), (ct, h, w)
+    # every filter type through every pass; palette + interlace combined
+    for f in range(5):
+        px = rng.randint(0, 256, size=(11, 9, 3), dtype=np.uint8)
+        assert np.array_equal(
+            multimodal.png_decode(
+                multimodal.png_encode(px, interlace=True, filters=[f])
+            ),
+            px,
+        ), f
+    pal = [
+        ((i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256)
+        for i in range(16)
+    ]
+    idx = rng.randint(0, 16, size=(13, 21), dtype=np.uint8)
+    exp = np.array(pal, dtype=np.uint8)[idx.astype(np.int64)]
+    blob = multimodal.png_encode(
+        idx, color_type=3, palette=pal, interlace=True
+    )
+    assert np.array_equal(multimodal.png_decode(blob), exp)
+    # interlaced stream genuinely differs from the sequential layout
+    px = rng.randint(0, 256, size=(9, 9, 3), dtype=np.uint8)
+    assert multimodal.png_encode(px) != multimodal.png_encode(
+        px, interlace=True
+    )
