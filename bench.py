@@ -213,6 +213,7 @@ HEADLINE = [
     "multimodal_png_palette_decode",
     "multimodal_gif_interlaced_decode",
     "multimodal_png_interlaced_decode",
+    "multimodal_jpeg_420_decode",
 ]
 
 

@@ -8,8 +8,8 @@ Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
 inflate + all five unfilters, truecolor AND indexed/PLTE), uncompressed
 BMP, GIF (full variable-width LZW, interlaced or not), and baseline
 JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 YCbCr color).  The
-remaining out-of-scope features — progressive / chroma-subsampled /
-4-component JPEG, non-depth-8 PNG — raise ``NotImplementedError``
+remaining out-of-scope features — progressive / 4:2:2 / 4-component
+JPEG, non-depth-8 PNG — raise ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -42,10 +42,12 @@ __all__ = [
     "gif_decode",
     "jpeg_encode_gray",
     "jpeg_encode_ycbcr",
+    "jpeg_encode_ycbcr_420",
     "jpeg_decode",
     "jpeg_decode_gray",
     "synthesize_jpeg_decodable",
     "synthesize_jpeg_color",
+    "synthesize_jpeg_color_420",
     "gif_palette",
     "synthesize_gif",
     "synthesize_gif_interlaced",
@@ -542,11 +544,12 @@ def decode_image(payload: bytes):
     indexed-color PLTE, sequential AND Adam7 interlaced), uncompressed
     24-bit BMP, GIF (the full variable-width LZW decoder incl. CLEAR
     resets and the KwKwK case, interlaced or not), and baseline
-    sequential JPEG — grayscale AND 4:4:4 YCbCr color (generic
-    canonical-Huffman entropy decode, dequantize, float IDCT, BT.601
-    color transform).  Only JPEG features outside that pinned scope
-    (progressive scans, chroma-SUBSAMPLED color) still fall back to a
-    codec library, with the missing feature named in the error.
+    sequential JPEG — grayscale, 4:4:4 YCbCr color AND 4:2:0 subsampled
+    color (generic canonical-Huffman entropy decode, dequantize, float
+    IDCT, 2x2 chroma replication, BT.601 color transform).  Only JPEG
+    features outside that pinned scope (progressive scans, 4:2:2,
+    4-component) still fall back to a codec library, with the missing
+    feature named in the error.
     """
     hdr = parse_image_header(payload)
     if hdr is not None and hdr[0] == "png":
@@ -1404,6 +1407,57 @@ def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
     return bytes(out)
 
 
+def jpeg_encode_ycbcr_420(coeffs, width: int, height: int, qtable=None) -> bytes:
+    """Encode a 4:2:0 CHROMA-SUBSAMPLED color baseline JPEG from
+    QUANTIZED DCT coefficients: ``coeffs`` is a list of per-MCU tuples
+    ``(y_blocks, blk_cb, blk_cr)`` where ``y_blocks`` is a 4-tuple of
+    64-element zig-zag blocks in raster order (a 4:2:0 MCU covers a
+    16x16 luma area: four Y blocks + one Cb + one Cr at half
+    resolution).  Same single quant table / Annex-K Huffman pair /
+    per-component DC predictors as ``jpeg_encode_ycbcr``.
+    ``width``/``height`` must be multiples of 16."""
+    import struct
+
+    if width % 16 or height % 16:
+        raise ValueError("width/height must be multiples of 16 at 4:2:0")
+    n_mcus = (width // 16) * (height // 16)
+    if len(coeffs) != n_mcus:
+        raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x22, 0])  # Y: 2x2 sampling
+    out += bytes([2, 0x11, 0])  # Cb
+    out += bytes([3, 0x11, 0])  # Cr
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriterMSB()
+    prev = [0, 0, 0]
+    for mcu in coeffs:
+        y_blocks, cb_blk, cr_blk = mcu
+        if len(y_blocks) != 4:
+            raise ValueError("a 4:2:0 MCU needs exactly 4 Y blocks")
+        for blk in y_blocks:
+            prev[0] = _encode_block(w, blk, prev[0], dc_codes, ac_codes)
+        prev[1] = _encode_block(w, cb_blk, prev[1], dc_codes, ac_codes)
+        prev[2] = _encode_block(w, cr_blk, prev[2], dc_codes, ac_codes)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReaderMSB:
     """JPEG entropy bit reader: MSB-first with 0xFF00 unstuffing; a bare
     0xFF followed by a marker ends the scan."""
@@ -1511,11 +1565,18 @@ def jpeg_decode(payload: bytes):
             comps = []
             for ci in range(nc):
                 cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        "chroma-subsampled JPEG not supported — 4:4:4 only"
-                    )
-                comps.append((cid, tq))
+                comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
+            samplings = [(hs, vs) for _, hs, vs, _ in comps]
+            if nc == 1 and samplings != [(1, 1)]:
+                raise NotImplementedError("sampled grayscale not supported")
+            if nc == 3 and samplings not in (
+                [(1, 1)] * 3,  # 4:4:4
+                [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+            ):
+                raise NotImplementedError(
+                    f"chroma sampling {samplings} not supported — "
+                    "4:4:4 or 4:2:0 only"
+                )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1530,25 +1591,33 @@ def jpeg_decode(payload: bytes):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) JPEG not supported"
                 )
-            # scan-order component tables, matched to the frame by id
-            by_id = {cid: tq for cid, tq in comps}
-            comp_tables = []
+            # scan-order component specs, matched to the frame by id
+            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            comp_specs = []
             for ci in range(ns):
                 cid = body[1 + 2 * ci]
                 tsel = body[2 + 2 * ci]
                 td, ta = tsel >> 4, tsel & 0x0F
-                comp_tables.append(
-                    (qtables[by_id[cid]], dc_tables[td], ac_tables[ta])
+                hs, vs, tq = by_id[cid]
+                comp_specs.append(
+                    (qtables[tq], dc_tables[td], ac_tables[ta], hs, vs)
                 )
             scan_start = i + 2 + seg_len
             planes = _jpeg_decode_scan(
-                payload, scan_start, h, w, comp_tables
+                payload, scan_start, h, w, comp_specs
             )
             if ns == 1:
                 return planes[0][:, :, None]
             y = planes[0].astype(np.float64)
             cb = planes[1].astype(np.float64)
             cr = planes[2].astype(np.float64)
+            if cb.shape != y.shape:  # 4:2:0 -> 2x2 nearest upsampling
+                # the spec leaves chroma upsampling to the decoder;
+                # pixel replication is spec-legal, exact in integers,
+                # and hence replayable closed-form by the SQL oracle
+                ry, rx = y.shape[0] // cb.shape[0], y.shape[1] // cb.shape[1]
+                cb = cb.repeat(ry, axis=0).repeat(rx, axis=1)
+                cr = cr.repeat(ry, axis=0).repeat(rx, axis=1)
             # BT.601/JFIF; floor(x + 0.5) so the SQL oracle reproduces
             # the exact bytes (correctly-rounded double ops, same order)
             r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
@@ -1577,14 +1646,18 @@ def _idct_basis():
     return c * scale[None, :]  # B[x, u] = C(u)/2 * cos((2x+1)u*pi/16)
 
 
-def _jpeg_decode_scan(data, pos, h, w, comp_tables):
-    """Interleaved baseline scan at 4:4:4: each MCU is one 8x8 block per
-    component in scan order; every component keeps its own DC
-    predictor.  ``comp_tables`` is ``[(qtable, dc_table, ac_table)]``
-    in scan order; returns one ``(h, w)`` uint8 plane per component."""
+def _jpeg_decode_scan(data, pos, h, w, comp_specs):
+    """Interleaved baseline scan with per-component sampling factors:
+    each MCU carries ``hs x vs`` 8x8 blocks per component in raster
+    order (spec A.2.3); every component keeps its own DC predictor.
+    ``comp_specs`` is ``[(qtable, dc_table, ac_table, hs, vs)]`` in
+    scan order; returns one ``(h*vs/Vmax, w*hs/Hmax)`` uint8 plane per
+    component (chroma planes come back at their stored resolution)."""
     import numpy as np
 
-    if h % 8 or w % 8:
+    hmax = max(hs for _, _, _, hs, _ in comp_specs)
+    vmax = max(vs for _, _, _, _, vs in comp_specs)
+    if h % (8 * vmax) or w % (8 * hmax):
         raise NotImplementedError("partial-MCU dimensions not supported")
     reader = _BitReaderMSB(data, pos)
 
@@ -1598,43 +1671,52 @@ def _jpeg_decode_scan(data, pos, h, w, comp_tables):
                 return sym
         raise ValueError("invalid Huffman code in scan")
 
-    nc = len(comp_tables)
-    qs = [np.array(q, dtype=np.float64) for q, _, _ in comp_tables]
+    nc = len(comp_specs)
+    qs = [np.array(q, dtype=np.float64) for q, _, _, _, _ in comp_specs]
     basis = _idct_basis()
-    planes = [np.empty((h, w), dtype=np.uint8) for _ in range(nc)]
+    planes = [
+        np.empty((h * vs // vmax, w * hs // hmax), dtype=np.uint8)
+        for _, _, _, hs, vs in comp_specs
+    ]
     prev_dc = [0] * nc
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci in range(nc):
-                _, dc_table, ac_table = comp_tables[ci]
-                zz = np.zeros(64, dtype=np.float64)
-                s = read_symbol(dc_table)
-                diff = _extend(reader.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_table)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"bad AC symbol 0x{sym:02x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    zz[k] = _extend(reader.bits(size), size)
-                    k += 1
-                zz *= qs[ci]
-                block = np.zeros((8, 8), dtype=np.float64)
-                block.flat[_ZIGZAG] = zz  # natural position of zz index k
-                px = basis @ block @ basis.T
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
-                )
+
+    def decode_block(ci):
+        _, dc_table, ac_table, _, _ = comp_specs[ci]
+        zz = np.zeros(64, dtype=np.float64)
+        s = read_symbol(dc_table)
+        diff = _extend(reader.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_table)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError(f"bad AC symbol 0x{sym:02x}")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+        zz *= qs[ci]
+        block = np.zeros((8, 8), dtype=np.float64)
+        block.flat[_ZIGZAG] = zz  # natural position of zz index k
+        px = basis @ block @ basis.T
+        return np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+
+    for my in range(h // (8 * vmax)):
+        for mx in range(w // (8 * hmax)):
+            for ci, (_, _, _, hs, vs) in enumerate(comp_specs):
+                for by in range(vs):
+                    for bx in range(hs):
+                        py = (my * vs + by) * 8
+                        px_ = (mx * hs + bx) * 8
+                        planes[ci][py : py + 8, px_ : px_ + 8] = decode_block(ci)
     return planes
 
 
@@ -1809,6 +1891,50 @@ def synthesize_png_interlaced(documents: DataFrame) -> DataFrame:
                 j = np.arange(w * h * 3, dtype=np.int64)
                 px = ((m * 31 + j * 7) % 256).astype(np.uint8).reshape(h, w, 3)
                 rows.append(png_encode(px, color_type=2, interlace=True))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_color_420(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable 4:2:0 CHROMA-SUBSAMPLED color
+    baseline JPEG per document id: DC-only blocks per component — Y
+    sub-block ``s`` (raster order) of MCU ``k`` carries
+    ``((m + 13*(4k+s)) % 64) - 32``, chroma per MCU as in the 4:4:4
+    synthesizer — so with flat quant 16 the decoded planes are exact
+    integers and the nearest-upsampled chroma is constant per 16x16
+    MCU: every RGB byte is closed-form for the oracle.
+    ``width = 16*(1 + m%3)``, ``height = 16*(1 + m%2)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 16 * (1 + m % 3), 16 * (1 + m % 2)
+                nm = (w // 16) * (h // 16)
+                mcus = []
+                for k in range(nm):
+                    ys = []
+                    for s in range(4):
+                        blk = [0] * 64
+                        blk[0] = ((m + 13 * (4 * k + s)) % 64) - 32
+                        ys.append(blk)
+                    cb = [0] * 64
+                    cb[0] = ((2 * m + 7 * k) % 64) - 32
+                    cr = [0] * 64
+                    cr[0] = ((3 * m + 5 * k) % 64) - 32
+                    mcus.append((tuple(ys), cb, cr))
+                rows.append(jpeg_encode_ycbcr_420(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -204,29 +204,34 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    # a 4:2:0-SUBSAMPLED 3-component frame is rejected as unsupported
-    # (round 9 widened color support to 4:4:4 only)
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
+    # a 4:2:2-SUBSAMPLED 3-component frame is rejected as unsupported
+    # (round 9 supports 4:4:4 and 4:2:0 only)
+    sof_422 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_422 + b"\xff\xd9")
     # a header-only GRAYSCALE stream is malformed, not unsupported
     sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode_gray(b"\xff\xd8" + app0 + sof_gray + b"\xff\xd9")
-    # ... and so is a header-only 4:4:4 COLOR stream (in scope now)
+    # ... and so are header-only 4:4:4 AND 4:2:0 streams (in scope now)
     sof_444 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_444 + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scan"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
     # a 4-component (CMYK-style) frame stays out of scope by count
     sof_cmyk = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
         [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
     )
     with pytest.raises(NotImplementedError, match="4-component"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk + b"\xff\xd9")
-    # subsampled color is outside the pinned scope end-to-end ->
+    # 4:2:2 color is outside the pinned scope end-to-end ->
     # NotImplementedError naming it (via the PIL fallback when absent)
     try:
         import PIL  # noqa: F401
@@ -238,7 +243,7 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
         [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
     )
     with pytest.raises(NotImplementedError, match="color"):
-        multimodal.decode_image(b"\xff\xd8" + app0 + sof0 + sos + b"\xff\xd9")
+        multimodal.decode_image(b"\xff\xd8" + app0 + sof_422 + sos + b"\xff\xd9")
 
 
 def test_jpeg_codec_dc_only_exact_and_ac_reference():
@@ -2171,3 +2176,68 @@ def test_png_adam7_interlaced_roundtrip_all_types_dims_filters():
     assert multimodal.png_encode(px) != multimodal.png_encode(
         px, interlace=True
     )
+
+
+def test_jpeg_420_codec_dc_only_exact_and_scope():
+    from polars_trading_spark.functions.multimodal import (
+        decode_image,
+        jpeg_decode,
+        jpeg_encode_ycbcr_420,
+    )
+
+    m, w, h = 23, 32, 16
+    nm = (w // 16) * (h // 16)
+    mcus = []
+    for k in range(nm):
+        ys = []
+        for s in range(4):
+            blk = [0] * 64
+            blk[0] = ((m + 13 * (4 * k + s)) % 64) - 32
+            ys.append(blk)
+        cb = [0] * 64
+        cb[0] = ((2 * m + 7 * k) % 64) - 32
+        cr = [0] * 64
+        cr[0] = ((3 * m + 5 * k) % 64) - 32
+        mcus.append((tuple(ys), cb, cr))
+    fmt, ww, hh, px = decode_image(jpeg_encode_ycbcr_420(mcus, w, h))
+    assert (fmt, ww, hh) == ("jpeg", w, h)
+    assert px.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            k = (y // 16) * (w // 16) + x // 16
+            s = ((y % 16) // 8) * 2 + (x % 16) // 8
+            Y = 2 * ((m + 13 * (4 * k + s)) % 64) + 64
+            Cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            Cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            want = np.clip(
+                [
+                    np.floor(Y + 1.402 * (Cr - 128.0) + 0.5),
+                    np.floor(
+                        Y
+                        - 0.344136 * (Cb - 128.0)
+                        - 0.714136 * (Cr - 128.0)
+                        + 0.5
+                    ),
+                    np.floor(Y + 1.772 * (Cb - 128.0) + 0.5),
+                ],
+                0,
+                255,
+            )
+            assert (px[y, x] == want).all(), (y, x)
+    # the four Y sub-blocks really land in their own quadrants: with
+    # distinct DCs the luma changes across the 8-pixel boundary
+    k0y = [2 * ((m + 13 * s) % 64) + 64 for s in range(4)]
+    assert len(set(k0y)) == 4
+    # validation + remaining pinned scope
+    with pytest.raises(ValueError):
+        jpeg_encode_ycbcr_420(mcus, 24, 16)  # not a multiple of 16
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(
+        ">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0
+    )
+    sof_422 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3) + bytes(
+        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
+        jpeg_decode(b"\xff\xd8" + app0 + sof_422 + b"\xff\xd9")
