@@ -121,4 +121,31 @@ _ROUND9_FRONT = [
     "hawkes_intensity", "interval_join_events", "ks_drift",
 ]
 
+# Round-10 rotation, PRE-COMPUTED from CORRECTNESS_r01-r08 latest-round
+# history plus the round-9 gate (activate at the START of round 10:
+# define _ROUND10_FRONT with the list below, switch the call, update
+# tests/test_registry_order.py's window list, regenerate
+# oracles/MANIFEST.txt).  Front = the 12 round-9 registrations (never
+# driver-checked):
+#   walk_forward, walk_forward_rolling, spread_band_backtest_net,
+#   rank_portfolio_net, lsh_power_curve, contamination_report,
+#   benchmark_coverage, multimodal_jpeg_color_decode,
+#   multimodal_png_palette_decode, multimodal_gif_interlaced_decode,
+#   multimodal_png_interlaced_decode, multimodal_jpeg_420_decode;
+# backfill = the 38 stalest names (latest driver row r6 alphabetical
+# from multimodal_bmp_metadata, then r7 alphabetical):
+#   multimodal_bmp_metadata, multimodal_jpeg_metadata, ngram_novelty,
+#   pack_sequences, permutation_entropy, pmi_cooccurrence,
+#   reading_ease, rsi, sadf, sample_weights, similarity_topk,
+#   similarity_topk_ivf_kmeans, tick_bars, tick_quality, time_bars,
+#   time_bars_compound_duration, triple_barrier, triple_barrier_meta,
+#   universe_summary, upsample_ffill, vertical_barrier, volume_bars,
+#   vwap_slippage, winnow_dup_pairs, winnow_fingerprints, zipf_fit,
+#   ann_recall, bar_volatility, centroid_similarity,
+#   cluster_representatives, cointegration, corpus_filter,
+#   corpus_split, corpus_stats, corwin_schultz, cpcv_assign,
+#   csw_explosiveness, dedup_clusters.
+# (Remaining r7-latest names, from dedup_embedding_cosine, rotate in
+# round 11, together with any round-10 registrations.)
+
 _rotate_front(_ROUND9_FRONT)
