@@ -214,6 +214,7 @@ HEADLINE = [
     "multimodal_gif_interlaced_decode",
     "multimodal_png_interlaced_decode",
     "multimodal_jpeg_420_decode",
+    "spread_band_tearsheet",
 ]
 
 

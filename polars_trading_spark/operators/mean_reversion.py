@@ -34,6 +34,7 @@ __all__ = [
     "ou_fit",
     "spread_band_backtest",
     "spread_band_backtest_net",
+    "spread_band_tearsheet",
     "spread_zscore_signal",
 ]
 
@@ -482,4 +483,100 @@ def spread_band_backtest_net(
         "pnl",
         cost.alias("cost"),
         (F.coalesce(F.col("pnl"), F.lit(0.0)) - cost).alias("net_pnl"),
+    )
+
+
+def spread_band_tearsheet(
+    bars: DataFrame,
+    *,
+    entry_z: float = 2.0,
+    exit_z: float = 0.5,
+    window: int = 50,
+    cs_window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+    use_log: bool = True,
+    coef_round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-pair gross-vs-net TEARSHEET of the cost-aware band backtest —
+    the one-row-per-strategy summary a desk reads before anything else:
+    did costs eat the edge?
+
+    Per (sym_a, sym_b): ``n_bars, n_trades, gross_pnl, total_cost,
+    net_pnl, gross_sharpe, net_sharpe`` (per-bar mean/std over bars
+    with a defined P&L — unannualized; multiply by sqrt(bars/yr)
+    downstream) and ``max_drawdown`` (most negative excursion of the
+    running NET equity curve from its running peak, in spread units,
+    <= 0).
+
+    Float discipline: every sum that fans into a ratio folds as an
+    ORDERED running window over the pair's bar sequence read at its
+    last row (the SCALING float-association rule); the drawdown stages
+    the running equity, then its running peak, then the excursion —
+    window results become real columns before the next window consumes
+    them (the nested-window restriction on both engines).
+
+    Shape: the net backtest's plan plus one window family per pair —
+    no new joins, no Python.
+    """
+    net = spread_band_backtest_net(
+        bars,
+        entry_z=entry_z,
+        exit_z=exit_z,
+        window=window,
+        cs_window=cs_window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+        high_col=high_col,
+        low_col=low_col,
+        use_log=use_log,
+        coef_round_digits=coef_round_digits,
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g = F.coalesce(F.col("pnl"), F.lit(0.0))
+    nv = F.col("net_pnl")
+    t2 = net.select(
+        "sym_a",
+        "sym_b",
+        F.col(ts_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(full).alias("__cnt"),
+        F.sum(F.col("pnl").isNotNull().cast("long")).over(full).alias("__np"),
+        F.sum(F.col("traded").cast("long")).over(full).alias("__ntr"),
+        F.sum(g).over(run).alias("__sg"),
+        F.sum(g * g).over(run).alias("__sg2"),
+        F.sum(nv).over(run).alias("__sn"),
+        F.sum(nv * nv).over(run).alias("__sn2"),
+        F.sum(F.col("cost")).over(run).alias("__sc"),
+    )
+    t3 = t2.withColumn("__peak", F.max("__sn").over(run))
+    t4 = t3.withColumn("__dd", F.col("__sn") - F.col("__peak"))
+    t5 = t4.withColumn("__mdd", F.min("__dd").over(full))
+    last = t5.where(F.col("__rn") == F.col("__cnt"))
+
+    def sharpe(s, s2):
+        n = F.col("__np").cast("double")
+        var = (s2 - s * s / n) / (n - 1)
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        return F.when(
+            (F.col("__np") >= 2) & (sd > 0), (s / n) / sd
+        )
+
+    return last.select(
+        "sym_a",
+        "sym_b",
+        F.col("__cnt").cast("long").alias("n_bars"),
+        F.col("__ntr").cast("long").alias("n_trades"),
+        F.col("__sg").alias("gross_pnl"),
+        F.col("__sc").alias("total_cost"),
+        F.col("__sn").alias("net_pnl"),
+        sharpe(F.col("__sg"), F.col("__sg2")).alias("gross_sharpe"),
+        sharpe(F.col("__sn"), F.col("__sn2")).alias("net_sharpe"),
+        F.col("__mdd").alias("max_drawdown"),
     )

@@ -1089,11 +1089,10 @@ _SBN_CS_W = 20
 _SBN_DEN = 3.0 - 2.0 * (2.0**0.5)
 _SBN_C1 = 2.0**0.5 - 1.0
 
-
-@register(
-    "spread_band_backtest_net",
-    f"""
-WITH
+# Full cost-aware chain (band CTEs + CS estimator + per-bar net P&L
+# in `fin`) shared by spread_band_backtest_net and the per-pair
+# tearsheet below.
+_SBN_CTES = f"""
 {_SB_CTES},
 cs_terms AS (
   SELECT symbol, ts,
@@ -1135,7 +1134,14 @@ fin AS (
   LEFT JOIN cs ca ON f.sym_a = ca.symbol AND f.ts = ca.ts
   LEFT JOIN cs cb ON f.sym_b = cb.symbol AND f.ts = cb.ts
   WINDOW w2 AS (PARTITION BY f.sym_a, f.sym_b ORDER BY f.ts)
-)
+)"""
+
+
+@register(
+    "spread_band_backtest_net",
+    f"""
+WITH
+{_SBN_CTES}
 SELECT sym_a, sym_b, ts,
   beta + 0 AS beta,
   round(spread, 6) + 0 AS spread,
@@ -1176,4 +1182,97 @@ def q_spread_band_backtest_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("pnl", 6) + z0).alias("pnl"),
         (F.round("cost", 6) + z0).alias("cost"),
         (F.round("net_pnl", 6) + z0).alias("net_pnl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). Per-pair gross-vs-net tearsheet (operators/
+# mean_reversion.py::spread_band_tearsheet) — the one-row strategy
+# summary over the cost-aware band backtest: ordered-fold sums feeding
+# Sharpes, staged running-equity/peak/excursion drawdown.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "spread_band_tearsheet",
+    f"""
+WITH
+{_SBN_CTES},
+t1 AS (
+  SELECT sym_a, sym_b, ts,
+    coalesce(pnl, 0.0) AS g,
+    CASE WHEN pnl IS NOT NULL THEN 1 ELSE 0 END AS has,
+    coalesce(pnl, 0.0) - cost AS nv,
+    cost AS c,
+    CASE WHEN traded THEN 1 ELSE 0 END AS tr
+  FROM fin
+),
+t2 AS (
+  SELECT sym_a, sym_b, ts,
+    row_number() OVER w AS rn,
+    count(*) OVER pw AS cnt,
+    sum(has) OVER pw AS np,
+    sum(tr) OVER pw AS ntr,
+    sum(g) OVER rw AS sg,
+    sum(g*g) OVER rw AS sg2,
+    sum(nv) OVER rw AS sn,
+    sum(nv*nv) OVER rw AS sn2,
+    sum(c) OVER rw AS sc
+  FROM t1
+  WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY ts),
+         rw AS (PARTITION BY sym_a, sym_b ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         pw AS (PARTITION BY sym_a, sym_b)
+),
+t3 AS (
+  SELECT *, max(sn) OVER (PARTITION BY sym_a, sym_b ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM t2
+),
+t4 AS (SELECT *, sn - peak AS dd FROM t3),
+t5 AS (
+  SELECT *, min(dd) OVER (PARTITION BY sym_a, sym_b) AS mdd FROM t4
+)
+SELECT sym_a, sym_b,
+  CAST(cnt AS BIGINT) AS n_bars,
+  CAST(ntr AS BIGINT) AS n_trades,
+  round(sg, 6) + 0 AS gross_pnl,
+  round(sc, 6) + 0 AS total_cost,
+  round(sn, 6) + 0 AS net_pnl,
+  CASE WHEN np >= 2 AND sqrt(greatest((sg2 - sg*sg/np) / (np - 1), 0.0)) > 0
+       THEN round((sg/np) / sqrt(greatest((sg2 - sg*sg/np) / (np - 1), 0.0)), 6) + 0
+  END AS gross_sharpe,
+  CASE WHEN np >= 2 AND sqrt(greatest((sn2 - sn*sn/np) / (np - 1), 0.0)) > 0
+       THEN round((sn/np) / sqrt(greatest((sn2 - sn*sn/np) / (np - 1), 0.0)), 6) + 0
+  END AS net_sharpe,
+  round(mdd, 6) + 0 AS max_drawdown
+FROM t5 WHERE rn = cnt
+""",
+    "Per-pair gross-vs-net tearsheet of the cost-aware band backtest: "
+    "trade counts, P&L/cost totals, per-bar Sharpes and the net equity "
+    "curve's max drawdown — did costs eat the edge, one row per pair",
+)
+def q_spread_band_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.mean_reversion import (
+        spread_band_tearsheet,
+    )
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = spread_band_tearsheet(
+        bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
+        cs_window=_SBN_CS_W, ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "sym_a",
+        "sym_b",
+        "n_bars",
+        "n_trades",
+        (F.round("gross_pnl", 6) + z0).alias("gross_pnl"),
+        (F.round("total_cost", 6) + z0).alias("total_cost"),
+        (F.round("net_pnl", 6) + z0).alias("net_pnl"),
+        (F.round("gross_sharpe", 6) + z0).alias("gross_sharpe"),
+        (F.round("net_sharpe", 6) + z0).alias("net_sharpe"),
+        (F.round("max_drawdown", 6) + z0).alias("max_drawdown"),
     )

@@ -492,3 +492,65 @@ def test_rank_portfolio_net_cost_invariants(spark):
         want_net = (r["pnl"] if r["pnl"] is not None else 0.0) - r["cost"]
         assert r["net_pnl"] == pytest.approx(want_net, abs=1e-12)
     assert n_nonzero > 10  # the tape actually rebalances
+
+
+def test_spread_band_tearsheet_matches_per_bar_recomputation(spark):
+    """The one-row summary equals a pandas recomputation over the
+    per-bar net backtest output: ordered sums, non-null-bar Sharpes,
+    running-peak drawdown of the net equity curve."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.mean_reversion import (
+        spread_band_backtest_net,
+        spread_band_tearsheet,
+    )
+
+    base = dt.datetime(2024, 1, 2)
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(400):
+        ts = base + dt.timedelta(minutes=15 * i)
+        osc = 0.06 * np.sin(i / 17.0) + 0.002 * rng.normal()
+        ca = float(100.0 * np.exp(osc))
+        cb = float(50.0 * np.exp(0.0005 * i))
+        rows.append(("A", ts, ca, ca * 1.004, ca * 0.996))
+        rows.append(("B", ts, cb, cb * 1.002, cb * 0.998))
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    kw = dict(entry_z=2.0, exit_z=0.5, window=50, cs_window=20,
+              ts_col="ts_event")
+    per_bar = (
+        spread_band_backtest_net(bars, **kw)
+        .toPandas()
+        .sort_values("ts_event")
+        .reset_index(drop=True)
+    )
+    out = spread_band_tearsheet(bars, **kw).collect()
+    assert len(out) == 1
+    r = out[0]
+    g = per_bar.pnl.fillna(0.0)
+    nv = per_bar.net_pnl
+    assert r["n_bars"] == len(per_bar)
+    assert r["n_trades"] == int(per_bar.traded.sum())
+    assert r["gross_pnl"] == pytest.approx(g.sum(), abs=1e-9)
+    assert r["total_cost"] == pytest.approx(per_bar.cost.sum(), abs=1e-9)
+    assert r["net_pnl"] == pytest.approx(nv.sum(), abs=1e-9)
+    mask = per_bar.pnl.notna()
+    gs = g[mask]
+    assert r["gross_sharpe"] == pytest.approx(
+        gs.mean() / gs.std(ddof=1), rel=1e-9
+    )
+    ns = nv[mask]
+    assert r["net_sharpe"] == pytest.approx(
+        ns.mean() / ns.std(ddof=1), rel=1e-9
+    )
+    cum = nv.cumsum()
+    assert r["max_drawdown"] == pytest.approx(
+        (cum - cum.cummax()).min(), abs=1e-9
+    )
+    assert r["max_drawdown"] <= 0
+    assert r["net_pnl"] < r["gross_pnl"]  # costs really charged
