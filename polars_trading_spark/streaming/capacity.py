@@ -243,6 +243,8 @@ def streaming_portfolio_capacity(
         F.col(close_col).cast("double").alias(close_col),
         F.col(volume_col).cast("double").alias(volume_col),
     )
+    # "append": every finalized bucket is emitted exactly once, so the
+    # monitor composes with append-only sinks like the indicator twins
     return fan.groupBy("__book").applyInPandasWithState(
-        update, out_schema, state_schema, "update", timeout
+        update, out_schema, state_schema, "append", timeout
     )

@@ -213,6 +213,9 @@ def streaming_spread_band(
             }
         )
 
+    # "append": every matched timestamp is emitted exactly once (its
+    # row never revises), so the twin composes with append-only sinks
+    # (parquet checkpoint/restart drills) like the indicator twins
     return fan.groupBy("sym_a", "sym_b").applyInPandasWithState(
-        update, out_schema, state_schema, "update", timeout
+        update, out_schema, state_schema, "append", timeout
     )
