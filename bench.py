@@ -215,6 +215,7 @@ HEADLINE = [
     "multimodal_png_interlaced_decode",
     "multimodal_jpeg_420_decode",
     "spread_band_tearsheet",
+    "rank_portfolio_tearsheet",
 ]
 
 

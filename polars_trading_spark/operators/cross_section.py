@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["cross_sectional_zscore", "fama_macbeth",
-    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "portfolio_capacity", "rank_ic", "rank_portfolio_backtest", "rank_portfolio_backtest_net", "rolling_beta", "rolling_pair_correlation"]
+    "fama_macbeth_summary", "momentum_rank", "lead_lag_corr", "pairs_distance", "portfolio_capacity", "rank_ic", "rank_portfolio_backtest", "rank_portfolio_backtest_net", "rank_portfolio_tearsheet", "rolling_beta", "rolling_pair_correlation"]
 
 
 def fama_macbeth(
@@ -1086,4 +1086,89 @@ def portfolio_capacity(
         (F.lit(float(max_participation)) * min_adv * F.col("__nm")).alias(
             "capacity_dollars"
         ),
+    )
+
+
+def rank_portfolio_tearsheet(
+    bars: DataFrame,
+    *,
+    lookback: int = 5,
+    top_n: int = 1,
+    cs_window: int = 20,
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+    high_col: str = "high",
+    low_col: str = "low",
+) -> DataFrame:
+    """ONE-ROW gross-vs-net tearsheet of the cost-aware momentum book —
+    the strategy-level summary over ``rank_portfolio_backtest_net``'s
+    per-bucket series: ``n_buckets, gross_pnl, total_cost, net_pnl,
+    gross_sharpe, net_sharpe`` (per-bucket mean/std over buckets with a
+    defined P&L, unannualized), ``avg_turnover`` (mean over formed
+    buckets with a previous book) and ``max_drawdown`` of the running
+    NET equity curve (<= 0).
+
+    Float discipline matches ``spread_band_tearsheet``: ordered running
+    folds read at the last row, drawdown staged equity -> peak ->
+    excursion.  The global ordered window is BUCKET-count-sized — the
+    same bounded-global-window posture as the backtest's turnover lag —
+    never row-sized.
+    """
+    net = rank_portfolio_backtest_net(
+        bars,
+        lookback=lookback,
+        top_n=top_n,
+        cs_window=cs_window,
+        symbol_col=symbol_col,
+        ts_col=ts_col,
+        close_col=close_col,
+        high_col=high_col,
+        low_col=low_col,
+    )
+    w = Window.orderBy(ts_col)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g = F.coalesce(F.col("pnl"), F.lit(0.0))
+    nv = F.col("net_pnl")
+    to = F.coalesce(F.col("turnover"), F.lit(0.0))
+    t2 = net.select(
+        F.col(ts_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(full).alias("__cnt"),
+        F.sum(F.col("turnover").isNotNull().cast("long")).over(full).alias(
+            "__nto"
+        ),
+        F.sum(g).over(run).alias("__sg"),
+        F.sum(g * g).over(run).alias("__sg2"),
+        F.sum(nv).over(run).alias("__sn"),
+        F.sum(nv * nv).over(run).alias("__sn2"),
+        F.sum(F.col("cost")).over(run).alias("__sc"),
+        F.sum(to).over(run).alias("__sto"),
+    )
+    t3 = t2.withColumn("__peak", F.max("__sn").over(run))
+    t4 = t3.withColumn("__dd", F.col("__sn") - F.col("__peak"))
+    t5 = t4.withColumn("__mdd", F.min("__dd").over(full))
+    last = t5.where(F.col("__rn") == F.col("__cnt"))
+
+    # Sharpes over ALL buckets (the per-bucket series from inception):
+    # the first bucket has a null gross P&L but a REAL entry cost, so
+    # excluding it would overstate the net Sharpe.
+    def sharpe(s, s2):
+        n = F.col("__cnt").cast("double")
+        var = (s2 - s * s / n) / (n - 1)
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        return F.when((F.col("__cnt") >= 2) & (sd > 0), (s / n) / sd)
+
+    return last.select(
+        F.col("__cnt").cast("long").alias("n_buckets"),
+        F.col("__sg").alias("gross_pnl"),
+        F.col("__sc").alias("total_cost"),
+        F.col("__sn").alias("net_pnl"),
+        sharpe(F.col("__sg"), F.col("__sg2")).alias("gross_sharpe"),
+        sharpe(F.col("__sn"), F.col("__sn2")).alias("net_sharpe"),
+        F.when(
+            F.col("__nto") > 0, F.col("__sto") / F.col("__nto").cast("double")
+        ).alias("avg_turnover"),
+        F.col("__mdd").alias("max_drawdown"),
     )

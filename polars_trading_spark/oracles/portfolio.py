@@ -1375,10 +1375,10 @@ _RPN_DEN = 3.0 - 2.0 * (2.0**0.5)
 _RPN_C1 = 2.0**0.5 - 1.0
 
 
-@register(
-    "rank_portfolio_net",
-    f"""
-WITH
+# Full cost chain (rank CTEs + CS micro-spreads + entry/exit trade
+# sets + per-bucket cost) shared by rank_portfolio_net and the book
+# tearsheet below.
+_RPN_CTES = f"""
 {_RP_CTES},
 cs_terms AS (
   SELECT symbol, ts,
@@ -1429,7 +1429,14 @@ costs AS (
   FROM alltrades t
   LEFT JOIN cs ON cs.symbol = t.symbol AND cs.ts = t.trade_ts
   GROUP BY t.trade_ts
-)
+)"""
+
+
+@register(
+    "rank_portfolio_net",
+    f"""
+WITH
+{_RPN_CTES}
 SELECT p.ts, p.n_long, p.n_short, round(p.pnl, 6) + 0 AS pnl,
   round(CASE WHEN k.pts IS NOT NULL THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END, 6) + 0
     AS turnover,
@@ -1468,4 +1475,95 @@ def q_rank_portfolio_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounding at 7 is an identity on the exact decimal instead.
         (F.round("cost", 7) + z0).alias("cost"),
         (F.round("net_pnl", 6) + z0).alias("net_pnl"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 9). One-row book tearsheet (operators/cross_section.py::
+# rank_portfolio_tearsheet) — the strategy-level gross-vs-net summary
+# over the cost-aware momentum backtest: ordered folds into Sharpes,
+# staged running-equity/peak/excursion drawdown, bucket-count-sized
+# global windows only.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rank_portfolio_tearsheet",
+    f"""
+WITH
+{_RPN_CTES},
+perb AS (
+  SELECT p.ts,
+    coalesce(p.pnl, 0.0) AS g,
+    coalesce(p.pnl, 0.0)
+      - coalesce(c.micro_sum, 0) / 1000000.0 / {2.0 * _RP_TOP!r} AS nv,
+    coalesce(c.micro_sum, 0) / 1000000.0 / {2.0 * _RP_TOP!r} AS cc,
+    CASE WHEN k.pts IS NOT NULL
+         THEN 1.0 - k.nkept / CAST(k.nm AS DOUBLE) END AS turn
+  FROM pnl p JOIN kept k USING (ts) LEFT JOIN costs c USING (ts)
+),
+t2 AS (
+  SELECT ts,
+    row_number() OVER w AS rn,
+    count(*) OVER () AS cnt,
+    sum(CASE WHEN turn IS NOT NULL THEN 1 ELSE 0 END) OVER () AS nto,
+    sum(g) OVER rw AS sg,
+    sum(g*g) OVER rw AS sg2,
+    sum(nv) OVER rw AS sn,
+    sum(nv*nv) OVER rw AS sn2,
+    sum(cc) OVER rw AS sc,
+    sum(coalesce(turn, 0.0)) OVER rw AS sto
+  FROM perb
+  WINDOW w AS (ORDER BY ts),
+         rw AS (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+t3 AS (
+  SELECT *, max(sn) OVER (ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM t2
+),
+t4 AS (SELECT *, sn - peak AS dd FROM t3),
+t5 AS (SELECT *, min(dd) OVER () AS mdd FROM t4)
+SELECT
+  CAST(cnt AS BIGINT) AS n_buckets,
+  round(sg, 6) + 0 AS gross_pnl,
+  round(sc, 6) + 0 AS total_cost,
+  round(sn, 6) + 0 AS net_pnl,
+  CASE WHEN cnt >= 2 AND sqrt(greatest((sg2 - sg*sg/cnt) / (cnt - 1), 0.0)) > 0
+       THEN round((sg/cnt) / sqrt(greatest((sg2 - sg*sg/cnt) / (cnt - 1), 0.0)), 6) + 0
+  END AS gross_sharpe,
+  CASE WHEN cnt >= 2 AND sqrt(greatest((sn2 - sn*sn/cnt) / (cnt - 1), 0.0)) > 0
+       THEN round((sn/cnt) / sqrt(greatest((sn2 - sn*sn/cnt) / (cnt - 1), 0.0)), 6) + 0
+  END AS net_sharpe,
+  CASE WHEN nto > 0 THEN round(sto / CAST(nto AS DOUBLE), 6) + 0 END
+    AS avg_turnover,
+  round(mdd, 6) + 0 AS max_drawdown
+FROM t5 WHERE rn = cnt
+""",
+    "One-row gross-vs-net tearsheet of the cost-aware momentum book: "
+    "bucket counts, P&L/cost totals, per-bucket Sharpes, average "
+    "turnover, net-equity max drawdown — the strategy summary over "
+    "rank_portfolio_net",
+)
+def q_rank_portfolio_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import (
+        rank_portfolio_tearsheet,
+    )
+
+    with _trades_config():
+        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+    out = rank_portfolio_tearsheet(
+        bars, lookback=_RP_LB, top_n=_RP_TOP, cs_window=_RPN_CS_W,
+        ts_col="ts_event", close_col="close",
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_buckets",
+        (F.round("gross_pnl", 6) + z0).alias("gross_pnl"),
+        (F.round("total_cost", 6) + z0).alias("total_cost"),
+        (F.round("net_pnl", 6) + z0).alias("net_pnl"),
+        (F.round("gross_sharpe", 6) + z0).alias("gross_sharpe"),
+        (F.round("net_sharpe", 6) + z0).alias("net_sharpe"),
+        (F.round("avg_turnover", 6) + z0).alias("avg_turnover"),
+        (F.round("max_drawdown", 6) + z0).alias("max_drawdown"),
     )

@@ -554,3 +554,63 @@ def test_spread_band_tearsheet_matches_per_bar_recomputation(spark):
     )
     assert r["max_drawdown"] <= 0
     assert r["net_pnl"] < r["gross_pnl"]  # costs really charged
+
+
+def test_rank_portfolio_tearsheet_matches_per_bucket_recomputation(spark):
+    """The one-row book summary equals a pandas recomputation over the
+    per-bucket net output."""
+    import datetime as dt
+
+    import numpy as np
+
+    from polars_trading_spark.operators.cross_section import (
+        rank_portfolio_backtest_net,
+        rank_portfolio_tearsheet,
+    )
+
+    base = dt.datetime(2024, 1, 2)
+    rows = []
+    rng = np.random.RandomState(3)
+    n, syms = 240, ("A", "B", "C", "D")
+    px = {s: 100.0 * (1 + i) for i, s in enumerate(syms)}
+    for i in range(n):
+        ts = base + dt.timedelta(minutes=15 * i)
+        for s in syms:
+            px[s] *= float(np.exp(rng.normal(0.0, 0.01)))
+            c = px[s]
+            rows.append((s, ts, c, c * 1.004, c * 0.996))
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    kw = dict(lookback=5, top_n=1, cs_window=20, ts_col="ts_event")
+    per = (
+        rank_portfolio_backtest_net(bars, **kw)
+        .toPandas()
+        .sort_values("ts_event")
+        .reset_index(drop=True)
+    )
+    out = rank_portfolio_tearsheet(bars, **kw).collect()
+    assert len(out) == 1
+    r = out[0]
+    g = per.pnl.fillna(0.0)
+    assert r["n_buckets"] == len(per)
+    assert r["gross_pnl"] == pytest.approx(g.sum(), abs=1e-9)
+    assert r["total_cost"] == pytest.approx(per.cost.sum(), abs=1e-9)
+    assert r["net_pnl"] == pytest.approx(per.net_pnl.sum(), abs=1e-9)
+    # Sharpes over ALL buckets: the first bucket has null gross P&L but
+    # a real entry cost, so it belongs in the net series
+    assert r["gross_sharpe"] == pytest.approx(
+        g.mean() / g.std(ddof=1), rel=1e-9
+    )
+    assert r["net_sharpe"] == pytest.approx(
+        per.net_pnl.mean() / per.net_pnl.std(ddof=1), rel=1e-9
+    )
+    assert r["avg_turnover"] == pytest.approx(
+        per.turnover.dropna().mean(), rel=1e-9
+    )
+    cum = per.net_pnl.cumsum()
+    assert r["max_drawdown"] == pytest.approx(
+        (cum - cum.cummax()).min(), abs=1e-9
+    )
+    assert r["net_pnl"] < r["gross_pnl"]
