@@ -125,14 +125,15 @@ _ROUND9_FRONT = [
 # history plus the round-9 gate (activate at the START of round 10:
 # define _ROUND10_FRONT with the list below, switch the call, update
 # tests/test_registry_order.py's window list, regenerate
-# oracles/MANIFEST.txt).  Front = the 12 round-9 registrations (never
+# oracles/MANIFEST.txt).  Front = the 14 round-9 registrations (never
 # driver-checked):
 #   walk_forward, walk_forward_rolling, spread_band_backtest_net,
 #   rank_portfolio_net, lsh_power_curve, contamination_report,
 #   benchmark_coverage, multimodal_jpeg_color_decode,
 #   multimodal_png_palette_decode, multimodal_gif_interlaced_decode,
-#   multimodal_png_interlaced_decode, multimodal_jpeg_420_decode;
-# backfill = the 38 stalest names (latest driver row r6 alphabetical
+#   multimodal_png_interlaced_decode, multimodal_jpeg_420_decode,
+#   spread_band_tearsheet, rank_portfolio_tearsheet;
+# backfill = the 36 stalest names (latest driver row r6 alphabetical
 # from multimodal_bmp_metadata, then r7 alphabetical):
 #   multimodal_bmp_metadata, multimodal_jpeg_metadata, ngram_novelty,
 #   pack_sequences, permutation_entropy, pmi_cooccurrence,
@@ -143,9 +144,8 @@ _ROUND9_FRONT = [
 #   vwap_slippage, winnow_dup_pairs, winnow_fingerprints, zipf_fit,
 #   ann_recall, bar_volatility, centroid_similarity,
 #   cluster_representatives, cointegration, corpus_filter,
-#   corpus_split, corpus_stats, corwin_schultz, cpcv_assign,
-#   csw_explosiveness, dedup_clusters.
-# (Remaining r7-latest names, from dedup_embedding_cosine, rotate in
+#   corpus_split, corpus_stats, corwin_schultz, cpcv_assign.
+# (Remaining r7-latest names, from csw_explosiveness, rotate in
 # round 11, together with any round-10 registrations.)
 
 _rotate_front(_ROUND9_FRONT)
