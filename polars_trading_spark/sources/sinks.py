@@ -181,9 +181,16 @@ def write_training_shards(
         text_col=text_col,
         salt=salt,
     )
+    # The local sort LEADS with the dynamic partition column: the
+    # parquet writer requires child ordering by [shard] and, when a
+    # task holds several shards (AQE-coalesced tiny partitions, hash
+    # collisions), would otherwise insert its own Sort(shard) — which
+    # is not guaranteed stable and can scramble the documented
+    # (seq_id, seq_offset) in-file order.  With the shard prefix the
+    # writer adds no sort and the contract holds under any layout.
     out = (
         packed.join(docs.select(id_col, text_col), id_col)
         .repartition("shard")
-        .sortWithinPartitions("seq_id", "seq_offset")
+        .sortWithinPartitions("shard", "seq_id", "seq_offset")
     )
     out.write.partitionBy("shard").mode("overwrite").parquet(path)

@@ -128,6 +128,40 @@ def test_write_training_shards_layout(spark, tmp_path):
     assert (fill <= 64).all() or (pdf.groupby("seq_id").size()[fill > 64] == 1).all()
 
 
+def test_write_training_shards_order_survives_one_task_all_shards(
+    spark, tmp_path
+):
+    """Regression (round 9): when AQE coalesces the repartition("shard")
+    shuffle so ONE task holds several shard values, the parquet writer
+    requires child ordering by [shard] — without the shard-led local
+    sort it inserted its own (unstable) Sort(shard), scrambling the
+    documented (seq_id, seq_offset) in-file order.  Pin the multi-
+    shard-per-task case directly with shuffle.partitions=1."""
+    import glob
+
+    import pandas as pd
+
+    from polars_trading_spark.sources.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 23 + 1)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        path = str(tmp_path / "shards1")
+        write_training_shards(docs, path, budget_tokens=64, n_shards=4)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    files = sorted(glob.glob(f"{path}/shard=*/part-*.parquet"))
+    assert len({f.split("shard=")[1].split("/")[0] for f in files}) > 1
+    for f in files:
+        pdf = pd.read_parquet(f)
+        key = list(zip(pdf.seq_id, pdf.seq_offset))
+        assert key == sorted(key), f
+
+
 def test_documents_jsonl_roundtrip_and_layout(spark, sf_dir):
     from polars_trading_spark.sources.readers import read_documents
     from polars_trading_spark.sources.sinks import write_documents_jsonl
