@@ -121,31 +121,40 @@ _ROUND9_FRONT = [
     "hawkes_intensity", "interval_join_events", "ks_drift",
 ]
 
-# Round-10 rotation, PRE-COMPUTED from CORRECTNESS_r01-r08 latest-round
-# history plus the round-9 gate (activate at the START of round 10:
-# define _ROUND10_FRONT with the list below, switch the call, update
-# tests/test_registry_order.py's window list, regenerate
-# oracles/MANIFEST.txt).  Front = the 14 round-9 registrations (never
-# driver-checked):
-#   walk_forward, walk_forward_rolling, spread_band_backtest_net,
-#   rank_portfolio_net, lsh_power_curve, contamination_report,
-#   benchmark_coverage, multimodal_jpeg_color_decode,
-#   multimodal_png_palette_decode, multimodal_gif_interlaced_decode,
-#   multimodal_png_interlaced_decode, multimodal_jpeg_420_decode,
-#   spread_band_tearsheet, rank_portfolio_tearsheet;
-# backfill = the 36 stalest names (latest driver row r6 alphabetical
-# from multimodal_bmp_metadata, then r7 alphabetical):
-#   multimodal_bmp_metadata, multimodal_jpeg_metadata, ngram_novelty,
-#   pack_sequences, permutation_entropy, pmi_cooccurrence,
-#   reading_ease, rsi, sadf, sample_weights, similarity_topk,
-#   similarity_topk_ivf_kmeans, tick_bars, tick_quality, time_bars,
-#   time_bars_compound_duration, triple_barrier, triple_barrier_meta,
-#   universe_summary, upsample_ffill, vertical_barrier, volume_bars,
-#   vwap_slippage, winnow_dup_pairs, winnow_fingerprints, zipf_fit,
-#   ann_recall, bar_volatility, centroid_similarity,
-#   cluster_representatives, cointegration, corpus_filter,
-#   corpus_split, corpus_stats, corwin_schultz, cpcv_assign.
-# (Remaining r7-latest names, from csw_explosiveness, rotate in
-# round 11, together with any round-10 registrations.)
+# Round-10 rotation, computed from CORRECTNESS_r01-r09 latest-round
+# history.  Front = the 14 round-9 registrations (never driver-checked)
+# + the 3 formerly rows-only queries (hrp_weights / bpe_train_merges /
+# bpe_token_budget — they went `err: no_oracle` in round 9's window;
+# round 10 gives them recursive-CTE DuckDB oracles, so they re-enter
+# the window to flip to hash-gated PASS) + the 33 stalest backfill
+# names (latest driver row r6 alphabetical from multimodal_bmp_metadata,
+# then r7 alphabetical).  (Remaining r7-latest names — corpus_stats,
+# corwin_schultz, cpcv_assign, then csw_explosiveness onward — rotate
+# in round 11, together with any round-10 registrations not fronted
+# below.)
 
-_rotate_front(_ROUND9_FRONT)
+_ROUND10_FRONT = [
+    # -- the 14 round-9 registrations, never driver-checked --
+    "walk_forward", "walk_forward_rolling", "spread_band_backtest_net",
+    "rank_portfolio_net", "lsh_power_curve", "contamination_report",
+    "benchmark_coverage", "multimodal_jpeg_color_decode",
+    "multimodal_png_palette_decode", "multimodal_gif_interlaced_decode",
+    "multimodal_png_interlaced_decode", "multimodal_jpeg_420_decode",
+    "spread_band_tearsheet", "rank_portfolio_tearsheet",
+    # -- the 3 newly-oracled round-8 queries (r9 rows were no_oracle) --
+    "hrp_weights", "bpe_train_merges", "bpe_token_budget",
+    # -- 33 backfill: latest driver row is round 6, then r7 alpha --
+    "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
+    "ngram_novelty", "pack_sequences", "permutation_entropy",
+    "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
+    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "tick_quality", "time_bars", "time_bars_compound_duration",
+    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "upsample_ffill", "vertical_barrier", "volume_bars",
+    "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
+    "zipf_fit", "ann_recall", "bar_volatility", "centroid_similarity",
+    "cluster_representatives", "cointegration", "corpus_filter",
+    "corpus_split",
+]
+
+_rotate_front(_ROUND10_FRONT)

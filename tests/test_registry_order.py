@@ -26,25 +26,29 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-9 driver gate window: the 14 round-8 registrations that have
-# never been driver-checked, then the 36 stalest backfill names.
-_ROUND9_WINDOW = [
-    "portfolio_capacity", "hrp_weights", "risk_contributions",
-    "token_budget_curves", "bpe_train_merges", "bpe_token_budget",
-    "multimodal_png_decode", "pcm_band_power", "multimodal_gif_decode",
-    "multimodal_jpeg_decode", "dedup_survivor_budget",
-    "spread_band_backtest", "embedding_drift", "dedup_recall_curve",
-    "return_acf", "roll_adjust", "rolling_beta", "semdedup",
-    "sequential_bootstrap", "sessionize", "sign_autocorr",
-    "similarity_topk_ivf_pq", "spread_signal", "tfidf_cosine_pairs",
-    "unigram_logprob", "var_cvar", "asof_join_backward",
-    "asof_join_nearest", "bar_groups_split", "char_entropy",
-    "chunk_documents", "cusum_filter", "daily_vol", "decontaminate",
-    "dedup_exact", "dedup_minhash_lsh", "deflated_sharpe",
-    "dollar_bars", "dsir_weights", "event_transitions",
-    "ewm_std_native", "fama_macbeth", "fama_macbeth_nw",
-    "fixed_time_return", "frac_diff", "funnel_latency", "har_rv",
-    "hawkes_intensity", "interval_join_events", "ks_drift",
+# The round-10 driver gate window: the 14 round-9 registrations that
+# have never been driver-checked, the 3 formerly rows-only queries
+# (newly DuckDB-oracled this round, re-gated to flip no_oracle -> PASS),
+# then the 33 stalest backfill names.
+_ROUND10_WINDOW = [
+    "walk_forward", "walk_forward_rolling", "spread_band_backtest_net",
+    "rank_portfolio_net", "lsh_power_curve", "contamination_report",
+    "benchmark_coverage", "multimodal_jpeg_color_decode",
+    "multimodal_png_palette_decode", "multimodal_gif_interlaced_decode",
+    "multimodal_png_interlaced_decode", "multimodal_jpeg_420_decode",
+    "spread_band_tearsheet", "rank_portfolio_tearsheet",
+    "hrp_weights", "bpe_train_merges", "bpe_token_budget",
+    "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
+    "ngram_novelty", "pack_sequences", "permutation_entropy",
+    "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
+    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "tick_quality", "time_bars", "time_bars_compound_duration",
+    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "upsample_ffill", "vertical_barrier", "volume_bars",
+    "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
+    "zipf_fit", "ann_recall", "bar_volatility", "centroid_similarity",
+    "cluster_representatives", "cointegration", "corpus_filter",
+    "corpus_split",
 ]
 
 
@@ -69,8 +73,8 @@ def test_queries_order_matches_manifest():
     )
 
 
-def test_round9_gate_window_is_first_50():
-    assert list(QUERIES)[:50] == _ROUND9_WINDOW
+def test_round10_gate_window_is_first_50():
+    assert list(QUERIES)[:50] == _ROUND10_WINDOW
 
 
 def test_every_query_name_is_unique_and_self_consistent():
