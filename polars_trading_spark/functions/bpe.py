@@ -19,10 +19,17 @@ trainer is a single-machine loop over a word-frequency dictionary; the
   this round) and applies them ALL in one greedy left-to-right
   ``aggregate`` fold — so a 32k-vocab tokenizer costs ~vocab/k Spark
   rounds, not 32k sequential jobs.  Token-disjoint merges have
-  non-overlapping occurrences (a shared position would need a shared
-  symbol), so the single fold is order-independent across the round's
-  pairs; ``merges_per_round=1`` reduces exactly to the classic
-  one-merge-per-round algorithm;
+  non-overlapping MATCH positions (a shared position would need a
+  shared symbol), so within one left-to-right pass no two of the
+  round's pairs compete for a boundary; note the fold CAN still cascade
+  across pairs when one pair's merged token string-equals another
+  selected pair's left symbol (e.g. ``(a,b)`` then ``('ab',x)``) —
+  that cascade is part of the batched algorithm's definition, mirrored
+  by the pure-Python golden reference and the SQL oracle.
+  ``merges_per_round=1`` reduces exactly to the classic
+  one-merge-per-round algorithm; NOTE the default is the batched
+  ``merges_per_round=8``, whose learned table deliberately differs
+  from classic BPE — pass 1 explicitly for the textbook merge list;
 * ``localCheckpoint`` per round keeps the lineage flat, so expression
   depth does not grow with the merge count.
 
@@ -34,11 +41,13 @@ training corpus fall back to their character count (the segmentation
 an unmerged BPE vocabulary assigns) and are surfaced in an
 ``n_oov_words`` column rather than silently contributing zero.
 
-No SQL oracle (greedy iterative training is not SQL-expressible; the
-driver records rows-only) — correctness is pinned by exact-match
-golden tests against an independent pure-Python BPE reference
-implementation (classic AND batched variants) in
-tests/test_bpe_train.py.
+Correctness is pinned two ways: exact-match golden tests against an
+independent pure-Python BPE reference implementation (classic AND
+batched variants) in tests/test_bpe_train.py, and (round 10) a
+recursive-CTE DuckDB oracle that replays the batched trainer
+bit-exactly (oracles/corpus.py::_BPE_REC — the sequential_bootstrap /
+kalman_hedge replay pattern), so the driver hash-gates both
+``bpe_train_merges`` and ``bpe_token_budget``.
 """
 
 from __future__ import annotations

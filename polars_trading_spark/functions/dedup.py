@@ -889,10 +889,14 @@ def _recall_sample(
         n = docs.count()
         fraction = min(1.0, float(target_docs) / max(n, 1))
     else:
-        if not (0.0 < sample_fraction <= 1.0):
+        # strings other than 'auto' must hit the helpful ValueError, not
+        # a TypeError from the float comparison below
+        if isinstance(sample_fraction, str) or not (
+            0.0 < sample_fraction <= 1.0
+        ):
             raise ValueError(
                 "sample_fraction must be in (0, 1], 'auto', or None, "
-                f"got {sample_fraction}"
+                f"got {sample_fraction!r}"
             )
         fraction = float(sample_fraction)
     if fraction >= 1.0:

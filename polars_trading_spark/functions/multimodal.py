@@ -7,9 +7,9 @@ them (schema, partitioning, metadata pushdown) is ordinary columnar
 Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
 inflate + all five unfilters, truecolor AND indexed/PLTE), uncompressed
 BMP, GIF (full variable-width LZW, interlaced or not), and baseline
-JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 YCbCr color).  The
-remaining out-of-scope features — progressive / 4:2:2 / 4-component
-JPEG, non-depth-8 PNG — raise ``NotImplementedError``
+JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 / 4:2:2 / 4:2:0
+YCbCr color).  The remaining out-of-scope features — progressive /
+4-component JPEG, non-depth-8 PNG — raise ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -43,11 +43,13 @@ __all__ = [
     "jpeg_encode_gray",
     "jpeg_encode_ycbcr",
     "jpeg_encode_ycbcr_420",
+    "jpeg_encode_ycbcr_422",
     "jpeg_decode",
     "jpeg_decode_gray",
     "synthesize_jpeg_decodable",
     "synthesize_jpeg_color",
     "synthesize_jpeg_color_420",
+    "synthesize_jpeg_color_422",
     "gif_palette",
     "synthesize_gif",
     "synthesize_gif_interlaced",
@@ -544,12 +546,12 @@ def decode_image(payload: bytes):
     indexed-color PLTE, sequential AND Adam7 interlaced), uncompressed
     24-bit BMP, GIF (the full variable-width LZW decoder incl. CLEAR
     resets and the KwKwK case, interlaced or not), and baseline
-    sequential JPEG — grayscale, 4:4:4 YCbCr color AND 4:2:0 subsampled
-    color (generic canonical-Huffman entropy decode, dequantize, float
-    IDCT, 2x2 chroma replication, BT.601 color transform).  Only JPEG
-    features outside that pinned scope (progressive scans, 4:2:2,
-    4-component) still fall back to a codec library, with the missing
-    feature named in the error.
+    sequential JPEG — grayscale, 4:4:4 YCbCr color AND 4:2:0 / 4:2:2
+    subsampled color (generic canonical-Huffman entropy decode,
+    dequantize, float IDCT, nearest-neighbour chroma replication,
+    BT.601 color transform).  Only JPEG features outside that pinned
+    scope (progressive scans, 4-component) still fall back to a codec
+    library, with the missing feature named in the error.
     """
     hdr = parse_image_header(payload)
     if hdr is not None and hdr[0] == "png":
@@ -1458,6 +1460,58 @@ def jpeg_encode_ycbcr_420(coeffs, width: int, height: int, qtable=None) -> bytes
     return bytes(out)
 
 
+def jpeg_encode_ycbcr_422(coeffs, width: int, height: int, qtable=None) -> bytes:
+    """Encode a 4:2:2 CHROMA-SUBSAMPLED color baseline JPEG from
+    QUANTIZED DCT coefficients: ``coeffs`` is a list of per-MCU tuples
+    ``(y_blocks, blk_cb, blk_cr)`` where ``y_blocks`` is a 2-tuple of
+    64-element zig-zag blocks in raster order (a 4:2:2 MCU covers a
+    16x8 luma area: two Y blocks side by side + one Cb + one Cr at
+    half HORIZONTAL resolution).  Same single quant table / Annex-K
+    Huffman pair / per-component DC predictors as
+    ``jpeg_encode_ycbcr``.  ``width`` must be a multiple of 16,
+    ``height`` of 8."""
+    import struct
+
+    if width % 16 or height % 8:
+        raise ValueError("width must be a multiple of 16 and height of 8 at 4:2:2")
+    n_mcus = (width // 16) * (height // 8)
+    if len(coeffs) != n_mcus:
+        raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes([1, 0x21, 0])  # Y: 2x1 sampling
+    out += bytes([2, 0x11, 0])  # Cb
+    out += bytes([3, 0x11, 0])  # Cr
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriterMSB()
+    prev = [0, 0, 0]
+    for mcu in coeffs:
+        y_blocks, cb_blk, cr_blk = mcu
+        if len(y_blocks) != 2:
+            raise ValueError("a 4:2:2 MCU needs exactly 2 Y blocks")
+        for blk in y_blocks:
+            prev[0] = _encode_block(w, blk, prev[0], dc_codes, ac_codes)
+        prev[1] = _encode_block(w, cb_blk, prev[1], dc_codes, ac_codes)
+        prev[2] = _encode_block(w, cr_blk, prev[2], dc_codes, ac_codes)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReaderMSB:
     """JPEG entropy bit reader: MSB-first with 0xFF00 unstuffing; a bare
     0xFF followed by a marker ends the scan."""
@@ -1509,12 +1563,13 @@ def jpeg_decode(payload: bytes):
     prediction, run/size AC with EOB/ZRL), de-zig-zag, dequantize,
     float IDCT, level shift and clamp.  Scope: baseline sequential
     (SOF0), 8-bit, ONE component (grayscale) or THREE components at
-    4:4:4 (no chroma subsampling) converted YCbCr -> RGB with the
-    BT.601/JFIF constants (``floor(x + 0.5)`` rounding, clamped —
-    deterministic and reproducible closed-form by the SQL oracle);
-    progressive (SOF2) and subsampled color raise
-    ``NotImplementedError`` naming the missing feature.  Returns an
-    ``(h, w, 1)`` (gray) or ``(h, w, 3)`` (RGB) uint8 array."""
+    4:4:4, 4:2:2 or 4:2:0 chroma sampling (nearest-neighbour chroma
+    replication) converted YCbCr -> RGB with the BT.601/JFIF constants
+    (``floor(x + 0.5)`` rounding, clamped — deterministic and
+    reproducible closed-form by the SQL oracle); progressive (SOF2)
+    and 4-component frames raise ``NotImplementedError`` naming the
+    missing feature.  Returns an ``(h, w, 1)`` (gray) or ``(h, w, 3)``
+    (RGB) uint8 array."""
     import struct
 
     import numpy as np
@@ -1572,10 +1627,11 @@ def jpeg_decode(payload: bytes):
             if nc == 3 and samplings not in (
                 [(1, 1)] * 3,  # 4:4:4
                 [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                [(2, 1), (1, 1), (1, 1)],  # 4:2:2
             ):
                 raise NotImplementedError(
                     f"chroma sampling {samplings} not supported — "
-                    "4:4:4 or 4:2:0 only"
+                    "4:4:4, 4:2:2 or 4:2:0 only"
                 )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1611,7 +1667,7 @@ def jpeg_decode(payload: bytes):
             y = planes[0].astype(np.float64)
             cb = planes[1].astype(np.float64)
             cr = planes[2].astype(np.float64)
-            if cb.shape != y.shape:  # 4:2:0 -> 2x2 nearest upsampling
+            if cb.shape != y.shape:  # 4:2:0 -> 2x2 / 4:2:2 -> 1x2 nearest upsampling
                 # the spec leaves chroma upsampling to the decoder;
                 # pixel replication is spec-legal, exact in integers,
                 # and hence replayable closed-form by the SQL oracle
@@ -1935,6 +1991,50 @@ def synthesize_jpeg_color_420(documents: DataFrame) -> DataFrame:
                     cr[0] = ((3 * m + 5 * k) % 64) - 32
                     mcus.append((tuple(ys), cb, cr))
                 rows.append(jpeg_encode_ycbcr_420(mcus, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_color_422(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable 4:2:2 CHROMA-SUBSAMPLED color
+    baseline JPEG per document id: DC-only blocks per component — Y
+    sub-block ``s`` (0=left, 1=right) of MCU ``k`` carries
+    ``((m + 13*(2k+s)) % 64) - 32``, chroma per MCU as in the 4:2:0
+    synthesizer — so with flat quant 16 the decoded planes are exact
+    integers and the 1x2-replicated chroma is constant per 16x8 MCU:
+    every RGB byte is closed-form for the oracle.
+    ``width = 16*(1 + m%3)``, ``height = 8*(1 + m%2)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 16 * (1 + m % 3), 8 * (1 + m % 2)
+                nm = (w // 16) * (h // 8)
+                mcus = []
+                for k in range(nm):
+                    ys = []
+                    for s in range(2):
+                        blk = [0] * 64
+                        blk[0] = ((m + 13 * (2 * k + s)) % 64) - 32
+                        ys.append(blk)
+                    cb = [0] * 64
+                    cb[0] = ((2 * m + 7 * k) % 64) - 32
+                    cr = [0] * 64
+                    cr[0] = ((3 * m + 5 * k) % 64) - 32
+                    mcus.append((tuple(ys), cb, cr))
+                rows.append(jpeg_encode_ycbcr_422(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

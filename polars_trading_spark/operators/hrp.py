@@ -19,11 +19,13 @@ O(N^2) state, so the collect is the algorithm's own footprint, not a
 shortcut.  A 10k-symbol universe collects ~50M float rows; beyond that
 the clustering itself, not Spark, is the binding constraint.
 
-No SQL oracle (iterative linkage/bisection is not SQL-expressible —
-driver records rows-only); correctness is pinned by golden tests
-against closed-form cases: 2-asset HRP == inverse-variance split,
-uncorrelated-equal-variance == equal weights, block-diagonal clusters
-allocate by analytic bisection, and input-order invariance.
+Correctness is pinned two ways: golden tests against closed-form cases
+(2-asset HRP == inverse-variance split, uncorrelated-equal-variance ==
+equal weights, block-diagonal clusters allocate by analytic bisection,
+input-order invariance), and (round 10) a recursive-CTE DuckDB oracle
+that replays the linkage/bisection loop over list state
+(oracles/portfolio.py::hrp_weights — the sequential_bootstrap replay
+pattern), so the driver hash-gates the query.
 """
 
 from __future__ import annotations

@@ -506,8 +506,11 @@ def spread_band_tearsheet(
     did costs eat the edge?
 
     Per (sym_a, sym_b): ``n_bars, n_trades, gross_pnl, total_cost,
-    net_pnl, gross_sharpe, net_sharpe`` (per-bar mean/std over bars
-    with a defined P&L — unannualized; multiply by sqrt(bars/yr)
+    net_pnl, gross_sharpe, net_sharpe`` (per-bar mean/std over ALL
+    ``n_bars`` bars — the pair's single warmup bar with undefined gross
+    P&L contributes 0, matching ``rank_portfolio_tearsheet``'s
+    convention so both tearsheets' Sharpes and their net sums fold over
+    the same denominator; unannualized — multiply by sqrt(bars/yr)
     downstream) and ``max_drawdown`` (most negative excursion of the
     running NET equity curve from its running peak, in spread units,
     <= 0).
@@ -547,7 +550,6 @@ def spread_band_tearsheet(
         F.col(ts_col),
         F.row_number().over(w).alias("__rn"),
         F.count(F.lit(1)).over(full).alias("__cnt"),
-        F.sum(F.col("pnl").isNotNull().cast("long")).over(full).alias("__np"),
         F.sum(F.col("traded").cast("long")).over(full).alias("__ntr"),
         F.sum(g).over(run).alias("__sg"),
         F.sum(g * g).over(run).alias("__sg2"),
@@ -561,11 +563,11 @@ def spread_band_tearsheet(
     last = t5.where(F.col("__rn") == F.col("__cnt"))
 
     def sharpe(s, s2):
-        n = F.col("__np").cast("double")
+        n = F.col("__cnt").cast("double")
         var = (s2 - s * s / n) / (n - 1)
         sd = F.sqrt(F.greatest(var, F.lit(0.0)))
         return F.when(
-            (F.col("__np") >= 2) & (sd > 0), (s / n) / sd
+            (F.col("__cnt") >= 2) & (sd > 0), (s / n) / sd
         )
 
     return last.select(

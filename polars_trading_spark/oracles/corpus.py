@@ -884,22 +884,115 @@ def q_token_budget_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # C-ext (round 8). Distributed BPE training + tokenizer-aware budget
-# (functions/bpe.py).  Greedy iterative merge learning is not
-# SQL-expressible — rows-only driver checks; correctness is an EXACT
-# match against the independent pure-Python reference in
-# tests/test_bpe_train.py.
+# (functions/bpe.py).  Round 10: the greedy iterative trainer is now
+# replayed bit-exactly by a recursive-CTE oracle (the sequential_bootstrap
+# / kalman_hedge precedent, oracles/labels.py) — the recursion carries the
+# evolving word-segmentation table as LIST state in a single row, one
+# iteration per batched merge round: a correlated subquery unnests the
+# adjacent-pair multiset, GROUP-BY-aggregates the weighted counts, takes
+# the ordered top-window, a list_reduce fold replays the greedy
+# token-disjoint selection, and a nested fold replays the one-pass
+# left-to-right merge application.  The exact-match golden tests against
+# the independent pure-Python reference (tests/test_bpe_train.py) remain
+# the algorithmic anchor.
 # --------------------------------------------------------------------------
 
 _BPE_MERGES = 20
 
+# Mirrors functions/bpe.py defaults: merges_per_round=8, candidate
+# window 8 * merges_per_round, min_pair_count=2.
+_BPE_MPR = 8
+
+_BPE_WIN = 8 * _BPE_MPR
+
+_BPE_MINC = 2
+
+
+# Shared recursive chain ending at `rec` (one row per training round;
+# final row = trained state).  Selection fold: list_reduce's implicit
+# init (first element) is correct because the first ordered candidate is
+# always selected (selected empty, used empty, k >= 1).  Merge fold:
+# elements are wrapped as single-element lists so the accumulator is the
+# growing segment list; at most one selected pair can match a boundary
+# (pairs are token-disjoint), exactly functions/bpe.py::_round_fold_expr.
+# DuckDB 1.0 trap: a list_reduce lambda branch that returns `acc`
+# UNCHANGED corrupts the accumulator (probe: CASE-skip fold returns only
+# the last kept element) — every branch must CONSTRUCT a list, so skips
+# are written `acc || x[1:0]` (typed empty), never bare `acc`.
+_BPE_REC = f"""
+{_DOCS_TOK_CTE},
+w0 AS (SELECT unnest(toks) AS w FROM tok),
+wt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w0 GROUP BY w),
+st0 AS (
+  SELECT list(w ORDER BY w) AS words,
+         list(c ORDER BY w) AS cnts,
+         list(string_split(w, '') ORDER BY w) AS segs
+  FROM wt
+),
+rec AS (
+  SELECT 0 AS d,
+         CAST([] AS STRUCT(rnk INTEGER, l VARCHAR, r VARCHAR, n BIGINT)[]) AS merges,
+         segs
+  FROM st0
+  UNION ALL
+  SELECT d, merges || sel_ranked,
+    list_transform(segs, g -> CASE WHEN len(g) >= 2 THEN
+      list_reduce(list_transform(g, x -> [x]), (acc, x) ->
+        CASE WHEN len(list_filter(sel, m -> m.l = acc[-1] AND m.r = x[1])) > 0
+             THEN acc[1:len(acc) - 1] || [acc[-1] || x[1]]
+             ELSE acc || x END)
+      ELSE g END) AS segs
+  FROM (
+    SELECT d, merges, segs, sel,
+      list_transform(range(len(sel)), i -> {{'rnk': CAST(len(merges) + i + 1 AS INTEGER),
+        'l': sel[i + 1].l, 'r': sel[i + 1].r, 'n': sel[i + 1].n}}) AS sel_ranked
+    FROM (
+      SELECT d, merges, segs,
+        CASE WHEN len(cands) = 0
+             THEN CAST([] AS STRUCT(l VARCHAR, r VARCHAR, n BIGINT)[])
+             ELSE list_reduce(list_transform(cands, cnd -> [cnd]), (acc, x) ->
+               acc || CASE WHEN len(acc) < k
+                     AND NOT list_contains(flatten(list_transform(acc, m -> [m.l, m.r])), x[1].l)
+                     AND NOT list_contains(flatten(list_transform(acc, m -> [m.l, m.r])), x[1].r)
+                    THEN x ELSE x[1:0] END)
+        END AS sel
+      FROM (
+        SELECT r2.d + 1 AS d, r2.merges, r2.segs,
+          least({_BPE_MPR}, {_BPE_MERGES} - len(r2.merges)) AS k,
+          COALESCE(
+            (SELECT (list({{'l': pl, 'r': pr, 'n': pn}} ORDER BY pn DESC, pl, pr))[1:{_BPE_WIN}]
+             FROM (SELECT u.p.l AS pl, u.p.r AS pr, CAST(sum(u.p.c) AS BIGINT) AS pn
+                   FROM unnest(flatten(list_transform(range(len(r2.segs)), i ->
+                          list_transform(range(len(r2.segs[i + 1]) - 1), j ->
+                            {{'l': r2.segs[i + 1][j + 1], 'r': r2.segs[i + 1][j + 2],
+                              'c': s.cnts[i + 1]}})))) AS u(p)
+                   GROUP BY u.p.l, u.p.r
+                   HAVING sum(u.p.c) >= {_BPE_MINC})),
+            CAST([] AS STRUCT(l VARCHAR, r VARCHAR, n BIGINT)[])) AS cands
+        FROM rec r2, st0 s
+        WHERE len(r2.merges) < {_BPE_MERGES}
+      )
+    )
+  )
+  WHERE len(sel) > 0
+)"""
+
 
 @register(
     "bpe_train_merges",
-    None,  # greedy iterative training — not SQL-expressible
+    f"""
+WITH RECURSIVE
+{_BPE_REC}
+SELECT CAST(m.rnk AS INTEGER) AS rank, m.l AS "left", m.r AS "right",
+       m.l || m.r AS merged, CAST(m.n AS BIGINT) AS pair_count
+FROM (SELECT unnest((SELECT merges FROM rec ORDER BY d DESC LIMIT 1)) AS m)
+""",
     f"Distributed BPE trainer: {_BPE_MERGES} merges learned on the "
     "distinct-word table (one corpus pass; each Spark round applies up "
     "to 8 pairwise token-disjoint merges in one aggregate fold, so "
-    "rounds ~ vocab/8; bounded top-window collects only)",
+    "rounds ~ vocab/8; bounded top-window collects only); replayed "
+    "bit-exactly by a recursive-CTE oracle carrying the segmentation "
+    "table as list state",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.bpe import bpe_train
@@ -911,7 +1004,38 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_token_budget",
-    None,  # consumes the iteratively trained vocabulary
+    f"""
+WITH RECURSIVE
+{_BPE_REC},
+fin AS (SELECT segs FROM rec ORDER BY d DESC LIMIT 1),
+vocab AS (
+  SELECT unnest(s.words) AS word,
+         unnest(list_transform(f.segs, g -> CAST(len(g) AS INTEGER))) AS n_bpe
+  FROM st0 s, fin f
+),
+ex AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS chars_,
+         unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS word
+  FROM tok
+),
+j AS (SELECT e.*, v.n_bpe FROM ex e LEFT JOIN vocab v USING (word)),
+pd AS (
+  SELECT source, doc_id, max(chars_) AS chars_,
+    CAST(count(word) AS BIGINT) AS ws,
+    CAST(sum(CASE WHEN word IS NULL THEN 0
+                  ELSE coalesce(n_bpe, length(word)) END) AS BIGINT) AS bpe,
+    CAST(sum(CASE WHEN word IS NOT NULL AND n_bpe IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM j GROUP BY source, doc_id
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS whitespace_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(sum(chars_) AS BIGINT) AS chars,
+  CAST(sum(oov) AS BIGINT) AS n_oov_words,
+  round(CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE), 6) + 0 AS bpe_per_word
+FROM pd GROUP BY source
+""",
     "Per-source token budget under the trained BPE vocabulary "
     "(fertility = BPE tokens per whitespace word): corpus explode + "
     "shuffle_hash join on the vocabulary-sized segmentation table; "

@@ -908,6 +908,16 @@ _WF_SPLITS = 4
 _WF_EMBARGO = "30m"
 
 
+def _sql_interval(duration: str) -> str:
+    """Render a simple ``<n><unit>`` duration (the operator-side embargo
+    constant) as a DuckDB INTERVAL literal, so the oracle and the
+    operator share ONE source of truth and editing ``_WF_EMBARGO`` can
+    never silently desynchronize them."""
+    units = {"s": "SECONDS", "m": "MINUTES", "h": "HOURS", "d": "DAYS"}
+    n, unit = int(duration[:-1]), duration[-1]
+    return f"INTERVAL {n} {units[unit]}"
+
+
 def _walk_forward_oracle(mode: str) -> str:
     unused = (
         "WHEN blk < split THEN 'unused'\n       " if mode == "rolling" else ""
@@ -939,7 +949,7 @@ SELECT e.symbol, e.t0 AS ts_event, s.split,
   CASE WHEN blk = split + 1 THEN 'test'
        WHEN blk > split + 1 THEN 'future'
        {unused}WHEN t1 >= test_start THEN 'purged'
-       WHEN t1 >= test_start - INTERVAL 30 MINUTES THEN 'embargo'
+       WHEN t1 >= test_start - {_sql_interval(_WF_EMBARGO)} THEN 'embargo'
        ELSE 'train' END AS role
 FROM ev e JOIN splits s ON e.symbol = s.symbol
 """

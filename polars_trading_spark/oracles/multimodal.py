@@ -685,8 +685,7 @@ def q_multimodal_png_interlaced_decode(spark: SparkSession, sf_dir: str) -> Data
 # former "subsampled" NotImplementedError: four Y blocks + half-res
 # Cb/Cr per 16x16 MCU through the sampling-factor-aware scan decoder,
 # chroma upsampled by 2x2 pixel replication (spec-legal, exact in
-# integers), then the BT.601 floor(x+0.5) transform.  JPEG scope now
-# pins progressive scans only.
+# integers), then the BT.601 floor(x+0.5) transform.
 # --------------------------------------------------------------------------
 
 
@@ -743,8 +742,7 @@ GROUP BY media_id
     "REAL stdlib 4:2:0 SUBSAMPLED color JPEG decode: four Y blocks + "
     "half-res chroma per MCU through the sampling-aware scan decoder, "
     "2x2-replicated chroma, BT.601 floor transform — every RGB byte "
-    "replayed closed-form; the JPEG scope pin now names progressive "
-    "scans only",
+    "replayed closed-form",
 )
 def q_multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.multimodal import (
@@ -753,4 +751,80 @@ def q_multimodal_jpeg_420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     media = synthesize_jpeg_color_420(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). 4:2:2 CHROMA-SUBSAMPLED color JPEG decode — the
+# last subsampled layout: two Y blocks + half-HORIZONTAL-res Cb/Cr per
+# 16x8 MCU through the same sampling-factor-aware scan decoder
+# (functions/multimodal.py::_jpeg_decode_scan is generic over (hs,vs)),
+# chroma upsampled by 1x2 pixel replication, BT.601 floor(x+0.5)
+# transform.  JPEG scope now pins progressive / 4-component only.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_422_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+  FROM documents
+),
+px0 AS (
+  SELECT media_id, width, height,
+    p % width AS x, p // width AS y
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+px AS (
+  SELECT media_id, width, height, x, y,
+    (y // 8) * (width // 16) + (x // 16) AS k,
+    (x % 16) // 8 AS s
+  FROM px0
+),
+ycc AS (
+  SELECT media_id, width, height, x, y,
+    CAST(2 * ((media_id + 13 * (2 * k + s)) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM px
+),
+rgb AS (
+  SELECT media_id, width, height, 3 * (y * width + x) AS j0,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM ycc
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(CAST(r AS BIGINT) + CAST(g AS BIGINT) + CAST(b AS BIGINT)) AS BIGINT) AS px_sum,
+  CAST(sum(CAST(r AS BIGINT) * (j0 % 251 + 1)
+         + CAST(g AS BIGINT) * ((j0 + 1) % 251 + 1)
+         + CAST(b AS BIGINT) * ((j0 + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib 4:2:2 SUBSAMPLED color JPEG decode: two Y blocks + "
+    "half-horizontal-res chroma per 16x8 MCU through the sampling-aware "
+    "scan decoder, 1x2-replicated chroma, BT.601 floor transform — "
+    "every RGB byte replayed closed-form; the JPEG scope pin now names "
+    "progressive / 4-component only",
+)
+def q_multimodal_jpeg_422_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_color_422,
+    )
+
+    media = synthesize_jpeg_color_422(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)

@@ -9,6 +9,7 @@ driver gate window; tests/test_registry_order.py asserts the manifest.
 
 from __future__ import annotations
 from polars_trading_spark.operators import bars as bars_ops
+from polars_trading_spark.sources.tables import TRADES_CTE
 from polars_trading_spark.sources.tables import trades_from_events
 from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
@@ -245,11 +246,11 @@ def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-# Reusable Ledoit-Wolf pair-covariance CTE chain (ends at lw = the
-# shrunk pair table) — shared by the ledoit_wolf and risk_contributions
-# oracles.
-_LW_CTES = f"""
-{_FEATURE_BARS_CTE},
+# Reusable Ledoit-Wolf pair-covariance CTE tail (from a `bars` CTE to
+# lw = the shrunk pair table) — shared by the ledoit_wolf /
+# risk_contributions oracles (15m bars) and the hrp_weights oracle
+# (6h bars, matching its Spark side's coarser alignment-friendly tape).
+_LW_TAIL = """
 r0 AS (
   SELECT symbol AS s, ts,
     ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY ts)) AS r
@@ -302,6 +303,27 @@ lw AS (
          ELSE sij END AS cov
   FROM pp2 CROSS JOIN sc2
 )"""
+
+_LW_CTES = f"""
+{_FEATURE_BARS_CTE},
+{_LW_TAIL}"""
+
+# 6h-bar twin for the HRP oracle (21_600_000_000 µs buckets).
+_HRP_BUCKET_US = 6 * 3600 * 1_000_000
+
+_LW_CTES_6H = f"""
+trades AS ({TRADES_CTE}),
+bucketed AS (
+  SELECT *, make_timestamp((epoch_us(ts_event) // {_HRP_BUCKET_US}) * {_HRP_BUCKET_US}) AS bucket
+  FROM trades
+),
+bars AS (
+  SELECT bucket AS ts, symbol,
+    last(price ORDER BY ts_event, seq) AS close
+  FROM bucketed
+  GROUP BY bucket, symbol
+),
+{_LW_TAIL}"""
 
 
 @register(
@@ -1230,16 +1252,136 @@ def q_portfolio_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # C-ext (round 8). Hierarchical Risk Parity (operators/hrp.py) — AFML
 # ch.16 allocation over the distributed Ledoit-Wolf pair covariance.
-# No SQL oracle (iterative single-linkage + recursive bisection); the
-# driver records rows-only — correctness is pinned by the closed-form
-# golden anchors in tests/test_hrp.py (2-asset == inverse variance,
-# orthogonal equal-norm == equal weight, analytic cluster allocation).
+# Round 10: the iterative single-linkage + recursive-bisection driver
+# loop is replayed by TWO recursive CTEs over list state (the
+# sequential_bootstrap pattern): `ser` carries the active cluster list
+# (kept id-sorted: survivors keep order, the merged cluster takes the
+# largest id and appends — so pair enumeration by position IS (a < b)
+# id order) and merges the argmin-(dist, a, b) pair per iteration with
+# single-linkage distances recomputed from the leaf-level matrix;
+# `bis` splits every >=2-wide segment per iteration and multiplies the
+# per-position weights by the inverse-cluster-variance split factor.
+# The closed-form golden anchors in tests/test_hrp.py (2-asset ==
+# inverse variance, orthogonal equal-norm == equal weight, analytic
+# cluster allocation) remain the algorithmic anchor.
 # --------------------------------------------------------------------------
 
 
 @register(
     "hrp_weights",
-    None,  # iterative linkage/bisection — not SQL-expressible
+    f"""
+WITH RECURSIVE
+{_LW_CTES_6H},
+csym AS (
+  SELECT sym_a AS sa, sym_b AS sb, cov FROM lw
+  UNION ALL
+  SELECT sym_b AS sa, sym_a AS sb, cov FROM lw WHERE sym_a <> sym_b
+),
+crow AS (SELECT sa, list(cov ORDER BY sb) AS row FROM csym GROUP BY sa),
+cmat AS (
+  SELECT list(row ORDER BY sa) AS C, list(sa ORDER BY sa) AS syms FROM crow
+),
+dmat AS (
+  SELECT C, syms, len(syms) AS n,
+    list_transform(range(len(syms)), i -> list_transform(range(len(syms)), j ->
+      sqrt(greatest(0.0, (1.0 - least(greatest(
+        C[i + 1][j + 1] / (sqrt(C[i + 1][i + 1]) * sqrt(C[j + 1][j + 1])),
+        -1.0), 1.0)) / 2.0)))) AS D
+  FROM cmat
+),
+ser AS (
+  SELECT 0 AS it,
+         list_transform(range(n), i -> {{'id': i, 'lv': [i]}}) AS cl
+  FROM dmat
+  UNION ALL
+  SELECT it,
+    list_filter(cl, c -> c.id <> pick.a AND c.id <> pick.b)
+      || [{{'id': nid,
+            'lv': list_filter(cl, c -> c.id = pick.a)[1].lv
+                  || list_filter(cl, c -> c.id = pick.b)[1].lv}}]
+  FROM (
+    SELECT it, cl, nid,
+      list_filter(f2, c -> c.b = list_min(list_transform(f2, x -> x.b)))[1] AS pick
+    FROM (
+      SELECT it, cl, nid,
+        list_filter(f1, c -> c.a = list_min(list_transform(f1, x -> x.a))) AS f2
+      FROM (
+        SELECT it, cl, nid,
+          list_filter(cands, c -> c.d = list_min(list_transform(cands, x -> x.d))) AS f1
+        FROM (
+          SELECT s.it + 1 AS it, s.cl, 2 * d.n - len(s.cl) AS nid,
+            flatten(list_transform(range(len(s.cl)), ai ->
+              list_transform(range(len(s.cl) - ai - 1), bo ->
+                {{'d': list_min(flatten(list_transform(s.cl[ai + 1].lv, x ->
+                        list_transform(s.cl[ai + 2 + bo].lv, y -> d.D[x + 1][y + 1])))),
+                  'a': s.cl[ai + 1].id, 'b': s.cl[ai + 2 + bo].id}}))) AS cands
+          FROM ser s, dmat d
+          WHERE len(s.cl) > 1
+        )
+      )
+    )
+  )
+),
+ord0 AS (SELECT cl[1].lv AS ordv FROM ser WHERE len(cl) = 1),
+bis AS (
+  SELECT 0 AS it, [{{'s': CAST(1 AS BIGINT), 'e': n}}] AS segs,
+         -- CAST: a bare 1.0 is DECIMAL(2,1); the recursion's UNION would
+         -- unify wpos to DECIMAL and quantize every weight to 0.1 steps
+         list_transform(range(n), i -> CAST(1.0 AS DOUBLE)) AS wpos
+  FROM dmat
+  UNION ALL
+  SELECT it, newsegs, newwpos FROM (
+    SELECT it,
+      flatten(list_transform(facts, g ->
+        [{{'s': g.s, 'e': g.s + g.h - 1}}, {{'s': g.s + g.h, 'e': g.e}}])) AS newsegs,
+      list_transform(range(len(wpos)), p -> wpos[p + 1] * coalesce(
+        list_transform(
+          list_filter(facts, g -> g.s <= p + 1 AND p + 1 <= g.e),
+          g -> CASE WHEN p + 1 < g.s + g.h THEN g.alpha ELSE 1.0 - g.alpha END)[1],
+        1.0)) AS newwpos
+    FROM (
+      SELECT it, wpos,
+        list_transform(fs2, g ->
+          {{'s': g.s, 'e': g.e, 'h': g.h,
+            'alpha': 1.0 - g.vl / (g.vl + g.vr)}}) AS facts
+      FROM (
+        SELECT it, wpos, C,
+          list_transform(fs1, g ->
+            {{'s': g.s, 'e': g.e, 'h': g.h,
+              'vl': list_sum(list_transform(g.li, i -> list_sum(list_transform(g.li, j ->
+                (1.0 / C[i + 1][i + 1] / g.sl) * C[i + 1][j + 1] * (1.0 / C[j + 1][j + 1] / g.sl))))),
+              'vr': list_sum(list_transform(g.ri, i -> list_sum(list_transform(g.ri, j ->
+                (1.0 / C[i + 1][i + 1] / g.sr) * C[i + 1][j + 1] * (1.0 / C[j + 1][j + 1] / g.sr)))))}}) AS fs2
+        FROM (
+          SELECT it, wpos, C,
+            list_transform(fs0, g ->
+              {{'s': g.s, 'e': g.e, 'h': g.h, 'li': g.li, 'ri': g.ri,
+                'sl': list_sum(list_transform(g.li, k -> 1.0 / C[k + 1][k + 1])),
+                'sr': list_sum(list_transform(g.ri, k -> 1.0 / C[k + 1][k + 1]))}}) AS fs1
+          FROM (
+            SELECT b.it + 1 AS it, b.wpos, d.C,
+              list_transform(
+                list_transform(list_filter(b.segs, g -> g.e > g.s),
+                  g -> {{'s': g.s, 'e': g.e, 'h': (g.e - g.s + 1) // 2}}),
+                g -> {{'s': g.s, 'e': g.e, 'h': g.h,
+                       'li': o.ordv[g.s : g.s + g.h - 1],
+                       'ri': o.ordv[g.s + g.h : g.e]}}) AS fs0
+            FROM bis b, dmat d, ord0 o
+            WHERE len(list_filter(b.segs, g -> g.e > g.s)) > 0
+          )
+        )
+      )
+    )
+  )
+),
+finw AS (SELECT wpos FROM bis ORDER BY it DESC LIMIT 1)
+SELECT
+  d.syms[t.i + 1] AS symbol,
+  round(f.wpos[list_position(o.ordv, t.i)] / list_sum(f.wpos), 9) + 0 AS weight,
+  CAST(list_position(o.ordv, t.i) - 1 AS INTEGER) AS seriation_rank,
+  round(d.C[t.i + 1][t.i + 1], 9) + 0 AS variance
+FROM dmat d, ord0 o, finw f, unnest(range(d.n)) AS t(i)
+""",
     "Hierarchical Risk Parity allocation (single-linkage seriation + "
     "recursive inverse-variance bisection) over the pairwise Ledoit-Wolf "
     "covariance; distributed covariance, bounded universe-sized driver "

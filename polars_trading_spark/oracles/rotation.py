@@ -1,0 +1,103 @@
+"""Driver-gate rotation tables (pure data — no imports).
+
+The driver's correctness harness verifies the FIRST 50 entries of
+``queries()`` insertion order (rows + schema + value-hash vs the DuckDB
+oracle at sf0.01).  ``ACTIVE_FRONT`` is the current round's window;
+registry.py applies it after every domain module has registered.
+tests/test_registry_order.py pins the resulting order against the
+committed manifest AND asserts the never-gated-coverage invariant:
+every registration without a CORRECTNESS_r*.json row must sit inside
+the active window's first 50 — the one place a new query could
+otherwise silently miss its driver gate.
+
+History: rounds 1-4 gated the original first 50 registrations; round 5
+gated 50 later ones (48 green, 2 determinism bugs fixed + re-gated
+green in round 6); round 6 (50/50) covered the then-unchecked 26 +
+re-checks + backfill; round 7 (50/50) the 18 round-6 registrations +
+28 stale backfill + 4 re-checks; round 8 (50/50, `_ROUND8_FRONT`) the
+18 round-7 registrations + 32 r5-stale backfill; round 9 (47 green +
+3 `err: no_oracle`, `_ROUND9_FRONT`) the 14 round-8 registrations + 36
+backfill.
+"""
+
+from __future__ import annotations
+
+__all__ = ["ACTIVE_FRONT"]
+
+
+_ROUND8_FRONT = [
+    # -- the 18 round-7 registrations, never driver-checked --
+    "lexical_diversity", "encoding_quality", "heaps_law",
+    "term_burstiness", "rank_ic", "url_domains", "code_detection",
+    "lang_mix", "atr", "bollinger", "macd", "bm25", "stochastic", "obv",
+    "session_vwap", "donchian", "hampel_filter", "robust_moments",
+    # -- 32 backfill: latest driver row is round 5 (stalest cohort) --
+    "ac_schedule", "backtest_stats", "bde_cusum", "bet_sizing",
+    "bigram_logprob", "boilerplate", "bpe_pairs", "cluster_keywords",
+    "corpus_funnel", "cs_zscore", "dedup_containment", "dedup_paragraph",
+    "drawdown_path", "dup_spans", "event_funnel", "feature_matrix",
+    "imbalance_bars_adaptive", "intraday_profile", "jump_test",
+    "lead_lag", "ledoit_wolf", "lz_entropy", "ma_crossover",
+    "mix_corpus", "momentum_rank", "pair_correlation", "pcm_features",
+    "pii_scrub", "psi_drift", "range_bars", "rank_portfolio",
+    "retention",
+]
+
+_ROUND9_FRONT = [
+    # -- the 14 round-8 registrations, never driver-checked --
+    "portfolio_capacity", "hrp_weights", "risk_contributions",
+    "token_budget_curves", "bpe_train_merges", "bpe_token_budget",
+    "multimodal_png_decode", "pcm_band_power", "multimodal_gif_decode",
+    "multimodal_jpeg_decode", "dedup_survivor_budget",
+    "spread_band_backtest", "embedding_drift", "dedup_recall_curve",
+    # -- 36 backfill: latest driver row is round 5, then r6 alpha --
+    "return_acf", "roll_adjust", "rolling_beta", "semdedup",
+    "sequential_bootstrap", "sessionize", "sign_autocorr",
+    "similarity_topk_ivf_pq", "spread_signal", "tfidf_cosine_pairs",
+    "unigram_logprob", "var_cvar", "asof_join_backward",
+    "asof_join_nearest", "bar_groups_split", "char_entropy",
+    "chunk_documents", "cusum_filter", "daily_vol", "decontaminate",
+    "dedup_exact", "dedup_minhash_lsh", "deflated_sharpe",
+    "dollar_bars", "dsir_weights", "event_transitions",
+    "ewm_std_native", "fama_macbeth", "fama_macbeth_nw",
+    "fixed_time_return", "frac_diff", "funnel_latency", "har_rv",
+    "hawkes_intensity", "interval_join_events", "ks_drift",
+]
+
+# Round-10 rotation (ACTIVE), computed from CORRECTNESS_r01-r09
+# latest-round history.  Front = the 14 round-9 registrations (never
+# driver-checked) + the 3 formerly rows-only queries (hrp_weights /
+# bpe_train_merges / bpe_token_budget — they went `err: no_oracle` in
+# round 9's window; round 10 gives them recursive-CTE DuckDB oracles,
+# so they re-enter the window to flip to hash-gated PASS) + round-10
+# registrations + the stalest backfill names to fill 50 (latest driver
+# row r6 alphabetical from multimodal_bmp_metadata, then r7
+# alphabetical).  (Remaining r7-latest names — from csw_explosiveness
+# onward — rotate in round 11, together with any round-11
+# registrations.)
+_ROUND10_FRONT = [
+    # -- the 14 round-9 registrations, never driver-checked --
+    "walk_forward", "walk_forward_rolling", "spread_band_backtest_net",
+    "rank_portfolio_net", "lsh_power_curve", "contamination_report",
+    "benchmark_coverage", "multimodal_jpeg_color_decode",
+    "multimodal_png_palette_decode", "multimodal_gif_interlaced_decode",
+    "multimodal_png_interlaced_decode", "multimodal_jpeg_420_decode",
+    "spread_band_tearsheet", "rank_portfolio_tearsheet",
+    # -- the 3 newly-oracled round-8 queries (r9 rows were no_oracle) --
+    "hrp_weights", "bpe_train_merges", "bpe_token_budget",
+    # -- round-10 registrations --
+    "multimodal_jpeg_422_decode",
+    # -- 33 backfill: latest driver row is round 6, then r7 alpha --
+    "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
+    "ngram_novelty", "pack_sequences", "permutation_entropy",
+    "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
+    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "tick_quality", "time_bars", "time_bars_compound_duration",
+    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "upsample_ffill", "vertical_barrier", "volume_bars",
+    "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
+    "zipf_fit", "ann_recall", "bar_volatility", "centroid_similarity",
+    "cluster_representatives", "cointegration", "corpus_filter",
+]
+
+ACTIVE_FRONT = _ROUND10_FRONT

@@ -1201,7 +1201,6 @@ WITH
 t1 AS (
   SELECT sym_a, sym_b, ts,
     coalesce(pnl, 0.0) AS g,
-    CASE WHEN pnl IS NOT NULL THEN 1 ELSE 0 END AS has,
     coalesce(pnl, 0.0) - cost AS nv,
     cost AS c,
     CASE WHEN traded THEN 1 ELSE 0 END AS tr
@@ -1211,7 +1210,6 @@ t2 AS (
   SELECT sym_a, sym_b, ts,
     row_number() OVER w AS rn,
     count(*) OVER pw AS cnt,
-    sum(has) OVER pw AS np,
     sum(tr) OVER pw AS ntr,
     sum(g) OVER rw AS sg,
     sum(g*g) OVER rw AS sg2,
@@ -1239,11 +1237,11 @@ SELECT sym_a, sym_b,
   round(sg, 6) + 0 AS gross_pnl,
   round(sc, 6) + 0 AS total_cost,
   round(sn, 6) + 0 AS net_pnl,
-  CASE WHEN np >= 2 AND sqrt(greatest((sg2 - sg*sg/np) / (np - 1), 0.0)) > 0
-       THEN round((sg/np) / sqrt(greatest((sg2 - sg*sg/np) / (np - 1), 0.0)), 6) + 0
+  CASE WHEN cnt >= 2 AND sqrt(greatest((sg2 - sg*sg/cnt) / (cnt - 1), 0.0)) > 0
+       THEN round((sg/cnt) / sqrt(greatest((sg2 - sg*sg/cnt) / (cnt - 1), 0.0)), 6) + 0
   END AS gross_sharpe,
-  CASE WHEN np >= 2 AND sqrt(greatest((sn2 - sn*sn/np) / (np - 1), 0.0)) > 0
-       THEN round((sn/np) / sqrt(greatest((sn2 - sn*sn/np) / (np - 1), 0.0)), 6) + 0
+  CASE WHEN cnt >= 2 AND sqrt(greatest((sn2 - sn*sn/cnt) / (cnt - 1), 0.0)) > 0
+       THEN round((sn/cnt) / sqrt(greatest((sn2 - sn*sn/cnt) / (cnt - 1), 0.0)), 6) + 0
   END AS net_sharpe,
   round(mdd, 6) + 0 AS max_drawdown
 FROM t5 WHERE rn = cnt

@@ -2236,8 +2236,61 @@ def test_jpeg_420_codec_dc_only_exact_and_scope():
     app0 = b"\xff\xe0" + struct.pack(
         ">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0
     )
-    sof_422 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 32, 3) + bytes(
-        [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    sof_411 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 64, 3) + bytes(
+        [1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
-        jpeg_decode(b"\xff\xd8" + app0 + sof_422 + b"\xff\xd9")
+    with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2 or 4:2:0"):
+        jpeg_decode(b"\xff\xd8" + app0 + sof_411 + b"\xff\xd9")
+
+
+def test_jpeg_422_codec_dc_only_exact_and_scope():
+    from polars_trading_spark.functions.multimodal import (
+        decode_image,
+        jpeg_encode_ycbcr_422,
+    )
+
+    m, w, h = 23, 32, 16
+    nm = (w // 16) * (h // 8)
+    mcus = []
+    for k in range(nm):
+        ys = []
+        for s in range(2):
+            blk = [0] * 64
+            blk[0] = ((m + 13 * (2 * k + s)) % 64) - 32
+            ys.append(blk)
+        cb = [0] * 64
+        cb[0] = ((2 * m + 7 * k) % 64) - 32
+        cr = [0] * 64
+        cr[0] = ((3 * m + 5 * k) % 64) - 32
+        mcus.append((tuple(ys), cb, cr))
+    fmt, ww, hh, px = decode_image(jpeg_encode_ycbcr_422(mcus, w, h))
+    assert (fmt, ww, hh) == ("jpeg", w, h)
+    assert px.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            k = (y // 8) * (w // 16) + x // 16
+            s = (x % 16) // 8
+            Y = 2 * ((m + 13 * (2 * k + s)) % 64) + 64
+            Cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            Cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            want = np.clip(
+                [
+                    np.floor(Y + 1.402 * (Cr - 128.0) + 0.5),
+                    np.floor(
+                        Y
+                        - 0.344136 * (Cb - 128.0)
+                        - 0.714136 * (Cr - 128.0)
+                        + 0.5
+                    ),
+                    np.floor(Y + 1.772 * (Cb - 128.0) + 0.5),
+                ],
+                0,
+                255,
+            )
+            assert (px[y, x] == want).all(), (y, x)
+    # the two Y sub-blocks really land side by side: distinct DCs change
+    # the luma across the 8-pixel boundary within one MCU row
+    k0y = [2 * ((m + 13 * s) % 64) + 64 for s in range(2)]
+    assert len(set(k0y)) == 2
+    with pytest.raises(ValueError):
+        jpeg_encode_ycbcr_422(mcus, 24, 16)  # width not a multiple of 16

@@ -38,6 +38,8 @@ _ROUND10_WINDOW = [
     "multimodal_png_interlaced_decode", "multimodal_jpeg_420_decode",
     "spread_band_tearsheet", "rank_portfolio_tearsheet",
     "hrp_weights", "bpe_train_merges", "bpe_token_budget",
+    # -- round-10 registrations --
+    "multimodal_jpeg_422_decode",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
@@ -48,7 +50,6 @@ _ROUND10_WINDOW = [
     "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
     "zipf_fit", "ann_recall", "bar_volatility", "centroid_similarity",
     "cluster_representatives", "cointegration", "corpus_filter",
-    "corpus_split",
 ]
 
 
@@ -75,6 +76,29 @@ def test_queries_order_matches_manifest():
 
 def test_round10_gate_window_is_first_50():
     assert list(QUERIES)[:50] == _ROUND10_WINDOW
+
+
+def test_every_never_gated_query_is_inside_the_gate_window():
+    """The coverage invariant behind the rotation discipline: a query
+    with no CORRECTNESS_r*.json row yet (never driver-gated) MUST sit
+    inside the active window's first 50 — otherwise a new registration
+    silently misses its driver gate this round."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gated: set = set()
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            gated.update(json.load(f).keys())
+    window = set(list(QUERIES)[:50])
+    missing = sorted(
+        n for n in QUERIES if n not in gated and n not in window
+    )
+    assert missing == [], (
+        "never-driver-gated queries outside the active gate window "
+        f"(add them to oracles/rotation.py ACTIVE_FRONT): {missing}"
+    )
 
 
 def test_every_query_name_is_unique_and_self_consistent():

@@ -496,8 +496,10 @@ def test_rank_portfolio_net_cost_invariants(spark):
 
 def test_spread_band_tearsheet_matches_per_bar_recomputation(spark):
     """The one-row summary equals a pandas recomputation over the
-    per-bar net backtest output: ordered sums, non-null-bar Sharpes,
-    running-peak drawdown of the net equity curve."""
+    per-bar net backtest output: ordered sums, all-bar Sharpes (the
+    rank_portfolio_tearsheet convention — the warmup bar's undefined
+    gross P&L contributes 0), running-peak drawdown of the net equity
+    curve."""
     import datetime as dt
 
     import numpy as np
@@ -539,14 +541,14 @@ def test_spread_band_tearsheet_matches_per_bar_recomputation(spark):
     assert r["gross_pnl"] == pytest.approx(g.sum(), abs=1e-9)
     assert r["total_cost"] == pytest.approx(per_bar.cost.sum(), abs=1e-9)
     assert r["net_pnl"] == pytest.approx(nv.sum(), abs=1e-9)
-    mask = per_bar.pnl.notna()
-    gs = g[mask]
+    # Sharpes over ALL bars, matching rank_portfolio_tearsheet: the
+    # warmup bar's null gross pnl counts as 0 and its (zero) cost bar
+    # stays in the net series
     assert r["gross_sharpe"] == pytest.approx(
-        gs.mean() / gs.std(ddof=1), rel=1e-9
+        g.mean() / g.std(ddof=1), rel=1e-9
     )
-    ns = nv[mask]
     assert r["net_sharpe"] == pytest.approx(
-        ns.mean() / ns.std(ddof=1), rel=1e-9
+        nv.mean() / nv.std(ddof=1), rel=1e-9
     )
     cum = nv.cumsum()
     assert r["max_drawdown"] == pytest.approx(
