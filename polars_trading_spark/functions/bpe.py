@@ -58,7 +58,15 @@ import operator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_train", "bpe_token_budget"]
+__all__ = ["bpe_train", "bpe_token_budget", "bpe_encode"]
+
+
+def _char_array(col):
+    """Character array of a string column (the base BPE alphabet)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: col.substr(i, F.lit(1)),
+    )
 
 
 def _word_table(documents: DataFrame, text_col: str) -> DataFrame:
@@ -70,11 +78,9 @@ def _word_table(documents: DataFrame, text_col: str) -> DataFrame:
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("__w")),
-        lambda i: F.col("__w").substr(i, F.lit(1)),
+    return words.select(
+        "__w", "__c", _char_array(F.col("__w")).alias("__seg")
     )
-    return words.select("__w", "__c", chars.alias("__seg"))
 
 
 def _adjacent_pairs(seg):
@@ -136,9 +142,10 @@ def bpe_train(
       left, right, merged, pair_count`` (the pair's weighted count at
       the START of its round); training stops early when no candidate
       reaches ``min_pair_count``.
-    * ``words`` — the final word table ``word, word_count, n_bpe_tokens``
-      (each distinct word's segment count under the learned merges) —
-      the lookup table ``bpe_token_budget`` joins the corpus against.
+    * ``words`` — the final word table ``word, word_count, n_bpe_tokens,
+      bpe_segments`` (each distinct word's segment count AND segment
+      array under the learned merges) — the lookup table
+      ``bpe_token_budget`` and ``bpe_encode`` join the corpus against.
 
     ``merges_per_round`` batches the greedy loop: each Spark round
     selects up to that many pairwise non-conflicting merges (no symbol
@@ -237,6 +244,7 @@ def bpe_train(
         F.col("__w").alias("word"),
         F.col("__c").cast("long").alias("word_count"),
         F.size("__seg").cast("int").alias("n_bpe_tokens"),
+        F.col("__seg").alias("bpe_segments"),
     )
     return merges_df, words_df
 
@@ -300,4 +308,146 @@ def bpe_token_budget(
         F.round(
             F.sum("__bpe") / F.sum("__ws").cast("double"), 6
         ).alias("bpe_per_word"),
+    )
+
+
+def bpe_vocab(merges: DataFrame, words: DataFrame) -> DataFrame:
+    """Token-id table of a trained BPE vocabulary: base characters
+    first (sorted, ids ``0..C-1``), then merged tokens in merge-rank
+    order (ids ``C..C+M-1``; a string learned twice — e.g. ``(a,bc)``
+    and ``(ab,c)`` both yielding ``abc`` — keeps its FIRST rank's id).
+    One row per token: ``token, token_id``.
+
+    Scale shape: both inputs are VOCABULARY-sized; the global
+    ``row_number`` window runs over the bounded char alphabet (the
+    rank-after-limit pattern), and the char count joins back as a
+    broadcast single-row frame — no driver collect.
+    """
+    from pyspark.sql import Window
+
+    chars = (
+        words.select(F.explode(_char_array(F.col("word"))).alias("token"))
+        .distinct()
+    )
+    char_ids = chars.select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1).alias("token_id"),
+    )
+    n_chars = chars.agg(F.count(F.lit(1)).alias("__nc"))
+    merged_ids = (
+        merges.crossJoin(F.broadcast(n_chars))
+        .select(
+            F.col("merged").alias("token"),
+            (F.col("__nc") + F.col("rank") - 1).alias("token_id"),
+        )
+        .groupBy("token")
+        .agg(F.min("token_id").alias("token_id"))
+    )
+    return char_ids.select(
+        "token", F.col("token_id").cast("int").alias("token_id")
+    ).unionByName(
+        merged_ids.select(
+            "token", F.col("token_id").cast("int").alias("token_id")
+        )
+    )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: DataFrame,
+    words: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus into REAL BPE token-id arrays under a trained
+    vocabulary — the distributed apply-by-join: no per-document Python,
+    no training-loop replay at encode time.
+
+    Output one row per document: ``doc_id, n_words, n_tokens,
+    n_oov_words, n_unk, token_ids`` where ``token_ids`` is the
+    document's tokens in reading order (``array<int>``).  Known words
+    take their trained segmentation from the ``words`` table;
+    out-of-vocabulary words fall back to their character segmentation
+    (the unmerged-BPE assignment, counted in ``n_oov_words``); any
+    character absent from the training alphabet encodes as ``-1`` (UNK,
+    counted in ``n_unk``).  Empty documents keep a row with
+    ``token_ids = []``.
+
+    Scale shape: two corpus-sized explodes (words, then segments), each
+    immediately joined against a VOCABULARY-sized ``shuffle_hash``
+    build side (never sorts the corpus-sized probe — the SCALING lookup
+    rule), then ONE hash aggregate; reading order is restored by
+    ``sort_array`` over ``(word_pos, seg_pos)`` structs inside the
+    aggregate, so no global sort.  Zero Python.
+    """
+    from polars_trading_spark.functions.text import tokens
+
+    vocab = bpe_vocab(merges, words)
+    ex1 = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(tokens(F.col(text_col))).alias("__wp", "__w"),
+    )
+    j1 = ex1.join(
+        words.select(
+            F.col("word").alias("__w"), "bpe_segments"
+        ).hint("shuffle_hash"),
+        "__w",
+        "left",
+    )
+    seg = F.when(
+        F.col("__w").isNotNull(),
+        F.coalesce(F.col("bpe_segments"), _char_array(F.col("__w"))),
+    )
+    oov = F.col("__w").isNotNull() & F.col("bpe_segments").isNull()
+    ex2 = j1.select(
+        "doc_id",
+        "__wp",
+        oov.alias("__oov"),
+        F.posexplode_outer(seg).alias("__sp", "__t"),
+    )
+    j2 = ex2.join(
+        vocab.select(
+            F.col("token").alias("__t"), "token_id"
+        ).hint("shuffle_hash"),
+        "__t",
+        "left",
+    )
+    tid = F.when(
+        F.col("__t").isNotNull(),
+        F.coalesce(F.col("token_id"), F.lit(-1)),
+    )
+    first_seg = F.col("__sp") == 0
+    return (
+        j2.select(
+            "doc_id",
+            "__wp",
+            "__sp",
+            "__oov",
+            tid.alias("__tid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum((first_seg & F.col("__tid").isNotNull()).cast("int"))
+            .cast("int")
+            .alias("n_words"),
+            F.count("__tid").cast("int").alias("n_tokens"),
+            F.sum((first_seg & F.col("__oov")).cast("int"))
+            .cast("int")
+            .alias("n_oov_words"),
+            F.sum((F.col("__tid") == -1).cast("int"))
+            .cast("int")
+            .alias("n_unk"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("__tid").isNotNull(),
+                            F.struct("__wp", "__sp", "__tid"),
+                        )
+                    )
+                ),
+                lambda x: x["__tid"],
+            ).alias("token_ids"),
+        )
     )

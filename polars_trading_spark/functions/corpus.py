@@ -31,7 +31,7 @@ from polars_trading_spark._utils import persist_tracked
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["benchmark_coverage", "chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["benchmark_coverage", "chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "bpe_pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -518,6 +518,17 @@ def pack_sequences(
         h.alias("__h"),
         F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
     )
+    return _pack_slim(slim, budget, id_col)
+
+
+def _pack_slim(slim: DataFrame, budget: int, id_col: str) -> DataFrame:
+    """Shared greedy packing kernel over a slim ``(id, n_tokens, __h,
+    shard)`` frame — the shard-parallel ``applyInPandas`` island behind
+    ``pack_sequences`` (whitespace counts) and ``bpe_pack_sequences``
+    (trained-tokenizer counts)."""
+    import numpy as np
+    import pandas as pd
+
     id_name = id_col
     schema = f"{id_col} long, shard int, seq_id int, seq_offset long, n_tokens int"
 
@@ -548,6 +559,67 @@ def pack_sequences(
         )
 
     return slim.groupBy("shard").applyInPandas(kernel, schema=schema)
+
+
+def bpe_pack_sequences(
+    documents: DataFrame,
+    words: DataFrame,
+    *,
+    budget_tokens: int,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pts-pack",
+) -> DataFrame:
+    """``pack_sequences`` under REAL tokenizer counts: documents are
+    budgeted by their trained-BPE token count (OOV words at their
+    character count — the ``bpe_token_budget`` pricing) instead of the
+    whitespace proxy, so the packed sequences match what the training
+    loop will actually see.  Same deterministic salted-hash shuffle,
+    same shard-parallel greedy kernel, same output schema (``n_tokens``
+    is now the BPE count).
+
+    Scale shape: ONE corpus explode hash-joined against the
+    vocabulary-sized ``words`` table (``shuffle_hash`` — never sorts
+    the corpus-sized probe), one per-doc integer aggregate, then the
+    shared packing island.
+    """
+    from polars_trading_spark.functions.text import portable_hash60, tokens
+
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    exploded = documents.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("word"),
+    )
+    joined = exploded.join(
+        words.select("word", "n_bpe_tokens").hint("shuffle_hash"),
+        "word",
+        "left",
+    )
+    counts = joined.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("word").isNull(), F.lit(0)).otherwise(
+                F.coalesce(
+                    F.col("n_bpe_tokens").cast("long"),
+                    F.length("word").cast("long"),
+                )
+            )
+        )
+        .cast("int")
+        .alias("n_tokens")
+    )
+    h = portable_hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    slim = counts.select(
+        F.col(id_col),
+        "n_tokens",
+        h.alias("__h"),
+        F.pmod(h, F.lit(int(n_shards))).cast("int").alias("shard"),
+    )
+    return _pack_slim(slim, int(budget_tokens), id_col)
 
 
 def corpus_funnel(

@@ -358,20 +358,13 @@ _PACK_BUDGET, _PACK_SHARDS = 512, 4
 
 
 
-@register(
-    "pack_sequences",
-    f"""
-WITH RECURSIVE
-pdocs AS (
-  SELECT doc_id,
-    len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
-        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS n_tok,
-    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-  FROM documents
-),
-sharded AS (
-  SELECT doc_id, n_tok, h, CAST(h % {_PACK_SHARDS} AS INTEGER) AS shard,
-    row_number() OVER (PARTITION BY h % {_PACK_SHARDS} ORDER BY h, doc_id) - 1 AS idx
+def _pack_chain_sql(budget: int, shards: int) -> str:
+    """The greedy-packing CTE chain (assumes a ``pdocs(doc_id, n_tok,
+    h)`` CTE; recursion named ``prec`` so it can compose with other
+    recursive chains like _BPE_REC in one WITH RECURSIVE)."""
+    return f"""sharded AS (
+  SELECT doc_id, n_tok, h, CAST(h % {shards} AS INTEGER) AS shard,
+    row_number() OVER (PARTITION BY h % {shards} ORDER BY h, doc_id) - 1 AS idx
   FROM pdocs
 ),
 pre AS (
@@ -383,7 +376,7 @@ pre AS (
   FROM sharded
 ),
 nmax AS (SELECT shard, count(*) AS n FROM pre GROUP BY shard),
-rec AS (
+prec AS (
   SELECT shard, 0 AS s, 0 AS b FROM nmax
   UNION ALL
   SELECT r.shard,
@@ -392,29 +385,45 @@ rec AS (
                 WHERE p.shard = r.shard AND p.idx >= r.s
                   AND p.c_end - coalesce((SELECT p2.c_end FROM pre p2
                                           WHERE p2.shard = r.shard AND p2.idx = r.s - 1), 0)
-                      > {_PACK_BUDGET}),
+                      > {budget}),
                (SELECT n FROM nmax WHERE nmax.shard = r.shard))) AS INTEGER) AS s,
     r.b + 1 AS b
-  FROM rec r
+  FROM prec r
   WHERE r.s < (SELECT n FROM nmax WHERE nmax.shard = r.shard)
 ),
 assign AS (
   SELECT p.shard, p.doc_id, p.idx, p.n_tok, p.c_start,
-    (SELECT max(r.b) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS seq_id,
-    (SELECT max(r.s) FROM rec r WHERE r.shard = p.shard AND r.s <= p.idx) AS bstart
+    (SELECT max(r.b) FROM prec r WHERE r.shard = p.shard AND r.s <= p.idx) AS seq_id,
+    (SELECT max(r.s) FROM prec r WHERE r.shard = p.shard AND r.s <= p.idx) AS bstart
   FROM pre p
-)
-SELECT a.doc_id, a.shard,
+)"""
+
+
+# CAST notes: DuckDB window sums of integers are HUGEINT; an uncast
+# HUGEINT output column survives fetchall() (python int) but turns
+# float64 under a pandas-based fetch, which stringifies 100 as "100.0"
+# and broke the driver's string-keyed value hash (round-5 red row).
+_PACK_FINAL_SQL = """SELECT a.doc_id, a.shard,
   CAST(a.seq_id AS INTEGER) AS seq_id,
-  -- CAST: DuckDB window sums of integers are HUGEINT; an uncast HUGEINT
-  -- output column survives fetchall() (python int) but turns float64
-  -- under a pandas-based fetch, which stringifies 100 as "100.0" and
-  -- broke the driver's string-keyed value hash (round-5 red row).
-  -- This was the ONLY oracle in the registry emitting HUGEINT.
   CAST(a.c_start - p2.c_start AS BIGINT) AS seq_offset,
   CAST(a.n_tok AS INTEGER) AS n_tokens
 FROM assign a
-JOIN pre p2 ON p2.shard = a.shard AND p2.idx = a.bstart
+JOIN pre p2 ON p2.shard = a.shard AND p2.idx = a.bstart"""
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH RECURSIVE
+pdocs AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS INTEGER) AS n_tok,
+    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+{_pack_chain_sql(_PACK_BUDGET, _PACK_SHARDS)}
+{_PACK_FINAL_SQL}
 """,
     f"Greedy {_PACK_BUDGET}-token sequence packing after a deterministic "
     f"salted-hash shuffle, {_PACK_SHARDS} parallel shards (T5-style "
@@ -1061,6 +1070,97 @@ def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C-ext (round 10). Corpus encode under the trained vocabulary
+# (functions/bpe.py::bpe_encode) — REAL token-id arrays, the
+# apply-by-join shape: two corpus explodes each hash-joined against a
+# vocabulary-sized build side, reading order restored inside the one
+# aggregate.  The oracle composes the _BPE_REC trainer replay with the
+# same joins.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_encode",
+    f"""
+WITH RECURSIVE
+{_BPE_REC},
+fin AS (SELECT merges, segs FROM rec ORDER BY d DESC LIMIT 1),
+segtab AS (
+  SELECT unnest(s.words) AS word, unnest(f.segs) AS segs
+  FROM st0 s, fin f
+),
+chars AS (SELECT DISTINCT unnest(string_split(w, '')) AS token FROM wt),
+charid AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY token) - 1 AS INTEGER) AS token_id
+  FROM chars
+),
+nch AS (SELECT count(*) AS nc FROM chars),
+mtok AS (
+  SELECT u.m.l || u.m.r AS token,
+         CAST(min(n.nc + u.m.rnk - 1) AS INTEGER) AS token_id
+  FROM (SELECT unnest(merges) AS m FROM fin) u, nch n
+  GROUP BY u.m.l || u.m.r
+),
+vocab AS (
+  SELECT token, token_id FROM charid
+  UNION ALL
+  SELECT token, token_id FROM mtok
+),
+ex1 AS (
+  SELECT doc_id, u.w.wp AS wp, u.w.w AS w
+  FROM tok, unnest(
+    CASE WHEN len(toks) = 0
+         THEN [{{'wp': CAST(NULL AS BIGINT), 'w': CAST(NULL AS VARCHAR)}}]
+         ELSE list_transform(range(len(toks)),
+                             i -> {{'wp': i, 'w': toks[i + 1]}}) END
+  ) AS u(w)
+),
+j1 AS (
+  SELECT e.doc_id, e.wp,
+    CASE WHEN e.w IS NOT NULL
+         THEN coalesce(s.segs, string_split(e.w, '')) END AS seg,
+    (e.w IS NOT NULL AND s.segs IS NULL) AS oov
+  FROM ex1 e LEFT JOIN segtab s ON e.w = s.word
+),
+ex2 AS (
+  SELECT doc_id, wp, oov, u.s2.sp AS sp, u.s2.t AS t
+  FROM j1, unnest(
+    CASE WHEN seg IS NULL
+         THEN [{{'sp': CAST(NULL AS BIGINT), 't': CAST(NULL AS VARCHAR)}}]
+         ELSE list_transform(range(len(seg)),
+                             i -> {{'sp': i, 't': seg[i + 1]}}) END
+  ) AS u(s2)
+),
+j2 AS (
+  SELECT e.doc_id, e.wp, e.sp, e.oov,
+    CASE WHEN e.t IS NOT NULL THEN coalesce(v.token_id, -1) END AS tid
+  FROM ex2 e LEFT JOIN vocab v ON e.t = v.token
+)
+SELECT doc_id,
+  CAST(count(CASE WHEN sp = 0 AND tid IS NOT NULL THEN 1 END) AS INTEGER) AS n_words,
+  CAST(count(tid) AS INTEGER) AS n_tokens,
+  CAST(count(CASE WHEN sp = 0 AND oov THEN 1 END) AS INTEGER) AS n_oov_words,
+  CAST(count(CASE WHEN tid = -1 THEN 1 END) AS INTEGER) AS n_unk,
+  coalesce(
+    list(CAST(tid AS INTEGER) ORDER BY wp, sp) FILTER (WHERE tid IS NOT NULL),
+    CAST([] AS INTEGER[])) AS token_ids
+FROM j2 GROUP BY doc_id
+""",
+    "REAL BPE corpus encode under the trained vocabulary: per-document "
+    "token-id arrays in reading order (chars 0..C-1, merges by rank; "
+    "OOV words char-fallback, unknown chars -1/UNK) — two corpus "
+    "explodes x vocabulary-sized shuffle_hash joins, one aggregate",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, n_merges=_BPE_MERGES)
+    return bpe_encode(docs, merges, words)
+
+
+# --------------------------------------------------------------------------
 # C-ext (round 8). Dedup-survivor token budget (functions/corpus.py::
 # dedup_survivor_budget) — the dedup x budgeting composition: per-source
 # tokens surviving MinHash-LSH near-dup removal (min-id keeper per
@@ -1257,3 +1357,59 @@ def q_benchmark_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.where((mod != 0) & (mod != 7))
     return corpus_ops.benchmark_coverage(corpus, bench, ngram=_CR_NGRAM)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Sequence packing under REAL tokenizer counts
+# (functions/corpus.py::bpe_pack_sequences) — pack_sequences budgeted by
+# the trained-BPE token count instead of the whitespace proxy; the
+# oracle composes the _BPE_REC trainer replay with the shared greedy
+# packing chain (recursions `rec` and `prec` coexist in one
+# WITH RECURSIVE).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pack_sequences",
+    f"""
+WITH RECURSIVE
+{_BPE_REC},
+fin AS (SELECT segs FROM rec ORDER BY d DESC LIMIT 1),
+vocab AS (
+  SELECT unnest(s.words) AS word,
+         unnest(list_transform(f.segs, g -> CAST(len(g) AS BIGINT))) AS n_bpe
+  FROM st0 s, fin f
+),
+ex AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS word
+  FROM tok
+),
+j AS (
+  SELECT e.doc_id,
+         CASE WHEN e.word IS NULL THEN 0
+              ELSE coalesce(v.n_bpe, length(e.word)) END AS nb
+  FROM ex e LEFT JOIN vocab v USING (word)
+),
+pdocs AS (
+  SELECT doc_id, CAST(sum(nb) AS INTEGER) AS n_tok,
+    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM j GROUP BY doc_id
+),
+{_pack_chain_sql(_PACK_BUDGET, _PACK_SHARDS)}
+{_PACK_FINAL_SQL}
+""",
+    f"Greedy {_PACK_BUDGET}-token sequence packing budgeted by REAL "
+    "trained-BPE token counts (OOV words priced at char count) — the "
+    "packed sequences match what the training loop actually sees; "
+    "trainer replay + packing replay composed in one recursive oracle",
+)
+def q_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.bpe import bpe_train
+    from polars_trading_spark.functions.corpus import bpe_pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_merges=_BPE_MERGES)
+    return bpe_pack_sequences(
+        docs, words, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )

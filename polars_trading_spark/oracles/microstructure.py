@@ -947,3 +947,143 @@ def q_robust_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("winsor_mean", 6) + z0).alias("winsor_mean"),
         (F.round("winsor_std", 6) + z0).alias("winsor_std"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Implementation shortfall vs the arrival price
+# (operators/execution.py::implementation_shortfall /
+# execution_tearsheet, Perold 1988) — parent orders carved
+# deterministically from the tape (50-fill runs, side by parent
+# parity); every fanning float reduce is a (ts, seq)- or
+# parent_id-ordered running fold on both engines.
+# --------------------------------------------------------------------------
+
+_IS_TPP = 50
+
+_IS_PARENT_CTES = f"""trades AS ({TRADES_CTE}),
+isb AS (
+  SELECT symbol, ts_event, seq, price, CAST(size AS DOUBLE) AS sz,
+    row_number() OVER (PARTITION BY symbol ORDER BY ts_event, seq) - 1 AS rn
+  FROM trades WHERE price IS NOT NULL
+),
+ispar AS (
+  SELECT *, CAST(rn // {_IS_TPP} AS BIGINT) AS parent_id,
+    CASE WHEN (rn // {_IS_TPP}) % 2 = 0 THEN 1 ELSE -1 END AS side
+  FROM isb
+),
+isfold AS (
+  SELECT symbol, parent_id, side,
+    row_number() OVER wp AS prn,
+    count(*) OVER (PARTITION BY symbol, parent_id) AS pn,
+    first(price) OVER wpr AS arrival_price,
+    price AS last_px,
+    sum(sz * price) OVER wpr AS rpv,
+    sum(sz) OVER wpr AS rv
+  FROM ispar
+  WINDOW wp AS (PARTITION BY symbol, parent_id ORDER BY ts_event, seq),
+         wpr AS (PARTITION BY symbol, parent_id ORDER BY ts_event, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ispstat AS (
+  SELECT symbol, parent_id, side,
+    CAST(pn AS INTEGER) AS n_fills,
+    rv, arrival_price, last_px, rpv,
+    side * 1e4 * (rpv / rv - arrival_price) / arrival_price AS sb,
+    side * 1e4 * (last_px - arrival_price) / arrival_price AS mm
+  FROM isfold WHERE prn = pn
+)"""
+
+
+@register(
+    "implementation_shortfall",
+    f"""
+WITH {_IS_PARENT_CTES}
+SELECT symbol, parent_id, side, n_fills,
+  CAST(rv AS BIGINT) AS qty,
+  arrival_price,
+  round(rpv / rv, 6) + 0 AS fill_vwap,
+  round(sb, 6) + 0 AS shortfall_bps,
+  round(mm, 6) + 0 AS market_move_bps
+FROM ispstat
+""",
+    f"Per-parent-order implementation shortfall vs arrival price "
+    f"(Perold): {_IS_TPP}-fill parents carved deterministically from "
+    "the tape, side by parity; fill VWAP and shortfall/market-move bps "
+    "as ordered folds — two shuffles, zero joins, zero Python",
+)
+def q_implementation_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.execution import implementation_shortfall
+
+    with _trades_config():
+        out = implementation_shortfall(
+            trades_from_events(spark, sf_dir), trades_per_parent=_IS_TPP
+        )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "parent_id",
+        "side",
+        "n_fills",
+        "qty",
+        "arrival_price",
+        (F.round("fill_vwap", 6) + z0).alias("fill_vwap"),
+        (F.round("shortfall_bps", 6) + z0).alias("shortfall_bps"),
+        (F.round("market_move_bps", 6) + z0).alias("market_move_bps"),
+    )
+
+
+@register(
+    "execution_tearsheet",
+    f"""
+WITH {_IS_PARENT_CTES},
+isf2 AS (
+  SELECT symbol,
+    row_number() OVER wo AS rn2,
+    count(*) OVER wa AS n2,
+    sum(rv) OVER wr AS rq,
+    sum(sb * rv) OVER wr AS rsq,
+    sum(sb) OVER wr AS rs,
+    sum(mm) OVER wr AS rm,
+    max(sb) OVER wa AS worst,
+    min(sb) OVER wa AS best,
+    sum(CASE WHEN sb <= 0 THEN 1 ELSE 0 END) OVER wa AS hits
+  FROM ispstat
+  WINDOW wo AS (PARTITION BY symbol ORDER BY parent_id),
+         wr AS (PARTITION BY symbol ORDER BY parent_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY symbol)
+)
+SELECT symbol,
+  CAST(n2 AS INTEGER) AS n_orders,
+  CAST(rq AS BIGINT) AS total_qty,
+  round(rsq / rq, 6) + 0 AS vw_shortfall_bps,
+  round(rs / n2, 6) + 0 AS avg_shortfall_bps,
+  round(worst, 6) + 0 AS worst_bps,
+  round(best, 6) + 0 AS best_bps,
+  round(hits / CAST(n2 AS DOUBLE), 6) + 0 AS hit_rate,
+  round(rm / n2, 6) + 0 AS avg_market_move_bps
+FROM isf2 WHERE rn2 = n2
+""",
+    "Per-symbol execution tearsheet over the parent-order shortfall "
+    "frame: qty-weighted and mean shortfall, extremes, hit rate, mean "
+    "market move — every fanning reduce a parent_id-ordered fold",
+)
+def q_execution_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.execution import execution_tearsheet
+
+    with _trades_config():
+        out = execution_tearsheet(
+            trades_from_events(spark, sf_dir), trades_per_parent=_IS_TPP
+        )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_orders",
+        "total_qty",
+        (F.round("vw_shortfall_bps", 6) + z0).alias("vw_shortfall_bps"),
+        (F.round("avg_shortfall_bps", 6) + z0).alias("avg_shortfall_bps"),
+        (F.round("worst_bps", 6) + z0).alias("worst_bps"),
+        (F.round("best_bps", 6) + z0).alias("best_bps"),
+        (F.round("hit_rate", 6) + z0).alias("hit_rate"),
+        (F.round("avg_market_move_bps", 6) + z0).alias("avg_market_move_bps"),
+    )

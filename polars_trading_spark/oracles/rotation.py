@@ -86,7 +86,8 @@ _ROUND10_FRONT = [
     # -- the 3 newly-oracled round-8 queries (r9 rows were no_oracle) --
     "hrp_weights", "bpe_train_merges", "bpe_token_budget",
     # -- round-10 registrations --
-    "multimodal_jpeg_422_decode",
+    "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
+    "implementation_shortfall", "execution_tearsheet",
     # -- 33 backfill: latest driver row is round 6, then r7 alpha --
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
@@ -96,8 +97,7 @@ _ROUND10_FRONT = [
     "triple_barrier", "triple_barrier_meta", "universe_summary",
     "upsample_ffill", "vertical_barrier", "volume_bars",
     "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
-    "zipf_fit", "ann_recall", "bar_volatility", "centroid_similarity",
-    "cluster_representatives", "cointegration", "corpus_filter",
+    "zipf_fit", "ann_recall", "bar_volatility",
 ]
 
 ACTIVE_FRONT = _ROUND10_FRONT

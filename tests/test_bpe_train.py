@@ -228,3 +228,157 @@ def test_bpe_train_validation(docs):
         bpe_train(docs, merges_per_round=0)
     with pytest.raises(ValueError):
         bpe_train(docs, merges_per_round=8, candidate_window=4)
+
+
+def _ref_encode(texts, n_merges, k=8):
+    """Independent reference encode: re-run the reference trainer to get
+    final segmentations, assign ids chars-sorted-first then merges by
+    rank (first rank wins on string collisions), and map every doc's
+    words through segmentation (char fallback for OOV, -1 for unknown
+    chars)."""
+    window = 8 * k
+    words = Counter()
+    for t in texts:
+        words.update(_ref_tokens(t))
+    segs = {w: list(w) for w in words}
+    merges = []
+    while len(merges) < n_merges:
+        kk = min(k, n_merges - len(merges))
+        pairs = Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += c
+        cands = sorted(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:window]
+        selected, used = [], set()
+        for (left, right), cnt in cands:
+            if cnt < 2:
+                break
+            if left in used or right in used:
+                continue
+            selected.append((left, right, cnt))
+            used.update((left, right))
+            if len(selected) == kk:
+                break
+        if not selected:
+            break
+        pairset = {(left, right) for left, right, _ in selected}
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and (out[-1], x) in pairset:
+                    out[-1] = out[-1] + x
+                else:
+                    out.append(x)
+            segs[w] = out
+        for left, right, cnt in selected:
+            merges.append((len(merges) + 1, left, right, left + right, cnt))
+    chars = sorted({c for w in words for c in w})
+    ids = {c: i for i, c in enumerate(chars)}
+    for rank, left, right, merged, _ in merges:
+        ids.setdefault(merged, len(chars) + rank - 1)
+    enc = {}
+    for t in texts:
+        out = []
+        for w in _ref_tokens(t):
+            for tok in segs.get(w, list(w)):
+                out.append(ids.get(tok, -1))
+        enc[t] = out
+    return enc, segs, ids
+
+
+def test_bpe_encode_matches_reference(docs, spark):
+    from polars_trading_spark.functions.bpe import bpe_encode
+
+    merges_df, words_df = bpe_train(docs, n_merges=12)
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(docs, merges_df, words_df).collect()
+    }
+    enc, segs, ids = _ref_encode(CORPUS, 12, k=8)
+    assert len(out) == len(CORPUS)
+    for i, t in enumerate(CORPUS):
+        r = out[i]
+        assert list(r["token_ids"]) == enc[t], (i, t)
+        ws = _ref_tokens(t)
+        assert r["n_words"] == len(ws)
+        assert r["n_tokens"] == sum(len(segs[w]) for w in ws)
+        assert r["n_oov_words"] == 0  # encoding the training corpus
+        assert r["n_unk"] == 0
+
+
+def test_bpe_encode_oov_and_unk_and_empty(docs, spark):
+    from polars_trading_spark.functions.bpe import bpe_encode
+
+    merges_df, words_df = bpe_train(docs, n_merges=12)
+    other = spark.createDataFrame(
+        [
+            (100, "the unseenword zz9", "en", "s0", 18),
+            (101, "???", "en", "s0", 3),  # normalizes to zero tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(other, merges_df, words_df).collect()}
+    _, segs, ids = _ref_encode(CORPUS, 12, k=8)
+    r = out[100]
+    # 'the' is in-vocab; 'unseenword' and 'zz9' fall back to chars
+    want = [ids[t] for t in segs["the"]]
+    want += [ids.get(c, -1) for c in "unseenword"]
+    want += [ids.get(c, -1) for c in "zz9"]
+    assert list(r["token_ids"]) == want
+    assert r["n_words"] == 3
+    assert r["n_oov_words"] == 2
+    # '9' never appears in the training corpus (a digit-free pangram
+    # plus words) -> UNK; 'z' IS known via 'lazy'
+    assert ids.get("9") is None and ids.get("z") is not None
+    assert want.count(-1) == 1
+    assert r["n_unk"] == 1
+    # empty doc keeps its row with an empty id array
+    r2 = out[101]
+    assert (r2["n_words"], r2["n_tokens"], list(r2["token_ids"])) == (0, 0, [])
+
+
+def test_bpe_vocab_ids_chars_then_ranks(docs, spark):
+    from polars_trading_spark.functions.bpe import bpe_vocab
+
+    merges_df, words_df = bpe_train(docs, n_merges=12)
+    vocab = {r["token"]: r["token_id"] for r in bpe_vocab(merges_df, words_df).collect()}
+    _, _, ids = _ref_encode(CORPUS, 12, k=8)
+    assert vocab == ids
+    assert len(set(vocab.values())) == len(vocab)  # ids are unique
+
+
+def test_bpe_pack_sequences_budgets_by_bpe_counts(docs, spark):
+    from polars_trading_spark.functions.bpe import bpe_encode
+    from polars_trading_spark.functions.corpus import bpe_pack_sequences
+
+    merges_df, words_df = bpe_train(docs, n_merges=12)
+    enc = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_encode(docs, merges_df, words_df).collect()
+    }
+    out = bpe_pack_sequences(
+        docs, words_df, budget_tokens=16, n_shards=2
+    ).collect()
+    assert {r["doc_id"] for r in out} == set(enc)
+    for r in out:
+        # budgeted by the REAL tokenizer count
+        assert r["n_tokens"] == enc[r["doc_id"]]
+    # greedy invariant: within a (shard, seq), offsets are a prefix sum
+    # and the sequence respects the budget unless it is a single
+    # oversized document
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for r in out:
+        seqs[(r["shard"], r["seq_id"])].append(r)
+    for rows in seqs.values():
+        rows.sort(key=lambda r: r["seq_offset"])
+        total = sum(r["n_tokens"] for r in rows)
+        assert total <= 16 or len(rows) == 1
+        off = 0
+        for r in rows:
+            assert r["seq_offset"] == off
+            off += r["n_tokens"]

@@ -143,3 +143,73 @@ def test_session_vwap_plan(spark):
     assert count_python_stages(out) == 0
     assert unbounded_global_windows(out) == []
     assert not has_unbounded_following_frame(out)
+
+
+def test_implementation_shortfall_golden(spark):
+    from polars_trading_spark.operators.execution import (
+        execution_tearsheet,
+        implementation_shortfall,
+    )
+
+    # 5 trades, trades_per_parent=3 -> parent 0 (buy, 3 fills),
+    # parent 1 (sell, 2 fills)
+    rows = [
+        ("A", datetime(2024, 1, 1, 9, 0), 100.0, 10),
+        ("A", datetime(2024, 1, 1, 9, 1), 101.0, 20),
+        ("A", datetime(2024, 1, 1, 9, 2), 102.0, 10),
+        ("A", datetime(2024, 1, 1, 9, 3), 103.0, 5),
+        ("A", datetime(2024, 1, 1, 9, 4), 101.0, 15),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, size long"
+    )
+    with Config(timestamp_column="ts"):
+        par = {
+            r["parent_id"]: r
+            for r in implementation_shortfall(df, trades_per_parent=3).collect()
+        }
+        ts = execution_tearsheet(df, trades_per_parent=3).collect()
+    p0, p1 = par[0], par[1]
+    vw0 = (100 * 10 + 101 * 20 + 102 * 10) / 40
+    vw1 = (103 * 5 + 101 * 15) / 20
+    assert (p0["side"], p0["n_fills"], p0["qty"]) == (1, 3, 40)
+    assert p0["arrival_price"] == 100.0
+    assert p0["fill_vwap"] == pytest.approx(vw0, rel=1e-12)
+    assert p0["shortfall_bps"] == pytest.approx(
+        1e4 * (vw0 - 100) / 100, rel=1e-9
+    )
+    assert p0["market_move_bps"] == pytest.approx(
+        1e4 * (102 - 100) / 100, rel=1e-9
+    )
+    # sell parent: positive shortfall means selling BELOW arrival
+    assert (p1["side"], p1["n_fills"], p1["qty"]) == (-1, 2, 20)
+    assert p1["arrival_price"] == 103.0
+    assert p1["shortfall_bps"] == pytest.approx(
+        -1e4 * (vw1 - 103) / 103, rel=1e-9
+    )
+    # tearsheet aggregates the two parents
+    assert len(ts) == 1
+    r = ts[0]
+    sb0 = 1e4 * (vw0 - 100) / 100
+    sb1 = -1e4 * (vw1 - 103) / 103
+    assert r["n_orders"] == 2 and r["total_qty"] == 60
+    assert r["vw_shortfall_bps"] == pytest.approx(
+        (sb0 * 40 + sb1 * 20) / 60, rel=1e-9
+    )
+    assert r["avg_shortfall_bps"] == pytest.approx((sb0 + sb1) / 2, rel=1e-9)
+    assert r["worst_bps"] == pytest.approx(max(sb0, sb1), rel=1e-9)
+    assert r["best_bps"] == pytest.approx(min(sb0, sb1), rel=1e-9)
+    assert r["hit_rate"] == pytest.approx(
+        sum(1 for s in (sb0, sb1) if s <= 0) / 2
+    )
+
+
+def test_implementation_shortfall_validation(spark):
+    from polars_trading_spark.operators.execution import implementation_shortfall
+
+    df = spark.createDataFrame(
+        [("A", datetime(2024, 1, 1), 1.0, 1)],
+        "symbol string, ts timestamp, price double, size long",
+    )
+    with pytest.raises(ValueError):
+        implementation_shortfall(df, trades_per_parent=0)
