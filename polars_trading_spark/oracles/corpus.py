@@ -1413,3 +1413,182 @@ def q_bpe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pack_sequences(
         docs, words, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Hashed-ngram quality classifier
+# (functions/quality_model.py::quality_classifier) — IRLS logistic
+# regression on hashed token-bucket frequencies against the heuristic
+# gate's own label.  The oracle replays training EXACTLY: hierarchical
+# deterministic moment folds (list_reduce over doc-id-ordered lists per
+# fold bucket, then over the bounded bucket partials — the same fold
+# order as the operator's two-stage ordered windows) and the identical
+# no-pivot Gauss-Jordan elimination as a list_reduce over pivot
+# indices carrying the augmented matrix as DOUBLE[][] state.
+# --------------------------------------------------------------------------
+
+_QC_D = 6
+
+_QC_N = _QC_D + 1
+
+_QC_ITERS = 3
+
+_QC_RIDGE = "1e-3"
+
+_QC_FOLD_BUCKETS = 64
+
+_QC_MINQ = 0.5
+
+
+def _qc_oracle_sql() -> str:
+    d, n = _QC_D, _QC_N
+    xs = ["1e0"] + [f"f{k}" for k in range(d)]
+    # 35 moment terms: A upper triangle row-major, then b
+    names, exprs = [], []
+    w_e = "(p * (1e0 - p))"
+    r_e = "(y - p)"
+    for i in range(n):
+        for j in range(i, n):
+            names.append(f"t_a_{i}_{j}")
+            exprs.append(f"{w_e} * {xs[i]} * {xs[j]}")
+    for i in range(n):
+        names.append(f"t_b_{i}")
+        exprs.append(f"{r_e} * {xs[i]}")
+    term_cols = ",\n            ".join(
+        f"{e} AS {nm}" for nm, e in zip(names, exprs)
+    )
+    s1_cols = ",\n          ".join(
+        f"list_reduce(list({nm} ORDER BY doc_id), (acc, x) -> acc + x) AS {nm}"
+        for nm in names
+    )
+    s2_cols = ",\n        ".join(
+        f"list_reduce(list({nm} ORDER BY fb), (acc, x) -> acc + x) AS {nm}"
+        for nm in names
+    )
+    # augmented matrix literal: symmetric A (+ ridge on the diagonal) | b
+    rows = []
+    for i in range(n):
+        cells = [
+            f"t_a_{min(i, j)}_{max(i, j)}" + (f" + {_QC_RIDGE}" if i == j else "")
+            for j in range(n)
+        ] + [f"t_b_{i}"]
+        rows.append("[" + ", ".join(cells) + "]")
+    m_lit = "[\n            " + ",\n            ".join(rows) + "]"
+    # one Gauss-Jordan pivot step; px = pivot index (1-based)
+    px = "(CAST(x[1][1] AS INTEGER) + 1)"
+    gauss = (
+        f"list_transform(range({n}), rr -> "
+        f"CASE WHEN rr + 1 = {px} "
+        f"THEN list_transform(acc[{px}], v -> v / acc[{px}][{px}]) "
+        f"ELSE list_transform(range({n + 1}), cc -> "
+        f"acc[rr + 1][cc + 1] - acc[rr + 1][{px}] * "
+        f"(acc[{px}][cc + 1] / acc[{px}][{px}])) END)"
+    )
+    dot0 = "r0.beta[1]" + "".join(
+        f" + r0.beta[{k + 2}] * f0.f{k}" for k in range(d)
+    )
+    f_pass = ", ".join(f"f0.f{k}" for k in range(d))
+    dot_final = "b.beta[1]" + "".join(
+        f" + b.beta[{k + 2}] * f.f{k}" for k in range(d)
+    )
+    fcols = ",\n    ".join(
+        f"coalesce(c.c{k} / (CASE WHEN c.nt > 0e0 THEN c.nt ELSE 1e0 END), 0e0) AS f{k}"
+        for k in range(d)
+    )
+    ccols = ",\n    ".join(
+        f"CAST(count(CASE WHEN b = {k} THEN 1 END) AS DOUBLE) AS c{k}"
+        for k in range(d)
+    )
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * n)
+    return f"""
+WITH RECURSIVE
+{_DOCS_TOK_CTE},
+{_TEXT_FEAT_CTES},
+qlab AS (
+  SELECT doc_id,
+    CASE WHEN {_QUALITY_SQL} >= {_QC_MINQ} THEN CAST(1 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS y
+  FROM feat
+),
+qex AS (
+  SELECT doc_id,
+    {_sql_hash60("concat('qc|', t.tk)")} % {_QC_D} AS b
+  FROM tok, unnest(toks) AS t(tk)
+),
+qcnt AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS nt,
+    {ccols}
+  FROM qex GROUP BY doc_id
+),
+feats AS (
+  SELECT l.doc_id, l.y, l.doc_id % {_QC_FOLD_BUCKETS} AS fb,
+    {fcols}
+  FROM qlab l LEFT JOIN qcnt c USING (doc_id)
+),
+qrec AS (
+  SELECT 0 AS it, [{zeros}] AS beta
+  UNION ALL
+  SELECT it, list_transform(range({n}), k -> beta[k + 1] + g[k + 1][{n + 1}]) AS beta
+  FROM (
+    SELECT it, beta,
+      list_reduce(
+        [{m_lit}] || list_transform(range({n}), i -> [[CAST(i AS DOUBLE)]]),
+        (acc, x) -> {gauss}) AS g
+    FROM (
+      SELECT it, beta,
+        {s2_cols}
+      FROM (
+        SELECT it, beta, fb,
+          {s1_cols}
+        FROM (
+          SELECT it, beta, doc_id, fb,
+            {term_cols}
+          FROM (
+            SELECT r0.it + 1 AS it, r0.beta AS beta, f0.doc_id, f0.fb, f0.y,
+              {f_pass},
+              1e0 / (1e0 + exp(-({dot0}))) AS p
+            FROM qrec r0, feats f0
+            WHERE r0.it < {_QC_ITERS}
+          )
+        ) GROUP BY it, beta, fb
+      ) GROUP BY it, beta
+    )
+  )
+)
+SELECT f.doc_id,
+  CAST(f.y AS INTEGER) AS label,
+  round(1e0 / (1e0 + exp(-({dot_final}))), 6) + 0 AS score,
+  (1e0 / (1e0 + exp(-({dot_final})))) >= 0.5 AS pred
+FROM feats f, (SELECT beta FROM qrec WHERE it = {_QC_ITERS}) b
+"""
+
+
+@register(
+    "quality_classifier",
+    _qc_oracle_sql(),
+    f"Hashed-ngram IRLS quality classifier: logistic regression on "
+    f"{_QC_D} hashed token-bucket frequencies against the heuristic "
+    f"gate's label ({_QC_ITERS} Newton steps, ridge {_QC_RIDGE}); "
+    "moment sums fold as hierarchical deterministic sums "
+    f"({_QC_FOLD_BUCKETS} doc-id buckets then a bounded fold), the "
+    "7x7 solve is no-pivot Gauss-Jordan replayed term-for-term by a "
+    "list_reduce fold — the learned per-doc scores are the output",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.quality_model import quality_classifier
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = quality_classifier(
+        docs,
+        n_buckets=_QC_D,
+        n_iters=_QC_ITERS,
+        ridge=1e-3,
+        min_quality=_QC_MINQ,
+        n_fold_buckets=_QC_FOLD_BUCKETS,
+    )
+    return out.select(
+        "doc_id",
+        "label",
+        (F.round("score", 6) + F.lit(0.0)).alias("score"),
+        "pred",
+    )
