@@ -99,3 +99,8 @@ __all__.append("streaming_spread_band")
 from polars_trading_spark.streaming.capacity import streaming_portfolio_capacity  # noqa: E402
 
 __all__.append("streaming_portfolio_capacity")
+from polars_trading_spark.streaming.rankbook import streaming_rank_portfolio_net  # noqa: E402
+from polars_trading_spark.streaming.rankbook import streaming_rank_portfolio_tearsheet  # noqa: E402
+
+__all__.append("streaming_rank_portfolio_net")
+__all__.append("streaming_rank_portfolio_tearsheet")

@@ -2330,3 +2330,190 @@ def test_streaming_restart_resumes_state_spread_band(spark):
     np.testing.assert_allclose(
         got.pnl[p_both], batch.pnl[p_both], rtol=1e-9, atol=1e-15
     )
+
+
+def test_streaming_rank_portfolio_net_matches_batch(spark):
+    """Round-10 twin: the single-group cost-aware momentum-book monitor
+    over a three-file replay equals the batch rank_portfolio_backtest_net
+    on every formed bucket except the tape's final one (its members'
+    forward returns resolve from the pending bucket's bars; the final
+    bucket itself can never form while pending)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.cross_section import (
+        rank_portfolio_backtest_net,
+    )
+    from polars_trading_spark.streaming import streaming_rank_portfolio_net
+
+    rng = np.random.default_rng(71)
+    bar_schema = (
+        "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    rows = []
+    px = {"A": 100.0, "B": 90.0, "C": 70.0, "D": 55.0}
+    t = dt.datetime(2022, 6, 1, 9, 30)
+    for _ in range(90):
+        t = t + dt.timedelta(minutes=15)
+        for s in sorted(px):
+            px[s] = max(1.0, px[s] * float(np.exp(rng.normal(0, 0.01))))
+            c = px[s]
+            rows.append((s, t, c, c * 1.004, c * 0.996))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "close", "high", "low"]
+    )
+    kw = dict(lookback=5, top_n=1, cs_window=10)
+    batch = (
+        rank_portfolio_backtest_net(
+            spark.createDataFrame(pdf, bar_schema), ts_col="ts_event", **kw
+        )
+        .toPandas()
+        .set_index("ts_event")
+        .sort_index()
+    )
+
+    d = tempfile.mkdtemp(prefix="pts_rank_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], bar_schema).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(bar_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_rank_portfolio_net(
+                stream, ts_col="ts_event", **kw
+            )
+
+        rows_out = _run_stream(spark, make, mode="append")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .set_index("ts_event")
+            .sort_index()
+        )
+        want = batch.iloc[:-1]  # final formed bucket pending
+        assert len(got) == len(want)
+        assert (got.index == want.index).all()
+        for col in ("n_long", "n_short"):
+            pd.testing.assert_series_equal(
+                got[col].astype("float64"),
+                want[col].astype("float64"),
+                check_names=False,
+            )
+        for col in ("pnl", "turnover", "cost", "net_pnl"):
+            a, b = got[col], want[col]
+            assert (a.isna() == b.isna()).all(), col
+            m = a.notna()
+            np.testing.assert_allclose(a[m], b[m], rtol=0, atol=1e-9), col
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rank_portfolio_tearsheet_matches_batch(spark):
+    """The as-of tearsheet twin: its LAST emitted row equals the batch
+    tearsheet recomputed over the emitted bucket prefix (the batch
+    per-bucket net frame minus the pending tail)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.cross_section import (
+        rank_portfolio_backtest_net,
+    )
+    from polars_trading_spark.streaming import (
+        streaming_rank_portfolio_tearsheet,
+    )
+
+    rng = np.random.default_rng(73)
+    bar_schema = (
+        "symbol string, ts_event timestamp, close double, "
+        "high double, low double"
+    )
+    rows = []
+    px = {"A": 100.0, "B": 90.0, "C": 70.0}
+    t = dt.datetime(2022, 6, 2, 9, 30)
+    for _ in range(80):
+        t = t + dt.timedelta(minutes=15)
+        for s in sorted(px):
+            px[s] = max(1.0, px[s] * float(np.exp(rng.normal(0, 0.012))))
+            c = px[s]
+            rows.append((s, t, c, c * 1.003, c * 0.997))
+    pdf = pd.DataFrame(
+        rows, columns=["symbol", "ts_event", "close", "high", "low"]
+    )
+    kw = dict(lookback=4, top_n=1, cs_window=8)
+    per = (
+        rank_portfolio_backtest_net(
+            spark.createDataFrame(pdf, bar_schema), ts_col="ts_event", **kw
+        )
+        .toPandas()
+        .sort_values("ts_event")
+        .reset_index(drop=True)
+    ).iloc[:-1]  # the twin's emitted prefix
+
+    d = tempfile.mkdtemp(prefix="pts_rankts_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], bar_schema).coalesce(
+                1
+            ).write.parquet(f"{d}/f{i}")
+
+        def make():
+            stream = (
+                spark.readStream.schema(bar_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_rank_portfolio_tearsheet(
+                stream, ts_col="ts_event", **kw
+            )
+
+        rows_out = _run_stream(spark, make, mode="append")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .sort_values("ts_event")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(per)  # one as-of row per emitted bucket
+        r = got.iloc[-1]
+        g = per.pnl.fillna(0.0)
+        nv = per.net_pnl
+        assert r["n_buckets"] == len(per)
+        assert r["gross_pnl"] == pytest.approx(g.sum(), abs=1e-9)
+        assert r["total_cost"] == pytest.approx(per.cost.sum(), abs=1e-9)
+        assert r["net_pnl"] == pytest.approx(nv.sum(), abs=1e-9)
+        assert r["gross_sharpe"] == pytest.approx(
+            g.mean() / g.std(ddof=1), rel=1e-9
+        )
+        assert r["net_sharpe"] == pytest.approx(
+            nv.mean() / nv.std(ddof=1), rel=1e-9
+        )
+        assert r["avg_turnover"] == pytest.approx(
+            per.turnover.dropna().mean(), rel=1e-9
+        )
+        cum = nv.cumsum()
+        assert r["max_drawdown"] == pytest.approx(
+            (cum - cum.cummax()).min(), abs=1e-9
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rank_portfolio_net_validation(spark):
+    from polars_trading_spark.streaming import streaming_rank_portfolio_net
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError):
+        streaming_rank_portfolio_net(stream, top_n=0)
+    with pytest.raises(ValueError):
+        streaming_rank_portfolio_net(stream, cs_window=1)
