@@ -216,6 +216,14 @@ HEADLINE = [
     "multimodal_jpeg_420_decode",
     "spread_band_tearsheet",
     "rank_portfolio_tearsheet",
+    # round 10
+    "bpe_encode",
+    "bpe_pack_sequences",
+    "implementation_shortfall",
+    "execution_tearsheet",
+    "quality_classifier",
+    "multimodal_jpeg_422_decode",
+    "multimodal_jpeg_progressive_decode",
 ]
 
 

@@ -88,7 +88,7 @@ _ROUND10_FRONT = [
     # -- round-10 registrations --
     "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
     "implementation_shortfall", "execution_tearsheet",
-    "quality_classifier",
+    "quality_classifier", "multimodal_jpeg_progressive_decode",
     # -- 33 backfill: latest driver row is round 6, then r7 alpha --
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
@@ -98,7 +98,7 @@ _ROUND10_FRONT = [
     "triple_barrier", "triple_barrier_meta", "universe_summary",
     "upsample_ffill", "vertical_barrier", "volume_bars",
     "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
-    "zipf_fit", "ann_recall",
+    "zipf_fit",
 ]
 
 ACTIVE_FRONT = _ROUND10_FRONT

@@ -2294,3 +2294,79 @@ def test_jpeg_422_codec_dc_only_exact_and_scope():
     assert len(set(k0y)) == 2
     with pytest.raises(ValueError):
         jpeg_encode_ycbcr_422(mcus, 24, 16)  # width not a multiple of 16
+
+
+def test_jpeg_progressive_equals_baseline_pixels():
+    """The six-scan progressive stream must decode to EXACTLY the same
+    pixels as the baseline encoding of the same quantized coefficients
+    — across AC densities (EOB runs, ZRL, refinement correction bits),
+    gray and 4:4:4 color, and a two-round successive approximation."""
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_progressive,
+        jpeg_encode_ycbcr,
+    )
+
+    rng = np.random.RandomState(4242)
+
+    def rand_block(density, lo=-40, hi=40):
+        blk = [0] * 64
+        blk[0] = int(rng.randint(-60, 60))
+        for k in range(1, 64):
+            if rng.rand() < density:
+                v = 0
+                while v == 0:
+                    v = int(rng.randint(lo, hi))
+                blk[k] = v
+        return blk
+
+    for trial in range(12):
+        w, h = 8 * rng.randint(1, 5), 8 * rng.randint(1, 5)
+        nb = (w // 8) * (h // 8)
+        density = [0.0, 0.05, 0.3, 0.9][trial % 4]
+        blocks = [rand_block(density) for _ in range(nb)]
+        base = jpeg_decode(jpeg_encode_gray([list(b) for b in blocks], w, h))
+        prog = jpeg_decode(
+            jpeg_encode_progressive([list(b) for b in blocks], w, h)
+        )
+        assert np.array_equal(base, prog), (trial, w, h, density)
+    for trial in range(6):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+        nb = (w // 8) * (h // 8)
+        density = [0.0, 0.15, 0.6][trial % 3]
+        mcus = [tuple(rand_block(density) for _ in range(3)) for _ in range(nb)]
+        base = jpeg_decode(jpeg_encode_ycbcr(list(mcus), w, h))
+        prog = jpeg_decode(jpeg_encode_progressive(list(mcus), w, h))
+        assert np.array_equal(base, prog), (trial, w, h, density)
+    # deeper successive approximation: two AC/DC refinement rounds
+    for _ in range(4):
+        blocks = [rand_block(0.4, -100, 100) for _ in range(6)]
+        base = jpeg_decode(jpeg_encode_gray([list(b) for b in blocks], 24, 16))
+        prog = jpeg_decode(
+            jpeg_encode_progressive([list(b) for b in blocks], 24, 16, al=2)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_scope_and_validation():
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    with pytest.raises(ValueError):
+        jpeg_encode_progressive([[0] * 64], 12, 8)  # not multiple of 8
+    with pytest.raises(ValueError):
+        jpeg_encode_progressive([[0] * 64], 8, 8, al=0)
+    # subsampled progressive stays pinned
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(
+        ">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0
+    )
+    sof2_420 = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="subsampled PROGRESSIVE"):
+        jpeg_decode(b"\xff\xd8" + app0 + sof2_420 + b"\xff\xd9")

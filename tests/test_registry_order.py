@@ -41,7 +41,7 @@ _ROUND10_WINDOW = [
     # -- round-10 registrations --
     "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
     "implementation_shortfall", "execution_tearsheet",
-    "quality_classifier",
+    "quality_classifier", "multimodal_jpeg_progressive_decode",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
@@ -50,7 +50,7 @@ _ROUND10_WINDOW = [
     "triple_barrier", "triple_barrier_meta", "universe_summary",
     "upsample_ffill", "vertical_barrier", "volume_bars",
     "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
-    "zipf_fit", "ann_recall",
+    "zipf_fit",
 ]
 
 
