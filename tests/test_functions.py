@@ -204,13 +204,19 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    # a 4:2:2-SUBSAMPLED 3-component frame is rejected as unsupported
-    # (round 9 supports 4:4:4 and 4:2:0 only)
+    # a 4:2:2-SUBSAMPLED 3-component frame is IN scope since round 10,
+    # so a header-only stream is malformed, not unsupported
     sof_422 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="4:4:4 or 4:2:0"):
+    with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_422 + b"\xff\xd9")
+    # ... while a 4:1:1 frame stays out of scope by sampling factors
+    sof_411 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        [1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2 or 4:2:0"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_411 + b"\xff\xd9")
     # a header-only GRAYSCALE stream is malformed, not unsupported
     sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
@@ -231,19 +237,19 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     )
     with pytest.raises(NotImplementedError, match="4-component"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk + b"\xff\xd9")
-    # 4:2:2 color is outside the pinned scope end-to-end ->
-    # NotImplementedError naming it (via the PIL fallback when absent)
+    # 4-component is outside the pinned scope end-to-end ->
+    # NotImplementedError naming the gap (via the PIL fallback when absent)
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL available; fallback path not reachable")
     except ImportError:
         pass
-    sos = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
-        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    sos4 = b"\xff\xda" + struct.pack(">HB", 14, 4) + bytes(
+        [1, 0x00, 2, 0x11, 3, 0x11, 4, 0x11, 0, 63, 0]
     )
     with pytest.raises(NotImplementedError, match="color"):
-        multimodal.decode_image(b"\xff\xd8" + app0 + sof_422 + sos + b"\xff\xd9")
+        multimodal.decode_image(b"\xff\xd8" + app0 + sof_cmyk + sos4 + b"\xff\xd9")
 
 
 def test_jpeg_codec_dc_only_exact_and_ac_reference():
