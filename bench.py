@@ -224,6 +224,12 @@ HEADLINE = [
     "quality_classifier",
     "multimodal_jpeg_422_decode",
     "multimodal_jpeg_progressive_decode",
+    "market_impact_fit",
+    "pbo_cscv",
+    "tokenizer_fertility",
+    "packing_efficiency",
+    "embedding_quantize",
+    "dedup_incremental",
 ]
 
 

@@ -451,3 +451,68 @@ def bpe_encode(
             ).alias("token_ids"),
         )
     )
+
+
+def tokenizer_fertility(
+    documents: DataFrame,
+    words: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-LANGUAGE fertility audit of a trained BPE vocabulary — the
+    tokenizer-equity report (how many tokens a language pays per word /
+    how many characters each token carries) that decides whether one
+    shared vocabulary underserves part of a multilingual corpus.
+
+    One row per ``lang_col`` value: ``lang, n_docs, whitespace_tokens,
+    bpe_tokens, chars, n_oov_words, bpe_per_word`` (fertility),
+    ``chars_per_bpe_token`` (compression) and ``oov_rate`` (share of
+    words priced by the character-count fallback).  Same OOV semantics
+    as ``bpe_token_budget``.
+
+    Scale shape: identical to ``bpe_token_budget`` — corpus explode,
+    ``shuffle_hash`` join against the vocabulary-sized segmentation
+    table, two integer hash aggregates; every emitted float is a single
+    division of exact integer sums.  Zero Python.
+    """
+    from polars_trading_spark.functions.text import tokens
+
+    exploded = documents.select(
+        F.col(lang_col).alias("lang"),
+        F.col(id_col).alias("__id"),
+        F.length(text_col).cast("long").alias("__chars"),
+        F.explode_outer(tokens(F.col(text_col))).alias("word"),
+    )
+    joined = exploded.join(words.hint("shuffle_hash"), "word", "left")
+    oov = F.col("word").isNotNull() & F.col("n_bpe_tokens").isNull()
+    per_doc = joined.groupBy("lang", "__id").agg(
+        F.max("__chars").alias("__chars"),
+        F.count("word").cast("long").alias("__ws"),
+        F.sum(
+            F.when(F.col("word").isNull(), F.lit(0)).otherwise(
+                F.coalesce(
+                    F.col("n_bpe_tokens").cast("long"),
+                    F.length("word").cast("long"),
+                )
+            )
+        ).alias("__bpe"),
+        F.sum(oov.cast("long")).alias("__oov"),
+    )
+    ws = F.sum("__ws").cast("double")
+    bpe = F.sum("__bpe").cast("double")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__ws").cast("long").alias("whitespace_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_tokens"),
+        F.sum("__chars").cast("long").alias("chars"),
+        F.sum("__oov").cast("long").alias("n_oov_words"),
+        F.round(F.when(ws > 0, bpe / ws), 6).alias("bpe_per_word"),
+        F.round(
+            F.when(bpe > 0, F.sum("__chars").cast("double") / bpe), 6
+        ).alias("chars_per_bpe_token"),
+        F.round(
+            F.when(ws > 0, F.sum("__oov").cast("double") / ws), 6
+        ).alias("oov_rate"),
+    )

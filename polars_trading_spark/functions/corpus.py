@@ -1316,3 +1316,71 @@ def benchmark_coverage(
             .alias("coverage"),
         )
     )
+
+
+def packing_efficiency(
+    packed: DataFrame,
+    *,
+    budget_tokens: int,
+) -> DataFrame:
+    """One-row padding-waste report over a ``pack_sequences`` /
+    ``bpe_pack_sequences`` assignment — the training-throughput audit:
+    every token of padding is a token of compute the run pays for and
+    the loss never sees.
+
+    Output: ``budget_tokens, n_sequences, n_docs, total_tokens,
+    padding_tokens`` (Σ max(0, budget − fill) per sequence),
+    ``n_oversized`` (sequences holding a single document longer than
+    the budget — they carry no padding but break the fixed-length
+    contract), ``min_fill, max_fill, fill_rate``
+    (1 − padding/(sequences·budget)) and ``avg_docs_per_seq``.
+
+    Scale shape: one (shard, seq_id) integer hash aggregate over the
+    assignment frame, then a single global aggregate over the
+    sequence-count-sized result; every emitted float is a single
+    division of exact integer sums — order-free, engine-exact.
+    """
+    if budget_tokens < 1:
+        raise ValueError(f"budget_tokens must be >= 1, got {budget_tokens}")
+    b = F.lit(int(budget_tokens)).cast("long")
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("__fill"),
+        F.count(F.lit(1)).cast("long").alias("__docs"),
+    )
+    agg = per_seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sequences"),
+        F.sum("__docs").cast("long").alias("n_docs"),
+        F.sum("__fill").cast("long").alias("total_tokens"),
+        F.sum(F.greatest(F.lit(0).cast("long"), b - F.col("__fill")))
+        .cast("long")
+        .alias("padding_tokens"),
+        F.sum((F.col("__fill") > b).cast("long"))
+        .cast("long")
+        .alias("n_oversized"),
+        F.min("__fill").cast("long").alias("min_fill"),
+        F.max("__fill").cast("long").alias("max_fill"),
+    )
+    ns = F.col("n_sequences")
+    return agg.select(
+        F.lit(int(budget_tokens)).cast("long").alias("budget_tokens"),
+        "n_sequences",
+        "n_docs",
+        "total_tokens",
+        "padding_tokens",
+        "n_oversized",
+        "min_fill",
+        "max_fill",
+        F.round(
+            F.when(
+                ns > 0,
+                1
+                - F.col("padding_tokens").cast("double")
+                / (ns * b).cast("double"),
+            ),
+            6,
+        ).alias("fill_rate"),
+        F.round(
+            F.when(ns > 0, F.col("n_docs").cast("double") / ns.cast("double")),
+            6,
+        ).alias("avg_docs_per_seq"),
+    )

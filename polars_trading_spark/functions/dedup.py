@@ -1224,3 +1224,198 @@ def lsh_power_curve(
             ).alias("expected_recall"),
         )
     )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """The PERSISTED MinHash signature index of a corpus snapshot: one
+    row per document, ``id_col`` plus signature columns ``m0..m{k-1}``
+    — exactly what an incremental pipeline writes to parquet after each
+    ingest so the NEXT snapshot can near-dedup against it without ever
+    re-reading (or even retaining) the base text.  Empty shingle sets
+    carry the sentinel ``MERSENNE31`` in every position (short docs
+    never collide into real buckets — same convention as
+    ``minhash_lsh_pairs``).
+
+    Scale shape: one tokenize + shingle pass, one hash aggregate; the
+    index is one slim row per document.
+    """
+    base = _tokenized(df, text_col, id_col).select(
+        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
+    )
+    sig = (
+        base.select("__id", F.explode_outer("__sh").alias("__s"))
+        .groupBy("__id")
+        .agg(
+            *[
+                F.coalesce(
+                    F.min((F.lit(ca) * F.col("__s") + F.lit(cb)) % F.lit(MERSENNE31)),
+                    F.lit(MERSENNE31),
+                ).alias(f"m{i}")
+                for i, (ca, cb) in enumerate(_coeffs(num_hashes))
+            ]
+        )
+    )
+    return sig.withColumnRenamed("__id", id_col)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    sig_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dedup a NEW snapshot against a PERSISTED signature index —
+    the incremental form every recurring-crawl pipeline needs: the base
+    corpus is touched only through its (slim, text-free)
+    ``minhash_index`` table, so at 100 TB the cost per ingest scales
+    with the NEW data, not the corpus.
+
+    A new document is dropped when it shares a full signature band with
+    — and its SIGNATURE-estimated Jaccard (matching fraction of the
+    ``num_hashes`` minima, an exact k-rational) reaches
+    ``sig_threshold`` against — either (a) ANY base document (the index
+    always wins) or (b) a lower-id new document (the in-batch min-id
+    keeper convention shared with ``semdedup``; intentionally
+    link-based, not transitive — the components pass stays a batch
+    operator).  Signature-estimated similarity is used instead of exact
+    shingle Jaccard BECAUSE base text is unavailable by design; empty
+    signatures (sentinel in position 0) never match.
+
+    Returns one row per NEW document: ``id_col, keep`` (int),
+    ``dup_of`` (the matched doc; highest estimated Jaccard, ties to the
+    base side then the smallest id), ``dup_is_base`` (int) and
+    ``est_jaccard``.
+
+    Scale shape: signatures for the new snapshot only; the band
+    group-join between the new side and (index UNION new) is the only
+    corpus-sized shuffle — in production, persist the index BUCKETED BY
+    its band keys and the join co-locates shuffle-free.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    if not (0.0 < sig_threshold <= 1.0):
+        raise ValueError(
+            f"sig_threshold must be in (0, 1], got {sig_threshold}"
+        )
+    rows_per_band = num_hashes // bands
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    for c in mcols:
+        if c not in index.columns:
+            raise ValueError(
+                f"index is missing signature column {c!r}; build it with "
+                f"minhash_index(num_hashes={num_hashes})"
+            )
+    new_sig = minhash_index(
+        new_docs, text_col, id_col, ngram=ngram, num_hashes=num_hashes
+    )
+    new_sig = persist_tracked(new_sig)
+    both = new_sig.select(
+        F.col(id_col).alias("__id"), F.lit(0).alias("__base"), *mcols
+    ).unionByName(
+        index.select(
+            F.col(id_col).alias("__id"), F.lit(1).alias("__base"), *mcols
+        )
+    )
+
+    def _banded(sig_df):
+        return sig_df.select(
+            "__id",
+            "__base",
+            *mcols,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{i}").cast("string")
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ],
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__band", "__key"),
+        )
+
+    a = _banded(
+        new_sig.select(
+            F.col(id_col).alias("__id"), F.lit(0).alias("__base"), *mcols
+        )
+    ).alias("a")
+    b = _banded(both).alias("b")
+    sent = F.lit(MERSENNE31)
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.__band") == F.col("b.__band"),
+                F.col("a.__key") == F.col("b.__key"),
+                (F.col("b.__base") == 1) | (F.col("b.__id") < F.col("a.__id")),
+                F.col("a.m0") != sent,
+                F.col("b.m0") != sent,
+            ],
+        )
+        .select(
+            F.col("a.__id").alias("__nid"),
+            F.col("b.__id").alias("__oid"),
+            F.col("b.__base").alias("__obase"),
+            *[
+                (F.col(f"a.m{i}") == F.col(f"b.m{i}"))
+                .cast("long")
+                .alias(f"__e{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        .dropDuplicates(["__nid", "__oid", "__obase"])
+    )
+    est = sum(F.col(f"__e{i}") for i in range(num_hashes)) / F.lit(
+        float(num_hashes)
+    )
+    best = (
+        cand.withColumn("__est", est)
+        .where(F.col("__est") >= F.lit(float(sig_threshold)))
+        .groupBy("__nid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__est"),
+                    F.col("__obase"),
+                    (-F.col("__oid")).alias("__noid"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "__nid",
+            F.col("__best")["__est"].alias("est_jaccard"),
+            F.col("__best")["__obase"].cast("int").alias("dup_is_base"),
+            (-F.col("__best")["__noid"]).cast("long").alias("dup_of"),
+        )
+    )
+    return (
+        new_sig.select(F.col(id_col).alias("__nid"))
+        .join(best, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+            "dup_of",
+            "dup_is_base",
+            "est_jaccard",
+        )
+    )

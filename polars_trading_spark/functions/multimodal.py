@@ -5,12 +5,12 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 steps are Arrow-batched ``mapInPandas`` stages, and everything around
 them (schema, partitioning, metadata pushdown) is ordinary columnar
 Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
-inflate + all five unfilters, truecolor AND indexed/PLTE), uncompressed
-BMP, GIF (full variable-width LZW, interlaced or not), and baseline
-JPEG (canonical Huffman + IDCT, grayscale AND 4:4:4 / 4:2:2 / 4:2:0
-YCbCr color, sequential AND progressive/SOF2 at 1x1 sampling).  The
-remaining out-of-scope features — 4-component JPEG, subsampled
-progressive, non-depth-8 PNG — raise ``NotImplementedError``
+inflate + all five unfilters, truecolor AND indexed/PLTE, bit depth 8
+AND 16), uncompressed BMP, GIF (full variable-width LZW, interlaced or
+not), and baseline JPEG (canonical Huffman + IDCT, grayscale AND
+4:4:4 / 4:2:2 / 4:2:0 YCbCr color, sequential AND progressive/SOF2 at
+1x1 sampling).  The remaining out-of-scope features — 4-component
+JPEG, subsampled progressive, sub-8-bit PNG — raise ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -327,7 +327,7 @@ def _png_filter_image(px, filters) -> bytearray:
 
 def png_encode(
     pixels, *, color_type: int = 2, filters=None, palette=None,
-    interlace: bool = False,
+    interlace: bool = False, depth: int = 8,
 ) -> bytes:
     """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
     PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8.
@@ -338,16 +338,42 @@ def png_encode(
     ``palette`` the ``[(r, g, b), ...]`` table emitted as PLTE.
     ``interlace=True`` (round 9) writes the Adam7 seven-pass layout —
     each pass an independently filtered sub-image, per spec 8.5.2.
+    ``depth=16`` (round 10) writes big-endian uint16 samples for the
+    non-palette color types; PNG filtering is BYTE-level with
+    ``bpp = channels * 2``, which is exactly what the shared filter
+    kernel computes on the 2-bytes-per-sample byte view, so the whole
+    filter/interlace machinery is reused unchanged.
     Pure stdlib (struct + zlib)."""
     import struct
     import zlib
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if depth == 16:
+        if color_type == 3:
+            raise ValueError("palette PNGs are depth <= 8 by spec")
+        px16 = np.asarray(pixels, dtype=np.uint16)
+        if px16.ndim == 2:
+            px16 = px16[:, :, None]
+        h, w, ch = px16.shape
+        if _PNG_CHANNELS.get(color_type) != ch:
+            raise ValueError(
+                f"color_type {color_type} expects "
+                f"{_PNG_CHANNELS.get(color_type)} channels, got {ch}"
+            )
+        # big-endian byte view: (h, w, ch*2) — filter bpp = ch*2 per spec
+        px = (
+            px16.astype(">u2").view(np.uint8).reshape(h, w, ch * 2)
+        )
+    else:
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            px = px[:, :, None]
     h, w, ch = px.shape
+    if depth == 16:
+        ch = ch // 2  # back to SAMPLE channels (the byte view doubled it)
     plte = b""
     if color_type == 3:
         if palette is None or not (1 <= len(palette) <= 256):
@@ -359,7 +385,7 @@ def png_encode(
         plte = _png_chunk(
             b"PLTE", b"".join(bytes(entry) for entry in palette)
         )
-    elif _PNG_CHANNELS.get(color_type) != ch:
+    elif depth == 8 and _PNG_CHANNELS.get(color_type) != ch:
         raise ValueError(f"color_type {color_type} expects {_PNG_CHANNELS.get(color_type)} channels, got {ch}")
     if interlace:
         raw = bytearray()
@@ -369,7 +395,7 @@ def png_encode(
                 raw += _png_filter_image(sub, filters)
     else:
         raw = _png_filter_image(px, filters)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -382,13 +408,14 @@ def png_encode(
 def png_decode(payload: bytes):
     """REAL pure-stdlib PNG pixel decode: chunk walk (CRC-verified),
     zlib inflate of the concatenated IDAT stream, and per-row unfilter
-    of all five PNG filter types.  Supports bit depth 8, color types
+    of all five PNG filter types.  Supports bit depths 8 AND 16 (round
+    10: depth 16 unfilters on the 2-bytes-per-sample byte grid and
+    recombines big-endian pairs into a uint16 output), color types
     0/2/3/4/6 (gray, RGB, PALETTE — round 9, indices mapped through
     PLTE to an RGB output — gray+alpha, RGBA), sequential AND Adam7
     interlaced (round 9: each of the seven passes unfilters as its own
-    sub-image and scatters onto the pixel grid — PNG scope is now
-    complete for depth 8).  Returns an ``(h, w, channels)`` uint8 numpy
-    array.
+    sub-image and scatters onto the pixel grid).  Returns an ``(h, w,
+    channels)`` uint8 (depth 8) or uint16 (depth 16) numpy array.
 
     The per-row Sub/Average/Paeth unfilter is an inherently sequential
     scan in x (each byte needs the reconstructed byte ``bpp`` to its
@@ -429,36 +456,47 @@ def png_decode(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or (color_type != 3 and color_type not in _PNG_CHANNELS):
+    if depth not in (8, 16) or (color_type != 3 and color_type not in _PNG_CHANNELS):
         raise NotImplementedError(f"PNG depth={depth} color_type={color_type} not supported")
+    if depth == 16 and color_type == 3:
+        raise ValueError("palette PNGs are depth <= 8 by spec")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    # PNG filtering is BYTE-level with bpp = channels * bytes/sample, so
+    # depth 16 reuses the whole unfilter path on a 2-bytes-per-sample
+    # byte grid and recombines big-endian pairs at the end (round 10).
+    bch = ch * (2 if depth == 16 else 1)
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:  # Adam7: each pass an independent filtered image
-        px = np.empty((h, w, ch), dtype=np.uint8)
+        px = np.empty((h, w, bch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             if ph == 0 or pw == 0:
                 continue
-            sub, off = _png_unfilter_image(raw, off, ph, pw, ch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            sub, off = _png_unfilter_image(raw, off, ph, pw, bch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bch)
         if off != len(raw):
             raise ValueError(
                 f"PNG interlaced stream {len(raw)} != consumed {off}"
             )
     else:
-        stride = w * ch
+        stride = w * bch
         if len(raw) != h * (stride + 1):
             raise ValueError(
                 f"PNG raw stream {len(raw)} != expected {h * (stride + 1)}"
             )
-        out, _ = _png_unfilter_image(raw, 0, h, w, ch)
-        px = out.reshape(h, w, ch)
+        out, _ = _png_unfilter_image(raw, 0, h, w, bch)
+        px = out.reshape(h, w, bch)
+    if depth == 16:
+        px = (
+            px.reshape(h, w, ch, 2).astype(np.uint16)[:, :, :, 0] * 256
+            + px.reshape(h, w, ch, 2)[:, :, :, 1]
+        ).astype(np.uint16)
     if color_type == 3:
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of PLTE range")
@@ -2485,6 +2523,40 @@ def synthesize_jpeg_progressive(documents: DataFrame) -> DataFrame:
                     cr[0] = ((3 * m + 5 * k) % 64) - 32
                     mcus.append((y, cb, cr))
                 rows.append(jpeg_encode_progressive(mcus, w, h, al=1))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_png16(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL 16-bit RGB PNG per document id (round 10 —
+    exercises the depth-16 decode path: byte-level filters with
+    bpp = 6, big-endian sample recombination).  ``width = 4 + doc_id %
+    23``, ``height = 3 + doc_id % 13``; 16-bit SAMPLE ``j`` of the
+    row-major stream of media ``m`` is ``(m * 97 + j * 641) % 65536``
+    — regenerable arithmetic, so the differential oracle recomputes
+    the decoded sample aggregates closed-form."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 23, 3 + m % 13
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((m * 97 + j * 641) % 65536).astype(np.uint16).reshape(h, w, 3)
+                rows.append(png_encode(px, color_type=2, depth=16))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

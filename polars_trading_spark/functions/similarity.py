@@ -1148,3 +1148,84 @@ def embedding_drift(
             ),
         )
     )
+
+
+def embedding_quantize_report(
+    embeddings: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_fold_buckets: int = 64,
+) -> DataFrame:
+    """Per-dimension INT8 quantization audit of an embedding column —
+    the report run before shipping a quantized ANN index: symmetric
+    per-dimension scales (``scale_d = max_i |x_{i,d}| / 127``), and the
+    reconstruction error each dimension pays for the 4x memory cut.
+
+    One row per dimension: ``dim, n, scale, mse`` (mean squared
+    reconstruction error) and ``max_abs_err``.  Codes are
+    ``clamp(floor(x/scale + 0.5), -127, 127)`` — explicit
+    floor-half-up, the engine-portable rounding this repo's codecs use
+    (never a library ``round`` whose tie rule differs cross-engine).
+
+    Scale shape: one ``posexplode`` pass; the per-dimension |max| is an
+    order-free hash aggregate broadcast back onto the exploded frame
+    (dims-sized build side); the error moments fold HIERARCHICALLY —
+    an id-ordered running fold inside ``n_fold_buckets`` id buckets,
+    then a bucket-ordered fold over the bounded partials (the
+    quality-classifier discipline) — so no dimension ever becomes a
+    corpus-sized single window partition and the result is bit-exact
+    under any layout.  Zero Python.
+    """
+    from pyspark.sql import Window
+
+    if n_fold_buckets < 1:
+        raise ValueError(f"n_fold_buckets must be >= 1, got {n_fold_buckets}")
+    ex = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__xr"),
+    ).select("__id", "dim", F.col("__xr").cast("double").alias("x"))
+    scales = ex.groupBy("dim").agg(
+        (F.max(F.abs(F.col("x"))) / F.lit(127.0)).alias("scale")
+    )
+    t = ex.join(F.broadcast(scales), "dim")
+    q = F.when(
+        F.col("scale") > 0,
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(F.col("x") / F.col("scale") + 0.5)),
+        ),
+    ).otherwise(F.lit(0.0))
+    err = F.col("x") - q * F.col("scale")
+    t = t.withColumn("__err", err).withColumn(
+        "__bkt", F.pmod(F.col("__id"), F.lit(int(n_fold_buckets)))
+    )
+    w1 = Window.partitionBy("dim", "__bkt").orderBy("__id")
+    w1r = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    part = t.select(
+        "dim",
+        "__bkt",
+        F.row_number().over(w1).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dim", "__bkt")).alias("__n"),
+        F.sum(F.col("__err") * F.col("__err")).over(w1r).alias("__s2"),
+        F.max(F.abs(F.col("__err")))
+        .over(Window.partitionBy("dim", "__bkt"))
+        .alias("__me"),
+    ).where(F.col("__rn") == F.col("__n"))
+    w2 = Window.partitionBy("dim").orderBy("__bkt")
+    w2r = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fin = part.select(
+        "dim",
+        F.row_number().over(w2).alias("__brn"),
+        F.count(F.lit(1)).over(Window.partitionBy("dim")).alias("__bn"),
+        F.sum("__n").over(w2r).alias("n"),
+        F.sum("__s2").over(w2r).alias("s2"),
+        F.max("__me").over(Window.partitionBy("dim")).alias("max_abs_err"),
+    ).where(F.col("__brn") == F.col("__bn"))
+    return fin.join(F.broadcast(scales), "dim").select(
+        "dim",
+        F.col("n").cast("long").alias("n"),
+        "scale",
+        (F.col("s2") / F.col("n").cast("double")).alias("mse"),
+        "max_abs_err",
+    )

@@ -29,7 +29,14 @@ from pyspark.sql import functions as F
 from polars_trading_spark._utils import SEQ_COL
 from polars_trading_spark.config import column_names
 
-__all__ = ["almgren_chriss_schedule", "vwap_slippage", "session_vwap", "implementation_shortfall", "execution_tearsheet"]
+__all__ = [
+    "almgren_chriss_schedule",
+    "vwap_slippage",
+    "session_vwap",
+    "implementation_shortfall",
+    "execution_tearsheet",
+    "market_impact_fit",
+]
 
 
 def almgren_chriss_schedule(
@@ -353,4 +360,81 @@ def execution_tearsheet(
         "best_bps",
         (F.col("__hits") / n).alias("hit_rate"),
         (F.col("__rm") / n).alias("avg_market_move_bps"),
+    )
+
+
+def market_impact_fit(
+    df: DataFrame,
+    *,
+    trades_per_parent: int = 50,
+) -> DataFrame:
+    """Per-symbol market-impact POWER-LAW fit over the parent-order
+    shortfall frame — the empirical test of the square-root law
+    (Almgren et al. 2005; Tóth et al. 2011): regress
+
+        ln(shortfall_bps) = alpha + beta * ln(participation)
+
+    across parents with POSITIVE realized cost, where ``participation``
+    is the parent's share of the symbol's total tape volume (the
+    self-contained stand-in for Q/ADV).  ``beta ~= 0.5`` is the
+    square-root law; ``exp(alpha)`` prices a full-tape order in bps.
+
+    Output, one row per symbol: ``n_orders`` (all parents), ``n_used``
+    (positive-cost parents in the fit), ``impact_exponent`` (beta),
+    ``ln_impact_coef`` (alpha), ``impact_at_1pct_bps`` (the predicted
+    cost of a 1%-of-tape order — ``exp(alpha + beta*ln(0.01))``) and
+    ``impact_r2``.  Fewer than 3 usable parents or a degenerate x/y
+    spread nulls the fit columns rather than emitting a knife-edge
+    ratio.
+
+    Determinism: the participation denominator is an INTEGER volume
+    sum; every float OLS moment (Σx, Σy, Σxy, Σx², Σy²) folds in
+    ``parent_id`` order and is read at the last row, so both engines
+    fold bit-identically (the ``zipf_fit`` log-log discipline).  Shape:
+    the two parent-frame shuffles plus one per-symbol window family —
+    parents are tape/``trades_per_parent``-sized, zero joins, zero
+    Python.
+    """
+    symbol = column_names.symbol
+    par = implementation_shortfall(df, trades_per_parent=trades_per_parent)
+    w_all = Window.partitionBy(symbol)
+    w_ord = Window.partitionBy(symbol).orderBy("parent_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = par.withColumn("__tq", F.sum("qty").over(w_all))
+    used = (F.col("shortfall_bps") > 0) & (F.col("qty") > 0)
+    t = t.withColumn(
+        "__x",
+        F.when(used, F.log(F.col("qty").cast("double") / F.col("__tq"))),
+    ).withColumn("__y", F.when(used, F.log("shortfall_bps")))
+    t = t.select(
+        symbol,
+        F.row_number().over(w_ord).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(F.col("__x").isNotNull().cast("long")).over(w_all).alias("__nu"),
+        F.sum("__x").over(w_run).alias("__sx"),
+        F.sum("__y").over(w_run).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).over(w_run).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).over(w_run).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).over(w_run).alias("__syy"),
+    )
+    last = t.where(F.col("__rn") == F.col("__n"))
+    nu = F.col("__nu").cast("double")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    cov_n = nu * F.col("__sxy") - sx * sy
+    var_x = nu * F.col("__sxx") - sx * sx
+    var_y = nu * F.col("__syy") - sy * sy
+    ok = (F.col("__nu") >= 3) & (var_x > 0)
+    beta = F.when(ok, cov_n / var_x)
+    alpha = F.when(ok, (sy - beta * sx) / nu)
+    ln001 = F.lit(float(__import__("math").log(0.01)))
+    return last.select(
+        symbol,
+        F.col("__n").cast("int").alias("n_orders"),
+        F.col("__nu").cast("int").alias("n_used"),
+        beta.alias("impact_exponent"),
+        alpha.alias("ln_impact_coef"),
+        F.when(ok, F.exp(alpha + beta * ln001)).alias("impact_at_1pct_bps"),
+        F.when(ok & (var_y > 0), cov_n * cov_n / (var_x * var_y)).alias(
+            "impact_r2"
+        ),
     )

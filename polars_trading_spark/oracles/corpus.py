@@ -1592,3 +1592,134 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("score", 6) + F.lit(0.0)).alias("score"),
         "pred",
     )
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+WITH RECURSIVE
+{_BPE_REC},
+tfin AS (SELECT segs FROM rec ORDER BY d DESC LIMIT 1),
+tvocab AS (
+  SELECT unnest(s.words) AS word,
+         unnest(list_transform(f.segs, g -> CAST(len(g) AS INTEGER))) AS n_bpe
+  FROM st0 s, tfin f
+),
+tex AS (
+  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS chars_,
+         unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS word
+  FROM tok
+),
+tj AS (SELECT e.*, v.n_bpe FROM tex e LEFT JOIN tvocab v USING (word)),
+tpd AS (
+  SELECT lang, doc_id, max(chars_) AS chars_,
+    CAST(count(word) AS BIGINT) AS ws,
+    CAST(sum(CASE WHEN word IS NULL THEN 0
+                  ELSE coalesce(n_bpe, length(word)) END) AS BIGINT) AS bpe,
+    CAST(sum(CASE WHEN word IS NOT NULL AND n_bpe IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS oov
+  FROM tj GROUP BY lang, doc_id
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS whitespace_tokens,
+  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+  CAST(sum(chars_) AS BIGINT) AS chars,
+  CAST(sum(oov) AS BIGINT) AS n_oov_words,
+  round(CASE WHEN sum(ws) > 0
+             THEN CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END,
+        6) + 0 AS bpe_per_word,
+  round(CASE WHEN sum(bpe) > 0
+             THEN CAST(sum(chars_) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE) END,
+        6) + 0 AS chars_per_bpe_token,
+  round(CASE WHEN sum(ws) > 0
+             THEN CAST(sum(oov) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) END,
+        6) + 0 AS oov_rate
+FROM tpd GROUP BY lang
+""",
+    "Per-language fertility audit of the trained BPE vocabulary "
+    "(tokens per word, chars per token, OOV fallback rate) — the "
+    "tokenizer-equity report; same vocabulary join shape as "
+    "bpe_token_budget, integer sums with single final divisions",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.bpe import bpe_train, tokenizer_fertility
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_merges=_BPE_MERGES)
+    out = tokenizer_fertility(docs, words)
+    z0 = F.lit(0.0)
+    return out.select(
+        "lang",
+        "n_docs",
+        "whitespace_tokens",
+        "bpe_tokens",
+        "chars",
+        "n_oov_words",
+        (F.round("bpe_per_word", 6) + z0).alias("bpe_per_word"),
+        (F.round("chars_per_bpe_token", 6) + z0).alias("chars_per_bpe_token"),
+        (F.round("oov_rate", 6) + z0).alias("oov_rate"),
+    )
+
+
+@register(
+    "packing_efficiency",
+    f"""
+WITH RECURSIVE
+pdocs AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text),
+        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> x != '')) AS INTEGER) AS n_tok,
+    CAST(('0x' || substr(md5('pts-pack' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+{_pack_chain_sql(_PACK_BUDGET, _PACK_SHARDS)},
+pk AS ({_PACK_FINAL_SQL}),
+pseq AS (
+  SELECT shard, seq_id,
+    CAST(sum(n_tokens) AS BIGINT) AS fill,
+    CAST(count(*) AS BIGINT) AS docs
+  FROM pk GROUP BY shard, seq_id
+)
+SELECT CAST({_PACK_BUDGET} AS BIGINT) AS budget_tokens,
+  CAST(count(*) AS BIGINT) AS n_sequences,
+  CAST(sum(docs) AS BIGINT) AS n_docs,
+  CAST(sum(fill) AS BIGINT) AS total_tokens,
+  CAST(sum(greatest(0, {_PACK_BUDGET} - fill)) AS BIGINT) AS padding_tokens,
+  CAST(sum(CASE WHEN fill > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+  CAST(min(fill) AS BIGINT) AS min_fill,
+  CAST(max(fill) AS BIGINT) AS max_fill,
+  round(CASE WHEN count(*) > 0 THEN 1 - CAST(sum(greatest(0, {_PACK_BUDGET} - fill)) AS DOUBLE)
+        / CAST(count(*) * {_PACK_BUDGET} AS DOUBLE) END, 6) + 0 AS fill_rate,
+  round(CASE WHEN count(*) > 0 THEN CAST(sum(docs) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) END, 6) + 0 AS avg_docs_per_seq
+FROM pseq
+""",
+    f"Padding-waste audit of the {_PACK_BUDGET}-token greedy packing: "
+    "per-sequence fill aggregated into one row of padding, fill-rate, "
+    "oversized-sequence and docs-per-sequence statistics — integer "
+    "sums with single final divisions",
+)
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, budget_tokens=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    )
+    out = packing_efficiency(packed, budget_tokens=_PACK_BUDGET)
+    z0 = F.lit(0.0)
+    return out.select(
+        "budget_tokens",
+        "n_sequences",
+        "n_docs",
+        "total_tokens",
+        "padding_tokens",
+        "n_oversized",
+        "min_fill",
+        "max_fill",
+        (F.round("fill_rate", 6) + z0).alias("fill_rate"),
+        (F.round("avg_docs_per_seq", 6) + z0).alias("avg_docs_per_seq"),
+    )

@@ -828,3 +828,114 @@ def q_lsh_power_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_docs=_RECALL_TARGET,
         salt=_RECALL_SALT,
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Incremental near-dedup against a persisted MinHash
+# signature index (functions/dedup.py::minhash_index /
+# incremental_dedup): the corpus splits into a base snapshot (80%, by
+# salted id hash) whose SIGNATURES stand in for the parquet index a
+# recurring-crawl pipeline persists, and a new snapshot (20%) deduped
+# against (index UNION lower-id new) via band collisions + signature-
+# estimated Jaccard (an exact k-rational — engine-portable).
+# --------------------------------------------------------------------------
+
+_INC_SALT = "pts-inc"
+
+_INC_THRESHOLD = 0.5
+
+_INC_EQ_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END)" for i in range(_MH_K)
+    )
+    + ") / 12.0"
+)
+
+_INC_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, isnew, s0, {b} AS band, concat_ws(',', "
+    + ", ".join(f"s{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+    + ") AS key FROM sigx"
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "dedup_incremental",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_shingle_sh_cte(_MH_NGRAM)},
+isplit AS (
+  SELECT doc_id,
+    ({_sql_hash60("'" + _INC_SALT + "' || CAST(doc_id AS VARCHAR)")}) % 5 = 0 AS isnew
+  FROM docs
+),
+sig0 AS (SELECT doc_id, {_SIG_SQL} FROM sh),
+sigx AS (
+  SELECT g.*, p.isnew FROM sig0 g JOIN isplit p USING (doc_id)
+),
+ibanded AS ({_INC_BAND_UNION}),
+icand AS (
+  SELECT DISTINCT a.doc_id AS nid, b.doc_id AS oid,
+    CASE WHEN b.isnew THEN 0 ELSE 1 END AS obase
+  FROM ibanded a JOIN ibanded b
+    ON a.band = b.band AND a.key = b.key
+   AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id)
+   AND a.s0 <> {MERSENNE31} AND b.s0 <> {MERSENNE31}
+),
+iest AS (
+  SELECT c.nid, c.oid, c.obase, {_INC_EQ_SQL} AS est
+  FROM icand c
+  JOIN sigx x ON c.nid = x.doc_id
+  JOIN sigx y ON c.oid = y.doc_id
+),
+ibest AS (
+  SELECT nid, est, obase, oid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY nid ORDER BY est DESC, obase DESC, oid ASC) AS rk
+    FROM iest WHERE est >= {_INC_THRESHOLD}
+  ) WHERE rk = 1
+)
+SELECT s.doc_id,
+  CAST(CASE WHEN b.nid IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+  CAST(b.oid AS BIGINT) AS dup_of,
+  CAST(b.obase AS INTEGER) AS dup_is_base,
+  round(b.est, 6) + 0 AS est_jaccard
+FROM (SELECT doc_id FROM isplit WHERE isnew) s
+LEFT JOIN ibest b ON s.doc_id = b.nid
+""",
+    "Incremental near-dedup of a 20% new snapshot against the 80% base "
+    "snapshot's persisted MinHash signature index (text-free): band "
+    "collisions vs (index UNION lower-id new), signature-estimated "
+    "Jaccard >= 0.5 — per-ingest cost scales with the NEW data only",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import portable_hash60
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = portable_hash60(
+        F.concat(F.lit(_INC_SALT), F.col("doc_id").cast("string"))
+    )
+    docs = docs.withColumn("__isnew", (h % 5) == 0)
+    base = docs.where(~F.col("__isnew")).drop("__isnew")
+    new = docs.where(F.col("__isnew")).drop("__isnew")
+    index = dedup_ops.minhash_index(
+        base, ngram=_MH_NGRAM, num_hashes=_MH_K
+    )
+    out = dedup_ops.incremental_dedup(
+        new,
+        index,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        sig_threshold=_INC_THRESHOLD,
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "doc_id",
+        "keep",
+        "dup_of",
+        "dup_is_base",
+        (F.round("est_jaccard", 6) + z0).alias("est_jaccard"),
+    )

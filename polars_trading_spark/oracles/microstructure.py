@@ -1087,3 +1087,89 @@ def q_execution_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("hit_rate", 6) + z0).alias("hit_rate"),
         (F.round("avg_market_move_bps", 6) + z0).alias("avg_market_move_bps"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Market-impact power-law fit over the parent-order
+# shortfall frame (operators/execution.py::market_impact_fit) — the
+# empirical square-root-law test: ln(shortfall_bps) regressed on
+# ln(participation) per symbol, every OLS moment a parent_id-ordered
+# fold (the zipf_fit log-log discipline).
+# --------------------------------------------------------------------------
+
+_MIF_LN001 = -4.605170185988091  # float(math.log(0.01)), injected verbatim
+
+
+@register(
+    "market_impact_fit",
+    f"""
+WITH {_IS_PARENT_CTES},
+mifx AS (
+  SELECT symbol, parent_id,
+    CASE WHEN sb > 0 AND qb > 0
+         THEN ln(CAST(qb AS DOUBLE) / CAST(tq AS DOUBLE)) END AS x,
+    CASE WHEN sb > 0 AND qb > 0 THEN ln(sb) END AS y
+  FROM (
+    SELECT symbol, parent_id, sb, CAST(rv AS BIGINT) AS qb,
+      sum(CAST(rv AS BIGINT)) OVER (PARTITION BY symbol) AS tq
+    FROM ispstat
+  )
+),
+miff AS (
+  SELECT symbol,
+    row_number() OVER wo AS rn2,
+    count(*) OVER wa AS n2,
+    sum(CASE WHEN x IS NOT NULL THEN 1 ELSE 0 END) OVER wa AS nu,
+    sum(x) OVER wr AS sx,
+    sum(y) OVER wr AS sy,
+    sum(x * y) OVER wr AS sxy,
+    sum(x * x) OVER wr AS sxx,
+    sum(y * y) OVER wr AS syy
+  FROM mifx
+  WINDOW wo AS (PARTITION BY symbol ORDER BY parent_id),
+         wr AS (PARTITION BY symbol ORDER BY parent_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY symbol)
+),
+mifo AS (
+  SELECT symbol,
+    CAST(n2 AS INTEGER) AS n_orders,
+    CAST(nu AS INTEGER) AS n_used,
+    CASE WHEN nu >= 3 AND nud * sxx - sx * sx > 0
+         THEN (nud * sxy - sx * sy) / (nud * sxx - sx * sx) END AS beta,
+    nud, sx, sy, sxy, sxx, syy
+  FROM (SELECT *, CAST(nu AS DOUBLE) AS nud FROM miff WHERE rn2 = n2)
+)
+SELECT symbol, n_orders, n_used,
+  round(beta, 6) + 0 AS impact_exponent,
+  round((sy - beta * sx) / nud, 6) + 0 AS ln_impact_coef,
+  round(exp((sy - beta * sx) / nud + beta * ({_MIF_LN001})), 6) + 0
+    AS impact_at_1pct_bps,
+  round(CASE WHEN beta IS NOT NULL AND nud * syy - sy * sy > 0
+             THEN (nud * sxy - sx * sy) * (nud * sxy - sx * sy)
+                  / ((nud * sxx - sx * sx) * (nud * syy - sy * sy)) END,
+        6) + 0 AS impact_r2
+FROM mifo
+""",
+    "Per-symbol market-impact power-law fit (square-root-law test): "
+    "log-log OLS of positive parent-order shortfall on tape-share "
+    "participation — every OLS moment a parent_id-ordered fold, "
+    "integer participation denominator, zero joins, zero Python",
+)
+def q_market_impact_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.execution import market_impact_fit
+
+    with _trades_config():
+        out = market_impact_fit(
+            trades_from_events(spark, sf_dir), trades_per_parent=_IS_TPP
+        )
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "n_orders",
+        "n_used",
+        (F.round("impact_exponent", 6) + z0).alias("impact_exponent"),
+        (F.round("ln_impact_coef", 6) + z0).alias("ln_impact_coef"),
+        (F.round("impact_at_1pct_bps", 6) + z0).alias("impact_at_1pct_bps"),
+        (F.round("impact_r2", 6) + z0).alias("impact_r2"),
+    )

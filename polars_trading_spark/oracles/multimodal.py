@@ -901,3 +901,52 @@ def q_multimodal_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> Da
 
     media = synthesize_jpeg_progressive(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). 16-BIT PNG decode — the former non-depth-8
+# NotImplementedError (16-bit arm): depth-16 RGB streams unfilter on a
+# 2-bytes-per-sample byte grid (bpp = 6) and recombine big-endian
+# sample pairs; the order-sensitive px_dot over 16-bit SAMPLES breaks
+# on any byte-pairing or filter slip.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png16_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 23 AS INTEGER) AS width,
+         CAST(3 + doc_id % 13 AS INTEGER) AS height
+  FROM documents
+),
+smp AS (
+  SELECT media_id, width, height, j,
+         (media_id * 97 + j * 641) % 65536 AS v
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height * 3)) AS t(j)
+)
+SELECT media_id,
+  'png' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM smp
+GROUP BY media_id
+""",
+    "REAL stdlib 16-BIT PNG decode: depth-16 RGB streams (rows cycling "
+    "all five filter types) unfiltered on the 2-bytes-per-sample byte "
+    "grid and recombined big-endian in Arrow mapInPandas; exact 16-bit "
+    "sample aggregates replayed arithmetically — closes the 16-bit arm "
+    "of the non-depth-8 NotImplementedError",
+)
+def q_multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_png16,
+    )
+
+    media = synthesize_png16(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -1709,3 +1709,172 @@ def q_rank_portfolio_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("avg_turnover", 6) + z0).alias("avg_turnover"),
         (F.round("max_drawdown", 6) + z0).alias("max_drawdown"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Probability of backtest overfitting via CSCV
+# (operators/pbo.py::pbo_cscv — Bailey/Borwein/Lopez de Prado/Zhu 2017):
+# the (symbol x lookback) momentum sweep judged by every balanced
+# in/out-of-sample block combination.  Every cross-block float sum is a
+# FIXED-ORDER list fold (list_reduce over the block index), mask-level
+# means fold in mask order, and the below-median test is the INTEGER
+# comparison 2r < nr + 1 — no float 0.5 knife edge.
+# --------------------------------------------------------------------------
+
+_PBO_S = 8
+
+_PBO_BIT = "CAST(floor(m / pow(2.0, bb)) AS BIGINT) % 2"
+
+
+def _pbo_sharpe_sql(n: str, s1: str, s2: str) -> str:
+    nd = f"CAST({n} AS DOUBLE)"
+    var = f"(({s2}) - ({s1}) * ({s1}) / {nd}) / ({nd} - 1)"
+    return (
+        f"CASE WHEN ({n}) >= 2 AND {var} > 0 "
+        f"THEN (({s1}) / {nd}) / sqrt({var}) END"
+    )
+
+
+@register(
+    "pbo_cscv",
+    f"""
+WITH {_FEATURE_BARS_CTE},
+pblk AS (
+  SELECT ts, CAST(floor((ti * {_PBO_S}) / CAST(nt AS DOUBLE)) AS BIGINT) AS block
+  FROM (SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS ti,
+               count(*) OVER () AS nt
+        FROM (SELECT DISTINCT ts FROM bars))
+),
+pex AS (
+  SELECT symbol AS sym, lb, ts, close AS c,
+    lag(close, 1) OVER w AS p1,
+    CASE WHEN lb = 8 THEN lag(close, 9) OVER w
+         WHEN lb = 5 THEN lag(close, 6) OVER w
+         WHEN lb = 3 THEN lag(close, 4) OVER w
+         WHEN lb = 2 THEN lag(close, 3) OVER w
+         ELSE lag(close, 2) OVER w END AS pl
+  FROM bars CROSS JOIN (SELECT unnest([1, 2, 3, 5, 8]) AS lb) l
+  WINDOW w AS (PARTITION BY symbol, lb ORDER BY ts)
+),
+pret AS (
+  SELECT sym, lb, ts,
+    (CASE WHEN p1 > pl THEN 1.0 WHEN p1 < pl THEN -1.0 ELSE 0.0 END)
+      * (c / p1 - 1) AS ret
+  FROM pex WHERE p1 IS NOT NULL AND pl IS NOT NULL
+),
+pg AS (
+  SELECT sym, lb, block, n, s1, s2 FROM (
+    SELECT p.sym, p.lb, b.block,
+      row_number() OVER wo AS rn,
+      count(*) OVER (PARTITION BY p.sym, p.lb, b.block) AS n,
+      sum(p.ret) OVER wr AS s1,
+      sum(p.ret * p.ret) OVER wr AS s2
+    FROM pret p JOIN pblk b USING (ts)
+    WINDOW wo AS (PARTITION BY p.sym, p.lb, b.block ORDER BY p.ts),
+           wr AS (PARTITION BY p.sym, p.lb, b.block ORDER BY p.ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE rn = n
+),
+pstrat AS (
+  SELECT s.sym || '_' || CAST(s.lb AS VARCHAR) AS sid,
+    list(coalesce(g.n, 0) ORDER BY r.b) AS l_n,
+    list(coalesce(g.s1, CAST(0.0 AS DOUBLE)) ORDER BY r.b) AS l_s1,
+    list(coalesce(g.s2, CAST(0.0 AS DOUBLE)) ORDER BY r.b) AS l_s2
+  FROM (SELECT DISTINCT sym, lb FROM pg) s
+  CROSS JOIN range({_PBO_S}) r(b)
+  LEFT JOIN pg g ON g.sym = s.sym AND g.lb = s.lb AND g.block = r.b
+  GROUP BY s.sym, s.lb
+),
+pmask AS (
+  SELECT m FROM range({2 ** _PBO_S}) t(m)
+  WHERE list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range({_PBO_S}), bb -> {_PBO_BIT})),
+          (a, x) -> a + x) = {_PBO_S // 2}
+),
+pcj AS (
+  SELECT m, sid,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(range({_PBO_S}), bb ->
+        CASE WHEN {_PBO_BIT} = 1 THEN l_n[bb + 1]
+             ELSE CAST(0 AS BIGINT) END)),
+      (a, x) -> a + x) AS in_n,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range({_PBO_S}), bb ->
+        CASE WHEN {_PBO_BIT} = 1 THEN l_s1[bb + 1]
+             ELSE CAST(0.0 AS DOUBLE) END)),
+      (a, x) -> a + x) AS in_s1,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list_transform(range({_PBO_S}), bb ->
+        CASE WHEN {_PBO_BIT} = 1 THEN l_s2[bb + 1]
+             ELSE CAST(0.0 AS DOUBLE) END)),
+      (a, x) -> a + x) AS in_s2,
+    list_reduce(list_prepend(CAST(0 AS BIGINT), l_n), (a, x) -> a + x) AS tot_n,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l_s1), (a, x) -> a + x) AS tot_s1,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l_s2), (a, x) -> a + x) AS tot_s2
+  FROM pmask, pstrat
+),
+psh AS (
+  SELECT m, sid,
+    {_pbo_sharpe_sql("in_n", "in_s1", "in_s2")} AS sh_is,
+    {_pbo_sharpe_sql("tot_n - in_n", "tot_s1 - in_s1", "tot_s2 - in_s2")} AS sh_oos
+  FROM pcj
+),
+psel AS (
+  SELECT m, sh_is AS sel_is, sh_oos AS sel_oos FROM (
+    SELECT m, sh_is, sh_oos,
+      row_number() OVER (PARTITION BY m ORDER BY sh_is DESC, sid DESC) AS rk
+    FROM psh WHERE sh_is IS NOT NULL AND sh_oos IS NOT NULL)
+  WHERE rk = 1
+),
+ppm AS (
+  SELECT c.m, any_value(s.sel_is) AS sel_is, any_value(s.sel_oos) AS sel_oos,
+    sum(CASE WHEN c.sh_oos <= s.sel_oos THEN 1 ELSE 0 END) AS r,
+    sum(CASE WHEN c.sh_oos IS NOT NULL THEN 1 ELSE 0 END) AS nr
+  FROM psh c JOIN psel s USING (m)
+  GROUP BY c.m
+),
+pfin AS (
+  SELECT row_number() OVER (ORDER BY m) AS rn,
+    count(*) OVER () AS ncb,
+    sum(CASE WHEN 2 * r < nr + 1 THEN 1 ELSE 0 END) OVER () AS nb,
+    sum(ln((r / CAST(nr + 1 AS DOUBLE)) / (1 - r / CAST(nr + 1 AS DOUBLE))))
+      OVER wr AS sl,
+    sum(sel_is) OVER wr AS si,
+    sum(sel_oos) OVER wr AS so
+  FROM ppm WHERE nr >= 1
+  WINDOW wr AS (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT
+  CAST((SELECT count(*) FROM pstrat) AS INTEGER) AS n_strategies,
+  CAST({_PBO_S} AS INTEGER) AS n_blocks,
+  CAST(ncb AS INTEGER) AS n_combos,
+  round(nb / CAST(ncb AS DOUBLE), 6) + 0 AS pbo,
+  round(sl / ncb, 6) + 0 AS mean_logit,
+  round(si / ncb, 6) + 0 AS mean_sel_is_sharpe,
+  round(so / ncb, 6) + 0 AS mean_sel_oos_sharpe
+FROM pfin WHERE rn = ncb
+""",
+    f"CSCV probability of backtest overfitting over the (symbol x "
+    f"lookback) momentum sweep: {_PBO_S} time blocks, every balanced "
+    "split scored, in-sample winner ranked out-of-sample — fixed-order "
+    "block folds, integer below-median test, mask-ordered means",
+)
+def q_pbo_cscv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.pbo import pbo_cscv
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = pbo_cscv(bars, n_blocks=_PBO_S)
+    z0 = F.lit(0.0)
+    return out.select(
+        "n_strategies",
+        "n_blocks",
+        "n_combos",
+        (F.round("pbo", 6) + z0).alias("pbo"),
+        (F.round("mean_logit", 6) + z0).alias("mean_logit"),
+        (F.round("mean_sel_is_sharpe", 6) + z0).alias("mean_sel_is_sharpe"),
+        (F.round("mean_sel_oos_sharpe", 6) + z0).alias("mean_sel_oos_sharpe"),
+    )

@@ -89,16 +89,16 @@ _ROUND10_FRONT = [
     "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
     "implementation_shortfall", "execution_tearsheet",
     "quality_classifier", "multimodal_jpeg_progressive_decode",
-    # -- 33 backfill: latest driver row is round 6, then r7 alpha --
+    "market_impact_fit", "pbo_cscv", "tokenizer_fertility",
+    "packing_efficiency", "embedding_quantize", "dedup_incremental",
+    "multimodal_png16_decode",
+    # -- backfill (fills the window to 50): latest driver row r6, then r7 alpha --
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
     "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
     "tick_quality", "time_bars", "time_bars_compound_duration",
     "triple_barrier", "triple_barrier_meta", "universe_summary",
-    "upsample_ffill", "vertical_barrier", "volume_bars",
-    "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
-    "zipf_fit",
 ]
 
 ACTIVE_FRONT = _ROUND10_FRONT

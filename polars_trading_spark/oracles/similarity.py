@@ -839,3 +839,83 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_cell",
         (F.col("top_cell_share") + z0).alias("top_cell_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). INT8 embedding quantization audit
+# (functions/similarity.py::embedding_quantize_report) — per-dimension
+# symmetric scales and reconstruction error; codes use the explicit
+# floor-half-up rounding, error moments fold hierarchically (id-ordered
+# inside 64 id buckets, then bucket-ordered) so the result is layout-
+# and engine-exact.  Floats round to 9 (they sit at 1e-2..1e-5 scales).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    """
+WITH c AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+),
+qex AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS dim, v[t.i + 1] AS x
+  FROM c, unnest(range(0, len(v))) AS t(i)
+),
+qsc AS (SELECT dim, max(abs(x)) / 127.0 AS scale FROM qex GROUP BY dim),
+qerr AS (
+  SELECT e.vec_id, e.dim,
+    e.x - (CASE WHEN s.scale > 0
+                THEN greatest(-127.0, least(127.0, floor(e.x / s.scale + 0.5)))
+                ELSE 0.0 END) * s.scale AS err,
+    e.vec_id % 64 AS bkt
+  FROM qex e JOIN qsc s USING (dim)
+),
+qpart AS (
+  SELECT dim, bkt, n, s2, me FROM (
+    SELECT dim, bkt,
+      row_number() OVER wo AS rn,
+      count(*) OVER (PARTITION BY dim, bkt) AS n,
+      sum(err * err) OVER wr AS s2,
+      max(abs(err)) OVER (PARTITION BY dim, bkt) AS me
+    FROM qerr
+    WINDOW wo AS (PARTITION BY dim, bkt ORDER BY vec_id),
+           wr AS (PARTITION BY dim, bkt ORDER BY vec_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE rn = n
+),
+qfin AS (
+  SELECT dim, n, s2, max_abs_err FROM (
+    SELECT dim,
+      row_number() OVER bo AS brn,
+      count(*) OVER (PARTITION BY dim) AS bn,
+      sum(n) OVER br AS n,
+      sum(s2) OVER br AS s2,
+      max(me) OVER (PARTITION BY dim) AS max_abs_err
+    FROM qpart
+    WINDOW bo AS (PARTITION BY dim ORDER BY bkt),
+           br AS (PARTITION BY dim ORDER BY bkt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+  ) WHERE brn = bn
+)
+SELECT f.dim, CAST(f.n AS BIGINT) AS n,
+  round(s.scale, 9) + 0 AS scale,
+  round(f.s2 / CAST(f.n AS DOUBLE), 9) + 0 AS mse,
+  round(f.max_abs_err, 9) + 0 AS max_abs_err
+FROM qfin f JOIN qsc s USING (dim)
+""",
+    "Per-dimension INT8 quantization audit of the embedding column: "
+    "symmetric max/127 scales, floor-half-up codes, hierarchical "
+    "id-bucket error folds — the pre-shipping report for a quantized "
+    "ANN index",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = sim_ops.embedding_quantize_report(emb)
+    z0 = F.lit(0.0)
+    return out.select(
+        "dim",
+        "n",
+        (F.round("scale", 9) + z0).alias("scale"),
+        (F.round("mse", 9) + z0).alias("mse"),
+        (F.round("max_abs_err", 9) + z0).alias("max_abs_err"),
+    )

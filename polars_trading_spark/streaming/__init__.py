@@ -104,3 +104,6 @@ from polars_trading_spark.streaming.rankbook import streaming_rank_portfolio_tea
 
 __all__.append("streaming_rank_portfolio_net")
 __all__.append("streaming_rank_portfolio_tearsheet")
+from polars_trading_spark.streaming.execution import streaming_implementation_shortfall  # noqa: E402
+
+__all__.append("streaming_implementation_shortfall")

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import numpy as np
 import pytest
@@ -213,3 +213,90 @@ def test_implementation_shortfall_validation(spark):
     )
     with pytest.raises(ValueError):
         implementation_shortfall(df, trades_per_parent=0)
+
+
+def test_market_impact_fit_numpy_reference(spark):
+    from polars_trading_spark.operators.execution import (
+        implementation_shortfall,
+        market_impact_fit,
+    )
+
+    # two symbols x 120 trades (12 parents of 10); deterministic
+    # pseudo-random walk so several parents land on each side of zero
+    rows = []
+    for si, sym in enumerate(("A", "B")):
+        px = 100.0 + 7 * si
+        for i in range(120):
+            px += (((i * 1103515245 + 12345 + si * 997) % 19) - 9) * 0.03
+            rows.append(
+                (
+                    sym,
+                    datetime(2024, 1, 1, 9, 0) + timedelta(seconds=i),
+                    round(px, 2),
+                    1 + (i * 7 + si) % 13,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, size long"
+    )
+    with Config(timestamp_column="ts"):
+        parents = implementation_shortfall(df, trades_per_parent=10).collect()
+        out = {
+            r["symbol"]: r
+            for r in market_impact_fit(df, trades_per_parent=10).collect()
+        }
+    for sym in ("A", "B"):
+        par = sorted(
+            (r for r in parents if r["symbol"] == sym),
+            key=lambda r: r["parent_id"],
+        )
+        tq = sum(r["qty"] for r in par)
+        pts = [
+            (np.log(r["qty"] / tq), np.log(r["shortfall_bps"]))
+            for r in par
+            if r["shortfall_bps"] > 0 and r["qty"] > 0
+        ]
+        r = out[sym]
+        assert r["n_orders"] == len(par)
+        assert r["n_used"] == len(pts)
+        if len(pts) < 3:
+            assert r["impact_exponent"] is None
+            continue
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        beta, alpha = np.polyfit(x, y, 1)
+        assert r["impact_exponent"] == pytest.approx(beta, rel=1e-9)
+        assert r["ln_impact_coef"] == pytest.approx(alpha, rel=1e-9)
+        assert r["impact_at_1pct_bps"] == pytest.approx(
+            np.exp(alpha + beta * np.log(0.01)), rel=1e-9
+        )
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert r["impact_r2"] == pytest.approx(r2, rel=1e-9)
+
+
+def test_market_impact_fit_degenerate_guard(spark):
+    from polars_trading_spark.operators.execution import market_impact_fit
+
+    # monotone-down buys: every even parent beats arrival (sb <= 0),
+    # every odd sell parent also profits -> zero usable points
+    rows = [
+        ("A", datetime(2024, 1, 1, 9, 0) + timedelta(seconds=i), 100.0 - i, 10)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, size long"
+    )
+    with Config(timestamp_column="ts"):
+        out = market_impact_fit(df, trades_per_parent=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_orders"] == 2
+    # buy parent falls, sell parent rises in profit terms -> n_used <= 1
+    assert r["n_used"] < 3
+    for c in (
+        "impact_exponent",
+        "ln_impact_coef",
+        "impact_at_1pct_bps",
+        "impact_r2",
+    ):
+        assert r[c] is None

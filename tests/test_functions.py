@@ -2376,3 +2376,51 @@ def test_jpeg_progressive_scope_and_validation():
     )
     with pytest.raises(NotImplementedError, match="subsampled PROGRESSIVE"):
         jpeg_decode(b"\xff\xd8" + app0 + sof2_420 + b"\xff\xd9")
+
+
+def test_png16_round_trips_and_scope():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        for interlace in (False, True):
+            px = rng.randint(0, 65536, size=(13, 9, ch)).astype(np.uint16)
+            back = multimodal.png_decode(
+                multimodal.png_encode(
+                    px, color_type=ct, interlace=interlace, depth=16
+                )
+            )
+            assert back.dtype == np.uint16 and (back == px).all(), (
+                ct,
+                interlace,
+            )
+    # every filter type isolated at depth 16
+    for f in range(5):
+        px = rng.randint(0, 65536, size=(6, 7, 3)).astype(np.uint16)
+        back = multimodal.png_decode(
+            multimodal.png_encode(px, color_type=2, depth=16, filters=[f])
+        )
+        assert (back == px).all(), f
+    # spec/scope guards: no 16-bit palettes, sub-8 depths still pinned
+    idx = np.zeros((3, 3, 1), dtype=np.uint16)
+    with pytest.raises(ValueError, match="depth <= 8"):
+        multimodal.png_encode(idx, color_type=3, palette=[(1, 2, 3)], depth=16)
+    with pytest.raises(ValueError):
+        multimodal.png_encode(idx, color_type=2, depth=4)
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        multimodal.png_decode(
+            sig + chunk(b"IHDR", ihdr4) + chunk(b"IEND", b"")
+        )

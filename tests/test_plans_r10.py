@@ -100,3 +100,80 @@ def test_jpeg_422_two_python_islands_no_shuffle(spark, docs):
     out = png_pixel_stats(synthesize_jpeg_color_422(docs))
     assert count_python_stages(out) == 2
     assert count_exchanges(out) == 0
+
+
+def test_market_impact_fit_contract(spark, trades):
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators.execution import market_impact_fit
+
+    with Config(timestamp_column="ts_event"):
+        out = market_impact_fit(trades)
+    assert count_python_stages(out) == 0
+    assert len(unbounded_global_windows(out)) == 0
+    plan = plan_string(out)
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure window algebra over the parent frame
+
+
+def test_pbo_cscv_contract(spark, trades):
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators import bars as bars_ops
+    from polars_trading_spark.operators.pbo import pbo_cscv
+
+    with Config(timestamp_column="ts_event"):
+        bars = bars_ops.time_bars(trades, bar_size="15m")
+    out = pbo_cscv(bars, n_blocks=4, lookbacks=(1, 2))
+    assert count_python_stages(out) == 0
+    # every global window runs over an aggregate-bounded frame (the
+    # distinct-ts block index, the combos summary) — none over the bars
+    assert len(unbounded_global_windows(out)) == 0
+
+
+def test_tokenizer_fertility_contract(spark, docs):
+    from polars_trading_spark.functions.bpe import bpe_train, tokenizer_fertility
+
+    _, words = bpe_train(docs, n_merges=4)
+    out = tokenizer_fertility(docs, words)
+    assert count_python_stages(out) == 0
+    plan = plan_string(out)
+    # the vocabulary lookup must never sort the corpus-sized probe
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert len(unbounded_global_windows(out)) == 0
+
+
+def test_embedding_quantize_contract(spark, sf_dir):
+    from polars_trading_spark.functions.similarity import (
+        embedding_quantize_report,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = embedding_quantize_report(emb)
+    assert count_python_stages(out) == 0
+    plan = plan_string(out)
+    # scales join back as a dims-sized broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert len(unbounded_global_windows(out)) == 0
+
+
+def test_dedup_incremental_contract(spark, docs):
+    from polars_trading_spark._utils import release_persisted
+    from polars_trading_spark.functions.dedup import (
+        incremental_dedup,
+        minhash_index,
+    )
+
+    base = docs.where("doc_id % 5 != 0")
+    new = docs.where("doc_id % 5 = 0")
+    out = incremental_dedup(new, minhash_index(base))
+    try:
+        assert count_python_stages(out) == 0
+        plan = plan_string(out)
+        # the band join is an equi-join on (band, key) — never a
+        # cartesian / nested loop over the corpus
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert len(unbounded_global_windows(out)) == 0
+    finally:
+        release_persisted()

@@ -42,15 +42,15 @@ _ROUND10_WINDOW = [
     "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
     "implementation_shortfall", "execution_tearsheet",
     "quality_classifier", "multimodal_jpeg_progressive_decode",
+    "market_impact_fit", "pbo_cscv", "tokenizer_fertility",
+    "packing_efficiency", "embedding_quantize", "dedup_incremental",
+    "multimodal_png16_decode",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
     "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
     "tick_quality", "time_bars", "time_bars_compound_duration",
     "triple_barrier", "triple_barrier_meta", "universe_summary",
-    "upsample_ffill", "vertical_barrier", "volume_bars",
-    "vwap_slippage", "winnow_dup_pairs", "winnow_fingerprints",
-    "zipf_fit",
 ]
 
 

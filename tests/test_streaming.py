@@ -2517,3 +2517,81 @@ def test_streaming_rank_portfolio_net_validation(spark):
         streaming_rank_portfolio_net(stream, top_n=0)
     with pytest.raises(ValueError):
         streaming_rank_portfolio_net(stream, cs_window=1)
+
+
+def test_streaming_implementation_shortfall_matches_batch(spark):
+    """Closed parents emitted by the streaming twin over a three-file
+    replay equal the batch operator's complete parents (integers exact,
+    floats to 1e-9); the trailing partial parent stays pending."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.execution import (
+        implementation_shortfall,
+    )
+    from polars_trading_spark.streaming import (
+        streaming_implementation_shortfall,
+    )
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for sym in ("A", "B"):
+        price = 50.0
+        t = dt.datetime(2022, 1, 3, 9, 30)
+        n = 47 if sym == "A" else 33  # neither divides tpp=10 evenly
+        for _ in range(n):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 5)))
+            price = max(1.0, price + float(rng.normal(0, 0.3)))
+            rows.append((sym, round(price, 2), int(rng.integers(1, 50)), t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    with Config(timestamp_column="ts_event"):
+        batch = implementation_shortfall(
+            spark.createDataFrame(pdf, SCHEMA), trades_per_parent=10
+        ).toPandas()
+    complete = batch[batch["n_fills"] == 10].set_index(["symbol", "parent_id"])
+
+    d = tempfile.mkdtemp(prefix="pts_is_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], SCHEMA).coalesce(1).write.parquet(
+                f"{d}/f{i}"
+            )
+
+        def make():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_implementation_shortfall(
+                stream, trades_per_parent=10
+            )
+
+        rows_out = _run_stream(spark, make, mode="append")
+        got = pd.DataFrame([r.asDict() for r in rows_out]).set_index(
+            ["symbol", "parent_id"]
+        )
+        # exactly the batch's complete parents, no more, no less
+        assert sorted(got.index) == sorted(complete.index)
+        for idx in got.index:
+            g, b = got.loc[idx], complete.loc[idx]
+            assert int(g["side"]) == int(b["side"])
+            assert int(g["qty"]) == int(b["qty"])
+            assert g["arrival_price"] == b["arrival_price"]
+            for col in ("fill_vwap", "shortfall_bps", "market_move_bps"):
+                assert g[col] == pytest.approx(b[col], rel=1e-9), (idx, col)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_implementation_shortfall_validation(spark):
+    from polars_trading_spark.streaming import (
+        streaming_implementation_shortfall,
+    )
+
+    with pytest.raises(ValueError):
+        streaming_implementation_shortfall(None, trades_per_parent=0)
