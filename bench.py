@@ -230,6 +230,11 @@ HEADLINE = [
     "packing_efficiency",
     "embedding_quantize",
     "dedup_incremental",
+    "multimodal_png16_decode",
+    "multimodal_jpeg_cmyk_decode",
+    "multimodal_png_sub8_decode",
+    "perplexity_budget_curves",
+    "dedup_cluster_profile",
 ]
 
 

@@ -1384,3 +1384,86 @@ def packing_efficiency(
             6,
         ).alias("avg_docs_per_seq"),
     )
+
+
+def perplexity_budget_curves(
+    documents: DataFrame,
+    *,
+    n_cutoffs: int = 10,
+    smoothing_k: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source token-budget curves under LM-PERPLEXITY filtering —
+    the CCNet-style companion of ``token_budget_curves``: "if I keep
+    only each source's most-natural documents (highest mean unigram
+    log-probability under the corpus's own model), how many tokens
+    survive at every cutoff?"
+
+    Within each source, documents with at least one token rank by
+    ``(mean_logprob desc, doc_id)`` — the logprob ROUNDED to 6 before
+    ranking (round-before-rank) — and the curve samples ``n_cutoffs``
+    evenly spaced membership fractions.  Output one row per (source,
+    cutoff): ``source, cutoff_idx, n_docs_kept, logprob_cutoff,
+    ppl_cutoff`` (= exp(-logprob) at the boundary), ``cum_tokens,
+    total_tokens, token_share``.  Empty documents carry zero tokens and
+    are excluded from the ranking (they cannot move any curve).
+
+    Scale shape: the ``unigram_logprob`` pass (one persisted tokenizer
+    explode, two aggregates, one vocabulary join) followed by EXACTLY
+    the ``token_budget_curves`` window machinery — one per-source
+    window pass, integer prefix sums, closed-form boundary selection;
+    output is (sources x cutoffs)-sized.
+    """
+    from polars_trading_spark.functions.text import unigram_logprob
+
+    if n_cutoffs < 1:
+        raise ValueError(f"n_cutoffs must be >= 1, got {n_cutoffs}")
+    lp = unigram_logprob(
+        documents, smoothing_k=smoothing_k, id_col=id_col, text_col=text_col
+    )
+    base = (
+        documents.select(
+            F.col(source_col).alias("source"), F.col(id_col).alias("__id")
+        )
+        .join(
+            lp.select(
+                F.col(id_col).alias("__id"),
+                F.col("n_tokens").cast("long").alias("__tok"),
+                F.round("mean_logprob", 6).alias("__s"),
+            ),
+            "__id",
+        )
+        .where(F.col("__tok") > 0)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("__s"), F.asc("__id"))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    full = Window.partitionBy("source")
+    staged = base.select(
+        "source",
+        F.row_number().over(w).alias("__rn"),
+        F.col("__s"),
+        F.sum("__tok").over(run).alias("__cum"),
+        F.count(F.lit(1)).over(full).alias("__nsrc"),
+        F.sum("__tok").over(full).alias("__tot"),
+    )
+    nc = F.lit(int(n_cutoffs))
+    rn = F.col("__rn")
+    nsrc = F.col("__nsrc")
+    d_min = F.floor(((rn - 1) * nc) / nsrc) + 1
+    d_max = F.floor((rn * nc) / nsrc)
+    return staged.where(d_max >= d_min).select(
+        "source",
+        F.explode(F.sequence(d_min.cast("int"), d_max.cast("int"))).alias(
+            "cutoff_idx"
+        ),
+        rn.cast("long").alias("n_docs_kept"),
+        F.col("__s").alias("logprob_cutoff"),
+        F.exp(-F.col("__s")).alias("ppl_cutoff"),
+        F.col("__cum").cast("long").alias("cum_tokens"),
+        F.col("__tot").cast("long").alias("total_tokens"),
+        F.round(F.col("__cum") / F.col("__tot").cast("double"), 6).alias(
+            "token_share"
+        ),
+    )

@@ -1419,3 +1419,62 @@ def incremental_dedup(
             "est_jaccard",
         )
     )
+
+
+def dedup_cluster_profile(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.2,
+) -> DataFrame:
+    """Cluster-SIZE distribution of the near-duplicate graph — the
+    shape report deduplication papers lead with (how much of the corpus
+    sits in pairs vs. deep template families?) and the sanity check
+    that catches a broken threshold instantly: a too-low threshold
+    shows up as one giant component, a too-high one as all singletons.
+
+    One row per distinct cluster size: ``cluster_size, n_clusters,
+    n_docs`` (= size x clusters), ``dup_docs`` (docs a min-id keeper
+    policy would drop), ``doc_share`` of the corpus.  Singletons are
+    included (size 1, dup_docs 0).
+
+    Scale shape: exactly the ``dedup_clusters`` plan (banded MinHash
+    pairs -> min-label components) plus ONE integer hash aggregate
+    over the labeled corpus and a size-count-bounded share window;
+    every emitted float is a single division of exact integers.
+    """
+    pairs = minhash_lsh_pairs(
+        documents,
+        text_col,
+        id_col,
+        ngram=ngram,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
+    labeled = connected_components(pairs, nodes=documents, node_col=id_col)
+    prof = labeled.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    size = F.col("cluster_size").cast("long")
+    n_clusters = (F.col("n_docs") / size).cast("long")
+    return prof.select(
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        n_clusters.alias("n_clusters"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - n_clusters).cast("long").alias("dup_docs"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_all).cast("double"),
+            6,
+        ).alias("doc_share"),
+    )

@@ -5,12 +5,13 @@ The pattern for image/audio/video at 100 TB: the payload is an opaque
 steps are Arrow-batched ``mapInPandas`` stages, and everything around
 them (schema, partitioning, metadata pushdown) is ordinary columnar
 Spark.  ALL pixel decode paths are REAL pure-stdlib kernels: PNG (zlib
-inflate + all five unfilters, truecolor AND indexed/PLTE, bit depth 8
-AND 16), uncompressed BMP, GIF (full variable-width LZW, interlaced or
+inflate + all five unfilters, truecolor AND indexed/PLTE, every spec
+bit depth 1/2/4/8/16 — PNG scope is COMPLETE), uncompressed BMP, GIF (full variable-width LZW, interlaced or
 not), and baseline JPEG (canonical Huffman + IDCT, grayscale AND
 4:4:4 / 4:2:2 / 4:2:0 YCbCr color, sequential AND progressive/SOF2 at
-1x1 sampling).  The remaining out-of-scope features — 4-component
-JPEG, subsampled progressive, sub-8-bit PNG — raise ``NotImplementedError``
+1x1 sampling, plus 4-component CMYK baseline — round 10).  The
+remaining out-of-scope features — YCCK / subsampled / progressive
+4-component JPEG — raise ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -325,6 +326,30 @@ def _png_filter_image(px, filters) -> bytearray:
     return raw
 
 
+def _png_pack_bits(samples, depth: int):
+    """Pack an (h, w) sample grid of values < 2**depth into PNG packed
+    scanline bytes, MSB-first (spec 7.2) — shape (h, ceil(w*depth/8), 1)
+    so the byte-level filter kernel runs unchanged at bpp = 1."""
+    import numpy as np
+
+    h, w = samples.shape
+    bits = (
+        (samples[:, :, None] >> (depth - 1 - np.arange(depth))) & 1
+    ).reshape(h, w * depth)
+    return np.packbits(bits.astype(np.uint8), axis=1)[:, :, None]
+
+
+def _png_unpack_bits(rows, w: int, depth: int):
+    """Inverse of ``_png_pack_bits``: (h, stride) packed bytes ->
+    (h, w) samples."""
+    import numpy as np
+
+    h = rows.shape[0]
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (bits.reshape(h, w, depth) * weights).sum(axis=2).astype(np.uint8)
+
+
 def png_encode(
     pixels, *, color_type: int = 2, filters=None, palette=None,
     interlace: bool = False, depth: int = 8,
@@ -349,8 +374,55 @@ def png_encode(
 
     import numpy as np
 
-    if depth not in (8, 16):
-        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"depth must be 1, 2, 4, 8 or 16, got {depth}")
+    if depth in (1, 2, 4):
+        # sub-8-bit (round 10): gray or palette only, per spec table 11.3
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"depth {depth} allows color types 0 or 3, got {color_type}"
+            )
+        smp = np.asarray(pixels, dtype=np.uint8)
+        if smp.ndim == 3:
+            if smp.shape[2] != 1:
+                raise ValueError(
+                    f"depth {depth} expects 1 channel, got {smp.shape[2]}"
+                )
+            smp = smp[:, :, 0]
+        if int(smp.max(initial=0)) >= (1 << depth):
+            raise ValueError(f"sample out of range for depth {depth}")
+        h, w = smp.shape
+        plte = b""
+        if color_type == 3:
+            if palette is None or not (1 <= len(palette) <= (1 << depth)):
+                raise ValueError(
+                    f"color_type 3 at depth {depth} needs a 1..{1 << depth}-entry palette"
+                )
+            if int(smp.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            plte = _png_chunk(
+                b"PLTE", b"".join(bytes(entry) for entry in palette)
+            )
+        if interlace:
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                sub = smp[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    raw += _png_filter_image(
+                        _png_pack_bits(sub, depth), filters
+                    )
+        else:
+            raw = _png_filter_image(_png_pack_bits(smp, depth), filters)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+        )
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + plte
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _png_chunk(b"IEND", b"")
+        )
     if depth == 16:
         if color_type == 3:
             raise ValueError("palette PNGs are depth <= 8 by spec")
@@ -456,10 +528,14 @@ def png_decode(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth not in (8, 16) or (color_type != 3 and color_type not in _PNG_CHANNELS):
+    if depth not in (1, 2, 4, 8, 16) or (color_type != 3 and color_type not in _PNG_CHANNELS):
         raise NotImplementedError(f"PNG depth={depth} color_type={color_type} not supported")
     if depth == 16 and color_type == 3:
         raise ValueError("palette PNGs are depth <= 8 by spec")
+    if depth in (1, 2, 4) and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG depth {depth} allows color types 0 or 3, got {color_type}"
+        )
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color_type == 3 and plte is None:
@@ -467,23 +543,39 @@ def png_decode(payload: bytes):
     ch = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     # PNG filtering is BYTE-level with bpp = channels * bytes/sample, so
     # depth 16 reuses the whole unfilter path on a 2-bytes-per-sample
-    # byte grid and recombines big-endian pairs at the end (round 10).
+    # byte grid and recombines big-endian pairs at the end; depths
+    # 1/2/4 run it on the PACKED byte rows at bpp = 1 and unpack
+    # MSB-first samples afterwards (round 10 — PNG scope is COMPLETE).
+    sub8 = depth in (1, 2, 4)
     bch = ch * (2 if depth == 16 else 1)
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:  # Adam7: each pass an independent filtered image
-        px = np.empty((h, w, bch), dtype=np.uint8)
+        px = np.empty((h, w, 1 if sub8 else bch), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             ph = (h - y0 + dy - 1) // dy if h > y0 else 0
             pw = (w - x0 + dx - 1) // dx if w > x0 else 0
             if ph == 0 or pw == 0:
                 continue
-            sub, off = _png_unfilter_image(raw, off, ph, pw, bch)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bch)
+            if sub8:
+                pstride = (pw * depth + 7) // 8
+                sub, off = _png_unfilter_image(raw, off, ph, pstride, 1)
+                px[y0::dy, x0::dx, 0] = _png_unpack_bits(sub, pw, depth)
+            else:
+                sub, off = _png_unfilter_image(raw, off, ph, pw, bch)
+                px[y0::dy, x0::dx] = sub.reshape(ph, pw, bch)
         if off != len(raw):
             raise ValueError(
                 f"PNG interlaced stream {len(raw)} != consumed {off}"
             )
+    elif sub8:
+        stride = (w * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"PNG raw stream {len(raw)} != expected {h * (stride + 1)}"
+            )
+        out, _ = _png_unfilter_image(raw, 0, h, stride, 1)
+        px = _png_unpack_bits(out, w, depth)[:, :, None]
     else:
         stride = w * bch
         if len(raw) != h * (stride + 1):
@@ -1612,9 +1704,13 @@ def jpeg_decode(payload: bytes):
     reproducible closed-form by the SQL oracle).  PROGRESSIVE (SOF2)
     streams decode via multi-scan coefficient accumulation
     (spectral selection, successive approximation, EOB runs) at 1x1
-    sampling; 4-component frames and subsampled progressive raise
-    ``NotImplementedError`` naming the missing feature.  Returns an ``(h, w, 1)`` (gray) or ``(h, w, 3)``
-    (RGB) uint8 array."""
+    sampling.  4-COMPONENT (CMYK, Adobe transform=0/absent) frames
+    decode at 1x1 sampling with the sample planes returned AS STORED
+    (round 10 — T.81 defines no color semantics for them); YCCK
+    (transform=2), subsampled 4-component and 4-component progressive
+    raise ``NotImplementedError`` naming the missing feature.  Returns
+    an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or ``(h, w, 4)``
+    (CMYK as stored) uint8 array."""
     import struct
 
     import numpy as np
@@ -1630,6 +1726,7 @@ def jpeg_decode(payload: bytes):
     prog_coefs = None
     prog_pred = None
     prog_eobrun = [0]
+    adobe_transform = None
     n = len(payload)
     while i + 4 <= n:
         if payload[i] != 0xFF:
@@ -1639,7 +1736,10 @@ def jpeg_decode(payload: bytes):
             break
         seg_len = (payload[i + 2] << 8) | payload[i + 3]
         body = payload[i + 4 : i + 2 + seg_len]
-        if marker == 0xDB:  # DQT (possibly several tables)
+        if marker == 0xEE and body[:5] == b"Adobe":  # APP14 color hint
+            if len(body) >= 12:
+                adobe_transform = body[11]
+        elif marker == 0xDB:  # DQT (possibly several tables)
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
@@ -1662,10 +1762,10 @@ def jpeg_decode(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"precision {prec} not supported")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{nc}-component JPEG decode not supported — "
-                    "grayscale or 4:4:4 YCbCr baseline only"
+                    "grayscale, YCbCr or 4-component CMYK baseline only"
                 )
             comps = []
             for ci in range(nc):
@@ -1683,7 +1783,16 @@ def jpeg_decode(payload: bytes):
                     f"chroma sampling {samplings} not supported — "
                     "4:4:4, 4:2:2 or 4:2:0 only"
                 )
+            if nc == 4 and samplings != [(1, 1)] * 4:
+                raise NotImplementedError(
+                    "subsampled 4-component JPEG not supported — "
+                    "CMYK decodes at 1x1 sampling only"
+                )
             if progressive:
+                if nc == 4:
+                    raise NotImplementedError(
+                        "4-component PROGRESSIVE decode not supported"
+                    )
                 if samplings != [(1, 1)] * nc:
                     raise NotImplementedError(
                         "subsampled PROGRESSIVE decode not supported — "
@@ -1741,6 +1850,15 @@ def jpeg_decode(payload: bytes):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) JPEG not supported"
                 )
+            if ns == 4 and adobe_transform == 2:
+                # 4-component with Adobe transform=2 (YCCK) would need
+                # the BT.601 inverse before CMYK — out of scope, named
+                # BEFORE table lookups / entropy decode so even
+                # truncated streams report the real gap.
+                raise NotImplementedError(
+                    "YCCK (Adobe transform=2) decode not supported — "
+                    "raw 4-component CMYK only"
+                )
             # scan-order component specs, matched to the frame by id
             by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
             comp_specs = []
@@ -1758,6 +1876,10 @@ def jpeg_decode(payload: bytes):
             )
             if ns == 1:
                 return planes[0][:, :, None]
+            if ns == 4:
+                # 4-component (CMYK): T.81 defines no color semantics;
+                # the decoded sample planes are returned AS STORED.
+                return np.stack(planes, axis=-1)
             y = planes[0].astype(np.float64)
             cb = planes[1].astype(np.float64)
             cr = planes[2].astype(np.float64)
@@ -2557,6 +2679,141 @@ def synthesize_png16(documents: DataFrame) -> DataFrame:
                 j = np.arange(w * h * 3, dtype=np.int64)
                 px = ((m * 97 + j * 641) % 65536).astype(np.uint16).reshape(h, w, 3)
                 rows.append(png_encode(px, color_type=2, depth=16))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def jpeg_encode_cmyk(coeffs, width: int, height: int, qtable=None) -> bytes:
+    """Encode a 4-COMPONENT (CMYK) baseline JPEG from QUANTIZED DCT
+    coefficients: ``coeffs`` is a list of per-MCU 4-tuples of 64-element
+    zig-zag blocks (row-major MCUs; 1x1 sampling — one 8x8 block per
+    component).  Writes the Adobe APP14 marker with ``transform = 0``
+    (samples stored as raw CMYK, no color transform), one quant table
+    and the Annex-K Huffman pair for all four components, per-component
+    DC predictors.  ``width``/``height`` must be multiples of 8."""
+    import struct
+
+    if width % 8 or height % 8:
+        raise ValueError("width/height must be multiples of 8")
+    n_blocks = (width // 8) * (height // 8)
+    if len(coeffs) != n_blocks:
+        raise ValueError(f"need {n_blocks} MCUs, got {len(coeffs)}")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 0
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, height, width, 4)
+    for cid in (1, 2, 3, 4):  # C, M, Y, K — all 1x1 sampling, table 0
+        out += bytes([cid, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 14, 4)
+    for cid in (1, 2, 3, 4):
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriterMSB()
+    prev = [0, 0, 0, 0]
+    for mcu in coeffs:
+        if len(mcu) != 4:
+            raise ValueError("each MCU needs (C, M, Y, K) blocks")
+        for ci, blk in enumerate(mcu):
+            prev[ci] = _encode_block(w, blk, prev[ci], dc_codes, ac_codes)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_cmyk(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable 4-COMPONENT (CMYK) baseline JPEG
+    per document id: DC-only 8x8 blocks per component, flat quant table
+    of 16, Adobe transform=0.  MCU ``k`` (row-major) of media ``m``
+    carries quantized DCs such that the decoded planes are the exact
+    integers::
+
+        C = 2*((m   + 13*k) % 64) + 64
+        M = 2*((2*m +  7*k) % 64) + 64
+        Y = 2*((3*m +  5*k) % 64) + 64
+        K = 2*((4*m + 11*k) % 64) + 64
+
+    — no color transform on the decode side, so the SQL oracle replays
+    every sample byte closed-form.  ``width = 8*(1 + m%6)``,
+    ``height = 8*(1 + m%4)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+                nb = (w // 8) * (h // 8)
+                mcus = []
+                for k in range(nb):
+                    blks = []
+                    for a, b in ((1, 13), (2, 7), (3, 5), (4, 11)):
+                        blk = [0] * 64
+                        blk[0] = ((a * m + b * k) % 64) - 32
+                        blks.append(blk)
+                    mcus.append(tuple(blks))
+                rows.append(jpeg_encode_cmyk(mcus, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_png_sub8(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL sub-8-bit PNG per document id (round 10 —
+    exercises the packed-scanline decode path: depth-4 indexed color,
+    the classic 16-color format; rows cycle all five filters on the
+    PACKED bytes).  ``width = 4 + doc_id % 29``, ``height = 3 + doc_id
+    % 17``; palette index of pixel ``j`` (row-major) of media ``m`` is
+    ``(m * 7 + j * 13) % 16`` and palette entry ``i`` is ``(37*i+11,
+    59*i+23, 83*i+47) % 256`` — the same arithmetic as the depth-8
+    palette synthesizer, so the oracle replays every RGB byte."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pal = [
+            ((37 * i + 11) % 256, (59 * i + 23) % 256, (83 * i + 47) % 256)
+            for i in range(16)
+        ]
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 29, 3 + m % 17
+                j = np.arange(w * h, dtype=np.int64)
+                idx = ((m * 7 + j * 13) % 16).astype(np.uint8).reshape(h, w)
+                rows.append(
+                    png_encode(idx, color_type=3, palette=pal, depth=4)
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

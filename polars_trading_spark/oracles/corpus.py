@@ -1723,3 +1723,83 @@ def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("fill_rate", 6) + z0).alias("fill_rate"),
         (F.round("avg_docs_per_seq", 6) + z0).alias("avg_docs_per_seq"),
     )
+
+
+_PBC_NC = 10
+
+_PBC_K = 0.5
+
+
+@register(
+    "perplexity_budget_curves",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+pbex AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+pbmodel AS (SELECT tok, count(*) AS c FROM pbex GROUP BY tok),
+pbtotals AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V
+  FROM pbmodel
+),
+pbscored AS (
+  SELECT e.doc_id, ln((m.c + {_PBC_K}) / (t.N + {_PBC_K} * t.V)) AS lp
+  FROM pbex e JOIN pbmodel m USING (tok) CROSS JOIN pbtotals t
+),
+pbdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS tok,
+         round(avg(lp), 6) AS s
+  FROM pbscored GROUP BY doc_id
+),
+pbbase AS (
+  SELECT d.source, p.doc_id AS id, p.tok, p.s
+  FROM pbdoc p JOIN docs d USING (doc_id)
+  WHERE p.tok > 0
+),
+pbstaged AS (
+  SELECT source,
+    row_number() OVER w AS rn,
+    s,
+    CAST(sum(tok) OVER (PARTITION BY source ORDER BY s DESC, id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum,
+    count(*) OVER (PARTITION BY source) AS nsrc,
+    CAST(sum(tok) OVER (PARTITION BY source) AS BIGINT) AS tot
+  FROM pbbase WINDOW w AS (PARTITION BY source ORDER BY s DESC, id)
+),
+pbbounded AS (
+  SELECT *,
+    ((rn - 1) * {_PBC_NC}) // nsrc + 1 AS d_min,
+    (rn * {_PBC_NC}) // nsrc AS d_max
+  FROM pbstaged
+)
+SELECT source,
+  CAST(unnest(range(d_min, d_max + 1)) AS INTEGER) AS cutoff_idx,
+  CAST(rn AS BIGINT) AS n_docs_kept,
+  s + 0 AS logprob_cutoff,
+  round(exp(-s), 6) + 0 AS ppl_cutoff,
+  cum AS cum_tokens,
+  tot AS total_tokens,
+  round(cum / CAST(tot AS DOUBLE), 6) + 0 AS token_share
+FROM pbbounded WHERE d_max >= d_min
+""",
+    f"Per-source token-budget curves under LM-perplexity filtering "
+    f"(CCNet-style): tokens surviving at {_PBC_NC} mean-unigram-logprob "
+    "cutoff fractions per source — round-before-rank, one window pass, "
+    "integer prefix-sums, output sources x cutoffs",
+)
+def q_perplexity_budget_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import perplexity_budget_curves
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = perplexity_budget_curves(docs, n_cutoffs=_PBC_NC, smoothing_k=_PBC_K)
+    z0 = F.lit(0.0)
+    return out.select(
+        "source",
+        "cutoff_idx",
+        "n_docs_kept",
+        (F.round("logprob_cutoff", 6) + z0).alias("logprob_cutoff"),
+        (F.round("ppl_cutoff", 6) + z0).alias("ppl_cutoff"),
+        "cum_tokens",
+        "total_tokens",
+        (F.round("token_share", 6) + z0).alias("token_share"),
+    )

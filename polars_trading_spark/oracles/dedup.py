@@ -939,3 +939,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_is_base",
         (F.round("est_jaccard", 6) + z0).alias("est_jaccard"),
     )
+
+
+@register(
+    "dedup_cluster_profile",
+    f"""
+WITH RECURSIVE
+{_MH_PAIR_CTES},
+{_CC_TAIL},
+csize AS (
+  SELECT cluster_id, count(*) AS sz FROM labeled GROUP BY cluster_id
+),
+cprof AS (
+  SELECT sz AS cluster_size, count(*) AS n_clusters,
+         CAST(sz * count(*) AS BIGINT) AS n_docs
+  FROM csize GROUP BY sz
+)
+SELECT CAST(cluster_size AS INTEGER) AS cluster_size,
+  CAST(n_clusters AS BIGINT) AS n_clusters,
+  n_docs,
+  CAST(n_docs - n_clusters AS BIGINT) AS dup_docs,
+  round(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 6) + 0 AS doc_share
+FROM cprof
+""",
+    "Cluster-size distribution of the MinHash near-dup graph "
+    "(singletons included): one integer aggregate over the labeled "
+    "corpus — the threshold sanity report dedup papers lead with",
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.dedup_cluster_profile(
+        docs,
+        ngram=_MH_NGRAM,
+        num_hashes=_MH_K,
+        bands=_MH_BANDS,
+        jaccard_threshold=_MH_THRESHOLD,
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "cluster_size",
+        "n_clusters",
+        "n_docs",
+        "dup_docs",
+        (F.round("doc_share", 6) + z0).alias("doc_share"),
+    )

@@ -950,3 +950,121 @@ def q_multimodal_png16_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_png16(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). 4-COMPONENT (CMYK) JPEG decode — the former
+# 4-component NotImplementedError: Adobe transform=0 streams decode
+# through the generic nc-component scan path with the sample planes
+# returned AS STORED (T.81 defines no color semantics); DC-only
+# spectra make every sample an exact closed-form integer.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_cmyk_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+blk AS (
+  SELECT media_id, width, height, k,
+    2 * ((media_id + 13 * k) % 64) + 64 AS c0,
+    2 * ((2 * media_id + 7 * k) % 64) + 64 AS c1,
+    2 * ((3 * media_id + 5 * k) % 64) + 64 AS c2,
+    2 * ((4 * media_id + 11 * k) % 64) + 64 AS c3
+  FROM m, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+px AS (
+  SELECT media_id, width, height,
+    4 * (((k // (width // 8)) * 8 + p // 8) * width
+         + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CAST(CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END
+         AS BIGINT) AS v
+  FROM blk, unnest(range(0, 64)) AS tp(p), unnest(range(0, 4)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib 4-COMPONENT (CMYK) JPEG decode: Adobe transform=0 "
+    "baseline streams (interleaved 4-plane scan, per-component "
+    "differential DC) decoded via the generic canonical-Huffman + IDCT "
+    "path, sample planes returned as stored; the oracle replays every "
+    "sample byte closed-form — closes the 4-component scope pin",
+)
+def q_multimodal_jpeg_cmyk_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_cmyk,
+    )
+
+    media = synthesize_jpeg_cmyk(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). SUB-8-BIT PNG decode — the LAST PNG scope pin:
+# depth-4 indexed-color streams unfilter on the PACKED scanline bytes
+# (bpp = 1) and unpack MSB-first nibbles before the palette map; same
+# arithmetic pixel formulas as the depth-8 palette oracle, so any
+# bit-unpacking or filter slip breaks the order-sensitive px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_png_sub8_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(4 + doc_id % 29 AS INTEGER) AS width,
+         CAST(3 + doc_id % 17 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height, j,
+         (media_id * 7 + j * 13) % 16 AS idx
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(j)
+),
+rgb AS (
+  SELECT media_id, width, height, j,
+    (idx * 37 + 11) % 256 AS r,
+    (idx * 59 + 23) % 256 AS g,
+    (idx * 83 + 47) % 256 AS b
+  FROM px
+)
+SELECT media_id,
+  'png' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b) AS BIGINT) AS px_sum,
+  CAST(sum(r * ((3 * j) % 251 + 1)
+         + g * ((3 * j + 1) % 251 + 1)
+         + b * ((3 * j + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib SUB-8-BIT PNG decode: depth-4 indexed-color streams "
+    "(16-entry PLTE, rows cycling all five filters on the PACKED "
+    "scanline bytes) unfiltered at bpp=1, MSB-first nibbles unpacked, "
+    "palette-mapped in Arrow mapInPandas; exact RGB aggregates "
+    "replayed arithmetically — PNG scope is now COMPLETE",
+)
+def q_multimodal_png_sub8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_png_sub8,
+    )
+
+    media = synthesize_png_sub8(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

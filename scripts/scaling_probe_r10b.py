@@ -188,6 +188,31 @@ _PROBES = {
 }
 
 
+
+
+def probe_codecs(spark) -> None:
+    from polars_trading_spark.functions.multimodal import (
+        pixel_stats,
+        synthesize_jpeg_cmyk,
+        synthesize_png16,
+        synthesize_png_sub8,
+    )
+
+    for n in (20_000, 80_000, 320_000):
+        d = tempfile.mkdtemp(prefix="pts_probe_r10b_")
+        try:
+            docs = _docs(spark, n, d)
+            print(f"== media={n}")
+            _bench("png16", pixel_stats(synthesize_png16(docs)))
+            _bench("jpeg_cmyk", pixel_stats(synthesize_jpeg_cmyk(docs)))
+            _bench("png_sub8", pixel_stats(synthesize_png_sub8(docs)))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_PROBES["codecs"] = probe_codecs
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark()

@@ -231,25 +231,44 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_444 + b"\xff\xd9")
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof0 + b"\xff\xd9")
-    # a 4-component (CMYK-style) frame stays out of scope by count
+    # a 4-component 1x1 frame is IN scope since round 10 (CMYK);
+    # header-only means malformed, not unsupported
     sof_cmyk = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
         [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="4-component"):
+    with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk + b"\xff\xd9")
-    # 4-component is outside the pinned scope end-to-end ->
-    # NotImplementedError naming the gap (via the PIL fallback when absent)
+    # ... while SUBSAMPLED 4-component stays out of scope
+    sof_cmyk_sub = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="subsampled 4-component"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_sub + b"\xff\xd9")
+    # ... as does a 2-component frame, by count
+    sof_2c = b"\xff\xc0" + struct.pack(">HBHHB", 14, 8, h, w, 2) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="2-component"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_2c + b"\xff\xd9")
+    # YCCK (Adobe transform=2) is named out of scope end-to-end ->
+    # NotImplementedError (via the PIL fallback when absent)
     try:
         import PIL  # noqa: F401
 
         pytest.skip("PIL available; fallback path not reachable")
     except ImportError:
         pass
+    app14_ycck = (
+        b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        + struct.pack(">HHHB", 100, 0, 0, 2)
+    )
     sos4 = b"\xff\xda" + struct.pack(">HB", 14, 4) + bytes(
         [1, 0x00, 2, 0x11, 3, 0x11, 4, 0x11, 0, 63, 0]
     )
     with pytest.raises(NotImplementedError, match="color"):
-        multimodal.decode_image(b"\xff\xd8" + app0 + sof_cmyk + sos4 + b"\xff\xd9")
+        multimodal.decode_image(
+            b"\xff\xd8" + app14_ycck + app0 + sof_cmyk + sos4 + b"\xff\xd9"
+        )
 
 
 def test_jpeg_codec_dc_only_exact_and_ac_reference():
@@ -2419,8 +2438,113 @@ def test_png16_round_trips_and_scope():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr4 = struct.pack(">IIBBBBB", 4, 4, 4, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="depth=4"):
+    # every spec depth (1/2/4/8/16) is now in scope; a non-spec depth
+    # is the remaining rejection path
+    ihdr3 = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="depth=3"):
         multimodal.png_decode(
-            sig + chunk(b"IHDR", ihdr4) + chunk(b"IEND", b"")
+            sig + chunk(b"IHDR", ihdr3) + chunk(b"IEND", b"")
         )
+
+
+def test_jpeg_cmyk_decode_closed_form_and_ycck_pin():
+    import numpy as np
+
+    from polars_trading_spark.functions.multimodal import (
+        decode_image,
+        jpeg_decode,
+        jpeg_encode_cmyk,
+    )
+
+    gens = ((1, 13), (2, 7), (3, 5), (4, 11))
+    for m in (0, 7, 23):
+        w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+        nb = (w // 8) * (h // 8)
+        mcus = []
+        for k in range(nb):
+            blks = []
+            for a, b in gens:
+                blk = [0] * 64
+                blk[0] = ((a * m + b * k) % 64) - 32
+                blks.append(blk)
+            mcus.append(tuple(blks))
+        pay = jpeg_encode_cmyk(mcus, w, h)
+        fmt, dw, dh, px = decode_image(pay)
+        assert (fmt, dw, dh) == ("jpeg", w, h)
+        assert px.shape == (h, w, 4)
+        bw = w // 8
+        for k in range(nb):
+            by, bx = k // bw, k % bw
+            for ci, (a, b) in enumerate(gens):
+                expect = 2 * ((a * m + b * k) % 64) + 64
+                assert (
+                    px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] == expect
+                ).all(), (m, k, ci)
+    # flipping the Adobe transform byte to 2 (YCCK) pins the scope
+    ycck = bytearray(pay)
+    adobe_at = ycck.index(b"Adobe")
+    ycck[adobe_at + 11] = 2
+    with pytest.raises(NotImplementedError, match="YCCK"):
+        jpeg_decode(bytes(ycck))
+    # AC coefficients also ride the 4-plane scan (not just DC-only)
+    mcus_ac = []
+    for k in range(nb):
+        blks = []
+        for ci in range(4):
+            blk = [0] * 64
+            blk[0] = (7 * k + ci) % 32 - 16
+            blk[1] = (k + ci) % 9 - 4
+            blk[8] = (3 * k) % 7 - 3
+            blks.append(blk)
+        mcus_ac.append(tuple(blks))
+    px_ac = jpeg_decode(jpeg_encode_cmyk(mcus_ac, w, h))
+    assert px_ac.shape == (h, w, 4)
+
+
+def test_png_sub8_round_trips_and_scope():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    pal = [(i * 16, 255 - i * 16, (i * 37) % 256) for i in range(16)]
+    # gray depths 1/2/4: all filters, sequential and Adam7
+    for d in (1, 2, 4):
+        for interlace in (False, True):
+            smp = rng.randint(0, 1 << d, size=(13, 11)).astype(np.uint8)
+            back = multimodal.png_decode(
+                multimodal.png_encode(
+                    smp, color_type=0, depth=d, interlace=interlace
+                )
+            )
+            assert back.shape == (13, 11, 1) and (
+                back[:, :, 0] == smp
+            ).all(), (d, interlace)
+        for f in range(5):
+            smp = rng.randint(0, 1 << d, size=(6, 17)).astype(np.uint8)
+            back = multimodal.png_decode(
+                multimodal.png_encode(smp, color_type=0, depth=d, filters=[f])
+            )
+            assert (back[:, :, 0] == smp).all(), (d, f)
+    # palette at depths 4/2/1 maps through PLTE (incl. interlace)
+    for d, npal in ((4, 16), (2, 4), (1, 2)):
+        idx = rng.randint(0, npal, size=(9, 14, 1)).astype(np.uint8)
+        for interlace in (False, True):
+            back = multimodal.png_decode(
+                multimodal.png_encode(
+                    idx,
+                    color_type=3,
+                    palette=pal[:npal],
+                    depth=d,
+                    interlace=interlace,
+                )
+            )
+            expect = np.array(pal[:npal], dtype=np.uint8)[
+                idx[:, :, 0].astype(np.int64)
+            ]
+            assert (back == expect).all(), (d, interlace)
+    # spec guards: out-of-range sample, sub-8 truecolor
+    with pytest.raises(ValueError, match="out of range"):
+        multimodal.png_encode(
+            np.full((3, 3), 4, np.uint8), color_type=0, depth=2
+        )
+    with pytest.raises(ValueError, match="color types 0 or 3"):
+        multimodal.png_encode(np.zeros((3, 3, 3), np.uint8), color_type=2, depth=4)

@@ -44,13 +44,14 @@ _ROUND10_WINDOW = [
     "quality_classifier", "multimodal_jpeg_progressive_decode",
     "market_impact_fit", "pbo_cscv", "tokenizer_fertility",
     "packing_efficiency", "embedding_quantize", "dedup_incremental",
-    "multimodal_png16_decode",
+    "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
+    "multimodal_png_sub8_decode", "perplexity_budget_curves",
+    "dedup_cluster_profile",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
     "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
-    "tick_quality", "time_bars", "time_bars_compound_duration",
-    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "tick_quality", "time_bars",
 ]
 
 
