@@ -235,6 +235,8 @@ HEADLINE = [
     "multimodal_png_sub8_decode",
     "perplexity_budget_curves",
     "dedup_cluster_profile",
+    "rv_signature",
+    "weekday_effect",
 ]
 
 

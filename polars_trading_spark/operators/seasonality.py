@@ -77,3 +77,80 @@ def intraday_profile(df: DataFrame, *, bucket_minutes: int = 60) -> DataFrame:
         (F.col("n_trades") / F.sum("n_trades").over(tot)).alias("trade_share"),
         "mean_abs_ret",
     )
+
+
+def weekday_effect(
+    df: DataFrame,
+    *,
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Day-of-week return seasonality test per symbol — the classic
+    calendar-anomaly screen (French 1980, "Stock returns and the
+    weekend effect"): daily close-to-close returns bucketed by weekday
+    with a one-sample t-statistic per bucket, so a "Monday effect"
+    shows up as a |t| worth acting on rather than a bar chart.
+
+    One row per (symbol, weekday): ``weekday`` (0 = Monday .. 6 =
+    Sunday, computed as INTEGER epoch-day arithmetic ``(days_since_
+    epoch + 3) % 7`` — engine- and locale-independent, never a library
+    dayofweek whose origin differs), ``n_days, mean_ret, t_stat``
+    (null when fewer than 2 observations or zero variance).
+
+    Scale shape: daily closes via one (symbol, day) hash aggregate
+    (``max(struct(ts, seq, price))`` — the ordered-last pick), the
+    daily return via one lag over the per-symbol DAY frame (bounded by
+    calendar days, not ticks), then per-(symbol, weekday) day-ordered
+    moment folds read at the last row.  Zero joins, zero Python.
+    """
+    from polars_trading_spark._utils import SEQ_COL
+    from polars_trading_spark.config import column_names
+
+    sym = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    seq = seq_col or (SEQ_COL if SEQ_COL in df.columns else None)
+
+    pick = F.struct(
+        F.col(ts),
+        *([F.col(seq)] if seq else []),
+        F.col(price).cast("double").alias("__px"),
+    )
+    daily = (
+        df.na.drop(subset=[price])
+        .groupBy(F.col(sym).alias("symbol"), F.to_date(ts).alias("day"))
+        .agg(F.max(pick)["__px"].alias("close"))
+    )
+    w_day = Window.partitionBy("symbol").orderBy("day")
+    daily = daily.select(
+        "symbol",
+        "day",
+        (F.col("close") / F.lag("close").over(w_day) - 1).alias("ret"),
+        (
+            (F.datediff(F.col("day"), F.lit("1970-01-01")) + 3) % 7
+        ).cast("int").alias("weekday"),
+    ).where(F.col("ret").isNotNull())
+    w = Window.partitionBy("symbol", "weekday").orderBy("day")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("symbol", "weekday")
+    g = daily.select(
+        "symbol",
+        "weekday",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("ret").over(w_run).alias("__s1"),
+        F.sum(F.col("ret") * F.col("ret")).over(w_run).alias("__s2"),
+    ).where(F.col("__rn") == F.col("__n"))
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1") / n
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / n) / (n - 1)
+    ok = (F.col("__n") >= 2) & (var > 0)
+    return g.select(
+        "symbol",
+        "weekday",
+        F.col("__n").cast("long").alias("n_days"),
+        mean.alias("mean_ret"),
+        F.when(ok, mean / F.sqrt(var / n)).alias("t_stat"),
+    )

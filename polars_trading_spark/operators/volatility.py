@@ -367,3 +367,97 @@ def realized_moments(
         F.when(ok, F.sqrt(n) * F.col("__s3") / F.pow(rv, 1.5)).alias("rskew"),
         F.when(ok, n * F.col("__s4") / (rv * rv)).alias("rkurt"),
     )
+
+
+def rv_signature(
+    df: DataFrame,
+    *,
+    lags: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+    symbol_col: str | None = None,
+    ts_col: str | None = None,
+    price_col: str | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Volatility signature curve per symbol — the standard
+    microstructure-noise diagnostic (Andersen, Bollerslev, Diebold &
+    Labys 2000): subsampled-average realized variance at a ladder of
+    tick lags,
+
+        rv(K) = (1/K) * Σ_{j>=K} (lp_j − lp_{j−K})²
+
+    plotted against K.  i.i.d. noise inflates rv at small K and washes
+    out as K grows, so a FLAT curve certifies the sampling frequency
+    and a steep left edge quantifies the noise (the same estimator
+    family as ``two_scale_rv``'s subgrid average, here swept over K).
+
+    One row per (symbol, K): ``k, n_diffs, rv`` and ``noise_ratio``
+    (rv(K) / rv(K_max) — 1 at the base lag; >> 1 flags noise).  Null
+    rv when a symbol has fewer than ``K + 1`` ticks.
+
+    Scale shape: the lag ladder is exploded onto the tape (|lags|
+    fan-out) so every K shares ONE (symbol, K) exchange; each lag is a
+    CASE over the fixed ladder (offsets must be literals); the squared
+    sums are (ts, seq)-ordered RUNNING folds read at the partition's
+    last row; the ratio joins the K_max row back over the
+    (symbols x lags)-sized aggregate.  Zero Python.
+    """
+    from polars_trading_spark._utils import SEQ_COL
+    from polars_trading_spark.config import column_names
+
+    if not lags or any(k < 1 for k in lags) or len(set(lags)) != len(lags):
+        raise ValueError(f"lags must be distinct positive ints, got {lags}")
+    sym = symbol_col or column_names.symbol
+    ts = ts_col or column_names.timestamp
+    price = price_col or column_names.price
+    seq = seq_col if seq_col is not None else SEQ_COL
+    order = [ts] + ([seq] if seq in df.columns else [])
+    kmax = max(lags)
+
+    t = df.na.drop(subset=[price]).select(
+        F.col(sym).alias("symbol"),
+        *[F.col(c) for c in order],
+        F.log(F.col(price).cast("double")).alias("__lp"),
+        F.explode(F.array(*[F.lit(int(k)) for k in sorted(lags)])).alias("k"),
+    )
+    w = Window.partitionBy("symbol", "k").orderBy(*order)
+    lagged = None
+    for k in sorted(set(int(x) for x in lags)):
+        expr = F.lag("__lp", k).over(w)
+        lagged = (
+            expr
+            if lagged is None
+            else F.when(F.col("k") == k, F.lag("__lp", k).over(w)).otherwise(
+                lagged
+            )
+        )
+    d = F.col("__lp") - lagged
+    t = t.withColumn("__d2", F.when(lagged.isNotNull(), d * d))
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("symbol", "k")
+    g = t.select(
+        "symbol",
+        "k",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(F.col("__d2").isNotNull().cast("long")).over(w_all).alias("__nd"),
+        F.sum("__d2").over(w_run).alias("__s"),
+    ).where(F.col("__rn") == F.col("__n"))
+    rv = F.when(F.col("__nd") >= 1, F.col("__s") / F.col("k"))
+    agg = g.select(
+        "symbol",
+        F.col("k").cast("int").alias("k"),
+        F.col("__nd").cast("long").alias("n_diffs"),
+        rv.alias("rv"),
+    )
+    base = agg.where(F.col("k") == kmax).select(
+        "symbol", F.col("rv").alias("__rv_base")
+    )
+    return agg.join(F.broadcast(base), "symbol", "left").select(
+        "symbol",
+        "k",
+        "n_diffs",
+        "rv",
+        F.when(
+            F.col("__rv_base") > 0, F.col("rv") / F.col("__rv_base")
+        ).alias("noise_ratio"),
+    )

@@ -1173,3 +1173,138 @@ def q_market_impact_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("impact_at_1pct_bps", 6) + z0).alias("impact_at_1pct_bps"),
         (F.round("impact_r2", 6) + z0).alias("impact_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Volatility signature curve
+# (operators/volatility.py::rv_signature — Andersen/Bollerslev/Diebold/
+# Labys 2000): subsampled-average RV at a tick-lag ladder, the
+# microstructure-noise diagnostic; ordered running folds per (symbol,
+# lag), the ladder exploded so every lag shares one exchange.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "rv_signature",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+rb AS (
+  SELECT symbol, ts_event, seq, ln(price) AS lp, l.k
+  FROM trades CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k) l
+  WHERE price IS NOT NULL
+),
+rl AS (
+  SELECT *,
+    lp - (CASE WHEN k = 32 THEN lag(lp, 32) OVER w
+               WHEN k = 16 THEN lag(lp, 16) OVER w
+               WHEN k = 8 THEN lag(lp, 8) OVER w
+               WHEN k = 4 THEN lag(lp, 4) OVER w
+               WHEN k = 2 THEN lag(lp, 2) OVER w
+               ELSE lag(lp, 1) OVER w END) AS d
+  FROM rb WINDOW w AS (PARTITION BY symbol, k ORDER BY ts_event, seq)
+),
+rf AS (
+  SELECT symbol, k,
+    row_number() OVER wo AS rn,
+    count(*) OVER wa AS n,
+    sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END) OVER wa AS nd,
+    sum(d * d) OVER wr AS s
+  FROM rl
+  WINDOW wo AS (PARTITION BY symbol, k ORDER BY ts_event, seq),
+         wr AS (PARTITION BY symbol, k ORDER BY ts_event, seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY symbol, k)
+),
+ragg AS (
+  SELECT symbol, CAST(k AS INTEGER) AS k, CAST(nd AS BIGINT) AS n_diffs,
+    CASE WHEN nd >= 1 THEN s / k END AS rv
+  FROM rf WHERE rn = n
+),
+rbase AS (SELECT symbol, rv AS rvb FROM ragg WHERE k = 32)
+SELECT a.symbol, a.k, a.n_diffs,
+  round(a.rv, 9) + 0 AS rv,
+  round(CASE WHEN b.rvb > 0 THEN a.rv / b.rvb END, 9) + 0 AS noise_ratio
+FROM ragg a LEFT JOIN rbase b USING (symbol)
+""",
+    "Volatility signature curve: subsampled-average realized variance "
+    "at tick lags 1..32 per symbol with the noise ratio vs the base "
+    "lag — flat curve = clean sampling, steep left edge = bid-ask "
+    "noise; one exploded exchange, ordered folds, zero Python",
+)
+def q_rv_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.volatility import rv_signature
+
+    with _trades_config():
+        out = rv_signature(trades_from_events(spark, sf_dir))
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "k",
+        "n_diffs",
+        (F.round("rv", 9) + z0).alias("rv"),
+        (F.round("noise_ratio", 9) + z0).alias("noise_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). Day-of-week return seasonality
+# (operators/seasonality.py::weekday_effect — French 1980): daily
+# close-to-close returns bucketed by INTEGER epoch-day weekday with a
+# per-bucket t-statistic; day-ordered moment folds throughout.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "weekday_effect",
+    f"""
+WITH trades AS ({TRADES_CTE}),
+wdd AS (
+  SELECT symbol, CAST(ts_event AS DATE) AS day,
+    last(price ORDER BY ts_event, seq) AS close
+  FROM trades WHERE price IS NOT NULL
+  GROUP BY symbol, CAST(ts_event AS DATE)
+),
+wdr AS (
+  SELECT symbol, day,
+    close / lag(close) OVER (PARTITION BY symbol ORDER BY day) - 1 AS ret,
+    CAST((day - DATE '1970-01-01' + 3) % 7 AS INTEGER) AS weekday
+  FROM wdd
+),
+wdf AS (
+  SELECT symbol, weekday,
+    row_number() OVER wo AS rn,
+    count(*) OVER wa AS n,
+    sum(ret) OVER wr AS s1,
+    sum(ret * ret) OVER wr AS s2
+  FROM wdr WHERE ret IS NOT NULL
+  WINDOW wo AS (PARTITION BY symbol, weekday ORDER BY day),
+         wr AS (PARTITION BY symbol, weekday ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY symbol, weekday)
+)
+SELECT symbol, weekday, CAST(n AS BIGINT) AS n_days,
+  round(s1 / CAST(n AS DOUBLE), 9) + 0 AS mean_ret,
+  round(CASE WHEN n >= 2
+             AND (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+        THEN (s1 / CAST(n AS DOUBLE))
+             / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+                    / CAST(n AS DOUBLE)) END, 9) + 0 AS t_stat
+FROM wdf WHERE rn = n
+""",
+    "Day-of-week return seasonality per symbol (weekend-effect screen): "
+    "daily ordered-last closes, integer epoch-day weekday (0=Monday), "
+    "per-bucket mean return and t-stat from day-ordered folds",
+)
+def q_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.seasonality import weekday_effect
+
+    with _trades_config():
+        out = weekday_effect(trades_from_events(spark, sf_dir))
+    z0 = F.lit(0.0)
+    return out.select(
+        "symbol",
+        "weekday",
+        "n_days",
+        (F.round("mean_ret", 9) + z0).alias("mean_ret"),
+        (F.round("t_stat", 9) + z0).alias("t_stat"),
+    )

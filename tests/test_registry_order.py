@@ -46,12 +46,11 @@ _ROUND10_WINDOW = [
     "packing_efficiency", "embedding_quantize", "dedup_incremental",
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
-    "dedup_cluster_profile",
+    "dedup_cluster_profile", "rv_signature", "weekday_effect",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
     "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
-    "tick_quality", "time_bars",
 ]
 
 
