@@ -237,6 +237,7 @@ HEADLINE = [
     "dedup_cluster_profile",
     "rv_signature",
     "weekday_effect",
+    "ic_decay",
 ]
 
 

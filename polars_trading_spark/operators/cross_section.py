@@ -1172,3 +1172,115 @@ def rank_portfolio_tearsheet(
         ).alias("avg_turnover"),
         F.col("__mdd").alias("max_drawdown"),
     )
+
+
+def ic_decay(
+    bars: DataFrame,
+    *,
+    momentum_lag: int = 5,
+    horizons: tuple[int, ...] = (1, 2, 4, 8),
+    symbol_col: str = "symbol",
+    ts_col: str = "ts_event_start",
+    close_col: str = "close",
+) -> DataFrame:
+    """Information-coefficient DECAY profile of the momentum signal —
+    the alpha-research question after ``rank_ic`` says the signal
+    works: *how long does it keep working?*  The per-period Spearman
+    rank IC is computed against the ``H``-bar forward return for every
+    horizon in ``horizons`` and summarized per horizon, so the decay
+    (and the optimal holding period / turnover trade-off it implies)
+    reads off one small frame.
+
+    One row per horizon: ``horizon, n_periods, mean_ic, ic_t`` (the
+    Grinold-Kahn t-stat of the per-period IC series; null under 2
+    periods or zero variance) and ``hit_rate`` (share of periods with
+    positive IC — an integer ratio on exact-rational ICs).
+
+    Determinism/scale shape: the horizon ladder is exploded onto the
+    bars (|horizons| fan-out) so every horizon shares ONE (symbol, h)
+    exchange; forward returns are a CASE over the fixed ladder (lead
+    offsets must be literals); per-period ICs are exact rationals
+    (tie-free integer ranks — the ``rank_ic`` discipline); the per-
+    horizon moments fold in ts order over the PERIOD-count-bounded
+    frame.  No joins, no Python.
+    """
+    if momentum_lag < 1:
+        raise ValueError(f"momentum_lag must be >= 1, got {momentum_lag}")
+    if (
+        not horizons
+        or any(h < 1 for h in horizons)
+        or len(set(horizons)) != len(horizons)
+    ):
+        raise ValueError(
+            f"horizons must be distinct positive ints, got {horizons}"
+        )
+    hs = sorted(int(h) for h in horizons)
+
+    c = F.col(close_col).cast("double")
+    t = bars.select(
+        F.col(symbol_col).alias("__sym"),
+        F.col(ts_col).alias("ts"),
+        c.alias("__c"),
+        F.explode(F.array(*[F.lit(h) for h in hs])).alias("h"),
+    )
+    o = Window.partitionBy("__sym", "h").orderBy("ts")
+    fwd = None
+    for h in hs:
+        expr = F.log(F.lead("__c", h).over(o) / F.col("__c"))
+        fwd = (
+            expr
+            if fwd is None
+            else F.when(F.col("h") == h, F.log(F.lead("__c", h).over(o) / F.col("__c"))).otherwise(fwd)
+        )
+    base = t.select(
+        "__sym",
+        "h",
+        "ts",
+        F.log(F.col("__c") / F.lag("__c", momentum_lag).over(o)).alias("__sig"),
+        fwd.alias("__fwd"),
+    ).where(F.col("__sig").isNotNull() & F.col("__fwd").isNotNull())
+
+    by_sig = Window.partitionBy("h", "ts").orderBy("__sig", "__sym")
+    by_fwd = Window.partitionBy("h", "ts").orderBy("__fwd", "__sym")
+    ranked = base.select(
+        "h",
+        "ts",
+        F.row_number().over(by_sig).alias("__rs"),
+        F.row_number().over(by_fwd).alias("__rf"),
+    )
+    d = (F.col("__rs") - F.col("__rf")).cast("long")
+    g = ranked.groupBy("h", "ts").agg(
+        F.count(F.lit(1)).cast("long").alias("__nsym"),
+        F.sum(d * d).cast("long").alias("__ssd"),
+    )
+    nsym = F.col("__nsym").cast("double")
+    per = g.select(
+        "h",
+        "ts",
+        F.when(
+            F.col("__nsym") >= 3,
+            1 - 6 * F.col("__ssd").cast("double") / (nsym * (nsym * nsym - 1)),
+        ).alias("__ic"),
+    ).where(F.col("__ic").isNotNull())
+    w = Window.partitionBy("h").orderBy("ts")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("h")
+    fin = per.select(
+        "h",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum("__ic").over(w_run).alias("__s1"),
+        F.sum(F.col("__ic") * F.col("__ic")).over(w_run).alias("__s2"),
+        F.sum((F.col("__ic") > 0).cast("long")).over(w_all).alias("__hits"),
+    ).where(F.col("__rn") == F.col("__n"))
+    n = F.col("__n").cast("double")
+    mean = F.col("__s1") / n
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / n) / (n - 1)
+    ok = (F.col("__n") >= 2) & (var > 0)
+    return fin.select(
+        F.col("h").cast("int").alias("horizon"),
+        F.col("__n").cast("long").alias("n_periods"),
+        mean.alias("mean_ic"),
+        F.when(ok, mean / F.sqrt(var / n)).alias("ic_t"),
+        (F.col("__hits").cast("double") / n).alias("hit_rate"),
+    )

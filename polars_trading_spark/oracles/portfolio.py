@@ -1878,3 +1878,90 @@ def q_pbo_cscv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("mean_sel_is_sharpe", 6) + z0).alias("mean_sel_is_sharpe"),
         (F.round("mean_sel_oos_sharpe", 6) + z0).alias("mean_sel_oos_sharpe"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). IC decay profile (operators/cross_section.py::
+# ic_decay): the per-period rank IC swept over a forward-horizon ladder
+# and summarized per horizon — exact-rational per-period ICs, ts-ordered
+# moment folds over the period-bounded frame.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ic_decay",
+    f"""
+WITH
+{_FEATURE_BARS_CTE},
+idb AS (
+  SELECT symbol, ts, h.h,
+    ln(close / lag(close, {_IC_LAG}) OVER o) AS sig,
+    ln((CASE WHEN h.h = 8 THEN lead(close, 8) OVER o
+             WHEN h.h = 4 THEN lead(close, 4) OVER o
+             WHEN h.h = 2 THEN lead(close, 2) OVER o
+             ELSE lead(close, 1) OVER o END) / close) AS fwd
+  FROM bars CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS h) h
+  WINDOW o AS (PARTITION BY symbol, h.h ORDER BY ts)
+),
+idq AS (SELECT * FROM idb WHERE sig IS NOT NULL AND fwd IS NOT NULL),
+idr AS (
+  SELECT h, ts,
+    CAST(row_number() OVER (PARTITION BY h, ts ORDER BY sig, symbol) AS BIGINT) AS rs,
+    CAST(row_number() OVER (PARTITION BY h, ts ORDER BY fwd, symbol) AS BIGINT) AS rf
+  FROM idq
+),
+idg AS (
+  SELECT h, ts, CAST(count(*) AS BIGINT) AS nsym,
+    CAST(sum((rs - rf) * (rs - rf)) AS BIGINT) AS ssd
+  FROM idr GROUP BY h, ts
+),
+idic AS (
+  SELECT h, ts,
+    1 - 6 * CAST(ssd AS DOUBLE)
+        / (CAST(nsym AS DOUBLE) * (CAST(nsym AS DOUBLE) * CAST(nsym AS DOUBLE) - 1)) AS ic
+  FROM idg WHERE nsym >= 3
+),
+idf AS (
+  SELECT h,
+    row_number() OVER wo AS rn,
+    count(*) OVER wa AS n,
+    sum(ic) OVER wr AS s1,
+    sum(ic * ic) OVER wr AS s2,
+    sum(CASE WHEN ic > 0 THEN 1 ELSE 0 END) OVER wa AS hits
+  FROM idic
+  WINDOW wo AS (PARTITION BY h ORDER BY ts),
+         wr AS (PARTITION BY h ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY h)
+)
+SELECT CAST(h AS INTEGER) AS horizon, CAST(n AS BIGINT) AS n_periods,
+  round(s1 / CAST(n AS DOUBLE), 9) + 0 AS mean_ic,
+  round(CASE WHEN n >= 2
+             AND (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+        THEN (s1 / CAST(n AS DOUBLE))
+             / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+                    / CAST(n AS DOUBLE)) END, 9) + 0 AS ic_t,
+  round(hits / CAST(n AS DOUBLE), 9) + 0 AS hit_rate
+FROM idf WHERE rn = n
+""",
+    f"IC decay profile: per-period rank IC of the {_IC_LAG}-bar momentum "
+    "signal at forward horizons 1/2/4/8, summarized per horizon (mean "
+    "IC, t-stat, hit rate) — the optimal-holding-period diagnostic; "
+    "exact-rational ICs, ts-ordered folds",
+)
+def q_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.operators.cross_section import ic_decay
+
+    with _trades_config():
+        bars = bars_ops.time_bars(
+            trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE
+        )
+    out = ic_decay(bars, momentum_lag=_IC_LAG, ts_col="ts_event")
+    z0 = F.lit(0.0)
+    return out.select(
+        "horizon",
+        "n_periods",
+        (F.round("mean_ic", 9) + z0).alias("mean_ic"),
+        (F.round("ic_t", 9) + z0).alias("ic_t"),
+        (F.round("hit_rate", 9) + z0).alias("hit_rate"),
+    )

@@ -94,11 +94,32 @@ _ROUND10_FRONT = [
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
     "dedup_cluster_profile", "rv_signature", "weekday_effect",
+    "ic_decay",
     # -- backfill (fills the window to 50): latest driver row r6, then r7 alpha --
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
-    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "similarity_topk", "similarity_topk_ivf_kmeans",
 ]
 
 ACTIVE_FRONT = _ROUND10_FRONT
+
+# Pre-computed ROUND-11 front (activate at the START of round 11 by
+# defining _ROUND11_FRONT = the round-11 registrations + this backfill
+# and pointing ACTIVE_FRONT at it; every round-10 registration gets its
+# driver row from the round-10 window above).  Backfill by staleness —
+# latest driver row round 6, then round-7 alphabetical (from
+# CORRECTNESS_r01-r09 latest-round history; the remaining r7 names
+# from multimodal_metadata onward rotate in round 12):
+#
+#   tick_quality time_bars time_bars_compound_duration triple_barrier
+#   triple_barrier_meta universe_summary upsample_ffill
+#   vertical_barrier volume_bars vwap_slippage winnow_dup_pairs
+#   winnow_fingerprints zipf_fit ann_recall bar_volatility
+#   centroid_similarity cluster_representatives cointegration
+#   corpus_filter corpus_split corpus_stats corwin_schultz cpcv_assign
+#   csw_explosiveness dedup_clusters dedup_embedding_cosine
+#   dedup_ngram_jaccard dedup_recall dedup_simhash embedding_cohesion
+#   event_study_car gumbel_topk hard_negatives hurst imbalance_bars
+#   kalman_hedge key_skew microstructure multimodal_frame_sample
+#   multimodal_metadata

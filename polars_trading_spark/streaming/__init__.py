@@ -107,3 +107,6 @@ __all__.append("streaming_rank_portfolio_tearsheet")
 from polars_trading_spark.streaming.execution import streaming_implementation_shortfall  # noqa: E402
 
 __all__.append("streaming_implementation_shortfall")
+from polars_trading_spark.streaming.signature import streaming_rv_signature  # noqa: E402
+
+__all__.append("streaming_rv_signature")

@@ -47,10 +47,11 @@ _ROUND10_WINDOW = [
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
     "dedup_cluster_profile", "rv_signature", "weekday_effect",
+    "ic_decay",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
-    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "similarity_topk", "similarity_topk_ivf_kmeans",
 ]
 
 

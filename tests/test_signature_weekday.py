@@ -135,3 +135,86 @@ def test_weekday_effect_degenerate_guard(spark):
     assert set(out) == {1, 2}
     for r in out.values():
         assert r["n_days"] == 1 and r["t_stat"] is None
+
+
+def test_ic_decay_reference_and_decay_property(spark):
+    from itertools import product
+
+    from polars_trading_spark.operators.cross_section import ic_decay
+
+    # persistent-momentum universe: trend continues ~2 bars then fades,
+    # so mean IC should decay with horizon
+    rng = np.random.RandomState(17)
+    n_bars, syms = 120, [f"S{i}" for i in range(6)]
+    drift = {s: rng.normal(0, 0.004) for s in syms}
+    rows = []
+    for s in syms:
+        px = 100.0
+        for i in range(n_bars):
+            if i % 30 == 0:
+                drift[s] = rng.normal(0, 0.004)
+            px *= float(np.exp(drift[s] + rng.normal(0, 0.001)))
+            rows.append(
+                (s, datetime(2024, 1, 2) + timedelta(minutes=15 * i), px)
+            )
+    bars = spark.createDataFrame(
+        rows, "symbol string, ts_event_start timestamp, close double"
+    )
+    lags, hs = 5, (1, 2, 4)
+    out = {
+        r["horizon"]: r
+        for r in ic_decay(bars, momentum_lag=lags, horizons=hs).collect()
+    }
+    # python reference
+    import math
+
+    closes = {}
+    for s, t, c in rows:
+        closes.setdefault(s, []).append(c)
+    per_h = {h: [] for h in hs}
+    for h in hs:
+        for i in range(n_bars):
+            pts = []
+            for s in syms:
+                cs = closes[s]
+                if i - lags < 0 or i + h >= n_bars:
+                    continue
+                sig = math.log(cs[i] / cs[i - lags])
+                fwd = math.log(cs[i + h] / cs[i])
+                pts.append((s, sig, fwd))
+            if len(pts) < 3:
+                continue
+            rs = {
+                s: k + 1
+                for k, (s, _, _) in enumerate(
+                    sorted(pts, key=lambda p: (p[1], p[0]))
+                )
+            }
+            rf = {
+                s: k + 1
+                for k, (s, _, _) in enumerate(
+                    sorted(pts, key=lambda p: (p[2], p[0]))
+                )
+            }
+            n = len(pts)
+            ssd = sum((rs[s] - rf[s]) ** 2 for s, _, _ in pts)
+            per_h[h].append(1 - 6 * ssd / (n * (n * n - 1)))
+    for h in hs:
+        ics = per_h[h]
+        r = out[h]
+        assert r["n_periods"] == len(ics)
+        assert r["mean_ic"] == pytest.approx(np.mean(ics), rel=1e-9)
+        sd = np.std(ics, ddof=1)
+        assert r["ic_t"] == pytest.approx(
+            np.mean(ics) / (sd / np.sqrt(len(ics))), rel=1e-9
+        )
+        assert r["hit_rate"] == pytest.approx(
+            np.mean([1 if x > 0 else 0 for x in ics]), rel=1e-9
+        )
+    # momentum IC is positive at short horizons and decays
+    assert out[1]["mean_ic"] > 0.1
+    assert out[1]["mean_ic"] >= out[4]["mean_ic"] - 0.05
+    with pytest.raises(ValueError):
+        ic_decay(bars, horizons=())
+    with pytest.raises(ValueError):
+        ic_decay(bars, momentum_lag=0)

@@ -2595,3 +2595,78 @@ def test_streaming_implementation_shortfall_validation(spark):
 
     with pytest.raises(ValueError):
         streaming_implementation_shortfall(None, trades_per_parent=0)
+
+
+def test_streaming_rv_signature_matches_batch(spark):
+    """The lag-ladder ring state must carry across micro-batches: the
+    highest-count row per (symbol, k) over a three-file replay equals
+    the batch operator (counts exact, rv/noise_ratio at 1e-9)."""
+    import numpy as np
+    import pandas as pd
+
+    from polars_trading_spark.operators.volatility import rv_signature
+    from polars_trading_spark.streaming import streaming_rv_signature
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for sym in ("A", "B"):
+        lp = np.log(40.0)
+        t = dt.datetime(2022, 1, 3, 9, 30)
+        for _ in range(130):
+            t = t + dt.timedelta(seconds=int(rng.integers(1, 5)))
+            lp += float(rng.normal(0, 0.003))
+            rows.append((sym, float(np.exp(lp)), 10, t))
+    pdf = pd.DataFrame(rows, columns=["symbol", "price", "size", "ts_event"])
+    pdf = pdf.sort_values("ts_event").reset_index(drop=True)
+
+    lags = (1, 3, 8)
+    with Config(timestamp_column="ts_event"):
+        batch = {
+            (r["symbol"], r["k"]): r
+            for r in rv_signature(
+                spark.createDataFrame(pdf, SCHEMA), lags=lags
+            ).collect()
+        }
+
+    d = tempfile.mkdtemp(prefix="pts_rvsig_stream_")
+    try:
+        third = len(pdf) // 3
+        for i, lo in enumerate((0, third, 2 * third)):
+            hi = len(pdf) if i == 2 else lo + third
+            spark.createDataFrame(pdf.iloc[lo:hi], SCHEMA).coalesce(1).write.parquet(
+                f"{d}/f{i}"
+            )
+
+        def make():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/*")
+            )
+            return streaming_rv_signature(stream, lags=lags)
+
+        rows_out = _run_stream(spark, make, mode="update")
+        got = (
+            pd.DataFrame([r.asDict() for r in rows_out])
+            .sort_values("n_diffs")
+            .groupby(["symbol", "k"])
+            .last()  # highest-count row = full-prefix curve
+        )
+        for (sym, k), b in [(key, batch[key]) for key in batch]:
+            g = got.loc[(sym, k)]
+            assert int(g["n_diffs"]) == int(b["n_diffs"]), (sym, k)
+            assert g["rv"] == pytest.approx(b["rv"], rel=1e-9), (sym, k)
+            assert g["noise_ratio"] == pytest.approx(
+                b["noise_ratio"], rel=1e-9
+            ), (sym, k)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_rv_signature_validation(spark):
+    from polars_trading_spark.streaming import streaming_rv_signature
+
+    with pytest.raises(ValueError):
+        streaming_rv_signature(None, lags=())
+    with pytest.raises(ValueError):
+        streaming_rv_signature(None, lags=(2, 2))
