@@ -213,6 +213,30 @@ def probe_codecs(spark) -> None:
 _PROBES["codecs"] = probe_codecs
 
 
+def probe_quant3(spark) -> None:
+    from polars_trading_spark.config import Config
+    from polars_trading_spark.operators import bars as bars_ops
+    from polars_trading_spark.operators.cross_section import ic_decay
+    from polars_trading_spark.operators.seasonality import weekday_effect
+    from polars_trading_spark.operators.volatility import rv_signature
+
+    for n in (200_000, 800_000, 3_200_000):
+        d = tempfile.mkdtemp(prefix="pts_probe_r10b_")
+        try:
+            trades = _trades(spark, n, d)
+            print(f"== trades={n}")
+            with Config(timestamp_column="ts_event"):
+                _bench("rv_signature", rv_signature(trades))
+                _bench("weekday_effect", weekday_effect(trades))
+                bars = bars_ops.time_bars(trades, bar_size="15m")
+                _bench("ic_decay", ic_decay(bars, ts_col="ts_event"))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+_PROBES["quant3"] = probe_quant3
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark()

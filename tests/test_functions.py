@@ -590,17 +590,34 @@ def test_dedup_recall_stats_sampled_contract(docs):
 def test_release_persisted_clears_all_caches(docs):
     """Cache-ownership contract: tracked persists never outlive a
     release_persisted() call (VERDICT r1 'unpersist discipline')."""
-    from polars_trading_spark._utils import release_persisted
+    from pyspark import StorageLevel
 
-    release_persisted()  # clean slate
+    from polars_trading_spark._utils import (
+        _TRACKED_PERSISTS,
+        release_persisted,
+    )
+
+    release_persisted()  # clean slate for TRACKED persists
+    assert _TRACKED_PERSISTS == []
     dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.2).collect()
     dedup.simhash_pairs(docs, max_hamming=3).collect()
     dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
-    sc = docs.sparkSession.sparkContext
-    assert sc._jsc.getPersistentRDDs().size() > 0
+    # assert on the TRACKED registry, not the JVM-wide persistent-RDD
+    # count: earlier test modules may leave localCheckpoint RDDs whose
+    # reclamation by the ContextCleaner is timing-dependent
+    tracked = list(_TRACKED_PERSISTS)
+    assert len(tracked) >= 3
+    assert all(
+        df.storageLevel != StorageLevel(False, False, False, False)
+        for df in tracked
+    )
     released = release_persisted()
     assert released >= 3
-    assert sc._jsc.getPersistentRDDs().size() == 0
+    assert _TRACKED_PERSISTS == []
+    assert all(
+        df.storageLevel == StorageLevel(False, False, False, False)
+        for df in tracked
+    )
 
 
 def test_minhash_bands_must_divide_hashes(docs):

@@ -138,7 +138,7 @@ def test_weekday_effect_degenerate_guard(spark):
 
 
 def test_ic_decay_reference_and_decay_property(spark):
-    from itertools import product
+
 
     from polars_trading_spark.operators.cross_section import ic_decay
 
