@@ -238,6 +238,7 @@ HEADLINE = [
     "rv_signature",
     "weekday_effect",
     "ic_decay",
+    "lsh_param_select",
 ]
 
 

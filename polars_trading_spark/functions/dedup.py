@@ -1478,3 +1478,103 @@ def dedup_cluster_profile(
             6,
         ).alias("doc_share"),
     )
+
+
+def lsh_param_select(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.4,
+    floor: float = 0.15,
+    num_hashes: int = 12,
+    ngram: int = 3,
+    sample_fraction: float | str | None = "auto",
+    target_docs: int = 2500,
+    salt: str = "pts-recall",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Analytic (bands, rows) selection table for a MinHash budget —
+    the question ``lsh_power_curve`` leaves open: *given k hashes and a
+    target threshold, WHICH factorization should the pipeline run?*
+    For EVERY factorization ``k = bands x rows``, the banding S-curve
+    ``p(j) = 1 − (1 − j^rows)^bands`` is evaluated on the corpus's
+    ACTUAL pair population:
+
+    * ``exp_recall`` — mean p(j) over pairs with exact Jaccard >=
+      ``threshold`` (expected fraction of true pairs surfaced);
+    * ``exp_near_fp`` — mean p(j) over the NEAR-MISS band ``floor <= j
+      < threshold`` (expected fraction of sub-threshold candidates the
+      verify stage must pay for — the all-pairs FP mass below ``floor``
+      is unmeasurable without an all-pairs join and negligible for the
+      verify-cost decision);
+    * ``score = exp_recall − exp_near_fp`` — the selection ranking.
+
+    One row per factorization: ``bands, rows_per_band, n_pos_pairs,
+    n_near_pairs, exp_recall, exp_near_fp, score``.
+
+    Float discipline: p(j) uses the SAME fixed-order binary-
+    exponentiation chains as ``lsh_power_curve`` (never ``pow``), one
+    CASE branch per factorization; per-factor sums fold as ORDERED
+    (id_a, id_b) running windows read at the last row.  Same sampling
+    contract as ``dedup_recall_stats``; ONE pair-generation pass at
+    ``floor`` serves every factorization.
+    """
+    if not (0.0 < floor < threshold <= 1.0):
+        raise ValueError(
+            f"need 0 < floor < threshold <= 1, got floor={floor} "
+            f"threshold={threshold}"
+        )
+    bs = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
+    base = _recall_sample(docs, sample_fraction, target_docs, salt, id_col)
+    exact = persist_tracked(
+        ngram_jaccard_pairs(
+            base, text_col, id_col, ngram=ngram, threshold=floor,
+            block_cols=(),
+        ).select("id_a", "id_b", F.col("jaccard").alias("__j"))
+    )
+    spark = docs.sparkSession
+    factors = spark.createDataFrame(
+        [(b, num_hashes // b) for b in bs], "bands int, rows_per_band int"
+    )
+    fan = exact.crossJoin(F.broadcast(factors))
+
+    mul = lambda a, b: a * b  # noqa: E731
+    p_expr = None
+    for b in bs:
+        r = num_hashes // b
+        jr = _pow_chain(F.col("__j"), r, mul)
+        pf = F.lit(1.0) - _pow_chain(F.lit(1.0) - jr, b, mul)
+        p_expr = (
+            pf
+            if p_expr is None
+            else F.when(F.col("bands") == b, pf).otherwise(p_expr)
+        )
+    pos = F.round("__j", 9) >= F.round(F.lit(float(threshold)), 9)
+    fan = fan.withColumn("__p", p_expr)
+    w = Window.partitionBy("bands").orderBy("id_a", "id_b")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("bands")
+    g = fan.select(
+        "bands",
+        "rows_per_band",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+        F.sum(pos.cast("long")).over(w_all).alias("__npos"),
+        F.sum(F.when(pos, F.col("__p"))).over(run).alias("__sp"),
+        F.sum(F.when(~pos, F.col("__p"))).over(run).alias("__sn"),
+    ).where(F.col("__rn") == F.col("__n"))
+    npos = F.col("__npos")
+    nneg = F.col("__n") - npos
+    er = F.when(npos > 0, F.col("__sp") / npos.cast("double"))
+    ef = F.when(nneg > 0, F.col("__sn") / nneg.cast("double"))
+    return g.select(
+        "bands",
+        "rows_per_band",
+        npos.cast("long").alias("n_pos_pairs"),
+        nneg.cast("long").alias("n_near_pairs"),
+        er.alias("exp_recall"),
+        ef.alias("exp_near_fp"),
+        (F.coalesce(er, F.lit(0.0)) - F.coalesce(ef, F.lit(0.0))).alias(
+            "score"
+        ),
+    )

@@ -983,3 +983,112 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_docs",
         (F.round("doc_share", 6) + z0).alias("doc_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 10). LSH (bands, rows) selection table (functions/
+# dedup.py::lsh_param_select): every factorization of the MinHash
+# budget scored analytically on the actual pair population — expected
+# recall above the target threshold vs expected near-miss candidate
+# mass; identical fixed-order pow chains, ordered per-factor folds.
+# --------------------------------------------------------------------------
+
+_PS_T, _PS_FLOOR = 0.4, 0.15
+
+_PS_BS = [b for b in range(1, _MH_K + 1) if _MH_K % b == 0]
+
+
+def _ps_p_sql(b: int) -> str:
+    jr = _sql_pow_chain("je", _MH_K // b)
+    return f"(1.0 - {_sql_pow_chain(f'(1.0 - {jr})', b)})"
+
+
+_PS_P_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN f.bands = {b} THEN {_ps_p_sql(b)}" for b in _PS_BS[::-1][:-1]
+    )
+    + f" ELSE {_ps_p_sql(_PS_BS[0])} END"
+)
+
+
+@register(
+    "lsh_param_select",
+    f"""
+WITH
+{_docs_tok_cte(_RECALL_WHERE)},
+{_sql_shingle_sh_cte(_MH_NGRAM)},
+psx AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+         THEN len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         ELSE 0.0 END AS je
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+psp AS (SELECT * FROM psx WHERE je >= {_PS_FLOOR!r}),
+psf AS (
+  SELECT p.id_a, p.id_b, f.bands, f.rows_per_band,
+    {_PS_P_CASE} AS pp,
+    CASE WHEN round(p.je, 9) >= round({_PS_T!r}, 9) THEN 1 ELSE 0 END AS pos
+  FROM psp p CROSS JOIN (
+    SELECT unnest([{", ".join(str(b) for b in _PS_BS)}]) AS bands,
+           unnest([{", ".join(str(_MH_K // b) for b in _PS_BS)}]) AS rows_per_band
+  ) f
+),
+psg AS (
+  SELECT bands, rows_per_band, n, npos, sp, sn FROM (
+    SELECT bands, rows_per_band,
+      row_number() OVER wo AS rn,
+      count(*) OVER wa AS n,
+      sum(pos) OVER wa AS npos,
+      sum(CASE WHEN pos = 1 THEN pp END) OVER wr AS sp,
+      sum(CASE WHEN pos = 0 THEN pp END) OVER wr AS sn
+    FROM psf
+    WINDOW wo AS (PARTITION BY bands ORDER BY id_a, id_b),
+           wr AS (PARTITION BY bands ORDER BY id_a, id_b
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wa AS (PARTITION BY bands)
+  ) WHERE rn = n
+)
+SELECT CAST(bands AS INTEGER) AS bands,
+  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+  CAST(npos AS BIGINT) AS n_pos_pairs,
+  CAST(n - npos AS BIGINT) AS n_near_pairs,
+  round(CASE WHEN npos > 0 THEN sp / CAST(npos AS DOUBLE) END, 6) + 0
+    AS exp_recall,
+  round(CASE WHEN n - npos > 0 THEN sn / CAST(n - npos AS DOUBLE) END, 6) + 0
+    AS exp_near_fp,
+  round(coalesce(CASE WHEN npos > 0 THEN sp / CAST(npos AS DOUBLE) END, 0.0)
+        - coalesce(CASE WHEN n - npos > 0
+                        THEN sn / CAST(n - npos AS DOUBLE) END, 0.0), 6) + 0
+    AS score
+FROM psg
+""",
+    f"LSH (bands, rows) selection table for the {_MH_K}-hash budget at "
+    f"threshold {_PS_T}: every factorization's expected recall vs "
+    "expected near-miss candidate mass on the actual (sampled) pair "
+    "population — fixed-order pow chains, ordered per-factor folds",
+)
+def q_lsh_param_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_ops.lsh_param_select(
+        docs,
+        threshold=_PS_T,
+        floor=_PS_FLOOR,
+        num_hashes=_MH_K,
+        ngram=_MH_NGRAM,
+        sample_fraction="auto",
+        target_docs=_RECALL_TARGET,
+        salt=_RECALL_SALT,
+    )
+    z0 = F.lit(0.0)
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "n_pos_pairs",
+        "n_near_pairs",
+        (F.round("exp_recall", 6) + z0).alias("exp_recall"),
+        (F.round("exp_near_fp", 6) + z0).alias("exp_near_fp"),
+        (F.round("score", 6) + z0).alias("score"),
+    )

@@ -87,3 +87,76 @@ def test_dedup_cluster_profile_golden(spark):
     assert sum(r["doc_share"] for r in out.values()) == pytest.approx(
         1.0, abs=1e-5
     )
+
+
+def test_lsh_param_select_reference_and_monotonicity(spark):
+    from itertools import combinations
+
+    from polars_trading_spark._utils import release_persisted
+    from polars_trading_spark.functions.dedup import lsh_param_select
+
+    body = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    variants = [
+        body,
+        body,  # exact duplicate (j = 1)
+        body.replace("gamma", "clone") + " extra words trailing here",
+        "totally different text about storage engines and page caches "
+        "with write ahead logging and checkpoint scheduling policies",
+        body.replace("alpha beta", "first second").replace("tau", "x"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(variants)],
+        "doc_id long, source string, text string",
+    )
+    try:
+        out = {
+            r["bands"]: r
+            for r in lsh_param_select(
+                docs, threshold=0.4, floor=0.1, num_hashes=12,
+                sample_fraction=None,
+            ).collect()
+        }
+    finally:
+        release_persisted()
+    assert set(out) == {1, 2, 3, 4, 6, 12}
+    # python reference over the same pair population
+    import math
+
+    def toks(t):
+        import re
+
+        return [w for w in re.sub(r"[^a-z0-9 ]", " ", t.lower()).split() if w]
+
+    def shingles(t):
+        ws = toks(t)
+        return {tuple(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sh = [shingles(t) for t in variants]
+    pairs = []
+    for a, b in combinations(range(len(variants)), 2):
+        u = len(sh[a] | sh[b])
+        j = len(sh[a] & sh[b]) / u if u else 0.0
+        if j >= 0.1:
+            pairs.append(j)
+    for b in (1, 2, 3, 4, 6, 12):
+        r = 12 // b
+        pos = [j for j in pairs if round(j, 9) >= 0.4]
+        neg = [j for j in pairs if round(j, 9) < 0.4]
+        exp_r = sum(1 - (1 - j**r) ** b for j in pos) / len(pos)
+        row = out[b]
+        assert row["n_pos_pairs"] == len(pos)
+        assert row["n_near_pairs"] == len(neg)
+        assert row["exp_recall"] == pytest.approx(exp_r, rel=1e-6), b
+        if neg:
+            exp_f = sum(1 - (1 - j**r) ** b for j in neg) / len(neg)
+            assert row["exp_near_fp"] == pytest.approx(exp_f, rel=1e-6), b
+    # more bands (fewer rows) -> the S-curve shifts left: recall AND
+    # near-miss mass both rise monotonically
+    for lo, hi in ((1, 2), (2, 3), (3, 4), (4, 6), (6, 12)):
+        assert out[hi]["exp_recall"] >= out[lo]["exp_recall"] - 1e-12
+    assert out[12]["exp_recall"] > 0.99  # r=1, b=12 catches everything
+    with pytest.raises(ValueError):
+        lsh_param_select(docs, threshold=0.2, floor=0.3)

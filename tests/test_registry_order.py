@@ -47,11 +47,11 @@ _ROUND10_WINDOW = [
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
     "dedup_cluster_profile", "rv_signature", "weekday_effect",
-    "ic_decay",
+    "ic_decay", "lsh_param_select",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
-    "similarity_topk", "similarity_topk_ivf_kmeans",
+    "similarity_topk",
 ]
 
 
