@@ -239,6 +239,7 @@ HEADLINE = [
     "weekday_effect",
     "ic_decay",
     "lsh_param_select",
+    "lang_confusion",
 ]
 
 

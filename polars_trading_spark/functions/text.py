@@ -1060,3 +1060,48 @@ def code_detection(
             )
         ).alias("is_code"),
     )
+
+
+def lang_confusion(
+    documents: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Confusion matrix of the heuristic ``language_id`` against the
+    corpus's language labels — the evaluation every classifier gate
+    needs before its output drives filtering: which languages does the
+    stopword/CJK heuristic confuse, and how much of each language's
+    mass is misrouted?
+
+    One row per observed (label, guess) cell: ``lang, lang_guess,
+    n_docs, share_of_lang`` (n / the label's total — an exact integer
+    ratio) and ``is_correct``.  Misrouted mass reads directly off the
+    ``is_correct = 0`` rows.
+
+    Scale shape: one projection computing the guess (pure Columns —
+    the same expression ``text_profile`` ships), ONE (lang, guess)
+    hash aggregate, and a label-count window over the
+    languages²-bounded result.  Zero joins, zero Python.
+    """
+    from pyspark.sql import Window
+
+    g = documents.select(
+        F.col(lang_col).alias("lang"),
+        language_id(F.col(text_col)).alias("lang_guess"),
+    )
+    cells = g.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_lang = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_lang).cast("double"),
+            6,
+        ).alias("share_of_lang"),
+        (F.col("lang") == F.col("lang_guess")).cast("int").alias("is_correct"),
+    )

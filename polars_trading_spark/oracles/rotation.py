@@ -94,12 +94,11 @@ _ROUND10_FRONT = [
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
     "dedup_cluster_profile", "rv_signature", "weekday_effect",
-    "ic_decay", "lsh_param_select",
+    "ic_decay", "lsh_param_select", "lang_confusion",
     # -- backfill (fills the window to 50): latest driver row r6, then r7 alpha --
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
-    "similarity_topk",
 ]
 
 ACTIVE_FRONT = _ROUND10_FRONT

@@ -838,3 +838,43 @@ def q_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("top_share", 6) + z0).alias("top_share"),
         (F.round("lang_entropy", 6) + z0).alias("lang_entropy"),
     )
+
+
+@register(
+    "lang_confusion",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+lch AS (
+  SELECT lang, text,
+         {", ".join(f"{_sql_stopword_hits(lang)} AS c_{lang}" for lang in STOPWORDS)}
+  FROM tok
+),
+lcg AS (SELECT lang, {_LANG_CASE} AS lang_guess FROM lch),
+lcc AS (
+  SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+  FROM lcg GROUP BY lang, lang_guess
+)
+SELECT lang, lang_guess, n_docs,
+  round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6) + 0
+    AS share_of_lang,
+  CAST(CASE WHEN lang = lang_guess THEN 1 ELSE 0 END AS INTEGER) AS is_correct
+FROM lcc
+""",
+    "Confusion matrix of the stopword/CJK language-ID heuristic vs the "
+    "corpus labels: one (label, guess) hash aggregate + a "
+    "languages^2-bounded share window — the gate-evaluation report",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.text import lang_confusion
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = lang_confusion(docs)
+    z0 = F.lit(0.0)
+    return out.select(
+        "lang",
+        "lang_guess",
+        "n_docs",
+        (F.round("share_of_lang", 6) + z0).alias("share_of_lang"),
+        "is_correct",
+    )

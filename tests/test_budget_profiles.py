@@ -160,3 +160,39 @@ def test_lsh_param_select_reference_and_monotonicity(spark):
     assert out[12]["exp_recall"] > 0.99  # r=1, b=12 catches everything
     with pytest.raises(ValueError):
         lsh_param_select(docs, threshold=0.2, floor=0.3)
+
+
+def test_lang_confusion_golden(spark):
+    from polars_trading_spark.functions.text import lang_confusion
+
+    en = "the quick brown fox and the lazy dog are in the house with it"
+    de = "der schnelle braune fuchs und die katze sind nicht in dem haus"
+    docs = spark.createDataFrame(
+        [
+            (1, "en", en),           # correct
+            (2, "en", en),           # correct
+            (3, "en", de),           # mislabeled: guess de, label en
+            (4, "de", de),           # correct
+            (5, "fr", "zzz qqq xxx www"),  # no stopword hits -> unknown
+            (6, "zh", "这是一个中文文档的例子" * 3),  # CJK -> zh
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r["lang"], r["lang_guess"]): r for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")]["n_docs"] == 2
+    assert out[("en", "en")]["is_correct"] == 1
+    assert out[("en", "de")]["n_docs"] == 1
+    assert out[("en", "de")]["is_correct"] == 0
+    assert out[("en", "en")]["share_of_lang"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[("en", "de")]["share_of_lang"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[("de", "de")]["share_of_lang"] == pytest.approx(1.0)
+    assert out[("fr", "unknown")]["n_docs"] == 1
+    assert out[("zh", "zh")]["is_correct"] == 1
+    # shares sum to 1 within each label
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    for (lang, _), r in out.items():
+        sums[lang] += r["share_of_lang"]
+    for v in sums.values():
+        assert v == pytest.approx(1.0, abs=1e-5)

@@ -47,11 +47,10 @@ _ROUND10_WINDOW = [
     "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
     "multimodal_png_sub8_decode", "perplexity_budget_curves",
     "dedup_cluster_profile", "rv_signature", "weekday_effect",
-    "ic_decay", "lsh_param_select",
+    "ic_decay", "lsh_param_select", "lang_confusion",
     "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
     "ngram_novelty", "pack_sequences", "permutation_entropy",
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
-    "similarity_topk",
 ]
 
 
