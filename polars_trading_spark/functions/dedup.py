@@ -25,6 +25,8 @@ keep every product inside int64.
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,6 +55,11 @@ __all__ = [
     "dedup_recall_stats",
     "dedup_recall_curve",
     "lsh_power_curve",
+    "shared_signature_cache",
+    "minhash_index",
+    "incremental_dedup",
+    "incremental_dedup_banded",
+    "write_banded_minhash_index",
 ]
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1
@@ -124,6 +131,83 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str, extra: tuple[str, ...]
     return ensure_parallelism(base)
 
 
+# --------------------------------------------------------------------------
+# Round 11: opt-in amortization of the tokenize -> shingle -> MinHash
+# pass.  A real pipeline computes the corpus signature stage ONCE and
+# feeds every downstream consumer (filter, funnel, survivor budget,
+# recall audit); calling each operator standalone re-runs that chain
+# from the parquet scan.  Inside a ``shared_signature_cache()`` block
+# the shingle table and the signature aggregate are persisted and
+# keyed by (canonicalized input plan, tokenizer/shingle/hash params),
+# so repeated operator calls over the SAME corpus reuse one pass.
+# Default (no context) behavior is exactly as before — per-call
+# ``persist_tracked`` caches released by ``release_persisted()``.
+# --------------------------------------------------------------------------
+
+_SHARED_SIG_CACHE: dict | None = None
+
+
+def _corpus_cache_key(df: DataFrame, *parts):
+    """Semantic cache key: the CANONICALIZED analyzed plan (stable
+    across separately-built but identical reads, unlike object
+    identity) plus the parameter tuple; None (= no caching) when the
+    plan can't be canonicalized."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:
+        return None
+    return (plan, *parts)
+
+
+@contextlib.contextmanager
+def shared_signature_cache():
+    """Amortize the corpus signature pass across operator calls: within
+    the block, ``minhash_lsh_pairs`` / ``minhash_index`` /
+    ``ngram_containment_pairs`` persist and reuse their shingle and
+    signature stages per (corpus plan, params).  Entries survive
+    ``release_persisted()`` (they are deliberately NOT per-call caches)
+    and are unpersisted when the block exits.  Nestable; inner blocks
+    shadow outer ones."""
+    global _SHARED_SIG_CACHE
+    prev = _SHARED_SIG_CACHE
+    _SHARED_SIG_CACHE = {}
+    try:
+        yield
+    finally:
+        cache, _SHARED_SIG_CACHE = _SHARED_SIG_CACHE, prev
+        for cached in cache.values():
+            with contextlib.suppress(Exception):
+                cached.unpersist()
+
+
+def _cache_stage(df: DataFrame, key) -> DataFrame:
+    """Persist ``df`` into the active shared cache under ``key``, or
+    fall back to the per-call tracked persist."""
+    if _SHARED_SIG_CACHE is not None and key is not None:
+        df = df.persist()
+        _SHARED_SIG_CACHE[key] = df
+        return df
+    return persist_tracked(df)
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, ngram: int
+) -> DataFrame:
+    """The persisted ``(__id, __sh)`` shingle table — the shared root of
+    every MinHash consumer; served from the active shared cache when
+    one is installed."""
+    key = None
+    if _SHARED_SIG_CACHE is not None:
+        key = _corpus_cache_key(df, "shingles", text_col, id_col, ngram)
+        hit = _SHARED_SIG_CACHE.get(key) if key is not None else None
+        if hit is not None:
+            return hit
+    base = _tokenized(df, text_col, id_col).select(
+        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
+    )
+    return _cache_stage(base, key)
+
+
 def minhash_signature(hashes: Column, k: int = 12) -> Column:
     """k-permutation MinHash signature of a shingle-hash array.
 
@@ -160,13 +244,11 @@ def minhash_lsh_pairs(
             "trailing signature rows would be silently ignored otherwise"
         )
     rows_per_band = num_hashes // bands
-    base = _tokenized(df, text_col, id_col).select(
-        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
-    )
     # Shingle-set table: feeds the signature aggregate and both verify
     # joins — persist lazily so shingling runs once (see simhash_pairs).
-    # Tracked: released by the caller via release_persisted().
-    base = persist_tracked(base)
+    # Tracked: released by the caller via release_persisted(), or served
+    # from the shared_signature_cache() when one is active.
+    base = _shingle_table(df, text_col, id_col, ngram)
 
     # k permutation minima in one codegen HashAggregate over the
     # exploded shingles instead of k interpreted array transforms;
@@ -174,19 +256,33 @@ def minhash_lsh_pairs(
     # permuted values → null min), coalesced to P — the empty-set
     # sentinel that sorts above every real hash, so short documents
     # never collide into real buckets.
-    sig = (
-        base.select("__id", F.explode_outer("__sh").alias("__s"))
-        .groupBy("__id")
-        .agg(
-            *[
-                F.coalesce(
-                    F.min((F.lit(ca) * F.col("__s") + F.lit(cb)) % F.lit(MERSENNE31)),
-                    F.lit(MERSENNE31),
-                ).alias(f"__m{i}")
-                for i, (ca, cb) in enumerate(_coeffs(num_hashes))
-            ]
-        )
+    sig_key = (
+        _corpus_cache_key(df, "sig", text_col, id_col, ngram, num_hashes)
+        if _SHARED_SIG_CACHE is not None
+        else None
     )
+    sig = (
+        _SHARED_SIG_CACHE.get(sig_key)
+        if _SHARED_SIG_CACHE is not None and sig_key is not None
+        else None
+    )
+    if sig is None:
+        sig = (
+            base.select("__id", F.explode_outer("__sh").alias("__s"))
+            .groupBy("__id")
+            .agg(
+                *[
+                    F.coalesce(
+                        F.min((F.lit(ca) * F.col("__s") + F.lit(cb)) % F.lit(MERSENNE31)),
+                        F.lit(MERSENNE31),
+                    ).alias(f"__m{i}")
+                    for i, (ca, cb) in enumerate(_coeffs(num_hashes))
+                ]
+            )
+        )
+        if _SHARED_SIG_CACHE is not None and sig_key is not None:
+            sig = sig.persist()
+            _SHARED_SIG_CACHE[sig_key] = sig
     banded = sig.select(
         "__id",
         F.posexplode(
@@ -750,10 +846,7 @@ def ngram_containment_pairs(
     if not (0.0 < max_df_frac <= 1.0):
         raise ValueError(f"max_df_frac must be in (0, 1], got {max_df_frac}")
 
-    base = _tokenized(df, text_col, id_col).select(
-        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
-    )
-    base = persist_tracked(base)
+    base = _shingle_table(df, text_col, id_col, ngram)
 
     post = base.select("__id", F.explode("__sh").alias("__h"))
     n_docs = base.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
@@ -1246,9 +1339,14 @@ def minhash_index(
     Scale shape: one tokenize + shingle pass, one hash aggregate; the
     index is one slim row per document.
     """
-    base = _tokenized(df, text_col, id_col).select(
-        "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
-    )
+    if _SHARED_SIG_CACHE is not None:
+        base = _shingle_table(df, text_col, id_col, ngram)
+    else:
+        # one-shot: no persist needed, the single aggregate below is the
+        # only consumer
+        base = _tokenized(df, text_col, id_col).select(
+            "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
+        )
     sig = (
         base.select("__id", F.explode_outer("__sh").alias("__s"))
         .groupBy("__id")
@@ -1275,6 +1373,7 @@ def incremental_dedup(
     num_hashes: int = 12,
     bands: int = 4,
     sig_threshold: float = 0.5,
+    base_flag_col: str | None = None,
 ) -> DataFrame:
     """Near-dedup a NEW snapshot against a PERSISTED signature index —
     the incremental form every recurring-crawl pipeline needs: the base
@@ -1297,6 +1396,15 @@ def incremental_dedup(
     ``dup_of`` (the matched doc; highest estimated Jaccard, ties to the
     base side then the smallest id), ``dup_is_base`` (int) and
     ``est_jaccard``.
+
+    ``base_flag_col`` (round 11): name of an int column in ``index``
+    marking true base docs (1) vs signatures APPENDED from earlier
+    stream micro-batches (0).  Flag-0 index docs compare only against
+    higher-id new docs — exactly the in-batch min-id rule — so a
+    micro-batched replay (``streaming_incremental_dedup``) reproduces
+    this operator's output bit-for-bit regardless of how the new
+    snapshot was split into batches.  Default None = every index row
+    is base (the one-shot contract, unchanged).
 
     Scale shape: signatures for the new snapshot only; the band
     group-join between the new side and (index UNION new) is the only
@@ -1327,7 +1435,13 @@ def incremental_dedup(
         F.col(id_col).alias("__id"), F.lit(0).alias("__base"), *mcols
     ).unionByName(
         index.select(
-            F.col(id_col).alias("__id"), F.lit(1).alias("__base"), *mcols
+            F.col(id_col).alias("__id"),
+            (
+                F.col(base_flag_col).cast("int")
+                if base_flag_col is not None
+                else F.lit(1)
+            ).alias("__base"),
+            *mcols,
         )
     )
 
@@ -1385,40 +1499,7 @@ def incremental_dedup(
         )
         .dropDuplicates(["__nid", "__oid", "__obase"])
     )
-    est = sum(F.col(f"__e{i}") for i in range(num_hashes)) / F.lit(
-        float(num_hashes)
-    )
-    best = (
-        cand.withColumn("__est", est)
-        .where(F.col("__est") >= F.lit(float(sig_threshold)))
-        .groupBy("__nid")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__est"),
-                    F.col("__obase"),
-                    (-F.col("__oid")).alias("__noid"),
-                )
-            ).alias("__best")
-        )
-        .select(
-            "__nid",
-            F.col("__best")["__est"].alias("est_jaccard"),
-            F.col("__best")["__obase"].cast("int").alias("dup_is_base"),
-            (-F.col("__best")["__noid"]).cast("long").alias("dup_of"),
-        )
-    )
-    return (
-        new_sig.select(F.col(id_col).alias("__nid"))
-        .join(best, "__nid", "left")
-        .select(
-            F.col("__nid").alias(id_col),
-            F.col("dup_of").isNull().cast("int").alias("keep"),
-            "dup_of",
-            "dup_is_base",
-            "est_jaccard",
-        )
-    )
+    return _signature_decisions(cand, new_sig, id_col, num_hashes, sig_threshold)
 
 
 def dedup_cluster_profile(
@@ -1578,3 +1659,226 @@ def lsh_param_select(
             "score"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 11: the bucketed banded index — the docstring promise at
+# minhash_index ("persist the index BUCKETED by band keys for a
+# shuffle-free join") made concrete.  The exploded band table is
+# written bucketBy(__bkey) + sortBy(__bkey), so the per-ingest band
+# join reads the index side STRAIGHT OFF DISK: no Exchange, no Sort on
+# the corpus-sized branch — only the (small) new snapshot shuffles to
+# the bucket count.  tests/test_plans_r11.py pins the no-exchange
+# contract against a non-bucketed control.
+# --------------------------------------------------------------------------
+
+
+def _banded_bkey(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature frame (``__id, __base, m0..``) to one row
+    per band with the single join column ``__bkey`` = band index +
+    comma-joined band minima — band identity is INSIDE the key, so one
+    equi-join column carries the whole banding scheme (bucketable)."""
+    rows_per_band = num_hashes // bands
+    return sig_df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"m{i}").cast("string")
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bkey"),
+    )
+
+
+def _signature_decisions(
+    cand: DataFrame,
+    new_sig: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    sig_threshold: float,
+) -> DataFrame:
+    """Shared decision tail of the incremental-dedup family: estimated
+    Jaccard from the per-position equality flags, threshold, best match
+    per new doc (highest est, ties to the base side then the smallest
+    id), left-join back so every new doc keeps a row."""
+    est = sum(F.col(f"__e{i}") for i in range(num_hashes)) / F.lit(
+        float(num_hashes)
+    )
+    best = (
+        cand.withColumn("__est", est)
+        .where(F.col("__est") >= F.lit(float(sig_threshold)))
+        .groupBy("__nid")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__est"),
+                    F.col("__obase"),
+                    (-F.col("__oid")).alias("__noid"),
+                )
+            ).alias("__best")
+        )
+        .select(
+            "__nid",
+            F.col("__best")["__est"].alias("est_jaccard"),
+            F.col("__best")["__obase"].cast("int").alias("dup_is_base"),
+            (-F.col("__best")["__noid"]).cast("long").alias("dup_of"),
+        )
+    )
+    return (
+        new_sig.select(F.col(id_col).alias("__nid"))
+        .join(best, "__nid", "left")
+        .select(
+            F.col("__nid").alias(id_col),
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+            "dup_of",
+            "dup_is_base",
+            "est_jaccard",
+        )
+    )
+
+
+def write_banded_minhash_index(
+    index: DataFrame,
+    table_name: str,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    buckets: int = 32,
+    base_flag_col: str | None = None,
+) -> None:
+    """Persist a ``minhash_index`` frame as the EXPLODED band table,
+    BUCKETED (and sorted) by the band key — the layout that makes the
+    recurring-ingest band join shuffle-free on the index side.
+
+    Schema written: ``__bkey string, __id long, __base int, m0..m{k-1}``
+    (one row per document per band; ``__base`` from ``base_flag_col``
+    or 1).  Size the bucket count to the target cluster: at 100 TB a
+    few thousand buckets keeps each file in the hundreds of MB and the
+    per-ingest join fan-in bounded.  Bucketed writes go through the
+    session catalog (``saveAsTable`` — plain ``parquet(path)`` cannot
+    record bucketing metadata)."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    for c in mcols:
+        if c not in index.columns:
+            raise ValueError(
+                f"index is missing signature column {c!r}; build it with "
+                f"minhash_index(num_hashes={num_hashes})"
+            )
+    flag = (
+        F.col(base_flag_col).cast("int")
+        if base_flag_col is not None
+        else F.lit(1)
+    )
+    banded = _banded_bkey(
+        index.select(
+            F.col(id_col).cast("long").alias("__id"), flag.alias("__base"), *mcols
+        ),
+        num_hashes,
+        bands,
+    )
+    (
+        banded.select("__bkey", "__id", "__base", *mcols)
+        .write.bucketBy(buckets, "__bkey")
+        .sortBy("__bkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def incremental_dedup_banded(
+    new_docs: DataFrame,
+    banded_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    ngram: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    sig_threshold: float = 0.5,
+) -> DataFrame:
+    """``incremental_dedup`` against a PRE-BANDED, bucket-persisted
+    index (``write_banded_minhash_index``): identical output contract
+    (keep / dup_of / dup_is_base / est_jaccard, the same min-id and
+    base-precedence rules), different physical shape — the index side
+    arrives already exploded to band rows and BUCKETED by ``__bkey``,
+    so the index-vs-new join needs NO exchange and NO sort on the
+    index branch; only the new snapshot's band rows (small by
+    definition of an ingest) shuffle to the bucket count.  In-batch
+    new-vs-new candidates come from a separate self-join of the new
+    side and are unioned before the shared decision tail.
+
+    Pass ``spark.table(name)`` for ``banded_index``; flag-0 index rows
+    (appended earlier snapshots) follow the ``base_flag_col`` rule —
+    they only match higher-id new docs."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    if not (0.0 < sig_threshold <= 1.0):
+        raise ValueError(f"sig_threshold must be in (0, 1], got {sig_threshold}")
+    mcols = [f"m{i}" for i in range(num_hashes)]
+    need = {"__bkey", "__id", "__base", *mcols}
+    missing = need - set(banded_index.columns)
+    if missing:
+        raise ValueError(
+            f"banded index is missing columns {sorted(missing)}; write it "
+            f"with write_banded_minhash_index(num_hashes={num_hashes}, "
+            f"bands={bands})"
+        )
+    from polars_trading_spark._utils import persist_tracked
+
+    new_sig = persist_tracked(
+        minhash_index(
+            new_docs, text_col, id_col, ngram=ngram, num_hashes=num_hashes
+        )
+    )
+    new_banded = _banded_bkey(
+        new_sig.select(
+            F.col(id_col).alias("__id"), F.lit(0).alias("__base"), *mcols
+        ),
+        num_hashes,
+        bands,
+    )
+    sent = F.lit(MERSENNE31)
+
+    def _cand(other: DataFrame) -> DataFrame:
+        a, b = new_banded.alias("a"), other.alias("b")
+        return a.join(
+            b,
+            on=[
+                F.col("a.__bkey") == F.col("b.__bkey"),
+                (F.col("b.__base") == 1) | (F.col("b.__id") < F.col("a.__id")),
+                F.col("a.m0") != sent,
+                F.col("b.m0") != sent,
+            ],
+        ).select(
+            F.col("a.__id").alias("__nid"),
+            F.col("b.__id").alias("__oid"),
+            F.col("b.__base").alias("__obase"),
+            *[
+                (F.col(f"a.m{i}") == F.col(f"b.m{i}"))
+                .cast("long")
+                .alias(f"__e{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
+    cand = (
+        _cand(banded_index.select("__bkey", "__id", "__base", *mcols))
+        .unionByName(_cand(new_banded))
+        .dropDuplicates(["__nid", "__oid", "__obase"])
+    )
+    return _signature_decisions(cand, new_sig, id_col, num_hashes, sig_threshold)

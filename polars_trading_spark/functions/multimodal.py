@@ -9,9 +9,11 @@ inflate + all five unfilters, truecolor AND indexed/PLTE, every spec
 bit depth 1/2/4/8/16 — PNG scope is COMPLETE), uncompressed BMP, GIF (full variable-width LZW, interlaced or
 not), and baseline JPEG (canonical Huffman + IDCT, grayscale AND
 4:4:4 / 4:2:2 / 4:2:0 YCbCr color, sequential AND progressive/SOF2 at
-1x1 sampling, plus 4-component CMYK baseline — round 10).  The
-remaining out-of-scope features — YCCK / subsampled / progressive
-4-component JPEG — raise ``NotImplementedError``
+1x1 sampling, plus 4-component sequential at any integer-ratio
+sampling: raw CMYK as stored AND YCCK/Adobe-transform-2 with the
+BT.601 inverse + libjpeg complement — round 11).  The remaining
+out-of-scope feature — PROGRESSIVE 4-component JPEG — raises
+``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
 schema contracts, frame explosion) is real and tested end-to-end.
@@ -1333,6 +1335,257 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
     )
 
 
+def gif_encode_animated(frames, width: int, height: int, *, bg_index: int = 0) -> bytes:
+    """Encode a REAL spec-valid ANIMATED GIF89a (round 11): logical
+    screen + 16-entry global color table, a NETSCAPE2.0 looping
+    application extension (exercises extension skipping on decode),
+    then per frame a graphic-control extension (disposal method, delay,
+    optional transparent index) followed by an image descriptor at the
+    frame's sub-rectangle and its LZW-compressed index stream.
+
+    ``frames`` is a list of dicts with keys ``ox, oy, fw, fh, indices``
+    (row-major, ``fw*fh`` values < 16), ``delay_cs`` (centiseconds) and
+    optional ``disposal`` (0-3, default 1 = leave in place) and
+    ``transparent`` (palette index or None).  Pure stdlib."""
+    import struct
+
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | 0x23, bg_index, 0)
+    )
+    for k in range(GIF_PALETTE_SIZE):
+        out.extend(gif_palette(k))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        ox, oy, fw, fh = fr["ox"], fr["oy"], fr["fw"], fr["fh"]
+        indices = fr["indices"]
+        if len(indices) != fw * fh:
+            raise ValueError("frame indices length != fw*fh")
+        if ox + fw > width or oy + fh > height:
+            raise ValueError("frame rectangle exceeds the logical screen")
+        disposal = fr.get("disposal", 1)
+        transparent = fr.get("transparent")
+        packed = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", packed, fr["delay_cs"], transparent or 0
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", ox, oy, fw, fh, 0)
+        min_code_size = 4
+        out += bytes([min_code_size]) + _lzw_encode_gif(indices, min_code_size)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_animated(payload: bytes):
+    """REAL pure-stdlib ANIMATED GIF decode (round 11 — the former
+    animated scope gap): frame loop over image descriptors with their
+    graphic-control extensions, DISPOSAL-METHOD COMPOSITING onto the
+    logical screen (0/1 leave in place, 2 restore to the background
+    color, 3 restore to the previous screen), transparent-index
+    masking, per-frame local color tables and de-interlacing.  The
+    screen starts as the global-palette background color.
+
+    Returns ``(frames, delays_cs)``: an ``(n_frames, h, w, 3)`` uint8
+    array of the COMPOSITED screens in display order and the per-frame
+    delays in centiseconds."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    i = 13
+    gpal = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gpal = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+        i += 3 * n
+    bg_rgb = gpal[bg] if gpal is not None and bg < len(gpal) else np.zeros(3, np.uint8)
+    screen = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+    frames = []
+    delays = []
+    disposal, delay, transparent = 0, 0, None
+    while i < len(payload):
+        b0 = payload[i]
+        if b0 == 0x21:  # extension
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9:  # graphic control: applies to NEXT image
+                blk = payload[i + 1 : i + 1 + payload[i]]
+                packed = blk[0]
+                disposal = (packed >> 2) & 0x07
+                delay = blk[1] | (blk[2] << 8)
+                transparent = blk[3] if packed & 0x01 else None
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
+            i += 10
+            pal = gpal
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=i
+                ).reshape(n, 3)
+                i += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[i]
+            i += 1
+            # skip past this image's sub-blocks while decoding them
+            sub_start = i
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            idx = np.asarray(
+                _lzw_decode_gif(payload[sub_start:], min_code_size, iw * ih),
+                dtype=np.int64,
+            ).reshape(ih, iw)
+            if iflags & 0x40:
+                out = np.empty_like(idx)
+                out[_gif_interlace_rows(ih)] = idx
+                idx = out
+            saved = screen[iy : iy + ih, ix : ix + iw].copy() if disposal == 3 else None
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region = screen[iy : iy + ih, ix : ix + iw]
+                region[mask] = rgb[mask]
+            else:
+                screen[iy : iy + ih, ix : ix + iw] = rgb
+            frames.append(screen.copy())
+            delays.append(delay)
+            if disposal == 2:
+                screen[iy : iy + ih, ix : ix + iw] = bg_rgb
+            elif disposal == 3:
+                screen[iy : iy + ih, ix : ix + iw] = saved
+            disposal, delay, transparent = 0, 0, None
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), delays
+
+
+_GIF_ANIMATED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("total_duration_ms", T.LongType()),
+        T.StructField("n_px_bytes", T.LongType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_dot", T.LongType()),
+    ]
+)
+
+
+def gif_animated_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL stdlib animated-GIF
+    compositing path (``gif_decode_animated``) and emit exact integer
+    aggregates over ALL composited frames concatenated in display
+    order: ``n_frames``, ``total_duration_ms`` (sum of the
+    graphic-control delays, centiseconds x 10), ``px_sum`` and the
+    order-sensitive ``px_dot = sum(byte_j * (j%251+1))`` where ``j``
+    runs across frames then rows then channels — a single slipped
+    disposal rectangle, transparency mask or frame order breaks it.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` stage over the
+    payload column (per-file data-parallel decode, zero shuffle), same
+    as ``pixel_stats``."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in _GIF_ANIMATED_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames, delays = gif_decode_animated(bytes(payload))
+                flat = frames.reshape(-1).astype(np.int64)
+                j = np.arange(flat.shape[0], dtype=np.int64)
+                out["media_id"].append(int(mid))
+                out["format"].append("gif")
+                out["width"].append(int(frames.shape[2]))
+                out["height"].append(int(frames.shape[1]))
+                out["n_frames"].append(int(frames.shape[0]))
+                out["total_duration_ms"].append(10 * int(sum(delays)))
+                out["n_px_bytes"].append(int(flat.shape[0]))
+                out["px_sum"].append(int(flat.sum()))
+                out["px_dot"].append(int((flat * (j % 251 + 1)).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=_GIF_ANIMATED_SCHEMA)
+
+
+def synthesize_gif_animated(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL ANIMATED GIF89a per document id: logical
+    screen ``w = 4 + m%13, h = 3 + m%11``, ``n_frames = 2 + m%3``.
+    Frame 0 covers the full screen with index ``(m*31 + j*7) % 16``;
+    frame ``f >= 1`` is a ``((w+1)//2) x ((h+1)//2)`` sub-rectangle at
+    ``ox = (m + 5f) % (w - fw + 1)``, ``oy = (3m + 7f) % (h - fh + 1)``
+    carrying index ``(m*31 + f*11 + j*7) % 16`` (``j`` row-major in
+    frame coords), disposal 1 (leave in place) so composited frame
+    ``f`` shows the LATEST overlay covering each pixel.  Frame ``f``'s
+    delay is ``(m + f) % 7 + 1`` centiseconds.  Every composited byte
+    and the total duration are closed-form for the SQL oracle."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 13, 3 + m % 11
+                nf = 2 + m % 3
+                fw, fh = (w + 1) // 2, (h + 1) // 2
+                frames = [
+                    {
+                        "ox": 0,
+                        "oy": 0,
+                        "fw": w,
+                        "fh": h,
+                        "indices": [
+                            (m * 31 + j * 7) % GIF_PALETTE_SIZE
+                            for j in range(w * h)
+                        ],
+                        "delay_cs": m % 7 + 1,
+                        "disposal": 1,
+                    }
+                ]
+                for f in range(1, nf):
+                    frames.append(
+                        {
+                            "ox": (m + 5 * f) % (w - fw + 1),
+                            "oy": (3 * m + 7 * f) % (h - fh + 1),
+                            "fw": fw,
+                            "fh": fh,
+                            "indices": [
+                                (m * 31 + f * 11 + j * 7) % GIF_PALETTE_SIZE
+                                for j in range(fw * fh)
+                            ],
+                            "delay_cs": (m + f) % 7 + 1,
+                            "disposal": 1,
+                        }
+                    )
+                rows.append(gif_encode_animated(frames, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Baseline JPEG codec (grayscale, sequential DCT) — pure stdlib + numpy.
 # With PNG (deflate+unfilter) and GIF (LZW) this removes the last codec
@@ -1704,11 +1957,14 @@ def jpeg_decode(payload: bytes):
     reproducible closed-form by the SQL oracle).  PROGRESSIVE (SOF2)
     streams decode via multi-scan coefficient accumulation
     (spectral selection, successive approximation, EOB runs) at 1x1
-    sampling.  4-COMPONENT (CMYK, Adobe transform=0/absent) frames
-    decode at 1x1 sampling with the sample planes returned AS STORED
-    (round 10 — T.81 defines no color semantics for them); YCCK
-    (transform=2), subsampled 4-component and 4-component progressive
-    raise ``NotImplementedError`` naming the missing feature.  Returns
+    sampling.  4-COMPONENT sequential frames decode at ANY
+    integer-ratio sampling (round 11): Adobe transform=0/absent
+    returns the sample planes AS STORED (T.81 defines no color
+    semantics for raw CMYK); Adobe transform=2 (YCCK, the print/scan
+    layout) applies the BT.601 inverse to the first three planes and
+    the libjpeg complement ``(C, M, Ye) = 255 - (R, G, B)`` with K as
+    stored.  4-component PROGRESSIVE still raises
+    ``NotImplementedError`` naming the gap.  Returns
     an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or ``(h, w, 4)``
     (CMYK as stored) uint8 array."""
     import struct
@@ -1783,11 +2039,15 @@ def jpeg_decode(payload: bytes):
                     f"chroma sampling {samplings} not supported — "
                     "4:4:4, 4:2:2 or 4:2:0 only"
                 )
-            if nc == 4 and samplings != [(1, 1)] * 4:
-                raise NotImplementedError(
-                    "subsampled 4-component JPEG not supported — "
-                    "CMYK decodes at 1x1 sampling only"
-                )
+            if nc == 4:
+                hm4 = max(hs for hs, _ in samplings)
+                vm4 = max(vs for _, vs in samplings)
+                if any(hm4 % hs or vm4 % vs for hs, vs in samplings):
+                    # pixel-replication upsampling needs integer ratios
+                    raise NotImplementedError(
+                        f"4-component sampling {samplings} not supported"
+                        " — factors must divide the maximum evenly"
+                    )
             if progressive:
                 if nc == 4:
                     raise NotImplementedError(
@@ -1850,15 +2110,6 @@ def jpeg_decode(payload: bytes):
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) JPEG not supported"
                 )
-            if ns == 4 and adobe_transform == 2:
-                # 4-component with Adobe transform=2 (YCCK) would need
-                # the BT.601 inverse before CMYK — out of scope, named
-                # BEFORE table lookups / entropy decode so even
-                # truncated streams report the real gap.
-                raise NotImplementedError(
-                    "YCCK (Adobe transform=2) decode not supported — "
-                    "raw 4-component CMYK only"
-                )
             # scan-order component specs, matched to the frame by id
             by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
             comp_specs = []
@@ -1877,8 +2128,41 @@ def jpeg_decode(payload: bytes):
             if ns == 1:
                 return planes[0][:, :, None]
             if ns == 4:
-                # 4-component (CMYK): T.81 defines no color semantics;
-                # the decoded sample planes are returned AS STORED.
+                # subsampled planes come back at stored resolution;
+                # replicate to full size (spec-legal nearest, exact in
+                # integers, hence oracle-replayable)
+                planes = [
+                    p
+                    if p.shape == (h, w)
+                    else p.repeat(h // p.shape[0], axis=0).repeat(
+                        w // p.shape[1], axis=1
+                    )
+                    for p in planes
+                ]
+                if adobe_transform == 2:
+                    # YCCK (Adobe transform=2): BT.601 inverse on the
+                    # first three planes, then the libjpeg complement
+                    # (C, M, Ye) = 255 - (R, G, B); K as stored.
+                    y = planes[0].astype(np.float64)
+                    cb = planes[1].astype(np.float64)
+                    cr = planes[2].astype(np.float64)
+                    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+                    g = np.floor(
+                        y
+                        - 0.344136 * (cb - 128.0)
+                        - 0.714136 * (cr - 128.0)
+                        + 0.5
+                    )
+                    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+                    cmy = 255.0 - np.clip(
+                        np.stack([r, g, b], axis=-1), 0, 255
+                    )
+                    return np.concatenate(
+                        [cmy, planes[3][:, :, None].astype(np.float64)],
+                        axis=-1,
+                    ).astype(np.uint8)
+                # 4-component (CMYK, transform=0/absent): T.81 defines
+                # no color semantics; sample planes returned AS STORED.
                 return np.stack(planes, axis=-1)
             y = planes[0].astype(np.float64)
             cb = planes[1].astype(np.float64)
@@ -2739,6 +3023,115 @@ def jpeg_encode_cmyk(coeffs, width: int, height: int, qtable=None) -> bytes:
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def jpeg_encode_ycck(coeffs, width: int, height: int, qtable=None) -> bytes:
+    """Encode a 4-COMPONENT YCCK baseline JPEG from QUANTIZED DCT
+    coefficients — Adobe transform=2, the print/scan CMYK variant that
+    stores ``(Y, Cb, Cr, K)`` with the chroma planes SUBSAMPLED: Y and
+    K at 2x1 sampling, Cb and Cr at 1x1, so each MCU covers a 16x8
+    pixel area with six blocks ``(y0, y1, cb, cr, k0, k1)``.
+    ``coeffs`` is a list of per-MCU 6-tuples of 64-element zig-zag
+    blocks; one quant table and the Annex-K Huffman pair serve all four
+    components, per-component DC predictors.  ``width`` must be a
+    multiple of 16 and ``height`` of 8."""
+    import struct
+
+    if width % 16 or height % 8:
+        raise ValueError("width must be a multiple of 16 and height of 8 at YCCK 2x1")
+    n_mcus = (width // 16) * (height // 8)
+    if len(coeffs) != n_mcus:
+        raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+        ">HHHB", 100, 0, 0, 2
+    )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, height, width, 4)
+    for cid, sampling in ((1, 0x21), (2, 0x11), (3, 0x11), (4, 0x21)):
+        out += bytes([cid, sampling, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 14, 4)
+    for cid in (1, 2, 3, 4):
+        out += bytes([cid, 0x00])
+    out += bytes([0, 63, 0])
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriterMSB()
+    prev = [0, 0, 0, 0]
+    for mcu in coeffs:
+        if len(mcu) != 6:
+            raise ValueError("a YCCK 2x1 MCU needs (y0, y1, cb, cr, k0, k1) blocks")
+        y0, y1, cb, cr, k0, k1 = mcu
+        for ci, blks in ((0, (y0, y1)), (1, (cb,)), (2, (cr,)), (3, (k0, k1))):
+            for blk in blks:
+                prev[ci] = _encode_block(w, blk, prev[ci], dc_codes, ac_codes)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synthesize_jpeg_ycck(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable YCCK (Adobe transform=2) baseline
+    JPEG per document id — SUBSAMPLED 4-component: Y and K at 2x1, Cb
+    and Cr at 1x1 (the classic print-scan layout), DC-only blocks, flat
+    quant table of 16.  Sub-block ``s`` (0=left, 1=right) of MCU ``k``
+    carries quantized DCs making the decoded planes the exact
+    integers::
+
+        Y  = 2*((m   + 13*(2k+s)) % 64) + 64
+        Cb = 2*((2*m +  7*k)      % 64) + 64   (constant per 16x8 MCU)
+        Cr = 2*((3*m +  5*k)      % 64) + 64   (constant per 16x8 MCU)
+        K  = 2*((4*m + 11*(2k+s)) % 64) + 64
+
+    so after 1x2 chroma replication and the BT.601 inverse the output
+    CMYK bytes are ``C = 255 - R``, ``M = 255 - G``, ``Ye = 255 - B``,
+    ``K`` as stored — all closed-form for the SQL oracle.
+    ``width = 16*(1 + m%3)``, ``height = 8*(1 + m%2)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 16 * (1 + m % 3), 8 * (1 + m % 2)
+                nm = (w // 16) * (h // 8)
+                mcus = []
+                for k in range(nm):
+                    blks = []
+                    for s in range(2):  # y0, y1
+                        blk = [0] * 64
+                        blk[0] = ((m + 13 * (2 * k + s)) % 64) - 32
+                        blks.append(blk)
+                    cb = [0] * 64
+                    cb[0] = ((2 * m + 7 * k) % 64) - 32
+                    cr = [0] * 64
+                    cr[0] = ((3 * m + 5 * k) % 64) - 32
+                    blks += [cb, cr]
+                    for s in range(2):  # k0, k1
+                        blk = [0] * 64
+                        blk[0] = ((4 * m + 11 * (2 * k + s)) % 64) - 32
+                        blks.append(blk)
+                    mcus.append(tuple(blks))
+                rows.append(jpeg_encode_ycck(mcus, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 def synthesize_jpeg_cmyk(documents: DataFrame) -> DataFrame:

@@ -1070,12 +1070,26 @@ def q_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# C-ext (round 10). Corpus encode under the trained vocabulary
-# (functions/bpe.py::bpe_encode) — REAL token-id arrays, the
-# apply-by-join shape: two corpus explodes each hash-joined against a
-# vocabulary-sized build side, reading order restored inside the one
-# aggregate.  The oracle composes the _BPE_REC trainer replay with the
-# same joins.
+# C-ext (round 10, gate shape fixed round 11). Corpus encode under the
+# trained vocabulary (functions/bpe.py::bpe_encode) — REAL token-id
+# arrays, the apply-by-join shape: two corpus explodes each hash-joined
+# against a vocabulary-sized build side, reading order restored inside
+# the one aggregate.  The oracle composes the _BPE_REC trainer replay
+# with the same joins.
+#
+# Gate shape: the driver canonicalizes results by sorting EVERY column
+# through pandas, which cannot sort list cells (round-10's red row:
+# ``TypeError: unhashable type: 'list'``).  The public API keeps real
+# ``token_ids array<int>``; the REGISTERED projection replaces the
+# array with an ORDER-SENSITIVE fold checksum
+# ``ck = fold(acc, x -> (acc*31 + x + 2) mod 2147483647, zero=0)``
+# computed identically on both engines (Spark ``F.aggregate`` /
+# DuckDB ``list_reduce(list_prepend(0, ids), ...)`` — DuckDB's reduce
+# seeds from the first element, so prepending the zero reproduces
+# Spark's explicit-zero semantics; ``+ 2`` keeps every step
+# non-negative for tid >= -1 so ``%`` == ``pmod``).  Any reorder,
+# insertion, or substitution of a single token id changes the checksum,
+# so the hash gate still verifies full reading-order token streams.
 # --------------------------------------------------------------------------
 
 
@@ -1142,22 +1156,43 @@ SELECT doc_id,
   CAST(count(tid) AS INTEGER) AS n_tokens,
   CAST(count(CASE WHEN sp = 0 AND oov THEN 1 END) AS INTEGER) AS n_oov_words,
   CAST(count(CASE WHEN tid = -1 THEN 1 END) AS INTEGER) AS n_unk,
-  coalesce(
-    list(CAST(tid AS INTEGER) ORDER BY wp, sp) FILTER (WHERE tid IS NOT NULL),
-    CAST([] AS INTEGER[])) AS token_ids
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      coalesce(
+        list(CAST(tid AS BIGINT) ORDER BY wp, sp) FILTER (WHERE tid IS NOT NULL),
+        CAST([] AS BIGINT[]))),
+    (acc, x) -> (acc * 31 + x + 2) % 2147483647) AS BIGINT) AS token_checksum
 FROM j2 GROUP BY doc_id
 """,
     "REAL BPE corpus encode under the trained vocabulary: per-document "
-    "token-id arrays in reading order (chars 0..C-1, merges by rank; "
+    "token-id streams in reading order (chars 0..C-1, merges by rank; "
     "OOV words char-fallback, unknown chars -1/UNK) — two corpus "
-    "explodes x vocabulary-sized shuffle_hash joins, one aggregate",
+    "explodes x vocabulary-sized shuffle_hash joins, one aggregate; "
+    "gated as an order-sensitive fold checksum over the id array "
+    "(driver-sortable scalar; public API returns the real arrays)",
 )
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.bpe import bpe_encode, bpe_train
 
     docs = read_table(spark, sf_dir, "documents")
     merges, words = bpe_train(docs, n_merges=_BPE_MERGES)
-    return bpe_encode(docs, merges, words)
+    out = bpe_encode(docs, merges, words)
+    ck = F.aggregate(
+        "token_ids",
+        F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(
+            acc * F.lit(31) + x.cast("long") + F.lit(2),
+            F.lit(2147483647).cast("long"),
+        ),
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "n_oov_words",
+        "n_unk",
+        ck.alias("token_checksum"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1013,6 +1013,90 @@ def q_multimodal_jpeg_cmyk_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # --------------------------------------------------------------------------
+# C-ext (round 11). YCCK + SUBSAMPLED 4-component JPEG decode — the
+# print/scan Adobe variant (transform=2) that stores (Y, Cb, Cr, K)
+# with Y and K at 2x1 sampling: the generic sampling-factor scan
+# decoder handles the six-block 16x8 MCU, chroma replicates 1x2, the
+# BT.601 inverse + libjpeg complement (C,M,Ye) = 255-(R,G,B) recovers
+# CMYK with K as stored.  Closes BOTH remaining sequential-JPEG pins
+# (YCCK and subsampled 4-component) in one stream; the JPEG scope pin
+# now names progressive 4-component only.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_ycck_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height
+  FROM documents
+),
+px0 AS (
+  SELECT media_id, width, height,
+    p % width AS x, p // width AS y
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+px AS (
+  SELECT media_id, width, height, x, y,
+    (y // 8) * (width // 16) + (x // 16) AS k,
+    (x % 16) // 8 AS s
+  FROM px0
+),
+ycc AS (
+  SELECT media_id, width, height, x, y,
+    CAST(2 * ((media_id + 13 * (2 * k + s)) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr,
+    CAST(2 * ((4 * media_id + 11 * (2 * k + s)) % 64) + 64 AS BIGINT) AS kv
+  FROM px
+),
+cmyk AS (
+  SELECT media_id, width, height, y * width + x AS pix,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS BIGINT) AS c0,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS BIGINT) AS c1,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS BIGINT) AS c2,
+    kv AS c3
+  FROM ycc
+),
+byt AS (
+  SELECT media_id, width, height, 4 * pix + c AS j,
+    CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS v
+  FROM cmyk, unnest(range(0, 4)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM byt
+GROUP BY media_id
+""",
+    "REAL stdlib YCCK (Adobe transform=2) SUBSAMPLED 4-component JPEG "
+    "decode: Y and K at 2x1 / chroma at 1x1 through the "
+    "sampling-factor-generic scan decoder, 1x2-replicated chroma, "
+    "BT.601 inverse + libjpeg complement to CMYK with K as stored — "
+    "every sample byte replayed closed-form; closes the YCCK and "
+    "subsampled-4-component pins, leaving progressive 4-component only",
+)
+def q_multimodal_jpeg_ycck_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_ycck,
+    )
+
+    media = synthesize_jpeg_ycck(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
 # C-ext (round 10). SUB-8-BIT PNG decode — the LAST PNG scope pin:
 # depth-4 indexed-color streams unfilter on the PACKED scanline bytes
 # (bpp = 1) and unpack MSB-first nibbles before the palette map; same
@@ -1068,3 +1152,102 @@ def q_multimodal_png_sub8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synthesize_png_sub8(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). ANIMATED GIF decode — the former multi-frame scope
+# gap: frame loop over image descriptors + graphic-control extensions,
+# disposal-method compositing onto the logical screen (the synthesized
+# streams use disposal 1 / leave-in-place overlays; the decoder also
+# handles 2 restore-to-background, 3 restore-to-previous, transparency
+# and local palettes, unit-tested in tests/test_multimodal_animated.py).
+# The oracle replays EVERY composited byte of EVERY frame closed-form:
+# composited frame f shows the latest overlay g <= f covering each
+# pixel, else the full-screen base frame.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_gif_animated_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(4 + doc_id % 13 AS INTEGER) AS w,
+    CAST(3 + doc_id % 11 AS INTEGER) AS h,
+    CAST(2 + doc_id % 3 AS INTEGER) AS nf
+  FROM documents
+),
+geom AS (
+  SELECT media_id, w, h, nf, (w + 1) // 2 AS fw, (h + 1) // 2 AS fh FROM m
+),
+ovl AS (
+  SELECT media_id, g,
+    (media_id + 5 * g) % (w - fw + 1) AS ox,
+    (3 * media_id + 7 * g) % (h - fh + 1) AS oy
+  FROM geom, unnest(range(1, CAST(nf AS BIGINT))) AS t(g)
+),
+px AS (
+  SELECT media_id, w, h, nf, fw, fh, f, p % w AS x, p // w AS y
+  FROM geom, unnest(range(0, CAST(nf AS BIGINT))) AS tf(f),
+       unnest(range(0, CAST(w AS BIGINT) * h)) AS tp(p)
+),
+winner AS (
+  SELECT p.media_id, p.w, p.h, p.nf, p.fw, p.f, p.x, p.y,
+    max(o.g) AS g,
+    arg_max(o.ox, o.g) AS ox,
+    arg_max(o.oy, o.g) AS oy
+  FROM px p LEFT JOIN ovl o
+    ON o.media_id = p.media_id AND o.g <= p.f
+   AND p.x >= o.ox AND p.x < o.ox + p.fw
+   AND p.y >= o.oy AND p.y < o.oy + p.fh
+  GROUP BY ALL
+),
+idx AS (
+  SELECT media_id, w, h, nf, f, x, y,
+    CASE WHEN g IS NULL
+      THEN (media_id * 31 + (y * w + x) * 7) % 16
+      ELSE (media_id * 31 + g * 11 + ((y - oy) * fw + (x - ox)) * 7) % 16
+    END AS k
+  FROM winner
+),
+rgb AS (
+  SELECT media_id, w, h, nf, 3 * ((f * h + y) * w + x) AS j0,
+    (k * 37) % 256 AS r,
+    (k * 59 + 11) % 256 AS g2,
+    (k * 83 + 29) % 256 AS b
+  FROM idx
+),
+dur AS (
+  SELECT media_id,
+    CAST(10 * sum((media_id + f) % 7 + 1) AS BIGINT) AS total_ms
+  FROM geom, unnest(range(0, CAST(nf AS BIGINT))) AS tf(f)
+  GROUP BY media_id
+)
+SELECT r.media_id,
+  'gif' AS format,
+  any_value(r.w) AS width,
+  any_value(r.h) AS height,
+  any_value(r.nf) AS n_frames,
+  any_value(d.total_ms) AS total_duration_ms,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g2 + b) AS BIGINT) AS px_sum,
+  CAST(sum(r * (j0 % 251 + 1)
+         + g2 * ((j0 + 1) % 251 + 1)
+         + b * ((j0 + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb r JOIN dur d USING (media_id)
+GROUP BY r.media_id
+""",
+    "REAL stdlib ANIMATED GIF decode: graphic-control extensions + "
+    "disposal-method compositing onto the logical screen (NETSCAPE "
+    "loop block skipped, per-frame delays summed to total_duration_ms), "
+    "order-sensitive px_dot over EVERY composited byte of EVERY frame "
+    "replayed closed-form — closes the animated-GIF scope gap",
+)
+def q_multimodal_gif_animated_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        gif_animated_stats,
+        synthesize_gif_animated,
+    )
+
+    media = synthesize_gif_animated(read_table(spark, sf_dir, "documents"))
+    return gif_animated_stats(media)

@@ -101,7 +101,40 @@ _ROUND10_FRONT = [
     "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
 ]
 
-ACTIVE_FRONT = _ROUND10_FRONT
+# Round-11 rotation (ACTIVE), computed from CORRECTNESS_r01-r10
+# latest-round history.  Front = the round-11 registrations (never
+# driver-checked: YCCK + animated-GIF decode) + `bpe_encode` (round
+# 10's only red row — its gate output is re-registered as an
+# order-sensitive fold checksum, so it re-enters the window to flip to
+# hash-gated PASS) + the stalest backfill to fill 50: every name whose
+# latest driver row is round 6, then round-7 alphabetical (the
+# remaining r7 names from multimodal_metadata... onward rotate in
+# round 12).
+_ROUND11_FRONT = [
+    # -- round-11 registrations, never driver-checked --
+    "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
+    # -- round-10's red row, gate shape fixed (token_checksum) --
+    "bpe_encode",
+    # -- backfill: latest driver row r6 --
+    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "tick_quality", "time_bars", "time_bars_compound_duration",
+    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "upsample_ffill", "vertical_barrier", "volume_bars", "vwap_slippage",
+    "winnow_dup_pairs", "winnow_fingerprints", "zipf_fit",
+    # -- backfill: latest driver row r7, alphabetical --
+    "ann_recall", "bar_volatility", "centroid_similarity",
+    "cluster_representatives", "cointegration", "corpus_filter",
+    "corpus_split", "corpus_stats", "corwin_schultz", "cpcv_assign",
+    "csw_explosiveness", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_recall", "dedup_simhash",
+    "embedding_cohesion", "event_study_car", "gumbel_topk",
+    "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
+    "key_skew", "microstructure", "multimodal_frame_sample",
+    "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
+    "realized_moments",
+]
+
+ACTIVE_FRONT = _ROUND11_FRONT
 
 # Pre-computed ROUND-11 front (activate at the START of round 11 by
 # defining _ROUND11_FRONT = the round-11 registrations + this backfill

@@ -110,3 +110,14 @@ __all__.append("streaming_implementation_shortfall")
 from polars_trading_spark.streaming.signature import streaming_rv_signature  # noqa: E402
 
 __all__.append("streaming_rv_signature")
+from polars_trading_spark.streaming.incremental import (  # noqa: E402
+    incremental_dedup_foreach_batch,
+    seed_minhash_index,
+    streaming_incremental_dedup,
+)
+
+__all__ += [
+    "incremental_dedup_foreach_batch",
+    "seed_minhash_index",
+    "streaming_incremental_dedup",
+]

@@ -54,8 +54,32 @@ def _normalize(cols, rows):
     return sorted(normed, key=_row_sort_key), [cols[i] for i in order]
 
 
+def assert_driver_sortable_schema(query, sdf):
+    """Registry gate-shape guard: the driver canonicalizer sorts EVERY
+    output column through pandas ``sort_values``, which raises
+    ``TypeError: unhashable type`` on list/dict cells (round-10's
+    ``bpe_encode`` red row).  No registered query may emit a top-level
+    Array/Map/Struct column — project arrays to exploded rows or an
+    order-sensitive fold checksum before registering.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{query.name}: driver-unsortable top-level columns {bad} — the "
+        "correctness gate canonicalizes via pandas sort_values, which "
+        "cannot sort complex cells; register a scalar projection "
+        "(explode, or an order-sensitive checksum) instead"
+    )
+
+
 def assert_query_matches_oracle(spark, query, sf_dir: str):
     sdf = query.spark(spark, sf_dir)
+    assert_driver_sortable_schema(query, sdf)
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
     o_cols, o_rows = duckdb_oracle(sf_dir, query.oracle)

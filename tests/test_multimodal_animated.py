@@ -1,0 +1,188 @@
+"""Round-11 codec units: YCCK / subsampled 4-component JPEG decode and
+ANIMATED GIF compositing — pure-Python (no Spark session), mirroring
+the reference's kernel-level test strategy (SURVEY.md §5).  The
+Spark-side plumbing is gated end-to-end by the registry oracles
+(``multimodal_jpeg_ycck_decode`` / ``multimodal_gif_animated_decode``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from polars_trading_spark.functions.multimodal import (
+    GIF_PALETTE_SIZE,
+    gif_decode_animated,
+    gif_encode_animated,
+    gif_palette,
+    jpeg_decode,
+    jpeg_encode_ycck,
+)
+
+PAL = np.array([gif_palette(k) for k in range(GIF_PALETTE_SIZE)], dtype=np.uint8)
+
+
+def _ycck_mcus(m: int, w: int, h: int):
+    mcus = []
+    for k in range((w // 16) * (h // 8)):
+        blks = []
+        for s in range(2):
+            blk = [0] * 64
+            blk[0] = ((m + 13 * (2 * k + s)) % 64) - 32
+            blks.append(blk)
+        cb = [0] * 64
+        cb[0] = ((2 * m + 7 * k) % 64) - 32
+        cr = [0] * 64
+        cr[0] = ((3 * m + 5 * k) % 64) - 32
+        blks += [cb, cr]
+        for s in range(2):
+            blk = [0] * 64
+            blk[0] = ((4 * m + 11 * (2 * k + s)) % 64) - 32
+            blks.append(blk)
+        mcus.append(tuple(blks))
+    return mcus
+
+
+def _ycck_expected(m: int, w: int, h: int) -> np.ndarray:
+    out = np.zeros((h, w, 4), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            k = (y // 8) * (w // 16) + x // 16
+            s = (x % 16) // 8
+            yv = 2 * ((m + 13 * (2 * k + s)) % 64) + 64
+            cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            kv = 2 * ((4 * m + 11 * (2 * k + s)) % 64) + 64
+            r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+            g = min(
+                255,
+                max(
+                    0,
+                    math.floor(
+                        yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                    ),
+                ),
+            )
+            b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+            out[y, x] = (255 - r, 255 - g, 255 - b, kv)
+    return out
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 5, 7, 11, 100, 12345])
+def test_ycck_roundtrip_pixel_exact(m):
+    w, h = 16 * (1 + m % 3), 8 * (1 + m % 2)
+    payload = jpeg_encode_ycck(_ycck_mcus(m, w, h), w, h)
+    dec = jpeg_decode(payload)
+    assert dec.shape == (h, w, 4)
+    assert np.array_equal(dec, _ycck_expected(m, w, h))
+
+
+def test_ycck_rejects_bad_geometry():
+    with pytest.raises(ValueError, match="multiple of 16"):
+        jpeg_encode_ycck([], 8, 8)
+    with pytest.raises(ValueError, match="MCU"):
+        jpeg_encode_ycck([], 16, 8)
+
+
+def test_progressive_four_component_still_pinned():
+    # splice an SOF2 marker with 4 components: the decoder must name
+    # the remaining scope gap instead of mis-decoding
+    import struct
+
+    payload = bytearray(b"\xff\xd8")
+    payload += b"\xff\xc2" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
+    for cid in (1, 2, 3, 4):
+        payload += bytes([cid, 0x11, 0])
+    payload += b"\xff\xd9"
+    with pytest.raises(NotImplementedError, match="4-component PROGRESSIVE"):
+        jpeg_decode(bytes(payload))
+
+
+def _synth_frames(m: int):
+    w, h = 4 + m % 13, 3 + m % 11
+    nf = 2 + m % 3
+    fw, fh = (w + 1) // 2, (h + 1) // 2
+    frames = [
+        {
+            "ox": 0,
+            "oy": 0,
+            "fw": w,
+            "fh": h,
+            "indices": [(m * 31 + j * 7) % 16 for j in range(w * h)],
+            "delay_cs": m % 7 + 1,
+            "disposal": 1,
+        }
+    ]
+    for f in range(1, nf):
+        frames.append(
+            {
+                "ox": (m + 5 * f) % (w - fw + 1),
+                "oy": (3 * m + 7 * f) % (h - fh + 1),
+                "fw": fw,
+                "fh": fh,
+                "indices": [(m * 31 + f * 11 + j * 7) % 16 for j in range(fw * fh)],
+                "delay_cs": (m + f) % 7 + 1,
+                "disposal": 1,
+            }
+        )
+    return frames, w, h
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 5, 7, 11, 100, 12345])
+def test_animated_gif_disposal1_composites_latest_overlay(m):
+    frames, w, h = _synth_frames(m)
+    dec, delays = gif_decode_animated(gif_encode_animated(frames, w, h))
+    assert delays == [fr["delay_cs"] for fr in frames]
+    screen = np.zeros((h, w), dtype=np.int64)
+    for f, fr in enumerate(frames):
+        idx = np.array(fr["indices"]).reshape(fr["fh"], fr["fw"])
+        screen[fr["oy"] : fr["oy"] + fr["fh"], fr["ox"] : fr["ox"] + fr["fw"]] = idx
+        assert np.array_equal(dec[f], PAL[screen]), f"frame {f} of media {m}"
+
+
+def test_animated_gif_disposal_2_3_and_transparency():
+    frames = [
+        # disposal 3: after display, restore the pre-frame screen (bg)
+        {"ox": 0, "oy": 0, "fw": 4, "fh": 4, "indices": [1] * 16,
+         "delay_cs": 5, "disposal": 3},
+        # disposal 2: after display, fill the rect with the background
+        {"ox": 1, "oy": 1, "fw": 2, "fh": 2, "indices": [2] * 4,
+         "delay_cs": 6, "disposal": 2},
+        # transparent index 0: leaves the underlying screen visible
+        {"ox": 0, "oy": 0, "fw": 4, "fh": 4, "indices": [3, 0] * 8,
+         "delay_cs": 7, "disposal": 1, "transparent": 0},
+    ]
+    dec, delays = gif_decode_animated(gif_encode_animated(frames, 4, 4, bg_index=7))
+    assert delays == [5, 6, 7]
+    assert (dec[0] == PAL[1]).all()
+    # frame 0's disposal=3 restored the background before frame 1 drew
+    exp1 = np.broadcast_to(PAL[7], (4, 4, 3)).copy()
+    exp1[1:3, 1:3] = PAL[2]
+    assert np.array_equal(dec[1], exp1)
+    # frame 1's disposal=2 re-filled its rect with background, then
+    # frame 2's transparent-0 stripes show background through the holes
+    exp2 = np.empty((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            exp2[y, x] = PAL[3] if (y * 4 + x) % 2 == 0 else PAL[7]
+    assert np.array_equal(dec[2], exp2)
+
+
+def test_animated_gif_trailer_and_netscape_skipped():
+    frames, w, h = _synth_frames(3)
+    payload = gif_encode_animated(frames, w, h)
+    assert b"NETSCAPE2.0" in payload and payload.endswith(b"\x3b")
+    dec, _ = gif_decode_animated(payload)
+    assert dec.shape[0] == len(frames)
+
+
+def test_animated_gif_rejects_out_of_screen_frame():
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_encode_animated(
+            [{"ox": 3, "oy": 0, "fw": 2, "fh": 1, "indices": [1, 2],
+              "delay_cs": 1}],
+            4,
+            4,
+        )

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pytest
 
 from polars_trading_spark.registry import QUERIES
-from tests._compare import assert_query_matches_oracle
+from tests._compare import assert_driver_sortable_schema, assert_query_matches_oracle
 
 ORACLE_QUERIES = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
 ROWS_ONLY = sorted(name for name, q in QUERIES.items() if q.oracle is None)
@@ -22,4 +22,6 @@ def test_query_matches_oracle(spark, sf_dir, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
-    assert QUERIES[name].spark(spark, sf_dir).count() > 0
+    sdf = QUERIES[name].spark(spark, sf_dir)
+    assert_driver_sortable_schema(QUERIES[name], sdf)
+    assert sdf.count() > 0

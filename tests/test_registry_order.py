@@ -26,31 +26,31 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-10 driver gate window: the 14 round-9 registrations that
-# have never been driver-checked, the 3 formerly rows-only queries
-# (newly DuckDB-oracled this round, re-gated to flip no_oracle -> PASS),
-# then the 33 stalest backfill names.
-_ROUND10_WINDOW = [
-    "walk_forward", "walk_forward_rolling", "spread_band_backtest_net",
-    "rank_portfolio_net", "lsh_power_curve", "contamination_report",
-    "benchmark_coverage", "multimodal_jpeg_color_decode",
-    "multimodal_png_palette_decode", "multimodal_gif_interlaced_decode",
-    "multimodal_png_interlaced_decode", "multimodal_jpeg_420_decode",
-    "spread_band_tearsheet", "rank_portfolio_tearsheet",
-    "hrp_weights", "bpe_train_merges", "bpe_token_budget",
-    # -- round-10 registrations --
-    "multimodal_jpeg_422_decode", "bpe_encode", "bpe_pack_sequences",
-    "implementation_shortfall", "execution_tearsheet",
-    "quality_classifier", "multimodal_jpeg_progressive_decode",
-    "market_impact_fit", "pbo_cscv", "tokenizer_fertility",
-    "packing_efficiency", "embedding_quantize", "dedup_incremental",
-    "multimodal_png16_decode", "multimodal_jpeg_cmyk_decode",
-    "multimodal_png_sub8_decode", "perplexity_budget_curves",
-    "dedup_cluster_profile", "rv_signature", "weekday_effect",
-    "ic_decay", "lsh_param_select", "lang_confusion",
-    "multimodal_bmp_metadata", "multimodal_jpeg_metadata",
-    "ngram_novelty", "pack_sequences", "permutation_entropy",
-    "pmi_cooccurrence", "reading_ease", "rsi", "sadf", "sample_weights",
+# The round-11 driver gate window: the 2 round-11 registrations (YCCK
+# JPEG + animated GIF, never driver-checked), `bpe_encode` (round 10's
+# only red row, re-registered with a driver-sortable checksum output to
+# flip err -> PASS), then the 47 stalest backfill names (latest driver
+# row round 6, then round-7 alphabetical).
+_ROUND11_WINDOW = [
+    "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
+    "bpe_encode",
+    # -- backfill: latest driver row r6 --
+    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
+    "tick_quality", "time_bars", "time_bars_compound_duration",
+    "triple_barrier", "triple_barrier_meta", "universe_summary",
+    "upsample_ffill", "vertical_barrier", "volume_bars", "vwap_slippage",
+    "winnow_dup_pairs", "winnow_fingerprints", "zipf_fit",
+    # -- backfill: latest driver row r7, alphabetical --
+    "ann_recall", "bar_volatility", "centroid_similarity",
+    "cluster_representatives", "cointegration", "corpus_filter",
+    "corpus_split", "corpus_stats", "corwin_schultz", "cpcv_assign",
+    "csw_explosiveness", "dedup_clusters", "dedup_embedding_cosine",
+    "dedup_ngram_jaccard", "dedup_recall", "dedup_simhash",
+    "embedding_cohesion", "event_study_car", "gumbel_topk",
+    "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
+    "key_skew", "microstructure", "multimodal_frame_sample",
+    "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
+    "realized_moments",
 ]
 
 
@@ -75,8 +75,8 @@ def test_queries_order_matches_manifest():
     )
 
 
-def test_round10_gate_window_is_first_50():
-    assert list(QUERIES)[:50] == _ROUND10_WINDOW
+def test_round11_gate_window_is_first_50():
+    assert list(QUERIES)[:50] == _ROUND11_WINDOW
 
 
 def test_every_never_gated_query_is_inside_the_gate_window():

@@ -4,6 +4,7 @@ and checked against the batch operators on the same data."""
 from __future__ import annotations
 
 import datetime as dt
+import os
 import shutil
 import tempfile
 
@@ -2670,3 +2671,164 @@ def test_streaming_rv_signature_validation(spark):
         streaming_rv_signature(None, lags=())
     with pytest.raises(ValueError):
         streaming_rv_signature(None, lags=(2, 2))
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """Round-11 twin: micro-batched incremental near-dedup against the
+    persisted signature index equals ONE batch ``incremental_dedup``
+    call over the concatenated batches, bit-for-bit — the
+    ``base_flag_col`` contract (appended stream sigs carry is_base=0,
+    which compares only against higher ids) makes the equality hold
+    regardless of how the snapshot is split into files."""
+    from polars_trading_spark.functions.dedup import (
+        incremental_dedup,
+        minhash_index,
+    )
+    from polars_trading_spark.streaming import (
+        seed_minhash_index,
+        streaming_incremental_dedup,
+    )
+
+    doc_schema = "doc_id long, text string"
+    base_text = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing outside"
+    )
+    novel = "novel content about spark engines and shuffle plans today"
+    base_rows = [
+        (1, base_text),
+        (2, "completely unrelated words about gardens and rain"),
+    ]
+    batches = [
+        [(10, base_text), (11, novel)],
+        [(12, novel), (13, ""), (14, "fresh unique text about volcanoes")],
+        [(15, base_text), (16, novel), (17, "another unique one about tides")],
+    ]
+    all_new = [r for b in batches for r in b]
+
+    batch_expect = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            spark.createDataFrame(all_new, doc_schema),
+            minhash_index(spark.createDataFrame(base_rows, doc_schema)),
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_incdedup_")
+    results = []
+    try:
+        index_dir = f"{d}/index"
+        seed_minhash_index(
+            spark.createDataFrame(base_rows, doc_schema), index_dir
+        )
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, doc_schema).coalesce(1).write.parquet(
+                f"{d}/stream/f{i}"
+            )
+        stream = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/stream/*")
+        )
+        q = streaming_incremental_dedup(
+            stream,
+            index_dir,
+            f"{d}/ckpt",
+            sink=lambda df, eid: results.extend(df.collect()),
+        )
+        q.awaitTermination(120)
+
+        got = {r["doc_id"]: r for r in results}
+        assert set(got) == set(batch_expect)
+        for did, r in got.items():
+            b = batch_expect[did]
+            for c in ("keep", "dup_of", "dup_is_base"):
+                assert r[c] == b[c], (did, c, r[c], b[c])
+            if b["est_jaccard"] is None:
+                assert r["est_jaccard"] is None, did
+            else:
+                assert r["est_jaccard"] == pytest.approx(b["est_jaccard"]), did
+        # the index grew by one flag-0 row per streamed doc
+        idx = spark.read.parquet(index_dir)
+        assert idx.where("is_base = 1").count() == len(base_rows)
+        assert idx.where("is_base = 0").count() == len(all_new)
+    finally:
+        for active in spark.streams.active:
+            active.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_incremental_dedup_restart_resumes(spark):
+    """Kill/resume drill for the foreachBatch twin: generation 2 starts
+    from the checkpoint with the index reflecting exactly the committed
+    batches; the union of both generations' decisions equals the batch
+    operator."""
+    from polars_trading_spark.functions.dedup import (
+        incremental_dedup,
+        minhash_index,
+    )
+    from polars_trading_spark.streaming import (
+        seed_minhash_index,
+        streaming_incremental_dedup,
+    )
+
+    doc_schema = "doc_id long, text string"
+    base_rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    batches = [
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        [(11, "totally different payload about rivers and stones")],
+        [(12, "totally different payload about rivers and stones")],
+    ]
+    all_new = [r for b in batches for r in b]
+    batch_expect = {
+        r["doc_id"]: r
+        for r in incremental_dedup(
+            spark.createDataFrame(all_new, doc_schema),
+            minhash_index(spark.createDataFrame(base_rows, doc_schema)),
+        ).collect()
+    }
+
+    d = tempfile.mkdtemp(prefix="pts_incdedup_rs_")
+    results = []
+    try:
+        index_dir = f"{d}/index"
+        seed_minhash_index(
+            spark.createDataFrame(base_rows, doc_schema), index_dir
+        )
+        sink = lambda df, eid: results.extend(df.collect())  # noqa: E731
+
+        def start(n_files):
+            for i in range(n_files):
+                path = f"{d}/stream/f{i}"
+                if not os.path.isdir(path):
+                    spark.createDataFrame(
+                        batches[i], doc_schema
+                    ).coalesce(1).write.parquet(path)
+            stream = (
+                spark.readStream.schema(doc_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{d}/stream/*")
+            )
+            return streaming_incremental_dedup(
+                stream, index_dir, f"{d}/ckpt", sink=sink
+            )
+
+        q1 = start(1)
+        q1.awaitTermination(120)
+        q2 = start(3)  # generation 2: two more files, same checkpoint
+        q2.awaitTermination(120)
+
+        got = {r["doc_id"]: r for r in results}
+        assert set(got) == set(batch_expect)
+        for did, r in got.items():
+            b = batch_expect[did]
+            for c in ("keep", "dup_of", "dup_is_base"):
+                assert r[c] == b[c], (did, c)
+        assert (
+            spark.read.parquet(index_dir).where("is_base = 0").count()
+            == len(all_new)
+        )
+    finally:
+        for active in spark.streams.active:
+            active.stop()
+        shutil.rmtree(d, ignore_errors=True)
