@@ -243,6 +243,7 @@ HEADLINE = [
     # round 11
     "multimodal_jpeg_ycck_decode",
     "multimodal_gif_animated_decode",
+    "multimodal_jpeg_prog_ycck_decode",
 ]
 
 

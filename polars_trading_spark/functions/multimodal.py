@@ -9,10 +9,10 @@ inflate + all five unfilters, truecolor AND indexed/PLTE, every spec
 bit depth 1/2/4/8/16 — PNG scope is COMPLETE), uncompressed BMP, GIF (full variable-width LZW, interlaced or
 not), and baseline JPEG (canonical Huffman + IDCT, grayscale AND
 4:4:4 / 4:2:2 / 4:2:0 YCbCr color, sequential AND progressive/SOF2 at
-1x1 sampling, plus 4-component sequential at any integer-ratio
-sampling: raw CMYK as stored AND YCCK/Adobe-transform-2 with the
-BT.601 inverse + libjpeg complement — round 11).  The remaining
-out-of-scope feature — PROGRESSIVE 4-component JPEG — raises
+1x1 sampling incl. 4-component, plus 4-component sequential at any
+integer-ratio sampling: raw CMYK as stored AND YCCK/Adobe-transform-2
+with the BT.601 inverse + libjpeg complement — round 11).  The one
+remaining out-of-scope feature — SUBSAMPLED progressive JPEG — raises
 ``NotImplementedError``
 naming the feature (``decode_image`` falls back to PIL for those when
 importable); the Spark-side plumbing (UDF signatures, batch iteration,
@@ -1957,14 +1957,14 @@ def jpeg_decode(payload: bytes):
     reproducible closed-form by the SQL oracle).  PROGRESSIVE (SOF2)
     streams decode via multi-scan coefficient accumulation
     (spectral selection, successive approximation, EOB runs) at 1x1
-    sampling.  4-COMPONENT sequential frames decode at ANY
-    integer-ratio sampling (round 11): Adobe transform=0/absent
-    returns the sample planes AS STORED (T.81 defines no color
-    semantics for raw CMYK); Adobe transform=2 (YCCK, the print/scan
-    layout) applies the BT.601 inverse to the first three planes and
-    the libjpeg complement ``(C, M, Ye) = 255 - (R, G, B)`` with K as
-    stored.  4-component PROGRESSIVE still raises
-    ``NotImplementedError`` naming the gap.  Returns
+    sampling — gray, 4:4:4 color AND 4-component (round 11).
+    4-COMPONENT frames (sequential at ANY integer-ratio sampling,
+    progressive at 1x1): Adobe transform=0/absent returns the sample
+    planes AS STORED (T.81 defines no color semantics for raw CMYK);
+    Adobe transform=2 (YCCK, the print/scan layout) applies the BT.601
+    inverse to the first three planes and the libjpeg complement
+    ``(C, M, Ye) = 255 - (R, G, B)`` with K as stored.  The one
+    remaining JPEG pin is SUBSAMPLED progressive.  Returns
     an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or ``(h, w, 4)``
     (CMYK as stored) uint8 array."""
     import struct
@@ -2049,14 +2049,10 @@ def jpeg_decode(payload: bytes):
                         " — factors must divide the maximum evenly"
                     )
             if progressive:
-                if nc == 4:
-                    raise NotImplementedError(
-                        "4-component PROGRESSIVE decode not supported"
-                    )
                 if samplings != [(1, 1)] * nc:
                     raise NotImplementedError(
                         "subsampled PROGRESSIVE decode not supported — "
-                        "progressive is 1x1 (gray / 4:4:4) only"
+                        "progressive is 1x1 (gray / 4:4:4 / 4-component) only"
                     )
                 if h % 8 or w % 8:
                     raise NotImplementedError(
@@ -2118,6 +2114,13 @@ def jpeg_decode(payload: bytes):
                 tsel = body[2 + 2 * ci]
                 td, ta = tsel >> 4, tsel & 0x0F
                 hs, vs, tq = by_id[cid]
+                if tq not in qtables or td not in dc_tables or ta not in ac_tables:
+                    # malformed, not unsupported: the stream references
+                    # tables it never declared
+                    raise ValueError(
+                        f"scan references undeclared table (q={tq}, "
+                        f"dc={td}, ac={ta})"
+                    )
                 comp_specs.append(
                     (qtables[tq], dc_tables[td], ac_tables[ta], hs, vs)
                 )
@@ -2204,6 +2207,17 @@ def jpeg_decode(payload: bytes):
             y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
         )
         b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+        if len(planes) == 4:
+            # progressive 4-component (round 11): same color contract
+            # as the sequential path — transform=2 applies the BT.601
+            # inverse + libjpeg complement, else planes as stored
+            if adobe_transform == 2:
+                cmy = 255.0 - np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+                return np.concatenate(
+                    [cmy, planes[3][:, :, None].astype(np.float64)],
+                    axis=-1,
+                ).astype(np.uint8)
+            return np.stack(planes, axis=-1)
         return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     raise ValueError("JPEG contains no scan")
 
@@ -2606,7 +2620,10 @@ def _emit_eobrun(w, ac_codes, eobrun: int, pending_bits: list) -> int:
     return 0
 
 
-def jpeg_encode_progressive(coeffs, width: int, height: int, qtable=None, al: int = 1) -> bytes:
+def jpeg_encode_progressive(
+    coeffs, width: int, height: int, qtable=None, al: int = 1,
+    adobe_transform: int | None = None,
+) -> bytes:
     """Encode a PROGRESSIVE (SOF2) JPEG from QUANTIZED DCT coefficients
     with spectral selection + successive approximation: DC first scan
     (point transform ``Al = al``), one DC refinement scan per bit, an
@@ -2615,8 +2632,10 @@ def jpeg_encode_progressive(coeffs, width: int, height: int, qtable=None, al: in
     across blocks, ZRL inside refinement, buffered correction bits).
 
     ``coeffs``: grayscale — a list of 64-element zig-zag blocks
-    (row-major); color — a list of ``(y, cb, cr)`` triples (4:4:4).
-    ``width``/``height`` must be multiples of 8.
+    (row-major); color — a list of ``(y, cb, cr)`` triples (4:4:4);
+    4-component (round 11) — a list of 4-tuples of blocks, with
+    ``adobe_transform`` writing the APP14 marker (0 = raw CMYK as
+    stored, 2 = YCCK).  ``width``/``height`` must be multiples of 8.
     """
     import struct
 
@@ -2627,9 +2646,15 @@ def jpeg_encode_progressive(coeffs, width: int, height: int, qtable=None, al: in
     n_blocks = (width // 8) * (height // 8)
     if len(coeffs) != n_blocks:
         raise ValueError(f"need {n_blocks} blocks/MCUs, got {len(coeffs)}")
-    color = len(coeffs[0]) == 3 and len(coeffs[0][0]) == 64
+    first = coeffs[0]
+    multi = (
+        isinstance(first, (tuple, list))
+        and len(first) in (3, 4)
+        and isinstance(first[0], (tuple, list))
+        and len(first[0]) == 64
+    )
     comps = (
-        [list(c) for c in zip(*coeffs)] if color else [list(coeffs)]
+        [list(c) for c in zip(*coeffs)] if multi else [list(coeffs)]
     )  # comps[ci][b] = 64-list
     nc = len(comps)
     q = list(qtable) if qtable is not None else [16] * 64
@@ -2638,6 +2663,10 @@ def jpeg_encode_progressive(coeffs, width: int, height: int, qtable=None, al: in
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    if adobe_transform is not None:
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform
+        )
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for cid in range(1, nc + 1):
@@ -2963,6 +2992,49 @@ def synthesize_png16(documents: DataFrame) -> DataFrame:
                 j = np.arange(w * h * 3, dtype=np.int64)
                 px = ((m * 97 + j * 641) % 65536).astype(np.uint16).reshape(h, w, 3)
                 rows.append(png_encode(px, color_type=2, depth=16))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_prog_ycck(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL decodable PROGRESSIVE 4-component YCCK JPEG
+    per document id (round 11 — the former 4-component-progressive
+    pin): SOF2 successive-approximation streams (interleaved 4-plane
+    DC first/refinement scans, per-component AC scans) carrying the
+    SAME DC-only spectra as ``synthesize_jpeg_cmyk``, Adobe
+    transform=2, all planes 1x1.  Decoded planes are the exact
+    integers ``P_c = 2*((c*m + b_c*k) % 64) + 64`` (b = 13/7/5/11),
+    then the YCCK transform makes every CMYK byte closed-form.
+    ``width = 8*(1 + m%6)``, ``height = 8*(1 + m%4)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+                nb = (w // 8) * (h // 8)
+                mcus = []
+                for k in range(nb):
+                    blks = []
+                    for a, b in ((1, 13), (2, 7), (3, 5), (4, 11)):
+                        blk = [0] * 64
+                        blk[0] = ((a * m + b * k) % 64) - 32
+                        blks.append(blk)
+                    mcus.append(tuple(blks))
+                rows.append(
+                    jpeg_encode_progressive(mcus, w, h, adobe_transform=2)
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -1019,8 +1019,9 @@ def q_multimodal_jpeg_cmyk_decode(spark: SparkSession, sf_dir: str) -> DataFrame
 # decoder handles the six-block 16x8 MCU, chroma replicates 1x2, the
 # BT.601 inverse + libjpeg complement (C,M,Ye) = 255-(R,G,B) recovers
 # CMYK with K as stored.  Closes BOTH remaining sequential-JPEG pins
-# (YCCK and subsampled 4-component) in one stream; the JPEG scope pin
-# now names progressive 4-component only.
+# (YCCK and subsampled 4-component) in one stream; with the
+# progressive-YCCK registration below, the JPEG scope pin now names
+# SUBSAMPLED progressive only.
 # --------------------------------------------------------------------------
 
 
@@ -1084,7 +1085,7 @@ GROUP BY media_id
     "sampling-factor-generic scan decoder, 1x2-replicated chroma, "
     "BT.601 inverse + libjpeg complement to CMYK with K as stored — "
     "every sample byte replayed closed-form; closes the YCCK and "
-    "subsampled-4-component pins, leaving progressive 4-component only",
+    "subsampled-4-component pins (progressive 4-component closes below)",
 )
 def q_multimodal_jpeg_ycck_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.functions.multimodal import (
@@ -1251,3 +1252,76 @@ def q_multimodal_gif_animated_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
     media = synthesize_gif_animated(read_table(spark, sf_dir, "documents"))
     return gif_animated_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). PROGRESSIVE 4-component YCCK decode — the last
+# 4-component JPEG pin: SOF2 successive-approximation streams with
+# FOUR interleaved planes (DC first/refinement scans, per-component AC
+# scans) accumulated by the multi-scan path, then the YCCK transform
+# (BT.601 inverse + libjpeg complement, K as stored).  Same DC-only
+# spectra as the sequential CMYK oracle; the only remaining JPEG pin
+# is SUBSAMPLED progressive.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_prog_ycck_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+blk AS (
+  SELECT media_id, width, height, k,
+    CAST(2 * ((media_id + 13 * k) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr,
+    CAST(2 * ((4 * media_id + 11 * k) % 64) + 64 AS BIGINT) AS kv
+  FROM m, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+cmyk AS (
+  SELECT media_id, width, height, k,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS BIGINT) AS c0,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS BIGINT) AS c1,
+    255 - CAST(least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS BIGINT) AS c2,
+    kv AS c3
+  FROM blk
+),
+px AS (
+  SELECT media_id, width, height,
+    4 * (((k // (width // 8)) * 8 + p // 8) * width
+         + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CASE c WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS v
+  FROM cmyk, unnest(range(0, 64)) AS tp(p), unnest(range(0, 4)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib PROGRESSIVE 4-component YCCK JPEG decode: SOF2 "
+    "multi-scan coefficient accumulation over four interleaved planes, "
+    "then the BT.601 inverse + libjpeg complement with K as stored — "
+    "every CMYK byte replayed closed-form; the JPEG scope pin now "
+    "names subsampled progressive only",
+)
+def q_multimodal_jpeg_prog_ycck_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_prog_ycck,
+    )
+
+    media = synthesize_jpeg_prog_ycck(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

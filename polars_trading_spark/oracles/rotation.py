@@ -103,7 +103,8 @@ _ROUND10_FRONT = [
 
 # Round-11 rotation (ACTIVE), computed from CORRECTNESS_r01-r10
 # latest-round history.  Front = the round-11 registrations (never
-# driver-checked: YCCK + animated-GIF decode) + `bpe_encode` (round
+# driver-checked: YCCK, animated-GIF, progressive-YCCK decode) +
+# `bpe_encode` (round
 # 10's only red row — its gate output is re-registered as an
 # order-sensitive fold checksum, so it re-enters the window to flip to
 # hash-gated PASS) + the stalest backfill to fill 50: every name whose
@@ -113,6 +114,7 @@ _ROUND10_FRONT = [
 _ROUND11_FRONT = [
     # -- round-11 registrations, never driver-checked --
     "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
+    "multimodal_jpeg_prog_ycck_decode",
     # -- round-10's red row, gate shape fixed (token_checksum) --
     "bpe_encode",
     # -- backfill: latest driver row r6 --
@@ -131,27 +133,20 @@ _ROUND11_FRONT = [
     "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
     "key_skew", "microstructure", "multimodal_frame_sample",
     "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
-    "realized_moments",
 ]
 
 ACTIVE_FRONT = _ROUND11_FRONT
 
-# Pre-computed ROUND-11 front (activate at the START of round 11 by
-# defining _ROUND11_FRONT = the round-11 registrations + this backfill
-# and pointing ACTIVE_FRONT at it; every round-10 registration gets its
-# driver row from the round-10 window above).  Backfill by staleness —
-# latest driver row round 6, then round-7 alphabetical (from
-# CORRECTNESS_r01-r09 latest-round history; the remaining r7 names
-# from multimodal_metadata onward rotate in round 12):
+# Pre-computed ROUND-12 backfill (activate at the START of round 12 by
+# defining _ROUND12_FRONT = the round-12 registrations + this backfill
+# and pointing ACTIVE_FRONT at it; every round-11 registration gets its
+# driver row from the round-11 window above).  Backfill by staleness —
+# the remaining round-7-latest names, alphabetical (from
+# CORRECTNESS_r01-r10 latest-round history; recompute with r11 in hand
+# before activating):
 #
-#   tick_quality time_bars time_bars_compound_duration triple_barrier
-#   triple_barrier_meta universe_summary upsample_ffill
-#   vertical_barrier volume_bars vwap_slippage winnow_dup_pairs
-#   winnow_fingerprints zipf_fit ann_recall bar_volatility
-#   centroid_similarity cluster_representatives cointegration
-#   corpus_filter corpus_split corpus_stats corwin_schultz cpcv_assign
-#   csw_explosiveness dedup_clusters dedup_embedding_cosine
-#   dedup_ngram_jaccard dedup_recall dedup_simhash embedding_cohesion
-#   event_study_car gumbel_topk hard_negatives hurst imbalance_bars
-#   kalman_hedge key_skew microstructure multimodal_frame_sample
-#   multimodal_metadata
+#   realized_moments repetition_profile return_entropy risk_ratios
+#   run_bars runs_test sadf_adf1 similarity_topk_ivf
+#   similarity_topk_lsh size_quantiles stratified_sample text_analysis
+#   tfidf_topk trend_scan two_scale_rv ulcer_index variance_ratio
+#   vocab_divergence vocab_topk vpin

@@ -238,26 +238,31 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk + b"\xff\xd9")
-    # ... while SUBSAMPLED 4-component stays out of scope
+    # ... SUBSAMPLED 4-component is IN scope since round 11 (any
+    # integer-ratio sampling): header-only means malformed, not
+    # unsupported
     sof_cmyk_sub = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 4, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="subsampled 4-component"):
+    with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_sub + b"\xff\xd9")
+    # ... while NON-INTEGER-RATIO 4-component sampling stays pinned
+    # (pixel replication needs each factor to divide the maximum)
+    sof_cmyk_bad = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
+        [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1, 4, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="divide the maximum"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_bad + b"\xff\xd9")
     # ... as does a 2-component frame, by count
     sof_2c = b"\xff\xc0" + struct.pack(">HBHHB", 14, 8, h, w, 2) + bytes(
         [1, 0x11, 0, 2, 0x11, 1]
     )
     with pytest.raises(NotImplementedError, match="2-component"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_2c + b"\xff\xd9")
-    # YCCK (Adobe transform=2) is named out of scope end-to-end ->
-    # NotImplementedError (via the PIL fallback when absent)
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL available; fallback path not reachable")
-    except ImportError:
-        pass
+    # YCCK (Adobe transform=2) is IN scope since round 11: a stream
+    # that declares it but carries a truncated scan is malformed, not
+    # unsupported (pixel-exact decode is covered in
+    # tests/test_multimodal_animated.py)
     app14_ycck = (
         b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
         + struct.pack(">HHHB", 100, 0, 0, 2)
@@ -265,7 +270,7 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     sos4 = b"\xff\xda" + struct.pack(">HB", 14, 4) + bytes(
         [1, 0x00, 2, 0x11, 3, 0x11, 4, 0x11, 0, 63, 0]
     )
-    with pytest.raises(NotImplementedError, match="color"):
+    with pytest.raises(ValueError):
         multimodal.decode_image(
             b"\xff\xd8" + app14_ycck + app0 + sof_cmyk + sos4 + b"\xff\xd9"
         )
@@ -2497,12 +2502,27 @@ def test_jpeg_cmyk_decode_closed_form_and_ycck_pin():
                 assert (
                     px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] == expect
                 ).all(), (m, k, ci)
-    # flipping the Adobe transform byte to 2 (YCCK) pins the scope
+    # flipping the Adobe transform byte to 2 reinterprets the SAME
+    # entropy stream as YCCK (round 11): the decode applies the BT.601
+    # inverse + libjpeg complement to planes 0-2 and keeps K as stored
+    import math as _math
+
     ycck = bytearray(pay)
     adobe_at = ycck.index(b"Adobe")
     ycck[adobe_at + 11] = 2
-    with pytest.raises(NotImplementedError, match="YCCK"):
-        jpeg_decode(bytes(ycck))
+    px_y = jpeg_decode(bytes(ycck))
+    assert px_y.shape == (h, w, 4)
+    bw = w // 8
+    for k in range(nb):
+        by, bx = k // bw, k % bw
+        yv, cb, cr, kv = (2 * ((a * m + b * k) % 64) + 64 for a, b in gens)
+        r = min(255, max(0, _math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+        g = min(255, max(0, _math.floor(
+            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+        b_ = min(255, max(0, _math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+        blkpx = px_y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+        for ci, want in enumerate((255 - r, 255 - g, 255 - b_, kv)):
+            assert (blkpx[:, :, ci] == want).all(), (m, k, ci)
     # AC coefficients also ride the 4-plane scan (not just DC-only)
     mcus_ac = []
     for k in range(nb):

@@ -86,17 +86,18 @@ def test_ycck_rejects_bad_geometry():
         jpeg_encode_ycck([], 16, 8)
 
 
-def test_progressive_four_component_still_pinned():
-    # splice an SOF2 marker with 4 components: the decoder must name
-    # the remaining scope gap instead of mis-decoding
+def test_subsampled_progressive_still_pinned():
+    # splice an SOF2 marker with a subsampled component: the decoder
+    # must name the one remaining scope gap instead of mis-decoding
     import struct
 
     payload = bytearray(b"\xff\xd8")
-    payload += b"\xff\xc2" + struct.pack(">HBHHB", 20, 8, 8, 8, 4)
-    for cid in (1, 2, 3, 4):
+    payload += b"\xff\xc2" + struct.pack(">HBHHB", 20, 8, 16, 16, 4)
+    payload += bytes([1, 0x22, 0])
+    for cid in (2, 3, 4):
         payload += bytes([cid, 0x11, 0])
     payload += b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="4-component PROGRESSIVE"):
+    with pytest.raises(NotImplementedError, match="subsampled PROGRESSIVE"):
         jpeg_decode(bytes(payload))
 
 
@@ -186,3 +187,52 @@ def test_animated_gif_rejects_out_of_screen_frame():
             4,
             4,
         )
+
+
+def _prog4_mcus(m: int, w: int, h: int):
+    mcus = []
+    for k in range((w // 8) * (h // 8)):
+        blks = []
+        for a, b in ((1, 13), (2, 7), (3, 5), (4, 11)):
+            blk = [0] * 64
+            blk[0] = ((a * m + b * k) % 64) - 32
+            blks.append(blk)
+        mcus.append(tuple(blks))
+    return mcus
+
+
+@pytest.mark.parametrize("m", [0, 1, 5, 7, 100, 12345])
+def test_progressive_ycck_roundtrip_pixel_exact(m):
+    from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
+
+    w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+    dec = jpeg_decode(jpeg_encode_progressive(_prog4_mcus(m, w, h), w, h,
+                                              adobe_transform=2))
+    assert dec.shape == (h, w, 4)
+    exp = np.zeros((h, w, 4), dtype=np.uint8)
+    for yy in range(h):
+        for x in range(w):
+            k = (yy // 8) * (w // 8) + x // 8
+            yv = 2 * ((m + 13 * k) % 64) + 64
+            cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            kv = 2 * ((4 * m + 11 * k) % 64) + 64
+            r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+            g = min(255, max(0, math.floor(
+                yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+            b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+            exp[yy, x] = (255 - r, 255 - g, 255 - b, kv)
+    assert np.array_equal(dec, exp)
+
+
+def test_progressive_cmyk_as_stored():
+    from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
+
+    m, w, h = 9, 16, 8
+    dec = jpeg_decode(jpeg_encode_progressive(_prog4_mcus(m, w, h), w, h,
+                                              adobe_transform=0))
+    for yy in range(h):
+        for x in range(w):
+            k = (yy // 8) * (w // 8) + x // 8
+            for c, (a, b) in enumerate(((1, 13), (2, 7), (3, 5), (4, 11))):
+                assert dec[yy, x, c] == 2 * ((a * m + b * k) % 64) + 64
