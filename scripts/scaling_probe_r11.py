@@ -64,6 +64,11 @@ def probe_ycck(spark) -> None:
         synthesize_jpeg_ycck,
     )
 
+    # warm the Python-worker / Arrow paths so the smallest point isn't
+    # charged for JVM+fork init
+    png_pixel_stats(synthesize_jpeg_ycck(_ids(spark, 200))).write.format(
+        "noop"
+    ).mode("overwrite").save()
     for n in (5_000, 20_000, 80_000):
         print(f"== media={n}")
         _bench("ycck_decode", png_pixel_stats(synthesize_jpeg_ycck(_ids(spark, n))))
@@ -131,12 +136,18 @@ def probe_sigcache(spark) -> None:
         shared_signature_cache,
     )
 
+    from pyspark.sql import functions as F
+
     d = tempfile.mkdtemp(prefix="pts_probe_r11_sig_")
     try:
-        _docs(spark, 40_000, d)
+        _docs(spark, 20_000, d)
 
         def chain(tag: str) -> None:
-            docs = spark.read.parquet(d)
+            # fresh read per call: the cache must hit on the
+            # CANONICALIZED plan, not object identity
+            docs = spark.read.parquet(d).withColumn(
+                "source", F.concat(F.lit("s"), (F.col("doc_id") % 4))
+            )
             total = 0.0
             total += _bench(f"{tag}:pairs", minhash_lsh_pairs(docs))
             total += _bench(
