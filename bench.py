@@ -244,6 +244,7 @@ HEADLINE = [
     "multimodal_jpeg_ycck_decode",
     "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode",
+    "multimodal_jpeg_prog420_decode",
 ]
 
 

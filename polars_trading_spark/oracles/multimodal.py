@@ -1325,3 +1325,84 @@ def q_multimodal_jpeg_prog_ycck_decode(spark: SparkSession, sf_dir: str) -> Data
 
     media = synthesize_jpeg_prog_ycck(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). SUBSAMPLED PROGRESSIVE JPEG decode — the LAST JPEG
+# scope pin closed: progressive is now sampling-generic (interleaved
+# DC scans walk MCU block order per A.2.3, AC scans stay per-component
+# raster; per-component block grids, replicated upsampling).  The
+# synthesizer carries the sequential 4:2:0 DC spectra, so the oracle is
+# the SAME closed form as multimodal_jpeg_420_decode — only the stream
+# differs (six-scan successive approximation at 2x2 luma sampling).
+# JPEG scope: baseline AND progressive, 1/3/4 components, any
+# integer-ratio sampling.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_prog420_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+         CAST(16 * (1 + doc_id % 2) AS INTEGER) AS height
+  FROM documents
+),
+px0 AS (
+  SELECT media_id, width, height,
+    p % width AS x, p // width AS y
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+px AS (
+  SELECT media_id, width, height, x, y,
+    (y // 16) * (width // 16) + (x // 16) AS k,
+    ((y % 16) // 8) * 2 + (x % 16) // 8 AS s
+  FROM px0
+),
+ycc AS (
+  SELECT media_id, width, height, x, y,
+    CAST(2 * ((media_id + 13 * (4 * k + s)) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM px
+),
+rgb AS (
+  SELECT media_id, width, height, 3 * (y * width + x) AS j0,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM ycc
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(CAST(r AS BIGINT) + CAST(g AS BIGINT) + CAST(b AS BIGINT)) AS BIGINT) AS px_sum,
+  CAST(sum(CAST(r AS BIGINT) * (j0 % 251 + 1)
+         + CAST(g AS BIGINT) * ((j0 + 1) % 251 + 1)
+         + CAST(b AS BIGINT) * ((j0 + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib SUBSAMPLED PROGRESSIVE JPEG decode: SOF2 "
+    "successive-approximation streams at 2x2 luma sampling — "
+    "MCU-interleaved DC scans, per-component AC scans, per-component "
+    "block grids, replicated chroma — decoding to the EXACT bytes of "
+    "the sequential 4:2:0 oracle; closes the last JPEG scope pin "
+    "(JPEG is now baseline AND progressive, 1/3/4 components, any "
+    "integer-ratio sampling)",
+)
+def q_multimodal_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_prog420,
+    )
+
+    media = synthesize_jpeg_prog420(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -211,12 +211,19 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_422 + b"\xff\xd9")
-    # ... while a 4:1:1 frame stays out of scope by sampling factors
+    # ... 4:1:1 is IN scope since round 11 (any integer-ratio
+    # sampling): header-only means malformed, not unsupported
     sof_411 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2 or 4:2:0"):
+    with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_411 + b"\xff\xd9")
+    # ... while NON-INTEGER-RATIO 3-component sampling stays pinned
+    sof_3c_bad = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="divide the maximum"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_3c_bad + b"\xff\xd9")
     # a header-only GRAYSCALE stream is malformed, not unsupported
     sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
@@ -2283,10 +2290,12 @@ def test_jpeg_420_codec_dc_only_exact_and_scope():
     app0 = b"\xff\xe0" + struct.pack(
         ">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0
     )
+    # 4:1:1 is IN scope since round 11 (integer-ratio sampling):
+    # header-only means malformed, not unsupported
     sof_411 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 64, 3) + bytes(
         [1, 0x41, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="4:4:4, 4:2:2 or 4:2:0"):
+    with pytest.raises(ValueError, match="no scan"):
         jpeg_decode(b"\xff\xd8" + app0 + sof_411 + b"\xff\xd9")
 
 
@@ -2406,7 +2415,10 @@ def test_jpeg_progressive_scope_and_validation():
         jpeg_encode_progressive([[0] * 64], 12, 8)  # not multiple of 8
     with pytest.raises(ValueError):
         jpeg_encode_progressive([[0] * 64], 8, 8, al=0)
-    # subsampled progressive stays pinned
+    # subsampled progressive is IN scope since round 11: a header-only
+    # 4:2:0 SOF2 stream (no DQT, no scans) is malformed, not
+    # unsupported (pixel-exact decode covered in
+    # tests/test_multimodal_animated.py)
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(
@@ -2415,8 +2427,14 @@ def test_jpeg_progressive_scope_and_validation():
     sof2_420 = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 16, 16, 3) + bytes(
         [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="subsampled PROGRESSIVE"):
+    with pytest.raises(ValueError, match="undeclared quant table"):
         jpeg_decode(b"\xff\xd8" + app0 + sof2_420 + b"\xff\xd9")
+    # non-integer-ratio progressive sampling stays pinned
+    sof2_bad = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 48, 48, 3) + bytes(
+        [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1]
+    )
+    with pytest.raises(NotImplementedError, match="divide the maximum"):
+        jpeg_decode(b"\xff\xd8" + app0 + sof2_bad + b"\xff\xd9")
 
 
 def test_png16_round_trips_and_scope():

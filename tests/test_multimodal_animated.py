@@ -86,19 +86,126 @@ def test_ycck_rejects_bad_geometry():
         jpeg_encode_ycck([], 16, 8)
 
 
-def test_subsampled_progressive_still_pinned():
-    # splice an SOF2 marker with a subsampled component: the decoder
-    # must name the one remaining scope gap instead of mis-decoding
+def test_non_integer_ratio_progressive_pinned():
+    # subsampled progressive is IN scope since round 11; the honest
+    # remaining sampling pin is a NON-INTEGER ratio (3:2 mix), where
+    # pixel-replication upsampling cannot apply
     import struct
 
     payload = bytearray(b"\xff\xd8")
-    payload += b"\xff\xc2" + struct.pack(">HBHHB", 20, 8, 16, 16, 4)
-    payload += bytes([1, 0x22, 0])
-    for cid in (2, 3, 4):
+    payload += b"\xff\xc2" + struct.pack(">HBHHB", 20, 8, 48, 48, 4)
+    payload += bytes([1, 0x31, 0])
+    payload += bytes([2, 0x21, 0])
+    for cid in (3, 4):
         payload += bytes([cid, 0x11, 0])
     payload += b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="subsampled PROGRESSIVE"):
+    with pytest.raises(NotImplementedError, match="divide the maximum"):
         jpeg_decode(bytes(payload))
+
+
+def _rgb_from(yv, cb, cr):
+    r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+    g = min(255, max(0, math.floor(
+        yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+    b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+    return r, g, b
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 5, 7, 11, 100])
+def test_progressive_420_roundtrip_pixel_exact(m):
+    from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
+
+    w, h = 16 * (1 + m % 3), 16 * (1 + m % 2)
+    mcw, mch = w // 16, h // 16
+    yb = []
+    for byy in range(2 * mch):
+        for bxx in range(2 * mcw):
+            k = (byy // 2) * mcw + bxx // 2
+            s = (byy % 2) * 2 + (bxx % 2)
+            blk = [0] * 64
+            blk[0] = ((m + 13 * (4 * k + s)) % 64) - 32
+            yb.append(blk)
+    cbs, crs = [], []
+    for k in range(mcw * mch):
+        b1 = [0] * 64
+        b1[0] = ((2 * m + 7 * k) % 64) - 32
+        cbs.append(b1)
+        b2 = [0] * 64
+        b2[0] = ((3 * m + 5 * k) % 64) - 32
+        crs.append(b2)
+    dec = jpeg_decode(
+        jpeg_encode_progressive(
+            [yb, cbs, crs], w, h, samplings=[(2, 2), (1, 1), (1, 1)]
+        )
+    )
+    assert dec.shape == (h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            k = (y // 16) * mcw + x // 16
+            s = ((y % 16) // 8) * 2 + (x % 16) // 8
+            yv = 2 * ((m + 13 * (4 * k + s)) % 64) + 64
+            cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            assert tuple(dec[y, x]) == _rgb_from(yv, cb, cr), (m, x, y)
+
+
+def test_progressive_subsampled_ycck_roundtrip():
+    from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
+
+    m, w, h = 11, 32, 8
+    mcw, mch = w // 16, h // 8
+    yb, kb = [], []
+    for byy in range(mch):
+        for bxx in range(2 * mcw):
+            k = byy * mcw + bxx // 2
+            s = bxx % 2
+            b1 = [0] * 64
+            b1[0] = ((m + 13 * (2 * k + s)) % 64) - 32
+            yb.append(b1)
+            b2 = [0] * 64
+            b2[0] = ((4 * m + 11 * (2 * k + s)) % 64) - 32
+            kb.append(b2)
+    cbs, crs = [], []
+    for k in range(mcw * mch):
+        b1 = [0] * 64
+        b1[0] = ((2 * m + 7 * k) % 64) - 32
+        cbs.append(b1)
+        b2 = [0] * 64
+        b2[0] = ((3 * m + 5 * k) % 64) - 32
+        crs.append(b2)
+    dec = jpeg_decode(
+        jpeg_encode_progressive(
+            [yb, cbs, crs, kb],
+            w,
+            h,
+            samplings=[(2, 1), (1, 1), (1, 1), (2, 1)],
+            adobe_transform=2,
+        )
+    )
+    assert dec.shape == (h, w, 4)
+    for y in range(h):
+        for x in range(w):
+            k = (y // 8) * mcw + x // 16
+            s = (x % 16) // 8
+            yv = 2 * ((m + 13 * (2 * k + s)) % 64) + 64
+            cb = 2 * ((2 * m + 7 * k) % 64) + 64
+            cr = 2 * ((3 * m + 5 * k) % 64) + 64
+            kv = 2 * ((4 * m + 11 * (2 * k + s)) % 64) + 64
+            r, g, b = _rgb_from(yv, cb, cr)
+            assert tuple(dec[y, x]) == (255 - r, 255 - g, 255 - b, kv)
+
+
+def test_progressive_sampled_encoder_validation():
+    from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
+
+    with pytest.raises(ValueError, match="MCU size"):
+        jpeg_encode_progressive([[], [], []], 8, 8,
+                                samplings=[(2, 2), (1, 1), (1, 1)])
+    with pytest.raises(ValueError, match="needs"):
+        jpeg_encode_progressive([[[0] * 64], [], []], 16, 16,
+                                samplings=[(2, 2), (1, 1), (1, 1)])
+    with pytest.raises(ValueError, match="samplings length"):
+        jpeg_encode_progressive([[], []], 16, 16, samplings=[(1, 1)])
 
 
 def _synth_frames(m: int):
