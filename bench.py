@@ -245,6 +245,7 @@ HEADLINE = [
     "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode",
     "multimodal_jpeg_prog420_decode",
+    "multimodal_jpeg_restart_decode",
 ]
 
 

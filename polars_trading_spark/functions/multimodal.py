@@ -1751,7 +1751,9 @@ def _encode_block(w, blk, prev_dc, dc_codes, ac_codes) -> int:
     return int(blk[0])
 
 
-def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
+def jpeg_encode_ycbcr(
+    coeffs, width: int, height: int, qtable=None, restart_interval: int = 0
+) -> bytes:
     """Encode a COLOR baseline JPEG (YCbCr 4:4:4, interleaved scan) from
     QUANTIZED DCT coefficients: ``coeffs`` is a list of per-MCU
     ``(blk_y, blk_cb, blk_cr)`` triples of 64-element zig-zag blocks
@@ -1759,7 +1761,11 @@ def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
     One quant table and the standard Annex-K luminance Huffman pair
     serve all three components (spec-legal — the SOS declares table 0
     for each); each component keeps its OWN DC predictor, per spec
-    F.1.1.5.  ``width``/``height`` must be multiples of 8."""
+    F.1.1.5.  ``restart_interval`` (round 11) emits a DRI segment and
+    cycling RST0-7 markers every that many MCUs — padded to a byte
+    boundary, DC predictors reset — the camera/scanner resilience
+    feature real-world files carry.  ``width``/``height`` must be
+    multiples of 8."""
     import struct
 
     if width % 8 or height % 8:
@@ -1774,6 +1780,8 @@ def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     for cid in (1, 2, 3):  # Y, Cb, Cr — all 1x1 sampling, quant table 0
         out += bytes([cid, 0x11, 0])
@@ -1788,7 +1796,14 @@ def jpeg_encode_ycbcr(coeffs, width: int, height: int, qtable=None) -> bytes:
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     w = _BitWriterMSB()
     prev = [0, 0, 0]
-    for mcu in coeffs:
+    rst = 0
+    for mi, mcu in enumerate(coeffs):
+        if restart_interval and mi and mi % restart_interval == 0:
+            out += w.flush()
+            w = _BitWriterMSB()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            prev = [0, 0, 0]
         if len(mcu) != 3:
             raise ValueError("each MCU needs (Y, Cb, Cr) blocks")
         for ci, blk in enumerate(mcu):
@@ -1934,6 +1949,22 @@ class _BitReaderMSB:
             v = (v << 1) | self.bit()
         return v
 
+    def restart(self) -> int:
+        """Byte-align (discarding pad bits), consume the RSTn marker at
+        the restart boundary, return ``n`` (0-7)."""
+        self.acc = 0
+        self.n = 0
+        n = len(self.data)
+        while self.pos + 1 < n and not (
+            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
+        ):
+            self.pos += 1
+        m = self.data[self.pos + 1] if self.pos + 1 < n else None
+        if m is None or not (0xD0 <= m <= 0xD7):
+            raise ValueError("expected restart marker in entropy scan")
+        self.pos += 2
+        return m & 0x07
+
 
 def _build_huff_decoder(bits, vals):
     """(code, length) -> symbol lookup for the generic Huffman walk."""
@@ -1965,12 +1996,15 @@ def jpeg_decode(payload: bytes):
     libjpeg complement ``(C, M, Ye) = 255 - (R, G, B)`` with K as
     stored), each at ANY integer-ratio sampling factors
     (nearest-neighbour replication upsampling, spec-legal and exact in
-    integers).  Named remaining pins raise with the feature: 12/16-bit
-    precision, 16-bit quant tables, partial-MCU dimensions,
-    non-integer-ratio samplings, non-DCT-Huffman SOF modes
-    (arithmetic, lossless, hierarchical), non-interleaved sequential
-    multi-scan.  Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB)
-    or ``(h, w, 4)`` (CMYK) uint8 array."""
+    integers).  RESTART INTERVALS (DRI + cycling RST0-7, round 11) are
+    handled in sequential scans: byte alignment, DC-predictor resets,
+    marker-sequence verification.  Named remaining pins raise with the
+    feature: 12/16-bit precision, 16-bit quant tables, partial-MCU
+    dimensions, non-integer-ratio samplings, restart intervals in
+    PROGRESSIVE scans, non-DCT-Huffman SOF modes (arithmetic,
+    lossless, hierarchical), non-interleaved sequential multi-scan.
+    Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or
+    ``(h, w, 4)`` (CMYK) uint8 array."""
     import struct
 
     import numpy as np
@@ -1986,6 +2020,7 @@ def jpeg_decode(payload: bytes):
     prog_coefs = None
     prog_pred = None
     prog_geom = None
+    restart_interval = 0
     prog_eobrun = [0]
     adobe_transform = None
     n = len(payload)
@@ -2000,6 +2035,8 @@ def jpeg_decode(payload: bytes):
         if marker == 0xEE and body[:5] == b"Adobe":  # APP14 color hint
             if len(body) >= 12:
                 adobe_transform = body[11]
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDB:  # DQT (possibly several tables)
             j = 0
             while j < len(body):
@@ -2076,6 +2113,10 @@ def jpeg_decode(payload: bytes):
             h, w, comps = frame
             ns = body[0]
             if progressive:
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart intervals in progressive scans not supported"
+                    )
                 by_id = {
                     cid: idx for idx, (cid, _, _, _) in enumerate(comps)
                 }
@@ -2130,7 +2171,8 @@ def jpeg_decode(payload: bytes):
                 )
             scan_start = i + 2 + seg_len
             planes = _jpeg_decode_scan(
-                payload, scan_start, h, w, comp_specs
+                payload, scan_start, h, w, comp_specs,
+                restart_interval=restart_interval,
             )
             if ns == 1:
                 return planes[0][:, :, None]
@@ -2261,13 +2303,16 @@ def _idct_basis():
     return c * scale[None, :]  # B[x, u] = C(u)/2 * cos((2x+1)u*pi/16)
 
 
-def _jpeg_decode_scan(data, pos, h, w, comp_specs):
+def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
     """Interleaved baseline scan with per-component sampling factors:
     each MCU carries ``hs x vs`` 8x8 blocks per component in raster
     order (spec A.2.3); every component keeps its own DC predictor.
-    ``comp_specs`` is ``[(qtable, dc_table, ac_table, hs, vs)]`` in
-    scan order; returns one ``(h*vs/Vmax, w*hs/Hmax)`` uint8 plane per
-    component (chroma planes come back at their stored resolution)."""
+    ``restart_interval`` (round 11): every that many MCUs the stream
+    byte-aligns to a cycling RST0-7 marker and DC predictors reset —
+    sequence violations raise (corrupt stream).  ``comp_specs`` is
+    ``[(qtable, dc_table, ac_table, hs, vs)]`` in scan order; returns
+    one ``(h*vs/Vmax, w*hs/Hmax)`` uint8 plane per component (chroma
+    planes come back at their stored resolution)."""
     import numpy as np
 
     hmax = max(hs for _, _, _, hs, _ in comp_specs)
@@ -2324,8 +2369,18 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs):
         px = basis @ block @ basis.T
         return np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
 
+    mi = 0
     for my in range(h // (8 * vmax)):
         for mx in range(w // (8 * hmax)):
+            if restart_interval and mi and mi % restart_interval == 0:
+                m = reader.restart()
+                if m != (mi // restart_interval - 1) % 8:
+                    raise ValueError(
+                        f"restart marker out of sequence (got RST{m})"
+                    )
+                for k in range(nc):
+                    prev_dc[k] = 0
+            mi += 1
             for ci, (_, _, _, hs, vs) in enumerate(comp_specs):
                 for by in range(vs):
                     for bx in range(hs):
@@ -2404,6 +2459,45 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
                         blks.append(blk)
                     mcus.append(tuple(blks))
                 rows.append(jpeg_encode_ycbcr(mcus, w, h))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_restart(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline COLOR JPEG WITH RESTART MARKERS per
+    document id (round 11): identical DC-only 4:4:4 spectra to
+    ``synthesize_jpeg_color`` — so the SQL oracle is the SAME closed
+    form — but the entropy stream is segmented by a DRI of 2 MCUs with
+    cycling RST0-7 markers, byte alignment and DC-predictor resets:
+    the camera/scanner resilience layout real-world corpora carry.
+    ``width = 8*(1 + m%6)``, ``height = 8*(1 + m%4)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+                nb = (w // 8) * (h // 8)
+                mcus = []
+                for k in range(nb):
+                    blks = []
+                    for a, b in ((1, 13), (2, 7), (3, 5)):
+                        blk = [0] * 64
+                        blk[0] = ((a * m + b * k) % 64) - 32
+                        blks.append(blk)
+                    mcus.append(tuple(blks))
+                rows.append(jpeg_encode_ycbcr(mcus, w, h, restart_interval=2))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

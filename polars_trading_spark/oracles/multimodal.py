@@ -1406,3 +1406,73 @@ def q_multimodal_jpeg_prog420_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
     media = synthesize_jpeg_prog420(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). RESTART-MARKER JPEG decode — the camera/scanner
+# resilience layout: a DRI segment + cycling RST0-7 markers every 2
+# MCUs (byte alignment, DC-predictor resets, sequence checking).  Same
+# spectra as the 4:4:4 color oracle, so the SQL is the same closed
+# form — a predictor-reset slip or marker-sequence bug breaks px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_restart_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+blk AS (
+  SELECT media_id, width, height, k,
+    CAST(2 * ((media_id + 13 * k) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM m, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+rgb AS (
+  SELECT media_id, width, height, k,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM blk
+),
+px AS (
+  SELECT media_id, width, height,
+    3 * (((k // (width // 8)) * 8 + p // 8) * width
+         + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS BIGINT) AS v
+  FROM rgb, unnest(range(0, 64)) AS tp(p), unnest(range(0, 3)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib RESTART-MARKER JPEG decode: DRI + cycling RST0-7 "
+    "every 2 MCUs (byte alignment, DC-predictor resets, marker "
+    "sequence verified) through the sequential scan decoder — same "
+    "closed-form oracle as the 4:4:4 color query, different stream "
+    "layout; closes the silent real-world gap where valid "
+    "restart-interval files failed as malformed",
+)
+def q_multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_restart,
+    )
+
+    media = synthesize_jpeg_restart(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

@@ -104,7 +104,7 @@ _ROUND10_FRONT = [
 # Round-11 rotation (ACTIVE), computed from CORRECTNESS_r01-r10
 # latest-round history.  Front = the round-11 registrations (never
 # driver-checked: YCCK, animated-GIF, progressive-YCCK and
-# subsampled-progressive/420 decode) +
+# subsampled-progressive/420 and restart-marker decode) +
 # `bpe_encode` (round
 # 10's only red row — its gate output is re-registered as an
 # order-sensitive fold checksum, so it re-enters the window to flip to
@@ -116,6 +116,7 @@ _ROUND11_FRONT = [
     # -- round-11 registrations, never driver-checked --
     "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode", "multimodal_jpeg_prog420_decode",
+    "multimodal_jpeg_restart_decode",
     # -- round-10's red row, gate shape fixed (token_checksum) --
     "bpe_encode",
     # -- backfill: latest driver row r6 --
@@ -133,7 +134,7 @@ _ROUND11_FRONT = [
     "embedding_cohesion", "event_study_car", "gumbel_topk",
     "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
     "key_skew", "microstructure", "multimodal_frame_sample",
-    "multimodal_metadata", "ou_fit", "pairs_distance",
+    "multimodal_metadata", "ou_fit",
 ]
 
 ACTIVE_FRONT = _ROUND11_FRONT

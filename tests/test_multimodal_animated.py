@@ -343,3 +343,49 @@ def test_progressive_cmyk_as_stored():
             k = (yy // 8) * (w // 8) + x // 8
             for c, (a, b) in enumerate(((1, 13), (2, 7), (3, 5), (4, 11))):
                 assert dec[yy, x, c] == 2 * ((a * m + b * k) % 64) + 64
+
+
+def test_restart_interval_roundtrip_and_validation():
+    """DRI + RSTn streams must decode byte-identically to the
+    unrestarted stream of the same spectra; sequence violations and
+    progressive DRI raise."""
+    import random
+    import struct
+
+    from polars_trading_spark.functions.multimodal import jpeg_encode_ycbcr
+
+    rnd = random.Random(42)
+    w, h = 32, 24
+    mcus = []
+    for _ in range((w // 8) * (h // 8)):
+        blks = []
+        for _c in range(3):
+            blk = [0] * 64
+            blk[0] = rnd.randint(-100, 100)
+            for pos in rnd.sample(range(1, 64), 5):
+                blk[pos] = rnd.randint(-40, 40)
+            blks.append(blk)
+        mcus.append(tuple(blks))
+    base = jpeg_decode(jpeg_encode_ycbcr(mcus, w, h))
+    for ri in (1, 2, 3, 5, 7, 11):
+        pay = jpeg_encode_ycbcr(mcus, w, h, restart_interval=ri)
+        assert b"\xff\xdd" in pay
+        assert np.array_equal(jpeg_decode(pay), base), ri
+    # corrupt the FIRST restart marker's index: sequence check fires
+    pay = bytearray(jpeg_encode_ycbcr(mcus, w, h, restart_interval=2))
+    sos_at = pay.index(b"\xff\xda")
+    for j in range(sos_at, len(pay) - 1):
+        if pay[j] == 0xFF and 0xD0 <= pay[j + 1] <= 0xD7:
+            pay[j + 1] = 0xD0 + ((pay[j + 1] - 0xD0 + 3) % 8)
+            break
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode(bytes(pay))
+    # a DRI segment ahead of a progressive frame stays pinned
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 1])
+    with pytest.raises(NotImplementedError, match="restart intervals in progressive"):
+        jpeg_decode(b"\xff\xd8" + dri + dqt + sof2 + sos + b"\xff\xd9")
