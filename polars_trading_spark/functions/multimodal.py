@@ -12,9 +12,9 @@ compositing and transparency), and JPEG (canonical Huffman + IDCT —
 **JPEG scope COMPLETE for 8-bit Huffman DCT streams** as of round 11:
 sequential AND progressive, 1/3/4 components — gray, YCbCr color, raw
 CMYK as stored, YCCK/Adobe-transform-2 — at ANY integer-ratio sampling
-factors).  The honestly-named residual pins (12/16-bit precision,
-16-bit quant tables, partial-MCU dims, arithmetic/lossless/
-hierarchical SOF modes) raise ``NotImplementedError`` with the feature
+factors).  The honestly-named residual pins (12/16-bit sample precision,
+partial-MCU dims, arithmetic/lossless/hierarchical SOF modes) raise
+``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
 contracts, frame explosion) is real and tested end-to-end.
@@ -1998,11 +1998,12 @@ def jpeg_decode(payload: bytes):
     (nearest-neighbour replication upsampling, spec-legal and exact in
     integers).  RESTART INTERVALS (DRI + cycling RST0-7, round 11) are
     handled in sequential scans: byte alignment, DC-predictor resets,
-    marker-sequence verification.  Named remaining pins raise with the
-    feature: 12/16-bit precision, 16-bit quant tables, partial-MCU
-    dimensions, non-integer-ratio samplings, restart intervals in
-    PROGRESSIVE scans, non-DCT-Huffman SOF modes (arithmetic,
-    lossless, hierarchical), non-interleaved sequential multi-scan.
+    marker-sequence verification; 16-BIT QUANT TABLES (DQT precision 1,
+    round 11) parse big-endian.  Named remaining pins raise with the
+    feature: 12/16-bit SAMPLE precision, partial-MCU dimensions,
+    non-integer-ratio samplings, restart intervals in PROGRESSIVE
+    scans, non-DCT-Huffman SOF modes (arithmetic, lossless,
+    hierarchical), non-interleaved sequential multi-scan.
     Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or
     ``(h, w, 4)`` (CMYK) uint8 array."""
     import struct
@@ -2041,10 +2042,17 @@ def jpeg_decode(payload: bytes):
             j = 0
             while j < len(body):
                 pq, tq = body[j] >> 4, body[j] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables not supported")
-                qtables[tq] = list(body[j + 1 : j + 65])
-                j += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = list(body[j + 1 : j + 65])
+                    j += 65
+                elif pq == 1:  # 16-bit big-endian entries (round 11)
+                    qtables[tq] = [
+                        (body[j + 1 + 2 * k] << 8) | body[j + 2 + 2 * k]
+                        for k in range(64)
+                    ]
+                    j += 129
+                else:
+                    raise ValueError(f"invalid DQT precision field {pq}")
         elif marker == 0xC4:  # DHT (possibly several tables)
             j = 0
             while j < len(body):

@@ -389,3 +389,47 @@ def test_restart_interval_roundtrip_and_validation():
     sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 1])
     with pytest.raises(NotImplementedError, match="restart intervals in progressive"):
         jpeg_decode(b"\xff\xd8" + dri + dqt + sof2 + sos + b"\xff\xd9")
+
+
+def test_16bit_quant_tables():
+    """DQT precision 1 (16-bit big-endian entries, round 11): a
+    re-encoded DQT with the same values must decode byte-identically,
+    and values above 255 — unrepresentable in an 8-bit table — must
+    scale the dequantization exactly."""
+    import struct
+
+    from polars_trading_spark.functions import multimodal as mm
+
+    w, h = 16, 8
+    blocks = []
+    for k in range(2):
+        blk = [0] * 64
+        blk[0] = 5 + k
+        blk[1] = -3
+        blocks.append(blk)
+    pay = mm.jpeg_encode_gray(blocks, w, h)
+    base = mm.jpeg_decode(pay)
+    # rewrite the 8-bit DQT (Pq=0, 64 entries of 16) as Pq=1 16-bit
+    dqt_at = pay.index(b"\xff\xdb")
+    old_seg = pay[dqt_at : dqt_at + 4 + 65]
+    q8 = list(old_seg[5:69])
+    new_seg = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + b"".join(
+        struct.pack(">H", v) for v in q8
+    )
+    pay16 = pay[:dqt_at] + new_seg + pay[dqt_at + len(old_seg) :]
+    assert np.array_equal(mm.jpeg_decode(pay16), base)
+    # a quant value only a 16-bit table can hold (300)
+    q300 = [300] * 64
+    seg300 = b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 128, 0x10) + b"".join(
+        struct.pack(">H", v) for v in q300
+    )
+    pay300 = pay[:dqt_at] + seg300 + pay[dqt_at + len(old_seg) :]
+    dec300 = mm.jpeg_decode(pay300)
+    exp = mm._jpeg_coeffs_to_plane(blocks, q300, w // 8, h // 8)
+    assert np.array_equal(dec300[:, :, 0], exp)
+    # invalid precision field -> malformed
+    bad = pay[:dqt_at] + b"\xff\xdb" + struct.pack(">HB", 67, 0x20) + bytes(
+        q8
+    ) + pay[dqt_at + len(old_seg) :]
+    with pytest.raises(ValueError, match="DQT precision"):
+        mm.jpeg_decode(bad)
