@@ -246,6 +246,7 @@ HEADLINE = [
     "multimodal_jpeg_prog_ycck_decode",
     "multimodal_jpeg_prog420_decode",
     "multimodal_jpeg_restart_decode",
+    "domain_cap",
 ]
 
 

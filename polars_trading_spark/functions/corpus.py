@@ -31,7 +31,7 @@ from polars_trading_spark._utils import persist_tracked
 from polars_trading_spark.functions.dedup import connected_components, minhash_lsh_pairs
 from polars_trading_spark.functions.text import text_profile
 
-__all__ = ["benchmark_coverage", "chunk_documents", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "bpe_pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
+__all__ = ["benchmark_coverage", "chunk_documents", "domain_cap", "contamination_report", "dedup_survivor_budget", "dsir_log_weights", "token_budget_curves", "corpus_filter", "corpus_funnel", "corpus_stats", "decontaminate", "gumbel_topk_sample", "hash_split", "lang_mix", "mix_corpus", "pack_sequences", "bpe_pack_sequences", "stratified_sample", "url_profile", "URL_DOMAIN_PATTERN"]
 
 
 def chunk_documents(
@@ -1466,4 +1466,55 @@ def perplexity_budget_curves(
         F.round(F.col("__cum") / F.col("__tot").cast("double"), 6).alias(
             "token_share"
         ),
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    *,
+    max_per_key: int,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "pts-cap",
+) -> DataFrame:
+    """Per-key document cap — the crawl-governance primitive (C4 /
+    RefinedWeb style "at most N pages per domain") that stops a handful
+    of template-heavy hosts from dominating a training mixture.
+
+    Each document gets a ``cap_rank`` inside its ``key_col`` group —
+    rank 1 = first kept — ordered by the engine-portable salted hash
+    ``md5(salt || id)`` (ties by id), NOT by arrival: the selection is
+    a reproducible uniform sample of each domain, stable across runs,
+    engines and partitionings (the ``hash_split`` determinism
+    contract), and changing ``salt`` re-draws it.  ``keep = 1`` iff
+    ``cap_rank <= max_per_key``.
+
+    Returns one row per document: ``id_col, key_col, cap_rank, keep``.
+
+    Scale shape: ONE hash-partitioned window (`row_number` over
+    ``key_col``) — the same single shuffle any per-key governance rule
+    costs.  Heavy-tailed domains put their whole group in one task;
+    at 100 TB either pre-filter with an approximate per-key count to
+    short-circuit the far-below-cap majority, or cap in two phases
+    (per-partition top-``max_per_key`` by hash, then the window over
+    the survivors — at most ``partitions x cap`` rows per key reach
+    the shuffle).  The rank contract is unchanged by either rewrite.
+    """
+    if max_per_key < 1:
+        raise ValueError(f"max_per_key must be >= 1, got {max_per_key}")
+    from pyspark.sql import Window
+
+    from polars_trading_spark.functions.text import portable_hash60
+
+    h = portable_hash60(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key_col).orderBy(h.asc(), F.col(id_col).asc())
+    return df.select(
+        id_col,
+        key_col,
+        F.row_number().over(w).cast("long").alias("cap_rank"),
+    ).withColumn(
+        "keep",
+        (F.col("cap_rank") <= F.lit(max_per_key)).cast("int"),
     )

@@ -1838,3 +1838,45 @@ def q_perplexity_budget_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         (F.round("token_share", 6) + z0).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). Per-domain document cap (functions/corpus.py::
+# domain_cap) — the C4/RefinedWeb crawl-governance rule: at most N docs
+# per source, selected by the reproducible salted hash (not arrival
+# order), so the cap is a uniform per-domain sample stable across
+# engines and partitionings.
+# --------------------------------------------------------------------------
+
+_CAP_N = 10
+
+
+@register(
+    "domain_cap",
+    f"""
+WITH h AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substr(md5('pts-cap' || CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+         AS BIGINT) AS cap_rank
+  FROM h
+)
+SELECT doc_id, source, cap_rank,
+  CAST(CASE WHEN cap_rank <= {_CAP_N} THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM r
+""",
+    "Per-domain document cap (at most N docs per source, C4/RefinedWeb "
+    "style): rank inside each source by the engine-portable salted "
+    "md5 hash — a reproducible uniform per-domain sample, stable under "
+    "repartitioning — one hash-partitioned row_number window",
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.corpus import domain_cap
+
+    docs = read_table(spark, sf_dir, "documents")
+    return domain_cap(docs, max_per_key=_CAP_N)

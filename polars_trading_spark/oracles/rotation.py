@@ -104,7 +104,8 @@ _ROUND10_FRONT = [
 # Round-11 rotation (ACTIVE), computed from CORRECTNESS_r01-r10
 # latest-round history.  Front = the round-11 registrations (never
 # driver-checked: YCCK, animated-GIF, progressive-YCCK and
-# subsampled-progressive/420 and restart-marker decode) +
+# subsampled-progressive/420 and restart-marker decode, plus the
+# domain_cap governance primitive) +
 # `bpe_encode` (round
 # 10's only red row — its gate output is re-registered as an
 # order-sensitive fold checksum, so it re-enters the window to flip to
@@ -116,7 +117,7 @@ _ROUND11_FRONT = [
     # -- round-11 registrations, never driver-checked --
     "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode", "multimodal_jpeg_prog420_decode",
-    "multimodal_jpeg_restart_decode",
+    "multimodal_jpeg_restart_decode", "domain_cap",
     # -- round-10's red row, gate shape fixed (token_checksum) --
     "bpe_encode",
     # -- backfill: latest driver row r6 --
@@ -134,7 +135,7 @@ _ROUND11_FRONT = [
     "embedding_cohesion", "event_study_car", "gumbel_topk",
     "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
     "key_skew", "microstructure", "multimodal_frame_sample",
-    "multimodal_metadata", "ou_fit",
+    "multimodal_metadata",
 ]
 
 ACTIVE_FRONT = _ROUND11_FRONT

@@ -157,3 +157,45 @@ def test_rank_ic_null_below_three_symbols(spark):
 def test_rank_ic_rejects_bad_lag(spark):
     with pytest.raises(ValueError):
         rank_ic(_bars(spark, [("A", 1, 1.0)]), momentum_lag=0)
+
+
+def test_domain_cap_golden_and_determinism(spark):
+    from polars_trading_spark.functions.corpus import domain_cap
+
+    rows = [(i, "a" if i < 7 else "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, max_per_key=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 10
+    # per-key rank sets are exactly 1..n_key
+    for key, n in (("a", 7), ("b", 3)):
+        ranks = sorted(r["cap_rank"] for r in out if r["source"] == key)
+        assert ranks == list(range(1, n + 1))
+    # cap honored: 3 keepers in 'a', all 3 of 'b' kept
+    assert sum(r["keep"] for r in out if r["source"] == "a") == 3
+    assert sum(r["keep"] for r in out if r["source"] == "b") == 3
+    # hash-ordered, not id-ordered: the kept set of 'a' is a salted
+    # sample, and a different salt re-draws it
+    kept_a = {r["doc_id"] for r in out if r["source"] == "a" and r["keep"]}
+    kept_a2 = {
+        r["doc_id"]
+        for r in domain_cap(df, max_per_key=3, salt="other").collect()
+        if r["source"] == "a" and r["keep"]
+    }
+    assert kept_a != set(range(3)) or kept_a2 != kept_a
+    # layout invariance: identical decisions under repartitioning
+    out7 = {
+        (r["doc_id"], r["cap_rank"], r["keep"])
+        for r in domain_cap(df.repartition(7), max_per_key=3).collect()
+    }
+    assert out7 == {(r["doc_id"], r["cap_rank"], r["keep"]) for r in out}
+
+
+def test_domain_cap_validation(spark):
+    from polars_trading_spark.functions.corpus import domain_cap
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_per_key"):
+        domain_cap(df, max_per_key=0)
