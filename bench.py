@@ -247,6 +247,7 @@ HEADLINE = [
     "multimodal_jpeg_prog420_decode",
     "multimodal_jpeg_restart_decode",
     "domain_cap",
+    "multimodal_jpeg_noninterleaved_decode",
 ]
 
 

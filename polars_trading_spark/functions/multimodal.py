@@ -1976,6 +1976,44 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _finalize_jpeg_planes(planes, h: int, w: int, adobe_transform):
+    """Shared reconstruction tail of every JPEG decode path: replicate
+    stored-resolution planes to the full frame (spec-legal nearest,
+    exact in integers, hence oracle-replayable), then apply the color
+    contract — gray passthrough, BT.601 YCbCr->RGB with floor(x+0.5),
+    4-component as stored (transform=0/absent) or YCCK->CMYK via the
+    BT.601 inverse + libjpeg complement with K as stored."""
+    import numpy as np
+
+    if len(planes) == 1:
+        return planes[0][:, :, None]
+    planes = [
+        p
+        if p.shape == (h, w)
+        else p.repeat(h // p.shape[0], axis=0).repeat(w // p.shape[1], axis=1)
+        for p in planes
+    ]
+    if len(planes) == 4 and adobe_transform != 2:
+        # 4-component (CMYK, transform=0/absent): T.81 defines no
+        # color semantics; sample planes returned AS STORED.
+        return np.stack(planes, axis=-1)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64)
+    cr = planes[2].astype(np.float64)
+    # BT.601/JFIF; floor(x + 0.5) so the SQL oracle reproduces the
+    # exact bytes (correctly-rounded double ops, same order)
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    if len(planes) == 4:
+        # YCCK (Adobe transform=2): the libjpeg complement
+        return np.concatenate(
+            [255.0 - rgb, planes[3][:, :, None].astype(np.float64)], axis=-1
+        ).astype(np.uint8)
+    return rgb.astype(np.uint8)
+
+
 def jpeg_decode(payload: bytes):
     """REAL DCT-JPEG decoder — pure stdlib + numpy, no codec library:
     marker walk, DQT/DHT/SOF/SOS parse, generic canonical-Huffman
@@ -2003,7 +2041,9 @@ def jpeg_decode(payload: bytes):
     feature: 12/16-bit SAMPLE precision, partial-MCU dimensions,
     non-integer-ratio samplings, restart intervals in PROGRESSIVE
     scans, non-DCT-Huffman SOF modes (arithmetic, lossless,
-    hierarchical), non-interleaved sequential multi-scan.
+    hierarchical), partially-interleaved sequential scan subsets
+    (single-component NON-INTERLEAVED scans decode — round 11 — with
+    planes accumulated across scans).
     Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or
     ``(h, w, 4)`` (CMYK) uint8 array."""
     import struct
@@ -2022,6 +2062,7 @@ def jpeg_decode(payload: bytes):
     prog_pred = None
     prog_geom = None
     restart_interval = 0
+    seq_planes: dict = {}  # non-interleaved scans accumulate here
     prog_eobrun = [0]
     adobe_transform = None
     n = len(payload)
@@ -2155,18 +2196,27 @@ def jpeg_decode(payload: bytes):
                 )
                 prog_eobrun[0] = 0  # EOB runs never cross scans
                 continue
-            if ns != len(comps):
+            if ns != len(comps) and ns != 1:
+                # a scan interleaving a strict SUBSET of 2..Nf-1
+                # components is legal but vanishingly rare
                 raise NotImplementedError(
-                    "non-interleaved (multi-scan) JPEG not supported"
+                    "partially-interleaved sequential scan subsets "
+                    f"(Ns={ns} of {len(comps)}) not supported — "
+                    "all-component interleaved or one-component "
+                    "non-interleaved scans only"
                 )
             # scan-order component specs, matched to the frame by id
-            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+            by_id = {
+                cid: (idx, hs, vs, tq)
+                for idx, (cid, hs, vs, tq) in enumerate(comps)
+            }
             comp_specs = []
+            scan_idx = []
             for ci in range(ns):
                 cid = body[1 + 2 * ci]
                 tsel = body[2 + 2 * ci]
                 td, ta = tsel >> 4, tsel & 0x0F
-                hs, vs, tq = by_id[cid]
+                idx, hs, vs, tq = by_id[cid]
                 if tq not in qtables or td not in dc_tables or ta not in ac_tables:
                     # malformed, not unsupported: the stream references
                     # tables it never declared
@@ -2174,78 +2224,46 @@ def jpeg_decode(payload: bytes):
                         f"scan references undeclared table (q={tq}, "
                         f"dc={td}, ac={ta})"
                     )
+                scan_idx.append(idx)
                 comp_specs.append(
                     (qtables[tq], dc_tables[td], ac_tables[ta], hs, vs)
                 )
             scan_start = i + 2 + seg_len
-            planes = _jpeg_decode_scan(
-                payload, scan_start, h, w, comp_specs,
+            if ns == len(comps):
+                planes, _ = _jpeg_decode_scan(
+                    payload, scan_start, h, w, comp_specs,
+                    restart_interval=restart_interval,
+                )
+                return _finalize_jpeg_planes(planes, h, w, adobe_transform)
+            # NON-INTERLEAVED scan (round 11): one component, walked
+            # over its OWN block raster at stored resolution (one block
+            # per MCU — restart intervals count blocks, per spec);
+            # planes accumulate across scans until every frame
+            # component has one
+            hmx = max(hs for _, hs, _, _ in comps)
+            vmx = max(vs for _, _, vs, _ in comps)
+            if h % (8 * vmx) or w % (8 * hmx):
+                raise NotImplementedError(
+                    "partial-MCU dimensions not supported"
+                )
+            q_, dct_, act_, hs, vs = comp_specs[0]
+            ch = (h // (8 * vmx)) * vs * 8
+            cw = (w // (8 * hmx)) * hs * 8
+            one, next_i = _jpeg_decode_scan(
+                payload, scan_start, ch, cw,
+                [(q_, dct_, act_, 1, 1)],
                 restart_interval=restart_interval,
             )
-            if ns == 1:
-                return planes[0][:, :, None]
-            if ns == 4:
-                # subsampled planes come back at stored resolution;
-                # replicate to full size (spec-legal nearest, exact in
-                # integers, hence oracle-replayable)
-                planes = [
-                    p
-                    if p.shape == (h, w)
-                    else p.repeat(h // p.shape[0], axis=0).repeat(
-                        w // p.shape[1], axis=1
-                    )
-                    for p in planes
-                ]
-                if adobe_transform == 2:
-                    # YCCK (Adobe transform=2): BT.601 inverse on the
-                    # first three planes, then the libjpeg complement
-                    # (C, M, Ye) = 255 - (R, G, B); K as stored.
-                    y = planes[0].astype(np.float64)
-                    cb = planes[1].astype(np.float64)
-                    cr = planes[2].astype(np.float64)
-                    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
-                    g = np.floor(
-                        y
-                        - 0.344136 * (cb - 128.0)
-                        - 0.714136 * (cr - 128.0)
-                        + 0.5
-                    )
-                    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
-                    cmy = 255.0 - np.clip(
-                        np.stack([r, g, b], axis=-1), 0, 255
-                    )
-                    return np.concatenate(
-                        [cmy, planes[3][:, :, None].astype(np.float64)],
-                        axis=-1,
-                    ).astype(np.uint8)
-                # 4-component (CMYK, transform=0/absent): T.81 defines
-                # no color semantics; sample planes returned AS STORED.
-                return np.stack(planes, axis=-1)
-            # the spec leaves chroma upsampling to the decoder; pixel
-            # replication is spec-legal, exact in integers, and hence
-            # replayable closed-form by the SQL oracle — replicate ANY
-            # stored-resolution plane to the full frame
-            planes = [
-                p
-                if p.shape == (h, w)
-                else p.repeat(h // p.shape[0], axis=0).repeat(
-                    w // p.shape[1], axis=1
+            seq_planes[scan_idx[0]] = one[0]
+            if len(seq_planes) == len(comps):
+                return _finalize_jpeg_planes(
+                    [seq_planes[k] for k in range(len(comps))],
+                    h,
+                    w,
+                    adobe_transform,
                 )
-                for p in planes
-            ]
-            y = planes[0].astype(np.float64)
-            cb = planes[1].astype(np.float64)
-            cr = planes[2].astype(np.float64)
-            # BT.601/JFIF; floor(x + 0.5) so the SQL oracle reproduces
-            # the exact bytes (correctly-rounded double ops, same order)
-            r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
-            g = np.floor(
-                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
-            )
-            b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
-            return np.clip(
-                np.stack([r, g, b], axis=-1), 0, 255
-            ).astype(np.uint8)
+            i = next_i
+            continue
         i += 2 + seg_len
     if progressive and prog_coefs is not None:
         h, w, comps = frame
@@ -2262,38 +2280,12 @@ def jpeg_decode(payload: bytes):
             )
             for ci in range(len(comps))
         ]
-        if len(planes) == 1:
-            return planes[0][:, :, None]
-        # subsampled planes come back at stored resolution; replicate
-        # to full size (same spec-legal nearest as the sequential path)
-        planes = [
-            p
-            if p.shape == (h, w)
-            else p.repeat(h // p.shape[0], axis=0).repeat(
-                w // p.shape[1], axis=1
-            )
-            for p in planes
-        ]
-        y = planes[0].astype(np.float64)
-        cb = planes[1].astype(np.float64)
-        cr = planes[2].astype(np.float64)
-        r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
-        g = np.floor(
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5
+        return _finalize_jpeg_planes(planes, h, w, adobe_transform)
+    if seq_planes:
+        raise ValueError(
+            f"incomplete non-interleaved scan set — no scan for "
+            f"{len(frame[2]) - len(seq_planes)} of {len(frame[2])} components"
         )
-        b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
-        if len(planes) == 4:
-            # progressive 4-component (round 11): same color contract
-            # as the sequential path — transform=2 applies the BT.601
-            # inverse + libjpeg complement, else planes as stored
-            if adobe_transform == 2:
-                cmy = 255.0 - np.clip(np.stack([r, g, b], axis=-1), 0, 255)
-                return np.concatenate(
-                    [cmy, planes[3][:, :, None].astype(np.float64)],
-                    axis=-1,
-                ).astype(np.uint8)
-            return np.stack(planes, axis=-1)
-        return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
     raise ValueError("JPEG contains no scan")
 
 
@@ -2395,7 +2387,12 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
                         py = (my * vs + by) * 8
                         px_ = (mx * hs + bx) * 8
                         planes[ci][py : py + 8, px_ : px_ + 8] = decode_block(ci)
-    return planes
+    # position of the next marker, so multi-scan callers can continue
+    j = reader.pos
+    nd = len(data)
+    while j + 1 < nd and not (data[j] == 0xFF and data[j + 1] != 0x00):
+        j += 1
+    return planes, j
 
 
 def synthesize_jpeg_decodable(documents: DataFrame) -> DataFrame:
@@ -2481,6 +2478,67 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
     )
 
 
+def jpeg_encode_noninterleaved(
+    comp_blocks, width: int, height: int, samplings=None, qtable=None,
+    adobe_transform: int | None = None,
+) -> bytes:
+    """Encode a SEQUENTIAL baseline JPEG as NON-INTERLEAVED scans — one
+    SOS per component (round 11), each walking that component's own
+    block raster with a fresh DC predictor: the layout some encoders
+    emit instead of one interleaved scan.  ``comp_blocks`` is a list of
+    per-component 64-element zig-zag block lists in component raster
+    order; ``samplings`` defaults to all 1x1."""
+    import struct
+
+    comps = [list(b) for b in comp_blocks]
+    nc = len(comps)
+    samp = [tuple(s) for s in (samplings or [(1, 1)] * nc)]
+    if len(samp) != nc:
+        raise ValueError("samplings length != number of components")
+    hmx = max(hs for hs, _ in samp)
+    vmx = max(vs for _, vs in samp)
+    if width % (8 * hmx) or height % (8 * vmx):
+        raise ValueError(
+            f"width/height must be multiples of the MCU size ({8 * hmx}x{8 * vmx})"
+        )
+    mcw, mch = width // (8 * hmx), height // (8 * vmx)
+    for ci, (hs, vs) in enumerate(samp):
+        want = mcw * hs * mch * vs
+        if len(comps[ci]) != want:
+            raise ValueError(
+                f"component {ci} needs {want} blocks, got {len(comps[ci])}"
+            )
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    if adobe_transform is not None:
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform
+        )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for ci, (hs, vs) in enumerate(samp):
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    for ci in range(nc):
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [ci + 1, 0x00, 0, 63, 0]
+        )
+        w = _BitWriterMSB()
+        prev = 0
+        for blk in comps[ci]:
+            prev = _encode_block(w, blk, prev, dc_codes, ac_codes)
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synthesize_jpeg_restart(documents: DataFrame) -> DataFrame:
     """Deterministic REAL baseline COLOR JPEG WITH RESTART MARKERS per
     document id (round 11): identical DC-only 4:4:4 spectra to
@@ -2506,6 +2564,60 @@ def synthesize_jpeg_restart(documents: DataFrame) -> DataFrame:
                         blks.append(blk)
                     mcus.append(tuple(blks))
                 rows.append(jpeg_encode_ycbcr(mcus, w, h, restart_interval=2))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_noninterleaved(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL NON-INTERLEAVED sequential JPEG per document
+    id (round 11): one SOS per component over 4:2:0-subsampled planes,
+    carrying the SAME DC-only spectra as ``synthesize_jpeg_color_420``
+    — so the SQL oracle is the sequential 4:2:0 closed form; only the
+    scan layout differs (three single-component scans, each with a
+    fresh DC predictor, instead of one interleaved scan).
+    ``width = 16*(1 + m%3)``, ``height = 16*(1 + m%2)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 16 * (1 + m % 3), 16 * (1 + m % 2)
+                mcw, mch = w // 16, h // 16
+                yb = []
+                for byy in range(2 * mch):
+                    for bxx in range(2 * mcw):
+                        k = (byy // 2) * mcw + bxx // 2
+                        sblk = (byy % 2) * 2 + (bxx % 2)
+                        blk = [0] * 64
+                        blk[0] = ((m + 13 * (4 * k + sblk)) % 64) - 32
+                        yb.append(blk)
+                cbs, crs = [], []
+                for k in range(mcw * mch):
+                    b1 = [0] * 64
+                    b1[0] = ((2 * m + 7 * k) % 64) - 32
+                    cbs.append(b1)
+                    b2 = [0] * 64
+                    b2[0] = ((3 * m + 5 * k) % 64) - 32
+                    crs.append(b2)
+                rows.append(
+                    jpeg_encode_noninterleaved(
+                        [yb, cbs, crs],
+                        w,
+                        h,
+                        samplings=[(2, 2), (1, 1), (1, 1)],
+                    )
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     base = documents.select(F.col("doc_id").alias("media_id"))

@@ -1476,3 +1476,80 @@ def q_multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFr
 
     media = synthesize_jpeg_restart(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 11). NON-INTERLEAVED sequential JPEG decode — one SOS
+# per component (fresh DC predictor each scan, planes accumulated
+# across scans) over 4:2:0-subsampled planes: the multi-scan sequential
+# layout some encoders emit.  Same spectra as the sequential 4:2:0
+# oracle, so the SQL is the same closed form; the remaining sequential
+# scan-layout pin is partially-interleaved subsets (Ns between 2 and
+# Nf-1).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_noninterleaved_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(16 * (1 + doc_id % 3) AS INTEGER) AS width,
+         CAST(16 * (1 + doc_id % 2) AS INTEGER) AS height
+  FROM documents
+),
+px0 AS (
+  SELECT media_id, width, height,
+    p % width AS x, p // width AS y
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+px AS (
+  SELECT media_id, width, height, x, y,
+    (y // 16) * (width // 16) + (x // 16) AS k,
+    ((y % 16) // 8) * 2 + (x % 16) // 8 AS s
+  FROM px0
+),
+ycc AS (
+  SELECT media_id, width, height, x, y,
+    CAST(2 * ((media_id + 13 * (4 * k + s)) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM px
+),
+rgb AS (
+  SELECT media_id, width, height, 3 * (y * width + x) AS j0,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM ycc
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(CAST(r AS BIGINT) + CAST(g AS BIGINT) + CAST(b AS BIGINT)) AS BIGINT) AS px_sum,
+  CAST(sum(CAST(r AS BIGINT) * (j0 % 251 + 1)
+         + CAST(g AS BIGINT) * ((j0 + 1) % 251 + 1)
+         + CAST(b AS BIGINT) * ((j0 + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib NON-INTERLEAVED sequential JPEG decode: one SOS per "
+    "component over 4:2:0-subsampled planes, fresh DC predictors per "
+    "scan, planes accumulated across scans — decoding to the EXACT "
+    "bytes of the sequential 4:2:0 oracle; closes the multi-scan "
+    "sequential layout gap",
+)
+def q_multimodal_jpeg_noninterleaved_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_noninterleaved,
+    )
+
+    media = synthesize_jpeg_noninterleaved(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)

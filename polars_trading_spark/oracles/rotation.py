@@ -118,6 +118,7 @@ _ROUND11_FRONT = [
     "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode", "multimodal_jpeg_prog420_decode",
     "multimodal_jpeg_restart_decode", "domain_cap",
+    "multimodal_jpeg_noninterleaved_decode",
     # -- round-10's red row, gate shape fixed (token_checksum) --
     "bpe_encode",
     # -- backfill: latest driver row r6 --
@@ -135,7 +136,6 @@ _ROUND11_FRONT = [
     "embedding_cohesion", "event_study_car", "gumbel_topk",
     "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
     "key_skew", "microstructure", "multimodal_frame_sample",
-    "multimodal_metadata",
 ]
 
 ACTIVE_FRONT = _ROUND11_FRONT

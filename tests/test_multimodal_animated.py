@@ -433,3 +433,125 @@ def test_16bit_quant_tables():
     ) + pay[dqt_at + len(old_seg) :]
     with pytest.raises(ValueError, match="DQT precision"):
         mm.jpeg_decode(bad)
+
+
+def _rand_blk(rnd):
+    blk = [0] * 64
+    blk[0] = rnd.randint(-100, 100)
+    for pos in rnd.sample(range(1, 64), 4):
+        blk[pos] = rnd.randint(-40, 40)
+    return blk
+
+
+def test_noninterleaved_equals_interleaved():
+    """One-SOS-per-component sequential streams must decode
+    byte-identically to the interleaved stream of the same spectra —
+    4:4:4, subsampled 4:2:0 and subsampled YCCK."""
+    import random
+
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_encode_noninterleaved,
+        jpeg_encode_ycbcr,
+        jpeg_encode_ycbcr_420,
+        jpeg_encode_ycck,
+    )
+
+    rnd = random.Random(7)
+    w, h = 24, 16
+    nb = (w // 8) * (h // 8)
+    comp = [[_rand_blk(rnd) for _ in range(nb)] for _ in range(3)]
+    ni = jpeg_decode(jpeg_encode_noninterleaved(comp, w, h))
+    il = jpeg_decode(
+        jpeg_encode_ycbcr(
+            [(comp[0][b], comp[1][b], comp[2][b]) for b in range(nb)], w, h
+        )
+    )
+    assert np.array_equal(ni, il)
+
+    w, h = 32, 16
+    mcw, mch = w // 16, h // 16
+    yb = [_rand_blk(rnd) for _ in range(4 * mcw * mch)]
+    cbs = [_rand_blk(rnd) for _ in range(mcw * mch)]
+    crs = [_rand_blk(rnd) for _ in range(mcw * mch)]
+    ni = jpeg_decode(
+        jpeg_encode_noninterleaved(
+            [yb, cbs, crs], w, h, samplings=[(2, 2), (1, 1), (1, 1)]
+        )
+    )
+    mcus = []
+    ybw = 2 * mcw
+    for my in range(mch):
+        for mx in range(mcw):
+            ys = tuple(
+                yb[(my * 2 + by) * ybw + (mx * 2 + bx)]
+                for by in range(2)
+                for bx in range(2)
+            )
+            k = my * mcw + mx
+            mcus.append((ys, cbs[k], crs[k]))
+    assert np.array_equal(ni, jpeg_decode(jpeg_encode_ycbcr_420(mcus, w, h)))
+
+    w, h = 32, 8
+    mcw, mch = w // 16, h // 8
+    yb = [_rand_blk(rnd) for _ in range(2 * mcw * mch)]
+    kb = [_rand_blk(rnd) for _ in range(2 * mcw * mch)]
+    cbs = [_rand_blk(rnd) for _ in range(mcw * mch)]
+    crs = [_rand_blk(rnd) for _ in range(mcw * mch)]
+    ni = jpeg_decode(
+        jpeg_encode_noninterleaved(
+            [yb, cbs, crs, kb],
+            w,
+            h,
+            samplings=[(2, 1), (1, 1), (1, 1), (2, 1)],
+            adobe_transform=2,
+        )
+    )
+    mcus = []
+    for my in range(mch):
+        for mx in range(mcw):
+            k = my * mcw + mx
+            mcus.append(
+                (
+                    yb[my * 2 * mcw + mx * 2],
+                    yb[my * 2 * mcw + mx * 2 + 1],
+                    cbs[k],
+                    crs[k],
+                    kb[my * 2 * mcw + mx * 2],
+                    kb[my * 2 * mcw + mx * 2 + 1],
+                )
+            )
+    assert np.array_equal(ni, jpeg_decode(jpeg_encode_ycck(mcus, w, h)))
+
+
+def test_partially_interleaved_subset_pinned():
+    # a sequential scan interleaving 2 of 3 components stays a named
+    # pin (legal but vanishingly rare)
+    import struct
+
+    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos2 = b"\xff\xda" + struct.pack(">HB", 10, 2) + bytes(
+        [1, 0x00, 2, 0x00, 0, 63, 0]
+    )
+    with pytest.raises(NotImplementedError, match="partially-interleaved"):
+        jpeg_decode(b"\xff\xd8" + dqt + sof + sos2 + b"\xff\xd9")
+
+
+def test_noninterleaved_incomplete_stream_is_malformed():
+    # only 1 of 3 component scans present -> "no scan" ValueError
+    import random
+
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_encode_noninterleaved,
+    )
+
+    rnd = random.Random(3)
+    comp = [[_rand_blk(rnd) for _ in range(4)] for _ in range(3)]
+    pay = jpeg_encode_noninterleaved(comp, 16, 16)
+    # truncate after the FIRST scan: find the second SOS and cut there
+    first_sos = pay.index(b"\xff\xda")
+    second_sos = pay.index(b"\xff\xda", first_sos + 2)
+    with pytest.raises(ValueError, match="no scan"):
+        jpeg_decode(pay[:second_sos] + b"\xff\xd9")

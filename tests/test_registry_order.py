@@ -26,16 +26,18 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-11 driver gate window: the 6 round-11 registrations (YCCK
+# The round-11 driver gate window: the 7 round-11 registrations (YCCK
 # JPEG, animated GIF, progressive-YCCK, subsampled-progressive 4:2:0,
-# restart-marker JPEG, domain_cap — never driver-checked), `bpe_encode` (round 10's
+# restart-marker + non-interleaved JPEG, domain_cap — never
+# driver-checked), `bpe_encode` (round 10's
 # only red row, re-registered with a driver-sortable checksum output to
-# flip err -> PASS), then the 43 stalest backfill names (latest driver
+# flip err -> PASS), then the 42 stalest backfill names (latest driver
 # row round 6, then round-7 alphabetical).
 _ROUND11_WINDOW = [
     "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
     "multimodal_jpeg_prog_ycck_decode", "multimodal_jpeg_prog420_decode",
     "multimodal_jpeg_restart_decode", "domain_cap",
+    "multimodal_jpeg_noninterleaved_decode",
     "bpe_encode",
     # -- backfill: latest driver row r6 --
     "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
@@ -52,7 +54,6 @@ _ROUND11_WINDOW = [
     "embedding_cohesion", "event_study_car", "gumbel_topk",
     "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
     "key_skew", "microstructure", "multimodal_frame_sample",
-    "multimodal_metadata",
 ]
 
 
