@@ -22,6 +22,7 @@ contracts, frame explosion) is real and tested end-to-end.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -68,6 +69,23 @@ __all__ = [
 ]
 
 _MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def _media_base(documents: DataFrame) -> DataFrame:
+    """Slim ``(media_id)`` projection for the synthesizers,
+    hash-repartitioned to the session's default parallelism (round 12):
+    the CPU-heavy encode/decode Arrow islands downstream inherit this
+    partitioning, so they use every core even when the upstream scan is
+    one small parquet file (= one input split locally).  The exchange
+    moves ONLY the 8-byte id column; the synthesized payloads and the
+    pixel work itself still never shuffle."""
+    base = documents.select(F.col("doc_id").alias("media_id"))
+    try:
+        n = documents.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - detached-plan fallback
+        return base
+    return base.repartition(n, "media_id")
+
 
 
 def synthesize_media(documents: DataFrame) -> DataFrame:
@@ -194,7 +212,7 @@ def synthesize_bmp(documents: DataFrame) -> DataFrame:
                 rows.append(header + ((m * 31 + j * 7) % 256).astype(np.uint8).tobytes())
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -245,7 +263,7 @@ def synthesize_jpeg(documents: DataFrame) -> DataFrame:
                 rows.append(b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9")
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -751,7 +769,7 @@ def synthesize_png(documents: DataFrame) -> DataFrame:
                 rows.append(png_encode(px, color_type=2))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -935,7 +953,7 @@ def synthesize_pcm(documents: DataFrame, *, sample_rate: int = 16_000) -> DataFr
                 }
             )
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(pack, schema=_PCM_SCHEMA)
 
 
@@ -1324,7 +1342,7 @@ def synthesize_gif(documents: DataFrame) -> DataFrame:
                 rows.append(gif_encode(idx, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -1575,7 +1593,7 @@ def synthesize_gif_animated(documents: DataFrame) -> DataFrame:
                 rows.append(gif_encode_animated(frames, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -1916,60 +1934,172 @@ def jpeg_encode_ycbcr_422(coeffs, width: int, height: int, qtable=None) -> bytes
     return bytes(out)
 
 
+# any 0xFF not followed by a stuffed 0x00: an RSTn boundary or the
+# marker that terminates the scan's entropy data
+_JPEG_MARKER_RE = re.compile(rb"\xff[^\x00]")
+
+
 class _BitReaderMSB:
     """JPEG entropy bit reader: MSB-first with 0xFF00 unstuffing; a bare
-    0xFF followed by a marker ends the scan."""
+    0xFF followed by a marker ends the scan.
+
+    Round 12 (the decode hot path): instead of walking bytes one at a
+    time in Python, the constructor SEGMENTS the scan once at C speed —
+    a regex locates every bare-0xFF boundary, splitting the entropy
+    data on RST0-7 markers and at the terminating marker
+    (``scan_end``) — and unstuffs each segment with ``bytes.replace``.
+    Bit reads then refill an int accumulator 8 bytes at a time via
+    ``int.from_bytes``, so per-symbol work is a few shifts and masks."""
+
+    __slots__ = (
+        "data", "segs", "rsts", "si", "seg", "slen", "spos",
+        "acc", "n", "scan_end",
+    )
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
+        segs = []
+        rsts = []
+        start = pos
+        end = len(data)
+        i = pos
+        while True:
+            m = _JPEG_MARKER_RE.search(data, i)
+            if m is None:  # ran off the payload without a marker
+                segs.append(data[start:end].replace(b"\xff\x00", b"\xff"))
+                self.scan_end = end
+                break
+            mb = m.start()
+            marker = data[mb + 1]
+            if 0xD0 <= marker <= 0xD7:  # restart boundary
+                segs.append(data[start:mb].replace(b"\xff\x00", b"\xff"))
+                rsts.append(marker & 7)
+                start = i = mb + 2
+            else:  # scan-terminating marker
+                segs.append(data[start:mb].replace(b"\xff\x00", b"\xff"))
+                self.scan_end = mb
+                break
+        self.segs = segs
+        self.rsts = rsts
+        self.si = 0
+        self.seg = segs[0]
+        self.slen = len(segs[0])
+        self.spos = 0
         self.acc = 0
         self.n = 0
 
+    def refill(self, k: int) -> None:
+        """Buffer at least ``k`` bits (topping up to ~64 so refills
+        amortize); stops quietly at the current segment's end — the
+        next RST boundary or the scan terminator."""
+        p = self.spos
+        take = min((max(k, 56) - self.n + 7) >> 3, self.slen - p)
+        if take > 0:
+            self.acc = (
+                (self.acc & ((1 << self.n) - 1)) << (take * 8)
+            ) | int.from_bytes(self.seg[p : p + take], "big")
+            self.n += take * 8
+            self.spos = p + take
+
+    def _starved(self):
+        if self.si == len(self.segs) - 1 and self.scan_end >= len(self.data):
+            raise ValueError("JPEG scan truncated")
+        raise ValueError("marker inside entropy scan")
+
     def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError("marker inside entropy scan")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+        n = self.n
+        if n == 0:
+            self.refill(1)
+            n = self.n
+            if n == 0:
+                self._starved()
+        self.n = n = n - 1
+        return (self.acc >> n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        if k == 0:
+            return 0
+        n = self.n
+        if n < k:
+            self.refill(k)
+            n = self.n
+            if n < k:
+                self._starved()
+        self.n = n = n - k
+        return (self.acc >> n) & ((1 << k) - 1)
 
     def restart(self) -> int:
         """Byte-align (discarding pad bits), consume the RSTn marker at
         the restart boundary, return ``n`` (0-7)."""
+        if self.si >= len(self.rsts):
+            raise ValueError("expected restart marker in entropy scan")
+        m = self.rsts[self.si]
+        self.si += 1
+        self.seg = self.segs[self.si]
+        self.slen = len(self.seg)
+        self.spos = 0
         self.acc = 0
         self.n = 0
-        n = len(self.data)
-        while self.pos + 1 < n and not (
-            self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00
-        ):
-            self.pos += 1
-        m = self.data[self.pos + 1] if self.pos + 1 < n else None
-        if m is None or not (0xD0 <= m <= 0xD7):
-            raise ValueError("expected restart marker in entropy scan")
-        self.pos += 2
-        return m & 0x07
+        return m
+
+
+# first-level Huffman lookup width: one table probe resolves any code
+# of <= this many bits (JPEG's frequent symbols are all short); longer
+# codes fall back to the generic bit-serial walk
+_HUFF_LUT_BITS = 10
+
+
+class _HuffDecoder:
+    """Decoder-side Huffman table: ``lut`` resolves codes up to
+    ``_HUFF_LUT_BITS`` bits in one indexed probe (entry = (symbol,
+    length) replicated across the don't-care suffix); ``map`` is the
+    exact (length, code) -> symbol fallback for longer codes."""
+
+    __slots__ = ("map", "lut")
+
+    def __init__(self, mp, lut):
+        self.map = mp
+        self.lut = lut
 
 
 def _build_huff_decoder(bits, vals):
-    """(code, length) -> symbol lookup for the generic Huffman walk."""
+    """(code, length) -> symbol lookup for the generic Huffman walk,
+    plus the one-probe prefix LUT (round 12)."""
     codes = _huff_codes(bits, vals)
-    return {(ln, c): sym for sym, (c, ln) in codes.items()}
+    mp = {(ln, c): sym for sym, (c, ln) in codes.items()}
+    lut = [None] * (1 << _HUFF_LUT_BITS)
+    for sym, (c, ln) in codes.items():
+        if ln <= _HUFF_LUT_BITS:
+            base = c << (_HUFF_LUT_BITS - ln)
+            entry = (sym, ln)
+            for j in range(1 << (_HUFF_LUT_BITS - ln)):
+                lut[base + j] = entry
+    return _HuffDecoder(mp, lut)
+
+
+def _read_huff_symbol(reader, table):
+    """Decode one Huffman symbol: LUT fast path when >= _HUFF_LUT_BITS
+    bits are buffered (or can be refilled), bit-serial walk otherwise
+    (long codes and the scan tail, where fewer bits remain before the
+    terminating marker)."""
+    n = reader.n
+    if n < _HUFF_LUT_BITS:
+        reader.refill(_HUFF_LUT_BITS)
+        n = reader.n
+    if n >= _HUFF_LUT_BITS:
+        hit = table.lut[(reader.acc >> (n - _HUFF_LUT_BITS)) & 1023]
+        if hit is not None:
+            reader.n = n - hit[1]
+            return hit[0]
+    code, ln = 0, 0
+    get = table.map.get
+    while ln <= 16:
+        code = (code << 1) | reader.bit()
+        ln += 1
+        sym = get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
 
 
 def _extend(v: int, s: int) -> int:
@@ -2322,14 +2452,7 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
     reader = _BitReaderMSB(data, pos)
 
     def read_symbol(table):
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | reader.bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
+        return _read_huff_symbol(reader, table)
 
     nc = len(comp_specs)
     qs = [np.array(q, dtype=np.float64) for q, _, _, _, _ in comp_specs]
@@ -2388,11 +2511,7 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
                         px_ = (mx * hs + bx) * 8
                         planes[ci][py : py + 8, px_ : px_ + 8] = decode_block(ci)
     # position of the next marker, so multi-scan callers can continue
-    j = reader.pos
-    nd = len(data)
-    while j + 1 < nd and not (data[j] == 0xFF and data[j + 1] != 0x00):
-        j += 1
-    return planes, j
+    return planes, reader.scan_end
 
 
 def synthesize_jpeg_decodable(documents: DataFrame) -> DataFrame:
@@ -2420,7 +2539,7 @@ def synthesize_jpeg_decodable(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_gray(blocks, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2466,7 +2585,7 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_ycbcr(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2566,7 +2685,7 @@ def synthesize_jpeg_restart(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_ycbcr(mcus, w, h, restart_interval=2))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2620,7 +2739,7 @@ def synthesize_jpeg_noninterleaved(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2657,7 +2776,7 @@ def synthesize_png_palette(documents: DataFrame) -> DataFrame:
                 rows.append(png_encode(idx, color_type=3, palette=pal))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2690,7 +2809,7 @@ def synthesize_gif_interlaced(documents: DataFrame) -> DataFrame:
                 rows.append(gif_encode(idx, w, h, interlace=True))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2722,7 +2841,7 @@ def synthesize_png_interlaced(documents: DataFrame) -> DataFrame:
                 rows.append(png_encode(px, color_type=2, interlace=True))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2766,7 +2885,7 @@ def synthesize_jpeg_color_420(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_ycbcr_420(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -2810,7 +2929,7 @@ def synthesize_jpeg_color_422(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_ycbcr_422(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3111,14 +3230,7 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
     reader = _BitReaderMSB(data, pos)
 
     def read_symbol(table):
-        code, ln = 0, 0
-        while ln <= 16:
-            code = (code << 1) | reader.bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in scan")
+        return _read_huff_symbol(reader, table)
 
     if ss == 0:  # ---- DC scan ----
         if se != 0:
@@ -3208,11 +3320,7 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
                     eb -= 1
             eobrun[0] = eb
 
-    j = reader.pos
-    n = len(data)
-    while j + 1 < n and not (data[j] == 0xFF and data[j + 1] != 0x00):
-        j += 1
-    return j
+    return reader.scan_end
 
 
 def _jpeg_coeffs_to_plane(blocks, q, bw: int, bh: int):
@@ -3264,7 +3372,7 @@ def synthesize_jpeg_progressive(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_progressive(mcus, w, h, al=1))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3298,7 +3406,7 @@ def synthesize_png16(documents: DataFrame) -> DataFrame:
                 rows.append(png_encode(px, color_type=2, depth=16))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3341,7 +3449,7 @@ def synthesize_jpeg_prog_ycck(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3398,7 +3506,7 @@ def synthesize_jpeg_prog420(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3555,7 +3663,7 @@ def synthesize_jpeg_ycck(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_ycck(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3601,7 +3709,7 @@ def synthesize_jpeg_cmyk(documents: DataFrame) -> DataFrame:
                 rows.append(jpeg_encode_cmyk(mcus, w, h))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(
@@ -3642,7 +3750,7 @@ def synthesize_png_sub8(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
-    base = documents.select(F.col("doc_id").alias("media_id"))
+    base = _media_base(documents)
     return base.mapInPandas(
         pack,
         schema=T.StructType(

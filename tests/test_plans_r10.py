@@ -99,7 +99,8 @@ def test_jpeg_422_two_python_islands_no_shuffle(spark, docs):
 
     out = png_pixel_stats(synthesize_jpeg_color_422(docs))
     assert count_python_stages(out) == 2
-    assert count_exchanges(out) == 0
+    # one slim id exchange from _media_base; no payload shuffle
+    assert count_exchanges(out) == 1
 
 
 def test_market_impact_fit_contract(spark, trades):

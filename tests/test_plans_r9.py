@@ -100,9 +100,10 @@ def test_jpeg_color_decode_is_python_islands_no_shuffle(spark, docs):
 
     out = png_pixel_stats(synthesize_jpeg_color(docs))
     # synthesis + decode are the two Arrow islands; per-file pixel work
-    # is embarrassingly parallel, so NOTHING shuffles
+    # is embarrassingly parallel — the ONE exchange is _media_base's
+    # slim id repartition (round 12), payloads never shuffle
     assert count_python_stages(out) == 2
-    assert count_exchanges(out) == 0
+    assert count_exchanges(out) == 1
 
 
 def test_recall_auto_sample_filter_reaches_both_arms(spark, docs):
