@@ -248,6 +248,12 @@ HEADLINE = [
     "multimodal_jpeg_restart_decode",
     "domain_cap",
     "multimodal_jpeg_noninterleaved_decode",
+    # round 12
+    "multimodal_jpeg_partialmcu_decode",
+    "multimodal_jpeg_prog_restart_decode",
+    "multimodal_webp_metadata",
+    "multimodal_webp_lossless_decode",
+    "dedup_exact_substring",
 ]
 
 

@@ -40,6 +40,7 @@ from polars_trading_spark.functions.text import (
 
 __all__ = [
     "exact_dedup",
+    "exact_substring_dedup",
     "shingle_hashes",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -815,6 +816,108 @@ def duplicated_span_stats(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal at ``k``-token granularity — the
+    keep-first-occurrence form of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better"): any ``k``-token span
+    whose hash occurs MORE THAN ONCE in the corpus (across documents or
+    repeated within one) is removed from every occurrence except the
+    canonical first (the smallest ``(doc_id, position)``); overlapping
+    and adjacent removals merge into maximal spans, exactly as the
+    suffix-array formulation removes byte ranges.  ``k = 50`` is the
+    paper's granularity; test registrations use a smaller ``k`` so the
+    synthetic corpus carries signal.
+
+    Output per document: ``doc_id, n_tokens, n_shingles,
+    removed_tokens`` (exact union-of-spans size), ``removed_spans``
+    (count of maximal merged spans), ``kept_tokens, kept_frac``.
+
+    100 TB shape: positional shingles explode the corpus ~1 row per
+    token, then everything is hash aggregates and one bounded window —
+    the canonical-occurrence pick is a ``min(struct(doc, pos))``
+    map-side-combinable aggregate on the span hash, the span-merge is
+    one ``lag`` over each document's sorted duplicated positions.  No
+    all-pairs stage, no suffix sort; the only wide dependency is the
+    duplicated-hash set, which ``HAVING count(*) >= 2`` shrinks.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    base = _tokenized(df, text_col, id_col)
+    totals = base.select(
+        F.col("__id"), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    ps = base.select(
+        "__id",
+        F.posexplode(positional_shingle_hashes(F.col("__toks"), k)).alias(
+            "pos", "h"
+        ),
+    )
+    # canonical occurrence per duplicated hash: min (doc, pos) — a
+    # single hash aggregate, partially combined map-side
+    occ = (
+        ps.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__occ"),
+            F.min(
+                F.struct(F.col("__id").alias("d"), F.col("pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .where(F.col("__occ") >= 2)
+        .select("h", "__keep")
+    )
+    removals = ps.join(occ, "h").where(
+        ~(
+            (F.col("__id") == F.col("__keep.d"))
+            & (F.col("pos") == F.col("__keep.p"))
+        )
+    )
+
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # union of [pos, pos+k): each position contributes min(k, gap);
+    # a gap > k starts a new maximal span (adjacent spans merge)
+    cov_term = F.coalesce(F.least(F.lit(k), F.col("pos") - prev), F.lit(k))
+    span_start = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    per_doc = (
+        removals.select(
+            "__id",
+            cov_term.alias("__c"),
+            span_start.alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.sum("__c").cast("long").alias("removed_tokens"),
+            F.sum("__s").cast("long").alias("removed_spans"),
+        )
+    )
+
+    out = totals.join(per_doc, "__id", "left")
+    removed = F.coalesce("removed_tokens", F.lit(0)).cast("long")
+    spans = F.coalesce("removed_spans", F.lit(0)).cast("long")
+    kept = (F.col("n_tokens") - removed).cast("long")
+    frac = F.when(
+        F.col("n_tokens") > 0, kept / F.col("n_tokens").cast("double")
+    ).otherwise(F.lit(1.0))
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_shingles"),
+        removed.alias("removed_tokens"),
+        spans.alias("removed_spans"),
+        kept.alias("kept_tokens"),
+        frac.alias("kept_frac"),
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1402,9 +1505,13 @@ def incremental_dedup(
     stream micro-batches (0).  Flag-0 index docs compare only against
     higher-id new docs — exactly the in-batch min-id rule — so a
     micro-batched replay (``streaming_incremental_dedup``) reproduces
-    this operator's output bit-for-bit regardless of how the new
-    snapshot was split into batches.  Default None = every index row
-    is base (the one-shot contract, unchanged).
+    this operator's output bit-for-bit when the batch order is
+    NON-DECREASING in doc id (monotonic crawl ids, the real ingest
+    shape).  Out-of-order splits differ by construction (round-12
+    caveat): a later batch carrying a LOWER id than an earlier batch's
+    near-duplicate would make the one-shot run rewrite the earlier
+    decision, while the replay keeps per-batch finality.  Default None
+    = every index row is base (the one-shot contract, unchanged).
 
     Scale shape: signatures for the new snapshot only; the band
     group-join between the new side and (index UNION new) is the only

@@ -9,11 +9,14 @@ inflate + all five unfilters, truecolor AND indexed/PLTE, every spec
 bit depth 1/2/4/8/16 — PNG scope is COMPLETE), uncompressed BMP, GIF
 (full variable-width LZW, interlaced, ANIMATED with disposal-method
 compositing and transparency), and JPEG (canonical Huffman + IDCT —
-**JPEG scope COMPLETE for 8-bit Huffman DCT streams** as of round 11:
+**JPEG scope COMPLETE for 8-bit Huffman DCT streams** as of round 12:
 sequential AND progressive, 1/3/4 components — gray, YCbCr color, raw
 CMYK as stored, YCCK/Adobe-transform-2 — at ANY integer-ratio sampling
-factors).  The honestly-named residual pins (12/16-bit sample precision,
-partial-MCU dims, arithmetic/lossless/hierarchical SOF modes) raise
+factors, at ANY dimensions (partial-MCU edge blocks, round 12), with
+restart intervals in BOTH sequential and progressive scans).  The
+honestly-named residual pins (12/16-bit sample precision,
+arithmetic/lossless/hierarchical SOF modes, partially-interleaved
+sequential scan subsets, non-integer sampling ratios) raise
 ``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
@@ -1706,9 +1709,7 @@ def jpeg_encode_gray(coeffs, width: int, height: int, qtable=None) -> bytes:
     multiples of 8 (no partial-MCU padding in scope)."""
     import struct
 
-    if width % 8 or height % 8:
-        raise ValueError("width/height must be multiples of 8")
-    n_blocks = (width // 8) * (height // 8)
+    n_blocks = _ceil_div(width, 8) * _ceil_div(height, 8)  # MCU-padded
     if len(coeffs) != n_blocks:
         raise ValueError(f"need {n_blocks} blocks, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -1786,9 +1787,7 @@ def jpeg_encode_ycbcr(
     multiples of 8."""
     import struct
 
-    if width % 8 or height % 8:
-        raise ValueError("width/height must be multiples of 8")
-    n_blocks = (width // 8) * (height // 8)
+    n_blocks = _ceil_div(width, 8) * _ceil_div(height, 8)  # MCU-padded
     if len(coeffs) != n_blocks:
         raise ValueError(f"need {n_blocks} MCUs, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -1842,9 +1841,7 @@ def jpeg_encode_ycbcr_420(coeffs, width: int, height: int, qtable=None) -> bytes
     ``width``/``height`` must be multiples of 16."""
     import struct
 
-    if width % 16 or height % 16:
-        raise ValueError("width/height must be multiples of 16 at 4:2:0")
-    n_mcus = (width // 16) * (height // 16)
+    n_mcus = _ceil_div(width, 16) * _ceil_div(height, 16)  # MCU-padded
     if len(coeffs) != n_mcus:
         raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -1894,9 +1891,7 @@ def jpeg_encode_ycbcr_422(coeffs, width: int, height: int, qtable=None) -> bytes
     ``height`` of 8."""
     import struct
 
-    if width % 16 or height % 8:
-        raise ValueError("width must be a multiple of 16 and height of 8 at 4:2:2")
-    n_mcus = (width // 16) * (height // 8)
+    n_mcus = _ceil_div(width, 16) * _ceil_div(height, 8)  # MCU-padded
     if len(coeffs) != n_mcus:
         raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -2106,6 +2101,33 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _assemble_planes(planes, h: int, w: int, samplings):
+    """Shared partial-MCU-aware reconstruction step (round 12): crop
+    each component's (possibly MCU/block-padded) decode plane to its
+    stored T.81 size ``ceil(dim * factor / max_factor)`` (A.1.1),
+    replicate by the integer sampling ratio, and crop to the frame —
+    edge blocks decode fully and the padding T.81 says to ignore is
+    discarded exactly."""
+    hmx = max(hs for hs, _ in samplings)
+    vmx = max(vs for _, vs in samplings)
+    out = []
+    for p, (hs, vs) in zip(planes, samplings):
+        comp_h = _ceil_div(h * vs, vmx)
+        comp_w = _ceil_div(w * hs, hmx)
+        p = p[:comp_h, :comp_w]
+        fy, fx = vmx // vs, hmx // hs
+        if fy > 1:
+            p = p.repeat(fy, axis=0)
+        if fx > 1:
+            p = p.repeat(fx, axis=1)
+        out.append(p[:h, :w])
+    return out
+
+
 def _finalize_jpeg_planes(planes, h: int, w: int, adobe_transform):
     """Shared reconstruction tail of every JPEG decode path: replicate
     stored-resolution planes to the full frame (spec-legal nearest,
@@ -2164,16 +2186,20 @@ def jpeg_decode(payload: bytes):
     libjpeg complement ``(C, M, Ye) = 255 - (R, G, B)`` with K as
     stored), each at ANY integer-ratio sampling factors
     (nearest-neighbour replication upsampling, spec-legal and exact in
-    integers).  RESTART INTERVALS (DRI + cycling RST0-7, round 11) are
-    handled in sequential scans: byte alignment, DC-predictor resets,
+    integers) and ANY dimensions — PARTIAL-MCU frames (round 12)
+    decode their edge blocks in full on the ceil-padded MCU grid and
+    crop to the stored T.81 component size (interleaved scans code the
+    padded grid, non-interleaved scans only the ceil(size/8) real
+    raster, per A.2.2/A.2.3).  RESTART INTERVALS (DRI + cycling
+    RST0-7) are handled in sequential (round 11) AND progressive
+    (round 12) scans: byte alignment, DC-predictor and EOB-run resets,
     marker-sequence verification; 16-BIT QUANT TABLES (DQT precision 1,
     round 11) parse big-endian.  Named remaining pins raise with the
-    feature: 12/16-bit SAMPLE precision, partial-MCU dimensions,
-    non-integer-ratio samplings, restart intervals in PROGRESSIVE
-    scans, non-DCT-Huffman SOF modes (arithmetic, lossless,
-    hierarchical), partially-interleaved sequential scan subsets
-    (single-component NON-INTERLEAVED scans decode — round 11 — with
-    planes accumulated across scans).
+    feature: 12/16-bit SAMPLE precision, non-integer-ratio samplings,
+    non-DCT-Huffman SOF modes (arithmetic, lossless, hierarchical),
+    partially-interleaved sequential scan subsets (single-component
+    NON-INTERLEAVED scans decode — round 11 — with planes accumulated
+    across scans).
     Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or
     ``(h, w, 4)`` (CMYK) uint8 array."""
     import struct
@@ -2263,17 +2289,25 @@ def jpeg_decode(payload: bytes):
                 # round 11: progressive is sampling-generic — the DC
                 # scans walk MCU-interleaved block order, AC scans are
                 # per-component raster by spec, so only the block
-                # geometry changes with the factors
-                if h % (8 * vmx) or w % (8 * hmx):
-                    raise NotImplementedError(
-                        "partial-MCU dimensions not supported"
-                    )
-                mcw, mch = w // (8 * hmx), h // (8 * vmx)
+                # geometry changes with the factors.  Round 12: dims
+                # need not be MCU-aligned — the coefficient store is
+                # MCU-padded (interleaved scans code pad blocks) while
+                # single-component scans walk only the ceil(size/8)
+                # REAL block raster ("cgrid", T.81 A.2.2).
+                mcw = _ceil_div(w, 8 * hmx)
+                mch = _ceil_div(h, 8 * vmx)
                 prog_geom = {
                     "mcw": mcw,
                     "mch": mch,
                     "comps": [
                         (hs, vs, mcw * hs, mch * vs) for hs, vs in samplings
+                    ],
+                    "cgrid": [
+                        (
+                            _ceil_div(_ceil_div(w * hs, hmx), 8),
+                            _ceil_div(_ceil_div(h * vs, vmx), 8),
+                        )
+                        for hs, vs in samplings
                     ],
                 }
                 prog_coefs = [
@@ -2292,10 +2326,6 @@ def jpeg_decode(payload: bytes):
             h, w, comps = frame
             ns = body[0]
             if progressive:
-                if restart_interval:
-                    raise NotImplementedError(
-                        "restart intervals in progressive scans not supported"
-                    )
                 by_id = {
                     cid: idx for idx, (cid, _, _, _) in enumerate(comps)
                 }
@@ -2323,6 +2353,7 @@ def jpeg_decode(payload: bytes):
                     se,
                     ahal >> 4,
                     ahal & 0x0F,
+                    restart_interval=restart_interval,
                 )
                 prog_eobrun[0] = 0  # EOB runs never cross scans
                 continue
@@ -2364,21 +2395,23 @@ def jpeg_decode(payload: bytes):
                     payload, scan_start, h, w, comp_specs,
                     restart_interval=restart_interval,
                 )
+                planes = _assemble_planes(
+                    planes, h, w,
+                    [(hs, vs) for _, _, _, hs, vs in comp_specs],
+                )
                 return _finalize_jpeg_planes(planes, h, w, adobe_transform)
             # NON-INTERLEAVED scan (round 11): one component, walked
             # over its OWN block raster at stored resolution (one block
             # per MCU — restart intervals count blocks, per spec);
             # planes accumulate across scans until every frame
-            # component has one
+            # component has one.  Partial-MCU dims (round 12): the
+            # raster covers ceil(stored_size / 8) blocks per T.81
+            # A.2.2 — NOT the MCU-padded grid interleaved scans use.
             hmx = max(hs for _, hs, _, _ in comps)
             vmx = max(vs for _, _, vs, _ in comps)
-            if h % (8 * vmx) or w % (8 * hmx):
-                raise NotImplementedError(
-                    "partial-MCU dimensions not supported"
-                )
             q_, dct_, act_, hs, vs = comp_specs[0]
-            ch = (h // (8 * vmx)) * vs * 8
-            cw = (w // (8 * hmx)) * hs * 8
+            ch = 8 * _ceil_div(_ceil_div(h * vs, vmx), 8)
+            cw = 8 * _ceil_div(_ceil_div(w * hs, hmx), 8)
             one, next_i = _jpeg_decode_scan(
                 payload, scan_start, ch, cw,
                 [(q_, dct_, act_, 1, 1)],
@@ -2386,12 +2419,13 @@ def jpeg_decode(payload: bytes):
             )
             seq_planes[scan_idx[0]] = one[0]
             if len(seq_planes) == len(comps):
-                return _finalize_jpeg_planes(
+                planes = _assemble_planes(
                     [seq_planes[k] for k in range(len(comps))],
                     h,
                     w,
-                    adobe_transform,
+                    [(hs_, vs_) for _, hs_, vs_, _ in comps],
                 )
+                return _finalize_jpeg_planes(planes, h, w, adobe_transform)
             i = next_i
             continue
         i += 2 + seg_len
@@ -2410,6 +2444,9 @@ def jpeg_decode(payload: bytes):
             )
             for ci in range(len(comps))
         ]
+        planes = _assemble_planes(
+            planes, h, w, [(hs, vs) for _, hs, vs, _ in comps]
+        )
         return _finalize_jpeg_planes(planes, h, w, adobe_transform)
     if seq_planes:
         raise ValueError(
@@ -2441,14 +2478,18 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
     byte-aligns to a cycling RST0-7 marker and DC predictors reset —
     sequence violations raise (corrupt stream).  ``comp_specs`` is
     ``[(qtable, dc_table, ac_table, hs, vs)]`` in scan order; returns
-    one ``(h*vs/Vmax, w*hs/Hmax)`` uint8 plane per component (chroma
-    planes come back at their stored resolution)."""
+    one MCU-padded ``(8*ceil(h/8Vmax)*vs, 8*ceil(w/8Hmax)*hs)`` uint8
+    plane per component (callers crop to the stored component size —
+    partial-MCU edge blocks decode in full, round 12)."""
     import numpy as np
 
     hmax = max(hs for _, _, _, hs, _ in comp_specs)
     vmax = max(vs for _, _, _, _, vs in comp_specs)
-    if h % (8 * vmax) or w % (8 * hmax):
-        raise NotImplementedError("partial-MCU dimensions not supported")
+    # partial-MCU dimensions (round 12): the MCU grid is the ceiling
+    # and edge blocks decode in full into MCU-padded planes; the caller
+    # crops to the stored component size (_assemble_planes)
+    mcw = _ceil_div(w, 8 * hmax)
+    mch = _ceil_div(h, 8 * vmax)
     reader = _BitReaderMSB(data, pos)
 
     def read_symbol(table):
@@ -2458,7 +2499,7 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
     qs = [np.array(q, dtype=np.float64) for q, _, _, _, _ in comp_specs]
     basis = _idct_basis()
     planes = [
-        np.empty((h * vs // vmax, w * hs // hmax), dtype=np.uint8)
+        np.empty((8 * mch * vs, 8 * mcw * hs), dtype=np.uint8)
         for _, _, _, hs, vs in comp_specs
     ]
     prev_dc = [0] * nc
@@ -2493,8 +2534,8 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
         return np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
 
     mi = 0
-    for my in range(h // (8 * vmax)):
-        for mx in range(w // (8 * hmax)):
+    for my in range(mch):
+        for mx in range(mcw):
             if restart_interval and mi and mi % restart_interval == 0:
                 m = reader.restart()
                 if m != (mi // restart_interval - 1) % 8:
@@ -2616,13 +2657,12 @@ def jpeg_encode_noninterleaved(
         raise ValueError("samplings length != number of components")
     hmx = max(hs for hs, _ in samp)
     vmx = max(vs for _, vs in samp)
-    if width % (8 * hmx) or height % (8 * vmx):
-        raise ValueError(
-            f"width/height must be multiples of the MCU size ({8 * hmx}x{8 * vmx})"
-        )
-    mcw, mch = width // (8 * hmx), height // (8 * vmx)
     for ci, (hs, vs) in enumerate(samp):
-        want = mcw * hs * mch * vs
+        # non-interleaved scans code the ceil(stored/8) REAL block
+        # raster (T.81 A.2.2), not the MCU-padded grid (round 12)
+        want = _ceil_div(_ceil_div(width * hs, hmx), 8) * _ceil_div(
+            _ceil_div(height * vs, vmx), 8
+        )
         if len(comps[ci]) != want:
             raise ValueError(
                 f"component {ci} needs {want} blocks, got {len(comps[ci])}"
@@ -2981,6 +3021,7 @@ def _emit_eobrun(w, ac_codes, eobrun: int, pending_bits: list) -> int:
 def jpeg_encode_progressive(
     coeffs, width: int, height: int, qtable=None, al: int = 1,
     adobe_transform: int | None = None, samplings=None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a PROGRESSIVE (SOF2) JPEG from QUANTIZED DCT coefficients
     with spectral selection + successive approximation: DC first scan
@@ -2998,17 +3039,19 @@ def jpeg_encode_progressive(
     order (``mcw*hs x mch*vs`` blocks); the interleaved DC scans emit
     MCU block order per spec A.2.3, AC scans stay per-component
     raster.  ``adobe_transform`` writes the APP14 marker (0 = raw CMYK
-    as stored, 2 = YCCK).  ``width``/``height`` must be multiples of
-    the MCU size.
+    as stored, 2 = YCCK).  Partial-MCU ``width``/``height`` are legal
+    (round 12): the store is the ceil-padded MCU grid, AC scans walk
+    the restricted real-block raster.  ``restart_interval`` (round 12)
+    emits a DRI segment and, inside EVERY scan, cycling RST0-7 markers
+    each that many MCUs (one block = one MCU in the non-interleaved AC
+    scans) — byte-aligned, DC predictors and EOB runs reset/flushed.
     """
     import struct
 
     if al < 1:
         raise ValueError(f"al must be >= 1, got {al}")
     if samplings is None:
-        if width % 8 or height % 8:
-            raise ValueError("width/height must be multiples of 8")
-        n_blocks = (width // 8) * (height // 8)
+        n_blocks = _ceil_div(width, 8) * _ceil_div(height, 8)  # MCU-padded
         if len(coeffs) != n_blocks:
             raise ValueError(f"need {n_blocks} blocks/MCUs, got {len(coeffs)}")
         first = coeffs[0]
@@ -3023,7 +3066,7 @@ def jpeg_encode_progressive(
         )  # comps[ci][b] = 64-list
         nc = len(comps)
         samp = [(1, 1)] * nc
-        mcw, mch = width // 8, height // 8
+        mcw, mch = _ceil_div(width, 8), _ceil_div(height, 8)
     else:
         comps = [list(blocks) for blocks in coeffs]
         nc = len(comps)
@@ -3032,12 +3075,8 @@ def jpeg_encode_progressive(
             raise ValueError("samplings length != number of components")
         hmx = max(hs for hs, _ in samp)
         vmx = max(vs for _, vs in samp)
-        if width % (8 * hmx) or height % (8 * vmx):
-            raise ValueError(
-                "width/height must be multiples of the MCU size "
-                f"({8 * hmx}x{8 * vmx})"
-            )
-        mcw, mch = width // (8 * hmx), height // (8 * vmx)
+        mcw = _ceil_div(width, 8 * hmx)
+        mch = _ceil_div(height, 8 * vmx)
         for ci, (hs, vs) in enumerate(samp):
             want = mcw * hs * mch * vs
             if len(comps[ci]) != want:
@@ -3047,6 +3086,19 @@ def jpeg_encode_progressive(
     q = list(qtable) if qtable is not None else [16] * 64
     if len(q) != 64:
         raise ValueError("qtable must have 64 entries")
+    # Per-component REAL block rasters for the (non-interleaved) AC
+    # scans: ceil(stored/8) blocks, indexed into the MCU-padded store —
+    # identical to the padded grid except at partial-MCU dims (round 12)
+    hmx_ = max(hs for hs, _ in samp)
+    vmx_ = max(vs for _, vs in samp)
+    ac_raster = []
+    for hs, vs in samp:
+        bw_ = mcw * hs
+        cbw = _ceil_div(_ceil_div(width * hs, hmx_), 8)
+        cbh = _ceil_div(_ceil_div(height * vs, vmx_), 8)
+        ac_raster.append(
+            [by * bw_ + bx for by in range(cbh) for bx in range(cbw)]
+        )
     # DC-scan block visit order (MCU-interleaved; reduces to
     # block-major x component-minor at 1x1)
     dc_order = []
@@ -3067,6 +3119,8 @@ def jpeg_encode_progressive(
             ">HHHB", 100, 0, 0, adobe_transform
         )
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
     for ci in range(nc):
         hs, vs = samp[ci]
@@ -3084,11 +3138,21 @@ def jpeg_encode_progressive(
         hdr += bytes([ss, se, (ah << 4) | al_])
         return hdr
 
+    # blocks per MCU in the interleaved DC scans — the restart cadence
+    bpm = sum(hs * vs for hs, vs in samp)
+
     # ---- DC first scan (all components, MCU-interleaved order) ----
     out += sos(list(range(1, nc + 1)), 0, 0, 0, al)
     w = _BitWriterMSB()
     pred = [0] * nc
-    for ci, b in dc_order:
+    rst = 0
+    for idx, (ci, b) in enumerate(dc_order):
+        if restart_interval and idx and idx % (restart_interval * bpm) == 0:
+            out += w.flush()
+            w = _BitWriterMSB()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0] * nc
         v = comps[ci][b][0] >> al  # arithmetic shift, spec G.1.2.1
         s, bits = _jpeg_category(v - pred[ci])
         pred[ci] = v
@@ -3102,7 +3166,13 @@ def jpeg_encode_progressive(
     for bit_pos in range(al - 1, -1, -1):
         out += sos(list(range(1, nc + 1)), 0, 0, bit_pos + 1, bit_pos)
         w = _BitWriterMSB()
-        for ci, b in dc_order:
+        rst = 0
+        for idx, (ci, b) in enumerate(dc_order):
+            if restart_interval and idx and idx % (restart_interval * bpm) == 0:
+                out += w.flush()
+                w = _BitWriterMSB()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
             w.write((comps[ci][b][0] >> bit_pos) & 1, 1)
         out += w.flush()
 
@@ -3111,7 +3181,14 @@ def jpeg_encode_progressive(
         out += sos([ci + 1], 1, 63, 0, al)
         w = _BitWriterMSB()
         eobrun, none_bits = 0, []
-        for b in range(len(comps[ci])):
+        rst = 0
+        for bi, b in enumerate(ac_raster[ci]):
+            if restart_interval and bi and bi % restart_interval == 0:
+                eobrun = _emit_eobrun(w, ac_codes, eobrun, none_bits)
+                out += w.flush()
+                w = _BitWriterMSB()
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
             blk = comps[ci][b]
             r = 0
             for k in range(1, 64):
@@ -3143,7 +3220,14 @@ def jpeg_encode_progressive(
             out += sos([ci + 1], 1, 63, bit_pos + 1, bit_pos)
             w = _BitWriterMSB()
             eobrun, eob_bits = 0, []
-            for b in range(len(comps[ci])):
+            rst = 0
+            for bi, b in enumerate(ac_raster[ci]):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    eobrun = _emit_eobrun(w, ac_codes, eobrun, eob_bits)
+                    out += w.flush()
+                    w = _BitWriterMSB()
+                    out += bytes([0xFF, 0xD0 + (rst & 7)])
+                    rst += 1
                 blk = comps[ci][b]
                 absval = [abs(blk[k]) >> bit_pos for k in range(64)]
                 # last newly-nonzero position: zero runs beyond it fold
@@ -3196,12 +3280,25 @@ def jpeg_encode_progressive(
     return bytes(out)
 
 
+def _prog_comp_raster(geom, ci):
+    """Block ids (into the MCU-padded coefficient store) of component
+    ``ci``'s REAL blocks, raster order — the single-component scan walk
+    (pad blocks are skipped; they are only coded in interleaved
+    scans)."""
+    _, _, bw, _ = geom["comps"][ci]
+    cbw, cbh = geom["cgrid"][ci]
+    return [by * bw + bx for by in range(cbh) for bx in range(cbw)]
+
+
 def _prog_block_order(specs, coefs, geom):
     """DC-scan block visit order: MCU-interleaved for multi-component
-    scans, the component's own raster for single-component scans."""
+    scans (the full padded grid — pad blocks ARE coded, spec A.2.3),
+    the component's own ceil(size/8) REAL block raster for
+    single-component scans (spec A.2.2; differs from the padded grid
+    exactly when dimensions are partial-MCU, round 12)."""
     if len(specs) == 1:
         ci = specs[0][0]
-        return [(ci, b) for b in range(len(coefs[ci]))]
+        return [(ci, b) for b in _prog_comp_raster(geom, ci)]
     order = []
     for my in range(geom["mch"]):
         for mx in range(geom["mcw"]):
@@ -3216,7 +3313,7 @@ def _prog_block_order(specs, coefs, geom):
 
 
 def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
-                    ss, se, ah, al):
+                    ss, se, ah, al, restart_interval=0):
     """Decode ONE progressive scan's entropy data (T.81 G.2), mutating
     the per-component zig-zag coefficient store in place.
 
@@ -3225,8 +3322,11 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
     — multi-component DC scans visit blocks in MCU-interleaved order
     (``hs x vs`` blocks per component per MCU, spec A.2.3); a
     single-component scan is NON-interleaved and walks that
-    component's own block raster.  Returns the stream index of the
-    next marker."""
+    component's own real-block raster.  ``restart_interval`` (round
+    12): every that many MCUs (one block = one MCU in single-component
+    scans) the stream byte-aligns to a cycling RST0-7 marker — DC
+    predictors and the EOB run reset, marker sequence verified.
+    Returns the stream index of the next marker."""
     reader = _BitReaderMSB(data, pos)
 
     def read_symbol(table):
@@ -3236,27 +3336,55 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
         if se != 0:
             raise ValueError("DC scan must have Se == 0")
         order = _prog_block_order(specs, coefs, geom)
+        # restart cadence: entries per MCU (1 for single-component scans)
+        bpm = (
+            sum(geom["comps"][ci][0] * geom["comps"][ci][1] for ci, _, _ in specs)
+            if len(specs) > 1
+            else 1
+        )
+        ri_entries = restart_interval * bpm
+
+        def at_restart(idx: int) -> None:
+            m = reader.restart()
+            if m != (idx // ri_entries - 1) % 8:
+                raise ValueError(f"restart marker out of sequence (got RST{m})")
+
         if ah == 0:  # first
             dct_by_ci = {ci: dct for ci, dct, _ in specs}
             for ci, _, _ in specs:
                 dc_pred[ci] = 0  # predictors reset at scan start
-            for ci, b in order:
+            for idx, (ci, b) in enumerate(order):
+                if ri_entries and idx and idx % ri_entries == 0:
+                    at_restart(idx)
+                    for cj, _, _ in specs:
+                        dc_pred[cj] = 0
                 s = read_symbol(dct_by_ci[ci])
                 diff = _extend(reader.bits(s), s) if s else 0
                 dc_pred[ci] += diff
                 coefs[ci][b][0] = dc_pred[ci] << al
         else:  # refinement: one raw bit per block per component
-            for ci, b in order:
+            for idx, (ci, b) in enumerate(order):
+                if ri_entries and idx and idx % ri_entries == 0:
+                    at_restart(idx)
                 if reader.bit():
                     coefs[ci][b][0] |= 1 << al
     else:  # ---- AC scan (spec: exactly one component) ----
         if len(specs) != 1:
             raise ValueError("progressive AC scan must be single-component")
         ci, _, act = specs[0]
-        n_blocks = len(coefs[ci])
+        block_ids = _prog_comp_raster(geom, ci)
+
+        def ac_restart(bi: int) -> int:
+            m = reader.restart()
+            if m != (bi // restart_interval - 1) % 8:
+                raise ValueError(f"restart marker out of sequence (got RST{m})")
+            return 0  # EOB runs never cross a restart boundary
+
         if ah == 0:  # first
             eb = eobrun[0]
-            for b in range(n_blocks):
+            for bi, b in enumerate(block_ids):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    eb = ac_restart(bi)
                 if eb > 0:
                     eb -= 1
                     continue
@@ -3280,7 +3408,9 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
         else:  # refinement (G.2: positional correction-bit walk)
             p1, m1 = 1 << al, -(1 << al)
             eb = eobrun[0]
-            for b in range(n_blocks):
+            for bi, b in enumerate(block_ids):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    eb = ac_restart(bi)
                 blk = coefs[ci][b]
                 k = ss
                 if eb == 0:
@@ -3528,9 +3658,7 @@ def jpeg_encode_cmyk(coeffs, width: int, height: int, qtable=None) -> bytes:
     DC predictors.  ``width``/``height`` must be multiples of 8."""
     import struct
 
-    if width % 8 or height % 8:
-        raise ValueError("width/height must be multiples of 8")
-    n_blocks = (width // 8) * (height // 8)
+    n_blocks = _ceil_div(width, 8) * _ceil_div(height, 8)  # MCU-padded
     if len(coeffs) != n_blocks:
         raise ValueError(f"need {n_blocks} MCUs, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -3578,9 +3706,7 @@ def jpeg_encode_ycck(coeffs, width: int, height: int, qtable=None) -> bytes:
     multiple of 16 and ``height`` of 8."""
     import struct
 
-    if width % 16 or height % 8:
-        raise ValueError("width must be a multiple of 16 and height of 8 at YCCK 2x1")
-    n_mcus = (width // 16) * (height // 8)
+    n_mcus = _ceil_div(width, 16) * _ceil_div(height, 8)  # MCU-padded
     if len(coeffs) != n_mcus:
         raise ValueError(f"need {n_mcus} MCUs, got {len(coeffs)}")
     q = list(qtable) if qtable is not None else [16] * 64
@@ -3747,6 +3873,123 @@ def synthesize_png_sub8(documents: DataFrame) -> DataFrame:
                 idx = ((m * 7 + j * 13) % 16).astype(np.uint8).reshape(h, w)
                 rows.append(
                     png_encode(idx, color_type=3, palette=pal, depth=4)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = _media_base(documents)
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_partialmcu(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL 4:2:0 color JPEG with PARTIAL-MCU dimensions
+    per document id (round 12): ``width = 17 + m % 15``, ``height =
+    13 + m % 11`` — never multiples of the 16x16 MCU, mostly odd — the
+    single most common real-world crawl shape (virtually no photo has
+    dimensions aligned to 8x the sampling factor).  EVEN ids encode the
+    SEQUENTIAL interleaved scan, ODD ids the PROGRESSIVE
+    successive-approximation layout (MCU-interleaved DC scans over the
+    padded grid, AC scans over the restricted real-block raster), both
+    carrying the same DC-only spectra on the ceil-padded MCU grid — so
+    ONE closed-form SQL oracle covers both decode paths: edge blocks
+    decode fully and crop to exactly ``h x w``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 17 + m % 15, 13 + m % 11
+                mcw, mch = _ceil_div(w, 16), _ceil_div(h, 16)
+                if m % 2 == 0:
+                    mcus = []
+                    for k in range(mcw * mch):
+                        yb = []
+                        for s in range(4):
+                            blk = [0] * 64
+                            blk[0] = ((m + 13 * (4 * k + s)) % 64) - 32
+                            yb.append(blk)
+                        cb = [0] * 64
+                        cb[0] = ((2 * m + 7 * k) % 64) - 32
+                        cr = [0] * 64
+                        cr[0] = ((3 * m + 5 * k) % 64) - 32
+                        mcus.append((tuple(yb), cb, cr))
+                    rows.append(jpeg_encode_ycbcr_420(mcus, w, h))
+                else:
+                    yb = []
+                    for byy in range(2 * mch):
+                        for bxx in range(2 * mcw):
+                            k = (byy // 2) * mcw + bxx // 2
+                            s = (byy % 2) * 2 + (bxx % 2)
+                            blk = [0] * 64
+                            blk[0] = ((m + 13 * (4 * k + s)) % 64) - 32
+                            yb.append(blk)
+                    cbs, crs = [], []
+                    for k in range(mcw * mch):
+                        b1 = [0] * 64
+                        b1[0] = ((2 * m + 7 * k) % 64) - 32
+                        cbs.append(b1)
+                        b2 = [0] * 64
+                        b2[0] = ((3 * m + 5 * k) % 64) - 32
+                        crs.append(b2)
+                    rows.append(
+                        jpeg_encode_progressive(
+                            [yb, cbs, crs],
+                            w,
+                            h,
+                            al=1,
+                            samplings=[(2, 2), (1, 1), (1, 1)],
+                        )
+                    )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    base = _media_base(documents)
+    return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_prog_restart(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL PROGRESSIVE color JPEG WITH RESTART MARKERS
+    per document id (round 12): the same DC-only 4:4:4 spectra as
+    ``synthesize_jpeg_color`` (same SQL closed form), but every scan of
+    the six-stage successive-approximation stream is segmented by a DRI
+    of 2 MCUs with cycling RST0-7 markers — byte alignment,
+    DC-predictor resets, EOB runs flushed at each boundary — the layout
+    some mainstream encoders emit for progressive photos.
+    ``width = 8*(1 + m%6)``, ``height = 8*(1 + m%4)``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 8 * (1 + m % 6), 8 * (1 + m % 4)
+                nb = (w // 8) * (h // 8)
+                mcus = []
+                for k in range(nb):
+                    y = [0] * 64
+                    y[0] = ((m + 13 * k) % 64) - 32
+                    cb = [0] * 64
+                    cb[0] = ((2 * m + 7 * k) % 64) - 32
+                    cr = [0] * 64
+                    cr[0] = ((3 * m + 5 * k) % 64) - 32
+                    mcus.append((y, cb, cr))
+                rows.append(
+                    jpeg_encode_progressive(mcus, w, h, al=1, restart_interval=2)
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 

@@ -463,6 +463,72 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# dedup_exact_substring (round 12): the keep-first-occurrence span
+# REMOVAL form of Lee et al. 2022 — any k-token span hash occurring more
+# than once in the corpus is removed from every non-canonical
+# occurrence; overlapping/adjacent removals merge into maximal spans.
+# The oracle replays the whole computation in DuckDB: same tokenizer,
+# same arithmetic shingle hashes, the same min-(doc,pos) canonical pick
+# and the same lag-window span union — byte-for-byte accounting.
+# --------------------------------------------------------------------------
+
+_ESD_N = 8  # registration granularity; the API default is the paper's 50
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_positional_shingles(_ESD_N)},
+occ AS (
+  SELECT h,
+         min(struct_pack(d := doc_id, p := pos)) AS keep
+  FROM ps GROUP BY h HAVING count(*) >= 2
+),
+removals AS (
+  SELECT ps.doc_id, ps.pos
+  FROM ps JOIN occ USING (h)
+  WHERE NOT (ps.doc_id = occ.keep.d AND ps.pos = occ.keep.p)
+),
+lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM removals
+),
+agg AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN prev IS NULL THEN {_ESD_N}
+             ELSE least({_ESD_N}, pos - prev) END) AS BIGINT) AS removed_tokens,
+    CAST(sum(CASE WHEN prev IS NULL OR pos - prev > {_ESD_N} THEN 1
+             ELSE 0 END) AS BIGINT) AS removed_spans
+  FROM lagged GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tok)
+SELECT t.doc_id, t.n_tokens,
+  CAST(greatest(t.n_tokens - {_ESD_N - 1}, 0) AS BIGINT) AS n_shingles,
+  coalesce(a.removed_tokens, CAST(0 AS BIGINT)) AS removed_tokens,
+  coalesce(a.removed_spans, CAST(0 AS BIGINT)) AS removed_spans,
+  CAST(t.n_tokens - coalesce(a.removed_tokens, 0) AS BIGINT) AS kept_tokens,
+  CASE WHEN t.n_tokens > 0
+       THEN (t.n_tokens - coalesce(a.removed_tokens, 0)) / CAST(t.n_tokens AS DOUBLE)
+       ELSE 1.0 END AS kept_frac
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+    f"EXACT substring dedup (Lee et al. 2022, keep-first-occurrence) at "
+    f"{_ESD_N}-token registration granularity: duplicated span hashes "
+    "-> min-(doc,pos) canonical pick -> per-doc maximal-span union via "
+    "one lag window; removed/kept token accounting replayed exactly in "
+    "SQL — no suffix sort, no all-pairs stage anywhere",
+)
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_dedup(docs, k=_ESD_N)
+
+
+
+
 
 # --------------------------------------------------------------------------
 # C-ext. n-gram containment pairs (functions/dedup.py::

@@ -1553,3 +1553,256 @@ def q_multimodal_jpeg_noninterleaved_decode(spark: SparkSession, sf_dir: str) ->
 
     media = synthesize_jpeg_noninterleaved(read_table(spark, sf_dir, "documents"))
     return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 12). PARTIAL-MCU JPEG decode — the single most common
+# real-world image shape: dimensions that are NOT multiples of 8x the
+# sampling factor (virtually every crawled photo).  4:2:0 subsampling at
+# 17..31 x 13..23 dims; EVEN ids sequential interleaved, ODD ids the
+# progressive successive-approximation layout — same DC-only spectra on
+# the ceil-padded MCU grid, so ONE closed form covers both decode paths
+# (a wrong edge-block crop or pad-block slip anywhere breaks px_dot).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_partialmcu_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(17 + doc_id % 15 AS INTEGER) AS width,
+         CAST(13 + doc_id % 11 AS INTEGER) AS height
+  FROM documents
+),
+px0 AS (
+  SELECT media_id, width, height,
+    p % width AS x, p // width AS y
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+px AS (
+  SELECT media_id, width, height, x, y,
+    (y // 16) * ((width + 15) // 16) + (x // 16) AS k,
+    ((y % 16) // 8) * 2 + (x % 16) // 8 AS s
+  FROM px0
+),
+ycc AS (
+  SELECT media_id, width, height, x, y,
+    CAST(2 * ((media_id + 13 * (4 * k + s)) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM px
+),
+rgb AS (
+  SELECT media_id, width, height, 3 * (y * width + x) AS j0,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM ycc
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 3 AS BIGINT) AS n_px_bytes,
+  CAST(sum(CAST(r AS BIGINT) + CAST(g AS BIGINT) + CAST(b AS BIGINT)) AS BIGINT) AS px_sum,
+  CAST(sum(CAST(r AS BIGINT) * (j0 % 251 + 1)
+         + CAST(g AS BIGINT) * ((j0 + 1) % 251 + 1)
+         + CAST(b AS BIGINT) * ((j0 + 2) % 251 + 1)) AS BIGINT) AS px_dot
+FROM rgb
+GROUP BY media_id
+""",
+    "REAL stdlib PARTIAL-MCU JPEG decode: 4:2:0 frames whose dims are "
+    "NOT multiples of the 16x16 MCU (the dominant real-crawl shape) — "
+    "edge blocks decode in full on the ceil-padded grid and crop to "
+    "the stored T.81 size; even ids sequential, odd ids progressive, "
+    "one closed-form oracle gates both paths; closes the biggest "
+    "real-world JPEG gap (round-11 scope held only for aligned dims)",
+)
+def q_multimodal_jpeg_partialmcu_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_partialmcu,
+    )
+
+    media = synthesize_jpeg_partialmcu(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 12). PROGRESSIVE restart-marker JPEG decode: DRI + cycling
+# RST0-7 inside EVERY scan of the successive-approximation stream (byte
+# alignment, DC-predictor resets, EOB runs flushed per segment) — same
+# spectra as the 4:4:4 progressive oracle, so the SQL is the same closed
+# form; a predictor/EOB reset slip in any of the six scans breaks px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_prog_restart_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(8 * (1 + doc_id % 6) AS INTEGER) AS width,
+         CAST(8 * (1 + doc_id % 4) AS INTEGER) AS height
+  FROM documents
+),
+blk AS (
+  SELECT media_id, width, height, k,
+    CAST(2 * ((media_id + 13 * k) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM m, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+rgb AS (
+  SELECT media_id, width, height, k,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM blk
+),
+px AS (
+  SELECT media_id, width, height,
+    3 * (((k // (width // 8)) * 8 + p // 8) * width
+         + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS BIGINT) AS v
+  FROM rgb, unnest(range(0, 64)) AS tp(p), unnest(range(0, 3)) AS tc(c)
+)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib PROGRESSIVE RESTART-MARKER JPEG decode: DRI + cycling "
+    "RST0-7 inside every successive-approximation scan (byte "
+    "alignment, DC-predictor and EOB-run resets, sequence verified) — "
+    "same closed form as the progressive color oracle, different "
+    "stream layout; removes the round-11 progressive-DRI pin",
+)
+def q_multimodal_jpeg_prog_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_prog_restart,
+    )
+
+    media = synthesize_jpeg_prog_restart(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 12). WebP container metadata — the second-most-common web
+# crawl image format gains first-class profiling: variant mix (lossy
+# stub header / real VP8L lossless / VP8X extended), dims from the
+# correct header per variant, alpha/animation flags, chunk census.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_webp_metadata",
+    """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INTEGER)
+    WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless' ELSE 'extended' END AS variant,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 13
+            ELSE 5 + doc_id % 12 END AS INTEGER) AS width,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 7
+            ELSE 4 + doc_id % 9 END AS INTEGER) AS height,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+            WHEN doc_id % 3 = 1 THEN 1
+            ELSE doc_id % 2 END AS INTEGER) AS has_alpha,
+  CAST(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END AS INTEGER) AS has_anim,
+  CAST(CASE WHEN doc_id % 3 < 2 THEN 1
+            WHEN doc_id % 6 = 2 THEN 3 ELSE 2 END AS INTEGER) AS n_chunks
+FROM documents
+""",
+    "REAL WebP container metadata: RIFF chunk walk over a deterministic "
+    "variant mix — simple-lossy VP8 frame-tag header, simple-lossless "
+    "VP8L 14-bit header (alpha hint), VP8X extended canvas dims + "
+    "alpha/anim flags + ANIM chunk census — the crawl-profiling layer "
+    "that makes WebP payloads visible instead of invisible bytes",
+)
+def q_multimodal_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.webp import (
+        synthesize_webp,
+        webp_metadata_table,
+    )
+
+    media = synthesize_webp(read_table(spark, sf_dir, "documents"))
+    return webp_metadata_table(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 12). VP8L lossless WebP pixel decode — REAL canonical
+# prefix codes (code-length codes with 17/18 zero runs, simple codes),
+# LZ77 plain-distance backrefs (every image's tail is backref-coded),
+# SUBTRACT_GREEN transform on odd ids.  The RGBA pattern is periodic
+# modular arithmetic, so the oracle regenerates the exact bytes; a
+# one-bit slip anywhere in the entropy stack breaks px_dot.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_webp_lossless_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(5 + doc_id % 12 AS INTEGER) AS width,
+         CAST(4 + doc_id % 9 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+    4 * p AS j0, p % 11 AS q
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+ch AS (
+  SELECT media_id, width, height,
+    CAST((7 * media_id + 13 * q) % 256 AS BIGINT) AS r,
+    CAST((11 * media_id + 5 * q) % 256 AS BIGINT) AS g,
+    CAST((3 * media_id + 17 * q) % 256 AS BIGINT) AS b,
+    CAST((media_id + 9 * q) % 256 AS BIGINT) AS a,
+    j0
+  FROM px
+)
+SELECT media_id,
+  'webp' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 4 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b + a) AS BIGINT) AS px_sum,
+  CAST(sum(r * (j0 % 251 + 1)
+         + g * ((j0 + 1) % 251 + 1)
+         + b * ((j0 + 2) % 251 + 1)
+         + a * ((j0 + 3) % 251 + 1)) AS BIGINT) AS px_dot
+FROM ch
+GROUP BY media_id
+""",
+    "REAL stdlib VP8L lossless WebP decode: canonical prefix codes "
+    "(normal code-length-coded trees with zero-run 17/18, simple "
+    "codes), LZ77 plain-distance backward references on every image "
+    "tail, SUBTRACT_GREEN transform on odd ids — per-pixel RGBA "
+    "checksum oracle; named pins (2D distance codes, color cache, "
+    "meta prefix, predictor/color/indexing transforms, lossy VP8) "
+    "raise with the feature",
+)
+def q_multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.webp import (
+        synthesize_webp_lossless,
+        webp_pixel_stats,
+    )
+
+    media = synthesize_webp_lossless(read_table(spark, sf_dir, "documents"))
+    return webp_pixel_stats(media)

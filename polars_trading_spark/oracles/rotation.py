@@ -138,18 +138,36 @@ _ROUND11_FRONT = [
     "key_skew", "microstructure", "multimodal_frame_sample",
 ]
 
-ACTIVE_FRONT = _ROUND11_FRONT
+# Round-12 rotation (ACTIVE), staleness recomputed from
+# CORRECTNESS_r01-r11 (latest-round per query: 24 names last gated r7,
+# 50 r8, 47 r9, 49 r10, 50 r11).  Gate-debt decision (round-11 verdict
+# item 8, recorded in COVERAGE.md): cap new registrations at 5 so 45
+# rows go to backfill — the 5 round-12 registrations (partial-MCU JPEG,
+# progressive-restart JPEG, WebP metadata, VP8L lossless decode, exact
+# substring dedup) + ALL 24 r7-stale names + the 21 alphabetically
+# first r8-stale names.  After this round no query's latest gate is
+# older than r8.
+_ROUND12_FRONT = [
+    # -- round-12 registrations, never driver-checked --
+    "multimodal_jpeg_partialmcu_decode",
+    "multimodal_jpeg_prog_restart_decode",
+    "multimodal_webp_metadata",
+    "multimodal_webp_lossless_decode",
+    "dedup_exact_substring",
+    # -- backfill: every name whose latest driver row is round 7 --
+    "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
+    "realized_moments", "repetition_profile", "return_entropy",
+    "risk_ratios", "run_bars", "runs_test", "sadf_adf1",
+    "similarity_topk_ivf", "similarity_topk_lsh", "size_quantiles",
+    "stratified_sample", "text_analysis", "tfidf_topk", "trend_scan",
+    "two_scale_rv", "ulcer_index", "variance_ratio", "vocab_divergence",
+    "vocab_topk", "vpin",
+    # -- backfill: latest driver row r8, alphabetical --
+    "ac_schedule", "atr", "backtest_stats", "bde_cusum", "bet_sizing",
+    "bigram_logprob", "bm25", "boilerplate", "bollinger", "bpe_pairs",
+    "cluster_keywords", "code_detection", "corpus_funnel", "cs_zscore",
+    "dedup_containment", "dedup_paragraph", "donchian", "drawdown_path",
+    "dup_spans", "encoding_quality", "event_funnel",
+]
 
-# Pre-computed ROUND-12 backfill (activate at the START of round 12 by
-# defining _ROUND12_FRONT = the round-12 registrations + this backfill
-# and pointing ACTIVE_FRONT at it; every round-11 registration gets its
-# driver row from the round-11 window above).  Backfill by staleness —
-# the remaining round-7-latest names, alphabetical (from
-# CORRECTNESS_r01-r10 latest-round history; recompute with r11 in hand
-# before activating):
-#
-#   realized_moments repetition_profile return_entropy risk_ratios
-#   run_bars runs_test sadf_adf1 similarity_topk_ivf
-#   similarity_topk_lsh size_quantiles stratified_sample text_analysis
-#   tfidf_topk trend_scan two_scale_rv ulcer_index variance_ratio
-#   vocab_divergence vocab_topk vpin
+ACTIVE_FRONT = _ROUND12_FRONT

@@ -23,8 +23,14 @@ stream signatures carry ``is_base = 0``, and the batch operator's
 ``base_flag_col`` contract makes flag-0 index docs compare only
 against higher-id new docs — the same in-batch min-id rule — so
 running N micro-batches produces bit-for-bit the rows of ONE
-``incremental_dedup`` call over the concatenated batches, no matter
-how the snapshot was split.
+``incremental_dedup`` call over the concatenated batches **when batch
+order is non-decreasing in doc id** (e.g. monotonic crawl ids — the
+shape every real ingest has).  CAVEAT (round 12): if a later batch
+carries a LOWER id than an earlier batch's near-duplicate, the
+one-shot run marks the higher id as ``dup_of`` the lower, while the
+replay — which had already decided the earlier batch — keeps both;
+out-of-order ingest trades that rewrite-history case for per-batch
+finality.
 """
 
 from __future__ import annotations
@@ -76,13 +82,13 @@ def incremental_dedup_foreach_batch(
     """Build the ``foreachBatch`` function: dedup the micro-batch
     against the index at ``index_dir`` (creating it empty if absent),
     hand the per-doc decisions to ``sink(result_df, epoch_id)``, then
-    APPEND the batch's signatures with ``is_base = 0`` so later batches
-    see this one.  Decisions are materialized BEFORE the append so a
-    doc never matches itself.
+    write the batch's signatures with ``is_base = 0`` into an
+    epoch-id-named subdirectory (overwrite mode — crash-replay
+    idempotent) so later batches see this one.  Decisions are
+    materialized BEFORE the write so a doc never matches itself.
 
     Per-ingest cost scales with the NEW batch (one signature pass +
-    one banded join); the index is only ever appended, never
-    rewritten."""
+    one banded join); existing index files are never rewritten."""
     from polars_trading_spark.functions.dedup import (
         incremental_dedup,
         minhash_index,
@@ -92,12 +98,24 @@ def incremental_dedup_foreach_batch(
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        has_index = os.path.isdir(index_dir) and any(
-            not f.startswith(("_", ".")) for f in os.listdir(index_dir)
-        )
-        if has_index:
-            index = spark.read.parquet(index_dir)
-        else:
+        # Probe the index THROUGH Spark's Hadoop FS layer (round 12):
+        # a driver-local os.path check is always False for an
+        # HDFS/S3 index_dir, which silently ignored a seeded index and
+        # deduped every batch only in-batch.  recursiveFileLookup picks
+        # up both the seed files at the root and the per-epoch append
+        # subdirectories (and disables partition inference).
+        try:
+            index = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(index_dir)
+            )
+            index.schema  # force schema inference now, not at join time
+        except Exception as exc:  # empty or absent -> bootstrap empty
+            if type(exc).__name__ not in (
+                "AnalysisException",
+                "IllegalArgumentException",
+            ):
+                raise
             index = spark.createDataFrame(
                 [],
                 f"{id_col} long, "
@@ -122,10 +140,16 @@ def incremental_dedup_foreach_batch(
             result.count()
             if sink is not None:
                 sink(result, epoch_id)
+            # epoch-id-named subdirectory in OVERWRITE mode (round
+            # 12): a crash after this write but before the checkpoint
+            # commit re-runs the batch, and the overwrite makes the
+            # replayed append idempotent — the index never accumulates
+            # duplicate signature rows, so the flag-0 count invariant
+            # holds across crash-replays
             minhash_index(
                 batch_df, text_col, id_col, ngram=ngram, num_hashes=num_hashes
-            ).withColumn("is_base", F.lit(0)).write.mode("append").parquet(
-                index_dir
+            ).withColumn("is_base", F.lit(0)).write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch-{epoch_id}")
             )
         finally:
             result.unpersist()

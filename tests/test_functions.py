@@ -2282,9 +2282,11 @@ def test_jpeg_420_codec_dc_only_exact_and_scope():
     # distinct DCs the luma changes across the 8-pixel boundary
     k0y = [2 * ((m + 13 * s) % 64) + 64 for s in range(4)]
     assert len(set(k0y)) == 4
-    # validation + remaining pinned scope
+    # validation: partial-MCU dims are legal since round 12, so the
+    # geometry contract is the ceil-padded MCU count (24x16 -> 2 MCUs;
+    # an off-by-one block list still raises)
     with pytest.raises(ValueError):
-        jpeg_encode_ycbcr_420(mcus, 24, 16)  # not a multiple of 16
+        jpeg_encode_ycbcr_420(mcus[:1], 24, 16)
     import struct
 
     app0 = b"\xff\xe0" + struct.pack(
@@ -2348,8 +2350,10 @@ def test_jpeg_422_codec_dc_only_exact_and_scope():
     # the luma across the 8-pixel boundary within one MCU row
     k0y = [2 * ((m + 13 * s) % 64) + 64 for s in range(2)]
     assert len(set(k0y)) == 2
+    # partial-MCU 4:2:2 is legal since round 12; a wrong MCU count
+    # (24x16 -> ceil(24/16)*2 = 4 MCUs) still raises
     with pytest.raises(ValueError):
-        jpeg_encode_ycbcr_422(mcus, 24, 16)  # width not a multiple of 16
+        jpeg_encode_ycbcr_422(mcus[:1], 24, 16)
 
 
 def test_jpeg_progressive_equals_baseline_pixels():

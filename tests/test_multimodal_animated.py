@@ -80,8 +80,10 @@ def test_ycck_roundtrip_pixel_exact(m):
 
 
 def test_ycck_rejects_bad_geometry():
-    with pytest.raises(ValueError, match="multiple of 16"):
-        jpeg_encode_ycck([], 8, 8)
+    # partial-MCU dims are LEGAL since round 12 (the grid is the
+    # ceiling); the geometry contract is now the padded-MCU block count
+    with pytest.raises(ValueError, match="MCU"):
+        jpeg_encode_ycck([], 8, 8)  # 8x8 still needs one 16x8 MCU
     with pytest.raises(ValueError, match="MCU"):
         jpeg_encode_ycck([], 16, 8)
 
@@ -198,7 +200,9 @@ def test_progressive_subsampled_ycck_roundtrip():
 def test_progressive_sampled_encoder_validation():
     from polars_trading_spark.functions.multimodal import jpeg_encode_progressive
 
-    with pytest.raises(ValueError, match="MCU size"):
+    # 8x8 at 2x2 luma sampling is a partial-MCU frame since round 12:
+    # it needs one padded 16x16 MCU (4 Y + 1 Cb + 1 Cr blocks)
+    with pytest.raises(ValueError, match="needs"):
         jpeg_encode_progressive([[], [], []], 8, 8,
                                 samplings=[(2, 2), (1, 1), (1, 1)])
     with pytest.raises(ValueError, match="needs"):
@@ -380,15 +384,26 @@ def test_restart_interval_roundtrip_and_validation():
             break
     with pytest.raises(ValueError, match="out of sequence"):
         jpeg_decode(bytes(pay))
-    # a DRI segment ahead of a progressive frame stays pinned
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 2)
-    dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
-    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
-        [1, 0x11, 0]
+    # progressive DRI is IN scope since round 12: the same spectra
+    # with restart markers inside every scan decode byte-identically
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_encode_progressive,
     )
-    sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 1])
-    with pytest.raises(NotImplementedError, match="restart intervals in progressive"):
-        jpeg_decode(b"\xff\xd8" + dri + dqt + sof2 + sos + b"\xff\xd9")
+
+    prog_base = jpeg_decode(jpeg_encode_progressive(mcus, w, h, al=1))
+    for ri in (1, 2, 5):
+        pay2 = jpeg_encode_progressive(mcus, w, h, al=1, restart_interval=ri)
+        assert b"\xff\xdd" in pay2
+        assert np.array_equal(jpeg_decode(pay2), prog_base), ri
+    # progressive restart sequence violations fire too
+    pay2 = bytearray(jpeg_encode_progressive(mcus, w, h, al=1, restart_interval=2))
+    sos_at2 = pay2.index(b"\xff\xda")
+    for j in range(sos_at2, len(pay2) - 1):
+        if pay2[j] == 0xFF and 0xD0 <= pay2[j + 1] <= 0xD7:
+            pay2[j + 1] = 0xD0 + ((pay2[j + 1] - 0xD0 + 3) % 8)
+            break
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode(bytes(pay2))
 
 
 def test_16bit_quant_tables():

@@ -26,34 +26,33 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-11 driver gate window: the 7 round-11 registrations (YCCK
-# JPEG, animated GIF, progressive-YCCK, subsampled-progressive 4:2:0,
-# restart-marker + non-interleaved JPEG, domain_cap — never
-# driver-checked), `bpe_encode` (round 10's
-# only red row, re-registered with a driver-sortable checksum output to
-# flip err -> PASS), then the 42 stalest backfill names (latest driver
-# row round 6, then round-7 alphabetical).
-_ROUND11_WINDOW = [
-    "multimodal_jpeg_ycck_decode", "multimodal_gif_animated_decode",
-    "multimodal_jpeg_prog_ycck_decode", "multimodal_jpeg_prog420_decode",
-    "multimodal_jpeg_restart_decode", "domain_cap",
-    "multimodal_jpeg_noninterleaved_decode",
-    "bpe_encode",
-    # -- backfill: latest driver row r6 --
-    "similarity_topk", "similarity_topk_ivf_kmeans", "tick_bars",
-    "tick_quality", "time_bars", "time_bars_compound_duration",
-    "triple_barrier", "triple_barrier_meta", "universe_summary",
-    "upsample_ffill", "vertical_barrier", "volume_bars", "vwap_slippage",
-    "winnow_dup_pairs", "winnow_fingerprints", "zipf_fit",
-    # -- backfill: latest driver row r7, alphabetical --
-    "ann_recall", "bar_volatility", "centroid_similarity",
-    "cluster_representatives", "cointegration", "corpus_filter",
-    "corpus_split", "corpus_stats", "corwin_schultz", "cpcv_assign",
-    "csw_explosiveness", "dedup_clusters", "dedup_embedding_cosine",
-    "dedup_ngram_jaccard", "dedup_recall", "dedup_simhash",
-    "embedding_cohesion", "event_study_car", "gumbel_topk",
-    "hard_negatives", "hurst", "imbalance_bars", "kalman_hedge",
-    "key_skew", "microstructure", "multimodal_frame_sample",
+# The round-12 driver gate window: the 5 round-12 registrations
+# (partial-MCU JPEG, progressive-restart JPEG, WebP metadata, VP8L
+# lossless decode, exact substring dedup — never driver-checked), then
+# the stalest backfill: ALL 24 names whose latest driver row is round
+# 7, then the 21 alphabetically-first round-8 names (gate-debt decision
+# recorded in COVERAGE.md: ≤5 new so ≥45 rows go to backfill; after
+# r12 no query's latest gate is older than r8).
+_ROUND12_WINDOW = [
+    "multimodal_jpeg_partialmcu_decode",
+    "multimodal_jpeg_prog_restart_decode",
+    "multimodal_webp_metadata",
+    "multimodal_webp_lossless_decode",
+    "dedup_exact_substring",
+    # -- backfill: latest driver row r7 --
+    "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
+    "realized_moments", "repetition_profile", "return_entropy",
+    "risk_ratios", "run_bars", "runs_test", "sadf_adf1",
+    "similarity_topk_ivf", "similarity_topk_lsh", "size_quantiles",
+    "stratified_sample", "text_analysis", "tfidf_topk", "trend_scan",
+    "two_scale_rv", "ulcer_index", "variance_ratio", "vocab_divergence",
+    "vocab_topk", "vpin",
+    # -- backfill: latest driver row r8, alphabetical --
+    "ac_schedule", "atr", "backtest_stats", "bde_cusum", "bet_sizing",
+    "bigram_logprob", "bm25", "boilerplate", "bollinger", "bpe_pairs",
+    "cluster_keywords", "code_detection", "corpus_funnel", "cs_zscore",
+    "dedup_containment", "dedup_paragraph", "donchian", "drawdown_path",
+    "dup_spans", "encoding_quality", "event_funnel",
 ]
 
 
@@ -78,8 +77,8 @@ def test_queries_order_matches_manifest():
     )
 
 
-def test_round11_gate_window_is_first_50():
-    assert list(QUERIES)[:50] == _ROUND11_WINDOW
+def test_round12_gate_window_is_first_50():
+    assert list(QUERIES)[:50] == _ROUND12_WINDOW
 
 
 def test_every_never_gated_query_is_inside_the_gate_window():

@@ -2748,8 +2748,13 @@ def test_streaming_incremental_dedup_matches_batch(spark):
                 assert r["est_jaccard"] is None, did
             else:
                 assert r["est_jaccard"] == pytest.approx(b["est_jaccard"]), did
-        # the index grew by one flag-0 row per streamed doc
-        idx = spark.read.parquet(index_dir)
+        # the index grew by one flag-0 row per streamed doc (appends
+        # live in per-epoch subdirectories since round 12 — replay
+        # idempotency — so the read is recursive, as in the operator)
+        idx = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+        )
         assert idx.where("is_base = 1").count() == len(base_rows)
         assert idx.where("is_base = 0").count() == len(all_new)
     finally:
@@ -2825,10 +2830,66 @@ def test_streaming_incremental_dedup_restart_resumes(spark):
             for c in ("keep", "dup_of", "dup_is_base"):
                 assert r[c] == b[c], (did, c)
         assert (
-            spark.read.parquet(index_dir).where("is_base = 0").count()
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+            .where("is_base = 0")
+            .count()
             == len(all_new)
         )
     finally:
         for active in spark.streams.active:
             active.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_dedup_foreach_batch_replay_idempotent(spark):
+    """Round-12 (ADVICE): a crash after the signature write but before
+    the checkpoint commit re-runs the batch — the epoch-id-named
+    overwrite subdirectory makes the replayed write idempotent, so the
+    flag-0 row count and the decisions are unchanged."""
+    import shutil
+    import tempfile
+
+    from polars_trading_spark.streaming import (
+        incremental_dedup_foreach_batch,
+        seed_minhash_index,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        index_dir = f"{d}/index"
+        doc_schema = "doc_id long, text string"
+        seed_minhash_index(
+            spark.createDataFrame(
+                [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+                doc_schema,
+            ),
+            index_dir,
+        )
+        batch = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta"),
+                (11, "totally different words about ships and tides"),
+            ],
+            doc_schema,
+        )
+        results = []
+        fn = incremental_dedup_foreach_batch(
+            index_dir, sink=lambda df, eid: results.append(df.collect())
+        )
+        fn(batch, 0)
+        fn(batch, 0)  # crash-replay of the SAME epoch
+        idx = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+        )
+        assert idx.where("is_base = 1").count() == 1
+        assert idx.where("is_base = 0").count() == 2  # not 4: idempotent
+        assert len(results) == 2
+        assert sorted(map(tuple, results[0])) == sorted(map(tuple, results[1]))
+        # the duplicate of the seeded base doc is flagged both times
+        dec = {r["doc_id"]: r for r in results[1]}
+        assert dec[10]["keep"] == 0 and dec[10]["dup_of"] == 1
+        assert dec[11]["keep"] == 1
+    finally:
         shutil.rmtree(d, ignore_errors=True)
