@@ -15,8 +15,8 @@ CMYK as stored, YCCK/Adobe-transform-2 — at ANY integer-ratio sampling
 factors, at ANY dimensions (partial-MCU edge blocks, round 12), with
 restart intervals in BOTH sequential and progressive scans).  The
 honestly-named residual pins (12/16-bit sample precision,
-arithmetic/lossless/hierarchical SOF modes, partially-interleaved
-sequential scan subsets, non-integer sampling ratios) raise
+arithmetic/lossless/hierarchical SOF modes, non-integer sampling
+ratios) raise
 ``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
@@ -2196,10 +2196,12 @@ def jpeg_decode(payload: bytes):
     marker-sequence verification; 16-BIT QUANT TABLES (DQT precision 1,
     round 11) parse big-endian.  Named remaining pins raise with the
     feature: 12/16-bit SAMPLE precision, non-integer-ratio samplings,
-    non-DCT-Huffman SOF modes (arithmetic, lossless, hierarchical),
-    partially-interleaved sequential scan subsets (single-component
-    NON-INTERLEAVED scans decode — round 11 — with planes accumulated
-    across scans).
+    non-DCT-Huffman SOF modes (arithmetic, lossless, hierarchical).
+    EVERY sequential scan layout decodes (round 12): all-component
+    interleaved, single-component NON-INTERLEAVED (round 11), and
+    PARTIALLY-interleaved subsets — any mix, with planes accumulated
+    across scans and subset scans walking the FRAME's MCU grid per
+    A.2.3.
     Returns an ``(h, w, 1)`` (gray), ``(h, w, 3)`` (RGB) or
     ``(h, w, 4)`` (CMYK) uint8 array."""
     import struct
@@ -2357,15 +2359,6 @@ def jpeg_decode(payload: bytes):
                 )
                 prog_eobrun[0] = 0  # EOB runs never cross scans
                 continue
-            if ns != len(comps) and ns != 1:
-                # a scan interleaving a strict SUBSET of 2..Nf-1
-                # components is legal but vanishingly rare
-                raise NotImplementedError(
-                    "partially-interleaved sequential scan subsets "
-                    f"(Ns={ns} of {len(comps)}) not supported — "
-                    "all-component interleaved or one-component "
-                    "non-interleaved scans only"
-                )
             # scan-order component specs, matched to the frame by id
             by_id = {
                 cid: (idx, hs, vs, tq)
@@ -2390,34 +2383,38 @@ def jpeg_decode(payload: bytes):
                     (qtables[tq], dc_tables[td], ac_tables[ta], hs, vs)
                 )
             scan_start = i + 2 + seg_len
-            if ns == len(comps):
-                planes, _ = _jpeg_decode_scan(
-                    payload, scan_start, h, w, comp_specs,
-                    restart_interval=restart_interval,
-                )
-                planes = _assemble_planes(
-                    planes, h, w,
-                    [(hs, vs) for _, _, _, hs, vs in comp_specs],
-                )
-                return _finalize_jpeg_planes(planes, h, w, adobe_transform)
-            # NON-INTERLEAVED scan (round 11): one component, walked
-            # over its OWN block raster at stored resolution (one block
-            # per MCU — restart intervals count blocks, per spec);
-            # planes accumulate across scans until every frame
-            # component has one.  Partial-MCU dims (round 12): the
-            # raster covers ceil(stored_size / 8) blocks per T.81
-            # A.2.2 — NOT the MCU-padded grid interleaved scans use.
             hmx = max(hs for _, hs, _, _ in comps)
             vmx = max(vs for _, _, vs, _ in comps)
-            q_, dct_, act_, hs, vs = comp_specs[0]
-            ch = 8 * _ceil_div(_ceil_div(h * vs, vmx), 8)
-            cw = 8 * _ceil_div(_ceil_div(w * hs, hmx), 8)
-            one, next_i = _jpeg_decode_scan(
-                payload, scan_start, ch, cw,
-                [(q_, dct_, act_, 1, 1)],
-                restart_interval=restart_interval,
-            )
-            seq_planes[scan_idx[0]] = one[0]
+            if ns >= 2:
+                # INTERLEAVED scan — all components or (round 12) a
+                # strict SUBSET of them: the MCU grid always comes
+                # from the FRAME's max sampling (A.2.3), so a chroma-
+                # only scan still walks the luma-sized grid; decoded
+                # planes accumulate until every frame component has one
+                planes, next_i = _jpeg_decode_scan(
+                    payload, scan_start, h, w, comp_specs,
+                    restart_interval=restart_interval,
+                    grid=(_ceil_div(w, 8 * hmx), _ceil_div(h, 8 * vmx)),
+                )
+                for k, p in zip(scan_idx, planes):
+                    seq_planes[k] = p
+            else:
+                # NON-INTERLEAVED scan (round 11): one component,
+                # walked over its OWN block raster at stored
+                # resolution (one block per MCU — restart intervals
+                # count blocks, per spec).  Partial-MCU dims (round
+                # 12): the raster covers ceil(stored_size / 8) blocks
+                # per T.81 A.2.2 — NOT the MCU-padded grid interleaved
+                # scans use.
+                q_, dct_, act_, hs, vs = comp_specs[0]
+                ch = 8 * _ceil_div(_ceil_div(h * vs, vmx), 8)
+                cw = 8 * _ceil_div(_ceil_div(w * hs, hmx), 8)
+                one, next_i = _jpeg_decode_scan(
+                    payload, scan_start, ch, cw,
+                    [(q_, dct_, act_, 1, 1)],
+                    restart_interval=restart_interval,
+                )
+                seq_planes[scan_idx[0]] = one[0]
             if len(seq_planes) == len(comps):
                 planes = _assemble_planes(
                     [seq_planes[k] for k in range(len(comps))],
@@ -2470,7 +2467,8 @@ def _idct_basis():
     return c * scale[None, :]  # B[x, u] = C(u)/2 * cos((2x+1)u*pi/16)
 
 
-def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
+def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0,
+                      grid=None):
     """Interleaved baseline scan with per-component sampling factors:
     each MCU carries ``hs x vs`` 8x8 blocks per component in raster
     order (spec A.2.3); every component keeps its own DC predictor.
@@ -2487,9 +2485,15 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0):
     vmax = max(vs for _, _, _, _, vs in comp_specs)
     # partial-MCU dimensions (round 12): the MCU grid is the ceiling
     # and edge blocks decode in full into MCU-padded planes; the caller
-    # crops to the stored component size (_assemble_planes)
-    mcw = _ceil_div(w, 8 * hmax)
-    mch = _ceil_div(h, 8 * vmax)
+    # crops to the stored component size (_assemble_planes).  For a
+    # PARTIALLY-interleaved scan the grid comes from the FRAME's max
+    # sampling (A.2.3), which the caller passes explicitly via ``grid``
+    # — the scan's own components may all be subsampled.
+    if grid is not None:
+        mcw, mch = grid
+    else:
+        mcw = _ceil_div(w, 8 * hmax)
+        mch = _ceil_div(h, 8 * vmax)
     reader = _BitReaderMSB(data, pos)
 
     def read_symbol(table):
@@ -2636,6 +2640,99 @@ def synthesize_jpeg_color(documents: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+def jpeg_encode_scan_groups(
+    comp_blocks, width: int, height: int, samplings, groups,
+    qtable=None, adobe_transform: int | None = None,
+) -> bytes:
+    """Encode a SEQUENTIAL baseline JPEG whose components are split
+    across scans in arbitrary GROUPS (round 12 — the last sequential
+    scan-layout form): each group of >= 2 components becomes one
+    PARTIALLY-INTERLEAVED scan walking the FRAME's MCU grid (A.2.3,
+    each member contributing its ``hs x vs`` blocks per MCU), a
+    singleton group becomes a NON-interleaved scan over that
+    component's ceil(stored/8) real block raster (A.2.2).  DC
+    predictors are fresh per scan, per spec.
+
+    ``comp_blocks`` is a list of per-component 64-element zig-zag
+    block lists in the MCU-PADDED grid raster (``ceil-mcw*hs x
+    ceil-mch*vs`` blocks — the same contract as the progressive
+    encoder); singleton scans emit only the restricted real-raster
+    subset of them.  ``groups`` is a list of component-index tuples
+    covering every component exactly once, e.g. ``[(0,), (1, 2)]``."""
+    import struct
+
+    comps = [list(b) for b in comp_blocks]
+    nc = len(comps)
+    samp = [tuple(s) for s in samplings]
+    if len(samp) != nc:
+        raise ValueError("samplings length != number of components")
+    seen = sorted(ci for g in groups for ci in g)
+    if seen != list(range(nc)):
+        raise ValueError(f"groups must cover every component once, got {groups}")
+    hmx = max(hs for hs, _ in samp)
+    vmx = max(vs for _, vs in samp)
+    mcw = _ceil_div(width, 8 * hmx)
+    mch = _ceil_div(height, 8 * vmx)
+    for ci, (hs, vs) in enumerate(samp):
+        want = mcw * hs * mch * vs
+        if len(comps[ci]) != want:
+            raise ValueError(
+                f"component {ci} needs {want} padded-grid blocks, "
+                f"got {len(comps[ci])}"
+            )
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64:
+        raise ValueError("qtable must have 64 entries")
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
+    if adobe_transform is not None:
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, adobe_transform
+        )
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    for ci, (hs, vs) in enumerate(samp):
+        out += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    for g in groups:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(g), len(g))
+        for ci in g:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([0, 63, 0])
+        w = _BitWriterMSB()
+        pred = {ci: 0 for ci in g}
+        if len(g) == 1:
+            ci = g[0]
+            hs, vs = samp[ci]
+            bw = mcw * hs
+            cbw = _ceil_div(_ceil_div(width * hs, hmx), 8)
+            cbh = _ceil_div(_ceil_div(height * vs, vmx), 8)
+            for by in range(cbh):
+                for bx in range(cbw):
+                    pred[ci] = _encode_block(
+                        w, comps[ci][by * bw + bx], pred[ci], dc_codes, ac_codes
+                    )
+        else:
+            for my in range(mch):
+                for mx in range(mcw):
+                    for ci in g:
+                        hs, vs = samp[ci]
+                        bw = mcw * hs
+                        for by in range(vs):
+                            for bx in range(hs):
+                                b = (my * vs + by) * bw + (mx * hs + bx)
+                                pred[ci] = _encode_block(
+                                    w, comps[ci][b], pred[ci], dc_codes, ac_codes
+                                )
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_encode_noninterleaved(

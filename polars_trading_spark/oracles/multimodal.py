@@ -1483,9 +1483,9 @@ def q_multimodal_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFr
 # per component (fresh DC predictor each scan, planes accumulated
 # across scans) over 4:2:0-subsampled planes: the multi-scan sequential
 # layout some encoders emit.  Same spectra as the sequential 4:2:0
-# oracle, so the SQL is the same closed form; the remaining sequential
-# scan-layout pin is partially-interleaved subsets (Ns between 2 and
-# Nf-1).
+# oracle, so the SQL is the same closed form.  (Round 12 also closed
+# partially-interleaved subsets — every sequential scan layout now
+# decodes; unit-gated in tests/test_codecs_r12.py.)
 # --------------------------------------------------------------------------
 
 

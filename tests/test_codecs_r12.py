@@ -268,3 +268,68 @@ def test_webp_named_pins():
         vp8l_decode(payload)
     with pytest.raises(ValueError, match="not a WebP"):
         webp_metadata(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+@pytest.mark.parametrize(
+    "groups",
+    [[(0,), (1, 2)], [(0, 1), (2,)], [(1, 2), (0,)], [(0,), (1,), (2,)]],
+)
+def test_partially_interleaved_scan_groups_equal_full_interleave(groups):
+    """Round 12 closes the last sequential scan-layout pin: ANY split of
+    the frame's components across scans — including partially-
+    interleaved subsets walking the frame's MCU grid per A.2.3 —
+    decodes byte-identically to the one-scan interleaved stream, at
+    partial-MCU dims."""
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_encode_scan_groups,
+    )
+
+    m, w, h = 7, 23, 19
+    yb, cbs, crs = _coeffs_420_planes(m, w, h)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    base = jpeg_decode(
+        jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, [(0, 1, 2)])
+    )
+    assert np.array_equal(base, _expected_420(m, w, h))
+    got = jpeg_decode(
+        jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, groups)
+    )
+    assert np.array_equal(got, base)
+
+
+def test_scan_groups_random_spectra_and_validation():
+    import random
+
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_encode_scan_groups,
+    )
+
+    rnd = random.Random(7)
+
+    def rand_blocks(n):
+        out = []
+        for _ in range(n):
+            blk = [0] * 64
+            blk[0] = rnd.randint(-80, 80)
+            for pos in rnd.sample(range(1, 64), 4):
+                blk[pos] = rnd.randint(-30, 30)
+            out.append(blk)
+        return out
+
+    w, h = 32, 32
+    yb = rand_blocks(16)
+    cbs = rand_blocks(4)
+    crs = rand_blocks(4)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    base = jpeg_decode(
+        jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, [(0, 1, 2)])
+    )
+    for groups in ([(0,), (1, 2)], [(0, 2), (1,)]):
+        got = jpeg_decode(
+            jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, groups)
+        )
+        assert np.array_equal(got, base), groups
+    with pytest.raises(ValueError, match="cover every component"):
+        jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, [(0, 1)])
+    with pytest.raises(ValueError, match="padded-grid blocks"):
+        jpeg_encode_scan_groups([yb[:3], cbs, crs], w, h, samp, [(0, 1, 2)])

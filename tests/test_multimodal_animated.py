@@ -538,9 +538,10 @@ def test_noninterleaved_equals_interleaved():
     assert np.array_equal(ni, jpeg_decode(jpeg_encode_ycck(mcus, w, h)))
 
 
-def test_partially_interleaved_subset_pinned():
-    # a sequential scan interleaving 2 of 3 components stays a named
-    # pin (legal but vanishingly rare)
+def test_partially_interleaved_subset_is_in_scope_header_check():
+    # round 12: a sequential scan interleaving 2 of 3 components is IN
+    # scope — a header-only stream referencing undeclared Huffman
+    # tables is now malformed (ValueError), not unsupported
     import struct
 
     dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([16] * 64)
@@ -550,7 +551,7 @@ def test_partially_interleaved_subset_pinned():
     sos2 = b"\xff\xda" + struct.pack(">HB", 10, 2) + bytes(
         [1, 0x00, 2, 0x00, 0, 63, 0]
     )
-    with pytest.raises(NotImplementedError, match="partially-interleaved"):
+    with pytest.raises(ValueError, match="undeclared table"):
         jpeg_decode(b"\xff\xd8" + dqt + sof + sos2 + b"\xff\xd9")
 
 
