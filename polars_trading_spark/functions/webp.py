@@ -15,16 +15,18 @@ codecs in functions/multimodal.py):
   code-length code with 16/17/18 repeats, per RFC 9649 §5.6), the
   green/red/blue/alpha/distance five-code group, LZ77 backward
   references with PLAIN (scan-line order) distance codes, optional
-  ``max_symbol`` early-stop, and the SUBTRACT-GREEN transform.
+  ``max_symbol`` early-stop, the COLOR CACHE (round 12 — hit symbols
+  beyond the literal/length alphabet, rolling ``0x1E35A7BD`` hash
+  updated by every emitted pixel), and the SUBTRACT-GREEN transform.
 * **Encoder twin** emitting the same subset (literals + plain-distance
   backrefs, zero-run 17/18 code-length compression, simple codes for
   single-symbol alphabets), so every decode path is exercised by an
   exact differential oracle.
 
 Named pins raise ``NotImplementedError`` with the feature: 2D
-(neighbourhood) distance codes <= 120, color-cache symbols, the
-meta-prefix entropy image, the PREDICTOR / COLOR / COLOR-INDEXING
-transforms, and lossy VP8 pixel decode.  Cross-decoder byte conformance
+(neighbourhood) distance codes <= 120, the meta-prefix entropy image,
+the PREDICTOR / COLOR / COLOR-INDEXING transforms, and lossy VP8
+pixel decode.  Cross-decoder byte conformance
 against libwebp is untestable in this container (no codec library); the
 bitstream layout follows the public spec and all assertions are
 enforced by encode->decode round-trips plus closed-form SQL oracles.
@@ -356,16 +358,23 @@ def vp8l_encode(
     *,
     subtract_green: bool = False,
     backref_period: int | None = None,
+    cache_bits: int = 0,
 ) -> bytes:
     """Encode an ``(h, w, 4)`` uint8 RGBA array as a complete WebP
     container with one VP8L chunk (transform-free or SUBTRACT_GREEN,
-    no color cache, single prefix-code group).
+    single prefix-code group, optional COLOR CACHE).
 
     ``backref_period``: when set and the pixel stream is periodic with
     that period, everything after the first period is emitted as LZ77
     backward references with plain (scan-line) distance codes —
     exercising the decoder's copy loop; the caller guarantees
-    periodicity (synthesizers do by construction)."""
+    periodicity (synthesizers do by construction).
+
+    ``cache_bits`` (round 12): 1-11 enables the spec's color cache —
+    a literal whose ARGB value sits in the rolling ``(0x1E35A7BD *
+    argb) >> (32 - bits)`` cache is emitted as a cache-hit symbol
+    (green alphabet grows by the cache size); every emitted pixel,
+    including LZ77-copied ones, updates the cache on both sides."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
@@ -377,12 +386,41 @@ def vp8l_encode(
         r_ = (r_ - g_) % 256
         b_ = (b_ - g_) % 256
 
-    # token stream: ("lit", r, g, b, a) | ("ref", length, dist)
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be 1-11, got {cache_bits}")
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def _argb(p):
+        return (
+            (int(a_[p]) << 24) | (int(r_[p]) << 16)
+            | (int(g_[p]) << 8) | int(b_[p])
+        )
+
+    # token stream: ("lit", r, g, b, a) | ("ref", length, dist) |
+    # ("cache", index)
     tokens = []
     lit_end = n if backref_period is None else min(backref_period, n)
     for p in range(lit_end):
-        tokens.append(("lit", int(r_[p]), int(g_[p]), int(b_[p]), int(a_[p])))
+        if cache is not None:
+            argb = _argb(p)
+            idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> shift
+            if cache[idx] == argb:
+                tokens.append(("cache", idx))
+            else:
+                tokens.append(
+                    ("lit", int(r_[p]), int(g_[p]), int(b_[p]), int(a_[p]))
+                )
+            cache[idx] = argb
+        else:
+            tokens.append(
+                ("lit", int(r_[p]), int(g_[p]), int(b_[p]), int(a_[p]))
+            )
     rest = n - lit_end
+    if cache is not None:
+        for p in range(lit_end, n):  # copied pixels update the cache too
+            argb = _argb(p)
+            cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> shift] = argb
     while rest > 0:
         length = min(rest, 4096)
         tokens.append(("ref", length, backref_period))
@@ -399,6 +437,8 @@ def vp8l_encode(
             red_used.add(rr)
             blue_used.add(bb)
             alpha_used.add(aa)
+        elif t[0] == "cache":
+            green_used.add(_GREEN_ALPHABET + t[1])
         else:
             _, length, dist = t
             lcode, _, _ = _prefix_val_encode(length)
@@ -420,7 +460,11 @@ def vp8l_encode(
         w.write(1, 1)  # transform present
         w.write(2, 2)  # SUBTRACT_GREEN
     w.write(0, 1)  # no more transforms
-    w.write(0, 1)  # no color cache
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)  # no color cache
     w.write(0, 1)  # no meta prefix codes
 
     def emit_code(used, alphabet_size):
@@ -428,7 +472,9 @@ def vp8l_encode(
         lengths = _balanced_lengths(used, alphabet_size)
         return _write_prefix_code(w, lengths, used)
 
-    green_c = emit_code(green_used, _GREEN_ALPHABET)
+    green_c = emit_code(
+        green_used, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    )
     red_c = emit_code(red_used, 256)
     blue_c = emit_code(blue_used, 256)
     alpha_c = emit_code(alpha_used, 256)
@@ -446,6 +492,8 @@ def vp8l_encode(
             put(red_c, rr)
             put(blue_c, bb)
             put(alpha_c, aa)
+        elif t[0] == "cache":
+            put(green_c, _GREEN_ALPHABET + t[1])
         else:
             _, length, dist = t
             lcode, lextra, lnb = _prefix_val_encode(length)
@@ -495,11 +543,18 @@ def vp8l_decode(payload: bytes):
         else:
             name = {0: "PREDICTOR", 1: "COLOR", 3: "COLOR_INDEXING"}[ttype]
             raise NotImplementedError(f"VP8L {name} transform not supported")
-    if r.read(1):
-        raise NotImplementedError("VP8L color cache not supported")
+    cache_bits = 0
+    cache = None
+    if r.read(1):  # color cache (round 12 — in scope)
+        cache_bits = r.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache size {cache_bits}")
+        cache = [0] * (1 << cache_bits)
     if r.read(1):
         raise NotImplementedError("VP8L meta prefix codes not supported")
-    green_c = _read_prefix_code(r, _GREEN_ALPHABET)
+    green_c = _read_prefix_code(
+        r, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+    )
     red_c = _read_prefix_code(r, 256)
     blue_c = _read_prefix_code(r, 256)
     alpha_c = _read_prefix_code(r, 256)
@@ -507,6 +562,18 @@ def vp8l_decode(payload: bytes):
 
     n = w_ * h
     out = np.empty((n, 4), dtype=np.uint8)
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def _insert(p):
+        # every emitted pixel enters the cache (literal, copy, hit)
+        argb = (
+            (int(out[p, 3]) << 24)
+            | (int(out[p, 0]) << 16)
+            | (int(out[p, 1]) << 8)
+            | int(out[p, 2])
+        )
+        cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> shift] = argb
+
     pos = 0
     while pos < n:
         s = green_c.read(r)
@@ -519,6 +586,8 @@ def vp8l_decode(payload: bytes):
             out[pos, 1] = g
             out[pos, 2] = bb
             out[pos, 3] = aa
+            if cache is not None:
+                _insert(pos)
             pos += 1
         elif s < 256 + 24:
             length = _prefix_val_decode(s - 256, r)
@@ -537,9 +606,17 @@ def vp8l_decode(payload: bytes):
             else:  # overlapping copy replicates the period
                 for i in range(length):
                     out[pos + i] = out[pos + i - dist]
+            if cache is not None:
+                for p in range(pos, pos + length):
+                    _insert(p)
             pos += length
-        else:
-            raise NotImplementedError("VP8L color cache not supported")
+        else:  # color-cache hit
+            argb = cache[s - _GREEN_ALPHABET]
+            out[pos, 0] = (argb >> 16) & 0xFF
+            out[pos, 1] = (argb >> 8) & 0xFF
+            out[pos, 2] = argb & 0xFF
+            out[pos, 3] = (argb >> 24) & 0xFF
+            pos += 1
 
     rgba = out.astype(np.int64)
     if subtract_green:
@@ -689,12 +766,16 @@ def _webp_pixels(m: int, w_: int, h: int):
 def synthesize_webp_lossless(documents: DataFrame) -> DataFrame:
     """Deterministic REAL VP8L lossless WebP per document id:
     ``width = 5 + m%12``, ``height = 4 + m%9``, RGBA pattern periodic
-    with period 11 so the tail is emitted as LZ77 plain-distance
-    backrefs; ODD ids additionally store under the SUBTRACT-GREEN
+    with period 11.  Ids with ``m % 3 == 0`` store as pure literal
+    streams with a 6-bit COLOR CACHE (every pixel after the first
+    period is a cache hit unless evicted — both hit and eviction paths
+    exercised); other ids emit the tail as LZ77 plain-distance
+    backrefs.  ODD ids additionally store under the SUBTRACT-GREEN
     transform.  Every stream exercises prefix-code deserialization
     (normal codes with 17/18 zero runs, simple codes for the
-    single-distance alphabet), the copy loop, and the transform
-    inverse."""
+    single-distance alphabet) and the chosen entropy path; decoded
+    pixels are identical across all codings, so ONE closed-form oracle
+    gates them all."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -702,13 +783,22 @@ def synthesize_webp_lossless(documents: DataFrame) -> DataFrame:
             for m in pdf["media_id"]:
                 m = int(m)
                 w_, h = 5 + m % 12, 4 + m % 9
-                rows.append(
-                    vp8l_encode(
-                        _webp_pixels(m, w_, h),
-                        subtract_green=bool(m % 2),
-                        backref_period=_WEBP_PERIOD,
+                if m % 3 == 0:
+                    rows.append(
+                        vp8l_encode(
+                            _webp_pixels(m, w_, h),
+                            subtract_green=bool(m % 2),
+                            cache_bits=6,
+                        )
                     )
-                )
+                else:
+                    rows.append(
+                        vp8l_encode(
+                            _webp_pixels(m, w_, h),
+                            subtract_green=bool(m % 2),
+                            backref_period=_WEBP_PERIOD,
+                        )
+                    )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     return _media_base(documents).mapInPandas(

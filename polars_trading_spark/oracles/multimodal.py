@@ -1792,9 +1792,10 @@ GROUP BY media_id
 """,
     "REAL stdlib VP8L lossless WebP decode: canonical prefix codes "
     "(normal code-length-coded trees with zero-run 17/18, simple "
-    "codes), LZ77 plain-distance backward references on every image "
-    "tail, SUBTRACT_GREEN transform on odd ids — per-pixel RGBA "
-    "checksum oracle; named pins (2D distance codes, color cache, "
+    "codes), LZ77 plain-distance backward references, COLOR-CACHE "
+    "streams on every third id (round 12 — hit symbols + rolling-hash "
+    "updates incl. copied pixels), SUBTRACT_GREEN on odd ids — "
+    "per-pixel RGBA checksum oracle; named pins (2D distance codes, "
     "meta prefix, predictor/color/indexing transforms, lossy VP8) "
     "raise with the feature",
 )

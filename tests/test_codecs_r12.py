@@ -249,7 +249,8 @@ def test_webp_named_pins():
     lossy = webp_encode_lossy_stub(32, 24)
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         vp8l_decode(lossy)
-    # a color-cache bit set in an otherwise-valid header names the pin
+    # a meta-prefix bit set in an otherwise-valid header names the pin
+    # (the color cache is IN scope since round 12)
     from polars_trading_spark.functions.webp import (
         _BitWriterLSB,
         _riff_container,
@@ -261,13 +262,33 @@ def test_webp_named_pins():
     w.write(0, 1)
     w.write(0, 3)
     w.write(0, 1)  # no transforms
-    w.write(1, 1)  # color cache present
-    w.write(4, 4)
+    w.write(0, 1)  # no color cache
+    w.write(1, 1)  # meta prefix codes present
     payload = _riff_container([(b"VP8L", b"\x2f" + w.flush())])
-    with pytest.raises(NotImplementedError, match="color cache"):
+    with pytest.raises(NotImplementedError, match="meta prefix"):
         vp8l_decode(payload)
     with pytest.raises(ValueError, match="not a WebP"):
         webp_metadata(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+@pytest.mark.parametrize("m", [0, 3, 6, 9, 21, 99])
+def test_vp8l_color_cache_roundtrip(m):
+    """Round 12: color-cache streams (hit symbols beyond the
+    literal/length alphabet, rolling 0x1E35A7BD hash, copied pixels
+    update the cache too) decode to the same pixels as every other
+    coding of the same image."""
+    w, h = 5 + m % 12, 4 + m % 9
+    px = _webp_pixels(m, w, h)
+    for cb in (4, 6):
+        pay = vp8l_encode(px, subtract_green=bool(m % 2), cache_bits=cb)
+        assert np.array_equal(vp8l_decode(pay), px), cb
+    # cache + LZ77 together
+    pay = vp8l_encode(px, backref_period=_WEBP_PERIOD, cache_bits=5)
+    assert np.array_equal(vp8l_decode(pay), px)
+    # hits actually occur: the cached stream is strictly smaller
+    assert len(vp8l_encode(px, cache_bits=6)) < len(vp8l_encode(px))
+    with pytest.raises(ValueError, match="cache_bits"):
+        vp8l_encode(px, cache_bits=12)
 
 
 @pytest.mark.parametrize(
