@@ -9,14 +9,15 @@ inflate + all five unfilters, truecolor AND indexed/PLTE, every spec
 bit depth 1/2/4/8/16 — PNG scope is COMPLETE), uncompressed BMP, GIF
 (full variable-width LZW, interlaced, ANIMATED with disposal-method
 compositing and transparency), and JPEG (canonical Huffman + IDCT —
-**JPEG scope COMPLETE for 8-bit Huffman DCT streams** as of round 12:
-sequential AND progressive, 1/3/4 components — gray, YCbCr color, raw
-CMYK as stored, YCCK/Adobe-transform-2 — at ANY integer-ratio sampling
-factors, at ANY dimensions (partial-MCU edge blocks, round 12), with
-restart intervals in BOTH sequential and progressive scans).  The
-honestly-named residual pins (12/16-bit sample precision,
-arithmetic/lossless/hierarchical SOF modes, non-integer sampling
-ratios) raise
+**JPEG scope COMPLETE for Huffman DCT streams at BOTH T.81 sample
+precisions, 8- and 12-bit** as of round 12: sequential (baseline SOF0
++ extended SOF1) AND progressive, 1/3/4 components — gray, YCbCr
+color, raw CMYK as stored, YCCK/Adobe-transform-2 — at ANY
+integer-ratio sampling factors, at ANY dimensions (partial-MCU edge
+blocks), with restart intervals in BOTH sequential and progressive
+scans, in EVERY scan layout incl. partially-interleaved subsets).  The
+honestly-named residual pins (arithmetic/lossless/hierarchical SOF
+modes, non-integer sampling ratios) raise
 ``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
@@ -1699,7 +1700,9 @@ def _jpeg_category(v: int):
     return s, bits
 
 
-def jpeg_encode_gray(coeffs, width: int, height: int, qtable=None) -> bytes:
+def jpeg_encode_gray(
+    coeffs, width: int, height: int, qtable=None, precision: int = 8
+) -> bytes:
     """Encode a grayscale baseline JPEG from QUANTIZED DCT coefficients:
     ``coeffs`` is a list of 64-element zig-zag-order blocks (one per
     8x8 MCU, row-major), so tests and oracles control the exact
@@ -1716,10 +1719,14 @@ def jpeg_encode_gray(coeffs, width: int, height: int, qtable=None) -> bytes:
     if len(q) != 64:
         raise ValueError("qtable must have 64 entries")
 
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes([1, 0x11, 0])
+    # 12-bit samples require the EXTENDED sequential frame (SOF1)
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 11, precision, height, width, 1) + bytes([1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_AC_VALS), 0x10) + bytes(_AC_BITS) + bytes(_AC_VALS)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
@@ -1771,7 +1778,8 @@ def _encode_block(w, blk, prev_dc, dc_codes, ac_codes) -> int:
 
 
 def jpeg_encode_ycbcr(
-    coeffs, width: int, height: int, qtable=None, restart_interval: int = 0
+    coeffs, width: int, height: int, qtable=None, restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Encode a COLOR baseline JPEG (YCbCr 4:4:4, interleaved scan) from
     QUANTIZED DCT coefficients: ``coeffs`` is a list of per-MCU
@@ -1794,12 +1802,15 @@ def jpeg_encode_ycbcr(
     if len(q) != 64:
         raise ValueError("qtable must have 64 entries")
 
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H5sHBHHBB", 16, b"JFIF\x00", 0x0102, 0, 72, 72, 0, 0)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    sof = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof + struct.pack(">HBHHB", 17, precision, height, width, 3)
     for cid in (1, 2, 3):  # Y, Cb, Cr — all 1x1 sampling, quant table 0
         out += bytes([cid, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(_DC_VALS), 0x00) + bytes(_DC_BITS) + bytes(_DC_VALS)
@@ -2128,7 +2139,8 @@ def _assemble_planes(planes, h: int, w: int, samplings):
     return out
 
 
-def _finalize_jpeg_planes(planes, h: int, w: int, adobe_transform):
+def _finalize_jpeg_planes(planes, h: int, w: int, adobe_transform,
+                          precision: int = 8):
     """Shared reconstruction tail of every JPEG decode path: replicate
     stored-resolution planes to the full frame (spec-legal nearest,
     exact in integers, hence oracle-replayable), then apply the color
@@ -2149,21 +2161,25 @@ def _finalize_jpeg_planes(planes, h: int, w: int, adobe_transform):
         # 4-component (CMYK, transform=0/absent): T.81 defines no
         # color semantics; sample planes returned AS STORED.
         return np.stack(planes, axis=-1)
+    center = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
+    dtype = np.uint8 if precision == 8 else np.uint16
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64)
     cr = planes[2].astype(np.float64)
     # BT.601/JFIF; floor(x + 0.5) so the SQL oracle reproduces the
-    # exact bytes (correctly-rounded double ops, same order)
-    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
-    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
-    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
-    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+    # exact bytes (correctly-rounded double ops, same order); at 12-bit
+    # the chroma center and clamp scale to 2048/4095
+    r = np.floor(y + 1.402 * (cr - center) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - center) - 0.714136 * (cr - center) + 0.5)
+    b = np.floor(y + 1.772 * (cb - center) + 0.5)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0, maxval)
     if len(planes) == 4:
         # YCCK (Adobe transform=2): the libjpeg complement
         return np.concatenate(
-            [255.0 - rgb, planes[3][:, :, None].astype(np.float64)], axis=-1
-        ).astype(np.uint8)
-    return rgb.astype(np.uint8)
+            [maxval - rgb, planes[3][:, :, None].astype(np.float64)], axis=-1
+        ).astype(dtype)
+    return rgb.astype(dtype)
 
 
 def jpeg_decode(payload: bytes):
@@ -2194,9 +2210,13 @@ def jpeg_decode(payload: bytes):
     RST0-7) are handled in sequential (round 11) AND progressive
     (round 12) scans: byte alignment, DC-predictor and EOB-run resets,
     marker-sequence verification; 16-BIT QUANT TABLES (DQT precision 1,
-    round 11) parse big-endian.  Named remaining pins raise with the
-    feature: 12/16-bit SAMPLE precision, non-integer-ratio samplings,
-    non-DCT-Huffman SOF modes (arithmetic, lossless, hierarchical).
+    round 11) parse big-endian.  BOTH T.81 DCT sample precisions
+    decode (round 12): 8-bit, and 12-BIT via extended sequential SOF1
+    or progressive SOF2 — level shift 2048, clamp 0..4095, uint16
+    planes, the BT.601 contract at the scaled center (12-bit in
+    baseline SOF0 is rejected as illegal).  Named remaining pins raise
+    with the feature: non-integer-ratio samplings and non-DCT-Huffman
+    SOF modes (arithmetic, lossless, hierarchical).
     EVERY sequential scan layout decodes (round 12): all-component
     interleaved, single-component NON-INTERLEAVED (round 11), and
     PARTIALLY-interleaved subsets — any mix, with planes accumulated
@@ -2220,6 +2240,7 @@ def jpeg_decode(payload: bytes):
     prog_pred = None
     prog_geom = None
     restart_interval = 0
+    precision = 8
     seq_planes: dict = {}  # non-interleaved scans accumulate here
     prog_eobrun = [0]
     adobe_transform = None
@@ -2262,11 +2283,15 @@ def jpeg_decode(payload: bytes):
                 table = _build_huff_decoder(bits, vals)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
             progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise NotImplementedError(f"precision {prec} not supported")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("12-bit samples are illegal in baseline SOF0")
+            precision = prec
             if nc not in (1, 3, 4):
                 raise NotImplementedError(
                     f"{nc}-component JPEG decode not supported — "
@@ -2318,7 +2343,7 @@ def jpeg_decode(payload: bytes):
                 ]
                 prog_pred = [0] * nc
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}) not supported"
             )
@@ -2395,6 +2420,7 @@ def jpeg_decode(payload: bytes):
                     payload, scan_start, h, w, comp_specs,
                     restart_interval=restart_interval,
                     grid=(_ceil_div(w, 8 * hmx), _ceil_div(h, 8 * vmx)),
+                    precision=precision,
                 )
                 for k, p in zip(scan_idx, planes):
                     seq_planes[k] = p
@@ -2413,6 +2439,7 @@ def jpeg_decode(payload: bytes):
                     payload, scan_start, ch, cw,
                     [(q_, dct_, act_, 1, 1)],
                     restart_interval=restart_interval,
+                    precision=precision,
                 )
                 seq_planes[scan_idx[0]] = one[0]
             if len(seq_planes) == len(comps):
@@ -2422,7 +2449,9 @@ def jpeg_decode(payload: bytes):
                     w,
                     [(hs_, vs_) for _, hs_, vs_, _ in comps],
                 )
-                return _finalize_jpeg_planes(planes, h, w, adobe_transform)
+                return _finalize_jpeg_planes(
+                    planes, h, w, adobe_transform, precision=precision
+                )
             i = next_i
             continue
         i += 2 + seg_len
@@ -2438,13 +2467,16 @@ def jpeg_decode(payload: bytes):
                 qtables[comps[ci][3]],
                 prog_geom["comps"][ci][2],
                 prog_geom["comps"][ci][3],
+                precision=precision,
             )
             for ci in range(len(comps))
         ]
         planes = _assemble_planes(
             planes, h, w, [(hs, vs) for _, hs, vs, _ in comps]
         )
-        return _finalize_jpeg_planes(planes, h, w, adobe_transform)
+        return _finalize_jpeg_planes(
+            planes, h, w, adobe_transform, precision=precision
+        )
     if seq_planes:
         raise ValueError(
             f"incomplete non-interleaved scan set — no scan for "
@@ -2468,7 +2500,7 @@ def _idct_basis():
 
 
 def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0,
-                      grid=None):
+                      grid=None, precision=8):
     """Interleaved baseline scan with per-component sampling factors:
     each MCU carries ``hs x vs`` 8x8 blocks per component in raster
     order (spec A.2.3); every component keeps its own DC predictor.
@@ -2502,8 +2534,11 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0,
     nc = len(comp_specs)
     qs = [np.array(q, dtype=np.float64) for q, _, _, _, _ in comp_specs]
     basis = _idct_basis()
+    level = float(1 << (precision - 1))  # 128 (8-bit) / 2048 (12-bit)
+    maxval = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
     planes = [
-        np.empty((8 * mch * vs, 8 * mcw * hs), dtype=np.uint8)
+        np.empty((8 * mch * vs, 8 * mcw * hs), dtype=dtype)
         for _, _, _, hs, vs in comp_specs
     ]
     prev_dc = [0] * nc
@@ -2535,7 +2570,7 @@ def _jpeg_decode_scan(data, pos, h, w, comp_specs, restart_interval=0,
         block = np.zeros((8, 8), dtype=np.float64)
         block.flat[_ZIGZAG] = zz  # natural position of zz index k
         px = basis @ block @ basis.T
-        return np.clip(np.rint(px + 128.0), 0, 255).astype(np.uint8)
+        return np.clip(np.rint(px + level), 0, maxval).astype(dtype)
 
     mi = 0
     for my in range(mch):
@@ -3118,7 +3153,7 @@ def _emit_eobrun(w, ac_codes, eobrun: int, pending_bits: list) -> int:
 def jpeg_encode_progressive(
     coeffs, width: int, height: int, qtable=None, al: int = 1,
     adobe_transform: int | None = None, samplings=None,
-    restart_interval: int = 0,
+    restart_interval: int = 0, precision: int = 8,
 ) -> bytes:
     """Encode a PROGRESSIVE (SOF2) JPEG from QUANTIZED DCT coefficients
     with spectral selection + successive approximation: DC first scan
@@ -3218,7 +3253,9 @@ def jpeg_encode_progressive(
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, height, width, nc)
+    if precision not in (8, 12):
+        raise ValueError(f"precision must be 8 or 12, got {precision}")
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, precision, height, width, nc)
     for ci in range(nc):
         hs, vs = samp[ci]
         out += bytes([ci + 1, (hs << 4) | vs, 0])
@@ -3550,14 +3587,18 @@ def _jpeg_prog_scan(data, pos, specs, coefs, dc_pred, eobrun, geom,
     return reader.scan_end
 
 
-def _jpeg_coeffs_to_plane(blocks, q, bw: int, bh: int):
+def _jpeg_coeffs_to_plane(blocks, q, bw: int, bh: int, precision: int = 8):
     """Dequantize + IDCT a component's zig-zag coefficient blocks into
-    a (8*bh, 8*bw) uint8 plane — the baseline decode_block math."""
+    a (8*bh, 8*bw) sample plane — the baseline decode_block math
+    (level shift and clamp scale with the sample precision)."""
     import numpy as np
 
     qv = np.array(q, dtype=np.float64)
     basis = _idct_basis()
-    plane = np.empty((8 * bh, 8 * bw), dtype=np.uint8)
+    level = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
+    dtype = np.uint8 if precision == 8 else np.uint16
+    plane = np.empty((8 * bh, 8 * bw), dtype=dtype)
     for b, zzc in enumerate(blocks):
         zz = np.array(zzc, dtype=np.float64) * qv
         block = np.zeros((8, 8), dtype=np.float64)
@@ -3565,8 +3606,8 @@ def _jpeg_coeffs_to_plane(blocks, q, bw: int, bh: int):
         px = basis @ block @ basis.T
         by, bx = divmod(b, bw)
         plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-            np.rint(px + 128.0), 0, 255
-        ).astype(np.uint8)
+            np.rint(px + level), 0, maxval
+        ).astype(dtype)
     return plane
 
 

@@ -354,3 +354,79 @@ def test_scan_groups_random_spectra_and_validation():
         jpeg_encode_scan_groups([yb, cbs, crs], w, h, samp, [(0, 1)])
     with pytest.raises(ValueError, match="padded-grid blocks"):
         jpeg_encode_scan_groups([yb[:3], cbs, crs], w, h, samp, [(0, 1, 2)])
+
+
+# ------------------------- 12-bit precision -------------------------
+
+
+@pytest.mark.parametrize("m", [0, 2, 5, 9, 14])
+def test_12bit_extended_sequential_and_progressive_gray(m):
+    """Round 12: 12-bit samples decode via extended sequential SOF1 and
+    progressive SOF2 — level shift 2048, clamp 0..4095, uint16 planes —
+    at partial-MCU dims too."""
+    w, h = 9 + m % 13, 11 + m % 7
+    nbw, nbh = _ceil(w, 8), _ceil(h, 8)
+    blocks = []
+    for k in range(nbw * nbh):
+        blk = [0] * 64
+        blk[0] = ((m * 37 + 91 * k) % 2048) - 1024
+        blocks.append(blk)
+    exp = np.empty((h, w), dtype=np.int64)
+    for yy in range(h):
+        for xx in range(w):
+            k = (yy // 8) * nbw + (xx // 8)
+            exp[yy, xx] = 2 * (((m * 37 + 91 * k) % 2048) - 1024) + 2048
+    dec = jpeg_decode(jpeg_encode_gray(blocks, w, h, precision=12))
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec[:, :, 0].astype(np.int64), exp)
+    decp = jpeg_decode(
+        jpeg_encode_progressive(blocks, w, h, al=1, precision=12)
+    )
+    assert decp.dtype == np.uint16
+    assert np.array_equal(decp[:, :, 0].astype(np.int64), exp)
+
+
+def test_12bit_color_bt601_at_scaled_center():
+    import math
+
+    def rgb12(yv, cb, cr):
+        r = min(4095, max(0, math.floor(yv + 1.402 * (cr - 2048) + 0.5)))
+        g = min(4095, max(0, math.floor(
+            yv - 0.344136 * (cb - 2048) - 0.714136 * (cr - 2048) + 0.5)))
+        b = min(4095, max(0, math.floor(yv + 1.772 * (cb - 2048) + 0.5)))
+        return r, g, b
+
+    m, w, h = 5, 16, 16
+    nb = (w // 8) * (h // 8)
+    mcus = []
+    for k in range(nb):
+        blks = []
+        for a, b in ((37, 91), (53, 71), (29, 61)):
+            blk = [0] * 64
+            blk[0] = ((a * m + b * k) % 2048) - 1024
+            blks.append(blk)
+        mcus.append(tuple(blks))
+    dec = jpeg_decode(jpeg_encode_ycbcr(mcus, w, h, precision=12))
+    assert dec.dtype == np.uint16
+    for yy in range(h):
+        for xx in range(w):
+            k = (yy // 8) * (w // 8) + xx // 8
+            yv = 2 * (((37 * m + 91 * k) % 2048) - 1024) + 2048
+            cb = 2 * (((53 * m + 71 * k) % 2048) - 1024) + 2048
+            cr = 2 * (((29 * m + 61 * k) % 2048) - 1024) + 2048
+            assert tuple(int(v) for v in dec[yy, xx]) == rgb12(yv, cb, cr)
+
+
+def test_12bit_validation():
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_encode_gray([[0] * 64], 8, 8, precision=10)
+    # 12-bit inside a baseline SOF0 frame is illegal (T.81), not a pin
+    bad = bytearray(jpeg_encode_gray([[0] * 64], 8, 8))
+    i = bad.index(b"\xff\xc0")
+    bad[i + 4] = 12
+    with pytest.raises(ValueError, match="illegal in baseline"):
+        jpeg_decode(bytes(bad))
+    # precision values T.81 does not define for DCT stay pinned
+    bad[i + 4] = 16
+    with pytest.raises(NotImplementedError, match="precision 16"):
+        jpeg_decode(bytes(bad))
