@@ -41,6 +41,7 @@ from polars_trading_spark.functions.text import (
 __all__ = [
     "exact_dedup",
     "exact_substring_dedup",
+    "exact_substring_dedup_clean",
     "shingle_hashes",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -816,6 +817,41 @@ def duplicated_span_stats(
     )
 
 
+def _substring_removals(base: DataFrame, k: int) -> DataFrame:
+    """Duplicated-span removal positions ``(__id, pos)`` — the shared
+    core of ``exact_substring_dedup`` and its ``_clean`` twin: every
+    ``k``-token span hash occurring >= 2 times corpus-wide, minus the
+    canonical first occurrence (smallest ``(doc, pos)``).
+
+    100 TB shape: the canonical pick is a ``min(struct(doc, pos))``
+    map-side-combinable aggregate on the span hash; the duplicated-hash
+    set shrinks through ``HAVING count(*) >= 2`` before the join back.
+    No all-pairs stage, no suffix sort."""
+    ps = base.select(
+        "__id",
+        F.posexplode(positional_shingle_hashes(F.col("__toks"), k)).alias(
+            "pos", "h"
+        ),
+    )
+    occ = (
+        ps.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("__occ"),
+            F.min(
+                F.struct(F.col("__id").alias("d"), F.col("pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .where(F.col("__occ") >= 2)
+        .select("h", "__keep")
+    )
+    return ps.join(occ, "h").where(
+        ~(
+            (F.col("__id") == F.col("__keep.d"))
+            & (F.col("pos") == F.col("__keep.p"))
+        )
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     *,
@@ -853,31 +889,7 @@ def exact_substring_dedup(
     totals = base.select(
         F.col("__id"), F.size("__toks").cast("long").alias("n_tokens")
     )
-    ps = base.select(
-        "__id",
-        F.posexplode(positional_shingle_hashes(F.col("__toks"), k)).alias(
-            "pos", "h"
-        ),
-    )
-    # canonical occurrence per duplicated hash: min (doc, pos) — a
-    # single hash aggregate, partially combined map-side
-    occ = (
-        ps.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("__occ"),
-            F.min(
-                F.struct(F.col("__id").alias("d"), F.col("pos").alias("p"))
-            ).alias("__keep"),
-        )
-        .where(F.col("__occ") >= 2)
-        .select("h", "__keep")
-    )
-    removals = ps.join(occ, "h").where(
-        ~(
-            (F.col("__id") == F.col("__keep.d"))
-            & (F.col("pos") == F.col("__keep.p"))
-        )
-    )
+    removals = _substring_removals(base, k)
 
     w = Window.partitionBy("__id").orderBy("pos")
     prev = F.lag("pos").over(w)
@@ -915,6 +927,91 @@ def exact_substring_dedup(
         spans.alias("removed_spans"),
         kept.alias("kept_tokens"),
         frac.alias("kept_frac"),
+    )
+
+
+def exact_substring_dedup_clean(
+    df: DataFrame,
+    *,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ARTIFACT form of ``exact_substring_dedup``: per document, the
+    text with every duplicated ``k``-token span removed (keep-first-
+    occurrence, Lee et al. 2022) — what a training pipeline actually
+    consumes, where the stats twin only reports accounting.  The
+    cleaned text is the kept tokens rejoined with single spaces (span
+    removal operates on the tokenizer's normalized stream, so original
+    whitespace/punctuation inside removed regions is not recoverable —
+    the standard formulation).
+
+    Output: ``doc_id, n_tokens, kept_tokens, cleaned_text``.
+
+    100 TB shape: the removal positions per document are merged into
+    maximal ``[start, end)`` spans RELATIONALLY (one running-sum window
+    over each doc's sorted positions + a hash aggregate), collected
+    per-doc (bounded by the doc's own token count — the same bound as
+    the text column itself), and the kept tokens are reassembled in ONE
+    linear higher-order ``aggregate`` pass over the span list.  No
+    per-token × per-removal quadratic work, no Python."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    base = _tokenized(df, text_col, id_col)
+    removals = _substring_removals(base, k)
+
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = removals.select(
+        "__id",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > k), 1)
+        .otherwise(0)
+        .alias("__new"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        flagged.withColumn("__sid", F.sum("__new").over(w_run))
+        .groupBy("__id", "__sid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k).alias("e"))
+    )
+    doc_spans = spans.groupBy("__id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
+    )
+
+    joined = base.join(doc_spans, "__id", "left").withColumn(
+        "__spans",
+        F.coalesce("__spans", F.array().cast("array<struct<s:int,e:int>>")),
+    )
+    toks = F.col("__toks")
+    # one linear pass: walk the sorted disjoint spans, concatenating the
+    # gap before each span and finally the tail after the last one
+    kept_expr = F.aggregate(
+        F.col("__spans"),
+        F.struct(
+            F.lit(0).alias("cur"), F.array().cast("array<string>").alias("kept")
+        ),
+        lambda acc, sp: F.struct(
+            sp["e"].alias("cur"),
+            F.concat(
+                acc["kept"], F.slice(toks, acc["cur"] + 1, sp["s"] - acc["cur"])
+            ).alias("kept"),
+        ),
+        lambda acc: F.concat(
+            acc["kept"],
+            F.slice(
+                toks,
+                acc["cur"] + 1,
+                F.greatest(F.size(toks) - acc["cur"], F.lit(0)),
+            ),
+        ),
+    )
+    return joined.withColumn("__kept", kept_expr).select(
+        F.col("__id").alias(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size("__kept").cast("long").alias("kept_tokens"),
+        F.array_join("__kept", " ").alias("cleaned_text"),
     )
 
 

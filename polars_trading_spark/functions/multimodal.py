@@ -82,10 +82,20 @@ def _media_base(documents: DataFrame) -> DataFrame:
     partitioning, so they use every core even when the upstream scan is
     one small parquet file (= one input split locally).  The exchange
     moves ONLY the 8-byte id column; the synthesized payloads and the
-    pixel work itself still never shuffle."""
+    pixel work itself still never shuffle.
+
+    Round 13: the island width is overridable via the session conf
+    ``spark.polars_trading.media.partitions`` (documented in
+    session.py).  ``defaultParallelism`` (total cores) is the right
+    floor when one media family runs alone, but when several media
+    queries share a stage on a real cluster a fixed count forfeits AQE
+    coalescing — set the conf lower (or to a multiple of the shared
+    stage's slots) for those runs."""
     base = documents.select(F.col("doc_id").alias("media_id"))
     try:
-        n = documents.sparkSession.sparkContext.defaultParallelism
+        spark = documents.sparkSession
+        conf = spark.conf.get("spark.polars_trading.media.partitions", None)
+        n = int(conf) if conf else spark.sparkContext.defaultParallelism
     except Exception:  # pragma: no cover - detached-plan fallback
         return base
     return base.repartition(n, "media_id")
@@ -1972,7 +1982,15 @@ class _BitReaderMSB:
         while True:
             m = _JPEG_MARKER_RE.search(data, i)
             if m is None:  # ran off the payload without a marker
-                segs.append(data[start:end].replace(b"\xff\x00", b"\xff"))
+                raw = data[start:end]
+                if raw.endswith(b"\xff"):
+                    # a lone 0xFF as the payload's final byte is a
+                    # truncated marker, not entropy data (the regex
+                    # needs a following byte to match); strip it so
+                    # decode starves and raises rather than consuming
+                    # a phantom byte — matching the old byte-walk
+                    raw = raw[:-1]
+                segs.append(raw.replace(b"\xff\x00", b"\xff"))
                 self.scan_end = end
                 break
             mb = m.start()
@@ -4133,6 +4151,73 @@ def synthesize_jpeg_prog_restart(documents: DataFrame) -> DataFrame:
 
     base = _media_base(documents)
     return base.mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_extended(documents: DataFrame) -> DataFrame:
+    """Round 13: the two round-12 unit-gated JPEG modes under ONE
+    driver-gated table.  EVEN ids: 12-BIT sample precision grayscale at
+    partial-MCU dimensions (``w = 9 + m%13``, ``h = 11 + m%7``) —
+    extended sequential SOF1 on ``m % 4 == 0``, progressive SOF2 with
+    successive approximation on ``m % 4 == 2`` — level shift 2048,
+    uint16 planes.  ODD ids: PARTIALLY-INTERLEAVED sequential scan
+    SUBSETS (T.81 A.2.2/A.2.3): a 16x16 4:2:0 frame whose components
+    split across scan groups ``[(Y), (Cb,Cr)]`` on ``m % 4 == 1`` and
+    ``[(Y,Cr), (Cb)]`` on ``m % 4 == 3`` — fresh DC predictors per
+    scan, the interleaved subset walking the frame MCU grid, singleton
+    scans the component's real block raster.  DC-only spectra keep the
+    oracle closed-form on both arms."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                if m % 2 == 0:
+                    w, h = 9 + m % 13, 11 + m % 7
+                    nbw, nbh = _ceil_div(w, 8), _ceil_div(h, 8)
+                    blocks = []
+                    for k in range(nbw * nbh):
+                        blk = [0] * 64
+                        blk[0] = ((37 * m + 91 * k) % 2048) - 1024
+                        blocks.append(blk)
+                    rows.append(
+                        jpeg_encode_gray(blocks, w, h, precision=12)
+                        if m % 4 == 0
+                        else jpeg_encode_progressive(
+                            blocks, w, h, al=1, precision=12
+                        )
+                    )
+                else:
+                    yb = []
+                    for k in range(4):
+                        blk = [0] * 64
+                        blk[0] = ((m + 13 * k) % 64) - 32
+                        yb.append(blk)
+                    cb = [0] * 64
+                    cb[0] = ((2 * m) % 64) - 32
+                    cr = [0] * 64
+                    cr[0] = ((3 * m) % 64) - 32
+                    groups = [(0,), (1, 2)] if m % 4 == 1 else [(0, 2), (1,)]
+                    rows.append(
+                        jpeg_encode_scan_groups(
+                            [yb, [cb], [cr]],
+                            16,
+                            16,
+                            [(2, 2), (1, 1), (1, 1)],
+                            groups,
+                        )
+                    )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
         pack,
         schema=T.StructType(
             [

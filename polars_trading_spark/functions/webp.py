@@ -225,7 +225,10 @@ def _prefix_val_decode(code: int, r: _BitReaderLSB) -> int:
 def _write_prefix_code(w: _BitWriterLSB, lengths, used) -> dict:
     """Serialize one prefix code; returns {symbol: (code, len)} for the
     caller's entropy loop (single-symbol codes map to zero-bit codes)."""
-    if len(used) == 1:
+    if len(used) == 1 and used[0] <= 255:
+        # simple codes carry symbols in at most 8 bits, so a lone
+        # symbol >= 256 (length/cache-hit codes in the green alphabet)
+        # must use the normal code-length-coded path below
         sym = used[0]
         w.write(1, 1)  # simple code
         w.write(0, 1)  # num_symbols - 1 = 0
@@ -297,7 +300,12 @@ def _write_prefix_code(w: _BitWriterLSB, lengths, used) -> dict:
         w.write_code(c, ln)
         if nbits:
             w.write(extra, nbits)
-    return _canonical_codes(lengths)
+    codes = _canonical_codes(lengths)
+    if len(codes) == 1:
+        # single-symbol tree: decoder reads ZERO bits per symbol (the
+        # degenerate-tree convention) — emit zero-bit codes to match
+        return {next(iter(codes)): (0, 0)}
+    return codes
 
 
 def _read_prefix_code(r: _BitReaderLSB, alphabet_size: int) -> _PrefixDecoder:
@@ -353,41 +361,11 @@ def _read_prefix_code(r: _BitReaderLSB, alphabet_size: int) -> _PrefixDecoder:
 # --------------------------------------------------------------------------
 
 
-def vp8l_encode(
-    pixels,
-    *,
-    subtract_green: bool = False,
-    backref_period: int | None = None,
-    cache_bits: int = 0,
-) -> bytes:
-    """Encode an ``(h, w, 4)`` uint8 RGBA array as a complete WebP
-    container with one VP8L chunk (transform-free or SUBTRACT_GREEN,
-    single prefix-code group, optional COLOR CACHE).
-
-    ``backref_period``: when set and the pixel stream is periodic with
-    that period, everything after the first period is emitted as LZ77
-    backward references with plain (scan-line) distance codes —
-    exercising the decoder's copy loop; the caller guarantees
-    periodicity (synthesizers do by construction).
-
-    ``cache_bits`` (round 12): 1-11 enables the spec's color cache —
-    a literal whose ARGB value sits in the rolling ``(0x1E35A7BD *
-    argb) >> (32 - bits)`` cache is emitted as a cache-hit symbol
-    (green alphabet grows by the cache size); every emitted pixel,
-    including LZ77-copied ones, updates the cache on both sides."""
-    import numpy as np
-
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w_, _ = px.shape
-    n = h * w_
-    flat = px.reshape(n, 4).astype(np.int64)
-    r_, g_, b_, a_ = flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]
-    if subtract_green:
-        r_ = (r_ - g_) % 256
-        b_ = (b_ - g_) % 256
-
-    if cache_bits and not 1 <= cache_bits <= 11:
-        raise ValueError(f"cache_bits must be 1-11, got {cache_bits}")
+def _build_tokens(r_, g_, b_, a_, n, cache_bits, backref_period):
+    """Token stream for one entropy-coded pixel stream: ``("lit", r, g,
+    b, a)`` | ``("ref", length, dist)`` | ``("cache", index)``.  The
+    encoder-side color cache mirrors the decoder exactly (every emitted
+    pixel updates it, including LZ77-copied ones)."""
     cache = [0] * (1 << cache_bits) if cache_bits else None
     shift = 32 - cache_bits if cache_bits else 0
 
@@ -397,8 +375,6 @@ def vp8l_encode(
             | (int(g_[p]) << 8) | int(b_[p])
         )
 
-    # token stream: ("lit", r, g, b, a) | ("ref", length, dist) |
-    # ("cache", index)
     tokens = []
     lit_end = n if backref_period is None else min(backref_period, n)
     for p in range(lit_end):
@@ -425,6 +401,24 @@ def vp8l_encode(
         length = min(rest, 4096)
         tokens.append(("ref", length, backref_period))
         rest -= length
+    return tokens
+
+
+def _write_pixel_stream(
+    w: _BitWriterLSB, tokens, cache_bits: int, *, main: bool
+) -> None:
+    """Serialize one entropy-coded pixel stream: color-cache info,
+    (main image only) the meta-prefix bit, the five prefix codes built
+    from the token histograms, then the tokens themselves.  The exact
+    emit machinery the main image always used, factored so transform
+    subresolution images (round 13) reuse it."""
+    if cache_bits:
+        w.write(1, 1)
+        w.write(cache_bits, 4)
+    else:
+        w.write(0, 1)  # no color cache
+    if main:
+        w.write(0, 1)  # no meta prefix codes
 
     # histograms over the five alphabets
     green_used, red_used, blue_used, alpha_used, dist_used = (
@@ -450,22 +444,6 @@ def vp8l_encode(
     for s, alpha in ((red_used, 256), (blue_used, 256), (alpha_used, 256)):
         if not s:
             s.add(0)
-
-    w = _BitWriterLSB()
-    w.write(w_ - 1, 14)
-    w.write(h - 1, 14)
-    w.write(1, 1)  # alpha hint
-    w.write(0, 3)  # version
-    if subtract_green:
-        w.write(1, 1)  # transform present
-        w.write(2, 2)  # SUBTRACT_GREEN
-    w.write(0, 1)  # no more transforms
-    if cache_bits:
-        w.write(1, 1)
-        w.write(cache_bits, 4)
-    else:
-        w.write(0, 1)  # no color cache
-    w.write(0, 1)  # no meta prefix codes
 
     def emit_code(used, alphabet_size):
         used = sorted(used)
@@ -505,44 +483,128 @@ def vp8l_encode(
             if dnb:
                 w.write(dextra, dnb)
 
+
+def vp8l_encode(
+    pixels,
+    *,
+    subtract_green: bool = False,
+    backref_period: int | None = None,
+    cache_bits: int = 0,
+    predictor_bits: int | None = None,
+    predictor_seed: int = 0,
+) -> bytes:
+    """Encode an ``(h, w, 4)`` uint8 RGBA array as a complete WebP
+    container with one VP8L chunk (transform-free, SUBTRACT_GREEN,
+    and/or PREDICTOR, single prefix-code group, optional COLOR CACHE).
+
+    ``backref_period``: when set and the pixel stream is periodic with
+    that period, everything after the first period is emitted as LZ77
+    backward references with plain (scan-line) distance codes —
+    exercising the decoder's copy loop; the caller guarantees
+    periodicity (synthesizers do by construction).
+
+    ``cache_bits`` (round 12): 1-11 enables the spec's color cache —
+    a literal whose ARGB value sits in the rolling ``(0x1E35A7BD *
+    argb) >> (32 - bits)`` cache is emitted as a cache-hit symbol
+    (green alphabet grows by the cache size); every emitted pixel,
+    including LZ77-copied ones, updates the cache on both sides.
+
+    ``predictor_bits`` (round 13): 2-9 enables the PREDICTOR transform
+    (RFC 9649 §4.1) with ``1 << predictor_bits`` pixel blocks; each
+    block's mode cycles ``(bx + by*tw + predictor_seed) % 14`` so a
+    moderately-sized image exercises all 14 modes, and the modes ride
+    in the green channel of a real entropy-coded subresolution image.
+    With ``subtract_green`` too, the stream order is [SG, PRED]
+    (decoder inverts PRED first, then SG), so the encoder applies SG
+    forward first.  Residual streams are not periodic, so
+    ``backref_period`` is rejected alongside ``predictor_bits``."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w_, _ = px.shape
+    n = h * w_
+    flat = px.reshape(n, 4).astype(np.int64)
+    r_, g_, b_, a_ = flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]
+    if subtract_green:
+        r_ = (r_ - g_) % 256
+        b_ = (b_ - g_) % 256
+
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError(f"cache_bits must be 1-11, got {cache_bits}")
+
+    w = _BitWriterLSB()
+    w.write(w_ - 1, 14)
+    w.write(h - 1, 14)
+    w.write(1, 1)  # alpha hint
+    w.write(0, 3)  # version
+    if subtract_green:
+        w.write(1, 1)  # transform present
+        w.write(2, 2)  # SUBTRACT_GREEN
+    if predictor_bits is not None:
+        if not 2 <= predictor_bits <= 9:
+            raise ValueError(
+                f"predictor_bits must be 2-9, got {predictor_bits}"
+            )
+        if backref_period is not None:
+            raise ValueError(
+                "backref_period is incompatible with predictor_bits "
+                "(residual streams are not periodic)"
+            )
+        tw = -(-w_ // (1 << predictor_bits))
+        th = -(-h // (1 << predictor_bits))
+        modes = [
+            [(bx + by * tw + predictor_seed) % 14 for bx in range(tw)]
+            for by in range(th)
+        ]
+        cur = np.stack([r_, g_, b_, a_], axis=1)
+
+        def get(idx):
+            return (
+                int(cur[idx, 0]),
+                int(cur[idx, 1]),
+                int(cur[idx, 2]),
+                int(cur[idx, 3]),
+            )
+
+        res = np.empty_like(cur)
+        for y in range(h):
+            my = modes[y >> predictor_bits]
+            for x in range(w_):
+                pred = _vp8l_predict(
+                    my[x >> predictor_bits], x, y, w_, get
+                )
+                p = y * w_ + x
+                for c in range(4):
+                    res[p, c] = (cur[p, c] - pred[c]) & 255
+        r_, g_, b_, a_ = res[:, 0], res[:, 1], res[:, 2], res[:, 3]
+
+        w.write(1, 1)  # transform present
+        w.write(0, 2)  # PREDICTOR
+        w.write(predictor_bits - 2, 3)
+        tn = tw * th
+        gmodes = [m for row in modes for m in row]
+        zeros = [0] * tn
+        alphas = [255] * tn
+        sub_tokens = _build_tokens(zeros, gmodes, zeros, alphas, tn, 0, None)
+        _write_pixel_stream(w, sub_tokens, 0, main=False)
+    w.write(0, 1)  # no more transforms
+
+    tokens = _build_tokens(r_, g_, b_, a_, n, cache_bits, backref_period)
+    _write_pixel_stream(w, tokens, cache_bits, main=True)
+
     body = b"\x2f" + w.flush()
     return _riff_container([(b"VP8L", body)])
 
 
-def vp8l_decode(payload: bytes):
-    """Decode the VP8L chunk of a WebP container to an ``(h, w, 4)``
-    uint8 RGBA array.  Named pins raise: 2D distance codes, color
-    cache, meta prefix codes, PREDICTOR/COLOR/COLOR-INDEXING
-    transforms, lossy VP8."""
+def _read_pixel_stream(r: _BitReaderLSB, w_: int, h: int, *, main: bool):
+    """One entropy-coded VP8L pixel stream -> ``(w_*h, 4)`` uint8
+    ``[r, g, b, a]`` rows: optional color cache, (main image only) the
+    meta-prefix bit, five prefix codes, then the literal / LZ77-backref
+    / cache-hit loop.  Serves both the spatially-coded main image and
+    transform subresolution images (RFC 9649 §5: ``entropy-coded-image
+    ::= color-cache-info data``, no meta-prefix, no transforms)."""
     import numpy as np
 
-    chunks = _webp_chunks(payload)
-    vp8l = None
-    for fourcc, body in chunks:
-        if fourcc == b"VP8L":
-            vp8l = body
-            break
-        if fourcc == b"VP8 ":
-            raise NotImplementedError("lossy VP8 pixel decode not supported")
-    if vp8l is None:
-        raise ValueError("WebP container has no VP8L chunk")
-    if vp8l[:1] != b"\x2f":
-        raise ValueError("bad VP8L signature byte")
-    r = _BitReaderLSB(vp8l, 1)
-    w_ = r.read(14) + 1
-    h = r.read(14) + 1
-    r.read(1)  # alpha hint
-    version = r.read(3)
-    if version != 0:
-        raise ValueError(f"unknown VP8L version {version}")
-    subtract_green = False
-    while r.read(1):  # transforms
-        ttype = r.read(2)
-        if ttype == 2:
-            subtract_green = True
-        else:
-            name = {0: "PREDICTOR", 1: "COLOR", 3: "COLOR_INDEXING"}[ttype]
-            raise NotImplementedError(f"VP8L {name} transform not supported")
     cache_bits = 0
     cache = None
     if r.read(1):  # color cache (round 12 — in scope)
@@ -550,7 +612,7 @@ def vp8l_decode(payload: bytes):
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid color-cache size {cache_bits}")
         cache = [0] * (1 << cache_bits)
-    if r.read(1):
+    if main and r.read(1):
         raise NotImplementedError("VP8L meta prefix codes not supported")
     green_c = _read_prefix_code(
         r, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
@@ -611,18 +673,168 @@ def vp8l_decode(payload: bytes):
                     _insert(p)
             pos += length
         else:  # color-cache hit
+            if cache is None:
+                raise ValueError(
+                    "VP8L cache-hit symbol in a stream without a color cache"
+                )
             argb = cache[s - _GREEN_ALPHABET]
             out[pos, 0] = (argb >> 16) & 0xFF
             out[pos, 1] = (argb >> 8) & 0xFF
             out[pos, 2] = argb & 0xFF
             out[pos, 3] = (argb >> 24) & 0xFF
             pos += 1
+    return out
 
-    rgba = out.astype(np.int64)
-    if subtract_green:
-        rgba[:, 0] = (rgba[:, 0] + rgba[:, 1]) % 256
-        rgba[:, 2] = (rgba[:, 2] + rgba[:, 1]) % 256
-    return rgba.astype(np.uint8).reshape(h, w_, 4)
+
+def _vp8l_predict(mode: int, x: int, y: int, w_: int, get):
+    """Predicted pixel (RFC 9649 §4.1) as an ``(r, g, b, a)`` int
+    tuple.  ``get(idx)`` returns the already-reconstructed pixel at
+    flat index ``idx`` of the image the predictor operates on.
+
+    Border rules per spec: the top-left pixel predicts black
+    (0xff000000), the rest of the top row predicts L, the rest of the
+    left column predicts T — regardless of the block's mode.  The
+    TR pixel of the rightmost column wraps to the leftmost pixel of
+    the CURRENT row (the contiguous-memory addressing libwebp and the
+    RFC use: ``(y-1)*w + x + 1 == y*w`` when ``x == w-1``)."""
+    if y == 0:
+        return (0, 0, 0, 255) if x == 0 else get(x - 1)
+    if x == 0:
+        return get((y - 1) * w_)
+    if mode == 0:
+        return (0, 0, 0, 255)
+    p = y * w_ + x
+    if mode == 1:
+        return get(p - 1)
+    if mode == 2:
+        return get(p - w_)
+    if mode == 3:
+        return get(p - w_ + 1)
+    if mode == 4:
+        return get(p - w_ - 1)
+
+    def avg2(a, b):
+        return tuple((ai + bi) >> 1 for ai, bi in zip(a, b))
+
+    L = get(p - 1)
+    T = get(p - w_)
+    if mode == 7:
+        return avg2(L, T)
+    TL = get(p - w_ - 1)
+    TR = get(p - w_ + 1)
+    if mode == 5:
+        return avg2(avg2(L, TR), T)
+    if mode == 6:
+        return avg2(L, TL)
+    if mode == 8:
+        return avg2(TL, T)
+    if mode == 9:
+        return avg2(T, TR)
+    if mode == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if mode == 11:  # Select: whichever of L/T is Manhattan-closer to
+        # the gradient L + T - TL; (L+T-TL)-L = T-TL, (L+T-TL)-T = L-TL
+        p_l = sum(abs(t - tl) for t, tl in zip(T, TL))
+        p_t = sum(abs(l - tl) for l, tl in zip(L, TL))
+        return L if p_l < p_t else T
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            min(255, max(0, l + t - tl)) for l, t, tl in zip(L, T, TL)
+        )
+    if mode == 13:  # ClampAddSubtractHalf: C-style trunc-toward-zero /2
+        out = []
+        for l, t, tl in zip(L, T, TL):
+            a = (l + t) >> 1
+            d = a - tl
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return tuple(out)
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _inverse_predictor(res, w_: int, h: int, size_bits: int, modes):
+    """Invert the predictor transform: ``pixel = (residual + predict)
+    mod 256`` per channel, row-major (each prediction reads only
+    already-final pixels)."""
+    import numpy as np
+
+    out = res.astype(np.int64)
+
+    def get(idx):
+        return (
+            int(out[idx, 0]),
+            int(out[idx, 1]),
+            int(out[idx, 2]),
+            int(out[idx, 3]),
+        )
+
+    for y in range(h):
+        my = modes[y >> size_bits]
+        for x in range(w_):
+            mode = int(my[x >> size_bits])
+            if mode > 13:
+                raise ValueError(f"invalid VP8L predictor mode {mode}")
+            pred = _vp8l_predict(mode, x, y, w_, get)
+            p = y * w_ + x
+            for c in range(4):
+                out[p, c] = (out[p, c] + pred[c]) & 255
+    return out.astype(np.uint8)
+
+
+def vp8l_decode(payload: bytes):
+    """Decode the VP8L chunk of a WebP container to an ``(h, w, 4)``
+    uint8 RGBA array.  In scope: SUBTRACT-GREEN and PREDICTOR (all 14
+    modes, round 13) transforms, color cache, LZ77 plain distances.
+    Named pins raise: 2D distance codes, meta prefix codes,
+    COLOR/COLOR-INDEXING transforms, lossy VP8."""
+    import numpy as np
+
+    chunks = _webp_chunks(payload)
+    vp8l = None
+    for fourcc, body in chunks:
+        if fourcc == b"VP8L":
+            vp8l = body
+            break
+        if fourcc == b"VP8 ":
+            raise NotImplementedError("lossy VP8 pixel decode not supported")
+    if vp8l is None:
+        raise ValueError("WebP container has no VP8L chunk")
+    if vp8l[:1] != b"\x2f":
+        raise ValueError("bad VP8L signature byte")
+    r = _BitReaderLSB(vp8l, 1)
+    w_ = r.read(14) + 1
+    h = r.read(14) + 1
+    r.read(1)  # alpha hint
+    version = r.read(3)
+    if version != 0:
+        raise ValueError(f"unknown VP8L version {version}")
+    transforms = []
+    while r.read(1):  # read in stream order; inverses apply reversed
+        ttype = r.read(2)
+        if ttype == 2:
+            transforms.append(("subtract_green",))
+        elif ttype == 0:  # PREDICTOR (round 13 — in scope)
+            size_bits = r.read(3) + 2
+            bs = 1 << size_bits
+            tw = -(-w_ // bs)
+            th = -(-h // bs)
+            sub = _read_pixel_stream(r, tw, th, main=False)
+            transforms.append(
+                ("predictor", size_bits, sub[:, 1].reshape(th, tw))
+            )
+        else:
+            name = {1: "COLOR", 3: "COLOR_INDEXING"}[ttype]
+            raise NotImplementedError(f"VP8L {name} transform not supported")
+    out = _read_pixel_stream(r, w_, h, main=True)
+    for t in reversed(transforms):
+        if t[0] == "predictor":
+            out = _inverse_predictor(out, w_, h, t[1], t[2])
+        else:  # subtract_green inverse
+            rgba = out.astype(np.int64)
+            rgba[:, 0] = (rgba[:, 0] + rgba[:, 1]) % 256
+            rgba[:, 2] = (rgba[:, 2] + rgba[:, 1]) % 256
+            out = rgba.astype(np.uint8)
+    return out.reshape(h, w_, 4)
 
 
 # --------------------------------------------------------------------------
@@ -799,6 +1011,65 @@ def synthesize_webp_lossless(documents: DataFrame) -> DataFrame:
                             backref_period=_WEBP_PERIOD,
                         )
                     )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def _webp_pixels_pred(m: int, w_: int, h: int):
+    """A second deterministic RGBA pattern (period 13, distinct
+    multipliers) for the predictor-transform registration, so a
+    cross-wired synthesizer/decoder would fail its oracle instead of
+    silently matching the lossless family's bytes."""
+    import numpy as np
+
+    p = np.arange(w_ * h, dtype=np.int64) % 13
+    px = np.stack(
+        [
+            (5 * m + 19 * p) % 256,
+            (13 * m + 7 * p) % 256,
+            (m + 23 * p) % 256,
+            (9 * m + 3 * p) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return px.reshape(h, w_, 4)
+
+
+def synthesize_webp_predictor(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL VP8L lossless WebP per document id stored
+    under the PREDICTOR transform (round 13 — RFC 9649 §4.1, the
+    transform virtually every real libwebp lossless file enables):
+    ``width = 5 + m%12``, ``height = 4 + m%9``, block size cycling
+    4/8/16 px (``predictor_bits = 2 + m%3``), per-block modes cycling
+    ``(bx + by*tw + m) % 14`` so ALL 14 modes are hit across ids,
+    mode image carried in a real entropy-coded subresolution stream.
+    ODD ids stack SUBTRACT-GREEN under the predictor; ``m % 3 == 0``
+    ids add a 6-bit COLOR CACHE over the residual stream."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w_, h = 5 + m % 12, 4 + m % 9
+                rows.append(
+                    vp8l_encode(
+                        _webp_pixels_pred(m, w_, h),
+                        subtract_green=bool(m % 2),
+                        cache_bits=6 if m % 3 == 0 else 0,
+                        predictor_bits=2 + m % 3,
+                        predictor_seed=m,
+                    )
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     return _media_base(documents).mapInPandas(

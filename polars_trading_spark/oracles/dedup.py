@@ -527,6 +527,63 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_substring_dedup(docs, k=_ESD_N)
 
 
+# --------------------------------------------------------------------------
+# dedup_exact_substring_clean (round 13): the ARTIFACT form — per-doc
+# text with every duplicated span removed, what the training pipeline
+# actually consumes.  The oracle deliberately uses a DIFFERENT
+# formulation than the engine: Spark merges removals into maximal
+# spans relationally and reassembles kept tokens in one linear
+# higher-order aggregate walk; DuckDB filters each token by a direct
+# per-token coverage test (exists removal p with p <= i < p+k) — a
+# shared span-union bug cannot pass both sides.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_substring_clean",
+    f"""
+WITH
+{_DOCS_TOK_CTE},
+{_sql_positional_shingles(_ESD_N)},
+occ AS (
+  SELECT h,
+         min(struct_pack(d := doc_id, p := pos)) AS keep
+  FROM ps GROUP BY h HAVING count(*) >= 2
+),
+removals AS (
+  SELECT ps.doc_id, ps.pos
+  FROM ps JOIN occ USING (h)
+  WHERE NOT (ps.doc_id = occ.keep.d AND ps.pos = occ.keep.p)
+),
+rp AS (SELECT doc_id, list(pos) AS rps FROM removals GROUP BY doc_id),
+kept AS (
+  SELECT t.doc_id, t.toks,
+         list_filter(
+           t.toks,
+           (x, i) -> len(list_filter(
+             coalesce(r.rps, CAST([] AS BIGINT[])),
+             p -> p <= i - 1 AND p > i - 1 - {_ESD_N}
+           )) = 0
+         ) AS kt
+  FROM tok t LEFT JOIN rp r USING (doc_id)
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(kt) AS BIGINT) AS kept_tokens,
+  coalesce(array_to_string(kt, ' '), '') AS cleaned_text
+FROM kept
+""",
+    f"Cleaned-text exact substring dedup at {_ESD_N}-token granularity "
+    "(Lee et al. 2022 keep-first-occurrence): the engine reassembles "
+    "kept tokens via relational span-merge + one linear HOF walk; the "
+    "oracle re-derives the same text with an independent per-token "
+    "coverage filter",
+)
+def q_dedup_exact_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_substring_dedup_clean(docs, k=_ESD_N)
+
+
 
 
 

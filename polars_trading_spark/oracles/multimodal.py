@@ -1807,3 +1807,273 @@ def q_multimodal_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataF
 
     media = synthesize_webp_lossless(read_table(spark, sf_dir, "documents"))
     return webp_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 13). AVI/MJPEG VIDEO — the container arm of the
+# multimodal pipeline (functions/video.py, unit-gated since round 12).
+# The synthesizer emits a REAL single-stream RIFF/AVI per document id
+# (canonical hdrl/movi/idx1 layout) whose 2-4 frames are decodable
+# 4:4:4 color JPEGs; metadata parse walks the real headers, frame
+# stats stride-sample the '00dc' chunks through the full JPEG stack.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_avi_metadata",
+    """
+SELECT doc_id AS media_id,
+  'MJPG' AS codec,
+  CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+  CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+  CAST(2 + doc_id % 3 AS INTEGER) AS n_frames,
+  CAST(100000 AS BIGINT) AS us_per_frame,
+  CAST(1 AS INTEGER) AS n_streams
+FROM documents
+""",
+    "REAL AVI container metadata: synthesized single-stream MJPEG AVIs "
+    "(RIFF avih/strh/strf headers, LIST movi, idx1 index) parsed by a "
+    "resilient chunk walk in one Arrow island; the oracle replays the "
+    "synthesizer's dims/frame-count/rate closed-form, so any header "
+    "mis-parse (offset, endianness, LIST recursion) surfaces",
+)
+def q_multimodal_avi_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.video import (
+        avi_metadata_table,
+        synthesize_avi_mjpeg,
+    )
+
+    media = synthesize_avi_mjpeg(read_table(spark, sf_dir, "documents"))
+    return avi_metadata_table(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 13). Stride-sampled MJPEG frame decode — the
+# VLM-training frame-extraction shape: every 2nd '00dc' frame decodes
+# through the real JPEG stack; px_dot is order-sensitive across frames
+# AND bytes, so a frame slip, stride bug, or one wrong entropy bit in
+# any sampled frame moves it.  The oracle replays every RGB byte of
+# every SAMPLED frame closed-form (frame index folded into the luma
+# DC term exactly as the synthesizer does).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_avi_frame_stats",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+    CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+    CAST(2 + doc_id % 3 AS BIGINT) AS n_frames
+  FROM documents
+),
+fr AS (
+  SELECT media_id, width, height, n_frames, fi, fi // 2 AS si
+  FROM m, unnest(range(0, n_frames, 2)) AS tf(fi)
+),
+blk AS (
+  SELECT media_id, width, height, n_frames, si, k,
+    CAST(2 * ((media_id + 17 * fi + 13 * k) % 64) + 64 AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id + 7 * k) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id + 5 * k) % 64) + 64 AS DOUBLE) AS cr
+  FROM fr, unnest(range(0, CAST(width // 8 AS BIGINT) * (height // 8))) AS t(k)
+),
+rgb AS (
+  SELECT media_id, width, height, n_frames, si, k,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM blk
+),
+px AS (
+  SELECT media_id, width, height, n_frames,
+    si * (width * height * 3)
+      + 3 * (((k // (width // 8)) * 8 + p // 8) * width
+             + ((k % (width // 8)) * 8 + p % 8)) + c AS j,
+    CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS BIGINT) AS v
+  FROM rgb, unnest(range(0, 64)) AS tp(p), unnest(range(0, 3)) AS tc(c)
+)
+SELECT media_id,
+  'avi' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  any_value(n_frames) AS n_frames,
+  CAST((any_value(n_frames) + 1) // 2 AS BIGINT) AS n_sampled,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stride-sampled MJPEG-in-AVI frame decode (stride 2): movi "
+    "chunk walk -> every 2nd frame through the full stdlib JPEG stack "
+    "-> exact integer pixel checksums in one Arrow island; the oracle "
+    "replays every sampled RGB byte closed-form with the frame index "
+    "in the luma term, so a frame slip or stride bug breaks px_dot",
+)
+def q_multimodal_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.video import (
+        avi_frame_stats,
+        synthesize_avi_mjpeg,
+    )
+
+    media = synthesize_avi_mjpeg(read_table(spark, sf_dir, "documents"))
+    return avi_frame_stats(media, stride=2)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 13). The two round-12 unit-gated JPEG modes, driver-
+# gated under one registration: 12-BIT sample precision (extended
+# sequential SOF1 + progressive SOF2, level shift 2048, uint16 planes,
+# partial-MCU dims) on even ids, and PARTIALLY-INTERLEAVED sequential
+# scan SUBSETS (T.81 A.2.2/A.2.3 — components split across scan
+# groups, fresh DC predictors per scan) on odd ids.  With these, JPEG
+# scope is complete for Huffman DCT at both T.81 precisions, any
+# dimensions, every scan layout — all under the correctness gate.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_jpeg_extended_decode",
+    """
+WITH m12 AS (
+  SELECT doc_id AS media_id,
+    CAST(9 + doc_id % 13 AS INTEGER) AS width,
+    CAST(11 + doc_id % 7 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 2 = 0
+),
+px12 AS (
+  SELECT media_id, width, height,
+    yy * width + xx AS j,
+    2 * (((37 * media_id
+           + 91 * ((yy // 8) * ((width + 7) // 8) + xx // 8)) % 2048)
+         - 1024) + 2048 AS v
+  FROM m12,
+       unnest(range(0, CAST(height AS BIGINT))) AS ty(yy),
+       unnest(range(0, CAST(width AS BIGINT))) AS tx(xx)
+),
+ms AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+ycc AS (
+  SELECT media_id, yy, xx,
+    CAST(2 * ((media_id + 13 * ((yy // 8) * 2 + xx // 8)) % 64) + 64
+         AS DOUBLE) AS yv,
+    CAST(2 * ((2 * media_id) % 64) + 64 AS DOUBLE) AS cb,
+    CAST(2 * ((3 * media_id) % 64) + 64 AS DOUBLE) AS cr
+  FROM ms,
+       unnest(range(0, 16)) AS ty(yy),
+       unnest(range(0, 16)) AS tx(xx)
+),
+rgbs AS (
+  SELECT media_id, yy, xx,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.402 AS DOUBLE) * (cr - 128) + 0.5))) AS r,
+    least(255.0, greatest(0.0,
+      floor(yv - CAST(0.344136 AS DOUBLE) * (cb - 128)
+               - CAST(0.714136 AS DOUBLE) * (cr - 128) + 0.5))) AS g,
+    least(255.0, greatest(0.0,
+      floor(yv + CAST(1.772 AS DOUBLE) * (cb - 128) + 0.5))) AS b
+  FROM ycc
+),
+pxs AS (
+  SELECT media_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+    3 * (yy * 16 + xx) + c AS j,
+    CAST(CASE c WHEN 0 THEN r WHEN 1 THEN g ELSE b END AS BIGINT) AS v
+  FROM rgbs, unnest(range(0, 3)) AS tc(c)
+),
+px AS (SELECT * FROM px12 UNION ALL SELECT * FROM pxs)
+SELECT media_id,
+  'jpeg' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) AS BIGINT) AS n_px_bytes,
+  CAST(sum(v) AS BIGINT) AS px_sum,
+  CAST(sum(v * (j % 251 + 1)) AS BIGINT) AS px_dot
+FROM px
+GROUP BY media_id
+""",
+    "REAL stdlib decode of the last two JPEG scope gaps under one "
+    "gate: 12-bit samples (SOF1 extended sequential + SOF2 progressive "
+    "with successive approximation, level shift 2048, uint16 planes, "
+    "partial-MCU dims) and partially-interleaved sequential scan "
+    "subsets (component groups per scan, fresh DC predictors); the "
+    "oracle replays every sample closed-form on both arms",
+)
+def q_multimodal_jpeg_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.multimodal import (
+        png_pixel_stats,
+        synthesize_jpeg_extended,
+    )
+
+    media = synthesize_jpeg_extended(read_table(spark, sf_dir, "documents"))
+    return png_pixel_stats(media)
+
+
+# --------------------------------------------------------------------------
+# C-ext (round 13). VP8L PREDICTOR transform — the transform virtually
+# every real libwebp lossless file enables (the round-12 "dominant
+# real-world shape" argument): all 14 spatial predictor modes (L/T/
+# TR/TL, five Average2 combinations, Select, ClampAddSubtractFull/
+# Half), per-block mode image carried in a real entropy-coded
+# subresolution stream, stacked over SUBTRACT-GREEN and COLOR-CACHE
+# variants.  The RGBA pattern round-trips exactly, so the same
+# closed-form checksum gates every predictor/border-rule path.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_webp_predictor_decode",
+    """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(5 + doc_id % 12 AS INTEGER) AS width,
+         CAST(4 + doc_id % 9 AS INTEGER) AS height
+  FROM documents
+),
+px AS (
+  SELECT media_id, width, height,
+    4 * p AS j0, p % 13 AS q
+  FROM m, unnest(range(0, CAST(width AS BIGINT) * height)) AS t(p)
+),
+ch AS (
+  SELECT media_id, width, height,
+    CAST((5 * media_id + 19 * q) % 256 AS BIGINT) AS r,
+    CAST((13 * media_id + 7 * q) % 256 AS BIGINT) AS g,
+    CAST((media_id + 23 * q) % 256 AS BIGINT) AS b,
+    CAST((9 * media_id + 3 * q) % 256 AS BIGINT) AS a,
+    j0
+  FROM px
+)
+SELECT media_id,
+  'webp' AS format,
+  any_value(width) AS width,
+  any_value(height) AS height,
+  CAST(count(*) * 4 AS BIGINT) AS n_px_bytes,
+  CAST(sum(r + g + b + a) AS BIGINT) AS px_sum,
+  CAST(sum(r * (j0 % 251 + 1)
+         + g * ((j0 + 1) % 251 + 1)
+         + b * ((j0 + 2) % 251 + 1)
+         + a * ((j0 + 3) % 251 + 1)) AS BIGINT) AS px_dot
+FROM ch
+GROUP BY media_id
+""",
+    "REAL stdlib VP8L PREDICTOR-transform decode (round 13): all 14 "
+    "RFC 9649 §4.1 modes cycling per block (4/8/16-px blocks), border "
+    "rules (black top-left, L top row, T left column, TR wrap), mode "
+    "image decoded from a real entropy-coded subresolution stream, "
+    "stacked under SUBTRACT-GREEN and 6-bit COLOR-CACHE variants — "
+    "per-pixel RGBA checksum oracle; one wrong neighbor or clamp "
+    "anywhere moves px_dot",
+)
+def q_multimodal_webp_predictor_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_trading_spark.functions.webp import (
+        synthesize_webp_predictor,
+        webp_pixel_stats,
+    )
+
+    media = synthesize_webp_predictor(read_table(spark, sf_dir, "documents"))
+    return webp_pixel_stats(media)

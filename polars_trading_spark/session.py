@@ -4,6 +4,15 @@ Centralizes the settings every entry point (tests, bench, driver) needs:
 UTC session time (the testdata timestamps are tz-naive), Arrow for the
 pandas-UDF islands, and AQE so skewed symbol partitions re-plan at
 runtime — the knob that matters most at the 100 TB target.
+
+Engine-specific session confs (settable via ``spark.conf.set`` at any
+time; read per-query, not cached):
+
+- ``spark.polars_trading.media.partitions`` — width of the media
+  codec Arrow islands (functions/multimodal.py ``_media_base``).
+  Default: ``sparkContext.defaultParallelism`` (every core), the right
+  floor when one media family runs alone; lower it when several media
+  queries share a stage so AQE can coalesce.
 """
 
 from __future__ import annotations
