@@ -254,6 +254,12 @@ HEADLINE = [
     "multimodal_webp_metadata",
     "multimodal_webp_lossless_decode",
     "dedup_exact_substring",
+    # round 13
+    "multimodal_avi_metadata",
+    "multimodal_avi_frame_stats",
+    "multimodal_jpeg_extended_decode",
+    "multimodal_webp_predictor_decode",
+    "dedup_exact_substring_clean",
 ]
 
 

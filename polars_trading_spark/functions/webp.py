@@ -23,9 +23,12 @@ codecs in functions/multimodal.py):
   single-symbol alphabets), so every decode path is exercised by an
   exact differential oracle.
 
-Named pins raise ``NotImplementedError`` with the feature: 2D
-(neighbourhood) distance codes <= 120, the meta-prefix entropy image,
-the PREDICTOR / COLOR / COLOR-INDEXING transforms, and lossy VP8
+Round 13 completed the VP8L feature set: the PREDICTOR (all 14
+modes), COLOR (cross-color), COLOR-INDEXING (delta-coded palette +
+pixel bundling), and SUBTRACT-GREEN transforms with arbitrary
+stacking; 2D (neighbourhood) AND plain scan-line distance codes; the
+META-PREFIX entropy image (per-block five-code groups); the color
+cache.  The ONE remaining named pin is lossy VP8
 pixel decode.  Cross-decoder byte conformance
 against libwebp is untestable in this container (no codec library); the
 bitstream layout follows the public spec and all assertions are
@@ -64,6 +67,43 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 _GREEN_ALPHABET = 256 + 24  # literals + length prefix codes (no cache)
 _DIST_ALPHABET = 40
 _PLANE_OFFSET = 120  # distance plane codes > 120 are scan-line distances
+
+# RFC 9649 §4.2.2 — the 120-entry 2D (neighbourhood) distance map for
+# plane codes 1..120.  Each byte packs ``(yoffset << 4) | (xoffset+8)``
+# (the public libwebp storage); ``dist = max(1, y*width + (8 - (b &
+# 0xF)))``.  Cross-checked against the RFC's explicit (x, y) listing
+# in tests/test_codecs_r13.py::test_2d_distance_table_matches_rfc.
+_CODE_TO_PLANE = bytes([
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x65, 0x6B, 0x43, 0x4D,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+])
+
+
+def _plane_to_dist(plane_code: int, width: int) -> int:
+    """Distance for a 2D plane code (1..120) at the given image width."""
+    b = _CODE_TO_PLANE[plane_code - 1]
+    dist = (b >> 4) * width + (8 - (b & 0xF))
+    return dist if dist >= 1 else 1
+
+
+def _dist_to_plane_map(width: int) -> dict:
+    """Reverse map ``distance -> smallest 2D plane code`` for the
+    encoder (first code wins, matching libwebp's emit preference)."""
+    out: dict = {}
+    for code in range(1, _PLANE_OFFSET + 1):
+        d = _plane_to_dist(code, width)
+        out.setdefault(d, code)
+    return out
 
 
 class _BitWriterLSB:
@@ -405,26 +445,83 @@ def _build_tokens(r_, g_, b_, a_, n, cache_bits, backref_period):
 
 
 def _write_pixel_stream(
-    w: _BitWriterLSB, tokens, cache_bits: int, *, main: bool
+    w: _BitWriterLSB,
+    tokens,
+    cache_bits: int,
+    *,
+    main: bool,
+    width: int | None = None,
+    height: int | None = None,
+    use_2d: bool = False,
+    meta: tuple | None = None,
 ) -> None:
     """Serialize one entropy-coded pixel stream: color-cache info,
-    (main image only) the meta-prefix bit, the five prefix codes built
-    from the token histograms, then the tokens themselves.  The exact
-    emit machinery the main image always used, factored so transform
-    subresolution images (round 13) reuse it."""
+    (main image only) meta-prefix info, the prefix codes built from the
+    token histograms, then the tokens themselves.  ``use_2d`` emits 2D
+    neighbourhood distance codes (plane codes 1..120) for any backref
+    distance the map covers at this ``width``.  ``meta`` (round 13) is
+    ``(meta_bits, block_group_ids)``: the group-id image is written as
+    a real entropy-coded sub-image (red = id >> 8, green = id & 255),
+    one five-code group is serialized per distinct id, and every token
+    is coded with the group of its starting pixel."""
+    rev = _dist_to_plane_map(width) if use_2d else {}
+
+    def _plane_of(dist):
+        return rev.get(dist, dist + _PLANE_OFFSET)
+
     if cache_bits:
         w.write(1, 1)
         w.write(cache_bits, 4)
     else:
         w.write(0, 1)  # no color cache
+    n_groups = 1
+    gids = None
     if main:
-        w.write(0, 1)  # no meta prefix codes
+        if meta is not None:
+            meta_bits, gid_list = meta
+            ew = -(-width // (1 << meta_bits))
+            eh = -(-height // (1 << meta_bits))
+            if len(gid_list) != ew * eh:
+                raise ValueError(
+                    f"meta group ids: need {ew * eh} blocks, "
+                    f"got {len(gid_list)}"
+                )
+            w.write(1, 1)  # meta prefix codes present
+            w.write(meta_bits - 2, 3)
+            ent_tokens = _build_tokens(
+                [g >> 8 for g in gid_list],
+                [g & 255 for g in gid_list],
+                [0] * len(gid_list),
+                [255] * len(gid_list),
+                len(gid_list),
+                0,
+                None,
+            )
+            _write_pixel_stream(w, ent_tokens, 0, main=False)
+            n_groups = max(gid_list) + 1
+            gids = (meta_bits, ew, gid_list)
+        else:
+            w.write(0, 1)  # no meta prefix codes
 
-    # histograms over the five alphabets
-    green_used, red_used, blue_used, alpha_used, dist_used = (
-        set(), set(), set(), set(), set(),
-    )
-    for t in tokens:
+    # group of each token = group of its STARTING pixel
+    tgroups = [0] * len(tokens)
+    if gids is not None:
+        mb, ew, gl = gids
+        pos = 0
+        for i, t in enumerate(tokens):
+            tgroups[i] = gl[
+                ((pos // width) >> mb) * ew + ((pos % width) >> mb)
+            ]
+            pos += t[1] if t[0] == "ref" else 1
+
+    # histograms over the five alphabets, per group
+    used = [
+        (set(), set(), set(), set(), set()) for _ in range(n_groups)
+    ]
+    for i, t in enumerate(tokens):
+        green_used, red_used, blue_used, alpha_used, dist_used = used[
+            tgroups[i]
+        ]
         if t[0] == "lit":
             _, rr, gg, bb, aa = t
             green_used.add(gg)
@@ -437,33 +534,45 @@ def _write_pixel_stream(
             _, length, dist = t
             lcode, _, _ = _prefix_val_encode(length)
             green_used.add(256 + lcode)
-            dcode, _, _ = _prefix_val_encode(dist + _PLANE_OFFSET)
+            dcode, _, _ = _prefix_val_encode(_plane_of(dist))
             dist_used.add(dcode)
-    if not dist_used:
-        dist_used.add(0)  # a prefix code must still be serialized
-    for s, alpha in ((red_used, 256), (blue_used, 256), (alpha_used, 256)):
-        if not s:
-            s.add(0)
 
-    def emit_code(used, alphabet_size):
-        used = sorted(used)
-        lengths = _balanced_lengths(used, alphabet_size)
-        return _write_prefix_code(w, lengths, used)
+    def emit_code(used_syms, alphabet_size):
+        used_syms = sorted(used_syms)
+        lengths = _balanced_lengths(used_syms, alphabet_size)
+        return _write_prefix_code(w, lengths, used_syms)
 
-    green_c = emit_code(
-        green_used, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    )
-    red_c = emit_code(red_used, 256)
-    blue_c = emit_code(blue_used, 256)
-    alpha_c = emit_code(alpha_used, 256)
-    dist_c = emit_code(dist_used, _DIST_ALPHABET)
+    group_codes = []
+    for green_used, red_used, blue_used, alpha_used, dist_used in used:
+        # a prefix code must still be serialized for unused alphabets
+        if not green_used:
+            green_used.add(0)
+        if not dist_used:
+            dist_used.add(0)
+        for s in (red_used, blue_used, alpha_used):
+            if not s:
+                s.add(0)
+        group_codes.append(
+            (
+                emit_code(
+                    green_used,
+                    _GREEN_ALPHABET
+                    + ((1 << cache_bits) if cache_bits else 0),
+                ),
+                emit_code(red_used, 256),
+                emit_code(blue_used, 256),
+                emit_code(alpha_used, 256),
+                emit_code(dist_used, _DIST_ALPHABET),
+            )
+        )
 
     def put(codes, sym):
         c, ln = codes[sym]
         if ln:
             w.write_code(c, ln)
 
-    for t in tokens:
+    for i, t in enumerate(tokens):
+        green_c, red_c, blue_c, alpha_c, dist_c = group_codes[tgroups[i]]
         if t[0] == "lit":
             _, rr, gg, bb, aa = t
             put(green_c, gg)
@@ -478,7 +587,7 @@ def _write_pixel_stream(
             put(green_c, 256 + lcode)
             if lnb:
                 w.write(lextra, lnb)
-            dcode, dextra, dnb = _prefix_val_encode(dist + _PLANE_OFFSET)
+            dcode, dextra, dnb = _prefix_val_encode(_plane_of(dist))
             put(dist_c, dcode)
             if dnb:
                 w.write(dextra, dnb)
@@ -492,6 +601,12 @@ def vp8l_encode(
     cache_bits: int = 0,
     predictor_bits: int | None = None,
     predictor_seed: int = 0,
+    use_2d_distances: bool = False,
+    color_bits: int | None = None,
+    color_seed: int = 0,
+    color_indexing: bool = False,
+    meta_prefix_bits: int | None = None,
+    meta_groups: int = 2,
 ) -> bytes:
     """Encode an ``(h, w, 4)`` uint8 RGBA array as a complete WebP
     container with one VP8L chunk (transform-free, SUBTRACT_GREEN,
@@ -517,14 +632,42 @@ def vp8l_encode(
     With ``subtract_green`` too, the stream order is [SG, PRED]
     (decoder inverts PRED first, then SG), so the encoder applies SG
     forward first.  Residual streams are not periodic, so
-    ``backref_period`` is rejected alongside ``predictor_bits``."""
+    ``backref_period`` is rejected alongside ``predictor_bits``.
+
+    ``use_2d_distances`` (round 13): backref distances that the 120-
+    entry 2D neighbourhood map covers at this width are emitted as
+    plane codes 1..120 instead of scan-line codes — the form real
+    libwebp streams actually use for short distances.
+
+    ``color_bits`` (round 13): 2-9 enables the COLOR (cross-color)
+    transform with per-block (green_to_red, green_to_blue, red_to_blue)
+    elements cycling deterministically from ``color_seed``; stream
+    order with the other transforms is [SG, COLOR, PRED].
+
+    ``color_indexing`` (round 13): palette-code the image (<= 256
+    unique colors required): delta-coded palette in an entropy-coded
+    sub-image, indices bundled into the green channel at 8 >>
+    width_bits bits per pixel (1/2/4/8-px packing by palette size).
+    Mutually exclusive with the other transforms in THIS encoder (the
+    decoder handles arbitrary combinations via per-transform active
+    widths).
+
+    ``meta_prefix_bits`` (round 13): 2-9 enables META PREFIX codes —
+    the image is tiled into ``1 << bits`` blocks, block group ids
+    cycle ``(bx + by*ew) % meta_groups``, the id image is stored as a
+    real entropy-coded sub-image, and one five-code group is
+    serialized per id; every symbol is coded with its starting pixel's
+    group (the color cache stays global per spec)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w_, _ = px.shape
     n = h * w_
     flat = px.reshape(n, 4).astype(np.int64)
-    r_, g_, b_, a_ = flat[:, 0], flat[:, 1], flat[:, 2], flat[:, 3]
+    r_, g_, b_, a_ = (
+        flat[:, 0].copy(), flat[:, 1].copy(),
+        flat[:, 2].copy(), flat[:, 3].copy(),
+    )
     if subtract_green:
         r_ = (r_ - g_) % 256
         b_ = (b_ - g_) % 256
@@ -540,6 +683,51 @@ def vp8l_encode(
     if subtract_green:
         w.write(1, 1)  # transform present
         w.write(2, 2)  # SUBTRACT_GREEN
+    if color_indexing and (
+        subtract_green or predictor_bits is not None or color_bits is not None
+    ):
+        raise ValueError(
+            "color_indexing is mutually exclusive with the other "
+            "transforms in this encoder"
+        )
+    if color_bits is not None:
+        if not 2 <= color_bits <= 9:
+            raise ValueError(f"color_bits must be 2-9, got {color_bits}")
+        tw = -(-w_ // (1 << color_bits))
+        th = -(-h // (1 << color_bits))
+        elems = []
+        for bi in range(tw * th):
+            elems.append(
+                (
+                    (13 * color_seed + 11 * bi) % 256,  # red_to_blue
+                    (29 * color_seed + 7 * bi) % 256,  # green_to_blue
+                    (17 * color_seed + 3 * bi) % 256,  # green_to_red
+                )
+            )
+        for y in range(h):
+            row = (y >> color_bits) * tw
+            for x in range(w_):
+                r2b, g2b, g2r = elems[row + (x >> color_bits)]
+                p = y * w_ + x
+                g = int(g_[p])
+                orig_r = int(r_[p])
+                r_[p] = (orig_r - _cdelta(g2r, g)) & 255
+                b_[p] = (
+                    int(b_[p]) - _cdelta(g2b, g) - _cdelta(r2b, orig_r)
+                ) & 255
+        w.write(1, 1)  # transform present
+        w.write(1, 2)  # COLOR
+        w.write(color_bits - 2, 3)
+        sub_tokens = _build_tokens(
+            [e[0] for e in elems],
+            [e[1] for e in elems],
+            [e[2] for e in elems],
+            [255] * (tw * th),
+            tw * th,
+            0,
+            None,
+        )
+        _write_pixel_stream(w, sub_tokens, 0, main=False)
     if predictor_bits is not None:
         if not 2 <= predictor_bits <= 9:
             raise ValueError(
@@ -587,10 +775,96 @@ def vp8l_encode(
         alphas = [255] * tn
         sub_tokens = _build_tokens(zeros, gmodes, zeros, alphas, tn, 0, None)
         _write_pixel_stream(w, sub_tokens, 0, main=False)
+    stream_w = w_
+    if color_indexing:
+        colors = []
+        index_of = {}
+        idx = np.empty(n, dtype=np.int64)
+        for p in range(n):
+            key = (int(r_[p]), int(g_[p]), int(b_[p]), int(a_[p]))
+            i = index_of.get(key)
+            if i is None:
+                i = len(colors)
+                index_of[key] = i
+                colors.append(key)
+            idx[p] = i
+        psz = len(colors)
+        if psz > 256:
+            raise ValueError(
+                f"color_indexing needs <= 256 unique colors, got {psz}"
+            )
+        if psz <= 2:
+            width_bits = 3
+        elif psz <= 4:
+            width_bits = 2
+        elif psz <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        w.write(1, 1)  # transform present
+        w.write(3, 2)  # COLOR_INDEXING
+        w.write(psz - 1, 8)
+        # delta-coded palette as an entropy-coded 1-row sub-image
+        prev = (0, 0, 0, 0)
+        deltas = []
+        for c in colors:
+            deltas.append(tuple((a - b) & 255 for a, b in zip(c, prev)))
+            prev = c
+        pal_tokens = _build_tokens(
+            [d[0] for d in deltas],
+            [d[1] for d in deltas],
+            [d[2] for d in deltas],
+            [d[3] for d in deltas],
+            psz,
+            0,
+            None,
+        )
+        _write_pixel_stream(w, pal_tokens, 0, main=False)
+        # bundle indices into the green channel, low bits leftmost
+        ppu = 1 << width_bits
+        bits = 8 >> width_bits
+        stream_w = -(-w_ // ppu)
+        packed = np.zeros(stream_w * h, dtype=np.int64)
+        for y in range(h):
+            prow = y * stream_w
+            orow = y * w_
+            for x in range(w_):
+                packed[prow + (x // ppu)] |= idx[orow + x] << (
+                    (x % ppu) * bits
+                )
+        zeros = np.zeros(stream_w * h, dtype=np.int64)
+        r_, g_, b_, a_ = zeros, packed, zeros, zeros
+        n = stream_w * h
     w.write(0, 1)  # no more transforms
 
+    meta = None
+    if meta_prefix_bits is not None:
+        if not 2 <= meta_prefix_bits <= 9:
+            raise ValueError(
+                f"meta_prefix_bits must be 2-9, got {meta_prefix_bits}"
+            )
+        if meta_groups < 1:
+            raise ValueError(f"meta_groups must be >= 1, got {meta_groups}")
+        ew = -(-stream_w // (1 << meta_prefix_bits))
+        eh = -(-h // (1 << meta_prefix_bits))
+        gid_list = [
+            (bx + by * ew) % meta_groups
+            for by in range(eh)
+            for bx in range(ew)
+        ]
+        meta = (meta_prefix_bits, gid_list)
+
     tokens = _build_tokens(r_, g_, b_, a_, n, cache_bits, backref_period)
-    _write_pixel_stream(w, tokens, cache_bits, main=True)
+    _write_pixel_stream(
+        w,
+        tokens,
+        cache_bits,
+        main=True,
+        width=stream_w,
+        height=h,
+        use_2d=use_2d_distances,
+        meta=meta,
+    )
 
     body = b"\x2f" + w.flush()
     return _riff_container([(b"VP8L", body)])
@@ -599,10 +873,12 @@ def vp8l_encode(
 def _read_pixel_stream(r: _BitReaderLSB, w_: int, h: int, *, main: bool):
     """One entropy-coded VP8L pixel stream -> ``(w_*h, 4)`` uint8
     ``[r, g, b, a]`` rows: optional color cache, (main image only) the
-    meta-prefix bit, five prefix codes, then the literal / LZ77-backref
+    meta-prefix entropy image selecting one of N five-code groups per
+    block (round 13), the prefix codes, then the literal / LZ77-backref
     / cache-hit loop.  Serves both the spatially-coded main image and
     transform subresolution images (RFC 9649 §5: ``entropy-coded-image
-    ::= color-cache-info data``, no meta-prefix, no transforms)."""
+    ::= color-cache-info data``, no meta-prefix, no transforms).  The
+    color cache is GLOBAL across prefix groups per spec."""
     import numpy as np
 
     cache_bits = 0
@@ -612,15 +888,31 @@ def _read_pixel_stream(r: _BitReaderLSB, w_: int, h: int, *, main: bool):
         if not 1 <= cache_bits <= 11:
             raise ValueError(f"invalid color-cache size {cache_bits}")
         cache = [0] * (1 << cache_bits)
-    if main and r.read(1):
-        raise NotImplementedError("VP8L meta prefix codes not supported")
-    green_c = _read_prefix_code(
-        r, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
-    )
-    red_c = _read_prefix_code(r, 256)
-    blue_c = _read_prefix_code(r, 256)
-    alpha_c = _read_prefix_code(r, 256)
-    dist_c = _read_prefix_code(r, _DIST_ALPHABET)
+    meta = None  # (meta_bits, ew, flat block->group ids)
+    n_groups = 1
+    if main and r.read(1):  # META PREFIX codes (round 13 — in scope)
+        meta_bits = r.read(3) + 2
+        ew = -(-w_ // (1 << meta_bits))
+        eh = -(-h // (1 << meta_bits))
+        ent = _read_pixel_stream(r, ew, eh, main=False)
+        gids = [
+            (int(ent[i, 0]) << 8) | int(ent[i, 1]) for i in range(ew * eh)
+        ]
+        n_groups = max(gids) + 1
+        meta = (meta_bits, ew, gids)
+
+    def _read_group():
+        green_c = _read_prefix_code(
+            r, _GREEN_ALPHABET + ((1 << cache_bits) if cache_bits else 0)
+        )
+        red_c = _read_prefix_code(r, 256)
+        blue_c = _read_prefix_code(r, 256)
+        alpha_c = _read_prefix_code(r, 256)
+        dist_c = _read_prefix_code(r, _DIST_ALPHABET)
+        return green_c, red_c, blue_c, alpha_c, dist_c
+
+    groups = [_read_group() for _ in range(n_groups)]
+    green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
 
     n = w_ * h
     out = np.empty((n, 4), dtype=np.uint8)
@@ -638,6 +930,10 @@ def _read_pixel_stream(r: _BitReaderLSB, w_: int, h: int, *, main: bool):
 
     pos = 0
     while pos < n:
+        if meta is not None:  # group of the symbol's starting pixel
+            mb, ew, gids = meta
+            gid = gids[((pos // w_) >> mb) * ew + ((pos % w_) >> mb)]
+            green_c, red_c, blue_c, alpha_c, dist_c = groups[gid]
         s = green_c.read(r)
         if s < 256:
             g = s
@@ -654,11 +950,10 @@ def _read_pixel_stream(r: _BitReaderLSB, w_: int, h: int, *, main: bool):
         elif s < 256 + 24:
             length = _prefix_val_decode(s - 256, r)
             plane = _prefix_val_decode(dist_c.read(r), r)
-            if plane <= _PLANE_OFFSET:
-                raise NotImplementedError(
-                    "VP8L 2D (neighbourhood) distance codes not supported"
-                )
-            dist = plane - _PLANE_OFFSET
+            if plane <= _PLANE_OFFSET:  # 2D neighbourhood code (round 13)
+                dist = _plane_to_dist(plane, w_)
+            else:
+                dist = plane - _PLANE_OFFSET
             if dist > pos:
                 raise ValueError("VP8L backward reference before image start")
             if pos + length > n:
@@ -781,12 +1076,76 @@ def _inverse_predictor(res, w_: int, h: int, size_bits: int, modes):
     return out.astype(np.uint8)
 
 
+def _cdelta(t: int, c: int) -> int:
+    """RFC 9649 §4.2.1 ColorTransformDelta: ``(int8)t * (int8)c >> 5``
+    (arithmetic shift on the signed product)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inverse_color_transform(res, w_: int, h: int, size_bits: int, elems):
+    """Invert the COLOR (cross-color) transform: per RFC 9649 §4.2.1,
+    ``red += delta(green_to_red, green)``, then ``blue +=
+    delta(green_to_blue, green) + delta(red_to_blue, red)`` with the
+    RECOVERED red — each & 255.  The transform-element pixel packs
+    (libwebp convention) red_to_blue in RED, green_to_blue in GREEN,
+    green_to_red in BLUE."""
+    import numpy as np
+
+    out = res.astype(np.int64)
+    tw = -(-w_ // (1 << size_bits))
+    for y in range(h):
+        row = (y >> size_bits) * tw
+        for x in range(w_):
+            e = elems[row + (x >> size_bits)]
+            r2b, g2b, g2r = int(e[0]), int(e[1]), int(e[2])
+            p = y * w_ + x
+            g = int(out[p, 1])
+            r = (int(out[p, 0]) + _cdelta(g2r, g)) & 255
+            b = (
+                int(out[p, 2]) + _cdelta(g2b, g) + _cdelta(r2b, r)
+            ) & 255
+            out[p, 0] = r
+            out[p, 2] = b
+    return out.astype(np.uint8)
+
+
+def _inverse_color_indexing(res, w_: int, h: int, width_bits: int, palette):
+    """Invert the COLOR-INDEXING transform: unpack the bundled indices
+    from the green channel (8 >> width_bits bits each, low bits =
+    leftmost pixel) and look each up in the delta-decoded palette;
+    indices past the palette map to transparent black (the libwebp
+    zero-padding convention)."""
+    import numpy as np
+
+    ppu = 1 << width_bits  # pixels per packed green byte
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    packed_w = -(-w_ // ppu)
+    psz = palette.shape[0]
+    out = np.zeros((w_ * h, 4), dtype=np.uint8)
+    for y in range(h):
+        prow = y * packed_w
+        orow = y * w_
+        for x in range(w_):
+            unit = int(res[prow + (x // ppu), 1])
+            idx = (unit >> ((x % ppu) * bits)) & mask
+            if idx < psz:
+                out[orow + x] = palette[idx]
+    return out
+
+
 def vp8l_decode(payload: bytes):
     """Decode the VP8L chunk of a WebP container to an ``(h, w, 4)``
-    uint8 RGBA array.  In scope: SUBTRACT-GREEN and PREDICTOR (all 14
-    modes, round 13) transforms, color cache, LZ77 plain distances.
-    Named pins raise: 2D distance codes, meta prefix codes,
-    COLOR/COLOR-INDEXING transforms, lossy VP8."""
+    uint8 RGBA array.  In scope (complete as of round 13): all four
+    transforms — SUBTRACT-GREEN, PREDICTOR (14 modes), COLOR
+    (cross-color), COLOR-INDEXING (delta-coded palette, pixel
+    bundling, per-transform active widths under stacking) — the color
+    cache, plain AND 2D neighbourhood distance codes, and META-PREFIX
+    code groups.  The one named pin raising: lossy VP8."""
     import numpy as np
 
     chunks = _webp_chunks(payload)
@@ -809,26 +1168,53 @@ def vp8l_decode(payload: bytes):
     if version != 0:
         raise ValueError(f"unknown VP8L version {version}")
     transforms = []
+    active_w = w_  # color-indexing packs pixels, shrinking the coded
+    # width for everything read AFTER it (transform sub-images AND the
+    # main stream); each transform records the width it applies at
     while r.read(1):  # read in stream order; inverses apply reversed
         ttype = r.read(2)
         if ttype == 2:
             transforms.append(("subtract_green",))
-        elif ttype == 0:  # PREDICTOR (round 13 — in scope)
+        elif ttype in (0, 1):  # PREDICTOR / COLOR (round 13 — in scope)
             size_bits = r.read(3) + 2
             bs = 1 << size_bits
-            tw = -(-w_ // bs)
+            tw = -(-active_w // bs)
             th = -(-h // bs)
             sub = _read_pixel_stream(r, tw, th, main=False)
+            if ttype == 0:
+                transforms.append(
+                    ("predictor", size_bits, sub[:, 1].reshape(th, tw),
+                     active_w)
+                )
+            else:
+                transforms.append(("color", size_bits, sub, active_w))
+        else:  # COLOR_INDEXING (round 13 — in scope)
+            palette_size = r.read(8) + 1
+            pal = _read_pixel_stream(r, palette_size, 1, main=False)
+            # palette entries are component-wise delta-coded
+            palette = np.cumsum(pal.astype(np.int64), axis=0) % 256
+            if palette_size <= 2:
+                width_bits = 3
+            elif palette_size <= 4:
+                width_bits = 2
+            elif palette_size <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            full_w = active_w
+            active_w = -(-active_w // (1 << width_bits))
             transforms.append(
-                ("predictor", size_bits, sub[:, 1].reshape(th, tw))
+                ("color_indexing", width_bits, palette.astype(np.uint8),
+                 full_w)
             )
-        else:
-            name = {1: "COLOR", 3: "COLOR_INDEXING"}[ttype]
-            raise NotImplementedError(f"VP8L {name} transform not supported")
-    out = _read_pixel_stream(r, w_, h, main=True)
+    out = _read_pixel_stream(r, active_w, h, main=True)
     for t in reversed(transforms):
         if t[0] == "predictor":
-            out = _inverse_predictor(out, w_, h, t[1], t[2])
+            out = _inverse_predictor(out, t[3], h, t[1], t[2])
+        elif t[0] == "color":
+            out = _inverse_color_transform(out, t[3], h, t[1], t[2])
+        elif t[0] == "color_indexing":
+            out = _inverse_color_indexing(out, t[3], h, t[1], t[2])
         else:  # subtract_green inverse
             rgba = out.astype(np.int64)
             rgba[:, 0] = (rgba[:, 0] + rgba[:, 1]) % 256
@@ -1003,12 +1389,31 @@ def synthesize_webp_lossless(documents: DataFrame) -> DataFrame:
                             cache_bits=6,
                         )
                     )
+                elif m % 6 == 2:
+                    # round 13: COLOR-INDEXING ids — the period-11
+                    # pattern has exactly 11 unique colors, so these
+                    # store as a delta-coded palette with 4-bit pixel
+                    # bundling (width_bits=1) + a cache over the packed
+                    # stream; decoded pixels (and the oracle) unchanged
+                    rows.append(
+                        vp8l_encode(
+                            _webp_pixels(m, w_, h),
+                            color_indexing=True,
+                            cache_bits=4,
+                        )
+                    )
                 else:
                     rows.append(
                         vp8l_encode(
                             _webp_pixels(m, w_, h),
                             subtract_green=bool(m % 2),
                             backref_period=_WEBP_PERIOD,
+                            # round 13: ODD backref ids store their
+                            # distances as 2D neighbourhood plane codes
+                            # (1..120), EVEN ones as plain scan-line
+                            # codes — both distance forms driver-gated
+                            # under the unchanged pixel oracle
+                            use_2d_distances=bool(m % 2),
                         )
                     )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
@@ -1053,7 +1458,10 @@ def synthesize_webp_predictor(documents: DataFrame) -> DataFrame:
     ``(bx + by*tw + m) % 14`` so ALL 14 modes are hit across ids,
     mode image carried in a real entropy-coded subresolution stream.
     ODD ids stack SUBTRACT-GREEN under the predictor; ``m % 3 == 0``
-    ids add a 6-bit COLOR CACHE over the residual stream."""
+    ids add a 6-bit COLOR CACHE over the residual stream; every 5th id
+    stacks the CROSS-COLOR transform and every 7th stores under META
+    PREFIX code groups (round 13b) — one pixel oracle gates them
+    all."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1068,6 +1476,13 @@ def synthesize_webp_predictor(documents: DataFrame) -> DataFrame:
                         cache_bits=6 if m % 3 == 0 else 0,
                         predictor_bits=2 + m % 3,
                         predictor_seed=m,
+                        # round 13b: stack the CROSS-COLOR transform on
+                        # every 5th id and META PREFIX groups on every
+                        # 7th — same decoded pixels, same oracle
+                        color_bits=3 if m % 5 == 0 else None,
+                        color_seed=m,
+                        meta_prefix_bits=2 if m % 7 == 0 else None,
+                        meta_groups=2,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})

@@ -246,11 +246,14 @@ def test_webp_variant_metadata(m):
 
 
 def test_webp_named_pins():
+    # round 13 completed every VP8L feature (all four transforms, both
+    # distance-code forms, meta prefix codes, color cache) — the one
+    # remaining pin is lossy VP8 pixel decode
     lossy = webp_encode_lossy_stub(32, 24)
     with pytest.raises(NotImplementedError, match="lossy VP8"):
         vp8l_decode(lossy)
-    # a meta-prefix bit set in an otherwise-valid header names the pin
-    # (the color cache is IN scope since round 12)
+    # a meta-prefix bit with nothing after it is now a TRUNCATED stream
+    # (meta prefix codes are in scope since round 13), not a pin
     from polars_trading_spark.functions.webp import (
         _BitWriterLSB,
         _riff_container,
@@ -265,7 +268,7 @@ def test_webp_named_pins():
     w.write(0, 1)  # no color cache
     w.write(1, 1)  # meta prefix codes present
     payload = _riff_container([(b"VP8L", b"\x2f" + w.flush())])
-    with pytest.raises(NotImplementedError, match="meta prefix"):
+    with pytest.raises(ValueError, match="truncated"):
         vp8l_decode(payload)
     with pytest.raises(ValueError, match="not a WebP"):
         webp_metadata(b"RIFF\x00\x00\x00\x00WAVE")

@@ -140,3 +140,132 @@ def test_jpeg_trailing_lone_ff_truncated_scan():
     truncated = payload[: scan_start + 1] + b"\xff"
     with pytest.raises(ValueError):
         jpeg_decode(truncated)
+
+
+# ------------------- round-13b: VP8L scope completion -------------------
+
+
+def test_2d_distance_table_matches_rfc():
+    """The packed LUT decodes to the RFC 9649 §4.2.2 (x, y) listing —
+    independently transcribed head + structural invariants."""
+    from polars_trading_spark.functions.webp import (
+        _CODE_TO_PLANE,
+        _plane_to_dist,
+    )
+
+    xs = [8 - (b & 0xF) for b in _CODE_TO_PLANE]
+    ys = [b >> 4 for b in _CODE_TO_PLANE]
+    assert len(_CODE_TO_PLANE) == 120
+    assert len(set(zip(xs, ys))) == 120
+    assert all(-8 <= x <= 8 for x in xs)
+    assert all(0 <= y <= 7 for y in ys)
+    assert list(zip(xs, ys))[:12] == [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    ]
+    # distances are monotone-ish in code index at fixed width and
+    # clamped to >= 1 ((1,0) at any width -> 1)
+    assert _plane_to_dist(2, 100) == 1
+    assert _plane_to_dist(1, 10) == 10  # (0,1)
+    assert _plane_to_dist(4, 10) == 9  # (-1,1)
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 5, 9, 11])
+def test_2d_distance_roundtrip(m):
+    from polars_trading_spark.functions.webp import _webp_pixels
+
+    w, h = 5 + m % 12, 4 + m % 9
+    px = _webp_pixels(m, w, h)
+    for kw in ({}, {"subtract_green": True}):
+        enc = vp8l_encode(px, backref_period=11, use_2d_distances=True, **kw)
+        assert np.array_equal(vp8l_decode(enc), px), (m, kw)
+    # overlapping copy through a 2D dist-1 code replicates the pixel
+    solid = np.tile(np.array([[10, 20, 30, 40]], np.uint8), (60, 1)).reshape(
+        4, 15, 4
+    )
+    enc = vp8l_encode(solid, backref_period=1, use_2d_distances=True)
+    assert np.array_equal(vp8l_decode(enc), solid)
+
+
+def test_color_transform_delta_is_signed_shift():
+    from polars_trading_spark.functions.webp import _cdelta
+
+    # (int8)t * (int8)c >> 5, arithmetic shift: t=0xFF -> -1, c=64
+    assert _cdelta(0xFF, 64) == (-1 * 64) >> 5  # == -2
+    assert _cdelta(64, 0xFF) == (64 * -1) >> 5
+    assert _cdelta(32, 32) == 32
+    assert _cdelta(0, 200) == 0
+
+
+@pytest.mark.parametrize("m", [0, 3, 7, 12])
+@pytest.mark.parametrize("cb", [2, 3])
+def test_color_transform_roundtrip_stacked(m, cb):
+    px = _rand(100 + m, 3 + m % 21, 2 + m % 15)
+    for kw in (
+        {},
+        {"subtract_green": True},
+        {"predictor_bits": 3},
+        {"subtract_green": True, "predictor_bits": 2, "cache_bits": 4},
+    ):
+        enc = vp8l_encode(px, color_bits=cb, color_seed=m, **kw)
+        assert np.array_equal(vp8l_decode(enc), px), (m, cb, kw)
+
+
+@pytest.mark.parametrize("psz", [1, 2, 3, 4, 5, 16, 17, 200])
+def test_color_indexing_every_bundling(psz):
+    """Palette sizes across all four packings: 8/4/2/1 px per green
+    byte (width_bits 3/2/1/0)."""
+    w, h = 23, 9
+    base = np.array(
+        [[(i * 37) % 256, (i * 11) % 256, (i * 5) % 256, 255] for i in range(psz)],
+        np.uint8,
+    )
+    px = base[(np.arange(w * h) * 7) % psz].reshape(h, w, 4)
+    assert np.array_equal(vp8l_decode(vp8l_encode(px, color_indexing=True)), px)
+
+
+def test_color_indexing_with_cache_and_validation():
+    base = np.array(
+        [[(i * 37) % 256, (i * 11) % 256, (i * 5) % 256, (i * 3) % 256] for i in range(16)],
+        np.uint8,
+    )
+    px = base[np.arange(16 * 8) % 16].reshape(8, 16, 4)
+    enc = vp8l_encode(px, color_indexing=True, cache_bits=4)
+    assert np.array_equal(vp8l_decode(enc), px)
+    with pytest.raises(ValueError, match="256 unique colors"):
+        vp8l_encode(_rand(0, 40, 40), color_indexing=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        vp8l_encode(px, color_indexing=True, subtract_green=True)
+
+
+@pytest.mark.parametrize("ng", [1, 2, 3, 5])
+def test_meta_prefix_roundtrip(ng):
+    px = _rand(7, 33, 22)
+    for kw in (
+        {},
+        {"cache_bits": 4},
+        {"predictor_bits": 3},
+        {"color_bits": 3, "predictor_bits": 2},
+    ):
+        enc = vp8l_encode(px, meta_prefix_bits=2, meta_groups=ng, **kw)
+        assert np.array_equal(vp8l_decode(enc), px), (ng, kw)
+
+
+def test_meta_prefix_with_backrefs_and_palette():
+    from polars_trading_spark.functions.webp import _webp_pixels
+
+    px = _webp_pixels(3, 11, 8)
+    enc = vp8l_encode(
+        px, backref_period=11, meta_prefix_bits=2, meta_groups=3,
+        use_2d_distances=True,
+    )
+    assert np.array_equal(vp8l_decode(enc), px)
+    # palette packing shrinks the coded width; the entropy image must
+    # tile the PACKED width
+    base = np.array(
+        [[(i * 37) % 256, (i * 11) % 256, (i * 5) % 256, 255] for i in range(7)],
+        np.uint8,
+    )
+    px = base[(np.arange(33 * 9) * 5) % 7].reshape(9, 33, 4)
+    enc = vp8l_encode(px, color_indexing=True, meta_prefix_bits=2, meta_groups=2)
+    assert np.array_equal(vp8l_decode(enc), px)

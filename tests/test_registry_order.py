@@ -26,33 +26,34 @@ _MANIFEST = os.path.join(
     "MANIFEST.txt",
 )
 
-# The round-12 driver gate window: the 5 round-12 registrations
-# (partial-MCU JPEG, progressive-restart JPEG, WebP metadata, VP8L
-# lossless decode, exact substring dedup — never driver-checked), then
-# the stalest backfill: ALL 24 names whose latest driver row is round
-# 7, then the 21 alphabetically-first round-8 names (gate-debt decision
-# recorded in COVERAGE.md: ≤5 new so ≥45 rows go to backfill; after
-# r12 no query's latest gate is older than r8).
-_ROUND12_WINDOW = [
-    "multimodal_jpeg_partialmcu_decode",
-    "multimodal_jpeg_prog_restart_decode",
-    "multimodal_webp_metadata",
-    "multimodal_webp_lossless_decode",
-    "dedup_exact_substring",
-    # -- backfill: latest driver row r7 --
-    "multimodal_metadata", "ou_fit", "pairs_distance", "purged_kfold",
-    "realized_moments", "repetition_profile", "return_entropy",
-    "risk_ratios", "run_bars", "runs_test", "sadf_adf1",
-    "similarity_topk_ivf", "similarity_topk_lsh", "size_quantiles",
-    "stratified_sample", "text_analysis", "tfidf_topk", "trend_scan",
-    "two_scale_rv", "ulcer_index", "variance_ratio", "vocab_divergence",
-    "vocab_topk", "vpin",
-    # -- backfill: latest driver row r8, alphabetical --
-    "ac_schedule", "atr", "backtest_stats", "bde_cusum", "bet_sizing",
-    "bigram_logprob", "bm25", "boilerplate", "bollinger", "bpe_pairs",
-    "cluster_keywords", "code_detection", "corpus_funnel", "cs_zscore",
-    "dedup_containment", "dedup_paragraph", "donchian", "drawdown_path",
-    "dup_spans", "encoding_quality", "event_funnel",
+# The round-13 driver gate window: the 5 round-13 registrations (AVI
+# metadata + stride-sampled MJPEG frame stats, combined 12-bit/
+# scan-subset JPEG decode, VP8L predictor transform, cleaned-text
+# exact substring dedup — never driver-checked), then the stalest
+# backfill: ALL 29 names whose latest driver row is round 8, then the
+# 16 alphabetically-first round-9 names (≤5-new gate-debt cap held;
+# after r13 no query's latest gate is older than r9).
+_ROUND13_WINDOW = [
+    "multimodal_avi_metadata",
+    "multimodal_avi_frame_stats",
+    "multimodal_jpeg_extended_decode",
+    "multimodal_webp_predictor_decode",
+    "dedup_exact_substring_clean",
+    # -- backfill: latest driver row r8 --
+    "feature_matrix", "hampel_filter", "heaps_law",
+    "imbalance_bars_adaptive", "intraday_profile", "jump_test",
+    "lang_mix", "lead_lag", "ledoit_wolf", "lexical_diversity",
+    "lz_entropy", "ma_crossover", "macd", "mix_corpus", "momentum_rank",
+    "obv", "pair_correlation", "pcm_features", "pii_scrub", "psi_drift",
+    "range_bars", "rank_ic", "rank_portfolio", "retention",
+    "robust_moments", "session_vwap", "stochastic", "term_burstiness",
+    "url_domains",
+    # -- backfill: latest driver row r9, alphabetical --
+    "asof_join_backward", "asof_join_nearest", "bar_groups_split",
+    "char_entropy", "chunk_documents", "cusum_filter", "daily_vol",
+    "decontaminate", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_recall_curve", "dedup_survivor_budget", "deflated_sharpe",
+    "dollar_bars", "dsir_weights", "embedding_drift",
 ]
 
 
@@ -77,8 +78,8 @@ def test_queries_order_matches_manifest():
     )
 
 
-def test_round12_gate_window_is_first_50():
-    assert list(QUERIES)[:50] == _ROUND12_WINDOW
+def test_round13_gate_window_is_first_50():
+    assert list(QUERIES)[:50] == _ROUND13_WINDOW
 
 
 def test_every_never_gated_query_is_inside_the_gate_window():
