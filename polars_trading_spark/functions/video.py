@@ -39,9 +39,12 @@ __all__ = [
     "avi_encode_mjpeg",
     "avi_metadata",
     "avi_extract_frames",
+    "avi_extract_audio",
     "synthesize_avi_mjpeg",
+    "synthesize_avi_av",
     "avi_metadata_table",
     "avi_frame_stats",
+    "avi_audio_stats",
 ]
 
 
@@ -55,16 +58,30 @@ def _list(listtype: bytes, payload: bytes) -> bytes:
 
 
 def avi_encode_mjpeg(
-    frames, width: int, height: int, *, fps: int = 10
+    frames,
+    width: int,
+    height: int,
+    *,
+    fps: int = 10,
+    audio: bytes | None = None,
+    audio_rate: int = 16_000,
 ) -> bytes:
-    """Build a complete single-stream MJPEG AVI from a list of JPEG
-    payloads: avih/strh/strf headers with real dims/rates/counts, one
-    '00dc' chunk per frame inside LIST movi, and a classic idx1 index
-    (offsets relative to the 'movi' fourcc, per the VfW convention)."""
+    """Build a complete MJPEG AVI from a list of JPEG payloads:
+    avih/strh/strf headers with real dims/rates/counts, one '00dc'
+    chunk per frame inside LIST movi, and a classic idx1 index
+    (offsets relative to the 'movi' fourcc, per the VfW convention).
+
+    ``audio`` (round 13): mono s16le PCM bytes — adds a second stream
+    (strl with 'auds' strh + WAVEFORMATEX strf, wFormatTag=1) and
+    interleaves '01wb' chunks between the video frames, one slice per
+    frame period, the canonical A/V layout a VLM ingest sees.  With
+    ``audio=None`` the output is byte-identical to the single-stream
+    form."""
     if not frames:
         raise ValueError("an AVI needs at least one frame")
     us_per_frame = 1_000_000 // fps
     n = len(frames)
+    n_streams = 1 if audio is None else 2
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
         us_per_frame,  # dwMicroSecPerFrame
@@ -73,7 +90,7 @@ def avi_encode_mjpeg(
         0x10,  # dwFlags: AVIF_HASINDEX
         n,  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        n_streams,  # dwStreams
         0,  # dwSuggestedBufferSize
         width,
         height,
@@ -109,20 +126,61 @@ def avi_encode_mjpeg(
         width * height * 3,  # biSizeImage
         0, 0, 0, 0,
     )
-    hdrl = _list(
-        b"hdrl",
-        _chunk(b"avih", avih)
-        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    if audio is not None:
+        if len(audio) % 2:
+            raise ValueError("s16le PCM audio needs an even byte count")
+        a_samples = len(audio) // 2
+        a_strh = (
+            b"auds"
+            + b"\x00\x00\x00\x00"  # fccHandler
+            + struct.pack(
+                "<IHHIIIIIIIII",
+                0, 0, 0, 0,
+                1,  # dwScale
+                audio_rate,  # dwRate (samples/s)
+                0,  # dwStart
+                a_samples,  # dwLength (samples)
+                0,
+                0xFFFFFFFF,
+                2,  # dwSampleSize (bytes per sample, mono s16)
+                0,
+            )
+            + struct.pack("<HH", 0, 0)
+        )
+        a_strf = struct.pack(
+            "<HHIIHH",
+            1,  # wFormatTag = WAVE_FORMAT_PCM
+            1,  # nChannels
+            audio_rate,  # nSamplesPerSec
+            audio_rate * 2,  # nAvgBytesPerSec
+            2,  # nBlockAlign
+            16,  # wBitsPerSample
+        )
+        strls += _list(
+            b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf)
+        )
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
+
     movi_payload = bytearray()
-    offsets = []
-    for f in frames:
-        offsets.append(4 + len(movi_payload))  # relative to 'movi' fourcc
+    entries = []  # (chunk id, offset, size) for idx1
+    # audio slice per frame period, remainder after the last frame
+    a_per = (len(audio) // n) & ~1 if audio is not None else 0
+    a_pos = 0
+    for fi, f in enumerate(frames):
+        entries.append((b"00dc", 4 + len(movi_payload), len(f)))
         movi_payload += _chunk(b"00dc", bytes(f))
+        if audio is not None:
+            end = a_pos + a_per if fi < n - 1 else len(audio)
+            sl = audio[a_pos:end]
+            a_pos = end
+            if sl:
+                entries.append((b"01wb", 4 + len(movi_payload), len(sl)))
+                movi_payload += _chunk(b"01wb", sl)
     movi = _list(b"movi", bytes(movi_payload))
     idx1 = bytearray()
-    for off, f in zip(offsets, frames):
-        idx1 += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+    for cid, off, size in entries:
+        idx1 += cid + struct.pack("<III", 0x10, off, size)
     body = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx1))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -178,6 +236,46 @@ def avi_extract_frames(payload: bytes):
 
     walk(12, len(payload), False)
     return frames
+
+
+def avi_extract_audio(payload: bytes):
+    """The audio stream of an A/V AVI: ``(sample_rate, bits, channels,
+    pcm_bytes)`` — WAVEFORMATEX parsed from the 'auds' strl, '01wb'
+    chunks concatenated in stream order.  Raises when the container
+    has no audio stream or a non-PCM format tag (named pin)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    fmt = None
+    chunks = []
+    in_auds_strl = [False]
+
+    def walk(start, end, in_movi):
+        for fourcc, off, size in _walk_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                ltype = payload[off : off + 4]
+                if ltype == b"strl":
+                    in_auds_strl[0] = False
+                walk(off + 4, off + size, ltype == b"movi")
+            elif fourcc == b"strh":
+                in_auds_strl[0] = payload[off : off + 4] == b"auds"
+            elif fourcc == b"strf" and in_auds_strl[0]:
+                nonlocal fmt
+                (tag, ch, rate, _avg, _align, bits) = struct.unpack(
+                    "<HHIIHH", payload[off : off + 16]
+                )
+                if tag != 1:
+                    raise NotImplementedError(
+                        f"AVI audio format tag {tag} not supported — "
+                        "PCM (1) only"
+                    )
+                fmt = (rate, bits, ch)
+            elif in_movi and fourcc == b"01wb":
+                chunks.append(payload[off : off + size])
+
+    walk(12, len(payload), False)
+    if fmt is None:
+        raise ValueError("AVI has no PCM audio stream")
+    return (*fmt, b"".join(chunks))
 
 
 # --------------------------------------------------------------------------
@@ -331,3 +429,87 @@ def avi_frame_stats(media: DataFrame, *, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=_AVI_STATS_SCHEMA)
+def _av_audio(m: int) -> bytes:
+    """Deterministic per-video mono s16le PCM: the synthesize_pcm
+    closed form (sample i of media m = ((m*7919 + i*104729) % 65536) -
+    32768), n_samples = 200 + m % 300."""
+    import numpy as np
+
+    n = 200 + m % 300
+    i = np.arange(n, dtype=np.int64)
+    s = ((m * 7919 + i * 104729) % 65536) - 32768
+    return s.astype("<i2").tobytes()
+
+
+def synthesize_avi_av(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL A/V AVI per document id (round 13): the MJPEG
+    frames of ``synthesize_avi_mjpeg`` interleaved with a mono s16le
+    PCM audio stream ('01wb' chunks, one slice per frame period) — the
+    canonical container shape a video-language ingest sees."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                frames, w, h, _ = _mjpeg_frames(m)
+                rows.append(
+                    avi_encode_mjpeg(
+                        frames, w, h, fps=10, audio=_av_audio(m)
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_AVI_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("s_sum", T.LongType()),
+        T.StructField("s_dot", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def avi_audio_stats(media: DataFrame) -> DataFrame:
+    """Audio-track extraction + exact integer aggregates over the
+    demuxed PCM ('01wb' chunks concatenated across the movi list —
+    a chunking/interleave bug moves the order-sensitive ``s_dot``).
+    One Arrow island, zero shuffle."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {f.name: [] for f in _AVI_AUDIO_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, bits, ch, pcm = avi_extract_audio(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                j = np.arange(s.shape[0], dtype=np.int64)
+                sgn = np.sign(s)
+                zc = int(((sgn[1:] * sgn[:-1]) < 0).sum()) if s.size > 1 else 0
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["channels"].append(ch)
+                out["n_samples"].append(int(s.shape[0]))
+                out["s_sum"].append(int(s.sum()))
+                out["s_dot"].append(int((s * (j % 251 + 1)).sum()))
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(stats, schema=_AVI_AUDIO_SCHEMA)

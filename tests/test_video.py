@@ -96,3 +96,87 @@ def test_avi_frame_stats_stride_math():
         g_base += int(px.shape[0])
     assert (g_sum, g_dot, g_base) == (px_sum, px_dot, base)
     assert len(sampled) == -(-nf // stride)
+
+
+# ------------------- round-13: interleaved A/V containers -------------------
+
+
+def test_av_single_stream_byte_identical():
+    """audio=None must not change the single-stream bytes (the
+    registered metadata/frame oracles pin that layout)."""
+    from polars_trading_spark.functions.video import (
+        _mjpeg_frames,
+        avi_encode_mjpeg,
+    )
+
+    frames, w, h, _ = _mjpeg_frames(5)
+    assert avi_encode_mjpeg(frames, w, h, fps=10) == avi_encode_mjpeg(
+        frames, w, h, fps=10, audio=None
+    )
+
+
+@pytest.mark.parametrize("m", [0, 1, 2, 7, 11, 23])
+def test_av_roundtrip_exact(m):
+    from polars_trading_spark.functions.video import (
+        _av_audio,
+        _mjpeg_frames,
+        avi_encode_mjpeg,
+        avi_extract_audio,
+        avi_extract_frames,
+        avi_metadata,
+    )
+
+    frames, w, h, nf = _mjpeg_frames(m)
+    audio = _av_audio(m)
+    payload = avi_encode_mjpeg(frames, w, h, fps=10, audio=audio)
+    codec, ww, hh, n, uspf, ns = avi_metadata(payload)
+    assert (codec, ww, hh, n, ns) == ("MJPG", w, h, nf, 2)
+    # demux recovers BOTH streams byte-exactly despite interleaving
+    assert avi_extract_frames(payload) == [bytes(f) for f in frames]
+    rate, bits, ch, pcm = avi_extract_audio(payload)
+    assert (rate, bits, ch) == (16_000, 16, 1)
+    assert pcm == audio
+
+
+def test_av_audio_validation():
+    from polars_trading_spark.functions.video import (
+        _mjpeg_frames,
+        avi_encode_mjpeg,
+        avi_extract_audio,
+    )
+
+    frames, w, h, _ = _mjpeg_frames(3)
+    with pytest.raises(ValueError, match="even byte count"):
+        avi_encode_mjpeg(frames, w, h, audio=b"\x01\x02\x03")
+    video_only = avi_encode_mjpeg(frames, w, h)
+    with pytest.raises(ValueError, match="no PCM audio"):
+        avi_extract_audio(video_only)
+    # a non-PCM format tag is a named pin
+    av = bytearray(avi_encode_mjpeg(frames, w, h, audio=b"\x00\x00" * 8))
+    i = av.index(b"auds")
+    strf_off = av.index(b"strf", i) + 8
+    av[strf_off] = 2  # WAVE_FORMAT_ADPCM
+    with pytest.raises(NotImplementedError, match="format tag"):
+        avi_extract_audio(bytes(av))
+
+
+def test_avi_audio_stats_spark(spark):
+    from polars_trading_spark.functions.video import (
+        _av_audio,
+        avi_audio_stats,
+        synthesize_avi_av,
+    )
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    rows = {r["media_id"]: r for r in avi_audio_stats(synthesize_avi_av(docs)).collect()}
+    assert len(rows) == 12
+    for m in range(12):
+        s = np.frombuffer(_av_audio(m), dtype="<i2").astype(np.int64)
+        j = np.arange(s.shape[0], dtype=np.int64)
+        r = rows[m]
+        assert r["n_samples"] == 200 + m % 300
+        assert r["s_sum"] == int(s.sum())
+        assert r["s_dot"] == int((s * (j % 251 + 1)).sum())
+        sgn = np.sign(s)
+        assert r["zero_crossings"] == int(((sgn[1:] * sgn[:-1]) < 0).sum())
