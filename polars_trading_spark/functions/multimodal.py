@@ -15,9 +15,11 @@ precisions, 8- and 12-bit** as of round 12: sequential (baseline SOF0
 color, raw CMYK as stored, YCCK/Adobe-transform-2 — at ANY
 integer-ratio sampling factors, at ANY dimensions (partial-MCU edge
 blocks), with restart intervals in BOTH sequential and progressive
-scans, in EVERY scan layout incl. partially-interleaved subsets).  The
-honestly-named residual pins (arithmetic/lossless/hierarchical SOF
-modes, non-integer sampling ratios) raise
+scans, in EVERY scan layout incl. partially-interleaved subsets; plus
+**LOSSLESS SOF3** as of round 13 — T.81 Annex H spatial prediction,
+all 7 predictors, precisions 2-16, point transform, single-component).
+The honestly-named residual pins (arithmetic/hierarchical SOF modes,
+multi-component lossless, non-integer sampling ratios) raise
 ``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
@@ -2234,7 +2236,8 @@ def jpeg_decode(payload: bytes):
     planes, the BT.601 contract at the scaled center (12-bit in
     baseline SOF0 is rejected as illegal).  Named remaining pins raise
     with the feature: non-integer-ratio samplings and non-DCT-Huffman
-    SOF modes (arithmetic, lossless, hierarchical).
+    SOF modes (arithmetic, hierarchical; lossless SOF3 decodes as of
+    round 13 — single-component scope).
     EVERY sequential scan layout decodes (round 12): all-component
     interleaved, single-component NON-INTERLEAVED (round 11), and
     PARTIALLY-interleaved subsets — any mix, with planes accumulated
@@ -2254,6 +2257,7 @@ def jpeg_decode(payload: bytes):
     ac_tables = {}
     frame = None
     progressive = False
+    lossless = False
     prog_coefs = None
     prog_pred = None
     prog_geom = None
@@ -2361,7 +2365,23 @@ def jpeg_decode(payload: bytes):
                 ]
                 prog_pred = [0] * nc
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:
+            # SOF3 LOSSLESS (round 13): Huffman-coded spatial
+            # prediction, T.81 Annex H — no DCT, no quantization; any
+            # precision 2-16.  Scope: single-component (grayscale)
+            # scans; multi-component lossless stays a named pin.
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"invalid lossless precision {prec}")
+            if nc != 1:
+                raise NotImplementedError(
+                    f"{nc}-component lossless JPEG not supported — "
+                    "single-component only"
+                )
+            precision = prec
+            lossless = True
+            frame = (h, w, [(body[6], 1, 1, body[8])])
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}) not supported"
             )
@@ -2370,6 +2390,26 @@ def jpeg_decode(payload: bytes):
                 raise ValueError("SOS before SOF0")
             h, w, comps = frame
             ns = body[0]
+            if lossless:
+                if ns != 1:
+                    raise NotImplementedError(
+                        "multi-component lossless scan not supported"
+                    )
+                td = body[2] >> 4
+                if td not in dc_tables:
+                    raise ValueError("lossless scan references undeclared table")
+                ss = body[1 + 2 * ns]  # predictor selector 1-7
+                pt = body[3 + 2 * ns] & 0x0F  # point transform
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"invalid lossless predictor {ss}")
+                if restart_interval:
+                    raise NotImplementedError(
+                        "restart markers in lossless scans not supported"
+                    )
+                return _jpeg_lossless_scan(
+                    payload, i + 2 + seg_len, h, w, dc_tables[td],
+                    ss, pt, precision,
+                )
             if progressive:
                 by_id = {
                     cid: idx for idx, (cid, _, _, _) in enumerate(comps)
@@ -2505,6 +2545,148 @@ def jpeg_decode(payload: bytes):
 
 # back-compat name from when grayscale was the only in-scope frame type
 jpeg_decode_gray = jpeg_decode
+
+
+def _jpeg_lossless_scan(data, pos, h, w, table, predictor, pt, precision):
+    """T.81 Annex H lossless scan: per-sample SSSS category via the DC
+    Huffman table + extra amplitude bits, differences mod 2^16 added to
+    the spatial prediction.  Border rules per H.1.2: the first sample
+    predicts ``1 << (P - 1 - Pt)``, the rest of the first line uses
+    predictor 1 (left), the first column predictor 2 (above); the
+    (b - c) / (a - c) halvings are arithmetic right shifts.  SSSS = 16
+    codes a difference of exactly 32768 with no extra bits."""
+    import numpy as np
+
+    r = _BitReaderMSB(data, pos)
+    out = np.zeros((h, w), dtype=np.int64)
+    default = 1 << (precision - 1 - pt)
+    for y in range(h):
+        row = out[y]
+        prev = out[y - 1] if y else None
+        for x in range(w):
+            ssss = _read_huff_symbol(r, table)
+            if ssss == 16:
+                diff = 32768
+            elif ssss:
+                v = r.bits(ssss)
+                diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+            else:
+                diff = 0
+            if y == 0:
+                pred = default if x == 0 else int(row[x - 1])
+            elif x == 0:
+                pred = int(prev[0])
+            else:
+                a = int(row[x - 1])
+                b = int(prev[x])
+                c = int(prev[x - 1])
+                if predictor == 1:
+                    pred = a
+                elif predictor == 2:
+                    pred = b
+                elif predictor == 3:
+                    pred = c
+                elif predictor == 4:
+                    pred = a + b - c
+                elif predictor == 5:
+                    pred = a + ((b - c) >> 1)
+                elif predictor == 6:
+                    pred = b + ((a - c) >> 1)
+                else:  # 7
+                    pred = (a + b) >> 1
+            row[x] = (pred + diff) & 0xFFFF
+    out <<= pt
+    dtype = np.uint8 if precision <= 8 else np.uint16
+    return out.astype(dtype)[..., None]
+
+
+# canonical SSSS table for lossless scans: categories 0-16 (12-16 only
+# reachable at high precisions), lengths 2,2,2,3..16 — Kraft-complete
+# minus 2^-16, so the all-ones 16-bit code stays unused per T.81 C.2
+_LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_LL_VALS = list(range(17))
+
+
+def jpeg_encode_lossless(
+    samples, width: int, height: int, *, predictor: int = 4,
+    precision: int = 8, pt: int = 0,
+) -> bytes:
+    """Encode a 2-D integer sample array as a LOSSLESS JPEG (SOF3,
+    single component): SSSS-category Huffman coding of the mod-2^16
+    prediction differences, any precision 2-16, selectable predictor
+    1-7 and point transform."""
+    import struct
+
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2-16, got {precision}")
+    s = np.asarray(samples, dtype=np.int64)
+    if s.shape != (height, width):
+        raise ValueError(f"samples must be {height}x{width}, got {s.shape}")
+    if s.min() < 0 or s.max() >= (1 << precision):
+        raise ValueError("samples out of range for the declared precision")
+    if pt:
+        if (s & ((1 << pt) - 1)).any():
+            raise ValueError("point transform requires 2^pt-aligned samples")
+        s = s >> pt
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(
+        ">HBHHB", 11, precision, height, width, 1
+    ) + bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(
+        ">HB", 2 + 1 + 16 + len(_LL_VALS), 0x00
+    ) + bytes(_LL_BITS) + bytes(_LL_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+        [1, 0x00, predictor, 0, pt]
+    )
+
+    codes = _huff_codes(_LL_BITS, _LL_VALS)
+    w = _BitWriterMSB()
+    default = 1 << (precision - 1 - pt)
+    for y in range(height):
+        row = s[y]
+        prev = s[y - 1] if y else None
+        for x in range(width):
+            if y == 0:
+                pred = default if x == 0 else int(row[x - 1])
+            elif x == 0:
+                pred = int(prev[0])
+            else:
+                a = int(row[x - 1])
+                b = int(prev[x])
+                c = int(prev[x - 1])
+                if predictor == 1:
+                    pred = a
+                elif predictor == 2:
+                    pred = b
+                elif predictor == 3:
+                    pred = c
+                elif predictor == 4:
+                    pred = a + b - c
+                elif predictor == 5:
+                    pred = a + ((b - c) >> 1)
+                elif predictor == 6:
+                    pred = b + ((a - c) >> 1)
+                else:
+                    pred = (a + b) >> 1
+            d = (int(row[x]) - pred) & 0xFFFF
+            signed = d - 65536 if d > 32768 else d
+            if signed == 32768:
+                c_, ln = codes[16]
+                w.write(c_, ln)
+            else:
+                ssss, bits = _jpeg_category(signed)
+                c_, ln = codes[ssss]
+                w.write(c_, ln)
+                if ssss:
+                    w.write(bits, ssss)
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _idct_basis():

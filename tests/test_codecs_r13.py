@@ -269,3 +269,67 @@ def test_meta_prefix_with_backrefs_and_palette():
     px = base[(np.arange(33 * 9) * 5) % 7].reshape(9, 33, 4)
     enc = vp8l_encode(px, color_indexing=True, meta_prefix_bits=2, meta_groups=2)
     assert np.array_equal(vp8l_decode(enc), px)
+
+
+# ------------------ round-13c: LOSSLESS JPEG (SOF3, T.81 Annex H) ------------------
+
+
+@pytest.mark.parametrize("P", [2, 4, 8, 12, 16])
+@pytest.mark.parametrize("pred", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_jpeg_roundtrip(P, pred):
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.RandomState(P * 31 + pred)
+    for shape in ((1, 1), (1, 9), (9, 1), (7, 13)):
+        h, w = shape
+        s = rng.randint(0, 1 << P, size=(h, w)).astype(np.int64)
+        dec = jpeg_decode(jpeg_encode_lossless(s, w, h, predictor=pred, precision=P))
+        assert dec.dtype == (np.uint8 if P <= 8 else np.uint16)
+        assert dec.shape == (h, w, 1)
+        assert np.array_equal(dec[:, :, 0].astype(np.int64), s), (P, pred, shape)
+
+
+def test_lossless_jpeg_extremes_and_pt():
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    # alternating 0 / max forces the top SSSS categories; at P=16 the
+    # +32768 difference hits the no-extra-bits SSSS=16 code
+    for P in (8, 16):
+        s = np.zeros((4, 8), np.int64)
+        s[:, 1::2] = (1 << P) - 1
+        dec = jpeg_decode(jpeg_encode_lossless(s, 8, 4, predictor=1, precision=P))
+        assert np.array_equal(dec[:, :, 0].astype(np.int64), s)
+    s = np.array([[0, 32768]], np.int64)
+    dec = jpeg_decode(jpeg_encode_lossless(s, 2, 1, predictor=1, precision=16))
+    assert np.array_equal(dec[:, :, 0].astype(np.int64), s)
+    # point transform: decoder multiplies back by 2^pt
+    s = (np.arange(30).reshape(5, 6) % 64) * 4
+    dec = jpeg_decode(jpeg_encode_lossless(s, 6, 5, precision=8, pt=2))
+    assert np.array_equal(dec[:, :, 0].astype(np.int64), s)
+
+
+def test_lossless_jpeg_validation():
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    s = np.zeros((2, 2), np.int64)
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg_encode_lossless(s, 2, 2, predictor=0)
+    with pytest.raises(ValueError, match="precision"):
+        jpeg_encode_lossless(s, 2, 2, precision=17)
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg_encode_lossless(s + 300, 2, 2, precision=8)
+    # multi-component lossless stays a named pin
+    payload = bytearray(jpeg_encode_lossless(s, 2, 2))
+    i = payload.index(b"\xff\xc3")
+    payload[i + 9] = 3  # nc
+    with pytest.raises(NotImplementedError, match="component lossless"):
+        jpeg_decode(bytes(payload))
