@@ -679,10 +679,16 @@ def _png_unfilter_image(raw, offset: int, h: int, w: int, ch: int):
 
 
 def bmp_decode(payload: bytes):
-    """REAL pure-stdlib BMP pixel decode for uncompressed 24-bit
-    BITMAPINFOHEADER files (the kind ``synthesize_bmp`` writes): strips
-    the 4-byte row padding and flips bottom-up row order.  Returns an
-    ``(h, w, 3)`` uint8 numpy array in BGR byte order (as stored)."""
+    """REAL pure-stdlib BMP pixel decode — round 13 completes the
+    classic BITMAPINFOHEADER matrix: uncompressed 24-bit (BGR) and
+    32-bit (BGRA, BI_RGB or standard-mask BI_BITFIELDS), palette
+    formats at 1/4/8 bits (MSB-first packed indices resolved through
+    the BGRX color table to BGR), and the RLE8/RLE4 compressions
+    (encoded runs, absolute word-aligned blocks, end-of-line /
+    end-of-bitmap / delta escapes — deltas leave skipped pixels at
+    palette index 0 per the de-facto convention).  Bottom-up and
+    top-down (negative height) row orders both handled.  Returns an
+    ``(h, w, 3|4)`` uint8 numpy array in stored byte order."""
     import struct
 
     import numpy as np
@@ -696,15 +702,202 @@ def bmp_decode(payload: bytes):
     w, h_signed = struct.unpack("<ii", payload[18:26])
     planes, bits = struct.unpack("<HH", payload[26:30])
     (compression,) = struct.unpack("<I", payload[30:34])
-    if bits != 24 or compression != 0:
-        raise NotImplementedError(f"BMP bits={bits} compression={compression} not supported")
     h = abs(h_signed)
-    row_sz = (3 * w + 3) // 4 * 4
-    buf = np.frombuffer(payload, dtype=np.uint8, count=row_sz * h, offset=px_off)
-    rows = buf.reshape(h, row_sz)[:, : 3 * w]
-    if h_signed > 0:  # bottom-up storage
-        rows = rows[::-1]
-    return rows.reshape(h, w, 3).copy()
+
+    def _flip(rows):
+        return rows[::-1] if h_signed > 0 else rows
+
+    if bits == 24 and compression == 0:
+        row_sz = (3 * w + 3) // 4 * 4
+        buf = np.frombuffer(payload, dtype=np.uint8, count=row_sz * h, offset=px_off)
+        rows = buf.reshape(h, row_sz)[:, : 3 * w]
+        return _flip(rows).reshape(h, w, 3).copy()
+
+    if bits == 32 and compression in (0, 3):
+        if compression == 3:
+            # BI_BITFIELDS: only the standard BGRA layout is in scope
+            # (masks after a 40-byte header, in-header for 108/124)
+            moff = 54 if hdr_sz == 40 else 54
+            masks = struct.unpack("<III", payload[moff : moff + 12])
+            if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+                raise NotImplementedError(
+                    f"BMP BI_BITFIELDS masks {masks} not supported — "
+                    "standard BGRA only"
+                )
+        buf = np.frombuffer(payload, dtype=np.uint8, count=4 * w * h, offset=px_off)
+        return _flip(buf.reshape(h, 4 * w)).reshape(h, w, 4).copy()
+
+    if bits in (1, 4, 8):
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        n_pal = clr_used or (1 << bits)
+        pal_off = 14 + hdr_sz
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n_pal, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3]  # BGRX -> BGR
+        if compression == 0:
+            row_sz = ((w * bits + 31) // 32) * 4
+            buf = np.frombuffer(
+                payload, dtype=np.uint8, count=row_sz * h, offset=px_off
+            ).reshape(h, row_sz)
+            if bits == 8:
+                idx = buf[:, :w]
+            else:
+                per = 8 // bits
+                mask = (1 << bits) - 1
+                cols = np.arange(w)
+                bytes_ = buf[:, cols // per]
+                shift = (per - 1 - (cols % per)) * bits
+                idx = (bytes_ >> shift[None, :]) & mask
+            return _flip(pal[idx]).copy()
+        if (bits, compression) in ((8, 1), (4, 2)):
+            idx = _bmp_rle_decode(payload[px_off:], w, h, bits)
+            return _flip(pal[idx]).copy()
+
+    raise NotImplementedError(
+        f"BMP bits={bits} compression={compression} not supported"
+    )
+
+
+def _bmp_rle_decode(data: bytes, w: int, h: int, bits: int):
+    """RLE8/RLE4 index decode (bottom-up raster, escapes per the
+    public BITMAPINFOHEADER documentation); returns an (h, w) uint8
+    index array in STORED row order (caller flips)."""
+    import numpy as np
+
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            if bits == 8:
+                vals = [val] * cnt
+            else:
+                vals = [(val >> 4) & 0xF, val & 0xF] * ((cnt + 1) // 2)
+            for v in vals[:cnt]:
+                if y < h and x < w:
+                    idx[y, x] = v
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return idx
+        elif val == 2:  # delta: skipped pixels stay index 0
+            if i + 1 >= n:
+                raise ValueError("BMP RLE delta truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute block, word-aligned
+            cnt = val
+            if bits == 8:
+                need = cnt
+                vals = list(data[i : i + need])
+            else:
+                need = (cnt + 1) // 2
+                vals = []
+                for b in data[i : i + need]:
+                    vals += [(b >> 4) & 0xF, b & 0xF]
+                vals = vals[:cnt]
+            if len(vals) < cnt:
+                raise ValueError("BMP RLE absolute block truncated")
+            i += need + (need & 1)  # pad to word boundary
+            for v in vals:
+                if y < h and x < w:
+                    idx[y, x] = v
+                x += 1
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
+def bmp_encode(pixels, *, bits: int = 24, rle: bool = False, top_down: bool = False) -> bytes:
+    """Encoder twin for every decode path: ``bits`` 24/32 take an
+    ``(h, w, 3|4)`` BGR(A) array; 1/4/8 take an ``(h, w)`` index array
+    plus build the palette as ``(i, i, i, 0)`` grayscale ramps bounded
+    by the index range; ``rle`` (8/4-bit only) emits encoded runs with
+    end-of-line/bitmap escapes."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if bits in (24, 32):
+        h, w, ch = px.shape
+        if ch != bits // 8:
+            raise ValueError(f"{bits}-bit BMP needs {bits // 8} channels")
+        if rle:
+            raise ValueError("RLE applies to 4/8-bit BMPs only")
+        pal = b""
+        if bits == 24:
+            row_sz = (3 * w + 3) // 4 * 4
+            body = bytearray()
+            rows = px if top_down else px[::-1]
+            for r in rows:
+                body += r.tobytes() + b"\x00" * (row_sz - 3 * w)
+        else:
+            body = bytearray((px if top_down else px[::-1]).tobytes())
+        n_pal = 0
+    elif bits in (1, 4, 8):
+        h, w = px.shape
+        n_pal = 1 << bits
+        if px.max() >= n_pal:
+            raise ValueError("palette index out of range")
+        pal = b"".join(
+            bytes([(17 * i) % 256, (29 * i) % 256, (41 * i) % 256, 0])
+            for i in range(n_pal)
+        )
+        rows = px if top_down else px[::-1]
+        if rle:
+            if bits not in (4, 8):
+                raise ValueError("RLE applies to 4/8-bit BMPs only")
+            if top_down:
+                raise ValueError("RLE BMPs are bottom-up by spec")
+            body = bytearray()
+            for r in rows:
+                x = 0
+                while x < w:
+                    run = 1
+                    while x + run < w and r[x + run] == r[x] and run < 255:
+                        run += 1
+                    if bits == 8:
+                        body += bytes([run, int(r[x])])
+                    else:
+                        v = (int(r[x]) << 4) | int(r[x])
+                        body += bytes([run, v])
+                    x += run
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"  # end of bitmap
+        else:
+            if bits == 8:
+                row_sz = (w + 3) // 4 * 4
+                body = bytearray()
+                for r in rows:
+                    body += r.tobytes() + b"\x00" * (row_sz - w)
+            else:
+                per = 8 // bits
+                row_sz = ((w * bits + 31) // 32) * 4
+                body = bytearray()
+                for r in rows:
+                    packed = bytearray(row_sz)
+                    for x in range(w):
+                        packed[x // per] |= int(r[x]) << (
+                            (per - 1 - (x % per)) * bits
+                        )
+                    body += bytes(packed)
+    else:
+        raise ValueError(f"unsupported bits {bits}")
+
+    compression = (1 if bits == 8 else 2) if rle else 0
+    px_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", px_off + len(body), 0, 0, px_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, bits, compression,
+        len(body), 0, 0, n_pal, 0,
+    )
+    return hdr + pal + bytes(body)
 
 
 def decode_image(payload: bytes):
@@ -2325,7 +2518,13 @@ def jpeg_decode(payload: bytes):
                 comps.append((cid, sampling >> 4, sampling & 0x0F, tq))
             samplings = [(hs, vs) for _, hs, vs, _ in comps]
             if nc == 1 and samplings != [(1, 1)]:
-                raise NotImplementedError("sampled grayscale not supported")
+                # single-component frames: sampling factors are a spec
+                # no-op (the component's stored size is ceil(dim*hs/hmax)
+                # with hmax = its OWN hs = exactly the frame dims, and
+                # single-component scans are never interleaved), so
+                # factors normalize to 1x1 (round 13 — former pin)
+                comps = [(cid, 1, 1, tq) for cid, _, _, tq in comps]
+                samplings = [(1, 1)]
             hmx = max(hs for hs, _ in samplings)
             vmx = max(vs for _, vs in samplings)
             if any(hmx % hs or vmx % vs for hs, vs in samplings):
@@ -4397,6 +4596,99 @@ def synthesize_jpeg_extended(documents: DataFrame) -> DataFrame:
                             groups,
                         )
                     )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_bmp_matrix(documents: DataFrame) -> DataFrame:
+    """Round 13: deterministic BMPs cycling the FULL classic decode
+    matrix by ``m % 5`` — 24-bit BGR, 32-bit BGRA, 8-bit palette,
+    4-bit palette, 1-bit palette — with top-down row order on odd
+    truecolor ids and RLE compression on odd palette ids (palette
+    entries are the ``bmp_encode`` ramp ``((17i, 29i, 41i) % 256``),
+    so one closed-form SQL oracle can replay every decoded byte.
+    ``width = 4 + m % 13``, ``height = 3 + m % 9``.  Staged for the
+    round-14 gate window as ``multimodal_bmp_matrix_decode``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 4 + m % 13, 3 + m % 9
+                v = m % 5
+                j = np.arange(h * w, dtype=np.int64)
+                if v == 0:
+                    px = (
+                        ((m * 31 + np.arange(h * w * 3) * 7) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w, 3)
+                    )
+                    rows.append(bmp_encode(px, bits=24, top_down=bool(m % 2)))
+                elif v == 1:
+                    px = (
+                        ((m * 13 + np.arange(h * w * 4) * 11) % 256)
+                        .astype(np.uint8)
+                        .reshape(h, w, 4)
+                    )
+                    rows.append(bmp_encode(px, bits=32, top_down=bool(m % 2)))
+                elif v == 2:
+                    idx = ((m + j * 7) % 256).astype(np.uint8).reshape(h, w)
+                    rows.append(bmp_encode(idx, bits=8, rle=bool(m % 2)))
+                elif v == 3:
+                    idx = ((m + j * 3) % 16).astype(np.uint8).reshape(h, w)
+                    rows.append(bmp_encode(idx, bits=4, rle=bool(m % 2)))
+                else:
+                    idx = ((m + j) % 2).astype(np.uint8).reshape(h, w)
+                    rows.append(bmp_encode(idx, bits=1))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_lossless(documents: DataFrame) -> DataFrame:
+    """Round 13: deterministic LOSSLESS JPEGs (SOF3) per document id —
+    ``width = 5 + m % 12``, ``height = 4 + m % 9``, precision cycling
+    8/12/16 by ``m % 3``, predictor ``1 + m % 7``, sample ``(y, x) =
+    (m*37 + y*17 + x*7) % 2^P`` — decode returns the samples exactly,
+    so the SQL oracle replays every value closed-form.  Staged for the
+    round-14 gate window as ``multimodal_jpeg_lossless_decode``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 5 + m % 12, 4 + m % 9
+                p = (8, 12, 16)[m % 3]
+                y, x = np.mgrid[0:h, 0:w]
+                s = (m * 37 + y * 17 + x * 7) % (1 << p)
+                rows.append(
+                    jpeg_encode_lossless(
+                        s, w, h, predictor=1 + m % 7, precision=p
+                    )
+                )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     return _media_base(documents).mapInPandas(

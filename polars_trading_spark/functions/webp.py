@@ -1620,3 +1620,96 @@ def webp_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(stats, schema=_WEBP_STATS_SCHEMA)
+
+
+def synthesize_webp_lossy(documents: DataFrame) -> DataFrame:
+    """Round 13: deterministic lossy WebPs whose VP8 keyframe headers
+    are GENUINELY bool-coded (functions/vp8.py) — parameters cycle by
+    doc id: ``y_ac_qi = m % 128``, ``filter_level = (3*m) % 64``,
+    ``sharpness = m % 8``, ``partitions_log2 = m % 4``, signed quant
+    deltas ``y_dc = (m % 31) - 15`` / ``uv_ac = (m % 29) - 14``,
+    segmentation on every third id with quantizer deltas ``(m%15-7,
+    0, m%11-5, 12)``.  Staged for the round-14 gate window as
+    ``multimodal_webp_lossy_header`` (closed-form field oracle)."""
+    from polars_trading_spark.functions.vp8 import webp_encode_lossy_real
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                rows.append(
+                    webp_encode_lossy_real(
+                        16 + m % 101,
+                        16 + m % 63,
+                        y_ac_qi=m % 128,
+                        filter_level=(3 * m) % 64,
+                        sharpness=m % 8,
+                        partitions_log2=m % 4,
+                        y_dc_delta=(m % 31) - 15,
+                        uv_ac_delta=(m % 29) - 14,
+                        segmentation=(m % 3 == 0),
+                        seg_quantizer=((m % 15) - 7, 0, (m % 11) - 5, 12),
+                    )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_LOSSY_HDR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_partitions", T.IntegerType()),
+        T.StructField("y_ac_qi", T.IntegerType()),
+        T.StructField("y_dc_delta", T.IntegerType()),
+        T.StructField("uv_ac_delta", T.IntegerType()),
+        T.StructField("filter_level", T.IntegerType()),
+        T.StructField("sharpness", T.IntegerType()),
+        T.StructField("seg_enabled", T.IntegerType()),
+        T.StructField("seg_q0", T.IntegerType()),
+    ]
+)
+
+
+def webp_lossy_header_table(media: DataFrame) -> DataFrame:
+    """VP8 keyframe-header census over (media_id, payload) lossy WebPs
+    — the crawl-profiling shape for the majority WebP variant: every
+    field below comes from the REAL bool-coded compressed header
+    (functions/vp8.py), one file-parallel Arrow island, zero shuffle."""
+    from polars_trading_spark.functions.vp8 import vp8_keyframe_header
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in _LOSSY_HDR_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                chunks = _webp_chunks(bytes(payload))
+                body = next(b for f, b in chunks if f == b"VP8 ")
+                hdr = vp8_keyframe_header(body)
+                seg = hdr["segmentation"]
+                out["media_id"].append(int(mid))
+                out["width"].append(hdr["width"])
+                out["height"].append(hdr["height"])
+                out["n_partitions"].append(hdr["nbr_partitions"])
+                out["y_ac_qi"].append(hdr["quant"]["y_ac_qi"])
+                out["y_dc_delta"].append(hdr["quant"]["y_dc_delta"])
+                out["uv_ac_delta"].append(hdr["quant"]["uv_ac_delta"])
+                out["filter_level"].append(hdr["filter_level"])
+                out["sharpness"].append(hdr["sharpness_level"])
+                out["seg_enabled"].append(int(seg["enabled"]))
+                out["seg_q0"].append(
+                    seg["quantizer"][0] if seg["enabled"] else 0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(parse, schema=_LOSSY_HDR_SCHEMA)

@@ -333,3 +333,201 @@ def test_lossless_jpeg_validation():
     payload[i + 9] = 3  # nc
     with pytest.raises(NotImplementedError, match="component lossless"):
         jpeg_decode(bytes(payload))
+
+
+def test_sampled_grayscale_normalizes():
+    """Single-component frames: sampling factors are a spec no-op
+    (stored size = frame dims when hmax is the component's own factor)
+    — round 13 closes the former pin by normalizing to 1x1."""
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_progressive,
+    )
+
+    blocks = []
+    for k in range(4):
+        b = [0] * 64
+        b[0] = 7 * k - 10
+        blocks.append(b)
+    payload = jpeg_encode_gray(blocks, 16, 16)
+    base = jpeg_decode(payload)
+    pb = bytearray(payload)
+    i = pb.index(b"\xff\xc0")
+    assert pb[i + 11] == 0x11
+    for samp in (0x22, 0x21, 0x12):
+        pb[i + 11] = samp
+        assert np.array_equal(jpeg_decode(bytes(pb)), base), hex(samp)
+    prog = jpeg_encode_progressive(blocks, 16, 16, al=1)
+    pp = bytearray(prog)
+    j = pp.index(b"\xff\xc2")
+    pp[j + 11] = 0x22
+    assert np.array_equal(jpeg_decode(bytes(pp)), jpeg_decode(prog))
+
+
+# ------------------- round-13d: the classic BMP matrix -------------------
+
+
+def _bmp_pal(n):
+    return np.array(
+        [[(17 * i) % 256, (29 * i) % 256, (41 * i) % 256] for i in range(n)],
+        np.uint8,
+    )
+
+
+@pytest.mark.parametrize("td", [False, True])
+def test_bmp_truecolor_roundtrip(td):
+    from polars_trading_spark.functions.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(td)
+    px = rng.randint(0, 256, size=(7, 13, 3)).astype(np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px, bits=24, top_down=td)), px)
+    px4 = rng.randint(0, 256, size=(5, 9, 4)).astype(np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(px4, bits=32, top_down=td)), px4)
+
+
+@pytest.mark.parametrize("bits", [1, 4, 8])
+@pytest.mark.parametrize("td", [False, True])
+def test_bmp_palette_roundtrip(bits, td):
+    from polars_trading_spark.functions.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(bits * 7 + td)
+    idx = rng.randint(0, 1 << bits, size=(6, 11)).astype(np.uint8)
+    dec = bmp_decode(bmp_encode(idx, bits=bits, top_down=td))
+    assert np.array_equal(dec, _bmp_pal(1 << bits)[idx])
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_bmp_rle_roundtrip(bits):
+    from polars_trading_spark.functions.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(bits)
+    idx = np.repeat(rng.randint(0, 1 << bits, size=(6, 4)), 3, axis=1).astype(
+        np.uint8
+    )
+    dec = bmp_decode(bmp_encode(idx, bits=bits, rle=True))
+    assert np.array_equal(dec, _bmp_pal(1 << bits)[idx])
+
+
+def test_bmp_rle8_absolute_and_delta_hand_built():
+    from polars_trading_spark.functions.multimodal import bmp_decode
+
+    # absolute blocks + delta escape, hand-built RLE8 stream
+    import struct
+
+    pal = b"".join(
+        bytes([(17 * i) % 256, (29 * i) % 256, (41 * i) % 256, 0])
+        for i in range(256)
+    )
+    # 4x4: abs block [1,2,3], EOL, delta(1,1), run 2x5, EOB
+    stream = (
+        b"\x00\x03" + bytes([1, 2, 3]) + b"\x00"  # absolute, word pad
+        + b"\x00\x00"  # end of line
+        + b"\x00\x02" + bytes([1, 1])  # delta dx=1 dy=1
+        + bytes([2, 5])  # run of two 5s
+        + b"\x00\x01"  # end of bitmap
+    )
+    px_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", px_off + len(stream), 0, 0, px_off)
+    hdr += struct.pack(
+        "<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, len(stream), 0, 0, 256, 0
+    )
+    dec = bmp_decode(hdr + pal + stream)
+    want_idx = np.zeros((4, 4), np.uint8)
+    want_idx[0, :3] = [1, 2, 3]  # stored row 0 (bottom row after flip)
+    # EOL -> (x=0, y=1); delta(+1, +1) -> (x=1, y=2); run lands there
+    want_idx[2, 1:3] = 5
+    assert np.array_equal(dec, _bmp_pal(256)[want_idx][::-1])
+
+
+def test_bmp_pins_still_named():
+    from polars_trading_spark.functions.multimodal import bmp_decode, bmp_encode
+
+    payload = bytearray(bmp_encode(np.zeros((2, 2, 3), np.uint8), bits=24))
+    payload[28] = 16  # 16-bit BMP stays a pin
+    with pytest.raises(NotImplementedError, match="bits=16"):
+        bmp_decode(bytes(payload))
+
+
+# ---------------- round-13e: staged round-14 Spark surfaces ----------------
+
+
+def test_bmp_matrix_synthesizer_spark(spark):
+    from polars_trading_spark.functions.multimodal import (
+        bmp_decode,
+        pixel_stats,
+        synthesize_bmp_matrix,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(15)], ["doc_id"])
+    rows = {
+        r["media_id"]: r
+        for r in pixel_stats(synthesize_bmp_matrix(docs)).collect()
+    }
+    assert len(rows) == 15
+    pal = _bmp_pal(256)
+    for m in range(15):
+        w, h = 4 + m % 13, 3 + m % 9
+        v = m % 5
+        if v == 0:
+            px = ((m * 31 + np.arange(h * w * 3) * 7) % 256).reshape(h, w, 3)
+        elif v == 1:
+            px = ((m * 13 + np.arange(h * w * 4) * 11) % 256).reshape(h, w, 4)
+        else:
+            mod, mul = {2: (256, 7), 3: (16, 3), 4: (2, 1)}[v]
+            idx = ((m + np.arange(h * w) * mul) % mod).reshape(h, w)
+            px = pal[idx]
+        flat = px.reshape(-1).astype(np.int64)
+        j = np.arange(flat.shape[0], dtype=np.int64)
+        r = rows[m]
+        assert r["n_px_bytes"] == flat.shape[0], m
+        assert r["px_sum"] == int(flat.sum()), m
+        assert r["px_dot"] == int((flat * (j % 251 + 1)).sum()), m
+
+
+def test_jpeg_lossless_synthesizer_spark(spark):
+    from polars_trading_spark.functions.multimodal import (
+        pixel_stats,
+        synthesize_jpeg_lossless,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    rows = {
+        r["media_id"]: r
+        for r in pixel_stats(synthesize_jpeg_lossless(docs)).collect()
+    }
+    for m in range(12):
+        w, h = 5 + m % 12, 4 + m % 9
+        p = (8, 12, 16)[m % 3]
+        y, x = np.mgrid[0:h, 0:w]
+        s = ((m * 37 + y * 17 + x * 7) % (1 << p)).reshape(-1).astype(np.int64)
+        j = np.arange(s.shape[0], dtype=np.int64)
+        r = rows[m]
+        assert r["n_px_bytes"] == w * h, m
+        assert r["px_sum"] == int(s.sum()), m
+        assert r["px_dot"] == int((s * (j % 251 + 1)).sum()), m
+
+
+def test_webp_lossy_header_table_spark(spark):
+    from polars_trading_spark.functions.webp import (
+        synthesize_webp_lossy,
+        webp_lossy_header_table,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    rows = {
+        r["media_id"]: r
+        for r in webp_lossy_header_table(synthesize_webp_lossy(docs)).collect()
+    }
+    for m in range(10):
+        r = rows[m]
+        assert (r["width"], r["height"]) == (16 + m % 101, 16 + m % 63)
+        assert r["y_ac_qi"] == m % 128
+        assert r["y_dc_delta"] == (m % 31) - 15
+        assert r["uv_ac_delta"] == (m % 29) - 14
+        assert r["filter_level"] == (3 * m) % 64
+        assert r["sharpness"] == m % 8
+        assert r["n_partitions"] == 1 << (m % 4)
+        assert r["seg_enabled"] == int(m % 3 == 0)
+        if m % 3 == 0:
+            assert r["seg_q0"] == (m % 15) - 7
