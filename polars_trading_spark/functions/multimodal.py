@@ -15,11 +15,13 @@ precisions, 8- and 12-bit** as of round 12: sequential (baseline SOF0
 color, raw CMYK as stored, YCCK/Adobe-transform-2 — at ANY
 integer-ratio sampling factors, at ANY dimensions (partial-MCU edge
 blocks), with restart intervals in BOTH sequential and progressive
-scans, in EVERY scan layout incl. partially-interleaved subsets; plus
-**LOSSLESS SOF3** as of round 13 — T.81 Annex H spatial prediction,
-all 7 predictors, precisions 2-16, point transform, single-component).
-The honestly-named residual pins (arithmetic/hierarchical SOF modes,
-multi-component lossless, non-integer sampling ratios) raise
+scans, in EVERY scan layout incl. partially-interleaved subsets, at
+ANY sampling factors — non-integer ratios upsample via the exact
+nearest index map; plus **LOSSLESS SOF3** as of round 13 — T.81
+Annex H spatial prediction, all 7 predictors, precisions 2-16, point
+transform, up to 4 interleaved 1x1 components).  The honestly-named
+residual pins (arithmetic/hierarchical SOF modes, subsampled
+multi-component lossless) raise
 ``NotImplementedError`` with the feature
 (``decode_image`` falls back to PIL for those when importable); the
 Spark-side plumbing (UDF signatures, batch iteration, schema
@@ -753,9 +755,72 @@ def bmp_decode(payload: bytes):
             idx = _bmp_rle_decode(payload[px_off:], w, h, bits)
             return _flip(pal[idx]).copy()
 
+    if bits == 16 and compression in (0, 3):
+        if compression == 0:
+            masks = (0x7C00, 0x03E0, 0x001F)  # BI_RGB 16-bit = RGB555
+        else:
+            masks = struct.unpack("<III", payload[54:66])
+            if masks not in (
+                (0x7C00, 0x03E0, 0x001F),
+                (0xF800, 0x07E0, 0x001F),
+            ):
+                raise NotImplementedError(
+                    f"BMP 16-bit masks {masks} not supported — "
+                    "RGB555/RGB565 only"
+                )
+        row_sz = (2 * w + 3) // 4 * 4
+        buf = np.frombuffer(
+            payload, dtype=np.uint8, count=row_sz * h, offset=px_off
+        ).reshape(h, row_sz)[:, : 2 * w]
+        v = buf[:, 0::2].astype(np.int64) | (buf[:, 1::2].astype(np.int64) << 8)
+
+        def expand(field, mask):
+            shift = (mask & -mask).bit_length() - 1
+            width_ = (mask >> shift).bit_length()
+            x = (field >> shift) & (mask >> shift)
+            return (x << (8 - width_)) | (x >> (2 * width_ - 8))
+
+        out = np.stack(
+            [expand(v, masks[2]), expand(v, masks[1]), expand(v, masks[0])],
+            axis=-1,
+        ).astype(np.uint8)  # stored-order BGR like the other paths
+        return _flip(out).copy()
+
     raise NotImplementedError(
         f"BMP bits={bits} compression={compression} not supported"
     )
+
+
+def bmp_encode16(raw, *, variant: str = "555", top_down: bool = False) -> bytes:
+    """Encoder twin for the 16-bit paths: ``raw`` is an ``(h, w)``
+    uint16 array of packed pixel words; ``variant`` '555' writes
+    BI_RGB, '565' BI_BITFIELDS with the standard masks."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(raw, dtype=np.uint16)
+    h, w = px.shape
+    row_sz = (2 * w + 3) // 4 * 4
+    rows = px if top_down else px[::-1]
+    body = bytearray()
+    for r in rows:
+        body += r.astype("<u2").tobytes() + b"\x00" * (row_sz - 2 * w)
+    if variant == "555":
+        compression, extra = 0, b""
+    elif variant == "565":
+        compression, extra = 3, struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    else:
+        raise ValueError(f"variant must be 555 or 565, got {variant!r}")
+    px_off = 14 + 40 + len(extra)
+    hdr = b"BM" + struct.pack(
+        "<IHHI", px_off + len(body), 0, 0, px_off
+    ) + struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 16, compression,
+        len(body), 0, 0, 0, 0,
+    )
+    return hdr + extra + bytes(body)
 
 
 def _bmp_rle_decode(data: bytes, w: int, h: int, bits: int):
@@ -2339,16 +2404,29 @@ def _assemble_planes(planes, h: int, w: int, samplings):
     hmx = max(hs for hs, _ in samplings)
     vmx = max(vs for _, vs in samplings)
     out = []
+    import numpy as np
+
     for p, (hs, vs) in zip(planes, samplings):
         comp_h = _ceil_div(h * vs, vmx)
         comp_w = _ceil_div(w * hs, hmx)
         p = p[:comp_h, :comp_w]
-        fy, fx = vmx // vs, hmx // hs
-        if fy > 1:
-            p = p.repeat(fy, axis=0)
-        if fx > 1:
-            p = p.repeat(fx, axis=1)
-        out.append(p[:h, :w])
+        if vmx % vs == 0 and hmx % hs == 0:
+            # integer ratio: exact pixel replication (the common case,
+            # byte-identical to every prior round's output)
+            fy, fx = vmx // vs, hmx // hs
+            if fy > 1:
+                p = p.repeat(fy, axis=0)
+            if fx > 1:
+                p = p.repeat(fx, axis=1)
+            out.append(p[:h, :w])
+        else:
+            # NON-INTEGER ratio (round 13): nearest-neighbour index
+            # map out[y, x] = comp[y*comp_h // h, x*comp_w // w] —
+            # T.81 A.1.1 leaves the filter unspecified; the box map is
+            # integer-exact, hence oracle-replayable
+            ys = np.arange(h, dtype=np.int64) * comp_h // h
+            xs = np.arange(w, dtype=np.int64) * comp_w // w
+            out.append(p[np.ix_(ys, xs)])
     return out
 
 
@@ -2527,12 +2605,9 @@ def jpeg_decode(payload: bytes):
                 samplings = [(1, 1)]
             hmx = max(hs for hs, _ in samplings)
             vmx = max(vs for _, vs in samplings)
-            if any(hmx % hs or vmx % vs for hs, vs in samplings):
-                # pixel-replication upsampling needs integer ratios
-                raise NotImplementedError(
-                    f"sampling {samplings} not supported — factors "
-                    "must divide the maximum evenly"
-                )
+            # non-integer ratios (e.g. 3:2) upsample via the nearest
+            # index map in _assemble_planes (round 13 — former pin;
+            # T.81 leaves the interpolation unspecified)
             if progressive:
                 # round 11: progressive is sampling-generic — the DC
                 # scans walk MCU-interleaved block order, AC scans are
@@ -2572,14 +2647,24 @@ def jpeg_decode(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if not 2 <= prec <= 16:
                 raise ValueError(f"invalid lossless precision {prec}")
-            if nc != 1:
+            if nc not in (1, 2, 3, 4):
                 raise NotImplementedError(
-                    f"{nc}-component lossless JPEG not supported — "
-                    "single-component only"
+                    f"{nc}-component lossless JPEG not supported"
                 )
+            comps = []
+            for ci in range(nc):
+                cid, sampling, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if nc > 1 and sampling != 0x11:
+                    # subsampled multi-component lossless stays a pin;
+                    # 1x1 everywhere = one sample per component per MCU
+                    raise NotImplementedError(
+                        "subsampled multi-component lossless JPEG not "
+                        "supported — 1x1 factors only"
+                    )
+                comps.append((cid, 1, 1, tq))
             precision = prec
             lossless = True
-            frame = (h, w, [(body[6], 1, 1, body[8])])
+            frame = (h, w, comps)
         elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker 0xFF{marker:02X}) not supported"
@@ -2590,13 +2675,19 @@ def jpeg_decode(payload: bytes):
             h, w, comps = frame
             ns = body[0]
             if lossless:
-                if ns != 1:
+                if ns != len(comps):
                     raise NotImplementedError(
-                        "multi-component lossless scan not supported"
+                        "partial-component lossless scans not supported "
+                        "— one scan covering every frame component only"
                     )
-                td = body[2] >> 4
-                if td not in dc_tables:
-                    raise ValueError("lossless scan references undeclared table")
+                tables = []
+                for si in range(ns):
+                    td = body[2 + 2 * si] >> 4
+                    if td not in dc_tables:
+                        raise ValueError(
+                            "lossless scan references undeclared table"
+                        )
+                    tables.append(dc_tables[td])
                 ss = body[1 + 2 * ns]  # predictor selector 1-7
                 pt = body[3 + 2 * ns] & 0x0F  # point transform
                 if not 1 <= ss <= 7:
@@ -2606,7 +2697,7 @@ def jpeg_decode(payload: bytes):
                         "restart markers in lossless scans not supported"
                     )
                 return _jpeg_lossless_scan(
-                    payload, i + 2 + seg_len, h, w, dc_tables[td],
+                    payload, i + 2 + seg_len, h, w, tables,
                     ss, pt, precision,
                 )
             if progressive:
@@ -2746,10 +2837,13 @@ def jpeg_decode(payload: bytes):
 jpeg_decode_gray = jpeg_decode
 
 
-def _jpeg_lossless_scan(data, pos, h, w, table, predictor, pt, precision):
+def _jpeg_lossless_scan(data, pos, h, w, tables, predictor, pt, precision):
     """T.81 Annex H lossless scan: per-sample SSSS category via the DC
     Huffman table + extra amplitude bits, differences mod 2^16 added to
-    the spatial prediction.  Border rules per H.1.2: the first sample
+    the spatial prediction.  ``tables`` is one Huffman table per
+    component; with Ns > 1 (all factors 1x1, round 13) each MCU is one
+    sample per component in scan order, every component predicting
+    from its OWN plane.  Border rules per H.1.2: the first sample
     predicts ``1 << (P - 1 - Pt)``, the rest of the first line uses
     predictor 1 (left), the first column predictor 2 (above); the
     (b - c) / (a - c) halvings are arithmetic right shifts.  SSSS = 16
@@ -2757,46 +2851,49 @@ def _jpeg_lossless_scan(data, pos, h, w, table, predictor, pt, precision):
     import numpy as np
 
     r = _BitReaderMSB(data, pos)
-    out = np.zeros((h, w), dtype=np.int64)
+    nc = len(tables)
+    out = np.zeros((nc, h, w), dtype=np.int64)
     default = 1 << (precision - 1 - pt)
     for y in range(h):
-        row = out[y]
-        prev = out[y - 1] if y else None
         for x in range(w):
-            ssss = _read_huff_symbol(r, table)
-            if ssss == 16:
-                diff = 32768
-            elif ssss:
-                v = r.bits(ssss)
-                diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
-            else:
-                diff = 0
-            if y == 0:
-                pred = default if x == 0 else int(row[x - 1])
-            elif x == 0:
-                pred = int(prev[0])
-            else:
-                a = int(row[x - 1])
-                b = int(prev[x])
-                c = int(prev[x - 1])
-                if predictor == 1:
-                    pred = a
-                elif predictor == 2:
-                    pred = b
-                elif predictor == 3:
-                    pred = c
-                elif predictor == 4:
-                    pred = a + b - c
-                elif predictor == 5:
-                    pred = a + ((b - c) >> 1)
-                elif predictor == 6:
-                    pred = b + ((a - c) >> 1)
-                else:  # 7
-                    pred = (a + b) >> 1
-            row[x] = (pred + diff) & 0xFFFF
+            for ci in range(nc):
+                ssss = _read_huff_symbol(r, tables[ci])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss:
+                    v = r.bits(ssss)
+                    diff = (
+                        v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                    )
+                else:
+                    diff = 0
+                plane = out[ci]
+                if y == 0:
+                    pred = default if x == 0 else int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    c = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + b - c
+                    elif predictor == 5:
+                        pred = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - c) >> 1)
+                    else:  # 7
+                        pred = (a + b) >> 1
+                plane[y, x] = (pred + diff) & 0xFFFF
     out <<= pt
     dtype = np.uint8 if precision <= 8 else np.uint16
-    return out.astype(dtype)[..., None]
+    return out.astype(dtype).transpose(1, 2, 0)
 
 
 # canonical SSSS table for lossless scans: categories 0-16 (12-16 only
@@ -2810,10 +2907,13 @@ def jpeg_encode_lossless(
     samples, width: int, height: int, *, predictor: int = 4,
     precision: int = 8, pt: int = 0,
 ) -> bytes:
-    """Encode a 2-D integer sample array as a LOSSLESS JPEG (SOF3,
-    single component): SSSS-category Huffman coding of the mod-2^16
-    prediction differences, any precision 2-16, selectable predictor
-    1-7 and point transform."""
+    """Encode an integer sample array as a LOSSLESS JPEG (SOF3):
+    SSSS-category Huffman coding of the mod-2^16 prediction
+    differences, any precision 2-16, selectable predictor 1-7 and
+    point transform.  ``samples`` may be ``(h, w)`` (single component)
+    or ``(h, w, nc)`` with nc <= 4 (round 13: one interleaved scan, one
+    sample per component per MCU at 1x1 factors, per-plane
+    prediction)."""
     import struct
 
     import numpy as np
@@ -2823,8 +2923,13 @@ def jpeg_encode_lossless(
     if not 2 <= precision <= 16:
         raise ValueError(f"precision must be 2-16, got {precision}")
     s = np.asarray(samples, dtype=np.int64)
-    if s.shape != (height, width):
-        raise ValueError(f"samples must be {height}x{width}, got {s.shape}")
+    if s.ndim == 2:
+        s = s[..., None]
+    if s.ndim != 3 or s.shape[:2] != (height, width) or not 1 <= s.shape[2] <= 4:
+        raise ValueError(
+            f"samples must be {height}x{width}[x1-4], got {s.shape}"
+        )
+    nc = s.shape[2]
     if s.min() < 0 or s.max() >= (1 << precision):
         raise ValueError("samples out of range for the declared precision")
     if pt:
@@ -2834,55 +2939,58 @@ def jpeg_encode_lossless(
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xc3" + struct.pack(
-        ">HBHHB", 11, precision, height, width, 1
-    ) + bytes([1, 0x11, 0])
+        ">HBHHB", 8 + 3 * nc, precision, height, width, nc
+    )
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(
         ">HB", 2 + 1 + 16 + len(_LL_VALS), 0x00
     ) + bytes(_LL_BITS) + bytes(_LL_VALS)
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
-        [1, 0x00, predictor, 0, pt]
-    )
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0, pt])
 
     codes = _huff_codes(_LL_BITS, _LL_VALS)
     w = _BitWriterMSB()
     default = 1 << (precision - 1 - pt)
     for y in range(height):
-        row = s[y]
-        prev = s[y - 1] if y else None
         for x in range(width):
-            if y == 0:
-                pred = default if x == 0 else int(row[x - 1])
-            elif x == 0:
-                pred = int(prev[0])
-            else:
-                a = int(row[x - 1])
-                b = int(prev[x])
-                c = int(prev[x - 1])
-                if predictor == 1:
-                    pred = a
-                elif predictor == 2:
-                    pred = b
-                elif predictor == 3:
-                    pred = c
-                elif predictor == 4:
-                    pred = a + b - c
-                elif predictor == 5:
-                    pred = a + ((b - c) >> 1)
-                elif predictor == 6:
-                    pred = b + ((a - c) >> 1)
+            for ci in range(nc):
+                plane = s[:, :, ci]
+                if y == 0:
+                    pred = default if x == 0 else int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
                 else:
-                    pred = (a + b) >> 1
-            d = (int(row[x]) - pred) & 0xFFFF
-            signed = d - 65536 if d > 32768 else d
-            if signed == 32768:
-                c_, ln = codes[16]
-                w.write(c_, ln)
-            else:
-                ssss, bits = _jpeg_category(signed)
-                c_, ln = codes[ssss]
-                w.write(c_, ln)
-                if ssss:
-                    w.write(bits, ssss)
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    c = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + b - c
+                    elif predictor == 5:
+                        pred = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - c) >> 1)
+                    else:
+                        pred = (a + b) >> 1
+                d = (int(plane[y, x]) - pred) & 0xFFFF
+                signed = d - 65536 if d > 32768 else d
+                if signed == 32768:
+                    c_, ln = codes[16]
+                    w.write(c_, ln)
+                else:
+                    ssss, bits = _jpeg_category(signed)
+                    c_, ln = codes[ssss]
+                    w.write(c_, ln)
+                    if ssss:
+                        w.write(bits, ssss)
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -4611,13 +4719,14 @@ def synthesize_jpeg_extended(documents: DataFrame) -> DataFrame:
 
 def synthesize_bmp_matrix(documents: DataFrame) -> DataFrame:
     """Round 13: deterministic BMPs cycling the FULL classic decode
-    matrix by ``m % 5`` — 24-bit BGR, 32-bit BGRA, 8-bit palette,
-    4-bit palette, 1-bit palette — with top-down row order on odd
-    truecolor ids and RLE compression on odd palette ids (palette
-    entries are the ``bmp_encode`` ramp ``((17i, 29i, 41i) % 256``),
-    so one closed-form SQL oracle can replay every decoded byte.
-    ``width = 4 + m % 13``, ``height = 3 + m % 9``.  Staged for the
-    round-14 gate window as ``multimodal_bmp_matrix_decode``."""
+    matrix by ``m % 6`` — 24-bit BGR, 32-bit BGRA, 8-bit palette,
+    4-bit palette, 1-bit palette, 16-bit RGB555/565 — with top-down
+    row order on odd truecolor ids and RLE compression on odd palette
+    ids (palette entries are the ``bmp_encode`` ramp ``(17i, 29i,
+    41i) % 256``), so one closed-form SQL oracle can replay every
+    decoded byte.  ``width = 4 + m % 13``, ``height = 3 + m % 9``.
+    Staged for the round-14 gate window as
+    ``multimodal_bmp_matrix_decode``."""
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -4627,7 +4736,7 @@ def synthesize_bmp_matrix(documents: DataFrame) -> DataFrame:
             for m in pdf["media_id"]:
                 m = int(m)
                 w, h = 4 + m % 13, 3 + m % 9
-                v = m % 5
+                v = m % 6
                 j = np.arange(h * w, dtype=np.int64)
                 if v == 0:
                     px = (
@@ -4649,9 +4758,20 @@ def synthesize_bmp_matrix(documents: DataFrame) -> DataFrame:
                 elif v == 3:
                     idx = ((m + j * 3) % 16).astype(np.uint8).reshape(h, w)
                     rows.append(bmp_encode(idx, bits=4, rle=bool(m % 2)))
-                else:
+                elif v == 4:
                     idx = ((m + j) % 2).astype(np.uint8).reshape(h, w)
                     rows.append(bmp_encode(idx, bits=1))
+                else:
+                    raw = ((m * 257 + j * 97) % 65536).astype(np.uint16)
+                    if m % 2 == 0:
+                        raw &= 0x7FFF
+                        rows.append(
+                            bmp_encode16(raw.reshape(h, w), variant="555")
+                        )
+                    else:
+                        rows.append(
+                            bmp_encode16(raw.reshape(h, w), variant="565")
+                        )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 
     return _media_base(documents).mapInPandas(
@@ -4668,8 +4788,9 @@ def synthesize_bmp_matrix(documents: DataFrame) -> DataFrame:
 def synthesize_jpeg_lossless(documents: DataFrame) -> DataFrame:
     """Round 13: deterministic LOSSLESS JPEGs (SOF3) per document id —
     ``width = 5 + m % 12``, ``height = 4 + m % 9``, precision cycling
-    8/12/16 by ``m % 3``, predictor ``1 + m % 7``, sample ``(y, x) =
-    (m*37 + y*17 + x*7) % 2^P`` — decode returns the samples exactly,
+    8/12/16 by ``m % 3``, predictor ``1 + m % 7``, ``1 + m % 3``
+    interleaved components (round 13b), sample ``(y, x, c) = (m*37 +
+    y*17 + x*7 + c*53) % 2^P`` — decode returns the samples exactly,
     so the SQL oracle replays every value closed-form.  Staged for the
     round-14 gate window as ``multimodal_jpeg_lossless_decode``."""
 
@@ -4682,12 +4803,55 @@ def synthesize_jpeg_lossless(documents: DataFrame) -> DataFrame:
                 m = int(m)
                 w, h = 5 + m % 12, 4 + m % 9
                 p = (8, 12, 16)[m % 3]
-                y, x = np.mgrid[0:h, 0:w]
-                s = (m * 37 + y * 17 + x * 7) % (1 << p)
+                nc = 1 + m % 3
+                y, x, c = np.mgrid[0:h, 0:w, 0:nc]
+                s = (m * 37 + y * 17 + x * 7 + c * 53) % (1 << p)
                 rows.append(
                     jpeg_encode_lossless(
                         s, w, h, predictor=1 + m % 7, precision=p
                     )
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
+
+    return _media_base(documents).mapInPandas(
+        pack,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def synthesize_jpeg_noninteger(documents: DataFrame) -> DataFrame:
+    """Round 13: deterministic color JPEGs with NON-INTEGER sampling
+    ratios — ``samplings = [(3,1), (2,1), (1,1)]`` (luma 3:2:1 against
+    the chroma planes horizontally), one interleaved scan, DC-only
+    spectra ``((m*(ci+2) + 13k) % 64) - 32`` on each component's
+    padded block grid; ``width = 24 + 24*(m % 2)``, ``height = 8 +
+    8*(m % 3)``.  Decode upsamples via the exact nearest index map, so
+    the SQL oracle replays every RGB byte closed-form.  Staged for the
+    round-14 gate window as ``multimodal_jpeg_noninteger_decode``."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for m in pdf["media_id"]:
+                m = int(m)
+                w, h = 24 + 24 * (m % 2), 8 + 8 * (m % 3)
+                samp = [(3, 1), (2, 1), (1, 1)]
+                mcw, mch = _ceil_div(w, 24), _ceil_div(h, 8)
+                comps = []
+                for ci, (hs, vs) in enumerate(samp):
+                    blocks = []
+                    for k in range(mcw * hs * mch * vs):
+                        b = [0] * 64
+                        b[0] = ((m * (ci + 2) + 13 * k) % 64) - 32
+                        blocks.append(b)
+                    comps.append(blocks)
+                rows.append(
+                    jpeg_encode_scan_groups(comps, w, h, samp, [(0, 1, 2)])
                 )
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": rows})
 

@@ -327,11 +327,13 @@ def test_lossless_jpeg_validation():
         jpeg_encode_lossless(s, 2, 2, precision=17)
     with pytest.raises(ValueError, match="out of range"):
         jpeg_encode_lossless(s + 300, 2, 2, precision=8)
-    # multi-component lossless stays a named pin
-    payload = bytearray(jpeg_encode_lossless(s, 2, 2))
+    # SUBSAMPLED multi-component lossless stays a named pin (1x1
+    # interleaved multi-component decodes as of round 13)
+    s3 = np.zeros((2, 2, 2), np.int64)
+    payload = bytearray(jpeg_encode_lossless(s3, 2, 2))
     i = payload.index(b"\xff\xc3")
-    payload[i + 9] = 3  # nc
-    with pytest.raises(NotImplementedError, match="component lossless"):
+    payload[i + 11] = 0x22  # component 0 sampling
+    with pytest.raises(NotImplementedError, match="subsampled multi"):
         jpeg_decode(bytes(payload))
 
 
@@ -441,12 +443,60 @@ def test_bmp_rle8_absolute_and_delta_hand_built():
 
 
 def test_bmp_pins_still_named():
-    from polars_trading_spark.functions.multimodal import bmp_decode, bmp_encode
+    from polars_trading_spark.functions.multimodal import (
+        bmp_decode,
+        bmp_encode16,
+    )
 
-    payload = bytearray(bmp_encode(np.zeros((2, 2, 3), np.uint8), bits=24))
-    payload[28] = 16  # 16-bit BMP stays a pin
-    with pytest.raises(NotImplementedError, match="bits=16"):
+    # nonstandard 16-bit bitfield masks stay a pin (round 13 closed
+    # RGB555/RGB565)
+    payload = bytearray(bmp_encode16(np.zeros((2, 2), np.uint16), variant="565"))
+    import struct
+
+    payload[54:66] = struct.pack("<III", 0xF00, 0xF0, 0xF)  # 4:4:4
+    with pytest.raises(NotImplementedError, match="masks"):
         bmp_decode(bytes(payload))
+
+
+@pytest.mark.parametrize("variant", ["555", "565"])
+@pytest.mark.parametrize("td", [False, True])
+def test_bmp_16bit_roundtrip(variant, td):
+    from polars_trading_spark.functions.multimodal import (
+        bmp_decode,
+        bmp_encode16,
+    )
+
+    rng = np.random.RandomState(td * 2 + (variant == "565"))
+    raw = rng.randint(0, 1 << 16, size=(5, 7)).astype(np.uint16)
+    if variant == "555":
+        raw &= 0x7FFF
+    dec = bmp_decode(bmp_encode16(raw, variant=variant, top_down=td))
+
+    def expand(x, n):
+        return (x << (8 - n)) | (x >> (2 * n - 8))
+
+    r64 = raw.astype(np.int64)
+    if variant == "555":
+        bgr = [expand(r64 & 31, 5), expand((r64 >> 5) & 31, 5), expand((r64 >> 10) & 31, 5)]
+    else:
+        bgr = [expand(r64 & 31, 5), expand((r64 >> 5) & 63, 6), expand((r64 >> 11) & 31, 5)]
+    assert np.array_equal(dec, np.stack(bgr, axis=-1).astype(np.uint8))
+
+
+@pytest.mark.parametrize("P", [8, 12, 16])
+@pytest.mark.parametrize("nc", [2, 3, 4])
+def test_lossless_jpeg_multicomponent(P, nc):
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.RandomState(P + nc)
+    for pred in (1, 4, 7):
+        s = rng.randint(0, 1 << P, size=(6, 9, nc)).astype(np.int64)
+        dec = jpeg_decode(jpeg_encode_lossless(s, 9, 6, predictor=pred, precision=P))
+        assert dec.shape == (6, 9, nc)
+        assert np.array_equal(dec.astype(np.int64), s), (P, nc, pred)
 
 
 # ---------------- round-13e: staged round-14 Spark surfaces ----------------
@@ -466,13 +516,25 @@ def test_bmp_matrix_synthesizer_spark(spark):
     }
     assert len(rows) == 15
     pal = _bmp_pal(256)
+
+    def expand(x, n):
+        return (x << (8 - n)) | (x >> (2 * n - 8))
+
     for m in range(15):
         w, h = 4 + m % 13, 3 + m % 9
-        v = m % 5
+        v = m % 6
         if v == 0:
             px = ((m * 31 + np.arange(h * w * 3) * 7) % 256).reshape(h, w, 3)
         elif v == 1:
             px = ((m * 13 + np.arange(h * w * 4) * 11) % 256).reshape(h, w, 4)
+        elif v == 5:
+            raw = (m * 257 + np.arange(h * w) * 97) % 65536
+            if m % 2 == 0:
+                raw = raw & 0x7FFF
+                bgr = [expand(raw & 31, 5), expand((raw >> 5) & 31, 5), expand((raw >> 10) & 31, 5)]
+            else:
+                bgr = [expand(raw & 31, 5), expand((raw >> 5) & 63, 6), expand((raw >> 11) & 31, 5)]
+            px = np.stack(bgr, axis=-1).reshape(h, w, 3)
         else:
             mod, mul = {2: (256, 7), 3: (16, 3), 4: (2, 1)}[v]
             idx = ((m + np.arange(h * w) * mul) % mod).reshape(h, w)
@@ -499,11 +561,12 @@ def test_jpeg_lossless_synthesizer_spark(spark):
     for m in range(12):
         w, h = 5 + m % 12, 4 + m % 9
         p = (8, 12, 16)[m % 3]
-        y, x = np.mgrid[0:h, 0:w]
-        s = ((m * 37 + y * 17 + x * 7) % (1 << p)).reshape(-1).astype(np.int64)
+        nc = 1 + m % 3
+        y, x, c = np.mgrid[0:h, 0:w, 0:nc]
+        s = ((m * 37 + y * 17 + x * 7 + c * 53) % (1 << p)).reshape(-1).astype(np.int64)
         j = np.arange(s.shape[0], dtype=np.int64)
         r = rows[m]
-        assert r["n_px_bytes"] == w * h, m
+        assert r["n_px_bytes"] == w * h * nc, m
         assert r["px_sum"] == int(s.sum()), m
         assert r["px_dot"] == int((s * (j % 251 + 1)).sum()), m
 
@@ -531,3 +594,92 @@ def test_webp_lossy_header_table_spark(spark):
         assert r["seg_enabled"] == int(m % 3 == 0)
         if m % 3 == 0:
             assert r["seg_q0"] == (m % 15) - 7
+
+
+def test_noninteger_sampling_ratio_decodes():
+    """Round 13 closes the non-integer sampling pin: a 3:2:1
+    horizontally-sampled interleaved frame decodes via the exact
+    nearest index map (T.81 leaves the filter unspecified)."""
+    import math
+
+    from polars_trading_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_encode_scan_groups,
+    )
+
+    ceil = lambda a, b: -(-a // b)
+    w_, h_, m = 24, 8, 5
+    samp = [(3, 1), (2, 1), (1, 1)]
+    comps = []
+    for ci, (hs, vs) in enumerate(samp):
+        mcw, mch = ceil(w_, 24), ceil(h_, 8)
+        blocks = []
+        for k in range(mcw * hs * mch * vs):
+            b = [0] * 64
+            b[0] = ((m * (ci + 2) + 13 * k) % 64) - 32
+            blocks.append(b)
+        comps.append(blocks)
+    dec = jpeg_decode(jpeg_encode_scan_groups(comps, w_, h_, samp, [(0, 1, 2)]))
+    assert dec.shape == (h_, w_, 3)
+
+    def rgb(yv, cb, cr):
+        r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+        g = min(255, max(0, math.floor(
+            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+        b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+        return r, g, b
+
+    for y in range(h_):
+        for x in range(w_):
+            vals = []
+            for ci, (hs, vs) in enumerate(samp):
+                cw = ceil(w_ * hs, 3)
+                nbw = ceil(w_, 24) * hs
+                sx = x * cw // w_
+                k = (y // 8) * nbw + (sx // 8)
+                vals.append(2 * ((m * (ci + 2) + 13 * k) % 64) + 64)
+            assert tuple(int(v) for v in dec[y, x]) == rgb(*vals), (y, x)
+
+
+def test_jpeg_noninteger_synthesizer_spark(spark):
+    import math
+
+    from polars_trading_spark.functions.multimodal import (
+        pixel_stats,
+        synthesize_jpeg_noninteger,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    rows = {
+        r["media_id"]: r
+        for r in pixel_stats(synthesize_jpeg_noninteger(docs)).collect()
+    }
+    ceil = lambda a, b: -(-a // b)
+
+    def rgb(yv, cb, cr):
+        r = min(255, max(0, math.floor(yv + 1.402 * (cr - 128) + 0.5)))
+        g = min(255, max(0, math.floor(
+            yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)))
+        b = min(255, max(0, math.floor(yv + 1.772 * (cb - 128) + 0.5)))
+        return r, g, b
+
+    for m in range(6):
+        w, h = 24 + 24 * (m % 2), 8 + 8 * (m % 3)
+        samp = [(3, 1), (2, 1), (1, 1)]
+        vals = []
+        for y in range(h):
+            for x in range(w):
+                trip = []
+                for ci, (hs, vs) in enumerate(samp):
+                    cw = ceil(w * hs, 3)
+                    nbw = ceil(w, 24) * hs
+                    sx = x * cw // w
+                    k = (y // 8) * nbw + (sx // 8)
+                    trip.append(2 * ((m * (ci + 2) + 13 * k) % 64) + 64)
+                vals.extend(rgb(*trip))
+        flat = np.array(vals, dtype=np.int64)
+        j = np.arange(flat.shape[0], dtype=np.int64)
+        r = rows[m]
+        assert r["n_px_bytes"] == flat.shape[0], m
+        assert r["px_sum"] == int(flat.sum()), m
+        assert r["px_dot"] == int((flat * (j % 251 + 1)).sum()), m
