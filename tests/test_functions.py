@@ -218,12 +218,13 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_411 + b"\xff\xd9")
-    # ... while NON-INTEGER-RATIO 3-component sampling stays pinned
-    sof_3c_bad = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+    # ... NON-INTEGER-RATIO sampling is IN scope since round 13
+    # (nearest index-map upsampling): header-only means malformed
+    sof_3c_frac = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
         [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="divide the maximum"):
-        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_3c_bad + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scan"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_3c_frac + b"\xff\xd9")
     # a header-only GRAYSCALE stream is malformed, not unsupported
     sof_gray = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
@@ -253,13 +254,13 @@ def test_decode_image_garbage_and_pinned_jpeg_scope():
     )
     with pytest.raises(ValueError, match="no scan"):
         multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_sub + b"\xff\xd9")
-    # ... while NON-INTEGER-RATIO 4-component sampling stays pinned
-    # (pixel replication needs each factor to divide the maximum)
-    sof_cmyk_bad = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
+    # ... NON-INTEGER-RATIO 4-component sampling is IN scope since
+    # round 13 (nearest index-map upsampling): header-only = malformed
+    sof_cmyk_frac = b"\xff\xc0" + struct.pack(">HBHHB", 20, 8, h, w, 4) + bytes(
         [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1, 4, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="divide the maximum"):
-        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_bad + b"\xff\xd9")
+    with pytest.raises(ValueError, match="no scan"):
+        multimodal.jpeg_decode(b"\xff\xd8" + app0 + sof_cmyk_frac + b"\xff\xd9")
     # ... as does a 2-component frame, by count
     sof_2c = b"\xff\xc0" + struct.pack(">HBHHB", 14, 8, h, w, 2) + bytes(
         [1, 0x11, 0, 2, 0x11, 1]
@@ -2433,12 +2434,13 @@ def test_jpeg_progressive_scope_and_validation():
     )
     with pytest.raises(ValueError, match="undeclared quant table"):
         jpeg_decode(b"\xff\xd8" + app0 + sof2_420 + b"\xff\xd9")
-    # non-integer-ratio progressive sampling stays pinned
-    sof2_bad = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 48, 48, 3) + bytes(
+    # non-integer-ratio progressive sampling is IN scope since round
+    # 13: a header-only stream is malformed, not unsupported
+    sof2_frac = b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 48, 48, 3) + bytes(
         [1, 0x31, 0, 2, 0x21, 1, 3, 0x11, 1]
     )
-    with pytest.raises(NotImplementedError, match="divide the maximum"):
-        jpeg_decode(b"\xff\xd8" + app0 + sof2_bad + b"\xff\xd9")
+    with pytest.raises(ValueError, match="undeclared quant table"):
+        jpeg_decode(b"\xff\xd8" + app0 + sof2_frac + b"\xff\xd9")
 
 
 def test_png16_round_trips_and_scope():

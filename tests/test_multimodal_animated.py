@@ -88,10 +88,10 @@ def test_ycck_rejects_bad_geometry():
         jpeg_encode_ycck([], 16, 8)
 
 
-def test_non_integer_ratio_progressive_pinned():
-    # subsampled progressive is IN scope since round 11; the honest
-    # remaining sampling pin is a NON-INTEGER ratio (3:2 mix), where
-    # pixel-replication upsampling cannot apply
+def test_non_integer_ratio_progressive_in_scope():
+    # subsampled progressive is IN scope since round 11 and
+    # NON-INTEGER ratios (3:2 mixes) since round 13 — a header-only
+    # stream is now malformed (no quant tables), not unsupported
     import struct
 
     payload = bytearray(b"\xff\xd8")
@@ -101,7 +101,7 @@ def test_non_integer_ratio_progressive_pinned():
     for cid in (3, 4):
         payload += bytes([cid, 0x11, 0])
     payload += b"\xff\xd9"
-    with pytest.raises(NotImplementedError, match="divide the maximum"):
+    with pytest.raises(ValueError, match="undeclared quant table"):
         jpeg_decode(bytes(payload))
 
 
