@@ -410,10 +410,32 @@ def main() -> None:
             for name, s in q_sentinel.items()
         }
         substitutions: dict[str, dict[str, float]] = {}
+        # Bound the prior-median re-runs to the worst offenders: on a
+        # machine uniformly ~1.5x slower than the committed priors,
+        # EVERY query would otherwise re-run and double the sweep; the
+        # cap keeps added wall bounded while the isolated pass below
+        # still corrects the slowest absolute numbers.
+        rerun_cap = int(os.environ.get("SPARK_GRAFT_RERUN_CAP", "40"))
+        over = sorted(
+            (
+                (timings[n] / prior_medians[n], n)
+                for n in timings
+                if prior_medians.get(n, 0) > 0
+                and timings[n] > 1.4 * prior_medians[n]
+            ),
+            reverse=True,
+        )
+        over_names = {n for _, n in over[:rerun_cap]}
+        if len(over) > rerun_cap:
+            print(
+                f"# prior-median re-run cap: {len(over)} flagged, "
+                f"re-running worst {rerun_cap}",
+                file=sys.stderr,
+            )
         for name in list(timings):
             ratio = drift_ratio.get(name, 1.0)
+            over_prior = name in over_names
             prior = prior_medians.get(name)
-            over_prior = prior is not None and prior > 0 and timings[name] > 1.4 * prior
             if ratio <= 1.5 and not over_prior:
                 continue
             med, times = _time_query(QUERIES[name])
