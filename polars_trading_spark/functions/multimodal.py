@@ -298,6 +298,23 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
+def _png_trns_chunk(trns, color_type: int) -> bytes:
+    """Serialize the tRNS transparency chunk (round 13): per-entry
+    alpha bytes for palette images, a 2-byte big-endian sample key for
+    grayscale, a 3x2-byte RGB key for truecolor."""
+    import struct
+
+    if trns is None:
+        return b""
+    if color_type == 3:
+        return _png_chunk(b"tRNS", bytes(trns))
+    if color_type == 0:
+        return _png_chunk(b"tRNS", struct.pack(">H", int(trns)))
+    if color_type == 2:
+        return _png_chunk(b"tRNS", struct.pack(">HHH", *[int(v) for v in trns]))
+    raise ValueError(f"tRNS is invalid for color type {color_type}")
+
+
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     import struct
     import zlib
@@ -391,7 +408,7 @@ def _png_unpack_bits(rows, w: int, depth: int):
 
 def png_encode(
     pixels, *, color_type: int = 2, filters=None, palette=None,
-    interlace: bool = False, depth: int = 8,
+    interlace: bool = False, depth: int = 8, trns=None,
 ) -> bytes:
     """Encode an ``(h, w, channels)`` uint8 array as a REAL spec-valid
     PNG: IHDR + one zlib-deflate IDAT + IEND, correct CRCs, bit depth 8.
@@ -459,6 +476,7 @@ def png_encode(
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + plte
+            + _png_trns_chunk(trns, color_type)
             + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _png_chunk(b"IEND", b"")
         )
@@ -511,6 +529,7 @@ def png_encode(
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + plte
+        + _png_trns_chunk(trns, color_type)
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -545,6 +564,7 @@ def png_decode(payload: bytes):
     i, n = 8, len(payload)
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     while i + 8 <= n:
         (clen,) = struct.unpack(">I", payload[i : i + 4])
@@ -559,6 +579,8 @@ def png_decode(payload: bytes):
             if len(data) % 3 or not (3 <= len(data) <= 768):
                 raise ValueError("malformed PLTE chunk")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = bytes(data)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -631,7 +653,27 @@ def png_decode(payload: bytes):
     if color_type == 3:
         if int(px.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of PLTE range")
-        px = plte[px[:, :, 0].astype(np.int64)]
+        idx = px[:, :, 0].astype(np.int64)
+        px = plte[idx]
+        if trns is not None:
+            # tRNS (round 13): per-palette-entry alpha, entries past
+            # the table's end fully opaque per spec 11.3.2
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            px = np.concatenate([px, alpha[idx][:, :, None]], axis=-1)
+    elif trns is not None and color_type in (0, 2):
+        # single transparent sample value (gray) / RGB triple, stored
+        # as 2-byte big-endian fields regardless of depth
+        keys = [
+            int.from_bytes(trns[2 * c : 2 * c + 2], "big")
+            for c in range(ch)
+        ]
+        match = np.ones(px.shape[:2], dtype=bool)
+        for c in range(ch):
+            match &= px[:, :, c].astype(np.int64) == keys[c]
+        amax = 65535 if depth == 16 else 255
+        alpha = np.where(match, 0, amax).astype(px.dtype)
+        px = np.concatenate([px, alpha[:, :, None]], axis=-1)
     return px
 
 

@@ -683,3 +683,49 @@ def test_jpeg_noninteger_synthesizer_spark(spark):
         assert r["n_px_bytes"] == flat.shape[0], m
         assert r["px_sum"] == int(flat.sum()), m
         assert r["px_dot"] == int((flat * (j % 251 + 1)).sum()), m
+
+
+# ----------------- round-13f: PNG tRNS transparency -----------------
+
+
+def test_png_trns_palette_and_keys():
+    from polars_trading_spark.functions.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(6)
+    pal = [tuple(int(v) for v in row) for row in rng.randint(0, 256, size=(10, 3))]
+    idx = rng.randint(0, 10, size=(7, 9, 1)).astype(np.uint8)
+    alphas = [10, 200, 0, 255, 77]  # shorter than the palette
+    for interlace in (False, True):
+        dec = png_decode(
+            png_encode(idx, color_type=3, palette=pal, trns=alphas,
+                       interlace=interlace)
+        )
+        assert dec.shape == (7, 9, 4)
+        for y in range(7):
+            for x in range(9):
+                i = int(idx[y, x, 0])
+                assert tuple(dec[y, x, :3]) == pal[i]
+                assert dec[y, x, 3] == (alphas[i] if i < 5 else 255)
+    # no tRNS -> RGB, byte-identical back-compat
+    assert png_decode(png_encode(idx, color_type=3, palette=pal)).shape == (7, 9, 3)
+    # sub-8-bit palette carries tRNS too
+    idx4 = rng.randint(0, 4, size=(5, 11)).astype(np.uint8)
+    dec = png_decode(
+        png_encode(idx4, color_type=3, palette=pal[:4], depth=2, trns=[9, 255, 0])
+    )
+    assert dec.shape == (5, 11, 4)
+    # grayscale sample key -> gray+alpha
+    g = rng.randint(0, 256, size=(6, 6, 1)).astype(np.uint8)
+    g[2, 3, 0] = 123
+    dec = png_decode(png_encode(g, color_type=0, trns=123))
+    assert dec.shape == (6, 6, 2)
+    assert (dec[:, :, 1] == np.where(g[:, :, 0] == 123, 0, 255)).all()
+    # 16-bit RGB key -> RGBA uint16
+    px = rng.randint(0, 65536, size=(4, 5, 3)).astype(np.uint16)
+    px[1, 1] = (7, 8, 9)
+    dec = png_decode(png_encode(px, color_type=2, depth=16, trns=(7, 8, 9)))
+    assert dec.shape == (4, 5, 4) and dec.dtype == np.uint16
+    assert dec[1, 1, 3] == 0 and dec[0, 0, 3] == 65535
