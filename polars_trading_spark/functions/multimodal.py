@@ -1587,8 +1587,10 @@ def gif_decode(payload: bytes):
     """REAL pure-stdlib GIF decode for non-animated GIFs with a color
     table: header parse, LZW decompression (variable-width, CLEAR
     resets, KwKwK), 4-pass DE-INTERLACING when the descriptor flag is
-    set (round 9 — the former NotImplementedError), palette mapping.
-    Returns an ``(h, w, 3)`` uint8 RGB numpy array."""
+    set (round 9 — the former NotImplementedError), palette mapping,
+    and (round 13) GCE TRANSPARENCY: a graphic-control extension with
+    the transparent-color flag makes the output RGBA with alpha 0 at
+    the transparent index.  Returns an ``(h, w, 3|4)`` uint8 array."""
     import struct
 
     import numpy as np
@@ -1604,9 +1606,14 @@ def gif_decode(payload: bytes):
             payload, dtype=np.uint8, count=3 * gct_size, offset=i
         ).reshape(gct_size, 3)
         i += 3 * gct_size
+    transparent = None
     while i < len(payload):
         b0 = payload[i]
         if b0 == 0x21:  # extension: label + sub-blocks
+            if payload[i + 1] == 0xF9 and payload[i + 2] >= 4:
+                # graphic control: transparent-color flag + index
+                if payload[i + 3] & 0x01:
+                    transparent = payload[i + 6]
             i += 2
             while payload[i] != 0:
                 i += 1 + payload[i]
@@ -1624,8 +1631,16 @@ def gif_decode(payload: bytes):
                 raise ValueError("GIF image without a color table")
             min_code_size = payload[i]
             i += 1
-            idx = _lzw_decode_gif(payload[i:], min_code_size, iw * ih)
-            arr = palette[np.asarray(idx, dtype=np.int64)].reshape(ih, iw, 3)
+            idx = np.asarray(
+                _lzw_decode_gif(payload[i:], min_code_size, iw * ih),
+                dtype=np.int64,
+            )
+            arr = palette[idx].reshape(ih, iw, 3)
+            if transparent is not None:
+                alpha = np.where(
+                    idx.reshape(ih, iw) == transparent, 0, 255
+                ).astype(np.uint8)
+                arr = np.concatenate([arr, alpha[:, :, None]], axis=-1)
             if iflags & 0x40:  # de-interlace: stored rows are pass-ordered
                 out = np.empty_like(arr)
                 out[_gif_interlace_rows(ih)] = arr

@@ -729,3 +729,47 @@ def test_png_trns_palette_and_keys():
     dec = png_decode(png_encode(px, color_type=2, depth=16, trns=(7, 8, 9)))
     assert dec.shape == (4, 5, 4) and dec.dtype == np.uint16
     assert dec[1, 1, 3] == 0 and dec[0, 0, 3] == 65535
+
+
+def test_gif_gce_transparency():
+    """Round 13: a static GIF whose graphic-control extension sets the
+    transparent-color flag decodes to RGBA with alpha 0 at the
+    transparent index; GIFs without the flag stay RGB (back-compat)."""
+    import struct
+
+    from polars_trading_spark.functions.multimodal import (
+        _gif_interlace_rows,
+        _lzw_encode_gif,
+        gif_decode,
+    )
+
+    def build(idx, palette, transparent=None, interlace=False):
+        h, w = idx.shape
+        n = len(palette)
+        size_field = max(0, (n - 1).bit_length() - 1)
+        out = bytearray(b"GIF89a") + struct.pack(
+            "<HHBBB", w, h, 0x80 | size_field, 0, 0
+        )
+        for k in range(2 << size_field):
+            out += bytes(palette[k]) if k < n else b"\x00\x00\x00"
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
+        rows = idx[_gif_interlace_rows(h)] if interlace else idx
+        mcs = max(2, size_field + 1)
+        out += bytes([mcs])
+        out += _lzw_encode_gif(rows.reshape(-1).tolist(), mcs)
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    rng = np.random.RandomState(8)
+    pal = [tuple(int(v) for v in r) for r in rng.randint(0, 256, size=(8, 3))]
+    idx = rng.randint(0, 8, size=(6, 9)).astype(np.uint8)
+    for il in (False, True):
+        dec = gif_decode(build(idx, pal, transparent=3, interlace=il))
+        assert dec.shape == (6, 9, 4)
+        assert (dec[:, :, 3] == np.where(idx == 3, 0, 255)).all()
+        assert (dec[:, :, :3] == np.array(pal, np.uint8)[idx]).all()
+        assert gif_decode(build(idx, pal, interlace=il)).shape == (6, 9, 3)
