@@ -1610,13 +1610,23 @@ def gif_decode(payload: bytes):
     while i < len(payload):
         b0 = payload[i]
         if b0 == 0x21:  # extension: label + sub-blocks
+            if i + 3 > len(payload):
+                raise ValueError("truncated GIF extension block")
             if payload[i + 1] == 0xF9 and payload[i + 2] >= 4:
-                # graphic control: transparent-color flag + index
-                if payload[i + 3] & 0x01:
-                    transparent = payload[i + 6]
+                # graphic control: transparent-color flag + index.  GCE
+                # scope is per-block: the LAST GCE before the image
+                # descriptor wins, and a clear flag RESETS an earlier
+                # GCE's transparency rather than leaving it sticky.
+                if i + 7 > len(payload):
+                    raise ValueError("truncated GIF graphic control block")
+                transparent = (
+                    payload[i + 6] if payload[i + 3] & 0x01 else None
+                )
             i += 2
-            while payload[i] != 0:
+            while i < len(payload) and payload[i] != 0:
                 i += 1 + payload[i]
+            if i >= len(payload):
+                raise ValueError("truncated GIF extension sub-blocks")
             i += 1
         elif b0 == 0x2C:  # image descriptor
             ix, iy, iw, ih, iflags = struct.unpack("<HHHHB", payload[i + 1 : i + 10])
@@ -1762,6 +1772,8 @@ def gif_decode_animated(payload: bytes):
             i += 2
             if label == 0xF9:  # graphic control: applies to NEXT image
                 blk = payload[i + 1 : i + 1 + payload[i]]
+                if len(blk) < 4:
+                    raise ValueError("truncated GIF graphic control block")
                 packed = blk[0]
                 disposal = (packed >> 2) & 0x07
                 delay = blk[1] | (blk[2] << 8)

@@ -240,13 +240,20 @@ def avi_extract_frames(payload: bytes):
 
 def avi_extract_audio(payload: bytes):
     """The audio stream of an A/V AVI: ``(sample_rate, bits, channels,
-    pcm_bytes)`` — WAVEFORMATEX parsed from the 'auds' strl, '01wb'
-    chunks concatenated in stream order.  Raises when the container
-    has no audio stream or a non-PCM format tag (named pin)."""
+    pcm_bytes)`` — WAVEFORMATEX parsed from the 'auds' strl, data
+    chunks concatenated in stream order.  The data chunk id is derived
+    from the audio stream's index within hdrl (the nth strl ->
+    ``{n:02d}wb``), so audio-first or multi-video layouts resolve to
+    the right stream instead of silently matching nothing.  Raises
+    when the container has no audio stream, a non-PCM format tag
+    (named pin), or an audio strl with no matching data chunks."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI container")
     fmt = None
     chunks = []
+    strl_idx = [-1]  # index of the strl currently being walked
+    aud_idx = [None]  # hdrl index of the 'auds' stream, once found
+    aud_cid = [None]  # derived movi chunk id, e.g. b'01wb'
     in_auds_strl = [False]
 
     def walk(start, end, in_movi):
@@ -254,11 +261,15 @@ def avi_extract_audio(payload: bytes):
             if fourcc == b"LIST":
                 ltype = payload[off : off + 4]
                 if ltype == b"strl":
+                    strl_idx[0] += 1
                     in_auds_strl[0] = False
                 walk(off + 4, off + size, ltype == b"movi")
             elif fourcc == b"strh":
                 in_auds_strl[0] = payload[off : off + 4] == b"auds"
-            elif fourcc == b"strf" and in_auds_strl[0]:
+                if in_auds_strl[0] and aud_idx[0] is None:
+                    aud_idx[0] = strl_idx[0]
+                    aud_cid[0] = b"%02dwb" % strl_idx[0]
+            elif fourcc == b"strf" and in_auds_strl[0] and fmt is None:
                 nonlocal fmt
                 (tag, ch, rate, _avg, _align, bits) = struct.unpack(
                     "<HHIIHH", payload[off : off + 16]
@@ -269,12 +280,17 @@ def avi_extract_audio(payload: bytes):
                         "PCM (1) only"
                     )
                 fmt = (rate, bits, ch)
-            elif in_movi and fourcc == b"01wb":
+            elif in_movi and aud_cid[0] is not None and fourcc == aud_cid[0]:
                 chunks.append(payload[off : off + size])
 
     walk(12, len(payload), False)
     if fmt is None:
         raise ValueError("AVI has no PCM audio stream")
+    if not chunks:
+        raise ValueError(
+            f"AVI audio stream {aud_idx[0]} ('{aud_cid[0].decode()}') "
+            "has no data chunks in movi"
+        )
     return (*fmt, b"".join(chunks))
 
 

@@ -1694,7 +1694,15 @@ def webp_lossy_header_table(media: DataFrame) -> DataFrame:
             out = {f.name: [] for f in _LOSSY_HDR_SCHEMA.fields}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 chunks = _webp_chunks(bytes(payload))
-                body = next(b for f, b in chunks if f == b"VP8 ")
+                # next() with a default: a bare StopIteration inside a
+                # mapInPandas generator surfaces as an opaque PEP-479
+                # RuntimeError instead of a parse error.
+                body = next((b for f, b in chunks if f == b"VP8 "), None)
+                if body is None:
+                    raise ValueError(
+                        f"media {int(mid)}: no 'VP8 ' chunk — not a "
+                        "lossy WebP"
+                    )
                 hdr = vp8_keyframe_header(body)
                 seg = hdr["segmentation"]
                 out["media_id"].append(int(mid))
