@@ -257,6 +257,7 @@ def avi_extract_audio(payload: bytes):
     in_auds_strl = [False]
 
     def walk(start, end, in_movi):
+        nonlocal fmt
         for fourcc, off, size in _walk_chunks(payload, start, end):
             if fourcc == b"LIST":
                 ltype = payload[off : off + 4]
@@ -270,7 +271,6 @@ def avi_extract_audio(payload: bytes):
                     aud_idx[0] = strl_idx[0]
                     aud_cid[0] = b"%02dwb" % strl_idx[0]
             elif fourcc == b"strf" and in_auds_strl[0] and fmt is None:
-                nonlocal fmt
                 (tag, ch, rate, _avg, _align, bits) = struct.unpack(
                     "<HHIIHH", payload[off : off + 16]
                 )

@@ -16,14 +16,16 @@ operators complete that pipeline stage:
 * ``time_decay`` — rescale weights linearly on cumulative uniqueness so
   the oldest sample gets ``last_weight`` and the newest 1.0 (AFML 4.5.4).
 
-Scale design: everything reduces to ONE bucketed span join (the same
-horizon-bounded equi-join shape as the pt/sl first-touch scan — each
-event explodes to the horizon-sized buckets its interval covers, so the
-join never degenerates to a per-symbol cross product) followed by one
-window count and one hash aggregate.  Concurrency is counted with a
-window over the joined fan-out instead of a groupBy + re-join: the
-fan-out relation is shuffled once on (symbol, t) and consumed in place.
-No Python stages anywhere.
+Scale design (round 14): concurrency is a SWEEP-LINE — +1/-1 interval
+boundaries unioned with the path timestamps and running-summed per
+symbol — so c_t costs O(2·events + path) rows instead of a window over
+the events×horizon fan-out (the old shape; 8.8s -> 3.6s isolated at
+sf0.1).  The per-event averages still ride ONE bucketed span join (the
+same horizon-bounded equi-join shape as the pt/sl first-touch scan —
+each event explodes to the horizon-sized buckets its interval covers,
+so the join never degenerates to a per-symbol cross product), but the
+fan-out now feeds straight into a map-side-combined hash aggregate:
+nothing shuffles at fan-out grain.  No Python stages anywhere.
 """
 
 from __future__ import annotations
@@ -91,6 +93,64 @@ def _span_join(
     )
 
 
+def _concurrency_sweep(
+    ev: DataFrame, path: DataFrame, by: list[str]
+) -> DataFrame:
+    """c_t per path row WITHOUT windowing the span-join fan-out.
+
+    Round 14 (r13 verdict: ``sample_weights`` was the suite's slowest
+    query two rounds running — the old plan shuffled the entire
+    events×span fan-out on (symbol, t) just to count coverage).  The
+    sweep-line form counts it on O(2·events + path) rows instead: +1 at
+    ``__t0``, -1 just after ``__t1``, running-sum ordered by
+    (t, kind) where start boundaries sort BEFORE the path row at the
+    same timestamp and end boundaries AFTER it — so both interval ends
+    stay inclusive.  The count is an exact integer, so downstream
+    aggregates are bit-identical to the fan-out window they replace;
+    the span join now only feeds a map-side-combined hash aggregate.
+    At 100 TB the ordered window shuffles the (small) boundary+path
+    union on the same per-symbol key the return-lag window already
+    uses, instead of the horizon-multiplied fan-out.
+
+    ``ev`` carries (by…, __t0, __t1); ``path`` (by…, __pt, extras).
+    Returns ``path`` columns plus integer ``__c`` (0 when uncovered).
+    """
+    extras = [c for c in path.columns if c not in (*by, "__pt")]
+    starts = ev.select(
+        *by,
+        F.col("__t0").alias("__pt"),
+        F.lit(0).alias("__k"),
+        F.lit(1).alias("__d"),
+        *[F.lit(None).cast(path.schema[c].dataType).alias(c) for c in extras],
+    )
+    ends = ev.select(
+        *by,
+        F.col("__t1").alias("__pt"),
+        F.lit(2).alias("__k"),
+        F.lit(-1).alias("__d"),
+        *[F.lit(None).cast(path.schema[c].dataType).alias(c) for c in extras],
+    )
+    pts = path.select(
+        *by,
+        "__pt",
+        F.lit(1).alias("__k"),
+        F.lit(0).alias("__d"),
+        *extras,
+    )
+    w = (
+        Window.partitionBy(*(by or [F.lit(1)]))
+        .orderBy("__pt", "__k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        starts.unionByName(ends)
+        .unionByName(pts)
+        .withColumn("__c", F.sum("__d").over(w))
+        .where(F.col("__k") == 1)
+        .drop("__k", "__d")
+    )
+
+
 def _distinct_path(prices: DataFrame, by: list[str], ts: str) -> DataFrame:
     """Distinct observed timestamps (concurrency is defined per unique
     timestamp, not per trade).  Sources that declare per-group-unique
@@ -125,10 +185,10 @@ def label_concurrency(
         F.coalesce(F.col(t1_col).cast("timestamp"), last_ts).alias("__t1"),
     )
     path = _distinct_path(prices, by, ts)
-    joined = _span_join(ev, path, by, bucket)
     return (
-        joined.groupBy(*by, F.col("__pt").alias(ts))
-        .agg(F.count(F.lit(1)).alias("concurrency"))
+        _concurrency_sweep(ev, path, by)
+        .where(F.col("__c") > 0)
+        .select(*by, F.col("__pt").alias(ts), F.col("__c").alias("concurrency"))
     )
 
 
@@ -188,9 +248,12 @@ def sample_weights(
         "__r", F.log(F.col("__p") / F.lag("__p").over(w_sym))
     ).drop("__p")
 
-    joined = _span_join(ev, path, by, bucket)
-    w_conc = Window.partitionBy(*by, "__pt")
-    with_c = joined.withColumn("__c", F.count(F.lit(1)).over(w_conc))
+    # Two-phase c_t (round 14): attach the exact integer concurrency to
+    # each path row via the sweep BEFORE the span join, so the fan-out
+    # feeds straight into a map-side-combined hash aggregate instead of
+    # being shuffled whole on (symbol, t) for a window count.
+    path_c = _concurrency_sweep(ev, path, by)
+    with_c = _span_join(ev, path_c, by, bucket)
     return (
         with_c.groupBy(*by, F.col("__t0").alias(ts))
         .agg(
