@@ -19,13 +19,15 @@ unit gates now, Spark registration when the gate window allows):
   parameter mix, replacing the round-12 filler-byte stub when a test
   or synthesizer needs parseable lossy payloads.
 
-NOT in scope (the honest pin, raised by ``vp8_decode_pixels``):
-macroblock mode/coefficient decode and reconstruction — those require
-RFC 6386's default probability/tree tables (kCoeffUpdateProbs, the
-coefficient bands, the mode trees), which must be transcribed
-verbatim; a misremembered table would round-trip our own streams while
-silently diverging from the spec, so that layer waits until the
-tables can be carried in with line-by-line care (round 14+).
+Round 14 closed the former pin: ``vp8_decode_pixels`` now performs
+full keyframe macroblock/coefficient decode and reconstruction
+(functions/vp8_decode.py).  The §13/§14 probability/quantizer tables
+were NOT written from memory — they were extracted byte-for-byte from
+the system libwebp binary (scripts/vp8_table_extract.py, provenance
+note in functions/vp8_tables.py) and the whole path is gated on EXACT
+plane equality with libwebp's own decoder on libwebp-encoded streams
+(tests/test_vp8_interop.py).  Interframes remain out of scope — the
+single-image WebP path never carries them.
 """
 
 from __future__ import annotations
@@ -282,11 +284,14 @@ def webp_encode_lossy_real(
 
 
 def vp8_decode_pixels(vp8_body: bytes):
-    """The named pin: macroblock mode/coefficient decode needs RFC
-    6386's default probability and tree tables transcribed verbatim
-    (a misremembered table would self-round-trip while silently
-    diverging from the spec)."""
-    raise NotImplementedError(
-        "VP8 macroblock/coefficient decode not supported — header "
-        "parse only (see vp8_keyframe_header)"
-    )
+    """Full keyframe pixel decode (round 14 — the former named pin).
+
+    Returns ``(y, u, v)`` uint8 numpy planes.  The §13/§14 tables were
+    carried in verbatim via scripts/vp8_table_extract.py and the whole
+    path is validated by EXACT plane equality against the system
+    libwebp on libwebp-encoded streams (tests/test_vp8_interop.py).
+    Interframes still raise — they need reference-frame state the
+    single-image WebP path never has."""
+    from polars_trading_spark.functions.vp8_decode import decode_frame
+
+    return decode_frame(vp8_body)

@@ -108,5 +108,7 @@ def test_header_validation_and_pin():
     payload[0] |= 1
     with pytest.raises(ValueError, match="keyframe"):
         vp8_keyframe_header(bytes(payload))
-    with pytest.raises(NotImplementedError, match="coefficient"):
+    # round 14: the former NotImplementedError pin is now a real decode
+    # path — garbage input fails parse validation instead
+    with pytest.raises(ValueError, match="start code"):
         vp8_decode_pixels(b"\x00" * 32)
