@@ -28,6 +28,12 @@ def _tune(spark: SparkSession) -> None:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    # Keep tiny-but-CPU-dense shuffle stages parallel (see session.py);
+    # runtime-settable AQE conf, no-op at real scale.
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "64k"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

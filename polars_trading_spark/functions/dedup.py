@@ -123,14 +123,22 @@ def _tokenized(df: DataFrame, text_col: str, id_col: str, extra: tuple[str, ...]
     The projection computes the (regex-heavy) tokenizer exactly once per
     row *before* the exchange; everything above sees ``__toks`` as a
     plain attribute, so per-element shingle lambdas never re-run the
-    tokenizer.  The exchange doubles as the small-input parallelism
-    guard (no-op partitioning cost at real scale, where the scan already
-    has thousands of splits).
+    tokenizer.  Round 14: the barrier is UNCONDITIONAL — the old
+    ``ensure_parallelism`` guard no-oped whenever the input already had
+    ≥ 8 partitions (any real-scale scan, or a source repartitioned by
+    the round-14 payload-scan guard), CollapseProject then merged the
+    token projection into its consumers, and the md5-per-token shingle
+    chain re-evaluated once per ``__toks`` reference (the 3 slice arms
+    + size: measured 2.6× total-CPU inflation on lsh_power_curve).
+    Hash-partitioning by ``__id`` skips round-robin's
+    sort-before-repartition and inherits the session shuffle-partition
+    sizing, so at scale this is one well-sized exchange of the token
+    table — cheaper than re-running tokenize+md5 per consumer arm.
     """
     base = df.select(
         *extra, F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
     )
-    return ensure_parallelism(base)
+    return base.repartition(F.col("__id"))
 
 
 # --------------------------------------------------------------------------

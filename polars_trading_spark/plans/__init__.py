@@ -3,6 +3,7 @@
 from polars_trading_spark.plans.inspect import (
     plan_string,
     count_exchanges,
+    count_keyed_exchanges,
     count_python_stages,
     has_unbounded_following_frame,
     scan_columns,
@@ -12,6 +13,7 @@ from polars_trading_spark.plans.inspect import (
 __all__ = [
     "plan_string",
     "count_exchanges",
+    "count_keyed_exchanges",
     "count_python_stages",
     "has_unbounded_following_frame",
     "scan_columns",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 __all__ = [
     "plan_string",
     "count_exchanges",
+    "count_keyed_exchanges",
     "count_python_stages",
     "has_unbounded_following_frame",
     "scan_columns",
@@ -44,6 +45,19 @@ def count_exchanges(df: DataFrame) -> int:
     every shuffle contract vacuous (caught in round 5)."""
     plan = plan_string(df, "executed")
     return len(re.findall(r"\bExchange (?:hash|range|SinglePartition|RoundRobin)", plan))
+
+
+def count_keyed_exchanges(df: DataFrame) -> int:
+    """Data-placement shuffles only: hash / range / single-partition
+    exchanges, i.e. the shuffles an operator's ALGORITHM requires.
+
+    Round-robin exchanges are excluded — in this engine they come from
+    parallelism guards (the payload-scan guard in sources/tables.py,
+    ``ensure_parallelism``), which exist only for small inputs and
+    vanish at real scale, so "zero data-dependent shuffles" contracts
+    assert on this count and bound the total with ``count_exchanges``."""
+    plan = plan_string(df, "executed")
+    return len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", plan))
 
 
 def count_python_stages(df: DataFrame) -> int:

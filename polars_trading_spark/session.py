@@ -35,6 +35,19 @@ def get_spark(app_name: str = "polars-trading-spark", *, shuffle_partitions: int
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Round 14 (guide §2.2/§2.5): AQE's coalescing floor defaults to
+        # 1m, which folds a tiny-but-CPU-dense shuffle (a few MB feeding
+        # an Arrow kernel or interpreted-HOF stage) into ONE task — at
+        # bench scale that serialized whole query families on a 32-core
+        # box (sadf_adf1's window+ADF stage: 6.7s in a single task).
+        # 64k keeps such stages parallel; partitions at the 100 TB
+        # target are orders of magnitude above either floor, so this
+        # only changes behavior where coalescing was collapsing
+        # parallelism.  Env-tunable for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # InferFiltersFromGenerate turns explode(expr) into a pre-filter

@@ -21,6 +21,8 @@ every operator's output fully deterministic across engines and runs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,7 +67,42 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    if name in _PAYLOAD_TABLES:
+        df = _parallelize_small_scan(spark, df, f"{sf_dir}/{name}.parquet")
     return df
+
+
+# Tables whose rows carry opaque per-row payloads (text, vectors)
+# consumed by CPU-dense per-row pipelines (tokenizers, HOF array math,
+# similarity kernels).  A small single-row-group file pins all of that
+# compute to ONE task (guide §2.5 "input skew: one huge unsplittable
+# file ... repartition immediately after the read"); trades-side tables
+# are deliberately excluded — their scan-side work is cheap projections
+# and their parallelism is established at the first symbol shuffle,
+# so the extra exchange measured as a pure ~0.4s/query loss there.
+_PAYLOAD_TABLES = frozenset({"documents", "embeddings"})
+
+
+def _parallelize_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a payload scan that would otherwise run
+    in fewer tasks than the box has cores.
+
+    The guard is file-size based (no ``.rdd`` planning round-trip): a
+    file under one scan-split's worth of bytes yields single-digit scan
+    tasks no matter what, so it is repartitioned to default
+    parallelism; at real scale the input is orders of magnitude past
+    the threshold and the guard no-ops.  Results are unaffected: every
+    downstream operator orders by explicit (id/ts, seq) keys, never by
+    input row order.
+    """
+    try:
+        size = os.path.getsize(path)
+    except OSError:  # non-local paths: leave the scan alone
+        return df
+    threshold = 128 * 1024 * 1024  # one default scan split
+    if size >= threshold:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,8 +65,9 @@ def test_token_budget_curves_contract(spark, docs):
     assert count_python_stages(out) == 0
     assert not has_unbounded_following_frame(out)
     assert unbounded_global_windows(out) == []
-    # one projection + ONE per-source window family + boundary explode
-    assert count_exchanges(out) <= 1
+    # one projection + ONE per-source window family + boundary explode;
+    # +1 for the payload-scan parallelism guard on small inputs
+    assert count_exchanges(out) <= 2
     # token/quality expressions stay in the scan projection — no joins
     assert "Join" not in plan_string(out)
 
