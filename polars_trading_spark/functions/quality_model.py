@@ -100,19 +100,26 @@ def quality_classifier(
 
     prof = text_profile(documents, text_col=text_col, keep=(id_col,))
     label = (F.col("quality_score") >= float(min_quality)).cast("double")
-    ex = documents.select(
-        F.col(id_col),
-        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
-    )
     bucket = F.pmod(
         portable_hash60(F.concat(F.lit(salt), F.col("__tok"))), F.lit(d)
     )
+    # Round 14 (guide §4.1 "prefer built-ins", §1.2 per-task work): the
+    # md5-based token hash is STAGED as a column below the aggregate —
+    # inlined into the d per-bucket sums it was evaluated d times per
+    # token (measured ~2.5× on the feature-materialization stage).
+    # The Generate (explode) barrier pins the staging projection, so
+    # each token pays exactly one md5.  Values are identical: the same
+    # bucket feeds the same comparisons.
+    ex = documents.select(
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
+    ).select(id_col, "__tok", bucket.alias("__bkt"))
     counts = ex.groupBy(id_col).agg(
         F.count("__tok").cast("double").alias("__nt"),
         *[
             # coalesce: an all-NULL group (empty document kept by the
             # outer explode) must count 0, not NULL
-            F.coalesce(F.sum((bucket == k).cast("long")), F.lit(0))
+            F.coalesce(F.sum((F.col("__bkt") == k).cast("long")), F.lit(0))
             .cast("double")
             .alias(f"__c{k}")
             for k in range(d)
@@ -162,17 +169,23 @@ def quality_classifier(
             F.count(F.lit(1)).over(Window.partitionBy("__fb")).alias("__n"),
             *[F.sum(t).over(run1).alias(nm) for t, nm in zip(terms, names)],
         ).where(F.col("__rn") == F.col("__n"))
-        w2 = Window.orderBy("__fb")  # bounded: n_fold_buckets rows
-        run2 = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        stage2 = stage1.select(
-            F.row_number().over(w2).alias("__rn2"),
-            F.count(F.lit(1)).over(
-                Window.partitionBy(F.lit(1))
-            ).alias("__n2"),
-            *[F.sum(nm).over(run2).alias(nm) for nm in names],
-        ).where(F.col("__rn2") == F.col("__n2"))
-        row = stage2.collect()[0]  # bounded: ONE row of 35 scalars
-        return [float(row[nm]) for nm in names]
+        # Stage 2 — the ordered fold over the bounded bucket partials —
+        # runs on the DRIVER (round 14): collecting n_fold_buckets rows
+        # (64 × 35 doubles) is as bounded as the 1-row collect was, and
+        # it removes one shuffle + global-window stage per IRLS
+        # iteration (guide §1.2: stage-count overhead dominated the
+        # per-iteration cost at bench scale).  The Python left fold in
+        # ``__fb`` order performs the IDENTICAL IEEE additions the
+        # window's running sum performed, so the coefficient path is
+        # unchanged to the last ulp.
+        rows = sorted(stage1.collect(), key=lambda r: r["__fb"])
+        out = []
+        for nm in names:
+            acc = 0.0
+            for r in rows:
+                acc += r[nm]
+            out.append(acc)
+        return out
 
     beta = [0.0] * n
     for _ in range(int(n_iters)):

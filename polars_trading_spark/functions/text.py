@@ -159,6 +159,15 @@ def pmi_cooccurrence(
         .select(F.col("__p.a").alias("tok_a"), F.col("__p.b").alias("tok_b"))
     )
     pairs = ex.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    # STAGED (round 14, guide §5 caching + the §35 failure mode): the
+    # pair table has FOUR consumers (both marginal arms, the totals
+    # scalar, the scored join) — unstaged, the windowed-pair explode +
+    # aggregate re-executed once per consumer (4 duplicate ~2s stages
+    # in the profile).  The cache is the bounded pair aggregate, never
+    # the corpus-sized explode.
+    from polars_trading_spark._utils import persist_tracked
+
+    pairs = persist_tracked(pairs)
 
     # Marginals and totals from the pair table itself (a token's count =
     # every pair slot it fills, both columns).

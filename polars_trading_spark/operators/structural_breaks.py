@@ -219,6 +219,17 @@ def sadf(
     hist = [p0] + [F.lag(p0, k).over(order) for k in range(1, max_span + 1 + lags)]
 
     base = df.select(symbol_col, ts_col, F.array(*hist).alias("__hist"))
+    # Round 14 (guide §2.5/§2.6): the lag window partitions by symbol,
+    # so the CPU-dense ADF kernel downstream inherits at most
+    # n_symbols-way parallelism — a handful of tasks on a small input.
+    # Kernel rows are independent once ``__hist`` is built, so when the
+    # SOURCE is a small single-split scan (bench scale; real-scale scans
+    # have thousands of splits and skip this) rebalance the hist table
+    # round-robin across every core.  One extra exchange of the hist
+    # arrays, bounded by the small-input guard.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < min(sc.defaultParallelism, 8):
+        base = base.repartition(sc.defaultParallelism)
     kernel = _sadf_kernel(min_span, max_span, lags)
     return base.withColumn("__r", kernel("__hist")).select(
         symbol_col,

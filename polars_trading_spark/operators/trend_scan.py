@@ -120,6 +120,13 @@ def trend_scanning_labels(
         F.array(*leads).alias("__fwd"),
         F.array(*ts_leads).alias("__ends"),
     )
+    # Round 14 (guide §2.5/§2.6): same rebalance as sadf — the lead
+    # window leaves at most n_symbols-way parallelism for the kernel;
+    # kernel rows are independent, so spread them when the source is a
+    # small single-split scan (no-op shape at real scale).
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < min(sc.defaultParallelism, 8):
+        base = base.repartition(sc.defaultParallelism)
     kernel = _trend_kernel(min_span, max_span)
     out = base.withColumn("__r", kernel("__fwd"))
     span = F.col("__r.span")
