@@ -160,10 +160,25 @@ def ensure_parallelism(df: DataFrame, *keys: str) -> DataFrame:
 _TRACKED_PERSISTS: list[DataFrame] = []
 
 
-def persist_tracked(df: DataFrame, storage_level=None) -> DataFrame:
-    """``df.persist()`` plus registration for later bulk release."""
+def persist_tracked(df: DataFrame, storage_level=None, *, eager: bool = False) -> DataFrame:
+    """``df.persist()`` plus registration for later bulk release.
+
+    ``eager=True`` materializes the cache with one ``count()`` before
+    returning (round 14, guide §5.3): a lazily-persisted frame whose
+    consumers are scheduled CONCURRENTLY by AQE is computed once per
+    concurrent consumer — block writes dedupe at store time, the
+    compute does not — so an expensive subtree (tokenize/explode
+    chains) multiplies by its consumer count.  At one scan partition
+    that race wasted only duplicate work on idle cores; once small
+    scans repartition to every core (the round-14 parallelism guard)
+    the duplicates contend for the same cores and the wall multiplies.
+    Use eager persists for multi-consumer frames with non-trivial
+    lineage; leave single-consumer or serially-consumed frames lazy.
+    """
     df = df.persist(storage_level) if storage_level is not None else df.persist()
     _TRACKED_PERSISTS.append(df)
+    if eager:
+        df.count()
     return df
 
 

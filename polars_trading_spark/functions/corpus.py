@@ -369,7 +369,15 @@ def decontaminate(
     bench_set = (
         grams(benchmark).select(F.explode("__sh").alias("g")).distinct()
     )
-    exploded = grams(corpus).select("__id", F.explode_outer("__sh").alias("g"))
+    # Corpus side from the shared signature stage when one is active
+    # (identical values — same shingle_hashes over the same corpus);
+    # inline zero-shuffle scan otherwise.
+    from polars_trading_spark.functions.dedup import shared_corpus_shingles
+
+    corpus_sh = shared_corpus_shingles(corpus, text_col, id_col, ngram=ngram)
+    exploded = (corpus_sh if corpus_sh is not None else grams(corpus)).select(
+        "__id", F.explode_outer("__sh").alias("g")
+    )
     marked = exploded.join(
         F.broadcast(bench_set.withColumn("__hit", F.lit(1))), on="g", how="left"
     )
@@ -743,7 +751,8 @@ def dsir_log_weights(
         .select(id_col, "__tgt", F.explode("__g").alias("__gram"))
         .withColumn("__b", F.pmod(portable_hash60(F.col("__gram")), F.lit(n_buckets)))
         .groupBy(id_col, "__tgt", "__b")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__c")),
+        eager=True,  # two AQE-parallel consumers of the md5-heavy explode
     )
 
     lm = feat.groupBy("__b").agg(
@@ -1284,10 +1293,17 @@ def benchmark_coverage(
         F.count(F.lit(1)).cast("long").alias("n_bench_grams")
     )
 
-    corpus_grams = corpus.select(
-        F.explode(
-            shingle_hashes(tokens(F.col(text_col)), n=ngram)
-        ).alias("g")
+    # Corpus side from the shared signature stage when one is active
+    # (same shingle_hashes values); inline zero-shuffle scan otherwise.
+    from polars_trading_spark.functions.dedup import shared_corpus_shingles
+
+    corpus_sh = shared_corpus_shingles(corpus, text_col, id_col, ngram=ngram)
+    corpus_grams = (
+        corpus_sh.select(F.explode("__sh").alias("g"))
+        if corpus_sh is not None
+        else corpus.select(
+            F.explode(shingle_hashes(tokens(F.col(text_col)), n=ngram)).alias("g")
+        )
     )
     covered = (
         corpus_grams.join(F.broadcast(bench_set), on="g")

@@ -192,12 +192,16 @@ def shared_signature_cache():
 
 def _cache_stage(df: DataFrame, key) -> DataFrame:
     """Persist ``df`` into the active shared cache under ``key``, or
-    fall back to the per-call tracked persist."""
+    fall back to the per-call tracked persist.  Eager either way: the
+    shingle/signature stages have several AQE-parallel consumers, and a
+    lazy persist is materialized once per concurrent consumer (guide
+    §5.3 — see persist_tracked)."""
     if _SHARED_SIG_CACHE is not None and key is not None:
         df = df.persist()
+        df.count()
         _SHARED_SIG_CACHE[key] = df
         return df
-    return persist_tracked(df)
+    return persist_tracked(df, eager=True)
 
 
 def _shingle_table(
@@ -216,6 +220,30 @@ def _shingle_table(
         "__id", shingle_hashes(F.col("__toks"), ngram).alias("__sh")
     )
     return _cache_stage(base, key)
+
+
+def shared_corpus_shingles(
+    df: DataFrame, text_col: str, id_col: str, *, ngram: int
+) -> DataFrame | None:
+    """The corpus ``(__id, __sh)`` shingle table served from the ACTIVE
+    ``shared_signature_cache()``, or ``None`` when no cache is
+    installed.
+
+    Round 14 (guide §5.3, the round-11 amortization extended): the
+    contamination/coverage family recomputes the tokenize → md5 →
+    shingle corpus pass inline even though the dedup family's shared
+    signature stage already holds the identical ``shingle_hashes``
+    values for the same (corpus plan, ngram).  Inside a cache block
+    those callers should read the shared stage — the real-pipeline
+    shape, one corpus signature pass feeding every consumer.
+    Standalone callers keep their zero-shuffle inline scan (the
+    ``_tokenized`` barrier exchange only pays for itself when the table
+    is reused), which is why this returns ``None`` instead of falling
+    back to a per-call persist.
+    """
+    if _SHARED_SIG_CACHE is None:
+        return None
+    return _shingle_table(df, text_col, id_col, ngram)
 
 
 def minhash_signature(hashes: Column, k: int = 12) -> Column:
@@ -292,6 +320,7 @@ def minhash_lsh_pairs(
         )
         if _SHARED_SIG_CACHE is not None and sig_key is not None:
             sig = sig.persist()
+            sig.count()  # eager: both band self-join sides consume it
             _SHARED_SIG_CACHE[sig_key] = sig
     banded = sig.select(
         "__id",
@@ -1326,17 +1355,22 @@ def dedup_recall_curve(
     base = _recall_sample(docs, sample_fraction, target_docs, salt, id_col)
 
     t0 = ts[0]
+    # eager: each pair frame feeds three AQE-parallel threshold
+    # aggregates — lazy persists raced to materialize the expensive
+    # PPJoin / banded-verify subtrees once per consumer (guide §5.3)
     exact = persist_tracked(
         ngram_jaccard_pairs(
             base, text_col, id_col, ngram=ngram, threshold=t0, block_cols=()
-        ).select("id_a", "id_b", F.col("jaccard").alias("__je"))
+        ).select("id_a", "id_b", F.col("jaccard").alias("__je")),
+        eager=True,
     )
     lsh = persist_tracked(
         minhash_lsh_pairs(
             base, text_col, id_col,
             ngram=ngram, num_hashes=num_hashes, bands=bands,
             jaccard_threshold=t0,
-        ).select("id_a", "id_b", F.col("jaccard").alias("__jl"))
+        ).select("id_a", "id_b", F.col("jaccard").alias("__jl")),
+        eager=True,
     )
     spark = docs.sparkSession
     tf = spark.createDataFrame([(t,) for t in ts], "threshold double")

@@ -164,10 +164,11 @@ def pmi_cooccurrence(
     # scalar, the scored join) — unstaged, the windowed-pair explode +
     # aggregate re-executed once per consumer (4 duplicate ~2s stages
     # in the profile).  The cache is the bounded pair aggregate, never
-    # the corpus-sized explode.
+    # the corpus-sized explode; eager so the four AQE-parallel
+    # consumers read one materialization instead of racing.
     from polars_trading_spark._utils import persist_tracked
 
-    pairs = persist_tracked(pairs)
+    pairs = persist_tracked(pairs, eager=True)
 
     # Marginals and totals from the pair table itself (a token's count =
     # every pair slot it fills, both columns).
@@ -349,14 +350,31 @@ def text_profile(
     )
     toks = F.col("__toks")
     n = F.size(toks)
-    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    # Round 14 (guide §4.1/§1.2): the per-language stopword hits and the
+    # token-length fold are interpreted HOFs too — referenced from
+    # ``best``, the language CASE chain, the stopword ratio and the
+    # shape score, each reference re-ran the array scan (~4x the
+    # one-pass cost measured at sf0.1).  Stage them as real columns in
+    # one more projection, exactly like ``__toks``; every downstream
+    # expression is unchanged, it just reads the staged column.
+    staged = staged.select(
+        "*",
+        *[
+            _stopword_hits(toks, words).alias(f"__hit_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).alias(
+            "__total_len"
+        ),
+    )
+    hits = {lang: F.col(f"__hit_{lang}") for lang in STOPWORDS}
     best = F.greatest(*hits.values())
     lang_expr = F.when(cjk_ratio(raw) >= _CJK_THRESHOLD, "zh").when(best == 0, "unknown")
     for lang in STOPWORDS:  # first max wins — same order as the SQL CASE
         lang_expr = lang_expr.when(hits[lang] == best, lang)
     sw = F.when(n > 0, hits["en"] / n).otherwise(0.0)
 
-    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    total_len = F.col("__total_len")
     mean_len = F.when(n > 0, total_len / n).otherwise(0.0)
     raw_len = F.length(raw)
     non_alnum = raw_len - F.length(F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", ""))
@@ -665,8 +683,11 @@ def bigram_logprob(
     )
     pairs = F.zip_with(prevs, F.col("__toks"), lambda p, c: F.struct(p.alias("prev"), c.alias("cur")))
     ex = base.where(n > 0).select(id_col, F.explode(pairs).alias("__pc"))
+    # eager: three AQE-parallel consumers (uni, bi, the scoring join)
+    # raced to materialize the tokenize+explode chain (guide §5.3)
     ex = persist_tracked(
-        ex.select(id_col, F.col("__pc.prev").alias("prev"), F.col("__pc.cur").alias("cur"))
+        ex.select(id_col, F.col("__pc.prev").alias("prev"), F.col("__pc.cur").alias("cur")),
+        eager=True,
     )
 
     uni = ex.groupBy("cur").agg(F.count(F.lit(1)).alias("c_uni"))

@@ -9,22 +9,23 @@ Converts label-stage outputs into position sizes:
   sizes of ALL bets whose holding interval ``[t0, t1]`` is still open,
   so positions step smoothly instead of whipsawing on every new signal.
 
-Scale shape: averaging active bets is the same horizon-bucketed span
-join as ``sample_weights``/``label_concurrency`` — each event explodes
-to the horizon-sized time buckets its interval covers, so the join
-fan-out is bounded by the holding horizon, never a per-symbol cross
-product — followed by one hash aggregate.  No Python anywhere.
+Scale shape (round 14): averaging active bets is a SWEEP-LINE — the
+same +1/-1 boundary trick ``sample_weights`` uses for concurrency,
+generalized to a second ±bet-size accumulator, so the covering-set sum
+and count at every event time cost O(3·events) rows and ONE per-symbol
+ordered window instead of the horizon-bucketed span join they replaced
+(the fan-out was events × local overlap — 21 MB shuffled and ~30 s CPU
+at sf0.1 for a 3-column output).  No Python anywhere.
 """
 
 from __future__ import annotations
 
 from datetime import timedelta
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_trading_spark._utils import col_or_lit
-from polars_trading_spark.operators.sample_weights import _span_join
 
 __all__ = ["bet_size_from_tstat", "average_active_bets"]
 
@@ -50,8 +51,16 @@ def average_active_bets(
     ``size_col`` in [-1, 1].  Returns ``symbol, ts_event,
     avg_active_bet, n_active`` — one row per event time, averaging every
     event whose interval covers it (inclusive on both ends).  ``bucket``
-    bounds the span-join fan-out; pick it at or above the typical
-    holding horizon.
+    is retained for API compatibility; the sweep-line form needs no
+    fan-out bound (it never materializes the covering pairs).
+
+    Sweep detail: boundary rows +m at ``t0`` (kind 0) and -m just after
+    ``t1`` (kind 2) bracket each event-time probe row (kind 1), so both
+    interval ends stay inclusive under the (t, kind) sort.  A probe row
+    therefore reads the exact covering-set Σm and count off the running
+    sums.  Duplicate event times keep the span-join's multiplicity
+    semantics: ``n_active`` sums the per-row counts (multiplicity ×
+    covering), while the average is multiplicity-invariant.
     """
     ev = events.select(
         F.col(symbol_col).alias(symbol_col),
@@ -60,10 +69,45 @@ def average_active_bets(
         F.col(size_col).alias("__m"),
     ).where(F.col("__t1").isNotNull() & F.col("__m").isNotNull())
 
-    path = ev.select(symbol_col, F.col("__t0").alias("__pt"))
-    spans = ev.select(symbol_col, "__t0", "__t1", "__m")
-    joined = _span_join(spans, path, [symbol_col], bucket)
-    return joined.groupBy(symbol_col, F.col("__pt").alias(t0_col)).agg(
-        F.avg("__m").alias("avg_active_bet"),
-        F.count(F.lit(1)).cast("int").alias("n_active"),
+    # ONE pass over ``ev`` (a 3-way union would re-execute the upstream
+    # signal pipeline once per branch — measured 3x the trend-scan
+    # kernel cost at sf0.1): each event explodes to its three sweep
+    # rows in the same task.
+    def _b(pt, k, d, dm):
+        return F.struct(
+            pt.alias("__pt"),
+            F.lit(k).alias("__k"),
+            F.lit(d).alias("__d"),
+            dm.alias("__dm"),
+        )
+
+    boundaries = ev.select(
+        symbol_col,
+        F.explode(
+            F.array(
+                _b(F.col("__t0"), 0, 1, F.col("__m")),
+                _b(F.col("__t1"), 2, -1, -F.col("__m")),
+                _b(F.col("__t0"), 1, 0, F.lit(0.0)),
+            )
+        ).alias("__b"),
+    ).select(symbol_col, "__b.*")
+    w = (
+        Window.partitionBy(symbol_col)
+        .orderBy("__pt", "__k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = (
+        boundaries
+        .select(
+            symbol_col,
+            "__pt",
+            "__k",
+            F.sum("__dm").over(w).alias("__sum"),
+            F.sum("__d").over(w).alias("__cnt"),
+        )
+        .where(F.col("__k") == 1)
+    )
+    return swept.groupBy(symbol_col, F.col("__pt").alias(t0_col)).agg(
+        F.avg(F.col("__sum") / F.col("__cnt")).alias("avg_active_bet"),
+        F.sum("__cnt").cast("int").alias("n_active"),
     )

@@ -48,16 +48,29 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def count_keyed_exchanges(df: DataFrame) -> int:
-    """Data-placement shuffles only: hash / range / single-partition
-    exchanges, i.e. the shuffles an operator's ALGORITHM requires.
+    """Data-placement shuffles the operator's ALGORITHM requires.
 
-    Round-robin exchanges are excluded — in this engine they come from
-    parallelism guards (the payload-scan guard in sources/tables.py,
-    ``ensure_parallelism``), which exist only for small inputs and
-    vanish at real scale, so "zero data-dependent shuffles" contracts
-    assert on this count and bound the total with ``count_exchanges``."""
+    Round 14: counts exchanges by their ORIGIN tag instead of their
+    partitioning kind — the planner marks shuffles it inserted to
+    satisfy distribution requirements ``ENSURE_REQUIREMENTS``, while
+    explicit ``repartition`` calls carry ``REPARTITION_BY_NUM`` /
+    ``REPARTITION_BY_COL``.  In this engine every explicit repartition
+    is a parallelism guard or a staging barrier (the payload-scan
+    guard in sources/tables.py, ``ensure_parallelism``, the
+    ``_tokenized`` barrier) — small-input-only or
+    common-subexpression-staging exchanges, not algorithmic data
+    placement — so "zero data-dependent shuffles" contracts assert on
+    this count and bound the total with ``count_exchanges``.  (The
+    pre-r14 heuristic keyed on RoundRobin vs hash partitioning; the
+    payload-scan guard now hash-partitions by the row id to skip
+    round-robin's sort-before-repartition of the full payload.)"""
     plan = plan_string(df, "executed")
-    return len(re.findall(r"\bExchange (?:hash|range|SinglePartition)", plan))
+    return len(
+        re.findall(
+            r"\bExchange (?:hash|range|SinglePartition)[^\n]*ENSURE_REQUIREMENTS",
+            plan,
+        )
+    )
 
 
 def count_python_stages(df: DataFrame) -> int:

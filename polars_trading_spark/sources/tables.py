@@ -102,7 +102,16 @@ def _parallelize_small_scan(spark: SparkSession, df: DataFrame, path: str) -> Da
     threshold = 128 * 1024 * 1024  # one default scan split
     if size >= threshold:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # Hash-partition on the row id when one exists: round-robin
+    # repartition local-sorts every row by ALL columns first
+    # (spark.sql.execution.sortBeforeRepartition, for retry
+    # determinism) — on payload tables that sorts by the full text /
+    # vector and measured ~0.5s/query over the id-hash exchange.
+    ids = [c for c in ("doc_id", "vec_id") if c in df.columns]
+    target = spark.sparkContext.defaultParallelism
+    if ids:
+        return df.repartition(target, F.col(ids[0]))
+    return df.repartition(target)
 
 
 def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
