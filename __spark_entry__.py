@@ -32,7 +32,7 @@ def _tune(spark: SparkSession) -> None:
     # runtime-settable AQE conf, no-op at real scale.
     spark.conf.set(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "64k"),
+        os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "256k"),
     )
 
 

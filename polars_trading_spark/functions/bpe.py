@@ -179,7 +179,39 @@ def bpe_train(
             f"({merges_per_round})"
         )
 
+    # Round 14 (guide §5.3, the round-11 shared-signature amortization
+    # extended): five registered queries train the IDENTICAL tokenizer
+    # over the same corpus (train_merges, token_budget, encode,
+    # pack_sequences, fertility) — the real pipeline trains once and
+    # feeds every consumer.  Inside a shared_signature_cache() block the
+    # learned merge list and the final word/segmentation table are keyed
+    # by (canonicalized corpus plan, every training parameter) and
+    # reused; standalone calls (no block) are unchanged.
+    from polars_trading_spark.functions.dedup import (
+        _SHARED_SIG_CACHE,
+        _corpus_cache_key,
+    )
+
     spark = documents.sparkSession
+    cache_key = (
+        _corpus_cache_key(
+            documents, "bpe_train", n_merges, min_pair_count,
+            merges_per_round, window, text_col,
+        )
+        if _SHARED_SIG_CACHE is not None
+        else None
+    )
+    if cache_key is not None:
+        hit = _SHARED_SIG_CACHE.get(cache_key)
+        if hit is not None:
+            merges, words_df = hit
+            merges_df = spark.createDataFrame(
+                list(merges) or [],
+                "rank int, left string, right string, merged string, "
+                "pair_count long",
+            )
+            return merges_df, words_df
+
     words = _word_table(documents, text_col).localCheckpoint()
     merges: list[tuple] = []
     while len(merges) < n_merges:
@@ -214,7 +246,11 @@ def bpe_train(
             merges.append((len(merges) + 1, left, right, left + right, cnt))
         # rewrite only the words containing at least one selected pair
         # (the fold is the identity for the rest); checkpoint keeps the
-        # plan flat across rounds
+        # plan flat across rounds.  LAZY (round 14, guide §1.2): the
+        # next round's candidate collect is the first action over the
+        # rewrite anyway, so an eager checkpoint here only added one
+        # sequential vocab-sized job per round; the final round's
+        # rewrite folds into the consumer's first job.
         has_any = F.exists(
             _adjacent_pairs(F.col("__seg")),
             lambda p: functools.reduce(
@@ -234,7 +270,7 @@ def bpe_train(
             )
             .otherwise(F.col("__seg"))
             .alias("__seg"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
 
     merges_df = spark.createDataFrame(
         merges or [],
@@ -246,6 +282,11 @@ def bpe_train(
         F.size("__seg").cast("int").alias("n_bpe_tokens"),
         F.col("__seg").alias("bpe_segments"),
     )
+    if cache_key is not None:
+        # The tuple value is inert to the cache's exit-time unpersist
+        # sweep (suppressed AttributeError); the checkpoint blocks are
+        # reclaimed by the ContextCleaner when the cache dict drops.
+        _SHARED_SIG_CACHE[cache_key] = (tuple(merges), words_df)
     return merges_df, words_df
 
 

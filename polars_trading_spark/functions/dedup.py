@@ -520,9 +520,12 @@ def ngram_jaccard_pairs(
     )
     # Materialize the shingle arrays through an exchange before explode
     # (Generate re-evaluates inlined interpreted expressions), and track
-    # the cache: base feeds the posting lists AND both verify joins.
+    # the cache: base feeds the posting lists AND both verify joins —
+    # eager (round 14, guide §5.3): several of those consumers sit on
+    # broadcast sides (dfreq, the candidate set), and a lazy persist is
+    # re-materialized once per concurrent broadcast thread.
     base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = persist_tracked(base)
+    base = persist_tracked(base, eager=True)
 
     posting = base.select(
         *block_cols, "__id", F.size("__ng").alias("__n"), F.explode("__ng").alias("__s")

@@ -51,10 +51,19 @@ def cluster_keywords(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
+    from polars_trading_spark._utils import persist_tracked
+
     cents = _vector_pack(
         embeddings, n_cells, id_col=vec_id_col, vec_col=vec_col, out_col="__cents"
     )
-    cells = (
+    # Round 14 (guide §5.3/§3.1): ``cells`` and ``dfreq`` are the small
+    # sides of downstream joins, so AQE broadcasts them — and a
+    # broadcast subtree is re-executed ON THE BROADCAST THREAD, which
+    # re-ran the CPU-dense centroid-sims chain and the tokenize +
+    # distinct pass (two ~18s-CPU duplicate stages in the profile).
+    # Both frames are bounded (ids x 2 ints; vocab x counts): stage
+    # them eagerly so the broadcast reads the cache.
+    cells = persist_tracked(
         embeddings.select(
             F.col(vec_id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
         )
@@ -65,7 +74,8 @@ def cluster_keywords(
             (F.array_position(F.col("__sims"), F.array_max("__sims")) - 1)
             .cast("int")
             .alias("cell"),
-        )
+        ),
+        eager=True,
     )
 
     toks = documents.select(
@@ -74,14 +84,20 @@ def cluster_keywords(
     )
     joined = toks.join(cells, "__id")
 
-    cell_counts = joined.groupBy("cell", "token").agg(
-        F.count(F.lit(1)).alias("cell_count")
+    # cell_counts is bounded too (cells x vocab) and is itself the
+    # broadcast side of the score join — same staging rationale.
+    cell_counts = persist_tracked(
+        joined.groupBy("cell", "token").agg(
+            F.count(F.lit(1)).alias("cell_count")
+        ),
+        eager=True,
     )
-    dfreq = (
+    dfreq = persist_tracked(
         toks.select("__id", "token")
         .distinct()
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .agg(F.count(F.lit(1)).alias("doc_freq")),
+        eager=True,
     )
     n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("__N"))
     scored = (

@@ -485,13 +485,7 @@ def rank_portfolio_backtest_net(
     anti-joins are bucket-count-sized) plus one CS window pass over the
     bars and a lookup join of CS onto the tiny trade set.
     """
-    from polars_trading_spark._utils import persist_tracked
     from polars_trading_spark.operators.microstructure import corwin_schultz
-
-    # Round 14 (guide §5.3): ``bars`` feeds both the membership pipeline
-    # and the Corwin-Schultz cost leg — unpersisted, each re-executed
-    # the bar build from the scan.  Bounded by buckets x symbols.
-    bars = persist_tracked(bars)
 
     members = _rank_members(
         bars,

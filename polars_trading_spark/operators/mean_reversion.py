@@ -239,16 +239,6 @@ def spread_zscore_signal(
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
 
-    # Round 14 (guide §5.3 "cache what two consumers read"): ``bars``
-    # feeds BOTH pair legs and the cointegration fit (and, through the
-    # net/tearsheet wrappers, the Corwin-Schultz estimator too) — each
-    # consumer re-executed the upstream bar build from the scan.  The
-    # bar frame is bounded by buckets x symbols, far below the trades
-    # it aggregates; tracked persist, released by release_persisted().
-    from polars_trading_spark._utils import persist_tracked
-
-    bars = persist_tracked(bars)
-
     c = F.col(close_col).cast("double")
     x = F.log(c) if use_log else c
     r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))

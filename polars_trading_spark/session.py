@@ -40,13 +40,17 @@ def get_spark(app_name: str = "polars-trading-spark", *, shuffle_partitions: int
         # an Arrow kernel or interpreted-HOF stage) into ONE task — at
         # bench scale that serialized whole query families on a 32-core
         # box (sadf_adf1's window+ADF stage: 6.7s in a single task).
-        # 64k keeps such stages parallel; partitions at the 100 TB
+        # 256k keeps such stages parallel without over-splitting the
+        # smallest shuffles (a 64k floor A/B'd worse on the suite: the
+        # 32-way tiny-partition shuffles of bigram_logprob drew a long
+        # GC tail — 6.66s vs 4.14s fresh-JVM median at 256k, the rest
+        # of the basket within spread).  Partitions at the 100 TB
         # target are orders of magnitude above either floor, so this
         # only changes behavior where coalescing was collapsing
         # parallelism.  Env-tunable for cluster profiles.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("PTS_AQE_MIN_PARTITION_SIZE", "256k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -382,3 +382,33 @@ def test_bpe_pack_sequences_budgets_by_bpe_counts(docs, spark):
         for r in rows:
             assert r["seq_offset"] == off
             off += r["n_tokens"]
+
+
+def test_bpe_train_shared_cache_identical_results(docs, spark):
+    # Round 14: inside a shared_signature_cache() block the trained
+    # tokenizer is cached per (corpus plan, params) — repeated calls
+    # must return the identical merge list and word table, and both
+    # must equal the uncached result.
+    from polars_trading_spark.functions.dedup import shared_signature_cache
+
+    merges_plain, words_plain = bpe_train(docs, n_merges=12)
+    ref_merges = _got_merges(merges_plain)
+    ref_words = {
+        r["word"]: (r["word_count"], r["n_bpe_tokens"])
+        for r in words_plain.collect()
+    }
+    with shared_signature_cache():
+        m1, w1 = bpe_train(docs, n_merges=12)
+        m2, w2 = bpe_train(docs, n_merges=12)  # served from the cache
+        assert w2 is w1  # cache hit returns the same word table
+        assert _got_merges(m1) == ref_merges
+        assert _got_merges(m2) == ref_merges
+        got1 = {
+            r["word"]: (r["word_count"], r["n_bpe_tokens"])
+            for r in w1.collect()
+        }
+        assert got1 == ref_words
+        # different params must NOT collide in the cache
+        m3, _ = bpe_train(docs, n_merges=12, merges_per_round=1)
+        ref_classic, _, _ = _ref_bpe_train(CORPUS, 12, 2, k=1)
+        assert _got_merges(m3) == ref_classic
