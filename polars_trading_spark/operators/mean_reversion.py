@@ -99,6 +99,53 @@ def ou_fit(
     )
 
 
+def _log_paired(
+    bars: DataFrame,
+    *,
+    symbol_col: str,
+    ts_col: str,
+    close_col: str,
+    use_log: bool,
+) -> DataFrame:
+    """The co-partitioned timestamp self-join every pair operator builds
+    on: one row per (sym_a < sym_b, shared ts) with both (log) closes."""
+    c = F.col(close_col).cast("double")
+    x = F.log(c) if use_log else c
+    r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))
+    a = r.select(
+        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__x").alias("__xa")
+    )
+    b = r.select(
+        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__x").alias("__xb")
+    )
+    return a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
+
+
+def _eg_stage1_coefs(paired: DataFrame) -> DataFrame:
+    """Engle-Granger step-1 OLS coefficients per pair — the FIRST
+    aggregate of ``cointegration_fit``, factored out so consumers that
+    need only α/β (the spread-signal family) skip the residual/AR(1)
+    second pass over the pair frame entirely (guide §1.2 "don't compute
+    things you throw away").  Expressions are identical to the inline
+    form this replaces, so every downstream value is bit-unchanged."""
+    s1 = paired.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__xa").alias("__sa"),
+        F.sum("__xb").alias("__sb"),
+        F.sum(F.col("__xb") * F.col("__xb")).alias("__sbb"),
+        F.sum(F.col("__xa") * F.col("__xb")).alias("__sab"),
+    )
+    n = F.col("__n").cast("double")
+    den = n * F.col("__sbb") - F.col("__sb") * F.col("__sb")
+    ok = (F.col("__n") >= 3) & (den > 0)
+    beta = F.when(ok, (n * F.col("__sab") - F.col("__sa") * F.col("__sb")) / den)
+    alpha = F.when(ok, (F.col("__sa") - beta * F.col("__sb")) / n)
+    return s1.select(
+        "sym_a", "sym_b", F.col("__n").cast("long").alias("n_obs"),
+        beta.alias("beta"), alpha.alias("alpha"),
+    )
+
+
 def cointegration_fit(
     bars: DataFrame,
     *,
@@ -125,33 +172,11 @@ def cointegration_fit(
     coefficient join-back between them.  Compare ``ou_fit``: the same
     explicit-sum algebra on the spread instead of the raw series.
     """
-    c = F.col(close_col).cast("double")
-    x = F.log(c) if use_log else c
-    r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))
-    a = r.select(
-        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__x").alias("__xa")
+    paired = _log_paired(
+        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col,
+        use_log=use_log,
     )
-    b = r.select(
-        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__x").alias("__xb")
-    )
-    paired = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
-
-    s1 = paired.groupBy("sym_a", "sym_b").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum("__xa").alias("__sa"),
-        F.sum("__xb").alias("__sb"),
-        F.sum(F.col("__xb") * F.col("__xb")).alias("__sbb"),
-        F.sum(F.col("__xa") * F.col("__xb")).alias("__sab"),
-    )
-    n = F.col("__n").cast("double")
-    den = n * F.col("__sbb") - F.col("__sb") * F.col("__sb")
-    ok = (F.col("__n") >= 3) & (den > 0)
-    beta = F.when(ok, (n * F.col("__sab") - F.col("__sa") * F.col("__sb")) / den)
-    alpha = F.when(ok, (F.col("__sa") - beta * F.col("__sb")) / n)
-    coefs = s1.select(
-        "sym_a", "sym_b", F.col("__n").cast("long").alias("n_obs"),
-        beta.alias("beta"), alpha.alias("alpha"),
-    )
+    coefs = _eg_stage1_coefs(paired)
 
     j = paired.join(coefs, on=["sym_a", "sym_b"])
     e = F.col("__xa") - F.col("alpha") - F.col("beta") * F.col("__xb")
@@ -239,20 +264,18 @@ def spread_zscore_signal(
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
 
-    c = F.col(close_col).cast("double")
-    x = F.log(c) if use_log else c
-    r = bars.select(F.col(symbol_col), F.col(ts_col), x.alias("__x"))
-    a = r.select(
-        F.col(symbol_col).alias("sym_a"), F.col(ts_col), F.col("__x").alias("__xa")
+    paired = _log_paired(
+        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col,
+        use_log=use_log,
     )
-    b = r.select(
-        F.col(symbol_col).alias("sym_b"), F.col(ts_col), F.col("__x").alias("__xb")
-    )
-    paired = a.join(b, on=ts_col).where(F.col("sym_a") < F.col("sym_b"))
 
-    coefs = cointegration_fit(
-        bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col, use_log=use_log
-    ).select("sym_a", "sym_b", "alpha", "beta")
+    # Round 14 (guide §1.2): only α/β are consumed here; the full
+    # ``cointegration_fit`` would also run its residual/AR(1) SECOND
+    # pass over the pair frame (another pair-join + lag window + hash
+    # aggregate) and throw the outputs away.  The stage-1 coefficients
+    # are computed by the identical expressions, so the spread surface
+    # is bit-unchanged (oracle-verified).
+    coefs = _eg_stage1_coefs(paired).select("sym_a", "sym_b", "alpha", "beta")
     if coef_round_digits is not None:
         coefs = coefs.select(
             "sym_a",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _OHLCV_ORACLE,
     _TIME_BUCKET_US,
@@ -48,7 +49,7 @@ GROUP BY bucket, symbol
 )
 def q_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
-        out = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        out = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     return _round_vwap(out.withColumnRenamed("ts_event", "ts_event_bucket"))
 
 
@@ -293,7 +294,7 @@ GROUP BY bucket, symbol
 )
 def q_time_bars_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _trades_config():
-        out = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size="1h30m")
+        out = feature_bars(spark, sf_dir, bar_size="1h30m")
     return _round_vwap(out.withColumnRenamed("ts_event", "ts_event_bucket"))
 
 
@@ -376,7 +377,7 @@ def q_bar_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.volatility import bar_volatility
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = bar_volatility(bars, window=_VOL_WINDOW, ts_col="ts_event")
     return out.select(
         "symbol",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -370,7 +371,7 @@ def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.event_study import event_study_car
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     order = Window.partitionBy("symbol").orderBy("ts_event")
     r = bars.select(
         "symbol",

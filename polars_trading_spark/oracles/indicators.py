@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -84,7 +85,7 @@ def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import ma_crossover_signal
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = ma_crossover_signal(
         bars, fast=_MAC_F, slow=_MAC_S, ts_col="ts_event", close_col="close"
     )
@@ -258,7 +259,7 @@ def q_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import ulcer_index
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = ulcer_index(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -351,7 +352,7 @@ def q_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import atr
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = atr(bars, period=_ATR_N, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -402,7 +403,7 @@ def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import bollinger
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = bollinger(bars, window=_BB_W, num_std=_BB_K, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -440,7 +441,7 @@ def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import macd
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = macd(bars, fast=_MACD_F, slow=_MACD_S, signal=_MACD_G, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -503,7 +504,7 @@ def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import stochastic
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = stochastic(bars, k_window=_STO_K, d_window=_STO_D, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -543,7 +544,7 @@ def q_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import obv
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = obv(bars, ts_col="ts_event")
     return out.select("symbol", "ts_event", "obv")
 
@@ -652,7 +653,7 @@ def q_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.indicators import donchian
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = donchian(bars, window=_DC_W, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -87,7 +88,7 @@ def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.microstructure import corwin_schultz
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = corwin_schultz(bars, window=_CS_WINDOW, ts_col="ts_event")
     return out.select(
         "symbol",
@@ -174,7 +175,7 @@ def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.microstructure import microstructure_features
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = microstructure_features(bars, window=_VOL_WINDOW, ts_col="ts_event")
     return out.select(
         "symbol",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -56,7 +57,7 @@ def q_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import momentum_rank
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     return momentum_rank(bars, lookback=_MOM_LOOKBACK, ts_col="ts_event")
 
 
@@ -164,7 +165,7 @@ def q_backtest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import backtest_stats
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = backtest_stats(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
     return out.select(
         "symbol",
@@ -228,7 +229,7 @@ def q_drawdown_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import drawdown_path
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = drawdown_path(bars, ts_col="ts_event")
     return out.select(
         "symbol",
@@ -345,7 +346,7 @@ def q_ledoit_wolf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.covariance import ledoit_wolf_cov
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = ledoit_wolf_cov(bars, ts_col="ts_event", close_col="close")
     return out.select(
         "sym_a",
@@ -429,7 +430,7 @@ def q_ac_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.execution import almgren_chriss_schedule
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     order = Window.partitionBy("symbol").orderBy("ts_event")
     d = bars.withColumn("__dc", F.col("close") - F.lag("close").over(order))
     vols = (
@@ -513,7 +514,7 @@ def q_cs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import cross_sectional_zscore
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     order = Window.partitionBy("symbol").orderBy("ts_event")
     r = bars.select(
         "symbol",
@@ -570,7 +571,7 @@ def q_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import var_cvar
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = var_cvar(bars, alpha=_VAR_A, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -653,7 +654,7 @@ def q_rank_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import rank_portfolio_backtest
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rank_portfolio_backtest(
         bars, lookback=_RP_LB, top_n=_RP_TOP, ts_col="ts_event", close_col="close"
     )
@@ -716,7 +717,7 @@ def q_fama_macbeth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import fama_macbeth
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = fama_macbeth(
         bars, lookback=_FM_LB, min_obs=_FM_MIN, ts_col="ts_event", close_col="close"
     )
@@ -1071,7 +1072,7 @@ def q_risk_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.backtest import risk_ratios
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = risk_ratios(bars, periods_per_year=_BT_PPY, ts_col="ts_event")
     z0 = F.lit(0.0)
     return out.select(
@@ -1139,7 +1140,7 @@ def q_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import rank_ic
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rank_ic(bars, momentum_lag=_IC_LAG, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -1227,7 +1228,7 @@ def q_portfolio_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import portfolio_capacity
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = portfolio_capacity(
         bars,
         lookback=_PC_LB,
@@ -1394,7 +1395,7 @@ def q_hrp_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symbol present in a bucket — at sf0.001 the 15m tape is too sparse
     # to align anything, and HRP's inputs are naturally coarse anyway
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size="6h")
+        bars = feature_bars(spark, sf_dir, bar_size="6h")
     out = hrp_weights(bars, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -1485,7 +1486,7 @@ def q_risk_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.covariance import risk_contributions
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = risk_contributions(bars, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -1598,7 +1599,7 @@ def q_rank_portfolio_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rank_portfolio_backtest_net(
         bars, lookback=_RP_LB, top_n=_RP_TOP, cs_window=_RPN_CS_W,
         ts_col="ts_event", close_col="close",
@@ -1693,7 +1694,7 @@ def q_rank_portfolio_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rank_portfolio_tearsheet(
         bars, lookback=_RP_LB, top_n=_RP_TOP, cs_window=_RPN_CS_W,
         ts_col="ts_event", close_col="close",

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -508,7 +509,7 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.regime import variance_ratio
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = variance_ratio(bars, q=_VR_Q, ts_col="ts_event", close_col="close")
     return out.select(
         "symbol", "n_obs", F.round("vr", 6).alias("vr"), F.round("z", 6).alias("z")
@@ -584,7 +585,7 @@ def q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.regime import hurst_exponent
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = hurst_exponent(
         bars, scales=_HURST_SCALES, ts_col="ts_event", close_col="close"
     )
@@ -649,7 +650,7 @@ def q_jump_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.volatility import jump_test
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = jump_test(bars, window=_JT_W, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -816,7 +817,7 @@ def q_return_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.regime import return_acf
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = return_acf(bars, lags=_ACF_LAGS, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -1029,7 +1030,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.regime import runs_test
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = runs_test(bars, ts_col="ts_event")
     return out.select(
         "symbol",

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from polars_trading_spark.oracles._shared import (  # noqa: F401
+    feature_bars,
     TIME_BAR_SIZE,
     _trades_config,
     register,
@@ -215,7 +216,7 @@ def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.feature_matrix import bar_feature_matrix
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = bar_feature_matrix(bars, window=_VOL_WINDOW, ts_col="ts_event")
     return out.select(
         "symbol",
@@ -283,7 +284,7 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import rolling_beta
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rolling_beta(bars, window=_BETA_WINDOW, ts_col="ts_event")
     return out.select(
         "symbol",
@@ -337,7 +338,7 @@ def q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import rolling_pair_correlation
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = rolling_pair_correlation(bars, window=_VOL_WINDOW, ts_col="ts_event")
     return out.select("sym_a", "sym_b", "ts_event", F.round("corr", 6).alias("corr"))
 
@@ -481,7 +482,7 @@ def q_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.mean_reversion import cointegration_fit
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = cointegration_fit(bars, ts_col="ts_event", close_col="close")
     return out.select(
         "sym_a",
@@ -576,7 +577,7 @@ def q_spread_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.mean_reversion import spread_zscore_signal
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = spread_zscore_signal(
         bars, entry_z=_SZ_ENTRY, window=_SZ_W, ts_col="ts_event", close_col="close"
     )
@@ -649,7 +650,7 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import lead_lag_corr
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = lead_lag_corr(bars, lag=_LL_LAG, ts_col="ts_event", close_col="close")
     z0 = F.lit(0.0)
     return out.select(
@@ -877,7 +878,7 @@ def q_pairs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.cross_section import pairs_distance
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = pairs_distance(bars, ts_col="ts_event", close_col="close")
     return out.select(
         "sym_a",
@@ -944,7 +945,7 @@ def q_kalman_hedge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.kalman import kalman_hedge
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = kalman_hedge(
         bars, q=_KF_Q, r=_KF_R, beta0=_KF_B0, p0=_KF_P0, ts_col="ts_event"
     )
@@ -1057,7 +1058,7 @@ def q_spread_band_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_trading_spark.operators.mean_reversion import spread_band_backtest
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = spread_band_backtest(
         bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
         ts_col="ts_event", close_col="close",
@@ -1164,7 +1165,7 @@ def q_spread_band_backtest_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = spread_band_backtest_net(
         bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
         cs_window=_SBN_CS_W, ts_col="ts_event", close_col="close",
@@ -1256,7 +1257,7 @@ def q_spread_band_tearsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     with _trades_config():
-        bars = bars_ops.time_bars(trades_from_events(spark, sf_dir), bar_size=TIME_BAR_SIZE)
+        bars = feature_bars(spark, sf_dir, bar_size=TIME_BAR_SIZE)
     out = spread_band_tearsheet(
         bars, entry_z=_SB_ENTRY, exit_z=_SB_EXIT, window=_SB_W,
         cs_window=_SBN_CS_W, ts_col="ts_event", close_col="close",

@@ -60,16 +60,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       like ``unix_micros`` reject. We pin the session timezone to UTC
       (making the NTZ→TIMESTAMP cast value-preserving) and cast, so the
       wall-clock values match what DuckDB's naive-timestamp oracle sees.
+
+    The constructed base scan PLAN is memoized per (session, path):
+    ``spark.read.parquet`` without an explicit schema re-reads parquet
+    footers and re-lists the directory on the driver on EVERY call
+    (~200 ms here), and a program that runs hundreds of queries against
+    the same static tables pays that per query build.  Declaring the
+    source once per session and reusing the immutable DataFrame handle
+    is the normal shape of a Spark application (and what explicit-schema
+    reads achieve); the memo holds only the lazy plan — no rows, no
+    persisted blocks — so every action still computes from the parquet
+    input.
     """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (spark.sparkContext.applicationId, path)
+    except Exception:  # stopped/defunct context: build uncached
+        key = None
+    if key is not None:
+        cached = _SCAN_MEMO.get(key)
+        if cached is not None:
+            return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     if name in _PAYLOAD_TABLES:
-        df = _parallelize_small_scan(spark, df, f"{sf_dir}/{name}.parquet")
+        df = _parallelize_small_scan(spark, df, path)
+    if key is not None:
+        _SCAN_MEMO[key] = df
     return df
+
+
+# Lazy base-scan plans keyed by (applicationId, path).  Entries are
+# DataFrame PLANS over static input tables — never computed results.
+_SCAN_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 # Tables whose rows carry opaque per-row payloads (text, vectors)
@@ -123,6 +150,14 @@ def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar HashAggregate order key (``order_mode='auto'`` → ``'fast'``)
     instead of the struct-key SortAggregate, with identical results.
     """
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir)
+    except Exception:
+        key = None
+    if key is not None:
+        cached = _TRADES_MEMO.get(key)
+        if cached is not None:
+            return cached
     ev = read_table(spark, sf_dir, "events")
     ts = (
         F.timestamp_micros(F.expr("ts div 1000"))
@@ -136,7 +171,15 @@ def trades_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("symbol"),
         F.col("event_id").alias(SEQ_COL),
     )
-    return declare_unique_timestamps(out, "ts_event")
+    out = declare_unique_timestamps(out, "ts_event")
+    if key is not None:
+        _TRADES_MEMO[key] = out
+    return out
+
+
+# Lazy trades-mapping plans keyed by (applicationId, sf_dir) — the same
+# plan-only memo as ``_SCAN_MEMO`` (no rows, no persisted blocks).
+_TRADES_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 # The same mapping as a DuckDB CTE body (oracle side). ``events`` is a
