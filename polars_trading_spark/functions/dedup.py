@@ -513,19 +513,35 @@ def ngram_jaccard_pairs(
     bit-for-bit (collisions, being hash-deterministic, merge in both
     engines alike).
     """
-    base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
-        *block_cols,
-        "__id",
-        shingle_hashes(F.col("__toks"), ngram).alias("__ng"),
+    # Served from the ACTIVE shared_signature_cache() when one is
+    # installed (round 14, guide §5.3): the exact-verify arm of every
+    # recall/param harness rebuilds the identical tokenize→shingle base
+    # over the same sampled corpus — one staged table feeds them all,
+    # mirroring what the MinHash arm already does via ``_shingle_table``.
+    cache_key = (
+        _corpus_cache_key(df, "ngbase", text_col, id_col, ngram, tuple(block_cols))
+        if _SHARED_SIG_CACHE is not None
+        else None
     )
-    # Materialize the shingle arrays through an exchange before explode
-    # (Generate re-evaluates inlined interpreted expressions), and track
-    # the cache: base feeds the posting lists AND both verify joins —
-    # eager (round 14, guide §5.3): several of those consumers sit on
-    # broadcast sides (dfreq, the candidate set), and a lazy persist is
-    # re-materialized once per concurrent broadcast thread.
-    base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    base = persist_tracked(base, eager=True)
+    base = (
+        _SHARED_SIG_CACHE.get(cache_key)
+        if _SHARED_SIG_CACHE is not None and cache_key is not None
+        else None
+    )
+    if base is None:
+        base = _tokenized(df, text_col, id_col, extra=tuple(block_cols)).select(
+            *block_cols,
+            "__id",
+            shingle_hashes(F.col("__toks"), ngram).alias("__ng"),
+        )
+        # Materialize the shingle arrays through an exchange before explode
+        # (Generate re-evaluates inlined interpreted expressions), and track
+        # the cache: base feeds the posting lists AND both verify joins —
+        # eager (round 14, guide §5.3): several of those consumers sit on
+        # broadcast sides (dfreq, the candidate set), and a lazy persist is
+        # re-materialized once per concurrent broadcast thread.
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        base = _cache_stage(base, cache_key)
 
     posting = base.select(
         *block_cols, "__id", F.size("__ng").alias("__n"), F.explode("__ng").alias("__s")
@@ -1219,7 +1235,23 @@ def _recall_sample(
     if sample_fraction == "auto":
         if target_docs < 1:
             raise ValueError(f"target_docs must be >= 1, got {target_docs}")
-        n = docs.count()
+        # The corpus-size scalar behind the auto fraction is one count
+        # job per harness call; inside a shared_signature_cache() block
+        # the four recall/param harnesses (and their bench repeats) ask
+        # it of the SAME corpus plan — serve it from the shared cache
+        # like every other shared corpus stage (round 14, guide §5.3).
+        n = None
+        nkey = (
+            _corpus_cache_key(docs, "ndocs")
+            if _SHARED_SIG_CACHE is not None
+            else None
+        )
+        if nkey is not None:
+            n = _SHARED_SIG_CACHE.get(nkey)
+        if n is None:
+            n = docs.count()
+            if nkey is not None:
+                _SHARED_SIG_CACHE[nkey] = n
         fraction = min(1.0, float(target_docs) / max(n, 1))
     else:
         # strings other than 'auto' must hit the helpful ValueError, not

@@ -77,9 +77,10 @@ def ledoit_wolf_cov(
         .drop("__cts", "__nsym")
     )
 
-    # Demean per symbol over the aligned sample.
+    # Demean per symbol over the aligned sample (one projection — each
+    # extra DataFrame op is a full eager re-analysis of the plan).
     mean_s = F.avg("__r").over(Window.partitionBy("__s"))
-    x = r.withColumn("__x", F.col("__r") - mean_s).select("__s", "__ts", "__x")
+    x = r.select("__s", "__ts", (F.col("__r") - mean_s).alias("__x"))
 
     a = x.select(F.col("__s").alias("sym_a"), "__ts", F.col("__x").alias("__xa"))
     b = x.select(F.col("__s").alias("sym_b"), "__ts", F.col("__x").alias("__xb"))
@@ -116,9 +117,7 @@ def ledoit_wolf_cov(
         shrink.alias("shrinkage"), m.alias("mu"), F.lit(1).alias("__one")
     )
 
-    out = per_pair.withColumn("__one", F.lit(1)).join(
-        F.broadcast(scalars), on="__one"
-    )
+    out = per_pair.crossJoin(F.broadcast(scalars.drop("__one")))
     target = F.when(diag, F.col("mu")).otherwise(F.lit(0.0))
     shrunk = F.when(
         F.col("shrinkage").isNotNull(),
@@ -218,10 +217,12 @@ def risk_contributions(
         j.withColumn(
             "__drun", F.sum(F.col("__cov") * F.col("__w")).over(orun)
         )
-        .withColumn("__mrc", F.last("__drun").over(ofull))
-        .withColumn(
-            "__rn",
-            F.row_number().over(Window.partitionBy("sym_a").orderBy("sym_b")),
+        .select(
+            "sym_a",
+            F.last("__drun").over(ofull).alias("__mrc"),
+            F.row_number()
+            .over(Window.partitionBy("sym_a").orderBy("sym_b"))
+            .alias("__rn"),
         )
         .where(F.col("__rn") == 1)
         .select(F.col("sym_a").alias("__sym"), "__mrc")
