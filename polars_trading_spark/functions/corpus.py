@@ -1281,7 +1281,8 @@ def benchmark_coverage(
             F.col(bench_col).alias("benchmark"),
             F.col(id_col).alias("__bid"),
             shingle_hashes(tokens(F.col(text_col)), n=ngram).alias("__sh"),
-        )
+        ),
+        eager=True,  # bench_set + totals are AQE-concurrent (r15 §5.3)
     )
     bench_set = (
         bench_grams.select("benchmark", F.explode("__sh").alias("g")).distinct()

@@ -1113,6 +1113,13 @@ def ngram_containment_pairs(
         .where(F.col("__df") <= F.col("__nd") * F.lit(float(max_df_frac)))
         .select("__id", "__h")
     )
+    # eager (round 15, guide §5.3): ``pruned`` feeds BOTH arms of the
+    # candidate self-join in one action — unpersisted, each arm re-ran
+    # the posting explode + df-count join (two ~7.5s-CPU duplicate
+    # stages in the profile).  The frame is the df-pruned posting list,
+    # which the self-join materializes anyway; persisting trades one
+    # copy in cache for computing it once.
+    pruned = persist_tracked(pruned, eager=True)
     cand = (
         pruned.alias("a")
         .join(pruned.alias("b"), on="__h")

@@ -86,9 +86,8 @@ def quality_classifier(
     chain consumes as its learned quality gate.
     """
     from polars_trading_spark.functions.text import (
+        _profile_staged,
         portable_hash60,
-        text_profile,
-        tokens,
     )
 
     if n_buckets < 1:
@@ -98,8 +97,21 @@ def quality_classifier(
     d = int(n_buckets)
     n = d + 1  # + bias
 
-    prof = text_profile(documents, text_col=text_col, keep=(id_col,))
-    label = (F.col("quality_score") >= float(min_quality)).cast("double")
+    # Round 15 (guide §2.4/§1.2): the feature pass previously ran TWO
+    # corpus branches — text_profile for the label, and a separate
+    # tokenize → explode → md5 → hash-aggregate branch for the bucket
+    # counts — joined back on the doc id (tokenizer paid twice, plus an
+    # aggregate exchange and a join).  The label is now computed in the
+    # SAME staged projection that carries the token array (the shared
+    # ``_profile_staged`` expressions — bit-identical quality_score),
+    # carried through the explode, and folded into the one aggregate
+    # with ``first()`` (constant within each doc group).  One scan, one
+    # tokenizer pass, zero joins; the aggregate rides the scan's
+    # doc-id partitioning where one exists.
+    staged, prof_exprs = _profile_staged(
+        documents, text_col=text_col, keep=(id_col,)
+    )
+    label = (prof_exprs["quality_score"] >= float(min_quality)).cast("double")
     bucket = F.pmod(
         portable_hash60(F.concat(F.lit(salt), F.col("__tok"))), F.lit(d)
     )
@@ -110,11 +122,13 @@ def quality_classifier(
     # The Generate (explode) barrier pins the staging projection, so
     # each token pays exactly one md5.  Values are identical: the same
     # bucket feeds the same comparisons.
-    ex = documents.select(
+    ex = staged.select(
         F.col(id_col),
-        F.explode_outer(tokens(F.col(text_col))).alias("__tok"),
-    ).select(id_col, "__tok", bucket.alias("__bkt"))
+        label.alias("__y"),
+        F.explode_outer(F.col("__toks")).alias("__tok"),
+    ).select(id_col, "__y", "__tok", bucket.alias("__bkt"))
     counts = ex.groupBy(id_col).agg(
+        F.first("__y").alias("__y"),
         F.count("__tok").cast("double").alias("__nt"),
         *[
             # coalesce: an all-NULL group (empty document kept by the
@@ -125,14 +139,22 @@ def quality_classifier(
             for k in range(d)
         ],
     )
-    feats = counts.join(prof.select(id_col, label.alias("__y")), id_col)
     safe_nt = F.when(F.col("__nt") > 0, F.col("__nt")).otherwise(F.lit(1.0))
-    feats = feats.select(
+    feats = counts.select(
         id_col,
         "__y",
         *[(F.col(f"__c{k}") / safe_nt).alias(f"__f{k}") for k in range(d)],
         F.pmod(F.col(id_col), F.lit(int(n_fold_buckets))).alias("__fb"),
     )
+    # Round 15 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): every IRLS iteration's stage-1 window re-shuffled and
+    # re-sorted the cached feats by (__fb, id).  Partition + sort ONCE
+    # before the persist — the cached layout then satisfies the window's
+    # required distribution and ordering, so iterations 2..T and the
+    # final scoring pass run exchange-free off the cache.  Values are
+    # unchanged: the window's logical (partition, order) spec — not the
+    # physical layout — defines every fold order.
+    feats = feats.repartition("__fb").sortWithinPartitions("__fb", id_col)
     feats = persist_tracked(feats)  # consumed n_iters + 1 times
 
     def xvec():

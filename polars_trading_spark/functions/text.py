@@ -343,6 +343,34 @@ def text_profile(
     stopword_ratio, quality_score) — unrounded; callers round for
     cross-engine float comparison.
     """
+    staged, exprs = _profile_staged(df, text_col=text_col, keep=keep)
+    return staged.select(
+        *keep,
+        exprs["n_tokens"].alias("n_tokens"),
+        exprs["fingerprint"].alias("fingerprint"),
+        exprs["lang_guess"].alias("lang_guess"),
+        exprs["stopword_ratio"].alias("stopword_ratio"),
+        exprs["quality_score"].alias("quality_score"),
+    )
+
+
+def _profile_staged(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    keep: tuple[str, ...] = ("doc_id", "lang"),
+):
+    """The shared staging behind ``text_profile``: the staged frame
+    (``keep`` + text + ``__norm`` + ``__toks`` + stopword hits +
+    ``__total_len``) and the five measure expressions reading it.
+
+    Split out in round 15 so ``quality_classifier`` can derive its
+    label from the IDENTICAL ``quality_score`` expression while keeping
+    ``__toks`` in the same projection — one tokenizer pass feeds both
+    the label and the hashed-bucket features, join-free.  The
+    expression trees are shared, so ``text_profile``'s plan (and every
+    committed value) is unchanged.
+    """
     raw = F.col(text_col)
     staged = df.select(*keep, text_col, normalize_text(raw).alias("__norm"))
     staged = staged.select(
@@ -385,14 +413,13 @@ def text_profile(
     punct_score = 1 - F.least(punct_ratio / F.lit(0.2), F.lit(1.0))
     quality = 0.3 * length_score + 0.3 * shape_score + 0.3 * stop_score + 0.1 * punct_score
 
-    return staged.select(
-        *keep,
-        n.alias("n_tokens"),
-        F.md5("__norm").alias("fingerprint"),
-        lang_expr.alias("lang_guess"),
-        sw.alias("stopword_ratio"),
-        quality.alias("quality_score"),
-    )
+    return staged, {
+        "n_tokens": n,
+        "fingerprint": F.md5("__norm"),
+        "lang_guess": lang_expr,
+        "stopword_ratio": sw,
+        "quality_score": quality,
+    }
 
 
 def _ngram_seq(toks: Column, n: int) -> Column:
@@ -560,7 +587,8 @@ def unigram_logprob(
     k = float(smoothing_k)
     ex = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
     dtc = persist_tracked(
-        ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__cdt"))
+        ex.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("__cdt")),
+        eager=True,  # model + scoring join are AQE-concurrent (r15 §5.3)
     )
     model = dtc.groupBy("tok").agg(F.sum("__cdt").alias("c"))
     # One-row totals, broadcast-crossJoined so no job runs at plan build

@@ -307,7 +307,8 @@ def vocab_divergence(
     tc = persist_tracked(
         df.select(F.col(group_col).alias("__g"), F.explode(tokens(F.col(text_col))).alias("__t"))
         .groupBy("__g", "__t")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__c")),
+        eager=True,  # 3 AQE-concurrent consumers: lazy persists race (r15, guide §5.3)
     )
     totals = tc.groupBy("__g").agg(F.sum("__c").alias("__n"))
     tc = tc.join(totals, "__g")
@@ -421,7 +422,8 @@ def heaps_law(
     # consumers — an unstaged t2 re-runs the tokenizer explode per
     # consumer (measured 2x wall, SCALING §41)
     g = persist_tracked(
-        t2.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__c"))
+        t2.groupBy("__t", "__b").agg(F.count(F.lit(1)).alias("__c")),
+        eager=True,  # 2 AQE-concurrent consumers (r15, guide §5.3)
     )
     # a token's vocabulary entry is charged to the bucket where it first appears
     first_b = g.groupBy("__t").agg(F.min("__b").alias("__fb"))
@@ -602,7 +604,8 @@ def bm25_topk(
     g1 = persist_tracked(
         base.groupBy(id_col, "__dl", "token").agg(
             F.count(F.lit(1)).cast("long").alias("tf")
-        )
+        ),
+        eager=True,  # 2 AQE-concurrent consumers (r15, guide §5.3)
     )
     totals = (
         g1.select(id_col, "__dl")

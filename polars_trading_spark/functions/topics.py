@@ -78,25 +78,35 @@ def cluster_keywords(
         eager=True,
     )
 
-    toks = documents.select(
-        F.col(doc_id_col).alias("__id"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
+    # Round 15 (guide §5.3/§2.3): ``cell_counts`` and ``dfreq`` each
+    # materialized their own tokenize + explode pass over the corpus
+    # (two ~8-10s-CPU duplicate stages in the profile).  Aggregate the
+    # exploded tokens ONCE to per-(doc, token) occurrence counts — the
+    # common root of both: cell counts are sums of the per-doc counts
+    # joined to cells, document frequency is the per-token row count of
+    # the same frame.  Integer counts — values identical.  The
+    # (doc, token) frame rides the documents scan's doc_id partitioning
+    # (partial aggregation compresses before any exchange at scale).
+    g = persist_tracked(
+        documents.select(
+            F.col(doc_id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("__id", "token")
+        .agg(F.count(F.lit(1)).alias("__tc")),
+        eager=True,
     )
-    joined = toks.join(cells, "__id")
 
     # cell_counts is bounded too (cells x vocab) and is itself the
     # broadcast side of the score join — same staging rationale.
     cell_counts = persist_tracked(
-        joined.groupBy("cell", "token").agg(
-            F.count(F.lit(1)).alias("cell_count")
-        ),
+        g.join(cells, "__id")
+        .groupBy("cell", "token")
+        .agg(F.sum("__tc").cast("long").alias("cell_count")),
         eager=True,
     )
     dfreq = persist_tracked(
-        toks.select("__id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("doc_freq")),
+        g.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq")),
         eager=True,
     )
     n_docs = documents.agg(F.count(F.lit(1)).cast("double").alias("__N"))

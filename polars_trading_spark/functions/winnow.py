@@ -173,7 +173,9 @@ def winnow_duplicate_pairs(
     # self-join probe) would otherwise each re-run the whole winnowing
     # window pipeline.
     df_fp = persist_tracked(
-        fps.select(F.col(id_col).alias("doc"), "fp").distinct()
+        fps.select(F.col(id_col).alias("doc"), "fp").distinct(),
+        eager=True,  # the 3 consumers are AQE-concurrent: lazy persists
+        # race, one winnowing-pipeline execution per consumer (r15 §5.3)
     )
     n_fp = df_fp.groupBy("doc").agg(F.count("*").alias("n_fp"))
 

@@ -171,7 +171,9 @@ def risk_contributions(
     pairs = persist_tracked(
         ledoit_wolf_cov(
             bars, symbol_col=symbol_col, ts_col=ts_col, close_col=close_col
-        ).select("sym_a", "sym_b", F.col(cov_col).alias("__cov"))
+        ).select("sym_a", "sym_b", F.col(cov_col).alias("__cov")),
+        eager=True,  # the 4 consumers are AQE-concurrent: lazily
+        # persisted, each re-ran the bar scan + pair join (r15 §5.3)
     )
 
     sym_pairs = pairs.union(

@@ -348,6 +348,14 @@ def _rank_members(
     )
     from polars_trading_spark._utils import persist_tracked
 
+    # NOTE (round 15, measured negative): eager-persisting this frame
+    # (to stop its 4-6 AQE-concurrent consumers re-running the momentum
+    # chain) SLOWED the net backtest 2.0->3.3s and the tearsheet
+    # 2.4->3.9s fresh-JVM isolated — at bench scale the duplicated
+    # subtrees overlap on idle cores, while the eager count() serializes
+    # a full pipeline round before the first consumer.  Reverted; the
+    # duplicate-work-vs-latency trade re-opens only when profiles show
+    # the racing consumers CONTENDING (the cluster_keywords case).
     return persist_tracked(
         m.withColumn("__side", side).where(F.col("__side") != 0)
     )
@@ -1126,51 +1134,75 @@ def rank_portfolio_tearsheet(
         high_col=high_col,
         low_col=low_col,
     )
-    w = Window.orderBy(ts_col)
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    g = F.coalesce(F.col("pnl"), F.lit(0.0))
-    nv = F.col("net_pnl")
-    to = F.coalesce(F.col("turnover"), F.lit(0.0))
-    t2 = net.select(
-        F.col(ts_col),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(full).alias("__cnt"),
-        F.sum(F.col("turnover").isNotNull().cast("long")).over(full).alias(
-            "__nto"
-        ),
-        F.sum(g).over(run).alias("__sg"),
-        F.sum(g * g).over(run).alias("__sg2"),
-        F.sum(nv).over(run).alias("__sn"),
-        F.sum(nv * nv).over(run).alias("__sn2"),
-        F.sum(F.col("cost")).over(run).alias("__sc"),
-        F.sum(to).over(run).alias("__sto"),
+    # Round 15 (the quality_classifier/pbo bounded-collect pattern, r14
+    # verdict item 2): the one-row summary previously ran a
+    # single-partition global-window family (t2→t5 chained windows +
+    # last-row filter) on top of the backtest — 3-4 extra sequential
+    # AQE stage rounds on an already driver-bound query.  The per-bucket
+    # series is BUCKET-count-sized (the same boundedness the old global
+    # ``Window.orderBy(ts)`` asserted), so it is collected once and the
+    # summary folds on the driver with the IDENTICAL IEEE operation
+    # sequence: ts-ascending left-associated running sums (including
+    # the coalesced ``+ 0.0`` terms), running-peak drawdown staging,
+    # and the same divide/sqrt Sharpe arithmetic — bit-identical
+    # outputs.
+    import math
+
+    spark = bars.sparkSession
+    out_schema = (
+        "n_buckets long, gross_pnl double, total_cost double, "
+        "net_pnl double, gross_sharpe double, net_sharpe double, "
+        "avg_turnover double, max_drawdown double"
     )
-    t3 = t2.withColumn("__peak", F.max("__sn").over(run))
-    t4 = t3.withColumn("__dd", F.col("__sn") - F.col("__peak"))
-    t5 = t4.withColumn("__mdd", F.min("__dd").over(full))
-    last = t5.where(F.col("__rn") == F.col("__cnt"))
+    rows = net.select(
+        F.col(ts_col), "pnl", "turnover", "cost", "net_pnl"
+    ).collect()
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    rows.sort(key=lambda r: r[0])  # ts ascending — the old window order
+    cnt = len(rows)
+    nto = 0
+    sg = sg2 = sn = sn2 = sc = sto = 0.0
+    peak = None
+    mdd = None
+    for r in rows:
+        g = r["pnl"] if r["pnl"] is not None else 0.0
+        nv = r["net_pnl"]
+        to = r["turnover"] if r["turnover"] is not None else 0.0
+        if r["turnover"] is not None:
+            nto += 1
+        sg = sg + g
+        sg2 = sg2 + g * g
+        sn = sn + nv
+        sn2 = sn2 + nv * nv
+        sc = sc + r["cost"]
+        sto = sto + to
+        peak = sn if (peak is None or sn > peak) else peak
+        dd = sn - peak
+        mdd = dd if (mdd is None or dd < mdd) else mdd
 
-    # Sharpes over ALL buckets (the per-bucket series from inception):
-    # the first bucket has a null gross P&L but a REAL entry cost, so
-    # excluding it would overstate the net Sharpe.
     def sharpe(s, s2):
-        n = F.col("__cnt").cast("double")
+        if cnt < 2:
+            return None
+        n = float(cnt)
         var = (s2 - s * s / n) / (n - 1)
-        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
-        return F.when((F.col("__cnt") >= 2) & (sd > 0), (s / n) / sd)
+        sd = math.sqrt(var if var > 0.0 else 0.0)
+        return (s / n) / sd if sd > 0 else None
 
-    return last.select(
-        F.col("__cnt").cast("long").alias("n_buckets"),
-        F.col("__sg").alias("gross_pnl"),
-        F.col("__sc").alias("total_cost"),
-        F.col("__sn").alias("net_pnl"),
-        sharpe(F.col("__sg"), F.col("__sg2")).alias("gross_sharpe"),
-        sharpe(F.col("__sn"), F.col("__sn2")).alias("net_sharpe"),
-        F.when(
-            F.col("__nto") > 0, F.col("__sto") / F.col("__nto").cast("double")
-        ).alias("avg_turnover"),
-        F.col("__mdd").alias("max_drawdown"),
+    return spark.createDataFrame(
+        [
+            (
+                cnt,
+                sg,
+                sc,
+                sn,
+                sharpe(sg, sg2),
+                sharpe(sn, sn2),
+                (sto / float(nto)) if nto > 0 else None,
+                mdd,
+            )
+        ],
+        out_schema,
     )
 
 

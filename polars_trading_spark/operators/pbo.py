@@ -177,115 +177,114 @@ def pbo_cscv(
         ).alias("blk"),
     )
 
-    # -- balanced masks (data-independent combinatorics) ---------------
-    masks = (
-        strat.select(F.lit(1).alias("__one"))
-        .limit(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(2 ** S - 1))).alias("mask"))
-    )
-    bit = lambda m, b: (  # noqa: E731 — exact for S <= 16
-        F.floor(m / F.pow(F.lit(2.0), b)).cast("long") % 2
-    )
-    popcount = F.aggregate(
-        seq, F.lit(0).cast("long"), lambda a, b: a + bit(F.col("mask"), b)
-    )
-    masks = masks.where(popcount == S // 2)
+    # -- balanced masks + mask folds: DRIVER-side (round 15) -----------
+    # Everything below the (strategies x S) ``strat`` frame is
+    # data-independent combinatorics over a BOUNDED frame (the module
+    # contract above) — previously expressed as mask explode + crossJoin
+    # + per-mask windows + mask-ordered folds, ~10 sequential AQE stage
+    # rounds whose executor work totaled 3.5s CPU for 3.6s wall at
+    # bench scale (pure scheduling).  The bounded frame is collected
+    # once and the mask arithmetic folds on the driver with the
+    # IDENTICAL IEEE operation sequence the Column expressions
+    # performed: left-associated adds over the block index (including
+    # the ``+ 0.0`` of unselected blocks, which is NOT a no-op for
+    # signed zeros), the same divide/sqrt per Sharpe, tuple max for the
+    # lexicographic (sh_is, sid, sh_oos) selection (ASCII sid ==
+    # UTF8String order), integer rank tests, and mask-ascending summary
+    # folds — the quality_classifier round-14 bounded-collect pattern.
+    # The corpus-sized pass above is untouched; only the combinatorial
+    # tail moved.
+    import math
 
-    cj = F.broadcast(masks).crossJoin(strat)
-
-    def fold(field, cast_zero):
-        return F.aggregate(
-            seq,
-            cast_zero,
-            lambda a, b: a
-            + F.when(
-                bit(F.col("mask"), b) == 1,
-                F.element_at("blk", (b + 1).cast("int"))[field],
-            ).otherwise(cast_zero * 0),
-        )
-
-    zl, zd = F.lit(0).cast("long"), F.lit(0.0)
-    cj = cj.select(
-        "mask",
-        "sid",
-        fold("n", zl).alias("in_n"),
-        fold("s1", zd).alias("in_s1"),
-        fold("s2", zd).alias("in_s2"),
-        F.aggregate(seq, zl, lambda a, b: a + F.element_at("blk", (b + 1).cast("int"))["n"]).alias("tot_n"),
-        F.aggregate(seq, zd, lambda a, b: a + F.element_at("blk", (b + 1).cast("int"))["s1"]).alias("tot_s1"),
-        F.aggregate(seq, zd, lambda a, b: a + F.element_at("blk", (b + 1).cast("int"))["s2"]).alias("tot_s2"),
+    rows = strat.collect()
+    spark = bars.sparkSession
+    out_schema = (
+        "n_strategies int, n_blocks int, n_combos int, pbo double, "
+        "mean_logit double, mean_sel_is_sharpe double, "
+        "mean_sel_oos_sharpe double"
     )
 
     def sharpe(n, s1, s2):
-        nd = n.cast("double")
+        if n < 2:
+            return None
+        nd = float(n)
         var = (s2 - s1 * s1 / nd) / (nd - 1)
-        return F.when((n >= 2) & (var > 0), (s1 / nd) / F.sqrt(var))
+        if not var > 0:
+            return None
+        return (s1 / nd) / math.sqrt(var)
 
-    cj = cj.select(
-        "mask",
-        "sid",
-        sharpe(F.col("in_n"), F.col("in_s1"), F.col("in_s2")).alias("sh_is"),
-        sharpe(
-            F.col("tot_n") - F.col("in_n"),
-            F.col("tot_s1") - F.col("in_s1"),
-            F.col("tot_s2") - F.col("in_s2"),
-        ).alias("sh_oos"),
-    )
+    strat_stats = []
+    for row in rows:
+        blk = row["blk"]
+        tot_n, tot_s1, tot_s2 = 0, 0.0, 0.0
+        for b in range(S):  # block-index order, left-associated
+            tot_n = tot_n + blk[b]["n"]
+            tot_s1 = tot_s1 + blk[b]["s1"]
+            tot_s2 = tot_s2 + blk[b]["s2"]
+        strat_stats.append((row["sid"], blk, tot_n, tot_s1, tot_s2))
 
-    # -- per-mask selection + OOS rank (strategies-bounded windows) ----
-    w_mask = Window.partitionBy("mask")
-    sel = F.max(
-        F.when(
-            F.col("sh_is").isNotNull() & F.col("sh_oos").isNotNull(),
-            F.struct(F.col("sh_is"), F.col("sid"), F.col("sh_oos")),
+    per_mask = []
+    for mask in range(2 ** S):  # ascending mask order
+        if bin(mask).count("1") != S // 2:
+            continue
+        best = None  # (sh_is, sid, sh_oos) lexicographic max
+        scored = []
+        for sid, blk, tot_n, tot_s1, tot_s2 in strat_stats:
+            in_n, in_s1, in_s2 = 0, 0.0, 0.0
+            for b in range(S):
+                if (mask >> b) & 1:
+                    in_n = in_n + blk[b]["n"]
+                    in_s1 = in_s1 + blk[b]["s1"]
+                    in_s2 = in_s2 + blk[b]["s2"]
+                else:  # the Column fold added an explicit zero here
+                    in_n = in_n + 0
+                    in_s1 = in_s1 + 0.0
+                    in_s2 = in_s2 + 0.0
+            sh_is = sharpe(in_n, in_s1, in_s2)
+            sh_oos = sharpe(tot_n - in_n, tot_s1 - in_s1, tot_s2 - in_s2)
+            scored.append(sh_oos)
+            if sh_is is not None and sh_oos is not None:
+                cand = (sh_is, sid, sh_oos)
+                if best is None or cand > best:
+                    best = cand
+        if best is None:
+            continue
+        sel_is, _, sel_oos = best
+        r = sum(1 for s in scored if s is not None and s <= sel_oos)
+        nr = sum(1 for s in scored if s is not None)
+        if nr < 1:
+            continue
+        om = float(r) / float(nr + 1)
+        per_mask.append(
+            (
+                sel_is,
+                sel_oos,
+                1 if 2 * r < nr + 1 else 0,
+                math.log(om / (1 - om)),
+            )
         )
-    ).over(w_mask)
-    cj = cj.withColumn("__sel", sel)
-    per_mask = (
-        cj.where(F.col("__sel").isNotNull())
-        .groupBy("mask")
-        .agg(
-            F.first(F.col("__sel")["sh_is"]).alias("sel_is"),
-            F.first(F.col("__sel")["sh_oos"]).alias("sel_oos"),
-            F.sum(
-                (F.col("sh_oos") <= F.col("__sel")["sh_oos"]).cast("long")
-            ).alias("r"),
-            F.sum(F.col("sh_oos").isNotNull().cast("long")).alias("nr"),
-        )
-    )
-    # omega = r / (nr + 1); logit = ln(omega / (1 - omega));
-    # below-median via the INTEGER test 2r < nr + 1
-    om = F.col("r").cast("double") / (F.col("nr") + 1).cast("double")
-    per_mask = per_mask.where(F.col("nr") >= 1).select(
-        "mask",
-        "sel_is",
-        "sel_oos",
-        (2 * F.col("r") < F.col("nr") + 1).cast("long").alias("below"),
-        F.log(om / (1 - om)).alias("lgt"),
-    )
 
-    # -- one-row summary: mask-ordered folds over <= C(S, S/2) rows ----
-    w_m = Window.orderBy("mask")  # combos-bounded frame
-    w_mr = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    n_strats = strat.select(F.count(F.lit(1)).alias("ns"))
-    out = per_mask.select(
-        F.row_number().over(w_m).alias("__rn"),
-        F.count(F.lit(1)).over(w_all).alias("__nc"),
-        F.sum("below").over(w_all).alias("__nb"),
-        F.sum("lgt").over(w_mr).alias("__sl"),
-        F.sum("sel_is").over(w_mr).alias("__si"),
-        F.sum("sel_oos").over(w_mr).alias("__so"),
-    ).where(F.col("__rn") == F.col("__nc"))
-    nc = F.col("__nc").cast("double")
-    return out.crossJoin(F.broadcast(n_strats)).select(
-        F.col("ns").cast("int").alias("n_strategies"),
-        F.lit(S).cast("int").alias("n_blocks"),
-        F.col("__nc").cast("int").alias("n_combos"),
-        (F.col("__nb").cast("double") / nc).alias("pbo"),
-        (F.col("__sl") / nc).alias("mean_logit"),
-        (F.col("__si") / nc).alias("mean_sel_is_sharpe"),
-        (F.col("__so") / nc).alias("mean_sel_oos_sharpe"),
+    if not per_mask:
+        return spark.createDataFrame([], out_schema)
+    nc = len(per_mask)
+    nb = sum(p[2] for p in per_mask)
+    sl = si = so = 0.0
+    for sel_is, sel_oos, _below, lgt in per_mask:  # mask-ascending folds
+        sl = sl + lgt
+        si = si + sel_is
+        so = so + sel_oos
+    ncd = float(nc)
+    return spark.createDataFrame(
+        [
+            (
+                len(rows),
+                S,
+                nc,
+                float(nb) / ncd,
+                sl / ncd,
+                si / ncd,
+                so / ncd,
+            )
+        ],
+        out_schema,
     )

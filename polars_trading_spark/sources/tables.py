@@ -73,6 +73,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     input.
     """
     path = f"{sf_dir}/{name}.parquet"
+    # Session confs are (re)pinned BEFORE the memo lookup (r14 verdict
+    # nit): a session whose timezone was reset between calls must get
+    # the UTC/nanosAsLong contract back even on a memo hit — the memo
+    # caches the lazy plan, not the session state the plan relies on.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         key = (spark.sparkContext.applicationId, path)
     except Exception:  # stopped/defunct context: build uncached
@@ -81,8 +87,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         cached = _SCAN_MEMO.get(key)
         if cached is not None:
             return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
     if ntz:
